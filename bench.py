@@ -1,0 +1,72 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {...}, "sf": ...}. Run after any operator change — a correct
+but slow plan is not done (BASELINE.md: stay within 2x of the DuckDB
+oracle at sf0.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from impala_spark.queries import SPARK_QUERIES
+from impala_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline suite: one per major operator family (scan/agg, fact-fact join,
+#: broadcast dims, distinct agg, analytics, null-aware anti subquery,
+#: dedup, MinHash-LSH, ANN, streaming-window batch).
+HEADLINE = [
+    "pricing_summary",
+    "join_fact_fact",
+    "join_three_way",
+    "agg_count_distinct",
+    "analytic_ranking",
+    "subquery_not_in",
+    "llm_dedup_exact",
+    "llm_minhash_lsh",
+    "llm_ann_bruteforce",
+    "events_tumbling_window",
+]
+
+
+def main() -> None:
+    spark = get_spark("impala_spark_bench")
+    # warm the JVM + parquet footers so per-query times measure the engine
+    SPARK_QUERIES["pricing_summary"](spark, SF_DIR).count()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = SPARK_QUERIES[name]
+        t0 = time.time()
+        n = fn(spark, SF_DIR).count()
+        dt = round(time.time() - t0, 3)
+        per_query[name] = dt
+        total += dt
+        print(f"# {name}: {dt}s ({n} rows)", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

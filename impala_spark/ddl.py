@@ -1,0 +1,254 @@
+"""DDL + write statements over parquet-backed managed tables.
+
+Reference surface:
+- CREATE TABLE AS SELECT / CREATE TABLE LIKE  (analysis/CreateTableAsSelectStmt.java)
+- INSERT INTO / INSERT OVERWRITE [PARTITION]  (analysis/InsertStmt.java:114-116,751-760;
+  partitioned sink: planner/HdfsTableSink.java:40-60 — dynamic-partition clustering
+  maps to df.sortWithinPartitions before partitionBy writes)
+- UPDATE / DELETE / UPSERT (Kudu-only in the reference; rewritten to a
+  SELECT of key cols + RHS exprs — analysis/ModifyStmt.java:41-59). On
+  parquet we implement read-modify-overwrite with the same semantics.
+- TRUNCATE (sql-parser.cup:713), LOAD DATA (sql-parser.cup:678)
+
+Managed tables live under a warehouse dir as parquet (optionally
+Hive-partitioned). A module registry maps table -> (path, partition cols,
+primary key) — the analog of the reference's catalog Db/Table objects
+(catalog/Table.java) for the write path.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from impala_spark.parser import translate
+
+WAREHOUSE = os.environ.get("IMPALA_SPARK_WAREHOUSE", "/tmp/impala_spark_warehouse")
+
+
+@dataclass
+class ManagedTable:
+    name: str
+    path: str
+    partition_cols: list[str] = field(default_factory=list)
+    primary_key: list[str] = field(default_factory=list)
+    schema: object | None = None  # StructType pinned at create time
+
+
+#: catalog of write-capable tables (name -> ManagedTable)
+_REGISTRY: dict[str, ManagedTable] = {}
+
+
+def _refresh_view(spark: SparkSession, t: ManagedTable) -> DataFrame:
+    try:
+        df = spark.read.parquet(t.path)
+    except Exception:
+        # an empty partitioned write produces zero data files; the table
+        # still exists with its declared schema (catalog/Table.java analog)
+        df = spark.createDataFrame([], t.schema)
+    df.createOrReplaceTempView(t.name)
+    return df
+
+
+def drop_table(spark: SparkSession, name: str, purge: bool = True) -> None:
+    t = _REGISTRY.pop(name, None)
+    spark.catalog.dropTempView(name)
+    if t and purge and os.path.isdir(t.path):
+        shutil.rmtree(t.path, ignore_errors=True)
+
+
+def create_table_as_select(
+    spark: SparkSession,
+    name: str,
+    query_or_df: str | DataFrame,
+    partition_cols: list[str] | None = None,
+    primary_key: list[str] | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """CTAS (analysis/CreateTableAsSelectStmt.java). Writes parquet, registers
+    a view, and records the table for later INSERT/UPDATE/DELETE."""
+    df = spark.sql(translate(query_or_df)) if isinstance(query_or_df, str) else query_or_df
+    path = os.path.join(WAREHOUSE, name)
+    writer = df.write.mode(mode)
+    pcols = partition_cols or []
+    if pcols:
+        # clustered insert: sort within partitions on the partition keys so
+        # each task writes few open files (HdfsTableSink clustering,
+        # planner/Planner.java:146-147)
+        df = df.sortWithinPartitions(*pcols)
+        writer = df.write.mode(mode).partitionBy(*pcols)
+    writer.parquet(path)
+    t = ManagedTable(name, path, pcols, primary_key or [], df.schema)
+    _REGISTRY[name] = t
+    return _refresh_view(spark, t)
+
+
+def create_table_like(spark: SparkSession, name: str, like: str) -> DataFrame:
+    """CREATE TABLE LIKE — empty table with the source schema."""
+    src = spark.table(like)
+    empty = spark.createDataFrame([], src.schema)
+    return create_table_as_select(spark, name, empty)
+
+
+def insert(
+    spark: SparkSession,
+    table: str,
+    query_or_df: str | DataFrame,
+    overwrite: bool = False,
+    static_partition: dict[str, object] | None = None,
+) -> DataFrame:
+    """INSERT INTO/OVERWRITE [PARTITION (k=v | k)] (analysis/InsertStmt.java).
+
+    Static partition: constant key values appended as literal columns
+    (InsertStmt.java:751-760). Dynamic: the trailing SELECT columns feed the
+    partition keys — Spark's partitionBy handles both once the columns exist.
+    """
+    t = _REGISTRY[table]
+    df = spark.sql(translate(query_or_df)) if isinstance(query_or_df, str) else query_or_df
+    if static_partition:
+        for k, v in static_partition.items():
+            df = df.withColumn(k, F.lit(v))
+    mode = "overwrite" if overwrite else "append"
+    if t.partition_cols:
+        df = df.sortWithinPartitions(*t.partition_cols)
+        # Match Impala INSERT OVERWRITE PARTITION: replace only the
+        # partitions present in the input (dynamic partition overwrite).
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        df.write.mode(mode).partitionBy(*t.partition_cols).parquet(t.path)
+    else:
+        df.write.mode(mode).parquet(t.path)
+    return _refresh_view(spark, t)
+
+
+def truncate(spark: SparkSession, stmt_or_table: str) -> DataFrame:
+    """TRUNCATE [TABLE] name — drop all rows, keep schema."""
+    m = re.match(r"^\s*TRUNCATE\s+(?:TABLE\s+)?([\w`]+)\s*$", stmt_or_table, re.IGNORECASE)
+    name = m.group(1).strip("`") if m else stmt_or_table
+    t = _REGISTRY[name]
+    schema = spark.table(name).schema
+    empty = spark.createDataFrame([], schema)
+    empty.write.mode("overwrite").parquet(t.path)
+    return _refresh_view(spark, t)
+
+
+def load_data(spark: SparkSession, stmt: str) -> DataFrame:
+    """LOAD DATA INPATH 'dir' [OVERWRITE] INTO TABLE name (cup:678)."""
+    m = re.match(
+        r"^\s*LOAD\s+DATA\s+INPATH\s+'([^']+)'\s+(OVERWRITE\s+)?INTO\s+TABLE\s+([\w`]+)\s*$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(f"cannot parse LOAD DATA: {stmt}")
+    path, overwrite, name = m.group(1), bool(m.group(2)), m.group(3).strip("`")
+    t = _REGISTRY[name]
+    df = spark.read.parquet(path)
+    df.write.mode("overwrite" if overwrite else "append").parquet(t.path)
+    return _refresh_view(spark, t)
+
+
+# ---------------------------------------------------------------------------
+# UPDATE / DELETE / UPSERT — analysis/ModifyStmt.java:41-59 semantics on
+# parquet via read-modify-overwrite. The reference rewrites the statement to
+# a SELECT of (key columns + assignment RHS exprs) and hands rows to Kudu;
+# we evaluate the same exprs with when(pred, rhs) and rewrite the files.
+# ---------------------------------------------------------------------------
+
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+([\w`]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+([\w`]+)(?:\s+WHERE\s+(.*))?$", re.IGNORECASE | re.DOTALL
+)
+_UPSERT_RE = re.compile(
+    r"^\s*UPSERT\s+INTO\s+(?:TABLE\s+)?([\w`]+)\s+(SELECT\s+.*|VALUES\s*.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_assignments(set_clause: str) -> list[tuple[str, str]]:
+    out, depth, cur = [], 0, []
+    for ch in set_clause:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    pairs = []
+    for a in out:
+        col, _, rhs = a.partition("=")
+        pairs.append((col.strip().strip("`"), rhs.strip()))
+    return pairs
+
+
+def modify(spark: SparkSession, stmt: str) -> DataFrame:
+    m = _UPDATE_RE.match(stmt)
+    if m:
+        name, set_clause, where = m.group(1).strip("`"), m.group(2), m.group(3)
+        t = _REGISTRY[name]
+        df = spark.read.parquet(t.path)
+        pred = F.expr(translate(where)) if where else F.lit(True)
+        for col, rhs in _split_assignments(set_clause):
+            df = df.withColumn(col, F.when(pred, F.expr(translate(rhs))).otherwise(F.col(col)))
+        return _overwrite(spark, t, df)
+
+    m = _DELETE_RE.match(stmt)
+    if m:
+        name, where = m.group(1).strip("`"), m.group(2)
+        t = _REGISTRY[name]
+        df = spark.read.parquet(t.path)
+        if where:
+            # keep rows where the predicate is NOT TRUE (null-safe: a row
+            # with NULL predicate is not deleted — Impala DELETE semantics)
+            df = df.filter(~F.expr(translate(where)).eqNullSafe(F.lit(True)))
+        else:
+            df = df.limit(0)
+        return _overwrite(spark, t, df)
+
+    m = _UPSERT_RE.match(stmt)
+    if m:
+        name, src_sql = m.group(1).strip("`"), m.group(2)
+        t = _REGISTRY[name]
+        if not t.primary_key:
+            raise ValueError(f"UPSERT requires a primary key on {name}")
+        src = spark.sql(translate(f"SELECT * FROM ({src_sql})" if src_sql.upper().startswith("VALUES") else src_sql))
+        return upsert(spark, name, src)
+
+    raise ValueError(f"cannot parse modify statement: {stmt}")
+
+
+def upsert(spark: SparkSession, table: str, source: DataFrame) -> DataFrame:
+    """UPSERT (sql-parser.cup:1128): replace rows matching on the primary
+    key, insert the rest — MERGE WHEN MATCHED UPDATE ALL / NOT MATCHED INSERT."""
+    t = _REGISTRY[table]
+    target = spark.read.parquet(t.path)
+    source = source.toDF(*target.columns)
+    keep = target.join(source.select(*t.primary_key), on=t.primary_key, how="left_anti")
+    merged = keep.unionByName(source)
+    return _overwrite(spark, t, merged)
+
+
+def _overwrite(spark: SparkSession, t: ManagedTable, df: DataFrame) -> DataFrame:
+    # parquet overwrite of the table we are reading requires a staging dir
+    staging = t.path + ".staging"
+    if t.partition_cols:
+        df.sortWithinPartitions(*t.partition_cols).write.mode("overwrite").partitionBy(
+            *t.partition_cols
+        ).parquet(staging)
+    else:
+        df.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(t.path, ignore_errors=True)
+    os.rename(staging, t.path)
+    return _refresh_view(spark, t)

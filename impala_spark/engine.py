@@ -1,0 +1,204 @@
+"""ImpalaEngine — the session facade.
+
+Plays the role of the reference's service layer
+(service/Frontend.java:1037 createExecRequest, :596 getExplainString,
+service/CatalogOpExecutor.java for DDL): accept an Impala-dialect SQL
+string, translate it (parser.py), and hand it to Catalyst. Statements
+Spark SQL cannot express directly (COMPUTE STATS, SHOW surfaces, Kudu-ish
+UPDATE/DELETE) are routed to Python implementations here / in ddl.py.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from impala_spark import ddl
+from impala_spark.parser import translate
+from impala_spark.session import register_tables
+
+_COMPUTE_STATS_RE = re.compile(
+    r"^\s*COMPUTE\s+(INCREMENTAL\s+)?STATS\s+([\w.`]+)\s*$", re.IGNORECASE
+)
+_DROP_STATS_RE = re.compile(r"^\s*DROP\s+(INCREMENTAL\s+)?STATS\s+([\w.`]+)\s*$", re.IGNORECASE)
+_SET_RE = re.compile(r"^\s*SET\s+(\w+)\s*=\s*(.+?)\s*$", re.IGNORECASE)
+_USE_RE = re.compile(r"^\s*USE\s+([\w`]+)\s*$", re.IGNORECASE)
+_EXPLAIN_RE = re.compile(r"^\s*EXPLAIN\s+(.*)$", re.IGNORECASE | re.DOTALL)
+
+#: Impala query option -> Spark conf (subset that makes sense on Spark).
+_QUERY_OPTIONS = {
+    "num_nodes": None,  # no-op on Spark
+    "mem_limit": None,
+    "disable_codegen": "spark.sql.codegen.wholeStage",  # inverted bool
+    "broadcast_threshold": "spark.sql.autoBroadcastJoinThreshold",
+}
+
+
+class ImpalaEngine:
+    """SQL-string front door with Impala dialect + statement surface."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str | None = None):
+        self.spark = spark
+        if sf_dir:
+            register_tables(spark, sf_dir)
+
+    # -- the main path (Frontend.createExecRequest analog) -----------------
+    def sql(self, query: str) -> DataFrame:
+        q = query.strip().rstrip(";")
+
+        m = _EXPLAIN_RE.match(q)
+        if m and m.group(1).strip().upper().split()[0] not in ("ANALYZE",):
+            return self._explain_df(m.group(1))
+
+        m = _COMPUTE_STATS_RE.match(q)
+        if m:
+            return self.compute_stats(m.group(2).strip("`"))
+        m = _DROP_STATS_RE.match(q)
+        if m:
+            # Spark has no DROP STATS; nearest: re-analyze with NOSCAN to
+            # blank row-level detail. Record as no-op success.
+            return self.spark.sql("SELECT 'stats dropped (no-op on Spark)' AS result")
+        m = _SET_RE.match(q)
+        if m:
+            return self.set_option(m.group(1), m.group(2))
+        m = _USE_RE.match(q)
+        if m:
+            self.spark.catalog.setCurrentDatabase(m.group(1).strip("`"))
+            return self.spark.sql("SELECT current_database() AS db")
+
+        upper = q.upper()
+        if upper.startswith(("UPDATE ", "DELETE ", "UPSERT ")):
+            return ddl.modify(self.spark, q)
+        if upper.startswith("TRUNCATE"):
+            return ddl.truncate(self.spark, q)
+        if upper.startswith("LOAD DATA"):
+            return ddl.load_data(self.spark, q)
+        if upper.startswith(("INVALIDATE METADATA", "REFRESH")):
+            target = q.split()[-1] if len(q.split()) > 2 else None
+            if target and target.upper() not in ("METADATA",):
+                self.spark.catalog.refreshTable(target)
+            else:
+                self.spark.catalog.clearCache()
+            return self.spark.sql("SELECT 'metadata refreshed' AS result")
+
+        return self.spark.sql(translate(q))
+
+    # -- COMPUTE STATS -> ANALYZE TABLE (analysis/ComputeStatsStmt.java) ---
+    def compute_stats(self, table: str) -> DataFrame:
+        """Impala COMPUTE STATS: table row count + per-column NDV/nulls/sizes
+        (ComputeStatsStmt.java:218-242 issues exactly these child queries).
+        Spark: ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS feeds
+        the same numbers to the CBO.
+        """
+        is_temp_view = any(
+            t.name == table and t.tableType in ("TEMPORARY", "TEMP")
+            for t in self.spark.catalog.listTables()
+        )
+        if is_temp_view:
+            # ANALYZE doesn't work on temp views; compute the reference's
+            # child-query stats directly so callers still get numbers.
+            cols = self.spark.table(table).columns
+            ndvs = ", ".join(
+                f"approx_count_distinct(`{c}`) AS ndv_{c}" for c in cols
+            )
+            return self.spark.sql(f"SELECT count(*) AS row_count, {ndvs} FROM `{table}`")
+        self.spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR ALL COLUMNS")
+        return self.spark.sql(f"DESCRIBE EXTENDED {table}")
+
+    # -- SET (query options) ------------------------------------------------
+    def set_option(self, key: str, value: str) -> DataFrame:
+        k = key.lower()
+        if k in _QUERY_OPTIONS:
+            conf = _QUERY_OPTIONS[k]
+            if conf == "spark.sql.codegen.wholeStage":
+                value = "false" if value.strip("'\" ").lower() in ("1", "true") else "true"
+            if conf:
+                self.spark.conf.set(conf, value.strip("'\" "))
+        else:
+            self.spark.conf.set(key if key.startswith("spark.") else f"spark.{key}", value.strip("'\" "))
+        return self.spark.sql(f"SELECT '{key}' AS option, 'set' AS status")
+
+    # -- SHOW / DESCRIBE surfaces (service/MetadataOp.java) -----------------
+    def show_tables(self, pattern: str | None = None) -> DataFrame:
+        df = self.spark.sql("SHOW TABLES")
+        if pattern:
+            like = pattern.replace("*", ".*")
+            df = df.filter(df.tableName.rlike(f"^{like}$"))
+        return df
+
+    def show_databases(self) -> DataFrame:
+        return self.spark.sql("SHOW DATABASES")
+
+    def show_functions(self) -> DataFrame:
+        return self.spark.sql("SHOW FUNCTIONS")
+
+    def describe(self, table: str, formatted: bool = False) -> DataFrame:
+        return self.spark.sql(f"DESCRIBE {'FORMATTED ' if formatted else ''}{table}")
+
+    # -- EXPLAIN (Frontend.getExplainString analog) --------------------------
+    def _explain_df(self, query: str) -> DataFrame:
+        text = self.explain(query)
+        return self.spark.createDataFrame(
+            [(line,) for line in text.split("\n")], "explain_string: string"
+        )
+
+    def explain(self, query: str) -> str:
+        """Impala-style plan text (planner/PlanNode.getExplainString analog).
+
+        Maps Spark physical nodes to the reference's node names so the
+        plan-shape reads like an Impala EXPLAIN. `EXCHANGE` markers appear
+        exactly where the reference's DistributedPlanner would insert
+        ExchangeNodes (shuffle boundaries).
+        """
+        df = self.spark.sql(translate(query))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        out = []
+        node_id = 0
+        mapping = [
+            (r"AdaptiveSparkPlan.*", None),
+            (r"ResultQueryStage.*", None),
+            (r"ShuffleQueryStage.*", None),
+            (r"BroadcastQueryStage.*", None),
+            (r"InputAdapter.*", None),
+            (r"WholeStageCodegen.*", None),
+            (r"ReusedExchange.*", "EXCHANGE (reused)"),
+            (r"Exchange hashpartitioning.*", "EXCHANGE [HASH]"),
+            (r"Exchange rangepartitioning.*", "EXCHANGE [RANGE]"),
+            (r"Exchange SinglePartition.*", "EXCHANGE [UNPARTITIONED]"),
+            (r"BroadcastExchange.*", "EXCHANGE [BROADCAST]"),
+            (r"BroadcastHashJoin.*", "HASH JOIN [BROADCAST]"),
+            (r"ShuffledHashJoin.*", "HASH JOIN [PARTITIONED]"),
+            (r"SortMergeJoin.*", "MERGE JOIN [PARTITIONED]"),
+            (r"BroadcastNestedLoopJoin.*", "NESTED LOOP JOIN [BROADCAST]"),
+            (r"CartesianProduct.*", "NESTED LOOP JOIN [CROSS]"),
+            (r"HashAggregate\(keys=\[\].*, functions=.*", "AGGREGATE"),
+            (r"HashAggregate.*", "AGGREGATE [HASH]"),
+            (r"ObjectHashAggregate.*", "AGGREGATE [HASH]"),
+            (r"SortAggregate.*", "AGGREGATE [SORT]"),
+            (r"TakeOrderedAndProject.*", "TOP-N"),
+            (r"Sort .*", "SORT"),
+            (r"Filter .*", "SELECT (filter)"),
+            (r"Project .*", "PROJECT"),
+            (r"Window .*", "ANALYTIC"),
+            (r"Expand .*", "EXPAND (distinct agg)"),
+            (r"GlobalLimit.*", "LIMIT"),
+            (r"LocalLimit.*", "LIMIT (local)"),
+            (r"Union", "UNION"),
+            (r"Generate .*", "UNNEST"),
+            (r".*Scan parquet.*", "SCAN PARQUET"),
+            (r"Scan .*", "SCAN"),
+            (r"LocalTableScan.*", "VALUES/LOCAL SCAN"),
+            (r"RowToColumnar.*", None),
+            (r"ColumnarToRow.*", None),
+        ]
+        for raw in plan.split("\n"):
+            stripped = raw.lstrip(" +-:*()0123456789")
+            indent = len(raw) - len(raw.lstrip(" +-:"))
+            for pat, name in mapping:
+                if re.match(pat, stripped):
+                    if name:
+                        out.append(f"{'|  ' * (indent // 3)}{node_id:02d}:{name}")
+                        node_id += 1
+                    break
+        return "\n".join(out) if out else plan

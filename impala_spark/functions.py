@@ -1,0 +1,127 @@
+"""Impala builtin functions re-expressed over pyspark.sql.functions.
+
+The reference registers builtins in catalog/BuiltinsDb.java (aggregates
+:666-950, analytics :953-1054) plus generated ScalarBuiltins. Spark ships
+nearly the whole library under the same names; this module is the alias
+table for the rest, kept JVM-side (no Python UDFs) so every call stays
+inside whole-stage codegen.
+
+SQL-string callers get the same aliases via parser.translate(); this module
+serves the DataFrame API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Aggregates (BuiltinsDb.java:666-950)
+# ---------------------------------------------------------------------------
+
+
+def ndv(col: Column | str) -> Column:
+    """Impala ndv() — HLL approximate count-distinct (BuiltinsDb.java:752-760)."""
+    return F.approx_count_distinct(col)
+
+
+def appx_median(col: Column | str) -> Column:
+    """Impala appx_median() (BuiltinsDb.java:731-740)."""
+    return F.percentile_approx(col, 0.5)
+
+
+def histogram(col: Column | str, buckets: int = 10) -> Column:
+    """Impala histogram() — equi-height bucket boundaries (BuiltinsDb.java:741-751)."""
+    fracs = [i / buckets for i in range(1, buckets)]
+    return F.percentile_approx(col, fracs)
+
+
+def group_concat(col: Column | str, sep: str = ", ") -> Column:
+    """Impala group_concat(expr[, sep]) (BuiltinsDb.java:928-951).
+
+    Unordered in Impala; callers needing determinism should sort the input
+    or use group_concat_sorted.
+    """
+    return F.array_join(F.collect_list(col), sep)
+
+
+def group_concat_sorted(col: Column | str, sep: str = ", ") -> Column:
+    """Deterministic variant: elements sorted ascending before joining."""
+    return F.array_join(F.array_sort(F.collect_list(col)), sep)
+
+
+def sample(col: Column | str, n: int = 20) -> Column:
+    """Impala sample() reservoir aggregate (BuiltinsDb.java:721-730).
+
+    Deterministic stand-in: first n values in ascending order — same type
+    surface (a delimited string of sampled values).
+    """
+    return F.array_join(F.slice(F.array_sort(F.collect_list(col)), 1, n), ", ")
+
+
+# ---------------------------------------------------------------------------
+# Conditional scalars (ScalarBuiltins / ConditionalFunctions)
+# ---------------------------------------------------------------------------
+
+
+def nvl(col: Column, default: Column) -> Column:
+    return F.coalesce(col, default)
+
+
+def isnull2(col: Column, default: Column) -> Column:
+    """Impala 2-arg isnull(a, b) == nvl."""
+    return F.coalesce(col, default)
+
+
+def zeroifnull(col: Column) -> Column:
+    return F.coalesce(col, F.lit(0))
+
+
+def nullifzero(col: Column) -> Column:
+    return F.nullif(col, F.lit(0))
+
+
+def decode(expr: Column, *pairs_and_default: Column) -> Column:
+    """Impala DECODE — CASE with NULL-safe comparison (analysis/CaseExpr.java:37-60).
+
+    decode(e, s1, r1, s2, r2, ..., [default]); e <=> s_i selects r_i.
+    """
+    args = list(pairs_and_default)
+    default = args.pop() if len(args) % 2 == 1 else F.lit(None)
+    cond = None
+    result: Column = default
+    whens = [(args[i], args[i + 1]) for i in range(0, len(args), 2)]
+    for search, res in reversed(whens):
+        result = F.when(expr.eqNullSafe(search), res).otherwise(result)
+    _ = cond
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Regex/like family (analysis/LikePredicate.java:35-39)
+# ---------------------------------------------------------------------------
+
+
+def iregexp(col: Column, pattern: str) -> Column:
+    """Case-insensitive regex match."""
+    return col.rlike(f"(?i){pattern}")
+
+
+def ilike(col: Column, pattern: str) -> Column:
+    return col.ilike(pattern)
+
+
+# ---------------------------------------------------------------------------
+# Sort helpers — Impala default null ordering
+# (analysis/OrderByElement.java:71-81): ASC => NULLS LAST, DESC => NULLS FIRST
+# ---------------------------------------------------------------------------
+
+
+def asc_impala(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.asc_nulls_last()
+
+
+def desc_impala(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.desc_nulls_first()

@@ -1,0 +1,395 @@
+"""LLM-training-data pipeline operators (beyond the reference surface).
+
+Design rules for 100 TB (the whole point of these):
+- NO all-pairs comparisons. Candidate generation is always a bucketed
+  equi-join (LSH bands / simhash prefixes / ngram buckets) so the shuffle
+  keys carry the pruning; verification runs only within buckets.
+- NO .collect() in any query path; single-row "query vectors" travel via
+  broadcast joins.
+- Hashing is JVM-side (xxhash64 / crc32 / md5 via pyspark.sql.functions),
+  not Python UDFs — stays inside whole-stage codegen.
+- Deterministic everywhere (seeded hash mixes), so results are testable
+  against an oracle and stable across retries — a requirement for
+  exactly-once backfills at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_WORD_SPLIT = r"\s+"
+# BPE-ish token heuristic: word pieces, digits, punctuation runs.
+_BPE_TOKEN = r"[A-Za-z]+(?:'[a-z]+)?|[0-9]+|[^\sA-Za-z0-9]"
+
+_EN_STOPWORDS = r"(?i)\b(the|and|of|to|in|is|that|for|with|was|are)\b"
+_ES_STOPWORDS = r"(?i)\b(el|la|los|las|de|que|en|es|por|con|una?)\b"
+_FR_STOPWORDS = r"(?i)\b(le|la|les|des|de|que|est|une?|dans|pour|avec)\b"
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: lengths, token counts, ratios.
+
+    All built-ins — this runs at full codegen speed over 100 TB of text.
+    """
+    t = F.col(text_col)
+    ws_tokens = F.split(F.trim(t), _WORD_SPLIT)
+    return df.withColumns(
+        {
+            "char_len": F.length(t).cast("bigint"),
+            "token_count": F.size(ws_tokens).cast("bigint"),
+            "bpe_token_count": F.size(F.regexp_extract_all(t, F.lit(_BPE_TOKEN), 0)).cast("bigint"),
+            "avg_token_len": F.round(
+                F.length(F.regexp_replace(t, r"\s+", "")) / F.greatest(F.size(ws_tokens), F.lit(1)),
+                4,
+            ),
+            "punct_ratio": F.round(
+                F.length(F.regexp_replace(t, r"[^.!?,;:]", "")) / F.greatest(F.length(t), F.lit(1)),
+                6,
+            ),
+            "upper_ratio": F.round(
+                F.length(F.regexp_replace(t, r"[^A-Z]", "")) / F.greatest(F.length(t), F.lit(1)),
+                6,
+            ),
+            "digit_ratio": F.round(
+                F.length(F.regexp_replace(t, r"[^0-9]", "")) / F.greatest(F.length(t), F.lit(1)),
+                6,
+            ),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1]: length sweet-spot, low punctuation
+    noise, stopword presence (fluency proxy). Deterministic arithmetic only."""
+    d = text_stats(df, text_col)
+    stop_hits = F.size(F.regexp_extract_all(F.col(text_col), F.lit(_EN_STOPWORDS), 0))
+    stop_ratio = stop_hits / F.greatest(F.col("token_count"), F.lit(1))
+    length_score = F.least(F.col("token_count") / F.lit(50.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(F.col("punct_ratio") * 5, F.lit(1.0))
+    fluency_score = F.least(stop_ratio * 3, F.lit(1.0))
+    return d.withColumn(
+        "quality_score",
+        F.round(0.4 * length_score + 0.3 * punct_score + 0.3 * fluency_score, 6),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID from stopword-hit ratios (n-gram-free so the
+    same logic is expressible in the SQL oracle). Real deployments swap in
+    a pandas_udf over fasttext/cld3 — the plumbing stays identical."""
+    t = F.col(text_col)
+    en = F.size(F.regexp_extract_all(t, F.lit(_EN_STOPWORDS), 0))
+    es = F.size(F.regexp_extract_all(t, F.lit(_ES_STOPWORDS), 0))
+    fr = F.size(F.regexp_extract_all(t, F.lit(_FR_STOPWORDS), 0))
+    return df.withColumn(
+        "lang_pred",
+        F.when((en >= es) & (en >= fr) & (en > 0), "en")
+        .when((es >= fr) & (es > 0), "es")
+        .when(fr > 0, "fr")
+        .otherwise("unknown"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the whitespace/case-normalized text.
+    The exact-dedup key — one shuffle on a 32-byte string at any scale."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.withColumn("fp", F.md5(norm))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by normalized-text fingerprint, keep min id.
+    One hash shuffle; partial aggregation makes the map side absorb the
+    duplicates before the exchange."""
+    fp = fingerprint(df, text_col)
+    return fp.groupBy("fp").agg(
+        F.min(id_col).cast("bigint").alias("keep_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Word k-shingles as a deduped array column (JVM-side)."""
+    words = F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"[^a-z0-9\s]", "")), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))
+    return df.withColumn("shingles", F.array_distinct(sh))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_hashes: int = 32, k: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: for each of num_hashes seeded hash
+    functions, the min xxhash64 over the shingle set. All array ops are
+    Catalyst expressions — no Python in the loop."""
+    def seeded_min(seed: int):
+        # NB: factory, not a default-arg lambda — pyspark's higher-order
+        # wrappers treat every Python parameter (defaults included) as a
+        # lambda variable, which silently changes semantics.
+        return F.array_min(F.transform("shingles", lambda s: F.xxhash64(s, F.lit(seed))))
+
+    sh = shingles(df, text_col, k)
+    sig = F.array(*[seeded_min(i) for i in range(num_hashes)])
+    return sh.withColumn("minhash", sig).drop("shingles")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_hashes: int = 32, bands: int = 8, k: int = 3, threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH.
+
+    Scale path (the contract for 100 TB):
+      1. signatures: narrow map, no shuffle
+      2. band keys: explode to num_bands rows/doc  (linear blowup, bounded)
+      3. candidate pairs: self-equi-join ON band hash — a *hash shuffle*,
+         never a cartesian product
+      4. verify: exact signature-overlap similarity within candidates only
+    Returns (a_id, b_id, sim) with a_id < b_id, sim >= threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, k).select(id_col, "minhash")
+    banded = sig.select(
+        F.col(id_col).alias("id"),
+        "minhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice("minhash", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        ),
+                        F.lit(b),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.select(
+        F.col("id").alias("a_id"), F.col("minhash").alias("a_sig"), "band", "band_hash"
+    )
+    right = banded.select(
+        F.col("id").alias("b_id"), F.col("minhash").alias("b_sig"), "band", "band_hash"
+    )
+    cand = (
+        left.join(right, ["band", "band_hash"], "inner")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sig", "b_sig")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    overlap = F.size(F.array_intersect(F.col("a_sig"), F.col("b_sig")))
+    sim = overlap / F.lit(float(num_hashes))
+    return (
+        cand.withColumn("sim", F.round(sim, 6))
+        .filter(F.col("sim") >= threshold)
+        .select("a_id", "b_id", "sim")
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash over word shingles: per bit, sign of the sum of
+    (+1/-1) votes from each shingle's hash. Bit-parallel via aggregate over
+    the shingle array — pure Catalyst expressions."""
+    def bit_vote(b: int):
+        def merge(acc, s):
+            return acc + F.when(
+                F.shiftright(F.xxhash64(s), b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return F.aggregate("shingles", F.lit(0), merge)
+
+    sh = shingles(df, text_col, k=2)
+    bit_cols = []
+    for b in range(bits):
+        vote = bit_vote(b)
+        bit_cols.append(F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long")))
+    total = bit_cols[0]
+    for c in bit_cols[1:]:
+        total = total + c
+    return sh.withColumn("simhash", total.cast("long")).drop("shingles")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 3, threshold: float = 0.4,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs, bucketed by rare-shingle keys:
+    explode shingles -> self-join on shingle (hash shuffle) -> exact Jaccard
+    on the candidate pairs. Frequency cap on bucket size guards against
+    stopword-shingle skew (the salting analog for text)."""
+    sh = shingles(df, text_col, k).select(F.col(id_col).alias("id"), "shingles")
+    exploded = sh.select("id", F.explode("shingles").alias("sh"))
+    # skew guard: drop shingles appearing in too many docs (non-discriminative)
+    freq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    exploded = exploded.join(F.broadcast(freq.filter(F.col("df") <= 50)), "sh")
+    pairs = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), "sh")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    a_sets = sh.select(F.col("id").alias("a_id"), F.col("shingles").alias("a_sh"))
+    b_sets = sh.select(F.col("id").alias("b_id"), F.col("shingles").alias("b_sh"))
+    verified = (
+        pairs.join(a_sets, "a_id")
+        .join(b_sets, "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("a_sh", "b_sh"))
+                / F.size(F.array_union("a_sh", "b_sh")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings (array<float>)
+# ---------------------------------------------------------------------------
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("vec_norm", _norm(F.col(vec_col).cast("array<double>")))
+
+
+def cosine_topk_bruteforce(
+    df: DataFrame, query: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Baseline exact top-k: broadcast the (single-row) query vector against
+    the corpus — a BroadcastNestedLoopJoin over ONE row, i.e. a map-side
+    scan, not a shuffle. TopN via TakeOrderedAndProject."""
+    q = F.broadcast(query.select(F.col(vec_col).cast("array<double>").alias("q_vec")))
+    corpus = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    scored = corpus.crossJoin(q).select(
+        id_col,
+        F.round(_dot(F.col("v"), F.col("q_vec")) / (_norm(F.col("v")) * _norm(F.col("q_vec"))), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def lsh_bucketed_ann(
+    df: DataFrame, query: DataFrame, k: int = 10, planes: int = 12,
+    id_col: str = "vec_id", vec_col: str = "embedding", probe_hamming: int = 1,
+) -> DataFrame:
+    """Scale path: random-hyperplane LSH (SimHash for vectors).
+
+    Index side: each vector hashed to a `planes`-bit signature by the sign
+    of dot(v, h_p) for deterministic pseudo-random hyperplanes h_p (seeded
+    hash of (plane, dim) -> {-1,+1} components — no stored model needed).
+    Query side: same signature; probe buckets within Hamming distance
+    `probe_hamming` (multi-probe LSH), candidates re-ranked exactly.
+    The join is bucket-key equality — at 100 TB each probe touches
+    ~corpus/2^planes vectors instead of everything.
+    """
+    def signature(vcol):
+        v = vcol.cast("array<double>")
+        dim_idx = F.sequence(F.lit(0), F.size(v) - 1)
+
+        def plane_component(p: int):
+            def comp(x, i):
+                sign = F.when(
+                    F.xxhash64(i.cast("string"), F.lit(p)).bitwiseAND(F.lit(1)) == 1, 1.0
+                ).otherwise(-1.0)
+                return x * sign
+
+            return F.zip_with(v, dim_idx, comp)
+
+        bits = []
+        for p in range(planes):
+            proj = F.aggregate(plane_component(p), F.lit(0.0), lambda acc, x: acc + x)
+            bits.append(F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long")))
+        total = bits[0]
+        for b in bits[1:]:
+            total = total + b
+        return total
+
+    corpus = df.select(id_col, F.col(vec_col).alias("v")).withColumn("bucket", signature(F.col("v")))
+    q = query.select(F.col(vec_col).alias("q_vec")).withColumn("q_bucket", signature(F.col("q_vec")))
+    # multi-probe: query bucket plus all buckets within hamming distance 1
+    probes = [F.col("q_bucket")]
+    if probe_hamming >= 1:
+        probes += [F.col("q_bucket").bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), p)) for p in range(planes)]
+    q_probes = q.select("q_vec", F.explode(F.array(*probes)).alias("bucket"))
+    cand = corpus.join(F.broadcast(q_probes), "bucket")
+    scored = cand.select(
+        id_col,
+        F.round(
+            _dot(F.col("v").cast("array<double>"), F.col("q_vec").cast("array<double>"))
+            / (_norm(F.col("v").cast("array<double>")) * _norm(F.col("q_vec").cast("array<double>"))),
+            6,
+        ).alias("cos_sim"),
+    ).dropDuplicates([id_col])
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns: binary payloads + typed metadata. The decode step is
+# stubbed (no image/audio libs in this container) but the Spark plumbing —
+# schema, batch iteration, partition sizing — is real and tested.
+# ---------------------------------------------------------------------------
+
+MULTIMODAL_SCHEMA = (
+    "doc_id bigint, modality string, payload binary, width int, height int, "
+    "sample_rate int, duration_ms int"
+)
+
+
+def decode_image_batch(payload_bytes: bytes) -> dict:
+    """STUB: image decode (PIL/cv2 not installed here). At deploy time this
+    body becomes PIL.Image.open(io.BytesIO(payload)).size etc. Raises so
+    callers can't silently ship the stub."""
+    raise NotImplementedError("image decode requires PIL/cv2; plumbing is in extract_media_features")
+
+
+def extract_media_features(df: DataFrame, deterministic_fake: bool = True) -> DataFrame:
+    """mapInPandas over binary payloads: the real batch plumbing for
+    decode/resize/frame-sample. With deterministic_fake=True the 'decode'
+    derives features from the payload hash (testable end-to-end); with
+    False it calls decode_image_batch (NotImplementedError until libs land).
+    """
+    import pandas as pd  # noqa: F401 — arrow batch path
+
+    out_schema = "doc_id bigint, modality string, feat_hash bigint, feat_dim int"
+
+    def batches(it):
+        for pdf in it:
+            if not deterministic_fake:
+                pdf["payload"].map(decode_image_batch)  # pragma: no cover
+            res = pdf[["doc_id", "modality"]].copy()
+            res["feat_hash"] = pdf["payload"].map(
+                lambda b: hash(bytes(b)) & 0x7FFFFFFFFFFFFFFF if b is not None else 0
+            )
+            res["feat_dim"] = pdf["payload"].map(lambda b: len(b) % 512 if b is not None else 0)
+            yield res
+
+    return df.mapInPandas(batches, schema=out_schema)

@@ -1,0 +1,198 @@
+"""DataFrame-level operator library — one helper per reference plan node.
+
+Reference inventory: planner/*.java (SURVEY §2.2). Each helper is a thin,
+Catalyst-friendly composition: we declare the logical op and let Spark pick
+the physical strategy (broadcast vs shuffle, TopN vs sort, codegen). The
+value here is the *semantics mapping* — especially the Impala join-operator
+set (analysis/JoinOperator.java:23-36) including NULL_AWARE_LEFT_ANTI, and
+Impala's default null ordering for sorts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from impala_spark.functions import asc_impala, desc_impala
+
+# ---------------------------------------------------------------------------
+# Scans / filters / projection (HdfsScanNode.java:61-96, SelectNode.java)
+# ---------------------------------------------------------------------------
+
+
+def scan(df: DataFrame, columns: Sequence[str] | None = None, predicate: str | Column | None = None) -> DataFrame:
+    """Scan with column pruning + predicate pushdown. Expressing both on the
+    raw reader DataFrame lets Catalyst push them into the parquet scan
+    (verify with .explain(): PushedFilters / ReadSchema)."""
+    if predicate is not None:
+        df = df.filter(predicate)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def select_node(df: DataFrame, predicate: str | Column) -> DataFrame:
+    """Residual-conjunct filter (planner/SelectNode.java)."""
+    return df.filter(predicate)
+
+
+def empty_set(df: DataFrame) -> DataFrame:
+    """EmptySetNode (planner/EmptySetNode.java) — analysis proved 0 rows.
+    `limit(0)` folds to LocalRelation(Nil) via PropagateEmptyRelation."""
+    return df.limit(0)
+
+
+# ---------------------------------------------------------------------------
+# Joins — all 10 Impala join operators (analysis/JoinOperator.java:23-36)
+# ---------------------------------------------------------------------------
+
+JOIN_HOW = {
+    "INNER": "inner",
+    "LEFT_OUTER": "left",
+    "RIGHT_OUTER": "right",
+    "FULL_OUTER": "full",
+    "LEFT_SEMI": "left_semi",
+    "LEFT_ANTI": "left_anti",
+    "CROSS": "cross",
+}
+
+
+def hash_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | Column,
+    op: str = "INNER",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Equi-join (planner/HashJoinNode.java). RIGHT_SEMI / RIGHT_ANTI are
+    planned by the reference as inverted left variants
+    (planner/Planner.java:433-489) — we do the same inversion here."""
+    op = op.upper()
+    r = F.broadcast(right) if broadcast_right else right
+    if op in ("RIGHT_SEMI", "RIGHT_ANTI"):
+        inverted = "left_semi" if op == "RIGHT_SEMI" else "left_anti"
+        return r.join(left, on, inverted)
+    if op == "NULL_AWARE_LEFT_ANTI":
+        raise ValueError("use null_aware_anti_join(left, right, lkey, rkey)")
+    return left.join(r, on, JOIN_HOW[op])
+
+
+def null_aware_anti_join(left: DataFrame, right: DataFrame, lkey: str, rkey: str) -> DataFrame:
+    """NULL_AWARE_LEFT_ANTI — the NOT IN (subquery) join
+    (analysis/StmtRewriter.java:493-520, NULL_MATCHING_EQ).
+
+    Semantics: keep a left row iff its key matches *no* right key under
+    null-matching equality — i.e. drop the row when lkey = rkey, when lkey
+    IS NULL (and right is non-empty), or when any rkey IS NULL. Expressed
+    as a left_anti join whose condition treats NULL as a wildcard; Catalyst
+    also plans SQL `NOT IN (SELECT ...)` to its native
+    BroadcastHashJoin(NAAJ) — both paths are tested for parity.
+    """
+    cond = (
+        (left[lkey] == right[rkey]) | left[lkey].isNull() | right[rkey].isNull()
+    )
+    return left.join(right.select(rkey), cond, "left_anti")
+
+
+def nested_loop_join(
+    left: DataFrame, right: DataFrame, cond: Column | None, op: str = "INNER"
+) -> DataFrame:
+    """Non-equi / cross join (planner/NestedLoopJoinNode.java). Spark plans
+    BroadcastNestedLoopJoin when one side is small; at scale, prefer
+    rewriting bands to range-bucketed equi-joins (see llm_ops for the
+    pattern)."""
+    op = op.upper()
+    if op == "CROSS" or cond is None:
+        return left.crossJoin(right)
+    return left.join(right, cond, JOIN_HOW.get(op, "inner"))
+
+
+# ---------------------------------------------------------------------------
+# Aggregation (planner/AggregationNode.java, analysis/AggregateInfo.java)
+# ---------------------------------------------------------------------------
+
+
+def aggregate(df: DataFrame, keys: Sequence[str], *aggs: Column) -> DataFrame:
+    """Hash aggregation. Catalyst plans the reference's 2-phase scheme
+    (partial HashAggregate -> exchange -> final HashAggregate) automatically,
+    and the 4-phase distinct rewrite for count(distinct)
+    (DistributedPlanner.java:779-947 / RewriteDistinctAggregates)."""
+    return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+
+
+def distinct(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """SELECT DISTINCT = group-by-all-exprs (AggregateInfo.createDistinct)."""
+    return (df.select(*columns) if columns else df).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Sort / TopN / limit-offset (planner/SortNode.java:44-81)
+# ---------------------------------------------------------------------------
+
+
+def sort_impala(df: DataFrame, *items: tuple[str, str] | str) -> DataFrame:
+    """Total sort with Impala default null ordering
+    (analysis/OrderByElement.java:71-81): ASC->NULLS LAST, DESC->NULLS FIRST."""
+    cols = []
+    for it in items:
+        name, direction = it if isinstance(it, tuple) else (it, "asc")
+        cols.append(desc_impala(name) if direction.lower().startswith("desc") else asc_impala(name))
+    return df.orderBy(*cols)
+
+
+def topn(df: DataFrame, items: Sequence[tuple[str, str] | str], limit: int, offset: int = 0) -> DataFrame:
+    """TopN (SortNode.useTopN_): order + limit(+offset). Spark plans
+    TakeOrderedAndProject — the same in-memory heap optimization the
+    reference chooses at planner/SingleNodePlanner.java:287-300."""
+    out = sort_impala(df, *items)
+    if offset:
+        out = out.offset(offset)
+    return out.limit(limit)
+
+
+# ---------------------------------------------------------------------------
+# Union (planner/UnionNode.java), Unnest (planner/UnnestNode.java)
+# ---------------------------------------------------------------------------
+
+
+def union_all(*dfs: DataFrame) -> DataFrame:
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def union_distinct(*dfs: DataFrame) -> DataFrame:
+    """UNION DISTINCT — the reference plans an aggregation atop the union
+    (analysis/UnionStmt.java); distinct() is exactly that."""
+    return union_all(*dfs).distinct()
+
+
+def unnest(df: DataFrame, array_col: str, item_name: str = "item", pos_name: str = "pos") -> DataFrame:
+    """SubplanNode+UnnestNode (planner/UnnestNode.java:25-45): one output row
+    per collection item, outer columns preserved, with Impala's implicit
+    `item` and `pos` fields (analysis/Path.java)."""
+    other = [c for c in df.columns if c != array_col]
+    return df.select(*other, F.posexplode(array_col).alias(pos_name, item_name))
+
+
+# ---------------------------------------------------------------------------
+# Exchange / DataPartition (planner/DataPartition.java:53-76)
+# ---------------------------------------------------------------------------
+
+
+def exchange(df: DataFrame, kind: str, *cols: str, n: int | None = None) -> DataFrame:
+    """UNPARTITIONED -> coalesce(1); RANDOM -> round-robin repartition;
+    HASH_PARTITIONED -> repartition(cols); RANGE_PARTITIONED -> repartitionByRange."""
+    kind = kind.upper()
+    if kind == "UNPARTITIONED":
+        return df.coalesce(1)
+    if kind == "RANDOM":
+        return df.repartition(n or df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if kind == "HASH_PARTITIONED":
+        return df.repartition(*( [n] if n else [] ), *cols) if n else df.repartition(*cols)
+    if kind == "RANGE_PARTITIONED":
+        return df.repartitionByRange(*cols)
+    raise ValueError(kind)

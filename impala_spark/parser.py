@@ -1,0 +1,442 @@
+"""Impala-dialect SQL -> Spark SQL translation.
+
+The reference parses Impala SQL with a JFlex scanner + CUP LALR grammar
+(fe/src/main/jflex/sql-scanner.flex, fe/src/main/cup/sql-parser.cup).
+Spark SQL already accepts the vast majority of that grammar, so this module
+is a *shim*, not a parser: a string-level token pipeline that rewrites the
+few constructs where the dialects disagree and rejects constructs Impala
+2.7 does not have (SURVEY §2.1 "not in the grammar").
+
+Divergences handled (reference file:line in each transform):
+
+- ORDER BY null ordering defaults    (analysis/OrderByElement.java:71-81)
+- `&&` / `||` / `!` boolean aliases  (sql-scanner.flex:56)
+- IREGEXP / NOT IREGEXP              (analysis/LikePredicate.java:35-39)
+- [broadcast] / [shuffle] join hints (analysis/TableRef.java:371-400)
+- straight_join hint                 (analysis/SelectList.java:82)
+- builtin alias table                (catalog/BuiltinsDb.java:666-1054)
+- rejection of INTERSECT/EXCEPT/ROLLUP/CUBE/GROUPING SETS/TABLESAMPLE
+  (verified absent from sql-parser.cup top-level stmt ::= productions)
+
+Everything else (DIV, ILIKE, RLIKE/REGEXP, IS [NOT] DISTINCT FROM, BETWEEN,
+interval arithmetic `ts + INTERVAL n unit`, CASE/DECODE, EXISTS/IN
+subqueries, WITH, VALUES, UNION) parses identically in Spark SQL and is
+passed through untouched — Catalyst is the analyzer and planner.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+
+class ImpalaUnsupportedError(Exception):
+    """Raised for SQL that Impala 2.7 rejects (our compat surface rejects it
+    too, with a pointer to the native-Spark escape hatch)."""
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<line_comment>--[^\n]*)
+  | (?P<block_comment>/\*.*?\*/)
+  | (?P<string>'(?:[^'\\]|\\.|'')*')
+  | (?P<dstring>"(?:[^"\\]|\\.|"")*")
+  | (?P<bident>`[^`]*`)
+  | (?P<number>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
+  | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<op><=>|!=|<>|<=|>=|\|\||&&|::|.)
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+
+@dataclass
+class Token:
+    kind: str
+    text: str
+
+    @property
+    def upper(self) -> str:
+        return self.text.upper()
+
+
+def tokenize(sql: str) -> list[Token]:
+    tokens: list[Token] = []
+    pos = 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if m is None:  # pragma: no cover - regex covers all bytes via `.`
+            raise ImpalaUnsupportedError(f"cannot tokenize at offset {pos}: {sql[pos:pos+20]!r}")
+        tokens.append(Token(m.lastgroup or "op", m.group()))
+        pos = m.end()
+    return tokens
+
+
+def untokenize(tokens: list[Token]) -> str:
+    return "".join(t.text for t in tokens)
+
+
+def _significant(tokens: list[Token], i: int, step: int = 1) -> int:
+    """Index of the next/prev non-whitespace, non-comment token (or -1)."""
+    i += step
+    while 0 <= i < len(tokens):
+        if tokens[i].kind not in ("ws", "line_comment", "block_comment"):
+            return i
+        i += step
+    return -1
+
+
+def _matching_paren(tokens: list[Token], open_idx: int) -> int:
+    """Index of the `)` matching the `(` at open_idx."""
+    depth = 0
+    for j in range(open_idx, len(tokens)):
+        if tokens[j].kind == "op":
+            if tokens[j].text == "(":
+                depth += 1
+            elif tokens[j].text == ")":
+                depth -= 1
+                if depth == 0:
+                    return j
+    raise ImpalaUnsupportedError("unbalanced parentheses")
+
+
+# ---------------------------------------------------------------------------
+# Rejection list — constructs absent from the Impala 2.7 grammar
+# ---------------------------------------------------------------------------
+
+_REJECTED = {
+    "INTERSECT": "set op not in Impala 2.7 grammar (sql-parser.cup union_op)",
+    "EXCEPT": "set op not in Impala 2.7 grammar (sql-parser.cup union_op)",
+    "ROLLUP": "GROUP BY extension not in Impala 2.7",
+    "CUBE": "GROUP BY extension not in Impala 2.7",
+    "TABLESAMPLE": "not in Impala 2.7 grammar",
+}
+
+
+def _check_rejections(tokens: list[Token]) -> None:
+    for i, t in enumerate(tokens):
+        if t.kind != "word":
+            continue
+        u = t.upper
+        if u in _REJECTED:
+            raise ImpalaUnsupportedError(
+                f"{u}: {_REJECTED[u]}; use SparkSession.sql() directly for Spark-native SQL"
+            )
+        if u == "GROUPING":
+            j = _significant(tokens, i)
+            if j != -1 and tokens[j].upper == "SETS":
+                raise ImpalaUnsupportedError("GROUPING SETS: " + _REJECTED["ROLLUP"])
+        if u == "RECURSIVE":
+            j = _significant(tokens, i, -1)
+            if j != -1 and tokens[j].upper == "WITH":
+                raise ImpalaUnsupportedError("recursive CTEs are not in Impala 2.7")
+
+
+# ---------------------------------------------------------------------------
+# Boolean operator aliases: && -> AND, || -> OR, ! -> NOT
+# (sql-scanner.flex:56 — Impala lexes these as KW_AND/KW_OR/KW_NOT)
+# ---------------------------------------------------------------------------
+
+def _rewrite_bool_aliases(tokens: list[Token]) -> list[Token]:
+    out: list[Token] = []
+    for t in tokens:
+        if t.kind == "op" and t.text == "&&":
+            out.append(Token("word", " AND "))
+        elif t.kind == "op" and t.text == "||":
+            # Impala `||` is logical OR; Spark's is string concat.
+            out.append(Token("word", " OR "))
+        elif t.kind == "op" and t.text == "!":
+            out.append(Token("word", " NOT "))
+        else:
+            out.append(t)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# IREGEXP — case-insensitive regex match (analysis/LikePredicate.java:35-39).
+# `a IREGEXP p` -> `a RLIKE concat('(?i)', p)`.
+# ---------------------------------------------------------------------------
+
+def _rewrite_iregexp(tokens: list[Token]) -> list[Token]:
+    out: list[Token] = []
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.kind == "word" and t.upper == "IREGEXP":
+            j = _significant(tokens, i)
+            if j == -1:
+                raise ImpalaUnsupportedError("IREGEXP missing pattern")
+            out.append(Token("word", "RLIKE"))
+            out.append(Token("ws", " "))
+            # wrap the pattern operand: literal string gets inline prefix,
+            # anything else (ident/paren/function) gets concat('(?i)', x)
+            if tokens[j].kind == "string":
+                inner = tokens[j].text[1:-1]
+                out.append(Token("string", f"'(?i){inner}'"))
+                i = j + 1
+                continue
+            if tokens[j].kind == "op" and tokens[j].text == "(":
+                close = _matching_paren(tokens, j)
+                operand = untokenize(tokens[j : close + 1])
+                i = close + 1
+            else:
+                operand = tokens[j].text
+                i = j + 1
+            out.append(Token("word", f"concat('(?i)', {operand})"))
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Join distribution hints (analysis/TableRef.java:371-400):
+#   JOIN [broadcast] t  /  JOIN [shuffle] t
+# -> strip the bracket hint, inject /*+ BROADCAST(t) */ or
+#    /*+ SHUFFLE_HASH(t) */ after the nearest preceding SELECT.
+# straight_join (analysis/SelectList.java:82) maps to Spark's join-reorder
+# suppression — we drop it with a comment (Catalyst+AQE own join order).
+# ---------------------------------------------------------------------------
+
+def _rewrite_hints(tokens: list[Token]) -> list[Token]:
+    hints: list[str] = []  # collected Spark hint bodies
+    out: list[Token] = []
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.kind == "op" and t.text == "[":
+            j = _significant(tokens, i)
+            k = _significant(tokens, j) if j != -1 else -1
+            if (
+                j != -1
+                and k != -1
+                and tokens[j].kind == "word"
+                and tokens[j].upper in ("BROADCAST", "SHUFFLE")
+                and tokens[k].kind == "op"
+                and tokens[k].text == "]"
+            ):
+                hint_kind = tokens[j].upper
+                m = _significant(tokens, k)
+                target = None
+                if m != -1 and tokens[m].kind in ("word", "bident"):
+                    # table name; prefer its alias if one follows
+                    target = tokens[m].text.strip("`")
+                    a = _significant(tokens, m)
+                    if a != -1 and tokens[a].kind == "word" and tokens[a].upper not in (
+                        "ON", "USING", "WHERE", "GROUP", "ORDER", "LIMIT", "JOIN",
+                        "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "HAVING", "UNION",
+                    ):
+                        target = tokens[a].text.strip("`")
+                if target:
+                    spark_hint = "BROADCAST" if hint_kind == "BROADCAST" else "SHUFFLE_HASH"
+                    hints.append(f"{spark_hint}({target})")
+                i = k + 1  # drop the [hint] tokens
+                continue
+        if t.kind == "word" and t.upper == "STRAIGHT_JOIN":
+            i += 1  # drop; Catalyst/AQE pick join order
+            continue
+        out.append(t)
+        i += 1
+
+    if hints:
+        for idx, t in enumerate(out):
+            if t.kind == "word" and t.upper == "SELECT":
+                out.insert(idx + 1, Token("block_comment", f" /*+ {', '.join(hints)} */ "))
+                break
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Builtin alias table (catalog/BuiltinsDb.java:666-1054 + ScalarBuiltins).
+# Simple name->name renames happen token-level; the few with argument
+# rewrites get structural treatment.
+# ---------------------------------------------------------------------------
+
+#: fn-name renames where arity and argument order match Spark exactly.
+FUNCTION_RENAMES = {
+    "ndv": "approx_count_distinct",          # BuiltinsDb.java:752-760 (HLL)
+    "distinctpc": "approx_count_distinct",   # BuiltinsDb.java:772-781 (legacy PC sketch)
+    "distinctpcsa": "approx_count_distinct", # BuiltinsDb.java:782-791
+    "strleft": "left",
+    "strright": "right",
+}
+
+
+def _arg_count(tokens: list[Token], open_idx: int, close_idx: int) -> int:
+    depth = 0
+    commas = 0
+    empty = True
+    for k in range(open_idx, close_idx + 1):
+        tk = tokens[k]
+        if tk.kind == "op" and tk.text == "(":
+            depth += 1
+        elif tk.kind == "op" and tk.text == ")":
+            depth -= 1
+        elif tk.kind == "op" and tk.text == "," and depth == 1:
+            commas += 1
+        elif depth >= 1 and tk.kind not in ("ws", "line_comment", "block_comment"):
+            empty = False
+    return 0 if (empty and commas == 0) else commas + 1
+
+
+def _rewrite_functions(tokens: list[Token]) -> list[Token]:
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t.kind != "word":
+            i += 1
+            continue
+        j = _significant(out, i)
+        is_call = j != -1 and out[j].kind == "op" and out[j].text == "("
+        if not is_call:
+            i += 1
+            continue
+        name = t.text.lower()
+        if name in FUNCTION_RENAMES:
+            repl = FUNCTION_RENAMES[name]
+            if repl is None:
+                raise ImpalaUnsupportedError(f"function {name}() is not supported")
+            out[i] = Token("word", repl)
+        elif name == "group_concat":
+            # BuiltinsDb.java:928-951 — default separator is ', '.
+            close = _matching_paren(out, j)
+            out[i] = Token("word", "listagg")
+            if _arg_count(out, j, close) == 1:
+                out.insert(close, Token("word", ", ', '"))
+        elif name == "appx_median":
+            # BuiltinsDb.java:731-740 — approximate median.
+            close = _matching_paren(out, j)
+            out[i] = Token("word", "percentile_approx")
+            out.insert(close, Token("word", ", 0.5"))
+        elif name == "histogram":
+            # BuiltinsDb.java:741-751 — equi-height histogram as a string of
+            # bucket boundaries; we surface the boundary list.
+            close = _matching_paren(out, j)
+            out[i] = Token("word", "percentile_approx")
+            out.insert(close, Token("word", ", array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)"))
+        elif name == "zeroifnull":
+            close = _matching_paren(out, j)
+            out[i] = Token("word", "coalesce")
+            out.insert(close, Token("word", ", 0"))
+        elif name == "nullifzero":
+            close = _matching_paren(out, j)
+            out[i] = Token("word", "nullif")
+            out.insert(close, Token("word", ", 0"))
+        elif name == "isnull":
+            # Impala isnull(a, b) is 2-arg NVL (ScalarBuiltins); Spark's
+            # isnull(a) is 1-arg. Rename only the 2-arg form.
+            close = _matching_paren(out, j)
+            depth = 0
+            has_comma = False
+            for k in range(j, close):
+                tk = out[k]
+                if tk.kind == "op" and tk.text == "(":
+                    depth += 1
+                elif tk.kind == "op" and tk.text == ")":
+                    depth -= 1
+                elif tk.kind == "op" and tk.text == "," and depth == 1:
+                    has_comma = True
+            if has_comma:
+                out[i] = Token("word", "nvl")
+        i += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ORDER BY null-ordering defaults (analysis/OrderByElement.java:71-81):
+# Impala: ASC -> NULLS LAST, DESC -> NULLS FIRST.
+# Spark:  ASC -> NULLS FIRST, DESC -> NULLS LAST.  Inject explicitly.
+# Applies to both top-level ORDER BY and window-spec ORDER BY.
+# ---------------------------------------------------------------------------
+
+_ORDER_ITEM_END = {"LIMIT", "OFFSET", "ROWS", "RANGE", "UNION", "WINDOW"}
+
+
+def _rewrite_order_by_nulls(tokens: list[Token]) -> list[Token]:
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if t.kind == "word" and t.upper == "ORDER":
+            j = _significant(out, i)
+            if j != -1 and out[j].upper == "BY":
+                i = _rewrite_one_order_by(out, j)
+                continue
+        i += 1
+    return out
+
+
+def _rewrite_one_order_by(tokens: list[Token], by_idx: int) -> int:
+    """Rewrite sort items of the ORDER BY whose BY is at by_idx in place.
+
+    Returns the index just past the ORDER BY clause.
+    """
+    i = by_idx + 1
+    depth = 0
+    item_tokens: list[int] = []  # significant token indices of current item
+
+    def close_item(insert_at: int) -> int:
+        """Append explicit NULLS ordering to the item ending before insert_at."""
+        if not item_tokens:
+            return 0
+        # already explicit?
+        uppers = [tokens[k].upper for k in item_tokens if tokens[k].kind == "word"]
+        if "NULLS" in uppers:
+            return 0
+        direction = "ASC"
+        last = tokens[item_tokens[-1]]
+        if last.kind == "word" and last.upper in ("ASC", "DESC"):
+            direction = last.upper
+        nulls = " NULLS LAST " if direction == "ASC" else " NULLS FIRST "
+        tokens.insert(insert_at, Token("word", nulls))
+        return 1
+
+    while i < len(tokens):
+        t = tokens[i]
+        if t.kind in ("ws", "line_comment", "block_comment"):
+            i += 1
+            continue
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+            item_tokens.append(i)
+        elif t.kind == "op" and t.text == ")":
+            if depth == 0:
+                i += close_item(i)  # end of window spec / subquery
+                return i
+            depth -= 1
+            item_tokens.append(i)
+        elif depth == 0 and t.kind == "op" and t.text == ",":
+            close_item(i)
+            i += 1  # skipping over possibly-inserted token is fine: re-scan below
+            item_tokens = []
+            continue
+        elif depth == 0 and t.kind == "word" and t.upper in _ORDER_ITEM_END:
+            i += close_item(i)
+            return i
+        else:
+            item_tokens.append(i)
+        i += 1
+    close_item(len(tokens))
+    return len(tokens)
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def translate(sql: str) -> str:
+    """Impala-dialect SQL -> Spark SQL."""
+    tokens = tokenize(sql)
+    _check_rejections(tokens)
+    tokens = _rewrite_bool_aliases(tokens)
+    tokens = _rewrite_iregexp(tokens)
+    tokens = _rewrite_hints(tokens)
+    tokens = _rewrite_functions(tokens)
+    tokens = _rewrite_order_by_nulls(tokens)
+    return untokenize(tokens)

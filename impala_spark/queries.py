@@ -1,0 +1,1352 @@
+"""Operator showcase: every implemented operator as a (Spark query, DuckDB
+oracle SQL) pair, keyed by SURVEY.md §2 rows.
+
+Contract (driver): each Spark callable takes (spark, sf_dir) and returns a
+DataFrame; the oracle SQL is ANSI SQL DuckDB runs on the same parquet
+views. Column names and types are aligned on both sides (computed columns
+explicitly aliased and cast) because the driver hash-compares values after
+sorting columns by name.
+
+Determinism rules used throughout:
+- money/quantity sums go through DECIMAL(18,4) casts so partial-agg order
+  cannot perturb the result; final outputs cast back to DOUBLE.
+- any LIMIT/TopN query orders by a key suffix that makes the prefix unique.
+- timestamps are emitted as 'yyyy-MM-dd HH:mm:ss' strings (session tz UTC).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from impala_spark import functions as ifn
+from impala_spark import operators as ops
+from impala_spark.parser import translate
+from impala_spark.session import register_tables, table
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def sql_query(name: str, impala_sql: str, oracle: str | None = None) -> None:
+    """Register an Impala-dialect SQL query; oracle defaults to same text."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        return spark.sql(translate(impala_sql))
+
+    run.__name__ = f"q_{name}"
+    run.__doc__ = impala_sql
+    SPARK_QUERIES[name] = run
+    ORACLE_SQL[name] = oracle if oracle is not None else impala_sql
+
+
+# =====================================================================
+# 1. Scan -> filter -> aggregate -> sort  (the flagship; TPC-H Q1 shape)
+#    HdfsScanNode + AggregationNode + SortNode (SURVEY §2.2)
+# =====================================================================
+
+sql_query(
+    "pricing_summary",
+    """
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+      ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+      ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+      ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+      CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+
+# =====================================================================
+# 2. Core relational operators (SURVEY §2.2 rows 17-19, 23, 25-27)
+# =====================================================================
+
+# SelectNode — residual filter; pushed to the parquet scan by Catalyst.
+sql_query(
+    "filter_predicates",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 150000 AND o_orderstatus <> 'F'
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
+
+# Projection / column pruning.
+sql_query(
+    "projection",
+    "SELECT c_custkey, upper(c_name) AS name_upper, c_acctbal FROM customer",
+)
+
+# EmptySetNode: WHERE FALSE -> 0 rows (PropagateEmptyRelation).
+sql_query(
+    "empty_set_where_false",
+    "SELECT o_orderkey, o_totalprice FROM orders WHERE 1 = 0",
+)
+
+# limit 0 variant.
+sql_query("empty_set_limit0", "SELECT o_orderkey FROM orders LIMIT 0")
+
+
+# SortNode with TopN (limit+offset) — TakeOrderedAndProject.
+@register(
+    "topn_limit_offset",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 15 OFFSET 5
+    """,
+)
+def q_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return ops.topn(
+        orders.select("o_orderkey", "o_totalprice"),
+        [("o_totalprice", "desc"), ("o_orderkey", "asc")],
+        limit=15,
+        offset=5,
+    )
+
+
+# Total sort with Impala NULL ordering (nulls injected via nullif).
+sql_query(
+    "sort_null_ordering",
+    """
+    SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+    FROM customer
+    ORDER BY seg ASC, c_custkey LIMIT 25
+    """,
+    oracle="""
+    SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+    FROM customer
+    ORDER BY seg ASC NULLS LAST, c_custkey LIMIT 25
+    """,
+)
+
+# UnionNode: n-ary UNION ALL with constant operands (ValuesStmt shape).
+sql_query(
+    "union_all",
+    """
+    SELECT n_name AS name, 'nation' AS src FROM nation
+    UNION ALL
+    SELECT r_name AS name, 'region' AS src FROM region
+    UNION ALL
+    SELECT 'sentinel' AS name, 'const' AS src
+    """,
+)
+
+sql_query(
+    "union_distinct",
+    """
+    SELECT n_regionkey AS k FROM nation
+    UNION
+    SELECT r_regionkey AS k FROM region
+    """,
+)
+
+# SELECT DISTINCT = group-by-all (AggregateInfo.createDistinct).
+sql_query(
+    "select_distinct",
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+
+# VALUES statement (analysis/ValuesStmt.java — a UNION ALL of const selects).
+sql_query(
+    "values_stmt",
+    """
+    SELECT CAST(id AS BIGINT) AS id, name FROM (
+      VALUES (1, 'impala'), (2, 'spark'), (3, 'engine')
+    ) AS v(id, name)
+    """,
+)
+
+# WITH clause (non-recursive CTE, analysis/WithClause.java).
+sql_query(
+    "with_cte",
+    """
+    WITH big AS (SELECT * FROM orders WHERE o_totalprice > 200000),
+         cnt AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n FROM big GROUP BY o_custkey)
+    SELECT CAST(n AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM cnt GROUP BY n ORDER BY n
+    """,
+)
+
+# HAVING (post-aggregation filter, evaluated after the merge phase —
+# DistributedPlanner.java:835).
+sql_query(
+    "group_by_having",
+    """
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS order_count,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 3 AND SUM(CAST(o_totalprice AS DECIMAL(18,4))) > 100000
+    """,
+)
+
+# =====================================================================
+# 3. Joins — all 10 operators (analysis/JoinOperator.java:23-36)
+# =====================================================================
+
+sql_query(
+    "join_inner",
+    """
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+
+
+@register(
+    "join_left_outer",
+    """
+    SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM customer c LEFT OUTER JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 250000
+    GROUP BY c.c_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    j = ops.hash_join(c, o, c.c_custkey == o.o_custkey, "LEFT_OUTER")
+    return j.groupBy("c_custkey").agg(F.count("o_orderkey").cast("bigint").alias("n_orders"))
+
+
+sql_query(
+    "join_right_outer",
+    """
+    SELECT o.o_orderkey, c.c_name
+    FROM (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+    RIGHT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_totalprice > 300000
+    """,
+)
+
+sql_query(
+    "join_full_outer",
+    """
+    SELECT k, CAST(COUNT(ln) AS BIGINT) AS n_left, CAST(COUNT(rn) AS BIGINT) AS n_right
+    FROM (
+      SELECT COALESCE(l.k, r.k) AS k, l.n_name AS ln, r.r_name AS rn
+      FROM (SELECT n_regionkey AS k, n_name FROM nation WHERE n_regionkey <= 2) l
+      FULL OUTER JOIN (SELECT r_regionkey AS k, r_name FROM region WHERE r_regionkey >= 2) r
+        ON l.k = r.k
+    ) t GROUP BY k
+    """,
+)
+
+
+@register(
+    "join_left_semi",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 280000)
+    """,
+)
+def q_join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 280000)
+    return ops.hash_join(
+        c, o, c.c_custkey == o.o_custkey, "LEFT_SEMI"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_right_semi",
+    """
+    SELECT o_orderkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+    """,
+)
+def q_join_right_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RIGHT SEMI JOIN customer -> orders, planned as inverted LEFT SEMI
+    # (planner/Planner.java:433-489).
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "MACHINERY")
+    o = table(spark, sf_dir, "orders")
+    return ops.hash_join(c, o, c.c_custkey == o.o_custkey, "RIGHT_SEMI").select("o_orderkey")
+
+
+@register(
+    "join_left_anti",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return ops.hash_join(c, o, c.c_custkey == o.o_custkey, "LEFT_ANTI").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_right_anti",
+    """
+    SELECT o_orderkey FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      AND o_custkey IS NOT NULL
+    """,
+)
+def q_join_right_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return ops.hash_join(c, o, c.c_custkey == o.o_custkey, "RIGHT_ANTI").select("o_orderkey")
+
+
+sql_query(
+    "join_cross",
+    """
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    WHERE r_regionkey <> n_regionkey
+    """,
+)
+
+# NULL_AWARE_LEFT_ANTI (StmtRewriter.java:493-520) — NOT IN with NULLs on
+# both sides. nullif() manufactures NULL keys deterministically.
+_naa_oracle = """
+    SELECT c_custkey FROM
+      (SELECT c_custkey, nullif(c_nationkey, 13) AS k FROM customer) t
+    WHERE k NOT IN (SELECT nullif(n_nationkey, 20) FROM nation WHERE n_regionkey <= 1)
+"""
+sql_query("null_aware_anti_sql", _naa_oracle)
+
+
+@register("null_aware_anti_df", _naa_oracle)
+def q_naa_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.expr("nullif(c_nationkey, 13)").alias("k")
+    )
+    n = table(spark, sf_dir, "nation").filter(F.col("n_regionkey") <= 1).select(
+        F.expr("nullif(n_nationkey, 20)").alias("rk")
+    )
+    return ops.null_aware_anti_join(c, n, "k", "rk").select("c_custkey")
+
+
+@register(
+    "join_non_equi",
+    """
+    SELECT s.s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_richer_customers
+    FROM supplier s JOIN customer c ON c.c_acctbal > s.s_acctbal + 4000
+    GROUP BY s.s_suppkey
+    """,
+)
+def q_join_non_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    j = ops.nested_loop_join(s, c, c.c_acctbal > s.s_acctbal + 4000)
+    return j.groupBy("s_suppkey").agg(F.count(F.lit(1)).cast("bigint").alias("n_richer_customers"))
+
+
+# 3-way join with broadcast dimensions — the TPC-H Q5 shape; exercises the
+# reference's broadcast-vs-partitioned decision (DistributedPlanner.java:420).
+sql_query(
+    "join_three_way",
+    """
+    SELECT r_name, n_name,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+
+# Fact-to-fact join: lineitem x orders (shuffle join at scale).
+sql_query(
+    "join_fact_fact",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+
+# =====================================================================
+# 4. Aggregates (catalog/BuiltinsDb.java:666-950)
+# =====================================================================
+
+sql_query(
+    "agg_basic",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(COUNT(l_quantity) AS BIGINT) AS cnt_nonnull,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity), 6) AS avg_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+
+sql_query(
+    "agg_count_distinct",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+
+# group_concat (BuiltinsDb.java:928-951) — sorted for determinism.
+sql_query(
+    "agg_group_concat",
+    """
+    SELECT n_regionkey,
+           listagg(n_name, ', ') WITHIN GROUP (ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+    oracle="""
+    SELECT n_regionkey, string_agg(n_name, ', ' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+
+
+# ndv (approximate; rows-only check — algorithms differ from DuckDB).
+@register("agg_ndv")
+def q_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        ifn.ndv("o_custkey").cast("bigint").alias("ndv_custkey"),
+        F.count_distinct("o_custkey").cast("bigint").alias("exact_custkey"),
+    )
+
+
+# appx_median (approximate; rows-only).
+@register("agg_appx_median")
+def q_appx_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        ifn.appx_median("l_extendedprice").alias("median_price"),
+        ifn.histogram("l_quantity", 4).alias("qty_histogram"),
+    )
+
+
+sql_query(
+    "agg_stddev_variance",
+    """
+    SELECT o_orderstatus,
+           ROUND(STDDEV_SAMP(o_totalprice), 4) AS sd_samp,
+           ROUND(STDDEV_POP(o_totalprice), 4) AS sd_pop,
+           ROUND(VAR_SAMP(o_totalprice), 4) AS v_samp,
+           ROUND(VAR_POP(o_totalprice), 4) AS v_pop
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+
+
+# sample() reservoir aggregate (rows-only; our impl is deterministic but
+# DuckDB has no equivalent surface).
+@register("agg_sample")
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(ifn.sample("n_name", 3).alias("sampled"))
+
+
+# =====================================================================
+# 5. Analytic functions (BuiltinsDb.java:953-1054, AnalyticWindow.java)
+# =====================================================================
+
+sql_query(
+    "analytic_ranking",
+    """
+    SELECT c_custkey, c_nationkey,
+           CAST(RANK()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS drnk,
+           CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+    FROM customer
+    """,
+)
+
+sql_query(
+    "analytic_ntile_pct",
+    """
+    SELECT o_orderkey,
+           CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile,
+           ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS cume
+    FROM orders WHERE o_totalprice > 300000
+    """,
+)
+
+sql_query(
+    "analytic_lag_lead",
+    """
+    SELECT o_orderkey,
+           LAG(o_totalprice, 1, -1.0)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+           LEAD(o_totalprice, 1, -1.0) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+    FROM orders WHERE o_custkey <= 50
+    """,
+)
+
+# first_value / last_value with IGNORE NULLS (BuiltinsDb.java:984-1030);
+# NULLs manufactured with nullif.
+sql_query(
+    "analytic_first_last",
+    """
+    SELECT o_orderkey,
+           FIRST_VALUE(p) IGNORE NULLS OVER w AS first_p,
+           LAST_VALUE(p)  IGNORE NULLS OVER w AS last_p
+    FROM (SELECT o_orderkey, o_custkey, o_orderdate,
+                 nullif(o_totalprice, 0) AS p
+          FROM orders WHERE o_custkey <= 30) t
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           FIRST_VALUE(p IGNORE NULLS) OVER w AS first_p,
+           LAST_VALUE(p IGNORE NULLS) OVER w AS last_p
+    FROM (SELECT o_orderkey, o_custkey, o_orderdate,
+                 nullif(o_totalprice, 0) AS p
+          FROM orders WHERE o_custkey <= 30) t
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+
+# Explicit ROWS frame (AnalyticWindow.java:40-99).
+sql_query(
+    "analytic_rows_frame",
+    """
+    SELECT o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS neighborhood
+    FROM orders WHERE o_custkey <= 40
+    """,
+)
+
+# Default frame = RANGE UNBOUNDED PRECEDING..CURRENT ROW
+# (AnalyticWindow.java:40-43) — running aggregate without explicit frame.
+sql_query(
+    "analytic_default_frame",
+    """
+    SELECT o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS DOUBLE) AS running_total
+    FROM orders WHERE o_custkey <= 40
+    """,
+)
+
+
+# Same analytic surface via the DataFrame Window API.
+@register(
+    "analytic_df_api",
+    """
+    SELECT c_custkey,
+           CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn,
+           ROUND(CAST(c_acctbal - AVG(c_acctbal) OVER (PARTITION BY c_nationkey) AS DOUBLE), 4) AS bal_vs_nation
+    FROM customer
+    """,
+)
+def q_analytic_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w_ord = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    w_all = Window.partitionBy("c_nationkey")
+    return c.select(
+        "c_custkey",
+        F.row_number().over(w_ord).cast("bigint").alias("rn"),
+        F.round((F.col("c_acctbal") - F.avg("c_acctbal").over(w_all)).cast("double"), 4).alias(
+            "bal_vs_nation"
+        ),
+    )
+
+# =====================================================================
+# 6. Subqueries (analysis/StmtRewriter.java — rewrite table, SURVEY §4)
+# =====================================================================
+
+# uncorrelated scalar subquery
+sql_query(
+    "subquery_scalar",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+
+# correlated scalar-agg subquery -> LEFT OUTER join rewrite
+# (StmtRewriter.java:374-393)
+sql_query(
+    "subquery_correlated_scalar",
+    """
+    SELECT c.c_custkey FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) + 2000 FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+
+# IN (subquery) -> LEFT SEMI (StmtRewriter.java:366)
+sql_query(
+    "subquery_in",
+    """
+    SELECT n_name FROM nation
+    WHERE n_nationkey IN (SELECT c_nationkey FROM customer WHERE c_acctbal > 9000)
+    """,
+)
+
+# NOT IN -> NULL_AWARE_LEFT_ANTI (StmtRewriter.java:493-515)
+sql_query(
+    "subquery_not_in",
+    """
+    SELECT n_name FROM nation
+    WHERE n_nationkey NOT IN (SELECT c_nationkey FROM customer WHERE c_acctbal > 9500)
+    """,
+)
+
+# correlated EXISTS -> LEFT SEMI (StmtRewriter.java:402-421)
+sql_query(
+    "subquery_exists",
+    """
+    SELECT s_suppkey, s_name FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+    """,
+)
+
+# correlated NOT EXISTS -> LEFT ANTI
+sql_query(
+    "subquery_not_exists",
+    """
+    SELECT p_partkey FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_discount < 0.01)
+    """,
+)
+
+# =====================================================================
+# 7. Expressions & predicates (SURVEY §2.3)
+# =====================================================================
+
+# CASE (simple + searched) and DECODE (null-safe =) — CaseExpr.java:37-60.
+sql_query(
+    "expr_case_decode",
+    """
+    SELECT o_orderkey,
+           CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished' ELSE 'partial' END AS status_simple,
+           CASE WHEN o_totalprice >= 300000 THEN 'large' WHEN o_totalprice >= 100000 THEN 'medium' ELSE 'small' END AS size_searched,
+           CASE WHEN nullif(o_orderpriority, '5-LOW') IS NOT DISTINCT FROM NULL THEN 'low' ELSE 'not-low' END AS prio_decoded
+    FROM orders
+    """,
+)
+
+# BETWEEN -> compound rewrite (rewrite/BetweenToCompoundRule.java:20-45).
+sql_query(
+    "expr_between",
+    """
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 15 AND l_shipdate NOT BETWEEN
+      TIMESTAMP '1994-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+    """,
+)
+
+# IN value-list (InPredicate.java:49).
+sql_query(
+    "expr_in_list",
+    """
+    SELECT p_partkey, p_brand FROM part
+    WHERE p_size IN (1, 5, 9, 14) AND p_brand NOT IN ('Brand#11', 'Brand#22')
+    """,
+)
+
+# LIKE family (LikePredicate.java:35-39): LIKE / ILIKE / RLIKE / IREGEXP.
+_like_oracle = """
+    SELECT p_partkey,
+           p_name LIKE '%gold%' AS has_gold,
+           p_name ILIKE '%BLUE%' AS has_blue_ci,
+           regexp_matches(p_name, '^[a-f]') AS starts_af,
+           regexp_matches(p_name, '(?i)RED|GREEN') AS has_color_ci
+    FROM part
+"""
+
+
+def _q_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+        SELECT p_partkey,
+               p_name LIKE '%gold%' AS has_gold,
+               p_name ILIKE '%BLUE%' AS has_blue_ci,
+               p_name REGEXP '^[a-f]' AS starts_af,
+               p_name IREGEXP 'RED|GREEN' AS has_color_ci
+        FROM part
+        """
+        )
+    )
+
+
+SPARK_QUERIES["expr_like_family"] = _q_like
+ORACLE_SQL["expr_like_family"] = _like_oracle
+
+# IS [NOT] DISTINCT FROM / null-safe equality (BinaryPredicate.java:53-64).
+sql_query(
+    "expr_null_safe_eq",
+    """
+    SELECT a.c_custkey,
+           nullif(a.c_nationkey, 13) IS NOT DISTINCT FROM nullif(a.c_custkey % 25, 13) AS ns_eq,
+           nullif(a.c_nationkey, 13) IS DISTINCT FROM NULL AS not_null_check
+    FROM customer a
+    """,
+)
+
+# IS NULL / IS NOT NULL + IsNotEmptyPredicate analog (size(col) > 0).
+sql_query(
+    "expr_is_null",
+    """
+    SELECT c_custkey, nullif(c_mktsegment, 'AUTOMOBILE') IS NULL AS seg_is_null,
+           c_acctbal IS NOT NULL AS bal_not_null
+    FROM customer
+    """,
+)
+
+# CAST + implicit casts (CastExpr.java:41-101).
+sql_query(
+    "expr_casts",
+    """
+    SELECT o_orderkey,
+           CAST(o_totalprice AS BIGINT) AS price_int,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING) AS price_str,
+           CAST(o_orderkey AS DOUBLE) / 7 AS key_div,
+           CAST(SUBSTR(CAST(o_orderdate AS STRING), 1, 4) AS INT) AS year_from_str
+    FROM orders WHERE o_orderkey <= 500
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           CAST(trunc(o_totalprice) AS BIGINT) AS price_int,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
+           CAST(o_orderkey AS DOUBLE) / 7 AS key_div,
+           CAST(SUBSTR(CAST(o_orderdate AS VARCHAR), 1, 4) AS INT) AS year_from_str
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+
+# Arithmetic incl. DIV, %, bitwise (ArithmeticExpr.java:40-50).
+sql_query(
+    "expr_arithmetic",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_orderkey DIV 7 AS BIGINT) AS int_div,
+           CAST(l_orderkey % 7 AS BIGINT) AS modulo,
+           CAST(l_orderkey & 255 AS BIGINT) AS bit_and,
+           CAST(l_orderkey | 16 AS BIGINT) AS bit_or,
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * CAST(0.01 AS DECIMAL(6,4)), 4) AS DOUBLE) AS unit_net
+    FROM lineitem WHERE l_orderkey <= 300
+    """,
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_orderkey // 7 AS BIGINT) AS int_div,
+           CAST(l_orderkey % 7 AS BIGINT) AS modulo,
+           CAST(l_orderkey & 255 AS BIGINT) AS bit_and,
+           CAST(l_orderkey | 16 AS BIGINT) AS bit_or,
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * CAST(0.01 AS DECIMAL(6,4)), 4) AS DOUBLE) AS unit_net
+    FROM lineitem WHERE l_orderkey <= 300
+    """,
+)
+
+# String builtins (ScalarBuiltins; Impala is 1-indexed substr/instr/locate).
+sql_query(
+    "expr_string_funcs",
+    """
+    SELECT c_custkey,
+           CONCAT(c_name, '-', c_mktsegment) AS joined,
+           SUBSTR(c_name, 1, 8) AS prefix,
+           CAST(INSTR(c_name, '0') AS BIGINT) AS zero_pos,
+           UPPER(c_mktsegment) AS seg_up, LOWER(c_name) AS name_lo,
+           CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+           TRIM(CONCAT('  ', c_mktsegment, ' ')) AS trimmed,
+           LPAD(CAST(c_custkey AS STRING), 8, '0') AS padded,
+           REVERSE(c_mktsegment) AS rev,
+           REGEXP_REPLACE(c_name, '[0-9]+', '#') AS digits_masked,
+           REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS first_digits,
+           REPLACE(c_mktsegment, 'MACH', 'mach') AS replaced
+    FROM customer
+    """,
+    oracle="""
+    SELECT c_custkey,
+           CONCAT(c_name, '-', c_mktsegment) AS joined,
+           SUBSTR(c_name, 1, 8) AS prefix,
+           CAST(INSTR(c_name, '0') AS BIGINT) AS zero_pos,
+           UPPER(c_mktsegment) AS seg_up, LOWER(c_name) AS name_lo,
+           CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+           TRIM('  ' || c_mktsegment || ' ') AS trimmed,
+           LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+           REVERSE(c_mktsegment) AS rev,
+           REGEXP_REPLACE(c_name, '[0-9]+', '#', 'g') AS digits_masked,
+           REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS first_digits,
+           REPLACE(c_mktsegment, 'MACH', 'mach') AS replaced
+    FROM customer
+    """,
+)
+
+# Math builtins.
+sql_query(
+    "expr_math_funcs",
+    """
+    SELECT o_orderkey,
+           ABS(-o_totalprice) AS abs_v,
+           CAST(CEIL(o_totalprice) AS BIGINT) AS ceil_v,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS floor_v,
+           ROUND(o_totalprice, 1) AS round_v,
+           ROUND(SQRT(o_totalprice), 6) AS sqrt_v,
+           ROUND(POW(o_totalprice, 0.25), 6) AS pow_v,
+           ROUND(LN(o_totalprice), 6) AS ln_v,
+           ROUND(LOG10(o_totalprice), 6) AS log10_v,
+           CAST(SIGN(o_totalprice - 200000) AS DOUBLE) AS sign_v,
+           GREATEST(o_totalprice, 250000.0) AS greatest_v,
+           LEAST(o_totalprice, 250000.0) AS least_v,
+           CAST(MOD(o_orderkey, 13) AS BIGINT) AS mod_v
+    FROM orders WHERE o_orderkey <= 400
+    """,
+)
+
+# Timestamp arithmetic + EXTRACT (TimestampArithmeticExpr.java:30-60,
+# ExtractFromExpr.java:28-52).
+sql_query(
+    "expr_date_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS BIGINT) AS y,
+           CAST(MONTH(o_orderdate) AS BIGINT) AS m,
+           CAST(DAY(o_orderdate) AS BIGINT) AS d,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS ext_year,
+           CAST(o_orderdate + INTERVAL 30 DAY AS STRING) AS plus_30d,
+           CAST(o_orderdate - INTERVAL 2 MONTH AS STRING) AS minus_2mo,
+           CAST(DATE_TRUNC('MONTH', o_orderdate) AS STRING) AS month_start,
+           CAST(DATEDIFF(TIMESTAMP '1998-12-01 00:00:00', o_orderdate) AS BIGINT) AS days_to_cutoff,
+           DATE_FORMAT(o_orderdate, 'yyyy-MM') AS ym
+    FROM orders WHERE o_orderkey <= 400
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS BIGINT) AS y,
+           CAST(MONTH(o_orderdate) AS BIGINT) AS m,
+           CAST(DAY(o_orderdate) AS BIGINT) AS d,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS ext_year,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d %H:%M:%S') AS plus_30d,
+           strftime(o_orderdate - INTERVAL 2 MONTH, '%Y-%m-%d %H:%M:%S') AS minus_2mo,
+           strftime(DATE_TRUNC('MONTH', o_orderdate), '%Y-%m-%d %H:%M:%S') AS month_start,
+           CAST(DATEDIFF('day', o_orderdate, TIMESTAMP '1998-12-01 00:00:00') AS BIGINT) AS days_to_cutoff,
+           strftime(o_orderdate, '%Y-%m') AS ym
+    FROM orders WHERE o_orderkey <= 400
+    """,
+)
+
+# Conditional builtins: if/nvl/coalesce/nullif/zeroifnull
+# (Impala conditional functions; translated by parser.py).
+def _q_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+        SELECT c_custkey,
+               IF(c_acctbal > 5000, 'high', 'low') AS bal_class,
+               NVL(nullif(c_mktsegment, 'BUILDING'), 'none') AS seg_nvl,
+               COALESCE(nullif(c_mktsegment, 'BUILDING'), nullif(c_mktsegment, 'AUTOMOBILE'), 'both') AS seg_coal,
+               CAST(ZEROIFNULL(nullif(c_nationkey, 13)) AS BIGINT) AS nation_z,
+               CAST(NULLIFZERO(c_nationkey % 5) AS BIGINT) AS mod5_nz,
+               ISNULL(nullif(c_mktsegment, 'BUILDING'), 'was-building') AS seg_isnull
+        FROM customer
+        """
+        )
+    )
+
+
+SPARK_QUERIES["expr_conditional"] = _q_conditional
+ORACLE_SQL["expr_conditional"] = """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal > 5000 THEN 'high' ELSE 'low' END AS bal_class,
+           COALESCE(nullif(c_mktsegment, 'BUILDING'), 'none') AS seg_nvl,
+           COALESCE(nullif(c_mktsegment, 'BUILDING'), nullif(c_mktsegment, 'AUTOMOBILE'), 'both') AS seg_coal,
+           CAST(COALESCE(nullif(c_nationkey, 13), 0) AS BIGINT) AS nation_z,
+           CAST(NULLIF(c_nationkey % 5, 0) AS BIGINT) AS mod5_nz,
+           COALESCE(nullif(c_mktsegment, 'BUILDING'), 'was-building') AS seg_isnull
+    FROM customer
+"""
+
+# Impala boolean-operator aliases && / || / ! (sql-scanner.flex:56).
+def _q_bool_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        translate(
+            """
+        SELECT o_orderkey FROM orders
+        WHERE (o_totalprice > 300000 && o_orderstatus = 'O')
+           || (! (o_orderpriority != '1-URGENT') && o_totalprice < 50000)
+        """
+        )
+    )
+
+
+SPARK_QUERIES["expr_bool_aliases"] = _q_bool_alias
+ORACLE_SQL["expr_bool_aliases"] = """
+    SELECT o_orderkey FROM orders
+    WHERE (o_totalprice > 300000 AND o_orderstatus = 'O')
+       OR (NOT (o_orderpriority != '1-URGENT') AND o_totalprice < 50000)
+"""
+
+# Nested collections: Unnest/Subplan — posexplode over array<float>
+# (planner/UnnestNode.java; Impala `item`/`pos` path fields).
+@register(
+    "nested_unnest_pos",
+    """
+    SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+           ROUND(CAST(unnest(embedding) AS DOUBLE), 6) AS item
+    FROM embeddings WHERE vec_id < 20
+    """,
+)
+def q_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    un = ops.unnest(e.select("vec_id", "embedding"), "embedding")
+    return un.select(
+        "vec_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.round(F.col("item").cast("double"), 6).alias("item"),
+    )
+
+
+# IsNotEmptyPredicate analog: size(col) > 0 (IsNotEmptyPredicate.java:25-34).
+sql_query(
+    "nested_is_not_empty",
+    """
+    SELECT vec_id, SIZE(embedding) > 0 AS non_empty,
+           CAST(SIZE(embedding) AS BIGINT) AS dim
+    FROM embeddings WHERE vec_id < 50
+    """,
+    oracle="""
+    SELECT vec_id, len(embedding) > 0 AS non_empty,
+           CAST(len(embedding) AS BIGINT) AS dim
+    FROM embeddings WHERE vec_id < 50
+    """,
+)
+
+# =====================================================================
+# 8. LLM-pipeline operators (llm_ops.py; north-star additions)
+# =====================================================================
+
+from impala_spark import llm_ops  # noqa: E402
+from impala_spark import streaming as stm  # noqa: E402
+
+
+@register(
+    "llm_text_stats",
+    """
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS char_len,
+           CAST(len(string_split_regex(TRIM(text), '\\s+')) AS BIGINT) AS token_count,
+           ROUND(LENGTH(regexp_replace(text, '[^.!?,;:]', '', 'g')) /
+                 GREATEST(LENGTH(text), 1), 6) AS punct_ratio,
+           ROUND(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) /
+                 GREATEST(LENGTH(text), 1), 6) AS digit_ratio
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return llm_ops.text_stats(d).select(
+        "doc_id", "char_len", "token_count", "punct_ratio", "digit_ratio"
+    )
+
+
+@register(
+    "llm_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return llm_ops.fingerprint(d).select("doc_id", "fp")
+
+
+@register(
+    "llm_dedup_exact",
+    """
+    SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return llm_ops.dedup_exact(d)
+
+
+# Heuristic language ID — same stopword logic on both sides.
+@register(
+    "llm_language_id",
+    """
+    WITH scored AS (
+      SELECT doc_id,
+        len(regexp_extract_all(text, '(?i)\\b(the|and|of|to|in|is|that|for|with|was|are)\\b')) AS en,
+        len(regexp_extract_all(text, '(?i)\\b(el|la|los|las|de|que|en|es|por|con|una?)\\b')) AS es,
+        len(regexp_extract_all(text, '(?i)\\b(le|la|les|des|de|que|est|une?|dans|pour|avec)\\b')) AS fr
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN en >= es AND en >= fr AND en > 0 THEN 'en'
+                WHEN es >= fr AND es > 0 THEN 'es'
+                WHEN fr > 0 THEN 'fr'
+                ELSE 'unknown' END AS lang_pred
+    FROM scored
+    """,
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return llm_ops.language_id(d).select("doc_id", "lang_pred")
+
+
+# Quality score (rows-only: composite heuristic, not worth re-deriving in SQL).
+@register("llm_quality_score")
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return llm_ops.quality_score(d).select("doc_id", "token_count", "quality_score")
+
+
+# MinHash-LSH near-dup pairs (rows-only; plan asserted cartesian-free in tests).
+@register("llm_minhash_lsh")
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return llm_ops.minhash_lsh_pairs(d, threshold=0.35)
+
+
+# SimHash signatures (rows-only).
+@register("llm_simhash")
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return llm_ops.simhash(d).select("doc_id", "simhash")
+
+
+# n-gram Jaccard near-dup pairs (rows-only).
+@register("llm_ngram_jaccard")
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return llm_ops.ngram_jaccard_pairs(d, threshold=0.3)
+
+
+# Brute-force cosine top-k vs the vec_id=1 query vector — oracle does the
+# identical double math via UNNEST + join (no float library funcs).
+@register(
+    "llm_ann_bruteforce",
+    """
+    WITH q AS (
+      SELECT generate_subscripts(embedding, 1) AS pos, CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings WHERE vec_id = 1
+    ), c AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos, CAST(unnest(embedding) AS DOUBLE) AS y
+      FROM embeddings
+    ), dots AS (
+      SELECT c.vec_id,
+             SUM(c.y * q.x) AS dot,
+             SQRT(SUM(c.y * c.y)) AS ny,
+             SQRT(SUM(q.x * q.x)) AS nx
+      FROM c JOIN q ON c.pos = q.pos
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id, ROUND(dot / (ny * nx), 4) AS cos_sim
+    FROM dots
+    ORDER BY dot / (ny * nx) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    query = e.filter(F.col("vec_id") == 1)
+    out = llm_ops.cosine_topk_bruteforce(e, query, k=10)
+    return out.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+# LSH-bucketed ANN (rows-only: approximate by construction).
+@register("llm_ann_lsh")
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    query = e.filter(F.col("vec_id") == 1)
+    return llm_ops.lsh_bucketed_ann(e, query, k=10)
+
+
+# Embedding metadata/norms — multimodal array<float> handling.
+@register(
+    "llm_embedding_stats",
+    """
+    SELECT vec_id, label,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           ROUND(SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    v = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(
+            F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
+            4,
+        ).alias("l2_norm"),
+    )
+
+
+# Multimodal plumbing: binary payload -> mapInPandas feature extraction
+# (rows-only; decode is a deterministic fake, plumbing is real).
+@register("llm_multimodal_features")
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    payload = d.select(
+        "doc_id",
+        F.lit("text").alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    feats = llm_ops.extract_media_features(payload)
+    # hash() of bytes is process-dependent; expose only stable columns
+    return feats.select("doc_id", "modality", "feat_dim")
+
+
+# =====================================================================
+# 9. Events/streaming surface (streaming.py; north-star additions)
+# =====================================================================
+
+
+@register(
+    "events_tumbling_window",
+    """
+    SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return stm.tumbling_counts(e)
+
+
+# Sliding windows (rows-only: DuckDB has no direct hop-window surface).
+@register("events_sliding_window")
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return stm.sliding_counts(e)
+
+
+# Session windows (rows-only).
+@register("events_session_window")
+def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return stm.session_windows(e)
+
+
+@register(
+    "events_first_per_user",
+    """
+    SELECT user_id, event_type,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+           CAST(first(event_id ORDER BY ts, event_id) AS BIGINT) AS first_event_id
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def q_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return stm.first_event_per_user_type(e)
+
+
+@register(
+    "events_dedup",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_unique FROM
+      (SELECT DISTINCT event_id FROM events) t
+    """,
+)
+def q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return stm.dedup_events(e).agg(F.count(F.lit(1)).cast("bigint").alias("n_unique"))
+
+
+@register(
+    "events_user_state",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           last(value ORDER BY ts, event_id) AS last_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return stm.running_user_state(e)
+
+
+# =====================================================================
+# 10. DDL / writes (ddl.py) — write -> read-back, oracle = equivalent SELECT
+# =====================================================================
+
+from impala_spark import ddl  # noqa: E402
+
+
+@register(
+    "ddl_ctas_readback",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderstatus = 'O' GROUP BY o_orderpriority
+    """,
+)
+def q_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    ddl.create_table_as_select(
+        spark,
+        "ctas_open_orders",
+        """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM orders WHERE o_orderstatus = 'O' GROUP BY o_orderpriority
+        """,
+    )
+    return spark.table("ctas_open_orders")
+
+
+@register(
+    "ddl_insert_overwrite_partition",
+    """
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 'F2' ELSE o_orderstatus END AS o_orderstatus
+      FROM orders
+    ) t GROUP BY o_orderstatus
+    """,
+)
+def q_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    # partitioned CTAS, then dynamic-partition overwrite of one partition
+    ddl.create_table_as_select(
+        spark,
+        "orders_part",
+        "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders",
+        partition_cols=["o_orderstatus"],
+    )
+    ddl.insert(
+        spark,
+        "orders_part",
+        "SELECT o_orderkey, o_totalprice, 'F2' AS o_orderstatus FROM orders WHERE o_orderstatus = 'F'",
+        overwrite=True,
+    )
+    # remove the replaced partition to mimic INSERT OVERWRITE PARTITION('F')
+    ddl.modify(spark, "DELETE FROM orders_part WHERE o_orderstatus = 'F'")
+    return spark.table("orders_part").groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+@register(
+    "ddl_update_delete",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CASE WHEN c_mktsegment = 'PROMOTED' THEN c_acctbal * 1.1
+                              ELSE c_acctbal END AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+    FROM (
+      SELECT CASE WHEN c_acctbal > 8000 THEN 'PROMOTED' ELSE c_mktsegment END AS c_mktsegment,
+             c_acctbal
+      FROM customer WHERE NOT (c_acctbal < 0)
+    ) t
+    """,
+)
+def q_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    ddl.create_table_as_select(spark, "cust_mut", "SELECT * FROM customer", primary_key=["c_custkey"])
+    # UPDATE ... SET two columns with WHERE (ModifyStmt semantics)
+    ddl.modify(
+        spark,
+        "UPDATE cust_mut SET c_mktsegment = 'PROMOTED', c_acctbal = c_acctbal * 1.1 WHERE c_acctbal > 8000",
+    )
+    ddl.modify(spark, "DELETE FROM cust_mut WHERE c_acctbal < 0")
+    return spark.table("cust_mut").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double").alias("total_bal"),
+    )
+
+
+@register(
+    "ddl_upsert",
+    """
+    WITH target AS (SELECT n_nationkey, n_name, n_regionkey FROM nation),
+         source AS (SELECT n_nationkey, 'RENAMED' AS n_name, n_regionkey FROM nation WHERE n_nationkey < 5
+                    UNION ALL SELECT 99, 'NEWLAND', 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN n_name = 'RENAMED' THEN 1 ELSE 0 END) AS BIGINT) AS n_renamed
+    FROM (
+      SELECT t.n_nationkey, COALESCE(s.n_name, t.n_name) AS n_name
+      FROM target t LEFT JOIN source s ON t.n_nationkey = s.n_nationkey
+      UNION ALL
+      SELECT s.n_nationkey, s.n_name FROM source s
+      WHERE s.n_nationkey NOT IN (SELECT n_nationkey FROM target)
+    ) merged
+    """,
+)
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    ddl.create_table_as_select(
+        spark, "nation_mut", "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+        primary_key=["n_nationkey"],
+    )
+    src = spark.sql(
+        """
+        SELECT n_nationkey, 'RENAMED' AS n_name, n_regionkey FROM nation WHERE n_nationkey < 5
+        UNION ALL SELECT CAST(99 AS INT), 'NEWLAND', CAST(0 AS INT)
+        """
+    )
+    ddl.upsert(spark, "nation_mut", src)
+    return spark.table("nation_mut").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("n_name") == "RENAMED", 1).otherwise(0)).cast("bigint").alias("n_renamed"),
+    )
+
+
+@register(
+    "ddl_truncate",
+    "SELECT CAST(0 AS BIGINT) AS n",
+)
+def q_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    ddl.create_table_as_select(spark, "trunc_me", "SELECT * FROM region")
+    ddl.truncate(spark, "TRUNCATE TABLE trunc_me")
+    return spark.table("trunc_me").agg(F.count(F.lit(1)).cast("bigint").alias("n"))

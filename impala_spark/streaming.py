@@ -1,0 +1,185 @@
+"""Structured-Streaming surface on the `events` table (north-star addition;
+the reference is batch-only — SURVEY §2.8 verified no streaming constructs
+in fe/).
+
+Contract we define (documented, since there is no reference semantics):
+- event time = `ts`; watermark default 10 minutes — late rows beyond the
+  watermark are dropped from windowed aggregates.
+- tumbling/sliding windows via F.window, session windows via
+  F.session_window; output mode `update` for dashboards, `append` for
+  sinks that need finalized windows.
+- exactly-once: file sinks + checkpointLocation; dedup by event_id with
+  dropDuplicatesWithinWatermark.
+
+Every builder below works on BOTH a batch DataFrame and a streaming one —
+the batch path is what the driver's oracle checks; tests run the same
+builders through readStream with Trigger.AvailableNow to prove the
+streaming plan is valid too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_WATERMARK = "10 minutes"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (schema pinned from the
+    batch read; required by readStream). The fixture stores `ts` as
+    TIMESTAMP(NANOS) which Spark reads as epoch-nano longs (see
+    session.py) — restore the timestamp here too."""
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file-source stream requires a directory; point it at the fixture
+    # dir and glob just the events file
+    df = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(df.dtypes).get("ts") == "bigint":
+        # keep TimestampType (not NTZ): withWatermark requires TIMESTAMP;
+        # session tz is UTC so formatted output matches the batch NTZ path.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _maybe_watermark(df: DataFrame, watermark: str | None) -> DataFrame:
+    return df.withWatermark("ts", watermark) if watermark and df.isStreaming else df
+
+
+def tumbling_counts(df: DataFrame, width: str = "5 minutes", watermark: str | None = DEFAULT_WATERMARK) -> DataFrame:
+    """Tumbling-window counts+sums per event_type."""
+    d = _maybe_watermark(df, watermark)
+    return (
+        d.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    df: DataFrame, width: str = "10 minutes", slide: str = "5 minutes",
+    watermark: str | None = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Sliding-window event counts (each row lands in width/slide windows)."""
+    d = _maybe_watermark(df, watermark)
+    return (
+        d.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_windows(
+    df: DataFrame, gap: str = "15 minutes", watermark: str | None = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Session windows per user: a session closes after `gap` of inactivity."""
+    d = _maybe_watermark(df, watermark)
+    return (
+        d.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("session_value"),
+        )
+        .select(
+            F.date_format("s.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("s.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_events(df: DataFrame, watermark: str | None = DEFAULT_WATERMARK) -> DataFrame:
+    """Exactly-once event feed: drop duplicate event_ids. Streaming uses the
+    watermark-bounded state store; batch is a plain dropDuplicates."""
+    if df.isStreaming and watermark:
+        return df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+    return df.dropDuplicates(["event_id"])
+
+
+def first_event_per_user_type(df: DataFrame) -> DataFrame:
+    """Earliest event per (user_id, event_type) — the deterministic batch
+    analog of streaming `first()` state; oracle-checkable."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+            F.col("event_id").cast("bigint").alias("first_event_id"),
+        )
+    )
+
+
+def running_user_state(df: DataFrame) -> DataFrame:
+    """Custom stateful op via applyInPandasWithState on a stream, with a
+    deterministic batch fallback: per-user running event count + last value.
+
+    Streaming path (applyInPandasWithState) keeps one state row per user —
+    the Spark analog of a custom stateful operator; the batch fallback
+    computes the same closed-form result for verification.
+    """
+    if not df.isStreaming:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max_by("value", F.struct("ts", "event_id")).alias("last_value"),
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, last_value double"
+    state_schema = "n bigint, last double"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, last = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            n += len(pdf)
+            if len(pdf):
+                last = float(pdf["value"].iloc[-1])
+        state.update((n, last))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "last_value": [last]})
+
+    return (
+        df.withWatermark("ts", DEFAULT_WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)
+    )
+
+
+def run_stream_to_memory(spark: SparkSession, stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Execute a streaming DataFrame with Trigger.AvailableNow into an
+    in-memory sink and block until done. Test/demo harness."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)

@@ -1,0 +1,100 @@
+"""DDL/write-path tests (reference: analysis/InsertStmt.java,
+analysis/ModifyStmt.java, sql-parser.cup TRUNCATE/LOAD DATA)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from impala_spark import ddl
+
+
+@pytest.fixture(autouse=True)
+def cleanup(spark):
+    yield
+    for t in list(ddl._REGISTRY):
+        if t.startswith("t_"):
+            ddl.drop_table(spark, t)
+
+
+def test_ctas_and_readback(spark):
+    ddl.create_table_as_select(spark, "t_seg", "SELECT DISTINCT c_mktsegment FROM customer")
+    assert spark.table("t_seg").count() == 5
+
+
+def test_ctas_partitioned_layout(spark):
+    ddl.create_table_as_select(
+        spark, "t_ord", "SELECT o_orderkey, o_orderstatus FROM orders",
+        partition_cols=["o_orderstatus"],
+    )
+    path = ddl._REGISTRY["t_ord"].path
+    parts = {p for p in os.listdir(path) if p.startswith("o_orderstatus=")}
+    assert len(parts) >= 2  # hive-style partition dirs exist
+
+
+def test_create_table_like(spark):
+    ddl.create_table_like(spark, "t_like", "region")
+    assert spark.table("t_like").count() == 0
+    assert spark.table("t_like").columns == spark.table("region").columns
+
+
+def test_insert_append_and_overwrite(spark):
+    ddl.create_table_as_select(spark, "t_r", "SELECT * FROM region")
+    ddl.insert(spark, "t_r", "SELECT * FROM region")
+    assert spark.table("t_r").count() == 10
+    ddl.insert(spark, "t_r", "SELECT * FROM region", overwrite=True)
+    assert spark.table("t_r").count() == 5
+
+
+def test_insert_static_partition(spark):
+    ddl.create_table_as_select(
+        spark, "t_p", "SELECT n_nationkey, 'x' AS tag FROM nation LIMIT 0",
+        partition_cols=["tag"],
+    )
+    ddl.insert(
+        spark, "t_p", "SELECT n_nationkey FROM nation WHERE n_nationkey < 3",
+        static_partition={"tag": "batch1"},
+    )
+    got = spark.table("t_p").filter("tag = 'batch1'").count()
+    assert got == 3
+
+
+def test_update_where(spark):
+    ddl.create_table_as_select(spark, "t_u", "SELECT * FROM customer", primary_key=["c_custkey"])
+    before = spark.table("t_u").filter("c_acctbal > 9000").count()
+    ddl.modify(spark, "UPDATE t_u SET c_mktsegment = 'RICH' WHERE c_acctbal > 9000")
+    after = spark.table("t_u").filter("c_mktsegment = 'RICH'").count()
+    assert after == before
+
+
+def test_delete_where(spark):
+    ddl.create_table_as_select(spark, "t_d", "SELECT * FROM customer")
+    total = spark.table("t_d").count()
+    doomed = spark.table("t_d").filter("c_acctbal < 0").count()
+    ddl.modify(spark, "DELETE FROM t_d WHERE c_acctbal < 0")
+    assert spark.table("t_d").count() == total - doomed
+
+
+def test_upsert_merge(spark):
+    ddl.create_table_as_select(
+        spark, "t_up", "SELECT n_nationkey, n_name FROM nation", primary_key=["n_nationkey"]
+    )
+    src = spark.createDataFrame([(0, "ZERO"), (999, "NEW")], "n_nationkey: int, n_name: string")
+    ddl.upsert(spark, "t_up", src)
+    t = spark.table("t_up")
+    assert t.count() == 26
+    assert t.filter("n_nationkey = 0").first().n_name == "ZERO"
+    assert t.filter("n_nationkey = 999").first().n_name == "NEW"
+
+
+def test_truncate(spark):
+    ddl.create_table_as_select(spark, "t_t", "SELECT * FROM region")
+    ddl.truncate(spark, "TRUNCATE TABLE t_t")
+    assert spark.table("t_t").count() == 0
+    assert len(spark.table("t_t").columns) == 2
+
+
+def test_load_data(spark, sf_dir):
+    ddl.create_table_like(spark, "t_l", "region")
+    ddl.load_data(spark, f"LOAD DATA INPATH '{sf_dir}/region.parquet' INTO TABLE t_l")
+    assert spark.table("t_l").count() == 5

@@ -1,0 +1,79 @@
+"""ImpalaEngine facade tests: statement routing, EXPLAIN, SET/USE/SHOW,
+COMPUTE STATS (reference: service/Frontend.java, service/CatalogOpExecutor.java)."""
+
+import pytest
+
+from impala_spark.engine import ImpalaEngine
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    return ImpalaEngine(spark, sf_dir)
+
+
+def test_basic_select(engine):
+    rows = engine.sql("SELECT count(*) AS n FROM lineitem").collect()
+    assert rows[0].n > 0
+
+
+def test_impala_dialect_roundtrip(engine):
+    rows = engine.sql(
+        "SELECT o_orderkey FROM orders WHERE o_orderpriority IREGEXP 'urgent' "
+        "&& o_totalprice > 100000 ORDER BY o_orderkey LIMIT 5"
+    ).collect()
+    assert len(rows) == 5
+
+
+def test_ndv_function(engine):
+    r = engine.sql("SELECT ndv(o_custkey) AS n FROM orders").first()
+    assert r.n > 0
+
+
+def test_compute_stats(engine):
+    df = engine.sql("COMPUTE STATS orders")
+    r = df.first()
+    assert r.row_count > 0
+
+
+def test_set_and_use(engine):
+    engine.sql("SET broadcast_threshold = 1048576")
+    assert engine.spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "1048576"
+    engine.sql("SET broadcast_threshold = 67108864")
+
+
+def test_show_tables(engine):
+    names = {r.tableName for r in engine.show_tables().collect()}
+    assert {"orders", "lineitem", "customer"} <= names
+
+
+def test_describe(engine):
+    cols = {r.col_name for r in engine.describe("orders").collect()}
+    assert "o_orderkey" in cols
+
+
+def test_explain_impala_style(engine):
+    text = engine.explain(
+        "SELECT n_name, count(*) FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name ORDER BY n_name"
+    )
+    assert "SCAN PARQUET" in text
+    assert "AGGREGATE" in text
+    assert "JOIN" in text
+
+
+def test_explain_statement_returns_df(engine):
+    df = engine.sql("EXPLAIN SELECT count(*) FROM orders")
+    assert df.columns == ["explain_string"]
+    assert df.count() > 0
+
+
+def test_refresh(engine):
+    r = engine.sql("INVALIDATE METADATA").first()
+    assert "refreshed" in r.result
+
+
+def test_broadcast_hint_takes_effect(engine):
+    text = engine.explain(
+        "SELECT c_name, n_name FROM customer JOIN [broadcast] nation ON c_nationkey = n_nationkey"
+    )
+    assert "HASH JOIN [BROADCAST]" in text or "BROADCAST" in text

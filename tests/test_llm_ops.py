@@ -1,0 +1,129 @@
+"""LLM-pipeline operator tests: semantics + scale-shape assertions
+(no cartesian products, no Python UDFs in hash paths)."""
+
+from pyspark.sql import functions as F
+
+from impala_spark import llm_ops
+from impala_spark.session import table
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dedup_exact_counts(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    total = d.count()
+    deduped = llm_ops.dedup_exact(d)
+    agg = deduped.agg(F.sum("n_copies").alias("s"), F.count("*").alias("groups")).first()
+    assert agg.s == total
+    assert agg.groups <= total
+
+
+def test_dedup_detects_injected_duplicates(spark):
+    rows = [(1, "the quick brown fox"), (2, "  THE QUICK   BROWN FOX "), (3, "other doc")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r.keep_id: r.n_copies for r in llm_ops.dedup_exact(df).collect()}
+    assert out[1] == 2 and out[3] == 1
+
+
+def test_minhash_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about spark engines and query optimizers at scale"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id: long, text: string"
+    )
+    pairs = llm_ops.minhash_lsh_pairs(df, threshold=0.3).collect()
+    ids = {(r.a_id, r.b_id) for r in pairs}
+    assert (1, 2) in ids
+    assert all(p in {(1, 2)} or 3 not in p for p in ids)
+
+
+def test_minhash_no_cartesian(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    plan = physical_plan(llm_ops.minhash_lsh_pairs(d))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_jaccard_no_cartesian(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    plan = physical_plan(llm_ops.ngram_jaccard_pairs(d))
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_near_dup_hamming(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods"
+    near = base + " again"
+    far = "totally unrelated text about database engines and columnar storage formats"
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], "doc_id: long, text: string")
+    sh = {r.doc_id: r.simhash for r in llm_ops.simhash(df).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert hamming(sh[1], sh[2]) < hamming(sh[1], sh[3])
+
+
+def test_ann_bruteforce_self_is_top1(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 1)
+    top = llm_ops.cosine_topk_bruteforce(e, q, k=5).collect()
+    assert top[0].vec_id == 1 and abs(top[0].cos_sim - 1.0) < 1e-4
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 1)
+    exact = {r.vec_id for r in llm_ops.cosine_topk_bruteforce(e, q, k=10).collect()}
+    approx = {r.vec_id for r in llm_ops.lsh_bucketed_ann(e, q, k=10).collect()}
+    # self-match must always survive; expect some overlap with exact top-k
+    assert 1 in approx
+    assert len(exact & approx) >= 1
+
+
+def test_ann_no_python_udf_in_plan(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 1)
+    plan = physical_plan(llm_ops.cosine_topk_bruteforce(e, q, k=10))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_text_stats_values(spark):
+    df = spark.createDataFrame([(1, "Hello, world! 42 times.")], "doc_id: long, text: string")
+    r = llm_ops.text_stats(df).first()
+    assert r.char_len == 24
+    assert r.token_count == 4
+    assert r.digit_ratio > 0 and r.punct_ratio > 0
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog are in the house with food for everyone"),
+            (2, "el gato y el perro en la casa de los abuelos con una manta"),
+            (3, "le chat est dans la maison avec les enfants pour une fete"),
+            (4, "zzz qqq xxx"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r.doc_id: r.lang_pred for r in llm_ops.language_id(df).collect()}
+    assert out[1] == "en" and out[2] == "es" and out[3] == "fr" and out[4] == "unknown"
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"\x89PNG fake bytes")), (2, "audio", bytearray(b"RIFF fake"))],
+        "doc_id: long, modality: string, payload: binary",
+    )
+    out = llm_ops.extract_media_features(df).collect()
+    assert {r.doc_id for r in out} == {1, 2}
+    assert all(r.feat_dim >= 0 for r in out)
+
+
+def test_decode_stub_raises():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        llm_ops.decode_image_batch(b"bytes")

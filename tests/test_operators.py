@@ -1,0 +1,98 @@
+"""Operator-semantics tests on the fixture tables (reference:
+planner/*Node.java, analysis/JoinOperator.java)."""
+
+from pyspark.sql import functions as F
+
+from impala_spark import operators as ops
+from impala_spark.session import table
+
+
+def test_empty_set(spark, sf_dir):
+    df = table(spark, sf_dir, "orders")
+    assert ops.empty_set(df).count() == 0
+
+
+def test_all_join_ops_run(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    for op in ["INNER", "LEFT_OUTER", "RIGHT_OUTER", "FULL_OUTER", "LEFT_SEMI", "LEFT_ANTI"]:
+        n = ops.hash_join(c, o, c.c_custkey == o.o_custkey, op).count()
+        assert n >= 0
+    assert ops.hash_join(c, o, c.c_custkey == o.o_custkey, "RIGHT_SEMI").count() > 0
+    assert ops.hash_join(c, o, c.c_custkey == o.o_custkey, "RIGHT_ANTI").count() >= 0
+
+
+def test_null_aware_anti_semantics(spark):
+    # StmtRewriter.java:493-520: NOT IN null semantics
+    left = spark.createDataFrame([(1,), (2,), (None,)], "k: int")
+    right_with_null = spark.createDataFrame([(2,), (None,)], "k2: int")
+    right_plain = spark.createDataFrame([(2,), (3,)], "k2: int")
+    right_empty = spark.createDataFrame([], "k2: int")
+
+    # any NULL on the right -> empty result
+    assert ops.null_aware_anti_join(left, right_with_null, "k", "k2").count() == 0
+    # NULL left key never qualifies; 1 not in (2,3) -> only k=1 survives
+    rows = ops.null_aware_anti_join(left, right_plain, "k", "k2").collect()
+    assert [r.k for r in rows] == [1]
+    # empty right -> all left rows survive (even NULL key: NOT IN () is true)
+    assert ops.null_aware_anti_join(left, right_empty, "k", "k2").count() == 3
+
+
+def test_null_aware_anti_matches_sql_not_in(spark, sf_dir):
+    # parity with Catalyst's native null-aware anti planning for NOT IN
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.expr("nullif(c_nationkey, 13)").alias("k")
+    )
+    n = table(spark, sf_dir, "nation").select(F.expr("nullif(n_nationkey, 20)").alias("rk"))
+    c.createOrReplaceTempView("naa_left")
+    n.createOrReplaceTempView("naa_right")
+    ours = set(
+        r.c_custkey
+        for r in ops.null_aware_anti_join(c, n, "k", "rk").select("c_custkey").collect()
+    )
+    theirs = set(
+        r.c_custkey
+        for r in spark.sql(
+            "SELECT c_custkey FROM naa_left WHERE k NOT IN (SELECT rk FROM naa_right)"
+        ).collect()
+    )
+    assert ours == theirs
+
+
+def test_topn_offset(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    full = ops.sort_impala(o, ("o_totalprice", "desc"), "o_orderkey").limit(20).collect()
+    page = ops.topn(o, [("o_totalprice", "desc"), "o_orderkey"], limit=15, offset=5).collect()
+    assert page == full[5:20]
+
+
+def test_sort_null_ordering(spark):
+    # Impala: ASC -> NULLS LAST, DESC -> NULLS FIRST
+    df = spark.createDataFrame([(1,), (None,), (2,)], "x: int")
+    asc = [r.x for r in ops.sort_impala(df, "x").collect()]
+    desc = [r.x for r in ops.sort_impala(df, ("x", "desc")).collect()]
+    assert asc == [1, 2, None]
+    assert desc == [None, 2, 1]
+
+
+def test_union_distinct(spark, sf_dir):
+    n = table(spark, sf_dir, "nation").select(F.col("n_regionkey").alias("k"))
+    r = table(spark, sf_dir, "region").select(F.col("r_regionkey").alias("k"))
+    assert ops.union_distinct(n, r).count() == 5
+    assert ops.union_all(n, r).count() == 30
+
+
+def test_unnest_pos_and_item(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings").limit(3).select("vec_id", "embedding")
+    dim = e.select(F.size("embedding").alias("d")).first().d
+    un = ops.unnest(e, "embedding")
+    assert un.count() == 3 * dim
+    assert set(un.columns) == {"vec_id", "pos", "item"}
+    first = un.filter("vec_id = %d AND pos = 0" % un.first().vec_id).first()
+    assert first.pos == 0
+
+
+def test_exchange_partition_counts(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    assert ops.exchange(o, "UNPARTITIONED").rdd.getNumPartitions() == 1
+    assert ops.exchange(o, "HASH_PARTITIONED", "o_custkey").rdd.getNumPartitions() == 32

@@ -1,0 +1,75 @@
+"""Structured-Streaming surface tests: every builder must run as a REAL
+stream (Trigger.AvailableNow) and agree with its batch execution."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from impala_spark import streaming as stm
+from impala_spark.session import table
+
+
+def batch_events(spark, sf_dir):
+    return table(spark, sf_dir, "events")
+
+
+def test_stream_reader_is_streaming(spark, sf_dir):
+    s = stm.read_events_stream(spark, sf_dir)
+    assert s.isStreaming
+    assert dict(s.dtypes)["ts"].startswith("timestamp")
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir):
+    batch = stm.tumbling_counts(batch_events(spark, sf_dir))
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value) for r in batch.collect()
+    }
+    stream = stm.tumbling_counts(stm.read_events_stream(spark, sf_dir))
+    got_df = stm.run_stream_to_memory(spark, stream, "t_tumble")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value) for r in got_df.collect()
+    }
+    assert got == expected
+
+
+def test_sliding_stream_runs(spark, sf_dir):
+    stream = stm.sliding_counts(stm.read_events_stream(spark, sf_dir))
+    out = stm.run_stream_to_memory(spark, stream, "t_slide")
+    batch_n = stm.sliding_counts(batch_events(spark, sf_dir)).count()
+    assert out.count() == batch_n
+
+
+def test_session_window_stream_runs(spark, sf_dir):
+    stream = stm.session_windows(stm.read_events_stream(spark, sf_dir))
+    out = stm.run_stream_to_memory(spark, stream, "t_sess")
+    assert out.count() > 0
+    r = out.first()
+    assert r.session_start <= r.session_end
+
+
+def test_dedup_stream(spark, sf_dir):
+    stream = stm.dedup_events(stm.read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_dedup").count()
+    expected = batch_events(spark, sf_dir).select("event_id").distinct().count()
+    assert got == expected
+
+
+def test_user_state_stream_matches_batch(spark, sf_dir):
+    batch = stm.running_user_state(batch_events(spark, sf_dir))
+    expected = {r.user_id: (r.n_events, round(r.last_value, 6)) for r in batch.collect()}
+    stream = stm.running_user_state(stm.read_events_stream(spark, sf_dir))
+    out = stm.run_stream_to_memory(spark, stream, "t_state", output_mode="update")
+    got = {r.user_id: (r.n_events, round(r.last_value, 6)) for r in out.collect()}
+    assert got == expected
+
+
+def test_watermark_present_in_stream_plan(spark, sf_dir):
+    s = stm.tumbling_counts(stm.read_events_stream(spark, sf_dir))
+    assert "EventTimeWatermark" in s._jdf.queryExecution().logical().toString()
