@@ -93,7 +93,7 @@ def test_ann_no_python_udf_in_plan(spark, sf_dir):
 def test_text_stats_values(spark):
     df = spark.createDataFrame([(1, "Hello, world! 42 times.")], "doc_id: long, text: string")
     r = llm_ops.text_stats(df).first()
-    assert r.char_len == 24
+    assert r.char_len == 23
     assert r.token_count == 4
     assert r.digit_ratio > 0 and r.punct_ratio > 0
 

