@@ -107,6 +107,17 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the input has fewer splits than the
+    cluster has slots (a single small file, a coalesced upstream). At 100 TB
+    the scan already yields thousands of splits and this is a no-op — no
+    full-data shuffle is ever added on the scale path."""
+    slots = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < slots:
+        return df.repartition(slots)
+    return df
+
+
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup: group by normalized-text fingerprint, keep min id.
     One hash shuffle; partial aggregation makes the map side absorb the
@@ -119,11 +130,26 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
-    """Word k-shingles as a deduped array column (JVM-side)."""
+    """Word k-shingles as a deduped array column (JVM-side).
+
+    O(n*k) per document: each shingle is built from k positional
+    element-gets. (An earlier version used slice()-per-index, which copies
+    the whole words array per shingle — O(n^2) per doc, catastrophic on
+    long documents.) The words array is bound to a real column first so
+    CollapseProject cannot re-inline the split/regex per get()."""
     words = F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"[^a-z0-9\s]", "")), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))
-    return df.withColumn("shingles", F.array_distinct(sh))
+    w = F.col("_words")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", *[F.get(w, i + j) for j in range(k)]))
+    # NULL/empty/whitespace-only text -> empty shingle set (not [""] or
+    # NULL): otherwise every contentless doc hashes to the same degenerate
+    # signature and they all report each other as sim-1.0 duplicates.
+    clean = F.filter(F.array_distinct(sh), lambda x: x != "")
+    return (
+        df.withColumn("_words", words)
+        .withColumn("shingles", F.coalesce(clean, F.array().cast("array<string>")))
+        .drop("_words")
+    )
 
 
 def minhash_signatures(
@@ -131,17 +157,25 @@ def minhash_signatures(
     num_hashes: int = 32, k: int = 3,
 ) -> DataFrame:
     """MinHash signature per document: for each of num_hashes seeded hash
-    functions, the min xxhash64 over the shingle set. All array ops are
-    Catalyst expressions — no Python in the loop."""
+    functions, the min hash over the shingle set. All array ops are
+    Catalyst expressions — no Python in the loop.
+
+    Each shingle string is hashed ONCE (xxhash64 over the string); the
+    num_hashes families then re-hash that 8-byte long, which is ~an order
+    of magnitude cheaper than re-hashing the full string per family —
+    at 100 TB the string bytes dominate, so this is the difference between
+    reading the text 1× and 32×."""
     def seeded_min(seed: int):
         # NB: factory, not a default-arg lambda — pyspark's higher-order
         # wrappers treat every Python parameter (defaults included) as a
         # lambda variable, which silently changes semantics.
-        return F.array_min(F.transform("shingles", lambda s: F.xxhash64(s, F.lit(seed))))
+        return F.array_min(F.transform("sh_hash", lambda h: F.xxhash64(h, F.lit(seed))))
 
-    sh = shingles(df, text_col, k)
+    sh = shingles(df, text_col, k).withColumn(
+        "sh_hash", F.transform("shingles", lambda s: F.xxhash64(s))
+    )
     sig = F.array(*[seeded_min(i) for i in range(num_hashes)])
-    return sh.withColumn("minhash", sig).drop("shingles")
+    return sh.withColumn("minhash", sig).drop("shingles", "sh_hash")
 
 
 def minhash_lsh_pairs(
@@ -159,44 +193,61 @@ def minhash_lsh_pairs(
     Returns (a_id, b_id, sim) with a_id < b_id, sim >= threshold.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, k).select(id_col, "minhash")
-    banded = sig.select(
-        F.col(id_col).alias("id"),
-        "minhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice("minhash", b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                            ",",
+    # The repartition is load-bearing twice over: (a) it breaks Catalyst
+    # projection-collapse, so the (expensive) signature expression is
+    # evaluated ONCE and its result shuffled as 32 longs/doc instead of
+    # being re-inlined into all `bands` band-hash expressions on both join
+    # sides (a 2*bands-fold recompute of the text hashing); (b) it spreads
+    # signature work across the cluster even when the input has few splits.
+    # Downstream, identical subtrees (band left/right, verify a/b) hit
+    # Spark's ReuseExchange, so the signature job runs once total.
+    sig = (
+        minhash_signatures(_spread(df), id_col, text_col, num_hashes, k)
+        .select(F.col(id_col).alias("id"), "minhash")
+        .repartition(F.col("id"))
+    )
+    # Candidate generation carries only (id, band_hash) — 16 bytes/row —
+    # never the signatures. Contentless docs (empty shingle set -> all-null
+    # signature) must not pair with each other: gate the band array with a
+    # `when` so explode emits no rows for them. NB: this must NOT be a
+    # Filter on a signature-derived column — Catalyst pushes such filters
+    # below the repartition exchange and inlines the whole signature
+    # expression into an interpreted scan-stage filter (measured: minutes).
+    band_arr = F.when(
+        F.element_at("minhash", 1).isNotNull(),
+        F.array(
+            *[
+                F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice("minhash", b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
                         ),
-                        F.lit(b),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
+                        ",",
+                    ),
+                    F.lit(b),
+                )
+                for b in range(bands)
+            ]
+        ),
     )
-    left = banded.select(
-        F.col("id").alias("a_id"), F.col("minhash").alias("a_sig"), "band", "band_hash"
-    )
-    right = banded.select(
-        F.col("id").alias("b_id"), F.col("minhash").alias("b_sig"), "band", "band_hash"
-    )
+    banded = sig.select("id", F.explode(band_arr).alias("band_hash"))
     cand = (
-        left.join(right, ["band", "band_hash"], "inner")
+        banded.select(F.col("id").alias("a_id"), "band_hash")
+        .join(banded.select(F.col("id").alias("b_id"), "band_hash"), "band_hash")
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_sig", "b_sig")
+        .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
+    )
+    # Verify: join the (reused-exchange) signature table back per side.
+    verified = (
+        cand.join(sig.select(F.col("id").alias("a_id"), F.col("minhash").alias("a_sig")), "a_id")
+        .join(sig.select(F.col("id").alias("b_id"), F.col("minhash").alias("b_sig")), "b_id")
     )
     overlap = F.size(F.array_intersect(F.col("a_sig"), F.col("b_sig")))
     sim = overlap / F.lit(float(num_hashes))
     return (
-        cand.withColumn("sim", F.round(sim, 6))
+        verified.withColumn("sim", F.round(sim, 6))
         .filter(F.col("sim") >= threshold)
         .select("a_id", "b_id", "sim")
     )
@@ -207,14 +258,18 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     (+1/-1) votes from each shingle's hash. Bit-parallel via aggregate over
     the shingle array — pure Catalyst expressions."""
     def bit_vote(b: int):
-        def merge(acc, s):
+        def merge(acc, h):
             return acc + F.when(
-                F.shiftright(F.xxhash64(s), b).bitwiseAND(F.lit(1)) == 1, 1
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
             ).otherwise(-1)
 
-        return F.aggregate("shingles", F.lit(0), merge)
+        return F.aggregate("sh_hash", F.lit(0), merge)
 
-    sh = shingles(df, text_col, k=2)
+    sh = shingles(df, text_col, k=2).withColumn(
+        # hash each shingle string once; the 64 bit-votes then read bits of
+        # the precomputed long instead of re-hashing the string per bit.
+        "sh_hash", F.transform("shingles", lambda s: F.xxhash64(s))
+    )
     bit_cols = []
     for b in range(bits):
         vote = bit_vote(b)
@@ -222,7 +277,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     total = bit_cols[0]
     for c in bit_cols[1:]:
         total = total + c
-    return sh.withColumn("simhash", total.cast("long")).drop("shingles")
+    return sh.withColumn("simhash", total.cast("long")).drop("shingles", "sh_hash")
 
 
 def ngram_jaccard_pairs(
@@ -233,7 +288,18 @@ def ngram_jaccard_pairs(
     explode shingles -> self-join on shingle (hash shuffle) -> exact Jaccard
     on the candidate pairs. Frequency cap on bucket size guards against
     stopword-shingle skew (the salting analog for text)."""
-    sh = shingles(df, text_col, k).select(F.col(id_col).alias("id"), "shingles")
+    # Materialize the shingle arrays behind an exchange: four consumers
+    # (explode left/right, verify a/b) otherwise each re-run the regex
+    # shingling; post-exchange they all hit ReuseExchange instead.
+    # No size()>0 filter here: explode() of an empty shingle array emits no
+    # rows, so contentless docs can't generate candidates — and a Filter on
+    # the shingles column would be pushed below the exchange and inline the
+    # shingle expression into the scan stage (see band_arr note above).
+    sh = (
+        shingles(_spread(df), text_col, k)
+        .select(F.col(id_col).alias("id"), "shingles")
+        .repartition(F.col("id"))
+    )
     exploded = sh.select("id", F.explode("shingles").alias("sh"))
     # skew guard: drop shingles appearing in too many docs (non-discriminative)
     freq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
