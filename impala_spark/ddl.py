@@ -55,6 +55,18 @@ def _refresh_view(spark: SparkSession, t: ManagedTable) -> DataFrame:
     return df
 
 
+def _managed(name: str) -> ManagedTable:
+    """Resolve a write-capable table or fail with an actionable error (the
+    fixture views are read-only parquet scans, not managed tables)."""
+    t = _REGISTRY.get(name)
+    if t is None:
+        raise ValueError(
+            f"'{name}' is not a managed (write-capable) table; create it with "
+            f"CTAS/CREATE TABLE first. Managed: {sorted(_REGISTRY) or '(none)'}"
+        )
+    return t
+
+
 def drop_table(spark: SparkSession, name: str, purge: bool = True) -> None:
     t = _REGISTRY.pop(name, None)
     spark.catalog.dropTempView(name)
@@ -108,7 +120,7 @@ def insert(
     (InsertStmt.java:751-760). Dynamic: the trailing SELECT columns feed the
     partition keys — Spark's partitionBy handles both once the columns exist.
     """
-    t = _REGISTRY[table]
+    t = _managed(table)
     df = spark.sql(translate(query_or_df)) if isinstance(query_or_df, str) else query_or_df
     if static_partition:
         for k, v in static_partition.items():
@@ -129,7 +141,7 @@ def truncate(spark: SparkSession, stmt_or_table: str) -> DataFrame:
     """TRUNCATE [TABLE] name — drop all rows, keep schema."""
     m = re.match(r"^\s*TRUNCATE\s+(?:TABLE\s+)?([\w`]+)\s*$", stmt_or_table, re.IGNORECASE)
     name = m.group(1).strip("`") if m else stmt_or_table
-    t = _REGISTRY[name]
+    t = _managed(name)
     schema = spark.table(name).schema
     empty = spark.createDataFrame([], schema)
     empty.write.mode("overwrite").parquet(t.path)
@@ -146,7 +158,7 @@ def load_data(spark: SparkSession, stmt: str) -> DataFrame:
     if not m:
         raise ValueError(f"cannot parse LOAD DATA: {stmt}")
     path, overwrite, name = m.group(1), bool(m.group(2)), m.group(3).strip("`")
-    t = _REGISTRY[name]
+    t = _managed(name)
     df = spark.read.parquet(path)
     df.write.mode("overwrite" if overwrite else "append").parquet(t.path)
     return _refresh_view(spark, t)
@@ -197,7 +209,7 @@ def modify(spark: SparkSession, stmt: str) -> DataFrame:
     m = _UPDATE_RE.match(stmt)
     if m:
         name, set_clause, where = m.group(1).strip("`"), m.group(2), m.group(3)
-        t = _REGISTRY[name]
+        t = _managed(name)
         df = spark.read.parquet(t.path)
         pred = F.expr(translate(where)) if where else F.lit(True)
         for col, rhs in _split_assignments(set_clause):
@@ -207,7 +219,7 @@ def modify(spark: SparkSession, stmt: str) -> DataFrame:
     m = _DELETE_RE.match(stmt)
     if m:
         name, where = m.group(1).strip("`"), m.group(2)
-        t = _REGISTRY[name]
+        t = _managed(name)
         df = spark.read.parquet(t.path)
         if where:
             # keep rows where the predicate is NOT TRUE (null-safe: a row
@@ -220,7 +232,7 @@ def modify(spark: SparkSession, stmt: str) -> DataFrame:
     m = _UPSERT_RE.match(stmt)
     if m:
         name, src_sql = m.group(1).strip("`"), m.group(2)
-        t = _REGISTRY[name]
+        t = _managed(name)
         if not t.primary_key:
             raise ValueError(f"UPSERT requires a primary key on {name}")
         src = spark.sql(translate(f"SELECT * FROM ({src_sql})" if src_sql.upper().startswith("VALUES") else src_sql))
@@ -232,7 +244,7 @@ def modify(spark: SparkSession, stmt: str) -> DataFrame:
 def upsert(spark: SparkSession, table: str, source: DataFrame) -> DataFrame:
     """UPSERT (sql-parser.cup:1128): replace rows matching on the primary
     key, insert the rest — MERGE WHEN MATCHED UPDATE ALL / NOT MATCHED INSERT."""
-    t = _REGISTRY[table]
+    t = _managed(table)
     target = spark.read.parquet(t.path)
     source = source.toDF(*target.columns)
     keep = target.join(source.select(*t.primary_key), on=t.primary_key, how="left_anti")

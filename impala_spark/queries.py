@@ -1350,3 +1350,224 @@ def q_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ddl.create_table_as_select(spark, "trunc_me", "SELECT * FROM region")
     ddl.truncate(spark, "TRUNCATE TABLE trunc_me")
     return spark.table("trunc_me").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+# =====================================================================
+# 11. Metadata / statement surfaces (engine.py facade)
+#     COMPUTE STATS, LOAD DATA, SHOW/DESCRIBE, SET/USE, EXPLAIN, UDF/UDA
+#     (service/Frontend.java statement dispatch; SURVEY §2.1 rows 9-14, 62)
+# =====================================================================
+
+from impala_spark.engine import ImpalaEngine  # noqa: E402
+from impala_spark.functions import register_udfs  # noqa: E402
+
+
+@register(
+    "meta_compute_stats",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS row_count,
+           CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) AS ndv_n_regionkey
+    FROM nation
+    """,
+)
+def q_compute_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPUTE STATS nation -> row count + per-column NDV child queries
+    (reference analysis/ComputeStatsStmt.java:218-242). Only exact-at-this-
+    cardinality NDVs are compared (HLL is approximate by contract)."""
+    eng = ImpalaEngine(spark, sf_dir)
+    stats = eng.sql("COMPUTE STATS nation")
+    return stats.select(
+        F.col("row_count").cast("bigint"),
+        F.col("ndv_n_regionkey").cast("bigint"),
+    )
+
+
+@register(
+    "meta_load_data",
+    "SELECT CAST(COUNT(*) * 2 AS BIGINT) AS n FROM region",
+)
+def q_load_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOAD DATA INPATH ... INTO TABLE (cup:678; analysis/LoadDataStmt.java):
+    file-move ingest — append the staged parquet to the managed table."""
+    import os
+    import tempfile
+
+    register_tables(spark, sf_dir)
+    ddl.drop_table(spark, "region_loaded")
+    ddl.create_table_as_select(spark, "region_loaded", "SELECT * FROM region")
+    stage = os.path.join(tempfile.gettempdir(), "impala_spark_load_stage")
+    table(spark, sf_dir, "region").write.mode("overwrite").parquet(stage)
+    eng = ImpalaEngine(spark)
+    eng.sql(f"LOAD DATA INPATH '{stage}' INTO TABLE region_loaded")
+    return spark.table("region_loaded").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+@register(
+    "meta_show_describe",
+    """
+    SELECT * FROM (VALUES
+      ('n_nationkey', 'int'), ('n_name', 'string'), ('n_regionkey', 'int')
+    ) AS t(col_name, data_type)
+    """,
+)
+def q_show_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE nation (service/MetadataOp.java getColumns analog); SHOW
+    TABLES exercised as a side assertion (nation must be listed)."""
+    eng = ImpalaEngine(spark, sf_dir)
+    shown = {r.tableName for r in eng.show_tables().collect()}
+    assert "nation" in shown, "SHOW TABLES must list registered fixture views"
+    return eng.describe("nation").select("col_name", "data_type")
+
+
+@register(
+    "meta_set_use",
+    """
+    SELECT * FROM (VALUES
+      ('num_nodes', 'set'), ('current_db', 'default')
+    ) AS t(option, status)
+    """,
+)
+def q_set_use(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET query-option + USE db (analysis/SetStmt, UseStmt). num_nodes is
+    a no-op on Spark (execution parallelism comes from partitioning) but
+    must parse and ack like the reference."""
+    eng = ImpalaEngine(spark, sf_dir)
+    set_ack = eng.sql("SET num_nodes=1")
+    use_ack = eng.sql("USE default").select(
+        F.lit("current_db").alias("option"), F.col("db").alias("status")
+    )
+    return set_ack.unionAll(use_ack)
+
+
+@register("meta_explain")  # rows-only: plan text is config/AQE-dependent
+def q_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLAIN -> Impala-style plan tree (Frontend.getExplainString:596,
+    planner/PlanNode.getExplainString). Asserts the broadcast decision the
+    reference's DistributedPlanner would make for a dim-table join."""
+    eng = ImpalaEngine(spark, sf_dir)
+    df = eng.sql(
+        "EXPLAIN SELECT n_name, count(*) AS c FROM nation "
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY n_name"
+    )
+    text = "\n".join(r.explain_string for r in df.collect())
+    assert "HASH JOIN [BROADCAST]" in text, f"dim join must broadcast:\n{text}"
+    assert "SCAN PARQUET" in text
+    return df
+
+
+@register(
+    "udf_scalar_and_uda",
+    """
+    SELECT o_orderpriority,
+           ROUND(CAST(SUM(CAST(o_totalprice * 1.1 AS DECIMAL(18,4))) AS DOUBLE), 4) AS taxed_total,
+           ROUND(EXP(AVG(LN(o_totalprice))), 4) AS geomean_price
+    FROM orders
+    WHERE o_totalprice > 0
+    GROUP BY o_orderpriority
+    """,
+)
+def q_udf_uda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE FUNCTION surface (analysis/CreateUdfStmt.java/CreateUdaStmt
+    .java -> spark.udf.register): scalar pandas UDF + grouped-agg pandas
+    UDA, both Arrow-batched, used from SQL like any builtin."""
+    register_tables(spark, sf_dir)
+    register_udfs(spark)
+    # a grouped-agg pandas UDF cannot share an Aggregate with JVM
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — run it in its own agg
+    # and join on the group key.
+    taxed = spark.sql(
+        """
+        SELECT o_orderpriority,
+               ROUND(CAST(SUM(CAST(add_tax(o_totalprice) AS DECIMAL(18,4))) AS DOUBLE), 4) AS taxed_total
+        FROM orders WHERE o_totalprice > 0 GROUP BY o_orderpriority
+        """
+    )
+    geo = spark.sql(
+        """
+        SELECT o_orderpriority, ROUND(geomean(o_totalprice), 4) AS geomean_price
+        FROM orders WHERE o_totalprice > 0 GROUP BY o_orderpriority
+        """
+    )
+    return taxed.join(geo, "o_orderpriority")
+
+
+@register(
+    "ddl_create_view_database",
+    """
+    SELECT r_name, CAST(n AS BIGINT) AS n FROM (
+      SELECT r_name, COUNT(*) AS n
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name
+    ) v WHERE n >= 5 ORDER BY r_name
+    """,
+)
+def q_create_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE VIEW / DROP VIEW / CREATE DATABASE / SHOW DATABASES
+    (analysis/CreateViewStmt.java, CreateDbStmt.java). Views resolve
+    through the catalog like the reference's LocalView."""
+    register_tables(spark, sf_dir)
+    eng = ImpalaEngine(spark)
+    spark.sql("CREATE DATABASE IF NOT EXISTS analytics_db")
+    assert "analytics_db" in {r.namespace for r in eng.show_databases().collect()}
+    spark.sql("DROP VIEW IF EXISTS nations_per_region")
+    spark.sql(
+        """
+        CREATE TEMPORARY VIEW nations_per_region AS
+        SELECT r_name, COUNT(*) AS n
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """
+    )
+    out = spark.sql(
+        "SELECT r_name, CAST(n AS BIGINT) AS n FROM nations_per_region "
+        "WHERE n >= 5 ORDER BY r_name"
+    )
+    return out
+
+
+@register(
+    "ddl_create_table_like",
+    "SELECT CAST(0 AS BIGINT) AS n, CAST(3 AS BIGINT) AS n_cols",
+)
+def q_create_table_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE LIKE: clone schema, zero rows
+    (analysis/CreateTableLikeStmt.java)."""
+    register_tables(spark, sf_dir)
+    ddl.drop_table(spark, "nation_like")
+    ddl.create_table_as_select(spark, "nation_src", "SELECT * FROM nation")
+    ddl.create_table_like(spark, "nation_like", "nation_src")
+    t = spark.table("nation_like")
+    return t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.lit(len(t.columns)).cast("bigint").alias("n_cols"),
+    )
+
+
+@register(
+    "scan_pushdown_pruning",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_quantity < 10
+    """,
+)
+def q_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HdfsScanNode parity (planner/HdfsScanNode.java:61-96): predicates
+    reach the parquet reader (PushedFilters) and the scan schema is pruned
+    to referenced columns only — asserted on the physical plan, the same
+    checks the reference's planner tests make on scan ranges."""
+    lf = table(spark, sf_dir, "lineitem")
+    q = lf.filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_quantity") < 10)
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias("total"),
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "IsNotNull(l_quantity)" in plan, plan[:800]
+    # column pruning: the scan schema must not include unreferenced cols
+    import re as _re
+
+    m = _re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "l_comment" not in m.group(1) and "l_orderkey" not in m.group(1), plan[:800]
+    return q

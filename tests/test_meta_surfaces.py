@@ -1,0 +1,88 @@
+"""Metadata/statement surfaces: COMPUTE STATS, LOAD DATA, SHOW/DESCRIBE,
+SET/USE, EXPLAIN, UDF/UDA, views, CREATE TABLE LIKE, scan pushdown.
+
+Reference surfaces: service/Frontend.java statement dispatch,
+analysis/ComputeStatsStmt.java, analysis/LoadDataStmt.java,
+service/MetadataOp.java, analysis/CreateUdfStmt.java.
+"""
+
+from pyspark.sql import functions as F
+
+from impala_spark.engine import ImpalaEngine
+from impala_spark.queries import SPARK_QUERIES
+
+
+def test_compute_stats_counts(spark, sf_dir):
+    r = SPARK_QUERIES["meta_compute_stats"](spark, sf_dir).first()
+    assert r.row_count == 25
+    assert r.ndv_n_regionkey == 5
+
+
+def test_load_data_appends(spark, sf_dir):
+    n = SPARK_QUERIES["meta_load_data"](spark, sf_dir).first().n
+    assert n == 10  # region (5) + staged copy (5)
+
+
+def test_describe_and_show(spark, sf_dir):
+    rows = SPARK_QUERIES["meta_show_describe"](spark, sf_dir).collect()
+    assert [(r.col_name, r.data_type) for r in rows] == [
+        ("n_nationkey", "int"),
+        ("n_name", "string"),
+        ("n_regionkey", "int"),
+    ]
+
+
+def test_set_use_acks(spark, sf_dir):
+    rows = {(r.option, r.status) for r in SPARK_QUERIES["meta_set_use"](spark, sf_dir).collect()}
+    assert rows == {("num_nodes", "set"), ("current_db", "default")}
+
+
+def test_explain_broadcasts_dim_join(spark, sf_dir):
+    text = "\n".join(
+        r.explain_string for r in SPARK_QUERIES["meta_explain"](spark, sf_dir).collect()
+    )
+    assert "HASH JOIN [BROADCAST]" in text
+    assert "SCAN PARQUET" in text
+
+
+def test_explain_statement_roundtrip(spark, sf_dir):
+    eng = ImpalaEngine(spark, sf_dir)
+    df = eng.sql("EXPLAIN SELECT count(*) FROM nation")
+    assert df.count() > 0
+
+
+def test_udf_uda_match_builtin_equivalents(spark, sf_dir):
+    got = {
+        r.o_orderpriority: (r.taxed_total, r.geomean_price)
+        for r in SPARK_QUERIES["udf_scalar_and_uda"](spark, sf_dir).collect()
+    }
+    want = {
+        r.o_orderpriority: (r.taxed_total, r.geomean_price)
+        for r in spark.sql(
+            """
+            SELECT o_orderpriority,
+                   ROUND(CAST(SUM(CAST(o_totalprice * 1.1 AS DECIMAL(18,4))) AS DOUBLE), 4) AS taxed_total,
+                   ROUND(EXP(AVG(LN(o_totalprice))), 4) AS geomean_price
+            FROM orders WHERE o_totalprice > 0 GROUP BY o_orderpriority
+            """
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k][0] - want[k][0]) < 1e-2, k
+        assert abs(got[k][1] - want[k][1]) < 1e-2, k
+
+
+def test_create_view_database(spark, sf_dir):
+    rows = SPARK_QUERIES["ddl_create_view_database"](spark, sf_dir).collect()
+    assert all(r.n >= 5 for r in rows)
+
+
+def test_create_table_like_empty_clone(spark, sf_dir):
+    r = SPARK_QUERIES["ddl_create_table_like"](spark, sf_dir).first()
+    assert r.n == 0 and r.n_cols == 3
+
+
+def test_scan_pushdown_asserts_in_plan(spark, sf_dir):
+    # the query itself asserts PushedFilters + pruned ReadSchema
+    assert SPARK_QUERIES["scan_pushdown_pruning"](spark, sf_dir).first().n >= 0
