@@ -55,6 +55,11 @@ def _refresh_view(spark: SparkSession, t: ManagedTable) -> DataFrame:
     return df
 
 
+def table_info(name: str) -> ManagedTable | None:
+    """Registry lookup without raising (None = not a managed table)."""
+    return _REGISTRY.get(name)
+
+
 def _managed(name: str) -> ManagedTable:
     """Resolve a write-capable table or fail with an actionable error (the
     fixture views are read-only parquet scans, not managed tables)."""
@@ -239,6 +244,70 @@ def modify(spark: SparkSession, stmt: str) -> DataFrame:
         return upsert(spark, name, src)
 
     raise ValueError(f"cannot parse modify statement: {stmt}")
+
+
+_ALTER_ADD_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w`]+)\s+ADD\s+COLUMNS?\s*\((.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_DROP_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w`]+)\s+DROP\s+(?:COLUMN\s+)?([\w`]+)\s*$", re.IGNORECASE
+)
+_ALTER_CHANGE_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w`]+)\s+CHANGE\s+(?:COLUMN\s+)?([\w`]+)\s+([\w`]+)\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+_ALTER_RENAME_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w`]+)\s+RENAME\s+TO\s+([\w`]+)\s*$", re.IGNORECASE
+)
+
+
+def alter_table(spark: SparkSession, stmt: str) -> DataFrame:
+    """ALTER TABLE ADD COLUMNS / DROP COLUMN / CHANGE col / RENAME TO
+    (analysis/AlterTableStmt.java family; cup: alter_tbl_stmt).
+
+    Schema evolution on managed parquet via read-transform-overwrite — the
+    Spark-native equivalents of the reference's catalog-only mutations.
+    """
+    m = _ALTER_ADD_RE.match(stmt)
+    if m:
+        name, cols = m.group(1).strip("`"), m.group(2)
+        t = _managed(name)
+        df = spark.read.parquet(t.path)
+        for spec in cols.split(","):
+            col, _, typ = spec.strip().partition(" ")
+            df = df.withColumn(col.strip("`"), F.lit(None).cast(typ.strip()))
+        return _overwrite(spark, t, df)
+    m = _ALTER_DROP_RE.match(stmt)
+    if m:
+        name, col = m.group(1).strip("`"), m.group(2).strip("`")
+        t = _managed(name)
+        df = spark.read.parquet(t.path)
+        if col not in df.columns:
+            raise ValueError(f"ALTER TABLE {name} DROP COLUMN: no column '{col}'")
+        return _overwrite(spark, t, df.drop(col))
+    m = _ALTER_CHANGE_RE.match(stmt)
+    if m:
+        name, old, new, typ = (g.strip("`") for g in m.groups())
+        t = _managed(name)
+        df = spark.read.parquet(t.path).withColumn(old, F.col(old).cast(typ))
+        if old != new:
+            df = df.withColumnRenamed(old, new)
+        return _overwrite(spark, t, df)
+    m = _ALTER_RENAME_RE.match(stmt)
+    if m:
+        old, new = m.group(1).strip("`"), m.group(2).strip("`")
+        t = _managed(old)
+        if new in _REGISTRY:
+            raise ValueError(f"ALTER TABLE RENAME: table '{new}' already exists")
+        spark.catalog.dropTempView(old)
+        _REGISTRY[new] = ManagedTable(
+            name=new, path=t.path, partition_cols=t.partition_cols,
+            primary_key=t.primary_key, schema=t.schema,
+        )
+        del _REGISTRY[old]
+        return _refresh_view(spark, _REGISTRY[new])
+    raise ValueError(f"cannot parse ALTER TABLE: {stmt}")
 
 
 def upsert(spark: SparkSession, table: str, source: DataFrame) -> DataFrame:

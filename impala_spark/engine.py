@@ -13,6 +13,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from impala_spark import ddl
 from impala_spark.parser import translate
@@ -68,6 +69,8 @@ class ImpalaEngine:
             return self.spark.sql("SELECT current_database() AS db")
 
         upper = q.upper()
+        if upper.startswith("ALTER TABLE"):
+            return ddl.alter_table(self.spark, q)
         if upper.startswith(("UPDATE ", "DELETE ", "UPSERT ")):
             return ddl.modify(self.spark, q)
         if upper.startswith("TRUNCATE"):
@@ -135,6 +138,44 @@ class ImpalaEngine:
 
     def describe(self, table: str, formatted: bool = False) -> DataFrame:
         return self.spark.sql(f"DESCRIBE {'FORMATTED ' if formatted else ''}{table}")
+
+    def show_partitions(self, table: str) -> DataFrame:
+        """SHOW PARTITIONS (catalog/HdfsTable partition listing). Managed
+        partitioned tables list distinct partition values + file stats."""
+        t = ddl.table_info(table)
+        if t is not None and t.partition_cols:
+            df = self.spark.read.parquet(t.path)
+            return (
+                df.groupBy(*t.partition_cols)
+                .agg(F.count(F.lit(1)).cast("bigint").alias("num_rows"))
+                .orderBy(*t.partition_cols)
+            )
+        return self.spark.sql(f"SHOW PARTITIONS {table}")
+
+    def show_files(self, table: str) -> DataFrame:
+        """SHOW FILES IN t — data files + sizes (HdfsTable file descriptors)."""
+        import os
+
+        t = ddl.table_info(table)
+        if t is None:
+            raise ValueError(f"SHOW FILES: '{table}' is not a managed table")
+        rows = []
+        for root, _dirs, files in os.walk(t.path):
+            for f in files:
+                if f.endswith((".parquet", ".snappy.parquet")):
+                    p = os.path.join(root, f)
+                    rows.append((os.path.relpath(p, t.path), os.path.getsize(p)))
+        return self.spark.createDataFrame(rows, "path: string, size_bytes: long")
+
+    def show_create_table(self, table: str) -> DataFrame:
+        """SHOW CREATE TABLE — reconstructed DDL text."""
+        t = ddl.table_info(table)
+        if t is not None:
+            cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in self.spark.table(table).schema.fields)
+            part = f" PARTITIONED BY ({', '.join(t.partition_cols)})" if t.partition_cols else ""
+            ddl_text = f"CREATE TABLE {table} ({cols}) STORED AS PARQUET{part} LOCATION '{t.path}'"
+            return self.spark.createDataFrame([(ddl_text,)], "createtab_stmt: string")
+        return self.spark.sql(f"SHOW CREATE TABLE {table}")
 
     # -- EXPLAIN (Frontend.getExplainString analog) --------------------------
     def _explain_df(self, query: str) -> DataFrame:

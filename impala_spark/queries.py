@@ -1571,3 +1571,92 @@ def q_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and "l_comment" not in m.group(1) and "l_orderkey" not in m.group(1), plan[:800]
     return q
+
+
+@register(
+    "ddl_alter_table",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN r_regionkey >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS key_as_bigint_ok
+    FROM region
+    """,
+)
+def q_alter_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ADD COLUMNS / CHANGE type / DROP COLUMN / RENAME TO
+    (analysis/AlterTableStmt.java family) as schema evolution on managed
+    parquet."""
+    register_tables(spark, sf_dir)
+    eng = ImpalaEngine(spark)
+    ddl.drop_table(spark, "region_alt")
+    ddl.drop_table(spark, "region_alt2")
+    ddl.create_table_as_select(spark, "region_alt", "SELECT * FROM region")
+    eng.sql("ALTER TABLE region_alt ADD COLUMNS (note string, score double)")
+    assert "note" in spark.table("region_alt").columns
+    eng.sql("ALTER TABLE region_alt CHANGE r_regionkey r_regionkey bigint")
+    eng.sql("ALTER TABLE region_alt DROP COLUMN note")
+    assert "note" not in spark.table("region_alt").columns
+    eng.sql("ALTER TABLE region_alt RENAME TO region_alt2")
+    t = spark.table("region_alt2")
+    assert dict(t.dtypes)["r_regionkey"] == "bigint"
+    return t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("r_regionkey") >= 0, 1).otherwise(0)).cast("bigint").alias("key_as_bigint_ok"),
+    )
+
+
+@register(
+    "meta_show_partitions_files",
+    """
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS num_rows
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW PARTITIONS / SHOW FILES / SHOW CREATE TABLE over a partitioned
+    managed table (catalog/HdfsTable.java partition+file descriptors)."""
+    register_tables(spark, sf_dir)
+    eng = ImpalaEngine(spark)
+    ddl.drop_table(spark, "orders_by_status")
+    ddl.create_table_as_select(
+        spark, "orders_by_status",
+        "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders",
+        partition_cols=["o_orderstatus"],
+    )
+    files = eng.show_files("orders_by_status").collect()
+    assert len(files) > 0 and all(f.size_bytes > 0 for f in files)
+    ct = eng.show_create_table("orders_by_status").first().createtab_stmt
+    assert "PARTITIONED BY (o_orderstatus)" in ct and "STORED AS PARQUET" in ct
+    return eng.show_partitions("orders_by_status").withColumnRenamed(
+        "o_orderstatus", "o_orderstatus"
+    )
+
+
+@register(
+    "nested_struct_map_access",
+    """
+    SELECT n_nationkey,
+           n_name AS via_struct,
+           n_regionkey AS via_map,
+           UPPER(n_name) AS via_struct_fn
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def q_nested_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SlotRef nested path access a.b.c + map key/value access
+    (analysis/SlotRef.java, Path.java:30-80): build struct/map columns,
+    read them back through dotted paths and element_at."""
+    n = table(spark, sf_dir, "nation")
+    nested = n.select(
+        "n_nationkey",
+        F.struct(
+            F.col("n_name").alias("name"),
+            F.struct(F.col("n_regionkey").alias("rk")).alias("geo"),
+        ).alias("info"),
+        F.create_map(F.lit("rk"), F.col("n_regionkey")).alias("attrs"),
+    )
+    return nested.select(
+        "n_nationkey",
+        F.col("info.name").alias("via_struct"),
+        F.element_at("attrs", "rk").alias("via_map"),
+        F.upper(F.col("info.name")).alias("via_struct_fn"),
+    ).orderBy("n_nationkey")

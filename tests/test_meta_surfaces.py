@@ -86,3 +86,27 @@ def test_create_table_like_empty_clone(spark, sf_dir):
 def test_scan_pushdown_asserts_in_plan(spark, sf_dir):
     # the query itself asserts PushedFilters + pruned ReadSchema
     assert SPARK_QUERIES["scan_pushdown_pruning"](spark, sf_dir).first().n >= 0
+
+
+def test_alter_table_lifecycle(spark, sf_dir):
+    r = SPARK_QUERIES["ddl_alter_table"](spark, sf_dir).first()
+    assert r.n == 5 and r.key_as_bigint_ok == 5
+
+
+def test_show_partitions_files_create(spark, sf_dir):
+    rows = SPARK_QUERIES["meta_show_partitions_files"](spark, sf_dir).collect()
+    assert {r.o_orderstatus for r in rows} == {"F", "O", "P"}
+
+
+def test_nested_struct_map_roundtrip(spark, sf_dir):
+    rows = SPARK_QUERIES["nested_struct_map_access"](spark, sf_dir).collect()
+    assert rows[0].via_struct_fn == rows[0].via_struct.upper()
+    assert all(r.via_map is not None for r in rows)
+
+
+def test_alter_unparseable_raises(spark, sf_dir):
+    from impala_spark import ddl as _ddl
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _ddl.alter_table(spark, "ALTER TABLE x SET TBLPROPERTIES ('a'='b')")
