@@ -26,6 +26,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: dedup, MinHash-LSH, ANN, streaming-window batch).
 HEADLINE = [
     "pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q10_returned_items",
     "join_fact_fact",
     "join_three_way",
     "agg_count_distinct",

@@ -1660,3 +1660,139 @@ def q_nested_access(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("attrs", "rk").alias("via_map"),
         F.upper(F.col("info.name")).alias("via_struct_fn"),
     ).orderBy("n_nationkey")
+
+
+# =====================================================================
+# 12. Multi-join workload shapes (TPC-H public spec Q3/Q5/Q10 shapes) —
+#     the scale showcases: dim broadcasts + fact shuffles + runtime
+#     filters, the plan the reference's DistributedPlanner would pick.
+# =====================================================================
+
+sql_query(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS STRING) AS o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+
+sql_query(
+    "tpch_q5_local_supplier",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+
+sql_query(
+    "tpch_q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+
+
+@register(
+    "outer_join_inline_view_nulls",
+    """
+    SELECT c.c_custkey, v.n_orders
+    FROM customer c LEFT JOIN (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ) v ON c.c_custkey = v.o_custkey
+    WHERE c.c_custkey <= 200
+    ORDER BY c.c_custkey
+    """,
+)
+def q_tuple_is_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TupleIsNullPredicate semantics (analysis/TupleIsNullPredicate.java:
+    28-38): an inline-view count(*) must come back NULL (not 0) for
+    non-matching outer-join rows. Spark handles this natively — this query
+    pins the behavior so a regression (e.g. a coalesce-0 'optimization')
+    is caught."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    v = o.groupBy("o_custkey").agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    return (
+        c.filter(F.col("c_custkey") <= 200)
+        .join(v, c.c_custkey == v.o_custkey, "left")
+        .select("c_custkey", "n_orders")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "ddl_insert_append",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT src) AS BIGINT) AS n_sources
+    FROM (
+      SELECT 'base' AS src, r_regionkey FROM region
+      UNION ALL
+      SELECT 'appended' AS src, r_regionkey FROM region WHERE r_regionkey < 3
+    ) t
+    """,
+)
+def q_insert_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT INTO (append mode — analysis/InsertStmt.java:114-116 without
+    overwrite; HdfsTableSink append)."""
+    register_tables(spark, sf_dir)
+    ddl.drop_table(spark, "region_ins")
+    ddl.create_table_as_select(
+        spark, "region_ins", "SELECT 'base' AS src, r_regionkey FROM region"
+    )
+    ddl.insert(
+        spark, "region_ins",
+        "SELECT 'appended' AS src, r_regionkey FROM region WHERE r_regionkey < 3",
+        overwrite=False,
+    )
+    t = spark.table("region_ins")
+    return t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_distinct(F.col("src")).cast("bigint").alias("n_sources"),
+    )
