@@ -27,6 +27,23 @@ def ndv(col: Column | str) -> Column:
     return F.approx_count_distinct(col)
 
 
+def ndv_sketch(col: Column | str) -> Column:
+    """Impala ndv_no_finalize() (BuiltinsDb.java:761-771): the mergeable
+    HLL intermediate state used by COMPUTE INCREMENTAL STATS — per-partition
+    sketches union without rescanning old partitions. Spark: Datasketches
+    HLL via hll_sketch_agg; merge with hll_union_agg, read with
+    hll_sketch_estimate."""
+    return F.hll_sketch_agg(col)
+
+
+def ndv_sketch_merge(sketch_col: Column | str) -> Column:
+    return F.hll_union_agg(sketch_col)
+
+
+def ndv_sketch_estimate(sketch_col: Column | str) -> Column:
+    return F.hll_sketch_estimate(sketch_col)
+
+
 def appx_median(col: Column | str) -> Column:
     """Impala appx_median() (BuiltinsDb.java:731-740)."""
     return F.percentile_approx(col, 0.5)

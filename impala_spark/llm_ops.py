@@ -418,6 +418,77 @@ def lsh_bucketed_ann(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame, threshold: float = 0.95, planes: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding", tables: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed (never all-pairs).
+
+    `tables` independent random-hyperplane signatures; vectors sharing a
+    signature in ANY table become candidates (standard multi-table LSH:
+    recall grows with tables while each join stays a bucket-key equi-join).
+    Candidates are deduped then exactly re-scored with cosine; pairs below
+    `threshold` are dropped. At 100 TB each table's join shuffles
+    (id, 8-byte bucket) pairs — the vectors travel only for the final
+    rescoring join, keyed by id.
+    """
+
+    def signature(vcol, seed: int):
+        v = vcol.cast("array<double>")
+        dim_idx = F.sequence(F.lit(0), F.size(v) - 1)
+
+        def plane_component(p: int):
+            def comp(x, i):
+                sign = F.when(
+                    F.xxhash64(i.cast("string"), F.lit(p), F.lit(seed)).bitwiseAND(F.lit(1)) == 1,
+                    1.0,
+                ).otherwise(-1.0)
+                return x * sign
+
+            return F.zip_with(v, dim_idx, comp)
+
+        bits = []
+        for p in range(planes):
+            proj = F.aggregate(plane_component(p), F.lit(0.0), lambda acc, x: acc + x)
+            bits.append(
+                F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
+            )
+        total = bits[0]
+        for b in bits[1:]:
+            total = total + b
+        # disambiguate tables so buckets from different tables never join
+        return total * F.lit(tables + 1) + F.lit(seed)
+
+    # materialize signatures once behind an exchange (same reasoning as
+    # minhash_lsh_pairs: signature exprs must not re-inline per consumer)
+    vecs = _spread(df).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    sigs = vecs.select(
+        "id", F.explode(F.array(*[signature(F.col("v"), t) for t in range(tables)])).alias("bucket")
+    ).repartition(F.col("bucket"))
+    cand = (
+        sigs.select(F.col("id").alias("a_id"), "bucket")
+        .join(sigs.select(F.col("id").alias("b_id"), "bucket"), "bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    by_id = vecs.repartition(F.col("id"))
+    scored = (
+        cand.join(by_id.select(F.col("id").alias("a_id"), F.col("v").alias("a_v")), "a_id")
+        .join(by_id.select(F.col("id").alias("b_id"), F.col("v").alias("b_v")), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                _dot(F.col("a_v").cast("array<double>"), F.col("b_v").cast("array<double>"))
+                / (_norm(F.col("a_v").cast("array<double>")) * _norm(F.col("b_v").cast("array<double>"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.filter(F.col("cos_sim") >= threshold).select("a_id", "b_id", "cos_sim")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns: binary payloads + typed metadata. The decode step is
 # stubbed (no image/audio libs in this container) but the Spark plumbing —

@@ -1796,3 +1796,52 @@ def q_insert_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.count_distinct(F.col("src")).cast("bigint").alias("n_sources"),
     )
+
+
+@register("llm_embedding_near_dup")  # rows-only: LSH recall is probabilistic
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection, LSH-bucketed (llm_ops.
+    embedding_near_dup_pairs). The fixture has no true near-dups (max pair
+    cosine 0.51 at sf0.01), so the query plants one perturbed copy per
+    original (deterministic hash noise, cosine ~0.999) and must find them:
+    each (id, id+1M) pair is a planted true positive. Returns per-threshold
+    counts so the driver sees a stable shape."""
+    from impala_spark import llm_ops
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    noise = F.transform(
+        "embedding",
+        lambda x, i: x + (F.xxhash64(i.cast("string"), F.col("vec_id")) % 1000).cast("double") / 50000.0,
+    )
+    planted = emb.withColumn("vec_id", F.col("vec_id") + 1000000).withColumn(
+        "embedding", noise
+    )
+    corpus = emb.unionByName(planted)
+    pairs = llm_ops.embedding_near_dup_pairs(corpus, threshold=0.99)
+    found = pairs.filter(F.col("b_id") == F.col("a_id") + 1000000)
+    return found.agg(
+        F.count(F.lit(1)).cast("bigint").alias("planted_pairs_found"),
+        F.round(F.min("cos_sim"), 3).alias("min_sim"),
+    )
+
+
+@register("agg_ndv_incremental")  # rows-only: HLL estimates are approximate
+def q_ndv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPUTE INCREMENTAL STATS core (analysis/ComputeStatsStmt.java +
+    BuiltinsDb ndv_no_finalize): per-partition HLL sketches merged to a
+    global NDV without rescanning — new partitions only add their own
+    sketch. Self-asserts <5% relative error vs the exact distinct count."""
+    o = table(spark, sf_dir, "orders")
+    per_part = o.groupBy("o_orderstatus").agg(ifn.ndv_sketch(F.col("o_custkey")).alias("sk"))
+    merged = per_part.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("ndv_est")
+    )
+    exact = o.agg(F.count_distinct(F.col("o_custkey")).alias("ndv_exact"))
+    out = merged.crossJoin(exact).select(
+        F.col("ndv_est").cast("bigint"),
+        F.col("ndv_exact").cast("bigint"),
+        F.round(F.abs(F.col("ndv_est") - F.col("ndv_exact")) / F.col("ndv_exact"), 4).alias("rel_err"),
+    )
+    r = out.first()
+    assert r.rel_err < 0.05, f"HLL estimate off by {r.rel_err}"
+    return out

@@ -4,6 +4,7 @@
 from pyspark.sql import functions as F
 
 from impala_spark import llm_ops
+from impala_spark.queries import SPARK_QUERIES as SPARK_QUERIES_ND
 from impala_spark.session import table
 
 
@@ -127,3 +128,24 @@ def test_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         llm_ops.decode_image_batch(b"bytes")
+
+
+def test_embedding_near_dup_recall(spark, sf_dir):
+    r = SPARK_QUERIES_ND["llm_embedding_near_dup"](spark, sf_dir).first()
+    # 50 planted pairs at sf0.001; multi-table LSH must find nearly all
+    assert r.planted_pairs_found >= 45
+    assert r.min_sim > 0.98
+
+
+def test_embedding_near_dup_no_cartesian(spark, sf_dir):
+    from impala_spark import llm_ops as _ops
+    from impala_spark.session import table as _table
+
+    emb = _table(spark, sf_dir, "embeddings")
+    plan = _ops.embedding_near_dup_pairs(emb)._jdf.queryExecution().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_ndv_incremental_sketch_merge(spark, sf_dir):
+    r = SPARK_QUERIES_ND["agg_ndv_incremental"](spark, sf_dir).first()
+    assert r.rel_err < 0.05
