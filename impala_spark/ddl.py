@@ -130,6 +130,19 @@ def insert(
     if static_partition:
         for k, v in static_partition.items():
             df = df.withColumn(k, F.lit(v))
+    # Impala InsertStmt analysis: column count must match the target
+    # exactly; values bind by POSITION and cast to the target types.
+    # Without this an off-by-one SELECT silently appends a mismatched
+    # parquet schema into the table directory.
+    target = spark.table(table)
+    if len(df.columns) != len(target.columns):
+        raise ValueError(
+            f"INSERT into {table}: {len(df.columns)} columns provided, "
+            f"{len(target.columns)} expected ({', '.join(target.columns)})"
+        )
+    df = df.toDF(*target.columns).select(
+        *[F.col(c).cast(f.dataType) for c, f in zip(target.columns, target.schema.fields)]
+    )
     mode = "overwrite" if overwrite else "append"
     if t.partition_cols:
         df = df.sortWithinPartitions(*t.partition_cols)

@@ -26,6 +26,11 @@ _DROP_STATS_RE = re.compile(r"^\s*DROP\s+(INCREMENTAL\s+)?STATS\s+([\w.`]+)\s*$"
 _SET_RE = re.compile(r"^\s*SET\s+(\w+)\s*=\s*(.+?)\s*$", re.IGNORECASE)
 _USE_RE = re.compile(r"^\s*USE\s+([\w`]+)\s*$", re.IGNORECASE)
 _EXPLAIN_RE = re.compile(r"^\s*EXPLAIN\s+(.*)$", re.IGNORECASE | re.DOTALL)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?(?P<table>[\w`]+)\s*"
+    r"(?:PARTITION\s*\((?P<part>[^)]*)\)\s*)?(?P<select>(?:SELECT|VALUES|WITH)\s.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 #: Impala query option -> Spark conf (subset that makes sense on Spark).
 _QUERY_OPTIONS = {
@@ -69,6 +74,30 @@ class ImpalaEngine:
             return self.spark.sql("SELECT current_database() AS db")
 
         upper = q.upper()
+        m = _INSERT_RE.match(q)
+        if m and ddl.table_info(m.group("table").strip("`")) is None:
+            # never let a write statement fall through to Spark against a
+            # read-only fixture view — it would try to write the view's
+            # backing files.
+            raise ValueError(
+                f"INSERT target '{m.group('table')}' is not a managed table; "
+                "create it with CTAS/CREATE TABLE first"
+            )
+        if m:
+            static = None
+            if m.group("part"):
+                static = {}
+                for kv in m.group("part").split(","):
+                    k, eq, v = kv.partition("=")
+                    if eq:  # static key; dynamic keys have no '='
+                        static[k.strip().strip("`")] = v.strip().strip("'\"")
+            return ddl.insert(
+                self.spark,
+                m.group("table").strip("`"),
+                m.group("select"),
+                overwrite=m.group("mode").upper() == "OVERWRITE",
+                static_partition=static or None,
+            )
         if upper.startswith("ALTER TABLE"):
             return ddl.alter_table(self.spark, q)
         if upper.startswith(("UPDATE ", "DELETE ", "UPSERT ")):

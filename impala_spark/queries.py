@@ -66,9 +66,9 @@ sql_query(
       l_returnflag,
       l_linestatus,
       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_charge,
       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
@@ -1672,7 +1672,7 @@ sql_query(
     "tpch_q3_shipping_priority",
     """
     SELECT l_orderkey,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
            CAST(o_orderdate AS STRING) AS o_orderdate, o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -1685,7 +1685,7 @@ sql_query(
     """,
     """
     SELECT l_orderkey,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
            strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -1702,7 +1702,7 @@ sql_query(
     "tpch_q5_local_supplier",
     """
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -1721,7 +1721,7 @@ sql_query(
     "tpch_q10_returned_items",
     """
     SELECT c_custkey, c_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
            CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
@@ -1845,3 +1845,22 @@ def q_ndv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = out.first()
     assert r.rel_err < 0.05, f"HLL estimate off by {r.rel_err}"
     return out
+
+
+sql_query(
+    "expr_bit_xor_not_factorial",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_linenumber ^ 3 AS BIGINT) AS bit_xor,
+           CAST(~l_linenumber AS BIGINT) AS bit_not,
+           CAST(FACTORIAL(CAST(l_linenumber % 10 AS INT)) AS BIGINT) AS fact
+    FROM lineitem WHERE l_orderkey <= 100
+    """,
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(xor(l_linenumber, 3) AS BIGINT) AS bit_xor,
+           CAST(~l_linenumber AS BIGINT) AS bit_not,
+           CAST(factorial(CAST(l_linenumber % 10 AS INT)) AS BIGINT) AS fact
+    FROM lineitem WHERE l_orderkey <= 100
+    """,
+)

@@ -110,3 +110,25 @@ def test_alter_unparseable_raises(spark, sf_dir):
 
     with _pytest.raises(ValueError):
         _ddl.alter_table(spark, "ALTER TABLE x SET TBLPROPERTIES ('a'='b')")
+
+
+def test_insert_sql_routing(spark, sf_dir):
+    from impala_spark import ddl as _ddl
+    from impala_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    eng = ImpalaEngine(spark)
+    _ddl.drop_table(spark, "r_ins_sql")
+    _ddl.create_table_as_select(spark, "r_ins_sql", "SELECT r_regionkey, r_name FROM region")
+    eng.sql("INSERT INTO r_ins_sql SELECT r_regionkey + 100, UPPER(r_name) FROM region")
+    assert spark.table("r_ins_sql").count() == 10
+    eng.sql("INSERT OVERWRITE TABLE r_ins_sql SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 2")
+    assert spark.table("r_ins_sql").count() == 2
+
+
+def test_insert_into_fixture_view_blocked(spark, sf_dir):
+    import pytest as _pytest
+
+    eng = ImpalaEngine(spark, sf_dir)
+    with _pytest.raises(ValueError, match="not a managed table"):
+        eng.sql("INSERT INTO nation SELECT * FROM nation")
