@@ -196,3 +196,62 @@ def exchange(df: DataFrame, kind: str, *cols: str, n: int | None = None) -> Data
     if kind == "RANGE_PARTITIONED":
         return df.repartitionByRange(*cols)
     raise ValueError(kind)
+
+
+# ---------------------------------------------------------------------------
+# Skew mitigation (the manual analog of AQE's skew-join splitting, for when
+# a single hot key overwhelms one reducer at 100 TB; reference counterpart:
+# Impala relies on broadcast joins for this — planner/DistributedPlanner
+# .java:420-536 — Spark adds the salting option for fact-fact skew)
+# ---------------------------------------------------------------------------
+
+
+def salted_join(
+    large: DataFrame, small: DataFrame, on: Sequence[str], how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Equi-join with key salting: the large side's rows spread across
+    `salt` sub-keys (deterministic hash of the full row), the small side is
+    replicated `salt` times. A hot key that would land on ONE reducer now
+    lands on `salt` of them; the small side grows linearly with `salt`
+    (keep it for dimension-ish sides, use AQE skew-join for fact-fact).
+
+    Result is row-identical to large.join(small, on, how).
+    """
+    on = list(on)
+    lcols = [c for c in large.columns]
+    lsalt = large.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in lcols]), F.lit(salt)).cast("int"),
+    )
+    rsalt = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return lsalt.join(rsalt, on + ["_salt"], how).drop("_salt")
+
+
+def salted_agg(
+    df: DataFrame, keys: Sequence[str], salt: int = 16, **aggs: Column
+) -> DataFrame:
+    """Two-stage aggregation with salting: stage 1 aggregates on
+    (keys + salt) so a hot group's partials spread over `salt` reducers;
+    stage 2 merges the partials per key. Only decomposable aggregates
+    (sum/count/min/max) — the same restriction as Impala's streaming
+    pre-aggregation (planner/AggregationNode.java:43-75).
+
+    aggs: name -> ('sum'|'count'|'min'|'max', column). Result is
+    row-identical to df.groupBy(keys).agg(...).
+    """
+    keys = list(keys)
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt)).cast("int"),
+    )
+    partial_exprs, final_exprs = [], []
+    merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    first_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    for name, (kind, col) in aggs.items():
+        partial_exprs.append(first_fn[kind](col).alias(f"_p_{name}"))
+        final_exprs.append(merge_fn[kind](F.col(f"_p_{name}")).alias(name))
+    partial = salted.groupBy(*keys, "_salt").agg(*partial_exprs)
+    return partial.groupBy(*keys).agg(*final_exprs)

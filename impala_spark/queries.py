@@ -1864,3 +1864,60 @@ sql_query(
     FROM lineitem WHERE l_orderkey <= 100
     """,
 )
+
+
+@register(
+    "join_skewed_salted",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join (operators.salted_join): hot keys spread over 8
+    salt buckets, small side replicated. Oracle = the plain join — salting
+    must be result-invariant."""
+    lf = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = ops.salted_join(
+        lf.withColumnRenamed("l_orderkey", "k"),
+        o.withColumnRenamed("o_orderkey", "k"),
+        on=["k"],
+        salt=8,
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_skewed_salted",
+    """
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation (operators.salted_agg) on a low-NDV
+    (i.e. maximally skewed) grouping key. Oracle = plain groupBy."""
+    lf = table(spark, sf_dir, "lineitem")
+    out = ops.salted_agg(
+        lf.select("l_returnflag", "l_quantity", "l_extendedprice"),
+        keys=["l_returnflag"],
+        salt=16,
+        n=("count", F.col("l_quantity")),
+        max_price=("max", F.col("l_extendedprice")),
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n").cast("bigint"),
+        F.col("max_price").cast("double"),
+    ).orderBy("l_returnflag")

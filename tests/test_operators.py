@@ -100,3 +100,40 @@ def test_exchange_partition_counts(spark, sf_dir):
     plan = hashed._jdf.queryExecution().toString()
     assert "hashpartitioning(o_custkey" in plan
     assert hashed.rdd.getNumPartitions() >= 1
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    lf = table(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"), "l_quantity")
+    o = table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"), "o_orderpriority")
+    plain = lf.join(o, "k").count()
+    salted = ops.salted_join(lf, o, on=["k"], salt=8).count()
+    assert salted == plain
+
+
+def test_salted_join_left_outer(spark, sf_dir):
+    n = table(spark, sf_dir, "nation").select(F.col("n_regionkey").alias("k"), "n_name")
+    r = table(spark, sf_dir, "region").filter("r_regionkey < 2").select(
+        F.col("r_regionkey").alias("k"), "r_name"
+    )
+    plain = n.join(r, "k", "left")
+    salted = ops.salted_join(n, r, on=["k"], how="left", salt=4)
+    assert salted.count() == plain.count()
+    assert salted.filter(F.col("r_name").isNull()).count() == plain.filter(F.col("r_name").isNull()).count()
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    lf = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    plain = {
+        (r.l_returnflag): (r.n, float(r.s))
+        for r in lf.groupBy("l_returnflag")
+        .agg(F.count("l_quantity").alias("n"), F.sum("l_quantity").alias("s"))
+        .collect()
+    }
+    got = {
+        (r.l_returnflag): (r.n, float(r.s))
+        for r in ops.salted_agg(
+            lf, keys=["l_returnflag"], salt=16,
+            n=("count", F.col("l_quantity")), s=("sum", F.col("l_quantity")),
+        ).collect()
+    }
+    assert got == plain
