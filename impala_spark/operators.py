@@ -255,3 +255,87 @@ def salted_agg(
         final_exprs.append(merge_fn[kind](F.col(f"_p_{name}")).alias(name))
     partial = salted.groupBy(*keys, "_salt").agg(*partial_exprs)
     return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def asof_join(
+    left: DataFrame, right: DataFrame, key: str,
+    left_ts: str = "ts", right_ts: str = "ts",
+    value_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Backward AS-OF join: for each left row, the most recent right row
+    with right.ts <= left.ts for the same key (ties: the equal-ts right row
+    IS visible). Spark has no native as-of join; this is the union+window
+    formulation — ONE shuffle on (key) and one sort per partition, the
+    same cost as a co-partitioned merge join, with no row explosion:
+
+      union(left, right) -> window per key ordered by (ts, side) ->
+      last(right_value IGNORE NULLS) carried forward -> keep left rows.
+
+    At 100 TB this beats the range-join formulation (which explodes into
+    per-bucket candidates) and the per-key applyInPandas merge_asof
+    (Python in the hot path).
+
+    Ties between multiple right rows at the SAME (key, ts) resolve
+    arbitrarily (one of them wins — same contract as pandas merge_asof);
+    pre-aggregate the right side if that matters.
+    """
+    from pyspark.sql.window import Window
+
+    value_cols = list(value_cols or [c for c in right.columns if c not in (key, right_ts)])
+    l = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
+    for c in value_cols:
+        l = l.withColumn(f"_r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    lcols = [c for c in left.columns]
+    combined = l.select(
+        *lcols, "_side", "_ts", *[f"_r_{c}" for c in value_cols]
+    ).unionByName(
+        r.select(
+            *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) if c != key else F.col(key) for c in lcols],
+            "_side", "_ts", *[f"_r_{c}" for c in value_cols],
+        )
+    )
+    # right rows (side 0) sort before left rows (side 1) at equal ts, so an
+    # equal-ts right value is already visible to the left row's frame
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in value_cols:
+        combined = combined.withColumn(c, F.last(f"_r_{c}", ignorenulls=True).over(w))
+    return combined.filter(F.col("_side") == 1).select(*lcols, *value_cols)
+
+
+def range_join(
+    left: DataFrame, right: DataFrame, point_col: str,
+    start_col: str, end_col: str, bucket_seconds: int = 3600,
+    extra_key: str | None = None,
+) -> DataFrame:
+    """Point-in-interval join: left rows matched to right intervals with
+    start <= point <= end. Spark would plan the naive formulation as a
+    nested-loop (cartesian) join; this bucketizes time so candidates meet
+    through a hash-shuffle equi-join on (bucket [, extra_key]) and the
+    interval predicate runs only within buckets.
+
+    Each right interval explodes into ceil(len/bucket)+1 bucket rows —
+    pick bucket_seconds near the typical interval length so the blowup
+    stays ~2x. A left point lives in exactly one bucket, so no
+    dedup is needed.
+    """
+    point_b = F.floor(F.unix_timestamp(F.col(point_col)) / bucket_seconds)
+    start_b = F.floor(F.unix_timestamp(F.col(start_col)) / bucket_seconds)
+    end_b = F.floor(F.unix_timestamp(F.col(end_col)) / bucket_seconds)
+    l = left.withColumn("_b", point_b)
+    r = right.withColumn("_b", F.explode(F.sequence(start_b, end_b)))
+    keys = ["_b"] + ([extra_key] if extra_key else [])
+    return (
+        l.join(r, keys)
+        .filter((F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col)))
+        .drop("_b")
+    )

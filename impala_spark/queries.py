@@ -1921,3 +1921,76 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint"),
         F.col("max_price").cast("double"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "events_asof_join",
+    """
+    SELECT c.event_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           c.user_id,
+           p.value AS last_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    ORDER BY c.event_id
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward AS-OF join (operators.asof_join): for every click, the
+    user's most recent purchase value at or before the click. No native
+    Spark equivalent — union+window formulation, one shuffle on user_id;
+    oracle is DuckDB's native ASOF LEFT JOIN."""
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "ts", "user_id")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = ops.asof_join(clicks, purchases, key="user_id", value_cols=["value"])
+    return out.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "user_id",
+        F.col("value").alias("last_purchase_value"),
+    ).orderBy("event_id")
+
+
+@register(
+    "events_range_join",
+    oracle="""
+    SELECT e.event_id, w.user_id, CAST(w.n_in_window AS BIGINT) AS n_in_window
+    FROM (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click') e
+    JOIN (
+      SELECT user_id, ts AS w_start, ts + INTERVAL 30 MINUTE AS w_end,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_in_window
+      FROM events WHERE event_type = 'signup'
+    ) w ON e.user_id = w.user_id AND e.ts >= w.w_start AND e.ts <= w.w_end
+    ORDER BY e.event_id, w.w_start
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (operators.range_join): clicks inside each
+    signup's 30-minute window — hash-shuffle on (bucket, user_id), never a
+    nested-loop/cartesian plan; asserted on the physical plan."""
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "ts", "user_id")
+    wins = (
+        e.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("w_user"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("w_end"),
+        )
+        .withColumn("n_in_window", F.count(F.lit(1)).over(__import__("pyspark").sql.window.Window.partitionBy("w_user")))
+    )
+    j = ops.range_join(
+        clicks.withColumnRenamed("user_id", "w_user"),
+        wins, "ts", "w_start", "w_end", bucket_seconds=1800, extra_key="w_user",
+    )
+    plan = j._jdf.queryExecution().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan[:400]
+    return (
+        j.select(
+            "event_id",
+            F.col("w_user").alias("user_id"),
+            F.col("n_in_window").cast("bigint"),
+        ).orderBy("event_id", "w_start")
+    )

@@ -137,3 +137,32 @@ def test_salted_agg_matches_plain(spark, sf_dir):
         ).collect()
     }
     assert got == plain
+
+
+def test_asof_join_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 5), (1, 10), (1, 20), (2, 10)], "k: int, ts: int"
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 1.5), (1, 15, 2.5), (1, 10, 9.0), (2, 99, 9.9)], "k: int, ts: int, px: double"
+    )
+    rows = {(r.k, r.ts): r.px for r in ops.asof_join(left, right, key="k").collect()}
+    assert rows[(1, 5)] is None          # nothing at or before ts 5
+    assert rows[(1, 10)] == 9.0          # equal-ts right row IS visible
+    assert rows[(1, 20)] == 2.5          # most recent (ts 15) wins
+    assert rows[(2, 10)] is None         # right row is later
+
+
+def test_asof_join_matches_registered_oracle_shape(spark, sf_dir):
+    from impala_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["events_asof_join"](spark, sf_dir)
+    assert df.count() > 0
+    assert df.columns == ["event_id", "click_ts", "user_id", "last_purchase_value"]
+
+
+def test_range_join_no_cartesian_and_bounds(spark, sf_dir):
+    from impala_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["events_range_join"](spark, sf_dir)
+    assert df.count() >= 0  # the query itself asserts the plan shape
