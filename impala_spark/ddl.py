@@ -88,7 +88,11 @@ def create_table_as_select(
     mode: str = "overwrite",
 ) -> DataFrame:
     """CTAS (analysis/CreateTableAsSelectStmt.java). Writes parquet, registers
-    a view, and records the table for later INSERT/UPDATE/DELETE."""
+    a view, and records the table for later INSERT/UPDATE/DELETE.
+
+    NB: CREATE-OR-REPLACE semantics — an existing table of the same name is
+    overwritten (Impala errors without IF NOT EXISTS; the replace behavior
+    keeps harness queries idempotent across repeated runs)."""
     df = spark.sql(translate(query_or_df)) if isinstance(query_or_df, str) else query_or_df
     path = os.path.join(WAREHOUSE, name)
     writer = df.write.mode(mode)

@@ -31,6 +31,19 @@ _INSERT_RE = re.compile(
     r"(?:PARTITION\s*\((?P<part>[^)]*)\)\s*)?(?P<select>(?:SELECT|VALUES|WITH)\s.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<table>[\w`]+)\s*"
+    r"(?:PARTITIONED\s+BY\s*\((?P<part>[^)]*)\)\s*)?AS\s+(?P<select>(?:SELECT|WITH|VALUES)\s.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CREATE_LIKE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<table>[\w`]+)\s+LIKE\s+(?P<like>[\w`]+)\s*$",
+    re.IGNORECASE,
+)
+_DROP_TABLE_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<table>[\w`]+)\s*(?P<purge>PURGE)?\s*$",
+    re.IGNORECASE,
+)
 
 #: Impala query option -> Spark conf (subset that makes sense on Spark).
 _QUERY_OPTIONS = {
@@ -98,6 +111,22 @@ class ImpalaEngine:
                 overwrite=m.group("mode").upper() == "OVERWRITE",
                 static_partition=static or None,
             )
+        m = _CTAS_RE.match(q)
+        if m:
+            pcols = [c.strip().strip("`") for c in (m.group("part") or "").split(",") if c.strip()]
+            return ddl.create_table_as_select(
+                self.spark, m.group("table").strip("`"), m.group("select"),
+                partition_cols=pcols or None,
+            )
+        m = _CREATE_LIKE_RE.match(q)
+        if m:
+            return ddl.create_table_like(
+                self.spark, m.group("table").strip("`"), m.group("like").strip("`")
+            )
+        m = _DROP_TABLE_RE.match(q)
+        if m and ddl.table_info(m.group("table").strip("`")) is not None:
+            ddl.drop_table(self.spark, m.group("table").strip("`"), purge=True)
+            return self.spark.sql("SELECT 'dropped' AS result")
         if upper.startswith("ALTER TABLE"):
             return ddl.alter_table(self.spark, q)
         if upper.startswith(("UPDATE ", "DELETE ", "UPSERT ")):

@@ -1163,15 +1163,50 @@ def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stm.tumbling_counts(e)
 
 
-# Sliding windows (rows-only: DuckDB has no direct hop-window surface).
-@register("events_sliding_window")
+# Sliding windows: DuckDB has no hop-window surface, but with width=2*slide
+# every event lands in exactly two windows — bucket(ts) and bucket(ts)-slide —
+# so a UNION ALL of the two shifted tumbling buckets is an exact oracle.
+@register(
+    "events_sliding_window",
+    oracle="""
+    WITH cand AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL 5 MINUTE, event_type FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM cand GROUP BY ws, event_type
+    """,
+)
 def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     return stm.sliding_counts(e)
 
 
-# Session windows (rows-only).
-@register("events_session_window")
+# Session windows: oracle reconstructs Spark's session_window semantics
+# (session = run of events with gaps <= 15 min; end = last_ts + gap) with
+# a lag/cumsum break detector.
+@register(
+    "events_session_window",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 15 MINUTE THEN 1 ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 15 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS session_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
 def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     return stm.session_windows(e)
@@ -1993,4 +2028,33 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w_user").alias("user_id"),
             F.col("n_in_window").cast("bigint"),
         ).orderBy("event_id", "w_start")
+    )
+
+
+@register(
+    "ddl_sql_lifecycle",
+    """
+    SELECT CAST(3 AS BIGINT) AS ctas_rows, CAST(0 AS BIGINT) AS like_rows,
+           CAST(3 AS BIGINT) AS inserted_rows
+    """,
+)
+def q_sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full DDL lifecycle through SQL strings only (the reference's
+    statement surface end-to-end): CTAS -> CREATE LIKE -> INSERT ->
+    DROP TABLE (service/Frontend.java dispatch + CatalogOpExecutor)."""
+    register_tables(spark, sf_dir)
+    eng = ImpalaEngine(spark)
+    eng.sql("DROP TABLE IF EXISTS lc_a")
+    eng.sql("DROP TABLE IF EXISTS lc_b")
+    eng.sql("CREATE TABLE lc_a AS SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 3")
+    ctas_rows = spark.table("lc_a").count()
+    eng.sql("CREATE TABLE lc_b LIKE lc_a")
+    like_rows = spark.table("lc_b").count()
+    eng.sql("INSERT INTO lc_b SELECT * FROM lc_a")
+    inserted = spark.table("lc_b").count()
+    eng.sql("DROP TABLE lc_a")
+    eng.sql("DROP TABLE lc_b")
+    return spark.createDataFrame(
+        [(ctas_rows, like_rows, inserted)],
+        "ctas_rows: bigint, like_rows: bigint, inserted_rows: bigint",
     )

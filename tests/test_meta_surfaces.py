@@ -132,3 +132,8 @@ def test_insert_into_fixture_view_blocked(spark, sf_dir):
     eng = ImpalaEngine(spark, sf_dir)
     with _pytest.raises(ValueError, match="not a managed table"):
         eng.sql("INSERT INTO nation SELECT * FROM nation")
+
+
+def test_sql_ddl_lifecycle(spark, sf_dir):
+    r = SPARK_QUERIES["ddl_sql_lifecycle"](spark, sf_dir).first()
+    assert (r.ctas_rows, r.like_rows, r.inserted_rows) == (3, 0, 3)
