@@ -538,8 +538,14 @@ def extract_media_features(df: DataFrame, deterministic_fake: bool = True) -> Da
             if not deterministic_fake:
                 pdf["payload"].map(decode_image_batch)  # pragma: no cover
             res = pdf[["doc_id", "modality"]].copy()
+            import hashlib
+
+            # NB: not Python hash() — that is salted per interpreter
+            # (PYTHONHASHSEED) and would differ between runs/executors.
             res["feat_hash"] = pdf["payload"].map(
-                lambda b: hash(bytes(b)) & 0x7FFFFFFFFFFFFFFF if b is not None else 0
+                lambda b: int.from_bytes(hashlib.md5(bytes(b)).digest()[:8], "big") & 0x7FFFFFFFFFFFFFFF
+                if b is not None
+                else 0
             )
             res["feat_dim"] = pdf["payload"].map(lambda b: len(b) % 512 if b is not None else 0)
             yield res

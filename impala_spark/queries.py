@@ -468,9 +468,16 @@ sql_query(
 )
 
 
-# sample() reservoir aggregate (rows-only; our impl is deterministic but
-# DuckDB has no equivalent surface).
-@register("agg_sample")
+# sample() reservoir aggregate — our stand-in is deterministic (first n
+# values ascending), so DuckDB list ops give an exact oracle.
+@register(
+    "agg_sample",
+    oracle="""
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(n_name))[1:3], ', ') AS sampled
+    FROM nation GROUP BY n_regionkey
+    """,
+)
 def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(ifn.sample("n_name", 3).alias("sampled"))
@@ -1037,7 +1044,23 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Quality score (rows-only: composite heuristic, not worth re-deriving in SQL).
-@register("llm_quality_score")
+@register(
+    "llm_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS token_count,
+             ROUND(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0 / greatest(len(text), 1), 6) AS punct_ratio,
+             len(regexp_extract_all(text, '(?i)\\b(the|and|of|to|in|is|that|for|with|was|are)\\b')) AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id, token_count,
+           ROUND(0.4 * least(token_count / 50.0, 1.0)
+               + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))
+               + 0.3 * least(stop_hits * 3.0 / greatest(token_count, 1), 1.0), 6) AS quality_score
+    FROM t
+    """,
+)
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return llm_ops.quality_score(d).select("doc_id", "token_count", "quality_score")
