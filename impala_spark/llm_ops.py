@@ -551,3 +551,59 @@ def extract_media_features(df: DataFrame, deterministic_fake: bool = True) -> Da
             yield res
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+def ivf_ann(
+    df: DataFrame, query: DataFrame, k: int = 10, nlist: int = 16, nprobe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer -> assign each
+    vector to its nearest centroid (the 'list') -> a query probes only the
+    `nprobe` closest lists and exactly rescores those candidates.
+
+    The index build is one ML fit over (a sample of) the corpus plus one
+    narrow assignment pass; the query path touches ~nprobe/nlist of the
+    data through a bucket equi-join — the IVF-flat layout every vector
+    store uses, expressed as DataFrames. Deterministic via fixed seed.
+
+    Spark-native pieces: pyspark.ml KMeans for the quantizer, broadcast of
+    the (tiny) centroid set for assignment, TakeOrderedAndProject for the
+    final top-k.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+    with_vec = corpus.withColumn("features", array_to_vector("v"))
+    km = KMeans(k=nlist, seed=seed, featuresCol="features", predictionCol="list_id")
+    model = km.fit(with_vec)
+    assigned = model.transform(with_vec).select(id_col, "v", "list_id")
+
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    cent_df = df.sparkSession.createDataFrame(centroids, "list_id: int, centroid: array<double>")
+
+    q = query.select(F.col(vec_col).cast("array<double>").alias("q_vec"))
+    q_lists = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn(
+            "dist",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with("q_vec", "centroid", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+        )
+        .orderBy("dist")
+        .limit(nprobe)
+        .select("q_vec", "list_id")
+    )
+    cand = assigned.join(F.broadcast(q_lists), "list_id")
+    scored = cand.select(
+        id_col,
+        F.round(
+            _dot(F.col("v"), F.col("q_vec")) / (_norm(F.col("v")) * _norm(F.col("q_vec"))), 6
+        ).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)

@@ -2081,3 +2081,20 @@ def q_sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(ctas_rows, like_rows, inserted)],
         "ctas_rows: bigint, like_rows: bigint, inserted_rows: bigint",
     )
+
+
+@register("llm_ann_ivf")  # rows-only: ANN recall is probabilistic by design
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (llm_ops.ivf_ann): k-means coarse quantizer, probe the
+    nprobe nearest lists, exact rescore. Self-asserts recall@10 >= 0.6 vs
+    the brute-force oracle (the fixture's random embeddings are
+    near-orthogonal — the IVF worst case; clustered real embeddings do
+    far better)."""
+    emb = table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 42).select("embedding")
+    ivf = llm_ops.ivf_ann(emb, qv, k=10, nlist=16, nprobe=8)
+    got = [r.vec_id for r in ivf.collect()]
+    brute = {r.vec_id for r in llm_ops.cosine_topk_bruteforce(emb, qv, k=10).collect()}
+    recall = len(set(got) & brute) / 10.0
+    assert recall >= 0.6, f"IVF recall@10 {recall} < 0.6"
+    return spark.createDataFrame([(len(got), recall)], "n_results: bigint, recall_at_10: double")
