@@ -2098,3 +2098,24 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall = len(set(got) & brute) / 10.0
     assert recall >= 0.6, f"IVF recall@10 {recall} < 0.6"
     return spark.createDataFrame([(len(got), recall)], "n_results: bigint, recall_at_10: double")
+
+
+@register(
+    "agg_avg_timestamp",
+    """
+    SELECT o_orderstatus,
+           strftime(to_timestamp(AVG(epoch(o_orderdate))), '%Y-%m-%d %H:%M:%S') AS avg_orderdate
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_avg_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impala avg(TIMESTAMP) (BuiltinsDb.java:885-927 — avg has a timestamp
+    overload). Spark lacks it natively; same semantics via epoch-seconds
+    average converted back, second precision."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.date_format(
+            F.timestamp_seconds(F.avg(F.unix_timestamp(F.col("o_orderdate").cast("timestamp")))),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("avg_orderdate")
+    )
