@@ -225,6 +225,43 @@ class ImpalaEngine:
                     rows.append((os.path.relpath(p, t.path), os.path.getsize(p)))
         return self.spark.createDataFrame(rows, "path: string, size_bytes: long")
 
+    def show_table_stats(self, table: str) -> DataFrame:
+        """SHOW TABLE STATS — row count + on-disk size + format
+        (catalog/HdfsTable.java table-level stats)."""
+        rows = self.spark.table(table).count()
+        t = ddl.table_info(table)
+        size = -1
+        if t is not None:
+            import os
+
+            size = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _d, fs in os.walk(t.path)
+                for f in fs
+            )
+        return self.spark.createDataFrame(
+            [(rows, size, "PARQUET")], "num_rows: long, size_bytes: long, format: string"
+        )
+
+    def show_column_stats(self, table: str) -> DataFrame:
+        """SHOW COLUMN STATS — per-column NDV / null count / max size
+        (the child-query stats ComputeStatsStmt.java:218-242 gathers)."""
+        df = self.spark.table(table)
+        aggs = []
+        for f in df.schema.fields:
+            aggs += [
+                F.approx_count_distinct(f.name).alias(f"ndv_{f.name}"),
+                F.count(F.when(F.col(f.name).isNull(), 1)).alias(f"nulls_{f.name}"),
+            ]
+        r = df.agg(*aggs).first()
+        rows = [
+            (f.name, f.dataType.simpleString(), r[f"ndv_{f.name}"], r[f"nulls_{f.name}"])
+            for f in df.schema.fields
+        ]
+        return self.spark.createDataFrame(
+            rows, "column: string, type: string, ndv: long, num_nulls: long"
+        )
+
     def show_create_table(self, table: str) -> DataFrame:
         """SHOW CREATE TABLE — reconstructed DDL text."""
         t = ddl.table_info(table)

@@ -2119,3 +2119,38 @@ def q_avg_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yyyy-MM-dd HH:mm:ss",
         ).alias("avg_orderdate")
     )
+
+
+@register(
+    "meta_show_stats",
+    """
+    SELECT 'nation' AS tbl, CAST(COUNT(*) AS BIGINT) AS num_rows,
+           CAST((SELECT COUNT(DISTINCT n_regionkey) FROM nation) AS BIGINT) AS ndv_regionkey,
+           CAST((SELECT COUNT(*) FILTER (WHERE n_name IS NULL) FROM nation) AS BIGINT) AS null_names
+    FROM nation
+    """,
+)
+def q_show_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW TABLE STATS + SHOW COLUMN STATS (catalog/HdfsTable.java,
+    ComputeStatsStmt child queries)."""
+    eng = ImpalaEngine(spark, sf_dir)
+    ts = eng.show_table_stats("nation").first()
+    cs = {r.column: r for r in eng.show_column_stats("nation").collect()}
+    return spark.createDataFrame(
+        [("nation", ts.num_rows, cs["n_regionkey"].ndv, cs["n_name"].num_nulls)],
+        "tbl: string, num_rows: bigint, ndv_regionkey: bigint, null_names: bigint",
+    )
+
+
+sql_query(
+    "tpch_q14_promo_revenue",
+    """
+    SELECT ROUND(CAST(100.00 * SUM(CASE WHEN p_brand LIKE 'Brand#1%'
+                        THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                        ELSE CAST(0 AS DECIMAL(18,4)) END)
+                 / SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)

@@ -137,3 +137,19 @@ def test_insert_into_fixture_view_blocked(spark, sf_dir):
 def test_sql_ddl_lifecycle(spark, sf_dir):
     r = SPARK_QUERIES["ddl_sql_lifecycle"](spark, sf_dir).first()
     assert (r.ctas_rows, r.like_rows, r.inserted_rows) == (3, 0, 3)
+
+
+def test_show_table_and_column_stats(spark, sf_dir):
+    eng = ImpalaEngine(spark, sf_dir)
+    ts = eng.show_table_stats("nation").first()
+    assert ts.num_rows == 25 and ts.format == "PARQUET"
+    cs = {r.column: r for r in eng.show_column_stats("nation").collect()}
+    assert cs["n_regionkey"].ndv == 5
+    assert cs["n_name"].num_nulls == 0
+
+
+def test_q14_promo_revenue_in_range(spark, sf_dir):
+    from impala_spark.queries import SPARK_QUERIES as Q
+
+    v = Q["tpch_q14_promo_revenue"](spark, sf_dir).first().promo_revenue_pct
+    assert 0 < v < 100
