@@ -2154,3 +2154,36 @@ sql_query(
       AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
     """,
 )
+
+
+@register(
+    "scan_partition_pruning",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning on a partitioned table (HdfsScanNode.java:311
+    prunePartitions): a partition-key predicate must become a
+    PartitionFilter that selects 1 of 3 directories — asserted on the
+    physical plan, the check PlannerTest makes on scan ranges."""
+    register_tables(spark, sf_dir)
+    ddl.drop_table(spark, "orders_pp")
+    ddl.create_table_as_select(
+        spark, "orders_pp",
+        "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders",
+        partition_cols=["o_orderstatus"],
+    )
+    q = (
+        spark.table("orders_pp")
+        .filter(F.col("o_orderstatus") == "O")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total"),
+        )
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1][:120], plan[:900]
+    return q

@@ -153,3 +153,9 @@ def test_q14_promo_revenue_in_range(spark, sf_dir):
 
     v = Q["tpch_q14_promo_revenue"](spark, sf_dir).first().promo_revenue_pct
     assert 0 < v < 100
+
+
+def test_partition_pruning_in_plan(spark, sf_dir):
+    # the query itself asserts PartitionFilters on the physical plan
+    r = SPARK_QUERIES["scan_partition_pruning"](spark, sf_dir).first()
+    assert r.n > 0
