@@ -2187,3 +2187,21 @@ def q_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1][:120], plan[:900]
     return q
+
+
+sql_query(
+    "analytic_range_offset_frame",
+    """
+    SELECT o_orderkey,
+           ROUND(CAST(o_totalprice AS DOUBLE), 2) AS price,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_totalprice
+             RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_within_1000,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_totalprice
+             RANGE BETWEEN CURRENT ROW AND 500.0 FOLLOWING
+           ) AS BIGINT) AS n_next_500
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
