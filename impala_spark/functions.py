@@ -22,9 +22,14 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 
-def ndv(col: Column | str) -> Column:
-    """Impala ndv() — HLL approximate count-distinct (BuiltinsDb.java:752-760)."""
-    return F.approx_count_distinct(col)
+def ndv(col: Column | str, rsd: float | None = None) -> Column:
+    """Impala ndv() — HLL approximate count-distinct (BuiltinsDb.java:752-760).
+
+    rsd is the target relative standard deviation (Spark default 0.05);
+    pass a smaller value where callers need a tighter estimate, at the
+    cost of a larger (but still constant-size) sketch.
+    """
+    return F.approx_count_distinct(col, rsd) if rsd is not None else F.approx_count_distinct(col)
 
 
 def ndv_sketch(col: Column | str) -> Column:

@@ -253,6 +253,81 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_hashes: int = 32, bands: int = 16, k: int = 3, threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + EXACT Jaccard verification.
+
+    Same scale path as minhash_lsh_pairs (banded equi-join candidate
+    generation — never all-pairs), but candidates are re-scored with the
+    exact shingle-set Jaccard instead of the signature estimate, so the
+    output is deterministic ground truth: every emitted pair really has
+    Jaccard >= threshold.  With bands=16 (2 rows/band) a pair at s >= 0.9
+    is missed with probability (1-s^2)^16 < 1e-11 — at near-dup
+    thresholds recall is 1.0 for all practical purposes, which makes the
+    result oracle-checkable against an exact all-candidate-pairs SQL.
+    """
+    rows_per_band = num_hashes // bands
+    base = (
+        shingles(_spread(df), text_col, k)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_sort(F.transform("shingles", lambda s: F.xxhash64(s))).alias("sh_hash"),
+        )
+        .repartition(F.col("id"))
+    )
+    # minhash signature from the already-hashed shingles (hash-once rule).
+    # Factory, not a default-arg lambda (see minhash_signatures NB).
+    def _seeded_min(seed: int):
+        return F.array_min(F.transform("sh_hash", lambda h: F.xxhash64(h, F.lit(seed))))
+
+    sig_expr = F.array(*[_seeded_min(i) for i in range(num_hashes)])
+    sig = base.withColumn("minhash", sig_expr)
+    band_arr = F.when(
+        F.size("sh_hash") > 0,
+        F.array(
+            *[
+                F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice("minhash", b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    ),
+                    F.lit(b),
+                )
+                for b in range(bands)
+            ]
+        ),
+    )
+    banded = sig.select("id", F.explode(band_arr).alias("band_hash"))
+    cand = (
+        banded.select(F.col("id").alias("a_id"), "band_hash")
+        .join(banded.select(F.col("id").alias("b_id"), "band_hash"), "band_hash")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    a_sets = base.select(F.col("id").alias("a_id"), F.col("sh_hash").alias("a_sh"))
+    b_sets = base.select(F.col("id").alias("b_id"), F.col("sh_hash").alias("b_sh"))
+    return (
+        cand.join(a_sets, "a_id")
+        .join(b_sets, "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("a_sh", "b_sh"))
+                / F.size(F.array_union("a_sh", "b_sh")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
     """64-bit SimHash over word shingles: per bit, sign of the sum of
     (+1/-1) votes from each shingle's hash. Bit-parallel via aggregate over
@@ -282,7 +357,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
 
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    k: int = 3, threshold: float = 0.4,
+    k: int = 3, threshold: float = 0.4, max_df: int | None = 50,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs, bucketed by rare-shingle keys:
     explode shingles -> self-join on shingle (hash shuffle) -> exact Jaccard
@@ -316,9 +391,14 @@ def ngram_jaccard_pairs(
     # rows ~40% and candidate pairs superlinearly.
     pref_len = (F.floor(F.size("sh_hash") * (1.0 - threshold)) + 1).cast("int")
     exploded = sh.select("id", F.explode(F.slice("sh_hash", 1, pref_len)).alias("sh"))
-    # skew guard: drop shingles appearing in too many docs (non-discriminative)
-    freq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    exploded = exploded.join(F.broadcast(freq.filter(F.col("df") <= 50)), "sh")
+    # Skew guard: drop shingles appearing in too many docs. This trades
+    # recall for a bound on bucket size (prefix elements that are near-
+    # universal generate quadratic candidates); max_df=None disables it,
+    # restoring the exact PPJoin (no recall loss) — the mode the oracle-
+    # checked query uses at test scale.
+    if max_df is not None:
+        freq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        exploded = exploded.join(F.broadcast(freq.filter(F.col("df") <= max_df)), "sh")
     pairs = (
         exploded.alias("a")
         .join(exploded.alias("b"), "sh")
