@@ -2389,3 +2389,368 @@ sql_query(
     FROM orders WHERE o_orderkey <= 2000
     """,
 )
+
+
+# =====================================================================
+# 12. TPC-H suite completion — the reference's own capability bar is its
+# 22-query planner test (fe/src/test/java/org/apache/impala/planner/
+# PlannerTest.java:195-216, testdata/workloads/functional-planner/
+# queries/PlannerTest/tpch-all.test). Q1/Q3/Q5/Q10/Q14 are registered
+# above; the remaining 17 SHAPES follow, adapted to the fixture schema
+# (no partsupp table and no comment/phone/shipmode columns — lineitem
+# stands in for partsupp where needed, o_orderpriority for o_comment
+# filters, l_shipdate > o_orderdate for the commit/receipt lateness
+# predicate). What is preserved is the plan shape the reference tests:
+# the join graph, the subquery nesting, and the aggregation structure.
+# =====================================================================
+
+# Q2: correlated scalar MIN subquery selecting the best supplier per part
+# (StmtRewriter scalar-subquery rewrite; PlannerTest tpch-all Q2).
+sql_query(
+    "tpch_q2_min_cost_supplier",
+    """
+    SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name,
+           p_partkey, p_name
+    FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_size = 15 AND r_name = 'EUROPE'
+      AND l_extendedprice = (
+        SELECT MIN(l2.l_extendedprice)
+        FROM lineitem l2
+          JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+          JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+        WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    GROUP BY s_acctbal, s_name, n_name, p_partkey, p_name
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+
+# Q4: EXISTS with a correlated lateness predicate.
+sql_query(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+        SELECT * FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+
+# Q6: single-scan filter + aggregate (predicate pushdown proof query).
+sql_query(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+
+# Q7: volume shipping between two nations (double nation join + disjunctive
+# pair predicate + derived-table aggregation).
+sql_query(
+    "tpch_q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(YEAR(l_shipdate) AS INT) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume
+      FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_8')
+          OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_7'))
+        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                           AND TIMESTAMP '1997-12-31 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+
+# Q8: market share — CASE-inside-ratio aggregate over an 8-way join.
+sql_query(
+    "tpch_q8_market_share",
+    """
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+      SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume,
+             n2.n_name AS nation
+      FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                            AND TIMESTAMP '1997-12-31 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+
+# Q9: product-type profit (LIKE filter + 5-way join + year/nation agg;
+# p_retailprice*0.6 stands in for ps_supplycost).
+sql_query(
+    "tpch_q9_product_profit",
+    """
+    SELECT nation, o_year, CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l_discount AS DECIMAL(18,4)))
+               - CAST(p_retailprice AS DECIMAL(18,4))
+                 * CAST(l_quantity AS DECIMAL(18,4))
+                 * CAST(0.6 AS DECIMAL(18,4)) AS amount
+      FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+
+# Q11: important stock — HAVING against a global scalar subquery
+# (lineitem value per part stands in for partsupp value).
+sql_query(
+    "tpch_q11_important_stock",
+    """
+    SELECT l_partkey,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS part_value
+    FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_11'
+    GROUP BY l_partkey
+    HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+               * CAST(l_quantity AS DECIMAL(18,4)))
+           > (SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * CAST(l_quantity AS DECIMAL(18,4)))
+                     * CAST(0.001 AS DECIMAL(10,6))
+              FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation   ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_11')
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+
+# Q12: shipping-mode priority counts — conditional aggregation
+# (l_linestatus stands in for l_shipmode, lateness via ship>order date).
+sql_query(
+    "tpch_q12_shipping_priority_counts",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate > o_orderdate
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+
+# Q13: customer order-count distribution — LEFT OUTER with ON-clause
+# filter, then GROUP BY an aggregate of an aggregate.
+sql_query(
+    "tpch_q13_customer_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+
+# Q15: top supplier — CTE reused twice, equality against a scalar MAX
+# subquery over the CTE (the view-based shape of the reference test).
+sql_query(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(ROUND(total_rev, 2) AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+
+# Q16: supplier counts by part attributes — NOT IN subquery + COUNT(DISTINCT)
+# over a grouped join (lineitem stands in for partsupp).
+sql_query(
+    "tpch_q16_parts_supplier",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1, 2, 3, 4, 5, 10, 15, 20)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+
+# Q17: small-quantity-order revenue — correlated scalar AVG subquery in the
+# WHERE clause (StmtRewriter correlated-scalar rewrite).
+sql_query(
+    "tpch_q17_small_quantity",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) / 7.0, 4) AS DOUBLE) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23' AND p_size < 5
+      AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+
+# Q18: large-volume customers — IN over a grouped HAVING subquery.
+sql_query(
+    "tpch_q18_large_volume",
+    """
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300)
+    GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+
+# Q19: disjunction of conjunctions over a join — the OR-of-ANDs pushdown
+# shape (p_size stands in for p_container).
+sql_query(
+    "tpch_q19_discounted_revenue",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+
+# Q20: nested IN subquery whose inner WHERE carries a correlated scalar
+# subquery (the double-nesting StmtRewriter exercises on Q20).
+sql_query(
+    "tpch_q20_potential_promotion",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem l1
+        WHERE l1.l_quantity > (
+          SELECT 0.9 * MAX(l2.l_quantity)
+          FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey))
+    ORDER BY s_suppkey
+    """,
+)
+
+# Q21: suppliers who kept orders waiting — EXISTS + NOT EXISTS, both
+# correlated, over a multi-join (lateness = l_shipdate > o_orderdate).
+sql_query(
+    "tpch_q21_suppliers_waiting",
+    """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders     ON o_orderkey = l1.l_orderkey
+      JOIN nation     ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND n_name = 'NATION_5'
+      AND l1.l_shipdate > o_orderdate
+      AND EXISTS (
+        SELECT * FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT * FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+
+# Q22: global-sales opportunity — substring grouping, scalar AVG subquery,
+# anti-join via NOT EXISTS (c_name digits stand in for c_phone country code).
+sql_query(
+    "tpch_q22_global_sales",
+    """
+    SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(ROUND(SUM(CAST(acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS totacctbal
+    FROM (
+      SELECT SUBSTR(c_name, 16, 2) AS cntrycode, c_acctbal AS acctbal
+      FROM customer
+      WHERE SUBSTR(c_name, 16, 2) IN ('00', '01', '02', '10', '11', '12', '20')
+        AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT * FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT')
+    ) custsale
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+)

@@ -42,3 +42,58 @@ def test_outer_join_inline_view_null_not_zero(spark, sf_dir):
 def test_insert_append_keeps_base_rows(spark, sf_dir):
     r = SPARK_QUERIES["ddl_insert_append"](spark, sf_dir).first()
     assert r.n == 8 and r.n_sources == 2
+
+
+ALL_TPCH = [
+    "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority", "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q10_returned_items", "tpch_q11_important_stock",
+    "tpch_q12_shipping_priority_counts", "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier", "tpch_q17_small_quantity",
+    "tpch_q18_large_volume", "tpch_q19_discounted_revenue",
+    "tpch_q20_potential_promotion", "tpch_q21_suppliers_waiting",
+    "tpch_q22_global_sales",
+]
+
+
+def test_full_tpch_suite_registered():
+    # Q1 is pricing_summary; the other 21 carry tpch_* names.
+    assert "pricing_summary" in SPARK_QUERIES
+    for name in ALL_TPCH:
+        assert name in SPARK_QUERIES, name
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("name", ALL_TPCH)
+def test_tpch_plan_no_cartesian(spark, sf_dir, name):
+    """The reference's PlannerTest pins join strategies per TPC-H query;
+    our invariant: no query shape ever degenerates to a cartesian
+    product, and every multi-join query broadcasts at least one side at
+    test scale (dims are far below the autoBroadcast threshold)."""
+    df = SPARK_QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["tpch_q2_min_cost_supplier", "tpch_q7_volume_shipping",
+     "tpch_q8_market_share", "tpch_q9_product_profit",
+     "tpch_q21_suppliers_waiting"],
+)
+def test_tpch_dim_joins_broadcast(spark, sf_dir, name):
+    df = SPARK_QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, name
+
+
+@pytest.mark.parametrize("name", ALL_TPCH)
+def test_tpch_runs_nonempty_schema(spark, sf_dir, name):
+    df = SPARK_QUERIES[name](spark, sf_dir)
+    assert df.columns  # stable schema
+    df.limit(1).collect()
