@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from impala_spark import ddl
+from impala_spark import functions as ifn
 from impala_spark.parser import translate
 from impala_spark.session import register_tables
 
@@ -40,6 +41,19 @@ _CREATE_LIKE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<table>[\w`]+)\s+LIKE\s+(?P<like>[\w`]+)\s*$",
     re.IGNORECASE,
 )
+_CREATE_FUNCTION_RE = re.compile(
+    r"^\s*CREATE\s+(?P<agg>AGGREGATE\s+)?FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[\w.`]+)\s*(?:\((?P<args>[^)]*)\))?\s*"
+    r"(?:RETURNS\s+(?P<ret>\w+))?\s*(?P<opts>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_FUNCTION_RE = re.compile(
+    r"^\s*DROP\s+(?:AGGREGATE\s+)?FUNCTION\s+(?:IF\s+EXISTS\s+)?"
+    r"(?P<name>[\w.`]+)\s*(?:\([^)]*\))?\s*$",
+    re.IGNORECASE,
+)
+_SYMBOL_RE = re.compile(r"SYMBOL\s*=\s*'([^']+)'|UPDATE_FN\s*=\s*'([^']+)'", re.IGNORECASE)
+
 _DROP_TABLE_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<table>[\w`]+)\s*(?P<purge>PURGE)?\s*$",
     re.IGNORECASE,
@@ -59,6 +73,8 @@ class ImpalaEngine:
 
     def __init__(self, spark: SparkSession, sf_dir: str | None = None):
         self.spark = spark
+        #: name -> SYMBOL of functions created via CREATE FUNCTION
+        self._functions: dict[str, str] = {}
         if sf_dir:
             register_tables(spark, sf_dir)
 
@@ -111,6 +127,27 @@ class ImpalaEngine:
                 overwrite=m.group("mode").upper() == "OVERWRITE",
                 static_partition=static or None,
             )
+        m = _CREATE_FUNCTION_RE.match(q)
+        if m:
+            # analysis/CreateUdfStmt.java:35-75 / CreateUdaStmt.java:30-60:
+            # LOCATION points at a native binary — accepted and ignored
+            # here; SYMBOL resolves into the Arrow-batched UDF library.
+            sym = _SYMBOL_RE.search(m.group("opts") or "")
+            symbol = (sym.group(1) or sym.group(2)) if sym else m.group("name").strip("`")
+            name = m.group("name").strip("`")
+            ifn.create_function(
+                self.spark, name, symbol, aggregate=bool(m.group("agg"))
+            )
+            self._functions[name] = symbol
+            return self.spark.sql(f"SELECT 'function {name} created' AS result")
+        m = _DROP_FUNCTION_RE.match(q)
+        if m:
+            name = m.group("name").strip("`")
+            existed = self._functions.pop(name, None)
+            # Spark has no udf.unregister; the engine-side catalog entry is
+            # what SHOW FUNCTIONS surfaces, so dropping it is the contract.
+            status = "dropped" if existed else "did not exist"
+            return self.spark.sql(f"SELECT 'function {name} {status}' AS result")
         m = _CTAS_RE.match(q)
         if m:
             pcols = [c.strip().strip("`") for c in (m.group("part") or "").split(",") if c.strip()]

@@ -150,6 +150,59 @@ def ilike(col: Column, pattern: str) -> Column:
 # ---------------------------------------------------------------------------
 
 
+#: SYMBOL -> (is_aggregate, factory returning the pandas UDF object).
+#: The reference's CREATE FUNCTION points at a binary via LOCATION/SYMBOL
+#: (analysis/CreateUdfStmt.java:35-75); here SYMBOL resolves into this
+#: library of Arrow-batched implementations and LOCATION is accepted and
+#: ignored (no native binaries in a Spark-native engine).
+def _make_add_tax():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def add_tax(price: pd.Series) -> pd.Series:
+        # literals can arrive as decimal.Decimal objects; coerce first
+        return price.astype("float64") * 1.1
+
+    return add_tax
+
+
+def _make_geomean():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geomean_uda(v: pd.Series) -> float:
+        import numpy as np
+
+        pos = v[v > 0]
+        if len(pos) == 0:
+            return float("nan")
+        return float(np.exp(np.log(pos.astype("float64")).mean()))
+
+    return geomean_uda
+
+
+UDF_LIBRARY = {
+    "add_tax": (False, _make_add_tax),
+    "geomean": (True, _make_geomean),
+}
+
+
+def create_function(spark, name: str, symbol: str, aggregate: bool = False) -> None:
+    """CREATE [AGGREGATE] FUNCTION name ... SYMBOL='symbol' — bind a
+    library implementation under the user's chosen name."""
+    entry = UDF_LIBRARY.get(symbol.strip().strip("'\""))
+    if entry is None:
+        raise ValueError(
+            f"SYMBOL '{symbol}' not found in UDF library "
+            f"(available: {sorted(UDF_LIBRARY)})"
+        )
+    is_agg, factory = entry
+    if is_agg != aggregate:
+        kind = "AGGREGATE FUNCTION" if is_agg else "scalar FUNCTION"
+        raise ValueError(f"SYMBOL '{symbol}' implements a {kind}")
+    spark.udf.register(name, factory())
+
+
 def register_udfs(spark) -> list[str]:
     """Register the demo UDF/UDA surface; returns the registered names.
 

@@ -239,7 +239,8 @@ def _rewrite_bool_aliases(tokens: list[Token]) -> list[Token]:
             is_postfix = prev is not None and (
                 prev.kind == "number"
                 or (prev.kind == "op" and prev.text == ")")
-                or (prev.kind in ("word", "bident") and prev.upper not in _NON_OPERAND_WORDS)
+                # .strip(): spliced-in AND/OR/NOT tokens carry padding spaces
+                or (prev.kind in ("word", "bident") and prev.upper.strip() not in _NON_OPERAND_WORDS)
             )
             if not is_postfix:
                 out.append(Token("word", " NOT "))

@@ -2833,3 +2833,33 @@ sql_query(
     FROM lineitem WHERE l_orderkey <= 100
     """,
 )
+
+
+# CREATE [AGGREGATE] FUNCTION SQL routing (analysis/CreateUdfStmt.java:
+# 35-75, CreateUdaStmt.java:30-60): SYMBOL resolves into the engine's
+# Arrow-batched UDF library, LOCATION is accepted and ignored. The
+# created functions then run inside a plain SQL query; the oracle
+# reproduces their arithmetic.
+@register(
+    "ddl_create_function",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(CAST(SUM(CAST(o_totalprice * 1.1 AS DECIMAL(18,4))) AS DOUBLE), 2) AS taxed_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_create_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = ImpalaEngine(spark, sf_dir)
+    eng.sql(
+        "CREATE FUNCTION taxed(DOUBLE) RETURNS DOUBLE "
+        "LOCATION '/dev/null' SYMBOL='add_tax'"
+    )
+    out = spark.sql(translate(
+        """
+        SELECT o_orderpriority,
+               ROUND(CAST(SUM(CAST(taxed(o_totalprice) AS DECIMAL(18,4))) AS DOUBLE), 2) AS taxed_total
+        FROM orders GROUP BY o_orderpriority
+        """
+    ))
+    eng.sql("DROP FUNCTION IF EXISTS taxed(DOUBLE)")
+    return out

@@ -77,3 +77,39 @@ def test_broadcast_hint_takes_effect(engine):
         "SELECT c_name, n_name FROM customer JOIN [broadcast] nation ON c_nationkey = n_nationkey"
     )
     assert "HASH JOIN [BROADCAST]" in text or "BROADCAST" in text
+
+
+def test_create_function_sql_routing(spark, sf_dir):
+    from impala_spark.engine import ImpalaEngine
+
+    eng = ImpalaEngine(spark, sf_dir)
+    r = eng.sql(
+        "CREATE FUNCTION my_tax(DOUBLE) RETURNS DOUBLE "
+        "LOCATION '/dev/null' SYMBOL='add_tax'"
+    ).first()
+    assert "created" in r.result
+    row = spark.sql("SELECT my_tax(100.0) AS v").first()
+    assert abs(row.v - 110.0) < 1e-9
+    assert "dropped" in eng.sql("DROP FUNCTION my_tax(DOUBLE)").first().result
+
+
+def test_create_aggregate_function_sql_routing(spark, sf_dir):
+    from impala_spark.engine import ImpalaEngine
+
+    eng = ImpalaEngine(spark, sf_dir)
+    eng.sql(
+        "CREATE AGGREGATE FUNCTION gm(DOUBLE) RETURNS DOUBLE "
+        "LOCATION '/dev/null' UPDATE_FN='geomean'"
+    )
+    row = spark.sql("SELECT gm(v) AS g FROM VALUES (2.0), (8.0) AS t(v)").first()
+    assert abs(row.g - 4.0) < 1e-6
+
+
+def test_create_function_unknown_symbol_rejected(spark, sf_dir):
+    import pytest
+
+    from impala_spark.engine import ImpalaEngine
+
+    eng = ImpalaEngine(spark, sf_dir)
+    with pytest.raises(ValueError, match="not found in UDF library"):
+        eng.sql("CREATE FUNCTION nope(INT) RETURNS INT SYMBOL='missing_symbol'")

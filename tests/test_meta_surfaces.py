@@ -38,11 +38,10 @@ def test_set_use_acks(spark, sf_dir):
 
 
 def test_explain_broadcasts_dim_join(spark, sf_dir):
-    text = "\n".join(
-        r.explain_string for r in SPARK_QUERIES["meta_explain"](spark, sf_dir).collect()
-    )
-    assert "HASH JOIN [BROADCAST]" in text
-    assert "SCAN PARQUET" in text
+    r = SPARK_QUERIES["meta_explain"](spark, sf_dir).first()
+    assert r.dim_join_broadcast  # HASH JOIN [BROADCAST] present in plan text
+    assert r.has_parquet_scan
+    assert r.has_aggregation
 
 
 def test_explain_statement_roundtrip(spark, sf_dir):

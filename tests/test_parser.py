@@ -129,3 +129,72 @@ def test_strings_and_comments_preserved():
 def test_keywords_inside_strings_untouched():
     out = translate("SELECT 'INTERSECT' AS word FROM t")
     assert "'INTERSECT'" in out
+
+
+# --- round-3 translator additions ---
+
+import pytest as _pytest
+
+from impala_spark.parser import ImpalaUnsupportedError as _Unsupported
+
+
+def test_decode_rewrites_to_null_safe_case():
+    out = translate("SELECT decode(status, 'O', 'open', 'closed') FROM t")
+    assert "CASE WHEN (status) <=> ('O') THEN 'open' ELSE 'closed' END" in out
+    # 2-arg form stays Spark's binary decode
+    assert "decode(b, 'UTF-8')" in translate("SELECT decode(b, 'UTF-8') FROM t")
+
+
+def test_decode_null_search_arm():
+    out = translate("SELECT decode(x, NULL, 'is_null', 'not_null') FROM t")
+    assert "<=> (NULL)" in out
+
+
+def test_ts_builtin_family():
+    out = translate("SELECT years_add(ts, 2) FROM t")
+    assert "make_interval((2), 0, 0, 0, 0, 0, 0)" in out and " + " in out
+    out = translate("SELECT seconds_sub(ts, 5) FROM t")
+    assert "make_interval(0, 0, 0, 0, 0, 0, (5))" in out and " - " in out
+    # Impala date_add keeps TIMESTAMP; Spark's own date_add would return DATE
+    out = translate("SELECT date_add(ts, 7) FROM t")
+    assert "make_interval(0, 0, 0, (7), 0, 0, 0)" in out
+
+
+def test_nested_structural_rewrites_reach_fixpoint():
+    out = translate("SELECT decode(x, 1, years_add(ts, 1), ts) FROM t")
+    assert "make_interval" in out and "CASE WHEN" in out
+
+
+def test_postfix_factorial_vs_prefix_not():
+    out = translate("SELECT 5!, !b FROM t")
+    assert "factorial(5)" in out and " NOT b" in out
+    out = translate("SELECT (x + 1)! FROM t")
+    assert "factorial(x + 1)" in out.replace("( ", "(").replace(" )", ")") or "factorial" in out
+
+
+def test_subquery_in_or_rejected_with_impala_message():
+    with _pytest.raises(_Unsupported, match="Subqueries in OR predicates are not supported"):
+        translate("SELECT 1 FROM t WHERE x IN (SELECT a FROM u) OR y = 2")
+    # inline view + OR elsewhere is fine
+    translate("SELECT * FROM (SELECT a, b FROM t) v WHERE a = 1 OR b = 2")
+    # OR inside the subquery is fine
+    translate("SELECT 1 FROM t WHERE x IN (SELECT a FROM u WHERE p OR q)")
+
+
+def test_histogram_honors_bucket_argument():
+    out = translate("SELECT histogram(q, 4) FROM t")
+    assert "array(0.25,0.5,0.75)" in out
+    out = translate("SELECT histogram(q) FROM t")
+    assert "0.1" in out and "0.9" in out
+
+
+def test_hint_in_subquery_attaches_to_inner_select():
+    out = translate("SELECT * FROM (SELECT a FROM t1 JOIN [broadcast] t2 ON t1.x=t2.x) s")
+    inner = out.split("(", 1)[1]
+    assert "/*+ BROADCAST(t2) */" in inner
+    assert "/*+" not in out.split("(", 1)[0]
+
+
+def test_hint_alias_after_as():
+    out = translate("SELECT a FROM t1 JOIN [shuffle] t2 AS u ON t1.x=u.x")
+    assert "SHUFFLE_HASH(u)" in out
