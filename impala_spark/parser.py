@@ -650,11 +650,80 @@ def _rewrite_one_order_by(tokens: list[Token], by_idx: int) -> int:
 # public API
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Nested-collection FROM refs (analysis/Path.java:30-80, planner/
+# SubplanNode.java:30-55): Impala's `FROM tbl t, t.arr_col a` implicitly
+# joins each row with its own exploded collection. Spark spells the same
+# plan LATERAL VIEW explode(t.arr_col) _ AS a — a per-row generate, no
+# shuffle, so the rewrite preserves the SubplanNode's locality at scale.
+# ---------------------------------------------------------------------------
+
+def _rewrite_collection_refs(tokens: list[Token]) -> list[Token]:
+    out = list(tokens)
+    i = 0
+    while i < len(out):
+        t = out[i]
+        if not (t.kind == "word" and t.upper == "FROM"):
+            i += 1
+            continue
+        # first item: `name [AS] alias` — collect candidate alias words
+        aliases: set[str] = set()
+        j = _significant(out, i)
+        clause_words = {"WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "UNION", "JOIN",
+                        "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "ON", "LATERAL"}
+        while j != -1:
+            tj = out[j]
+            if tj.kind in ("word", "bident") and tj.upper not in clause_words and tj.upper != "AS":
+                aliases.add(tj.text.strip("`").lower())
+            if tj.kind == "op" and tj.text == ",":
+                # comma item: collection ref `alias . col [AS] calias`?
+                a1 = _significant(out, j)
+                dot = _significant(out, a1) if a1 != -1 else -1
+                col = _significant(out, dot) if dot != -1 else -1
+                if (
+                    a1 != -1 and dot != -1 and col != -1
+                    and out[a1].kind in ("word", "bident")
+                    and out[a1].text.strip("`").lower() in aliases
+                    and out[dot].kind == "op" and out[dot].text == "."
+                    and out[col].kind in ("word", "bident")
+                ):
+                    nxt = _significant(out, col)
+                    calias_idx = -1
+                    if nxt != -1 and out[nxt].kind == "word" and out[nxt].upper == "AS":
+                        calias_idx = _significant(out, nxt)
+                    elif (
+                        nxt != -1 and out[nxt].kind in ("word", "bident")
+                        and out[nxt].upper not in clause_words
+                        and not (out[nxt].kind == "word" and out[nxt].upper == "ON")
+                    ):
+                        calias_idx = nxt
+                    if calias_idx != -1:
+                        base = out[a1].text.strip("`")
+                        coln = out[col].text.strip("`")
+                        calias = out[calias_idx].text.strip("`")
+                        aliases.add(calias.lower())
+                        repl = Token(
+                            "word",
+                            f" LATERAL VIEW explode({base}.{coln}) _exp_{calias} AS {calias} ",
+                        )
+                        out[j:calias_idx + 1] = [repl]
+                        # restart scan of this FROM clause after the splice
+                        j = i
+            if tj.kind == "word" and tj.upper in clause_words - {"JOIN", "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "ON", "LATERAL"}:
+                break
+            if tj.kind == "op" and tj.text == ")":
+                break
+            j = _significant(out, j)
+        i += 1
+    return out
+
+
 def translate(sql: str) -> str:
     """Impala-dialect SQL -> Spark SQL."""
     tokens = tokenize(sql)
     _check_rejections(tokens)
     _check_subquery_in_or(tokens)
+    tokens = _rewrite_collection_refs(tokens)
     tokens = _rewrite_bool_aliases(tokens)
     tokens = _rewrite_iregexp(tokens)
     tokens = _rewrite_hints(tokens)

@@ -2863,3 +2863,47 @@ def q_create_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
     eng.sql("DROP FUNCTION IF EXISTS taxed(DOUBLE)")
     return out
+
+
+# Nested array<struct> through the SQL front door (analysis/Path.java:
+# 30-80, planner/SubplanNode.java:30-55, UnnestNode): build a nested
+# table (orders with a collected array<struct> of its lineitems — the
+# tpch_nested layout the reference tests against), then query it with
+# Impala's implicit collection join `FROM order_items o, o.items i` and
+# dotted paths. The oracle reproduces the flat join: nest -> unnest must
+# be lossless.
+@register(
+    "nested_collection_sql",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(l_linenumber AS BIGINT) AS ln,
+           CAST(l_quantity AS DOUBLE) AS qty,
+           CAST(l_extendedprice AS DOUBLE) AS price
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey <= 1000 AND l_quantity > 30
+    """,
+)
+def q_nested_collection_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW order_items AS
+        SELECT o_orderkey,
+               collect_list(named_struct(
+                 'ln', l_linenumber, 'qty', l_quantity, 'price', l_extendedprice
+               )) AS items
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderkey <= 1000
+        GROUP BY o_orderkey
+        """
+    )
+    return spark.sql(translate(
+        """
+        SELECT o.o_orderkey,
+               CAST(i.ln AS BIGINT) AS ln,
+               CAST(i.qty AS DOUBLE) AS qty,
+               CAST(i.price AS DOUBLE) AS price
+        FROM order_items o, o.items i
+        WHERE i.qty > 30
+        """
+    ))

@@ -198,3 +198,18 @@ def test_hint_in_subquery_attaches_to_inner_select():
 def test_hint_alias_after_as():
     out = translate("SELECT a FROM t1 JOIN [shuffle] t2 AS u ON t1.x=u.x")
     assert "SHUFFLE_HASH(u)" in out
+
+
+def test_collection_ref_rewrite():
+    out = translate("SELECT o.k, i.q FROM t o, o.items i WHERE i.q > 1")
+    assert "LATERAL VIEW explode(o.items)" in out and "AS i" in out
+
+
+def test_collection_ref_leaves_plain_comma_joins():
+    out = translate("SELECT * FROM part, supplier WHERE p_x = s_x")
+    assert "LATERAL VIEW" not in out
+
+
+def test_collection_ref_leaves_db_qualified_tables():
+    out = translate("SELECT * FROM mydb.tbl t, other o WHERE t.a = o.b")
+    assert "LATERAL VIEW" not in out
