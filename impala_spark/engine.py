@@ -325,7 +325,38 @@ class ImpalaEngine:
         ExchangeNodes (shuffle boundaries).
         """
         df = self.spark.sql(translate(query))
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        qe = df._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
+        # Cardinality/size annotations (planner/PlanNode.getExplainString
+        # emits per-node "cardinality=N size=B"): Catalyst's stats live on
+        # the optimized LOGICAL plan — root estimate for the plan header,
+        # per-leaf estimates for the scans (in traversal order, which
+        # matches the physical scans' order). rowCount needs CBO stats
+        # (COMPUTE STATS / ANALYZE TABLE); absent those Impala prints
+        # "unavailable" and so do we.
+        def _fmt_stats(st) -> str:
+            try:
+                rc = st.rowCount()
+                card = str(rc.get()) if not rc.isEmpty() else "unavailable"
+            except Exception:
+                card = "unavailable"
+            try:
+                size = int(st.sizeInBytes())
+            except Exception:
+                size = None
+            size_s = f"{size}B" if size is not None else "unavailable"
+            return f"cardinality={card} size={size_s}"
+
+        scan_stats: list[str] = []
+        header = ""
+        try:
+            opt = qe.optimizedPlan()
+            header = f"   {_fmt_stats(opt.stats())}\n"
+            leaves = opt.collectLeaves()
+            for i in range(leaves.size()):
+                scan_stats.append(_fmt_stats(leaves.apply(i).stats()))
+        except Exception:
+            pass
         out = []
         node_id = 0
         mapping = [
@@ -365,13 +396,18 @@ class ImpalaEngine:
             (r"RowToColumnar.*", None),
             (r"ColumnarToRow.*", None),
         ]
+        scan_seen = 0
         for raw in plan.split("\n"):
             stripped = raw.lstrip(" +-:*()0123456789")
             indent = len(raw) - len(raw.lstrip(" +-:"))
             for pat, name in mapping:
                 if re.match(pat, stripped):
                     if name:
-                        out.append(f"{'|  ' * (indent // 3)}{node_id:02d}:{name}")
+                        line = f"{'|  ' * (indent // 3)}{node_id:02d}:{name}"
+                        if name.startswith("SCAN") and scan_seen < len(scan_stats):
+                            line += f"  [{scan_stats[scan_seen]}]"
+                            scan_seen += 1
+                        out.append(line)
                         node_id += 1
                     break
-        return "\n".join(out) if out else plan
+        return (header + "\n".join(out)) if out else plan

@@ -2907,3 +2907,42 @@ def q_nested_collection_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE i.qty > 30
         """
     ))
+
+
+# Multi-format scan/sink round trip (planner/HdfsScanNode.java:61-96
+# multi-format scan ranges, planner/HdfsTableSink.java TEXT/PARQUET
+# sinks): write an orders slice as Impala TEXTFILE ('\001'-delimited),
+# ORC, and JSON via sources.write_table, read each back via
+# sources.read_table, and aggregate the union. The oracle recomputes
+# from the parquet originals (x3 — one per format copy): the round trip
+# through every format must be lossless.
+@register(
+    "scan_multi_format",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(3 * COUNT(*) AS BIGINT) AS n,
+           CAST(3 * SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey <= 5000
+    GROUP BY o_orderstatus
+    """,
+)
+def q_multi_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from impala_spark import sources
+
+    base = os.path.join("spark-warehouse", "multi_format_demo")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    schema = "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    parts = []
+    for fmt in ("TEXTFILE", "ORC", "JSON"):
+        path = os.path.join(base, fmt.lower())
+        sources.write_table(o, path, fmt)
+        parts.append(sources.read_table(spark, path, fmt, schema=schema))
+    allf = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return allf.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total"),
+    )

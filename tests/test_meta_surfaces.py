@@ -158,3 +158,12 @@ def test_partition_pruning_in_plan(spark, sf_dir):
     # the query itself asserts PartitionFilters on the physical plan
     r = SPARK_QUERIES["scan_partition_pruning"](spark, sf_dir).first()
     assert r.n > 0
+
+
+def test_explain_emits_cardinality_annotations(spark, sf_dir):
+    from impala_spark.engine import ImpalaEngine
+
+    eng = ImpalaEngine(spark, sf_dir)
+    text = eng.explain("SELECT count(*) FROM orders JOIN customer ON o_custkey = c_custkey")
+    assert "cardinality=" in text and "size=" in text  # per-node stats line
+    assert "SCAN PARQUET" in text

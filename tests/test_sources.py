@@ -1,0 +1,58 @@
+"""Multi-format source/sink layer (planner/HdfsScanNode.java:61-96,
+planner/HdfsTableSink.java; catalog/HdfsPartition.java format descriptor)."""
+
+import os
+
+import pytest
+
+from impala_spark import sources
+from impala_spark.session import table
+
+
+@pytest.mark.parametrize("fmt", ["PARQUET", "ORC", "TEXTFILE", "CSV", "JSON"])
+def test_round_trip_lossless(spark, sf_dir, tmp_path, fmt):
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    path = os.path.join(str(tmp_path), fmt.lower())
+    sources.write_table(o, path, fmt)
+    back = sources.read_table(
+        spark, path, fmt,
+        schema="o_orderkey bigint, o_orderstatus string, o_totalprice double",
+    )
+    assert back.count() == o.count()
+    a = {(r.o_orderkey, r.o_orderstatus, round(r.o_totalprice, 2)) for r in o.collect()}
+    b = {(r.o_orderkey, r.o_orderstatus, round(r.o_totalprice, 2)) for r in back.collect()}
+    assert a == b
+
+
+def test_columnar_formats_get_pushdown(spark, sf_dir, tmp_path):
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = os.path.join(str(tmp_path), "orc_pushdown")
+    sources.write_table(o, path, "ORC")
+    df = sources.read_table(spark, path, "ORC").filter("o_orderkey = 7")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,7)]" in plan
+
+
+def test_partitioned_sink_prunes(spark, sf_dir, tmp_path):
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    path = os.path.join(str(tmp_path), "part_parquet")
+    sources.write_table(o, path, "PARQUET", partition_by=["o_orderstatus"])
+    df = sources.read_table(spark, path, "PARQUET").filter("o_orderstatus = 'O'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_unsupported_formats_fail_loudly():
+    with pytest.raises(ValueError, match="SEQUENCEFILE"):
+        sources.format_spec("sequencefile")
+    with pytest.raises(ValueError, match="unknown storage format"):
+        sources.format_spec("wat")
+
+
+def test_textfile_uses_impala_delimiter(spark, sf_dir, tmp_path):
+    o = table(spark, sf_dir, "nation")
+    path = os.path.join(str(tmp_path), "textfile")
+    sources.write_table(o.select("n_nationkey", "n_name"), path, "TEXTFILE")
+    files = [f for f in os.listdir(path) if f.startswith("part-")]
+    body = open(os.path.join(path, files[0])).read()
+    assert "\x01" in body  # Impala's default field terminator
