@@ -57,7 +57,21 @@ def _verified_order(names: list[str]) -> list[str]:
                 and r.get("hash_match")
             ):
                 passed.add(name)
-    return [n for n in names if n not in passed] + [n for n in names if n in passed]
+    # Among unverified queries, boost the shapes the round-2 verdict
+    # prioritized (TPC-H gaps users hit constantly + round-3 surfaces) so
+    # they make this round's window; the rest keep registration order and
+    # rotate in as earlier entries turn green.
+    boost = [
+        "tpch_q13_customer_distribution", "tpch_q17_small_quantity",
+        "tpch_q18_large_volume", "tpch_q19_discounted_revenue",
+        "tpch_q21_suppliers_waiting", "tpch_q22_global_sales",
+        "expr_decode", "expr_ts_builtins", "expr_factorial_postfix",
+        "ddl_create_function", "nested_collection_sql", "scan_multi_format",
+    ]
+    rank = {n: i for i, n in enumerate(boost)}
+    unverified = [n for n in names if n not in passed]
+    unverified.sort(key=lambda n: (rank.get(n, len(rank)),))  # stable
+    return unverified + [n for n in names if n in passed]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
