@@ -71,8 +71,11 @@ _QUERY_OPTIONS = {
 class ImpalaEngine:
     """SQL-string front door with Impala dialect + statement surface."""
 
-    def __init__(self, spark: SparkSession, sf_dir: str | None = None):
+    def __init__(self, spark: SparkSession, sf_dir: str | None = None, strict: bool = False):
         self.spark = spark
+        #: strict=True: reject what Impala 2.7's analyzer rejects (exact
+        #: messages); default is the permissive Spark superset.
+        self.strict = strict
         #: name -> SYMBOL of functions created via CREATE FUNCTION
         self._functions: dict[str, str] = {}
         if sf_dir:
@@ -180,7 +183,7 @@ class ImpalaEngine:
                 self.spark.catalog.clearCache()
             return self.spark.sql("SELECT 'metadata refreshed' AS result")
 
-        return self.spark.sql(translate(q))
+        return self.spark.sql(translate(q, strict=self.strict))
 
     # -- COMPUTE STATS -> ANALYZE TABLE (analysis/ComputeStatsStmt.java) ---
     def compute_stats(self, table: str) -> DataFrame:

@@ -718,11 +718,65 @@ def _rewrite_collection_refs(tokens: list[Token]) -> list[Token]:
     return out
 
 
-def translate(sql: str) -> str:
-    """Impala-dialect SQL -> Spark SQL."""
+#: clause keyword -> (region-opener predicate result, Impala message).
+#: Impala 2.7 restricts subqueries to FROM/WHERE; these clauses reject
+#: them with pinned messages. Spark executes them fine, so the engine
+#: default is the permissive superset and `strict=True` restores the
+#: reference's analyzer behavior for migration testing.
+_STRICT_CLAUSE_MESSAGES = {
+    "SELECT": "Subqueries are not supported in the select list.",  # SelectStmt.java:181
+    "HAVING": "Subqueries are not supported in the HAVING clause.",  # SelectStmt.java:538
+    "GROUP": "Subqueries are not supported in the GROUP BY clause.",  # SelectStmt.java:598
+    "ORDER": "Subqueries are not supported in the ORDER BY clause.",  # QueryStmt.java:192
+}
+
+_CLAUSE_BOUNDARY = {
+    "FROM", "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "UNION", "WINDOW",
+}
+
+
+def _check_strict_subquery_clauses(tokens: list[Token]) -> None:
+    """Reject subqueries outside FROM/WHERE the way Impala's analyzer does."""
+    for idx, t in enumerate(tokens):
+        if t.kind != "word" or t.upper not in _STRICT_CLAUSE_MESSAGES:
+            continue
+        if t.upper in ("GROUP", "ORDER"):
+            j = _significant(tokens, idx)
+            if j == -1 or tokens[j].upper != "BY":
+                continue
+        d = 0
+        k = idx + 1
+        while k < len(tokens):
+            tk = tokens[k]
+            if tk.kind == "op" and tk.text == "(":
+                j = _significant(tokens, k)
+                if d == 0 and j != -1 and tokens[j].kind == "word" and tokens[j].upper == "SELECT":
+                    raise ImpalaUnsupportedError(_STRICT_CLAUSE_MESSAGES[t.upper])
+                d += 1
+            elif tk.kind == "op" and tk.text == ")":
+                d -= 1
+                if d < 0:
+                    break
+            elif d == 0 and tk.kind == "word" and tk.upper in _CLAUSE_BOUNDARY:
+                break
+            k += 1
+
+
+def translate(sql: str, strict: bool = False) -> str:
+    """Impala-dialect SQL -> Spark SQL.
+
+    strict=False (default): the engine is a superset — constructs Spark
+    supports but Impala 2.7 rejects (subqueries in select list / HAVING /
+    GROUP BY / ORDER BY) pass through. strict=True restores the
+    reference analyzer's rejections with its exact messages
+    (SelectStmt.java:181,538,598, QueryStmt.java:192) for migration
+    compatibility testing.
+    """
     tokens = tokenize(sql)
     _check_rejections(tokens)
     _check_subquery_in_or(tokens)
+    if strict:
+        _check_strict_subquery_clauses(tokens)
     tokens = _rewrite_collection_refs(tokens)
     tokens = _rewrite_bool_aliases(tokens)
     tokens = _rewrite_iregexp(tokens)

@@ -113,3 +113,18 @@ def test_create_function_unknown_symbol_rejected(spark, sf_dir):
     eng = ImpalaEngine(spark, sf_dir)
     with pytest.raises(ValueError, match="not found in UDF library"):
         eng.sql("CREATE FUNCTION nope(INT) RETURNS INT SYMBOL='missing_symbol'")
+
+
+def test_engine_strict_mode(spark, sf_dir):
+    from impala_spark.engine import ImpalaEngine
+    from impala_spark.parser import ImpalaUnsupportedError
+    import pytest
+
+    strict_eng = ImpalaEngine(spark, sf_dir, strict=True)
+    with pytest.raises(ImpalaUnsupportedError, match="not supported in the select list"):
+        strict_eng.sql("SELECT n_name, (SELECT max(r_regionkey) FROM region) FROM nation")
+    # permissive default runs the same statement
+    eng = ImpalaEngine(spark, sf_dir)
+    assert eng.sql(
+        "SELECT n_name, (SELECT max(r_regionkey) FROM region) AS m FROM nation"
+    ).count() == 25

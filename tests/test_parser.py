@@ -213,3 +213,30 @@ def test_collection_ref_leaves_plain_comma_joins():
 def test_collection_ref_leaves_db_qualified_tables():
     out = translate("SELECT * FROM mydb.tbl t, other o WHERE t.a = o.b")
     assert "LATERAL VIEW" not in out
+
+
+def test_strict_mode_pins_impala_subquery_clause_errors():
+    from impala_spark.parser import translate as tr
+
+    cases = [
+        ("SELECT a, (SELECT max(x) FROM u) FROM t",
+         "Subqueries are not supported in the select list."),
+        ("SELECT a FROM t GROUP BY a HAVING count(*) > (SELECT avg(n) FROM u)",
+         "Subqueries are not supported in the HAVING clause."),
+        ("SELECT a FROM t GROUP BY (SELECT x FROM u)",
+         "Subqueries are not supported in the GROUP BY clause."),
+        ("SELECT a FROM t ORDER BY (SELECT x FROM u)",
+         "Subqueries are not supported in the ORDER BY clause."),
+    ]
+    for sql, msg in cases:
+        with _pytest.raises(_Unsupported) as e:
+            tr(sql, strict=True)
+        assert msg in str(e.value), sql
+        tr(sql)  # permissive default accepts (Spark superset)
+
+
+def test_strict_mode_allows_from_and_where_subqueries():
+    from impala_spark.parser import translate as tr
+
+    tr("SELECT a FROM (SELECT a FROM t) v WHERE a IN (SELECT x FROM u)", strict=True)
+    tr("SELECT a, max(b) OVER (PARTITION BY c ORDER BY d) FROM t", strict=True)
