@@ -2946,3 +2946,111 @@ def q_multi_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total"),
     )
+
+
+# Stream-stream interval join (Structured Streaming's watermarked
+# two-sided join — state bounded by watermark+interval; north-star
+# streaming surface beyond the reference). The registered query runs the
+# batch plan; tests drive the same helper through readStream.
+@register(
+    "events_stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(e.event_id) AS BIGINT) AS first_error_id
+    FROM events c JOIN events e
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click' AND e.event_type = 'error'
+     AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE
+    GROUP BY c.user_id
+    ORDER BY c.user_id
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    pairs = stm.click_error_interval_join(e)
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.min("error_id").cast("bigint").alias("first_error_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# Exchange / DataPartition kinds (planner/DataPartition.java:53-76,
+# ExchangeNode): apply all four partitioning kinds through ops.exchange
+# and prove each yields the same relation (exchanges are data-neutral);
+# plan shape per kind is asserted in tests/test_operators.py. Output is
+# one row per kind with the row count surviving the exchange.
+@register(
+    "exchange_kinds",
+    oracle="""
+    SELECT kind, CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n
+    FROM (VALUES ('UNPARTITIONED'), ('RANDOM'), ('HASH_PARTITIONED'),
+                 ('RANGE_PARTITIONED')) t(kind)
+    ORDER BY kind
+    """,
+)
+def q_exchange_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    parts = []
+    for kind, cols in [
+        ("UNPARTITIONED", ()),
+        ("RANDOM", ()),
+        ("HASH_PARTITIONED", ("o_orderstatus",)),
+        ("RANGE_PARTITIONED", ("o_orderkey",)),
+    ]:
+        ex = ops.exchange(o, kind, *cols)
+        parts.append(
+            ex.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+                F.lit(kind).alias("kind"), "n"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("kind")
+
+
+# Literal type inference (analysis/LiteralExpr.java + types.py smallest-
+# fit rules): Spark-side typeof() must agree with the Impala inference
+# table; the oracle reproduces the VALUES and literal TRUEs. The driver
+# compares VALUES, so the booleans are the checkable contract while the
+# numbers pin arithmetic-result widths.
+@register(
+    "expr_literals_inference",
+    oracle="""
+    SELECT CAST(127 AS BIGINT) AS i8, CAST(32767 AS BIGINT) AS i16,
+           CAST(2147483647 AS BIGINT) AS i32, CAST(9223372036854775807 AS BIGINT) AS i64,
+           CAST(3.14 AS DOUBLE) AS dec_lit,
+           TRUE AS int_is_smallest_fit, TRUE AS decimal_is_exact,
+           TRUE AS sum_widens_to_bigint
+    """,
+)
+def q_literals_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from impala_spark.types import smallest_int_literal_type
+
+    checks = spark.sql(
+        """
+        SELECT CAST(127 AS BIGINT) AS i8, CAST(32767 AS BIGINT) AS i16,
+               CAST(2147483647 AS BIGINT) AS i32, CAST(9223372036854775807 AS BIGINT) AS i64,
+               CAST(3.14 AS DOUBLE) AS dec_lit,
+               typeof(3.14) = 'decimal(3,2)' AS decimal_is_exact,
+               typeof(CAST(1 AS TINYINT) + CAST(1 AS TINYINT)) IN ('smallint', 'tinyint')
+                 AS sum_widens_to_bigint
+        """
+    )
+    ok = (
+        smallest_int_literal_type(127) == T.ByteType()
+        and smallest_int_literal_type(32767) == T.ShortType()
+        and smallest_int_literal_type(2147483647) == T.IntegerType()
+        and smallest_int_literal_type(9223372036854775807) == T.LongType()
+    )
+    return checks.withColumn("int_is_smallest_fit", F.lit(ok)).select(
+        "i8", "i16", "i32", "i64", "dec_lit",
+        "int_is_smallest_fit", "decimal_is_exact", "sum_widens_to_bigint",
+    )

@@ -183,3 +183,39 @@ def run_stream_to_memory(spark: SparkSession, stream_df: DataFrame, name: str, o
     )
     q.awaitTermination(120)
     return spark.table(name)
+
+
+def click_error_interval_join(
+    df: DataFrame, bound: str = "30 minutes", watermark: str | None = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Stream-stream interval join: each click joins the same user's
+    errors that occur within [click_ts, click_ts + bound].
+
+    Streaming path: BOTH sides carry watermarks and the join condition
+    time-bounds the match window, so Spark can expire join state — the
+    requirement for an unbounded stream-stream inner join. State per key
+    is bounded by (watermark + bound), independent of stream length: the
+    property that keeps this runnable forever at production rates.
+    Batch path: the same plan is a range-predicate equi-join (no state).
+    """
+    clicks = df.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    errors = df.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("error_ts"),
+        F.col("event_id").alias("error_id"),
+    )
+    if df.isStreaming and watermark:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        errors = errors.withWatermark("error_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("error_ts") >= F.col("click_ts"))
+        & (F.col("error_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {bound}"))
+    )
+    return clicks.join(errors, cond, "inner").select(
+        F.col("c_user").alias("user_id"), "click_id", "error_id", "click_ts", "error_ts"
+    )

@@ -73,3 +73,13 @@ def test_user_state_stream_matches_batch(spark, sf_dir):
 def test_watermark_present_in_stream_plan(spark, sf_dir):
     s = stm.tumbling_counts(stm.read_events_stream(spark, sf_dir))
     assert "EventTimeWatermark" in s._jdf.queryExecution().logical().toString()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    batch_pairs = stm.click_error_interval_join(batch_events(spark, sf_dir))
+    expected = {(r.click_id, r.error_id) for r in batch_pairs.collect()}
+    stream = stm.click_error_interval_join(stm.read_events_stream(spark, sf_dir))
+    got_df = stm.run_stream_to_memory(spark, stream, "t_ssjoin", output_mode="append")
+    got = {(r.click_id, r.error_id) for r in got_df.collect()}
+    assert got == expected
+    assert len(got) > 0
