@@ -351,3 +351,41 @@ def range_join(
         .filter((F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col)))
         .drop("_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located joins — the 100 TB lever for repeated fact-fact
+# joins. The reference co-locates by relying on the partitioned-join
+# exchange each query (planner/DistributedPlanner.java:520-536
+# createPartitionedJoin); Spark can instead PERSIST the partitioning:
+# tables bucketed by the join key join with NO exchange on either side.
+# Bucket count is a physical-layout constant (like the reference's
+# partition count), chosen once for the table's lifetime.
+# ---------------------------------------------------------------------------
+
+
+def write_bucketed(
+    df: DataFrame, name: str, keys: Sequence[str], buckets: int = 16,
+    sort_keys: Sequence[str] | None = None,
+) -> DataFrame:
+    """Persist df as a bucketed (and bucket-sorted) managed table. At
+    100 TB this is the one-time cost that removes the per-query shuffle
+    AND the per-query sort from every subsequent equi-join or
+    aggregation on `keys`."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    writer = df.write.mode("overwrite").bucketBy(buckets, *keys)
+    writer = writer.sortBy(*(sort_keys or keys))
+    writer.format("parquet").saveAsTable(name)
+    return spark.table(name)
+
+
+def colocated_join(
+    left: DataFrame, right: DataFrame, on: Sequence[str], how: str = "inner",
+) -> DataFrame:
+    """Join two same-bucketed tables shuffle-free: the merge hint forces
+    the sort-merge strategy (a broadcast would hide the co-location) and
+    bucketing satisfies both sides' distribution requirements, so the
+    plan has no Exchange above either scan — verified by
+    tests/test_operators.py asserting zero join-key exchanges."""
+    return left.hint("merge").join(right, list(on), how)

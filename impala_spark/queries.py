@@ -3054,3 +3054,41 @@ def q_literals_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i8", "i16", "i32", "i64", "dec_lit",
         "int_is_smallest_fit", "decimal_is_exact", "sum_widens_to_bigint",
     )
+
+
+# Bucketed co-located fact-fact join (the persistent analog of the
+# reference's partitioned join, DistributedPlanner.java:520-536): orders
+# and lineitem bucketed by the join key join WITHOUT an exchange on
+# either side — asserted on the plan, since that claim is the entire
+# point of bucketing at 100 TB.
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey <= 10000
+    GROUP BY o_orderpriority
+    """,
+)
+def q_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 10000).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 10000).select(
+        "l_orderkey", "l_extendedprice"
+    )
+    ob = ops.write_bucketed(o, "orders_bkt", ["o_orderkey"], buckets=8)
+    lb = ops.write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem_bkt",
+        ["o_orderkey"], buckets=8,
+    )
+    joined = ops.colocated_join(ob, lb, ["o_orderkey"])
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(o_orderkey" not in plan, plan[:800]
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
+        .cast("double").alias("total_price"),
+    )

@@ -166,3 +166,44 @@ def test_range_join_no_cartesian_and_bounds(spark, sf_dir):
 
     df = SPARK_QUERIES["events_range_join"](spark, sf_dir)
     assert df.count() >= 0  # the query itself asserts the plan shape
+
+
+def test_bucketed_colocated_join_has_no_join_exchange(spark, sf_dir):
+    from impala_spark import operators as ops
+    from impala_spark.session import table
+    from pyspark.sql import functions as F
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+    )
+    ob = ops.write_bucketed(o, "t_orders_bkt", ["o_orderkey"], buckets=4)
+    lb = ops.write_bucketed(li, "t_lineitem_bkt", ["o_orderkey"], buckets=4)
+    joined = ops.colocated_join(ob, lb, ["o_orderkey"])
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    # correctness: same rows as the plain join
+    expect = o.join(li, "o_orderkey").count()
+    assert joined.count() == expect
+
+
+def test_salted_join_rejects_outer(spark, sf_dir):
+    import pytest
+    from impala_spark import operators as ops
+    from impala_spark.session import table
+
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    with pytest.raises(ValueError, match="inner/left"):
+        ops.salted_join(n, r, ["n_regionkey"], how="full")
+
+
+def test_exchange_random_defaults_to_shuffle_partitions(spark, sf_dir):
+    from impala_spark import operators as ops
+    from impala_spark.session import table
+
+    n = ops.exchange(table(spark, sf_dir, "nation"), "RANDOM")
+    assert n.count() == 25
