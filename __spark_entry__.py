@@ -68,7 +68,7 @@ def _verified_order(names: list[str]) -> list[str]:
         "expr_decode", "expr_ts_builtins", "expr_factorial_postfix",
         "ddl_create_function", "nested_collection_sql", "scan_multi_format",
         "events_stream_stream_join", "exchange_kinds", "expr_literals_inference",
-        "join_bucketed_colocated",
+        "join_bucketed_colocated", "expr_misc_builtins",
     ]
     rank = {n: i for i, n in enumerate(boost)}
     unverified = [n for n in names if n not in passed]

@@ -389,6 +389,19 @@ FUNCTION_RENAMES = {
     "distinctpcsa": "approx_count_distinct", # BuiltinsDb.java:782-791
     "strleft": "left",
     "strright": "right",
+    # generated ScalarBuiltins aliases (same arity/order as Spark)
+    "lcase": "lower",
+    "ucase": "upper",
+    "fmod": "mod",
+    # d-prefixed double variants (ScalarBuiltins MathFunctions)
+    "dceil": "ceil",
+    "dfloor": "floor",
+    "dround": "round",
+    "dsqrt": "sqrt",
+    "dexp": "exp",
+    "dlog10": "log10",
+    "dpow": "pow",
+    "fpow": "pow",
 }
 
 
@@ -532,6 +545,40 @@ def _rewrite_functions(tokens: list[Token]) -> list[Token]:
                     out, i, close,
                     _ts_add_expr(name[: -len("_add")], args[0], args[1], sign),
                 )
+        elif name == "trunc":
+            # Impala trunc(ts, 'UNIT') truncates a TIMESTAMP and returns
+            # TIMESTAMP (ScalarBuiltins TruncForTimestamp); Spark's trunc
+            # returns DATE. Map the Oracle-style unit strings onto
+            # date_trunc, which keeps the timestamp type.
+            close = _matching_paren(out, j)
+            args = _split_args(out, j, close)
+            unit_map = {
+                "SYYYY": "YEAR", "YYYY": "YEAR", "YEAR": "YEAR", "SYEAR": "YEAR",
+                "YYY": "YEAR", "YY": "YEAR", "Y": "YEAR",
+                "Q": "QUARTER",
+                "MONTH": "MONTH", "MON": "MONTH", "MM": "MONTH", "RM": "MONTH",
+                "WW": "WEEK", "W": "WEEK",
+                "DDD": "DAY", "DD": "DAY", "J": "DAY",
+                "DAY": "WEEK", "DY": "WEEK", "D": "WEEK",  # start of week
+                "HH": "HOUR", "HH12": "HOUR", "HH24": "HOUR",
+                "MI": "MINUTE",
+            }
+            if len(args) == 2 and args[1].strip("'\"").upper() in unit_map:
+                unit = unit_map[args[1].strip("'\"").upper()]
+                _replace_call(out, i, close, f"date_trunc('{unit}', {args[0]})")
+        elif name == "quotient":
+            # ScalarBuiltins quotient(a, b): integer division.
+            close = _matching_paren(out, j)
+            args = _split_args(out, j, close)
+            if len(args) == 2:
+                _replace_call(out, i, close, f"(({args[0]}) DIV ({args[1]}))")
+        elif name in ("dayname", "monthname"):
+            # ScalarBuiltins day/month name of a timestamp.
+            close = _matching_paren(out, j)
+            args = _split_args(out, j, close)
+            if len(args) == 1:
+                fmt = "EEEE" if name == "dayname" else "MMMM"
+                _replace_call(out, i, close, f"date_format({args[0]}, '{fmt}')")
         elif name in ("date_add", "date_sub", "adddate", "subdate"):
             # Impala date_add(ts, n) adds DAYS and returns a timestamp;
             # Spark's date_add returns DATE (type corruption, not an error).

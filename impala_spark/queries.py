@@ -3092,3 +3092,33 @@ def q_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
         .cast("double").alias("total_price"),
     )
+
+
+# Misc ScalarBuiltins breadth: d-prefixed math variants, lcase/ucase,
+# fmod, quotient (integer division), dayname/monthname (generated
+# ScalarBuiltins; catalog/BuiltinsDb.java init path).
+sql_query(
+    "expr_misc_builtins",
+    """
+    SELECT o_orderkey,
+           LCASE(o_orderpriority) AS prio_lower,
+           UCASE(o_orderstatus) AS status_upper,
+           CAST(QUOTIENT(o_orderkey, 7) AS BIGINT) AS q7,
+           ROUND(FMOD(CAST(o_totalprice AS DOUBLE), 100.0), 4) AS price_mod,
+           CAST(DCEIL(o_totalprice / 1000.0) AS DOUBLE) AS ceil_k,
+           DAYNAME(o_orderdate) AS day_name,
+           MONTHNAME(o_orderdate) AS month_name
+    FROM orders WHERE o_orderkey <= 300
+    """,
+    """
+    SELECT o_orderkey,
+           LOWER(o_orderpriority) AS prio_lower,
+           UPPER(o_orderstatus) AS status_upper,
+           CAST(o_orderkey // 7 AS BIGINT) AS q7,
+           ROUND(FMOD(CAST(o_totalprice AS DOUBLE), 100.0), 4) AS price_mod,
+           CAST(CEIL(o_totalprice / 1000.0) AS DOUBLE) AS ceil_k,
+           DAYNAME(o_orderdate) AS day_name,
+           MONTHNAME(o_orderdate) AS month_name
+    FROM orders WHERE o_orderkey <= 300
+    """,
+)

@@ -240,3 +240,11 @@ def test_strict_mode_allows_from_and_where_subqueries():
 
     tr("SELECT a FROM (SELECT a FROM t) v WHERE a IN (SELECT x FROM u)", strict=True)
     tr("SELECT a, max(b) OVER (PARTITION BY c ORDER BY d) FROM t", strict=True)
+
+
+def test_misc_builtin_aliases():
+    out = translate("SELECT lcase(a), ucase(b), fmod(c, 2), dceil(d), quotient(e, 3), dayname(t), trunc(t, 'MM') FROM x")
+    assert "lower(a)" in out and "upper(b)" in out and "mod(c, 2)" in out
+    assert "ceil(d)" in out and "((e) DIV (3))" in out
+    assert "date_format(t, 'EEEE')" in out
+    assert "date_trunc('MONTH', t)" in out
