@@ -339,7 +339,15 @@ def upsert(spark: SparkSession, table: str, source: DataFrame) -> DataFrame:
 
 
 def _overwrite(spark: SparkSession, t: ManagedTable, df: DataFrame) -> DataFrame:
-    # parquet overwrite of the table we are reading requires a staging dir
+    # Parquet overwrite of the table we are reading requires a staging dir.
+    # COMMIT PROTOCOL NOTE: rmtree+rename is atomic-enough on a local
+    # POSIX filesystem (rename is atomic; the window after rmtree loses
+    # reads, not data). On object stores (S3/GCS) rename is COPY+DELETE —
+    # a production deployment must swap this for a commit protocol with
+    # atomic publish semantics (Iceberg/Delta/Hudi table commit, or
+    # Hadoop's v2 FileOutputCommitter + marker files). The reference has
+    # the same constraint (HdfsTableSink writes to an HDFS staging dir and
+    # renames).
     staging = t.path + ".staging"
     if t.partition_cols:
         df.sortWithinPartitions(*t.partition_cols).write.mode("overwrite").partitionBy(

@@ -218,7 +218,9 @@ class ImpalaEngine:
                 self.spark.conf.set(conf, value.strip("'\" "))
         else:
             self.spark.conf.set(key if key.startswith("spark.") else f"spark.{key}", value.strip("'\" "))
-        return self.spark.sql(f"SELECT '{key}' AS option, 'set' AS status")
+        # literal DataFrame, not interpolated SQL — the user-supplied key
+        # must never be spliced into a SQL string
+        return self.spark.createDataFrame([(key, "set")], "option: string, status: string")
 
     # -- SHOW / DESCRIBE surfaces (service/MetadataOp.java) -----------------
     def show_tables(self, pattern: str | None = None) -> DataFrame:
