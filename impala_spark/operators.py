@@ -10,6 +10,7 @@ Impala's default null ordering for sorts.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -374,6 +375,15 @@ def write_bucketed(
     aggregation on `keys`."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # A fresh session's in-memory catalog doesn't know about a previous
+    # run's table, so DROP TABLE can't clear its warehouse directory —
+    # saveAsTable would then fail with LOCATION_ALREADY_EXISTS. Remove
+    # the orphaned location explicitly.
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+    shutil.rmtree(os.path.join(wh, name.lower()), ignore_errors=True)
     writer = df.write.mode("overwrite").bucketBy(buckets, *keys)
     writer = writer.sortBy(*(sort_keys or keys))
     writer.format("parquet").saveAsTable(name)
