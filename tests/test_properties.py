@@ -1,0 +1,132 @@
+"""Property-based tests (hypothesis) — the randomized analog of the
+reference's expr/analyzer test sweeps (T/analysis/AnalyzeExprsTest.java):
+operator semantics pinned against an independent implementation on
+arbitrary inputs, not just fixture rows."""
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from impala_spark import operators as ops
+from impala_spark.parser import translate
+from impala_spark.types import smallest_int_literal_type
+
+# ---------------------------------------------------------------------------
+# translate() total-function properties (no crash, balanced output)
+# ---------------------------------------------------------------------------
+
+_ident = st.text(alphabet="abcdefgh_", min_size=1, max_size=8)
+
+
+@given(
+    cols=st.lists(_ident, min_size=1, max_size=4, unique=True),
+    n=st.integers(min_value=-(2**40), max_value=2**40),
+)
+@settings(max_examples=50, deadline=None)
+def test_translate_simple_select_stable(cols, n):
+    sql = f"SELECT {', '.join(cols)} FROM t WHERE {cols[0]} > {n}"
+    out = translate(sql)
+    assert out.count("(") == out.count(")")
+    for c in cols:
+        assert c in out
+
+
+@given(st.integers(min_value=-(2**70), max_value=2**70))
+@settings(max_examples=200, deadline=None)
+def test_smallest_int_literal_fits(v):
+    from pyspark.sql import types as T
+
+    t = smallest_int_literal_type(v)
+    bounds = {
+        T.ByteType(): 2**7, T.ShortType(): 2**15,
+        T.IntegerType(): 2**31, T.LongType(): 2**63,
+    }
+    if isinstance(t, T.DecimalType):
+        assert not (-(2**63) <= v < 2**63)  # only when nothing else fits
+    else:
+        bound = bounds[t]
+        assert -bound <= v < bound
+        # and no SMALLER type would fit (smallest-fit, NumericLiteral.java)
+        smaller = [b for b in bounds.values() if b < bound]
+        if smaller:
+            assert not (-max(smaller) <= v < max(smaller))
+
+
+# ---------------------------------------------------------------------------
+# asof_join == pandas merge_asof on random series
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=25
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(-100, 100)),
+        min_size=1, max_size=25,
+    ),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    # dedup right on (key, ts): ties resolve arbitrarily in both engines,
+    # so make the ground truth unique to compare exactly
+    rmap = {(k, t): v for k, t, v in right}
+    right = [(k, t, v) for (k, t), v in rmap.items()]
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "key int, ts long, lid int"
+    )
+    rdf = spark.createDataFrame(right, "key int, ts long, rv int")
+    got = {
+        (r.lid, r.rv)
+        for r in ops.asof_join(ldf, rdf, key="key", left_ts="ts", right_ts="ts").collect()
+    }
+    lp = pd.DataFrame([(k, t, i) for i, (k, t) in enumerate(left)], columns=["key", "ts", "lid"]).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(right, columns=["key", "ts", "rv"]).sort_values("ts", kind="stable")
+    m = pd.merge_asof(lp, rp, on="ts", by="key", direction="backward")
+    want = {
+        (int(r.lid), None if pd.isna(r.rv) else int(r.rv)) for r in m.itertuples()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# salted ops == their plain equivalents
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-50, 50)), min_size=1, max_size=30
+    ),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_salted_agg_equals_plain_agg(spark, rows):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "k int, v int")
+    got = {
+        (r.k, r.s, r.n)
+        for r in ops.salted_agg(df, ["k"], salt=4, s=("sum", F.col("v")), n=("count", F.col("v"))).collect()
+    }
+    want = {
+        (r.k, r.s, r.n)
+        for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count("v").alias("n")).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.slow
+@given(
+    lrows=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 20)), min_size=1, max_size=20),
+    rrows=st.lists(st.tuples(st.integers(0, 2), st.text(alphabet="xyz", max_size=2)), min_size=1, max_size=6),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_salted_join_equals_plain_join(spark, lrows, rrows):
+    ldf = spark.createDataFrame(lrows, "k int, a int")
+    rdf = spark.createDataFrame(rrows, "k int, b string").dropDuplicates(["k"])
+    got = sorted((r.k, r.a, r.b) for r in ops.salted_join(ldf, rdf, ["k"], how="left", salt=3).collect())
+    want = sorted((r.k, r.a, r.b) for r in ldf.join(rdf, ["k"], "left").collect())
+    assert got == want
