@@ -274,9 +274,33 @@ _ALTER_CHANGE_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+([\w`]+)\s+CHANGE\s+(?:COLUMN\s+)?([\w`]+)\s+([\w`]+)\s+(\w+)\s*$",
     re.IGNORECASE,
 )
+_ALTER_ADD_PART_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w`]+)\s+ADD\s+(?:IF\s+NOT\s+EXISTS\s+)?PARTITION\s*\(([^)]+)\)\s*$",
+    re.IGNORECASE,
+)
+_ALTER_DROP_PART_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w`]+)\s+DROP\s+(?:IF\s+EXISTS\s+)?PARTITION\s*\(([^)]+)\)\s*$",
+    re.IGNORECASE,
+)
 _ALTER_RENAME_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+([\w`]+)\s+RENAME\s+TO\s+([\w`]+)\s*$", re.IGNORECASE
 )
+
+
+def _partition_subdir(t: ManagedTable, spec: str) -> str:
+    """'k=v, k2=v2' -> 'k=v/k2=v2' in the table's partition-column order."""
+    kv = {}
+    for item in spec.split(","):
+        k, eq, v = item.partition("=")
+        if not eq:
+            raise ValueError(f"bad PARTITION spec item: {item!r}")
+        kv[k.strip().strip("`")] = v.strip().strip("'\"")
+    missing = [c for c in t.partition_cols if c not in kv]
+    if missing or set(kv) - set(t.partition_cols):
+        raise ValueError(
+            f"PARTITION spec {sorted(kv)} must name exactly {t.partition_cols}"
+        )
+    return "/".join(f"{c}={kv[c]}" for c in t.partition_cols)
 
 
 def alter_table(spark: SparkSession, stmt: str) -> DataFrame:
@@ -311,6 +335,26 @@ def alter_table(spark: SparkSession, stmt: str) -> DataFrame:
         if old != new:
             df = df.withColumnRenamed(old, new)
         return _overwrite(spark, t, df)
+    m = _ALTER_ADD_PART_RE.match(stmt)
+    if m:
+        # AlterTableAddPartitionStmt: materialize the partition directory
+        # (Hive-style k=v path). An empty dir is a 0-row partition, same
+        # contract as the reference's catalog-only add.
+        name, spec = m.group(1).strip("`"), m.group(2)
+        t = _managed(name)
+        if not t.partition_cols:
+            raise ValueError(f"ALTER TABLE {name} ADD PARTITION: table is not partitioned")
+        os.makedirs(os.path.join(t.path, _partition_subdir(t, spec)), exist_ok=True)
+        return _refresh_view(spark, t)
+    m = _ALTER_DROP_PART_RE.match(stmt)
+    if m:
+        # AlterTableDropPartitionStmt: remove the partition's directory
+        # (data included — Impala DROP PARTITION drops the data too).
+        name, spec = m.group(1).strip("`"), m.group(2)
+        t = _managed(name)
+        sub = _partition_subdir(t, spec)
+        shutil.rmtree(os.path.join(t.path, sub), ignore_errors=True)
+        return _refresh_view(spark, t)
     m = _ALTER_RENAME_RE.match(stmt)
     if m:
         old, new = m.group(1).strip("`"), m.group(2).strip("`")

@@ -3122,3 +3122,38 @@ sql_query(
     FROM orders WHERE o_orderkey <= 300
     """,
 )
+
+
+# ALTER TABLE ADD/DROP PARTITION (analysis/AlterTableAddPartitionStmt /
+# AlterTableDropPartitionStmt; cup alter_tbl_stmt): ADD materializes an
+# empty Hive-style partition dir, DROP removes a partition's directory
+# AND its data. The oracle reproduces the surviving rows.
+@register(
+    "ddl_add_drop_partition",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS added_dir_exists
+    FROM orders WHERE o_orderkey <= 2000 AND o_orderstatus <> 'F'
+    GROUP BY o_orderstatus
+    """,
+)
+def q_add_drop_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    register_tables(spark, sf_dir)
+    ddl.drop_table(spark, "orders_part_ops")
+    ddl.create_table_as_select(
+        spark, "orders_part_ops",
+        "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey <= 2000",
+        partition_cols=["o_orderstatus"],
+    )
+    ddl.alter_table(spark, "ALTER TABLE orders_part_ops ADD PARTITION (o_orderstatus='X')")
+    t = ddl.table_info("orders_part_ops")
+    added = os.path.isdir(os.path.join(t.path, "o_orderstatus=X"))
+    ddl.alter_table(spark, "ALTER TABLE orders_part_ops DROP PARTITION (o_orderstatus='F')")
+    return (
+        spark.table("orders_part_ops")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn("added_dir_exists", F.lit(added))
+    )

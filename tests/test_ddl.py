@@ -98,3 +98,38 @@ def test_load_data(spark, sf_dir):
     ddl.create_table_like(spark, "t_l", "region")
     ddl.load_data(spark, f"LOAD DATA INPATH '{sf_dir}/region.parquet' INTO TABLE t_l")
     assert spark.table("t_l").count() == 5
+
+
+def test_add_drop_partition_lifecycle(spark, sf_dir):
+    import os
+
+    from impala_spark import ddl
+    from impala_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    ddl.drop_table(spark, "t_part_lifecycle")
+    ddl.create_table_as_select(
+        spark, "t_part_lifecycle",
+        "SELECT r_regionkey, r_name FROM region",
+        partition_cols=["r_name"],
+    )
+    t = ddl.table_info("t_part_lifecycle")
+    ddl.alter_table(spark, "ALTER TABLE t_part_lifecycle ADD PARTITION (r_name='NOWHERE')")
+    assert os.path.isdir(os.path.join(t.path, "r_name=NOWHERE"))
+    before = spark.table("t_part_lifecycle").count()
+    ddl.alter_table(spark, "ALTER TABLE t_part_lifecycle DROP PARTITION (r_name='ASIA')")
+    after = spark.table("t_part_lifecycle").count()
+    assert after == before - 1  # one region row per partition
+
+
+def test_add_partition_rejects_unpartitioned(spark, sf_dir):
+    import pytest
+
+    from impala_spark import ddl
+    from impala_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    ddl.drop_table(spark, "t_unpart")
+    ddl.create_table_as_select(spark, "t_unpart", "SELECT r_regionkey FROM region")
+    with pytest.raises(ValueError, match="not partitioned"):
+        ddl.alter_table(spark, "ALTER TABLE t_unpart ADD PARTITION (x='1')")
