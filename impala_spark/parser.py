@@ -545,6 +545,23 @@ def _rewrite_functions(tokens: list[Token]) -> list[Token]:
                     out, i, close,
                     _ts_add_expr(name[: -len("_add")], args[0], args[1], sign),
                 )
+        elif name == "cast":
+            # Impala CAST enforces CHAR(n)/VARCHAR(n) length semantics at
+            # cast time — CHAR pads/truncates to exactly n, VARCHAR
+            # truncates to at most n (analysis/CastExpr.java + Type
+            # length rules). Spark's CAST treats both as plain STRING in
+            # expressions (length applies only on table writes), so
+            # rewrite to rpad/left which reproduce Impala's semantics.
+            close = _matching_paren(out, j)
+            args = _split_args(out, j, close)
+            m_char = re.match(r"(?is)^(.*\S)\s+AS\s+CHAR\s*\(\s*(\d+)\s*\)$", args[0]) if len(args) == 1 else None
+            m_vchar = re.match(r"(?is)^(.*\S)\s+AS\s+VARCHAR\s*\(\s*(\d+)\s*\)$", args[0]) if len(args) == 1 else None
+            if m_char:
+                expr, n = m_char.group(1), int(m_char.group(2))
+                _replace_call(out, i, close, f"rpad(CAST(({expr}) AS STRING), {n}, ' ')")
+            elif m_vchar:
+                expr, n = m_vchar.group(1), int(m_vchar.group(2))
+                _replace_call(out, i, close, f"left(CAST(({expr}) AS STRING), {n})")
         elif name == "trunc":
             # Impala trunc(ts, 'UNIT') truncates a TIMESTAMP and returns
             # TIMESTAMP (ScalarBuiltins TruncForTimestamp); Spark's trunc

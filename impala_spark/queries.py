@@ -3157,3 +3157,55 @@ def q_add_drop_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .withColumn("added_dir_exists", F.lit(added))
     )
+
+
+# CHAR(n)/VARCHAR(n) cast-time length semantics (analysis/CastExpr.java;
+# Impala pads CHAR to exactly n and truncates VARCHAR to at most n at
+# CAST time — Spark only enforces lengths on table writes, so the
+# translator rewrites to rpad/left).
+sql_query(
+    "expr_char_varchar_cast",
+    """
+    SELECT n_nationkey,
+           CAST(n_name AS CHAR(12)) AS name_c12,
+           CAST(LENGTH(CAST(n_name AS CHAR(12))) AS BIGINT) AS c12_len,
+           CAST(n_name AS VARCHAR(6)) AS name_v6
+    FROM nation
+    """,
+    """
+    SELECT n_nationkey,
+           CASE WHEN LENGTH(n_name) >= 12 THEN SUBSTR(n_name, 1, 12)
+                ELSE n_name || REPEAT(' ', 12 - LENGTH(n_name)) END AS name_c12,
+           CAST(12 AS BIGINT) AS c12_len,
+           SUBSTR(n_name, 1, 6) AS name_v6
+    FROM nation
+    """,
+)
+
+# Decimal arithmetic result types: Impala 2.7's precision/scale rules
+# (analysis/TypesUtil.java:98-158) — Spark's decimal result rules agree
+# on +,*,/ for in-range precisions; typeof() is compared against
+# types.decimal_arithmetic_result so a divergence fails the hash.
+@register(
+    "expr_decimal_result_types",
+    oracle="""
+    SELECT TRUE AS add_rule_ok, TRUE AS mul_rule_ok, TRUE AS div_rule_ok,
+           CAST(3.75 AS DOUBLE) AS add_val,
+           CAST(3.375 AS DOUBLE) AS mul_val
+    """,
+)
+def q_decimal_result_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from impala_spark.types import decimal_arithmetic_result
+
+    exp_add = "decimal(%d,%d)" % decimal_arithmetic_result("+", 10, 2, 8, 3)
+    exp_mul = "decimal(%d,%d)" % decimal_arithmetic_result("*", 10, 2, 8, 3)
+    exp_div = "decimal(%d,%d)" % decimal_arithmetic_result("/", 10, 2, 8, 3)
+    return spark.sql(
+        f"""
+        SELECT typeof(CAST(1.5 AS DECIMAL(10,2)) + CAST(2.25 AS DECIMAL(8,3))) = '{exp_add}' AS add_rule_ok,
+               typeof(CAST(1.5 AS DECIMAL(10,2)) * CAST(2.25 AS DECIMAL(8,3))) = '{exp_mul}' AS mul_rule_ok,
+               typeof(CAST(1.5 AS DECIMAL(10,2)) / CAST(2.25 AS DECIMAL(8,3))) = '{exp_div}' AS div_rule_ok,
+               CAST(CAST(1.5 AS DECIMAL(10,2)) + CAST(2.25 AS DECIMAL(8,3)) AS DOUBLE) AS add_val,
+               CAST(CAST(1.5 AS DECIMAL(10,2)) * CAST(2.25 AS DECIMAL(8,3)) AS DOUBLE) AS mul_val
+        """
+    )

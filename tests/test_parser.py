@@ -248,3 +248,10 @@ def test_misc_builtin_aliases():
     assert "ceil(d)" in out and "((e) DIV (3))" in out
     assert "date_format(t, 'EEEE')" in out
     assert "date_trunc('MONTH', t)" in out
+
+
+def test_char_varchar_cast_length_semantics():
+    out = translate("SELECT CAST(a AS CHAR(5)), CAST(b AS VARCHAR(3)), CAST(c AS VARCHAR) FROM t")
+    assert "rpad(CAST((a) AS STRING), 5, ' ')" in out
+    assert "left(CAST((b) AS STRING), 3)" in out
+    assert "CAST(c AS VARCHAR)" in out  # unbounded VARCHAR untouched
