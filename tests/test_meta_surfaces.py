@@ -167,3 +167,25 @@ def test_explain_emits_cardinality_annotations(spark, sf_dir):
     text = eng.explain("SELECT count(*) FROM orders JOIN customer ON o_custkey = c_custkey")
     assert "cardinality=" in text and "size=" in text  # per-node stats line
     assert "SCAN PARQUET" in text
+
+
+def test_compute_stats_feeds_explain_cardinality(spark, sf_dir):
+    """The reference's loop: COMPUTE STATS -> planner cardinality estimates
+    (ComputeStatsStmt -> ColumnStats -> PlanNode.getExplainString). Ours:
+    ANALYZE TABLE -> CBO rowCount -> explain() annotations."""
+    from impala_spark import operators as ops
+    from impala_spark.engine import ImpalaEngine
+    from impala_spark.session import table
+
+    eng = ImpalaEngine(spark, sf_dir)
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    ops.write_bucketed(o, "t_orders_stats", ["o_orderkey"], buckets=4)
+    eng.sql("COMPUTE STATS t_orders_stats")
+    text = eng.explain(
+        "SELECT o_orderstatus, count(*) FROM t_orders_stats GROUP BY o_orderstatus"
+    )
+    import re
+
+    m = re.search(r"SCAN PARQUET\s+\[cardinality=(\d+)", text)
+    assert m, text
+    assert int(m.group(1)) == o.count()
