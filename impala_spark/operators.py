@@ -374,16 +374,24 @@ def write_bucketed(
     AND the per-query sort from every subsequent equi-join or
     aggregation on `keys`."""
     spark = df.sparkSession
+    # Anchor the table under a database with an EXPLICIT location: the
+    # session's default warehouse dir is a static conf that can be
+    # cwd-relative on a foreign session, and bucketing metadata requires
+    # saveAsTable (a plain path write loses the bucket spec).
+    from impala_spark.ddl import WAREHOUSE
+
+    db_loc = os.path.join(WAREHOUSE, "bucketed_db")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketed_db LOCATION '{db_loc}'")
+    if "." not in name:
+        name = f"bucketed_db.{name}"
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     # A fresh session's in-memory catalog doesn't know about a previous
-    # run's table, so DROP TABLE can't clear its warehouse directory —
-    # saveAsTable would then fail with LOCATION_ALREADY_EXISTS. Remove
-    # the orphaned location explicitly.
+    # run's table, so DROP TABLE can't clear its directory — saveAsTable
+    # would then fail with LOCATION_ALREADY_EXISTS. Remove the orphaned
+    # location explicitly.
     import shutil
-    from urllib.parse import urlparse
 
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
-    shutil.rmtree(os.path.join(wh, name.lower()), ignore_errors=True)
+    shutil.rmtree(os.path.join(db_loc, name.split(".", 1)[1].lower()), ignore_errors=True)
     writer = df.write.mode("overwrite").bucketBy(buckets, *keys)
     writer = writer.sortBy(*(sort_keys or keys))
     writer.format("parquet").saveAsTable(name)

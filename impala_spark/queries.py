@@ -2931,7 +2931,11 @@ def q_multi_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from impala_spark import sources
 
-    base = os.path.join("spark-warehouse", "multi_format_demo")
+    # absolute path: the driver's SparkSession may run with a different
+    # cwd, and a relative path would write outside the allowed tree
+    from impala_spark.ddl import WAREHOUSE
+
+    base = os.path.join(WAREHOUSE, "multi_format_demo")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000).select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )

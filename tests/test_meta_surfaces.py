@@ -180,9 +180,9 @@ def test_compute_stats_feeds_explain_cardinality(spark, sf_dir):
     eng = ImpalaEngine(spark, sf_dir)
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     ops.write_bucketed(o, "t_orders_stats", ["o_orderkey"], buckets=4)
-    eng.sql("COMPUTE STATS t_orders_stats")
+    eng.sql("COMPUTE STATS bucketed_db.t_orders_stats")
     text = eng.explain(
-        "SELECT o_orderstatus, count(*) FROM t_orders_stats GROUP BY o_orderstatus"
+        "SELECT o_orderstatus, count(*) FROM bucketed_db.t_orders_stats GROUP BY o_orderstatus"
     )
     import re
 
