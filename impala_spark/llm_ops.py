@@ -698,3 +698,25 @@ def ivf_ann(
         ).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Dataset splitting — the train/eval/test partitioning a training-data
+# pipeline needs. Hash-based, not random: the split is a PURE FUNCTION of
+# the document id, so it is identical across runs, machines, and
+# re-executions of failed partitions (exactly-once semantics at 100 TB
+# require this), and adding documents never moves an existing one across
+# splits.
+# ---------------------------------------------------------------------------
+
+
+def train_test_split(
+    df: DataFrame, id_col: str = "doc_id", test_permille: int = 100, seed: int = 7,
+) -> DataFrame:
+    """Adds a 'split' column: 'test' for ~test_permille/1000 of rows,
+    'train' for the rest, by seeded hash of the id — deterministic,
+    disjoint, complete, and stable under corpus growth."""
+    bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(1000))
+    return df.withColumn(
+        "split", F.when(bucket < test_permille, "test").otherwise("train")
+    )

@@ -3213,3 +3213,34 @@ def q_decimal_result_types(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(CAST(1.5 AS DECIMAL(10,2)) * CAST(2.25 AS DECIMAL(8,3)) AS DOUBLE) AS mul_val
         """
     )
+
+
+# Deterministic train/test split (llm_ops.train_test_split): the split
+# is a pure function of doc_id, so the checkable invariants are
+# completeness (train+test == total), disjointness, and the test
+# fraction landing inside a binomial tolerance band. The oracle
+# reproduces the total and the literal TRUEs.
+@register(
+    "llm_train_test_split",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           TRUE AS partitions_complete,
+           TRUE AS ratio_ok
+    FROM documents
+    """,
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    s = llm_ops.train_test_split(d, test_permille=100)
+    agg = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("_n_train"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("_n_test"),
+    )
+    return agg.select(
+        "n_total",
+        (F.col("_n_train") + F.col("_n_test") == F.col("n_total")).alias("partitions_complete"),
+        # 10% target; allow [5%, 15%] — far beyond 5 sigma at 500 docs
+        ((F.col("_n_test") / F.col("n_total") > 0.05)
+         & (F.col("_n_test") / F.col("n_total") < 0.15)).alias("ratio_ok"),
+    )

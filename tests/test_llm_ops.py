@@ -155,3 +155,22 @@ def test_ivf_ann_recall(spark, sf_dir):
     r = SPARK_QUERIES_ND["llm_ann_ivf"](spark, sf_dir).first()
     assert r.n_results == 10
     assert r.recall_ok  # overlap@10 vs brute force >= 5
+
+
+def test_train_test_split_deterministic_and_stable(spark, sf_dir):
+    from impala_spark import llm_ops
+    from impala_spark.session import table
+    from pyspark.sql import functions as F
+
+    d = table(spark, sf_dir, "documents")
+    s1 = llm_ops.train_test_split(d)
+    s2 = llm_ops.train_test_split(d)
+    # identical across runs
+    assert s1.filter(F.col("split") == "test").agg(F.sum("doc_id")).first()[0] == \
+           s2.filter(F.col("split") == "test").agg(F.sum("doc_id")).first()[0]
+    # growing the corpus never moves an existing row's split
+    half = d.filter(F.col("doc_id") < 250)
+    sh = llm_ops.train_test_split(half)
+    full_assign = {r.doc_id: r.split for r in s1.select("doc_id", "split").collect()}
+    for r in sh.select("doc_id", "split").collect():
+        assert full_assign[r.doc_id] == r.split
