@@ -69,6 +69,8 @@ def _verified_order(names: list[str]) -> list[str]:
         "ddl_create_function", "nested_collection_sql", "scan_multi_format",
         "events_stream_stream_join", "exchange_kinds", "expr_literals_inference",
         "join_bucketed_colocated", "expr_misc_builtins",
+        "ddl_add_drop_partition", "expr_char_varchar_cast",
+        "expr_decimal_result_types", "llm_train_test_split",
     ]
     rank = {n: i for i, n in enumerate(boost)}
     unverified = [n for n in names if n not in passed]
