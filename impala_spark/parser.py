@@ -393,6 +393,10 @@ FUNCTION_RENAMES = {
     "lcase": "lower",
     "ucase": "upper",
     "fmod": "mod",
+    "variance_pop": "var_pop",
+    "variance_samp": "var_samp",
+    "base64encode": "base64",
+    "base64decode": "unbase64",
     # d-prefixed double variants (ScalarBuiltins MathFunctions)
     "dceil": "ceil",
     "dfloor": "floor",
@@ -544,6 +548,63 @@ def _rewrite_functions(tokens: list[Token]) -> list[Token]:
                 _replace_call(
                     out, i, close,
                     _ts_add_expr(name[: -len("_add")], args[0], args[1], sign),
+                )
+        elif name == "sample":
+            # BuiltinsDb.java:721-730 reservoir sample aggregate; our
+            # deterministic stand-in (functions.sample) for the SQL path.
+            close = _matching_paren(out, j)
+            args = _split_args(out, j, close)
+            if len(args) in (1, 2):
+                n = args[1] if len(args) == 2 else "20"
+                _replace_call(
+                    out, i, close,
+                    f"array_join(slice(array_sort(collect_list({args[0]})), 1, {n}), ', ')",
+                )
+        elif name in ("truncate", "dtrunc"):
+            # ScalarBuiltins truncate(x[, d]): numeric truncation toward
+            # zero to d decimal places. Spark has no numeric truncate;
+            # CAST to BIGINT truncates toward zero (ANSI off).
+            close = _matching_paren(out, j)
+            args = _split_args(out, j, close)
+            if len(args) == 1:
+                _replace_call(out, i, close, f"CAST(({args[0]}) AS BIGINT)")
+            elif len(args) == 2:
+                _replace_call(
+                    out, i, close,
+                    f"(CAST(({args[0]}) * POW(10, {args[1]}) AS BIGINT) / POW(10, {args[1]}))",
+                )
+        elif name in ("istrue", "isfalse", "isnottrue", "isnotfalse"):
+            # ConditionalFunctions boolean tests: NULL-safe three-valued
+            # checks — istrue(NULL) = false, isnottrue(NULL) = true.
+            close = _matching_paren(out, j)
+            args = _split_args(out, j, close)
+            if len(args) == 1:
+                op = {
+                    "istrue": "IS TRUE", "isfalse": "IS FALSE",
+                    "isnottrue": "IS NOT TRUE", "isnotfalse": "IS NOT FALSE",
+                }[name]
+                _replace_call(out, i, close, f"(({args[0]}) {op})")
+        elif name in ("nullvalue", "nonnullvalue"):
+            close = _matching_paren(out, j)
+            args = _split_args(out, j, close)
+            if len(args) == 1:
+                op = "IS NULL" if name == "nullvalue" else "IS NOT NULL"
+                _replace_call(out, i, close, f"(({args[0]}) {op})")
+        elif name == "timeofday":
+            # ScalarBuiltins timeofday(): current time as a string.
+            close = _matching_paren(out, j)
+            _replace_call(
+                out, i, close,
+                "date_format(current_timestamp(), 'EEE MMM dd HH:mm:ss yyyy zzz')",
+            )
+        elif name in ("nanoseconds_add", "nanoseconds_sub"):
+            close = _matching_paren(out, j)
+            args = _split_args(out, j, close)
+            if len(args) == 2:
+                sign = "+" if name.endswith("_add") else "-"
+                _replace_call(
+                    out, i, close,
+                    _ts_add_expr("microseconds", args[0], f"({args[1]}) / 1000", sign),
                 )
         elif name == "cast":
             # Impala CAST enforces CHAR(n)/VARCHAR(n) length semantics at
