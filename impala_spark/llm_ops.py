@@ -720,3 +720,86 @@ def train_test_split(
     return df.withColumn(
         "split", F.when(bucket < test_permille, "test").otherwise("train")
     )
+
+
+def pack_sequences(
+    df: DataFrame, max_tokens: int = 512, id_col: str = "doc_id",
+    text_col: str = "text", buckets: int | None = None,
+) -> DataFrame:
+    """Sequence packing: greedily combine short documents into packs of at
+    most max_tokens whitespace tokens — the step that turns a deduped
+    corpus into fixed-budget training sequences without padding waste.
+
+    Distributed shape: documents hash into `buckets` independent packing
+    groups (default: cluster parallelism); each group packs locally via
+    one Arrow-batched applyInPandas (first-fit-decreasing on token
+    count). No global coordination: pack ids are (bucket, local seq), so
+    the operator scales linearly — the tradeoff is packing efficiency
+    within a bucket rather than globally, which at corpus scale is
+    statistically identical. Oversized docs (> max_tokens) get a pack of
+    their own (truncation is a separate, explicit step).
+
+    Returns (id, token_count, pack_id) — one row per document,
+    every document in exactly one pack, per-pack totals <= max_tokens
+    unless the pack is a single oversized doc. Deterministic: bucket
+    assignment is hashed, in-bucket order is (token_count desc, id).
+    """
+    n_buckets = buckets or df.sparkSession.sparkContext.defaultParallelism
+    toks = F.size(F.split(F.trim(F.col(text_col)), _WORD_SPLIT))
+    base = df.select(
+        F.col(id_col).alias("id").cast("long"),
+        toks.cast("long").alias("token_count"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_buckets)).alias("_bucket"),
+    )
+
+    out_schema = "id long, token_count long, pack_id string"
+
+    def pack_group(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["token_count", "id"], ascending=[False, True])
+        bucket = int(pdf["_bucket"].iloc[0])
+        packs: list[int] = []  # remaining budget per open pack
+        assign: list[int] = []
+        for t in pdf["token_count"]:
+            t = int(t)
+            placed = False
+            for pi in range(len(packs)):  # first fit
+                if packs[pi] >= t:
+                    packs[pi] -= t
+                    assign.append(pi)
+                    placed = True
+                    break
+            if not placed:
+                packs.append(max(0, max_tokens - t))
+                assign.append(len(packs) - 1)
+        return pd.DataFrame(
+            {
+                "id": pdf["id"].values,
+                "token_count": pdf["token_count"].values,
+                "pack_id": [f"{bucket}-{a}" for a in assign],
+            }
+        )
+
+    return base.groupBy("_bucket").applyInPandas(pack_group, schema=out_schema)
+
+
+def mix_sources(
+    df: DataFrame, weights: dict[str, float], source_col: str = "source",
+    id_col: str = "doc_id", default_weight: float = 0.0, seed: int = 11,
+) -> DataFrame:
+    """Weighted dataset mixing: downsample each source to its weight
+    (keep fraction) via a seeded hash of the id — the deterministic
+    sampler a training-mix config needs. weight 1.0 keeps a source
+    completely, 0.0 drops it; re-runs, retries, and corpus growth never
+    change which surviving rows are kept (pure function of id+seed).
+    One narrow filter, no shuffle — at 100 TB this is scan-speed.
+    """
+    bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(1_000_000))
+    rate = None
+    for src, w in weights.items():
+        cond = F.col(source_col) == src
+        rate = F.when(cond, F.lit(float(w))) if rate is None else rate.when(cond, F.lit(float(w)))
+    rate = (rate.otherwise(F.lit(float(default_weight)))
+            if rate is not None else F.lit(float(default_weight)))
+    return df.filter(bucket < rate * 1_000_000)

@@ -3244,3 +3244,93 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("_n_test") / F.col("n_total") > 0.05)
          & (F.col("_n_test") / F.col("n_total") < 0.15)).alias("ratio_ok"),
     )
+
+
+# Sequence packing (llm_ops.pack_sequences): bucketed first-fit-
+# decreasing via applyInPandas. Checkable invariants: every document in
+# exactly one pack (count preserved, ids distinct), no pack over budget
+# unless it is a single oversized doc, and pack count sits between the
+# theoretical floor (ceil(total/budget)) and the doc count. The oracle
+# reproduces the exact totals and the literal TRUEs.
+@register(
+    "llm_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT len(string_split_regex(trim(text), '\\s+')) AS tc
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tc) AS BIGINT) AS total_tokens,
+           TRUE AS every_doc_once,
+           TRUE AS packs_within_budget,
+           TRUE AS pack_count_sane
+    FROM t
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    budget = 512
+    d = table(spark, sf_dir, "documents")
+    packed = llm_ops.pack_sequences(d, max_tokens=budget)
+    per_pack = packed.groupBy("pack_id").agg(
+        F.sum("token_count").alias("pack_tokens"),
+        F.count(F.lit(1)).alias("pack_docs"),
+    )
+    over_budget_multi = per_pack.filter(
+        (F.col("pack_tokens") > budget) & (F.col("pack_docs") > 1)
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = packed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_distinct("id").alias("_n_ids"),
+        F.sum("token_count").cast("bigint").alias("total_tokens"),
+        F.count_distinct("pack_id").alias("_n_packs"),
+    )
+    return (
+        stats.crossJoin(over_budget_multi)
+        .select(
+            "n_docs",
+            "total_tokens",
+            (F.col("_n_ids") == F.col("n_docs")).alias("every_doc_once"),
+            (F.col("n") == 0).alias("packs_within_budget"),
+            (
+                (F.col("_n_packs") >= F.ceil(F.col("total_tokens") / budget))
+                & (F.col("_n_packs") <= F.col("n_docs"))
+            ).alias("pack_count_sane"),
+        )
+    )
+
+
+# Weighted dataset mixing (llm_ops.mix_sources): seeded-hash downsampling
+# per source. weight-1.0 sources survive exactly (oracle-exact count);
+# fractional sources land in a wide binomial band; every kept row is a
+# subset of the input (kept <= total per source).
+@register(
+    "llm_mix_sources",
+    oracle="""
+    SELECT CAST(count(*) FILTER (WHERE source IN ('src0','src1','src2','src3','src4')) AS BIGINT)
+             AS n_full,
+           TRUE AS partial_ratio_ok,
+           TRUE AS no_unknown_sources
+    FROM documents
+    """,
+)
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    full = ["src0", "src1", "src2", "src3", "src4"]
+    partial = [f"src{i}" for i in range(5, 20)]
+    weights = {s: 1.0 for s in full} | {s: 0.25 for s in partial}
+    mixed = llm_ops.mix_sources(d, weights, default_weight=0.0)
+    totals = d.filter(F.col("source").isin(partial)).agg(
+        F.count(F.lit(1)).alias("n_partial_in")
+    )
+    agg = mixed.agg(
+        F.sum(F.when(F.col("source").isin(full), 1).otherwise(0))
+        .cast("bigint").alias("n_full"),
+        F.sum(F.when(F.col("source").isin(partial), 1).otherwise(0)).alias("_n_partial"),
+        F.sum(F.when(~F.col("source").isin(full + partial), 1).otherwise(0)).alias("_n_other"),
+    )
+    return agg.crossJoin(totals).select(
+        "n_full",
+        ((F.col("_n_partial") / F.col("n_partial_in") > 0.10)
+         & (F.col("_n_partial") / F.col("n_partial_in") < 0.40)).alias("partial_ratio_ok"),
+        (F.col("_n_other") == 0).alias("no_unknown_sources"),
+    )

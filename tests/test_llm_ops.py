@@ -174,3 +174,34 @@ def test_train_test_split_deterministic_and_stable(spark, sf_dir):
     full_assign = {r.doc_id: r.split for r in s1.select("doc_id", "split").collect()}
     for r in sh.select("doc_id", "split").collect():
         assert full_assign[r.doc_id] == r.split
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    from impala_spark import llm_ops
+    from impala_spark.session import table
+    from pyspark.sql import functions as F
+
+    d = table(spark, sf_dir, "documents")
+    packed = llm_ops.pack_sequences(d, max_tokens=256)
+    assert packed.count() == d.count()  # every doc exactly once
+    assert packed.select("id").distinct().count() == d.count()
+    bad = (
+        packed.groupBy("pack_id")
+        .agg(F.sum("token_count").alias("t"), F.count(F.lit(1)).alias("n"))
+        .filter((F.col("t") > 256) & (F.col("n") > 1))
+    )
+    assert bad.count() == 0  # only single oversized docs may exceed budget
+
+
+def test_mix_sources_weight_one_keeps_all_weight_zero_drops(spark, sf_dir):
+    from impala_spark import llm_ops
+    from impala_spark.session import table
+    from pyspark.sql import functions as F
+
+    d = table(spark, sf_dir, "documents")
+    mixed = llm_ops.mix_sources(d, {"src0": 1.0}, default_weight=0.0)
+    n_src0 = d.filter(F.col("source") == "src0").count()
+    assert mixed.count() == n_src0
+    assert mixed.filter(F.col("source") != "src0").count() == 0
+    # deterministic: same result on re-run
+    assert llm_ops.mix_sources(d, {"src0": 1.0}).count() == n_src0
