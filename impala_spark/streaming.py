@@ -219,3 +219,24 @@ def click_error_interval_join(
     return clicks.join(errors, cond, "inner").select(
         F.col("c_user").alias("user_id"), "click_id", "error_id", "click_ts", "error_ts"
     )
+
+
+def write_stream_to_parquet(
+    stream_df: DataFrame, path: str, checkpoint: str, timeout_s: int = 120
+):
+    """Exactly-once file sink: parquet + checkpointLocation. The
+    checkpoint's write-ahead log makes re-running after a crash (or
+    re-triggering AvailableNow on an unchanged source) a no-op instead
+    of duplicating output — the property tests/test_streaming.py pins by
+    running the same sink twice and counting. At scale this is the
+    landing pattern for continuous ingestion into managed tables."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q

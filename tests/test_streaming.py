@@ -83,3 +83,19 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     got = {(r.click_id, r.error_id) for r in got_df.collect()}
     assert got == expected
     assert len(got) > 0
+
+
+def test_file_sink_exactly_once_on_rerun(spark, sf_dir, tmp_path):
+    """Re-triggering the same sink over an unchanged source must be a
+    no-op (checkpoint WAL), not an append of duplicates."""
+    out = str(tmp_path / "events_out")
+    ckpt = str(tmp_path / "ckpt")
+    s1 = stm.dedup_events(stm.read_events_stream(spark, sf_dir))
+    stm.write_stream_to_parquet(s1, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == stm.dedup_events(batch_events(spark, sf_dir)).count()
+    # second run, same checkpoint, unchanged source -> no new rows
+    s2 = stm.dedup_events(stm.read_events_stream(spark, sf_dir))
+    stm.write_stream_to_parquet(s2, out, ckpt)
+    n2 = spark.read.parquet(out).count()
+    assert n2 == n1
