@@ -58,6 +58,14 @@ _DROP_TABLE_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<table>[\w`]+)\s*(?P<purge>PURGE)?\s*$",
     re.IGNORECASE,
 )
+#: Impala-specific SHOW forms Spark SQL lacks (service/MetadataOp.java,
+#: sql-parser.cup show_stmt): SHOW FILES IN t, SHOW TABLE/COLUMN STATS t,
+#: SHOW PARTITIONS t, SHOW CREATE TABLE t, SHOW FUNCTIONS.
+_SHOW_RE = re.compile(
+    r"^\s*SHOW\s+(?P<kind>FILES\s+IN|TABLE\s+STATS|COLUMN\s+STATS|PARTITIONS|"
+    r"CREATE\s+TABLE|FUNCTIONS)\s*(?P<target>[\w.`]+)?\s*$",
+    re.IGNORECASE,
+)
 
 #: Impala query option -> Spark conf (subset that makes sense on Spark).
 _QUERY_OPTIONS = {
@@ -104,6 +112,23 @@ class ImpalaEngine:
         if m:
             self.spark.catalog.setCurrentDatabase(m.group(1).strip("`"))
             return self.spark.sql("SELECT current_database() AS db")
+
+        m = _SHOW_RE.match(q)
+        if m:
+            kind = re.sub(r"\s+", " ", m.group("kind").upper().strip())
+            target = (m.group("target") or "").strip("`")
+            if kind == "FILES IN":
+                return self.show_files(target)
+            if kind == "TABLE STATS":
+                return self.show_table_stats(target)
+            if kind == "COLUMN STATS":
+                return self.show_column_stats(target)
+            if kind == "PARTITIONS":
+                return self.show_partitions(target)
+            if kind == "CREATE TABLE":
+                return self.show_create_table(target)
+            if kind == "FUNCTIONS":
+                return self.show_functions()
 
         upper = q.upper()
         m = _INSERT_RE.match(q)
@@ -258,7 +283,17 @@ class ImpalaEngine:
 
         t = ddl.table_info(table)
         if t is None:
-            raise ValueError(f"SHOW FILES: '{table}' is not a managed table")
+            # view over files (fixture tables): the scan's file listing is
+            # exactly the reference's file-descriptor set for the table
+            from urllib.parse import urlparse
+
+            rows = []
+            for uri in self.spark.table(table).inputFiles():
+                p = urlparse(uri).path
+                rows.append((os.path.basename(p), os.path.getsize(p)))
+            if not rows:
+                raise ValueError(f"SHOW FILES: '{table}' has no backing files")
+            return self.spark.createDataFrame(rows, "path: string, size_bytes: long")
         rows = []
         for root, _dirs, files in os.walk(t.path):
             for f in files:
@@ -312,7 +347,22 @@ class ImpalaEngine:
             part = f" PARTITIONED BY ({', '.join(t.partition_cols)})" if t.partition_cols else ""
             ddl_text = f"CREATE TABLE {table} ({cols}) STORED AS PARQUET{part} LOCATION '{t.path}'"
             return self.spark.createDataFrame([(ddl_text,)], "createtab_stmt: string")
-        return self.spark.sql(f"SHOW CREATE TABLE {table}")
+        try:
+            return self.spark.sql(f"SHOW CREATE TABLE {table}")
+        except Exception:
+            # temp view over files (fixture tables): Spark's SHOW CREATE
+            # TABLE rejects views — reconstruct the external-table DDL.
+            import os
+            from urllib.parse import urlparse
+
+            df = self.spark.table(table)
+            cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+            files = df.inputFiles()
+            loc = os.path.dirname(urlparse(files[0]).path) if files else "<in-memory>"
+            ddl_text = (
+                f"CREATE EXTERNAL TABLE {table} ({cols}) STORED AS PARQUET LOCATION '{loc}'"
+            )
+            return self.spark.createDataFrame([(ddl_text,)], "createtab_stmt: string")
 
     # -- EXPLAIN (Frontend.getExplainString analog) --------------------------
     def _explain_df(self, query: str) -> DataFrame:

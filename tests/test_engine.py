@@ -128,3 +128,18 @@ def test_engine_strict_mode(spark, sf_dir):
     assert eng.sql(
         "SELECT n_name, (SELECT max(r_regionkey) FROM region) AS m FROM nation"
     ).count() == 25
+
+
+def test_show_statement_routing(spark, sf_dir):
+    from impala_spark.engine import ImpalaEngine
+
+    eng = ImpalaEngine(spark, sf_dir)
+    ts = eng.sql("SHOW TABLE STATS nation").first()
+    assert ts.num_rows == 25
+    cs = {r.column: r for r in eng.sql("SHOW COLUMN STATS nation").collect()}
+    assert cs["n_regionkey"].ndv == 5
+    files = eng.sql("SHOW FILES IN nation").collect()
+    assert len(files) >= 1 and files[0].size_bytes > 0
+    assert eng.sql("SHOW FUNCTIONS").count() > 0
+    ct = eng.sql("SHOW CREATE TABLE nation")
+    assert ct.count() >= 1
