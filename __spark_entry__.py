@@ -71,7 +71,7 @@ def _verified_order(names: list[str]) -> list[str]:
         "join_bucketed_colocated", "expr_misc_builtins",
         "ddl_add_drop_partition", "expr_char_varchar_cast",
         "expr_decimal_result_types", "llm_train_test_split",
-        "llm_pack_sequences", "llm_mix_sources",
+        "llm_pack_sequences", "llm_mix_sources", "meta_show_sql_stmts",
     ]
     rank = {n: i for i, n in enumerate(boost)}
     unverified = [n for n in names if n not in passed]

@@ -3334,3 +3334,22 @@ def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
          & (F.col("_n_partial") / F.col("n_partial_in") < 0.40)).alias("partial_ratio_ok"),
         (F.col("_n_other") == 0).alias("no_unknown_sources"),
     )
+
+
+# SHOW statement SQL routing (service/MetadataOp.java; sql-parser.cup
+# show_stmt): SHOW TABLE STATS through the SQL front door, row count
+# oracle-reproduced (size/format are engine-side constants here).
+@register(
+    "meta_show_sql_stmts",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS num_rows, 'PARQUET' AS format,
+           TRUE AS files_listed
+    FROM nation
+    """,
+)
+def q_show_sql_stmts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = ImpalaEngine(spark, sf_dir)
+    ts = eng.sql("SHOW TABLE STATS nation")
+    files = eng.sql("SHOW FILES IN nation")
+    n_files = files.agg((F.count(F.lit(1)) >= 1).alias("files_listed"))
+    return ts.select(F.col("num_rows").cast("bigint"), "format").crossJoin(n_files)

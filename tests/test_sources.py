@@ -56,3 +56,25 @@ def test_textfile_uses_impala_delimiter(spark, sf_dir, tmp_path):
     files = [f for f in os.listdir(path) if f.startswith("part-")]
     body = open(os.path.join(path, files[0])).read()
     assert "\x01" in body  # Impala's default field terminator
+
+
+def test_textfile_malformed_rows_read_permissive(spark, tmp_path):
+    """Impala TEXTFILE scans turn unparseable numerics into NULL and keep
+    going; Spark's csv PERMISSIVE mode (default) matches — a malformed
+    row must not fail the scan."""
+    import os
+
+    p = str(tmp_path / "malformed")
+    os.makedirs(p)
+    with open(os.path.join(p, "part-0.csv"), "w") as f:
+        f.write("1\x01good\x0110.5\n")
+        f.write("oops\x01bad-int\x01not-a-number\n")
+        f.write("3\x01fine\x012.5\n")
+    df = sources.read_table(
+        spark, p, "TEXTFILE", schema="id bigint, name string, val double"
+    )
+    rows = df.collect()
+    assert len(rows) == 3
+    by_name = {r.name: r for r in rows}
+    assert by_name["good"].id == 1
+    assert by_name["bad-int"].id is None and by_name["bad-int"].val is None
