@@ -57,21 +57,38 @@ def _verified_order(names: list[str]) -> list[str]:
                 and r.get("hash_match")
             ):
                 passed.add(name)
-    # Among unverified queries, boost the shapes the round-2 verdict
-    # prioritized (TPC-H gaps users hit constantly + round-3 surfaces) so
-    # they make this round's window; the rest keep registration order and
-    # rotate in as earlier entries turn green.
+    # Among unverified queries, the round-2 verdict's priorities come
+    # first: the two r2 FAILURES, then the never-driver-checked LLM /
+    # streaming / DDL / meta / expr families (its #1 ask), then the
+    # highest-value round-3 capability queries. Everything else keeps
+    # registration order and rotates in as earlier entries turn green.
     boost = [
-        "tpch_q13_customer_distribution", "tpch_q17_small_quantity",
-        "tpch_q18_large_volume", "tpch_q19_discounted_revenue",
-        "tpch_q21_suppliers_waiting", "tpch_q22_global_sales",
-        "expr_decode", "expr_ts_builtins", "expr_factorial_postfix",
-        "ddl_create_function", "nested_collection_sql", "scan_multi_format",
-        "events_stream_stream_join", "exchange_kinds", "expr_literals_inference",
-        "join_bucketed_colocated", "expr_misc_builtins",
-        "ddl_add_drop_partition", "expr_char_varchar_cast",
-        "expr_decimal_result_types", "llm_train_test_split",
-        "llm_pack_sequences", "llm_mix_sources", "meta_show_sql_stmts",
+        # r2 failures, fixed this round
+        "agg_ndv", "agg_appx_median",
+        # LLM-pipeline family (all driver-unseen in r2)
+        "llm_text_stats", "llm_fingerprint", "llm_dedup_exact",
+        "llm_language_id", "llm_quality_score", "llm_minhash_lsh",
+        "llm_simhash", "llm_ngram_jaccard", "llm_ann_bruteforce",
+        "llm_ann_lsh", "llm_embedding_stats", "llm_multimodal_features",
+        "llm_train_test_split", "llm_pack_sequences", "llm_mix_sources",
+        # streaming family
+        "events_tumbling_window", "events_sliding_window",
+        "events_session_window", "events_first_per_user", "events_dedup",
+        "events_user_state", "events_stream_stream_join",
+        # DDL / metadata
+        "ddl_ctas_readback", "ddl_insert_overwrite_partition",
+        "ddl_update_delete", "ddl_upsert", "ddl_truncate",
+        "ddl_create_function", "ddl_add_drop_partition",
+        "meta_compute_stats", "meta_load_data", "meta_show_describe",
+        "meta_explain", "meta_show_sql_stmts",
+        # expression / nested / scan coverage
+        "expr_like_family", "expr_casts", "expr_arithmetic",
+        "expr_string_funcs", "expr_date_funcs", "expr_decode",
+        "expr_ts_builtins", "nested_unnest_pos", "nested_collection_sql",
+        "scan_pushdown_pruning", "scan_multi_format", "udf_scalar_and_uda",
+        # highest-value round-3 shapes
+        "tpch_q13_customer_distribution", "tpch_q18_large_volume",
+        "tpch_q21_suppliers_waiting", "join_bucketed_colocated",
     ]
     rank = {n: i for i, n in enumerate(boost)}
     unverified = [n for n in names if n not in passed]
