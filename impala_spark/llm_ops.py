@@ -824,3 +824,22 @@ def mix_sources(
     rate = (rate.otherwise(F.lit(float(default_weight)))
             if rate is not None else F.lit(float(default_weight)))
     return df.filter(bucket < rate * 1_000_000)
+
+
+def token_frequencies(
+    df: DataFrame, text_col: str = "text", min_count: int = 1,
+) -> DataFrame:
+    """Corpus token-frequency table (vocabulary building): normalized
+    whitespace tokens -> (token, n_docs, n_total). explode + one hash
+    aggregation — partial aggregation absorbs the per-partition repeats
+    before the exchange, so the shuffle carries ~|vocab| rows, not
+    ~|corpus tokens|. The input to BPE/vocab training at any scale."""
+    toks = F.split(
+        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"[^a-zA-Z0-9\s]", "")), _WORD_SPLIT
+    )
+    exploded = df.select(F.explode(toks).alias("token")).filter(F.col("token") != "")
+    return (
+        exploded.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+        .filter(F.col("n_total") >= min_count)
+    )

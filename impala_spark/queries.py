@@ -3353,3 +3353,23 @@ def q_show_sql_stmts(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = eng.sql("SHOW FILES IN nation")
     n_files = files.agg((F.count(F.lit(1)) >= 1).alias("files_listed"))
     return ts.select(F.col("num_rows").cast("bigint"), "format").crossJoin(n_files)
+
+
+# Vocabulary building (llm_ops.token_frequencies): corpus token counts,
+# the input to BPE training. Exact oracle via DuckDB unnest.
+@register(
+    "llm_token_frequencies",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(string_split_regex(
+        trim(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')), '\\s+')) AS token
+      FROM documents
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS n_total
+    FROM w WHERE token <> ''
+    GROUP BY token HAVING count(*) >= 5
+    """,
+)
+def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return llm_ops.token_frequencies(d, min_count=5)
