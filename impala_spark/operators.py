@@ -407,3 +407,40 @@ def colocated_join(
     plan has no Exchange above either scan — verified by
     tests/test_operators.py asserting zero join-key exchanges."""
     return left.hint("merge").join(right, list(on), how)
+
+
+def partition_key_scan(spark, table_name: str) -> DataFrame:
+    """Metadata-only partition-key scan (SingleNodePlanner.java:603-606,
+    1196 + HdfsPartitionPruner): DISTINCT over partition columns answered
+    from the partition LISTING, never the data files. Spark dropped its
+    gated OptimizeMetadataOnlyQuery rule (correctness issues with empty
+    partition dirs), so this helper goes to the same source of truth the
+    rule used — the catalog/file-index partition spec — explicitly. At
+    100 TB this is the difference between a directory listing and a
+    full-table scan for `SELECT DISTINCT dt FROM events`."""
+    from impala_spark import ddl as _ddl
+
+    t = _ddl.table_info(table_name)
+    if t is not None and t.partition_cols:
+        rows = []
+        base = t.path
+
+        def walk(prefix: str, cols: list[str], acc: tuple):
+            if not cols:
+                rows.append(acc)
+                return
+            for entry in sorted(os.listdir(prefix)):
+                if "=" in entry and os.path.isdir(os.path.join(prefix, entry)):
+                    k, _, v = entry.partition("=")
+                    if k == cols[0]:
+                        walk(os.path.join(prefix, entry), cols[1:], acc + (v,))
+
+        walk(base, list(t.partition_cols), ())
+        schema = ", ".join(f"{c}: string" for c in t.partition_cols)
+        return spark.createDataFrame(rows, schema)
+    # catalog tables: partition spec via SHOW PARTITIONS (no data scan)
+    parts = spark.sql(f"SHOW PARTITIONS {table_name}").collect()
+    pairs = [dict(kv.partition("=")[::2] for kv in r.partition.split("/")) for r in parts]
+    cols = sorted(pairs[0]) if pairs else []
+    schema = ", ".join(f"{c}: string" for c in cols)
+    return spark.createDataFrame([tuple(p[c] for c in cols) for p in pairs], schema)

@@ -3373,3 +3373,38 @@ def q_show_sql_stmts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return llm_ops.token_frequencies(d, min_count=5)
+
+
+# Implicit comma joins (sql-parser.cup from_clause; PlannerTest
+# implicit-joins suite): comma-separated FROM refs with WHERE-clause
+# equi-conjuncts must plan as hash joins, not cartesians.
+sql_query(
+    "join_implicit_comma",
+    """
+    SELECT n_name, r_name
+    FROM nation, region
+    WHERE n_regionkey = r_regionkey AND r_name IN ('ASIA', 'EUROPE')
+    ORDER BY n_name
+    """,
+)
+
+
+# Metadata-only partition-key scan (SingleNodePlanner.java:603-606 fast
+# partition-key scans): DISTINCT over the partition column answered from
+# the partition directory listing — zero data files read. The oracle
+# computes the same distinct from the data.
+@register(
+    "scan_partition_keys_metadata_only",
+    oracle="""
+    SELECT DISTINCT o_orderstatus FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def q_partition_key_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    ddl.drop_table(spark, "orders_pkscan")
+    ddl.create_table_as_select(
+        spark, "orders_pkscan",
+        "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey <= 2000",
+        partition_cols=["o_orderstatus"],
+    )
+    return ops.partition_key_scan(spark, "orders_pkscan").select("o_orderstatus")

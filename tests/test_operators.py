@@ -207,3 +207,66 @@ def test_exchange_random_defaults_to_shuffle_partitions(spark, sf_dir):
 
     n = ops.exchange(table(spark, sf_dir, "nation"), "RANDOM")
     assert n.count() == 25
+
+
+def test_predicate_propagation_across_equi_join(spark, sf_dir):
+    """Value-transfer graph parity (Analyzer.java:2626-2758): a predicate
+    on one side of an equi-join must appear as a pushed filter on the
+    OTHER side's scan (Catalyst InferFiltersFromConstraints)."""
+    from impala_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    df = spark.sql(
+        "SELECT count(*) AS n FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE o_orderkey < 100"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LessThan(l_orderkey,100)" in plan  # propagated + pushed to parquet
+
+
+def test_runtime_bloom_filter_on_shuffle_join(spark, sf_dir):
+    """Runtime-filter parity (RuntimeFilterGenerator.java:42-110): with a
+    selective build side and a shuffled probe side, Spark injects a bloom
+    filter on the probe's join key. Local fixture sizes sit below the
+    10 GB application-side default (a 100 TB fact table does not), so the
+    threshold is lowered for the assertion."""
+    from impala_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        df = spark.sql(
+            "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_totalprice > 400000"
+        )
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "10GB",
+        )
+
+
+def test_partition_key_scan_is_metadata_only(spark, sf_dir):
+    from impala_spark import ddl, operators as ops
+    from impala_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    ddl.drop_table(spark, "t_pkscan")
+    ddl.create_table_as_select(
+        spark, "t_pkscan",
+        "SELECT o_orderkey, o_orderstatus FROM orders",
+        partition_cols=["o_orderstatus"],
+    )
+    keys = ops.partition_key_scan(spark, "t_pkscan")
+    plan = keys._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan  # no file scan
+    got = {r.o_orderstatus for r in keys.collect()}
+    want = {r.o_orderstatus for r in spark.table("t_pkscan").select("o_orderstatus").distinct().collect()}
+    assert got == want
