@@ -3408,3 +3408,64 @@ def q_partition_key_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_cols=["o_orderstatus"],
     )
     return ops.partition_key_scan(spark, "orders_pkscan").select("o_orderstatus")
+
+
+# =====================================================================
+# 14. TPC-DS query shapes (PlannerTest.java:218-223 tpcds-all): the
+# retail-star shapes the reference also pins — date-dimension star
+# joins with grouped top-n. orders stands in for date_dim/store_sales'
+# date side, lineitem for the fact, part for item.
+# =====================================================================
+
+# TPC-DS Q3 shape: item x date star join, grouped by year+brand, top-n
+# by aggregate.
+sql_query(
+    "tpcds_q3_shape",
+    """
+    SELECT CAST(YEAR(o_orderdate) AS INT) AS d_year, p_brand,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_agg
+    FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part   ON l_partkey = p_partkey
+    WHERE p_type = 'PROMO' AND MONTH(o_orderdate) = 12
+    GROUP BY YEAR(o_orderdate), p_brand
+    ORDER BY d_year, sum_agg DESC, p_brand
+    LIMIT 100
+    """,
+)
+
+# TPC-DS Q42 shape: date-filtered star, category rollup by year.
+sql_query(
+    "tpcds_q42_shape",
+    """
+    SELECT CAST(YEAR(o_orderdate) AS INT) AS d_year, p_type,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_sales
+    FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part   ON l_partkey = p_partkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY YEAR(o_orderdate), p_type
+    ORDER BY sum_sales DESC, p_type
+    LIMIT 100
+    """,
+)
+
+# TPC-DS Q52 shape: brand revenue by year/month with ordered output.
+sql_query(
+    "tpcds_q52_shape",
+    """
+    SELECT CAST(YEAR(o_orderdate) AS INT) AS d_year,
+           CAST(MONTH(o_orderdate) AS INT) AS d_moy, p_brand,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS brand_rev
+    FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part   ON l_partkey = p_partkey
+    WHERE p_size BETWEEN 10 AND 20
+      AND o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-09-01 00:00:00'
+    GROUP BY YEAR(o_orderdate), MONTH(o_orderdate), p_brand
+    ORDER BY d_year, d_moy, brand_rev DESC, p_brand
+    LIMIT 100
+    """,
+)
