@@ -270,3 +270,25 @@ def test_partition_key_scan_is_metadata_only(spark, sf_dir):
     got = {r.o_orderstatus for r in keys.collect()}
     want = {r.o_orderstatus for r in spark.table("t_pkscan").select("o_orderstatus").distinct().collect()}
     assert got == want
+
+
+def test_nested_schema_pruning_reaches_scan(spark, sf_dir):
+    """Selecting one struct field must prune the siblings out of the
+    parquet ReadSchema (Catalyst nested-schema pruning) — at 100 TB the
+    difference between reading one subcolumn and the whole struct."""
+    import re
+
+    from impala_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW t_nested_pp_src AS "
+        "SELECT o_orderkey, named_struct('prio', o_orderpriority, 'price', o_totalprice, "
+        "'status', o_orderstatus) AS info FROM orders"
+    )
+    path = "/tmp/impala_spark_warehouse/t_nested_pp"
+    spark.table("t_nested_pp_src").write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path).select("info.prio")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m and m.group(1) == "struct<info:struct<prio:string>>", m and m.group(1)
