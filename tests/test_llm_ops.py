@@ -205,3 +205,35 @@ def test_mix_sources_weight_one_keeps_all_weight_zero_drops(spark, sf_dir):
     assert mixed.filter(F.col("source") != "src0").count() == 0
     # deterministic: same result on re-run
     assert llm_ops.mix_sources(d, {"src0": 1.0}).count() == n_src0
+
+
+def test_new_ops_degenerate_inputs(spark):
+    """NULL / empty / whitespace-only text and NULL ids must not crash or
+    corrupt the round-3 ops (same probes the older dedup ops pin)."""
+    from impala_spark import llm_ops
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "normal document text here"),
+        (2, ""),
+        (3, "   "),
+        (4, None),
+        (5, "word"),
+        (6, "normal document text here"),  # exact duplicate of 1
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    packed = llm_ops.pack_sequences(d, max_tokens=8)
+    assert packed.count() == 6  # every row assigned, including degenerate ones
+
+    tf = llm_ops.token_frequencies(d).collect()
+    toks = {r.token: r.n_total for r in tf}
+    assert toks.get("normal") == 2 and "" not in toks
+
+    split = llm_ops.train_test_split(d)
+    assert split.count() == 6
+    assert split.filter(F.col("split").isNull()).count() == 0
+
+    srcd = d.withColumn("source", F.when(F.col("doc_id") < 4, "a").otherwise(None))
+    mixed = llm_ops.mix_sources(srcd, {"a": 1.0}, default_weight=0.0)
+    assert mixed.count() == 3  # NULL source falls to default weight 0
