@@ -108,6 +108,13 @@ class ImpalaEngine:
         m = _SET_RE.match(q)
         if m:
             return self.set_option(m.group(1), m.group(2))
+        if re.match(r"^\s*SET\s*$", q, re.IGNORECASE):
+            # bare SET lists query options (Impala shell behavior)
+            rows = []
+            for opt, conf in sorted(_QUERY_OPTIONS.items()):
+                val = self.spark.conf.get(conf, "") if conf else "(no-op on Spark)"
+                rows.append((opt, str(val)))
+            return self.spark.createDataFrame(rows, "option: string, value: string")
         m = _USE_RE.match(q)
         if m:
             self.spark.catalog.setCurrentDatabase(m.group(1).strip("`"))

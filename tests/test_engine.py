@@ -143,3 +143,11 @@ def test_show_statement_routing(spark, sf_dir):
     assert eng.sql("SHOW FUNCTIONS").count() > 0
     ct = eng.sql("SHOW CREATE TABLE nation")
     assert ct.count() >= 1
+
+
+def test_bare_set_lists_options(spark, sf_dir):
+    from impala_spark.engine import ImpalaEngine
+
+    eng = ImpalaEngine(spark, sf_dir)
+    rows = {r.option: r.value for r in eng.sql("SET").collect()}
+    assert "num_nodes" in rows and "broadcast_threshold" in rows
