@@ -112,8 +112,14 @@ class ImpalaEngine:
             # bare SET lists query options (Impala shell behavior)
             rows = []
             for opt, conf in sorted(_QUERY_OPTIONS.items()):
-                val = self.spark.conf.get(conf, "") if conf else "(no-op on Spark)"
-                rows.append((opt, str(val)))
+                if conf:
+                    try:
+                        val = str(self.spark.conf.get(conf))
+                    except Exception:
+                        val = "(unset)"
+                else:
+                    val = "(no-op on Spark)"
+                rows.append((opt, val))
             return self.spark.createDataFrame(rows, "option: string, value: string")
         m = _USE_RE.match(q)
         if m:
