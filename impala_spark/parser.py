@@ -644,6 +644,14 @@ def _rewrite_functions(tokens: list[Token]) -> list[Token]:
             if len(args) == 2 and args[1].strip("'\"").upper() in unit_map:
                 unit = unit_map[args[1].strip("'\"").upper()]
                 _replace_call(out, i, close, f"date_trunc('{unit}', {args[0]})")
+            elif len(args) == 2 and re.fullmatch(r"\d+", args[1].strip()):
+                # numeric trunc(x, d) — alias of truncate()
+                _replace_call(
+                    out, i, close,
+                    f"(CAST(({args[0]}) * POW(10, {args[1]}) AS BIGINT) / POW(10, {args[1]}))",
+                )
+            elif len(args) == 1:
+                _replace_call(out, i, close, f"CAST(({args[0]}) AS BIGINT)")
         elif name == "quotient":
             # ScalarBuiltins quotient(a, b): integer division.
             close = _matching_paren(out, j)
