@@ -464,18 +464,29 @@ class ImpalaEngine:
             (r"RowToColumnar.*", None),
             (r"ColumnarToRow.*", None),
         ]
-        scan_seen = 0
+        # Per-scan stats pair logical leaves with physical scan lines by
+        # position; that alignment only holds when the counts agree (a
+        # ReusedExchange or AQE replan can drop/reorder physical scans).
+        # On mismatch, skip per-scan annotations rather than mislabel.
+        n_scan_lines = 0
+        matched: list[tuple[str | None, int]] = []
         for raw in plan.split("\n"):
             stripped = raw.lstrip(" +-:*()0123456789")
             indent = len(raw) - len(raw.lstrip(" +-:"))
             for pat, name in mapping:
                 if re.match(pat, stripped):
                     if name:
-                        line = f"{'|  ' * (indent // 3)}{node_id:02d}:{name}"
-                        if name.startswith("SCAN") and scan_seen < len(scan_stats):
-                            line += f"  [{scan_stats[scan_seen]}]"
-                            scan_seen += 1
-                        out.append(line)
-                        node_id += 1
+                        matched.append((name, indent))
+                        if name.startswith("SCAN"):
+                            n_scan_lines += 1
                     break
+        annotate_scans = n_scan_lines == len(scan_stats)
+        scan_seen = 0
+        for name, indent in matched:
+            line = f"{'|  ' * (indent // 3)}{node_id:02d}:{name}"
+            if name.startswith("SCAN") and annotate_scans:
+                line += f"  [{scan_stats[scan_seen]}]"
+                scan_seen += 1
+            out.append(line)
+            node_id += 1
         return (header + "\n".join(out)) if out else plan

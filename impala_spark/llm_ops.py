@@ -827,19 +827,26 @@ def mix_sources(
 
 
 def token_frequencies(
-    df: DataFrame, text_col: str = "text", min_count: int = 1,
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_count: int = 1,
 ) -> DataFrame:
     """Corpus token-frequency table (vocabulary building): normalized
     whitespace tokens -> (token, n_docs, n_total). explode + one hash
     aggregation — partial aggregation absorbs the per-partition repeats
     before the exchange, so the shuffle carries ~|vocab| rows, not
-    ~|corpus tokens|. The input to BPE/vocab training at any scale."""
+    ~|corpus tokens|. n_docs (document frequency) is the df-filter input
+    BPE/vocab training uses. The min_count filter applies to n_total."""
     toks = F.split(
         F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"[^a-zA-Z0-9\s]", "")), _WORD_SPLIT
     )
-    exploded = df.select(F.explode(toks).alias("token")).filter(F.col("token") != "")
+    exploded = df.select(
+        F.col(id_col).alias("_doc"), F.explode(toks).alias("token")
+    ).filter(F.col("token") != "")
     return (
         exploded.groupBy("token")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+        .agg(
+            F.count_distinct("_doc").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        )
         .filter(F.col("n_total") >= min_count)
     )

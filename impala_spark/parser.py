@@ -244,7 +244,8 @@ def _rewrite_bool_aliases(tokens: list[Token]) -> list[Token]:
             )
             if not is_postfix:
                 out.append(Token("word", " NOT "))
-            elif prev.kind == "op":  # `(expr)!` -> factorial(expr)
+            elif prev.kind == "op":
+                # `(expr)!` -> factorial(expr); `fn(args)!` -> factorial(fn(args))
                 depth = 0
                 for k in range(p, -1, -1):
                     if out[k].kind == "op" and out[k].text == ")":
@@ -252,10 +253,35 @@ def _rewrite_bool_aliases(tokens: list[Token]) -> list[Token]:
                     elif out[k].kind == "op" and out[k].text == "(":
                         depth -= 1
                         if depth == 0:
-                            out.insert(k, Token("word", "factorial"))
+                            # include a preceding function name (and its
+                            # dotted qualifier) in the wrapped operand
+                            w = _significant(out, k, -1)
+                            start = k
+                            while w != -1 and out[w].kind in ("word", "bident"):
+                                start = w
+                                d = _significant(out, w, -1)
+                                if d != -1 and out[d].kind == "op" and out[d].text == ".":
+                                    w = _significant(out, d, -1)
+                                else:
+                                    break
+                            out.insert(start, Token("word", "factorial("))
+                            out.append(Token("word", ")"))
                             break
-            else:  # `5!` / `col!` -> factorial(5) / factorial(col)
-                out[p] = Token("word", f"factorial({prev.text})")
+            else:
+                # `5!` / `col!` / `t.col!` -> factorial(operand): walk back
+                # over the dotted chain so qualified columns wrap whole.
+                start = p
+                w = p
+                while True:
+                    d = _significant(out, w, -1)
+                    if d != -1 and out[d].kind == "op" and out[d].text == ".":
+                        w = _significant(out, d, -1)
+                        if w != -1 and out[w].kind in ("word", "bident", "number"):
+                            start = w
+                            continue
+                    break
+                operand = "".join(tk.text for tk in out[start:p + 1] if tk.kind != "ws")
+                out[start:p + 1] = [Token("word", f"factorial({operand})")]
         else:
             out.append(t)
     return out
@@ -308,18 +334,28 @@ def _rewrite_iregexp(tokens: list[Token]) -> list[Token]:
 # ---------------------------------------------------------------------------
 
 def _rewrite_hints(tokens: list[Token]) -> list[Token]:
-    # (out-index of the nearest preceding SELECT, Spark hint body): a hint
-    # on a table inside a subquery/CTE must land on THAT block's SELECT —
-    # hoisted to the outer block it would be unresolved and silently
-    # dropped by Spark (warning only).
+    # (out-index of the ENCLOSING block's SELECT, Spark hint body): a hint
+    # on a table must land on the SELECT of the block that CONTAINS it —
+    # not simply the nearest preceding SELECT token, which could belong
+    # to an already-closed subquery (e.g. `FROM (SELECT...) v JOIN
+    # [broadcast] t2`). Track a stack of open SELECTs by paren depth;
+    # closing a paren pops SELECTs opened inside it.
     hints: list[tuple[int, str]] = []
-    last_select_idx = -1
+    select_stack: list[tuple[int, int]] = []  # (out_idx, depth)
+    depth = 0
     out: list[Token] = []
     i = 0
     while i < len(tokens):
         t = tokens[i]
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+            while select_stack and select_stack[-1][1] > depth:
+                select_stack.pop()
         if t.kind == "word" and t.upper == "SELECT":
-            last_select_idx = len(out)
+            select_stack.append((len(out), depth))
+        last_select_idx = select_stack[-1][0] if select_stack else -1
         if t.kind == "op" and t.text == "[":
             j = _significant(tokens, i)
             k = _significant(tokens, j) if j != -1 else -1
@@ -641,11 +677,13 @@ def _rewrite_functions(tokens: list[Token]) -> list[Token]:
                 "HH": "HOUR", "HH12": "HOUR", "HH24": "HOUR",
                 "MI": "MINUTE",
             }
-            if len(args) == 2 and args[1].strip("'\"").upper() in unit_map:
-                unit = unit_map[args[1].strip("'\"").upper()]
+            is_unit = len(args) == 2 and args[1].strip().startswith(("'", '"'))
+            if is_unit and args[1].strip("'\" ").upper() in unit_map:
+                unit = unit_map[args[1].strip("'\" ").upper()]
                 _replace_call(out, i, close, f"date_trunc('{unit}', {args[0]})")
-            elif len(args) == 2 and re.fullmatch(r"\d+", args[1].strip()):
-                # numeric trunc(x, d) — alias of truncate()
+            elif len(args) == 2 and not is_unit:
+                # numeric trunc(x, d) — alias of truncate(); d may be
+                # negative or an expression
                 _replace_call(
                     out, i, close,
                     f"(CAST(({args[0]}) * POW(10, {args[1]}) AS BIGINT) / POW(10, {args[1]}))",
@@ -791,6 +829,66 @@ def _rewrite_one_order_by(tokens: list[Token], by_idx: int) -> int:
 # shuffle, so the rewrite preserves the SubplanNode's locality at scale.
 # ---------------------------------------------------------------------------
 
+_FROM_CLAUSE_WORDS = {
+    "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "UNION", "JOIN",
+    "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "ON", "LATERAL", "USING",
+}
+
+
+def _parse_from_item(out: list[Token], j: int, aliases: set[str]):
+    """Parse one FROM item starting at significant index j.
+
+    Returns (kind, end_idx, info): kind is 'collection' (info =
+    (base_idx, col_idx, alias_idx)) when the item is `alias.col calias`
+    with a KNOWN alias base, else 'table'. Registers the item's alias
+    (only the alias — a db qualifier must never count as an alias, or
+    `FROM mydb.t1 x, mydb.t2 y` would corrupt into a LATERAL VIEW).
+    """
+    t = out[j]
+    if t.kind == "op" and t.text == "(":
+        # derived table: skip the balanced group, then take its alias
+        close = _matching_paren(out, j)
+        nxt = _significant(out, close)
+        if nxt != -1 and out[nxt].kind == "word" and out[nxt].upper == "AS":
+            nxt = _significant(out, nxt)
+        if nxt != -1 and out[nxt].kind in ("word", "bident") and out[nxt].upper not in _FROM_CLAUSE_WORDS:
+            aliases.add(out[nxt].text.strip("`").lower())
+            return "table", nxt, None
+        return "table", close, None
+    if t.kind not in ("word", "bident"):
+        return "table", j, None
+    first = t
+    dot = _significant(out, j)
+    is_dotted = dot != -1 and out[dot].kind == "op" and out[dot].text == "."
+    col_idx = _significant(out, dot) if is_dotted else -1
+    end = col_idx if is_dotted and col_idx != -1 else j
+    # optional [AS] alias
+    nxt = _significant(out, end)
+    alias_idx = -1
+    if nxt != -1 and out[nxt].kind == "word" and out[nxt].upper == "AS":
+        alias_idx = _significant(out, nxt)
+    elif (
+        nxt != -1 and out[nxt].kind in ("word", "bident")
+        and out[nxt].upper not in _FROM_CLAUSE_WORDS
+    ):
+        alias_idx = nxt
+    if is_dotted and col_idx != -1 and first.text.strip("`").lower() in aliases:
+        # collection ref over a previously-bound alias
+        if alias_idx != -1:
+            aliases.add(out[alias_idx].text.strip("`").lower())
+            return "collection", alias_idx, (j, col_idx, alias_idx)
+        return "table", end, None
+    # plain or db-qualified table: register only its binding name
+    if alias_idx != -1:
+        aliases.add(out[alias_idx].text.strip("`").lower())
+        return "table", alias_idx, None
+    if not is_dotted:
+        aliases.add(first.text.strip("`").lower())
+    else:
+        aliases.add(out[col_idx].text.strip("`").lower())  # unaliased db.tbl binds as tbl
+    return "table", end, None
+
+
 def _rewrite_collection_refs(tokens: list[Token]) -> list[Token]:
     out = list(tokens)
     i = 0
@@ -799,53 +897,51 @@ def _rewrite_collection_refs(tokens: list[Token]) -> list[Token]:
         if not (t.kind == "word" and t.upper == "FROM"):
             i += 1
             continue
-        # first item: `name [AS] alias` — collect candidate alias words
         aliases: set[str] = set()
+        # parse the first item (binds the first alias), then walk the clause
         j = _significant(out, i)
-        clause_words = {"WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "UNION", "JOIN",
-                        "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "ON", "LATERAL"}
+        if j != -1 and not (out[j].kind == "word" and out[j].upper in _FROM_CLAUSE_WORDS):
+            _kind, j, _info = _parse_from_item(out, j, aliases)
+            j = _significant(out, j)
         while j != -1:
             tj = out[j]
-            if tj.kind in ("word", "bident") and tj.upper not in clause_words and tj.upper != "AS":
-                aliases.add(tj.text.strip("`").lower())
-            if tj.kind == "op" and tj.text == ",":
-                # comma item: collection ref `alias . col [AS] calias`?
-                a1 = _significant(out, j)
-                dot = _significant(out, a1) if a1 != -1 else -1
-                col = _significant(out, dot) if dot != -1 else -1
-                if (
-                    a1 != -1 and dot != -1 and col != -1
-                    and out[a1].kind in ("word", "bident")
-                    and out[a1].text.strip("`").lower() in aliases
-                    and out[dot].kind == "op" and out[dot].text == "."
-                    and out[col].kind in ("word", "bident")
-                ):
-                    nxt = _significant(out, col)
-                    calias_idx = -1
-                    if nxt != -1 and out[nxt].kind == "word" and out[nxt].upper == "AS":
-                        calias_idx = _significant(out, nxt)
-                    elif (
-                        nxt != -1 and out[nxt].kind in ("word", "bident")
-                        and out[nxt].upper not in clause_words
-                        and not (out[nxt].kind == "word" and out[nxt].upper == "ON")
-                    ):
-                        calias_idx = nxt
-                    if calias_idx != -1:
-                        base = out[a1].text.strip("`")
-                        coln = out[col].text.strip("`")
-                        calias = out[calias_idx].text.strip("`")
-                        aliases.add(calias.lower())
-                        repl = Token(
-                            "word",
-                            f" LATERAL VIEW explode({base}.{coln}) _exp_{calias} AS {calias} ",
-                        )
-                        out[j:calias_idx + 1] = [repl]
-                        # restart scan of this FROM clause after the splice
-                        j = i
-            if tj.kind == "word" and tj.upper in clause_words - {"JOIN", "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "ON", "LATERAL"}:
+            if tj.kind == "word" and tj.upper in (_FROM_CLAUSE_WORDS - {
+                "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "ON", "LATERAL", "USING"
+            }):
                 break
             if tj.kind == "op" and tj.text == ")":
-                break
+                break  # end of an enclosing subquery's FROM
+            if tj.kind == "op" and tj.text == "(":
+                j = _significant(out, _matching_paren(out, j))  # ON (...) etc.
+                continue
+            if tj.kind == "word" and tj.upper == "JOIN":
+                nxt = _significant(out, j)  # the joined item binds an alias too
+                if nxt != -1 and not (
+                    out[nxt].kind == "word" and out[nxt].upper in _FROM_CLAUSE_WORDS
+                ):
+                    _kind, j, _info = _parse_from_item(out, nxt, aliases)
+                j = _significant(out, j)
+                continue
+            if tj.kind == "op" and tj.text == ",":
+                start = _significant(out, j)
+                if start == -1:
+                    break
+                kind, end, info = _parse_from_item(out, start, aliases)
+                if kind == "collection":
+                    a1, col, calias_idx = info
+                    base = out[a1].text.strip("`")
+                    coln = out[col].text.strip("`")
+                    calias = out[calias_idx].text.strip("`")
+                    repl = Token(
+                        "word",
+                        f" LATERAL VIEW explode({base}.{coln}) _exp_{calias} AS {calias} ",
+                    )
+                    out[j:calias_idx + 1] = [repl]
+                    j = out.index(repl)
+                else:
+                    j = end
+                j = _significant(out, j)
+                continue
             j = _significant(out, j)
         i += 1
     return out
@@ -882,8 +978,11 @@ def _check_strict_subquery_clauses(tokens: list[Token]) -> None:
         while k < len(tokens):
             tk = tokens[k]
             if tk.kind == "op" and tk.text == "(":
+                # a subquery at ANY nesting depth inside the clause is
+                # rejected (Impala rejects e.g. coalesce((SELECT ...), 0)
+                # in the select list, not just a top-level scalar subquery)
                 j = _significant(tokens, k)
-                if d == 0 and j != -1 and tokens[j].kind == "word" and tokens[j].upper == "SELECT":
+                if j != -1 and tokens[j].kind == "word" and tokens[j].upper == "SELECT":
                     raise ImpalaUnsupportedError(_STRICT_CLAUSE_MESSAGES[t.upper])
                 d += 1
             elif tk.kind == "op" and tk.text == ")":

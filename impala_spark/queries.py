@@ -3361,11 +3361,13 @@ def q_show_sql_stmts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_token_frequencies",
     oracle="""
     WITH w AS (
-      SELECT unnest(string_split_regex(
+      SELECT doc_id, unnest(string_split_regex(
         trim(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')), '\\s+')) AS token
       FROM documents
     )
-    SELECT token, CAST(count(*) AS BIGINT) AS n_total
+    SELECT token,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_total
     FROM w WHERE token <> ''
     GROUP BY token HAVING count(*) >= 5
     """,

@@ -255,3 +255,48 @@ def test_char_varchar_cast_length_semantics():
     assert "rpad(CAST((a) AS STRING), 5, ' ')" in out
     assert "left(CAST((b) AS STRING), 3)" in out
     assert "CAST(c AS VARCHAR)" in out  # unbounded VARCHAR untouched
+
+
+# --- regressions from the round-3 code review ---
+
+
+def test_db_qualified_comma_join_not_corrupted():
+    out = translate("SELECT * FROM mydb.t1 x, mydb.t2 y WHERE x.a = y.b")
+    assert "LATERAL VIEW" not in out and "mydb.t2 y" in out
+
+
+def test_collection_ref_over_inline_view():
+    out = translate("SELECT * FROM (SELECT k, items FROM t) v, v.items i")
+    assert "LATERAL VIEW explode(v.items)" in out
+
+
+def test_collection_ref_after_join_alias():
+    out = translate("SELECT * FROM t1 a JOIN t2 b ON a.x = b.x, b.items i")
+    assert "LATERAL VIEW explode(b.items)" in out
+
+
+def test_hint_after_closed_subquery_anchors_to_outer_select():
+    out = translate(
+        "SELECT v.id FROM (SELECT id FROM t1) v JOIN [broadcast] t2 ON v.id = t2.id"
+    )
+    # hint must precede the inline view -> attached to the OUTER select
+    assert out.index("/*+ BROADCAST(t2) */") < out.index("(SELECT"), out
+
+
+def test_factorial_qualified_column_and_function_call():
+    out = translate("SELECT t.n! FROM t")
+    assert "factorial(t.n)" in out
+    out = translate("SELECT abs(x)! FROM t")
+    assert "factorial(abs(x)" in out.replace(" ", "")
+
+
+def test_strict_rejects_nested_subquery_in_select_list():
+    with _pytest.raises(_Unsupported, match="select list"):
+        translate("SELECT coalesce((SELECT max(x) FROM u), 0) FROM t", strict=True)
+
+
+def test_numeric_trunc_negative_and_expr_scale():
+    out = translate("SELECT trunc(123.45, -1) FROM t")
+    assert "POW(10, -1)" in out
+    out = translate("SELECT trunc(d, s) FROM t")
+    assert "POW(10, s)" in out
