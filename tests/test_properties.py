@@ -130,3 +130,61 @@ def test_salted_join_equals_plain_join(spark, lrows, rrows):
     got = sorted((r.k, r.a, r.b) for r in ops.salted_join(ldf, rdf, ["k"], how="left", salt=3).collect())
     want = sorted((r.k, r.a, r.b) for r in ldf.join(rdf, ["k"], "left").collect())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Translator fuzz: random compositions of every rewrite-sensitive construct
+# must translate without crashing, with balanced parens, and idempotently
+# (translating already-translated SQL must not corrupt it further).
+# ---------------------------------------------------------------------------
+
+_FRAGMENTS = [
+    "decode(x, 1, 'a', 'b')",
+    "years_add(ts, 2)",
+    "date_sub(ts, 7)",
+    "trunc(ts, 'MM')",
+    "trunc(d, 2)",
+    "truncate(d)",
+    "histogram(q, 4)",
+    "quotient(i, 3)",
+    "5!",
+    "t.n!",
+    "abs(x)!",
+    "(x + 1)!",
+    "!b",
+    "istrue(b)",
+    "nullvalue(x)",
+    "CAST(s AS CHAR(5))",
+    "CAST(s AS VARCHAR(3))",
+    "sample(s)",
+    "dayname(ts)",
+    "x IREGEXP 'p'",
+    "a && b",
+    "a || b",
+]
+
+
+@given(
+    picks=st.lists(st.sampled_from(_FRAGMENTS), min_size=1, max_size=5),
+    where=st.sampled_from(["", " WHERE a > 1", " WHERE a && b", " WHERE !c"]),
+)
+@settings(max_examples=120, deadline=None)
+def test_translate_fuzz_balanced_and_idempotent(picks, where):
+    sql = f"SELECT {', '.join(picks)} FROM t{where}"
+    out = translate(sql)
+    assert out.count("(") == out.count(")"), (sql, out)
+    out2 = translate(out)
+    assert out2.count("(") == out2.count(")"), (out, out2)
+    # second pass must be a fixpoint: Spark-native output stays put
+    assert translate(out2) == out2, (out, out2)
+
+
+@given(
+    tables=st.lists(_ident, min_size=2, max_size=3, unique=True),
+)
+@settings(max_examples=40, deadline=None)
+def test_translate_comma_joins_never_gain_lateral_view(tables):
+    refs = ", ".join(f"db1.{t} {t}x" for t in tables)
+    sql = f"SELECT * FROM {refs} WHERE {tables[0]}x.a = {tables[1]}x.b"
+    out = translate(sql)
+    assert "LATERAL VIEW" not in out, out
