@@ -3471,3 +3471,35 @@ sql_query(
     LIMIT 100
     """,
 )
+
+
+# TPC-DS Q34 shape: order-size buckets via derived aggregate + HAVING
+# count BETWEEN — the "party size" bucketing pattern.
+sql_query(
+    "tpcds_q34_shape",
+    """
+    SELECT c_custkey, c_name, cnt
+    FROM (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY o_custkey
+      HAVING COUNT(*) BETWEEN 3 AND 8
+    ) buckets
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY cnt DESC, c_custkey
+    LIMIT 50
+    """,
+)
+
+# TPC-DS Q90 shape: ratio of two independent scalar subqueries (am/pm
+# count ratio). Impala 2.7 would reject select-list subqueries (strict
+# mode pins that); the engine's permissive superset plans them as
+# scalar-subquery joins like the reference's StmtRewriter would after
+# manual rewrite.
+sql_query(
+    "tpcds_q90_shape",
+    """
+    SELECT ROUND(CAST(am.cnt AS DOUBLE) / CAST(pm.cnt AS DOUBLE), 6) AS am_pm_ratio
+    FROM (SELECT COUNT(*) AS cnt FROM events WHERE HOUR(ts) BETWEEN 6 AND 11) am,
+         (SELECT COUNT(*) AS cnt FROM events WHERE HOUR(ts) BETWEEN 18 AND 23) pm
+    """,
+)

@@ -292,3 +292,16 @@ def test_nested_schema_pruning_reaches_scan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"ReadSchema: (\S+)", plan)
     assert m and m.group(1) == "struct<info:struct<prio:string>>", m and m.group(1)
+
+
+def test_global_sort_uses_range_partitioning(spark, sf_dir):
+    """Distributed ORDER BY parity (DistributedPlanner.java:995-1030
+    sort-merging exchange): a global sort must plan a rangepartitioning
+    exchange + per-partition sort, not a single-node sort."""
+    from impala_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    df = spark.sql("SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan, plan[:400]
+    assert "Sort " in plan or "Sort\n" in plan
