@@ -850,3 +850,25 @@ def token_frequencies(
         )
         .filter(F.col("n_total") >= min_count)
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric int8 quantization per vector: scale = max(|x|)/127,
+    q_i = round(x_i / scale). Quarters the storage of a float32 corpus
+    (the standard serving-index trade), deterministically — pure
+    Catalyst arithmetic, exactly reproducible by any engine, so the
+    oracle checks values, not a tolerance. Zero vectors keep scale 0
+    and quantize to all-zero."""
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = amax / F.lit(127.0)
+    q = F.when(
+        amax > 0, F.transform(v, lambda x: F.round(x / scale).cast("int"))
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.select(
+        F.col(id_col),
+        q.alias("q8"),
+        F.round(scale, 9).alias("scale"),
+    )

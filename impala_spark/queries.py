@@ -3503,3 +3503,34 @@ sql_query(
          (SELECT COUNT(*) AS cnt FROM events WHERE HOUR(ts) BETWEEN 18 AND 23) pm
     """,
 )
+
+
+# Embedding int8 quantization (llm_ops.quantize_embeddings): exact
+# deterministic arithmetic, value-checked against DuckDB computing the
+# identical formula. The q8 array is emitted as a joined string (the
+# driver's hasher rejects raw arrays).
+@register(
+    "llm_quantize_embeddings",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings WHERE vec_id < 50
+    ), s AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      FROM v
+    )
+    SELECT vec_id,
+           array_to_string(list_transform(e, x -> CAST(CAST(round(x / scale, 0) AS INT) AS VARCHAR)), ',') AS q8_csv,
+           ROUND(scale, 9) AS scale
+    FROM s
+    """,
+)
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    q = llm_ops.quantize_embeddings(e)
+    return q.select(
+        "vec_id",
+        F.array_join(F.transform("q8", lambda x: x.cast("string")), ",").alias("q8_csv"),
+        "scale",
+    )
