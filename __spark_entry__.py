@@ -71,7 +71,7 @@ def _verified_order(names: list[str]) -> list[str]:
         "llm_simhash", "llm_ngram_jaccard", "llm_ann_bruteforce",
         "llm_ann_lsh", "llm_embedding_stats", "llm_multimodal_features",
         "llm_train_test_split", "llm_pack_sequences", "llm_mix_sources",
-        "llm_token_frequencies", "llm_quantize_embeddings",
+        "llm_token_frequencies",
         # streaming family
         "events_tumbling_window", "events_sliding_window",
         "events_session_window", "events_first_per_user", "events_dedup",
@@ -90,6 +90,7 @@ def _verified_order(names: list[str]) -> list[str]:
         # highest-value round-3 shapes
         "tpch_q13_customer_distribution", "tpch_q18_large_volume",
         "tpch_q21_suppliers_waiting", "join_bucketed_colocated",
+        "llm_quantize_embeddings",
     ]
     rank = {n: i for i, n in enumerate(boost)}
     unverified = [n for n in names if n not in passed]
