@@ -872,3 +872,47 @@ def quantize_embeddings(
         q.alias("q8"),
         F.round(scale, 9).alias("scale"),
     )
+
+
+def dedup_clusters(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id") -> DataFrame:
+    """Connected components over near-duplicate pairs: every document in
+    a duplicate cluster maps to the cluster's minimum id (the canonical
+    survivor). Iterative min-label propagation to fixpoint — the
+    alternating large-star/small-star pattern in its simple form: each
+    round joins the current labels across pair edges and keeps the min;
+    rounds needed = graph diameter (tiny for dup clusters, which are
+    near-cliques). Each iteration is one shuffle join; the driver-side
+    loop only checks a convergence COUNT (no data collected), which is
+    how iterative algorithms look on Spark at any scale.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+        .union(pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y")))
+        .distinct()
+    )
+    nodes = edges.select(F.col("x").alias("id")).distinct()
+    labels = nodes.withColumn("label", F.col("id"))
+    for _ in range(20):  # diameter bound; dup clusters converge in 2-3
+        neighbor_min = (
+            edges.join(labels, edges.y == labels.id)
+            .groupBy("x")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.x, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

@@ -3534,3 +3534,34 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.transform("q8", lambda x: x.cast("string")), ",").alias("q8_csv"),
         "scale",
     )
+
+
+# Connected-components dedup clustering (llm_ops.dedup_clusters):
+# iterative min-label propagation over near-dup pairs — the iterative-
+# algorithm shape on Spark. The oracle replicates it exactly with a
+# DuckDB recursive CTE (min reachable id per node over the same exact
+# Jaccard >= 0.5 pair set).
+@register(
+    "llm_dedup_clusters",
+    oracle=_DUCK_SHINGLES.replace("WITH w AS", "WITH RECURSIVE w AS") + """
+    , pairs AS (
+      SELECT c.a_id, c.b_id
+      FROM cand c JOIN s sa ON sa.doc_id = c.a_id JOIN s sb ON sb.doc_id = c.b_id
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+    ), edges AS (
+      SELECT a_id AS x, b_id AS y FROM pairs
+      UNION SELECT b_id, a_id FROM pairs
+    ), reach AS (
+      SELECT x, y FROM edges
+      UNION
+      SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+    )
+    SELECT x AS id, CAST(LEAST(x, MIN(y)) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY x
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    pairs = llm_ops.minhash_lsh_pairs_exact(d, threshold=0.5)
+    return llm_ops.dedup_clusters(pairs)

@@ -237,3 +237,16 @@ def test_new_ops_degenerate_inputs(spark):
     srcd = d.withColumn("source", F.when(F.col("doc_id") < 4, "a").otherwise(None))
     mixed = llm_ops.mix_sources(srcd, {"a": 1.0}, default_weight=0.0)
     assert mixed.count() == 3  # NULL source falls to default weight 0
+
+
+def test_dedup_clusters_transitive(spark):
+    """A-B and B-C pairs must land A, B, C in ONE cluster labeled min id —
+    the transitivity single-pair dropping gets wrong."""
+    from impala_spark import llm_ops
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "a_id long, b_id long",
+    )
+    got = {r.id: r.cluster_id for r in llm_ops.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
