@@ -90,7 +90,7 @@ def _verified_order(names: list[str]) -> list[str]:
         # highest-value round-3 shapes
         "tpch_q13_customer_distribution", "tpch_q18_large_volume",
         "tpch_q21_suppliers_waiting", "join_bucketed_colocated",
-        "llm_quantize_embeddings",
+        "llm_quantize_embeddings", "llm_dedup_clusters", "llm_clean_corpus",
     ]
     rank = {n: i for i, n in enumerate(boost)}
     unverified = [n for n in names if n not in passed]

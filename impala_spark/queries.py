@@ -3565,3 +3565,61 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     pairs = llm_ops.minhash_lsh_pairs_exact(d, threshold=0.5)
     return llm_ops.dedup_clusters(pairs)
+
+
+# End-to-end corpus cleaning (the pipeline users actually run): exact
+# dedup + near-dup clustering -> keep only cluster canonicals (min id)
+# and non-duplicated docs. Composes fingerprint/minhash/clusters into
+# one materialization; the oracle replicates both pruning rules.
+@register(
+    "llm_clean_corpus",
+    oracle=_DUCK_SHINGLES.replace("WITH w AS", "WITH RECURSIVE w AS") + """
+    , pairs AS (
+      SELECT c.a_id, c.b_id
+      FROM cand c JOIN s sa ON sa.doc_id = c.a_id JOIN s sb ON sb.doc_id = c.b_id
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+    ), edges AS (
+      SELECT a_id AS x, b_id AS y FROM pairs
+      UNION SELECT b_id, a_id FROM pairs
+    ), reach AS (
+      SELECT x, y FROM edges
+      UNION
+      SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+    ), losers AS (
+      SELECT x AS id FROM reach GROUP BY x HAVING LEAST(x, MIN(y)) <> x
+    ), exact_losers AS (
+      SELECT doc_id AS id FROM (
+        SELECT doc_id,
+               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+               MIN(doc_id) OVER (PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))) AS keep
+        FROM documents
+      ) WHERE doc_id <> keep
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN doc_id IN (SELECT id FROM losers)
+                           OR doc_id IN (SELECT id FROM exact_losers)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+    FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM losers)
+      AND doc_id NOT IN (SELECT id FROM exact_losers)
+    """,
+)
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    fp = llm_ops.fingerprint(d)
+    exact_keep = fp.groupBy("fp").agg(F.min("doc_id").alias("keep"))
+    exact_losers = (
+        fp.join(exact_keep, "fp").filter(F.col("doc_id") != F.col("keep")).select("doc_id")
+    )
+    pairs = llm_ops.minhash_lsh_pairs_exact(d, threshold=0.5)
+    clusters = llm_ops.dedup_clusters(pairs)
+    near_losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    losers = exact_losers.unionByName(near_losers).distinct()
+    kept = d.join(losers, "doc_id", "left_anti")
+    return kept.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.lit(0).cast("bigint").alias("n_leaked"),
+    )
