@@ -294,7 +294,14 @@ def _partition_subdir(t: ManagedTable, spec: str) -> str:
         k, eq, v = item.partition("=")
         if not eq:
             raise ValueError(f"bad PARTITION spec item: {item!r}")
-        kv[k.strip().strip("`")] = v.strip().strip("'\"")
+        val = v.strip().strip("'\"")
+        # Partition values become filesystem path components; reject
+        # anything that could escape the table directory ('..', '/',
+        # os.sep) — otherwise DROP PARTITION would rmtree an arbitrary
+        # path. Same whitelist Hive applies to unescaped partition paths.
+        if not re.fullmatch(r"[A-Za-z0-9_.\- :]+", val) or ".." in val:
+            raise ValueError(f"invalid PARTITION value {val!r}: must match [A-Za-z0-9_.- :]+")
+        kv[k.strip().strip("`")] = val
     missing = [c for c in t.partition_cols if c not in kv]
     if missing or set(kv) - set(t.partition_cols):
         raise ValueError(

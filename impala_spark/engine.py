@@ -392,7 +392,10 @@ class ImpalaEngine:
         exactly where the reference's DistributedPlanner would insert
         ExchangeNodes (shuffle boundaries).
         """
-        df = self.spark.sql(translate(query))
+        # strict engines apply the same analyzer rejections to EXPLAIN as
+        # to sql() — Impala analyzes before planning, so EXPLAIN of an
+        # invalid query raises the analysis error, not a plan.
+        df = self.spark.sql(translate(query, strict=self.strict))
         qe = df._jdf.queryExecution()
         plan = qe.executedPlan().toString()
         # Cardinality/size annotations (planner/PlanNode.getExplainString

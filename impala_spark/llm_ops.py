@@ -687,8 +687,21 @@ def ivf_ann(
 
     corpus = df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
     with_vec = corpus.withColumn("features", array_to_vector("v"))
+    # Fit the coarse quantizer on a BOUNDED sample, not the full corpus:
+    # KMeans makes several passes over its input, and nlist centroids are
+    # estimated just as well from a few thousand vectors as from 100 TB.
+    # One count() sizes the fraction; the fit input is then capped at
+    # max_fit rows regardless of corpus size. The exact (cheap, single
+    # narrow pass) assignment below still covers every vector.
+    max_fit = 4096
+    n = with_vec.count()
+    if n > max_fit:
+        frac = min(1.0, (max_fit * 1.5) / n)
+        fit_input = with_vec.sample(fraction=frac, seed=seed).limit(max_fit)
+    else:
+        fit_input = with_vec
     km = KMeans(k=nlist, seed=seed, featuresCol="features", predictionCol="list_id")
-    model = km.fit(with_vec)
+    model = km.fit(fit_input)
     assigned = model.transform(with_vec).select(id_col, "v", "list_id")
 
     centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
@@ -889,10 +902,11 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id") -
         pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
         .union(pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y")))
         .distinct()
+        .persist()
     )
     nodes = edges.select(F.col("x").alias("id")).distinct()
-    labels = nodes.withColumn("label", F.col("id"))
-    for _ in range(20):  # diameter bound; dup clusters converge in 2-3
+    labels = nodes.withColumn("label", F.col("id")).persist()
+    for i in range(1, 21):  # diameter bound; dup clusters converge in 2-3
         neighbor_min = (
             edges.join(labels, edges.y == labels.id)
             .groupBy("x")
@@ -905,6 +919,16 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id") -
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
             )
         )
+        # Bound the lineage: each round's labels are persisted so the
+        # convergence count and the next round's join reuse materialized
+        # data instead of recomputing the whole chain from the raw pairs;
+        # every 3rd round a localCheckpoint truncates the plan outright,
+        # so plan depth (and recompute cost on executor loss) stays O(1)
+        # in the iteration count — mandatory at real graph sizes.
+        if i % 3 == 0:
+            new_labels = new_labels.localCheckpoint()
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -912,7 +936,9 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id") -
             .limit(1)
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

@@ -255,9 +255,15 @@ def _rewrite_bool_aliases(tokens: list[Token]) -> list[Token]:
                         if depth == 0:
                             # include a preceding function name (and its
                             # dotted qualifier) in the wrapped operand
+                            # stop at keywords: `SELECT (a+b)!` must not
+                            # swallow SELECT into `factorial(SELECT ...)`
                             w = _significant(out, k, -1)
                             start = k
-                            while w != -1 and out[w].kind in ("word", "bident"):
+                            while (
+                                w != -1
+                                and out[w].kind in ("word", "bident")
+                                and out[w].upper.strip() not in _NON_OPERAND_WORDS
+                            ):
                                 start = w
                                 d = _significant(out, w, -1)
                                 if d != -1 and out[d].kind == "op" and out[d].text == ".":

@@ -3597,6 +3597,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE doc_id <> keep
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum,
+           CAST(MIN(doc_id) AS BIGINT) AS kept_id_min,
+           CAST(MAX(doc_id) AS BIGINT) AS kept_id_max,
            CAST(SUM(CASE WHEN doc_id IN (SELECT id FROM losers)
                            OR doc_id IN (SELECT id FROM exact_losers)
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
@@ -3619,7 +3622,14 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     losers = exact_losers.unionByName(near_losers).distinct()
     kept = d.join(losers, "doc_id", "left_anti")
+    # The oracle recomputes the kept SET independently (recursive CTE +
+    # window dedup), so the id-sum/min/max checksums verify the surviving
+    # set itself, not just its size. n_leaked is computed, not a literal:
+    # kept rejoined against the loser set (exercises the anti-join).
+    leaked = kept.select("doc_id").join(losers, "doc_id", "inner")
     return kept.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
-        F.lit(0).cast("bigint").alias("n_leaked"),
-    )
+        F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+        F.min("doc_id").cast("bigint").alias("kept_id_min"),
+        F.max("doc_id").cast("bigint").alias("kept_id_max"),
+    ).crossJoin(leaked.agg(F.count(F.lit(1)).cast("bigint").alias("n_leaked")))
