@@ -57,40 +57,50 @@ def _verified_order(names: list[str]) -> list[str]:
                 and r.get("hash_match")
             ):
                 passed.add(name)
-    # Among unverified queries, the round-2 verdict's priorities come
-    # first: the two r2 FAILURES, then the never-driver-checked LLM /
-    # streaming / DDL / meta / expr families (its #1 ask), then the
-    # highest-value round-3 capability queries. Everything else keeps
-    # registration order and rotates in as earlier entries turn green.
+    # Round-4 priorities (r3 verdict task #1): the 50-query window must
+    # reach the never-driver-checked TPC-H / TPC-DS capability suites,
+    # the three round-3 LLM ops, the 9 SURVEY §2 rows with no driver row
+    # in any round, the decimal/char-varchar "hard part" type queries,
+    # and the remaining scale-path joins. All 64 entries below were
+    # locally oracle-verified at sf0.01 (tools/check.py) this round; the
+    # last 14 overflow the window and stay in the backlog for round 5.
     boost = [
-        # r2 failures, fixed this round
-        "agg_ndv", "agg_appx_median",
-        # LLM-pipeline family (all driver-unseen in r2)
-        "llm_text_stats", "llm_fingerprint", "llm_dedup_exact",
-        "llm_language_id", "llm_quality_score", "llm_minhash_lsh",
-        "llm_simhash", "llm_ngram_jaccard", "llm_ann_bruteforce",
-        "llm_ann_lsh", "llm_embedding_stats", "llm_multimodal_features",
-        "llm_train_test_split", "llm_pack_sequences", "llm_mix_sources",
-        "llm_token_frequencies",
-        # streaming family
-        "events_tumbling_window", "events_sliding_window",
-        "events_session_window", "events_first_per_user", "events_dedup",
-        "events_user_state", "events_stream_stream_join",
-        # DDL / metadata
-        "ddl_ctas_readback", "ddl_insert_overwrite_partition",
-        "ddl_update_delete", "ddl_upsert", "ddl_truncate",
-        "ddl_create_function", "ddl_add_drop_partition",
-        "meta_compute_stats", "meta_load_data", "meta_show_describe",
-        "meta_explain", "meta_show_sql_stmts",
-        # expression / nested / scan coverage
-        "expr_like_family", "expr_casts", "expr_arithmetic",
-        "expr_string_funcs", "expr_date_funcs", "expr_decode",
-        "expr_ts_builtins", "nested_unnest_pos", "nested_collection_sql",
-        "scan_pushdown_pruning", "scan_multi_format", "udf_scalar_and_uda",
-        # highest-value round-3 shapes
-        "tpch_q13_customer_distribution", "tpch_q18_large_volume",
-        "tpch_q21_suppliers_waiting", "join_bucketed_colocated",
+        # the reference's capability bar: TPC-H shapes (PlannerTest.java:195-216)
+        "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority",
+        "tpch_q4_order_priority", "tpch_q5_local_supplier",
+        "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+        "tpch_q8_market_share", "tpch_q9_product_profit",
+        "tpch_q10_returned_items", "tpch_q11_important_stock",
+        "tpch_q12_shipping_priority_counts", "tpch_q14_promo_revenue",
+        "tpch_q15_top_supplier", "tpch_q16_parts_supplier",
+        "tpch_q17_small_quantity", "tpch_q18_large_volume",
+        "tpch_q19_discounted_revenue", "tpch_q20_potential_promotion",
+        "tpch_q21_suppliers_waiting", "tpch_q22_global_sales",
+        # TPC-DS shapes
+        "tpcds_q3_shape", "tpcds_q42_shape", "tpcds_q52_shape",
+        "tpcds_q34_shape", "tpcds_q90_shape",
+        # round-3 LLM ops, never in a window
         "llm_quantize_embeddings", "llm_dedup_clusters", "llm_clean_corpus",
+        # the 9 SURVEY §2 rows with no driver verdict in any round
+        "exchange_kinds", "expr_literals_inference",
+        "nested_struct_map_access", "expr_null_safe_eq",
+        "expr_bool_aliases", "expr_is_null", "nested_is_not_empty",
+        "outer_join_inline_view_nulls", "meta_set_use",
+        # SURVEY §7 "hard part" type-rule queries (TypesUtil.java:98-158)
+        "expr_char_varchar_cast", "expr_decimal_result_types",
+        # scale-path joins + remaining high-value backlog
+        "join_bucketed_colocated", "llm_ann_ivf", "llm_embedding_near_dup",
+        "events_asof_join", "events_range_join", "join_skewed_salted",
+        "agg_skewed_salted", "analytic_range_offset_frame",
+        "agg_avg_timestamp", "expr_factorial_postfix",
+        "scan_partition_pruning",
+        # --- window boundary (~50): the rest queue for round 5 ---
+        "expr_math_funcs", "expr_conditional", "expr_misc_builtins",
+        "expr_bit_xor_not_factorial", "agg_ndv_incremental",
+        "ddl_insert_append", "ddl_create_view_database",
+        "ddl_create_table_like", "ddl_alter_table", "ddl_sql_lifecycle",
+        "meta_show_partitions_files", "meta_show_stats",
+        "join_implicit_comma", "scan_partition_keys_metadata_only",
     ]
     rank = {n: i for i, n in enumerate(boost)}
     unverified = [n for n in names if n not in passed]
