@@ -40,24 +40,41 @@ HEADLINE = [
     "events_tumbling_window",
 ]
 
+# Optional subset override (comma-separated names), used by the sf1.0
+# crossover run where the corpus tables aren't scaled (BASELINE.md §sf1).
+if os.environ.get("SPARK_GRAFT_BENCH_QUERIES"):
+    HEADLINE = [q for q in os.environ["SPARK_GRAFT_BENCH_QUERIES"].split(",") if q]
+
 
 def main() -> None:
     spark = get_spark("impala_spark_bench")
-    # Warm pass: run every headline query once so the measured pass sees
+    # Warm pass: run every headline query once so the measured passes see
     # steady state — parquet footers cached, plans compiled, JIT'd code.
-    # Round 2 showed ~0.3-0.9 s/query of first-run plan/JIT cost shared
-    # across the suite; production services amortize it the same way
-    # (long-lived sessions), so warm numbers are the honest engine cost.
+    # Production services amortize first-run cost the same way (long-lived
+    # sessions), so warm numbers are the honest engine cost.
     for name in HEADLINE:
-        SPARK_QUERIES[name](spark, SF_DIR).count()
+        SPARK_QUERIES[name](spark, SF_DIR).collect()
 
+    # Timing notes (r3 verdict):
+    # - collect(), not count(): a count() lets Catalyst prune every
+    #   post-aggregation projection (decimal casts/rounds), understating
+    #   true materialization cost. Result sets are small; collect is the
+    #   honest full-query cost.
+    # - median of 3 timed passes: single-pass timings on a 32-thread
+    #   local JVM swing up to 4x on identical plans (GC/JIT pauses;
+    #   measured totals 9.9-15.1 s for one config). The median is stable
+    #   to ~5% and does not hide systematic cost the way min would.
     per_query: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = SPARK_QUERIES[name]
-        t0 = time.time()
-        n = fn(spark, SF_DIR).count()
-        dt = round(time.time() - t0, 3)
+        times = []
+        n = 0
+        for _ in range(3):
+            t0 = time.time()
+            n = len(fn(spark, SF_DIR).collect())
+            times.append(time.time() - t0)
+        dt = round(sorted(times)[1], 3)
         per_query[name] = dt
         total += dt
         print(f"# {name}: {dt}s ({n} rows)", file=sys.stderr)
@@ -71,7 +88,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "methodology": "warm (one untimed pass, then one timed pass per query)",
+                "methodology": "warm collect(), median of 3 timed passes per query",
             }
         )
     )

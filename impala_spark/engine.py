@@ -243,6 +243,15 @@ class ImpalaEngine:
             )
             return self.spark.sql(f"SELECT count(*) AS row_count, {ndvs} FROM `{table}`")
         self.spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR ALL COLUMNS")
+        # Stats unlock cost-based planning — the same coupling as the
+        # reference (COMPUTE STATS is what feeds Impala's cost model;
+        # without it the planner falls back to as-written join order).
+        # The session default is cbo off because over stats-less,
+        # path-based temp views CBO only adds per-plan metadata walks
+        # (session.py); once catalog stats exist it starts paying for
+        # join reordering and explain() cardinality annotations.
+        self.spark.conf.set("spark.sql.cbo.enabled", "true")
+        self.spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
         return self.spark.sql(f"DESCRIBE EXTENDED {table}")
 
     # -- SET (query options) ------------------------------------------------

@@ -1000,6 +1000,246 @@ def _check_strict_subquery_clauses(tokens: list[Token]) -> None:
             k += 1
 
 
+#: Builtin aggregate function names (catalog/BuiltinsDb.java:666-950);
+#: used only for the strict-mode analyzer checks below, and only when the
+#: name is immediately followed by '(' (so columns named `count` are safe).
+_AGG_FUNC_NAMES = frozenset({
+    "count", "sum", "avg", "min", "max", "ndv", "appx_median",
+    "group_concat", "stddev", "stddev_samp", "stddev_pop", "variance",
+    "variance_samp", "variance_pop", "var_samp", "var_pop", "distinctpc",
+    "distinctpcsa", "histogram", "sample",
+})
+
+
+def _where_regions(tokens: list[Token]) -> list[tuple[int, int]]:
+    """(start, end) token ranges of each WHERE clause body (any block)."""
+    regions = []
+    for idx, t in enumerate(tokens):
+        if t.kind != "word" or t.upper != "WHERE":
+            continue
+        d = 0
+        k = idx + 1
+        while k < len(tokens):
+            tk = tokens[k]
+            if tk.kind == "op" and tk.text == "(":
+                d += 1
+            elif tk.kind == "op" and tk.text == ")":
+                d -= 1
+                if d < 0:
+                    break
+            elif d == 0 and tk.kind == "word" and tk.upper in _CLAUSE_BOUNDARY:
+                break
+            k += 1
+        regions.append((idx + 1, k))
+    return regions
+
+
+def _check_strict_where_exprs(tokens: list[Token]) -> None:
+    """Impala rejects aggregates and analytic expressions in WHERE
+    (analysis/SelectStmt.java:236-246). Aggregates inside a subquery that
+    happens to sit in WHERE are legal and skipped."""
+    for start, end in _where_regions(tokens):
+        k = start
+        while k < end:
+            t = tokens[k]
+            if t.kind == "op" and t.text == "(":
+                j = _significant(tokens, k)
+                if j != -1 and tokens[j].kind == "word" and tokens[j].upper == "SELECT":
+                    k = _matching_paren(tokens, k) + 1  # skip subquery
+                    continue
+            if t.kind == "word" and t.upper.lower() in _AGG_FUNC_NAMES:
+                j = _significant(tokens, k)
+                if j != -1 and j < end and tokens[j].kind == "op" and tokens[j].text == "(":
+                    close = _matching_paren(tokens, j)
+                    after = _significant(tokens, close)
+                    if (
+                        after != -1
+                        and after < end
+                        and tokens[after].kind == "word"
+                        and tokens[after].upper == "OVER"
+                    ):
+                        op = _significant(tokens, after)
+                        stop = _matching_paren(tokens, op) if (
+                            op != -1 and tokens[op].kind == "op" and tokens[op].text == "("
+                        ) else after
+                        expr = untokenize(tokens[k:stop + 1]).strip()
+                        raise ImpalaUnsupportedError(
+                            f"WHERE clause must not contain analytic expressions: {expr}"
+                        )
+                    raise ImpalaUnsupportedError(
+                        "aggregate function not allowed in WHERE clause"
+                    )
+            k += 1
+
+
+def _select_blocks(tokens: list[Token]) -> list[tuple[int, int, int]]:
+    """(select_idx, from_or_end_idx, block_end_idx) per SELECT block.
+
+    A block runs from its SELECT keyword to the paren that closes the
+    block's nesting level (or end of statement); the middle index is the
+    block's own FROM (same nesting level), or the select-list end."""
+    depth_at = []
+    d = 0
+    for t in tokens:
+        if t.kind == "op" and t.text == "(":
+            d += 1
+        depth_at.append(d)
+        if t.kind == "op" and t.text == ")":
+            d -= 1
+    blocks = []
+    for idx, t in enumerate(tokens):
+        if t.kind != "word" or t.upper != "SELECT":
+            continue
+        d0 = depth_at[idx]
+        from_idx = end = len(tokens)
+        for k in range(idx + 1, len(tokens)):
+            tk = tokens[k]
+            if tk.kind == "op" and tk.text == ")" and depth_at[k] == d0:
+                end = k
+                break
+            if (
+                tk.kind == "word"
+                and depth_at[k] == d0
+                and tk.upper in ("UNION", "INTERSECT", "EXCEPT")
+            ):
+                end = k
+                break
+            if tk.kind == "word" and tk.upper == "FROM" and depth_at[k] == d0 and from_idx == len(tokens):
+                from_idx = k
+        blocks.append((idx, min(from_idx, end), end))
+    return blocks
+
+
+def _split_top_level_commas(tokens: list[Token], start: int, end: int) -> list[tuple[int, int]]:
+    items = []
+    d = 0
+    a = start
+    for k in range(start, end):
+        t = tokens[k]
+        if t.kind == "op" and t.text == "(":
+            d += 1
+        elif t.kind == "op" and t.text == ")":
+            d -= 1
+        elif t.kind == "op" and t.text == "," and d == 0:
+            items.append((a, k))
+            a = k + 1
+    items.append((a, end))
+    return items
+
+
+def _bare_column_of(tokens: list[Token], a: int, b: int) -> str | None:
+    """If tokens[a:b] is a bare (possibly dotted/aliased) column ref,
+    return its normalized text 'x.y'; else None."""
+    sig = [k for k in range(a, b) if tokens[k].kind not in ("ws", "line_comment", "block_comment")]
+    # strip [AS] alias
+    if len(sig) >= 2 and tokens[sig[-2]].kind == "word" and tokens[sig[-2]].upper == "AS":
+        sig = sig[:-2]
+    elif (
+        len(sig) >= 2
+        and tokens[sig[-1]].kind in ("word", "bident")
+        and tokens[sig[-2]].kind in ("word", "bident")
+    ):
+        sig = sig[:-1]
+    parts = []
+    expect_ident = True
+    for k in sig:
+        t = tokens[k]
+        if expect_ident and t.kind in ("word", "bident"):
+            if t.kind == "word" and t.upper in _NON_OPERAND_WORDS:
+                return None
+            parts.append(t.text.strip("`").lower())
+            expect_ident = False
+        elif not expect_ident and t.kind == "op" and t.text == ".":
+            expect_ident = True
+        else:
+            return None
+    if expect_ident or not parts:
+        return None
+    return ".".join(parts)
+
+
+def _check_strict_ungrouped_select(tokens: list[Token]) -> None:
+    """Impala's ungrouped-select-list rejection
+    (analysis/SelectStmt.java:728-733): with aggregation present, every
+    select-list item must be grouped or aggregated. Token-level subset:
+    flags bare column refs (the AnalyzeStmtsTest.java cases); computed
+    expressions over grouped columns are left to Spark's own analyzer."""
+    for sel_idx, from_idx, end in _select_blocks(tokens):
+        list_start = _significant(tokens, sel_idx)
+        if list_start == -1:
+            continue
+        if tokens[list_start].kind == "word" and tokens[list_start].upper in ("DISTINCT", "ALL"):
+            list_start = _significant(tokens, list_start)
+        # block's GROUP BY region + whether any aggregate call appears
+        group_exprs: set[str] | None = None
+        k = from_idx
+        block_has_group = False
+        while k < end:
+            t = tokens[k]
+            if t.kind == "op" and t.text == "(":
+                k = _matching_paren(tokens, k) + 1
+                continue
+            if t.kind == "word" and t.upper == "GROUP":
+                j = _significant(tokens, k)
+                if j != -1 and tokens[j].upper == "BY":
+                    g_end = j + 1
+                    d = 0
+                    while g_end < end:
+                        tg = tokens[g_end]
+                        if tg.kind == "op" and tg.text == "(":
+                            d += 1
+                        elif tg.kind == "op" and tg.text == ")":
+                            d -= 1
+                            if d < 0:
+                                break
+                        elif d == 0 and tg.kind == "word" and tg.upper in _CLAUSE_BOUNDARY:
+                            break
+                        g_end += 1
+                    block_has_group = True
+                    group_exprs = set()
+                    for a, b in _split_top_level_commas(tokens, j + 1, g_end):
+                        text = untokenize(tokens[a:b]).strip().strip("`").lower()
+                        group_exprs.add(re.sub(r"\s+", "", text))
+                    k = g_end
+                    continue
+            k += 1
+        # any aggregate call in the select list?
+        has_agg = False
+        for k in range(list_start, from_idx):
+            t = tokens[k]
+            if t.kind == "word" and t.upper.lower() in _AGG_FUNC_NAMES:
+                j = _significant(tokens, k)
+                if j != -1 and j < from_idx and tokens[j].kind == "op" and tokens[j].text == "(":
+                    close = _matching_paren(tokens, j)
+                    after = _significant(tokens, close)
+                    is_analytic = (
+                        after != -1 and tokens[after].kind == "word" and tokens[after].upper == "OVER"
+                    )
+                    if not is_analytic:
+                        has_agg = True
+                        break
+        if not (block_has_group or has_agg):
+            continue
+        items = _split_top_level_commas(tokens, list_start, from_idx)
+        if not block_has_group and not len(items) > 1:
+            continue
+        ordinal_ok = {
+            str(i + 1)
+            for i, (a, b) in enumerate(items)
+            if group_exprs and str(i + 1) in group_exprs
+        }
+        for i, (a, b) in enumerate(items):
+            col = _bare_column_of(tokens, a, b)
+            if col is None:
+                continue
+            if group_exprs and (re.sub(r"\s+", "", col) in group_exprs or str(i + 1) in ordinal_ok):
+                continue
+            raise ImpalaUnsupportedError(
+                "select list expression not produced by aggregation output "
+                f"(missing from GROUP BY clause?): {untokenize(tokens[a:b]).strip()}"
+            )
+
+
 def translate(sql: str, strict: bool = False) -> str:
     """Impala-dialect SQL -> Spark SQL.
 
@@ -1015,6 +1255,8 @@ def translate(sql: str, strict: bool = False) -> str:
     _check_subquery_in_or(tokens)
     if strict:
         _check_strict_subquery_clauses(tokens)
+        _check_strict_where_exprs(tokens)
+        _check_strict_ungrouped_select(tokens)
     tokens = _rewrite_collection_refs(tokens)
     tokens = _rewrite_bool_aliases(tokens)
     tokens = _rewrite_iregexp(tokens)

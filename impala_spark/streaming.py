@@ -40,10 +40,20 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         # keep TimestampType (not NTZ): withWatermark requires TIMESTAMP;
         # session tz is UTC so formatted output matches the batch NTZ path.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # fixture stored as TIMESTAMP(MICROS): under timestampType=
+        # TIMESTAMP_NTZ the scan yields NTZ, which withWatermark rejects.
+        # NB: the *name* "timestamp" also maps to NTZ under that conf, so
+        # the LTZ type object must be explicit; session tz UTC makes the
+        # cast wall-clock-preserving.
+        from pyspark.sql.types import TimestampType
+
+        df = df.withColumn("ts", F.col("ts").cast(TimestampType()))
     return df
 
 

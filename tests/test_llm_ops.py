@@ -250,3 +250,24 @@ def test_dedup_clusters_transitive(spark):
     )
     got = {r.id: r.cluster_id for r in llm_ops.dedup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+def test_dedup_clusters_plan_depth_bounded(spark):
+    """The min-label-propagation loop persists each round and
+    localCheckpoints every 3rd (llm_ops.dedup_clusters) so the result's
+    plan depth is O(1) in iteration count — without it, every round
+    re-derives the full lineage from the raw pairs and convergence
+    checks recompute quadratically (r3 verdict: scale-killer at real
+    graph sizes). A 9-node path graph needs ~4+ label rounds; the final
+    plan must stay shallow (truncated at a checkpoint), not grow with
+    rounds."""
+    from impala_spark import llm_ops
+
+    # path graph 0-1-2-...-8: worst-case diameter for label propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "a_id long, b_id long"
+    )
+    out = llm_ops.dedup_clusters(pairs)
+    assert {r.cluster_id for r in out.collect()} == {0}
+    plan = out._jdf.queryExecution().toString()
+    # a checkpointed lineage is a scan, not a 4+-round join tower
+    assert plan.count("Join") <= 4, f"unbounded lineage ({plan.count('Join')} joins):\n{plan[:2000]}"

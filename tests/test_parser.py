@@ -300,3 +300,57 @@ def test_numeric_trunc_negative_and_expr_scale():
     assert "POW(10, -1)" in out
     out = translate("SELECT trunc(d, s) FROM t")
     assert "POW(10, s)" in out
+
+# ---------------------------------------------------------------------------
+# Strict-mode analyzer rejections (r3 verdict task 7): the top
+# AnalyzeStmtsTest.java errors, with Impala's exact message strings
+# (analysis/SelectStmt.java:236-246, 728-733).
+# ---------------------------------------------------------------------------
+
+
+def test_strict_aggregate_in_where_rejected():
+    with _pytest.raises(_Unsupported, match="aggregate function not allowed in WHERE clause"):
+        translate("SELECT 1 FROM t WHERE count(*) > 1", strict=True)
+    with _pytest.raises(_Unsupported, match="aggregate function not allowed in WHERE clause"):
+        translate("SELECT a FROM t WHERE sum(b) = 2 GROUP BY a", strict=True)
+    # aggregate inside a subquery in WHERE is legal (SelectStmt analyzes
+    # the inner block separately)
+    translate("SELECT a FROM t WHERE b > (SELECT avg(x) FROM u)", strict=True)
+    # permissive default passes through for Spark to judge
+    translate("SELECT 1 FROM t WHERE count(*) > 1")
+
+
+def test_strict_analytic_in_where_rejected():
+    with _pytest.raises(
+        _Unsupported,
+        match=r"WHERE clause must not contain analytic expressions",
+    ):
+        translate(
+            "SELECT a FROM t WHERE count(b) OVER (PARTITION BY c) > 1", strict=True
+        )
+
+
+def test_strict_ungrouped_select_column_rejected():
+    with _pytest.raises(
+        _Unsupported,
+        match=r"select list expression not produced by aggregation output "
+        r"\(missing from GROUP BY clause\?\): b",
+    ):
+        translate("SELECT a, b, count(*) FROM t GROUP BY a", strict=True)
+    with _pytest.raises(_Unsupported, match=r"missing from GROUP BY clause\?\): a"):
+        translate("SELECT a, count(*) FROM t", strict=True)
+
+
+def test_strict_ungrouped_select_allows_grouped_and_aggregated():
+    translate("SELECT a, count(*) FROM t GROUP BY a", strict=True)
+    translate("SELECT t.a, b, count(*) FROM t GROUP BY t.a, b", strict=True)
+    translate("SELECT a AS x, sum(b) s FROM t GROUP BY a", strict=True)
+    translate("SELECT a, b FROM t", strict=True)  # no aggregation at all
+    translate("SELECT upper(a), count(*) FROM t GROUP BY a", strict=True)  # computed: Spark judges
+    translate("SELECT a, 1 FROM t GROUP BY a, 2", strict=True)  # ordinal group by
+    # analytic (OVER) is not aggregation
+    translate("SELECT a, row_number() OVER (ORDER BY b) FROM t", strict=True)
+    # subquery blocks analyzed independently
+    translate(
+        "SELECT v.a, v.n FROM (SELECT a, count(*) n FROM t GROUP BY a) v", strict=True
+    )
