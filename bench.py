@@ -64,6 +64,17 @@ def main() -> None:
     #   local JVM swing up to 4x on identical plans (GC/JIT pauses;
     #   measured totals 9.9-15.1 s for one config). The median is stable
     #   to ~5% and does not hide systematic cost the way min would.
+    # - PRIMARY metric = fresh executions: the prepared-plan cache
+    #   (queries._PLAN_CACHE) is cleared before every timed pass, because
+    #   re-collecting a cached DataFrame lets Spark skip shuffle map
+    #   stages whose outputs still exist — that is result reuse, not
+    #   engine speed, and the DuckDB denominator recomputes fully.
+    # - SECONDARY metric = repeated-query steady state (cache active):
+    #   the latency a long-lived session gives a repeated statement via
+    #   plan reuse + Spark's native skipped-stage shuffle reuse. Reported
+    #   separately, never mixed into the primary total.
+    from impala_spark.queries import _PLAN_CACHE
+
     per_query: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -71,6 +82,7 @@ def main() -> None:
         times = []
         n = 0
         for _ in range(3):
+            _PLAN_CACHE.clear()  # force fresh plan + fresh shuffles
             t0 = time.time()
             n = len(fn(spark, SF_DIR).collect())
             times.append(time.time() - t0)
@@ -78,6 +90,21 @@ def main() -> None:
         per_query[name] = dt
         total += dt
         print(f"# {name}: {dt}s ({n} rows)", file=sys.stderr)
+
+    repeated: dict[str, float] = {}
+    rep_total = 0.0
+    for name in HEADLINE:
+        fn = SPARK_QUERIES[name]
+        fn(spark, SF_DIR).collect()  # prime plan cache + shuffle outputs
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            fn(spark, SF_DIR).collect()
+            times.append(time.time() - t0)
+        dt = round(sorted(times)[1], 3)
+        repeated[name] = dt
+        rep_total += dt
+        print(f"# repeated {name}: {dt}s", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -88,7 +115,17 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "methodology": "warm collect(), median of 3 timed passes per query",
+                "methodology": (
+                    "warm collect(), median of 3 fresh executions per query "
+                    "(plan cache cleared per pass; no shuffle-stage reuse)"
+                ),
+                "repeated_query_total": round(rep_total, 3),
+                "repeated_queries": repeated,
+                "repeated_methodology": (
+                    "same statement re-submitted to a warm session: prepared-plan "
+                    "cache + Spark skipped-stage shuffle reuse (disclosed separately; "
+                    "not comparable to a full recompute)"
+                ),
             }
         )
     )

@@ -942,3 +942,84 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id") -
             break
     edges.unpersist()
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def bm25_scores(
+    df: DataFrame, query_terms: list[str], text_col: str = "text",
+    id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75, topk: int = 10,
+) -> DataFrame:
+    """BM25 ranking of documents against a bag of query terms — the
+    standard quality/retrieval scorer a training-data pipeline uses for
+    corpus filtering and dedup-priority decisions.
+
+    100 TB shape: one explode+partial-agg pass computes per-doc lengths;
+    term frequencies are filtered to the query terms BEFORE the shuffle
+    (the exchange carries |matching docs| x |terms| rows, not the
+    corpus); document frequencies and the (N, avgdl) scalars are
+    broadcast. No all-corpus join anywhere. ln() + doubles rounded to 4
+    decimals for cross-engine determinism (same contract as the cosine
+    queries)."""
+    toks = F.split(
+        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"[^a-z0-9\s]", "")), r"\s+"
+    )
+    ex = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    dl = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        ex.filter(F.col("token").isin([t.lower() for t in query_terms]))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count_distinct("doc_id").alias("dfc"))
+    idf = F.log((F.col("n_docs") - F.col("dfc") + 0.5) / (F.col("dfc") + 0.5) + 1.0)
+    norm = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("s", idf * F.col("tf") * (k1 + 1.0) / norm)
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(topk)
+    )
+
+
+def contamination_flags(
+    train: DataFrame, bench: DataFrame, text_col: str = "text",
+    id_col: str = "doc_id", n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word n-gram (default 8-gram, the common contamination criterion)
+    with a benchmark/eval set. Returns (doc_id, n_shared_ngrams) for
+    contaminated docs; anti-join the result to clean the corpus.
+
+    100 TB shape: benchmark suites are MB-scale, so the bench n-gram
+    hash set is BROADCAST and the training corpus is flagged in one
+    shuffle-free scan+semi-join pass — decontaminating 100 TB costs one
+    read of the corpus. n-grams are xxhash64'd so the broadcast carries
+    8-byte hashes, not strings."""
+    t = (
+        shingles(train, text_col, n)
+        .select(F.col(id_col).alias("doc_id"), F.explode("shingles").alias("g"))
+        .select("doc_id", F.xxhash64("g").alias("g"))
+        .distinct()
+    )
+    b = (
+        shingles(bench, text_col, n)
+        .select(F.explode("shingles").alias("g"))
+        .select(F.xxhash64("g").alias("g"))
+        .distinct()
+    )
+    return (
+        t.join(F.broadcast(b), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_ngrams"))
+    )

@@ -271,3 +271,47 @@ def test_dedup_clusters_plan_depth_bounded(spark):
     plan = out._jdf.queryExecution().toString()
     # a checkpointed lineage is a scan, not a 4+-round join tower
     assert plan.count("Join") <= 4, f"unbounded lineage ({plan.count('Join')} joins):\n{plan[:2000]}"
+
+
+def test_bm25_scores_ranking_and_degenerates(spark):
+    from impala_spark import llm_ops
+
+    d = spark.createDataFrame(
+        [
+            (1, "hash join hash join hash"),   # high tf for both terms
+            (2, "hash once in a long document " + "filler " * 50),
+            (3, "no matching terms here"),
+            (4, ""),            # empty -> excluded from N/avgdl
+            (5, None),          # NULL text
+            (6, "   "),         # whitespace-only
+        ],
+        "doc_id long, text string",
+    )
+    out = llm_ops.bm25_scores(d, ["hash", "join"], topk=10).collect()
+    got = {r.doc_id: r.bm25 for r in out}
+    assert set(got) == {1, 2}  # only matching docs ranked
+    assert got[1] > got[2]     # tf + length normalization order
+    assert all(r.bm25 > 0 for r in out)
+
+
+def test_contamination_flags_broadcast_and_hits(spark):
+    from impala_spark import llm_ops
+
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),      # shares 8-grams with bench
+            (2, "one two three four five six seven eight nine"),  # disjoint
+            (3, None),
+            (4, "short doc"),                 # <8 words, partial gram
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    out = llm_ops.contamination_flags(train, bench, n=8)
+    got = {r.doc_id: r.n_shared_ngrams for r in out.collect()}
+    assert got == {1: 3}  # 10 words -> 3 distinct 8-grams, all shared
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # bench set broadcast: corpus scanned once
+    assert "CartesianProduct" not in plan

@@ -305,3 +305,23 @@ def test_global_sort_uses_range_partitioning(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan, plan[:400]
     assert "Sort " in plan or "Sort\n" in plan
+
+
+def test_sql_query_plan_cache_identity_and_isolation(spark, sf_dir):
+    """sql_query entries reuse the analyzed DataFrame per (session,
+    sf_dir, name) — prepared-plan behavior; different sf_dirs don't
+    cross-contaminate and results stay correct after caching."""
+    from impala_spark.queries import SPARK_QUERIES
+
+    fn = SPARK_QUERIES["join_three_way"]
+    a = fn(spark, sf_dir)
+    b = fn(spark, sf_dir)
+    assert a is b  # cache hit: same analyzed plan object
+    r1 = sorted(map(tuple, a.collect()))
+    r2 = sorted(map(tuple, b.collect()))
+    assert r1 == r2 and len(r1) > 0
+    other_dir = (
+        "/root/testdata/sf0.01" if sf_dir != "/root/testdata/sf0.01" else "/root/testdata/sf0.001"
+    )
+    other = fn(spark, other_dir)
+    assert other is not a  # per-sf_dir isolation
