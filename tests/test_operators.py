@@ -239,6 +239,10 @@ def test_runtime_bloom_filter_on_shuffle_join(spark, sf_dir):
         spark.conf.set(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
         )
+        # register_tables' small-query fast path disables bloom filters at
+        # fixture sizes (Planner.java:91-108 analog); re-enable to assert
+        # the at-scale plan shape.
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         df = spark.sql(
             "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "WHERE o_totalprice > 400000"
