@@ -37,13 +37,18 @@ PROBES = [
 
 
 def main() -> None:
+    from impala_spark.queries import _PLAN_CACHE
+
     spark = get_spark("impala_spark_scale_probe")
     results: dict[str, list[float]] = {}
     for name in PROBES:
         fn = SPARK_QUERIES[name]
         times = []
         for sf in SFS:
-            fn(spark, sf).count()  # warm
+            fn(spark, sf).count()  # warm (plans/JIT)
+            # fresh execution: the prepared-plan cache would otherwise let
+            # Spark skip shuffle map stages — that measures reuse, not growth
+            _PLAN_CACHE.clear()
             t0 = time.time()
             fn(spark, sf).count()
             times.append(round(time.time() - t0, 3))
