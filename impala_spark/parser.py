@@ -1220,24 +1220,93 @@ def _check_strict_ungrouped_select(tokens: list[Token]) -> None:
                         break
         if not (block_has_group or has_agg):
             continue
+        # aggregation without a FROM clause (SelectStmt.java:568)
+        if has_agg and from_idx >= end:
+            raise ImpalaUnsupportedError(
+                "aggregation without a FROM clause is not allowed"
+            )
         items = _split_top_level_commas(tokens, list_start, from_idx)
-        if not block_has_group and not len(items) > 1:
-            continue
+        check_select_list = block_has_group or len(items) > 1
         ordinal_ok = {
             str(i + 1)
             for i, (a, b) in enumerate(items)
             if group_exprs and str(i + 1) in group_exprs
         }
-        for i, (a, b) in enumerate(items):
-            col = _bare_column_of(tokens, a, b)
-            if col is None:
+        if check_select_list:
+            for i, (a, b) in enumerate(items):
+                col = _bare_column_of(tokens, a, b)
+                if col is None:
+                    continue
+                if group_exprs and (
+                    re.sub(r"\s+", "", col) in group_exprs or str(i + 1) in ordinal_ok
+                ):
+                    continue
+                raise ImpalaUnsupportedError(
+                    "select list expression not produced by aggregation output "
+                    f"(missing from GROUP BY clause?): {untokenize(tokens[a:b]).strip()}"
+                )
+        # ORDER BY ungrouped bare column (SelectStmt.java:738-743).
+        # Select-list aliases are legal ordering refs; so are ordinals.
+        aliases: set[str] = set()
+        for a, b in items:
+            sig = [
+                k for k in range(a, b)
+                if tokens[k].kind not in ("ws", "line_comment", "block_comment")
+            ]
+            if len(sig) >= 2 and tokens[sig[-1]].kind in ("word", "bident"):
+                last = tokens[sig[-1]]
+                if last.kind == "bident" or last.upper not in _NON_OPERAND_WORDS:
+                    prev = tokens[sig[-2]]
+                    if not (prev.kind == "op" and prev.text == "."):
+                        aliases.add(last.text.strip("`").lower())
+        k = from_idx
+        while k < end:
+            t = tokens[k]
+            if t.kind == "op" and t.text == "(":
+                k = _matching_paren(tokens, k) + 1
                 continue
-            if group_exprs and (re.sub(r"\s+", "", col) in group_exprs or str(i + 1) in ordinal_ok):
+            if t.kind == "word" and t.upper == "ORDER":
+                j = _significant(tokens, k)
+                if j == -1 or tokens[j].upper != "BY":
+                    k += 1
+                    continue
+                o_end = j + 1
+                d = 0
+                while o_end < end:
+                    tg = tokens[o_end]
+                    if tg.kind == "op" and tg.text == "(":
+                        d += 1
+                    elif tg.kind == "op" and tg.text == ")":
+                        d -= 1
+                        if d < 0:
+                            break
+                    elif d == 0 and tg.kind == "word" and tg.upper in ("LIMIT", "OFFSET", "UNION"):
+                        break
+                    o_end += 1
+                for a, b in _split_top_level_commas(tokens, j + 1, o_end):
+                    sig = [
+                        x for x in range(a, b)
+                        if tokens[x].kind not in ("ws", "line_comment", "block_comment")
+                    ]
+                    # strip ASC/DESC and NULLS FIRST/LAST suffixes
+                    while sig and tokens[sig[-1]].kind == "word" and tokens[sig[-1]].upper in (
+                        "ASC", "DESC", "FIRST", "LAST", "NULLS"
+                    ):
+                        sig = sig[:-1]
+                    if not sig:
+                        continue
+                    col = _bare_column_of(tokens, sig[0], sig[-1] + 1)
+                    if col is None or col in aliases:
+                        continue
+                    if group_exprs and re.sub(r"\s+", "", col) in group_exprs:
+                        continue
+                    raise ImpalaUnsupportedError(
+                        "ORDER BY expression not produced by aggregation output "
+                        f"(missing from GROUP BY clause?): {untokenize(tokens[sig[0]:sig[-1] + 1]).strip()}"
+                    )
+                k = o_end
                 continue
-            raise ImpalaUnsupportedError(
-                "select list expression not produced by aggregation output "
-                f"(missing from GROUP BY clause?): {untokenize(tokens[a:b]).strip()}"
-            )
+            k += 1
 
 
 def translate(sql: str, strict: bool = False) -> str:

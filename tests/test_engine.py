@@ -38,7 +38,7 @@ def test_compute_stats(engine):
 def test_set_and_use(engine):
     engine.sql("SET broadcast_threshold = 1048576")
     assert engine.spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "1048576"
-    engine.sql("SET broadcast_threshold = 67108864")
+    engine.sql("SET broadcast_threshold = 16777216")  # restore session default
 
 
 def test_show_tables(engine):

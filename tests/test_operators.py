@@ -329,3 +329,13 @@ def test_sql_query_plan_cache_identity_and_isolation(spark, sf_dir):
     )
     other = fn(spark, other_dir)
     assert other is not a  # per-sf_dir isolation
+
+
+def test_session_posture_pins_scale_safe_knobs(spark):
+    """Pins the r4 scale posture: a broadcast threshold at/below 16 MB
+    (64 MB broadcast a filtered 3M-row FACT at sf1.0 — compressed bytes
+    understate in-memory hash size ~5-10x), AQE on, and CBO off by
+    default over stats-less path views (COMPUTE STATS opts it back in)."""
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    assert int(thr.rstrip("b")) <= 16 * 1024 * 1024
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"

@@ -354,3 +354,37 @@ def test_strict_ungrouped_select_allows_grouped_and_aggregated():
     translate(
         "SELECT v.a, v.n FROM (SELECT a, count(*) n FROM t GROUP BY a) v", strict=True
     )
+
+
+def test_strict_aggregation_without_from_rejected():
+    with _pytest.raises(_Unsupported, match="aggregation without a FROM clause is not allowed"):
+        translate("SELECT count(*)", strict=True)
+    translate("SELECT 1", strict=True)  # no aggregation: fine
+    translate("SELECT count(*) FROM t", strict=True)
+
+
+def test_strict_order_by_ungrouped_rejected():
+    with _pytest.raises(
+        _Unsupported,
+        match=r"ORDER BY expression not produced by aggregation output "
+        r"\(missing from GROUP BY clause\?\): b",
+    ):
+        translate("SELECT a, count(*) AS n FROM t GROUP BY a ORDER BY b", strict=True)
+
+
+def test_strict_order_by_allows_aliases_grouped_and_ordinals():
+    translate("SELECT a, count(*) AS n FROM t GROUP BY a ORDER BY n DESC", strict=True)
+    translate("SELECT a, count(*) AS n FROM t GROUP BY a ORDER BY a", strict=True)
+    translate("SELECT a, count(*) AS n FROM t GROUP BY a ORDER BY 2", strict=True)
+    translate("SELECT a, count(*) n FROM t GROUP BY a ORDER BY n", strict=True)  # bare alias
+    translate("SELECT a, b FROM t ORDER BY c", strict=True)  # no aggregation
+    # inner subquery ORDER BY analyzed against its own block
+    translate(
+        "SELECT * FROM (SELECT a, count(*) AS n FROM t GROUP BY a ORDER BY n LIMIT 5) v",
+        strict=True,
+    )
+
+
+def test_strict_order_by_ungrouped_without_group_by():
+    with _pytest.raises(_Unsupported, match=r"ORDER BY expression not produced"):
+        translate("SELECT count(*) FROM t ORDER BY x", strict=True)
