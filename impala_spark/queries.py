@@ -539,12 +539,34 @@ def q_appx_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 sql_query(
     "agg_stddev_variance",
+    # Float aggregates accumulate in engine-dependent order, so agreement
+    # is only guaranteed to ~12-14 significant digits — fixed-decimal
+    # rounding breaks once values outgrow it (variance ~2e10 at sf1.0
+    # differed in the 15th digit). Contract: 9 SIGNIFICANT digits via the
+    # constant-scale mantissa trick (Spark's ROUND scale must be foldable):
+    # ROUND(x / 10^(floor(log10|x|)-8), 0) -> 9-digit integer mantissa.
     """
     SELECT o_orderstatus,
-           ROUND(STDDEV_SAMP(o_totalprice), 4) AS sd_samp,
-           ROUND(STDDEV_POP(o_totalprice), 4) AS sd_pop,
-           ROUND(VAR_SAMP(o_totalprice), 4) AS v_samp,
-           ROUND(VAR_POP(o_totalprice), 4) AS v_pop
+           CASE WHEN STDDEV_SAMP(o_totalprice) IS NULL THEN NULL
+                WHEN STDDEV_SAMP(o_totalprice) = 0 THEN 0
+                ELSE ROUND(STDDEV_SAMP(o_totalprice)
+                     / POWER(10, FLOOR(LOG10(ABS(STDDEV_SAMP(o_totalprice)))) - 8), 0)
+           END AS sd_samp,
+           CASE WHEN STDDEV_POP(o_totalprice) IS NULL THEN NULL
+                WHEN STDDEV_POP(o_totalprice) = 0 THEN 0
+                ELSE ROUND(STDDEV_POP(o_totalprice)
+                     / POWER(10, FLOOR(LOG10(ABS(STDDEV_POP(o_totalprice)))) - 8), 0)
+           END AS sd_pop,
+           CASE WHEN VAR_SAMP(o_totalprice) IS NULL THEN NULL
+                WHEN VAR_SAMP(o_totalprice) = 0 THEN 0
+                ELSE ROUND(VAR_SAMP(o_totalprice)
+                     / POWER(10, FLOOR(LOG10(ABS(VAR_SAMP(o_totalprice)))) - 8), 0)
+           END AS v_samp,
+           CASE WHEN VAR_POP(o_totalprice) IS NULL THEN NULL
+                WHEN VAR_POP(o_totalprice) = 0 THEN 0
+                ELSE ROUND(VAR_POP(o_totalprice)
+                     / POWER(10, FLOOR(LOG10(ABS(VAR_POP(o_totalprice)))) - 8), 0)
+           END AS v_pop
     FROM orders GROUP BY o_orderstatus
     """,
 )

@@ -88,3 +88,39 @@ def test_int_promotion():
 
 def test_division_always_double():
     assert arithmetic_result_type("INT", "INT", "/") == "DOUBLE"
+
+
+def test_decimal_arithmetic_result_table():
+    """Pin the Impala 2.7 rules (TypesUtil.java:98-158) over a case table,
+    including the precision-cap squeeze."""
+    from impala_spark.types import decimal_arithmetic_result as r
+
+    assert r("+", 10, 2, 8, 3) == (12, 3)
+    assert r("-", 5, 0, 5, 0) == (6, 0)
+    assert r("*", 10, 2, 8, 3) == (19, 5)
+    assert r("/", 10, 2, 8, 3) == (22, 11)
+    assert r("/", 3, 0, 2, 0) == (7, 4)    # min divide scale 4
+    assert r("%", 10, 2, 8, 3) == (8, 3)
+    # cap: 38 with scale squeezed, never negative
+    assert r("*", 38, 10, 38, 10) == (38, 0)
+    p, s = r("/", 38, 19, 38, 19)
+    assert p == 38 and 0 <= s <= 38
+
+
+def test_decimal_divide_known_spark_divergence(spark):
+    """DOCUMENTED DELTA: Impala's divide result scale floor is 4
+    (TypesUtil.java:145), Spark's is 6 — for small-scale operands the
+    declared types differ while the VALUES agree. The engine keeps
+    Spark's type (values are what the oracle hashes); this test pins the
+    divergence so a silent change in either engine surfaces."""
+    from impala_spark.types import decimal_arithmetic_result as r
+
+    impala_p, impala_s = r("/", 3, 0, 2, 0)
+    assert (impala_p, impala_s) == (7, 4)
+    row = spark.sql(
+        "SELECT typeof(CAST(6 AS DECIMAL(3,0)) / CAST(2 AS DECIMAL(2,0))) AS t, "
+        "CAST(CAST(6 AS DECIMAL(3,0)) / CAST(2 AS DECIMAL(2,0)) AS DOUBLE) AS v"
+    ).first()
+    assert row.t != f"decimal({impala_p},{impala_s})"  # the divergence
+    assert row.t == "decimal(9,6)"  # Spark: scale floor 6
+    assert row.v == 3.0  # values identical regardless

@@ -59,7 +59,9 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = f"{SF_DIR}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):  # multi-file layout (tools/gen_sf1.py)
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     passed = failed = rows_only = 0
