@@ -1023,3 +1023,40 @@ def contamination_flags(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_ngrams"))
     )
+
+
+def unigram_logprob_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Unigram-LM quality scoring (the CCNet-style perplexity filter): each
+    document's mean log-probability under the corpus's own unigram
+    distribution. Low scores = rare-token-heavy documents (boilerplate,
+    gibberish, wrong-language) — the standard cheap quality gate before
+    expensive model-based filtering.
+
+    100 TB shape: one explode+partial-agg builds the unigram table
+    (shuffle carries ~|vocab| rows); the per-token probability lookup
+    BROADCASTS the vocab (bounded: real corpora plateau at a few million
+    types — ~100 MB — while a token-keyed shuffle join would put every
+    occurrence of 'the' in one partition, the worst skew in the corpus;
+    if vocab outgrows broadcast, AQE skew-join on the token key is the
+    fallback). Per-doc mean of ~1k log terms is order-stable to ~1e-12,
+    so a 4-decimal rounding is a sound cross-engine contract."""
+    toks = F.split(
+        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"[^a-z0-9\s]", "")), r"\s+"
+    )
+    ex = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    vocab = ex.groupBy("token").agg(F.count(F.lit(1)).alias("n_tok"))
+    total = ex.agg(F.count(F.lit(1)).alias("n_all"))
+    return (
+        ex.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("n_tok") / F.col("n_all"))), 4).alias("avg_logprob"),
+        )
+    )

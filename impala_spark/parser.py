@@ -1168,8 +1168,25 @@ def _check_strict_ungrouped_select(tokens: list[Token]) -> None:
         list_start = _significant(tokens, sel_idx)
         if list_start == -1:
             continue
+        is_distinct = (
+            tokens[list_start].kind == "word" and tokens[list_start].upper == "DISTINCT"
+        )
         if tokens[list_start].kind == "word" and tokens[list_start].upper in ("DISTINCT", "ALL"):
             list_start = _significant(tokens, list_start)
+        # SELECT DISTINCT + analytic function (SelectStmt.java:230-232) —
+        # checked before the aggregation gate: it applies to any block.
+        if is_distinct:
+            for k2 in range(list_start, from_idx):
+                t2 = tokens[k2]
+                if t2.kind == "word" and t2.upper == "OVER":
+                    j2 = _significant(tokens, k2)
+                    if (
+                        j2 != -1 and j2 < from_idx
+                        and tokens[j2].kind == "op" and tokens[j2].text == "("
+                    ):
+                        raise ImpalaUnsupportedError(
+                            "cannot combine SELECT DISTINCT with analytic functions"
+                        )
         # block's GROUP BY region + whether any aggregate call appears
         group_exprs: set[str] | None = None
         k = from_idx

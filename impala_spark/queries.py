@@ -3818,3 +3818,31 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# Unigram-LM perplexity filter (CCNet-style quality gate) — per-doc mean
+# log-prob under the corpus unigram distribution; the cheap filter that
+# runs before any model-based scoring in a training-data pipeline.
+@register(
+    "llm_perplexity_filter",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+'),
+                    x -> x <> '') AS words
+      FROM documents
+    ),
+    e AS (SELECT doc_id, unnest(words) AS token FROM w),
+    v AS (SELECT token, COUNT(*) AS n_tok FROM e GROUP BY token),
+    tot AS (SELECT COUNT(*) AS n_all FROM e)
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(ln(v.n_tok / tot.n_all)), 4) AS avg_logprob
+    FROM e JOIN v USING (token) CROSS JOIN tot
+    GROUP BY e.doc_id
+    """,
+    cache=True,
+)
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return llm_ops.unigram_logprob_scores(d)

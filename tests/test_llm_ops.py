@@ -315,3 +315,24 @@ def test_contamination_flags_broadcast_and_hits(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # bench set broadcast: corpus scanned once
     assert "CartesianProduct" not in plan
+
+
+def test_unigram_logprob_scores_semantics(spark):
+    from impala_spark import llm_ops
+
+    d = spark.createDataFrame(
+        [
+            (1, "common common common"),    # frequent tokens -> high logprob
+            (2, "rareword"),               # singleton token -> low logprob
+            (3, ""),                       # no tokens -> excluded
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in llm_ops.unigram_logprob_scores(d).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_tokens == 3 and out[2].n_tokens == 1
+    assert out[1].avg_logprob > out[2].avg_logprob  # rare docs score lower
+    plan_df = llm_ops.unigram_logprob_scores(d)
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # vocab broadcast, no token-skew shuffle

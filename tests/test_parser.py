@@ -388,3 +388,14 @@ def test_strict_order_by_allows_aliases_grouped_and_ordinals():
 def test_strict_order_by_ungrouped_without_group_by():
     with _pytest.raises(_Unsupported, match=r"ORDER BY expression not produced"):
         translate("SELECT count(*) FROM t ORDER BY x", strict=True)
+
+
+def test_strict_distinct_with_analytic_rejected():
+    with _pytest.raises(
+        _Unsupported, match="cannot combine SELECT DISTINCT with analytic functions"
+    ):
+        translate("SELECT DISTINCT a, rank() OVER (ORDER BY b) FROM t", strict=True)
+    translate("SELECT DISTINCT a, b FROM t", strict=True)
+    # analytic without DISTINCT is fine; DISTINCT inside an inner block is its own scope
+    translate("SELECT a, rank() OVER (ORDER BY b) FROM t", strict=True)
+    translate("SELECT x FROM (SELECT DISTINCT a AS x FROM t) v", strict=True)
