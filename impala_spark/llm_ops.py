@@ -1060,3 +1060,79 @@ def unigram_logprob_scores(
             F.round(F.avg(F.log(F.col("n_tok") / F.col("n_all"))), 4).alias("avg_logprob"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    chunk_words: int = 64, overlap: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping word-window chunks — the
+    context-window preprocessing step for training/RAG ingestion.
+    Emits (doc_id, chunk_idx, chunk_text, n_words).
+
+    Pure Catalyst: the word array is bound once, chunk starts come from
+    sequence() with step (chunk_words - overlap), each chunk is a
+    slice+join — no Python, no shuffle at all (posexplode is a narrow
+    generate). At 100 TB this is scan-speed; output partitioning follows
+    the input."""
+    if overlap >= chunk_words:
+        raise ValueError("overlap must be smaller than chunk_words")
+    step = chunk_words - overlap
+    words = F.split(
+        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"[^a-z0-9\s]", "")), r"\s+"
+    )
+    w = F.col("_words")
+    n = F.size(w)
+    starts = F.when(n <= 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    )
+    chunked = (
+        df.withColumn("_words", F.filter(words, lambda x: x != ""))
+        .withColumn("_starts", starts)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode("_starts").alias("chunk_idx", "_start"),
+            F.col("_words"),
+        )
+        .withColumn("_chunk", F.slice(w, F.col("_start") + 1, chunk_words))
+        .filter(F.size("_chunk") > 0)
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.concat_ws(" ", "_chunk").alias("chunk_text"),
+        F.size("_chunk").cast("bigint").alias("n_words"),
+    )
+
+
+def repetition_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3,
+) -> DataFrame:
+    """Intra-document repetition (the Gopher repetition rule): fraction of
+    word k-gram occurrences that are repeats of an earlier k-gram in the
+    same document. High ratio = looping/boilerplate text, a standard
+    pre-training removal criterion. Narrow per-row arithmetic on the
+    shingle array — no shuffle, scan-speed at any scale."""
+    words = F.split(
+        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"[^a-z0-9\s]", "")), r"\s+"
+    )
+    w = F.filter(words, lambda x: x != "")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(F.col("_w")) - k, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.get(F.col("_w"), i + j) for j in range(k)])
+    )
+    g = F.filter(grams, lambda x: x != "")
+    total = F.size(F.col("_g"))
+    distinct = F.size(F.array_distinct(F.col("_g")))
+    return (
+        df.withColumn("_w", w)
+        .filter(F.size("_w") > 0)  # NULL/empty/whitespace docs excluded (oracle mirrors)
+        .withColumn("_g", F.coalesce(g, F.array().cast("array<string>")))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            total.cast("bigint").alias("n_ngrams"),
+            F.when(total > 0, F.round((total - distinct) / total, 6))
+            .otherwise(F.lit(0.0)).alias("rep_ratio"),
+        )
+        .drop("_w", "_g")
+    )

@@ -3846,3 +3846,65 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return llm_ops.unigram_logprob_scores(d)
+
+
+# Document chunking (context-window preprocessing): overlapping 64-word
+# windows, step 56. Narrow generate — no shuffle; oracle reproduces the
+# same starts/slices with DuckDB list ops.
+@register(
+    "llm_chunk_documents",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+'),
+                    x -> x <> '') AS words
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, words,
+             unnest(range(1, greatest(len(words), 1) + 1, 56)) AS start,
+             generate_subscripts(range(1, greatest(len(words), 1) + 1, 56), 1) AS idx1
+      FROM w WHERE len(words) > 0
+    )
+    SELECT doc_id,
+           CAST(idx1 - 1 AS BIGINT) AS chunk_idx,
+           array_to_string(words[start:start+63], ' ') AS chunk_text,
+           CAST(len(words[start:start+63]) AS BIGINT) AS n_words
+    FROM c WHERE len(words[start:start+63]) > 0
+    """,
+    cache=True,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return llm_ops.chunk_documents(d, chunk_words=64, overlap=8)
+
+
+# Gopher repetition rule: repeated word-3-gram fraction per document.
+@register(
+    "llm_repetition_ratio",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+'),
+                    x -> x <> '') AS words
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+        list_filter(list_transform(range(1, greatest(len(words) - 2, 1) + 1),
+                                   i -> concat_ws(' ', words[i], words[i+1], words[i+2])),
+                    x -> x <> '') AS g
+      FROM w WHERE len(words) > 0
+    )
+    SELECT doc_id,
+           CAST(len(g) AS BIGINT) AS n_ngrams,
+           CASE WHEN len(g) > 0
+                THEN ROUND((len(g) - len(list_distinct(g))) / len(g), 6)
+                ELSE 0.0 END AS rep_ratio
+    FROM s
+    """,
+    cache=True,
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return llm_ops.repetition_ratio(d, k=3)

@@ -336,3 +336,48 @@ def test_unigram_logprob_scores_semantics(spark):
     plan_df = llm_ops.unigram_logprob_scores(d)
     plan = plan_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # vocab broadcast, no token-skew shuffle
+
+
+def test_chunk_documents_windows_and_degenerates(spark):
+    from impala_spark import llm_ops
+
+    words20 = " ".join(f"w{i}" for i in range(20))
+    d = spark.createDataFrame(
+        [(1, words20), (2, "short doc"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = llm_ops.chunk_documents(d, chunk_words=8, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2}  # empty/NULL docs emit no chunks
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    # 20 words, window 8, step 6 -> starts 0,6,12,18
+    assert [r.chunk_idx for r in c1] == [0, 1, 2, 3]
+    assert c1[0].chunk_text.split() == [f"w{i}" for i in range(8)]
+    assert c1[1].chunk_text.split()[0] == "w6"  # overlap of 2
+    assert c1[3].n_words == 2  # tail chunk truncated
+    assert by_doc[2][0].n_words == 2
+    # no shuffle: chunking is a narrow generate
+    plan = llm_ops.chunk_documents(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_repetition_ratio_gopher_rule(spark):
+    from impala_spark import llm_ops
+
+    d = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),   # one distinct 3-gram repeated
+            (2, "all words here are fully unique"), # no repeats
+            (3, ""),
+            (4, None),
+            (5, "a b"),                             # fewer words than k
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in llm_ops.repetition_ratio(d, k=3).collect()}
+    assert set(got) == {1, 2, 5}
+    assert got[1].n_ngrams == 4 and got[1].rep_ratio == 0.75  # 4 grams, 1 distinct
+    assert got[2].rep_ratio == 0.0
+    assert got[5].n_ngrams == 1 and got[5].rep_ratio == 0.0  # partial gram, no repeat
