@@ -1136,3 +1136,35 @@ def repetition_ratio(
         )
         .drop("_w", "_g")
     )
+
+
+def stratified_sample(
+    df: DataFrame, targets: dict[str, int], source_col: str = "source",
+    id_col: str = "doc_id", seed: int = 13,
+) -> DataFrame:
+    """Deterministic per-source sampling to TARGET COUNTS (the dataset-
+    curation companion to rate-based mix_sources): within each source,
+    rows are ranked by a seeded hash of their id and the first N kept.
+    Re-executions and retries pick the identical sample (pure function
+    of id+seed) — the property that makes the curated mix reproducible.
+
+    100 TB shape: one row_number window per source partition. Sources
+    are few and large, so the window shuffle is source-keyed and skewed
+    by design; Spark sorts each partition once — acceptable for curation
+    jobs that run rarely. For rate-based (not count-exact) needs at
+    extreme scale, mix_sources is the shuffle-free path."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(source_col).orderBy(
+        F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.col(id_col)
+    )
+    target = None
+    for src, n in targets.items():
+        cond = F.col(source_col) == src
+        target = F.when(cond, F.lit(int(n))) if target is None else target.when(cond, F.lit(int(n)))
+    target = target.otherwise(F.lit(0)) if target is not None else F.lit(0)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= target)
+        .drop("_rk")
+    )

@@ -3908,3 +3908,48 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return llm_ops.repetition_ratio(d, k=3)
+
+
+# Stratified sampling to per-source target counts (llm_ops.
+# stratified_sample). The seeded-hash ranking is engine-defined, so the
+# cross-engine contract is the invariant set: per-source kept counts hit
+# min(target, available), the sample is a subset of the source, and two
+# independent executions pick the IDENTICAL rows (id-sum checksum) —
+# the reproducibility property that makes curated mixes re-buildable.
+@register(
+    "llm_stratified_sample",
+    oracle="""
+    SELECT source,
+           CAST(LEAST(CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 5
+                                  WHEN 'src2' THEN 25 WHEN 'src3' THEN 40
+                                  ELSE 0 END, COUNT(*)) AS BIGINT) AS n_kept,
+           TRUE AS subset_ok, TRUE AS deterministic_ok
+    FROM documents
+    WHERE source IN ('src0', 'src1', 'src2', 'src3')
+    GROUP BY source
+    ORDER BY source
+    """,
+    cache=True,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    targets = {"src0": 10, "src1": 5, "src2": 25, "src3": 40}
+    s1 = llm_ops.stratified_sample(d, targets)
+    s2 = llm_ops.stratified_sample(d, targets)  # independent rebuild
+    per1 = s1.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("doc_id").alias("ck1"),
+    )
+    per2 = s2.groupBy("source").agg(F.sum("doc_id").alias("ck2"))
+    base = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_avail"))
+    return (
+        per1.join(per2, "source")
+        .join(base, "source")
+        .select(
+            "source",
+            "n_kept",
+            (F.col("n_kept") <= F.col("n_avail")).alias("subset_ok"),
+            (F.col("ck1") == F.col("ck2")).alias("deterministic_ok"),
+        )
+        .orderBy("source")
+    )

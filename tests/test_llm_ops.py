@@ -381,3 +381,24 @@ def test_repetition_ratio_gopher_rule(spark):
     assert got[1].n_ngrams == 4 and got[1].rep_ratio == 0.75  # 4 grams, 1 distinct
     assert got[2].rep_ratio == 0.0
     assert got[5].n_ngrams == 1 and got[5].rep_ratio == 0.0  # partial gram, no repeat
+
+
+def test_stratified_sample_counts_and_determinism(spark):
+    from impala_spark import llm_ops
+
+    d = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(30)], "doc_id long, source string"
+    )
+    out = llm_ops.stratified_sample(d, {"s0": 3, "s1": 10, "s2": 0}, seed=7)
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    assert len(by_src.get("s0", ())) == 3
+    assert len(by_src.get("s1", ())) == 10  # all available
+    assert "s2" not in by_src               # target 0
+    # deterministic: same seed -> identical set; different seed -> different rank order
+    again = {r.doc_id for r in llm_ops.stratified_sample(d, {"s0": 3}, seed=7).collect()}
+    assert again == by_src["s0"]
+    other = {r.doc_id for r in llm_ops.stratified_sample(d, {"s0": 3}, seed=8).collect()}
+    assert other != by_src["s0"]  # 3-of-10 under a new hash: collision odds ~1/120
