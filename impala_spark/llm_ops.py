@@ -1168,3 +1168,62 @@ def stratified_sample(
         .filter(F.col("_rk") <= target)
         .drop("_rk")
     )
+
+
+def cross_near_dup_pairs(
+    batch: DataFrame, history: DataFrame, id_col: str = "doc_id",
+    text_col: str = "text", threshold: float = 0.5, k: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs BETWEEN two corpora (batch x history), exact
+    Jaccard on word-k-shingle sets. Candidates come from a shared-shingle
+    equi-join (never all-pairs); the exact rescore runs only on candidate
+    pairs via array intersect/union on the hashed shingle sets.
+
+    Scale note: the shared-shingle candidate join is exact but skews on
+    common shingles; at 100 TB swap candidate generation for the banded
+    MinHash join (minhash_lsh_pairs_exact's path) or the PPJoin prefix
+    filter (ngram_jaccard_pairs) — the rescore stage is unchanged. This
+    exact form is the oracle-checkable contract."""
+    def prep(df: DataFrame, alias: str) -> DataFrame:
+        return shingles(df, text_col, k).select(
+            F.col(id_col).alias(f"{alias}_id"),
+            F.array_sort(
+                F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s)))
+            ).alias(f"{alias}_sh"),
+        )
+
+    b = prep(batch, "b")
+    h = prep(history, "h")
+    cand = (
+        b.select("b_id", F.explode("b_sh").alias("g"))
+        .join(h.select("h_id", F.explode("h_sh").alias("g")), "g")
+        .select("b_id", "h_id")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("b_sh", "h_sh"))
+    union = F.size(F.array_union("b_sh", "h_sh"))
+    return (
+        cand.join(b, "b_id")
+        .join(h, "h_id")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("b_id", "h_id", "jaccard")
+    )
+
+
+def incremental_dedup(
+    batch: DataFrame, history: DataFrame, id_col: str = "doc_id",
+    text_col: str = "text", threshold: float = 0.5,
+) -> DataFrame:
+    """Continual-ingestion dedup: keep only batch documents that are
+    neither exact nor near duplicates of the EXISTING corpus — the daily
+    increment never re-deduplicates history (cost scales with the batch,
+    not the corpus). Exact stage: fingerprint anti-join (one shuffle on
+    32-byte keys). Near stage: cross_near_dup_pairs against history,
+    anti-join the flagged batch ids."""
+    bf = fingerprint(batch, text_col)
+    hf = fingerprint(history, text_col).select("fp").distinct()
+    no_exact = bf.join(hf, "fp", "left_anti").drop("fp")
+    near = cross_near_dup_pairs(no_exact, history, id_col, text_col, threshold)
+    flagged = near.select(F.col("b_id").alias(id_col)).distinct()
+    return no_exact.join(flagged, id_col, "left_anti")

@@ -3953,3 +3953,67 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Incremental (continual-ingestion) dedup: the odd-id half of documents
+# is "today's batch", the even-id half the existing corpus. Survivors =
+# batch docs that are neither exact- nor near-duplicates (Jaccard >= 0.5
+# on word-3-shingles) of history. Checksummed so the surviving SET, not
+# just its size, is verified (r3 verdict lesson from llm_clean_corpus).
+@register(
+    "llm_incremental_dedup",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+        md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+        string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+') AS words
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, fp,
+        list_filter(list_distinct(
+          list_transform(range(1, greatest(len(words)-2, 0)+1),
+                         i -> concat_ws(' ', words[i], words[i+1], words[i+2]))
+        ), x -> x <> '') AS sh
+      FROM w
+    ),
+    batch AS (SELECT * FROM s WHERE doc_id % 2 = 1),
+    hist AS (SELECT * FROM s WHERE doc_id % 2 = 0),
+    no_exact AS (
+      SELECT b.* FROM batch b WHERE b.fp NOT IN (SELECT fp FROM hist)
+    ),
+    be AS (SELECT doc_id, unnest(sh) AS g FROM no_exact),
+    he AS (SELECT doc_id, unnest(sh) AS g FROM hist),
+    cand AS (SELECT DISTINCT be.doc_id AS b_id, he.doc_id AS h_id
+             FROM be JOIN he ON be.g = he.g),
+    near AS (
+      SELECT DISTINCT c.b_id
+      FROM cand c JOIN no_exact b ON b.doc_id = c.b_id
+                  JOIN hist h ON h.doc_id = c.h_id
+      WHERE CAST(len(list_intersect(b.sh, h.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(b.sh, h.sh))) >= 0.5
+    ),
+    surv AS (SELECT doc_id FROM no_exact WHERE doc_id NOT IN (SELECT b_id FROM near))
+    SELECT CAST((SELECT COUNT(*) FROM batch) AS BIGINT) AS n_batch,
+           CAST(COUNT(*) AS BIGINT) AS n_survivors,
+           CAST(SUM(doc_id) AS BIGINT) AS surv_id_sum,
+           CAST(MIN(doc_id) AS BIGINT) AS surv_id_min,
+           CAST(MAX(doc_id) AS BIGINT) AS surv_id_max
+    FROM surv
+    """,
+    cache=True,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    history = d.filter(F.col("doc_id") % 2 == 0)
+    surv = llm_ops.incremental_dedup(batch, history, threshold=0.5)
+    # n_batch joins in as a 1-row aggregate: no driver-side action inside
+    # a result-bearing query (r3 verdict "what's wrong" #5).
+    n_batch = batch.agg(F.count(F.lit(1)).cast("bigint").alias("n_batch"))
+    return surv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_survivors"),
+        F.sum("doc_id").cast("bigint").alias("surv_id_sum"),
+        F.min("doc_id").cast("bigint").alias("surv_id_min"),
+        F.max("doc_id").cast("bigint").alias("surv_id_max"),
+    ).crossJoin(n_batch)

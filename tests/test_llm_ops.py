@@ -402,3 +402,29 @@ def test_stratified_sample_counts_and_determinism(spark):
     assert again == by_src["s0"]
     other = {r.doc_id for r in llm_ops.stratified_sample(d, {"s0": 3}, seed=8).collect()}
     assert other != by_src["s0"]  # 3-of-10 under a new hash: collision odds ~1/120
+
+
+def test_incremental_dedup_semantics(spark):
+    from impala_spark import llm_ops
+
+    history = spark.createDataFrame(
+        [
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (4, "completely different historical content about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),      # exact dup of 2
+            (3, "the quick brown fox jumps over the lazy dog yesterday"),  # near dup of 2
+            (5, "an entirely novel batch document with fresh words"),      # survivor
+        ],
+        "doc_id long, text string",
+    )
+    surv = {r.doc_id for r in llm_ops.incremental_dedup(batch, history).collect()}
+    assert surv == {5}
+    pairs = llm_ops.cross_near_dup_pairs(batch, history).collect()
+    assert {(r.b_id, r.h_id) for r in pairs} >= {(1, 2), (3, 2)}
+    plan = llm_ops.incremental_dedup(batch, history)._jdf.queryExecution().toString()
+    assert "CartesianProduct" not in plan
