@@ -289,30 +289,23 @@ def minhash_lsh_pairs_exact(
         .repartition(_compute_partitions(df), F.col("id"))
     )
     # minhash signature from the already-hashed shingles (hash-once rule).
-    # Factory, not a default-arg lambda (see minhash_signatures NB).
-    def _seeded_min(seed: int):
-        return F.array_min(F.transform("sh_hash", lambda h: F.xxhash64(h, F.lit(seed))))
-
-    sig_expr = F.array(*[_seeded_min(i) for i in range(num_hashes)])
-    sig = base.withColumn("minhash", sig_expr)
-    band_arr = F.when(
-        F.size("sh_hash") > 0,
-        F.array(
-            *[
-                F.xxhash64(
-                    F.array_join(
-                        F.transform(
-                            F.slice("minhash", b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                        ",",
-                    ),
-                    F.lit(b),
-                )
-                for b in range(bands)
-            ]
-        ),
+    # Built as ONE SQL expression string parsed in a single py4j call:
+    # the Column-by-Column form (num_hashes nested transforms + bands)
+    # cost ~0.5 s of driver-side py4j round trips PER PLAN — pure
+    # plan-construction overhead, measured round 4.
+    # NB: seeds must stay INT literals — xxhash64 mixes the argument TYPE,
+    # so a long seed changes every signature vs the original F.lit(int).
+    sig_sql = "array(%s)" % ", ".join(
+        f"array_min(transform(sh_hash, h -> xxhash64(h, {seed})))"
+        for seed in range(num_hashes)
     )
+    sig = base.withColumn("minhash", F.expr(sig_sql))
+    band_sql = "CASE WHEN size(sh_hash) > 0 THEN array(%s) END" % ", ".join(
+        "xxhash64(array_join(transform(slice(minhash, %d, %d), x -> cast(x AS string)), ','), %d)"
+        % (b * rows_per_band + 1, rows_per_band, b)
+        for b in range(bands)
+    )
+    band_arr = F.expr(band_sql)
     banded = sig.select("id", F.explode(band_arr).alias("band_hash"))
     cand = (
         banded.select(F.col("id").alias("a_id"), "band_hash")
