@@ -4017,3 +4017,90 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("surv_id_min"),
         F.max("doc_id").cast("bigint").alias("surv_id_max"),
     ).crossJoin(n_batch)
+
+
+# TPC-DS Q7 shape: multi-dim star (customer segment x part x date) with
+# four averages — the "catalog average by demographic" pattern.
+sql_query(
+    "tpcds_q7_shape",
+    """
+    SELECT p_brand,
+           ROUND(AVG(CAST(l_quantity AS DECIMAL(18,4))), 4) AS avg_qty,
+           ROUND(AVG(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS avg_price,
+           ROUND(AVG(CAST(l_discount AS DECIMAL(18,4))), 4) AS avg_disc,
+           ROUND(AVG(CAST(l_tax AS DECIMAL(18,4))), 4) AS avg_tax
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN part     ON l_partkey = p_partkey
+    WHERE c_mktsegment = 'AUTOMOBILE'
+      AND YEAR(o_orderdate) = 1997
+    GROUP BY p_brand
+    ORDER BY p_brand
+    LIMIT 100
+    """,
+)
+
+# TPC-DS Q55 shape: single-brand-manager month slice, revenue by brand.
+sql_query(
+    "tpcds_q55_shape",
+    """
+    SELECT p_brand,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS ext_price
+    FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part   ON l_partkey = p_partkey
+    WHERE MONTH(o_orderdate) = 11 AND YEAR(o_orderdate) = 1997
+      AND p_size < 15
+    GROUP BY p_brand
+    ORDER BY ext_price DESC, p_brand
+    LIMIT 100
+    """,
+)
+
+# TPC-DS Q68 shape: per-order extended rollup with a selective dimension
+# filter and an inner aggregate inline view joined back to the customer —
+# the "big order detail page" pattern (inline-view agg + re-join).
+sql_query(
+    "tpcds_q68_shape",
+    """
+    SELECT c_name, v.o_orderkey, v.n_lines, v.order_rev
+    FROM (
+      SELECT o_orderkey, o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS order_rev
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY o_orderkey, o_custkey
+      HAVING COUNT(*) >= 5
+    ) v
+    JOIN customer ON v.o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    ORDER BY v.order_rev DESC, v.o_orderkey
+    LIMIT 100
+    """,
+)
+
+# TPC-DS Q79 shape: per-(customer, order) agg compared against the
+# customer's own average via a window — the "above-their-usual-spend"
+# pattern (agg + analytic over agg).
+sql_query(
+    "tpcds_q79_shape",
+    """
+    WITH per_order AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS order_total
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_custkey, o_orderkey
+    )
+    SELECT o_custkey, o_orderkey, order_total
+    FROM (
+      SELECT o_custkey, o_orderkey, order_total,
+             AVG(order_total) OVER (PARTITION BY o_custkey) AS cust_avg
+      FROM per_order
+    ) x
+    WHERE order_total > 1.5 * cust_avg
+    ORDER BY order_total DESC, o_orderkey
+    LIMIT 100
+    """,
+)
