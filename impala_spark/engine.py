@@ -269,6 +269,35 @@ class ImpalaEngine:
         # must never be spliced into a SQL string
         return self.spark.createDataFrame([(key, "set")], "option: string, status: string")
 
+    # -- multi-statement scripts (impala-shell -f analog) -------------------
+    def run_script(self, script: str) -> DataFrame:
+        """Execute a `;`-separated statement script in order and return the
+        LAST statement's DataFrame (impala-shell `-f file` / `-q "a; b"`
+        behavior). Statements are split at top-level semicolons only —
+        semicolons inside string literals/comments never split (the split
+        walks the tokenizer's output, not raw text)."""
+        from impala_spark.parser import tokenize, untokenize
+
+        tokens = tokenize(script)
+        stmts: list[str] = []
+        start = 0
+        for i, t in enumerate(tokens):
+            if t.kind == "op" and t.text == ";":
+                s = untokenize(tokens[start:i]).strip()
+                if s:
+                    stmts.append(s)
+                start = i + 1
+        tail = untokenize(tokens[start:]).strip()
+        if tail:
+            stmts.append(tail)
+        if not stmts:
+            raise ValueError("empty script")
+        out: DataFrame | None = None
+        for s in stmts:
+            out = self.sql(s)
+        assert out is not None
+        return out
+
     # -- SHOW / DESCRIBE surfaces (service/MetadataOp.java) -----------------
     def show_tables(self, pattern: str | None = None) -> DataFrame:
         df = self.spark.sql("SHOW TABLES")

@@ -151,3 +151,22 @@ def test_bare_set_lists_options(spark, sf_dir):
     eng = ImpalaEngine(spark, sf_dir)
     rows = {r.option: r.value for r in eng.sql("SET").collect()}
     assert "num_nodes" in rows and "broadcast_threshold" in rows
+
+
+def test_run_script_multi_statement(engine):
+    """impala-shell -f analog: ;-separated script runs in order, returns
+    the last statement's result; semicolons inside strings never split."""
+    df = engine.run_script(
+        """
+        SET num_nodes = 1;
+        SELECT 'a;b' AS s, 1 AS one;
+        SELECT COUNT(*) AS n FROM nation
+        """
+    )
+    assert df.first().n == 25
+    r = engine.run_script("SELECT 'x; y' AS s").first()
+    assert r.s == "x; y"
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        engine.run_script("   ;  ; ")
