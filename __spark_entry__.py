@@ -61,9 +61,15 @@ def _verified_order(names: list[str]) -> list[str]:
     # reach the never-driver-checked TPC-H / TPC-DS capability suites,
     # the three round-3 LLM ops, the 9 SURVEY §2 rows with no driver row
     # in any round, the decimal/char-varchar "hard part" type queries,
-    # and the remaining scale-path joins. All 64 entries below were
-    # locally oracle-verified at sf0.01 (tools/check.py) this round; the
-    # last 14 overflow the window and stay in the backlog for round 5.
+    # and the remaining scale-path joins. ALL 174 registered queries were
+    # locally oracle-verified at sf0.01 this round (tools/check.py,
+    # 174/174) plus a full vanilla-session run; the 72 relational ones
+    # were additionally verified at a 10x scale (tools/gen_sf1.py data).
+    # The 14 entries past the window boundary and the 12 new round-4
+    # queries (llm_bm25_scoring, llm_decontaminate, llm_perplexity_filter,
+    # llm_chunk_documents, llm_repetition_ratio, llm_stratified_sample,
+    # llm_incremental_dedup, events_stream_outer_join, tpcds_q7/q55/q68/
+    # q79_shape) queue behind them for round 5's window.
     boost = [
         # the reference's capability bar: TPC-H shapes (PlannerTest.java:195-216)
         "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority",
