@@ -4104,3 +4104,74 @@ sql_query(
     LIMIT 100
     """,
 )
+
+
+# Time-series gap filling (densification): emit EVERY 5-minute bucket in
+# the observed span per event_type, zero-filled where no events landed —
+# the dashboard/training-feature op that turns sparse event streams into
+# dense series. Spark: sequence() over the global span (two scalar
+# aggregates, broadcast), explode, left join the observed buckets.
+# Scale: the bucket spine is (span/5min) x |types| rows — tiny relative
+# to events — and the join is bucket+type keyed; observed aggregation is
+# the only full shuffle.
+@register(
+    "events_gap_fill",
+    oracle="""
+    WITH obs AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS b, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM obs),
+    spine AS (
+      SELECT unnest(generate_series(span.lo, span.hi, INTERVAL '5 minutes')) AS b,
+             t.event_type
+      FROM span CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    )
+    SELECT strftime(s.b, '%Y-%m-%d %H:%M:%S') AS window_start,
+           s.event_type,
+           COALESCE(o.n_events, 0) AS n_events
+    FROM spine s LEFT JOIN obs o ON s.b = o.b AND s.event_type = o.event_type
+    """,
+    cache=True,
+)
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    bucket = F.expr("timestamp_seconds(floor(unix_timestamp(ts) / 300) * 300)")
+    obs = (
+        e.withColumn("b", bucket)
+        .groupBy("b", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    span = obs.agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+    types = e.select("event_type").distinct()
+    spine = (
+        span.select(
+            F.explode(F.expr("sequence(lo, hi, interval 5 minutes)")).alias("b")
+        )
+        .crossJoin(F.broadcast(types))
+    )
+    return spine.join(obs, ["b", "event_type"], "left").select(
+        F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+    )
+
+
+# Corpus card: the per-source dataset report (docs, token volume, length
+# spread, quality mean) a curation pipeline publishes with every release.
+sql_query(
+    "llm_corpus_report",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           ROUND(AVG(CAST(n_chars AS DECIMAL(18,4))), 4) AS avg_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)

@@ -122,3 +122,21 @@ def test_stream_stream_left_outer_join(spark, sf_dir):
     # last watermark update, so streamed rows are a superset of matched
     # and a subset of the batch total
     assert len(got_matched) <= len(got) <= expected_total
+
+
+def test_gap_fill_densifies_buckets(spark, sf_dir):
+    """Gap-filled series must cover EVERY 5-min bucket in the span for
+    every event_type, zero-filled where no events landed, and agree with
+    the sparse aggregation where events exist."""
+    from impala_spark.queries import SPARK_QUERIES
+
+    dense = SPARK_QUERIES["events_gap_fill"](spark, sf_dir)
+    rows = dense.collect()
+    types = {r.event_type for r in rows}
+    buckets = sorted({r.window_start for r in rows})
+    assert len(rows) == len(types) * len(buckets)  # full cross coverage
+    assert any(r.n_events == 0 for r in rows) or len(buckets) == 1  # zero-fill visible
+    total_dense = sum(r.n_events for r in rows)
+    from impala_spark.session import table as tbl
+
+    assert total_dense == tbl(spark, sf_dir, "events").count()  # conservation
