@@ -4175,3 +4175,118 @@ sql_query(
     ORDER BY source
     """,
 )
+
+
+# Cohort retention: per day, how many active users return the next day —
+# the canonical event-analytics self-join (distinct daily activity,
+# user+date keyed; scale-safe shuffle on the user key).
+@register(
+    "events_retention",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    )
+    SELECT strftime(a.d, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(COUNT(b.user_id) AS BIGINT) AS n_retained,
+           ROUND(CAST(COUNT(b.user_id) AS DOUBLE) / COUNT(*), 6) AS retention
+    FROM act a LEFT JOIN act b
+      ON b.user_id = a.user_id AND b.d = a.d + INTERVAL 1 DAY
+    GROUP BY a.d
+    ORDER BY a.d
+    """,
+    cache=True,
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    act = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    nxt = act.select(F.col("d").alias("d2"), F.col("user_id").alias("u2"))
+    joined = act.join(
+        nxt,
+        (act.user_id == nxt.u2) & (nxt.d2 == F.date_add(act.d, 1)),
+        "left",
+    )
+    return (
+        joined.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active"),
+            F.count("u2").cast("bigint").alias("n_retained"),
+            F.round(F.count("u2") / F.count(F.lit(1)), 6).alias("retention"),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_active", "n_retained", "retention",
+        )
+        .orderBy("day")
+    )
+
+
+# Conversion funnel: view -> click -> purchase within 30 minutes of the
+# step before, per user (sequence detection via min-next-ts as-of
+# semantics expressed with plain aggregation + interval joins — all
+# user-keyed shuffles, no window over the raw stream).
+@register(
+    "events_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    vc AS (
+      SELECT DISTINCT v.user_id, v.ts AS v_ts
+      FROM v JOIN c ON c.user_id = v.user_id
+       AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    ),
+    vcp AS (
+      SELECT DISTINCT vc.user_id
+      FROM vc JOIN c ON c.user_id = vc.user_id
+       AND c.ts > vc.v_ts AND c.ts <= vc.v_ts + INTERVAL 30 MINUTE
+              JOIN p ON p.user_id = vc.user_id
+       AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM v) AS BIGINT) AS n_viewers,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM vc) AS BIGINT) AS n_clicked_after_view,
+           CAST((SELECT COUNT(*) FROM vcp) AS BIGINT) AS n_full_funnel
+    """,
+    cache=True,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select("user_id", F.col("ts").alias("v_ts"))
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    half_hour = F.expr("INTERVAL 30 MINUTES")
+    vc = (
+        v.join(
+            c,
+            (v.user_id == c.c_user) & (c.c_ts > v.v_ts) & (c.c_ts <= v.v_ts + half_hour),
+        )
+        .select("user_id", "v_ts")
+        .distinct()
+    )
+    c2 = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c2_user"), F.col("ts").alias("c2_ts")
+    )
+    vcp = (
+        vc.join(
+            c2,
+            (vc.user_id == c2.c2_user)
+            & (c2.c2_ts > vc.v_ts)
+            & (c2.c2_ts <= vc.v_ts + half_hour),
+        )
+        .join(
+            p,
+            (vc.user_id == p.p_user)
+            & (p.p_ts > c2.c2_ts)
+            & (p.p_ts <= c2.c2_ts + half_hour),
+        )
+        .select("user_id")
+        .distinct()
+    )
+    n_viewers = v.agg(F.count_distinct("user_id").cast("bigint").alias("n_viewers"))
+    n_vc = vc.agg(F.count_distinct("user_id").cast("bigint").alias("n_clicked_after_view"))
+    n_vcp = vcp.agg(F.count(F.lit(1)).cast("bigint").alias("n_full_funnel"))
+    return n_viewers.crossJoin(n_vc).crossJoin(n_vcp)
