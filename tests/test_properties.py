@@ -231,3 +231,35 @@ def test_strict_checks_total_over_query_shapes(items, where, tail, from_t):
     except ImpalaUnsupportedError:
         return  # rejection is a legal outcome; crashes are not
     assert out.count("(") == out.count(")"), (sql, out)
+
+
+# ---------------------------------------------------------------------------
+# New-op totality over arbitrary text (unicode, punctuation-only, huge
+# whitespace): chunking/repetition/BM25 must run and hold their invariants.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    texts=st.lists(
+        st.text(max_size=120),  # arbitrary unicode incl. empty
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_text_ops_total_over_arbitrary_text(spark, texts):
+    from impala_spark import llm_ops
+
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    chunks = llm_ops.chunk_documents(d, chunk_words=8, overlap=2).collect()
+    for r in chunks:
+        assert 1 <= r.n_words <= 8
+        assert len(r.chunk_text.split()) == r.n_words
+    rep = llm_ops.repetition_ratio(d).collect()
+    for r in rep:
+        assert 0.0 <= r.rep_ratio <= 1.0 and r.n_ngrams >= 1
+    bm = llm_ops.bm25_scores(d, ["the", "a"]).collect()
+    for r in bm:
+        assert r.bm25 > 0
