@@ -4290,3 +4290,52 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_vc = vc.agg(F.count_distinct("user_id").cast("bigint").alias("n_clicked_after_view"))
     n_vcp = vcp.agg(F.count(F.lit(1)).cast("bigint").alias("n_full_funnel"))
     return n_viewers.crossJoin(n_vc).crossJoin(n_vcp)
+
+
+# Bucket-level anomaly detection: 5-min buckets whose event count sits
+# >2 sigma from that type's mean bucket count. Two aggregations (bucket,
+# then per-type moments joined back via broadcast) — no window over the
+# raw stream. Float moments go through the 9-significant-digit z
+# contract only implicitly: the emitted columns are exact counts plus a
+# boolean, so cross-engine float drift cannot reach the hash.
+@register(
+    "events_anomaly",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS w, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, AVG(n) AS mu, STDDEV_POP(n) AS sigma
+      FROM b GROUP BY event_type
+    )
+    SELECT strftime(b.w, '%Y-%m-%d %H:%M:%S') AS window_start,
+           b.event_type, b.n
+    FROM b JOIN m USING (event_type)
+    WHERE m.sigma > 0 AND ABS(b.n - m.mu) > 2 * m.sigma
+    ORDER BY b.event_type, window_start
+    """,
+    cache=True,
+)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    bucket = F.expr("timestamp_seconds(floor(unix_timestamp(ts) / 300) * 300)")
+    b = (
+        e.withColumn("w", bucket)
+        .groupBy("w", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    m = b.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_pop("n").alias("sigma")
+    )
+    return (
+        b.join(F.broadcast(m), "event_type")
+        .filter((F.col("sigma") > 0) & (F.abs(F.col("n") - F.col("mu")) > 2 * F.col("sigma")))
+        .select(
+            F.date_format("w", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+        .orderBy("event_type", "window_start")
+    )
