@@ -1326,6 +1326,59 @@ def _check_strict_ungrouped_select(tokens: list[Token]) -> None:
             k += 1
 
 
+def _check_strict_limit_offset(tokens: list[Token]) -> None:
+    """Impala's LIMIT/OFFSET analysis (QueryStmt.java:162-165,
+    LimitElement.java:167-169): OFFSET requires ORDER BY in the same
+    block; LIMIT/OFFSET literals must be non-negative."""
+    depth_at = []
+    d = 0
+    for t in tokens:
+        if t.kind == "op" and t.text == "(":
+            d += 1
+        depth_at.append(d)
+        if t.kind == "op" and t.text == ")":
+            d -= 1
+    for idx, t in enumerate(tokens):
+        if t.kind != "word" or t.upper not in ("LIMIT", "OFFSET"):
+            continue
+        d0 = depth_at[idx]
+        j = _significant(tokens, idx)
+        # negative literal check
+        if j != -1 and tokens[j].kind == "op" and tokens[j].text == "-":
+            k2 = _significant(tokens, j)
+            if k2 != -1 and tokens[k2].kind == "number":
+                v = f"-{tokens[k2].text}"
+                raise ImpalaUnsupportedError(
+                    f"{t.upper} must be a non-negative integer: {v} = {v}"
+                )
+        if t.upper != "OFFSET":
+            continue
+        # OFFSET: require an ORDER at the same depth earlier in the block
+        has_order = False
+        for k2 in range(idx - 1, -1, -1):
+            if depth_at[k2] < d0:
+                break  # left the block
+            tk = tokens[k2]
+            if depth_at[k2] == d0 and tk.kind == "word" and tk.upper == "ORDER":
+                has_order = True
+                break
+        if not has_order:
+            # reconstruct the limit element text for the pinned message
+            start = idx
+            for k2 in range(idx - 1, -1, -1):
+                if depth_at[k2] < d0:
+                    break
+                if depth_at[k2] == d0 and tokens[k2].kind == "word" and tokens[k2].upper == "LIMIT":
+                    start = k2
+                    break
+            end = _significant(tokens, idx)
+            end = end if end != -1 else idx
+            raise ImpalaUnsupportedError(
+                "OFFSET requires an ORDER BY clause: "
+                + untokenize(tokens[start:end + 1]).strip()
+            )
+
+
 def translate(sql: str, strict: bool = False) -> str:
     """Impala-dialect SQL -> Spark SQL.
 
@@ -1343,6 +1396,7 @@ def translate(sql: str, strict: bool = False) -> str:
         _check_strict_subquery_clauses(tokens)
         _check_strict_where_exprs(tokens)
         _check_strict_ungrouped_select(tokens)
+        _check_strict_limit_offset(tokens)
     tokens = _rewrite_collection_refs(tokens)
     tokens = _rewrite_bool_aliases(tokens)
     tokens = _rewrite_iregexp(tokens)

@@ -399,3 +399,31 @@ def test_strict_distinct_with_analytic_rejected():
     # analytic without DISTINCT is fine; DISTINCT inside an inner block is its own scope
     translate("SELECT a, rank() OVER (ORDER BY b) FROM t", strict=True)
     translate("SELECT x FROM (SELECT DISTINCT a AS x FROM t) v", strict=True)
+
+
+def test_strict_offset_requires_order_by():
+    with _pytest.raises(
+        _Unsupported, match=r"OFFSET requires an ORDER BY clause: LIMIT 10 OFFSET 5"
+    ):
+        translate("SELECT a FROM t LIMIT 10 OFFSET 5", strict=True)
+    translate("SELECT a FROM t ORDER BY a LIMIT 10 OFFSET 5", strict=True)
+    # inner block with ORDER BY satisfies its own OFFSET
+    translate(
+        "SELECT * FROM (SELECT a FROM t ORDER BY a LIMIT 10 OFFSET 5) v", strict=True
+    )
+    with _pytest.raises(_Unsupported, match="OFFSET requires an ORDER BY"):
+        translate(
+            "SELECT * FROM (SELECT a FROM t LIMIT 10 OFFSET 5) v ORDER BY 1", strict=True
+        )
+
+
+def test_strict_negative_limit_offset_rejected():
+    with _pytest.raises(
+        _Unsupported, match=r"LIMIT must be a non-negative integer: -1 = -1"
+    ):
+        translate("SELECT a FROM t LIMIT -1", strict=True)
+    with _pytest.raises(
+        _Unsupported, match=r"OFFSET must be a non-negative integer: -3 = -3"
+    ):
+        translate("SELECT a FROM t ORDER BY a LIMIT 5 OFFSET -3", strict=True)
+    translate("SELECT a FROM t LIMIT 0", strict=True)
