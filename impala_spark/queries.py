@@ -4339,3 +4339,26 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "window_start")
     )
+
+
+# Exact interpolated percentiles (Spark percentile() == DuckDB
+# quantile_cont, both linear-interpolation on the sorted set — exact,
+# not a sketch; values rounded to 6 to absorb summation-free float
+# formatting only).
+sql_query(
+    "agg_exact_percentiles",
+    """
+    SELECT o_orderstatus,
+           ROUND(PERCENTILE(o_totalprice, 0.5), 6) AS p50,
+           ROUND(PERCENTILE(o_totalprice, 0.9), 6) AS p90,
+           ROUND(PERCENTILE(o_totalprice, 0.99), 6) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.5), 6) AS p50,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.9), 6) AS p90,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.99), 6) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
