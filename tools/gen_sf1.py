@@ -20,7 +20,7 @@ C, S, P, O, E = 15_000, 1_000, 20_000, 150_000, 100_000
 os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
 for t in ("region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events"):
+          "lineitem", "events", "documents"):
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SRC}/{t}.parquet')")
 
 def gen(name: str, select: str, files: int = 32) -> None:
@@ -65,3 +65,67 @@ gen("lineitem", f"""SELECT l_orderkey + i*{O} AS l_orderkey, l_partkey + i*{P} A
         l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate FROM lineitem, {R}""")
 gen("events", f"""SELECT event_id + i*{E} AS event_id, ts, user_id + i*1500 AS user_id,
         event_type, value, props FROM events, {R}""")
+
+
+# --- corpus tables (round 4): honest 10x scaling -------------------------
+# Replication would quadratically inflate duplicate-pair counts (10
+# identical copies of a near-dup group = 45x the pairs). Instead:
+# - documents: copy i interleaves a copy-unique token between words
+#   (regexp '\s+' -> ' cI '), so EVERY word shingle of copy i contains
+#   cI: within-copy near-dup structure is preserved EXACTLY (all docs of
+#   a copy get the same transform) while cross-copy Jaccard is 0 -> the
+#   dup-pair count scales linearly, unbiased. Copy 0 keeps the original.
+# - embeddings: copy i applies a seeded SIGNED PERMUTATION of the
+#   dimensions (an orthogonal transform): norms and within-copy cosines
+#   are exactly preserved, cross-copy cosines become incoherent noise.
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import shutil
+
+D = 5_000  # documents rows at sf0.1 (doc_id 0..4999)
+_WS = "\\s+"
+_doc_parts = []
+for i in range(COPIES):
+    text_expr = "text" if i == 0 else (
+        "regexp_replace(text, '" + _WS + "', ' c" + str(i) + " ', 'g')"
+    )
+    _doc_parts.append(
+        f"""SELECT doc_id + {i * D} AS doc_id, {text_expr} AS text,
+        lang, source, n_chars FROM documents"""
+    )
+gen("documents", " UNION ALL ".join(_doc_parts))
+
+emb = pq.read_table(f"{SRC}/embeddings.parquet")
+vec_ids = emb.column("vec_id").to_numpy()
+labels = emb.column("label").to_numpy()
+vecs = np.array(emb.column("embedding").to_pylist(), dtype=np.float32)
+n, dim = vecs.shape
+rng = np.random.default_rng(42)
+parts = []
+for i in range(COPIES):
+    if i == 0:
+        v = vecs
+    else:
+        perm = rng.permutation(dim)
+        signs = rng.choice([-1.0, 1.0], size=dim).astype(np.float32)
+        v = vecs[:, perm] * signs
+    parts.append(
+        pa.table(
+            {
+                "vec_id": pa.array(vec_ids + i * n, type=pa.int64()),
+                "embedding": pa.array(v.tolist(), type=pa.list_(pa.float32())),
+                "label": pa.array(labels, type=pa.int32()),
+            }
+        )
+    )
+emb_all = pa.concat_tables(parts)
+dest = f"{OUT}/embeddings.parquet"
+shutil.rmtree(dest, ignore_errors=True)
+os.makedirs(dest, exist_ok=True)
+step = (emb_all.num_rows + 31) // 32
+for b in range(32):
+    sl = emb_all.slice(b * step, step)
+    if sl.num_rows:
+        pq.write_table(sl, f"{dest}/part-{b:05d}.parquet")
+print(f"embeddings: {emb_all.num_rows} rows in 32 file(s)", flush=True)
