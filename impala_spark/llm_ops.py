@@ -1220,3 +1220,177 @@ def incremental_dedup(
     near = cross_near_dup_pairs(no_exact, history, id_col, text_col, threshold)
     flagged = near.select(F.col("b_id").alias(id_col)).distinct()
     return no_exact.join(flagged, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Privacy / filtering / selection (round-4 additions)
+# ---------------------------------------------------------------------------
+
+#: PII patterns kept to syntax both Java regex (Spark) and RE2 (DuckDB
+#: oracle) accept identically: no backreferences, no lookaround, ASCII \b.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+_PII_LONGNUM = r"\b\d{13,16}\b"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing for training corpora: count then mask emails, IPv4
+    addresses, phone numbers, and long card-like digit runs.
+
+    Counts are taken on the ORIGINAL text; masking applies in a fixed
+    order (email -> ip -> phone -> id) so an earlier replacement cannot
+    manufacture a later pattern's match. Pure regexp_replace chains —
+    JVM-side, whole-stage codegen, zero shuffle: this runs at scan speed
+    over 100 TB, which is exactly what a pre-training privacy pass needs.
+    """
+    t = F.col(text_col)
+    red = F.regexp_replace(t, _PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, _PII_IPV4, "<IP>")
+    red = F.regexp_replace(red, _PII_PHONE, "<PHONE>")
+    red = F.regexp_replace(red, _PII_LONGNUM, "<ID>")
+    return df.withColumns(
+        {
+            "n_emails": F.size(F.regexp_extract_all(t, F.lit(_PII_EMAIL), 0)).cast("bigint"),
+            "n_ips": F.size(F.regexp_extract_all(t, F.lit(_PII_IPV4), 0)).cast("bigint"),
+            "n_phones": F.size(F.regexp_extract_all(t, F.lit(_PII_PHONE), 0)).cast("bigint"),
+            "n_ids": F.size(F.regexp_extract_all(t, F.lit(_PII_LONGNUM), 0)).cast("bigint"),
+            "text_redacted": red,
+        }
+    )
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 1000,
+    min_avg_word_len: float = 2.0,
+    max_avg_word_len: float = 12.0,
+    max_digit_ratio: float = 0.2,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Composite document-quality filter (Gopher-rule shape): keep/drop
+    verdict plus the sorted list of violated rules, so curation runs are
+    auditable ("why was this dropped") — the form real pipelines need.
+
+    All built-in expressions over one scan; the reasons array is built
+    with concat_ws over fixed rule slots so both engines produce the
+    identical string without array-order ambiguity."""
+    t = F.col(text_col)
+    words = F.filter(F.split(F.lower(F.trim(t)), r"\s+"), lambda x: x != "")
+    n_words = F.size(words)
+    alpha_chars = F.length(F.regexp_replace(t, r"[^A-Za-z0-9]", ""))
+    avg_wlen = alpha_chars / F.greatest(n_words, F.lit(1))
+    digit_ratio = F.length(F.regexp_replace(t, r"[^0-9]", "")) / F.greatest(F.length(t), F.lit(1))
+    stop_hits = F.size(F.regexp_extract_all(t, F.lit(_EN_STOPWORDS), 0))
+
+    r_short = F.when(n_words < min_words, F.lit("too_short"))
+    r_long = F.when(n_words > max_words, F.lit("too_long"))
+    r_wlen = F.when(
+        (avg_wlen < min_avg_word_len) | (avg_wlen > max_avg_word_len), F.lit("word_len")
+    )
+    r_digit = F.when(digit_ratio > max_digit_ratio, F.lit("digit_heavy"))
+    r_stop = F.when(stop_hits < min_stop_hits, F.lit("no_stopwords"))
+    reasons = F.concat_ws(",", r_short, r_long, r_wlen, r_digit, r_stop)
+    return df.withColumns(
+        {
+            "n_words": n_words.cast("bigint"),
+            "avg_word_len": F.round(avg_wlen, 4),
+            "digit_ratio": F.round(digit_ratio, 6),
+            "stop_hits": stop_hits.cast("bigint"),
+            "drop_reasons": reasons,
+            "keep": reasons == "",
+        }
+    )
+
+
+def block_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_words: int = 20,
+) -> DataFrame:
+    """Paragraph/block-level dedup (RefinedWeb-style): segment each
+    document into word blocks, drop every block whose exact content
+    appeared earlier in the corpus (first occurrence by (doc_id, block
+    position) wins), and reassemble the surviving text per document.
+
+    Fixed-width word blocks are the deterministic stand-in for paragraph
+    boundaries (the fixture corpus has no newlines); the pipeline shape —
+    explode -> first-occurrence window on the block hash -> re-aggregate
+    in position order — is identical for any boundary rule.
+
+    100 TB shape: two linear shuffles (block-hash window, then doc_id
+    regroup). Block-hash groups are tiny (dup cardinality), so the window
+    never skews; reassembly is a sorted-struct aggregation, not a
+    nondeterministic collect."""
+    from pyspark.sql.window import Window
+
+    words = F.filter(
+        F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"[^a-zA-Z0-9\s]", "")), r"\s+"),
+        lambda x: x != "",
+    )
+    starts = F.sequence(F.lit(0), F.greatest(F.size(F.col("_w")) - 1, F.lit(0)), F.lit(block_words))
+    blocks = (
+        df.withColumn("_w", words)
+        .filter(F.size("_w") > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                F.transform(starts, lambda s: F.concat_ws(" ", F.slice(F.col("_w"), s + 1, block_words)))
+            ).alias("block_idx", "block_text"),
+        )
+        .filter(F.col("block_text") != "")
+    )
+    w = Window.partitionBy("block_text").orderBy("doc_id", "block_idx")
+    kept = blocks.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    rebuilt = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("block_idx", "block_text"))),
+            lambda s: s["block_text"],
+        ),
+        " ",
+    )
+    per_doc = blocks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_blocks"))
+    survivors = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"), rebuilt.alias("text_deduped")
+    )
+    return per_doc.join(survivors, "doc_id", "left").select(
+        "doc_id",
+        "n_blocks",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget selection: within each source, take documents in id
+    order until the cumulative whitespace-token count would exceed the
+    budget — the "fill N tokens per source" step of building a training
+    mix with hard size targets.
+
+    One source-keyed window cumsum (running total) — a single shuffle;
+    the keep decision is a pure comparison so re-executions select the
+    identical set. Emits every document with its running total and keep
+    flag so downstream stages can either filter kept or audit the cut."""
+    from pyspark.sql.window import Window
+
+    toks = F.size(F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""))
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("n_tok", toks.cast("bigint"))
+        .withColumn("cum_tok", F.sum("n_tok").over(w).cast("bigint"))
+        .withColumn("kept", F.col("cum_tok") <= budget_tokens)
+        .select(id_col, source_col, "n_tok", "cum_tok", "kept")
+    )

@@ -4362,3 +4362,182 @@ sql_query(
     FROM orders GROUP BY o_orderstatus
     """,
 )
+
+
+# =====================================================================
+# 18. Privacy / filtering / selection ops (training-data pipeline,
+#     round-4 additions — llm_ops.redact_pii / gopher_filter /
+#     block_dedup / token_budget_select)
+# =====================================================================
+
+# PII redaction. The fixture corpus carries no PII, so both sides seed
+# each document with the same deterministic synthetic PII (email, IPv4,
+# phone, card number derived from doc_id) and the redaction chain must
+# then find and mask every instance — counts on the original text,
+# masked text compared verbatim.
+@register(
+    "llm_pii_redaction",
+    oracle=r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.7 tel 555-010-' || printf('%04d', doc_id % 10000)
+                  || ' card 4111222233334444' AS text
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+      CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+      CAST(len(regexp_extract_all(text, '\b\d{13,16}\b')) AS BIGINT) AS n_ids,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+          '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        '\b\d{13,16}\b', '<ID>', 'g') AS text_redacted
+    FROM seeded
+    """,
+    cache=True,
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    seeded = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel 555-010-"), F.format_string("%04d", F.col("doc_id") % 10000),
+            F.lit(" card 4111222233334444"),
+        ),
+    )
+    return llm_ops.redact_pii(seeded).select(
+        "doc_id", "n_emails", "n_ips", "n_phones", "n_ids", "text_redacted"
+    )
+
+
+# Composite Gopher-style quality filter with auditable drop reasons.
+@register(
+    "llm_gopher_filter",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+        len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS n_words,
+        length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS alpha_chars,
+        length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_chars,
+        greatest(length(text), 1) AS t_len,
+        len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|that|for|with|was|are)\b')) AS stop_hits
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+        n_words,
+        ROUND(alpha_chars / greatest(n_words, 1), 4) AS avg_word_len,
+        ROUND(digit_chars / t_len, 6) AS digit_ratio,
+        stop_hits,
+        concat_ws(',',
+          CASE WHEN n_words < 10 THEN 'too_short' END,
+          CASE WHEN n_words > 1000 THEN 'too_long' END,
+          CASE WHEN alpha_chars / greatest(n_words, 1) < 2.0
+                 OR alpha_chars / greatest(n_words, 1) > 12.0 THEN 'word_len' END,
+          CASE WHEN digit_chars / t_len > 0.2 THEN 'digit_heavy' END,
+          CASE WHEN stop_hits < 2 THEN 'no_stopwords' END
+        ) AS drop_reasons
+      FROM s
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, avg_word_len, digit_ratio,
+           CAST(stop_hits AS BIGINT) AS stop_hits, drop_reasons,
+           drop_reasons = '' AS keep
+    FROM r
+    """,
+    cache=True,
+)
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return llm_ops.gopher_filter(d).select(
+        "doc_id", "n_words", "avg_word_len", "digit_ratio", "stop_hits", "drop_reasons", "keep"
+    )
+
+
+# Block-level (paragraph) dedup. The fixture texts are unique word
+# streams, so the input is the corpus UNION an id-shifted copy of
+# itself — every copied block must lose to its original (first
+# occurrence by (doc_id, position) wins) and reassembly must reproduce
+# originals verbatim while copies empty out.
+@register(
+    "llm_block_dedup",
+    oracle=r"""
+    WITH src AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+'),
+                    x -> x <> '') AS words
+      FROM src
+    ),
+    b0 AS (
+      SELECT doc_id, words,
+             unnest(range(1, greatest(len(words), 1) + 1, 20)) AS start,
+             generate_subscripts(range(1, greatest(len(words), 1) + 1, 20), 1) - 1 AS block_idx
+      FROM w WHERE len(words) > 0
+    ),
+    b AS (
+      SELECT doc_id, block_idx,
+             array_to_string(words[start:start+19], ' ') AS block_text
+      FROM b0
+    ),
+    k AS (
+      SELECT doc_id, block_idx, block_text,
+             row_number() OVER (PARTITION BY block_text ORDER BY doc_id, block_idx) AS rn
+      FROM b WHERE block_text <> ''
+    ),
+    tot AS (
+      SELECT doc_id, COUNT(*) AS n_blocks FROM b WHERE block_text <> '' GROUP BY doc_id
+    ),
+    surv AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(block_text, ' ' ORDER BY block_idx) AS text_deduped
+      FROM k WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(t.n_blocks AS BIGINT) AS n_blocks,
+           CAST(COALESCE(s.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(s.text_deduped, '') AS text_deduped
+    FROM tot t LEFT JOIN surv s USING (doc_id)
+    """,
+    cache=True,
+)
+def q_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return llm_ops.block_dedup(d.unionAll(copies), block_words=20)
+
+
+# Token-budget selection: fill 500 whitespace-tokens per source in
+# doc_id (ingestion) order; running totals + keep flags are exact on
+# both engines.
+@register(
+    "llm_token_budget",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source,
+        CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT doc_id, source, n_tok,
+      CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok,
+      SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 500 AS kept
+    FROM t
+    """,
+    cache=True,
+)
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return llm_ops.token_budget_select(d, budget_tokens=500)

@@ -428,3 +428,88 @@ def test_incremental_dedup_semantics(spark):
     assert {(r.b_id, r.h_id) for r in pairs} >= {(1, 2), (3, 2)}
     plan = llm_ops.incremental_dedup(batch, history)._jdf.queryExecution().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_redact_pii_masks_all_classes(spark):
+    """Every PII class is counted on the original text and masked in the
+    output; clean text passes through untouched."""
+    rows = [
+        (1, "reach me at a.b+c@mail.example.org or 555-123-4567 thanks"),
+        (2, "server 192.168.1.254 card 4111222233334444"),
+        (3, "no pii in this perfectly ordinary sentence"),
+        (4, None),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in llm_ops.redact_pii(d).collect()}
+    assert (got[1].n_emails, got[1].n_phones) == (1, 1)
+    assert "<EMAIL>" in got[1].text_redacted and "<PHONE>" in got[1].text_redacted
+    assert "a.b+c@mail.example.org" not in got[1].text_redacted
+    assert (got[2].n_ips, got[2].n_ids) == (1, 1)
+    assert "<IP>" in got[2].text_redacted and "<ID>" in got[2].text_redacted
+    assert got[3].text_redacted == rows[2][1]
+    assert got[3].n_emails == got[3].n_phones == got[3].n_ips == got[3].n_ids == 0
+    assert got[4].text_redacted is None  # NULL propagates, no crash
+
+
+def test_redact_pii_order_no_cross_matches(spark):
+    """The mask order must not let one replacement manufacture another
+    pattern's match (e.g. ip digits surviving inside an email host)."""
+    d = spark.createDataFrame(
+        [(1, "user123@10.0.0.1.example.com and bare ip 10.0.0.1")],
+        "doc_id long, text string",
+    )
+    r = llm_ops.redact_pii(d).collect()[0]
+    # email (greedy host match) consumes its embedded dotted-quad; the
+    # bare ip is still masked independently.
+    assert r.text_redacted == "<EMAIL> and bare ip <IP>"
+
+
+def test_gopher_filter_rules_and_reasons(spark):
+    long_ok = "the quick brown fox jumps over the lazy dog and runs far away home"
+    rows = [
+        (1, long_ok),                                   # keeps: stopwords, length ok
+        (2, "tiny"),                                    # too_short + no_stopwords
+        (3, "the " + "12345 " * 20),                    # digit_heavy
+        (4, "the of " + "x " * 20),                     # word_len (avg < 2)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in llm_ops.gopher_filter(d).collect()}
+    assert got[1].keep and got[1].drop_reasons == ""
+    assert not got[2].keep
+    assert set(got[2].drop_reasons.split(",")) == {"too_short", "no_stopwords"}
+    assert "digit_heavy" in got[3].drop_reasons
+    assert "word_len" in got[4].drop_reasons
+
+
+def test_block_dedup_first_occurrence_wins_and_reassembles(spark):
+    a = " ".join(f"w{i}" for i in range(40))          # blocks [w0..w19], [w20..w39]
+    b = " ".join(f"w{i}" for i in range(20, 40))      # exact copy of a's 2nd block
+    c = "completely different words only here"
+    d = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in llm_ops.block_dedup(d, block_words=20).collect()}
+    assert (got[1].n_blocks, got[1].n_kept) == (2, 2)
+    assert got[1].text_deduped == a                    # original intact
+    assert (got[2].n_blocks, got[2].n_kept) == (1, 0)  # lost to doc 1
+    assert got[2].text_deduped == ""
+    assert (got[3].n_blocks, got[3].n_kept) == (1, 1)
+    assert got[3].text_deduped == c
+
+
+def test_token_budget_select_boundary(spark):
+    """Cumulative fill stops exactly at the budget; each source fills
+    independently; doc order is ingestion (id) order."""
+    rows = [
+        (1, "a", "t " * 3),   # cum 3  kept
+        (2, "a", "t " * 3),   # cum 6  kept
+        (3, "a", "t " * 3),   # cum 9  > 8 -> dropped
+        (4, "b", "t " * 8),   # cum 8  kept (exactly at budget)
+        (5, "b", "t"),        # cum 9  dropped
+    ]
+    d = spark.createDataFrame(
+        [(i, s, t.strip()) for i, s, t in rows], "doc_id long, source string, text string"
+    )
+    got = {r.doc_id: r for r in llm_ops.token_budget_select(d, budget_tokens=8).collect()}
+    assert [got[i].kept for i in (1, 2, 3, 4, 5)] == [True, True, False, True, False]
+    assert got[4].cum_tok == 8
