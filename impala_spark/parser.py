@@ -1010,6 +1010,14 @@ _AGG_FUNC_NAMES = frozenset({
     "distinctpcsa", "histogram", "sample",
 })
 
+#: Analytic-only function names (BuiltinsDb.java:953-1054); used by the
+#: strict GROUP BY check — these are illegal grouping expressions when
+#: followed by OVER.
+_ANALYTIC_FUNC_NAMES = frozenset({
+    "rank", "dense_rank", "row_number", "ntile", "percent_rank",
+    "cume_dist", "lag", "lead", "first_value", "last_value",
+})
+
 
 def _where_regions(tokens: list[Token]) -> list[tuple[int, int]]:
     """(start, end) token ranges of each WHERE clause body (any block)."""
@@ -1351,6 +1359,14 @@ def _check_strict_limit_offset(tokens: list[Token]) -> None:
                 raise ImpalaUnsupportedError(
                     f"{t.upper} must be a non-negative integer: {v} = {v}"
                 )
+        # non-integer literal (LimitElement analysis: integer literals only)
+        if j != -1 and (
+            (tokens[j].kind == "number" and "." in tokens[j].text)
+            or tokens[j].kind == "string"
+        ):
+            raise ImpalaUnsupportedError(
+                f"{t.upper} expression must be an integer literal: {tokens[j].text}"
+            )
         if t.upper != "OFFSET":
             continue
         # OFFSET: require an ORDER at the same depth earlier in the block
@@ -1379,6 +1395,180 @@ def _check_strict_limit_offset(tokens: list[Token]) -> None:
             )
 
 
+def _agg_call_at(tokens: list[Token], k: int, end: int) -> int:
+    """If tokens[k] starts a plain aggregate call (agg name + '(' with no
+    trailing OVER), return the index of its closing paren; else -1."""
+    t = tokens[k]
+    if t.kind != "word" or t.upper.lower() not in _AGG_FUNC_NAMES:
+        return -1
+    j = _significant(tokens, k)
+    if j == -1 or j >= end or tokens[j].kind != "op" or tokens[j].text != "(":
+        return -1
+    close = _matching_paren(tokens, j)
+    after = _significant(tokens, close)
+    if (
+        after != -1 and after < end
+        and tokens[after].kind == "word" and tokens[after].upper == "OVER"
+    ):
+        return -1  # analytic, not a plain aggregate
+    return close
+
+
+def _check_strict_group_by_exprs(tokens: list[Token]) -> None:
+    """Impala's GROUP BY analysis (SelectStmt.java:598-615): grouping
+    expressions must not contain aggregates or analytic expressions, and
+    '*' in the select list cannot be combined with grouping."""
+    for idx, t in enumerate(tokens):
+        if t.kind != "word" or t.upper != "GROUP":
+            continue
+        j = _significant(tokens, idx)
+        if j == -1 or tokens[j].upper != "BY":
+            continue
+        # find the end of this GROUP BY body (same-depth clause boundary)
+        d = 0
+        k = j + 1
+        while k < len(tokens):
+            tk = tokens[k]
+            if tk.kind == "op" and tk.text == "(":
+                d += 1
+            elif tk.kind == "op" and tk.text == ")":
+                d -= 1
+                if d < 0:
+                    break
+            elif d == 0 and tk.kind == "word" and tk.upper in _CLAUSE_BOUNDARY:
+                break
+            k += 1
+        end = k
+        # '*' with grouping: scan back for this block's select list
+        sel = -1
+        depth = 0
+        for b in range(idx - 1, -1, -1):
+            tb = tokens[b]
+            if tb.kind == "op" and tb.text == ")":
+                depth += 1
+            elif tb.kind == "op" and tb.text == "(":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and tb.kind == "word" and tb.upper == "SELECT":
+                sel = b
+                break
+        if sel != -1:
+            from_i = sel
+            d2 = 0
+            while from_i < idx:
+                tf = tokens[from_i]
+                if tf.kind == "op" and tf.text == "(":
+                    d2 += 1
+                elif tf.kind == "op" and tf.text == ")":
+                    d2 -= 1
+                elif d2 == 0 and tf.kind == "word" and tf.upper == "FROM":
+                    break
+                from_i += 1
+            d3 = 0
+            for s in range(sel + 1, from_i):
+                ts = tokens[s]
+                if ts.kind == "op" and ts.text == "(":
+                    d3 += 1
+                elif ts.kind == "op" and ts.text == ")":
+                    d3 -= 1
+                elif d3 == 0 and ts.kind == "op" and ts.text == "*":
+                    prev = [
+                        x for x in range(sel + 1, s)
+                        if tokens[x].kind not in ("ws", "line_comment", "block_comment")
+                    ]
+                    # `t.*` is fine; `a * b` (an operand before *) is
+                    # arithmetic; bare `*` combined with grouping is not.
+                    if prev:
+                        tp = tokens[prev[-1]]
+                        if tp.kind == "op" and tp.text == ".":
+                            continue
+                        if tp.kind == "word" and tp.upper in ("DISTINCT", "ALL"):
+                            pass  # SELECT DISTINCT * — still a bare star
+                        elif tp.kind in ("word", "number", "string", "bident") or (
+                            tp.kind == "op" and tp.text == ")"
+                        ):
+                            continue  # multiplication operand
+                    raise ImpalaUnsupportedError(
+                        "cannot combine '*' in select list with GROUP BY: *"
+                    )
+        # aggregates / analytics inside the grouping expressions
+        k = j + 1
+        while k < end:
+            tk = tokens[k]
+            if tk.kind == "op" and tk.text == "(":
+                nxt = _significant(tokens, k)
+                if nxt != -1 and tokens[nxt].kind == "word" and tokens[nxt].upper == "SELECT":
+                    k = _matching_paren(tokens, k) + 1
+                    continue
+            if tk.kind == "word" and tk.upper.lower() in _ANALYTIC_FUNC_NAMES:
+                j2 = _significant(tokens, k)
+                if j2 != -1 and j2 < end and tokens[j2].kind == "op" and tokens[j2].text == "(":
+                    close = _matching_paren(tokens, j2)
+                    after = _significant(tokens, close)
+                    if (
+                        after != -1 and after < end
+                        and tokens[after].kind == "word" and tokens[after].upper == "OVER"
+                    ):
+                        op = _significant(tokens, after)
+                        stop = _matching_paren(tokens, op) if (
+                            op != -1 and tokens[op].kind == "op" and tokens[op].text == "("
+                        ) else after
+                        raise ImpalaUnsupportedError(
+                            "GROUP BY expression must not contain analytic expressions: "
+                            + untokenize(tokens[k:stop + 1]).strip()
+                        )
+            if tk.kind == "word" and tk.upper.lower() in _AGG_FUNC_NAMES:
+                j2 = _significant(tokens, k)
+                if j2 != -1 and j2 < end and tokens[j2].kind == "op" and tokens[j2].text == "(":
+                    close = _matching_paren(tokens, j2)
+                    after = _significant(tokens, close)
+                    if (
+                        after != -1 and after < end
+                        and tokens[after].kind == "word" and tokens[after].upper == "OVER"
+                    ):
+                        op = _significant(tokens, after)
+                        stop = _matching_paren(tokens, op) if (
+                            op != -1 and tokens[op].kind == "op" and tokens[op].text == "("
+                        ) else after
+                        raise ImpalaUnsupportedError(
+                            "GROUP BY expression must not contain analytic expressions: "
+                            + untokenize(tokens[k:stop + 1]).strip()
+                        )
+                    raise ImpalaUnsupportedError(
+                        "GROUP BY expression must not contain aggregate functions: "
+                        + untokenize(tokens[k:close + 1]).strip()
+                    )
+            k += 1
+
+
+def _check_strict_nested_aggs(tokens: list[Token]) -> None:
+    """Impala rejects aggregates whose parameters contain aggregates
+    (AggregateInfoBase / Expr analysis: "aggregate function must not
+    contain aggregate parameters")."""
+    n = len(tokens)
+    for k in range(n):
+        close = _agg_call_at(tokens, k, n)
+        if close == -1:
+            continue
+        j = _significant(tokens, k)  # the '('
+        i = j + 1
+        while i < close:
+            ti = tokens[i]
+            if ti.kind == "op" and ti.text == "(":
+                nxt = _significant(tokens, i)
+                if nxt != -1 and tokens[nxt].kind == "word" and tokens[nxt].upper == "SELECT":
+                    i = _matching_paren(tokens, i) + 1
+                    continue
+            inner_close = _agg_call_at(tokens, i, close)
+            if inner_close != -1:
+                raise ImpalaUnsupportedError(
+                    "aggregate function must not contain aggregate parameters: "
+                    + untokenize(tokens[k:close + 1]).strip()
+                )
+            i += 1
+
+
 def translate(sql: str, strict: bool = False) -> str:
     """Impala-dialect SQL -> Spark SQL.
 
@@ -1395,6 +1585,8 @@ def translate(sql: str, strict: bool = False) -> str:
     if strict:
         _check_strict_subquery_clauses(tokens)
         _check_strict_where_exprs(tokens)
+        _check_strict_group_by_exprs(tokens)
+        _check_strict_nested_aggs(tokens)
         _check_strict_ungrouped_select(tokens)
         _check_strict_limit_offset(tokens)
     tokens = _rewrite_collection_refs(tokens)

@@ -4541,3 +4541,109 @@ def q_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return llm_ops.token_budget_select(d, budget_tokens=500)
+
+
+# =====================================================================
+# 19. More TPC-DS shapes (round-4 widening of the capability bar)
+# =====================================================================
+
+# TPC-DS Q65 shape: "underperforming items" — per-(supplier, part) revenue
+# vs 10% of the supplier's average part revenue. Agg -> agg-over-agg ->
+# join-back. The boundary comparison multiplies through (rev * cnt <=
+# 0.1 * total) so no engine-specific decimal-division scale rules touch
+# the predicate; all inputs are decimal-exact quantities cast to double,
+# making the IEEE arithmetic bit-identical on both engines.
+sql_query(
+    "tpcds_q65_shape",
+    """
+    WITH pr AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS part_rev
+      FROM lineitem
+      GROUP BY l_suppkey, l_partkey
+    ),
+    sa AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(part_rev AS DECIMAL(18,4))) AS DOUBLE) AS tot_rev,
+             CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM pr
+      GROUP BY l_suppkey
+    )
+    SELECT pr.l_suppkey, pr.l_partkey, pr.part_rev
+    FROM pr JOIN sa ON pr.l_suppkey = sa.l_suppkey
+    WHERE pr.part_rev * sa.n_parts <= 0.1 * sa.tot_rev
+    ORDER BY pr.l_suppkey, pr.l_partkey
+    """,
+)
+
+# TPC-DS Q98 shape: revenue share of each item within its class — agg
+# inline view + window SUM partitioned by class. The window sum runs on
+# DECIMAL so partial-order cannot perturb the ratio on either engine.
+sql_query(
+    "tpcds_q98_shape",
+    """
+    WITH pr AS (
+      SELECT p_type, p_partkey,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS item_rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-03-01 00:00:00'
+      GROUP BY p_type, p_partkey
+    )
+    SELECT p_type, p_partkey, item_rev,
+           ROUND(item_rev * 100 / CAST(SUM(CAST(item_rev AS DECIMAL(18,4)))
+                 OVER (PARTITION BY p_type) AS DOUBLE), 4) AS rev_ratio
+    FROM pr
+    ORDER BY p_type, p_partkey
+    """,
+)
+
+# TPC-DS Q51 shape: two daily revenue streams FULL OUTER JOINed on date,
+# cumulative sums compared. Cumulatives are partitioned by month (the
+# scale-safe form of q51's per-item partitioning — a partition-less
+# global ORDER BY window would serialize on one task at 100 TB).
+sql_query(
+    "tpcds_q51_shape",
+    """
+    WITH web AS (
+      SELECT l_shipdate AS d,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS rev
+      FROM lineitem WHERE YEAR(l_shipdate) = 1997 GROUP BY l_shipdate
+    ),
+    store AS (
+      SELECT o_orderdate AS d,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS rev
+      FROM orders WHERE YEAR(o_orderdate) = 1997 GROUP BY o_orderdate
+    )
+    SELECT CAST(v.d AS DATE) AS d, v.web_cum, v.store_cum
+    FROM (
+      SELECT COALESCE(w.d, s.d) AS d,
+             CAST(ROUND(SUM(CAST(COALESCE(w.rev, 0) AS DECIMAL(18,4)))
+                   OVER (PARTITION BY YEAR(COALESCE(w.d, s.d)) * 100 + MONTH(COALESCE(w.d, s.d))
+                         ORDER BY COALESCE(w.d, s.d)
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS web_cum,
+             CAST(ROUND(SUM(CAST(COALESCE(s.rev, 0) AS DECIMAL(18,4)))
+                   OVER (PARTITION BY YEAR(COALESCE(w.d, s.d)) * 100 + MONTH(COALESCE(w.d, s.d))
+                         ORDER BY COALESCE(w.d, s.d)
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS store_cum
+      FROM web w FULL OUTER JOIN store s ON w.d = s.d
+    ) v
+    WHERE v.web_cum > v.store_cum
+    ORDER BY d
+    """,
+)
+
+# TPC-DS Q88 shape: several scalar-aggregate subqueries cross-joined into
+# one row (the "counts by time band" dashboard query). Each side is a
+# 1-row broadcastable aggregate; the joins are 1x1 nested loops.
+sql_query(
+    "tpcds_q88_shape",
+    """
+    SELECT a.n AS q1_10, b.n AS q11_20, c.n AS q21_30, d.n AS q31_40
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) a,
+         (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) b,
+         (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem WHERE l_quantity BETWEEN 21 AND 30) c,
+         (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem WHERE l_quantity BETWEEN 31 AND 40) d
+    """,
+)

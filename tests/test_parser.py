@@ -427,3 +427,65 @@ def test_strict_negative_limit_offset_rejected():
     ):
         translate("SELECT a FROM t ORDER BY a LIMIT 5 OFFSET -3", strict=True)
     translate("SELECT a FROM t LIMIT 0", strict=True)
+
+
+def test_strict_group_by_star_rejected():
+    with _pytest.raises(
+        _Unsupported, match=r"cannot combine '\*' in select list with GROUP BY: \*"
+    ):
+        translate("SELECT * FROM t GROUP BY a", strict=True)
+    with _pytest.raises(_Unsupported, match=r"cannot combine '\*'"):
+        translate("SELECT DISTINCT * FROM t GROUP BY a", strict=True)
+    # t.* in a non-grouped block, count(*), and multiplication are all fine
+    translate("SELECT a, count(*) FROM t GROUP BY a", strict=True)
+    translate("SELECT a * b AS p, count(*) FROM t GROUP BY a * b", strict=True)
+    translate("SELECT v.* FROM (SELECT a FROM t GROUP BY a) v", strict=True)
+
+
+def test_strict_group_by_aggregate_rejected():
+    with _pytest.raises(
+        _Unsupported,
+        match=r"GROUP BY expression must not contain aggregate functions: sum\(b\)",
+    ):
+        translate("SELECT a FROM t GROUP BY sum(b)", strict=True)
+    with _pytest.raises(
+        _Unsupported, match="GROUP BY expression must not contain analytic expressions"
+    ):
+        translate("SELECT a FROM t GROUP BY rank() OVER (ORDER BY b)", strict=True)
+    with _pytest.raises(
+        _Unsupported, match="GROUP BY expression must not contain analytic expressions"
+    ):
+        translate("SELECT a FROM t GROUP BY sum(b) OVER (PARTITION BY c)", strict=True)
+    # subquery inside GROUP BY expr is scoped separately (strict subquery
+    # placement check fires for it, not the aggregate check)
+    translate("SELECT upper(a) FROM t GROUP BY upper(a)", strict=True)
+
+
+def test_strict_nested_aggregates_rejected():
+    with _pytest.raises(
+        _Unsupported,
+        match=r"aggregate function must not contain aggregate parameters: "
+        r"sum\(count\(b\)\)",
+    ):
+        translate("SELECT sum(count(b)) FROM t", strict=True)
+    with _pytest.raises(_Unsupported, match="aggregate parameters"):
+        translate("SELECT avg(a + sum(b)) FROM t", strict=True)
+    # agg over a subquery result and agg-of-inline-view-agg are legal
+    translate("SELECT sum(x.cnt) FROM (SELECT count(*) cnt FROM t) x", strict=True)
+    translate("SELECT sum(a) + count(*) FROM t", strict=True)
+    # analytic over an aggregate is legal (agg computed first)
+    translate(
+        "SELECT sum(sum(a)) OVER (PARTITION BY b) FROM t GROUP BY b", strict=True
+    )
+
+
+def test_strict_limit_non_integer_rejected():
+    with _pytest.raises(
+        _Unsupported, match=r"LIMIT expression must be an integer literal: 2\.5"
+    ):
+        translate("SELECT a FROM t LIMIT 2.5", strict=True)
+    with _pytest.raises(
+        _Unsupported, match="OFFSET expression must be an integer literal: 'x'"
+    ):
+        translate("SELECT a FROM t ORDER BY a LIMIT 5 OFFSET 'x'", strict=True)
+    translate("SELECT a FROM t LIMIT 5", strict=True)
