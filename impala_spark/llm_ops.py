@@ -1394,3 +1394,125 @@ def token_budget_select(
         .withColumn("kept", F.col("cum_tok") <= budget_tokens)
         .select(id_col, source_col, "n_tok", "cum_tok", "kept")
     )
+
+
+def substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_chars: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Cross-document repeated-substring detection — the scalable stand-in
+    for suffix-array exact-substring dedup: strided character windows are
+    hashed and any window whose hash occurs in more than one document
+    marks shared content. Per document: window count, shared-window count,
+    shared fraction.
+
+    100 TB shape: windows/doc is length/stride (bounded blowup, not
+    quadratic); the only wide op is one groupBy on the window hash whose
+    groups are duplicate-cardinality (tiny), then one doc_id re-agg.
+    Suffix automata find arbitrary-offset overlaps; strided windows find
+    any overlap >= window+stride chars, which is the dedup-relevant kind
+    (50+ char verbatim reuse), at a fraction of the cost."""
+    positions = F.sequence(
+        F.lit(1),
+        F.greatest(F.length(F.col("_t")) - (window_chars - 1), F.lit(1)),
+        F.lit(stride),
+    )
+    wins = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+        .select("doc_id", F.explode(positions.cast("array<int>")).alias("pos"), "_t")
+        .select("doc_id", "pos", F.md5(F.col("_t").substr(F.col("pos"), F.lit(window_chars))).alias("h"))
+    )
+    counts = wins.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        wins.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_windows"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).cast("bigint").alias("n_shared"),
+        )
+        .withColumn("shared_frac", F.round(F.col("n_shared") / F.col("n_windows"), 6))
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document novelty: fraction of the document's distinct word
+    k-grams that no earlier document (by id order) contains — the curve
+    dataset-ordering and near-dup triage both read. First-seen owner per
+    gram is a single min aggregation; no pairwise comparisons anywhere.
+
+    100 TB shape: distinct (doc, gram) -> groupBy gram (min doc) ->
+    equi-join back -> groupBy doc. Three linear shuffles on hashed grams;
+    gram groups are frequency-bounded, and the heaviest grams can be
+    capped the same way ngram_jaccard_pairs caps its prefix lists."""
+    words = F.filter(
+        F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"[^a-z0-9\s]", "")), r"\s+"),
+        lambda x: x != "",
+    )
+    idx = F.sequence(F.lit(0), F.greatest(F.size(F.col("_w")) - k, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.get(F.col("_w"), i + j) for j in range(k)])
+    )
+    dg = (
+        df.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+        .filter(F.size("_w") >= k)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+        .filter(F.col("gram") != "")
+    )
+    first = dg.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        dg.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .withColumn("novelty", F.round(F.col("n_novel") / F.col("n_grams"), 6))
+    )
+
+
+def embedding_dim_stats(
+    df: DataFrame, vec_col: str = "embedding", ndims: int | None = None
+) -> DataFrame:
+    """Per-dimension distribution stats over an embedding column (the
+    embedding-QA report: dead dimensions, scale drift, outliers).
+
+    Sums run on DECIMAL so partial-aggregation order cannot perturb the
+    mean/variance (the oracle recomputes them exactly); min/max are exact
+    float comparisons. One explode + one 64-group aggregation — the
+    explode is narrow (no shuffle) and the agg reduces 64*N rows to 64."""
+    x = F.col("x").cast("double")
+    xd = x.cast("decimal(28,12)")
+    x2d = (x * x).cast("decimal(30,14)")
+    return (
+        df.select(F.posexplode(vec_col).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(xd).alias("_s"),
+            F.sum(x2d).alias("_s2"),
+            F.min(x).alias("dim_min"),
+            F.max(x).alias("dim_max"),
+        )
+        .select(
+            "dim",
+            "n",
+            F.round(F.col("_s").cast("double") / F.col("n"), 6).alias("dim_mean"),
+            F.round(
+                (F.col("_s2").cast("double") - F.col("_s").cast("double")
+                 * F.col("_s").cast("double") / F.col("n")) / F.col("n"),
+                6,
+            ).alias("dim_var"),
+            F.round("dim_min", 6).alias("dim_min"),
+            F.round("dim_max", 6).alias("dim_max"),
+        )
+    )

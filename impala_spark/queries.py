@@ -4647,3 +4647,111 @@ sql_query(
          (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem WHERE l_quantity BETWEEN 31 AND 40) d
     """,
 )
+
+
+# =====================================================================
+# 20. Substring dedup, novelty scoring, embedding QA (round-4)
+# =====================================================================
+
+# Cross-doc repeated-substring detection. Natural 64-char collisions are
+# ~impossible in the fixture's random word streams, so the input is the
+# corpus plus id-shifted copies — every window of a copied doc must be
+# flagged shared, originals included (symmetric flagging).
+@register(
+    "llm_substring_dedup",
+    oracle=r"""
+    WITH src AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+    ),
+    w AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(length(text) - 63, 1) + 1, 32)) AS pos,
+             text
+      FROM src WHERE text IS NOT NULL
+    ),
+    h AS (SELECT doc_id, md5(substring(text, pos, 64)) AS hash FROM w),
+    g AS (SELECT hash, COUNT(DISTINCT doc_id) AS n_docs FROM h GROUP BY hash)
+    SELECT h.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN g.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           ROUND(SUM(CASE WHEN g.n_docs > 1 THEN 1 ELSE 0 END) / COUNT(*), 6) AS shared_frac
+    FROM h JOIN g USING (hash)
+    GROUP BY h.doc_id
+    """,
+    cache=True,
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return llm_ops.substring_dedup(d.unionAll(copies))
+
+
+# Per-document k-gram novelty vs all earlier documents (id order).
+@register(
+    "llm_ngram_novelty",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+'),
+                    x -> x <> '') AS words
+      FROM documents
+    ),
+    dg AS (
+      SELECT DISTINCT doc_id, gram
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(words) - 2, 1) + 1),
+                      i -> concat_ws(' ', words[i], words[i+1], words[i+2]))) AS gram
+        FROM w WHERE len(words) >= 3
+      ) WHERE gram <> ''
+    ),
+    first AS (SELECT gram, MIN(doc_id) AS first_doc FROM dg GROUP BY gram)
+    SELECT dg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = dg.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN f.first_doc = dg.doc_id THEN 1 ELSE 0 END) / COUNT(*), 6) AS novelty
+    FROM dg JOIN first f USING (gram)
+    GROUP BY dg.doc_id
+    """,
+    cache=True,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return llm_ops.ngram_novelty(d, k=3)
+
+
+# Embedding QA: per-dimension mean/variance/min/max with decimal-exact
+# sums (order-insensitive on both engines).
+@register(
+    "llm_embedding_dim_stats",
+    oracle=r"""
+    WITH e AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding) AS x
+      FROM embeddings
+    ),
+    s AS (
+      SELECT dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS s,
+             SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(30,14))) AS s2,
+             MIN(CAST(x AS DOUBLE)) AS dim_min,
+             MAX(CAST(x AS DOUBLE)) AS dim_max
+      FROM e GROUP BY dim
+    )
+    SELECT CAST(dim AS INTEGER) AS dim, n,
+           ROUND(CAST(s AS DOUBLE) / n, 6) AS dim_mean,
+           ROUND((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n, 6) AS dim_var,
+           ROUND(dim_min, 6) AS dim_min,
+           ROUND(dim_max, 6) AS dim_max
+    FROM s
+    """,
+    cache=True,
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return llm_ops.embedding_dim_stats(e)
