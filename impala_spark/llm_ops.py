@@ -1516,3 +1516,73 @@ def embedding_dim_stats(
             F.round("dim_max", 6).alias("dim_max"),
         )
     )
+
+
+def length_percentile_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group adaptive length filter: keep documents whose word count
+    falls inside the group's [lo, hi] exact interpolated percentiles —
+    the language-aware form of a fixed length cutoff (CJK vs English
+    lengths differ ~4x, so global thresholds misfire per language).
+
+    Thresholds are one tiny per-group aggregate broadcast back onto the
+    corpus — a map-side join at any scale; the percentile aggregation
+    shuffles only (group, count) pairs."""
+    toks = F.size(F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""))
+    with_n = df.withColumn("n_words", toks.cast("bigint"))
+    bounds = with_n.groupBy(group_col).agg(
+        F.percentile("n_words", F.lit(lo)).alias("lo_words"),
+        F.percentile("n_words", F.lit(hi)).alias("hi_words"),
+    )
+    return (
+        with_n.join(F.broadcast(bounds), group_col)
+        .withColumn(
+            "kept",
+            (F.col("n_words") >= F.col("lo_words")) & (F.col("n_words") <= F.col("hi_words")),
+        )
+        .select(
+            "doc_id", F.col(group_col).alias("grp"), "n_words",
+            F.round("lo_words", 4).alias("lo_words"),
+            F.round("hi_words", 4).alias("hi_words"),
+            "kept",
+        )
+    )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication matrix: for every ordered source pair
+    (a < b), how many exact-duplicate document pairs they share — the
+    curation diagnostic that finds mirrored/scraped-twice feeds before
+    mixing weights are chosen.
+
+    Derived entirely from the exact-dedup fingerprint: fingerprints are
+    grouped once, per-fingerprint source lists stay duplicate-sized
+    (tiny), and the pair explosion happens only within those lists —
+    never a corpus self-join."""
+    fp = fingerprint(df, text_col).select(
+        F.col(id_col).alias("doc_id"), F.col(source_col).alias("src"), "fp"
+    )
+    per_fp = fp.groupBy("fp", "src").agg(F.count("*").cast("bigint").alias("n"))
+    pairs = (
+        per_fp.alias("a")
+        .join(per_fp.alias("b"), "fp")
+        .filter(F.col("a.src") < F.col("b.src"))
+        .select(
+            F.col("a.src").alias("src_a"),
+            F.col("b.src").alias("src_b"),
+            (F.col("a.n") * F.col("b.n")).alias("dup_pairs"),
+        )
+    )
+    return pairs.groupBy("src_a", "src_b").agg(
+        F.sum("dup_pairs").cast("bigint").alias("dup_pairs")
+    )

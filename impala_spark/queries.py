@@ -4755,3 +4755,66 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     return llm_ops.embedding_dim_stats(e)
+
+
+# Per-source adaptive length filter: exact interpolated percentile
+# thresholds per group, broadcast back; Spark percentile() == DuckDB
+# quantile_cont (both linear interpolation).
+@register(
+    "llm_length_filter",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source AS grp,
+        CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_words
+      FROM documents
+    ),
+    b AS (
+      SELECT grp,
+             quantile_cont(n_words, 0.05) AS lo_words,
+             quantile_cont(n_words, 0.95) AS hi_words
+      FROM t GROUP BY grp
+    )
+    SELECT t.doc_id, t.grp, t.n_words,
+           ROUND(b.lo_words, 4) AS lo_words, ROUND(b.hi_words, 4) AS hi_words,
+           t.n_words >= b.lo_words AND t.n_words <= b.hi_words AS kept
+    FROM t JOIN b USING (grp)
+    """,
+    cache=True,
+)
+def q_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return llm_ops.length_percentile_filter(d, group_col="source")
+
+
+# Cross-source duplication matrix. The fixture corpus is duplicate-free,
+# so both sides union in a 'mirror' feed (every 5th doc re-ingested under
+# a different source) — the matrix must report exactly those pair counts.
+@register(
+    "llm_source_overlap",
+    oracle=r"""
+    WITH src AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text, 'mirror' AS source
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    fp AS (
+      SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+             source AS src
+      FROM src
+    ),
+    per_fp AS (SELECT fp, src, COUNT(*) AS n FROM fp GROUP BY fp, src)
+    SELECT a.src AS src_a, b.src AS src_b,
+           CAST(SUM(a.n * b.n) AS BIGINT) AS dup_pairs
+    FROM per_fp a JOIN per_fp b USING (fp)
+    WHERE a.src < b.src
+    GROUP BY a.src, b.src
+    """,
+    cache=True,
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    mirror = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", F.lit("mirror").alias("source")
+    )
+    return llm_ops.source_overlap_matrix(d.unionAll(mirror))

@@ -560,3 +560,32 @@ def test_embedding_dim_stats_exact(spark):
     assert abs(got[0].dim_var - 2.0 / 3.0) < 1e-6
     assert (got[0].dim_min, got[0].dim_max) == (1.0, 3.0)
     assert got[1].dim_var == 0.0 and got[1].dim_mean == 10.0
+
+
+def test_length_percentile_filter_group_local_thresholds(spark):
+    rows = (
+        [(i, "en", "w " * 10) for i in range(10)]
+        + [(100, "en", "w " * 500)]            # outlier vs en's p95
+        + [(200, "cjk", "w " * 500)] * 1       # normal for cjk
+        + [(201, "cjk", "w " * 500), (202, "cjk", "w " * 500)]
+    )
+    d = spark.createDataFrame(
+        [(i, g, t.strip()) for i, g, t in rows], "doc_id long, lang string, text string"
+    )
+    got = {r.doc_id: r for r in llm_ops.length_percentile_filter(d, group_col="lang").collect()}
+    assert not got[100].kept          # 500 words is an outlier in 'en'
+    assert got[200].kept              # but normal in 'cjk'
+    assert got[1].kept
+
+
+def test_source_overlap_matrix_counts_pairs(spark):
+    rows = [
+        (1, "a", "same text one"),
+        (2, "a", "unique a text"),
+        (3, "b", "same text one"),     # dup of 1 across a-b
+        (4, "b", "same text one"),     # second copy in b -> 1*2 pairs
+        (5, "c", "unique c text"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {(r.src_a, r.src_b): r.dup_pairs for r in llm_ops.source_overlap_matrix(d).collect()}
+    assert got == {("a", "b"): 2}
