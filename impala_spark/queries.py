@@ -4818,3 +4818,44 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 100000).alias("doc_id"), "text", F.lit("mirror").alias("source")
     )
     return llm_ops.source_overlap_matrix(d.unionAll(mirror))
+
+
+# get_json_object (BuiltinsDb JSON surface) + parse_url over synthesized
+# JSON/URL columns; DuckDB mirrors via json_extract_string and regexes.
+sql_query(
+    "expr_json_url_funcs",
+    """
+    SELECT o_orderkey,
+           get_json_object(j, '$.cust') AS cust,
+           get_json_object(j, '$.status') AS status,
+           get_json_object(j, '$.tags[1]') AS tag2,
+           get_json_object(j, '$.missing') AS missing,
+           parse_url(u, 'HOST') AS host,
+           parse_url(u, 'PATH') AS path
+    FROM (
+      SELECT o_orderkey,
+             CONCAT('{"cust":', CAST(o_custkey AS STRING), ',"status":"', o_orderstatus,
+                    '","tags":["a","t', CAST(o_orderkey % 7 AS STRING), '"]}') AS j,
+             CONCAT('https://shard', CAST(o_custkey % 10 AS STRING),
+                    '.example.com/orders/', CAST(o_orderkey AS STRING)) AS u
+      FROM orders WHERE o_orderkey < 500
+    ) t
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           json_extract_string(j, '$.cust') AS cust,
+           json_extract_string(j, '$.status') AS status,
+           json_extract_string(j, '$.tags[1]') AS tag2,
+           json_extract_string(j, '$.missing') AS missing,
+           regexp_extract(u, 'https://([^/]+)/', 1) AS host,
+           regexp_extract(u, 'https://[^/]+(/.*)', 1) AS path
+    FROM (
+      SELECT o_orderkey,
+             CONCAT('{"cust":', CAST(o_custkey AS VARCHAR), ',"status":"', o_orderstatus,
+                    '","tags":["a","t', CAST(o_orderkey % 7 AS VARCHAR), '"]}') AS j,
+             CONCAT('https://shard', CAST(o_custkey % 10 AS VARCHAR),
+                    '.example.com/orders/', CAST(o_orderkey AS VARCHAR)) AS u
+      FROM orders WHERE o_orderkey < 500
+    ) t
+    """,
+)
