@@ -1586,3 +1586,43 @@ def source_overlap_matrix(
     return pairs.groupBy("src_a", "src_b").agg(
         F.sum("dup_pairs").cast("bigint").alias("dup_pairs")
     )
+
+
+def top_tfidf_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    topk: int = 3,
+) -> DataFrame:
+    """Per-document keyword extraction: the top-k terms by TF-IDF
+    (ln-smoothed IDF), deterministic tie-break on the term itself — the
+    per-doc companion to bm25_scores' corpus ranking (topic tagging,
+    cluster labeling, mix diagnostics).
+
+    100 TB shape: one explode -> (doc, term) count agg, one term-keyed
+    doc-frequency agg broadcast back (vocabulary-sized, bounded), one
+    doc-keyed window for the top-k. All shuffles linear in token count;
+    no corpus self-join."""
+    from pyspark.sql.window import Window
+
+    words = F.filter(
+        F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"[^a-z0-9\s]", "")), r"\s+"),
+        lambda x: x != "",
+    )
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("term"))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("bigint").alias("tf"))
+    n_docs = df.select(F.count("*").cast("bigint").alias("n"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").cast("bigint").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log((F.col("n") + 1) / (F.col("df") + 1)), 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select("doc_id", F.col("rk").cast("int").alias("rk"), "term", "tf", "df", "tfidf")
+    )

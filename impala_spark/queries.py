@@ -4859,3 +4859,34 @@ sql_query(
     ) t
     """,
 )
+
+
+# Per-document top-3 TF-IDF terms (ln-smoothed IDF, term tie-break).
+@register(
+    "llm_top_terms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+'),
+               x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             ROUND(tf.tf * ln((n.n + 1) / (dfreq.df + 1)), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, tf, df, tfidf
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+    cache=True,
+)
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return llm_ops.top_tfidf_terms(d, topk=3)

@@ -589,3 +589,19 @@ def test_source_overlap_matrix_counts_pairs(spark):
     d = spark.createDataFrame(rows, "doc_id long, source string, text string")
     got = {(r.src_a, r.src_b): r.dup_pairs for r in llm_ops.source_overlap_matrix(d).collect()}
     assert got == {("a", "b"): 2}
+
+
+def test_top_tfidf_terms_ranking(spark):
+    rows = [
+        (1, "apple apple apple common common"),
+        (2, "banana banana common common"),
+        (3, "cherry common"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id, r.rk): r for r in llm_ops.top_tfidf_terms(d, topk=2).collect()}
+    # rare high-tf terms outrank the ubiquitous 'common' (df=3 -> idf=0)
+    assert got[(1, 1)].term == "apple" and got[(1, 1)].tf == 3
+    assert got[(2, 1)].term == "banana"
+    assert got[(3, 1)].term == "cherry"
+    # 'common' appears in every doc: ln(4/4)=0 -> score 0, ranked below
+    assert got[(1, 2)].term == "common" and got[(1, 2)].tfidf == 0.0
