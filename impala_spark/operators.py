@@ -444,3 +444,41 @@ def partition_key_scan(spark, table_name: str) -> DataFrame:
     cols = sorted(pairs[0]) if pairs else []
     schema = ", ".join(f"{c}: string" for c in cols)
     return spark.createDataFrame([tuple(p[c] for c in cols) for p in pairs], schema)
+
+
+def time_bucket_rollup(
+    df: DataFrame,
+    ts_col: str,
+    grain: str,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Fine-grain time-bucket aggregate — the materializable half of a
+    hypertable continuous aggregate: per (bucket, groups) event count and
+    decimal-exact value sum. Partials at this grain are re-aggregatable
+    to any coarser grain (see rollup_reaggregate), which is what makes
+    incremental time-series rollups possible at 100 TB: the raw table is
+    scanned once, every coarser report reuses the partials."""
+    bucket = F.date_trunc(grain, F.col(ts_col)).alias("bucket")
+    return df.groupBy(bucket, *[F.col(c) for c in group_cols]).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(18,4)")).alias("sum_value"),
+    )
+
+
+def rollup_reaggregate(
+    partials: DataFrame,
+    grain: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Re-aggregate time_bucket_rollup partials to a coarser grain.
+    Counts and decimal sums are exactly re-aggregatable (unlike distinct
+    counts, which need the HLL-sketch path — functions.ndv_sketch*), so
+    the coarse result is bit-identical to aggregating the raw events.
+    The shuffle carries bucket-cardinality rows, not event-cardinality —
+    the entire point of the continuous-aggregate pattern."""
+    coarse = F.date_trunc(grain, F.col("bucket")).alias("bucket")
+    return partials.groupBy(coarse, *[F.col(c) for c in group_cols]).agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum("sum_value").alias("sum_value"),
+    )

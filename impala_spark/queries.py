@@ -4890,3 +4890,29 @@ sql_query(
 def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return llm_ops.top_tfidf_terms(d, topk=3)
+
+
+# Hypertable-style continuous aggregate: hourly bucket partials rolled up
+# to daily — the daily result must equal aggregating raw events directly
+# (counts and decimal sums are exactly re-aggregatable), which is what
+# the oracle computes.
+@register(
+    "events_two_level_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    cache=True,
+)
+def q_two_level_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    hourly = ops.time_bucket_rollup(e, "ts", "hour", ["event_type"], "value")
+    daily = ops.rollup_reaggregate(hourly, "day", ["event_type"])
+    return daily.select(
+        "bucket", "event_type", "n_events",
+        F.round("sum_value", 2).cast("double").alias("sum_value"),
+    )

@@ -339,3 +339,18 @@ def test_session_posture_pins_scale_safe_knobs(spark):
     thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     assert int(thr.rstrip("b")) <= 16 * 1024 * 1024
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_two_level_rollup_equals_direct(spark, sf_dir):
+    """Daily rollup of hourly partials must be bit-identical to the
+    direct daily aggregation of raw events (exact re-aggregatability of
+    counts + decimal sums)."""
+    from impala_spark.session import table
+
+    e = table(spark, sf_dir, "events")
+    hourly = ops.time_bucket_rollup(e, "ts", "hour", ["event_type"], "value")
+    daily = ops.rollup_reaggregate(hourly, "day", ["event_type"])
+    direct = ops.time_bucket_rollup(e, "ts", "day", ["event_type"], "value")
+    got = {(r.bucket, r.event_type): (r.n_events, r.sum_value) for r in daily.collect()}
+    want = {(r.bucket, r.event_type): (r.n_events, r.sum_value) for r in direct.collect()}
+    assert got == want and len(got) > 0
