@@ -482,3 +482,38 @@ def rollup_reaggregate(
         F.sum("n_events").cast("bigint").alias("n_events"),
         F.sum("sum_value").alias("sum_value"),
     )
+
+
+def skew_report(df: DataFrame, key_col: str, topk: int = 5) -> DataFrame:
+    """Join/agg-key skew diagnostic: one row per heavy-hitter key with
+    its share of the table, plus the distribution stats a planner needs
+    to decide between plain shuffle, AQE skew split, and salting
+    (salted_join/salted_agg are the mitigation half of this pair).
+
+    One count-aggregation on the key (the same shuffle the join itself
+    would do), a tiny global-stats broadcast, and a topk window over
+    key-cardinality rows. skew_ratio = max_freq * n_keys / n_rows: 1.0
+    is perfectly uniform; >10 means the hottest key dominates whole
+    partitions and a plain shuffle join will straggle."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    stats = counts.agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.max("n").cast("bigint").alias("max_freq"),
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("key"))
+    top = counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= topk)
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("rk").cast("int").alias("rk"),
+            F.col("key").cast("string").alias("key"),
+            "n", "n_rows", "n_keys", "max_freq",
+            F.round(F.col("n") / F.col("n_rows"), 6).alias("share"),
+            F.round(F.col("max_freq") * F.col("n_keys") / F.col("n_rows"), 4).alias("skew_ratio"),
+        )
+    )

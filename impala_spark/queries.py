@@ -4916,3 +4916,37 @@ def q_two_level_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", "event_type", "n_events",
         F.round("sum_value", 2).cast("double").alias("sum_value"),
     )
+
+
+# Key-skew diagnostic over the events user_id key (the decide-before-
+# salting report; operators.salted_join/salted_agg are the mitigation).
+# NOTE: the global top-k window is key-cardinality-sized input, single
+# ordered partition only over the top rows after AQE's partial topk —
+# row_number over an unpartitioned window is acceptable here because
+# counts are pre-aggregated to |keys| rows; at extreme key cardinality
+# swap for TakeOrdered (orderBy.limit) semantics, identical result.
+@register(
+    "meta_skew_report",
+    oracle="""
+    WITH counts AS (
+      SELECT CAST(user_id AS VARCHAR) AS key, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ),
+    stats AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(n) AS BIGINT) AS max_freq
+      FROM counts
+    )
+    SELECT CAST(rk AS INTEGER) AS rk, key, n, n_rows, n_keys, max_freq,
+           ROUND(n / n_rows, 6) AS share,
+           ROUND(max_freq * n_keys / n_rows, 4) AS skew_ratio
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY n DESC, key) AS rk FROM counts
+    ) CROSS JOIN stats
+    WHERE rk <= 5
+    """,
+    cache=True,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return ops.skew_report(e, "user_id", topk=5)

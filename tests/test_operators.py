@@ -354,3 +354,14 @@ def test_two_level_rollup_equals_direct(spark, sf_dir):
     got = {(r.bucket, r.event_type): (r.n_events, r.sum_value) for r in daily.collect()}
     want = {(r.bucket, r.event_type): (r.n_events, r.sum_value) for r in direct.collect()}
     assert got == want and len(got) > 0
+
+
+def test_skew_report_identifies_heavy_hitter(spark):
+    rows = [(1, "hot")] * 80 + [(i, f"k{i}") for i in range(2, 22)]
+    d = spark.createDataFrame([(v, k) for v, k in rows], "v long, k string")
+    got = ops.skew_report(d, "k", topk=3).collect()
+    assert got[0].key == "hot" and got[0].n == 80
+    assert got[0].share == 0.8 and got[0].n_rows == 100 and got[0].n_keys == 21
+    # skew_ratio = 80 * 21 / 100
+    assert abs(got[0].skew_ratio - 16.8) < 1e-9
+    assert len(got) == 3 and got[1].n == 1
