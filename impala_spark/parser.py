@@ -1569,6 +1569,480 @@ def _check_strict_nested_aggs(tokens: list[Token]) -> None:
             i += 1
 
 
+#: TimestampArithmeticExpr.java:38-48 TimeUnit enum; the map accepts each
+#: name with an optional plural S (TIME_UNITS_MAP, :62-67).
+_TIME_UNIT_NAMES = frozenset(
+    u + s
+    for u in (
+        "YEAR", "MONTH", "WEEK", "DAY", "HOUR", "MINUTE", "SECOND",
+        "MILLISECOND", "MICROSECOND", "NANOSECOND",
+    )
+    for s in ("", "S")
+)
+
+
+def _check_strict_interval_units(tokens: list[Token]) -> None:
+    """TimestampArithmeticExpr.java:136-140: the unit ident of
+    `ts + INTERVAL n unit` must be one of the ten TimeUnits (plural
+    optional). Token-level subset: the `INTERVAL <literal> <word>` and
+    `INTERVAL (<expr>) <word>` shapes (the grammar's common cases); unit
+    idents buried in arbitrary expressions fall through to Spark's own
+    parser."""
+    for idx, t in enumerate(tokens):
+        if t.kind != "word" or t.upper != "INTERVAL":
+            continue
+        j = _significant(tokens, idx)
+        if j == -1:
+            continue
+        if tokens[j].kind == "op" and tokens[j].text == "(":
+            j = _matching_paren(tokens, j)
+        elif tokens[j].kind not in ("number", "string"):
+            continue
+        u = _significant(tokens, j)
+        if u == -1 or tokens[u].kind != "word":
+            continue
+        unit = tokens[u].text
+        if unit.upper() not in _TIME_UNIT_NAMES:
+            expr = untokenize(tokens[idx:u + 1]).strip()
+            raise ImpalaUnsupportedError(
+                f"Invalid time unit '{unit}' in timestamp arithmetic "
+                f"expression '{expr}'."
+            )
+
+
+#: Words that terminate a table ref's alias position inside a FROM clause.
+_FROM_KEYWORDS = frozenset({
+    "ON", "USING", "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "OUTER",
+    "CROSS", "SEMI", "ANTI", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+    "OFFSET", "UNION", "AS", "STRAIGHT_JOIN", "LATERAL", "TABLESAMPLE",
+})
+
+
+def _from_regions(tokens: list[Token]) -> list[tuple[int, int]]:
+    """(start, end) token ranges of each FROM clause body."""
+    regions = []
+    for idx, t in enumerate(tokens):
+        if t.kind != "word" or t.upper != "FROM":
+            continue
+        # skip EXTRACT(unit FROM ts) / substring(x FROM n) forms: a FROM
+        # that is directly inside a function call has a '(' before it at
+        # the same depth with no intervening SELECT.
+        d = 0
+        k = idx + 1
+        while k < len(tokens):
+            tk = tokens[k]
+            if tk.kind == "op" and tk.text == "(":
+                d += 1
+            elif tk.kind == "op" and tk.text == ")":
+                d -= 1
+                if d < 0:
+                    break
+            elif d == 0 and tk.kind == "word" and tk.upper in (
+                "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+                "UNION", "WINDOW",
+            ):
+                break
+            k += 1
+        regions.append((idx + 1, k))
+    return regions
+
+
+def _check_strict_duplicate_aliases(tokens: list[Token]) -> None:
+    """Analyzer.java:473-504 registerTableRef: two refs in one FROM clause
+    (or two WITH views, :473) must not share an alias. Token subset: flags
+    identical dotted ref texts and explicit-alias collisions; the
+    qualified-vs-unqualified ambiguity path (`functional.t, t`) is left to
+    the engine."""
+    # WITH view names (CTE list heads): WITH name [ (cols) ] AS ( ... ) , ...
+    for idx, t in enumerate(tokens):
+        if t.kind != "word" or t.upper != "WITH":
+            continue
+        seen: set[str] = set()
+        k = _significant(tokens, idx)
+        while k != -1 and tokens[k].kind in ("word", "bident"):
+            name = tokens[k].text.strip("`").lower()
+            j = _significant(tokens, k)
+            if j != -1 and tokens[j].kind == "op" and tokens[j].text == "(":
+                nxt = _significant(tokens, j)
+                if nxt != -1 and tokens[nxt].upper != "SELECT":
+                    j = _significant(tokens, _matching_paren(tokens, j))  # (cols)
+            if j == -1 or tokens[j].kind != "word" or tokens[j].upper != "AS":
+                break
+            body = _significant(tokens, j)
+            if body == -1 or tokens[body].text != "(":
+                break
+            if name in seen:
+                raise ImpalaUnsupportedError(f"Duplicate table alias: '{name}'")
+            seen.add(name)
+            after = _significant(tokens, _matching_paren(tokens, body))
+            if after == -1 or tokens[after].text != ",":
+                break
+            k = _significant(tokens, after)
+    # FROM-clause refs
+    for start, end in _from_regions(tokens):
+        seen = set()
+        k = start
+        expect_ref = True
+        while k < end:
+            t = tokens[k]
+            if t.kind in ("ws", "line_comment", "block_comment"):
+                k += 1
+                continue
+            if not expect_ref:
+                # scan for the next ref start at depth 0: ',' or JOIN
+                if t.kind == "op" and t.text == "(":
+                    k = _matching_paren(tokens, k) + 1
+                    continue
+                if (t.kind == "op" and t.text == ",") or (
+                    t.kind == "word" and t.upper == "JOIN"
+                ):
+                    expect_ref = True
+                k += 1
+                continue
+            # at a ref start: skip [hint] blocks
+            if t.kind == "op" and t.text == "[":
+                while k < end and not (tokens[k].kind == "op" and tokens[k].text == "]"):
+                    k += 1
+                k += 1
+                continue
+            alias = None
+            if t.kind == "op" and t.text == "(":
+                k = _matching_paren(tokens, k) + 1  # inline view body
+                key = None
+            elif t.kind in ("word", "bident"):
+                if t.kind == "word" and t.upper in _FROM_KEYWORDS:
+                    k += 1
+                    continue
+                parts = [t.text.strip("`").lower()]
+                k2 = _significant(tokens, k)
+                while (
+                    k2 != -1 and k2 < end
+                    and tokens[k2].kind == "op" and tokens[k2].text == "."
+                ):
+                    k3 = _significant(tokens, k2)
+                    if k3 == -1 or tokens[k3].kind not in ("word", "bident"):
+                        break
+                    parts.append(tokens[k3].text.strip("`").lower())
+                    k2 = _significant(tokens, k3)
+                key = ".".join(parts)
+                k = k2 if k2 != -1 else end
+            else:
+                k += 1
+                continue
+            # optional [AS] alias
+            if k != -1 and k < end:
+                t2 = tokens[k] if tokens[k].kind not in ("ws", "line_comment", "block_comment") else None
+                idx2 = k if t2 is not None else _significant(tokens, k - 1)
+                if idx2 != -1 and idx2 < end:
+                    t2 = tokens[idx2]
+                    if t2.kind == "word" and t2.upper == "AS":
+                        idx3 = _significant(tokens, idx2)
+                        if idx3 != -1 and idx3 < end and tokens[idx3].kind in ("word", "bident"):
+                            alias = tokens[idx3].text.strip("`").lower()
+                            k = idx3 + 1
+                    elif t2.kind == "bident" or (
+                        t2.kind == "word" and t2.upper not in _FROM_KEYWORDS
+                    ):
+                        alias = t2.text.strip("`").lower()
+                        k = idx2 + 1
+            eff = alias if alias is not None else key
+            if eff is not None:
+                if eff in seen:
+                    raise ImpalaUnsupportedError(f"Duplicate table alias: '{eff}'")
+                seen.add(eff)
+            expect_ref = False
+
+
+def _is_pure_literal(tokens: list[Token], a: int, b: int) -> str | None:
+    """If tokens[a:b] is a single literal (number/string, optionally signed,
+    or TRUE/FALSE/NULL), return its text; else None."""
+    sig = [k for k in range(a, b) if tokens[k].kind not in ("ws", "line_comment", "block_comment")]
+    if len(sig) == 1:
+        t = tokens[sig[0]]
+        if t.kind in ("number", "string") or (
+            t.kind == "word" and t.upper in ("TRUE", "FALSE", "NULL")
+        ):
+            return t.text
+        return None
+    if (
+        len(sig) == 2
+        and tokens[sig[0]].kind == "op" and tokens[sig[0]].text in ("-", "+")
+        and tokens[sig[1]].kind == "number"
+    ):
+        return tokens[sig[0]].text + tokens[sig[1]].text
+    return None
+
+
+def _check_strict_analytic_exprs(tokens: list[Token]) -> None:
+    """AnalyticExpr.java analysis rules: no nested analytics (:540),
+    LEAD/LAG offset a constant positive integer (:414), and no constant
+    PARTITION BY / ORDER BY expressions in the window spec (:429, :440)."""
+    for idx, t in enumerate(tokens):
+        if t.kind != "word" or t.upper != "OVER":
+            continue
+        spec_open = _significant(tokens, idx)
+        if spec_open == -1 or tokens[spec_open].text != "(":
+            continue
+        spec_close = _matching_paren(tokens, spec_open)
+        args_close = _significant(tokens, idx, -1)
+        if args_close == -1 or tokens[args_close].text != ")":
+            continue
+        # find the fn call's opening paren and name
+        depth = 0
+        args_open = -1
+        for b in range(args_close, -1, -1):
+            tb = tokens[b]
+            if tb.kind == "op" and tb.text == ")":
+                depth += 1
+            elif tb.kind == "op" and tb.text == "(":
+                depth -= 1
+                if depth == 0:
+                    args_open = b
+                    break
+        if args_open == -1:
+            continue
+        name_idx = _significant(tokens, args_open, -1)
+        if name_idx == -1 or tokens[name_idx].kind != "word":
+            continue
+        fn = tokens[name_idx].upper.lower()
+        full = untokenize(tokens[name_idx:spec_close + 1]).strip()
+        call = untokenize(tokens[name_idx:args_close + 1]).strip()
+        # nested analytic inside the function arguments
+        for k in range(args_open + 1, args_close):
+            if tokens[k].kind == "word" and tokens[k].upper == "OVER":
+                nx = _significant(tokens, k)
+                if nx != -1 and tokens[nx].text == "(":
+                    raise ImpalaUnsupportedError(
+                        "Nesting of analytic expressions is not allowed: " + full
+                    )
+        # LEAD/LAG offset (2nd argument)
+        if fn in ("lead", "lag"):
+            items = _split_top_level_commas(tokens, args_open + 1, args_close)
+            if len(items) >= 2:
+                a, b = items[1]
+                lit = _is_pure_literal(tokens, a, b)
+                sig = [
+                    k for k in range(a, b)
+                    if tokens[k].kind not in ("ws", "line_comment", "block_comment")
+                ]
+                bad = False
+                if lit is not None:
+                    try:
+                        bad = not float(lit).is_integer() or float(lit) <= 0
+                    except ValueError:
+                        bad = True  # string/bool literal offset
+                elif len(sig) == 1 and tokens[sig[0]].kind in ("word", "bident"):
+                    bad = tokens[sig[0]].upper not in ("TRUE", "FALSE")  # column ref
+                if bad:
+                    raise ImpalaUnsupportedError(
+                        "The offset parameter of LEAD/LAG must be a constant "
+                        "positive integer: " + call
+                    )
+        # constant PARTITION BY / ORDER BY items inside the window spec
+        k = spec_open + 1
+        while k < spec_close:
+            tk = tokens[k]
+            if tk.kind == "word" and tk.upper in ("PARTITION", "ORDER"):
+                j = _significant(tokens, k)
+                if j == -1 or tokens[j].upper != "BY":
+                    k += 1
+                    continue
+                clause = "PARTITION BY" if tk.upper == "PARTITION" else "ORDER BY"
+                body_end = j + 1
+                d = 0
+                while body_end < spec_close:
+                    tb = tokens[body_end]
+                    if tb.kind == "op" and tb.text == "(":
+                        d += 1
+                    elif tb.kind == "op" and tb.text == ")":
+                        d -= 1
+                    elif d == 0 and tb.kind == "word" and tb.upper in (
+                        "ORDER", "ROWS", "RANGE",
+                    ):
+                        break
+                    body_end += 1
+                for a, b in _split_top_level_commas(tokens, j + 1, body_end):
+                    sig = [
+                        x for x in range(a, b)
+                        if tokens[x].kind not in ("ws", "line_comment", "block_comment")
+                    ]
+                    while sig and tokens[sig[-1]].kind == "word" and tokens[sig[-1]].upper in (
+                        "ASC", "DESC", "FIRST", "LAST", "NULLS",
+                    ):
+                        sig = sig[:-1]
+                    if not sig:
+                        continue
+                    lit = _is_pure_literal(tokens, sig[0], sig[-1] + 1)
+                    if lit is not None:
+                        raise ImpalaUnsupportedError(
+                            f"Expressions in the {clause} clause must not be "
+                            f"constant: {lit} (in {full})"
+                        )
+                k = body_end
+                continue
+            k += 1
+
+
+def _countable_select_items(tokens: list[Token], list_start: int, from_idx: int) -> int:
+    """Number of select-list items, or -1 if uncountable (contains a star
+    expansion whose width depends on the schema)."""
+    items = _split_top_level_commas(tokens, list_start, from_idx)
+    for a, b in items:
+        d = 0
+        for k in range(a, b):
+            t = tokens[k]
+            if t.kind == "op" and t.text == "(":
+                d += 1
+            elif t.kind == "op" and t.text == ")":
+                d -= 1
+            elif d == 0 and t.kind == "op" and t.text == "*":
+                prev = _significant(tokens, k, -1)
+                if prev == -1 or prev < a or (
+                    tokens[prev].kind == "op" and tokens[prev].text == "."
+                ):
+                    return -1  # `*` or `t.*`
+                if tokens[prev].kind == "word" and tokens[prev].upper in ("DISTINCT", "ALL"):
+                    return -1
+    return len(items)
+
+
+def _check_strict_ordinals(tokens: list[Token]) -> None:
+    """QueryStmt.java:311-323 trySubstituteOrdinal: an integer-literal
+    ORDER BY / GROUP BY item is an ordinal into the select list and must
+    be within [1, #items]."""
+    for sel_idx, from_idx, end in _select_blocks(tokens):
+        list_start = _significant(tokens, sel_idx)
+        if list_start == -1:
+            continue
+        if tokens[list_start].kind == "word" and tokens[list_start].upper in ("DISTINCT", "ALL"):
+            list_start = _significant(tokens, list_start)
+        n_items = _countable_select_items(tokens, list_start, from_idx)
+        if n_items < 0:
+            continue
+        k = from_idx
+        while k < end:
+            t = tokens[k]
+            if t.kind == "op" and t.text == "(":
+                k = _matching_paren(tokens, k) + 1
+                continue
+            if t.kind == "word" and t.upper in ("ORDER", "GROUP"):
+                j = _significant(tokens, k)
+                if j == -1 or tokens[j].upper != "BY":
+                    k += 1
+                    continue
+                prefix = "ORDER BY" if t.upper == "ORDER" else "GROUP BY"
+                body_end = j + 1
+                d = 0
+                while body_end < end:
+                    tb = tokens[body_end]
+                    if tb.kind == "op" and tb.text == "(":
+                        d += 1
+                    elif tb.kind == "op" and tb.text == ")":
+                        d -= 1
+                        if d < 0:
+                            break
+                    elif d == 0 and tb.kind == "word" and tb.upper in _CLAUSE_BOUNDARY:
+                        break
+                    body_end += 1
+                for a, b in _split_top_level_commas(tokens, j + 1, body_end):
+                    sig = [
+                        x for x in range(a, b)
+                        if tokens[x].kind not in ("ws", "line_comment", "block_comment")
+                    ]
+                    while sig and tokens[sig[-1]].kind == "word" and tokens[sig[-1]].upper in (
+                        "ASC", "DESC", "FIRST", "LAST", "NULLS",
+                    ):
+                        sig = sig[:-1]
+                    if not sig:
+                        continue
+                    lit = _is_pure_literal(tokens, sig[0], sig[-1] + 1)
+                    if lit is None:
+                        continue
+                    try:
+                        v = float(lit)
+                    except ValueError:
+                        continue
+                    if not v.is_integer():
+                        continue
+                    if v < 1:
+                        raise ImpalaUnsupportedError(
+                            f"{prefix}: ordinal must be >= 1: {lit}"
+                        )
+                    if v > n_items:
+                        raise ImpalaUnsupportedError(
+                            f"{prefix}: ordinal exceeds number of items in "
+                            f"select list: {lit}"
+                        )
+                k = body_end
+                continue
+            k += 1
+
+
+def _check_strict_union_columns(tokens: list[Token]) -> None:
+    """UnionStmt.java:275-287: every operand of a UNION must produce the
+    same number of columns. Token subset: arms whose select lists are
+    star-free; star-bearing arms defer to the engine's analyzer."""
+    # depth-0 UNION positions split the statement into arms
+    d = 0
+    arm_starts = [0]
+    bounds = []
+    for k, t in enumerate(tokens):
+        if t.kind == "op" and t.text == "(":
+            d += 1
+        elif t.kind == "op" and t.text == ")":
+            d -= 1
+        elif d == 0 and t.kind == "word" and t.upper == "UNION":
+            bounds.append(k)
+            j = _significant(tokens, k)
+            if j != -1 and tokens[j].kind == "word" and tokens[j].upper in ("ALL", "DISTINCT"):
+                arm_starts.append(j + 1)
+            else:
+                arm_starts.append(k + 1)
+    if not bounds:
+        return
+    first_n = first_sql = None
+    for i, a in enumerate(arm_starts):
+        b = bounds[i] if i < len(bounds) else len(tokens)
+        sel = -1
+        for k in range(a, b):
+            tk = tokens[k]
+            if tk.kind in ("ws", "line_comment", "block_comment"):
+                continue
+            if tk.kind == "word" and tk.upper == "SELECT":
+                sel = k
+            break  # only a bare leading SELECT (parenthesized arms deferred)
+        if sel == -1:
+            continue
+        list_start = _significant(tokens, sel)
+        if list_start == -1:
+            continue
+        if tokens[list_start].kind == "word" and tokens[list_start].upper in ("DISTINCT", "ALL"):
+            list_start = _significant(tokens, list_start)
+        from_idx = b
+        d2 = 0
+        for k in range(list_start, b):
+            tk = tokens[k]
+            if tk.kind == "op" and tk.text == "(":
+                d2 += 1
+            elif tk.kind == "op" and tk.text == ")":
+                d2 -= 1
+            elif d2 == 0 and tk.kind == "word" and tk.upper in ("FROM", "WHERE", "ORDER", "LIMIT"):
+                from_idx = k
+                break
+        n = _countable_select_items(tokens, list_start, from_idx)
+        if n < 0:
+            continue
+        sql = untokenize(tokens[a:b]).strip()
+        if first_n is None:
+            first_n, first_sql = n, sql
+        elif n != first_n:
+            raise ImpalaUnsupportedError(
+                "Operands have unequal number of columns:\n"
+                f"'{first_sql}' has {first_n} column(s)\n"
+                f"'{sql}' has {n} column(s)"
+            )
+
+
 def translate(sql: str, strict: bool = False) -> str:
     """Impala-dialect SQL -> Spark SQL.
 
@@ -1587,8 +2061,15 @@ def translate(sql: str, strict: bool = False) -> str:
         _check_strict_where_exprs(tokens)
         _check_strict_group_by_exprs(tokens)
         _check_strict_nested_aggs(tokens)
+        # ordinal substitution precedes the grouping-output checks in the
+        # reference (SelectStmt.analyze), so its errors win here too
+        _check_strict_ordinals(tokens)
         _check_strict_ungrouped_select(tokens)
         _check_strict_limit_offset(tokens)
+        _check_strict_interval_units(tokens)
+        _check_strict_duplicate_aliases(tokens)
+        _check_strict_analytic_exprs(tokens)
+        _check_strict_union_columns(tokens)
     tokens = _rewrite_collection_refs(tokens)
     tokens = _rewrite_bool_aliases(tokens)
     tokens = _rewrite_iregexp(tokens)

@@ -489,3 +489,133 @@ def test_strict_limit_non_integer_rejected():
     ):
         translate("SELECT a FROM t ORDER BY a LIMIT 5 OFFSET 'x'", strict=True)
     translate("SELECT a FROM t LIMIT 5", strict=True)
+
+
+def test_strict_invalid_interval_unit_rejected():
+    # TimestampArithmeticExpr.java:136-140 (AnalyzeExprsTest pins
+    # "Invalid time unit 'error' in timestamp arithmetic expression")
+    with _pytest.raises(_Unsupported, match="Invalid time unit 'error'"):
+        translate(
+            "SELECT ts + INTERVAL 10 error FROM t", strict=True
+        )
+    with _pytest.raises(_Unsupported, match="Invalid time unit 'fortnights'"):
+        translate(
+            "SELECT a FROM t WHERE ts > now() - interval 3 fortnights",
+            strict=True,
+        )
+    # every TimeUnit name, singular and plural, is legal
+    for unit in ("year", "months", "week", "days", "hour", "minutes",
+                 "second", "milliseconds", "microsecond", "nanoseconds"):
+        translate(f"SELECT ts + INTERVAL 1 {unit} FROM t", strict=True)
+
+
+def test_strict_duplicate_table_alias_rejected():
+    # Analyzer.java:473-504 registerTableRef
+    with _pytest.raises(_Unsupported, match="Duplicate table alias: 'a'"):
+        translate("SELECT * FROM t a, u a", strict=True)
+    with _pytest.raises(_Unsupported, match="Duplicate table alias: 't'"):
+        translate("SELECT * FROM t, t", strict=True)
+    with _pytest.raises(_Unsupported, match="Duplicate table alias: 't'"):
+        translate("SELECT * FROM t JOIN u t ON t.x = u.x", strict=True)
+    with _pytest.raises(_Unsupported, match="Duplicate table alias: 't1'"):
+        translate(
+            "WITH t1 AS (SELECT 1), t1 AS (SELECT 2) SELECT * FROM t1",
+            strict=True,
+        )
+    # differing qualified refs and distinct aliases are legal
+    translate("SELECT * FROM db1.t, db2.t", strict=True)
+    translate("SELECT * FROM t a, t b", strict=True)
+    translate(
+        "SELECT count(*) FROM orders o JOIN lineitem l "
+        "ON o.o_orderkey = l.l_orderkey JOIN part p ON p.p_partkey = l.l_partkey",
+        strict=True,
+    )
+    # self-join of a CTE under two aliases is legal
+    translate(
+        "WITH t1 AS (SELECT 1 x) SELECT * FROM t1 a JOIN t1 b ON a.x = b.x",
+        strict=True,
+    )
+
+
+def test_strict_nested_analytic_rejected():
+    # AnalyticExpr.java:540
+    with _pytest.raises(
+        _Unsupported, match="Nesting of analytic expressions is not allowed"
+    ):
+        translate(
+            "SELECT sum(lag(x, 1) OVER (ORDER BY y)) OVER (ORDER BY y) FROM t",
+            strict=True,
+        )
+    # analytic over a plain aggregate is legal
+    translate("SELECT sum(sum(a)) OVER (PARTITION BY b) FROM t GROUP BY b", strict=True)
+
+
+def test_strict_lead_lag_offset_rejected():
+    # AnalyticExpr.java:414
+    with _pytest.raises(
+        _Unsupported,
+        match=r"The offset parameter of LEAD/LAG must be a constant positive "
+        r"integer: lag\(x, -2\)",
+    ):
+        translate("SELECT lag(x, -2) OVER (ORDER BY y) FROM t", strict=True)
+    with _pytest.raises(_Unsupported, match="constant positive integer"):
+        translate("SELECT lead(x, 0) OVER (ORDER BY y) FROM t", strict=True)
+    with _pytest.raises(_Unsupported, match="constant positive integer"):
+        translate("SELECT lag(x, y) OVER (ORDER BY y) FROM t", strict=True)
+    translate("SELECT lag(x, 2) OVER (ORDER BY y) FROM t", strict=True)
+    translate("SELECT lag(x) OVER (ORDER BY y) FROM t", strict=True)
+    translate("SELECT lead(x, 2, 0) OVER (ORDER BY y) FROM t", strict=True)
+    # constant non-literal exprs evaluate server-side; deferred, legal here
+    translate("SELECT lead(x, 1+1) OVER (ORDER BY y) FROM t", strict=True)
+
+
+def test_strict_constant_window_exprs_rejected():
+    # AnalyticExpr.java:429,440
+    with _pytest.raises(
+        _Unsupported,
+        match="Expressions in the PARTITION BY clause must not be constant: 2",
+    ):
+        translate("SELECT rank() OVER (PARTITION BY 2 ORDER BY y) FROM t", strict=True)
+    with _pytest.raises(
+        _Unsupported,
+        match="Expressions in the ORDER BY clause must not be constant: 1",
+    ):
+        translate("SELECT rank() OVER (ORDER BY 1) FROM t", strict=True)
+    translate("SELECT rank() OVER (PARTITION BY a ORDER BY y DESC) FROM t", strict=True)
+
+
+def test_strict_ordinal_bounds_rejected():
+    # QueryStmt.java:311-323 trySubstituteOrdinal
+    with _pytest.raises(
+        _Unsupported,
+        match="ORDER BY: ordinal exceeds number of items in select list: 3",
+    ):
+        translate("SELECT a, b FROM t ORDER BY 3", strict=True)
+    with _pytest.raises(_Unsupported, match="ORDER BY: ordinal must be >= 1: 0"):
+        translate("SELECT a, b FROM t ORDER BY 0", strict=True)
+    with _pytest.raises(
+        _Unsupported,
+        match="GROUP BY: ordinal exceeds number of items in select list: 3",
+    ):
+        translate("SELECT a, b FROM t GROUP BY 3", strict=True)
+    translate("SELECT a, b FROM t ORDER BY 2, 1", strict=True)
+    translate("SELECT a, b, count(*) FROM t GROUP BY 1, 2", strict=True)
+    # star select lists are uncountable at the token level; deferred
+    translate("SELECT * FROM t ORDER BY 99", strict=True)
+    # inner block's ordinal checked against the inner select list
+    with _pytest.raises(_Unsupported, match="ORDER BY: ordinal exceeds"):
+        translate(
+            "SELECT a FROM (SELECT a FROM t ORDER BY 2 LIMIT 5) v", strict=True
+        )
+
+
+def test_strict_union_column_counts_rejected():
+    # UnionStmt.java:275-287
+    with _pytest.raises(
+        _Unsupported, match="Operands have unequal number of columns"
+    ):
+        translate("SELECT a FROM t UNION ALL SELECT a, b FROM u", strict=True)
+    translate("SELECT a FROM t UNION ALL SELECT b FROM u", strict=True)
+    translate("SELECT a, b FROM t UNION SELECT x, y FROM u UNION ALL SELECT 1, 2", strict=True)
+    # star arms are uncountable at the token level; deferred to the engine
+    translate("SELECT * FROM t UNION ALL SELECT a, b FROM u", strict=True)
