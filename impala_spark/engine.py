@@ -17,8 +17,14 @@ from pyspark.sql import functions as F
 
 from impala_spark import ddl
 from impala_spark import functions as ifn
-from impala_spark.parser import translate
+from impala_spark.parser import ImpalaUnsupportedError, translate
 from impala_spark.session import register_tables
+
+
+class ImpalaAnalysisError(ImpalaUnsupportedError):
+    """Analysis failure surfaced with the reference's message text
+    (Analyzer.java resolution errors). Subclasses ImpalaUnsupportedError so
+    one except clause catches the whole compat surface."""
 
 _COMPUTE_STATS_RE = re.compile(
     r"^\s*COMPUTE\s+(INCREMENTAL\s+)?STATS\s+([\w.`]+)\s*$", re.IGNORECASE
@@ -221,7 +227,57 @@ class ImpalaEngine:
                 self.spark.catalog.clearCache()
             return self.spark.sql("SELECT 'metadata refreshed' AS result")
 
-        return self.spark.sql(translate(q, strict=self.strict))
+        return self._sql_with_impala_errors(translate(q, strict=self.strict))
+
+    def _sql_with_impala_errors(self, spark_sql: str) -> DataFrame:
+        """Run translated SQL, remapping Catalyst resolution failures onto
+        the reference's exact analyzer messages (Analyzer.java:~712
+        "Could not resolve table reference", Path resolution
+        "Could not resolve column/field reference")."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            return self.spark.sql(spark_sql)
+        except AnalysisException as e:
+            cond = ""
+            for attr in ("getCondition", "getErrorClass"):
+                try:
+                    cond = getattr(e, attr)() or ""
+                    if cond:
+                        break
+                except Exception:
+                    continue
+            params: dict[str, str] = {}
+            try:
+                params = e.getMessageParameters() or {}
+            except Exception:
+                pass
+
+            def _name(*keys: str) -> str:
+                for k in keys:
+                    v = params.get(k)
+                    if v:
+                        return v.replace("`", "")
+                return ""
+
+            if cond.startswith("TABLE_OR_VIEW_NOT_FOUND"):
+                raise ImpalaAnalysisError(
+                    f"Could not resolve table reference: '{_name('relationName')}'"
+                ) from e
+            if cond.startswith(("UNRESOLVED_COLUMN", "UNRESOLVED_FIELD", "FIELD_NOT_FOUND")):
+                raise ImpalaAnalysisError(
+                    "Could not resolve column/field reference: "
+                    f"'{_name('objectName', 'fieldName')}'"
+                ) from e
+            if cond.startswith("UNRESOLVED_ROUTINE"):
+                rn = _name("routineName")
+                label = rn if "." in rn else f"default.{rn}"
+                raise ImpalaAnalysisError(f"{label}() unknown") from e
+            if cond.startswith("AMBIGUOUS_REFERENCE"):
+                raise ImpalaAnalysisError(
+                    f"Column/field reference is ambiguous: '{_name('name')}'"
+                ) from e
+            raise
 
     # -- COMPUTE STATS -> ANALYZE TABLE (analysis/ComputeStatsStmt.java) ---
     def compute_stats(self, table: str) -> DataFrame:

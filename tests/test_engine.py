@@ -170,3 +170,31 @@ def test_run_script_multi_statement(engine):
 
     with _pt.raises(ValueError):
         engine.run_script("   ;  ; ")
+
+
+def test_resolution_errors_use_impala_messages(engine):
+    # Analyzer.java:908 "Could not resolve %s: '%s'"; FunctionCallExpr.java:406
+    # "() unknown"; Analyzer.java:902 "%s is ambiguous: '%s'"
+    from impala_spark.engine import ImpalaAnalysisError
+
+    with pytest.raises(
+        ImpalaAnalysisError, match="Could not resolve table reference: 'no_such_table'"
+    ):
+        engine.sql("SELECT * FROM no_such_table")
+    with pytest.raises(
+        ImpalaAnalysisError,
+        match="Could not resolve column/field reference: 'no_such_col'",
+    ):
+        engine.sql("SELECT no_such_col FROM lineitem")
+    with pytest.raises(ImpalaAnalysisError, match=r"default\.my_udf_xyz\(\) unknown"):
+        engine.sql("SELECT my_udf_xyz(1) FROM lineitem")
+    with pytest.raises(
+        ImpalaAnalysisError,
+        match="Column/field reference is ambiguous: 'o_orderkey'",
+    ):
+        engine.sql("SELECT o_orderkey FROM orders a, orders b")
+    # ImpalaAnalysisError subclasses ImpalaUnsupportedError: one catch covers all
+    from impala_spark.parser import ImpalaUnsupportedError
+
+    with pytest.raises(ImpalaUnsupportedError):
+        engine.sql("SELECT * FROM no_such_table")
