@@ -1626,3 +1626,72 @@ def top_tfidf_terms(
         .filter(F.col("rk") <= topk)
         .select("doc_id", F.col("rk").cast("int").alias("rk"), "term", "tf", "df", "tfidf")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.97,
+    bits: int = 8,
+    stride: int = 7,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the embedding space into clusters, then
+    inside each cluster drop every item whose cosine similarity to a
+    lower-id cluster member reaches `threshold`.
+
+    The paper clusters with k-means; the cluster key here is deterministic
+    sign quantization — bit i of the key is sign(v[1 + i*stride]) — a
+    coarse quantizer that (a) needs no ML fit, (b) is exactly reproducible
+    in ANSI SQL so the DuckDB oracle verifies verdicts value-for-value,
+    and (c) puts identical vectors in one cluster by construction.
+    Drop-by-earlier-member (not by kept-representative) makes the verdict
+    a pure pairwise predicate — no sequential dependence, so the whole
+    stage parallelizes and stays oracle-exact.
+
+    100 TB design: the cluster key is codegen arithmetic at scan (no
+    shuffle, no fit); the only shuffle is the within-cluster equi-join;
+    `bits` scales the cluster count (2^bits) so per-cluster membership
+    stays bounded; raising `bits` trades recall for join fan-in exactly
+    like SemDeDup's k trades recall for per-cluster cost.
+
+    Returns (id, cluster, kept, drop_sim) — drop_sim is the max cosine to
+    an earlier cluster member at/above threshold (NULL when kept).
+    """
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = key + F.when(
+            F.element_at(F.col("v"), 1 + i * stride) > 0, F.lit(2 ** i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    base = (
+        _spread(df)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+        .withColumn("cluster", key)
+    )
+    a = base.select(F.col("id").alias("a_id"), F.col("v").alias("a_v"), "cluster")
+    b = base.select(F.col("id").alias("b_id"), F.col("v").alias("b_v"), "cluster")
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("a_v"), F.col("b_v"))
+                / (_norm(F.col("a_v")) * _norm(F.col("b_v"))),
+                6,
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .groupBy("b_id")
+        .agg(F.max("cos_sim").alias("drop_sim"))
+    )
+    return (
+        base.join(dropped, base.id == dropped.b_id, "left")
+        .select(
+            "id",
+            "cluster",
+            F.col("drop_sim").isNull().alias("kept"),
+            "drop_sim",
+        )
+    )

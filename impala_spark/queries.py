@@ -4950,3 +4950,63 @@ def q_two_level_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     return ops.skew_report(e, "user_id", topk=5)
+
+
+# SemDeDup-style semantic dedup: cluster-then-pairwise verdicts. The
+# fixture has no natural near-dups (max pair cosine ~0.51), so the query
+# plants one exact copy per original at vec_id+1M; every copy lands in its
+# original's cluster (identical sign bits) and is dropped at cosine 1.0,
+# while all originals survive. The oracle replicates the ENTIRE pipeline
+# (sign-quantized cluster key, within-cluster pairwise cosine, drop-earlier
+# policy) in DuckDB SQL — verdicts match value-for-value, not just counts.
+@register(
+    "llm_semantic_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id AS id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS id, embedding FROM embeddings
+    ),
+    base AS (
+      SELECT id, embedding,
+             CAST((CASE WHEN embedding[1]  > 0 THEN 1   ELSE 0 END)
+                + (CASE WHEN embedding[8]  > 0 THEN 2   ELSE 0 END)
+                + (CASE WHEN embedding[15] > 0 THEN 4   ELSE 0 END)
+                + (CASE WHEN embedding[22] > 0 THEN 8   ELSE 0 END)
+                + (CASE WHEN embedding[29] > 0 THEN 16  ELSE 0 END)
+                + (CASE WHEN embedding[36] > 0 THEN 32  ELSE 0 END)
+                + (CASE WHEN embedding[43] > 0 THEN 64  ELSE 0 END)
+                + (CASE WHEN embedding[50] > 0 THEN 128 ELSE 0 END) AS BIGINT)
+               AS cluster
+      FROM corpus
+    ),
+    dropped AS (
+      SELECT b.id AS b_id,
+             MAX(ROUND(list_cosine_similarity(
+               CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
+             ), 6)) AS drop_sim
+      FROM base a JOIN base b
+        ON a.cluster = b.cluster AND a.id < b.id
+      WHERE ROUND(list_cosine_similarity(
+              CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
+            ), 6) >= 0.97
+      GROUP BY b.id
+    )
+    SELECT base.id, base.cluster,
+           dropped.drop_sim IS NULL AS kept,
+           dropped.drop_sim
+    FROM base LEFT JOIN dropped ON base.id = dropped.b_id
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup over embeddings (llm_ops.semantic_dedup; SemDeDup,
+    arXiv:2303.09540). Clusters via deterministic sign quantization (the
+    paper's k-means stand-in that both engines express exactly), then
+    drops within-cluster items whose cosine to an earlier member is
+    >= 0.97."""
+    from impala_spark import llm_ops
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.withColumn("vec_id", F.col("vec_id") + 1000000)
+    corpus = emb.unionByName(planted)
+    return llm_ops.semantic_dedup(corpus, threshold=0.97, bits=8, stride=7)

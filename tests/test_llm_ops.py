@@ -605,3 +605,38 @@ def test_top_tfidf_terms_ranking(spark):
     assert got[(3, 1)].term == "cherry"
     # 'common' appears in every doc: ln(4/4)=0 -> score 0, ranked below
     assert got[(1, 2)].term == "common" and got[(1, 2)].tfidf == 0.0
+
+
+def test_semantic_dedup_drops_planted_copies(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.withColumn("vec_id", F.col("vec_id") + 1000000)
+    out = llm_ops.semantic_dedup(emb.unionByName(planted), threshold=0.97)
+    rows = out.collect()
+    n = emb.count()
+    kept = [r.id for r in rows if r.kept]
+    dropped = [r.id for r in rows if not r.kept]
+    # every original survives, every planted exact copy is dropped at 1.0
+    assert sorted(kept) == sorted(r.vec_id for r in emb.select("vec_id").collect())
+    assert len(dropped) == n and all(i >= 1000000 for i in dropped)
+    assert all(r.drop_sim == 1.0 for r in rows if not r.kept)
+
+
+def test_semantic_dedup_cluster_locality_and_threshold(spark):
+    # orthogonal vectors share no cluster constraint but have cosine 0 —
+    # never dropped; identical vectors always dropped (later id)
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (3, [-1.0, 2.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = {r.id: r for r in llm_ops.semantic_dedup(df, bits=2, stride=1).collect()}
+    assert out[1].kept and not out[2].kept and out[3].kept
+    assert out[1].cluster == out[2].cluster != out[3].cluster
+
+
+def test_semantic_dedup_no_cartesian(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    plan = physical_plan(llm_ops.semantic_dedup(emb))
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan  # pure Catalyst arithmetic
