@@ -1695,3 +1695,78 @@ def semantic_dedup(
             "drop_sim",
         )
     )
+
+
+def dsir_importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023, arXiv:2302.03169): score each raw
+    document by the mean log-likelihood ratio of its hashed unigram
+    features under the TARGET domain's distribution vs the raw corpus's
+    own — documents that look like the target score high; selection is
+    top-k / threshold / Gumbel resampling downstream.
+
+    Hashed features (the paper's trick): token -> int(md5[:8]) % buckets,
+    so the feature space is `buckets` wide no matter how large the corpus
+    vocabulary grows (md5 rather than xxhash64 keeps the bucketing
+    reproducible in ANSI SQL for the oracle). Each distribution is one
+    explode + partial agg whose shuffle carries <= buckets rows; scoring
+    BROADCASTS both bucket tables (KBs) — at 100 TB the only full-data
+    work is the token explode, and nothing ever shuffles on a token key
+    (worst-skew key in any corpus).
+
+    Returns (doc_id, n_tokens, logratio); logratio rounded to 4 decimals
+    (mean of order-stable log terms), add-`smoothing` smoothed.
+    """
+
+    def toks(df: DataFrame, with_id: bool) -> DataFrame:
+        words = F.split(
+            F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"[^a-z0-9\s]", "")),
+            r"\s+",
+        )
+        cols = [F.col(id_col).alias("doc_id")] if with_id else []
+        return (
+            df.select(*cols, F.explode(words).alias("token"))
+            .filter(F.col("token") != "")
+            .withColumn(
+                "bucket",
+                F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+                % buckets,
+            )
+        )
+
+    def dist(tok: DataFrame, cnt: str, tot: str):
+        counts = tok.groupBy("bucket").agg(F.count(F.lit(1)).cast("bigint").alias(cnt))
+        total = tok.agg(F.count(F.lit(1)).cast("bigint").alias(tot))
+        return counts, total
+
+    t_counts, t_total = dist(toks(target, with_id=False), "t_cnt", "t_all")
+    r_counts, r_total = dist(toks(raw, with_id=False), "r_cnt", "r_all")
+    per_tok = (
+        toks(raw, with_id=True)
+        .join(F.broadcast(t_counts), "bucket", "left")
+        .join(F.broadcast(r_counts), "bucket", "left")
+        .crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(r_total))
+        .withColumn(
+            "llr",
+            F.log(
+                (F.coalesce(F.col("t_cnt"), F.lit(0)) + F.lit(smoothing))
+                / (F.col("t_all") + F.lit(smoothing) * buckets)
+            )
+            - F.log(
+                (F.coalesce(F.col("r_cnt"), F.lit(0)) + F.lit(smoothing))
+                / (F.col("r_all") + F.lit(smoothing) * buckets)
+            ),
+        )
+    )
+    return per_tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(F.avg("llr"), 4).alias("logratio"),
+    )

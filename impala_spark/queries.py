@@ -5010,3 +5010,55 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = emb.withColumn("vec_id", F.col("vec_id") + 1000000)
     corpus = emb.unionByName(planted)
     return llm_ops.semantic_dedup(corpus, threshold=0.97, bits=8, stride=7)
+
+
+# DSIR-style data selection: importance weights for every non-target doc
+# against the src0 "target domain" sample. Oracle replicates the hashed
+# (md5-bucket) unigram distributions and the smoothed log-ratio exactly.
+@register(
+    "llm_dsir_weights",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(token), 1, 8))::BIGINT % 1024 AS bucket
+      FROM (
+        SELECT doc_id, source,
+          unnest(list_filter(
+            string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+'),
+            x -> x <> '')) AS token
+        FROM documents
+      )
+    ),
+    t_counts AS (
+      SELECT bucket, COUNT(*) AS t_cnt FROM tok WHERE source = 'src0' GROUP BY bucket
+    ),
+    t_total AS (SELECT COUNT(*) AS t_all FROM tok WHERE source = 'src0'),
+    r_counts AS (
+      SELECT bucket, COUNT(*) AS r_cnt FROM tok WHERE source <> 'src0' GROUP BY bucket
+    ),
+    r_total AS (SELECT COUNT(*) AS r_all FROM tok WHERE source <> 'src0')
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(
+             ln((COALESCE(t_cnt, 0) + 0.5) / (t_all + 0.5 * 1024))
+             - ln((COALESCE(r_cnt, 0) + 0.5) / (r_all + 0.5 * 1024))
+           ), 4) AS logratio
+    FROM tok
+    LEFT JOIN t_counts USING (bucket)
+    LEFT JOIN r_counts USING (bucket)
+    CROSS JOIN t_total CROSS JOIN r_total
+    WHERE tok.source <> 'src0'
+    GROUP BY tok.doc_id
+    """,
+    cache=True,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (llm_ops.dsir_importance_weights;
+    arXiv:2302.03169): hashed-unigram log-likelihood ratio of the
+    target-domain sample ('src0' docs) vs the rest of the corpus."""
+    from impala_spark import llm_ops
+
+    d = table(spark, sf_dir, "documents")
+    target = d.filter(F.col("source") == "src0")
+    raw = d.filter(F.col("source") != "src0")
+    return llm_ops.dsir_importance_weights(raw, target)

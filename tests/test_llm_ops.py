@@ -640,3 +640,28 @@ def test_semantic_dedup_no_cartesian(spark, sf_dir):
     plan = physical_plan(llm_ops.semantic_dedup(emb))
     assert "CartesianProduct" not in plan
     assert "PythonUDF" not in plan  # pure Catalyst arithmetic
+
+
+def test_dsir_weights_prefer_target_lookalikes(spark):
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta") for i in range(4)],
+        "doc_id: long, text: string",
+    )
+    raw = spark.createDataFrame(
+        [(1, "alpha beta gamma beta"), (2, "zeta eta theta iota")],
+        "doc_id: long, text: string",
+    )
+    out = {r.doc_id: r for r in llm_ops.dsir_importance_weights(raw, target).collect()}
+    # the target-lookalike document must out-score the out-of-domain one
+    assert out[1].logratio > out[2].logratio
+    assert out[1].n_tokens == 4 and out[2].n_tokens == 4
+
+
+def test_dsir_weights_broadcast_no_token_shuffle(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    target = d.filter(F.col("source") == "src0")
+    raw = d.filter(F.col("source") != "src0")
+    plan = physical_plan(llm_ops.dsir_importance_weights(raw, target))
+    # bucket tables broadcast; no sort-merge join keyed on token/bucket
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
