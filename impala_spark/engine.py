@@ -129,7 +129,12 @@ class ImpalaEngine:
             return self.spark.createDataFrame(rows, "option: string, value: string")
         m = _USE_RE.match(q)
         if m:
-            self.spark.catalog.setCurrentDatabase(m.group(1).strip("`"))
+            db = m.group(1).strip("`")
+            try:
+                self.spark.catalog.setCurrentDatabase(db)
+            except Exception as e:
+                # analysis/UseStmt / Analyzer.getDb error text
+                raise ImpalaAnalysisError(f"Database does not exist: {db}") from e
             return self.spark.sql("SELECT current_database() AS db")
 
         m = _SHOW_RE.match(q)
@@ -197,6 +202,15 @@ class ImpalaEngine:
             return self.spark.sql(f"SELECT 'function {name} {status}' AS result")
         m = _CTAS_RE.match(q)
         if m:
+            tname = m.group("table").strip("`")
+            if (
+                self.strict
+                and ddl.table_info(tname) is not None
+                and not re.search(r"\bIF\s+NOT\s+EXISTS\b", q, re.IGNORECASE)
+            ):
+                # analysis/CreateTableStmt.java error text; non-strict mode
+                # keeps create-or-replace so harness queries stay idempotent
+                raise ImpalaAnalysisError(f"Table already exists: default.{tname}")
             pcols = [c.strip().strip("`") for c in (m.group("part") or "").split(",") if c.strip()]
             return ddl.create_table_as_select(
                 self.spark, m.group("table").strip("`"), m.group("select"),
@@ -208,9 +222,16 @@ class ImpalaEngine:
                 self.spark, m.group("table").strip("`"), m.group("like").strip("`")
             )
         m = _DROP_TABLE_RE.match(q)
-        if m and ddl.table_info(m.group("table").strip("`")) is not None:
-            ddl.drop_table(self.spark, m.group("table").strip("`"), purge=True)
-            return self.spark.sql("SELECT 'dropped' AS result")
+        if m:
+            tname = m.group("table").strip("`")
+            if ddl.table_info(tname) is not None:
+                ddl.drop_table(self.spark, tname, purge=True)
+                return self.spark.sql("SELECT 'dropped' AS result")
+            if not self.spark.catalog.tableExists(tname):
+                if re.search(r"\bIF\s+EXISTS\b", q, re.IGNORECASE):
+                    return self.spark.sql("SELECT 'did not exist' AS result")
+                # analysis/DropTableOrViewStmt.java error text
+                raise ImpalaAnalysisError(f"Table does not exist: default.{tname}")
         if upper.startswith("ALTER TABLE"):
             return ddl.alter_table(self.spark, q)
         if upper.startswith(("UPDATE ", "DELETE ", "UPSERT ")):

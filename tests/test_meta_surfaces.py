@@ -189,3 +189,35 @@ def test_compute_stats_feeds_explain_cardinality(spark, sf_dir):
     m = re.search(r"SCAN PARQUET\s+\[cardinality=(\d+)", text)
     assert m, text
     assert int(m.group(1)) == o.count()
+
+
+def test_ddl_existence_errors_use_impala_messages(spark, sf_dir):
+    import pytest as _pytest
+
+    from impala_spark.engine import ImpalaAnalysisError
+
+    engine = ImpalaEngine(spark, sf_dir)
+
+    # AnalyzeDDLTest pins: "Table does not exist: db.t", "Table already
+    # exists: db.t", "Database does not exist: db"
+    with _pytest.raises(
+        ImpalaAnalysisError, match="Table does not exist: default.no_such_tbl"
+    ):
+        engine.sql("DROP TABLE no_such_tbl")
+    # IF EXISTS suppresses the error (DropTableOrViewStmt ifExists_)
+    assert engine.sql("DROP TABLE IF EXISTS no_such_tbl").first().result == "did not exist"
+    with _pytest.raises(ImpalaAnalysisError, match="Database does not exist: baddb"):
+        engine.sql("USE baddb")
+    # strict mode: CTAS over an existing table errors without IF NOT EXISTS
+    strict = ImpalaEngine(engine.spark, strict=True)
+    engine.sql("CREATE TABLE exists_probe AS SELECT 1 AS x")
+    try:
+        with _pytest.raises(
+            ImpalaAnalysisError, match="Table already exists: default.exists_probe"
+        ):
+            strict.sql("CREATE TABLE exists_probe AS SELECT 2 AS x")
+        # IF NOT EXISTS and non-strict both succeed
+        strict.sql("CREATE TABLE IF NOT EXISTS exists_probe AS SELECT 3 AS x")
+        engine.sql("CREATE TABLE exists_probe AS SELECT 4 AS x")
+    finally:
+        engine.sql("DROP TABLE IF EXISTS exists_probe")
