@@ -5062,3 +5062,44 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = d.filter(F.col("source") == "src0")
     raw = d.filter(F.col("source") != "src0")
     return llm_ops.dsir_importance_weights(raw, target)
+
+
+# Streaming keyed upsert (CDC landing): run the foreachBatch latest-wins
+# sink over the events stream TWICE with one checkpoint — the second
+# trigger must be a WAL no-op — then read the final table. The oracle is
+# the batch argmax per user; any duplicate application, lost batch, or
+# batch-order dependence changes the emitted rows and fails the hash.
+@register(
+    "events_streaming_upsert",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, value AS last_value
+    FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) t WHERE rn = 1
+    """,
+)
+def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed streaming upsert into a managed table
+    (streaming.upsert_stream_to_table — the Kudu UPSERT analog,
+    sql-parser.cup:1128, on Structured Streaming + parquet)."""
+    import tempfile
+
+    from impala_spark import ddl as _ddl
+    from impala_spark import streaming as stm
+
+    name = "events_upsert_state"
+    _ddl.drop_table(spark, name)
+    ckpt = tempfile.mkdtemp(prefix="impala_spark_upsert_ckpt_")
+    cols = ["event_id", "ts", "user_id", "value"]
+    for _ in range(2):  # second trigger: exactly-once no-op via the WAL
+        stream = stm.read_events_stream(spark, sf_dir).select(*cols)
+        stm.upsert_stream_to_table(
+            spark, stream, name, ["user_id"], ["ts", "event_id"], ckpt
+        )
+    return spark.table(name).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )

@@ -288,3 +288,72 @@ def click_error_left_join(
     return clicks.join(errors, cond, "left_outer").select(
         F.col("c_user").alias("user_id"), "click_id", "error_id", "click_ts", "error_ts"
     )
+
+
+def upsert_stream_to_table(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    name: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    checkpoint: str,
+    timeout_s: int = 120,
+):
+    """Continuous keyed upsert (latest-wins MERGE) into a managed table via
+    foreachBatch — the CDC / materialized-state landing pattern the
+    reference serves with Kudu UPSERT (sql-parser.cup:1128); here it is
+    Structured Streaming + the parquet managed-table write path.
+
+    Semantics: for every key (`key_cols`) the table holds the row with the
+    greatest `order_cols`; the merge compares incoming rows against the
+    CURRENT table row, so the final state is the global argmax per key —
+    independent of how the source was split into micro-batches.
+
+    Exactly-once story: the checkpoint WAL assigns each source file to
+    exactly one batch, and the merge is idempotent (a replayed batch
+    re-asserts the same per-key maxima), so a crash-rerun or re-triggering
+    AvailableNow on an unchanged source leaves the table byte-identical
+    (test-pinned in tests/test_streaming.py).
+
+    Scale note: parquet has no row-level ops, so each batch rewrites the
+    table (staging + rename, ddl._overwrite). At 100 TB the managed table
+    is partitioned and only partitions containing batch keys are rewritten;
+    that refinement and a real atomic-publish commit protocol belong to an
+    Iceberg/Delta-backed deployment (see ddl._overwrite note)."""
+    from pyspark.sql.window import Window
+
+    from impala_spark import ddl as _ddl
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+
+    def merge(batch_df: DataFrame, _batch_id: int) -> None:
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        t = _ddl.table_info(name)
+        if t is None:
+            _ddl.create_table_as_select(
+                spark, name, latest, primary_key=list(key_cols)
+            )
+            return
+        existing = spark.read.parquet(t.path)
+        merged = (
+            existing.unionByName(latest.select(*existing.columns))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        _ddl._overwrite(spark, t, merged)
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q

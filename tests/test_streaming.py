@@ -140,3 +140,39 @@ def test_gap_fill_densifies_buckets(spark, sf_dir):
     from impala_spark.session import table as tbl
 
     assert total_dense == tbl(spark, sf_dir, "events").count()  # conservation
+
+
+def test_upsert_stream_latest_wins_and_idempotent(spark, sf_dir, tmp_path):
+    """Keyed streaming upsert: final table = global argmax per key; a
+    rerun over the unchanged source (same checkpoint) is a no-op."""
+    from impala_spark import ddl
+
+    name = "t_user_latest"
+    ddl.drop_table(spark, name)
+    ckpt = str(tmp_path / "ckpt_upsert")
+    cols = ["event_id", "ts", "user_id", "value"]
+    s1 = stm.read_events_stream(spark, sf_dir).select(*cols)
+    stm.upsert_stream_to_table(
+        spark, s1, name, ["user_id"], ["ts", "event_id"], ckpt
+    )
+    got = {r.user_id: (r.event_id, r.value) for r in spark.table(name).collect()}
+    # batch truth: argmax (ts, event_id) per user
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    truth = {
+        r.user_id: (r.event_id, r.value)
+        for r in batch_events(spark, sf_dir)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .collect()
+    }
+    assert got == truth and len(got) > 0
+    # rerun with the same checkpoint: WAL marks the source consumed -> no-op
+    s2 = stm.read_events_stream(spark, sf_dir).select(*cols)
+    stm.upsert_stream_to_table(
+        spark, s2, name, ["user_id"], ["ts", "event_id"], ckpt
+    )
+    got2 = {r.user_id: (r.event_id, r.value) for r in spark.table(name).collect()}
+    assert got2 == got
+    ddl.drop_table(spark, name)
