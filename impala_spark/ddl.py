@@ -409,3 +409,88 @@ def _overwrite(spark: SparkSession, t: ManagedTable, df: DataFrame) -> DataFrame
     shutil.rmtree(t.path, ignore_errors=True)
     os.rename(staging, t.path)
     return _refresh_view(spark, t)
+
+
+# ---------------------------------------------------------------------------
+# Plain CREATE TABLE (column definitions, no AS SELECT) —
+# sql-parser.cup:2373-2403 create_tbl_stmt: tbl_def + optional
+# partition_column_defs + tbl_options. Registers an EMPTY managed table so
+# the INSERT/UPSERT/ALTER write path applies to it like any CTAS table.
+# ---------------------------------------------------------------------------
+
+#: Impala column type -> Spark DDL type (CHAR/VARCHAR carry length
+#: semantics only at CAST time in expressions — see parser CAST rewrite —
+#: and store as STRING, which is also what Impala writes to parquet).
+_COL_TYPE_MAP = [
+    (re.compile(r"(?i)^(?:CHAR|VARCHAR)\s*\(\s*\d+\s*\)$"), "STRING"),
+    (re.compile(r"(?i)^REAL$"), "DOUBLE"),
+    (re.compile(r"(?i)^DATETIME$"), "TIMESTAMP"),
+]
+
+
+def _spark_col_type(impala_type: str) -> str:
+    t = impala_type.strip()
+    for rx, repl in _COL_TYPE_MAP:
+        if rx.match(t):
+            return repl
+    return t  # TINYINT/SMALLINT/INT/BIGINT/FLOAT/DOUBLE/DECIMAL(p,s)/
+    #           STRING/BOOLEAN/TIMESTAMP/ARRAY<>/MAP<>/STRUCT<> parse as-is
+
+
+def _parse_col_defs(defs: str) -> tuple[list[tuple[str, str]], list[str]]:
+    """'(a INT, b STRING, PRIMARY KEY (a))' -> ([(a, INT), ...], [pk...])."""
+    cols: list[tuple[str, str]] = []
+    pk: list[str] = []
+    depth, cur, items = 0, [], []
+    for ch in defs:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        items.append("".join(cur))
+    for item in items:
+        item = item.strip()
+        m = re.match(r"(?is)^PRIMARY\s+KEY\s*\((.*)\)$", item)
+        if m:
+            pk = [c.strip().strip("`") for c in m.group(1).split(",")]
+            continue
+        m = re.match(r"(?s)^([`\w]+)\s+(.+?)(?:\s+COMMENT\s+'.*')?$", item)
+        if not m:
+            raise ValueError(f"cannot parse column definition: {item!r}")
+        cols.append((m.group(1).strip("`"), _spark_col_type(m.group(2))))
+    return cols, pk
+
+
+def create_table(
+    spark: SparkSession,
+    name: str,
+    col_defs: str,
+    partition_defs: str | None = None,
+    primary_key: list[str] | None = None,
+) -> DataFrame:
+    """CREATE TABLE with explicit columns (analysis/CreateTableStmt.java).
+    Impala declares partition columns separately WITH types; they become
+    ordinary (trailing) columns that drive the partitioned write layout —
+    exactly the Hive/Impala physical model."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    cols, pk = _parse_col_defs(col_defs)
+    pcols: list[str] = []
+    if partition_defs:
+        parts, _ = _parse_col_defs(partition_defs)
+        pcols = [c for c, _t in parts]
+        cols += parts
+    ddl_schema = ", ".join(f"`{c}` {t}" for c, t in cols)
+    schema = _parse_datatype_string(ddl_schema)
+    path = os.path.join(WAREHOUSE, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    t = ManagedTable(name, path, pcols, primary_key or pk, schema)
+    _REGISTRY[name] = t
+    return _refresh_view(spark, t)

@@ -60,6 +60,16 @@ _DROP_FUNCTION_RE = re.compile(
 )
 _SYMBOL_RE = re.compile(r"SYMBOL\s*=\s*'([^']+)'|UPDATE_FN\s*=\s*'([^']+)'", re.IGNORECASE)
 
+#: plain CREATE TABLE with column definitions (sql-parser.cup:2373
+#: create_tbl_stmt); the column list is balanced-paren-extracted in
+#: _create_table_with_cols since types nest parens (DECIMAL(18,4),
+#: ARRAY<STRUCT<...>>).
+_CREATE_TABLE_HDR_RE = re.compile(
+    r"^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<table>[\w`]+)\s*\(",
+    re.IGNORECASE,
+)
+
 _DROP_TABLE_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<table>[\w`]+)\s*(?P<purge>PURGE)?\s*$",
     re.IGNORECASE,
@@ -221,6 +231,9 @@ class ImpalaEngine:
             return ddl.create_table_like(
                 self.spark, m.group("table").strip("`"), m.group("like").strip("`")
             )
+        m = _CREATE_TABLE_HDR_RE.match(q)
+        if m:
+            return self._create_table_with_cols(q, m)
         m = _DROP_TABLE_RE.match(q)
         if m:
             tname = m.group("table").strip("`")
@@ -249,6 +262,51 @@ class ImpalaEngine:
             return self.spark.sql("SELECT 'metadata refreshed' AS result")
 
         return self._sql_with_impala_errors(translate(q, strict=self.strict))
+
+    def _create_table_with_cols(self, q: str, m: "re.Match[str]") -> DataFrame:
+        """CREATE TABLE t (cols...) [PARTITIONED BY (...)] [STORED AS fmt]
+        [LOCATION ...] — balanced-paren extraction of the column list,
+        then ddl.create_table registers an empty managed table."""
+        from impala_spark.sources import format_spec
+
+        tname = m.group("table").strip("`")
+        if ddl.table_info(tname) is not None:
+            if re.search(r"\bIF\s+NOT\s+EXISTS\b", q, re.IGNORECASE):
+                return self.spark.sql("SELECT 'table exists (kept)' AS result")
+            if self.strict:
+                raise ImpalaAnalysisError(f"Table already exists: default.{tname}")
+        open_idx = m.end() - 1
+        depth = 0
+        close_idx = -1
+        for i in range(open_idx, len(q)):
+            if q[i] == "(":
+                depth += 1
+            elif q[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    close_idx = i
+                    break
+        if close_idx < 0:
+            raise ValueError(f"unbalanced column list in: {q!r}")
+        col_defs = q[open_idx + 1:close_idx]
+        rest = q[close_idx + 1:]
+        part_defs = None
+        pm = re.search(r"(?is)\bPARTITIONED\s+BY\s*\(", rest)
+        if pm:
+            d, j = 0, pm.end() - 1
+            while j < len(rest):
+                if rest[j] == "(":
+                    d += 1
+                elif rest[j] == ")":
+                    d -= 1
+                    if d == 0:
+                        break
+                j += 1
+            part_defs = rest[pm.end():j]
+        sm = re.search(r"(?is)\bSTORED\s+AS\s+(\w+)", rest)
+        if sm:
+            format_spec(sm.group(1))  # validate; unsupported formats raise
+        return ddl.create_table(self.spark, tname, col_defs, part_defs)
 
     def _sql_with_impala_errors(self, spark_sql: str) -> DataFrame:
         """Run translated SQL, remapping Catalyst resolution failures onto

@@ -5103,3 +5103,37 @@ def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("last_event_id"),
         F.col("value").alias("last_value"),
     )
+
+
+# Plain CREATE TABLE (explicit column defs + typed partition columns +
+# PRIMARY KEY) exercised end-to-end: typed empty table, static- and
+# dynamic-partition INSERTs, PK UPSERT; final table state vs a VALUES
+# oracle.
+@register(
+    "ddl_create_table_cols",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'x', CAST(9.5 AS DOUBLE), CAST(2026 AS INTEGER)),
+      (CAST(2 AS BIGINT), 'z', CAST(4.0 AS DOUBLE), CAST(2025 AS INTEGER))
+    ) AS t(id, name, price, year)
+    """,
+)
+def q_create_table_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE with column definitions (sql-parser.cup:2373
+    create_tbl_stmt; analysis/CreateTableStmt.java) through the engine
+    front door."""
+    from impala_spark.engine import ImpalaEngine
+
+    eng = ImpalaEngine(spark)
+    eng.sql("DROP TABLE IF EXISTS ct_cols_probe")
+    eng.sql(
+        "CREATE TABLE ct_cols_probe (id BIGINT, name VARCHAR(20), "
+        "price DECIMAL(18,4), PRIMARY KEY (id)) "
+        "PARTITIONED BY (year INT) STORED AS PARQUET"
+    )
+    eng.sql("INSERT INTO ct_cols_probe PARTITION (year=2026) SELECT 1, 'x', 9.5")
+    eng.sql("INSERT INTO ct_cols_probe SELECT 2, 'y', CAST(3.25 AS DECIMAL(18,4)), 2025")
+    eng.sql("UPSERT INTO ct_cols_probe VALUES (2, 'z', CAST(4.0 AS DECIMAL(18,4)), 2025)")
+    return spark.table("ct_cols_probe").select(
+        "id", "name", F.col("price").cast("double").alias("price"), "year"
+    )

@@ -133,3 +133,40 @@ def test_add_partition_rejects_unpartitioned(spark, sf_dir):
     ddl.create_table_as_select(spark, "t_unpart", "SELECT r_regionkey FROM region")
     with pytest.raises(ValueError, match="not partitioned"):
         ddl.alter_table(spark, "ALTER TABLE t_unpart ADD PARTITION (x='1')")
+
+
+def test_plain_create_table_with_cols(spark, sf_dir):
+    """CREATE TABLE with explicit column defs (sql-parser.cup:2373):
+    empty typed table -> partitioned inserts -> PK upsert."""
+    from impala_spark.engine import ImpalaEngine
+
+    eng = ImpalaEngine(spark, sf_dir)
+    eng.sql("DROP TABLE IF EXISTS plain_t")
+    eng.sql(
+        "CREATE TABLE plain_t (id BIGINT, name VARCHAR(20), "
+        "price DECIMAL(18,4), PRIMARY KEY (id)) "
+        "PARTITIONED BY (year INT) STORED AS PARQUET"
+    )
+    assert spark.table("plain_t").count() == 0
+    assert dict(spark.table("plain_t").dtypes) == {
+        "id": "bigint", "name": "string", "price": "decimal(18,4)", "year": "int",
+    }
+    eng.sql("INSERT INTO plain_t PARTITION (year=2026) SELECT 1, 'x', 9.5")
+    eng.sql("INSERT INTO plain_t SELECT 2, 'y', CAST(3.25 AS DECIMAL(18,4)), 2025")
+    eng.sql("UPSERT INTO plain_t VALUES (2, 'z', CAST(4.0 AS DECIMAL(18,4)), 2025)")
+    rows = {r.id: (r.name, float(r.price), r.year) for r in spark.table("plain_t").collect()}
+    assert rows == {1: ("x", 9.5, 2026), 2: ("z", 4.0, 2025)}
+    # IF NOT EXISTS keeps the table; plain re-create in strict mode errors
+    eng.sql("CREATE TABLE IF NOT EXISTS plain_t (a INT)")
+    assert spark.table("plain_t").count() == 2
+    import pytest as _p
+
+    from impala_spark.engine import ImpalaAnalysisError
+
+    strict = ImpalaEngine(spark, strict=True)
+    with _p.raises(ImpalaAnalysisError, match="Table already exists: default.plain_t"):
+        strict.sql("CREATE TABLE plain_t (a INT)")
+    # unsupported storage format rejected with the sources.py gate
+    with _p.raises(ValueError, match="SEQUENCEFILE"):
+        eng.sql("CREATE TABLE seq_t (a INT) STORED AS SEQUENCEFILE")
+    eng.sql("DROP TABLE plain_t")

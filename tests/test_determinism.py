@@ -16,6 +16,8 @@ QUERIES = [
     "llm_minhash_lsh",          # multi-stage LSH pipeline
     "analytic_ranking",         # window functions
     "events_retention",         # self-join
+    "llm_semantic_dedup",       # cluster join + pairwise cosine verdicts
+    "llm_dsir_weights",         # broadcast distributions + float log-ratio
 ]
 
 
