@@ -79,8 +79,12 @@ _DROP_TABLE_RE = re.compile(
 #: SHOW PARTITIONS t, SHOW CREATE TABLE t, SHOW FUNCTIONS.
 _SHOW_RE = re.compile(
     r"^\s*SHOW\s+(?P<kind>FILES\s+IN|TABLE\s+STATS|COLUMN\s+STATS|PARTITIONS|"
-    r"CREATE\s+TABLE|FUNCTIONS)\s*(?P<target>[\w.`]+)?\s*$",
+    r"CREATE\s+TABLE|CREATE\s+FUNCTION|FUNCTIONS)\s*(?P<target>[\w.`]+)?\s*$",
     re.IGNORECASE,
+)
+
+_DESCRIBE_DB_RE = re.compile(
+    r"^\s*DESCRIBE\s+DATABASE\s+(?:EXTENDED\s+)?(?P<db>[\w`]+)\s*$", re.IGNORECASE
 )
 
 #: Impala query option -> Spark conf (subset that makes sense on Spark).
@@ -163,6 +167,27 @@ class ImpalaEngine:
                 return self.show_create_table(target)
             if kind == "FUNCTIONS":
                 return self.show_functions()
+            if kind == "CREATE FUNCTION":
+                # show_create_function_stmt (sql-parser.cup:5760s analog)
+                name = target
+                if name not in self._functions:
+                    raise ImpalaAnalysisError(f"default.{name}() unknown")
+                stmt = (
+                    f"CREATE FUNCTION {name} LOCATION '<library>' "
+                    f"SYMBOL='{self._functions[name]}'"
+                )
+                return self.spark.createDataFrame(
+                    [(stmt,)], "create_function: string"
+                )
+
+        m = _DESCRIBE_DB_RE.match(q)
+        if m:
+            # describe_db_stmt: database metadata surface
+            db = m.group("db").strip("`")
+            try:
+                return self.spark.sql(f"DESCRIBE DATABASE {db}")
+            except Exception as e:
+                raise ImpalaAnalysisError(f"Database does not exist: {db}") from e
 
         upper = q.upper()
         m = _INSERT_RE.match(q)

@@ -221,3 +221,22 @@ def test_ddl_existence_errors_use_impala_messages(spark, sf_dir):
         engine.sql("CREATE TABLE exists_probe AS SELECT 4 AS x")
     finally:
         engine.sql("DROP TABLE IF EXISTS exists_probe")
+
+
+def test_describe_database_and_show_create_function(spark, sf_dir):
+    import pytest as _pytest
+
+    from impala_spark.engine import ImpalaAnalysisError
+
+    eng = ImpalaEngine(spark, sf_dir)
+    rows = eng.sql("DESCRIBE DATABASE default").collect()
+    assert any("default" in str(r) for r in rows)
+    with _pytest.raises(ImpalaAnalysisError, match="Database does not exist: nodb"):
+        eng.sql("DESCRIBE DATABASE nodb")
+    eng.sql("CREATE FUNCTION my_probe_fn LOCATION '/x.so' SYMBOL='add_tax'")
+    r = eng.sql("SHOW CREATE FUNCTION my_probe_fn").first()
+    assert "CREATE FUNCTION my_probe_fn" in r.create_function
+    assert "SYMBOL='add_tax'" in r.create_function
+    with _pytest.raises(ImpalaAnalysisError, match=r"default\.no_fn\(\) unknown"):
+        eng.sql("SHOW CREATE FUNCTION no_fn")
+    eng.sql("DROP FUNCTION my_probe_fn")
