@@ -1770,3 +1770,101 @@ def dsir_importance_weights(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
         F.round(F.avg("llr"), 4).alias("logratio"),
     )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    prefix: str = "ann_idx",
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Persist an IVF-flat ANN index as two managed tables:
+    `{prefix}_centroids` (list_id, centroid) and `{prefix}_assignments`
+    (id, v, list_id) — the build-once / query-many layout every vector
+    store uses (FAISS IVF, Milvus), expressed as parquet tables.
+
+    Separating build from query is the 100 TB pattern: the KMeans fit
+    (bounded sample, see ivf_ann) and the one narrow assignment pass
+    happen once per corpus version; each query then reads only the tiny
+    centroid table plus ~nprobe/nlist of the assignment table, with
+    partition pruning doing the list selection (assignments are
+    partitioned by list_id)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from impala_spark import ddl as _ddl
+
+    spark = df.sparkSession
+    corpus = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    with_vec = corpus.withColumn("features", array_to_vector("v"))
+    max_fit = 4096
+    n = with_vec.count()
+    if n > max_fit:
+        frac = min(1.0, (max_fit * 1.5) / n)
+        fit_input = with_vec.sample(fraction=frac, seed=seed).limit(max_fit)
+    else:
+        fit_input = with_vec
+    km = KMeans(k=nlist, seed=seed, featuresCol="features", predictionCol="list_id")
+    model = km.fit(fit_input)
+    assigned = model.transform(with_vec).select("id", "v", "list_id")
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    cent_df = spark.createDataFrame(centroids, "list_id: int, centroid: array<double>")
+    _ddl.drop_table(spark, f"{prefix}_centroids")
+    _ddl.drop_table(spark, f"{prefix}_assignments")
+    _ddl.create_table_as_select(spark, f"{prefix}_centroids", cent_df)
+    _ddl.create_table_as_select(
+        spark, f"{prefix}_assignments", assigned, partition_cols=["list_id"]
+    )
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    query: DataFrame,
+    prefix: str = "ann_idx",
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine search against a persisted IVF index (build_ivf_index).
+    Probes the `nprobe` nearest lists; with nprobe >= nlist the search is
+    exhaustive and exactly equals brute force (the oracle contract). The
+    list filter is an equi-join on the assignment table's PARTITION key,
+    so Spark prunes unprobed list partitions at the scan."""
+    cent = spark.table(f"{prefix}_centroids")
+    assigned = spark.table(f"{prefix}_assignments")
+    q = query.select(F.col(vec_col).cast("array<double>").alias("q_vec"))
+    q_lists = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "dist",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with("q_vec", "centroid", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+        )
+        .orderBy("dist")
+        .limit(nprobe)
+        .select("q_vec", "list_id")
+    )
+    cand = assigned.join(F.broadcast(q_lists), "list_id")
+    scored = cand.select(
+        F.col("id").alias("vec_id"),
+        (
+            _dot(F.col("v"), F.col("q_vec"))
+            / (_norm(F.col("v")) * _norm(F.col("q_vec")))
+        ).alias("_raw"),
+    )
+    # order by the UNROUNDED cosine (ties at the rounded precision must
+    # break the same way as the oracle's unrounded ORDER BY), emit rounded
+    return (
+        scored.orderBy(F.col("_raw").desc(), F.col("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("_raw", 4).alias("cos_sim"))
+    )

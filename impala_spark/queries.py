@@ -5137,3 +5137,46 @@ def q_create_table_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("ct_cols_probe").select(
         "id", "name", F.col("price").cast("double").alias("price"), "year"
     )
+
+
+# Persisted IVF index: build once as managed tables (partitioned by
+# list_id), query many. Probing ALL lists makes the search exhaustive, so
+# the result must EXACTLY equal the brute-force top-k — the oracle
+# recomputes that directly; any lost vector, wrong assignment, or broken
+# partition layout changes the answer.
+@register(
+    "llm_ann_index_persisted",
+    oracle="""
+    WITH q AS (
+      SELECT generate_subscripts(embedding, 1) AS pos, CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings WHERE vec_id = 1
+    ), c AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos, CAST(unnest(embedding) AS DOUBLE) AS y
+      FROM embeddings
+    ), dots AS (
+      SELECT c.vec_id,
+             SUM(c.y * q.x) AS dot,
+             SQRT(SUM(c.y * c.y)) AS ny,
+             SQRT(SUM(q.x * q.x)) AS nx
+      FROM c JOIN q ON c.pos = q.pos
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id, ROUND(dot / (ny * nx), 4) AS cos_sim
+    FROM dots
+    ORDER BY dot / (ny * nx) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_ann_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once/query-many IVF index persisted as managed tables
+    (llm_ops.build_ivf_index / query_ivf_index — the FAISS-IVF layout on
+    parquet, list partitions pruned at scan). nprobe=nlist => exhaustive
+    => must equal brute force exactly."""
+    from impala_spark import llm_ops
+
+    e = table(spark, sf_dir, "embeddings")
+    llm_ops.build_ivf_index(e, prefix="ann_probe_idx", nlist=8)
+    query = e.filter(F.col("vec_id") == 1)
+    return llm_ops.query_ivf_index(
+        spark, query, prefix="ann_probe_idx", k=10, nprobe=8
+    )

@@ -665,3 +665,26 @@ def test_dsir_weights_broadcast_no_token_shuffle(spark, sf_dir):
     # bucket tables broadcast; no sort-merge join keyed on token/bucket
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_persisted_ivf_index_prunes_and_recalls(spark, sf_dir):
+    """Build-once/query-many IVF index: nprobe<nlist reads a subset of
+    list partitions (pruned scan), nprobe=nlist equals brute force."""
+    e = table(spark, sf_dir, "embeddings")
+    llm_ops.build_ivf_index(e, prefix="t_idx", nlist=8)
+    query = e.filter(F.col("vec_id") == 1)
+    full = llm_ops.query_ivf_index(spark, query, prefix="t_idx", k=10, nprobe=8)
+    brute = llm_ops.cosine_topk_bruteforce(e, query, k=10)
+    assert [r.vec_id for r in full.collect()] == [r.vec_id for r in brute.collect()]
+    # partial probe: candidate set shrinks to the probed lists only
+    part = llm_ops.query_ivf_index(spark, query, prefix="t_idx", k=10, nprobe=2)
+    got = [r.vec_id for r in part.collect()]
+    assert len(got) == 10
+    # the nearest list contains the query vector itself -> top-1 stable
+    assert got[0] == [r.vec_id for r in full.collect()][0]
+    # assignments table is partitioned by list_id (prunable layout)
+    from impala_spark import ddl
+
+    assert ddl.table_info("t_idx_assignments").partition_cols == ["list_id"]
+    ddl.drop_table(spark, "t_idx_centroids")
+    ddl.drop_table(spark, "t_idx_assignments")
