@@ -201,6 +201,9 @@ _SELECT_ITEMS = [
     "a", "t.b", "a AS x", "b y", "count(*)", "sum(b)", "count(*) AS n",
     "upper(a)", "1", "a + 1", "min(a) OVER (PARTITION BY b)",
     "(SELECT max(x) FROM u)",
+    "lag(a, 2) OVER (ORDER BY b)", "lag(a, 0) OVER (ORDER BY b)",
+    "rank() OVER (PARTITION BY 2 ORDER BY b)",
+    "ts + INTERVAL 3 days", "ts - INTERVAL 5 zorks",
 ]
 _WHERE_FRAGS = [
     "", " WHERE a > 1", " WHERE count(*) > 1", " WHERE sum(b) = 2",
@@ -212,6 +215,8 @@ _TAIL_FRAGS = [
     " GROUP BY a ORDER BY b", " GROUP BY a ORDER BY n DESC",
     " GROUP BY a HAVING count(*) > 2", " ORDER BY a", " ORDER BY 2, a DESC",
     " GROUP BY a ORDER BY count(*)", " ORDER BY a NULLS FIRST LIMIT 3",
+    " ORDER BY 99", " GROUP BY 0", " UNION ALL SELECT 1",
+    " UNION ALL SELECT 1, 2 FROM u",
 ]
 
 
@@ -219,7 +224,10 @@ _TAIL_FRAGS = [
     items=st.lists(st.sampled_from(_SELECT_ITEMS), min_size=1, max_size=4),
     where=st.sampled_from(_WHERE_FRAGS),
     tail=st.sampled_from(_TAIL_FRAGS),
-    from_t=st.sampled_from([" FROM t", " FROM t JOIN u ON t.k = u.k", ""]),
+    from_t=st.sampled_from([
+        " FROM t", " FROM t JOIN u ON t.k = u.k", "",
+        " FROM t a, u a", " FROM t, t", " FROM t x JOIN u y ON x.k = y.k",
+    ]),
 )
 @settings(max_examples=200, deadline=None)
 def test_strict_checks_total_over_query_shapes(items, where, tail, from_t):
