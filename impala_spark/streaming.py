@@ -32,14 +32,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     session.py) — restore the timestamp here too."""
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
-    # the file-source stream requires a directory; point it at the fixture
-    # dir and glob just the events file
-    df = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    # the file-source stream requires a directory. Single-file fixture
+    # (driver sf dirs): point at the parent and glob the one file. Multi-
+    # file fixture (sf1.0 32-part layout, what a distributed writer
+    # produces): events.parquet IS the directory — load it directly; a
+    # glob on the parent would match no part files.
+    import os as _os
+
+    if _os.path.isdir(path):
+        df = spark.readStream.schema(schema).format("parquet").load(path)
+    else:
+        df = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
         # keep TimestampType (not NTZ): withWatermark requires TIMESTAMP;
