@@ -682,6 +682,40 @@ class ImpalaEngine:
                             n_scan_lines += 1
                     break
         annotate_scans = n_scan_lines == len(scan_stats)
+        # Per-host resource estimate header (Planner.computeResourceReqs
+        # analog) from the reference's cost-model constants:
+        #   hash-table space overhead 1.1        (PlannerContext.java:38)
+        #   min hash table 10 MiB, agg cap 128M  (AggregationNode.java:53-56)
+        #   8 MiB IO buffers, <=10 per thread    (HdfsScanNode.java:81-92)
+        # Input sizes come from Catalyst's optimized-plan stats; absent CBO
+        # stats Impala prints "unavailable" per node but still sums floors.
+        MiB = 1024 * 1024
+        leaf_sizes = []
+        try:
+            leaves = qe.optimizedPlan().collectLeaves()
+            for i in range(leaves.size()):
+                leaf_sizes.append(int(leaves.apply(i).stats().sizeInBytes()))
+        except Exception:
+            pass
+        total_mem = 0
+        scan_i = 0
+        vcores = 0
+        for name, _indent in matched:
+            if name.startswith("SCAN"):
+                size = leaf_sizes[scan_i] if scan_i < len(leaf_sizes) else 0
+                scan_i += 1
+                total_mem += min(size, 10 * 8 * MiB)  # <=10 8MiB IO buffers
+                vcores += 1
+            elif name.startswith("AGGREGATE"):
+                src = max(leaf_sizes, default=0)
+                total_mem += min(max(int(src * 1.1), 10 * MiB), 128 * MiB)
+            elif "JOIN [BROADCAST]" in name or "JOIN [PARTITIONED]" in name:
+                build = min(leaf_sizes, default=0)
+                total_mem += max(int(build * 1.1), 10 * MiB)
+        resources = (
+            "Estimated Per-Host Requirements: "
+            f"Memory={total_mem / MiB:.2f}MB VCores={max(vcores, 1)}\n"
+        )
         scan_seen = 0
         for name, indent in matched:
             line = f"{'|  ' * (indent // 3)}{node_id:02d}:{name}"
@@ -690,4 +724,4 @@ class ImpalaEngine:
                 scan_seen += 1
             out.append(line)
             node_id += 1
-        return (header + "\n".join(out)) if out else plan
+        return (resources + header + "\n".join(out)) if out else plan

@@ -240,3 +240,20 @@ def test_describe_database_and_show_create_function(spark, sf_dir):
     with _pytest.raises(ImpalaAnalysisError, match=r"default\.no_fn\(\) unknown"):
         eng.sql("SHOW CREATE FUNCTION no_fn")
     eng.sql("DROP FUNCTION my_probe_fn")
+
+
+def test_explain_resource_estimates_header(spark, sf_dir):
+    """Planner.computeResourceReqs analog: EXPLAIN leads with the per-host
+    memory/vcores estimate derived from the reference's cost-model
+    constants (1.1 hash overhead, 10 MiB floor, 8 MiB IO buffers)."""
+    eng = ImpalaEngine(spark, sf_dir)
+    text = eng.explain(
+        "SELECT l_returnflag, count(*) FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY l_returnflag"
+    )
+    import re as _re
+
+    m = _re.match(r"Estimated Per-Host Requirements: Memory=([\d.]+)MB VCores=(\d+)", text)
+    assert m, text.split("\n")[0]
+    assert float(m.group(1)) >= 10.0  # at least the hash-table floor
+    assert int(m.group(2)) == 2  # two scans in the join
