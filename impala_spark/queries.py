@@ -5180,3 +5180,111 @@ def q_ann_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llm_ops.query_ivf_index(
         spark, query, prefix="ann_probe_idx", k=10, nprobe=8
     )
+
+
+# =====================================================================
+# TPC-DS shapes, round-4 batch 2 (adapted to the fixture schema like the
+# reference's tpcds-all planner suite). Each pins a distinct plan shape.
+# =====================================================================
+
+# Q1 shape: CTE aggregate re-read with a CORRELATED scalar subquery over
+# itself (per-group average threshold) — the decorrelation signature.
+# Amounts aggregate as DECIMAL (exact) and the 1.2x threshold compares
+# decimal-to-decimal, so the filter is boundary-stable on both engines.
+sql_query(
+    "tpcds_q1_shape",
+    """
+    WITH cust_tot AS (
+      SELECT o_custkey AS c, c_nationkey AS nat,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY o_custkey, c_nationkey
+    )
+    SELECT c, CAST(total AS DOUBLE) AS total
+    FROM cust_tot r1
+    WHERE total > (SELECT AVG(total) * 1.2 FROM cust_tot r2 WHERE r2.nat = r1.nat)
+    ORDER BY c
+    LIMIT 100
+    """,
+)
+
+# Q6 shape: items priced over 1.2x the average of their own type —
+# correlated average against the dimension itself, then join to facts.
+sql_query(
+    "tpcds_q6_shape",
+    """
+    SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM part p1 JOIN lineitem ON l_partkey = p_partkey
+    WHERE CAST(p1.p_retailprice AS DECIMAL(18,4)) >
+          (SELECT AVG(CAST(p2.p_retailprice AS DECIMAL(18,4))) * 1.05
+           FROM part p2 WHERE p2.p_type = p1.p_type)
+    GROUP BY p_type
+    HAVING COUNT(*) >= 2
+    ORDER BY n, p_type
+    LIMIT 100
+    """,
+)
+
+# Q15 shape: geography/segment disjunctive filter -> group -> HAVING on
+# the aggregate (the catalog-sales-by-zip report).
+sql_query(
+    "tpcds_q15_shape",
+    """
+    SELECT c_mktsegment,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+       OR c_acctbal > 9900
+    GROUP BY c_mktsegment
+    HAVING SUM(CAST(o_totalprice AS DECIMAL(18,4))) > 1000
+    ORDER BY c_mktsegment
+    """,
+)
+
+# Q23 shape: frequent-item CTE (HAVING count) feeding an IN-subquery
+# semi-join against the fact — the two-phase frequent-buyer pattern.
+sql_query(
+    "tpcds_q23_shape",
+    """
+    WITH frequent_parts AS (
+      SELECT l_partkey FROM lineitem GROUP BY l_partkey HAVING COUNT(*) > 30
+    )
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS rev,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_partkey IN (SELECT l_partkey FROM frequent_parts)
+      AND YEAR(l_shipdate) = 1996
+    """,
+)
+
+# Q33/Q56 shape: three filtered aggregate streams UNION ALLed then
+# re-aggregated per brand (agg-over-union-of-aggs; revenue stays DECIMAL
+# until the final round).
+sql_query(
+    "tpcds_q33_shape",
+    """
+    WITH s1 AS (
+      SELECT p_brand, SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_returnflag = 'A' AND YEAR(l_shipdate) = 1995 GROUP BY p_brand
+    ),
+    s2 AS (
+      SELECT p_brand, SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_returnflag = 'N' AND YEAR(l_shipdate) = 1995 GROUP BY p_brand
+    ),
+    s3 AS (
+      SELECT p_brand, SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_returnflag = 'R' AND YEAR(l_shipdate) = 1995 GROUP BY p_brand
+    )
+    SELECT p_brand, CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS total_rev
+    FROM (
+      SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+    ) u
+    GROUP BY p_brand
+    ORDER BY total_rev DESC, p_brand
+    LIMIT 50
+    """,
+)
