@@ -97,3 +97,20 @@ def test_tpch_runs_nonempty_schema(spark, sf_dir, name):
     df = SPARK_QUERIES[name](spark, sf_dir)
     assert df.columns  # stable schema
     df.limit(1).collect()
+
+
+_TPCDS_ALL = [n for n in SPARK_QUERIES if n.startswith("tpcds_")]
+
+
+@pytest.mark.parametrize("name", _TPCDS_ALL)
+def test_tpcds_plan_no_cartesian(spark, sf_dir, name):
+    """TPC-DS shape suite: correlated subqueries must decorrelate into
+    joins (never a cartesian), mirroring the reference's tpcds-all
+    planner goldens."""
+    df = SPARK_QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, name
+
+
+def test_tpcds_suite_runs_18_shapes(spark, sf_dir):
+    assert len(_TPCDS_ALL) == 18
