@@ -1868,3 +1868,61 @@ def query_ivf_index(
         .limit(k)
         .select("vec_id", F.round("_raw", 4).alias("cos_sim"))
     )
+
+
+def cluster_topics(
+    docs: DataFrame,
+    emb: DataFrame,
+    topk: int = 5,
+    bits: int = 4,
+    stride: int = 7,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus topography: top terms per SEMANTIC cluster — the cross-modal
+    join (embedding-space clusters x text-space term counts) that backs a
+    corpus card's "what's in each region of embedding space" section.
+
+    Clusters come from the same deterministic sign quantization as
+    semantic_dedup (SQL-reproducible, no fit); each document's tokens then
+    count toward its cluster, and a per-cluster window takes the top-k
+    terms (count desc, term asc — total order, engine-independent).
+
+    100 TB shape: the cluster key is scan-side arithmetic; the only wide
+    ops are the doc_id equi-join (broadcast-able dimension: the embedding
+    table carries just id + 8-byte key after projection) and one
+    (cluster, term) partial agg. The per-cluster top-k window partitions
+    by cluster — never a global sort."""
+    from pyspark.sql.window import Window
+
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = key + F.when(
+            F.element_at(F.col("v"), 1 + i * stride) > 0, F.lit(2 ** i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    clusters = (
+        emb.select(
+            F.col(vec_id_col).alias("doc_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("cluster", key)
+        .select("doc_id", "cluster")
+    )
+    words = F.filter(
+        F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"[^a-z0-9\s]", "")), r"\s+"),
+        lambda x: x != "",
+    )
+    toks = docs.select(F.col(doc_id_col).alias("doc_id"), F.explode(words).alias("term"))
+    counts = (
+        toks.join(clusters, "doc_id")
+        .groupBy("cluster", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("n").desc(), F.col("term"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select("cluster", F.col("rk").cast("int").alias("rk"), "term", "n")
+    )

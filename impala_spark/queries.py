@@ -5288,3 +5288,47 @@ sql_query(
     LIMIT 50
     """,
 )
+
+
+# Corpus topography: top terms per semantic (embedding-sign) cluster —
+# the cross-modal embeddings-x-documents join. Oracle replicates the
+# sign-quantized cluster key, tokenization, and windowed top-k exactly.
+@register(
+    "llm_cluster_topics",
+    oracle=r"""
+    WITH clusters AS (
+      SELECT vec_id AS doc_id,
+             CAST((CASE WHEN embedding[1]  > 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN embedding[8]  > 0 THEN 2 ELSE 0 END)
+                + (CASE WHEN embedding[15] > 0 THEN 4 ELSE 0 END)
+                + (CASE WHEN embedding[22] > 0 THEN 8 ELSE 0 END) AS BIGINT) AS cluster
+      FROM embeddings
+    ),
+    toks AS (
+      SELECT doc_id,
+        unnest(list_filter(
+          string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+'),
+          x -> x <> '')) AS term
+      FROM documents
+    ),
+    counts AS (
+      SELECT cluster, term, CAST(COUNT(*) AS BIGINT) AS n
+      FROM toks JOIN clusters USING (doc_id)
+      GROUP BY cluster, term
+    )
+    SELECT cluster, CAST(rk AS INTEGER) AS rk, term, n FROM (
+      SELECT cluster, term, n,
+             row_number() OVER (PARTITION BY cluster ORDER BY n DESC, term) AS rk
+      FROM counts
+    ) WHERE rk <= 5
+    """,
+    cache=True,
+)
+def q_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per embedding-sign cluster (llm_ops.cluster_topics) —
+    cross-modal corpus topography."""
+    from impala_spark import llm_ops
+
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    return llm_ops.cluster_topics(d, e, topk=5, bits=4, stride=7)

@@ -688,3 +688,21 @@ def test_persisted_ivf_index_prunes_and_recalls(spark, sf_dir):
     assert ddl.table_info("t_idx_assignments").partition_cols == ["list_id"]
     ddl.drop_table(spark, "t_idx_centroids")
     ddl.drop_table(spark, "t_idx_assignments")
+
+
+def test_cluster_topics_topk_and_determinism(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    out = llm_ops.cluster_topics(d, e, topk=3, bits=4)
+    rows = out.collect()
+    per_cluster = {}
+    for r in rows:
+        per_cluster.setdefault(r.cluster, []).append((r.rk, r.n, r.term))
+    for cl, items in per_cluster.items():
+        items.sort()
+        assert [i[0] for i in items] == list(range(1, len(items) + 1))
+        ns = [i[1] for i in items]
+        assert ns == sorted(ns, reverse=True)  # counts non-increasing
+    # deterministic under re-execution
+    again = llm_ops.cluster_topics(d, e, topk=3, bits=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
