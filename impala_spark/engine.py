@@ -104,6 +104,8 @@ class ImpalaEngine:
         #: strict=True: reject what Impala 2.7's analyzer rejects (exact
         #: messages); default is the permissive Spark superset.
         self.strict = strict
+        #: APPX_COUNT_DISTINCT query option (SelectStmt.java:643-665)
+        self.appx_count_distinct = False
         #: name -> SYMBOL of functions created via CREATE FUNCTION
         self._functions: dict[str, str] = {}
         if sf_dir:
@@ -286,6 +288,10 @@ class ImpalaEngine:
                 self.spark.catalog.clearCache()
             return self.spark.sql("SELECT 'metadata refreshed' AS result")
 
+        if self.appx_count_distinct:
+            from impala_spark.parser import rewrite_appx_count_distinct
+
+            q = rewrite_appx_count_distinct(q)
         return self._sql_with_impala_errors(translate(q, strict=self.strict))
 
     def _create_table_with_cols(self, q: str, m: "re.Match[str]") -> DataFrame:
@@ -417,7 +423,10 @@ class ImpalaEngine:
     # -- SET (query options) ------------------------------------------------
     def set_option(self, key: str, value: str) -> DataFrame:
         k = key.lower()
-        if k in _QUERY_OPTIONS:
+        if k == "appx_count_distinct":
+            # SelectStmt.java:643-665 — rewrite count(distinct) to ndv()
+            self.appx_count_distinct = value.strip("'\" ").lower() in ("1", "true")
+        elif k in _QUERY_OPTIONS:
             conf = _QUERY_OPTIONS[k]
             if conf == "spark.sql.codegen.wholeStage":
                 value = "false" if value.strip("'\" ").lower() in ("1", "true") else "true"

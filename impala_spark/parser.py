@@ -2043,6 +2043,32 @@ def _check_strict_union_columns(tokens: list[Token]) -> None:
             )
 
 
+def rewrite_appx_count_distinct(sql: str) -> str:
+    """APPX_COUNT_DISTINCT query option (SelectStmt.java:643-665): rewrite
+    every single-argument COUNT(DISTINCT expr) into NDV(expr). Multi-column
+    COUNT(DISTINCT a, b) is left exact, same as the reference."""
+    tokens = tokenize(sql)
+    out: list[Token] = []
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.kind == "word" and t.upper == "COUNT":
+            j = _significant(tokens, i)
+            if j != -1 and tokens[j].kind == "op" and tokens[j].text == "(":
+                k = _significant(tokens, j)
+                if k != -1 and tokens[k].kind == "word" and tokens[k].upper == "DISTINCT":
+                    close = _matching_paren(tokens, j)
+                    args = _split_top_level_commas(tokens, k + 1, close)
+                    if len(args) == 1:
+                        arg = untokenize(tokens[k + 1:close]).strip()
+                        out.append(Token("word", f"ndv({arg})"))
+                        i = close + 1
+                        continue
+        out.append(t)
+        i += 1
+    return untokenize(out)
+
+
 def translate(sql: str, strict: bool = False) -> str:
     """Impala-dialect SQL -> Spark SQL.
 

@@ -198,3 +198,26 @@ def test_resolution_errors_use_impala_messages(engine):
 
     with pytest.raises(ImpalaUnsupportedError):
         engine.sql("SELECT * FROM no_such_table")
+
+
+def test_appx_count_distinct_option(engine):
+    """SET APPX_COUNT_DISTINCT=true rewrites single-arg COUNT(DISTINCT x)
+    to NDV(x) (SelectStmt.java:643-665); multi-column stays exact."""
+    exact = engine.sql("SELECT count(DISTINCT o_custkey) AS n FROM orders").first().n
+    engine.sql("SET appx_count_distinct = true")
+    try:
+        appx = engine.sql("SELECT count(DISTINCT o_custkey) AS n FROM orders").first().n
+        # NDV is approximate: within 5% of exact, and usually != exact path
+        assert abs(appx - exact) <= max(2, exact * 0.05)
+        # multi-column count(distinct a, b) stays exact under the option
+        multi = engine.sql(
+            "SELECT count(DISTINCT o_custkey, o_orderstatus) AS n FROM orders"
+        ).first().n
+        exact_multi = engine.spark.sql(
+            "SELECT count(DISTINCT o_custkey, o_orderstatus) AS n FROM orders"
+        ).first().n
+        assert multi == exact_multi
+    finally:
+        engine.sql("SET appx_count_distinct = false")
+    back = engine.sql("SELECT count(DISTINCT o_custkey) AS n FROM orders").first().n
+    assert back == exact
