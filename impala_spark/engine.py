@@ -106,6 +106,8 @@ class ImpalaEngine:
         self.strict = strict
         #: APPX_COUNT_DISTINCT query option (SelectStmt.java:643-665)
         self.appx_count_distinct = False
+        #: EXPLAIN_LEVEL query option (Planner.getExplainString levels)
+        self.explain_level = 1
         #: name -> SYMBOL of functions created via CREATE FUNCTION
         self._functions: dict[str, str] = {}
         if sf_dir:
@@ -426,6 +428,12 @@ class ImpalaEngine:
         if k == "appx_count_distinct":
             # SelectStmt.java:643-665 — rewrite count(distinct) to ndv()
             self.appx_count_distinct = value.strip("'\" ").lower() in ("1", "true")
+        elif k == "explain_level":
+            # Planner.getExplainString levels (TExplainLevel): 0=MINIMAL,
+            # 1=STANDARD, 2=EXTENDED, 3=VERBOSE (names accepted too)
+            v = value.strip("'\" ").upper()
+            names = {"MINIMAL": 0, "STANDARD": 1, "EXTENDED": 2, "VERBOSE": 3}
+            self.explain_level = names.get(v, int(v) if v.isdigit() else 1)
         elif k in _QUERY_OPTIONS:
             conf = _QUERY_OPTIONS[k]
             if conf == "spark.sql.codegen.wholeStage":
@@ -700,10 +708,22 @@ class ImpalaEngine:
         # stats Impala prints "unavailable" per node but still sums floors.
         MiB = 1024 * 1024
         leaf_sizes = []
+        missing_stats: list[str] = []
         try:
             leaves = qe.optimizedPlan().collectLeaves()
             for i in range(leaves.size()):
-                leaf_sizes.append(int(leaves.apply(i).stats().sizeInBytes()))
+                leaf = leaves.apply(i)
+                leaf_sizes.append(int(leaf.stats().sizeInBytes()))
+                # Planner.getExplainString:295-307 missing-stats warning —
+                # a leaf without a CBO rowCount is a stats-less table
+                try:
+                    if leaf.stats().rowCount().isEmpty():
+                        name = leaf.relation().location().rootPaths().head().getName()
+                        name = name.removesuffix(".parquet")
+                        if f"default.{name}" not in missing_stats:
+                            missing_stats.append(f"default.{name}")
+                except Exception:
+                    pass
         except Exception:
             pass
         total_mem = 0
@@ -725,6 +745,12 @@ class ImpalaEngine:
             "Estimated Per-Host Requirements: "
             f"Memory={total_mem / MiB:.2f}MB VCores={max(vcores, 1)}\n"
         )
+        if missing_stats:
+            # Planner.getExplainString:295-307 exact warning text
+            resources += (
+                "WARNING: The following tables are missing relevant table "
+                "and/or column statistics.\n" + ", ".join(missing_stats) + "\n"
+            )
         scan_seen = 0
         for name, indent in matched:
             line = f"{'|  ' * (indent // 3)}{node_id:02d}:{name}"
@@ -733,4 +759,13 @@ class ImpalaEngine:
                 scan_seen += 1
             out.append(line)
             node_id += 1
-        return (resources + header + "\n".join(out)) if out else plan
+        if not out:
+            return plan
+        level = getattr(self, "explain_level", 1)
+        body = "\n".join(out)
+        if level <= 0:  # MINIMAL: plan shape only
+            return body
+        text = resources + header + body
+        if level >= 3:  # VERBOSE: append the physical plan (fragment detail)
+            text += "\n---- Spark physical plan ----\n" + plan
+        return text

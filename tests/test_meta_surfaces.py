@@ -257,3 +257,26 @@ def test_explain_resource_estimates_header(spark, sf_dir):
     assert m, text.split("\n")[0]
     assert float(m.group(1)) >= 10.0  # at least the hash-table floor
     assert int(m.group(2)) == 2  # two scans in the join
+
+
+def test_explain_levels_and_missing_stats_warning(spark, sf_dir):
+    """EXPLAIN_LEVEL option (Planner.getExplainString) + the exact
+    missing-stats warning text (:295-307)."""
+    eng = ImpalaEngine(spark, sf_dir)
+    q = "SELECT count(*) FROM lineitem"
+    std = eng.explain(q)
+    assert "Estimated Per-Host Requirements" in std
+    # stats-less fixture tables trigger the reference's warning verbatim
+    assert (
+        "WARNING: The following tables are missing relevant table and/or "
+        "column statistics." in std
+    )
+    assert "default.lineitem" in std
+    eng.set_option("explain_level", "MINIMAL")
+    minimal = eng.explain(q)
+    assert "Estimated Per-Host Requirements" not in minimal
+    assert "SCAN PARQUET" in minimal
+    eng.set_option("explain_level", "3")
+    verbose = eng.explain(q)
+    assert "---- Spark physical plan ----" in verbose
+    eng.set_option("explain_level", "STANDARD")
