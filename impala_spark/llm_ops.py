@@ -1926,3 +1926,45 @@ def cluster_topics(
         .filter(F.col("rk") <= topk)
         .select("cluster", F.col("rk").cast("int").alias("rk"), "term", "n")
     )
+
+
+def sample_frames(
+    df: DataFrame,
+    fps: float = 0.5,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    duration_col: str = "duration_ms",
+) -> DataFrame:
+    """Frame sampling for video payloads: one row per sampled frame at
+    `fps` across duration_ms — the video half of the multimodal plumbing
+    (extract_media_features covers stills). The codec decode itself is
+    stubbed exactly like decode_image_batch (no AV libs in this
+    container); everything Spark-side is real: the frames-per-row
+    explode is a narrow generate (no shuffle), per-frame identity is an
+    md5 over (payload, frame_idx) — ANSI-portable so the oracle verifies
+    the full fan-out value-for-value.
+
+    100 TB shape: output partitioning follows the input scan; a 2-hour
+    1 fps sample emits 7200 rows per video from one input row without any
+    exchange — the pattern that feeds frame-level dedup/embedding stages.
+    """
+    step_ms = int(1000.0 / fps)
+    n_frames = (F.col(duration_col) / F.lit(step_ms)).cast("long") + 1
+    frames = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(payload_col).alias("payload"),
+        F.posexplode(
+            F.when(
+                F.col(duration_col) > 0,
+                F.sequence(F.lit(0).cast("long"), n_frames - 1),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("frame_idx", "_f"),
+    )
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        (F.col("frame_idx") * step_ms).cast("bigint").alias("ts_ms"),
+        F.md5(
+            F.concat(F.col("payload"), F.encode(F.col("frame_idx").cast("string"), "UTF-8"))
+        ).alias("frame_hash"),
+    )

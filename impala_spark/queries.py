@@ -5332,3 +5332,39 @@ def q_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     e = table(spark, sf_dir, "embeddings")
     return llm_ops.cluster_topics(d, e, topk=5, bits=4, stride=7)
+
+
+# Multimodal video plumbing: frame sampling at 0.5 fps over synthetic
+# video payloads (text bytes + n_chars*10 ms duration). The oracle
+# reproduces the frame fan-out and the per-frame md5 identity exactly.
+@register(
+    "llm_frame_sampling",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id, encode(text) AS payload, n_chars * 10 AS duration_ms
+      FROM documents WHERE doc_id < 50
+    ),
+    f AS (
+      SELECT doc_id, payload,
+             unnest(range(0, CAST(duration_ms // 2000 AS BIGINT) + 1)) AS frame_idx
+      FROM v WHERE duration_ms > 0
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(frame_idx * 2000 AS BIGINT) AS ts_ms,
+           md5(decode(payload) || CAST(frame_idx AS VARCHAR)) AS frame_hash
+    FROM f
+    """,
+    cache=True,
+)
+def q_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (llm_ops.sample_frames): narrow generate,
+    md5 frame identity, no shuffle."""
+    from impala_spark import llm_ops
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    v = d.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        (F.col("n_chars") * 10).alias("duration_ms"),
+    )
+    return llm_ops.sample_frames(v, fps=0.5)

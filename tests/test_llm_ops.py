@@ -706,3 +706,19 @@ def test_cluster_topics_topk_and_determinism(spark, sf_dir):
     # deterministic under re-execution
     again = llm_ops.cluster_topics(d, e, topk=3, bits=4).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_sample_frames_fanout_and_no_shuffle(spark):
+    rows = [(1, b"abc", 5000), (2, b"xy", 0), (3, None, 3999), (4, b"z", None)]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, payload: binary, duration_ms: long"
+    )
+    out = llm_ops.sample_frames(df, fps=0.5)  # frame every 2000 ms
+    got = {(r.doc_id, r.frame_idx): r.ts_ms for r in out.collect()}
+    # 5000ms at 0.5fps -> frames at 0,2000,4000; 3999ms -> 0,2000;
+    # zero/NULL duration -> no frames
+    assert sorted(k for k in got) == [(1, 0), (1, 1), (1, 2), (3, 0), (3, 1)]
+    assert got[(1, 2)] == 4000
+    plan = physical_plan(llm_ops.sample_frames(df))
+    assert "Exchange" not in plan  # narrow generate only
+    assert "Generate" in plan
