@@ -134,7 +134,10 @@ class ImpalaEngine:
             return self.set_option(m.group(1), m.group(2))
         if re.match(r"^\s*SET\s*$", q, re.IGNORECASE):
             # bare SET lists query options (Impala shell behavior)
-            rows = []
+            rows = [
+                ("appx_count_distinct", str(self.appx_count_distinct).lower()),
+                ("explain_level", str(self.explain_level)),
+            ]
             for opt, conf in sorted(_QUERY_OPTIONS.items()):
                 if conf:
                     try:
