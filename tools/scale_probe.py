@@ -33,6 +33,9 @@ PROBES = [
     "llm_token_frequencies",    # explode + agg
     "llm_pack_sequences",       # applyInPandas packing
     "events_stream_stream_join",  # interval join
+    "llm_semantic_dedup",       # cluster equi-join + pairwise cosine
+    "llm_dsir_weights",         # hashed-bucket distributions, broadcast
+    "llm_frame_sampling",       # narrow per-frame generate
 ]
 
 
