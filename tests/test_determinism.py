@@ -18,6 +18,7 @@ QUERIES = [
     "events_retention",         # self-join
     "llm_semantic_dedup",       # cluster join + pairwise cosine verdicts
     "llm_dsir_weights",         # broadcast distributions + float log-ratio
+    "llm_cluster_topics",       # windowed top-k with total-order tie-break
 ]
 
 
