@@ -1290,6 +1290,83 @@ def _check_strict_ungrouped_select(tokens: list[Token]) -> None:
             if t.kind == "op" and t.text == "(":
                 k = _matching_paren(tokens, k) + 1
                 continue
+            if t.kind == "word" and t.upper == "HAVING" and (block_has_group or has_agg):
+                # SelectStmt.java:746-752: every slot in the HAVING
+                # predicate must bind to the aggregation output. Token
+                # subset: bare (possibly dotted) column refs outside
+                # aggregate calls must appear in GROUP BY (full text or
+                # last path segment) or be select-list aliases.
+                h_end = k + 1
+                d = 0
+                while h_end < end:
+                    th = tokens[h_end]
+                    if th.kind == "op" and th.text == "(":
+                        d += 1
+                    elif th.kind == "op" and th.text == ")":
+                        d -= 1
+                        if d < 0:
+                            break
+                    elif d == 0 and th.kind == "word" and th.upper in _CLAUSE_BOUNDARY:
+                        break
+                    h_end += 1
+                grp = group_exprs or set()
+                grp_last = {g.rsplit(".", 1)[-1] for g in grp}
+                j2 = k + 1
+                while j2 < h_end:
+                    t2 = tokens[j2]
+                    if t2.kind == "op" and t2.text == "(":
+                        j2 = _matching_paren(tokens, j2) + 1
+                        continue
+                    close = _agg_call_at(tokens, j2, h_end)
+                    if close != -1:
+                        j2 = close + 1  # agg-call contents always bind
+                        continue
+                    if t2.kind in ("word", "bident"):
+                        if t2.kind == "word" and (
+                            t2.upper in _NON_OPERAND_WORDS
+                            or t2.upper in (
+                                "NULL", "TRUE", "FALSE", "END", "EXISTS",
+                                "INTERVAL", "CAST", "ESCAPE", "UNKNOWN",
+                            )
+                        ):
+                            j2 += 1
+                            continue
+                        nxt = _significant(tokens, j2)
+                        if nxt != -1 and nxt < h_end and tokens[nxt].kind == "op" and tokens[nxt].text == "(":
+                            j2 += 1  # function name, args checked in place
+                            continue
+                        prev = _significant(tokens, j2, -1)
+                        if prev != -1 and tokens[prev].kind == "op" and tokens[prev].text == ".":
+                            j2 += 1  # path tail, handled at its head
+                            continue
+                        # consume the dotted path from its head
+                        parts = [t2.text.strip("`").lower()]
+                        p = _significant(tokens, j2)
+                        while (
+                            p != -1 and p < h_end
+                            and tokens[p].kind == "op" and tokens[p].text == "."
+                        ):
+                            p2 = _significant(tokens, p)
+                            if p2 == -1 or tokens[p2].kind not in ("word", "bident"):
+                                break
+                            parts.append(tokens[p2].text.strip("`").lower())
+                            p = _significant(tokens, p2)
+                        full_ref = ".".join(parts)
+                        if not (
+                            full_ref in grp
+                            or parts[-1] in grp_last
+                            or parts[-1] in aliases
+                        ):
+                            raise ImpalaUnsupportedError(
+                                "HAVING clause not produced by aggregation "
+                                "output (missing from GROUP BY clause?): "
+                                + untokenize(tokens[k + 1:h_end]).strip()
+                            )
+                        j2 = (p if p != -1 else h_end)
+                        continue
+                    j2 += 1
+                k = h_end
+                continue
             if t.kind == "word" and t.upper == "ORDER":
                 j = _significant(tokens, k)
                 if j == -1 or tokens[j].upper != "BY":

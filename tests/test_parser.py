@@ -619,3 +619,23 @@ def test_strict_union_column_counts_rejected():
     translate("SELECT a, b FROM t UNION SELECT x, y FROM u UNION ALL SELECT 1, 2", strict=True)
     # star arms are uncountable at the token level; deferred to the engine
     translate("SELECT * FROM t UNION ALL SELECT a, b FROM u", strict=True)
+
+
+def test_strict_having_ungrouped_rejected():
+    # SelectStmt.java:746-752
+    with _pytest.raises(
+        _Unsupported,
+        match=r"HAVING clause not produced by aggregation output "
+        r"\(missing from GROUP BY clause\?\): b > 1",
+    ):
+        translate("SELECT a, count(*) FROM t GROUP BY a HAVING b > 1", strict=True)
+    with _pytest.raises(_Unsupported, match="HAVING clause not produced"):
+        translate("SELECT count(*) FROM t HAVING x = 2", strict=True)
+    # grouped columns, aliases, aggregates, literals, CASE/CAST are legal
+    translate("SELECT a, count(*) AS n FROM t GROUP BY a HAVING a > 1 AND n > 2", strict=True)
+    translate("SELECT a FROM t GROUP BY a HAVING sum(b) > 10", strict=True)
+    translate("SELECT t.a FROM t GROUP BY t.a HAVING a > 1", strict=True)
+    translate(
+        "SELECT a FROM t GROUP BY a HAVING a IS NOT NULL AND CAST(a AS INT) IN (1, 2)",
+        strict=True,
+    )
