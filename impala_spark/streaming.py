@@ -323,11 +323,14 @@ def upsert_stream_to_table(
     AvailableNow on an unchanged source leaves the table byte-identical
     (test-pinned in tests/test_streaming.py).
 
-    Scale note: parquet has no row-level ops, so each batch rewrites the
-    table (staging + rename, ddl._overwrite). At 100 TB the managed table
-    is partitioned and only partitions containing batch keys are rewritten;
-    that refinement and a real atomic-publish commit protocol belong to an
-    Iceberg/Delta-backed deployment (see ddl._overwrite note)."""
+    Scale note: parquet has no row-level ops. For a PARTITIONED managed
+    target (pre-create it with partition cols), each batch rewrites ONLY
+    the partitions containing batch keys — dynamic partition overwrite
+    plus a left-semi join against the batch's distinct partition values —
+    so a localized batch touches KBs of a 100 TB table. Unpartitioned
+    targets fall back to the full staging rewrite (ddl._overwrite); a
+    real atomic-publish commit protocol belongs to an Iceberg/Delta
+    deployment (see ddl._overwrite note)."""
     from pyspark.sql.window import Window
 
     from impala_spark import ddl as _ddl
@@ -349,6 +352,33 @@ def upsert_stream_to_table(
             )
             return
         existing = spark.read.parquet(t.path)
+        if t.partition_cols:
+            # Partition-scoped rewrite: only partitions containing batch
+            # keys are touched (Spark dynamic partition overwrite); a 100
+            # TB table with a localized batch rewrites KBs, not the table.
+            # The touched-partition list is driver-side but bounded by the
+            # BATCH's distinct partition values, not the table's.
+            touched = latest.select(*t.partition_cols).distinct()
+            current = (
+                existing.join(F.broadcast(touched), list(t.partition_cols), "left_semi")
+                # materialize BEFORE overwriting the files being read
+                .localCheckpoint()
+            )
+            merged = (
+                current.unionByName(latest.select(*existing.columns))
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            (
+                merged.sortWithinPartitions(*t.partition_cols)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*t.partition_cols)
+                .parquet(t.path)
+            )
+            _ddl._refresh_view(spark, t)
+            return
         merged = (
             existing.unionByName(latest.select(*existing.columns))
             .withColumn("_rn", F.row_number().over(w))

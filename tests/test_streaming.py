@@ -176,3 +176,49 @@ def test_upsert_stream_latest_wins_and_idempotent(spark, sf_dir, tmp_path):
     got2 = {r.user_id: (r.event_id, r.value) for r in spark.table(name).collect()}
     assert got2 == got
     ddl.drop_table(spark, name)
+
+
+def test_upsert_stream_partition_scoped_rewrite(spark, sf_dir, tmp_path):
+    """Partitioned upsert target: only partitions containing batch keys
+    are rewritten; rows in untouched partitions survive byte-for-byte."""
+    import os
+
+    from impala_spark import ddl
+
+    name = "t_sharded_latest"
+    ddl.drop_table(spark, name)
+    # pre-create the partitioned state table with a sentinel row in a
+    # shard the stream never touches (user_id = -1 -> shard 9)
+    sentinel = spark.createDataFrame(
+        [(-1, None, -1.0, 9)], "user_id long, ts timestamp, value double, shard int"
+    )
+    ddl.create_table_as_select(
+        spark, name, sentinel, partition_cols=["shard"], primary_key=["user_id"]
+    )
+    t = ddl.table_info(name)
+    sentinel_dir = os.path.join(t.path, "shard=9")
+    before = sorted(os.listdir(sentinel_dir))
+    ckpt = str(tmp_path / "ckpt_shard")
+    s1 = (
+        stm.read_events_stream(spark, sf_dir)
+        .select("user_id", "ts", "value")
+        .withColumn("shard", (F.col("user_id") % 4).cast("int"))
+        .select("user_id", "ts", "value", "shard")
+    )
+    stm.upsert_stream_to_table(spark, s1, name, ["user_id"], ["ts"], ckpt)
+    final = spark.table(name)
+    # sentinel row in the untouched partition survives, files untouched
+    assert final.filter("user_id = -1").count() == 1
+    assert sorted(os.listdir(sentinel_dir)) == before
+    # streamed users hold their argmax-ts value
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc())
+    truth = (
+        batch_events(spark, sf_dir)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .count()
+    )
+    assert final.filter("user_id >= 0").count() == truth
+    ddl.drop_table(spark, name)
