@@ -497,7 +497,11 @@ def skew_report(df: DataFrame, key_col: str, topk: int = 5) -> DataFrame:
     partitions and a plain shuffle join will straggle."""
     from pyspark.sql.window import Window
 
-    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+    # key is surfaced (and tie-broken) as STRING: a type-stable total
+    # order for any key type — count ties at scale made the pre-cast
+    # numeric order diverge from the report's string contract (caught by
+    # the sf1.0 sweep: hundreds of keys tie at the same count there)
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
         F.count("*").cast("bigint").alias("n")
     )
     stats = counts.agg(
@@ -511,7 +515,7 @@ def skew_report(df: DataFrame, key_col: str, topk: int = 5) -> DataFrame:
         top.crossJoin(F.broadcast(stats))
         .select(
             F.col("rk").cast("int").alias("rk"),
-            F.col("key").cast("string").alias("key"),
+            "key",
             "n", "n_rows", "n_keys", "max_freq",
             F.round(F.col("n") / F.col("n_rows"), 6).alias("share"),
             F.round(F.col("max_freq") * F.col("n_keys") / F.col("n_rows"), 4).alias("skew_ratio"),
