@@ -5368,3 +5368,171 @@ def q_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") * 10).alias("duration_ms"),
     )
     return llm_ops.sample_frames(v, fps=0.5)
+
+
+# Flagship curation pipeline v2 — the modern training-data recipe end to
+# end: Gopher quality gate -> exact dedup -> SemDeDup semantic dedup ->
+# DSIR target-domain selection under a token budget. Emits the stage
+# funnel plus kept-set checksums so the oracle verifies the surviving SET
+# at every stage, not just its size (the r3 lesson from clean_corpus).
+@register(
+    "llm_curation_pipeline",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id, source, text,
+        len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS n_words,
+        length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS alpha_chars,
+        length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_chars,
+        greatest(length(text), 1) AS t_len,
+        len(regexp_extract_all(text, '(?i)\b(the|and|of|to|in|is|that|for|with|was|are)\b')) AS stop_hits
+      FROM documents
+    ),
+    quality AS (
+      SELECT doc_id, source, text, n_words FROM s
+      WHERE NOT (n_words < 10 OR n_words > 1000
+                 OR alpha_chars / greatest(n_words, 1) < 2.0
+                 OR alpha_chars / greatest(n_words, 1) > 12.0
+                 OR digit_chars / t_len > 0.2
+                 OR stop_hits < 2)
+    ),
+    exact AS (
+      SELECT * FROM quality q WHERE doc_id = (
+        SELECT MIN(doc_id) FROM quality q2
+        WHERE md5(lower(regexp_replace(trim(q2.text), '\s+', ' ', 'g')))
+            = md5(lower(regexp_replace(trim(q.text), '\s+', ' ', 'g')))
+      )
+    ),
+    clustered AS (
+      SELECT e.doc_id, e.source, e.text, e.n_words, emb.embedding,
+             CAST((CASE WHEN embedding[1]  > 0 THEN 1   ELSE 0 END)
+                + (CASE WHEN embedding[8]  > 0 THEN 2   ELSE 0 END)
+                + (CASE WHEN embedding[15] > 0 THEN 4   ELSE 0 END)
+                + (CASE WHEN embedding[22] > 0 THEN 8   ELSE 0 END)
+                + (CASE WHEN embedding[29] > 0 THEN 16  ELSE 0 END)
+                + (CASE WHEN embedding[36] > 0 THEN 32  ELSE 0 END)
+                + (CASE WHEN embedding[43] > 0 THEN 64  ELSE 0 END)
+                + (CASE WHEN embedding[50] > 0 THEN 128 ELSE 0 END) AS BIGINT) AS cluster
+      FROM exact e JOIN embeddings emb ON emb.vec_id = e.doc_id
+    ),
+    semantic AS (
+      SELECT c.* FROM clustered c WHERE NOT EXISTS (
+        SELECT 1 FROM clustered a
+        WHERE a.cluster = c.cluster AND a.doc_id < c.doc_id
+          AND ROUND(list_cosine_similarity(
+                CAST(a.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) >= 0.97
+      )
+    ),
+    tok AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(token), 1, 8))::BIGINT % 1024 AS bucket
+      FROM (
+        SELECT doc_id, source,
+          unnest(list_filter(
+            string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+'),
+            x -> x <> '')) AS token
+        FROM semantic
+      )
+    ),
+    t_counts AS (SELECT bucket, COUNT(*) AS t_cnt FROM tok WHERE source = 'src0' GROUP BY bucket),
+    t_total AS (SELECT COUNT(*) AS t_all FROM tok WHERE source = 'src0'),
+    r_counts AS (SELECT bucket, COUNT(*) AS r_cnt FROM tok WHERE source <> 'src0' GROUP BY bucket),
+    r_total AS (SELECT COUNT(*) AS r_all FROM tok WHERE source <> 'src0'),
+    scores AS (
+      SELECT tok.doc_id,
+             ROUND(AVG(
+               ln((COALESCE(t_cnt, 0) + 0.5) / (t_all + 0.5 * 1024))
+               - ln((COALESCE(r_cnt, 0) + 0.5) / (r_all + 0.5 * 1024))
+             ), 4) AS logratio
+      FROM tok
+      LEFT JOIN t_counts USING (bucket)
+      LEFT JOIN r_counts USING (bucket)
+      CROSS JOIN t_total CROSS JOIN r_total
+      WHERE tok.source <> 'src0'
+      GROUP BY tok.doc_id
+    ),
+    ranked AS (
+      SELECT sem.doc_id, sem.n_words, sc.logratio,
+             SUM(sem.n_words) OVER (
+               ORDER BY sc.logratio DESC, sem.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM semantic sem JOIN scores sc USING (doc_id)
+    ),
+    selected AS (SELECT * FROM ranked WHERE cum_tokens <= 20000)
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_input,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM quality) AS n_quality,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM semantic) AS n_semantic,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM selected) AS n_selected,
+      (SELECT CAST(COALESCE(SUM(n_words), 0) AS BIGINT) FROM selected) AS tokens_selected,
+      (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM selected) AS sel_id_sum,
+      (SELECT CAST(COALESCE(MIN(doc_id), -1) AS BIGINT) FROM selected) AS sel_id_min,
+      (SELECT CAST(COALESCE(MAX(doc_id), -1) AS BIGINT) FROM selected) AS sel_id_max
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel: Gopher filter (llm_ops.gopher_filter)
+    -> exact dedup (dedup_exact) -> SemDeDup (semantic_dedup) -> DSIR
+    selection (dsir_importance_weights) under a 20k-token budget. Every
+    stage is the already-verified operator; the pipeline checks their
+    COMPOSITION with set-level checksums."""
+    from pyspark.sql.window import Window
+
+    from impala_spark import llm_ops
+
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    n_input = d.count()
+    g = llm_ops.gopher_filter(d)
+    quality = d.join(
+        g.filter(F.col("keep")).select("doc_id", "n_words"), "doc_id"
+    )
+    keepers = llm_ops.dedup_exact(quality).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    exact = quality.join(keepers, "doc_id")
+    sem_in = e.join(
+        exact.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    ).select("vec_id", "embedding")
+    sem_kept = (
+        llm_ops.semantic_dedup(sem_in, threshold=0.97, bits=8, stride=7)
+        .filter(F.col("kept"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    semantic = exact.join(sem_kept, "doc_id")
+    target = semantic.filter(F.col("source") == "src0")
+    raw = semantic.filter(F.col("source") != "src0")
+    scores = llm_ops.dsir_importance_weights(raw, target).select(
+        "doc_id", "logratio"
+    )
+    w = (
+        Window.orderBy(F.col("logratio").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = (
+        semantic.join(scores, "doc_id")
+        .withColumn("cum_tokens", F.sum("n_words").over(w))
+    )
+    selected = ranked.filter(F.col("cum_tokens") <= 20000)
+    funnel = selected.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+        F.coalesce(F.sum("n_words"), F.lit(0)).cast("bigint").alias("tokens_selected"),
+        F.coalesce(F.sum("doc_id"), F.lit(0)).cast("bigint").alias("sel_id_sum"),
+        F.coalesce(F.min("doc_id"), F.lit(-1)).cast("bigint").alias("sel_id_min"),
+        F.coalesce(F.max("doc_id"), F.lit(-1)).cast("bigint").alias("sel_id_max"),
+    )
+    return (
+        funnel.withColumn("n_input", F.lit(n_input).cast("bigint"))
+        .crossJoin(
+            quality.agg(F.count(F.lit(1)).cast("bigint").alias("n_quality"))
+        )
+        .crossJoin(exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact")))
+        .crossJoin(
+            semantic.agg(F.count(F.lit(1)).cast("bigint").alias("n_semantic"))
+        )
+        .select(
+            "n_input", "n_quality", "n_exact", "n_semantic", "n_selected",
+            "tokens_selected", "sel_id_sum", "sel_id_min", "sel_id_max",
+        )
+    )
