@@ -331,14 +331,19 @@ def test_sql_query_plan_cache_identity_and_isolation(spark, sf_dir):
     assert other is not a  # per-sf_dir isolation
 
 
-def test_session_posture_pins_scale_safe_knobs(spark):
+def test_session_posture_pins_scale_safe_knobs(spark, sf_dir):
     """Pins the r4 scale posture: a broadcast threshold at/below 16 MB
     (64 MB broadcast a filtered 3M-row FACT at sf1.0 — compressed bytes
     understate in-memory hash size ~5-10x), AQE on, and CBO off by
     default over stats-less path views (COMPUTE STATS opts it back in)."""
     thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     assert int(thr.rstrip("b")) <= 16 * 1024 * 1024
-    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    # AQE gates on input size with the bloom filters (small-query fast
+    # path): off for the KB-scale test fixtures, on above the threshold
+    from impala_spark.session import SMALL_QUERY_BYTES, _dir_total_bytes
+
+    small = _dir_total_bytes(sf_dir) < SMALL_QUERY_BYTES
+    assert spark.conf.get("spark.sql.adaptive.enabled") == ("false" if small else "true")
 
 
 def test_two_level_rollup_equals_direct(spark, sf_dir):
