@@ -5536,3 +5536,86 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_selected", "sel_id_sum", "sel_id_min", "sel_id_max",
         )
     )
+
+
+# TPC-DS shapes, round-4 batch 3.
+
+# Q96 shape: pure selective-count star probe (count over a multi-way
+# filtered join) — the simplest star shape, planner floor.
+sql_query(
+    "tpcds_q96_shape",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_size = 10 AND o_orderpriority = '1-URGENT'
+      AND l_quantity BETWEEN 10 AND 30
+    """,
+)
+
+# Q59 shape: same aggregate computed over two adjacent periods, joined
+# back on the group key to form week-over-week style ratios.
+sql_query(
+    "tpcds_q59_shape",
+    """
+    WITH y1 AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders WHERE YEAR(o_orderdate) = 1996 GROUP BY o_custkey
+    ),
+    y2 AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders WHERE YEAR(o_orderdate) = 1997 GROUP BY o_custkey
+    )
+    SELECT y1.o_custkey,
+           CAST(y1.rev AS DOUBLE) AS rev_1996,
+           CAST(y2.rev AS DOUBLE) AS rev_1997,
+           ROUND(CAST(y2.rev AS DOUBLE) / CAST(y1.rev AS DOUBLE), 4) AS yoy
+    FROM y1 JOIN y2 ON y1.o_custkey = y2.o_custkey
+    ORDER BY yoy DESC, y1.o_custkey
+    LIMIT 50
+    """,
+)
+
+# Q45 shape: customers qualifying via EITHER an attribute predicate OR a
+# frequency-subquery membership. Impala 2.7 REJECTS subqueries under OR
+# (StmtRewriter.java:135 — our parser pins that rejection), so the shape
+# is expressed the way an Impala user must write it: the disjunction
+# becomes a UNION DISTINCT of the two qualifying key sets, semi-joined
+# back to the facts.
+sql_query(
+    "tpcds_q45_shape",
+    """
+    WITH qualifying AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+      UNION
+      SELECT o_custkey AS c_custkey FROM orders
+      GROUP BY o_custkey HAVING COUNT(*) > 25
+    )
+    SELECT c_mktsegment,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    WHERE c_custkey IN (SELECT c_custkey FROM qualifying)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+
+# Q19 shape: brand revenue with a multi-predicate dimension filter and
+# fact-side date restriction, grouped by two dim attributes.
+sql_query(
+    "tpcds_q19_shape",
+    """
+    SELECT p_brand, p_type,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size BETWEEN 1 AND 15
+      AND YEAR(l_shipdate) = 1996
+    GROUP BY p_brand, p_type
+    HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,4))) > 1000
+    ORDER BY revenue DESC, p_brand, p_type
+    LIMIT 40
+    """,
+)

@@ -112,5 +112,5 @@ def test_tpcds_plan_no_cartesian(spark, sf_dir, name):
     assert "CartesianProduct" not in plan, name
 
 
-def test_tpcds_suite_runs_18_shapes(spark, sf_dir):
-    assert len(_TPCDS_ALL) == 18
+def test_tpcds_suite_runs_22_shapes(spark, sf_dir):
+    assert len(_TPCDS_ALL) == 22
