@@ -84,6 +84,51 @@ def main() -> None:
     for s, e in failures[:show]:
         print(f"    FAIL {s[:100]!r} -> {e[:80]}")
 
+    # Negative corpus: statements the reference parser REJECTS. Our
+    # pipeline is a shim over Spark's parser, so full rejection parity
+    # belongs to the engine (Spark raises at sql() time); what the shim
+    # itself must reject are the Impala-absent constructs
+    # (INTERSECT/ROLLUP/..., subquery-in-OR, strict-mode analysis). Count
+    # how many negatives the shim already rejects standalone vs defers.
+    neg = []
+    for m in re.finditer(r'ParserError\(\s*"((?:[^"\\]|\\.)*)"\s*[),]', src):
+        neg.append(m.group(1).encode().decode("unicode_escape"))
+    rejected = deferred = 0
+    deferred_stmts = []
+    for s in neg:
+        try:
+            out = translate(s, strict=True)
+            deferred += 1  # Spark's parser is the rejection authority here
+            deferred_stmts.append(out)
+        except Exception:
+            rejected += 1
+    print(f"reference ParserTest NEGATIVE statements: {len(neg)}")
+    print(f"  rejected by the shim itself (strict):    {rejected}")
+    print(f"  deferred to Spark's parser at sql():     {deferred}")
+    if "--spark" in sys.argv:
+        # parse-only check through Catalyst's parser (no tables needed):
+        # how many deferred negatives does the ENGINE also reject?
+        from impala_spark.session import get_spark
+
+        spark = get_spark("grammar_sweep")
+        parser = spark._jsparkSession.sessionState().sqlParser()
+        spark_rejects = spark_accepts = 0
+        accepted = []
+        for out in deferred_stmts:
+            try:
+                parser.parsePlan(out)
+                spark_accepts += 1
+                accepted.append(out)
+            except Exception:
+                spark_rejects += 1
+        print(f"  ...of which Spark's parser rejects:      {spark_rejects}")
+        print(
+            f"  accepted end-to-end (dialect supersets): {spark_accepts} "
+            "(Spark grammar is wider, e.g. reserved-word laxity)"
+        )
+        for a in accepted[: (show or 0)]:
+            print(f"    ACCEPTS {a[:100]!r}")
+
 
 if __name__ == "__main__":
     main()
