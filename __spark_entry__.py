@@ -65,16 +65,17 @@ def _verified_order(names: list[str]) -> list[str]:
     # locally oracle-verified at sf0.01 this round (tools/check.py,
     # 174/174) plus a full vanilla-session run; the 72 relational ones
     # were additionally verified at a 10x scale (tools/gen_sf1.py data).
-    # The 14 entries past the window boundary and the 48 queries ADDED in
-    # round 4 (registry 162 -> 210: the LLM scoring/filter/dedup family
+    # The 14 entries past the window boundary and the 52 queries ADDED in
+    # round 4 (registry 162 -> 214: the LLM scoring/filter/dedup family
     # llm_bm25_scoring .. llm_top_terms, the event-analytics family
-    # events_gap_fill/retention/funnel/anomaly/stream_outer_join, 13 more
-    # TPC-DS shapes, agg_exact_percentiles, expr_json_url_funcs, and the
-    # late-round llm_semantic_dedup / llm_dsir_weights / llm_cluster_topics
-    # / llm_frame_sampling / llm_ann_index_persisted / llm_curation_pipeline
-    # / events_streaming_upsert / ddl_create_table_cols) queue behind them
+    # events_gap_fill/retention/funnel/anomaly/stream_outer_join, 17 more
+    # TPC-DS shapes (suite at 22), agg_exact_percentiles,
+    # expr_json_url_funcs, and the late-round llm_semantic_dedup /
+    # llm_dsir_weights / llm_cluster_topics / llm_frame_sampling /
+    # llm_ann_index_persisted / llm_curation_pipeline /
+    # events_streaming_upsert / ddl_create_table_cols) queue behind them
     # for round 5's window; every registered query was locally
-    # oracle-verified at sf0.01 this round, and 205 of 210 also at the
+    # oracle-verified at sf0.01 this round, and 209 of 214 also at the
     # 10x 32-file scale (the 5 pair-quadratic-oracle ones excluded).
     boost = [
         # the reference's capability bar: TPC-H shapes (PlannerTest.java:195-216)
