@@ -70,6 +70,16 @@ _CREATE_TABLE_HDR_RE = re.compile(
     re.IGNORECASE,
 )
 
+_CREATE_VIEW_RE = re.compile(
+    r"^\s*CREATE\s+VIEW\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w`]+)\s+AS\s+"
+    r"(?P<select>(?:SELECT|WITH|VALUES)\s.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_VIEW_RE = re.compile(
+    r"^\s*ALTER\s+VIEW\s+(?P<name>[\w`]+)\s+AS\s+(?P<select>(?:SELECT|WITH|VALUES)\s.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 _DROP_TABLE_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<table>[\w`]+)\s*(?P<purge>PURGE)?\s*$",
     re.IGNORECASE,
@@ -266,6 +276,37 @@ class ImpalaEngine:
         m = _CREATE_TABLE_HDR_RE.match(q)
         if m:
             return self._create_table_with_cols(q, m)
+        m = _CREATE_VIEW_RE.match(q)
+        if m:
+            # analysis/CreateViewStmt.java. Fixture tables are session
+            # temp views, so the view is session-scoped too (a persistent
+            # Spark view cannot reference temp objects); within the
+            # session it resolves through the catalog exactly like the
+            # reference's LocalView.
+            vname = m.group("name").strip("`")
+            exists = any(
+                v.name == vname for v in self.spark.catalog.listTables()
+            )
+            if exists and m.group("ine"):
+                return self.spark.sql("SELECT 'view exists (kept)' AS result")
+            if exists and self.strict:
+                raise ImpalaAnalysisError(f"Table already exists: default.{vname}")
+            self.spark.sql(
+                f"CREATE OR REPLACE TEMPORARY VIEW {vname} AS "
+                + translate(m.group("select"))
+            )
+            return self.spark.sql(f"SELECT 'view {vname} created' AS result")
+        m = _ALTER_VIEW_RE.match(q)
+        if m:
+            # analysis/AlterViewStmt.java: redefine an existing view
+            vname = m.group("name").strip("`")
+            if not any(v.name == vname for v in self.spark.catalog.listTables()):
+                raise ImpalaAnalysisError(f"Table does not exist: default.{vname}")
+            self.spark.sql(
+                f"CREATE OR REPLACE TEMPORARY VIEW {vname} AS "
+                + translate(m.group("select"))
+            )
+            return self.spark.sql(f"SELECT 'view {vname} altered' AS result")
         m = _DROP_TABLE_RE.match(q)
         if m:
             tname = m.group("table").strip("`")

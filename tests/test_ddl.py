@@ -170,3 +170,30 @@ def test_plain_create_table_with_cols(spark, sf_dir):
     with _p.raises(ValueError, match="SEQUENCEFILE"):
         eng.sql("CREATE TABLE seq_t (a INT) STORED AS SEQUENCEFILE")
     eng.sql("DROP TABLE plain_t")
+
+
+def test_create_and_alter_view_through_engine(spark, sf_dir):
+    """CREATE VIEW / ALTER VIEW (CreateViewStmt/AlterViewStmt): views are
+    session-scoped (fixture tables are temp views) and resolve through
+    the catalog; existence errors use the reference's message text."""
+    import pytest as _p
+
+    from impala_spark.engine import ImpalaAnalysisError, ImpalaEngine
+
+    eng = ImpalaEngine(spark, sf_dir)
+    spark.sql("DROP VIEW IF EXISTS v_probe")
+    eng.sql("CREATE VIEW v_probe AS SELECT r_regionkey FROM region")
+    assert eng.sql("SELECT count(*) AS n FROM v_probe").first().n == 5
+    eng.sql(
+        "ALTER VIEW v_probe AS SELECT r_regionkey FROM region WHERE r_regionkey < 2"
+    )
+    assert eng.sql("SELECT count(*) AS n FROM v_probe").first().n == 2
+    # IF NOT EXISTS keeps; strict re-create errors; missing ALTER errors
+    eng.sql("CREATE VIEW IF NOT EXISTS v_probe AS SELECT 1 AS x")
+    assert eng.sql("SELECT count(*) AS n FROM v_probe").first().n == 2
+    strict = ImpalaEngine(spark, strict=True)
+    with _p.raises(ImpalaAnalysisError, match="Table already exists: default.v_probe"):
+        strict.sql("CREATE VIEW v_probe AS SELECT 1 AS x")
+    with _p.raises(ImpalaAnalysisError, match="Table does not exist: default.no_view"):
+        eng.sql("ALTER VIEW no_view AS SELECT 1 AS x")
+    spark.sql("DROP VIEW IF EXISTS v_probe")
