@@ -5619,3 +5619,43 @@ sql_query(
     LIMIT 40
     """,
 )
+
+
+# CREATE VIEW / ALTER VIEW through the engine front door (the round-4
+# routing): create over a join, redefine via ALTER, read back through
+# the catalog. VALUES oracle pins the final definition's rows.
+@register(
+    "ddl_view_lifecycle",
+    oracle="""
+    SELECT r_regionkey, CAST(n AS BIGINT) AS n FROM (
+      SELECT r_regionkey, COUNT(*) AS n
+      FROM region JOIN nation ON n_regionkey = r_regionkey
+      WHERE r_regionkey < 3
+      GROUP BY r_regionkey
+    ) t ORDER BY r_regionkey
+    """,
+)
+def q_view_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE VIEW + ALTER VIEW statements (analysis/CreateViewStmt.java,
+    AlterViewStmt.java) via engine.sql; the view resolves through the
+    session catalog like the reference's LocalView."""
+    from impala_spark.engine import ImpalaEngine
+
+    register_tables(spark, sf_dir)
+    eng = ImpalaEngine(spark)
+    spark.sql("DROP VIEW IF EXISTS v_lifecycle_probe")
+    eng.sql(
+        "CREATE VIEW v_lifecycle_probe AS "
+        "SELECT r_regionkey, COUNT(*) AS n "
+        "FROM region JOIN nation ON n_regionkey = r_regionkey GROUP BY r_regionkey"
+    )
+    eng.sql(
+        "ALTER VIEW v_lifecycle_probe AS "
+        "SELECT r_regionkey, COUNT(*) AS n "
+        "FROM region JOIN nation ON n_regionkey = r_regionkey "
+        "WHERE r_regionkey < 3 GROUP BY r_regionkey"
+    )
+    return eng.sql(
+        "SELECT r_regionkey, CAST(n AS BIGINT) AS n FROM v_lifecycle_probe "
+        "ORDER BY r_regionkey"
+    )
