@@ -66,17 +66,19 @@ _SYMBOL_RE = re.compile(r"SYMBOL\s*=\s*'([^']+)'|UPDATE_FN\s*=\s*'([^']+)'", re.
 #: ARRAY<STRUCT<...>>).
 _CREATE_TABLE_HDR_RE = re.compile(
     r"^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-    r"(?P<table>[\w`]+)\s*\(",
+    r"(?P<table>[\w.`]+)\s*\(",
     re.IGNORECASE,
 )
 
 _CREATE_VIEW_RE = re.compile(
-    r"^\s*CREATE\s+VIEW\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w`]+)\s+AS\s+"
+    r"^\s*CREATE\s+VIEW\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.`]+)\s*"
+    r"(?:\((?P<cols>[^)]*)\)\s*)?AS\s+"
     r"(?P<select>(?:SELECT|WITH|VALUES)\s.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 _ALTER_VIEW_RE = re.compile(
-    r"^\s*ALTER\s+VIEW\s+(?P<name>[\w`]+)\s+AS\s+(?P<select>(?:SELECT|WITH|VALUES)\s.*)$",
+    r"^\s*ALTER\s+VIEW\s+(?P<name>[\w.`]+)\s+AS\s+"
+    r"(?P<select>(?:SELECT|WITH|VALUES)\s.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -283,7 +285,7 @@ class ImpalaEngine:
             # Spark view cannot reference temp objects); within the
             # session it resolves through the catalog exactly like the
             # reference's LocalView.
-            vname = m.group("name").strip("`")
+            vname = self._session_view_name(m.group("name"))
             exists = any(
                 v.name == vname for v in self.spark.catalog.listTables()
             )
@@ -291,20 +293,22 @@ class ImpalaEngine:
                 return self.spark.sql("SELECT 'view exists (kept)' AS result")
             if exists and self.strict:
                 raise ImpalaAnalysisError(f"Table already exists: default.{vname}")
-            self.spark.sql(
-                f"CREATE OR REPLACE TEMPORARY VIEW {vname} AS "
-                + translate(m.group("select"))
+            cols = (m.group("cols") or "").strip()
+            col_list = f" ({cols})" if cols else ""
+            self._sql_with_impala_errors(
+                f"CREATE OR REPLACE TEMPORARY VIEW {vname}{col_list} AS "
+                + translate(m.group("select"), strict=self.strict)
             )
             return self.spark.sql(f"SELECT 'view {vname} created' AS result")
         m = _ALTER_VIEW_RE.match(q)
         if m:
             # analysis/AlterViewStmt.java: redefine an existing view
-            vname = m.group("name").strip("`")
+            vname = self._session_view_name(m.group("name"))
             if not any(v.name == vname for v in self.spark.catalog.listTables()):
                 raise ImpalaAnalysisError(f"Table does not exist: default.{vname}")
-            self.spark.sql(
+            self._sql_with_impala_errors(
                 f"CREATE OR REPLACE TEMPORARY VIEW {vname} AS "
-                + translate(m.group("select"))
+                + translate(m.group("select"), strict=self.strict)
             )
             return self.spark.sql(f"SELECT 'view {vname} altered' AS result")
         m = _DROP_TABLE_RE.match(q)
@@ -340,13 +344,38 @@ class ImpalaEngine:
             q = rewrite_appx_count_distinct(q)
         return self._sql_with_impala_errors(translate(q, strict=self.strict))
 
+    def _session_view_name(self, raw: str) -> str:
+        """Resolve a possibly db-qualified view/table name to a session
+        (temp-view) name. Fixture tables live as session temp views, so
+        only the current database (`default`) is addressable; a
+        qualified name in another database gets the reference's
+        CreateTableOrViewStmt error rather than silently falling through
+        to Spark-native parsing (analysis/CreateOrAlterViewStmtBase.java)."""
+        name = raw.strip("`")
+        if "." not in name:
+            return name
+        db, _, base = name.rpartition(".")
+        db = db.strip("`")
+        try:
+            current = self.spark.catalog.currentDatabase()
+        except Exception:
+            current = "default"
+        if db == current or db == "default":
+            return base.strip("`")
+        if not any(d.name == db for d in self.spark.catalog.listDatabases()):
+            raise ImpalaAnalysisError(f"Database does not exist: {db}")
+        raise ImpalaUnsupportedError(
+            f"Views outside the current database are session-scoped on this "
+            f"engine; USE {db} first, then CREATE VIEW {base.strip('`')}"
+        )
+
     def _create_table_with_cols(self, q: str, m: "re.Match[str]") -> DataFrame:
         """CREATE TABLE t (cols...) [PARTITIONED BY (...)] [STORED AS fmt]
         [LOCATION ...] — balanced-paren extraction of the column list,
         then ddl.create_table registers an empty managed table."""
         from impala_spark.sources import format_spec
 
-        tname = m.group("table").strip("`")
+        tname = self._session_view_name(m.group("table"))
         if ddl.table_info(tname) is not None:
             if re.search(r"\bIF\s+NOT\s+EXISTS\b", q, re.IGNORECASE):
                 return self.spark.sql("SELECT 'table exists (kept)' AS result")

@@ -148,7 +148,7 @@ def shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     the whole words array per shingle — O(n^2) per doc, catastrophic on
     long documents.) The words array is bound to a real column first so
     CollapseProject cannot re-inline the split/regex per get()."""
-    words = F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"[^a-z0-9\s]", "")), r"\s+")
+    words = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", "")), r"\s+")
     w = F.col("_words")
     idx = F.sequence(F.lit(0), F.greatest(F.size(w) - k, F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", *[F.get(w, i + j) for j in range(k)]))
@@ -843,7 +843,7 @@ def token_frequencies(
     ~|corpus tokens|. n_docs (document frequency) is the df-filter input
     BPE/vocab training uses. The min_count filter applies to n_total."""
     toks = F.split(
-        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"[^a-zA-Z0-9\s]", "")), _WORD_SPLIT
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-zA-Z0-9\s]", "")), _WORD_SPLIT
     )
     exploded = df.select(
         F.col(id_col).alias("_doc"), F.explode(toks).alias("token")
@@ -953,7 +953,7 @@ def bm25_scores(
     decimals for cross-engine determinism (same contract as the cosine
     queries)."""
     toks = F.split(
-        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"[^a-z0-9\s]", "")), r"\s+"
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", "")), r"\s+"
     )
     ex = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("token"))
@@ -1036,7 +1036,7 @@ def unigram_logprob_scores(
     fallback). Per-doc mean of ~1k log terms is order-stable to ~1e-12,
     so a 4-decimal rounding is a sound cross-engine contract."""
     toks = F.split(
-        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"[^a-z0-9\s]", "")), r"\s+"
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", "")), r"\s+"
     )
     ex = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("token"))
@@ -1072,7 +1072,7 @@ def chunk_documents(
         raise ValueError("overlap must be smaller than chunk_words")
     step = chunk_words - overlap
     words = F.split(
-        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"[^a-z0-9\s]", "")), r"\s+"
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", "")), r"\s+"
     )
     w = F.col("_words")
     n = F.size(w)
@@ -1107,7 +1107,7 @@ def repetition_ratio(
     pre-training removal criterion. Narrow per-row arithmetic on the
     shingle array — no shuffle, scan-speed at any scale."""
     words = F.split(
-        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"[^a-z0-9\s]", "")), r"\s+"
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", "")), r"\s+"
     )
     w = F.filter(words, lambda x: x != "")
     idx = F.sequence(F.lit(0), F.greatest(F.size(F.col("_w")) - k, F.lit(0)))
@@ -1328,7 +1328,7 @@ def block_dedup(
     from pyspark.sql.window import Window
 
     words = F.filter(
-        F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"[^a-zA-Z0-9\s]", "")), r"\s+"),
+        F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-zA-Z0-9\s]", "")), r"\s+"),
         lambda x: x != "",
     )
     starts = F.sequence(F.lit(0), F.greatest(F.size(F.col("_w")) - 1, F.lit(0)), F.lit(block_words))
@@ -1453,7 +1453,7 @@ def ngram_novelty(
     gram groups are frequency-bounded, and the heaviest grams can be
     capped the same way ngram_jaccard_pairs caps its prefix lists."""
     words = F.filter(
-        F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"[^a-z0-9\s]", "")), r"\s+"),
+        F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", "")), r"\s+"),
         lambda x: x != "",
     )
     idx = F.sequence(F.lit(0), F.greatest(F.size(F.col("_w")) - k, F.lit(0)))
@@ -1606,7 +1606,7 @@ def top_tfidf_terms(
     from pyspark.sql.window import Window
 
     words = F.filter(
-        F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"[^a-z0-9\s]", "")), r"\s+"),
+        F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", "")), r"\s+"),
         lambda x: x != "",
     )
     toks = (
@@ -1727,7 +1727,7 @@ def dsir_importance_weights(
 
     def toks(df: DataFrame, with_id: bool) -> DataFrame:
         words = F.split(
-            F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"[^a-z0-9\s]", "")),
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", "")),
             r"\s+",
         )
         cols = [F.col(id_col).alias("doc_id")] if with_id else []
@@ -1911,7 +1911,7 @@ def cluster_topics(
         .select("doc_id", "cluster")
     )
     words = F.filter(
-        F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"[^a-z0-9\s]", "")), r"\s+"),
+        F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", "")), r"\s+"),
         lambda x: x != "",
     )
     toks = docs.select(F.col(doc_id_col).alias("doc_id"), F.explode(words).alias("term"))

@@ -1257,6 +1257,20 @@ def _check_strict_ungrouped_select(tokens: list[Token]) -> None:
             for i, (a, b) in enumerate(items)
             if group_exprs and str(i + 1) in group_exprs
         }
+        # GROUP BY ordinals substitute to the select-list item BEFORE
+        # HAVING/ORDER BY analysis (SelectStmt.java:610, :541), so
+        # `GROUP BY 1 HAVING a > 5` binds when item 1 is `a`. Expand
+        # each integer ordinal to its item's normalized text and bare
+        # column so the binding checks below see the substituted form.
+        if group_exprs:
+            for g in list(group_exprs):
+                if g.isdigit() and 1 <= int(g) <= len(items):
+                    a, b = items[int(g) - 1]
+                    text = untokenize(tokens[a:b]).strip().strip("`").lower()
+                    group_exprs.add(re.sub(r"\s+", "", text))
+                    col = _bare_column_of(tokens, a, b)
+                    if col is not None:
+                        group_exprs.add(col)
         if check_select_list:
             for i, (a, b) in enumerate(items):
                 col = _bare_column_of(tokens, a, b)

@@ -221,3 +221,42 @@ def test_appx_count_distinct_option(engine):
         engine.sql("SET appx_count_distinct = false")
     back = engine.sql("SELECT count(DISTINCT o_custkey) AS n FROM orders").first().n
     assert back == exact
+
+
+def test_create_view_qualified_and_column_list(engine, spark):
+    # CreateViewStmt: db-qualified names and explicit column lists route
+    # through the engine's view lifecycle, not raw Spark fall-through.
+    engine.sql("CREATE VIEW default.v_eng_q AS SELECT n_name FROM nation")
+    assert engine.sql("SELECT count(*) AS n FROM v_eng_q").first().n == 25
+    engine.sql(
+        "CREATE VIEW v_eng_cols (cname, ckey) AS SELECT n_name, n_nationkey FROM nation"
+    )
+    assert engine.sql("SELECT max(ckey) AS m FROM v_eng_cols").first().m == 24
+    engine.sql("ALTER VIEW default.v_eng_q AS SELECT n_nationkey AS k FROM nation")
+    assert engine.sql("SELECT max(k) AS m FROM v_eng_q").first().m == 24
+    spark.catalog.dropTempView("v_eng_q")
+    spark.catalog.dropTempView("v_eng_cols")
+
+
+def test_create_view_unknown_database_errors(engine):
+    import pytest
+
+    from impala_spark.engine import ImpalaAnalysisError
+
+    with pytest.raises(ImpalaAnalysisError, match="Database does not exist: nodb"):
+        engine.sql("CREATE VIEW nodb.v_x AS SELECT 1")
+
+
+def test_strict_engine_checks_view_bodies(spark, sf_dir):
+    import pytest
+
+    from impala_spark.engine import ImpalaEngine
+    from impala_spark.parser import ImpalaUnsupportedError
+
+    es = ImpalaEngine(spark, sf_dir, strict=True)
+    # resolution failure surfaces the Impala-parity analyzer text
+    with pytest.raises(ImpalaUnsupportedError, match="Could not resolve column"):
+        es.sql("CREATE VIEW v_bad_body AS SELECT no_such_col FROM nation")
+    # strict analyzer rejections apply inside view bodies too
+    with pytest.raises(ImpalaUnsupportedError, match="aggregation output"):
+        es.sql("CREATE VIEW v_bad_grp AS SELECT n_name, count(*) FROM nation")

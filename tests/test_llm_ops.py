@@ -722,3 +722,17 @@ def test_sample_frames_fanout_and_no_shuffle(spark):
     plan = physical_plan(llm_ops.sample_frames(df))
     assert "Exchange" not in plan  # narrow generate only
     assert "Generate" in plan
+
+
+def test_dsir_tokenization_handles_mixed_case(spark):
+    # Tokenizer contract is lower-THEN-strip (matches the DuckDB oracle's
+    # regexp_replace(lower(text),...)); stripping first would delete
+    # uppercase letters ("Hello World!" -> "ello orld").
+    raw = spark.createDataFrame(
+        [(1, "Hello World!"), (2, "hello world")], "doc_id: long, text: string"
+    )
+    target = spark.createDataFrame([(10, "hello world")], "doc_id: long, text: string")
+    rows = {r.doc_id: r for r in llm_ops.dsir_importance_weights(raw, target).collect()}
+    assert rows[1].n_tokens == 2 == rows[2].n_tokens
+    # identical token streams -> identical importance weights
+    assert rows[1].logratio == rows[2].logratio

@@ -639,3 +639,16 @@ def test_strict_having_ungrouped_rejected():
         "SELECT a FROM t GROUP BY a HAVING a IS NOT NULL AND CAST(a AS INT) IN (1, 2)",
         strict=True,
     )
+
+
+def test_strict_having_binds_through_group_by_ordinals():
+    # SelectStmt.java:610,:541 — ordinals substitute to select items
+    # BEFORE HAVING analysis, so `GROUP BY 1 HAVING a > 5` is legal.
+    from impala_spark.parser import translate as tr
+
+    tr("SELECT a, count(*) FROM t GROUP BY 1 HAVING a > 5", strict=True)
+    tr(
+        "SELECT upper(a) AS u, count(*) FROM t GROUP BY 1 HAVING upper(a) = 'X'",
+        strict=True,
+    )
+    tr("SELECT a, b, sum(c) FROM t GROUP BY 1, 2 HAVING b < 3 ORDER BY a", strict=True)
