@@ -57,63 +57,53 @@ def _verified_order(names: list[str]) -> list[str]:
                 and r.get("hash_match")
             ):
                 passed.add(name)
-    # Round-4 priorities (r3 verdict task #1): the 50-query window must
-    # reach the never-driver-checked TPC-H / TPC-DS capability suites,
-    # the three round-3 LLM ops, the 9 SURVEY §2 rows with no driver row
-    # in any round, the decimal/char-varchar "hard part" type queries,
-    # and the remaining scale-path joins. ALL 174 registered queries were
-    # locally oracle-verified at sf0.01 this round (tools/check.py,
-    # 174/174) plus a full vanilla-session run; the 72 relational ones
-    # were additionally verified at a 10x scale (tools/gen_sf1.py data).
-    # The 14 entries past the window boundary and the 52 queries ADDED in
-    # round 4 (registry 162 -> 214: the LLM scoring/filter/dedup family
-    # llm_bm25_scoring .. llm_top_terms, the event-analytics family
-    # events_gap_fill/retention/funnel/anomaly/stream_outer_join, 17 more
-    # TPC-DS shapes (suite at 22), agg_exact_percentiles,
-    # expr_json_url_funcs, and the late-round llm_semantic_dedup /
-    # llm_dsir_weights / llm_cluster_topics / llm_frame_sampling /
-    # llm_ann_index_persisted / llm_curation_pipeline /
-    # events_streaming_upsert / ddl_create_table_cols) queue behind them
-    # for round 5's window; every registered query was locally
-    # oracle-verified at sf0.01 this round, and 209 of 214 also at the
-    # 10x 32-file scale (the 5 pair-quadratic-oracle ones excluded).
+    # Round-5 priorities (r4 verdict task #1): the registry is FROZEN at
+    # 215 queries; the 50-slot window takes 50 of the 67 never-driver-
+    # checked entries, ordered per the verdict: the 8-op curation family,
+    # all 17 unchecked TPC-DS shapes, the 7 events additions, the 14
+    # boost-tail rows (incl. scan_partition_keys_metadata_only — verdict
+    # task #6), and 4 more high-value r4 additions. The 17 deferred
+    # entries are single-op LLM text filters (llm_bm25_scoring,
+    # llm_decontaminate, llm_perplexity_filter, llm_chunk_documents,
+    # llm_repetition_ratio, llm_stratified_sample, llm_incremental_dedup,
+    # llm_corpus_report, llm_pii_redaction, llm_substring_dedup,
+    # llm_ngram_novelty, llm_embedding_dim_stats, llm_length_filter,
+    # llm_source_overlap, llm_top_terms, llm_frame_sampling,
+    # meta_skew_report) — each locally oracle-verified at sf0.01 this
+    # round (tools/check.py); they queue for round 6, after which the
+    # backlog (17) is far below the window and 5 sentinel re-checks per
+    # family rotate in (verdict task #7 — deferred this round because 67
+    # unverified > 50 slots; sentinels would have pushed the backlog past
+    # the verdict's <=19 target).
     boost = [
-        # the reference's capability bar: TPC-H shapes (PlannerTest.java:195-216)
-        "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority",
-        "tpch_q4_order_priority", "tpch_q5_local_supplier",
-        "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
-        "tpch_q8_market_share", "tpch_q9_product_profit",
-        "tpch_q10_returned_items", "tpch_q11_important_stock",
-        "tpch_q12_shipping_priority_counts", "tpch_q14_promo_revenue",
-        "tpch_q15_top_supplier", "tpch_q16_parts_supplier",
-        "tpch_q17_small_quantity", "tpch_q18_large_volume",
-        "tpch_q19_discounted_revenue", "tpch_q20_potential_promotion",
-        "tpch_q21_suppliers_waiting", "tpch_q22_global_sales",
-        # TPC-DS shapes
-        "tpcds_q3_shape", "tpcds_q42_shape", "tpcds_q52_shape",
-        "tpcds_q34_shape", "tpcds_q90_shape",
-        # round-3 LLM ops, never in a window
-        "llm_quantize_embeddings", "llm_dedup_clusters", "llm_clean_corpus",
-        # the 9 SURVEY §2 rows with no driver verdict in any round
-        "exchange_kinds", "expr_literals_inference",
-        "nested_struct_map_access", "expr_null_safe_eq",
-        "expr_bool_aliases", "expr_is_null", "nested_is_not_empty",
-        "outer_join_inline_view_nulls", "meta_set_use",
-        # SURVEY §7 "hard part" type-rule queries (TypesUtil.java:98-158)
-        "expr_char_varchar_cast", "expr_decimal_result_types",
-        # scale-path joins + remaining high-value backlog
-        "join_bucketed_colocated", "llm_ann_ivf", "llm_embedding_near_dup",
-        "events_asof_join", "events_range_join", "join_skewed_salted",
-        "agg_skewed_salted", "analytic_range_offset_frame",
-        "agg_avg_timestamp", "expr_factorial_postfix",
-        "scan_partition_pruning",
-        # --- window boundary (~50): the rest queue for round 5 ---
+        # LLM curation family (verdict priority #1)
+        "llm_semantic_dedup", "llm_dsir_weights", "llm_curation_pipeline",
+        "llm_gopher_filter", "llm_block_dedup", "llm_token_budget",
+        "llm_ann_index_persisted", "llm_cluster_topics",
+        # all 17 never-checked TPC-DS shapes (suite of 22 complete)
+        "tpcds_q1_shape", "tpcds_q6_shape", "tpcds_q7_shape",
+        "tpcds_q15_shape", "tpcds_q19_shape", "tpcds_q23_shape",
+        "tpcds_q33_shape", "tpcds_q45_shape", "tpcds_q51_shape",
+        "tpcds_q55_shape", "tpcds_q59_shape", "tpcds_q65_shape",
+        "tpcds_q68_shape", "tpcds_q79_shape", "tpcds_q88_shape",
+        "tpcds_q96_shape", "tpcds_q98_shape",
+        # events analytics additions (streaming surface, SURVEY §2 row 63)
+        "events_streaming_upsert", "events_stream_outer_join",
+        "events_gap_fill", "events_retention", "events_funnel",
+        "events_anomaly", "events_two_level_rollup",
+        # r4 boost-tail (scalar builtin families, DDL/meta surfaces,
+        # the metadata-only scan — P/SingleNodePlanner.java:603-606)
         "expr_math_funcs", "expr_conditional", "expr_misc_builtins",
         "expr_bit_xor_not_factorial", "agg_ndv_incremental",
         "ddl_insert_append", "ddl_create_view_database",
         "ddl_create_table_like", "ddl_alter_table", "ddl_sql_lifecycle",
         "meta_show_partitions_files", "meta_show_stats",
         "join_implicit_comma", "scan_partition_keys_metadata_only",
+        # remaining high-value r4 additions
+        "ddl_create_table_cols", "ddl_view_lifecycle",
+        "agg_exact_percentiles", "expr_json_url_funcs",
+        # --- window boundary (50): the 17 LLM text filters above queue
+        # for round 6 in registration order ---
     ]
     rank = {n: i for i, n in enumerate(boost)}
     unverified = [n for n in names if n not in passed]

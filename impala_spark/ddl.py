@@ -227,6 +227,84 @@ def _split_assignments(set_clause: str) -> list[tuple[str, str]]:
     return pairs
 
 
+#: chars Spark/Hive escape in partition directory names
+#: (ExternalCatalogUtils.escapePathName char set)
+_HIVE_UNSAFE = set('"#%\'*/:=?\\{[]^\x7f') | {chr(i) for i in range(32)}
+
+
+def _hive_part_dir(t: ManagedTable, values: tuple) -> str:
+    """Filesystem dir of one Hive-layout partition (k1=v1/k2=v2)."""
+    segs = []
+    for k, v in zip(t.partition_cols, values):
+        if v is None:
+            s = "__HIVE_DEFAULT_PARTITION__"
+        else:
+            s = "".join(
+                f"%{ord(c):02X}" if c in _HIVE_UNSAFE else c for c in str(v)
+            )
+        segs.append(f"{k}={s}")
+    return os.path.join(t.path, *segs)
+
+
+def _part_filter(t: ManagedTable, touched: list[tuple]):
+    """Static partition predicate (OR of per-partition key conjunctions)
+    from a collected touched-partition list — Catalyst partition-prunes
+    it, so the rewrite scan READS only the touched partitions."""
+    disj = None
+    for values in touched:
+        conj = None
+        for k, v in zip(t.partition_cols, values):
+            c = F.col(k).isNull() if v is None else (F.col(k) == F.lit(v))
+            conj = c if conj is None else (conj & c)
+        disj = conj if disj is None else (disj | conj)
+    return disj if disj is not None else F.lit(False)
+
+
+def _rewrite_partitions(
+    spark: SparkSession, t: ManagedTable, new_rows: DataFrame, touched: list[tuple]
+) -> DataFrame:
+    """Replace exactly the `touched` partitions of a partitioned managed
+    table with `new_rows` (which must hold ALL surviving rows of those
+    partitions and nothing else). Untouched partitions are never read or
+    rewritten — their files stay byte-identical (test-pinned), so a keyed
+    modify on a 100 TB table rewrites KBs. Mirrors
+    streaming.upsert_stream_to_table's dynamic-partition-overwrite merge
+    (r4), with one addition: a touched partition whose rows ALL disappear
+    is absent from the write output, which dynamic overwrite cannot
+    delete — those directories are removed explicitly."""
+    # materialize BEFORE overwriting the files being read
+    new_rows = new_rows.localCheckpoint()
+    remaining = {
+        tuple(r[c] for c in t.partition_cols)
+        for r in new_rows.select(*t.partition_cols).distinct().collect()
+    }
+    (
+        new_rows.sortWithinPartitions(*t.partition_cols)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*t.partition_cols)
+        .parquet(t.path)
+    )
+    for values in touched:
+        if tuple(values) not in remaining:
+            shutil.rmtree(_hive_part_dir(t, tuple(values)), ignore_errors=True)
+    return _refresh_view(spark, t)
+
+
+def _touched_partitions(df: DataFrame, t: ManagedTable, pred) -> list[tuple]:
+    """Distinct partition keys holding rows where `pred` IS TRUE. The
+    collect is metadata-scale: bounded by the number of partitions the
+    WHERE touches, the same driver-side granularity at which the
+    reference's catalog tracks HdfsPartition objects."""
+    rows = (
+        df.filter(pred.eqNullSafe(F.lit(True)))
+        .select(*t.partition_cols)
+        .distinct()
+        .collect()
+    )
+    return [tuple(r[c] for c in t.partition_cols) for r in rows]
+
+
 def modify(spark: SparkSession, stmt: str) -> DataFrame:
     m = _UPDATE_RE.match(stmt)
     if m:
@@ -234,7 +312,24 @@ def modify(spark: SparkSession, stmt: str) -> DataFrame:
         t = _managed(name)
         df = spark.read.parquet(t.path)
         pred = F.expr(translate(where)) if where else F.lit(True)
-        for col, rhs in _split_assignments(set_clause):
+        assigns = _split_assignments(set_clause)
+        set_cols = {c for c, _ in assigns}
+        if t.partition_cols and where and not (set_cols & set(t.partition_cols)):
+            # Partition-scoped rewrite: only partitions with matching rows
+            # are read back and replaced. (A SET on a partition column can
+            # move rows ACROSS partitions — destination partitions would
+            # need their non-matching rows in the output too; that rare
+            # case keeps the full rewrite below.)
+            touched = _touched_partitions(df, t, F.expr(translate(where)))
+            if not touched:
+                return _refresh_view(spark, t)
+            scoped = df.filter(_part_filter(t, touched))
+            for col, rhs in assigns:
+                scoped = scoped.withColumn(
+                    col, F.when(pred, F.expr(translate(rhs))).otherwise(F.col(col))
+                )
+            return _rewrite_partitions(spark, t, scoped.select(*df.columns), touched)
+        for col, rhs in assigns:
             df = df.withColumn(col, F.when(pred, F.expr(translate(rhs))).otherwise(F.col(col)))
         return _overwrite(spark, t, df)
 
@@ -243,6 +338,15 @@ def modify(spark: SparkSession, stmt: str) -> DataFrame:
         name, where = m.group(1).strip("`"), m.group(2)
         t = _managed(name)
         df = spark.read.parquet(t.path)
+        if where and t.partition_cols:
+            pred = F.expr(translate(where))
+            touched = _touched_partitions(df, t, pred)
+            if not touched:
+                return _refresh_view(spark, t)
+            scoped = df.filter(_part_filter(t, touched)).filter(
+                ~pred.eqNullSafe(F.lit(True))
+            )
+            return _rewrite_partitions(spark, t, scoped, touched)
         if where:
             # keep rows where the predicate is NOT TRUE (null-safe: a row
             # with NULL predicate is not deleted — Impala DELETE semantics)
@@ -380,10 +484,34 @@ def alter_table(spark: SparkSession, stmt: str) -> DataFrame:
 
 def upsert(spark: SparkSession, table: str, source: DataFrame) -> DataFrame:
     """UPSERT (sql-parser.cup:1128): replace rows matching on the primary
-    key, insert the rest — MERGE WHEN MATCHED UPDATE ALL / NOT MATCHED INSERT."""
+    key, insert the rest — MERGE WHEN MATCHED UPDATE ALL / NOT MATCHED INSERT.
+
+    Partitioned targets rewrite only the touched partitions: the source's
+    destination partitions PLUS any partition currently holding one of the
+    source's primary keys (a key whose partition value changes must have
+    its old row removed from the old partition)."""
     t = _managed(table)
     target = spark.read.parquet(t.path)
     source = source.toDF(*target.columns)
+    if t.partition_cols:
+        src_parts = source.select(*t.partition_cols).distinct()
+        hit_parts = (
+            target.join(
+                source.select(*t.primary_key).distinct(), t.primary_key, "left_semi"
+            )
+            .select(*t.partition_cols)
+            .distinct()
+        )
+        touched = [
+            tuple(r[c] for c in t.partition_cols)
+            for r in src_parts.union(hit_parts).distinct().collect()
+        ]
+        if not touched:
+            return _refresh_view(spark, t)
+        keep = target.filter(_part_filter(t, touched)).join(
+            source.select(*t.primary_key), on=t.primary_key, how="left_anti"
+        )
+        return _rewrite_partitions(spark, t, keep.unionByName(source), touched)
     keep = target.join(source.select(*t.primary_key), on=t.primary_key, how="left_anti")
     merged = keep.unionByName(source)
     return _overwrite(spark, t, merged)

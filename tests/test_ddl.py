@@ -197,3 +197,106 @@ def test_create_and_alter_view_through_engine(spark, sf_dir):
     with _p.raises(ImpalaAnalysisError, match="Table does not exist: default.no_view"):
         eng.sql("ALTER VIEW no_view AS SELECT 1 AS x")
     spark.sql("DROP VIEW IF EXISTS v_probe")
+
+
+def _dir_state(d):
+    """(relpath, size, md5) of every file under d — byte-identity probe."""
+    import hashlib
+    import os
+
+    out = []
+    for root, _dirs, files in os.walk(d):
+        for f in sorted(files):
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(root, f)
+            with open(p, "rb") as fh:
+                out.append(
+                    (os.path.relpath(p, d), os.path.getsize(p),
+                     hashlib.md5(fh.read()).hexdigest())
+                )
+    return sorted(out)
+
+
+def test_partition_scoped_update_delete_upsert(spark):
+    """ModifyStmt on a partitioned table rewrites ONLY partitions its
+    WHERE/keys touch — untouched partition files stay byte-identical
+    (the r4 verdict's 100 TB fix: a keyed modify must not rewrite the
+    table)."""
+    import os
+
+    name = "t_part_mod"
+    ddl.drop_table(spark, name)
+    ddl.create_table_as_select(
+        spark,
+        name,
+        "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer",
+        partition_cols=["c_mktsegment"],
+        primary_key=["c_custkey"],
+    )
+    t = ddl.table_info(name)
+    segs = sorted(
+        d.split("=", 1)[1] for d in os.listdir(t.path) if d.startswith("c_mktsegment=")
+    )
+    assert len(segs) >= 3
+    hot, cold = segs[0], segs[1:]
+    cold_dirs = {s: os.path.join(t.path, f"c_mktsegment={s}") for s in cold}
+    before = {s: _dir_state(d) for s, d in cold_dirs.items()}
+
+    # UPDATE scoped by a partition-key predicate
+    ddl.modify(
+        spark,
+        f"UPDATE {name} SET c_acctbal = c_acctbal + 1 WHERE c_mktsegment = '{hot}'",
+    )
+    for s in cold:
+        assert _dir_state(cold_dirs[s]) == before[s], f"UPDATE rewrote partition {s}"
+
+    # DELETE of part of the hot partition
+    n_before = spark.table(name).count()
+    hot_min = (
+        spark.table(name).filter(f"c_mktsegment = '{hot}'").agg({"c_custkey": "min"})
+    ).first()[0]
+    ddl.modify(
+        spark,
+        f"DELETE FROM {name} WHERE c_mktsegment = '{hot}' AND c_custkey = {hot_min}",
+    )
+    assert spark.table(name).count() == n_before - 1
+    for s in cold:
+        assert _dir_state(cold_dirs[s]) == before[s], f"DELETE rewrote partition {s}"
+
+    # DELETE emptying an entire partition removes its directory (dynamic
+    # overwrite can't — the scoped path must clean it explicitly)
+    ddl.modify(spark, f"DELETE FROM {name} WHERE c_mktsegment = '{hot}'")
+    assert not os.path.isdir(os.path.join(t.path, f"c_mktsegment={hot}"))
+    assert spark.table(name).filter(f"c_mktsegment = '{hot}'").count() == 0
+    for s in cold:
+        assert _dir_state(cold_dirs[s]) == before[s]
+
+    # UPSERT into one partition: new key inserted, old key replaced, cold
+    # partitions (minus the one holding the replaced key) untouched
+    target_seg = cold[0]
+    victim = (
+        spark.table(name).filter(f"c_mktsegment = '{target_seg}'").first().c_custkey
+    )
+    src = spark.createDataFrame(
+        [(victim, "updated-name", 99.5, target_seg), (10**9, "new-row", 1.0, target_seg)],
+        "c_custkey long, c_name string, c_acctbal double, c_mktsegment string",
+    )
+    ddl.upsert(spark, name, src)
+    got = {
+        r.c_custkey: r.c_name
+        for r in spark.table(name).filter(f"c_mktsegment = '{target_seg}'").collect()
+    }
+    assert got[victim] == "updated-name" and got[10**9] == "new-row"
+    for s in cold[1:]:
+        assert _dir_state(cold_dirs[s]) == before[s], f"UPSERT rewrote partition {s}"
+
+    # UPSERT that MOVES a key across partitions removes the old-partition row
+    mover_src = spark.createDataFrame(
+        [(10**9, "moved-row", 2.0, cold[1])],
+        "c_custkey long, c_name string, c_acctbal double, c_mktsegment string",
+    )
+    ddl.upsert(spark, name, mover_src)
+    rows = spark.table(name).filter("c_custkey = 1000000000").collect()
+    assert len(rows) == 1 and rows[0].c_mktsegment == cold[1]
+    ddl.drop_table(spark, name)
