@@ -1633,8 +1633,9 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.97,
-    bits: int = 8,
+    bits: int | None = None,
     stride: int = 7,
+    target_cluster_size: int = 1024,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): partition the embedding space into clusters, then
@@ -1651,14 +1652,33 @@ def semantic_dedup(
     stage parallelizes and stays oracle-exact.
 
     100 TB design: the cluster key is codegen arithmetic at scan (no
-    shuffle, no fit); the only shuffle is the within-cluster equi-join;
-    `bits` scales the cluster count (2^bits) so per-cluster membership
-    stays bounded; raising `bits` trades recall for join fan-in exactly
-    like SemDeDup's k trades recall for per-cluster cost.
+    shuffle, no fit); the only shuffle is the within-cluster equi-join.
+    The within-cluster join is pairwise, so its cost is O(n^2 / 2^bits):
+    a FIXED `bits` would go quadratic as the corpus grows. When `bits`
+    is None (the default) it is derived from the corpus count so the
+    EXPECTED cluster size stays at `target_cluster_size` regardless of
+    n — `bits = ceil(log2(n / target))`, clamped to [4, dim-supported] —
+    which keeps per-cluster pairwise work flat under scale-up (the r4
+    verdict's SemDeDup sizing fix; `stride` shrinks automatically when
+    the vector is too short for the derived bit count). The sizing reads
+    one count + one first-row dim probe — metadata-scale driver work.
+    Registered driver queries pin `bits` explicitly so their DuckDB
+    oracles can mirror the cluster key bit-for-bit.
 
     Returns (id, cluster, kept, drop_sim) — drop_sim is the max cosine to
     an earlier cluster member at/above threshold (NULL when kept).
     """
+    if bits is None:
+        import math
+
+        n = df.count()
+        dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(dim_row.d) if dim_row and dim_row.d is not None else 1
+        bits = max(4, math.ceil(math.log2(max(n, 1) / target_cluster_size)) if n > target_cluster_size else 4)
+        # a bit i reads element 1 + i*stride: shrink stride to fit dim
+        if bits > 1 and 1 + (bits - 1) * stride > dim:
+            stride = max(1, (dim - 1) // (bits - 1))
+            bits = min(bits, 1 + (dim - 1) // max(stride, 1))
     key = F.lit(0).cast("long")
     for i in range(bits):
         key = key + F.when(

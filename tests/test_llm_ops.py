@@ -736,3 +736,33 @@ def test_dsir_tokenization_handles_mixed_case(spark):
     assert rows[1].n_tokens == 2 == rows[2].n_tokens
     # identical token streams -> identical importance weights
     assert rows[1].logratio == rows[2].logratio
+
+
+def test_semantic_dedup_autosizes_cluster_bits(spark):
+    # bits=None derives the cluster count from the corpus size so the
+    # expected cluster membership stays ~target_cluster_size (per-cluster
+    # pairwise work flat as the corpus grows — r4 verdict task #3).
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+
+    def corpus(n, dim=64):
+        rows = [(i, [float(x) for x in rng.standard_normal(dim)]) for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+    small = llm_ops.semantic_dedup(corpus(200), target_cluster_size=64)
+    big = llm_ops.semantic_dedup(corpus(3200), target_cluster_size=64)
+    n_small = small.select("cluster").distinct().count()
+    n_big = big.select("cluster").distinct().count()
+    # 200/64 -> 4 bits (floor), 3200/64 -> 6 bits: cluster count must grow
+    assert n_big > n_small
+    # expected cluster size stays bounded: n / clusters <= ~4x target
+    assert 3200 / n_big <= 4 * 64
+    # identical vectors still co-cluster and dedup under auto sizing
+    v = [1.0] * 64
+    dup = spark.createDataFrame(
+        [(1, v), (2, v), (3, [(-1.0) ** i for i in range(64)])],
+        "vec_id: long, embedding: array<double>",
+    )
+    out = {r.id: r.kept for r in llm_ops.semantic_dedup(dup).collect()}
+    assert out[1] is True and out[2] is False and out[3] is True
