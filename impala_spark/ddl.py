@@ -26,7 +26,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from impala_spark.parser import translate
+from impala_spark.parser import ImpalaUnsupportedError, translate
 
 WAREHOUSE = os.environ.get("IMPALA_SPARK_WAREHOUSE", "/tmp/impala_spark_warehouse")
 
@@ -53,6 +53,16 @@ def _refresh_view(spark: SparkSession, t: ManagedTable) -> DataFrame:
         df = spark.createDataFrame([], t.schema)
     df.createOrReplaceTempView(t.name)
     return df
+
+
+def _read_table(spark: SparkSession, t: ManagedTable) -> DataFrame:
+    """Read a managed table's files, falling back to an empty frame with
+    the declared schema when no data file exists yet (same contract as
+    _refresh_view)."""
+    try:
+        return spark.read.parquet(t.path)
+    except Exception:
+        return spark.createDataFrame([], t.schema)
 
 
 def table_info(name: str) -> ManagedTable | None:
@@ -425,16 +435,29 @@ def alter_table(spark: SparkSession, stmt: str) -> DataFrame:
     if m:
         name, cols = m.group(1).strip("`"), m.group(2)
         t = _managed(name)
-        df = spark.read.parquet(t.path)
+        df = _read_table(spark, t)
+        existing = {c.lower() for c in df.columns}
         for spec in cols.split(","):
             col, _, typ = spec.strip().partition(" ")
-            df = df.withColumn(col.strip("`"), F.lit(None).cast(typ.strip()))
+            col = col.strip("`")
+            # AlterTableAddReplaceColsStmt (AnalyzeDDLTest exact texts)
+            if col.lower() in {p.lower() for p in t.partition_cols}:
+                raise ImpalaUnsupportedError(
+                    f"Column name conflicts with existing partition column: {col.lower()}"
+                )
+            if col.lower() in existing:
+                raise ImpalaUnsupportedError(f"Column already exists: {col.lower()}")
+            existing.add(col.lower())
+            df = df.withColumn(col, F.lit(None).cast(typ.strip()))
         return _overwrite(spark, t, df)
     m = _ALTER_DROP_RE.match(stmt)
     if m:
         name, col = m.group(1).strip("`"), m.group(2).strip("`")
         t = _managed(name)
-        df = spark.read.parquet(t.path)
+        if col.lower() in {p.lower() for p in t.partition_cols}:
+            # AlterTableDropColStmt (AnalyzeDDLTest exact text)
+            raise ImpalaUnsupportedError(f"Cannot drop partition column: {col.lower()}")
+        df = _read_table(spark, t)
         if col not in df.columns:
             raise ValueError(f"ALTER TABLE {name} DROP COLUMN: no column '{col}'")
         return _overwrite(spark, t, df.drop(col))
@@ -442,7 +465,10 @@ def alter_table(spark: SparkSession, stmt: str) -> DataFrame:
     if m:
         name, old, new, typ = (g.strip("`") for g in m.groups())
         t = _managed(name)
-        df = spark.read.parquet(t.path).withColumn(old, F.col(old).cast(typ))
+        if old.lower() in {p.lower() for p in t.partition_cols}:
+            # AlterTableAlterColStmt (AnalyzeDDLTest exact text)
+            raise ImpalaUnsupportedError(f"Cannot modify partition column: {old.lower()}")
+        df = _read_table(spark, t).withColumn(old, F.col(old).cast(typ))
         if old != new:
             df = df.withColumnRenamed(old, new)
         return _overwrite(spark, t, df)
@@ -609,9 +635,26 @@ def create_table(
     from pyspark.sql.types import _parse_datatype_string
 
     cols, pk = _parse_col_defs(col_defs)
+    # CreateTableStmt column analysis (AnalyzeDDLTest exact texts)
+    seen: set[str] = set()
+    for c, _t in cols:
+        if c.lower() in seen:
+            raise ImpalaUnsupportedError(f"Duplicate column name: {c.lower()}")
+        seen.add(c.lower())
     pcols: list[str] = []
     if partition_defs:
         parts, _ = _parse_col_defs(partition_defs)
+        pseen: set[str] = set()
+        for c, _t in parts:
+            if c.lower() in pseen:
+                raise ImpalaUnsupportedError(
+                    f"Duplicate partition key name: {c.lower()}"
+                )
+            pseen.add(c.lower())
+            if c.lower() in seen:
+                raise ImpalaUnsupportedError(
+                    f"Duplicate column name: {c.lower()}"
+                )
         pcols = [c for c, _t in parts]
         cols += parts
     ddl_schema = ", ".join(f"`{c}` {t}" for c, t in cols)

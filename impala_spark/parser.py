@@ -2134,6 +2134,205 @@ def _check_strict_union_columns(tokens: list[Token]) -> None:
             )
 
 
+#: scalar type keywords uppercased when rendering a type's toSql form
+_TYPE_WORDS = {
+    "int", "integer", "tinyint", "smallint", "bigint", "float", "double",
+    "real", "string", "char", "varchar", "decimal", "boolean", "timestamp",
+    "date", "binary", "array", "map", "struct",
+}
+
+
+def _type_to_sql(tokens: list[Token], a: int, b: int) -> str:
+    """Render a type-def token span the way Type.toSql does: whitespace
+    stripped, type keywords uppercased, struct field names kept as-is
+    (a word followed by ':' is a field name)."""
+    out = []
+    for k in range(a, b):
+        t = tokens[k]
+        if t.kind in ("ws", "line_comment", "block_comment"):
+            continue
+        if t.kind == "word" and t.text.lower() in _TYPE_WORDS:
+            nxt = _significant(tokens, k)
+            is_field = nxt != -1 and nxt < b and tokens[nxt].kind == "op" and tokens[nxt].text == ":"
+            out.append(t.text if is_field else t.upper)
+        else:
+            out.append(t.text)
+    return "".join(out)
+
+
+def _check_strict_type_defs(tokens: list[Token]) -> None:
+    """TypeDef.analyzeScalarType (TypeDef.java:76-119) + Expr cast
+    analysis: CHAR/VARCHAR length bounds, DECIMAL precision/scale bounds,
+    unsupported complex-type casts, and literal casts Impala rejects
+    (CastExpr.java: STRING->BOOLEAN, BOOLEAN->DECIMAL). Applied where a
+    type appears after AS inside CAST so scalar functions named like
+    types are untouched."""
+    for i, t in enumerate(tokens):
+        if t.kind != "word":
+            continue
+        up = t.upper
+        if up == "CAST":
+            j = _significant(tokens, i)
+            if j == -1 or tokens[j].text != "(":
+                continue
+            close = _matching_paren(tokens, j)
+            # top-level AS inside the cast parens
+            d, as_idx = 0, -1
+            for k in range(j + 1, close):
+                tk = tokens[k]
+                if tk.kind == "op" and tk.text == "(":
+                    d += 1
+                elif tk.kind == "op" and tk.text == ")":
+                    d -= 1
+                elif d == 0 and tk.kind == "word" and tk.upper == "AS":
+                    as_idx = k
+            if as_idx == -1:
+                continue
+            ty = _significant(tokens, as_idx)
+            if ty == -1 or tokens[ty].kind != "word":
+                continue
+            tname = tokens[ty].upper
+            if tname in ("ARRAY", "MAP", "STRUCT"):
+                raise ImpalaUnsupportedError(
+                    "Unsupported cast to complex type: "
+                    + _type_to_sql(tokens, ty, close)
+                )
+            src = _significant(tokens, j)
+            if tname == "BOOLEAN" and src != -1 and tokens[src].kind == "string":
+                nxt_after_src = _significant(tokens, src)
+                if nxt_after_src == as_idx:  # a bare literal, not an expr
+                    raise ImpalaUnsupportedError(
+                        f"Invalid type cast of {tokens[src].text} "
+                        "from STRING to BOOLEAN"
+                    )
+            if (
+                tname == "DECIMAL"
+                and src != -1
+                and tokens[src].kind == "word"
+                and tokens[src].upper in ("TRUE", "FALSE")
+                and _significant(tokens, src) == as_idx
+            ):
+                rendered = _type_to_sql(tokens, ty, close)
+                if rendered == "DECIMAL":
+                    rendered = "DECIMAL(9,0)"  # ScalarType.DEFAULT_DECIMAL
+                raise ImpalaUnsupportedError(
+                    f"Invalid type cast of {tokens[src].upper} "
+                    f"from BOOLEAN to {rendered}"
+                )
+        if up in ("CHAR", "VARCHAR", "DECIMAL"):
+            prev = _significant(tokens, i, -1)
+            if prev == -1 or tokens[prev].upper != "AS":
+                continue  # type position only (CAST(x AS ...))
+            j = _significant(tokens, i)
+            if j == -1 or tokens[j].text != "(":
+                continue
+            close = _matching_paren(tokens, j)
+            nums = [
+                int(x.text)
+                for x in tokens[j + 1:close]
+                if x.kind == "number" and x.text.isdigit()
+            ]
+            if up == "DECIMAL" and nums:
+                precision = nums[0]
+                scale = nums[1] if len(nums) > 1 else 0
+                if precision > 38:
+                    raise ImpalaUnsupportedError(
+                        f"Decimal precision must be <= 38: {precision}"
+                    )
+                if precision == 0:
+                    raise ImpalaUnsupportedError(
+                        f"Decimal precision must be > 0: {precision}"
+                    )
+                if scale > precision:
+                    raise ImpalaUnsupportedError(
+                        f"Decimal scale ({scale}) must be <= precision ({precision})"
+                    )
+            elif up in ("CHAR", "VARCHAR") and nums:
+                name = "Char" if up == "CHAR" else "Varchar"
+                max_len = 255 if up == "CHAR" else 65535
+                if nums[0] <= 0:
+                    raise ImpalaUnsupportedError(
+                        f"{name} size must be > 0: {nums[0]}"
+                    )
+                if nums[0] > max_len:
+                    raise ImpalaUnsupportedError(
+                        f"{name} size must be <= {max_len}: {nums[0]}"
+                    )
+
+
+#: variadic/offset builtins whose zero-arg call has no matching signature
+_MIN_ONE_ARG_FUNCS = {"concat", "coalesce", "lag", "lead", "greatest", "least"}
+
+
+def _check_strict_literal_exprs(tokens: list[Token]) -> None:
+    """Literal-level analysis errors (no schema needed): double-range
+    numeric literals (NumericLiteral.java:188-195), numeric operands of
+    LIKE/ILIKE (LikePredicate.java analyze), invalid literal regexes for
+    REGEXP/IREGEXP/RLIKE, and zero-arg calls of >=1-arity builtins
+    (FunctionCallExpr.java:287)."""
+    import re as _re
+
+    for i, t in enumerate(tokens):
+        if t.kind == "number" and ("e" in t.text.lower() or "." in t.text):
+            try:
+                v = float(t.text)
+            except ValueError:
+                continue
+            mantissa = t.text.lower().split("e")[0]
+            nonzero = any(c in "123456789" for c in mantissa)
+            if v in (float("inf"), float("-inf")):
+                raise ImpalaUnsupportedError(
+                    f"Numeric literal '{t.text}' exceeds maximum range of doubles."
+                )
+            if v == 0.0 and nonzero and "e" in t.text.lower():
+                raise ImpalaUnsupportedError(
+                    f"Numeric literal '{t.text}' underflows minimum resolution of doubles."
+                )
+        if t.kind != "word":
+            continue
+        up = t.upper
+        if up in ("LIKE", "ILIKE"):
+            nxt = _significant(tokens, i)
+            if nxt != -1 and tokens[nxt].kind == "number":
+                raise ImpalaUnsupportedError(
+                    f"right operand of {up} must be of type STRING"
+                )
+            prev = _significant(tokens, i, -1)
+            if prev != -1 and tokens[prev].upper == "NOT":
+                prev = _significant(tokens, prev, -1)
+            if prev != -1 and tokens[prev].kind == "number":
+                raise ImpalaUnsupportedError(
+                    f"left operand of {up} must be of type STRING"
+                )
+        elif up in ("REGEXP", "IREGEXP", "RLIKE"):
+            nxt = _significant(tokens, i)
+            prev = _significant(tokens, i, -1)
+            if (
+                nxt != -1
+                and tokens[nxt].kind == "string"
+                and prev != -1
+                and tokens[prev].kind in ("word", "bident", "string")
+                and tokens[prev].upper not in ("NOT",)
+            ):
+                pat = tokens[nxt].text[1:-1].replace("''", "'")
+                try:
+                    _re.compile(pat)
+                except _re.error:
+                    raise ImpalaUnsupportedError(
+                        "invalid regular expression in "
+                        f"'{tokens[prev].text} {up} {tokens[nxt].text}'"
+                    ) from None
+        elif t.text.lower() in _MIN_ONE_ARG_FUNCS:
+            j = _significant(tokens, i)
+            if j != -1 and tokens[j].kind == "op" and tokens[j].text == "(":
+                k = _significant(tokens, j)
+                if k != -1 and tokens[k].kind == "op" and tokens[k].text == ")":
+                    raise ImpalaUnsupportedError(
+                        "No matching function with signature: "
+                        f"{t.text.lower()}()."
+                    )
+
+
 def rewrite_appx_count_distinct(sql: str) -> str:
     """APPX_COUNT_DISTINCT query option (SelectStmt.java:643-665): rewrite
     every single-argument COUNT(DISTINCT expr) into NDV(expr). Multi-column
@@ -2187,6 +2386,8 @@ def translate(sql: str, strict: bool = False) -> str:
         _check_strict_duplicate_aliases(tokens)
         _check_strict_analytic_exprs(tokens)
         _check_strict_union_columns(tokens)
+        _check_strict_type_defs(tokens)
+        _check_strict_literal_exprs(tokens)
     tokens = _rewrite_collection_refs(tokens)
     tokens = _rewrite_bool_aliases(tokens)
     tokens = _rewrite_iregexp(tokens)

@@ -300,3 +300,32 @@ def test_partition_scoped_update_delete_upsert(spark):
     rows = spark.table(name).filter("c_custkey = 1000000000").collect()
     assert len(rows) == 1 and rows[0].c_mktsegment == cold[1]
     ddl.drop_table(spark, name)
+
+
+def test_ddl_column_errors_pin_reference_texts(spark):
+    # CreateTableStmt / AlterTable*Stmt exact messages (AnalyzeDDLTest)
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+
+    with pytest.raises(ImpalaUnsupportedError, match=r"Duplicate column name: c1"):
+        ddl.create_table(spark, "t_dup", "c1 INT, c1 STRING")
+    with pytest.raises(ImpalaUnsupportedError, match=r"Duplicate partition key name: p"):
+        ddl.create_table(spark, "t_dup", "c1 INT", "p INT, p STRING")
+    with pytest.raises(ImpalaUnsupportedError, match=r"Duplicate column name: p"):
+        ddl.create_table(spark, "t_dup", "p INT", "p STRING")
+
+    ddl.drop_table(spark, "t_alt_err")
+    ddl.create_table(spark, "t_alt_err", "id INT, val STRING", "yr INT")
+    with pytest.raises(ImpalaUnsupportedError, match=r"Column already exists: val"):
+        ddl.alter_table(spark, "ALTER TABLE t_alt_err ADD COLUMNS (val STRING)")
+    with pytest.raises(
+        ImpalaUnsupportedError,
+        match=r"Column name conflicts with existing partition column: yr",
+    ):
+        ddl.alter_table(spark, "ALTER TABLE t_alt_err ADD COLUMNS (yr INT)")
+    with pytest.raises(ImpalaUnsupportedError, match=r"Cannot drop partition column: yr"):
+        ddl.alter_table(spark, "ALTER TABLE t_alt_err DROP COLUMN yr")
+    with pytest.raises(ImpalaUnsupportedError, match=r"Cannot modify partition column: yr"):
+        ddl.alter_table(spark, "ALTER TABLE t_alt_err CHANGE yr yr BIGINT")
+    ddl.drop_table(spark, "t_alt_err")

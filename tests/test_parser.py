@@ -652,3 +652,86 @@ def test_strict_having_binds_through_group_by_ordinals():
         strict=True,
     )
     tr("SELECT a, b, sum(c) FROM t GROUP BY 1, 2 HAVING b < 3 ORDER BY a", strict=True)
+
+
+def test_strict_type_def_errors_pin_reference_texts():
+    # TypeDef.java:76-119 exact messages (AnalyzeExprsTest.java:302-412)
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+
+    cases = [
+        ("select cast(1 as decimal(0, 1))", "Decimal precision must be > 0: 0"),
+        ("select cast(1 as decimal(39, 1))", "Decimal precision must be <= 38: 39"),
+        ("select cast(1 as decimal(5, 6))", "Decimal scale (6) must be <= precision (5)"),
+        ("select cast('foo' as varchar(0))", "Varchar size must be > 0: 0"),
+        ("select cast('foo' as varchar(65536))", "Varchar size must be <= 65535: 65536"),
+        ("select cast('foo' as char(0))", "Char size must be > 0: 0"),
+        ("select cast('foo' as char(256))", "Char size must be <= 255: 256"),
+        ("select cast(1 as array<int>)", "Unsupported cast to complex type: ARRAY<INT>"),
+        ("select cast(1 as map<int, int>)", "Unsupported cast to complex type: MAP<INT,INT>"),
+        (
+            "select cast(1 as struct<a:int,b:char(20)>)",
+            "Unsupported cast to complex type: STRUCT<a:INT,b:CHAR(20)>",
+        ),
+        (
+            "select cast('false' as boolean)",
+            "Invalid type cast of 'false' from STRING to BOOLEAN",
+        ),
+        (
+            "select cast(true as decimal)",
+            "Invalid type cast of TRUE from BOOLEAN to DECIMAL(9,0)",
+        ),
+    ]
+    for sql, msg in cases:
+        with pytest.raises(ImpalaUnsupportedError) as ei:
+            tr(sql, strict=True)
+        assert msg in str(ei.value), sql
+    # legal forms still pass
+    tr("select cast(1 as decimal(38, 38))", strict=True)
+    tr("select cast('foo' as char(255))", strict=True)
+    tr("select cast('true' as string)", strict=True)
+
+
+def test_strict_literal_expr_errors_pin_reference_texts():
+    # NumericLiteral.java:188-195, LikePredicate analyze,
+    # FunctionCallExpr.java:287 exact messages
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+
+    cases = [
+        (
+            "select 1.7976931348623157E+3081",
+            "Numeric literal '1.7976931348623157E+3081' exceeds maximum range of doubles.",
+        ),
+        (
+            "select 4.9E-3241",
+            "Numeric literal '4.9E-3241' underflows minimum resolution of doubles.",
+        ),
+        ("select * from t where s like 5", "right operand of LIKE must be of type STRING"),
+        ("select * from t where s ilike 5", "right operand of ILIKE must be of type STRING"),
+        ("select * from t where 5 like 'x%'", "left operand of LIKE must be of type STRING"),
+        ("select * from t where 5 ilike 'x%'", "left operand of ILIKE must be of type STRING"),
+        (
+            "select * from t where s regexp 'test]['",
+            "invalid regular expression in 's REGEXP 'test][''",
+        ),
+        (
+            "select * from t where s iregexp 'test]['",
+            "invalid regular expression in 's IREGEXP 'test][''",
+        ),
+        ("select concat()", "No matching function with signature: concat()."),
+        ("select coalesce()", "No matching function with signature: coalesce()."),
+        ("select lag() over (order by x) from t", "No matching function with signature: lag()."),
+    ]
+    for sql, msg in cases:
+        with pytest.raises(ImpalaUnsupportedError) as ei:
+            tr(sql, strict=True)
+        assert msg in str(ei.value), sql
+    # legal forms still pass
+    tr("select 1.5e300, 4.9e-300", strict=True)
+    tr("select * from t where s like 'x%' and s regexp 'a+b'", strict=True)
+    tr("select concat(a, b), coalesce(a, b) from t", strict=True)
