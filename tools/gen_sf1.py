@@ -4,24 +4,51 @@ i * max_key_of_table), preserving referential integrity. region/nation
 are dimension-fixed, as in TPC-H. Bench-only data (gitignored); the
 driver's sf0.1 remains the correctness/bench-gate input.
 
-Usage: python tools/gen_sf1.py [outdir]  (default /root/repo/.bench_sf1)
+Usage: python tools/gen_sf1.py [outdir] [--src DIR] [--copies N]
+       [--skip-corpus]
+Defaults replicate the driver's sf0.1 10x into /root/repo/.bench_sf1.
+The sf10 crossover fixtures (BASELINE.md bench curve) chain it:
+  python tools/gen_sf1.py /root/repo/.bench_sf10 --src /root/repo/.bench_sf1 \
+      --copies 10 --skip-corpus
+Key offsets are computed from the SOURCE's max keys, so chained scale-ups
+keep referential integrity at every level.
 """
 import os
 import sys
 
 import duckdb
 
-SRC = "/root/testdata/sf0.1"
-OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.bench_sf1"
-COPIES = 10
-# offsets chosen as the table's row count at sf0.1 (keys are 1..N)
-C, S, P, O, E = 15_000, 1_000, 20_000, 150_000, 100_000
+args = [a for a in sys.argv[1:]]
+def _flag(name, default=None):
+    if name in args:
+        i = args.index(name)
+        v = args[i + 1]
+        del args[i:i + 2]
+        return v
+    return default
+
+SRC = _flag("--src", "/root/testdata/sf0.1")
+COPIES = int(_flag("--copies", "10"))
+SKIP_CORPUS = "--skip-corpus" in args
+if SKIP_CORPUS:
+    args.remove("--skip-corpus")
+OUT = args[0] if args else "/root/repo/.bench_sf1"
 
 os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
 for t in ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents"):
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SRC}/{t}.parquet')")
+    p = f"{SRC}/{t}.parquet"
+    src_glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src_glob}')")
+
+# key offsets = the source's max key per table (keys are 1..N dense)
+C = con.sql("SELECT max(c_custkey) FROM customer").fetchone()[0]
+S = con.sql("SELECT max(s_suppkey) FROM supplier").fetchone()[0]
+P = con.sql("SELECT max(p_partkey) FROM part").fetchone()[0]
+O = con.sql("SELECT max(o_orderkey) FROM orders").fetchone()[0]
+E = con.sql("SELECT max(event_id) FROM events").fetchone()[0]
+U = con.sql("SELECT max(user_id) FROM events").fetchone()[0] + 1
 
 def gen(name: str, select: str, files: int = 32) -> None:
     """Write the scaled table as `files` parquet part-files under a
@@ -63,7 +90,7 @@ gen("orders", f"""SELECT o_orderkey + i*{O} AS o_orderkey, o_custkey + i*{C} AS 
 gen("lineitem", f"""SELECT l_orderkey + i*{O} AS l_orderkey, l_partkey + i*{P} AS l_partkey,
         l_suppkey + i*{S} AS l_suppkey, l_linenumber, l_quantity, l_extendedprice,
         l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate FROM lineitem, {R}""")
-gen("events", f"""SELECT event_id + i*{E} AS event_id, ts, user_id + i*1500 AS user_id,
+gen("events", f"""SELECT event_id + i*{E} AS event_id, ts, user_id + i*{U} AS user_id,
         event_type, value, props FROM events, {R}""")
 
 
@@ -78,12 +105,16 @@ gen("events", f"""SELECT event_id + i*{E} AS event_id, ts, user_id + i*1500 AS u
 # - embeddings: copy i applies a seeded SIGNED PERMUTATION of the
 #   dimensions (an orthogonal transform): norms and within-copy cosines
 #   are exactly preserved, cross-copy cosines become incoherent noise.
+if SKIP_CORPUS:
+    print("corpus tables skipped (--skip-corpus)", flush=True)
+    sys.exit(0)
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import shutil
 
-D = 5_000  # documents rows at sf0.1 (doc_id 0..4999)
+D = con.sql("SELECT max(doc_id) FROM documents").fetchone()[0] + 1
 _WS = "\\s+"
 _doc_parts = []
 for i in range(COPIES):
