@@ -471,27 +471,12 @@ sql_query(
 # Fact-to-fact join: lineitem x orders (shuffle join at scale).
 sql_query(
     "join_fact_fact",
-    # scaled-long sum kernel (see pricing_summary); COUNT DISTINCT
-    # unchanged (no decimal path)
+    # NOT converted to the scaled-long kernel: A/B at sf10 showed this
+    # query is dominated by the join + distinct-Expand shuffle (run
+    # variance 5.7-12.7 s swamps the decimal term); the simple form wins
+    # on clarity at equal cost. An eager lineitem-by-orderkey pre-agg was
+    # also measured and did not beat Catalyst's Expand-based plan.
     """
-    WITH j AS (
-      SELECT o_orderpriority, o.o_orderkey,
-        CAST(ROUND(l_extendedprice * 10000) AS BIGINT) AS ext4
-      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-      WHERE o.o_orderstatus = 'O'
-    ), a AS (
-      SELECT o_orderpriority,
-        COUNT(DISTINCT o_orderkey) AS n_orders,
-        SUM(ext4 % 1000000) AS r0, SUM(ext4 DIV 1000000 % 1000000) AS r1,
-        SUM(ext4 DIV 1000000000000) AS r2
-      FROM j GROUP BY o_orderpriority
-    )
-    SELECT o_orderpriority,
-           CAST(n_orders AS BIGINT) AS n_orders,
-           CAST(((CAST(r2 AS DECIMAL(38,0)) * 1000000 + r1) * 1000000 + r0) / 10000.0 AS DOUBLE) AS revenue
-    FROM a ORDER BY o_orderpriority
-    """,
-    oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
