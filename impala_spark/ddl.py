@@ -150,9 +150,13 @@ def insert(
     # parquet schema into the table directory.
     target = spark.table(table)
     if len(df.columns) != len(target.columns):
-        raise ValueError(
-            f"INSERT into {table}: {len(df.columns)} columns provided, "
-            f"{len(target.columns)} expected ({', '.join(target.columns)})"
+        # InsertStmt.java:520-525 exact text (comparator flips with the
+        # direction of the mismatch; no column-permutation support here)
+        comparator = "more" if len(target.columns) > len(df.columns) else "fewer"
+        raise ImpalaUnsupportedError(
+            f"Target table 'default.{table}' has {comparator} columns "
+            f"({len(target.columns)}) than the SELECT / VALUES clause "
+            f"returns ({len(df.columns)})"
         )
     df = df.toDF(*target.columns).select(
         *[F.col(c).cast(f.dataType) for c, f in zip(target.columns, target.schema.fields)]

@@ -2216,6 +2216,57 @@ def _check_strict_reserved_idents(tokens: list[Token]) -> None:
                 continue
 
 
+def _check_strict_between_subqueries(tokens: list[Token]) -> None:
+    """BetweenPredicate.analyze (BetweenPredicate.java:52-57): comparing
+    a subquery against subquery bounds is rejected. Token subset: a
+    `(SELECT ...)` immediately left of BETWEEN plus a `(SELECT` as the
+    first bound or after the bounds' AND."""
+    for i, t in enumerate(tokens):
+        if t.kind != "word" or t.upper != "BETWEEN":
+            continue
+        prev = _significant(tokens, i, -1)
+        if prev != -1 and tokens[prev].upper == "NOT":
+            prev = _significant(tokens, prev, -1)
+        if prev == -1 or not (tokens[prev].kind == "op" and tokens[prev].text == ")"):
+            continue
+        # walk back to the matching '(' and check it opens a subquery
+        depth = 0
+        open_idx = -1
+        for k in range(prev, -1, -1):
+            if tokens[k].kind == "op":
+                if tokens[k].text == ")":
+                    depth += 1
+                elif tokens[k].text == "(":
+                    depth -= 1
+                    if depth == 0:
+                        open_idx = k
+                        break
+        if open_idx == -1:
+            continue
+        head = _significant(tokens, open_idx)
+        if head == -1 or tokens[head].upper != "SELECT":
+            continue
+
+        def _is_subq(j: int) -> bool:
+            if j == -1 or not (tokens[j].kind == "op" and tokens[j].text == "("):
+                return False
+            h = _significant(tokens, j)
+            return h != -1 and tokens[h].upper == "SELECT"
+
+        lo = _significant(tokens, i)
+        hi = -1
+        if _is_subq(lo):
+            close = _matching_paren(tokens, lo)
+            a = _significant(tokens, close)
+            if a != -1 and tokens[a].upper == "AND":
+                hi = _significant(tokens, a)
+        if _is_subq(lo) or _is_subq(hi):
+            raise ImpalaUnsupportedError(
+                "Comparison between subqueries is not supported in a "
+                "BETWEEN predicate"
+            )
+
+
 def _check_strict_where_requires_from(tokens: list[Token]) -> None:
     """Impala's grammar ties WHERE to a from_clause (sql-parser.cup
     select_stmt); Spark accepts `SELECT 1 WHERE true` over an implicit
@@ -2297,6 +2348,10 @@ def _check_strict_type_defs(tokens: list[Token]) -> None:
             if ty == -1 or tokens[ty].kind != "word":
                 continue
             tname = tokens[ty].upper
+            if tname in ("DATE", "DATETIME", "BINARY"):
+                # Type.getUnsupportedTypes (catalog/Type.java:107-110):
+                # parsed by the grammar, rejected at analysis
+                raise ImpalaUnsupportedError(f"Unsupported data type: {tname}")
             if tname in ("ARRAY", "MAP", "STRUCT"):
                 raise ImpalaUnsupportedError(
                     "Unsupported cast to complex type: "
@@ -2495,6 +2550,7 @@ def translate(sql: str, strict: bool = False) -> str:
         _check_strict_literal_exprs(tokens)
         _check_strict_reserved_idents(tokens)
         _check_strict_where_requires_from(tokens)
+        _check_strict_between_subqueries(tokens)
     tokens = _rewrite_collection_refs(tokens)
     tokens = _rewrite_bool_aliases(tokens)
     tokens = _rewrite_iregexp(tokens)

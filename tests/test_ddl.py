@@ -329,3 +329,25 @@ def test_ddl_column_errors_pin_reference_texts(spark):
     with pytest.raises(ImpalaUnsupportedError, match=r"Cannot modify partition column: yr"):
         ddl.alter_table(spark, "ALTER TABLE t_alt_err CHANGE yr yr BIGINT")
     ddl.drop_table(spark, "t_alt_err")
+
+
+def test_insert_column_mismatch_pins_reference_text(spark):
+    # InsertStmt.java:520-525 exact message
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+
+    ddl.drop_table(spark, "t_ins_mismatch")
+    ddl.create_table(spark, "t_ins_mismatch", "a INT, b STRING, c DOUBLE")
+    with pytest.raises(
+        ImpalaUnsupportedError,
+        match=r"Target table 'default.t_ins_mismatch' has more columns \(3\) than "
+        r"the SELECT / VALUES clause returns \(2\)",
+    ):
+        ddl.insert(spark, "t_ins_mismatch", "SELECT 1, 'x'")
+    with pytest.raises(
+        ImpalaUnsupportedError,
+        match=r"has fewer columns \(3\) than the SELECT / VALUES clause returns \(4\)",
+    ):
+        ddl.insert(spark, "t_ins_mismatch", "SELECT 1, 'x', 2.0, 99")
+    ddl.drop_table(spark, "t_ins_mismatch")

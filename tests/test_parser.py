@@ -767,3 +767,30 @@ def test_strict_reserved_word_identifiers_rejected():
     tr("select not x from t", strict=True)
     tr("select 1", strict=True)
     tr("select a from t where exists (select 1 from u where u.x = t.x)", strict=True)
+
+
+def test_strict_batch_b_reference_texts():
+    # BetweenPredicate.java:52-57, Type.java:107-110 (unsupported types)
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+
+    with pytest.raises(ImpalaUnsupportedError, match="Unsupported data type: DATE"):
+        tr("select cast(x as date) from t", strict=True)
+    with pytest.raises(ImpalaUnsupportedError, match="Unsupported data type: DATETIME"):
+        tr("select cast(x as datetime) from t", strict=True)
+    with pytest.raises(ImpalaUnsupportedError, match="Unsupported data type: BINARY"):
+        tr("select cast(x as binary) from t", strict=True)
+    with pytest.raises(
+        ImpalaUnsupportedError,
+        match="Comparison between subqueries is not supported in a BETWEEN predicate",
+    ):
+        tr(
+            "select * from t where (select max(a) from u) "
+            "between (select min(a) from u) and 100",
+            strict=True,
+        )
+    # legal BETWEEN forms untouched
+    tr("select * from t where a between 1 and 10", strict=True)
+    tr("select * from t where a between (1 + 2) and (3 + 4)", strict=True)
