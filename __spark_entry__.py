@@ -70,7 +70,10 @@ def _verified_order(names: list[str]) -> list[str]:
     # llm_ngram_novelty, llm_embedding_dim_stats, llm_length_filter,
     # llm_source_overlap, llm_top_terms, llm_frame_sampling,
     # meta_skew_report) — each locally oracle-verified at sf0.01 this
-    # round (tools/check.py); they queue for round 6, after which the
+    # round (tools/check.py), and 16 of the 17 also at the 10x 32-file
+    # scale (llm_incremental_dedup excluded there: its shared-shingle
+    # candidate oracle is pair-quadratic in the corpus — the documented
+    # 10x-exclusion class); they queue for round 6, after which the
     # backlog (17) is far below the window and 5 sentinel re-checks per
     # family rotate in (verdict task #7 — deferred this round because 67
     # unverified > 50 slots; sentinels would have pushed the backlog past
