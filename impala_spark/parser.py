@@ -1450,14 +1450,34 @@ def _check_strict_limit_offset(tokens: list[Token]) -> None:
                 raise ImpalaUnsupportedError(
                     f"{t.upper} must be a non-negative integer: {v} = {v}"
                 )
-        # non-integer literal (LimitElement analysis: integer literals only)
-        if j != -1 and (
-            (tokens[j].kind == "number" and "." in tokens[j].text)
-            or tokens[j].kind == "string"
-        ):
+        # wrong-type / non-constant operands (LimitElement.java:108-136
+        # exact texts)
+        if j != -1 and tokens[j].kind == "string":
             raise ImpalaUnsupportedError(
-                f"{t.upper} expression must be an integer literal: {tokens[j].text}"
+                f"{t.upper} expression must be an integer type but is "
+                f"'STRING': {tokens[j].text}"
             )
+        if j != -1 and tokens[j].kind == "number" and "." in tokens[j].text:
+            digits = tokens[j].text.replace(".", "").lstrip("0") or "0"
+            scale = len(tokens[j].text.split(".")[1])
+            dec = f"DECIMAL({max(len(digits), scale)},{scale})"
+            raise ImpalaUnsupportedError(
+                f"{t.upper} expression must be an integer type but is "
+                f"'{dec}': {tokens[j].text}"
+            )
+        if (
+            j != -1
+            and tokens[j].kind in ("word", "bident")
+            and tokens[j].upper not in ("NULL", "TRUE", "FALSE")
+        ):
+            # a bare identifier (column ref) is not a constant expression;
+            # function calls are left to the engine (may be const-foldable)
+            after = _significant(tokens, j)
+            if not (after != -1 and tokens[after].kind == "op" and tokens[after].text == "("):
+                raise ImpalaUnsupportedError(
+                    f"{t.upper} expression must be a constant expression: "
+                    f"{tokens[j].text}"
+                )
         if t.upper != "OFFSET":
             continue
         # OFFSET: require an ORDER at the same depth earlier in the block

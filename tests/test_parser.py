@@ -481,11 +481,11 @@ def test_strict_nested_aggregates_rejected():
 
 def test_strict_limit_non_integer_rejected():
     with _pytest.raises(
-        _Unsupported, match=r"LIMIT expression must be an integer literal: 2\.5"
+        _Unsupported, match=r"LIMIT expression must be an integer type but is 'DECIMAL\(2,1\)': 2\.5"
     ):
         translate("SELECT a FROM t LIMIT 2.5", strict=True)
     with _pytest.raises(
-        _Unsupported, match="OFFSET expression must be an integer literal: 'x'"
+        _Unsupported, match="OFFSET expression must be an integer type but is 'STRING': 'x'"
     ):
         translate("SELECT a FROM t ORDER BY a LIMIT 5 OFFSET 'x'", strict=True)
     translate("SELECT a FROM t LIMIT 5", strict=True)
@@ -794,3 +794,29 @@ def test_strict_batch_b_reference_texts():
     # legal BETWEEN forms untouched
     tr("select * from t where a between 1 and 10", strict=True)
     tr("select * from t where a between (1 + 2) and (3 + 4)", strict=True)
+
+
+def test_strict_limit_offset_type_and_constness_exact_texts():
+    # LimitElement.java:108-136 exact messages
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+
+    with pytest.raises(
+        ImpalaUnsupportedError,
+        match=r"LIMIT expression must be a constant expression: a",
+    ):
+        tr("select x from t order by x limit a", strict=True)
+    with pytest.raises(
+        ImpalaUnsupportedError,
+        match=r"OFFSET expression must be a constant expression: b",
+    ):
+        tr("select x from t order by x limit 5 offset b", strict=True)
+    with pytest.raises(
+        ImpalaUnsupportedError,
+        match=r"LIMIT expression must be an integer type but is 'STRING': 'five'",
+    ):
+        tr("select x from t limit 'five'", strict=True)
+    # legal: integer literals and constant fn calls pass through
+    tr("select x from t order by x limit 5 offset 2", strict=True)
