@@ -26,7 +26,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from impala_spark.parser import ImpalaUnsupportedError, translate
+from impala_spark.parser import ImpalaUnsupportedError, translate, validate_type_def
 
 WAREHOUSE = os.environ.get("IMPALA_SPARK_WAREHOUSE", "/tmp/impala_spark_warehouse")
 
@@ -621,6 +621,8 @@ def _parse_col_defs(defs: str) -> tuple[list[tuple[str, str]], list[str]]:
         m = re.match(r"(?s)^([`\w]+)\s+(.+?)(?:\s+COMMENT\s+'.*')?$", item)
         if not m:
             raise ValueError(f"cannot parse column definition: {item!r}")
+        # TypeDef bounds (TypeDef.java:76-119) apply to column defs too
+        validate_type_def(m.group(2))
         cols.append((m.group(1).strip("`"), _spark_col_type(m.group(2))))
     return cols, pk
 

@@ -2513,6 +2513,37 @@ def _check_strict_literal_exprs(tokens: list[Token]) -> None:
                     )
 
 
+def validate_type_def(type_sql: str) -> None:
+    """TypeDef.analyzeScalarType bounds for a column-definition type
+    (TypeDef.java:76-119) — the same texts the CAST-path strict check
+    pins. Called from ddl.create_table/alter_table on the RAW type text
+    (before CHAR/VARCHAR map to STRING for storage). Scope: length/
+    precision bounds only — DATE/BINARY columns are a documented
+    Spark-side extension here, not rejected."""
+    s = type_sql.strip()
+    m = re.match(r"(?is)^(CHAR|VARCHAR)\s*\(\s*(\d+)\s*\)$", s)
+    if m:
+        name = "Char" if m.group(1).upper() == "CHAR" else "Varchar"
+        ln = int(m.group(2))
+        mx = 255 if name == "Char" else 65535
+        if ln <= 0:
+            raise ImpalaUnsupportedError(f"{name} size must be > 0: {ln}")
+        if ln > mx:
+            raise ImpalaUnsupportedError(f"{name} size must be <= {mx}: {ln}")
+        return
+    m = re.match(r"(?is)^DECIMAL\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)$", s)
+    if m:
+        p, sc = int(m.group(1)), int(m.group(2) or 0)
+        if p > 38:
+            raise ImpalaUnsupportedError(f"Decimal precision must be <= 38: {p}")
+        if p == 0:
+            raise ImpalaUnsupportedError(f"Decimal precision must be > 0: {p}")
+        if sc > p:
+            raise ImpalaUnsupportedError(
+                f"Decimal scale ({sc}) must be <= precision ({p})"
+            )
+
+
 def rewrite_appx_count_distinct(sql: str) -> str:
     """APPX_COUNT_DISTINCT query option (SelectStmt.java:643-665): rewrite
     every single-argument COUNT(DISTINCT expr) into NDV(expr). Multi-column

@@ -351,3 +351,23 @@ def test_insert_column_mismatch_pins_reference_text(spark):
     ):
         ddl.insert(spark, "t_ins_mismatch", "SELECT 1, 'x', 2.0, 99")
     ddl.drop_table(spark, "t_ins_mismatch")
+
+
+def test_create_table_type_bounds_pin_reference_texts(spark):
+    # TypeDef.java:76-119 applies to column definitions, not just casts
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+
+    with pytest.raises(ImpalaUnsupportedError, match=r"Decimal precision must be <= 38: 40"):
+        ddl.create_table(spark, "t_type_err", "a DECIMAL(40,2)")
+    with pytest.raises(ImpalaUnsupportedError, match=r"Decimal scale \(5\) must be <= precision \(3\)"):
+        ddl.create_table(spark, "t_type_err", "a DECIMAL(3,5)")
+    with pytest.raises(ImpalaUnsupportedError, match=r"Varchar size must be <= 65535: 70000"):
+        ddl.create_table(spark, "t_type_err", "a VARCHAR(70000)")
+    with pytest.raises(ImpalaUnsupportedError, match=r"Char size must be > 0: 0"):
+        ddl.create_table(spark, "t_type_err", "a CHAR(0)")
+    # legal bounds still create
+    ddl.drop_table(spark, "t_type_ok")
+    ddl.create_table(spark, "t_type_ok", "a DECIMAL(38,38), b VARCHAR(65535), c CHAR(255)")
+    ddl.drop_table(spark, "t_type_ok")
