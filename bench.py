@@ -46,6 +46,17 @@ if os.environ.get("SPARK_GRAFT_BENCH_QUERIES"):
     HEADLINE = [q for q in os.environ["SPARK_GRAFT_BENCH_QUERIES"].split(",") if q]
 
 
+def _materialize(df) -> int:
+    """Fully materialize a result into the client, returning its row
+    count. Arrow path when available (native columnar transfer — the
+    symmetric counterpart of DuckDB's .arrow()); falls back to collect()
+    for result types Arrow cannot carry."""
+    try:
+        return df.toArrow().num_rows
+    except Exception:
+        return len(df.collect())
+
+
 def main() -> None:
     spark = get_spark("impala_spark_bench")
     # Warm pass: run every headline query once so the measured passes see
@@ -53,13 +64,19 @@ def main() -> None:
     # Production services amortize first-run cost the same way (long-lived
     # sessions), so warm numbers are the honest engine cost.
     for name in HEADLINE:
-        SPARK_QUERIES[name](spark, SF_DIR).collect()
+        _materialize(SPARK_QUERIES[name](spark, SF_DIR))
 
-    # Timing notes (r3 verdict):
-    # - collect(), not count(): a count() lets Catalyst prune every
-    #   post-aggregation projection (decimal casts/rounds), understating
-    #   true materialization cost. Result sets are small; collect is the
-    #   honest full-query cost.
+    # Timing notes (r3 verdict, materialization upgraded r5):
+    # - FULL materialization, not count(): a count() lets Catalyst prune
+    #   every post-aggregation projection (decimal casts/rounds) — and
+    #   even whole window functions — understating true query cost.
+    # - Arrow transfer, not collect() (r5): collect() builds Python Row
+    #   objects via pickle, which charges large result sets for Python
+    #   object construction, not engine work (analytic_ranking at sf10:
+    #   5.8 s collect vs 0.73 s toArrow for the same fully-computed
+    #   1.5M-row result). Both sides now use their native columnar client
+    #   path — Spark DataFrame.toArrow(), DuckDB .arrow() — so every
+    #   result value still crosses into the client, symmetrically.
     # - median of 3 timed passes: single-pass timings on a 32-thread
     #   local JVM swing up to 4x on identical plans (GC/JIT pauses;
     #   measured totals 9.9-15.1 s for one config). The median is stable
@@ -84,7 +101,7 @@ def main() -> None:
         for _ in range(3):
             _PLAN_CACHE.clear()  # force fresh plan + fresh shuffles
             t0 = time.time()
-            n = len(fn(spark, SF_DIR).collect())
+            n = _materialize(fn(spark, SF_DIR))
             times.append(time.time() - t0)
         dt = round(sorted(times)[1], 3)
         per_query[name] = dt
@@ -95,11 +112,11 @@ def main() -> None:
     rep_total = 0.0
     for name in HEADLINE:
         fn = SPARK_QUERIES[name]
-        fn(spark, SF_DIR).collect()  # prime plan cache + shuffle outputs
+        _materialize(fn(spark, SF_DIR))  # prime plan cache + shuffle outputs
         times = []
         for _ in range(3):
             t0 = time.time()
-            fn(spark, SF_DIR).collect()
+            _materialize(fn(spark, SF_DIR))
             times.append(time.time() - t0)
         dt = round(sorted(times)[1], 3)
         repeated[name] = dt
@@ -116,8 +133,10 @@ def main() -> None:
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "methodology": (
-                    "warm collect(), median of 3 fresh executions per query "
-                    "(plan cache cleared per pass; no shuffle-stage reuse)"
+                    "warm, full Arrow materialization (DataFrame.toArrow; "
+                    "collect fallback), median of 3 fresh executions per "
+                    "query (plan cache cleared per pass; no shuffle-stage "
+                    "reuse); DuckDB denominator materializes via .arrow()"
                 ),
                 "repeated_query_total": round(rep_total, 3),
                 "repeated_queries": repeated,

@@ -26,6 +26,15 @@ from impala_spark.queries import ORACLE_SQL
 from impala_spark.session import TABLES
 
 
+def _mat(con, sql) -> None:
+    """Full materialization via DuckDB's native Arrow path (the symmetric
+    counterpart of bench.py's DataFrame.toArrow); fetchall fallback."""
+    try:
+        con.execute(sql).arrow()
+    except Exception:
+        con.execute(sql).fetchall()
+
+
 def main() -> None:
     con = duckdb.connect()
     for t in TABLES:
@@ -42,11 +51,11 @@ def main() -> None:
         if sql is None:
             per_query[name] = None
             continue
-        con.execute(sql).fetchall()  # warm
+        _mat(con, sql)  # warm
         times = []
         for _ in range(3):
             t0 = time.time()
-            con.execute(sql).fetchall()
+            _mat(con, sql)
             times.append(time.time() - t0)
             if times[-1] > 10:  # pathological oracle (minhash all-pairs)
                 break
@@ -64,7 +73,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "methodology": "warm, median of 3 timed passes per query",
+                "methodology": "warm, full .arrow() materialization (fetchall fallback), median of 3 timed passes per query",
             }
         )
     )
