@@ -393,11 +393,11 @@ _ALTER_CHANGE_RE = re.compile(
     re.IGNORECASE,
 )
 _ALTER_ADD_PART_RE = re.compile(
-    r"^\s*ALTER\s+TABLE\s+([\w`]+)\s+ADD\s+(?:IF\s+NOT\s+EXISTS\s+)?PARTITION\s*\(([^)]+)\)\s*$",
+    r"^\s*ALTER\s+TABLE\s+([\w`]+)\s+ADD\s+(IF\s+NOT\s+EXISTS\s+)?PARTITION\s*\(([^)]+)\)\s*$",
     re.IGNORECASE,
 )
 _ALTER_DROP_PART_RE = re.compile(
-    r"^\s*ALTER\s+TABLE\s+([\w`]+)\s+DROP\s+(?:IF\s+EXISTS\s+)?PARTITION\s*\(([^)]+)\)\s*$",
+    r"^\s*ALTER\s+TABLE\s+([\w`]+)\s+DROP\s+(IF\s+EXISTS\s+)?PARTITION\s*\(([^)]+)\)\s*$",
     re.IGNORECASE,
 )
 _ALTER_RENAME_RE = re.compile(
@@ -481,20 +481,34 @@ def alter_table(spark: SparkSession, stmt: str) -> DataFrame:
         # AlterTableAddPartitionStmt: materialize the partition directory
         # (Hive-style k=v path). An empty dir is a 0-row partition, same
         # contract as the reference's catalog-only add.
-        name, spec = m.group(1).strip("`"), m.group(2)
+        name, ine, spec = m.group(1).strip("`"), m.group(2), m.group(3)
         t = _managed(name)
         if not t.partition_cols:
             raise ValueError(f"ALTER TABLE {name} ADD PARTITION: table is not partitioned")
-        os.makedirs(os.path.join(t.path, _partition_subdir(t, spec)), exist_ok=True)
+        pdir = os.path.join(t.path, _partition_subdir(t, spec))
+        if os.path.isdir(pdir) and not ine:
+            # PartitionSpec.java:125 exact text
+            raise ImpalaUnsupportedError(
+                "Partition spec already exists: ("
+                + ", ".join(i.strip() for i in spec.split(",")) + ")."
+            )
+        os.makedirs(pdir, exist_ok=True)
         return _refresh_view(spark, t)
     m = _ALTER_DROP_PART_RE.match(stmt)
     if m:
         # AlterTableDropPartitionStmt: remove the partition's directory
         # (data included — Impala DROP PARTITION drops the data too).
-        name, spec = m.group(1).strip("`"), m.group(2)
+        name, ife, spec = m.group(1).strip("`"), m.group(2), m.group(3)
         t = _managed(name)
         sub = _partition_subdir(t, spec)
-        shutil.rmtree(os.path.join(t.path, sub), ignore_errors=True)
+        pdir = os.path.join(t.path, sub)
+        if not os.path.isdir(pdir) and not ife:
+            # PartitionSpec.java:122 exact text
+            raise ImpalaUnsupportedError(
+                "Partition spec does not exist: ("
+                + ", ".join(i.strip() for i in spec.split(",")) + ")."
+            )
+        shutil.rmtree(pdir, ignore_errors=True)
         return _refresh_view(spark, t)
     m = _ALTER_RENAME_RE.match(stmt)
     if m:

@@ -371,3 +371,28 @@ def test_create_table_type_bounds_pin_reference_texts(spark):
     ddl.drop_table(spark, "t_type_ok")
     ddl.create_table(spark, "t_type_ok", "a DECIMAL(38,38), b VARCHAR(65535), c CHAR(255)")
     ddl.drop_table(spark, "t_type_ok")
+
+
+def test_alter_partition_spec_existence_pins_reference_texts(spark):
+    # PartitionSpec.java:122-127 exact messages
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+
+    ddl.drop_table(spark, "t_pspec")
+    ddl.create_table(spark, "t_pspec", "id INT", "j INT")
+    ddl.alter_table(spark, "ALTER TABLE t_pspec ADD PARTITION (j=2)")
+    with pytest.raises(
+        ImpalaUnsupportedError, match=r"Partition spec already exists: \(j=2\)\."
+    ):
+        ddl.alter_table(spark, "ALTER TABLE t_pspec ADD PARTITION (j=2)")
+    # IF NOT EXISTS suppresses it
+    ddl.alter_table(spark, "ALTER TABLE t_pspec ADD IF NOT EXISTS PARTITION (j=2)")
+    with pytest.raises(
+        ImpalaUnsupportedError, match=r"Partition spec does not exist: \(j=9\)\."
+    ):
+        ddl.alter_table(spark, "ALTER TABLE t_pspec DROP PARTITION (j=9)")
+    # IF EXISTS suppresses it; existing partition drops cleanly
+    ddl.alter_table(spark, "ALTER TABLE t_pspec DROP IF EXISTS PARTITION (j=9)")
+    ddl.alter_table(spark, "ALTER TABLE t_pspec DROP PARTITION (j=2)")
+    ddl.drop_table(spark, "t_pspec")
