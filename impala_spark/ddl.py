@@ -85,8 +85,14 @@ def _managed(name: str) -> ManagedTable:
 def drop_table(spark: SparkSession, name: str, purge: bool = True) -> None:
     t = _REGISTRY.pop(name, None)
     spark.catalog.dropTempView(name)
-    if t and purge and os.path.isdir(t.path):
-        shutil.rmtree(t.path, ignore_errors=True)
+    if purge:
+        # also clear a stale warehouse dir from a PREVIOUS process — the
+        # registry is in-memory, but /tmp warehouse dirs persist across
+        # runs; without this a re-created table inherits orphan partition
+        # directories (caught by the partition-spec existence check)
+        path = t.path if t else os.path.join(WAREHOUSE, name)
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
 
 
 def create_table_as_select(
@@ -165,9 +171,13 @@ def insert(
     if t.partition_cols:
         df = df.sortWithinPartitions(*t.partition_cols)
         # Match Impala INSERT OVERWRITE PARTITION: replace only the
-        # partitions present in the input (dynamic partition overwrite).
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        df.write.mode(mode).partitionBy(*t.partition_cols).parquet(t.path)
+        # partitions present in the input. Per-WRITER option, not session
+        # conf — a session-wide dynamic mode silently changes the
+        # semantics of every later partitioned overwrite (a CTAS re-create
+        # stopped truncating orphan partitions; caught by the gate).
+        (df.write.mode(mode)
+           .option("partitionOverwriteMode", "dynamic")
+           .partitionBy(*t.partition_cols).parquet(t.path))
     else:
         df.write.mode(mode).parquet(t.path)
     return _refresh_view(spark, t)
