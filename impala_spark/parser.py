@@ -1918,6 +1918,60 @@ def _check_strict_analytic_exprs(tokens: list[Token]) -> None:
         fn = tokens[name_idx].upper.lower()
         full = untokenize(tokens[name_idx:spec_close + 1]).strip()
         call = untokenize(tokens[name_idx:args_close + 1]).strip()
+        # DISTINCT params (AnalyticExpr.java:449-452)
+        first_arg = _significant(tokens, args_open)
+        if (
+            first_arg != -1
+            and first_arg < args_close
+            and tokens[first_arg].kind == "word"
+            and tokens[first_arg].upper == "DISTINCT"
+        ):
+            raise ImpalaUnsupportedError(
+                "DISTINCT not allowed in analytic function: " + call
+            )
+        # IGNORE NULLS only on first_value/last_value (:454-460)
+        if fn not in ("first_value", "last_value"):
+            d2 = 0
+            for k in range(args_open + 1, args_close):
+                tk = tokens[k]
+                if tk.kind == "op" and tk.text == "(":
+                    d2 += 1
+                elif tk.kind == "op" and tk.text == ")":
+                    d2 -= 1
+                elif d2 == 0 and tk.kind == "word" and tk.upper == "IGNORE":
+                    nx = _significant(tokens, k)
+                    if nx != -1 and tokens[nx].upper == "NULLS":
+                        raise ImpalaUnsupportedError(
+                            f"Function {fn.upper()} does not accept the "
+                            "keyword IGNORE NULLS."
+                        )
+        # ranking/offset fns: ORDER BY required; explicit frame forbidden
+        # (:478-486)
+        if fn in (
+            "rank", "dense_rank", "row_number", "percent_rank",
+            "cume_dist", "ntile", "lag", "lead",
+        ):
+            d2 = 0
+            has_order = has_frame = False
+            for k in range(spec_open + 1, spec_close):
+                tk = tokens[k]
+                if tk.kind == "op" and tk.text == "(":
+                    d2 += 1
+                elif tk.kind == "op" and tk.text == ")":
+                    d2 -= 1
+                elif d2 == 0 and tk.kind == "word":
+                    if tk.upper == "ORDER":
+                        has_order = True
+                    elif tk.upper in ("ROWS", "RANGE"):
+                        has_frame = True
+            if not has_order:
+                raise ImpalaUnsupportedError(
+                    f"'{full}' requires an ORDER BY clause"
+                )
+            if has_frame:
+                raise ImpalaUnsupportedError(
+                    f"Windowing clause not allowed with '{call}'"
+                )
         # nested analytic inside the function arguments
         for k in range(args_open + 1, args_close):
             if tokens[k].kind == "word" and tokens[k].upper == "OVER":

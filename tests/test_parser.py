@@ -820,3 +820,46 @@ def test_strict_limit_offset_type_and_constness_exact_texts():
         tr("select x from t limit 'five'", strict=True)
     # legal: integer literals and constant fn calls pass through
     tr("select x from t order by x limit 5 offset 2", strict=True)
+
+
+def test_strict_analytic_param_errors_pin_reference_texts():
+    # AnalyticExpr.java:449-486 exact messages
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+
+    cases = [
+        (
+            "select count(distinct a) over (partition by b) from t",
+            "DISTINCT not allowed in analytic function: count(distinct a)",
+        ),
+        (
+            "select lead(a ignore nulls) over (order by b) from t",
+            "Function LEAD does not accept the keyword IGNORE NULLS.",
+        ),
+        (
+            "select rank() over (partition by b) from t",
+            "requires an ORDER BY clause",
+        ),
+        (
+            "select row_number() over (order by b rows between 1 preceding and current row) from t",
+            "Windowing clause not allowed with 'row_number()'",
+        ),
+        (
+            "select lag(a, 1) over (order by b range between unbounded preceding and current row) from t",
+            "Windowing clause not allowed with 'lag(a, 1)'",
+        ),
+    ]
+    for sql, msg in cases:
+        with pytest.raises(ImpalaUnsupportedError) as ei:
+            tr(sql, strict=True)
+        assert msg in str(ei.value), sql
+    # legal analytic forms untouched
+    tr("select first_value(a ignore nulls) over (order by b) from t", strict=True)
+    tr("select rank() over (order by b) from t", strict=True)
+    tr(
+        "select sum(a) over (order by b rows between 1 preceding and current row) from t",
+        strict=True,
+    )
+    tr("select count(distinct a) from t", strict=True)
