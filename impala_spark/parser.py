@@ -1884,6 +1884,21 @@ def _is_pure_literal(tokens: list[Token], a: int, b: int) -> str | None:
     return None
 
 
+#: unambiguous scalar builtins — an OVER clause on these is always an
+#: error (AnalyticExpr.java:464-468); unknown names may be UDAs and pass
+_KNOWN_SCALAR_FNS = {
+    "abs", "ceil", "floor", "round", "sqrt", "exp", "ln", "log", "log2",
+    "log10", "pow", "power", "mod", "pmod", "sign", "sin", "cos", "tan",
+    "upper", "lower", "length", "substr", "substring", "trim", "ltrim",
+    "rtrim", "concat", "concat_ws", "lpad", "rpad", "reverse", "replace",
+    "instr", "locate", "ascii", "chr", "initcap", "repeat", "translate",
+    "regexp_extract", "regexp_replace", "coalesce", "nullif", "isnull",
+    "nvl", "ifnull", "greatest", "least", "year", "month", "day", "hour",
+    "minute", "second", "to_date", "now", "unix_timestamp",
+    "from_unixtime", "date_add", "date_sub", "datediff", "cast",
+}
+
+
 def _check_strict_analytic_exprs(tokens: list[Token]) -> None:
     """AnalyticExpr.java analysis rules: no nested analytics (:540),
     LEAD/LAG offset a constant positive integer (:414), and no constant
@@ -1918,6 +1933,17 @@ def _check_strict_analytic_exprs(tokens: list[Token]) -> None:
         fn = tokens[name_idx].upper.lower()
         full = untokenize(tokens[name_idx:spec_close + 1]).strip()
         call = untokenize(tokens[name_idx:args_close + 1]).strip()
+        # composition: a known scalar builtin cannot take OVER (:464-468);
+        # known non-analytic aggregates cannot either (:470-475). Unknown
+        # names are left alone — they may be user-defined aggregates.
+        if fn in _KNOWN_SCALAR_FNS:
+            raise ImpalaUnsupportedError(
+                "OVER clause requires aggregate or analytic function: " + call
+            )
+        if fn in ("group_concat", "appx_median", "sample", "histogram"):
+            raise ImpalaUnsupportedError(
+                f"Aggregate function '{call}' not supported with OVER clause."
+            )
         # DISTINCT params (AnalyticExpr.java:449-452)
         first_arg = _significant(tokens, args_open)
         if (

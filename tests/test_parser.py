@@ -863,3 +863,26 @@ def test_strict_analytic_param_errors_pin_reference_texts():
         strict=True,
     )
     tr("select count(distinct a) from t", strict=True)
+
+
+def test_strict_over_composition_pins_reference_texts():
+    # AnalyticExpr.java:464-475 exact messages
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+
+    with pytest.raises(
+        ImpalaUnsupportedError,
+        match=r"OVER clause requires aggregate or analytic function: abs\(a\)",
+    ):
+        tr("select abs(a) over (order by b) from t", strict=True)
+    with pytest.raises(
+        ImpalaUnsupportedError,
+        match=r"Aggregate function 'group_concat\(a\)' not supported with OVER clause\.",
+    ):
+        tr("select group_concat(a) over (partition by b order by a) from t", strict=True)
+    # unknown names (possible UDAs) and real analytic aggs pass
+    tr("select my_uda(a) over (order by b) from t", strict=True)
+    tr("select sum(a) over (order by b) from t", strict=True)
+    tr("select first_value(a) over (order by b) from t", strict=True)
