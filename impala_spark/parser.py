@@ -2367,6 +2367,63 @@ def _check_strict_between_subqueries(tokens: list[Token]) -> None:
             )
 
 
+def _check_strict_subquery_columns(tokens: list[Token]) -> None:
+    """InPredicate.java:120 / BinaryPredicate.java:188: a subquery used
+    with IN must return a single column; one compared with a binary
+    operator must return a scalar ('single row' text). Token subset:
+    star-free select lists with >1 top-level items."""
+    for i, t in enumerate(tokens):
+        if not (t.kind == "op" and t.text == "("):
+            continue
+        head = _significant(tokens, i)
+        if head == -1 or tokens[head].upper != "SELECT":
+            continue
+        close = _matching_paren(tokens, i)
+        prev = _significant(tokens, i, -1)
+        if prev == -1:
+            continue
+        is_in = tokens[prev].kind == "word" and tokens[prev].upper == "IN"
+        is_cmp = tokens[prev].kind == "op" and tokens[prev].text in (
+            "=", "<", ">", "<=", ">=", "!=", "<>", "<=>",
+        )
+        if not (is_in or is_cmp):
+            continue
+        # find the subquery's top-level FROM; items between SELECT and it
+        d = 0
+        from_idx = close
+        for k in range(head + 1, close):
+            tk = tokens[k]
+            if tk.kind == "op" and tk.text == "(":
+                d += 1
+            elif tk.kind == "op" and tk.text == ")":
+                d -= 1
+            elif d == 0 and tk.kind == "word" and tk.upper == "FROM":
+                from_idx = k
+                break
+        d2 = 0
+        has_star = False
+        for k in range(head + 1, from_idx):
+            tk = tokens[k]
+            if tk.kind == "op" and tk.text == "(":
+                d2 += 1
+            elif tk.kind == "op" and tk.text == ")":
+                d2 -= 1
+            elif d2 == 0 and tk.kind == "op" and tk.text == "*":
+                has_star = True  # star item OR multiplication: defer
+        if has_star:
+            continue
+        n = _countable_select_items(tokens, head + 1, from_idx)
+        if n > 1:
+            sub_sql = untokenize(tokens[i:close + 1]).strip()
+            if is_in:
+                raise ImpalaUnsupportedError(
+                    "Subquery must return a single column: " + sub_sql
+                )
+            raise ImpalaUnsupportedError(
+                "Subquery must return a single row: " + sub_sql
+            )
+
+
 def _check_strict_where_requires_from(tokens: list[Token]) -> None:
     """Impala's grammar ties WHERE to a from_clause (sql-parser.cup
     select_stmt); Spark accepts `SELECT 1 WHERE true` over an implicit
@@ -2682,6 +2739,7 @@ def translate(sql: str, strict: bool = False) -> str:
         _check_strict_reserved_idents(tokens)
         _check_strict_where_requires_from(tokens)
         _check_strict_between_subqueries(tokens)
+        _check_strict_subquery_columns(tokens)
     tokens = _rewrite_collection_refs(tokens)
     tokens = _rewrite_bool_aliases(tokens)
     tokens = _rewrite_iregexp(tokens)

@@ -886,3 +886,28 @@ def test_strict_over_composition_pins_reference_texts():
     tr("select my_uda(a) over (order by b) from t", strict=True)
     tr("select sum(a) over (order by b) from t", strict=True)
     tr("select first_value(a) over (order by b) from t", strict=True)
+
+
+def test_strict_subquery_column_count_pins_reference_texts():
+    # InPredicate.java:120 / BinaryPredicate.java:188 exact messages
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+
+    with pytest.raises(
+        ImpalaUnsupportedError,
+        match=r"Subquery must return a single column: \(select a, b from u\)",
+    ):
+        tr("select * from t where x in (select a, b from u)", strict=True)
+    with pytest.raises(
+        ImpalaUnsupportedError,
+        match=r"Subquery must return a single row: \(select a, b from u\)",
+    ):
+        tr("select * from t where x = (select a, b from u)", strict=True)
+    # legal single-column / EXISTS / FROM-subquery forms untouched
+    tr("select * from t where x in (select a from u)", strict=True)
+    tr("select * from t where x = (select max(a) from u)", strict=True)
+    tr("select * from t where exists (select a, b from u)", strict=True)
+    tr("select * from (select a, b from u) v", strict=True)
+    tr("select * from t where x in (select a * b from u)", strict=True)
