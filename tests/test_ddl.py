@@ -396,3 +396,33 @@ def test_alter_partition_spec_existence_pins_reference_texts(spark):
     ddl.alter_table(spark, "ALTER TABLE t_pspec DROP IF EXISTS PARTITION (j=9)")
     ddl.alter_table(spark, "ALTER TABLE t_pspec DROP PARTITION (j=2)")
     ddl.drop_table(spark, "t_pspec")
+
+
+def test_partition_scoped_modify_null_partition_values(spark):
+    """NULL partition keys land in __HIVE_DEFAULT_PARTITION__; scoped
+    DELETE/UPDATE must address them (isNull filter + default-dir cleanup)."""
+    import os
+
+    name = "t_null_part"
+    ddl.drop_table(spark, name)
+    src = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, None), (3, 30.0, "b"), (4, 40.0, None)],
+        "id long, v double, seg string",
+    )
+    ddl.create_table_as_select(spark, name, src, partition_cols=["seg"], primary_key=["id"])
+    t = ddl.table_info(name)
+    assert os.path.isdir(os.path.join(t.path, "seg=__HIVE_DEFAULT_PARTITION__"))
+    a_state = _dir_state(os.path.join(t.path, "seg=a"))
+
+    # UPDATE rows in the NULL partition only
+    ddl.modify(spark, f"UPDATE {name} SET v = v + 1 WHERE seg IS NULL")
+    got = {r.id: r.v for r in spark.table(name).collect()}
+    assert got[2] == 21.0 and got[4] == 41.0 and got[1] == 10.0
+    assert _dir_state(os.path.join(t.path, "seg=a")) == a_state
+
+    # DELETE the whole NULL partition: dir must be removed
+    ddl.modify(spark, f"DELETE FROM {name} WHERE seg IS NULL")
+    assert spark.table(name).count() == 2
+    assert not os.path.isdir(os.path.join(t.path, "seg=__HIVE_DEFAULT_PARTITION__"))
+    assert _dir_state(os.path.join(t.path, "seg=a")) == a_state
+    ddl.drop_table(spark, name)
