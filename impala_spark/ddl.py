@@ -270,6 +270,13 @@ def _hive_part_dir(t: ManagedTable, values: tuple) -> str:
     return os.path.join(t.path, *segs)
 
 
+#: scoped-rewrite cap: above this many touched partitions the OR-of-
+#: conjunctions predicate stops being a win (plan size grows linearly in
+#: branches and the rewrite approaches a full-table write anyway) — the
+#: callers fall back to the staging full rewrite
+MAX_SCOPED_PARTITIONS = 256
+
+
 def _part_filter(t: ManagedTable, touched: list[tuple]):
     """Static partition predicate (OR of per-partition key conjunctions)
     from a collected touched-partition list — Catalyst partition-prunes
@@ -347,6 +354,11 @@ def modify(spark: SparkSession, stmt: str) -> DataFrame:
             touched = _touched_partitions(df, t, F.expr(translate(where)))
             if not touched:
                 return _refresh_view(spark, t)
+            if len(touched) > MAX_SCOPED_PARTITIONS:
+                touched = None  # unselective WHERE: full rewrite below
+        else:
+            touched = None
+        if touched is not None:
             scoped = df.filter(_part_filter(t, touched))
             for col, rhs in assigns:
                 scoped = scoped.withColumn(
@@ -367,10 +379,12 @@ def modify(spark: SparkSession, stmt: str) -> DataFrame:
             touched = _touched_partitions(df, t, pred)
             if not touched:
                 return _refresh_view(spark, t)
-            scoped = df.filter(_part_filter(t, touched)).filter(
-                ~pred.eqNullSafe(F.lit(True))
-            )
-            return _rewrite_partitions(spark, t, scoped, touched)
+            if len(touched) <= MAX_SCOPED_PARTITIONS:
+                scoped = df.filter(_part_filter(t, touched)).filter(
+                    ~pred.eqNullSafe(F.lit(True))
+                )
+                return _rewrite_partitions(spark, t, scoped, touched)
+            # unselective WHERE: full rewrite below
         if where:
             # keep rows where the predicate is NOT TRUE (null-safe: a row
             # with NULL predicate is not deleted — Impala DELETE semantics)
@@ -562,10 +576,12 @@ def upsert(spark: SparkSession, table: str, source: DataFrame) -> DataFrame:
         ]
         if not touched:
             return _refresh_view(spark, t)
-        keep = target.filter(_part_filter(t, touched)).join(
-            source.select(*t.primary_key), on=t.primary_key, how="left_anti"
-        )
-        return _rewrite_partitions(spark, t, keep.unionByName(source), touched)
+        if len(touched) <= MAX_SCOPED_PARTITIONS:
+            keep = target.filter(_part_filter(t, touched)).join(
+                source.select(*t.primary_key), on=t.primary_key, how="left_anti"
+            )
+            return _rewrite_partitions(spark, t, keep.unionByName(source), touched)
+        # source touches most of the table: full merge below
     keep = target.join(source.select(*t.primary_key), on=t.primary_key, how="left_anti")
     merged = keep.unionByName(source)
     return _overwrite(spark, t, merged)
