@@ -43,7 +43,15 @@ def _verified_order(names: list[str]) -> list[str]:
 
     here = os.path.dirname(os.path.abspath(__file__))
     passed: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    #: round index of each query's MOST RECENT full pass — verified
+    #: entries re-enter the window stalest-first, so once the unverified
+    #: backlog is below the window size the spare slots automatically
+    #: re-confirm the oldest greens (the r4 verdict's sentinel rotation,
+    #: generalized to a full least-recently-verified cycle)
+    last_green: dict[str, int] = {}
+    for rnd, path in enumerate(
+        sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    ):
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -57,6 +65,7 @@ def _verified_order(names: list[str]) -> list[str]:
                 and r.get("hash_match")
             ):
                 passed.add(name)
+                last_green[name] = rnd
     # Round-5 priorities (r4 verdict task #1): the registry is FROZEN at
     # 215 queries; the 50-slot window takes 50 of the 67 never-driver-
     # checked entries, ordered per the verdict: the 8-op curation family,
@@ -111,7 +120,9 @@ def _verified_order(names: list[str]) -> list[str]:
     rank = {n: i for i, n in enumerate(boost)}
     unverified = [n for n in names if n not in passed]
     unverified.sort(key=lambda n: (rank.get(n, len(rank)),))  # stable
-    return unverified + [n for n in names if n in passed]
+    verified = [n for n in names if n in passed]
+    verified.sort(key=lambda n: last_green.get(n, 0))  # stalest first
+    return unverified + verified
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
