@@ -2388,6 +2388,39 @@ def _check_strict_subquery_columns(tokens: list[Token]) -> None:
         )
         if not (is_in or is_cmp):
             continue
+        if is_in:
+            # tuple lhs: (a, b) IN (SELECT ...) — InPredicate.java:115
+            lhs = _significant(tokens, prev, -1)
+            if lhs != -1 and tokens[lhs].kind == "word" and tokens[lhs].upper == "NOT":
+                lhs = _significant(tokens, lhs, -1)
+            if lhs != -1 and tokens[lhs].kind == "op" and tokens[lhs].text == ")":
+                d3 = 0
+                for b in range(lhs, -1, -1):
+                    tb = tokens[b]
+                    if tb.kind == "op" and tb.text == ")":
+                        d3 += 1
+                    elif tb.kind == "op" and tb.text == "(":
+                        d3 -= 1
+                        if d3 == 0:
+                            before = _significant(tokens, b, -1)
+                            if (
+                                before != -1
+                                and tokens[before].kind in ("word", "bident")
+                                and tokens[before].upper not in _NON_OPERAND_WORDS
+                            ):
+                                break  # function call f(a, b), not a tuple
+                            inner = tokens[b + 1:lhs]
+                            dd = 0
+                            for tk in inner:
+                                if tk.kind == "op" and tk.text == "(":
+                                    dd += 1
+                                elif tk.kind == "op" and tk.text == ")":
+                                    dd -= 1
+                                elif dd == 0 and tk.kind == "op" and tk.text == ",":
+                                    raise ImpalaUnsupportedError(
+                                        "Unsupported IN predicate with a subquery"
+                                    )
+                            break
         # find the subquery's top-level FROM; items between SELECT and it
         d = 0
         from_idx = close

@@ -911,3 +911,23 @@ def test_strict_subquery_column_count_pins_reference_texts():
     tr("select * from t where exists (select a, b from u)", strict=True)
     tr("select * from (select a, b from u) v", strict=True)
     tr("select * from t where x in (select a * b from u)", strict=True)
+
+
+def test_strict_multi_column_in_subquery_rejected():
+    # InPredicate.java:115: Impala has no multi-column IN with a subquery
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+
+    with pytest.raises(
+        ImpalaUnsupportedError, match="Unsupported IN predicate with a subquery"
+    ):
+        tr("select * from t where (a, b) in (select x, y from u)", strict=True)
+    with pytest.raises(
+        ImpalaUnsupportedError, match="Unsupported IN predicate with a subquery"
+    ):
+        tr("select * from t where (a, b) not in (select x, y from u)", strict=True)
+    # single-column parenthesized lhs and plain forms stay accepted
+    tr("select * from t where (a) in (select x from u)", strict=True)
+    tr("select * from t where f(a, b) in (select x from u)", strict=True)
