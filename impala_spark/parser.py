@@ -1735,6 +1735,10 @@ def _from_regions(tokens: list[Token]) -> list[tuple[int, int]]:
     for idx, t in enumerate(tokens):
         if t.kind != "word" or t.upper != "FROM":
             continue
+        # `IS [NOT] DISTINCT FROM` is an operator, not a from-clause
+        prev = _significant(tokens, idx, -1)
+        if prev != -1 and tokens[prev].kind == "word" and tokens[prev].upper == "DISTINCT":
+            continue
         # skip EXTRACT(unit FROM ts) / substring(x FROM n) forms: a FROM
         # that is directly inside a function call has a '(' before it at
         # the same depth with no intervening SELECT.

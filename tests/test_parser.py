@@ -931,3 +931,16 @@ def test_strict_multi_column_in_subquery_rejected():
     # single-column parenthesized lhs and plain forms stay accepted
     tr("select * from t where (a) in (select x from u)", strict=True)
     tr("select * from t where f(a, b) in (select x from u)", strict=True)
+
+
+def test_is_distinct_from_not_parsed_as_from_clause():
+    # `IS [NOT] DISTINCT FROM` is an operator; the duplicate-alias check
+    # must not scan its right operand as table refs (two nullif() calls
+    # used to collide as "duplicate table alias 'nullif'").
+    from impala_spark.parser import translate as tr
+
+    tr(
+        "SELECT nullif(a, 1) IS NOT DISTINCT FROM nullif(b, 1) AS x, "
+        "nullif(a, 2) IS DISTINCT FROM NULL AS y FROM t",
+        strict=True,
+    )
