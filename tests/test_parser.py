@@ -944,3 +944,33 @@ def test_is_distinct_from_not_parsed_as_from_clause():
         "nullif(a, 2) IS DISTINCT FROM NULL AS y FROM t",
         strict=True,
     )
+
+
+def test_strict_layer_accepts_all_registered_query_texts():
+    """Every registered SQL query's Impala-dialect text must pass the
+    strict analyzer, EXCEPT documented genuine Impala 2.7 rejections the
+    non-strict engine deliberately supersets. Guards every future strict
+    check against false positives at registry breadth."""
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+    from impala_spark.queries import SPARK_QUERIES
+
+    # genuine Impala 2.7 analyzer rejections, run non-strict by design
+    expected_strict_rejects = {
+        "tpch_q11_important_stock",  # HAVING subquery (SelectStmt.java:181)
+        "tpcds_q51_shape",           # DATE type (Type.java:107-110)
+    }
+    unexpected = {}
+    for name, fn in SPARK_QUERIES.items():
+        sql = fn.__doc__
+        if not sql or not sql.strip().upper().startswith(("SELECT", "WITH")):
+            continue
+        try:
+            tr(sql, strict=True)
+            assert name not in expected_strict_rejects, (
+                f"{name} now passes strict — remove it from the expected set"
+            )
+        except ImpalaUnsupportedError as e:
+            if name not in expected_strict_rejects:
+                unexpected[name] = str(e)[:80]
+    assert not unexpected, f"strict false positives: {unexpected}"
