@@ -78,8 +78,9 @@ def _verified_order(names: list[str]) -> list[str]:
     # llm_corpus_report, llm_pii_redaction, llm_substring_dedup,
     # llm_ngram_novelty, llm_embedding_dim_stats, llm_length_filter,
     # llm_source_overlap, llm_top_terms, llm_frame_sampling,
-    # meta_skew_report) — each locally oracle-verified at sf0.01 this
-    # round (tools/check.py), and 16 of the 17 also at the 10x 32-file
+    # meta_skew_report) — ALL 215 registered queries were locally
+    # oracle-verified in ONE session at sf0.01 at round-5 close
+    # (tools/check.py: 215 ok, 0 FAILED), and 16 of the 17 also at the 10x 32-file
     # scale (llm_incremental_dedup excluded there: its shared-shingle
     # candidate oracle is pair-quadratic in the corpus — the documented
     # 10x-exclusion class); they queue for round 6, after which the
