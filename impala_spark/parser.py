@@ -2586,32 +2586,10 @@ def _check_strict_type_defs(tokens: list[Token]) -> None:
                 for x in tokens[j + 1:close]
                 if x.kind == "number" and x.text.isdigit()
             ]
-            if up == "DECIMAL" and nums:
-                precision = nums[0]
-                scale = nums[1] if len(nums) > 1 else 0
-                if precision > 38:
-                    raise ImpalaUnsupportedError(
-                        f"Decimal precision must be <= 38: {precision}"
-                    )
-                if precision == 0:
-                    raise ImpalaUnsupportedError(
-                        f"Decimal precision must be > 0: {precision}"
-                    )
-                if scale > precision:
-                    raise ImpalaUnsupportedError(
-                        f"Decimal scale ({scale}) must be <= precision ({precision})"
-                    )
-            elif up in ("CHAR", "VARCHAR") and nums:
-                name = "Char" if up == "CHAR" else "Varchar"
-                max_len = 255 if up == "CHAR" else 65535
-                if nums[0] <= 0:
-                    raise ImpalaUnsupportedError(
-                        f"{name} size must be > 0: {nums[0]}"
-                    )
-                if nums[0] > max_len:
-                    raise ImpalaUnsupportedError(
-                        f"{name} size must be <= {max_len}: {nums[0]}"
-                    )
+            if nums:
+                _scalar_type_bounds(
+                    up, nums[0], nums[1] if len(nums) > 1 else 0
+                )
 
 
 #: variadic/offset builtins whose zero-arg call has no matching signature
@@ -2687,6 +2665,27 @@ def _check_strict_literal_exprs(tokens: list[Token]) -> None:
                     )
 
 
+def _scalar_type_bounds(kind: str, precision: int, scale: int = 0) -> None:
+    """Shared TypeDef.analyzeScalarType bounds (TypeDef.java:76-119) for
+    the CAST strict check and ddl column-def validation."""
+    if kind in ("CHAR", "VARCHAR"):
+        name = "Char" if kind == "CHAR" else "Varchar"
+        mx = 255 if kind == "CHAR" else 65535
+        if precision <= 0:
+            raise ImpalaUnsupportedError(f"{name} size must be > 0: {precision}")
+        if precision > mx:
+            raise ImpalaUnsupportedError(f"{name} size must be <= {mx}: {precision}")
+    elif kind == "DECIMAL":
+        if precision > 38:
+            raise ImpalaUnsupportedError(f"Decimal precision must be <= 38: {precision}")
+        if precision == 0:
+            raise ImpalaUnsupportedError(f"Decimal precision must be > 0: {precision}")
+        if scale > precision:
+            raise ImpalaUnsupportedError(
+                f"Decimal scale ({scale}) must be <= precision ({precision})"
+            )
+
+
 def validate_type_def(type_sql: str) -> None:
     """TypeDef.analyzeScalarType bounds for a column-definition type
     (TypeDef.java:76-119) — the same texts the CAST-path strict check
@@ -2697,25 +2696,11 @@ def validate_type_def(type_sql: str) -> None:
     s = type_sql.strip()
     m = re.match(r"(?is)^(CHAR|VARCHAR)\s*\(\s*(\d+)\s*\)$", s)
     if m:
-        name = "Char" if m.group(1).upper() == "CHAR" else "Varchar"
-        ln = int(m.group(2))
-        mx = 255 if name == "Char" else 65535
-        if ln <= 0:
-            raise ImpalaUnsupportedError(f"{name} size must be > 0: {ln}")
-        if ln > mx:
-            raise ImpalaUnsupportedError(f"{name} size must be <= {mx}: {ln}")
+        _scalar_type_bounds(m.group(1).upper(), int(m.group(2)))
         return
     m = re.match(r"(?is)^DECIMAL\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)$", s)
     if m:
-        p, sc = int(m.group(1)), int(m.group(2) or 0)
-        if p > 38:
-            raise ImpalaUnsupportedError(f"Decimal precision must be <= 38: {p}")
-        if p == 0:
-            raise ImpalaUnsupportedError(f"Decimal precision must be > 0: {p}")
-        if sc > p:
-            raise ImpalaUnsupportedError(
-                f"Decimal scale ({sc}) must be <= precision ({p})"
-            )
+        _scalar_type_bounds("DECIMAL", int(m.group(1)), int(m.group(2) or 0))
 
 
 def rewrite_appx_count_distinct(sql: str) -> str:
