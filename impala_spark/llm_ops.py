@@ -1050,7 +1050,18 @@ def unigram_logprob_scores(
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.round(F.avg(F.log(F.col("n_tok") / F.col("n_all"))), 4).alias("avg_logprob"),
+            # tie-robust contract (r5 verdict #1): quantize each log term
+            # to DECIMAL(28,12) so the per-doc sum is EXACT (run-to-run
+            # deterministic on both engines), then one double division —
+            # AVG(double) would inherit the engine's parallel accumulation
+            # order and can flip a ROUND(...,4) tie cell between runs.
+            F.round(
+                F.sum(
+                    F.log(F.col("n_tok") / F.col("n_all")).cast("decimal(28,12)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_logprob"),
         )
     )
 
@@ -1788,7 +1799,14 @@ def dsir_importance_weights(
     )
     return per_tok.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-        F.round(F.avg("llr"), 4).alias("logratio"),
+        # tie-robust contract (r5 verdict #1): exact decimal sum of the
+        # quantized log-ratio terms, then one double division; see
+        # unigram_logprob_scores for the rationale.
+        F.round(
+            F.sum(F.col("llr").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("logratio"),
     )
 
 

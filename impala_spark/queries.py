@@ -738,7 +738,11 @@ sql_query(
     """
     SELECT c_custkey,
            CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn,
-           ROUND(CAST(c_acctbal - AVG(c_acctbal) OVER (PARTITION BY c_nationkey) AS DOUBLE), 4) AS bal_vs_nation
+           ROUND(CAST(c_acctbal
+                      - CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                             OVER (PARTITION BY c_nationkey) AS DOUBLE)
+                        / COUNT(*) OVER (PARTITION BY c_nationkey)
+                  AS DOUBLE), 4) AS bal_vs_nation
     FROM customer
     """,
 )
@@ -748,10 +752,17 @@ def q_analytic_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").desc(), F.col("c_custkey")
     )
     w_all = Window.partitionBy("c_nationkey")
+    # tie-robust (r5 verdict #1): exact decimal SUM over the window, one
+    # double division — window AVG(double) is accumulation-order-dependent
+    # and ROUND(...,4) of a 2-decimal-grid mean can sit on an exact tie.
+    nation_avg = (
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).over(w_all).cast("double")
+        / F.count(F.lit(1)).over(w_all)
+    )
     return c.select(
         "c_custkey",
         F.row_number().over(w_ord).cast("bigint").alias("rn"),
-        F.round((F.col("c_acctbal") - F.avg("c_acctbal").over(w_all)).cast("double"), 4).alias(
+        F.round((F.col("c_acctbal") - nation_avg).cast("double"), 4).alias(
             "bal_vs_nation"
         ),
     )
@@ -765,7 +776,8 @@ sql_query(
     "subquery_scalar",
     """
     SELECT o_orderkey, o_totalprice FROM orders
-    WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+    WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                     / COUNT(*) FROM orders)
     """,
 )
 
@@ -775,7 +787,8 @@ sql_query(
     "subquery_correlated_scalar",
     """
     SELECT c.c_custkey FROM customer c
-    WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) + 2000 FROM customer c2
+    WHERE c.c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                / COUNT(*) + 2000 FROM customer c2
                          WHERE c2.c_nationkey = c.c_nationkey)
     """,
 )
@@ -2932,7 +2945,9 @@ sql_query(
       SELECT SUBSTR(c_name, 16, 2) AS cntrycode, c_acctbal AS acctbal
       FROM customer
       WHERE SUBSTR(c_name, 16, 2) IN ('00', '01', '02', '10', '11', '12', '20')
-        AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        AND c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                / COUNT(*)
+                         FROM customer WHERE c_acctbal > 0.0)
         AND NOT EXISTS (SELECT * FROM orders
                         WHERE o_custkey = c_custkey
                           AND o_orderpriority = '1-URGENT')
@@ -3959,7 +3974,8 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT COUNT(*) AS n_all FROM e)
     SELECT e.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           ROUND(AVG(ln(v.n_tok / tot.n_all)), 4) AS avg_logprob
+           ROUND(CAST(SUM(CAST(ln(v.n_tok / tot.n_all) AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_logprob
     FROM e JOIN v USING (token) CROSS JOIN tot
     GROUP BY e.doc_id
     """,
@@ -4147,10 +4163,10 @@ sql_query(
     "tpcds_q7_shape",
     """
     SELECT p_brand,
-           ROUND(AVG(CAST(l_quantity AS DECIMAL(18,4))), 4) AS avg_qty,
-           ROUND(AVG(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS avg_price,
-           ROUND(AVG(CAST(l_discount AS DECIMAL(18,4))), 4) AS avg_disc,
-           ROUND(AVG(CAST(l_tax AS DECIMAL(18,4))), 4) AS avg_tax
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+           ROUND(CAST(SUM(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_tax
     FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -4218,7 +4234,9 @@ sql_query(
     SELECT o_custkey, o_orderkey, order_total
     FROM (
       SELECT o_custkey, o_orderkey, order_total,
-             AVG(order_total) OVER (PARTITION BY o_custkey) AS cust_avg
+             CAST(SUM(CAST(order_total AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
       FROM per_order
     ) x
     WHERE order_total > 1.5 * cust_avg
@@ -4290,7 +4308,7 @@ sql_query(
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(MIN(n_chars) AS BIGINT) AS min_chars,
            CAST(MAX(n_chars) AS BIGINT) AS max_chars,
-           ROUND(AVG(CAST(n_chars AS DECIMAL(18,4))), 4) AS avg_chars,
+           ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_chars,
            CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
     FROM documents
     GROUP BY source
@@ -5161,10 +5179,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_total AS (SELECT COUNT(*) AS r_all FROM tok WHERE source <> 'src0')
     SELECT tok.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           ROUND(AVG(
+           ROUND(CAST(SUM(CAST(
              ln((COALESCE(t_cnt, 0) + 0.5) / (t_all + 0.5 * 1024))
              - ln((COALESCE(r_cnt, 0) + 0.5) / (r_all + 0.5 * 1024))
-           ), 4) AS logratio
+           AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 4) AS logratio
     FROM tok
     LEFT JOIN t_counts USING (bucket)
     LEFT JOIN r_counts USING (bucket)
@@ -5325,7 +5343,8 @@ sql_query(
     )
     SELECT c, CAST(total AS DOUBLE) AS total
     FROM cust_tot r1
-    WHERE total > (SELECT AVG(total) * 1.2 FROM cust_tot r2 WHERE r2.nat = r1.nat)
+    WHERE total > (SELECT CAST(SUM(total) AS DOUBLE) / COUNT(*) * 1.2
+                   FROM cust_tot r2 WHERE r2.nat = r1.nat)
     ORDER BY c
     LIMIT 100
     """,
@@ -5339,7 +5358,8 @@ sql_query(
     SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n
     FROM part p1 JOIN lineitem ON l_partkey = p_partkey
     WHERE CAST(p1.p_retailprice AS DECIMAL(18,4)) >
-          (SELECT AVG(CAST(p2.p_retailprice AS DECIMAL(18,4))) * 1.05
+          (SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(18,4))) AS DOUBLE)
+                  / COUNT(*) * 1.05
            FROM part p2 WHERE p2.p_type = p1.p_type)
     GROUP BY p_type
     HAVING COUNT(*) >= 2
@@ -5561,10 +5581,10 @@ def q_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_total AS (SELECT COUNT(*) AS r_all FROM tok WHERE source <> 'src0'),
     scores AS (
       SELECT tok.doc_id,
-             ROUND(AVG(
+             ROUND(CAST(SUM(CAST(
                ln((COALESCE(t_cnt, 0) + 0.5) / (t_all + 0.5 * 1024))
                - ln((COALESCE(r_cnt, 0) + 0.5) / (r_all + 0.5 * 1024))
-             ), 4) AS logratio
+             AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 4) AS logratio
       FROM tok
       LEFT JOIN t_counts USING (bucket)
       LEFT JOIN r_counts USING (bucket)
