@@ -256,6 +256,24 @@ def _split_assignments(set_clause: str) -> list[tuple[str, str]]:
 _HIVE_UNSAFE = set('"#%\'*/:=?\\{[]^\x7f') | {chr(i) for i in range(32)}
 
 
+def _part_value_str(v) -> str:
+    """Render a partition value the way Spark's partition writer does
+    (ExternalCatalogUtils / Cast-to-string semantics), not Python str():
+    booleans are lowercase, fractional seconds drop trailing zeros. A
+    mismatch here makes the vanished-partition rmtree target a dir that
+    does not exist, silently resurrecting deleted rows (ADVICE r5)."""
+    import datetime
+
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, datetime.datetime):
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:
+            s += ("%.6f" % (v.microsecond / 1e6))[1:].rstrip("0")
+        return s
+    return str(v)
+
+
 def _hive_part_dir(t: ManagedTable, values: tuple) -> str:
     """Filesystem dir of one Hive-layout partition (k1=v1/k2=v2)."""
     segs = []
@@ -264,7 +282,8 @@ def _hive_part_dir(t: ManagedTable, values: tuple) -> str:
             s = "__HIVE_DEFAULT_PARTITION__"
         else:
             s = "".join(
-                f"%{ord(c):02X}" if c in _HIVE_UNSAFE else c for c in str(v)
+                f"%{ord(c):02X}" if c in _HIVE_UNSAFE else c
+                for c in _part_value_str(v)
             )
         segs.append(f"{k}={s}")
     return os.path.join(t.path, *segs)

@@ -1976,10 +1976,15 @@ def _check_strict_analytic_exprs(tokens: list[Token]) -> None:
                             "keyword IGNORE NULLS."
                         )
         # ranking/offset fns: ORDER BY required; explicit frame forbidden
-        # (:478-486)
+        # (:478-486). first_value/last_value also require ORDER BY
+        # (AnalyticExpr.java:477) but DO allow a windowing clause. The
+        # error text spans only the function call, not the OVER clause
+        # (AnalyzeExprsTest.java:972 pins "'dense_rank()' requires an
+        # ORDER BY clause").
         if fn in (
             "rank", "dense_rank", "row_number", "percent_rank",
             "cume_dist", "ntile", "lag", "lead",
+            "first_value", "last_value",
         ):
             d2 = 0
             has_order = has_frame = False
@@ -1996,9 +2001,9 @@ def _check_strict_analytic_exprs(tokens: list[Token]) -> None:
                         has_frame = True
             if not has_order:
                 raise ImpalaUnsupportedError(
-                    f"'{full}' requires an ORDER BY clause"
+                    f"'{call}' requires an ORDER BY clause"
                 )
-            if has_frame:
+            if has_frame and fn not in ("first_value", "last_value"):
                 raise ImpalaUnsupportedError(
                     f"Windowing clause not allowed with '{call}'"
                 )
@@ -2321,35 +2326,62 @@ def _check_strict_reserved_idents(tokens: list[Token]) -> None:
 
 
 def _check_strict_between_subqueries(tokens: list[Token]) -> None:
-    """BetweenPredicate.analyze (BetweenPredicate.java:52-57): comparing
-    a subquery against subquery bounds is rejected. Token subset: a
-    `(SELECT ...)` immediately left of BETWEEN plus a `(SELECT` as the
-    first bound or after the bounds' AND."""
+    """BetweenPredicate.analyze (BetweenPredicate.java:52-57): ANY
+    subquery in a BETWEEN predicate — lhs or either bound — is rejected,
+    with ': ' + the predicate's own SQL appended (toSqlImpl). Token
+    subset: a `(SELECT ...)` as the lhs, the first bound, or the bound
+    after the bounds-separator AND."""
     for i, t in enumerate(tokens):
         if t.kind != "word" or t.upper != "BETWEEN":
             continue
         prev = _significant(tokens, i, -1)
         if prev != -1 and tokens[prev].upper == "NOT":
             prev = _significant(tokens, prev, -1)
-        if prev == -1 or not (tokens[prev].kind == "op" and tokens[prev].text == ")"):
+        if prev == -1:
             continue
-        # walk back to the matching '(' and check it opens a subquery
-        depth = 0
+        # lhs: if it ends in ')', walk back to the matching '(' and see
+        # whether it opens a subquery; otherwise scan back over the
+        # simple expression to its start for the error span.
+        lhs_subq = False
         open_idx = -1
-        for k in range(prev, -1, -1):
-            if tokens[k].kind == "op":
-                if tokens[k].text == ")":
-                    depth += 1
-                elif tokens[k].text == "(":
-                    depth -= 1
-                    if depth == 0:
-                        open_idx = k
-                        break
+        if tokens[prev].kind == "op" and tokens[prev].text == ")":
+            depth = 0
+            for k in range(prev, -1, -1):
+                if tokens[k].kind == "op":
+                    if tokens[k].text == ")":
+                        depth += 1
+                    elif tokens[k].text == "(":
+                        depth -= 1
+                        if depth == 0:
+                            open_idx = k
+                            break
+            if open_idx != -1:
+                head = _significant(tokens, open_idx)
+                lhs_subq = head != -1 and tokens[head].upper == "SELECT"
         if open_idx == -1:
-            continue
-        head = _significant(tokens, open_idx)
-        if head == -1 or tokens[head].upper != "SELECT":
-            continue
+            # simple-expr lhs: walk back to a top-level boundary
+            depth = 0
+            open_idx = prev
+            for k in range(prev, -1, -1):
+                tk = tokens[k]
+                if tk.kind == "op":
+                    if tk.text == ")":
+                        depth += 1
+                    elif tk.text == "(":
+                        if depth == 0:
+                            break
+                        depth -= 1
+                    elif depth == 0 and tk.text == ",":
+                        break
+                elif (
+                    depth == 0
+                    and tk.kind == "word"
+                    and tk.upper in _CLAUSE_BOUNDARY
+                    | {"AND", "OR", "NOT", "JOIN", "ON", "WHERE", "THEN", "WHEN"}
+                ):
+                    break
+                if tk.kind not in ("ws", "line_comment", "block_comment"):
+                    open_idx = k
 
         def _is_subq(j: int) -> bool:
             if j == -1 or not (tokens[j].kind == "op" and tokens[j].text == "("):
@@ -2358,16 +2390,63 @@ def _check_strict_between_subqueries(tokens: list[Token]) -> None:
             return h != -1 and tokens[h].upper == "SELECT"
 
         lo = _significant(tokens, i)
+        # find the bounds-separator AND: first top-level AND after lo
+        # (works for subquery and simple-expr lo bounds alike)
         hi = -1
-        if _is_subq(lo):
-            close = _matching_paren(tokens, lo)
-            a = _significant(tokens, close)
-            if a != -1 and tokens[a].upper == "AND":
-                hi = _significant(tokens, a)
-        if _is_subq(lo) or _is_subq(hi):
+        depth0, k0 = 0, lo
+        while k0 != -1 and k0 < len(tokens):
+            tk = tokens[k0]
+            if tk.kind == "op":
+                if tk.text == "(":
+                    depth0 += 1
+                elif tk.text == ")":
+                    if depth0 == 0:
+                        break
+                    depth0 -= 1
+            elif depth0 == 0 and tk.kind == "word":
+                if tk.upper == "AND":
+                    hi = _significant(tokens, k0)
+                    break
+                if tk.upper in _CLAUSE_BOUNDARY | {"OR", "JOIN", "ON", "WHERE"}:
+                    break
+            k0 += 1
+        if lhs_subq or _is_subq(lo) or _is_subq(hi):
+            # BetweenPredicate.java:55-56 appends ': ' + toSqlImpl() — the
+            # predicate's own SQL span (lhs BETWEEN lo AND hi). Scan to the
+            # end of the hi bound: its subquery close, or (simple-expr
+            # bound) the next top-level boundary token.
+            if hi == -1:
+                end = _matching_paren(tokens, lo) if _is_subq(lo) else lo
+            elif _is_subq(hi):
+                end = _matching_paren(tokens, hi)
+            else:
+                # simple-expr hi bound: scan to the next top-level boundary
+                end, depth, k = hi, 0, hi
+                while k < len(tokens):
+                    tk = tokens[k]
+                    if tk.kind == "op":
+                        if tk.text == "(":
+                            depth += 1
+                        elif tk.text == ")":
+                            if depth == 0:
+                                break
+                            depth -= 1
+                        elif depth == 0 and tk.text == ",":
+                            break
+                    elif (
+                        depth == 0
+                        and tk.kind == "word"
+                        and tk.upper in _CLAUSE_BOUNDARY
+                        | {"AND", "OR", "JOIN", "ON", "WHERE"}
+                    ):
+                        break
+                    if tk.kind not in ("ws", "line_comment", "block_comment"):
+                        end = k
+                    k += 1
+            span = untokenize(tokens[open_idx:end + 1]).strip()
             raise ImpalaUnsupportedError(
                 "Comparison between subqueries is not supported in a "
-                "BETWEEN predicate"
+                "BETWEEN predicate: " + span
             )
 
 
@@ -2647,9 +2726,7 @@ def _check_strict_literal_exprs(tokens: list[Token]) -> None:
                 and tokens[prev].upper not in ("NOT",)
             ):
                 pat = tokens[nxt].text[1:-1].replace("''", "'")
-                try:
-                    _re.compile(pat)
-                except _re.error:
+                if _regex_agreed_invalid(pat):
                     raise ImpalaUnsupportedError(
                         "invalid regular expression in "
                         f"'{tokens[prev].text} {up} {tokens[nxt].text}'"
@@ -2663,6 +2740,44 @@ def _check_strict_literal_exprs(tokens: list[Token]) -> None:
                         "No matching function with signature: "
                         f"{t.text.lower()}()."
                     )
+
+
+def _regex_agreed_invalid(pat: str) -> bool:
+    """True only for regex syntax errors Python's re and Impala's RE2
+    BOTH reject: unbalanced groups, unterminated character classes, and
+    a trailing lone backslash. Anything engine-specific (POSIX classes,
+    backreferences, lookaround) is left to the execution engine —
+    rejecting on Python's re.error would refuse RE2-valid patterns
+    Impala accepts (ADVICE r5)."""
+    depth = 0
+    in_class = False
+    i, n = 0, len(pat)
+    while i < n:
+        c = pat[i]
+        if c == "\\":
+            if i + 1 >= n:
+                return True  # trailing backslash: invalid in both
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+            # ']' directly after '[' (or '[^') is a literal in both
+            j = i + 1
+            if j < n and pat[j] == "^":
+                j += 1
+            if j < n and pat[j] == "]":
+                i = j
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth < 0:
+                return True
+        i += 1
+    return depth != 0 or in_class
 
 
 def _scalar_type_bounds(kind: str, precision: int, scale: int = 0) -> None:

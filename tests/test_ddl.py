@@ -426,3 +426,32 @@ def test_partition_scoped_modify_null_partition_values(spark):
     assert not os.path.isdir(os.path.join(t.path, "seg=__HIVE_DEFAULT_PARTITION__"))
     assert _dir_state(os.path.join(t.path, "seg=a")) == a_state
     ddl.drop_table(spark, name)
+
+
+def test_partition_scoped_modify_boolean_partition_values(spark):
+    """Boolean partition keys: Spark writes flag=true/flag=false dirs, so
+    the vanished-partition cleanup must render booleans lowercase —
+    Python str(True) would target a nonexistent 'flag=True' dir and the
+    DELETEd partition's files would silently survive (ADVICE r5)."""
+    import os
+
+    name = "t_bool_part"
+    ddl.drop_table(spark, name)
+    src = spark.createDataFrame(
+        [(1, 10.0, True), (2, 20.0, False), (3, 30.0, True), (4, 40.0, False)],
+        "id long, v double, flag boolean",
+    )
+    ddl.create_table_as_select(
+        spark, name, src, partition_cols=["flag"], primary_key=["id"]
+    )
+    t = ddl.table_info(name)
+    assert os.path.isdir(os.path.join(t.path, "flag=true"))
+    assert os.path.isdir(os.path.join(t.path, "flag=false"))
+    false_state = _dir_state(os.path.join(t.path, "flag=false"))
+
+    # DELETE the whole flag=true partition: its dir must actually go away
+    ddl.modify(spark, f"DELETE FROM {name} WHERE flag = true")
+    assert spark.table(name).count() == 2
+    assert not os.path.isdir(os.path.join(t.path, "flag=true"))
+    assert _dir_state(os.path.join(t.path, "flag=false")) == false_state
+    ddl.drop_table(spark, name)

@@ -731,10 +731,21 @@ def test_strict_literal_expr_errors_pin_reference_texts():
         with pytest.raises(ImpalaUnsupportedError) as ei:
             tr(sql, strict=True)
         assert msg in str(ei.value), sql
+    # unbalanced groups both engines reject
+    for sql in [
+        "select * from t where s regexp '(ab'",
+        "select * from t where s rlike 'ab)'",
+    ]:
+        with pytest.raises(ImpalaUnsupportedError, match="invalid regular expression"):
+            tr(sql, strict=True)
     # legal forms still pass
     tr("select 1.5e300, 4.9e-300", strict=True)
     tr("select * from t where s like 'x%' and s regexp 'a+b'", strict=True)
     tr("select concat(a, b), coalesce(a, b) from t", strict=True)
+    # RE2-valid patterns Python's re dislikes must NOT be rejected
+    # (Impala validates with RE2, not Python re — ADVICE r5)
+    tr("select * from t where s regexp '[[:digit:]]+'", strict=True)
+    tr("select * from t where s rlike 'x{2,}[]]'", strict=True)
 
 
 def test_strict_reserved_word_identifiers_rejected():
@@ -782,15 +793,23 @@ def test_strict_batch_b_reference_texts():
         tr("select cast(x as datetime) from t", strict=True)
     with pytest.raises(ImpalaUnsupportedError, match="Unsupported data type: BINARY"):
         tr("select cast(x as binary) from t", strict=True)
-    with pytest.raises(
-        ImpalaUnsupportedError,
-        match="Comparison between subqueries is not supported in a BETWEEN predicate",
-    ):
+    # BetweenPredicate.java:55-56 appends ': ' + the predicate SQL
+    with pytest.raises(ImpalaUnsupportedError) as ei:
         tr(
             "select * from t where (select max(a) from u) "
             "between (select min(a) from u) and 100",
             strict=True,
         )
+    assert (
+        "Comparison between subqueries is not supported in a BETWEEN "
+        "predicate: (select max(a) from u) between (select min(a) from u) "
+        "and 100" in str(ei.value)
+    )
+    # a subquery anywhere in the predicate triggers it (contains() check)
+    with pytest.raises(ImpalaUnsupportedError) as ei:
+        tr("select * from t where x between (select min(a) from u) and 10",
+           strict=True)
+    assert "predicate: x between (select min(a) from u) and 10" in str(ei.value)
     # legal BETWEEN forms untouched
     tr("select * from t where a between 1 and 10", strict=True)
     tr("select * from t where a between (1 + 2) and (3 + 4)", strict=True)
@@ -839,8 +858,24 @@ def test_strict_analytic_param_errors_pin_reference_texts():
             "Function LEAD does not accept the keyword IGNORE NULLS.",
         ),
         (
+            # AnalyzeExprsTest.java:972: the span is the CALL, not the
+            # whole analytic expression (ADVICE r5)
             "select rank() over (partition by b) from t",
-            "requires an ORDER BY clause",
+            "'rank()' requires an ORDER BY clause",
+        ),
+        (
+            "select dense_rank() over (partition by b) from t",
+            "'dense_rank()' requires an ORDER BY clause",
+        ),
+        (
+            # first_value is analytic-only and requires ORDER BY
+            # (AnalyticExpr.java:477)
+            "select first_value(a) over (partition by b) from t",
+            "'first_value(a)' requires an ORDER BY clause",
+        ),
+        (
+            "select last_value(a) over (partition by b) from t",
+            "'last_value(a)' requires an ORDER BY clause",
         ),
         (
             "select row_number() over (order by b rows between 1 preceding and current row) from t",
@@ -858,6 +893,12 @@ def test_strict_analytic_param_errors_pin_reference_texts():
     # legal analytic forms untouched
     tr("select first_value(a ignore nulls) over (order by b) from t", strict=True)
     tr("select rank() over (order by b) from t", strict=True)
+    # first_value/last_value DO allow an explicit windowing clause
+    tr(
+        "select first_value(a) over (order by b "
+        "rows between unbounded preceding and current row) from t",
+        strict=True,
+    )
     tr(
         "select sum(a) over (order by b rows between 1 preceding and current row) from t",
         strict=True,
