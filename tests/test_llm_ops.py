@@ -422,12 +422,51 @@ def test_incremental_dedup_semantics(spark):
         ],
         "doc_id long, text string",
     )
-    surv = {r.doc_id for r in llm_ops.incremental_dedup(batch, history).collect()}
-    assert surv == {5}
-    pairs = llm_ops.cross_near_dup_pairs(batch, history).collect()
-    assert {(r.b_id, r.h_id) for r in pairs} >= {(1, 2), (3, 2)}
-    plan = llm_ops.incremental_dedup(batch, history)._jdf.queryExecution().toString()
-    assert "CartesianProduct" not in plan
+    # both candidate generators agree on this corpus: the default banded
+    # MinHash (scale path) and the exact PPJoin prefix mode (oracle path)
+    for mode in ("minhash", "prefix"):
+        surv = {
+            r.doc_id
+            for r in llm_ops.incremental_dedup(
+                batch, history, candidates=mode
+            ).collect()
+        }
+        assert surv == {5}, mode
+        pairs = llm_ops.cross_near_dup_pairs(
+            batch, history, candidates=mode
+        ).collect()
+        assert {(r.b_id, r.h_id) for r in pairs} >= {(1, 2), (3, 2)}, mode
+        plan = (
+            llm_ops.incremental_dedup(batch, history, candidates=mode)
+            ._jdf.queryExecution()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan, mode
+
+
+def test_cross_near_dup_minhash_recall_vs_exact(spark, sf_dir):
+    """The banded-MinHash candidate generator (the scale default) must
+    recover the exact prefix mode's pairs on the fixture corpus at
+    clearly-above-threshold similarity: P(candidate) = 1-(1-J^3)^12 is
+    0.993 at J=0.7, so any missing high-J pair means broken banding,
+    not LSH chance (signatures are deterministic under fixed seeds)."""
+    from pyspark.sql import functions as F
+
+    from impala_spark import llm_ops
+    from impala_spark.session import table
+
+    d = table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    history = d.filter(F.col("doc_id") % 2 == 0)
+    exact = llm_ops.cross_near_dup_pairs(batch, history, candidates="prefix")
+    lsh = llm_ops.cross_near_dup_pairs(batch, history, candidates="minhash")
+    exact_hi = {(r.b_id, r.h_id) for r in exact.filter("jaccard >= 0.7").collect()}
+    lsh_pairs = {(r.b_id, r.h_id) for r in lsh.collect()}
+    assert exact_hi <= lsh_pairs
+    # every emitted pair is exactly rescored in both modes: no false
+    # positives anywhere
+    exact_all = {(r.b_id, r.h_id) for r in exact.collect()}
+    assert lsh_pairs <= exact_all
 
 
 def test_redact_pii_masks_all_classes(spark):
