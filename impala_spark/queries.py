@@ -2026,6 +2026,17 @@ sql_query(
     # product leaves compact-long for BigDecimal; quantizing to the same
     # DECIMAL(18,4) grid as longs and digit-splitting the partial sums is
     # bit-identical (oracle keeps the decimal form) and ~2x at sf10.
+    # r6 (verdict task #4, q3 34x at sf10): profiled — the cost was the
+    # fact-fact SortMergeJoin's two sort stages, not an unpushed filter
+    # (PushedFilters reach both scans; runtime bloom filters prune the
+    # lineitem probe side). Fixed at the ENGINE level: the session now
+    # sets preferSortMergeJoin=false (session.py), so this joins as a
+    # ShuffledHashJoin like the reference's PARTITIONED hash join —
+    # measured 6.1s -> 2.0s fresh at sf10. An eager-aggregation rewrite
+    # (pre-aggregate lineitem by l_orderkey below the join) was also
+    # tried and REJECTED: it aggregates the ~52% shipdate survivors
+    # (32M rows -> 7.5M groups, ~8s) where the join-first plan lets the
+    # selective orders side cut agg input to ~3M rows first.
     """
     WITH j AS (
       SELECT l_orderkey, o_orderdate, o_orderpriority,
