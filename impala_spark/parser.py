@@ -2652,6 +2652,53 @@ def _check_strict_type_defs(tokens: list[Token]) -> None:
                     f"Invalid type cast of {tokens[src].upper} "
                     f"from BOOLEAN to {rendered}"
                 )
+            if (
+                tname == "DECIMAL"
+                and src != -1
+                and tokens[src].kind == "word"
+                and tokens[src].upper == "CAST"
+            ):
+                # cast(cast(x AS TIMESTAMP) AS DECIMAL): TIMESTAMP is not
+                # castable to decimal (AnalyzeExprsTest TestDecimalCasts)
+                inner_open = _significant(tokens, src)
+                if (
+                    inner_open != -1
+                    and tokens[inner_open].kind == "op"
+                    and tokens[inner_open].text == "("
+                ):
+                    r = _cast_target_type(tokens, inner_open)
+                    if (
+                        r
+                        and r[0] == "TIMESTAMP"
+                        and _significant(tokens, r[1]) == as_idx
+                    ):
+                        rendered = _type_to_sql(tokens, ty, close)
+                        if rendered == "DECIMAL":
+                            rendered = "DECIMAL(9,0)"
+                        # toSql renders the inner cast with uppercase
+                        # keywords: CAST(<expr> AS TIMESTAMP)
+                        inner_close = r[1]
+                        inner_as = -1
+                        d2 = 0
+                        for k2 in range(inner_open + 1, inner_close):
+                            tk2 = tokens[k2]
+                            if tk2.kind == "op" and tk2.text == "(":
+                                d2 += 1
+                            elif tk2.kind == "op" and tk2.text == ")":
+                                d2 -= 1
+                            elif (
+                                d2 == 0
+                                and tk2.kind == "word"
+                                and tk2.upper == "AS"
+                            ):
+                                inner_as = k2
+                        expr_sql = untokenize(
+                            tokens[inner_open + 1:inner_as]
+                        ).strip()
+                        raise ImpalaUnsupportedError(
+                            f"Invalid type cast of CAST({expr_sql} AS "
+                            f"TIMESTAMP) from TIMESTAMP to {rendered}"
+                        )
         if up in ("CHAR", "VARCHAR", "DECIMAL"):
             prev = _significant(tokens, i, -1)
             if prev == -1 or tokens[prev].upper != "AS":
@@ -2844,6 +2891,389 @@ def rewrite_appx_count_distinct(sql: str) -> str:
     return untokenize(out)
 
 
+#: EXTRACT's valid unit set, in declaration order (ExtractFromExpr.java:39-47,
+#: TExtractField minus INVALID_FIELD — the order the error message joins).
+_EXTRACT_FIELDS = (
+    "YEAR", "MONTH", "DAY", "HOUR", "MINUTE", "SECOND", "MILLISECOND", "EPOCH",
+)
+
+
+def _num_literal_type(text: str) -> str:
+    """Impala literal typing (NumericLiteral.analyze): exponent form is
+    DOUBLE, decimal-point form is the smallest DECIMAL(p,s) holding the
+    digits, integers take the smallest fitting integer type."""
+    low = text.lower()
+    if "e" in low:
+        return "DOUBLE"
+    if "." in text:
+        frac = text.split(".", 1)[1]
+        digits = text.replace(".", "").lstrip("0") or "0"
+        p = max(len(digits), len(frac), 1)
+        return f"DECIMAL({p},{len(frac)})"
+    v = int(text)
+    if v <= 127:
+        return "TINYINT"
+    if v <= 32767:
+        return "SMALLINT"
+    if v <= 2**31 - 1:
+        return "INT"
+    if v <= 2**63 - 1:
+        return "BIGINT"
+    return f"DECIMAL({len(text)},0)"
+
+
+def _cast_target_type(tokens: list[Token], open_idx: int) -> tuple[str, int] | None:
+    """(rendered target type, close paren idx) for a CAST's '(' token."""
+    close = _matching_paren(tokens, open_idx)
+    d, as_idx = 0, -1
+    for k in range(open_idx + 1, close):
+        tk = tokens[k]
+        if tk.kind == "op" and tk.text == "(":
+            d += 1
+        elif tk.kind == "op" and tk.text == ")":
+            d -= 1
+        elif d == 0 and tk.kind == "word" and tk.upper == "AS":
+            as_idx = k
+    if as_idx == -1:
+        return None
+    ty = _significant(tokens, as_idx)
+    if ty == -1 or tokens[ty].kind != "word":
+        return None
+    rendered = _type_to_sql(tokens, ty, close)
+    if rendered == "DECIMAL":
+        rendered = "DECIMAL(9,0)"  # ScalarType.DEFAULT_DECIMAL
+    return rendered, close
+
+
+def _typed_operand_fwd(tokens: list[Token], i: int):
+    """(type, end_idx, is_cast) for an operand STARTING at token i when
+    its type is statically known; None for columns/complex exprs."""
+    if i == -1 or i >= len(tokens):
+        return None
+    t = tokens[i]
+    if t.kind == "string":
+        return ("STRING", i, False)
+    if t.kind == "number":
+        return (_num_literal_type(t.text), i, False)
+    if t.kind == "word" and t.upper in ("TRUE", "FALSE"):
+        return ("BOOLEAN", i, False)
+    if t.kind == "word" and t.upper == "TIMESTAMP":
+        j = _significant(tokens, i)
+        if j != -1 and tokens[j].kind == "string":  # TIMESTAMP '...' literal
+            return ("TIMESTAMP", j, False)
+    if t.kind == "word" and t.upper == "CAST":
+        j = _significant(tokens, i)
+        if j != -1 and tokens[j].kind == "op" and tokens[j].text == "(":
+            r = _cast_target_type(tokens, j)
+            if r:
+                return (r[0], r[1], True)
+    return None
+
+
+def _typed_operand_back(tokens: list[Token], i: int):
+    """(type, start_idx, is_cast) for an operand ENDING at token i."""
+    if i == -1:
+        return None
+    t = tokens[i]
+    if t.kind == "string":
+        prev = _significant(tokens, i, -1)
+        if (
+            prev != -1
+            and tokens[prev].kind == "word"
+            and tokens[prev].upper == "TIMESTAMP"
+        ):  # TIMESTAMP '...' literal
+            return ("TIMESTAMP", prev, False)
+        return ("STRING", i, False)
+    if t.kind == "number":
+        return (_num_literal_type(t.text), i, False)
+    if t.kind == "word" and t.upper in ("TRUE", "FALSE"):
+        return ("BOOLEAN", i, False)
+    if t.kind == "op" and t.text == ")":
+        depth = 0
+        for k in range(i, -1, -1):
+            if tokens[k].kind == "op":
+                if tokens[k].text == ")":
+                    depth += 1
+                elif tokens[k].text == "(":
+                    depth -= 1
+                    if depth == 0:
+                        w = _significant(tokens, k, -1)
+                        if (
+                            w != -1
+                            and tokens[w].kind == "word"
+                            and tokens[w].upper == "CAST"
+                        ):
+                            r = _cast_target_type(tokens, k)
+                            if r:
+                                return (r[0], w, True)
+                        return None
+    return None
+
+
+def _is_integer_type(ty: str) -> bool:
+    return ty in ("TINYINT", "SMALLINT", "INT", "BIGINT")
+
+
+def _is_numeric_type(ty: str) -> bool:
+    return (
+        _is_integer_type(ty)
+        or ty in ("FLOAT", "DOUBLE")
+        or ty.startswith("DECIMAL")
+    )
+
+
+_COMPARISON_OPS = ("=", "<", ">", "<=", ">=", "!=", "<>", "<=>")
+_ARITH_BIN_OPS = ("+", "-", "*", "/", "%")
+_BIT_BIN_OPS = ("^", "&", "|")
+
+
+def _check_strict_typed_exprs(tokens: list[Token]) -> None:
+    """AnalyzeExprsTest parity for operand types statically known at the
+    token level — literals and explicit CASTs only; column-typed operands
+    are unknowable without a schema and fall through (the documented
+    permissive-superset stance). Families:
+
+    - BinaryPredicate.java:178-183: numeric-vs-STRING/TIMESTAMP casts
+      are not comparable (restricted to cast-vs-cast: string LITERALS
+      implicitly convert to numeric, so literal pairs stay legal)
+    - ArithmeticExpr.java:176-183: non-numeric operand of any
+      arithmetic/bit operator
+    - ArithmeticExpr.java:210-218: non-integer argument to DIV ^ & |
+    - ArithmeticExpr.java:225-230: '~'/'!' only on integer types
+    - ExtractFromExpr.java:69-94: DATE_PART with FROM, invalid EXTRACT
+      unit, non-TIMESTAMP literal operand
+    - TimestampArithmeticExpr.java:142-155: non-TIMESTAMP first operand,
+      non-integer INTERVAL amount
+    """
+    n = len(tokens)
+    for i, t in enumerate(tokens):
+        # ---- EXTRACT(unit FROM e) / DATE_PART(unit FROM e) ----
+        if t.kind == "word" and t.upper in ("EXTRACT", "DATE_PART"):
+            j = _significant(tokens, i)
+            if j != -1 and tokens[j].kind == "op" and tokens[j].text == "(":
+                close = _matching_paren(tokens, j)
+                d, from_idx = 0, -1
+                for k in range(j + 1, close):
+                    tk = tokens[k]
+                    if tk.kind == "op" and tk.text == "(":
+                        d += 1
+                    elif tk.kind == "op" and tk.text == ")":
+                        d -= 1
+                    elif d == 0 and tk.kind == "word" and tk.upper == "FROM":
+                        from_idx = k
+                        break
+                if from_idx != -1:
+                    if t.upper == "DATE_PART":
+                        raise ImpalaUnsupportedError(
+                            "Function DATE_PART does not accept the keyword FROM."
+                        )
+                    unit_idx = _significant(tokens, j)
+                    if unit_idx != -1 and tokens[unit_idx].kind == "word":
+                        unit = tokens[unit_idx].text
+                        expr_sql = untokenize(tokens[from_idx + 1:close]).strip()
+                        rendered = f"EXTRACT({unit} FROM {expr_sql})"
+                        if unit.upper() not in _EXTRACT_FIELDS:
+                            raise ImpalaUnsupportedError(
+                                f"Time unit '{unit}' in expression '{rendered}' "
+                                "is invalid. Expected one of "
+                                + ", ".join(_EXTRACT_FIELDS) + "."
+                            )
+                        e0 = _significant(tokens, from_idx)
+                        info = _typed_operand_fwd(tokens, e0)
+                        if info and _significant(tokens, info[1]) == close:
+                            ty = info[0]
+                            # STRING implicitly casts to TIMESTAMP
+                            if ty not in ("TIMESTAMP", "STRING"):
+                                raise ImpalaUnsupportedError(
+                                    f"Expression '{expr_sql}' in '{rendered}' "
+                                    f"has a return type of {ty} but a "
+                                    "TIMESTAMP is required."
+                                )
+        # ---- timestamp arithmetic: <e> ± INTERVAL <amount> <unit> ----
+        if t.kind == "word" and t.upper == "INTERVAL":
+            amt = _significant(tokens, i)
+            if amt != -1 and tokens[amt].kind in ("number", "string"):
+                u = _significant(tokens, amt)
+                if u != -1 and tokens[u].kind == "word" \
+                        and tokens[u].text.upper() in _TIME_UNIT_NAMES:
+                    unit = tokens[u].text
+                    amt_t = tokens[amt]
+                    amt_ty = (
+                        "STRING" if amt_t.kind == "string"
+                        else _num_literal_type(amt_t.text)
+                    )
+                    interval_sql = f"INTERVAL {amt_t.text} {unit}"
+                    # locate the timestamp operand for the rendered expr
+                    prev = _significant(tokens, i, -1)
+                    if (
+                        prev != -1
+                        and tokens[prev].kind == "op"
+                        and tokens[prev].text in ("+", "-")
+                    ):
+                        lhs = _significant(tokens, prev, -1)
+                        lhs_sql = tokens[lhs].text if lhs != -1 else ""
+                        expr = f"{lhs_sql} {tokens[prev].text} {interval_sql}"
+                        if not _is_integer_type(amt_ty):
+                            raise ImpalaUnsupportedError(
+                                f"Operand '{amt_t.text}' of timestamp "
+                                f"arithmetic expression '{expr}' returns "
+                                f"type '{amt_ty}'. Expected an integer type."
+                            )
+                        lhs_info = _typed_operand_back(tokens, lhs)
+                        # no implicit STRING -> TIMESTAMP here: the first
+                        # operand must BE a timestamp
+                        # (TimestampArithmeticExpr.java:142-147)
+                        if lhs_info and lhs_info[0] != "TIMESTAMP":
+                            lhs_span = untokenize(
+                                tokens[lhs_info[1]:lhs + 1]
+                            ).strip()
+                            raise ImpalaUnsupportedError(
+                                f"Operand '{lhs_span}' of timestamp "
+                                "arithmetic expression "
+                                f"'{lhs_span} {tokens[prev].text} "
+                                f"{interval_sql}' returns type "
+                                f"'{lhs_info[0]}'. Expected type 'TIMESTAMP'."
+                            )
+                    elif not _is_integer_type(amt_ty):
+                        # reversed form INTERVAL n unit + <e>, or the
+                        # DATE_ADD/DATE_SUB function-call form
+                        after = _significant(tokens, u)
+                        expr = interval_sql
+                        if (
+                            after != -1
+                            and tokens[after].kind == "op"
+                            and tokens[after].text == "+"
+                        ):
+                            rhs = _significant(tokens, after)
+                            rhs_sql = tokens[rhs].text if rhs != -1 else ""
+                            expr = f"{interval_sql} + {rhs_sql}"
+                        elif (
+                            prev != -1
+                            and tokens[prev].kind == "op"
+                            and tokens[prev].text == ","
+                        ):
+                            # walk back over arg1 to the call's open paren
+                            d2, k2, arg_open, fn_idx = 0, prev - 1, -1, -1
+                            while k2 >= 0:
+                                tk2 = tokens[k2]
+                                if tk2.kind == "op" and tk2.text == ")":
+                                    d2 += 1
+                                elif tk2.kind == "op" and tk2.text == "(":
+                                    if d2 == 0:
+                                        arg_open = k2
+                                        break
+                                    d2 -= 1
+                                k2 -= 1
+                            if arg_open != -1:
+                                fn_idx = _significant(tokens, arg_open, -1)
+                            if (
+                                fn_idx != -1
+                                and tokens[fn_idx].kind == "word"
+                                and tokens[fn_idx].upper in ("DATE_ADD", "DATE_SUB")
+                            ):
+                                arg1 = untokenize(
+                                    tokens[arg_open + 1:prev]
+                                ).strip()
+                                expr = (
+                                    f"{tokens[fn_idx].upper}({arg1}, "
+                                    f"{interval_sql})"
+                                )
+                        raise ImpalaUnsupportedError(
+                            f"Operand '{amt_t.text}' of timestamp arithmetic "
+                            f"expression '{expr}' returns type '{amt_ty}'. "
+                            "Expected an integer type."
+                        )
+        # ---- binary operators over typed operands ----
+        is_div_word = t.kind == "word" and t.upper == "DIV"
+        if (
+            t.kind == "op"
+            and t.text in _COMPARISON_OPS + _ARITH_BIN_OPS + _BIT_BIN_OPS
+        ) or is_div_word:
+            op = "DIV" if is_div_word else t.text
+            li = _significant(tokens, i, -1)
+            ri = _significant(tokens, i)
+            # `<e> ± INTERVAL ...` is timestamp arithmetic — the INTERVAL
+            # branch above owns its operand typing
+            if (
+                ri != -1
+                and tokens[ri].kind == "word"
+                and tokens[ri].upper == "INTERVAL"
+            ):
+                continue
+            left = _typed_operand_back(tokens, li)
+            right = _typed_operand_fwd(tokens, ri)
+            if op in _COMPARISON_OPS:
+                if left and right and left[2] and right[2]:
+                    t1, t2 = left[0], right[0]
+                    num1 = _is_numeric_type(t1) or t1 == "BOOLEAN"
+                    num2 = _is_numeric_type(t2) or t2 == "BOOLEAN"
+                    st1 = t1 in ("STRING", "TIMESTAMP")
+                    st2 = t2 in ("STRING", "TIMESTAMP")
+                    if (num1 and st2) or (st1 and num2):
+                        span = untokenize(
+                            tokens[left[1]:right[1] + 1]
+                        ).strip()
+                        raise ImpalaUnsupportedError(
+                            f"operands of type {t1} and {t2} are not "
+                            f"comparable: {span}"
+                        )
+                continue
+            # arithmetic / bit operators: ArithmeticExpr.analyze checks
+            # every child for numeric-ness first, then integer-ness for
+            # the int-only operators. Skip timestamp-arith forms (the
+            # INTERVAL branch above owns those).
+            for info in (left, right):
+                if not info:
+                    continue
+                # timestamp ± interval legality belongs to the INTERVAL
+                # branch; a TIMESTAMP operand of +/- is never flagged
+                # here to keep `TIMESTAMP '...' + INTERVAL n unit` legal
+                if info[0] == "TIMESTAMP" and op in ("+", "-"):
+                    continue
+                # the full expr span for toSql: other side included when
+                # typed, bare otherwise
+                lo = left[1] if left else li if li != -1 else i
+                hi = right[1] if right else ri if ri != -1 else i
+                span = untokenize(tokens[min(lo, i):max(hi, i) + 1]).strip()
+                if not _is_numeric_type(info[0]):
+                    raise ImpalaUnsupportedError(
+                        "Arithmetic operation requires numeric operands: "
+                        + span
+                    )
+                if op in _BIT_BIN_OPS or op == "DIV":
+                    if not _is_integer_type(info[0]):
+                        raise ImpalaUnsupportedError(
+                            "Invalid non-integer argument to operation "
+                            f"'{op}': {span}"
+                        )
+        # ---- unary '~' (prefix) and factorial '!' (postfix) ----
+        if t.kind == "op" and t.text == "~":
+            info = _typed_operand_fwd(tokens, _significant(tokens, i))
+            if info and not _is_integer_type(info[0]):
+                span = untokenize(tokens[i:info[1] + 1]).strip()
+                if not _is_numeric_type(info[0]):
+                    raise ImpalaUnsupportedError(
+                        "Arithmetic operation requires numeric operands: " + span
+                    )
+                raise ImpalaUnsupportedError(
+                    f"'~' operation only allowed on integer types: {span}"
+                )
+        if t.kind == "op" and t.text == "!":
+            li = _significant(tokens, i, -1)
+            info = _typed_operand_back(tokens, li)
+            # postfix factorial only: the next token must not look like a
+            # prefix-'!' operand (word/number/paren handled by '!' alias)
+            if info and li != -1 and not _is_integer_type(info[0]):
+                span = untokenize(tokens[info[1]:i + 1]).strip()
+                if not _is_numeric_type(info[0]):
+                    raise ImpalaUnsupportedError(
+                        "Arithmetic operation requires numeric operands: " + span
+                    )
+                raise ImpalaUnsupportedError(
+                    f"'!' operation only allowed on integer types: {span}"
+                )
+
+
 def translate(sql: str, strict: bool = False) -> str:
     """Impala-dialect SQL -> Spark SQL.
 
@@ -2873,6 +3303,7 @@ def translate(sql: str, strict: bool = False) -> str:
         _check_strict_union_columns(tokens)
         _check_strict_type_defs(tokens)
         _check_strict_literal_exprs(tokens)
+        _check_strict_typed_exprs(tokens)
         _check_strict_reserved_idents(tokens)
         _check_strict_where_requires_from(tokens)
         _check_strict_between_subqueries(tokens)

@@ -1,0 +1,219 @@
+"""Exact-text parity for typed-expression analysis errors
+(AnalyzeExprsTest.java cast/arity/operand territory — r5 verdict task #5).
+
+Every negative case pins the reference's exact message for operand types
+statically known at the token level (literals and explicit CASTs); the
+positive block guards against false positives in the same territory.
+"""
+
+import pytest
+
+from impala_spark.parser import ImpalaUnsupportedError
+from impala_spark.parser import translate as tr
+
+
+# (sql, exact error text) — reference file:line in the comment
+NEGATIVE = [
+    # --- ExtractFromExpr.java:69-94 ---
+    (
+        "select extract(foo from now())",
+        "Time unit 'foo' in expression 'EXTRACT(foo FROM now())' is "
+        "invalid. Expected one of YEAR, MONTH, DAY, HOUR, MINUTE, SECOND, "
+        "MILLISECOND, EPOCH.",
+    ),
+    (
+        "select extract(year from 0)",
+        "Expression '0' in 'EXTRACT(year FROM 0)' has a return type of "
+        "TINYINT but a TIMESTAMP is required.",
+    ),
+    (
+        "select extract(year from 5.2)",
+        "Expression '5.2' in 'EXTRACT(year FROM 5.2)' has a return type of "
+        "DECIMAL(2,1) but a TIMESTAMP is required.",
+    ),
+    (
+        "select date_part(year from now())",
+        "Function DATE_PART does not accept the keyword FROM.",
+    ),
+    # --- BinaryPredicate.java:178-183 (cast-typed operands) ---
+    (
+        "select cast(NULL as int) = cast(NULL as string)",
+        "operands of type INT and STRING are not comparable: "
+        "cast(NULL as int) = cast(NULL as string)",
+    ),
+    (
+        "select cast(NULL as string) < cast(NULL as double)",
+        "operands of type STRING and DOUBLE are not comparable: "
+        "cast(NULL as string) < cast(NULL as double)",
+    ),
+    (
+        "select cast(NULL as boolean) != cast(NULL as timestamp)",
+        "operands of type BOOLEAN and TIMESTAMP are not comparable: "
+        "cast(NULL as boolean) != cast(NULL as timestamp)",
+    ),
+    (
+        "select cast(NULL as decimal) >= cast(NULL as string)",
+        "operands of type DECIMAL(9,0) and STRING are not comparable: "
+        "cast(NULL as decimal) >= cast(NULL as string)",
+    ),
+    (
+        "select cast(NULL as timestamp) <=> cast(NULL as bigint)",
+        "operands of type TIMESTAMP and BIGINT are not comparable: "
+        "cast(NULL as timestamp) <=> cast(NULL as bigint)",
+    ),
+    (
+        "select cast(NULL as float) <> cast(NULL as timestamp)",
+        "operands of type FLOAT and TIMESTAMP are not comparable: "
+        "cast(NULL as float) <> cast(NULL as timestamp)",
+    ),
+    # --- AnalyzeExprsTest TestDecimalCasts ---
+    (
+        "select cast(true as decimal)",
+        "Invalid type cast of TRUE from BOOLEAN to DECIMAL(9,0)",
+    ),
+    (
+        "select cast(cast(1 as timestamp) as decimal)",
+        "Invalid type cast of CAST(1 AS TIMESTAMP) from TIMESTAMP to "
+        "DECIMAL(9,0)",
+    ),
+    (
+        "select cast(cast(1 as timestamp) as decimal(12,3))",
+        "Invalid type cast of CAST(1 AS TIMESTAMP) from TIMESTAMP to "
+        "DECIMAL(12,3)",
+    ),
+    # --- TimestampArithmeticExpr.java:142-155 ---
+    (
+        "select timestamp_col + interval 5.2 years from t",
+        "Operand '5.2' of timestamp arithmetic expression "
+        "'timestamp_col + INTERVAL 5.2 years' returns type 'DECIMAL(2,1)'. "
+        "Expected an integer type.",
+    ),
+    (
+        "select timestamp_col + interval '10' years from t",
+        "Operand ''10'' of timestamp arithmetic expression "
+        "'timestamp_col + INTERVAL '10' years' returns type 'STRING'. "
+        "Expected an integer type.",
+    ),
+    (
+        "select interval 5.2 years + timestamp_col from t",
+        "Operand '5.2' of timestamp arithmetic expression "
+        "'INTERVAL 5.2 years + timestamp_col' returns type 'DECIMAL(2,1)'. "
+        "Expected an integer type.",
+    ),
+    (
+        "select date_add(timestamp_col, interval '10' years) from t",
+        "Operand ''10'' of timestamp arithmetic expression "
+        "'DATE_ADD(timestamp_col, INTERVAL '10' years)' returns type "
+        "'STRING'. Expected an integer type.",
+    ),
+    (
+        "select date_sub(timestamp_col, interval 3.5 days) from t",
+        "Operand '3.5' of timestamp arithmetic expression "
+        "'DATE_SUB(timestamp_col, INTERVAL 3.5 days)' returns type "
+        "'DECIMAL(2,1)'. Expected an integer type.",
+    ),
+    (
+        "select 5.0 - interval 2 months from t",
+        "Operand '5.0' of timestamp arithmetic expression "
+        "'5.0 - INTERVAL 2 months' returns type 'DECIMAL(2,1)'. "
+        "Expected type 'TIMESTAMP'.",
+    ),
+    (
+        "select 'abc' + interval 10 years from t",
+        "Operand ''abc'' of timestamp arithmetic expression "
+        "''abc' + INTERVAL 10 years' returns type 'STRING'. "
+        "Expected type 'TIMESTAMP'.",
+    ),
+    # --- ArithmeticExpr.java:176-183 (numeric operands) ---
+    (
+        "select true + 1",
+        "Arithmetic operation requires numeric operands: true + 1",
+    ),
+    (
+        "select cast(x as boolean) * 2 from t",
+        "Arithmetic operation requires numeric operands: "
+        "cast(x as boolean) * 2",
+    ),
+    (
+        "select 'a' + 'b'",
+        "Arithmetic operation requires numeric operands: 'a' + 'b'",
+    ),
+    (
+        "select cast(x as timestamp) * 2 from t",
+        "Arithmetic operation requires numeric operands: "
+        "cast(x as timestamp) * 2",
+    ),
+    (
+        "select 1 % false",
+        "Arithmetic operation requires numeric operands: 1 % false",
+    ),
+    # --- ArithmeticExpr.java:210-218 (integer-only binary ops) ---
+    (
+        "select 5.2 ^ 3",
+        "Invalid non-integer argument to operation '^': 5.2 ^ 3",
+    ),
+    (
+        "select 1.5 & col from t",
+        "Invalid non-integer argument to operation '&': 1.5 & col",
+    ),
+    (
+        "select 2.5e1 | 4",
+        "Invalid non-integer argument to operation '|': 2.5e1 | 4",
+    ),
+    (
+        "select 7 DIV 2.5",
+        "Invalid non-integer argument to operation 'DIV': 7 DIV 2.5",
+    ),
+    (
+        "select cast(x as double) ^ 2 from t",
+        "Invalid non-integer argument to operation '^': "
+        "cast(x as double) ^ 2",
+    ),
+    # --- ArithmeticExpr.java:225-230 (integer-only unary ops) ---
+    (
+        "select ~5.2",
+        "'~' operation only allowed on integer types: ~5.2",
+    ),
+    (
+        "select 5.2!",
+        "'!' operation only allowed on integer types: 5.2!",
+    ),
+    (
+        "select ~cast(x as float) from t",
+        "'~' operation only allowed on integer types: ~cast(x as float)",
+    ),
+]
+
+POSITIVE = [
+    "select extract(year from now())",
+    "select extract(epoch from ts) from t",
+    "select extract(millisecond from cast(x as timestamp)) from t",
+    "select date_part('year', now())",
+    "select cast(NULL as string) = cast(NULL as timestamp)",  # implicit ok
+    "select cast(NULL as int) = cast(NULL as bigint)",
+    "select cast(NULL as decimal(12,2)) < cast(NULL as double)",
+    "select 5 = 'x'",  # string literal implicitly numeric
+    "select 'x' > 5",
+    "select cast(1.1 as decimal(10,2))",
+    "select ts + interval 10 years from t",
+    "select NULL - interval 2 days from t",
+    "select ts + interval cast('10' as int) years from t",
+    "select timestamp '2020-01-01 00:00:00' + interval 1 day",
+    "select date_add(ts, interval 2 days) from t",
+    "select 5 ^ 3, 6 & 2, 7 | 1, 9 DIV 2",
+    "select ~5, 3!",
+    "select 1 + 2.5, 'a' || 'b'",
+    "select -x, -5.5 from t",
+]
+
+
+def test_typed_expr_negative_exact_texts():
+    for sql, msg in NEGATIVE:
+        with pytest.raises(ImpalaUnsupportedError) as ei:
+            tr(sql, strict=True)
+        assert msg in str(ei.value), sql
+
+
+def test_typed_expr_positive_forms_accepted():
+    for sql in POSITIVE:
+        tr(sql, strict=True)  # must not raise
