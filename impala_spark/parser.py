@@ -2606,16 +2606,24 @@ def _check_strict_type_defs(tokens: list[Token]) -> None:
                 continue
             close = _matching_paren(tokens, j)
             # top-level AS inside the cast parens
-            d, as_idx = 0, -1
+            d, as_idx, comma = 0, -1, False
             for k in range(j + 1, close):
                 tk = tokens[k]
                 if tk.kind == "op" and tk.text == "(":
                     d += 1
                 elif tk.kind == "op" and tk.text == ")":
                     d -= 1
+                elif d == 0 and tk.kind == "op" and tk.text == ",":
+                    comma = True
                 elif d == 0 and tk.kind == "word" and tk.upper == "AS":
                     as_idx = k
             if as_idx == -1:
+                if comma:
+                    # cast(expr, type) — Impala's grammar only accepts
+                    # CAST(expr AS type) (ParserTest negative)
+                    raise ImpalaUnsupportedError(
+                        "Syntax error: CAST requires 'AS <type>'"
+                    )
                 continue
             ty = _significant(tokens, as_idx)
             if ty == -1 or tokens[ty].kind != "word":
@@ -2719,7 +2727,7 @@ def _check_strict_type_defs(tokens: list[Token]) -> None:
 
 
 #: variadic/offset builtins whose zero-arg call has no matching signature
-_MIN_ONE_ARG_FUNCS = {"concat", "coalesce", "lag", "lead", "greatest", "least"}
+_MIN_ONE_ARG_FUNCS = {"concat", "coalesce", "lag", "lead", "greatest", "least", "if"}
 
 
 def _check_strict_literal_exprs(tokens: list[Token]) -> None:
@@ -2889,6 +2897,425 @@ def rewrite_appx_count_distinct(sql: str) -> str:
         out.append(t)
         i += 1
     return untokenize(out)
+
+
+#: CREATE TABLE option-clause canonical order (sql-parser.cup
+#: create_tbl_stmt): PARTITIONED BY < COMMENT < ROW FORMAT < STORED AS <
+#: LOCATION < CACHED/UNCACHED < TBLPROPERTIES. ParserTest pins out-of-order
+#: clauses as ParserErrors.
+_CREATE_TBL_OPT_RANK = {
+    "PARTITIONED": 0, "COMMENT": 1, "ROW": 2, "STORED": 3,
+    "LOCATION": 4, "CACHED": 5, "UNCACHED": 5, "TBLPROPERTIES": 6,
+}
+
+#: file formats sql-parser.cup's file_format_val accepts
+_FILE_FORMATS = {
+    "TEXTFILE", "PARQUET", "PARQUETFILE", "AVRO", "SEQUENCEFILE", "RCFILE",
+    "KUDU", "ORC", "JSONFILE", "ICEBERG", "HUDIPARQUET",
+}
+
+
+def _check_strict_grammar_extras(tokens: list[Token]) -> None:
+    """Reference ParserError statements Spark's laxer grammar accepts
+    (tools/grammar_sweep.py's accepted-negatives tail, r5 verdict missing
+    #3). All shapes here are ParserErrors in sql-parser.cup; Impala has no
+    fine-grained message for them (generic 'Syntax error'), so the texts
+    below name the violated rule instead."""
+    sig = [
+        k for k, t in enumerate(tokens)
+        if t.kind not in ("ws", "line_comment", "block_comment")
+    ]
+
+    def word_at(pos: int) -> str | None:
+        if 0 <= pos < len(sig) and tokens[sig[pos]].kind == "word":
+            return tokens[sig[pos]].upper
+        return None
+
+    head = word_at(0)
+
+    # --- nested block comment: tokenizer leaves a dangling `*/` pair ---
+    for a, b in zip(sig, sig[1:]):
+        if (
+            tokens[a].kind == "op" and tokens[a].text == "*"
+            and tokens[b].kind == "op" and tokens[b].text == "/"
+            and b == a + 1
+        ):
+            raise ImpalaUnsupportedError(
+                "Syntax error: nested block comments are not supported"
+            )
+
+    # --- blank/empty backquoted identifiers ---
+    for t in tokens:
+        if t.kind == "bident" and t.text[1:-1].strip() == "":
+            raise ImpalaUnsupportedError(
+                f"Syntax error: invalid empty identifier {t.text}"
+            )
+
+    # --- statement-head shapes ---
+    if head == "EXPLAIN" and word_at(1) in ("EXPLAIN", "CREATE", "SHOW", "USE"):
+        raise ImpalaUnsupportedError(
+            f"Syntax error: cannot EXPLAIN a {word_at(1)} statement"
+        )
+    if head == "UPDATE" and word_at(1) == "FROM":
+        raise ImpalaUnsupportedError(
+            "Syntax error: UPDATE requires a target table before FROM"
+        )
+    if head == "DESCRIBE":
+        tail = [w for w in (word_at(1), word_at(2)) if w]
+        if tail and all(w in ("DATABASE", "FORMATTED", "EXTENDED") for w in tail) \
+                and len(sig) == 1 + len(tail):
+            raise ImpalaUnsupportedError(
+                "Syntax error: DESCRIBE requires a name"
+            )
+    if head in ("DROP",) and word_at(1) in ("DATABASE", "SCHEMA"):
+        start = 2
+        if word_at(start) == "IF":
+            start += 2  # IF EXISTS
+        if any(
+            tokens[s].kind == "op" and tokens[s].text == "."
+            for s in sig[start:]
+        ):
+            raise ImpalaUnsupportedError(
+                "Syntax error: database names cannot be qualified"
+            )
+    if head == "REFRESH":
+        dots = sum(
+            1 for s in sig[1:] if tokens[s].kind == "op" and tokens[s].text == "."
+        )
+        if dots >= 2:
+            raise ImpalaUnsupportedError(
+                "Syntax error: table names have at most two parts"
+            )
+    if head == "LOAD" and word_at(1) == "DATA" and word_at(2) == "LOCAL":
+        raise ImpalaUnsupportedError(
+            "Syntax error: LOAD DATA does not support LOCAL"
+        )
+    if head == "SET":
+        has_eq = any(
+            tokens[s].kind == "op" and tokens[s].text == "=" for s in sig[1:]
+        )
+        if len(sig) >= 2 and not has_eq:
+            raise ImpalaUnsupportedError(
+                "Syntax error: SET requires 'option=value'"
+            )
+        if has_eq and tokens[sig[-1]].kind == "op" and tokens[sig[-1]].text == "=":
+            raise ImpalaUnsupportedError(
+                "Syntax error: SET requires a value after '='"
+            )
+        if has_eq:
+            # option value is a single IDENT/literal (sql-parser.cup
+            # set_stmt): no operators allowed after '=' (e.g. SET foo=1+2,
+            # or the dangling quote of an unterminated string)
+            eq_pos = next(
+                idx for idx, s in enumerate(sig)
+                if tokens[s].kind == "op" and tokens[s].text == "="
+            )
+            val = sig[eq_pos + 1:]
+            if val and tokens[val[-1]].kind == "op" and tokens[val[-1]].text == ";":
+                val = val[:-1]
+            if any(tokens[s].kind == "op" for s in val):
+                raise ImpalaUnsupportedError(
+                    "Syntax error: SET value must be a single identifier "
+                    "or literal"
+                )
+    if head == "ALTER" and word_at(1) == "VIEW":
+        if word_at(2) == "AS":
+            raise ImpalaUnsupportedError(
+                "Syntax error: ALTER VIEW requires a view name"
+            )
+        for p in range(2, len(sig)):
+            w = word_at(p)
+            if w == "AS" or w == "RENAME":
+                break
+            if w == "SELECT":
+                raise ImpalaUnsupportedError(
+                    "Syntax error: ALTER VIEW requires AS before the query"
+                )
+
+    # --- per-token shapes ---
+    for p, s in enumerate(sig):
+        t = tokens[s]
+        prev = tokens[sig[p - 1]] if p > 0 else None
+        nxt = tokens[sig[p + 1]] if p + 1 < len(sig) else None
+
+        # '*' as a select item followed by anything but FROM/','/set-op
+        if t.kind == "op" and t.text == "*":
+            prev_sel = prev is not None and (
+                (prev.kind == "word" and prev.upper in ("SELECT", "DISTINCT", "ALL"))
+                or (prev.kind == "op" and prev.text == ",")
+            )
+            prev_pred = prev is not None and prev.kind == "word" and prev.upper in (
+                "WHERE", "AND", "OR",
+            )
+            if prev_pred:
+                raise ImpalaUnsupportedError(
+                    "Syntax error: '*' is not a valid expression"
+                )
+            if prev_sel:
+                ok = nxt is None or (
+                    nxt.kind == "op" and nxt.text == ","
+                ) or (
+                    nxt.kind == "word" and nxt.upper in (
+                        "FROM", "UNION", "EXCEPT", "INTERSECT", "INTO", "LIMIT",
+                    )
+                )
+                if not ok:
+                    raise ImpalaUnsupportedError(
+                        "Syntax error: '*' cannot be part of an expression"
+                    )
+            if (
+                prev is not None and prev.kind == "op" and prev.text == "("
+                and nxt is not None and nxt.kind == "op" and nxt.text == ")"
+            ):
+                fn = sig[p - 2] if p >= 2 else -1
+                fn_ok = (
+                    fn != -1
+                    and tokens[fn].kind == "word"
+                    and tokens[fn].upper == "COUNT"
+                )
+                if not fn_ok:
+                    raise ImpalaUnsupportedError(
+                        "Syntax error: '*' is only valid in count(*)"
+                    )
+
+        # `t.*` used as an expression (compared, or passed to a non-COUNT
+        # function) — only valid as a select item
+        if (
+            t.kind == "op" and t.text == "*"
+            and prev is not None and prev.kind == "op" and prev.text == "."
+            and nxt is not None
+        ):
+            if nxt.kind == "op" and nxt.text in (
+                "=", "<", ">", "<=", ">=", "!=", "<>", "<=>",
+                "+", "-", "/", "%",
+            ):
+                raise ImpalaUnsupportedError(
+                    "Syntax error: '.*' cannot be part of an expression"
+                )
+            if nxt.kind == "op" and nxt.text == ")":
+                # enclosing call: walk back to the unmatched '(' and its
+                # function name
+                d2 = 0
+                fn = None
+                for k in range(s, -1, -1):
+                    tk = tokens[k]
+                    if tk.kind == "op" and tk.text == ")":
+                        d2 += 1
+                    elif tk.kind == "op" and tk.text == "(":
+                        if d2 == 0:
+                            w = _significant(tokens, k, -1)
+                            if w != -1 and tokens[w].kind == "word":
+                                fn = tokens[w].upper
+                            break
+                        d2 -= 1
+                if fn is not None and fn != "COUNT":
+                    raise ImpalaUnsupportedError(
+                        "Syntax error: '.*' is not a valid function argument"
+                    )
+
+        # binary operator directly before a clause keyword (dangling expr)
+        if (
+            t.kind == "op"
+            and t.text in ("+", "-", "*", "/", "%", "=", "<", ">", "<=", ">=",
+                           "!=", "<>")
+            and nxt is not None
+            and nxt.kind == "word"
+            and nxt.upper in ("FROM", "GROUP", "HAVING", "LIMIT")
+        ):
+            # `select 1- from t`: dangling operator
+            if not (t.text == "*" and prev is not None and (
+                (prev.kind == "word" and prev.upper in ("SELECT", "DISTINCT", "ALL"))
+                or (prev.kind == "op" and prev.text in (",", "."))
+            )):
+                raise ImpalaUnsupportedError(
+                    f"Syntax error: operator '{t.text}' is missing an operand"
+                )
+
+        # WHERE at end of statement
+        if t.kind == "word" and t.upper == "WHERE" and nxt is None:
+            raise ImpalaUnsupportedError(
+                "Syntax error: WHERE requires a predicate"
+            )
+
+        # IN with a missing left operand
+        if (
+            t.kind == "word" and t.upper == "IN"
+            and prev is not None
+            and (
+                (prev.kind == "word" and prev.upper in ("WHERE", "AND", "OR"))
+                or (prev.kind == "op" and prev.text == "(")
+            )
+        ):
+            raise ImpalaUnsupportedError(
+                "Syntax error: IN requires a left operand"
+            )
+
+        # VALUES misuse: as an expression, or without a row list
+        if t.kind == "word" and t.upper == "VALUES":
+            # NB: prev == '(' stays legal — `FROM (VALUES ...) v` is a
+            # valid Impala derived table; the nested-row negative
+            # `values((1,2),values(1,2))` is caught via the ',' case
+            if prev is not None and (
+                (prev.kind == "word" and prev.upper in ("SELECT", "FROM"))
+                or (prev.kind == "op" and prev.text == ",")
+            ):
+                raise ImpalaUnsupportedError(
+                    "Syntax error: VALUES is only valid as a statement or "
+                    "INSERT source"
+                )
+            if p == 0 and not (
+                nxt is not None and nxt.kind == "op" and nxt.text == "("
+            ):
+                raise ImpalaUnsupportedError(
+                    "Syntax error: VALUES requires a parenthesized row"
+                )
+
+        # INSERT INTO/OVERWRITE TABLE with no table name
+        if (
+            t.kind == "word" and t.upper == "TABLE"
+            and prev is not None and prev.kind == "word"
+            and prev.upper in ("INTO", "OVERWRITE")
+            and nxt is not None and nxt.kind == "word"
+            and nxt.upper in ("SELECT", "VALUES")
+        ):
+            raise ImpalaUnsupportedError(
+                "Syntax error: INSERT requires a table name"
+            )
+
+    # --- CREATE/ALTER VIEW column list: names must be identifiers, not
+    # reserved type keywords (`(int COMMENT 'x')` is a ParserError) ---
+    if head in ("CREATE", "ALTER") and "VIEW" in (word_at(1), word_at(2), word_at(3)):
+        for p, s in enumerate(sig):
+            t = tokens[s]
+            if t.kind == "word" and t.upper == "AS":
+                break
+            if t.kind == "op" and t.text == "(":
+                close = _matching_paren(tokens, s)
+                for a, b in _split_top_level_commas(tokens, s + 1, close):
+                    first = _significant(tokens, a - 1)
+                    if (
+                        first != -1 and first < b
+                        and tokens[first].kind == "word"
+                        and tokens[first].text.lower() in _TYPE_WORDS
+                    ):
+                        raise ImpalaUnsupportedError(
+                            "Syntax error: reserved word "
+                            f"'{tokens[first].text}' cannot name a view column"
+                        )
+                break
+
+    # --- ORDER BY / LIMIT on a FROM-less SELECT (sql-parser.cup binds
+    # both to a select_stmt with a from_clause) ---
+    if head == "SELECT":
+        depth = 0
+        saw_from = False
+        bad = None
+        for s in sig:
+            t = tokens[s]
+            if t.kind == "op":
+                if t.text == "(":
+                    depth += 1
+                elif t.text == ")":
+                    depth -= 1
+            elif depth == 0 and t.kind == "word":
+                if t.upper == "FROM":
+                    saw_from = True
+                elif t.upper in ("ORDER", "LIMIT") and bad is None:
+                    bad = t.upper
+        if bad and not saw_from:
+            raise ImpalaUnsupportedError(
+                f"Syntax error: {bad} requires a FROM clause"
+            )
+
+    # --- CREATE TABLE option-clause order / formats / partition defs ---
+    if head == "CREATE" and word_at(1) == "TABLE":
+        _check_create_table_tail(tokens, sig)
+
+
+def _check_create_table_tail(tokens: list[Token], sig: list[int]) -> None:
+    """Option-clause order, STORED AS formats, PARTITIONED BY column defs,
+    and PRIMARY KEY position for CREATE TABLE (sql-parser.cup
+    create_tbl_stmt ParserTest negatives)."""
+    # scan top-level words after the column list; stop at AS SELECT (CTAS)
+    depth = 0
+    last_rank = -1
+    n = len(tokens)
+    for p, s in enumerate(sig):
+        t = tokens[s]
+        if t.kind == "op":
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                depth -= 1
+            continue
+        if depth > 0 or t.kind != "word":
+            continue
+        up = t.upper
+        if up in ("SELECT", "LIKE"):
+            break  # CTAS / LIKE tail: stop ordering checks
+        if up == "STORED":
+            nx = sig[p + 1] if p + 1 < len(sig) else -1
+            fmt = sig[p + 2] if p + 2 < len(sig) else -1
+            if (
+                nx != -1 and tokens[nx].kind == "word"
+                and tokens[nx].upper == "AS"
+                and fmt != -1 and tokens[fmt].kind == "word"
+                and tokens[fmt].upper not in _FILE_FORMATS
+                and tokens[fmt].upper != "SELECT"  # CTAS `stored as X as select`
+            ):
+                raise ImpalaUnsupportedError(
+                    f"Syntax error: invalid file format '{tokens[fmt].text}'"
+                )
+        if up == "ROW":
+            nx = sig[p + 1] if p + 1 < len(sig) else -1
+            if not (
+                nx != -1 and tokens[nx].kind == "word"
+                and tokens[nx].upper == "FORMAT"
+            ):
+                continue
+        rank = _CREATE_TBL_OPT_RANK.get(up)
+        if rank is None:
+            continue
+        if rank < last_rank:
+            raise ImpalaUnsupportedError(
+                f"Syntax error: misplaced {up} clause in CREATE TABLE"
+            )
+        last_rank = rank
+        if up == "PARTITIONED":
+            # PARTITIONED BY (<name> <type>, ...): each item needs both
+            by = sig[p + 1] if p + 1 < len(sig) else -1
+            po = sig[p + 2] if p + 2 < len(sig) else -1
+            if (
+                by != -1 and tokens[by].kind == "word"
+                and tokens[by].upper == "BY"
+                and po != -1 and tokens[po].kind == "op"
+                and tokens[po].text == "("
+            ):
+                close = _matching_paren(tokens, po)
+                for a, b in _split_top_level_commas(tokens, po + 1, close):
+                    words = [
+                        k for k in range(a, b)
+                        if tokens[k].kind in ("word", "bident")
+                    ]
+                    if len(words) == 1:
+                        raise ImpalaUnsupportedError(
+                            "Syntax error: partition column requires a name "
+                            "and a type"
+                        )
+    # PRIMARY KEY must follow the column definitions, not lead them
+    for p, s in enumerate(sig):
+        t = tokens[s]
+        if t.kind == "op" and t.text == "(":
+            first = sig[p + 1] if p + 1 < len(sig) else -1
+            if (
+                first != -1 and tokens[first].kind == "word"
+                and tokens[first].upper == "PRIMARY"
+            ):
+                raise ImpalaUnsupportedError(
+                    "Syntax error: PRIMARY KEY must follow the column "
+                    "definitions"
+                )
+            break
 
 
 #: EXTRACT's valid unit set, in declaration order (ExtractFromExpr.java:39-47,
@@ -3304,6 +3731,7 @@ def translate(sql: str, strict: bool = False) -> str:
         _check_strict_type_defs(tokens)
         _check_strict_literal_exprs(tokens)
         _check_strict_typed_exprs(tokens)
+        _check_strict_grammar_extras(tokens)
         _check_strict_reserved_idents(tokens)
         _check_strict_where_requires_from(tokens)
         _check_strict_between_subqueries(tokens)
