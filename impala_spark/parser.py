@@ -3302,7 +3302,8 @@ def _check_create_table_tail(tokens: list[Token], sig: list[int]) -> None:
                             "Syntax error: partition column requires a name "
                             "and a type"
                         )
-    # PRIMARY KEY must follow the column definitions, not lead them
+    # PRIMARY KEY must follow the column definitions, not lead them;
+    # column names must pass MetaStore validation (ColumnDef.java:169-172)
     for p, s in enumerate(sig):
         t = tokens[s]
         if t.kind == "op" and t.text == "(":
@@ -3315,7 +3316,133 @@ def _check_create_table_tail(tokens: list[Token], sig: list[int]) -> None:
                     "Syntax error: PRIMARY KEY must follow the column "
                     "definitions"
                 )
+            close = _matching_paren(tokens, s)
+            for a, b in _split_top_level_commas(tokens, s + 1, close):
+                c0 = _significant(tokens, a - 1)
+                if (
+                    c0 != -1 and c0 < b and tokens[c0].kind == "bident"
+                ):
+                    cname = tokens[c0].text[1:-1]
+                    if not _VALID_NAME_RE.match(cname):
+                        raise ImpalaUnsupportedError(
+                            f"Invalid column/field name: {cname}"
+                        )
             break
+
+
+#: HMS property-length caps (util/MetaStoreUtil.java:51-54)
+_MAX_PROPERTY_KEY_LEN = 256
+_MAX_PROPERTY_VALUE_LEN = 4000
+
+#: MetaStoreUtils.validateName: letters, digits, underscore
+_VALID_NAME_RE = re.compile(r"^[A-Za-z0-9_]+$")
+
+
+def _check_strict_ddl_values(tokens: list[Token]) -> None:
+    """DDL value-level analysis errors needing no catalog
+    (AnalyzeDDLTest territory): TBLPROPERTIES/SERDEPROPERTIES length caps
+    (util/MetaStoreUtil.java:153-173), ROW FORMAT terminator values
+    (TableDef.java:314-322), absolute LOCATION URIs (HdfsUri.java:80-83),
+    and MetaStore name validation for databases/tables/columns
+    (TableName.java:55-64, CreateDbStmt.java:84-87, ColumnDef.java:169-172).
+    """
+    sig = [
+        k for k, t in enumerate(tokens)
+        if t.kind not in ("ws", "line_comment", "block_comment")
+    ]
+    head = tokens[sig[0]].upper if sig and tokens[sig[0]].kind == "word" else None
+    for p, s in enumerate(sig):
+        t = tokens[s]
+        if t.kind != "word":
+            continue
+        up = t.upper
+        # --- TBLPROPERTIES / SERDEPROPERTIES ('k'='v', ...) ---
+        if up in ("TBLPROPERTIES", "SERDEPROPERTIES"):
+            nx = sig[p + 1] if p + 1 < len(sig) else -1
+            if nx == -1 or not (tokens[nx].kind == "op" and tokens[nx].text == "("):
+                continue
+            close = _matching_paren(tokens, nx)
+            for a, b in _split_top_level_commas(tokens, nx + 1, close):
+                strs = [
+                    k for k in range(a, b) if tokens[k].kind == "string"
+                ]
+                if len(strs) >= 1:
+                    key = tokens[strs[0]].text[1:-1].replace("''", "'")
+                    if len(key) > _MAX_PROPERTY_KEY_LEN:
+                        raise ImpalaUnsupportedError(
+                            "Property key length must be <= "
+                            f"{_MAX_PROPERTY_KEY_LEN}: {len(key)}"
+                        )
+                if len(strs) >= 2:
+                    val = tokens[strs[1]].text[1:-1].replace("''", "'")
+                    if len(val) > _MAX_PROPERTY_VALUE_LEN:
+                        raise ImpalaUnsupportedError(
+                            "Property value length must be <= "
+                            f"{_MAX_PROPERTY_VALUE_LEN}: {len(val)}"
+                        )
+        # --- TERMINATED BY / ESCAPED BY '<delim>' ---
+        if up == "BY":
+            pw = tokens[sig[p - 1]] if p > 0 else None
+            if pw is None or pw.kind != "word" or pw.upper not in (
+                "TERMINATED", "ESCAPED",
+            ):
+                continue
+            nx = sig[p + 1] if p + 1 < len(sig) else -1
+            if nx == -1 or tokens[nx].kind != "string":
+                continue
+            v = tokens[nx].text[1:-1].replace("''", "'")
+            ok = len(v) == 1
+            if not ok:
+                try:
+                    ok = -128 <= int(v) <= 127
+                except ValueError:
+                    ok = False
+            if not ok:
+                raise ImpalaUnsupportedError(
+                    "ESCAPED BY values and LINE/FIELD terminators must be "
+                    "specified as a single character or as a decimal value in "
+                    f"the range [-128:127]: {v}"
+                )
+        # --- LOCATION '<uri>' must be absolute ---
+        if up == "LOCATION":
+            nx = sig[p + 1] if p + 1 < len(sig) else -1
+            if nx != -1 and tokens[nx].kind == "string":
+                uri = tokens[nx].text[1:-1].replace("''", "'")
+                if "://" not in uri and not uri.startswith("/"):
+                    raise ImpalaUnsupportedError(
+                        f"URI path must be absolute: {uri}"
+                    )
+        # --- MetaStore name validation (backquoted junk names) ---
+        if head in ("CREATE", "DROP", "ALTER", "USE", "DESCRIBE") and up in (
+            "DATABASE", "SCHEMA", "TABLE", "VIEW",
+        ):
+            q = p + 1
+            while q < len(sig) and tokens[sig[q]].kind == "word" \
+                    and tokens[sig[q]].upper in ("IF", "NOT", "EXISTS"):
+                q += 1
+            parts = []
+            while q < len(sig):
+                tq = tokens[sig[q]]
+                if tq.kind in ("word", "bident"):
+                    parts.append(tq)
+                    q += 1
+                    if q < len(sig) and tokens[sig[q]].kind == "op" \
+                            and tokens[sig[q]].text == ".":
+                        q += 1
+                        continue
+                break
+            for j, part in enumerate(parts):
+                name = part.text[1:-1] if part.kind == "bident" else part.text
+                if part.kind == "bident" and not _VALID_NAME_RE.match(name):
+                    if up in ("DATABASE", "SCHEMA") or (
+                        len(parts) == 2 and j == 0
+                    ):
+                        raise ImpalaUnsupportedError(
+                            f"Invalid database name: {name}"
+                        )
+                    raise ImpalaUnsupportedError(
+                        f"Invalid table/view name: {name}"
+                    )
 
 
 #: EXTRACT's valid unit set, in declaration order (ExtractFromExpr.java:39-47,
@@ -3732,6 +3859,7 @@ def translate(sql: str, strict: bool = False) -> str:
         _check_strict_literal_exprs(tokens)
         _check_strict_typed_exprs(tokens)
         _check_strict_grammar_extras(tokens)
+        _check_strict_ddl_values(tokens)
         _check_strict_reserved_idents(tokens)
         _check_strict_where_requires_from(tokens)
         _check_strict_between_subqueries(tokens)

@@ -2079,6 +2079,17 @@ sql_query(
     "tpch_q5_local_supplier",
     # scaled-long revenue kernel (see pricing_summary); measured 2.1x at
     # sf10 (11.0 -> 5.3 s), bit-identical to the decimal oracle.
+    # r6 profile (post-SHJ 3.0-3.7 s steady-state at sf10): the plan is
+    # already the right shape — all five dims broadcast, one hash
+    # shuffle of lineitem on l_orderkey. Two further rewrites measured
+    # and REJECTED: (a) runtime bloom filter from the filtered orders
+    # side into the lineitem scan (forced via lowered thresholds —
+    # injects, but the bloom-build subquery costs what the pruning saves
+    # when scans are memory-speed; Spark's 10GB application-side default
+    # correctly reserves it for cluster-scale scans), (b) computing dp8
+    # before the exchange (24B vs 32B shuffle rows — 4.2 s, no win).
+    # The remaining gap to DuckDB is the 60M-row exchange itself, which
+    # a single-node shared-hash-table engine never pays.
     """
     WITH j AS (
       SELECT n_name,

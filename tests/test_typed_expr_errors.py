@@ -313,3 +313,59 @@ def test_grammar_negative_statements_rejected():
 def test_grammar_positive_statements_accepted():
     for sql in GRAMMAR_POSITIVE:
         tr(sql, strict=True)  # must not raise
+
+
+def test_ddl_value_errors_exact_texts():
+    """AnalyzeDDLTest value-level errors needing no catalog:
+    property-length caps (util/MetaStoreUtil.java:51-54,153-173), ROW
+    FORMAT terminators (TableDef.java:314-322), absolute LOCATION URIs
+    (HdfsUri.java:80-83), MetaStore name validation (TableName.java:55-64,
+    CreateDbStmt.java:84-87, ColumnDef.java:169-172)."""
+    cases = [
+        (
+            "create table t (i int) tblproperties('%s'='x')" % ("k" * 257),
+            "Property key length must be <= 256: 257",
+        ),
+        (
+            "create table t (i int) tblproperties('a'='%s')" % ("v" * 4001),
+            "Property value length must be <= 4000: 4001",
+        ),
+        (
+            "create table t (i int) row format delimited "
+            "fields terminated by 'xy'",
+            "ESCAPED BY values and LINE/FIELD terminators must be specified "
+            "as a single character or as a decimal value in the range "
+            "[-128:127]: xy",
+        ),
+        (
+            "create table t (i int) row format delimited "
+            "fields terminated by '|' escaped by '128'",
+            "ESCAPED BY values and LINE/FIELD terminators must be specified "
+            "as a single character or as a decimal value in the range "
+            "[-128:127]: 128",
+        ),
+        (
+            "create table t (i int) location 'bad-location'",
+            "URI path must be absolute: bad-location",
+        ),
+        ("create database `???`", "Invalid database name: ???"),
+        ("create table `%^&` (i int)", "Invalid table/view name: %^&"),
+        ("create table `bad db`.`t` (i int)", "Invalid database name: bad db"),
+        ("drop table `%^&`", "Invalid table/view name: %^&"),
+        ("create table t (`x y z` int)", "Invalid column/field name: x y z"),
+    ]
+    for sql, msg in cases:
+        with pytest.raises(ImpalaUnsupportedError) as ei:
+            tr(sql, strict=True)
+        assert msg in str(ei.value), sql
+    # legal forms untouched
+    for sql in [
+        "create table t (i int) tblproperties('a'='b')",
+        "create table t (i int) row format delimited "
+        "fields terminated by '|' escaped by '-2'",
+        "create table t (i int) location '/abs/path'",
+        "create table t (i int) location 'hdfs://nn/path'",
+        "create database ok_db",
+        "create table `ok_tbl` (`ok_col` int)",
+    ]:
+        tr(sql, strict=True)
