@@ -122,6 +122,9 @@ class ImpalaEngine:
         self.explain_level = 1
         #: name -> SYMBOL of functions created via CREATE FUNCTION
         self._functions: dict[str, str] = {}
+        #: names created via CREATE VIEW in this engine (AlterTableStmt
+        #: .java:76-79 needs to tell views from tables)
+        self._views: set[str] = set()
         if sf_dir:
             register_tables(spark, sf_dir)
 
@@ -299,6 +302,7 @@ class ImpalaEngine:
                 f"CREATE OR REPLACE TEMPORARY VIEW {vname}{col_list} AS "
                 + translate(m.group("select"), strict=self.strict)
             )
+            self._views.add(vname)
             return self.spark.sql(f"SELECT 'view {vname} created' AS result")
         m = _ALTER_VIEW_RE.match(q)
         if m:
@@ -323,6 +327,13 @@ class ImpalaEngine:
                 # analysis/DropTableOrViewStmt.java error text
                 raise ImpalaAnalysisError(f"Table does not exist: default.{tname}")
         if upper.startswith("ALTER TABLE"):
+            m2 = re.match(r"ALTER\s+TABLE\s+(`[^`]+`|\S+)", q, re.IGNORECASE)
+            if m2 and m2.group(1).strip("`") in self._views:
+                # AlterTableStmt.java:76-79
+                raise ImpalaAnalysisError(
+                    "ALTER TABLE not allowed on a view: "
+                    + m2.group(1).strip("`")
+                )
             return ddl.alter_table(self.spark, q)
         if upper.startswith(("UPDATE ", "DELETE ", "UPSERT ")):
             return ddl.modify(self.spark, q)
@@ -338,6 +349,13 @@ class ImpalaEngine:
                 self.spark.catalog.clearCache()
             return self.spark.sql("SELECT 'metadata refreshed' AS result")
 
+        if upper.startswith("DROP VIEW"):
+            m2 = re.match(
+                r"DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(`[^`]+`|\S+)", q,
+                re.IGNORECASE,
+            )
+            if m2:  # keep the view registry in sync for ALTER TABLE checks
+                self._views.discard(m2.group(1).strip("`"))
         if self.appx_count_distinct:
             from impala_spark.parser import rewrite_appx_count_distinct
 

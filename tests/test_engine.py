@@ -260,3 +260,21 @@ def test_strict_engine_checks_view_bodies(spark, sf_dir):
     # strict analyzer rejections apply inside view bodies too
     with pytest.raises(ImpalaUnsupportedError, match="aggregation output"):
         es.sql("CREATE VIEW v_bad_grp AS SELECT n_name, count(*) FROM nation")
+
+
+def test_alter_table_on_view_rejected(spark, sf_dir):
+    """AlterTableStmt.java:76-79: ALTER TABLE on a view is an analysis
+    error with the reference's exact text."""
+    import pytest
+
+    from impala_spark.engine import ImpalaAnalysisError, ImpalaEngine
+
+    eng = ImpalaEngine(spark, sf_dir)
+    eng.sql("DROP VIEW IF EXISTS v_for_alter")
+    eng.sql("CREATE VIEW v_for_alter AS SELECT n_name FROM nation")
+    with pytest.raises(
+        ImpalaAnalysisError,
+        match=r"ALTER TABLE not allowed on a view: v_for_alter",
+    ):
+        eng.sql("ALTER TABLE v_for_alter ADD COLUMNS (x INT)")
+    eng.sql("DROP VIEW v_for_alter")
