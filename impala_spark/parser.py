@@ -3330,6 +3330,200 @@ def _check_create_table_tail(tokens: list[Token], sig: list[int]) -> None:
             break
 
 
+#: aggregate function names (BuiltinsDb.java agg family)
+_AGG_FN_WORDS = {
+    "count", "sum", "avg", "min", "max", "ndv", "stddev", "stddev_pop",
+    "stddev_samp", "variance", "variance_pop", "variance_samp", "var_pop",
+    "var_samp", "group_concat", "appx_median", "distinctpc", "distinctpcsa",
+}
+
+#: aggs that return non-NULL on empty input (Expr.NON_NULL_EMPTY_AGG)
+_NON_NULL_EMPTY_AGGS = {"count", "ndv", "distinctpc", "distinctpcsa"}
+
+
+def _check_strict_correlated_subqueries(tokens: list[Token]) -> None:
+    """StmtRewriter.canRewriteCorrelatedSubquery (StmtRewriter.java:641-698,
+    846-860): correlated subqueries that cannot be decorrelated into a
+    join are analysis errors. Token subset — correlation means the
+    subquery references `alias.col` for an alias bound in the OUTER FROM
+    and not rebound inside the subquery; only unambiguous shapes raise
+    (column-typed/implicit correlation falls through):
+
+    - correlated IN subquery with aggregation/GROUP BY, or correlated
+      comparison subquery with GROUP BY -> 'grouping and/or aggregation'
+    - correlated IN subquery with LIMIT; correlated comparison subquery
+      with LIMIT and no aggregate select item -> 'LIMIT clause'
+    - correlated EXISTS subquery with HAVING and no aggregation
+    - correlated scalar subquery whose select item is an EXPRESSION over
+      count()/ndv() (non-null on empty input) rather than the bare agg
+    """
+    regions = _from_regions(tokens)
+    if not regions:
+        return
+
+    def span_aliases(a: int, b: int) -> set[str]:
+        out: set[str] = set()
+        depth = 0
+        for k in range(a, b):
+            t = tokens[k]
+            if t.kind == "op":
+                if t.text == "(":
+                    depth += 1
+                elif t.text == ")":
+                    depth -= 1
+            elif depth == 0 and t.kind in ("word", "bident"):
+                w = t.text.strip("`")
+                if t.upper not in _FROM_KEYWORDS and not w.isdigit():
+                    out.add(w.lower())
+        return out
+
+    for i, t in enumerate(tokens):
+        if not (t.kind == "op" and t.text == "("):
+            continue
+        head = _significant(tokens, i)
+        if head == -1 or tokens[head].upper != "SELECT":
+            continue
+        close = _matching_paren(tokens, i)
+        # predicate kind from the token(s) before the '('
+        prev = _significant(tokens, i, -1)
+        if prev != -1 and tokens[prev].kind == "word" and tokens[prev].upper == "NOT":
+            prev = _significant(tokens, prev, -1)
+        if prev == -1:
+            continue
+        pt = tokens[prev]
+        if pt.kind == "word" and pt.upper == "IN":
+            kind = "in"
+        elif pt.kind == "word" and pt.upper == "EXISTS":
+            kind = "exists"
+        elif pt.kind == "op" and pt.text in _COMPARISON_OPS:
+            kind = "cmp"
+        else:
+            continue
+        # outer aliases: FROM regions that do not contain this subquery
+        outer: set[str] = set()
+        for a, b in regions:
+            if not (a <= i < b):
+                outer |= span_aliases(a, b)
+        if not outer:
+            continue
+        # subquery's own FROM aliases and top-level clause map
+        inner_aliases: set[str] = set()
+        depth = 0
+        sel_end = close
+        has_group = has_having = has_limit = has_over = False
+        agg_in_select = False
+        from_idx = -1
+        for k in range(i + 1, close):
+            tk = tokens[k]
+            if tk.kind == "op":
+                if tk.text == "(":
+                    depth += 1
+                elif tk.text == ")":
+                    depth -= 1
+                continue
+            if depth != 0 or tk.kind != "word":
+                continue
+            up = tk.upper
+            if up == "FROM" and from_idx == -1:
+                from_idx = k
+                sel_end = k
+            elif up == "GROUP":
+                has_group = True
+            elif up == "HAVING":
+                has_having = True
+            elif up == "LIMIT":
+                has_limit = True
+            elif up == "OVER":
+                has_over = True
+        if from_idx != -1:
+            stop = close
+            d2 = 0
+            for k in range(from_idx + 1, close):
+                tk = tokens[k]
+                if tk.kind == "op":
+                    if tk.text == "(":
+                        d2 += 1
+                    elif tk.text == ")":
+                        d2 -= 1
+                elif d2 == 0 and tk.kind == "word" and tk.upper in (
+                    "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "UNION",
+                ):
+                    stop = k
+                    break
+            inner_aliases = span_aliases(from_idx + 1, stop)
+        # aggregate call in the select list?
+        item_is_expr_over_agg = False
+        nne_agg = False
+        for k in range(head + 1, sel_end):
+            tk = tokens[k]
+            if tk.kind == "word" and tk.text.lower() in _AGG_FN_WORDS:
+                nx = _significant(tokens, k)
+                if nx != -1 and nx < sel_end and tokens[nx].kind == "op" \
+                        and tokens[nx].text == "(":
+                    agg_in_select = True
+                    if tk.text.lower() in _NON_NULL_EMPTY_AGGS:
+                        nne_agg = True
+        if nne_agg:
+            # expression-over-agg: a top-level arithmetic operator in the
+            # single select item (CAST-wrapping alone stays legal)
+            d2 = 0
+            for k in range(head + 1, sel_end):
+                tk = tokens[k]
+                if tk.kind == "op":
+                    if tk.text == "(":
+                        d2 += 1
+                    elif tk.text == ")":
+                        d2 -= 1
+                    elif d2 == 0 and tk.text in ("+", "-", "*", "/", "%"):
+                        item_is_expr_over_agg = True
+        # correlated? an outer alias referenced as `alias.` inside,
+        # not shadowed by the subquery's own FROM
+        correlated = False
+        for k in range(i + 1, close):
+            tk = tokens[k]
+            if tk.kind not in ("word", "bident"):
+                continue
+            nx = k + 1
+            while nx < close and tokens[nx].kind in (
+                "ws", "line_comment", "block_comment",
+            ):
+                nx += 1
+            if not (nx < close and tokens[nx].kind == "op" and tokens[nx].text == "."):
+                continue
+            ref = tk.text.strip("`").lower()
+            if ref in outer and ref not in inner_aliases:
+                correlated = True
+                break
+        if not correlated:
+            continue
+        sub_sql = untokenize(tokens[i + 1:close]).strip()
+        if (kind == "in" and (agg_in_select or has_group or has_over)) or (
+            kind == "cmp" and (has_group or has_over)
+        ):
+            raise ImpalaUnsupportedError(
+                "Unsupported correlated subquery with grouping and/or "
+                "aggregation: " + sub_sql
+            )
+        if has_limit and (
+            kind == "in" or (kind == "cmp" and not agg_in_select)
+        ):
+            raise ImpalaUnsupportedError(
+                "Unsupported correlated subquery with a LIMIT clause: "
+                + sub_sql
+            )
+        if kind == "exists" and has_having and not agg_in_select:
+            raise ImpalaUnsupportedError(
+                "Unsupported correlated EXISTS subquery with a HAVING "
+                "clause: " + sub_sql
+            )
+        if kind == "cmp" and item_is_expr_over_agg:
+            raise ImpalaUnsupportedError(
+                "Aggregate function that returns non-null on an empty "
+                "input cannot be used in an expression in a correlated "
+                "subquery's select list: (" + sub_sql + ")"
+            )
+
+
 #: HMS property-length caps (util/MetaStoreUtil.java:51-54)
 _MAX_PROPERTY_KEY_LEN = 256
 _MAX_PROPERTY_VALUE_LEN = 4000
@@ -3860,6 +4054,7 @@ def translate(sql: str, strict: bool = False) -> str:
         _check_strict_typed_exprs(tokens)
         _check_strict_grammar_extras(tokens)
         _check_strict_ddl_values(tokens)
+        _check_strict_correlated_subqueries(tokens)
         _check_strict_reserved_idents(tokens)
         _check_strict_where_requires_from(tokens)
         _check_strict_between_subqueries(tokens)

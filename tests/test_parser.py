@@ -1000,6 +1000,13 @@ def test_strict_layer_accepts_all_registered_query_texts():
     expected_strict_rejects = {
         "tpch_q11_important_stock",  # HAVING subquery (SelectStmt.java:181)
         "tpcds_q51_shape",           # DATE type (Type.java:107-110)
+        # r6 tie-robust contracts use SUM(..)/COUNT(*) inside correlated
+        # scalar subqueries — an expression over a non-null-on-empty agg,
+        # which the reference's decorrelation rejects
+        # (StmtRewriter.java:846-860); the permissive dialect runs them
+        "subquery_correlated_scalar",
+        "tpcds_q1_shape",
+        "tpcds_q6_shape",
     }
     unexpected = {}
     for name, fn in SPARK_QUERIES.items():

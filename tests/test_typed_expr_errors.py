@@ -369,3 +369,73 @@ def test_ddl_value_errors_exact_texts():
         "create table `ok_tbl` (`ok_col` int)",
     ]:
         tr(sql, strict=True)
+
+
+def test_correlated_subquery_eligibility_errors():
+    """StmtRewriter.canRewriteCorrelatedSubquery (StmtRewriter.java:
+    641-698, 846-860): correlated subqueries the decorrelation rewrite
+    cannot express are analysis errors with the reference's texts."""
+    neg = [
+        (
+            "select * from t a where a.id in "
+            "(select max(x) from u where u.k = a.k)",
+            "Unsupported correlated subquery with grouping and/or "
+            "aggregation: select max(x) from u where u.k = a.k",
+        ),
+        (
+            "select * from t a where a.id in "
+            "(select x from u where u.k = a.k group by x)",
+            "Unsupported correlated subquery with grouping and/or "
+            "aggregation",
+        ),
+        (
+            "select * from t a where a.v > "
+            "(select max(x) from u where u.k = a.k group by u.g)",
+            "Unsupported correlated subquery with grouping and/or "
+            "aggregation",
+        ),
+        (
+            "select * from t a where a.id in "
+            "(select x from u where u.k = a.k limit 5)",
+            "Unsupported correlated subquery with a LIMIT clause: "
+            "select x from u where u.k = a.k limit 5",
+        ),
+        (
+            "select * from t a where a.v > "
+            "(select x from u where u.k = a.k limit 1)",
+            "Unsupported correlated subquery with a LIMIT clause",
+        ),
+        (
+            "select * from t a where exists "
+            "(select 1 from u where u.k = a.k having x > 2)",
+            "Unsupported correlated EXISTS subquery with a HAVING clause",
+        ),
+        (
+            "select * from t a where a.v > "
+            "(select 1 + count(*) from u where u.k = a.k)",
+            "Aggregate function that returns non-null on an empty input "
+            "cannot be used in an expression in a correlated subquery's "
+            "select list: (select 1 + count(*) from u where u.k = a.k)",
+        ),
+    ]
+    for sql, msg in neg:
+        with pytest.raises(ImpalaUnsupportedError) as ei:
+            tr(sql, strict=True)
+        assert msg in str(ei.value), sql
+    pos = [
+        # correlated but rewritable
+        "select * from t a where a.v > (select max(x) from u where u.k = a.k)",
+        "select * from t a where exists (select 1 from u where u.k = a.k)",
+        "select * from t a where a.id in (select x from u where u.k = a.k)",
+        # cmp + agg + LIMIT: the rewrite drops the LIMIT (allowed)
+        "select * from t a where a.v > "
+        "(select max(x) from u where u.k = a.k limit 1)",
+        # non-correlated: everything allowed
+        "select * from t a where a.id in (select x from u limit 5)",
+        "select * from t a where a.v > (select 1 + count(*) from u)",
+        # alias shadowed inside the subquery: not correlated
+        "select * from t a where a.id in "
+        "(select x from w a where a.k = 3 limit 2)",
+    ]
+    for sql in pos:
+        tr(sql, strict=True)
