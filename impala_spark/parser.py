@@ -3330,6 +3330,97 @@ def _check_create_table_tail(tokens: list[Token], sig: list[int]) -> None:
             break
 
 
+def _check_strict_stmt_shapes(tokens: list[Token]) -> None:
+    """AnalyzeStmtsTest statement-shape errors needing no schema:
+    nested OFFSET without LIMIT (QueryStmt.java:202-205), duplicate
+    partition-clause columns (InsertStmt.java:330-334), and the
+    GROUP_CONCAT(DISTINCT) constant separator (FunctionCallExpr.java:
+    468-475)."""
+    for i, t in enumerate(tokens):
+        # nested query: '(' SELECT ... ORDER BY ... OFFSET n [no LIMIT] ')'
+        if t.kind == "op" and t.text == "(":
+            head = _significant(tokens, i)
+            if head == -1 or tokens[head].upper != "SELECT":
+                continue
+            close = _matching_paren(tokens, i)
+            d = 0
+            has_offset = has_limit = False
+            for k in range(i + 1, close):
+                tk = tokens[k]
+                if tk.kind == "op":
+                    if tk.text == "(":
+                        d += 1
+                    elif tk.text == ")":
+                        d -= 1
+                elif d == 0 and tk.kind == "word":
+                    if tk.upper == "OFFSET":
+                        has_offset = True
+                    elif tk.upper == "LIMIT":
+                        has_limit = True
+            if has_offset and not has_limit:
+                raise ImpalaUnsupportedError(
+                    "Order-by with offset without limit not supported in "
+                    "nested queries."
+                )
+        if t.kind != "word":
+            continue
+        # INSERT ... PARTITION (col[=v], ...): duplicate columns
+        if t.upper == "PARTITION":
+            prev = _significant(tokens, i, -1)
+            nx = _significant(tokens, i)
+            if nx == -1 or not (
+                tokens[nx].kind == "op" and tokens[nx].text == "("
+            ):
+                continue
+            # only the INSERT partition clause (prev is a table name /
+            # ')' of a column list), not ALTER ... DROP PARTITION etc.
+            if prev != -1 and tokens[prev].kind == "word" and tokens[prev].upper in (
+                "ADD", "DROP",
+            ):
+                continue
+            close = _matching_paren(tokens, nx)
+            seen: set[str] = set()
+            for a, b in _split_top_level_commas(tokens, nx + 1, close):
+                c0 = _significant(tokens, a - 1)
+                if c0 != -1 and c0 < b and tokens[c0].kind in ("word", "bident"):
+                    cname = tokens[c0].text.strip("`").lower()
+                    if cname in seen:
+                        raise ImpalaUnsupportedError(
+                            f"Duplicate column '{cname}' in partition clause"
+                        )
+                    seen.add(cname)
+        # GROUP_CONCAT(DISTINCT x, sep): sep must be constant
+        if t.text.lower() == "group_concat":
+            nx = _significant(tokens, i)
+            if nx == -1 or not (
+                tokens[nx].kind == "op" and tokens[nx].text == "("
+            ):
+                continue
+            close = _matching_paren(tokens, nx)
+            first = _significant(tokens, nx)
+            if first == -1 or tokens[first].upper != "DISTINCT":
+                continue
+            items = _split_top_level_commas(tokens, nx + 1, close)
+            if len(items) == 2:
+                a, b = items[1]
+                sigs = [
+                    k for k in range(a, b)
+                    if tokens[k].kind not in ("ws", "line_comment", "block_comment")
+                ]
+                # a single bare column ref (word, no parens/literals) is
+                # the unambiguous non-constant case; literals and
+                # expressions over literals fall through
+                if (
+                    len(sigs) == 1
+                    and tokens[sigs[0]].kind in ("word", "bident")
+                    and tokens[sigs[0]].upper not in ("NULL", "TRUE", "FALSE")
+                ):
+                    raise ImpalaUnsupportedError(
+                        "Second parameter in GROUP_CONCAT(DISTINCT) must be "
+                        "a constant expression that returns a string."
+                    )
+
+
 #: aggregate function names (BuiltinsDb.java agg family)
 _AGG_FN_WORDS = {
     "count", "sum", "avg", "min", "max", "ndv", "stddev", "stddev_pop",
@@ -4055,6 +4146,7 @@ def translate(sql: str, strict: bool = False) -> str:
         _check_strict_grammar_extras(tokens)
         _check_strict_ddl_values(tokens)
         _check_strict_correlated_subqueries(tokens)
+        _check_strict_stmt_shapes(tokens)
         _check_strict_reserved_idents(tokens)
         _check_strict_where_requires_from(tokens)
         _check_strict_between_subqueries(tokens)

@@ -439,3 +439,44 @@ def test_correlated_subquery_eligibility_errors():
     ]
     for sql in pos:
         tr(sql, strict=True)
+
+
+def test_stmt_shape_errors_exact_texts():
+    """AnalyzeStmtsTest statement shapes needing no schema: nested
+    OFFSET-without-LIMIT (QueryStmt.java:202-205), duplicate
+    partition-clause columns (InsertStmt.java:330-334), and the
+    GROUP_CONCAT(DISTINCT) constant separator (FunctionCallExpr.java:
+    468-475)."""
+    neg = [
+        (
+            "select * from (select a from t order by a offset 5) v",
+            "Order-by with offset without limit not supported in nested "
+            "queries.",
+        ),
+        (
+            "insert into t partition (year, year) select * from u",
+            "Duplicate column 'year' in partition clause",
+        ),
+        (
+            "insert into t partition (year=1, Year=2) select * from u",
+            "Duplicate column 'year' in partition clause",
+        ),
+        (
+            "select group_concat(distinct a, b) from t",
+            "Second parameter in GROUP_CONCAT(DISTINCT) must be a constant "
+            "expression that returns a string.",
+        ),
+    ]
+    for sql, msg in neg:
+        with pytest.raises(ImpalaUnsupportedError) as ei:
+            tr(sql, strict=True)
+        assert msg in str(ei.value), sql
+    for sql in [
+        "select * from (select a from t order by a limit 10 offset 5) v",
+        "select a from t order by a offset 5",  # root query: allowed
+        "insert into t partition (year=1, month=2) select * from u",
+        "select group_concat(distinct a, ', ') from t",
+        "select group_concat(a, b) from t",  # non-DISTINCT: no constraint
+        "alter table t drop partition (year=1, year=2)",
+    ]:
+        tr(sql, strict=True)
