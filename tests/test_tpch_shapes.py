@@ -114,3 +114,20 @@ def test_tpcds_plan_no_cartesian(spark, sf_dir, name):
 
 def test_tpcds_suite_runs_22_shapes(spark, sf_dir):
     assert len(_TPCDS_ALL) == 22
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["tpch_q3_shipping_priority", "tpch_q5_local_supplier",
+     "tpch_q10_returned_items", "join_fact_fact"],
+)
+def test_fact_joins_are_hash_not_sort_merge(spark, sf_dir, name):
+    """r6 engine posture (preferSortMergeJoin=false): fact-fact joins
+    plan as ShuffledHashJoin like the reference's PARTITIONED hash join
+    (P/DistributedPlanner.java) — the sort stages of SMJ were the
+    dominant cost at sf10 (13.2 -> 3.5s on q3). A SortMergeJoin
+    appearing here means the engine regressed to the sorting plan."""
+    df = SPARK_QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, name
+    assert "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, name
