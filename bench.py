@@ -58,6 +58,15 @@ def _materialize(df) -> int:
 
 
 def main() -> None:
+    # Contamination evidence (sampled BEFORE Spark starts, so it measures
+    # other tenants, not our own executors): a loaded box inflates every
+    # query uniformly (BENCH_r06 was +21% over idle-box bands purely from
+    # co-running sweeps). Recorded in the JSON so noisy runs are
+    # flaggable without re-running.
+    try:
+        load_at_start = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_at_start = [-1.0, -1.0, -1.0]
     spark = get_spark("impala_spark_bench")
     # Warm pass: run every headline query once so the measured passes see
     # steady state — parquet footers cached, plans compiled, JIT'd code.
@@ -124,10 +133,20 @@ def main() -> None:
         print(f"# repeated {name}: {dt}s", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # End-of-run sample includes our own executors; paired with the
+    # pre-Spark sample it separates "box was already busy" from "we were
+    # the load".
+    try:
+        load_at_end = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_at_end = [-1.0, -1.0, -1.0]
     print(
         json.dumps(
             {
                 "metric": "headline_suite_total",
+                "loadavg_before_spark": load_at_start,
+                "loadavg_after_run": load_at_end,
+                "ncpus": os.cpu_count(),
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,

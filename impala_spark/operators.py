@@ -521,3 +521,69 @@ def skew_report(df: DataFrame, key_col: str, topk: int = 5) -> DataFrame:
             F.round(F.col("max_freq") * F.col("n_keys") / F.col("n_rows"), 4).alias("skew_ratio"),
         )
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    value_col: str,
+    order_by: Sequence[Column],
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global running sum over a total order WITHOUT the classic
+    single-partition `Window.orderBy(...)` bottleneck (Spark warns
+    `WindowExec: No Partition Defined` — every row lands on one task).
+
+    Textbook distributed prefix sum in three bounded steps:
+      1. `repartitionByRange` on the total order — each task holds one
+         contiguous slice (an explicit partition count, so AQE never
+         coalesces it and partition ids stay stable across the two uses
+         of the exchange — Spark reuses it, not recomputes).
+      2. Per-slice subtotals (one row per partition, <= num_partitions
+         rows total) turned into slice offsets via a triangular
+         broadcast join — deliberately NOT a window, so callers can
+         assert "zero unpartitioned windowspecs" over the whole plan.
+      3. A window PARTITIONED by slice id adds offset + local running
+         sum. The only shuffles are the range exchange and a hash
+         exchange of the same data on slice id; no task ever sees more
+         than one slice.
+
+    Exactness: integer/decimal sums are associative, so the result is
+    bit-identical to the single-partition window for any slicing.
+
+    Reference: the pattern Impala gets for free from its single-node
+    analytic sort (planner/AnalyticPlanner.java partitions by nothing
+    and relies on one impalad); at 100 TB Spark must not."""
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    n = int(
+        num_partitions
+        or spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged = df.repartitionByRange(n, *order_by).withColumn(
+        "_gpid", F.spark_partition_id()
+    )
+    ptot = ranged.groupBy("_gpid").agg(F.sum(value_col).alias("_ptot"))
+    offsets = (
+        ptot.select(F.col("_gpid").alias("_gpid_a"))
+        .join(
+            F.broadcast(ptot.select(F.col("_gpid").alias("_gpid_b"), "_ptot")),
+            F.col("_gpid_b") < F.col("_gpid_a"),
+            "left",
+        )
+        .groupBy("_gpid_a")
+        .agg(F.coalesce(F.sum("_ptot"), F.lit(0)).alias("_poff"))
+    )
+    w = (
+        Window.partitionBy("_gpid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(
+            F.broadcast(offsets), F.col("_gpid") == F.col("_gpid_a"), "inner"
+        )
+        .withColumn(out_col, F.sum(value_col).over(w) + F.col("_poff"))
+        .drop("_gpid", "_gpid_a", "_poff")
+    )

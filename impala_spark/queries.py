@@ -5089,11 +5089,11 @@ def q_two_level_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Key-skew diagnostic over the events user_id key (the decide-before-
 # salting report; operators.salted_join/salted_agg are the mitigation).
-# NOTE: the global top-k window is key-cardinality-sized input, single
-# ordered partition only over the top rows after AQE's partial topk —
-# row_number over an unpartitioned window is acceptable here because
-# counts are pre-aggregated to |keys| rows; at extreme key cardinality
-# swap for TakeOrdered (orderBy.limit) semantics, identical result.
+# NOTE: the global row_number()<=5 never executes as a full sort:
+# Catalyst's LimitPushDownThroughWindow plans it as a distributed
+# TakeOrderedAndProject(limit=5) whose 5-row output feeds the window —
+# enforced by tests/test_meta_surfaces.py::test_skew_report_topk_is_
+# take_ordered so a Spark upgrade can't regress it to one task.
 @register(
     "meta_skew_report",
     oracle="""
@@ -5647,10 +5647,14 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> exact dedup (dedup_exact) -> SemDeDup (semantic_dedup) -> DSIR
     selection (dsir_importance_weights) under a 20k-token budget. Every
     stage is the already-verified operator; the pipeline checks their
-    COMPOSITION with set-level checksums."""
-    from pyspark.sql.window import Window
+    COMPOSITION with set-level checksums.
 
+    The global token-budget running sum uses operators.global_running_sum
+    (range-partitioned distributed prefix sum) — never an unpartitioned
+    window; tests/test_llm_ops.py asserts zero unpartitioned windowspecs
+    in this query's executed plan."""
     from impala_spark import llm_ops
+    from impala_spark.operators import global_running_sum
 
     d = table(spark, sf_dir, "documents")
     e = table(spark, sf_dir, "embeddings")
@@ -5677,13 +5681,11 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = llm_ops.dsir_importance_weights(raw, target).select(
         "doc_id", "logratio"
     )
-    w = (
-        Window.orderBy(F.col("logratio").desc(), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ranked = (
-        semantic.join(scores, "doc_id")
-        .withColumn("cum_tokens", F.sum("n_words").over(w))
+    ranked = global_running_sum(
+        semantic.join(scores, "doc_id"),
+        "n_words",
+        [F.col("logratio").desc(), F.col("doc_id")],
+        out_col="cum_tokens",
     )
     selected = ranked.filter(F.col("cum_tokens") <= 20000)
     funnel = selected.agg(

@@ -805,3 +805,47 @@ def test_semantic_dedup_autosizes_cluster_bits(spark):
     )
     out = {r.id: r.kept for r in llm_ops.semantic_dedup(dup).collect()}
     assert out[1] is True and out[2] is False and out[3] is True
+
+
+def test_global_running_sum_exact_and_partitioned(spark):
+    """operators.global_running_sum must equal the single-partition
+    window bit-for-bit AND contain zero unpartitioned windowspecs in
+    its executed plan (the r6 verdict's one scale-killer)."""
+    import re
+
+    from pyspark.sql.window import Window
+
+    from impala_spark.operators import global_running_sum
+
+    rows = [(i, (i * 37) % 101, (i * 13) % 7 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "id: long, score: long, toks: long")
+    order = [F.col("score").desc(), F.col("id")]
+    got = {
+        r.id: r.cum
+        for r in global_running_sum(df, "toks", order, out_col="cum", num_partitions=8).collect()
+    }
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {r.id: r.cum for r in df.withColumn("cum", F.sum("toks").over(w)).collect()}
+    assert got == want
+
+    plan = (
+        global_running_sum(df, "toks", order, out_col="cum", num_partitions=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # every windowspecdefinition's first argument must be a partition
+    # column, never an ordering expression (ASC/DESC marker)
+    for first_arg in re.findall(r"windowspecdefinition\(([^,]*),", plan):
+        assert " ASC" not in first_arg and " DESC" not in first_arg, plan
+
+
+def test_curation_pipeline_no_unpartitioned_window(spark, sf_dir):
+    """The flagship curation pipeline's executed plan must contain no
+    unpartitioned window (r6 verdict #1: the global token-budget cumsum
+    previously moved every surviving document to one partition)."""
+    import re
+
+    df = SPARK_QUERIES_ND["llm_curation_pipeline"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition" in plan  # the cumsum window is present
+    for first_arg in re.findall(r"windowspecdefinition\(([^,]*),", plan):
+        assert " ASC" not in first_arg and " DESC" not in first_arg, first_arg

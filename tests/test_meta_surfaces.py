@@ -280,3 +280,32 @@ def test_explain_levels_and_missing_stats_warning(spark, sf_dir):
     verbose = eng.explain(q)
     assert "---- Spark physical plan ----" in verbose
     eng.set_option("explain_level", "STANDARD")
+
+
+def test_skew_report_topk_is_take_ordered(spark, sf_dir):
+    """The unpartitioned row_number()<=5 in operators.skew_report must
+    NOT execute as a single-partition full sort over all group keys:
+    Catalyst's LimitPushDownThroughWindow rewrites it to a distributed
+    TakeOrderedAndProject(limit=5) feeding a 5-row window. Pinned so a
+    Spark upgrade or a query edit can't silently regress the top-k over
+    billions of keys back to one task (r6 verdict 'What's wrong' #2)."""
+    df = SPARK_QUERIES["meta_skew_report"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject(limit=5" in plan, plan
+    # and the limit must sit BELOW the window (window input = 5 rows)
+    win = plan.index("Window [row_number()")
+    take = plan.index("TakeOrderedAndProject(limit=5")
+    assert take > win, "TakeOrdered must be the window's child"
+
+
+def test_top_terms_per_doc_topk_uses_window_group_limit(spark, sf_dir):
+    """llm_top_terms' per-document row_number()<=3 must plan as
+    WindowGroupLimit (Partial before the shuffle, Final after) so each
+    map task forwards at most 3 rows per doc instead of every term.
+    Pinned for the same upgrade-regression reason as the skew report."""
+    df = SPARK_QUERIES["llm_top_terms"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan and "Final" in plan, plan

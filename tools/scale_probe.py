@@ -36,6 +36,7 @@ PROBES = [
     "llm_semantic_dedup",       # cluster equi-join + pairwise cosine
     "llm_dsir_weights",         # hashed-bucket distributions, broadcast
     "llm_frame_sampling",       # narrow per-frame generate
+    "llm_curation_pipeline",    # full funnel incl. distributed prefix sum
 ]
 
 
