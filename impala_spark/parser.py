@@ -1677,6 +1677,23 @@ def _check_strict_nested_aggs(tokens: list[Token]) -> None:
                     "aggregate function must not contain aggregate parameters: "
                     + untokenize(tokens[k:close + 1]).strip()
                 )
+            # analytic expr inside an aggregate's parameters
+            # (FunctionCallExpr.java:451-454): `... OVER (` at arg depth
+            if (
+                ti.kind == "word" and ti.upper == "OVER"
+                and i > j + 1
+            ):
+                nxt = _significant(tokens, i)
+                pv = _significant(tokens, i, -1)
+                if (
+                    nxt != -1 and nxt < close
+                    and tokens[nxt].kind == "op" and tokens[nxt].text == "("
+                    and pv != -1 and tokens[pv].kind == "op" and tokens[pv].text == ")"
+                ):
+                    raise ImpalaUnsupportedError(
+                        "aggregate function must not contain analytic parameters: "
+                        + untokenize(tokens[k:close + 1]).strip()
+                    )
             i += 1
 
 
@@ -2026,11 +2043,18 @@ def _check_strict_analytic_exprs(tokens: list[Token]) -> None:
                     if tokens[k].kind not in ("ws", "line_comment", "block_comment")
                 ]
                 bad = False
-                if lit is not None:
+                if lit is not None and sig and tokens[sig[0]].kind == "string":
+                    # a STRING offset fails overload resolution FIRST in
+                    # the reference (FunctionCallExpr.analyze precedes
+                    # AnalyticExpr.checkOffset; AnalyzeExprsTest.java:934
+                    # pins "No matching function with signature:
+                    # lag(STRING, STRING)") — defer to the signature check
+                    pass
+                elif lit is not None:
                     try:
                         bad = not float(lit).is_integer() or float(lit) <= 0
                     except ValueError:
-                        bad = True  # string/bool literal offset
+                        bad = True  # bool literal offset
                 elif len(sig) == 1 and tokens[sig[0]].kind in ("word", "bident"):
                     bad = tokens[sig[0]].upper not in ("TRUE", "FALSE")  # column ref
                 if bad:
@@ -4113,6 +4137,479 @@ def _check_strict_typed_exprs(tokens: list[Token]) -> None:
                 )
 
 
+# =====================================================================
+# Function-call signature + parameter analysis
+# (A/FunctionCallExpr.java:263-530 error surface over the non-strict
+#  implicit-cast compatibility matrix, C/Type.java:630-780 +
+#  C/ScalarType.java:383-470 getAssignmentCompatibleType)
+# =====================================================================
+
+#: ScalarType.getMinResolutionDecimal (C/ScalarType.java:394-407)
+_MIN_RES_DECIMAL = {
+    "TINYINT": (3, 0), "SMALLINT": (5, 0), "INT": (10, 0),
+    "BIGINT": (19, 0), "FLOAT": (38, 9), "DOUBLE": (38, 17),
+}
+
+#: ordinal ladder of the numeric compatibility matrix — any two entries
+#: are compatible and resolve to the larger (C/Type.java:643-740;
+#: BOOLEAN<->numeric IS compatible, numeric<->STRING/TIMESTAMP is not)
+_NUM_LADDER = ["BOOLEAN", "TINYINT", "SMALLINT", "INT", "BIGINT", "FLOAT", "DOUBLE"]
+
+
+def _decimal_ps(ty: str) -> tuple[int, int]:
+    inside = ty[ty.index("(") + 1:-1]
+    p, _, s = inside.partition(",")
+    return int(p), int(s or 0)
+
+
+def _assignment_compatible(t1: str, t2: str) -> str | None:
+    """Non-strict ScalarType.getAssignmentCompatibleType over rendered
+    type strings; None = INVALID (the types are not implicitly
+    compatible). Mirrors C/Type.java:630-780 exactly: string-like only
+    unifies with string-like (to STRING, except VARCHAR-vs-CHAR which is
+    invalid), TIMESTAMP accepts STRING, DECIMAL unifies with numerics
+    via the min-resolution decimal and with floats to the float, and the
+    BOOLEAN..DOUBLE ladder widens to the larger member."""
+    if t1 == t2:
+        return t1
+    if t1 == "NULL_TYPE":
+        return t2
+    if t2 == "NULL_TYPE":
+        return t1
+    b1, b2 = t1.split("(")[0], t2.split("(")[0]
+    if b1 == b2 and b1 in ("VARCHAR", "CHAR"):
+        l1, l2 = _decimal_ps(t1)[0], _decimal_ps(t2)[0]
+        return f"{b1}({max(l1, l2)})"
+    if "VARCHAR" in (b1, b2) or "CHAR" in (b1, b2):
+        # STRING absorbs either; VARCHAR-vs-CHAR and string-like vs
+        # anything else is INVALID (Type.java:770-776)
+        return "STRING" if "STRING" in (b1, b2) else None
+    if "DECIMAL" in (b1, b2):
+        other_base = b2 if b1 == "DECIMAL" else b1
+        other = t2 if b1 == "DECIMAL" else t1
+        if other_base in ("FLOAT", "DOUBLE"):
+            return other  # non-strict: convert to the float type
+        if b1 == b2 == "DECIMAL":
+            p1, s1 = _decimal_ps(t1)
+            p2, s2 = _decimal_ps(t2)
+        else:
+            dec, num = (t1, t2) if b1 == "DECIMAL" else (t2, t1)
+            if num.split("(")[0] not in _MIN_RES_DECIMAL:
+                return None  # BOOLEAN/TIMESTAMP/STRING -> no decimal
+            p1, s1 = _decimal_ps(dec)
+            p2, s2 = _MIN_RES_DECIMAL[num.split("(")[0]]
+        s = max(s1, s2)
+        p = min(38, max(p1 - s1, p2 - s2) + s)
+        return f"DECIMAL({p},{s})"
+    if "TIMESTAMP" in (b1, b2):
+        other = b2 if b1 == "TIMESTAMP" else b1
+        # We can convert some but not all string values to timestamps
+        # (Type.java:759-762); numerics/boolean are INVALID
+        return "TIMESTAMP" if other == "STRING" else None
+    if "STRING" in (b1, b2):
+        return None  # numeric/boolean vs STRING: INVALID
+    if b1 in _NUM_LADDER and b2 in _NUM_LADDER:
+        return _NUM_LADDER[max(_NUM_LADDER.index(b1), _NUM_LADDER.index(b2))]
+    return None
+
+
+def _arg_accepts(param: str, arg: str) -> bool:
+    """CompareMode.IS_NONSTRICT_SUPERTYPE_OF single-arg test: the arg is
+    acceptable iff its non-strict compatible type with the param IS the
+    param type (Function.java isImplicitlyCastable)."""
+    if arg == "NULL_TYPE" or param == "ANY":
+        return True
+    if param == "DECIMAL":  # wildcard decimal parameter
+        return arg.split("(")[0] in _MIN_RES_DECIMAL or arg.split("(")[0] == "DECIMAL"
+    compat = _assignment_compatible(arg, param)
+    return compat is not None and compat.split("(")[0] == param.split("(")[0]
+
+
+#: Curated builtin signature table for the overloads whose mismatches
+#: AnalyzeExprsTest pins. Param kinds: concrete scalar types, "DECIMAL"
+#: (wildcard), "ANY", "SAME" (all SAME params must be mutually
+#: assignment-compatible), "FIRST" (must be compatible with arg 0 — the
+#: LEAD/LAG default parameter), "..." (previous param repeats, >=1 of it).
+_FN_SIGS: dict[str, list[tuple[str, ...]]] = {
+    "concat": [("STRING", "...")],
+    "concat_ws": [("STRING", "STRING", "...")],
+    "substring": [("STRING", "BIGINT"), ("STRING", "BIGINT", "BIGINT")],
+    "substr": [("STRING", "BIGINT"), ("STRING", "BIGINT", "BIGINT")],
+    "lower": [("STRING",)], "upper": [("STRING",)], "initcap": [("STRING",)],
+    "length": [("STRING",)], "reverse": [("STRING",)],
+    "trim": [("STRING",)], "ltrim": [("STRING",)], "rtrim": [("STRING",)],
+    "scale": [("DECIMAL",)], "precision": [("DECIMAL",)],
+    "sin": [("DOUBLE",)], "cos": [("DOUBLE",)], "tan": [("DOUBLE",)],
+    "asin": [("DOUBLE",)], "acos": [("DOUBLE",)], "atan": [("DOUBLE",)],
+    "exp": [("DOUBLE",)], "ln": [("DOUBLE",)], "log10": [("DOUBLE",)],
+    "log2": [("DOUBLE",)], "sqrt": [("DOUBLE",)],
+    "degrees": [("DOUBLE",)], "radians": [("DOUBLE",)],
+    "pi": [()], "e": [()],
+    "if": [("BOOLEAN", "SAME", "SAME")],
+    "isnull": [("SAME", "SAME")],
+    "ifnull": [("SAME", "SAME")], "nvl": [("SAME", "SAME")],
+    "nullif": [("SAME", "SAME")],
+    "coalesce": [("SAME", "...")],
+    "greatest": [("SAME", "...")], "least": [("SAME", "...")],
+    "lag": [("ANY",), ("ANY", "BIGINT"), ("ANY", "BIGINT", "FIRST")],
+    "lead": [("ANY",), ("ANY", "BIGINT"), ("ANY", "BIGINT", "FIRST")],
+    "round": [("DOUBLE",), ("DOUBLE", "BIGINT"), ("DECIMAL",), ("DECIMAL", "INT")],
+    "dround": [("DOUBLE",), ("DOUBLE", "BIGINT"), ("DECIMAL",), ("DECIMAL", "INT")],
+    "truncate": [("DOUBLE",), ("DOUBLE", "BIGINT"), ("DECIMAL",), ("DECIMAL", "INT")],
+    "dtrunc": [("DOUBLE",), ("DOUBLE", "BIGINT"), ("DECIMAL",), ("DECIMAL", "INT")],
+}
+
+#: zero-arg scalar builtins: a '*' param reaches validateScalarFnParams
+#: because the no-arg overload resolves first (FunctionCallExpr.java:523)
+_ZERO_ARG_SCALAR_FNS = frozenset({
+    "pi", "e", "now", "current_timestamp", "user", "version", "uuid",
+    "decode",  # rewritten to CaseExpr, same validateScalarFnParams path
+})
+
+#: analytic-only builtins — calling one without OVER is an analysis
+#: error (FunctionCallExpr.java:492-496, AnalyzeExprsTest.java:820)
+_ANALYTIC_ONLY_FNS = frozenset({
+    "rank", "dense_rank", "row_number", "percent_rank", "cume_dist",
+    "ntile", "lag", "lead", "first_value", "last_value",
+})
+
+
+def _split_call_args(
+    tokens: list[Token], open_idx: int, close: int
+) -> list[tuple[int, int]]:
+    """[(first, last)] significant-token spans of the call's top-level
+    comma-separated arguments; [] for an empty arg list."""
+    spans: list[tuple[int, int]] = []
+    d = 0
+    lo = _significant(tokens, open_idx)
+    if lo == close:
+        return spans
+    last_sig = -1
+    for k in range(open_idx + 1, close):
+        tk = tokens[k]
+        if tk.kind in ("ws", "line_comment", "block_comment"):
+            continue
+        if tk.kind == "op" and tk.text == "(":
+            d += 1
+        elif tk.kind == "op" and tk.text == ")":
+            d -= 1
+        elif d == 0 and tk.kind == "op" and tk.text == ",":
+            spans.append((lo, last_sig))
+            lo = _significant(tokens, k)
+            last_sig = -1
+            continue
+        last_sig = k
+    spans.append((lo, last_sig))
+    return spans
+
+
+def _span_static_type(tokens: list[Token], lo: int, hi: int) -> str | None:
+    """Rendered Impala type of the arg span when statically known
+    (literals, typed literals, explicit CASTs); None otherwise."""
+    if lo == -1 or hi == -1 or lo > hi:
+        return None
+    t = tokens[lo]
+    if lo == hi and t.kind == "word" and t.upper == "NULL":
+        return "NULL_TYPE"
+    if (
+        t.kind == "op" and t.text == "-"
+        and _significant(tokens, lo) == hi and tokens[hi].kind == "number"
+    ):
+        return _num_literal_type(tokens[hi].text)
+    info = _typed_operand_fwd(tokens, lo)
+    if info and info[1] == hi:
+        return info[0]
+    return None
+
+
+def _render_call(fn: str, tokens: list[Token], spans: list[tuple[int, int]]) -> str:
+    args = ", ".join(untokenize(tokens[lo:hi + 1]).strip() for lo, hi in spans)
+    return f"{fn}({args})"
+
+
+def _span_is_nonconstant_slot(tokens: list[Token], lo: int, hi: int) -> bool:
+    """True when the arg is unambiguously a (possibly cast) column slot —
+    a bare identifier, optionally wrapped in CASTs. Function calls and
+    literals are constants or unknown; only obvious slots count, so the
+    check can never fire on a constant expression."""
+    t = tokens[lo]
+    if t.kind == "word" and t.upper == "CAST":
+        j = _significant(tokens, lo)
+        if j != -1 and tokens[j].kind == "op" and tokens[j].text == "(":
+            close = _matching_paren(tokens, j)
+            if close > hi:
+                return False
+            d, as_idx = 0, -1
+            for k in range(j + 1, close):
+                tk = tokens[k]
+                if tk.kind == "op" and tk.text == "(":
+                    d += 1
+                elif tk.kind == "op" and tk.text == ")":
+                    d -= 1
+                elif d == 0 and tk.kind == "word" and tk.upper == "AS":
+                    as_idx = k
+            if as_idx != -1:
+                inner_lo = _significant(tokens, j)
+                inner_hi = _significant(tokens, as_idx, -1)
+                return _span_is_nonconstant_slot(tokens, inner_lo, inner_hi)
+        return False
+    if t.kind not in ("word", "bident"):
+        return False
+    if t.upper in ("NULL", "TRUE", "FALSE", "CAST", "CASE", "NOT", "INTERVAL", "TIMESTAMP", "DATE"):
+        return False
+    # identifier, or dotted identifier path; reject if it is a call
+    k = lo
+    while k < hi:
+        nxt = _significant(tokens, k)
+        if nxt == -1 or nxt > hi:
+            break
+        if tokens[nxt].kind == "op" and tokens[nxt].text == ".":
+            k = _significant(tokens, nxt)
+            if k == -1 or tokens[k].kind not in ("word", "bident"):
+                return False
+            continue
+        return False  # something after the identifier (e.g. '(') -> not a slot
+    after = _significant(tokens, hi)
+    return not (after != -1 and tokens[after].kind == "op" and tokens[after].text == "(")
+
+
+def _check_strict_function_calls(tokens: list[Token]) -> None:
+    """FunctionCallExpr.analyze error surface (A/FunctionCallExpr.java:
+    263-530) for calls whose argument types are statically known at the
+    token level (literals and explicit CASTs; column-typed args fall
+    through — the documented permissive-superset stance):
+
+    - '*' params: count(*) only; zero-arg scalar builtins resolve first
+      and hit validateScalarFnParams (:523 \"Cannot pass '*' to scalar
+      function.\"), everything else fails lookup with :267 \"'*' can
+      only be used in conjunction with COUNT\"
+    - DISTINCT to a scalar builtin (:526)
+    - count() / COUNT multi-arg without DISTINCT (:463, :271)
+    - SUM / AVG parameter-class errors (:275-278, :434-436)
+    - overload resolution misses -> \"No matching function with
+      signature: fn(T1, T2).\" (:282-288) over the curated _FN_SIGS
+      table and the non-strict implicit-cast matrix
+    - round/truncate second-argument rules when the first argument is
+      statically DECIMAL (:342-360: NULL, non-constant, |scale| > 38)
+    - analytic-only builtins without OVER (:492-496)
+    - 3+-part function names (FunctionName.java:82-86)
+    - IGNORE NULLS outside first_value/last_value in a non-analytic
+      call (:486; the OVER-context twin lives in
+      _check_strict_analytic_exprs)
+    """
+    n = len(tokens)
+    for i, t in enumerate(tokens):
+        if t.kind != "word":
+            continue
+        j = _significant(tokens, i)
+        if j == -1 or tokens[j].kind != "op" or tokens[j].text != "(":
+            continue
+        prev = _significant(tokens, i, -1)
+        if prev != -1 and tokens[prev].kind == "op" and tokens[prev].text == ".":
+            # qualified name: count the parts (FunctionName rejects >2)
+            parts = [t.text]
+            k = prev
+            while k != -1 and tokens[k].kind == "op" and tokens[k].text == ".":
+                w = _significant(tokens, k, -1)
+                if w == -1 or tokens[w].kind not in ("word", "bident"):
+                    break
+                parts.append(tokens[w].text)
+                k = _significant(tokens, w, -1)
+            if len(parts) > 2:
+                full = ".".join(reversed(parts))
+                raise ImpalaUnsupportedError(
+                    f"Invalid function name: '{full}'. "
+                    "Expected [dbname].funcname"
+                )
+            continue  # db-qualified UDF: no builtin analysis
+        fn = t.text.lower()
+        # IF stays (validated via _FN_SIGS); other keyword-heads are not
+        # function calls in the FunctionCallExpr sense
+        if t.upper in ("CAST", "EXTRACT", "DATE_PART", "CASE", "WHEN",
+                       "AND", "OR", "NOT", "IN", "EXISTS", "VALUES", "OVER"):
+            continue
+        known_scalar = (
+            fn in _KNOWN_SCALAR_FNS
+            or fn in _ZERO_ARG_SCALAR_FNS
+            or (fn in _FN_SIGS and fn not in ("lag", "lead"))
+        )
+        known_agg = fn in _AGG_FUNC_NAMES
+        if not (known_scalar or known_agg or fn in _FN_SIGS or fn in _ANALYTIC_ONLY_FNS):
+            continue
+        close = _matching_paren(tokens, j)
+        first = _significant(tokens, j)
+        has_distinct = (
+            first != -1 and first < close
+            and tokens[first].kind == "word" and tokens[first].upper == "DISTINCT"
+        )
+        arg_start = _significant(tokens, first) if has_distinct else first
+        is_star = (
+            arg_start != -1 and arg_start < close
+            and tokens[arg_start].kind == "op" and tokens[arg_start].text == "*"
+            and _significant(tokens, arg_start) == close
+        )
+        # ---- '*' params (:267, :523) ----
+        if is_star and fn != "count":
+            if fn in _ZERO_ARG_SCALAR_FNS:
+                raise ImpalaUnsupportedError("Cannot pass '*' to scalar function.")
+            raise ImpalaUnsupportedError(
+                "'*' can only be used in conjunction with COUNT"
+            )
+        # ---- DISTINCT to scalar (:526) ----
+        if has_distinct and known_scalar and not known_agg:
+            raise ImpalaUnsupportedError("Cannot pass 'DISTINCT' to scalar function.")
+        if is_star:
+            continue  # count(*): fine
+        # split args from after DISTINCT when present (the keyword is a
+        # param modifier, not an argument)
+        spans = _split_call_args(tokens, first if has_distinct else j, close)
+        # ---- count arity (:463, :271) ----
+        if fn == "count":
+            if not spans:
+                raise ImpalaUnsupportedError("count() is not allowed.")
+            if len(spans) > 1 and not has_distinct:
+                raise ImpalaUnsupportedError(
+                    "COUNT must have DISTINCT for multiple arguments: "
+                    + _render_call("count", tokens, spans)
+                )
+            continue
+        arg_types = [_span_static_type(tokens, lo, hi) for lo, hi in spans]
+        # ---- SUM / AVG parameter classes (:275-278, :434-436) ----
+        if fn in ("sum", "avg") and len(spans) == 1 and arg_types[0] is not None:
+            base = arg_types[0].split("(")[0]
+            if fn == "sum" and base in ("STRING", "VARCHAR", "CHAR", "TIMESTAMP", "BOOLEAN"):
+                raise ImpalaUnsupportedError(
+                    "SUM requires a numeric parameter: "
+                    + _render_call("sum", tokens, spans)
+                )
+            if fn == "avg" and base in ("STRING", "VARCHAR", "CHAR", "BOOLEAN"):
+                raise ImpalaUnsupportedError(
+                    "AVG requires a numeric or timestamp parameter: "
+                    + _render_call("avg", tokens, spans)
+                )
+        # ---- round/truncate second-arg rules (:342-360) ----
+        if (
+            fn in ("round", "dround", "truncate", "dtrunc")
+            and len(spans) == 2
+            and arg_types[0] is not None
+            and arg_types[0].startswith("DECIMAL")
+        ):
+            lo2, hi2 = spans[1]
+            if arg_types[1] == "NULL_TYPE":
+                raise ImpalaUnsupportedError(
+                    f"{fn}() cannot be called with a NULL second argument."
+                )
+            if _span_is_nonconstant_slot(tokens, lo2, hi2):
+                raise ImpalaUnsupportedError(
+                    f"{fn}() must be called with a constant second argument."
+                )
+            if arg_types[1] is not None and _is_integer_type(arg_types[1]):
+                txt = untokenize(tokens[lo2:hi2 + 1]).replace(" ", "")
+                try:
+                    if abs(int(txt)) > 38:
+                        raise ImpalaUnsupportedError(
+                            "Cannot round/truncate to scales greater than 38."
+                        )
+                except ValueError:
+                    pass
+        # ---- overload resolution over the curated table (:282-288) ----
+        if fn in _FN_SIGS and all(ty is not None for ty in arg_types):
+            matched = False
+            for sig in _FN_SIGS[fn]:
+                if sig and sig[-1] == "...":
+                    base_params = sig[:-1]
+                    if len(arg_types) < len(base_params):
+                        continue
+                    params = list(base_params) + [base_params[-1]] * (
+                        len(arg_types) - len(base_params)
+                    )
+                elif len(sig) != len(arg_types):
+                    continue
+                else:
+                    params = list(sig)
+                ok = True
+                same_chain: str | None = None
+                for p, a in zip(params, arg_types):
+                    if p == "SAME":
+                        if a == "NULL_TYPE":
+                            continue
+                        if same_chain is None:
+                            same_chain = a
+                        else:
+                            same_chain = _assignment_compatible(same_chain, a)
+                            if same_chain is None:
+                                ok = False
+                                break
+                    elif p == "FIRST":
+                        if a == "NULL_TYPE" or arg_types[0] == "NULL_TYPE":
+                            continue
+                        if _assignment_compatible(arg_types[0], a) is None:
+                            ok = False
+                            break
+                    elif not _arg_accepts(p, a):
+                        ok = False
+                        break
+                if ok:
+                    matched = True
+                    break
+            if not matched:
+                raise ImpalaUnsupportedError(
+                    "No matching function with signature: "
+                    f"{fn}({', '.join(arg_types)})."
+                )
+        # ---- LEAD/LAG offset must be a constant positive integer
+        #      (AnalyticExpr.java:405-416) ----
+        if fn in ("lag", "lead") and len(spans) >= 2:
+            lo2, hi2 = spans[1]
+            ty2 = _span_static_type(tokens, lo2, hi2)
+            if ty2 is not None and _is_integer_type(ty2):
+                txt = untokenize(tokens[lo2:hi2 + 1]).replace(" ", "")
+                try:
+                    if int(txt) <= 0:
+                        raise ImpalaUnsupportedError(
+                            "The offset parameter of LEAD/LAG must be a "
+                            "constant positive integer: "
+                            + _render_call(fn, tokens, spans)
+                        )
+                except ValueError:
+                    pass
+        # ---- analytic-only without OVER (:492-496) ----
+        after = _significant(tokens, close)
+        if (
+            after != -1 and tokens[after].kind == "word"
+            and tokens[after].upper == "IGNORE"
+        ):
+            nx = _significant(tokens, after)
+            if nx != -1 and tokens[nx].upper == "NULLS":
+                after = _significant(tokens, nx)  # fn(x) IGNORE NULLS OVER ...
+        has_over = (
+            after != -1 and tokens[after].kind == "word"
+            and tokens[after].upper == "OVER"
+        )
+        if fn in _ANALYTIC_ONLY_FNS and not has_over:
+            raise ImpalaUnsupportedError(
+                "Analytic function requires an OVER clause: "
+                + _render_call(fn, tokens, spans)
+            )
+        # ---- IGNORE NULLS outside first_value/last_value, non-analytic
+        #      call context (:486, AnalyzeExprsTest.java:1603) ----
+        if fn not in ("first_value", "last_value") and not has_over and known_scalar:
+            d2 = 0
+            for k in range(j + 1, close):
+                tk = tokens[k]
+                if tk.kind == "op" and tk.text == "(":
+                    d2 += 1
+                elif tk.kind == "op" and tk.text == ")":
+                    d2 -= 1
+                elif d2 == 0 and tk.kind == "word" and tk.upper == "IGNORE":
+                    nx = _significant(tokens, k)
+                    if nx != -1 and tokens[nx].upper == "NULLS":
+                        raise ImpalaUnsupportedError(
+                            f"Function {fn.upper()} does not accept the "
+                            "keyword IGNORE NULLS."
+                        )
+
+
 def translate(sql: str, strict: bool = False) -> str:
     """Impala-dialect SQL -> Spark SQL.
 
@@ -4143,6 +4640,7 @@ def translate(sql: str, strict: bool = False) -> str:
         _check_strict_type_defs(tokens)
         _check_strict_literal_exprs(tokens)
         _check_strict_typed_exprs(tokens)
+        _check_strict_function_calls(tokens)
         _check_strict_grammar_extras(tokens)
         _check_strict_ddl_values(tokens)
         _check_strict_correlated_subqueries(tokens)

@@ -1022,3 +1022,118 @@ def test_strict_layer_accepts_all_registered_query_texts():
             if name not in expected_strict_rejects:
                 unexpected[name] = str(e)[:80]
     assert not unexpected, f"strict false positives: {unexpected}"
+
+
+def test_strict_function_call_param_errors_pin_reference_texts():
+    """FunctionCallExpr.analyze parameter/dispatch errors with the
+    reference's exact strings (A/FunctionCallExpr.java:263-530; pins
+    from T/analysis/AnalyzeExprsTest.java:1565-1870, :2180-2192 and
+    T/analysis/AnalyzeStmtsTest.java:1818-1913)."""
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+
+    cases = [
+        # '*' params: FunctionCallExpr.java:523 / :267
+        ("select pi(*)", "Cannot pass '*' to scalar function."),                    # AnalyzeExprsTest.java:1565
+        ("select decode(*)", "Cannot pass '*' to scalar function."),                # :1775
+        ("select avg(*) from lineitem", "'*' can only be used in conjunction with COUNT"),   # AnalyzeStmtsTest.java:1886
+        ("select min(*) from lineitem", "'*' can only be used in conjunction with COUNT"),   # :1888
+        ("select max(*) from lineitem", "'*' can only be used in conjunction with COUNT"),   # :1890
+        # DISTINCT to scalar: FunctionCallExpr.java:526
+        ("select sin(DISTINCT 1)", "Cannot pass 'DISTINCT' to scalar function."),   # AnalyzeExprsTest.java:1567
+        ("select decode(distinct 1, 2, 3)", "Cannot pass 'DISTINCT' to scalar function."),   # :1776
+        # count arity: FunctionCallExpr.java:463 / :271
+        ("select count() from lineitem", "count() is not allowed."),                # AnalyzeStmtsTest.java:1874
+        ("select count(l_orderkey, l_partkey) from lineitem",
+         "COUNT must have DISTINCT for multiple arguments: count(l_orderkey, l_partkey)"),   # :1894
+        # SUM/AVG parameter classes: FunctionCallExpr.java:275-278, :434-436
+        ("select sum('a') from lineitem", "SUM requires a numeric parameter: sum('a')"),     # :1909-1911 shape
+        ("select avg('a') from lineitem",
+         "AVG requires a numeric or timestamp parameter: avg('a')"),                # :1913
+        # overload misses over the implicit-cast matrix:
+        # FunctionCallExpr.java:282-288 + C/Type.java:630-780
+        ("select scale('1.1')", "No matching function with signature: scale(STRING)."),      # AnalyzeExprsTest.java:1579
+        ("select concat()", "No matching function with signature: concat()."),      # :1623
+        ("select coalesce()", "No matching function with signature: coalesce()."),  # :1625
+        ("select concat(NULL, 1, 'b')",
+         "No matching function with signature: concat(NULL_TYPE, TINYINT, STRING)."),        # :1655
+        ("select concat('a', NULL, 1)",
+         "No matching function with signature: concat(STRING, NULL_TYPE, TINYINT)."),        # :1657
+        ("select concat(1, 'b', NULL)",
+         "No matching function with signature: concat(TINYINT, STRING, NULL_TYPE)."),        # :1659
+        ("select substring(1, NULL, NULL)",
+         "No matching function with signature: substring(TINYINT, NULL_TYPE, NULL_TYPE)."),  # :1642
+        ("select substring(NULL, 'a', NULL)",
+         "No matching function with signature: substring(NULL_TYPE, STRING, NULL_TYPE)."),   # :1645
+        ("select if(true, false, true, true)",
+         "No matching function with signature: if(BOOLEAN, BOOLEAN, BOOLEAN, BOOLEAN)."),    # :1841
+        ("select if(true, false)", "No matching function with signature: if(BOOLEAN, BOOLEAN)."),  # :1844
+        ("select if(false)", "No matching function with signature: if(BOOLEAN)."),  # :1846
+        ("select isnull(1)", "No matching function with signature: isnull(TINYINT)."),       # :1857
+        ("select isnull(1, 2, 3)",
+         "No matching function with signature: isnull(TINYINT, TINYINT, TINYINT)."),         # :1859
+        ("select isnull('a', true)",
+         "No matching function with signature: isnull(STRING, BOOLEAN)."),          # :1862
+        # round/truncate second-argument rules: FunctionCallExpr.java:342-360
+        ("select round(cast(1.123 as decimal(10,3)), 5.1)",
+         "No matching function with signature: round(DECIMAL(10,3), DECIMAL(2,1))"),         # AnalyzeExprsTest.java:2186
+        ("select round(cast(1.123 as decimal(30,20)), 40)",
+         "Cannot round/truncate to scales greater than 38."),                       # :2188
+        ("select truncate(cast(1.123 as decimal(10,3)), 40)",
+         "Cannot round/truncate to scales greater than 38."),                       # :2190
+        ("select round(cast(1.123 as decimal(10,3)), NULL)",
+         "round() cannot be called with a NULL second argument."),                  # :2192
+        ("select round(cast(1.1 as decimal(10,3)), cast(c3 as int)) from t",
+         "round() must be called with a constant second argument."),                # AnalyzeStmtsTest.java:1825
+        ("select truncate(cast(1.1 as decimal(10,3)), cast(c3 as int)) from t",
+         "truncate() must be called with a constant second argument."),             # :1827
+        # analytic-only without OVER: FunctionCallExpr.java:492-496
+        ("select 1, lag(l_orderkey) from lineitem",
+         "Analytic function requires an OVER clause: lag(l_orderkey)"),             # AnalyzeExprsTest.java:820
+        # LEAD/LAG offset and default params: AnalyticExpr.java:405-416, :485-497
+        ("select lag('a', 'b') over (order by x) from t",
+         "No matching function with signature: lag(STRING, STRING)."),              # AnalyzeExprsTest.java:934
+        ("select lead(cast(1 as int), 1, 'x') over (order by x) from t",
+         "No matching function with signature: lead(INT, TINYINT, STRING)."),       # :939
+        ("select lead(x, -1) over (order by y) from t",
+         "The offset parameter of LEAD/LAG must be a constant positive integer: lead(x, -1)"),  # :948
+        # IGNORE NULLS outside first/last_value: FunctionCallExpr.java:486
+        ("select lower('FOO' ignore nulls)",
+         "Function LOWER does not accept the keyword IGNORE NULLS."),               # AnalyzeExprsTest.java:1603
+        # 3+-part names: FunctionName.java:82-86
+        ("select a.b.sin()", "Invalid function name: 'a.b.sin'. Expected [dbname].funcname"),  # :1571
+        # analytic params inside an aggregate: FunctionCallExpr.java:451-454
+        ("select sum(rank() over (order by id)) from t",
+         "aggregate function must not contain analytic parameters"),                # AnalyzeStmtsTest.java:1901
+    ]
+    for sql, want in cases:
+        try:
+            tr(sql, strict=True)
+            raise AssertionError(f"accepted: {sql}")
+        except ImpalaUnsupportedError as e:
+            assert want in str(e), f"{sql}\n  want: {want}\n  got:  {e}"
+
+    # positives the same analysis must keep accepting
+    # (AnalyzeExprsTest.java:1608-1621, :1836-1856, :2181-2184)
+    for sql in [
+        "select count(*) from lineitem",
+        "select count(distinct l_orderkey, l_partkey) from lineitem",
+        "select concat('a', 'b', 'c', 'd', 'e')",
+        "select concat(NULL, 'a', 'b')",
+        "select coalesce(5, 6, 7)",
+        "select coalesce('a', 'b', 'c')",
+        "select substring(NULL, 1, 2)",
+        "select if(true, false, false)",
+        "select isnull('a', NULL)",
+        "select scale(1.1)",
+        "select precision(1)",
+        "select sin(cos(pi()))",
+        "select round(cast('1.1' as decimal), cast(1 as int))",
+        "select round(cast(1.123 as decimal(10,3)), 1)",
+        "select truncate(cast(1.123 as decimal(10,3)), -1)",
+        "select round(c1, cast(c3 as int)) from t",  # c1 untyped: permissive
+        "select avg(cast(x as timestamp)) from t",
+        "select lead(x, 2) over (order by y) from t",
+        "select rank() over (order by x) from t",
+    ]:
+        tr(sql, strict=True)
