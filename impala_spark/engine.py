@@ -690,6 +690,18 @@ class ImpalaEngine:
             [(line,) for line in text.split("\n")], "explain_string: string"
         )
 
+    def to_sql(self, query: str) -> str:
+        """The reference's analyzed-statement toSql() — the spelling
+        views persist and SHOW CREATE VIEW replays (A/SelectStmt.java
+        #toSql, pinned by T/analysis/ToSqlTest.java). Bare table refs
+        qualify against the session database like the analyzer's
+        resolution step."""
+        from impala_spark.tosql import to_impala_sql
+
+        return to_impala_sql(
+            query, default_db=self.spark.catalog.currentDatabase()
+        )
+
     def explain(self, query: str) -> str:
         """Impala-style plan text (planner/PlanNode.getExplainString analog).
 
