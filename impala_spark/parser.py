@@ -4610,6 +4610,115 @@ def _check_strict_function_calls(tokens: list[Token]) -> None:
                         )
 
 
+def _check_strict_case_exprs(tokens: list[Token]) -> None:
+    """CaseExpr.analyze (A/CaseExpr.java:270-305) over statically-typed
+    operands: WHEN exprs of a CASE-without-operand must be castable to
+    BOOLEAN (:283-287 — only BOOLEAN/NULL are; the compatibility matrix
+    has no numeric->BOOLEAN implicit cast), and the case/when operand
+    pairs plus the THEN/ELSE results must share a non-strict
+    assignment-compatible type, accumulated left-to-right with the
+    reference's exact error (Analyzer.getCompatibleType,
+    A/Analyzer.java:2210-2227). Column-typed operands fall through."""
+    n = len(tokens)
+    for i, t in enumerate(tokens):
+        if t.kind != "word" or t.upper != "CASE":
+            continue
+        # find the matching END at depth 0 (nested CASE raises depth)
+        depth_case, d, end_idx = 0, 0, -1
+        k = i + 1
+        while k < n:
+            tk = tokens[k]
+            if tk.kind == "op" and tk.text == "(":
+                d += 1
+            elif tk.kind == "op" and tk.text == ")":
+                if d == 0:
+                    break  # CASE inside parens with END missing: malformed
+                d -= 1
+            elif d == 0 and tk.kind == "word":
+                if tk.upper == "CASE":
+                    depth_case += 1
+                elif tk.upper == "END":
+                    if depth_case == 0:
+                        end_idx = k
+                        break
+                    depth_case -= 1
+            k += 1
+        if end_idx == -1:
+            continue
+        # collect depth-0 WHEN/THEN/ELSE keyword positions
+        marks: list[tuple[str, int]] = []
+        d = depth_case2 = 0
+        for k in range(i + 1, end_idx):
+            tk = tokens[k]
+            if tk.kind == "op" and tk.text == "(":
+                d += 1
+            elif tk.kind == "op" and tk.text == ")":
+                d -= 1
+            elif d == 0 and tk.kind == "word":
+                if tk.upper == "CASE":
+                    depth_case2 += 1
+                elif tk.upper == "END":
+                    depth_case2 -= 1
+                elif depth_case2 == 0 and tk.upper in ("WHEN", "THEN", "ELSE"):
+                    marks.append((tk.upper, k))
+        first_when = next((k for kw, k in marks if kw == "WHEN"), -1)
+        if first_when == -1:
+            continue
+        case_operand = (
+            None
+            if _significant(tokens, i) == first_when
+            else (_significant(tokens, i), _significant(tokens, first_when, -1))
+        )
+
+        def span_type(lo: int, hi: int):
+            return _span_static_type(tokens, lo, hi)
+
+        def span_sql(lo: int, hi: int) -> str:
+            return untokenize(tokens[lo:hi + 1]).strip()
+
+        # WHEN spans and THEN/ELSE spans
+        bounds = marks + [("END", end_idx)]
+        when_spans: list[tuple[int, int]] = []
+        result_spans: list[tuple[int, int]] = []
+        for (kw, k), (_, nxt) in zip(bounds, bounds[1:]):
+            lo = _significant(tokens, k)
+            hi = _significant(tokens, nxt, -1)
+            if kw == "WHEN":
+                when_spans.append((lo, hi))
+            elif kw in ("THEN", "ELSE"):
+                result_spans.append((lo, hi))
+        # 1) boolean WHEN rule (no case operand)
+        if case_operand is None:
+            for lo, hi in when_spans:
+                ty = span_type(lo, hi)
+                if ty is not None and ty not in ("BOOLEAN", "NULL_TYPE"):
+                    raise ImpalaUnsupportedError(
+                        f"When expr '{span_sql(lo, hi)}' is not of type "
+                        "boolean and not castable to type boolean."
+                    )
+        # 2) case-operand/when comparability + 3) THEN/ELSE result types:
+        # the same left-to-right getCompatibleType accumulation; only run
+        # a chain when every member's type is statically known
+        chains = []
+        if case_operand is not None:
+            chains.append([case_operand] + when_spans)
+        chains.append(result_spans)
+        for chain in chains:
+            types = [span_type(lo, hi) for lo, hi in chain]
+            if any(ty is None for ty in types) or len(chain) < 2:
+                continue
+            last_ty, last_span = types[0], chain[0]
+            for (lo, hi), ty in zip(chain[1:], types[1:]):
+                new_ty = _assignment_compatible(last_ty, ty)
+                if new_ty is None:
+                    raise ImpalaUnsupportedError(
+                        f"Incompatible return types '{last_ty}' and "
+                        f"'{ty}' of exprs '{span_sql(*last_span)}' and "
+                        f"'{span_sql(lo, hi)}'."
+                    )
+                last_ty, last_span = new_ty, (lo, hi)
+
+
 def translate(sql: str, strict: bool = False) -> str:
     """Impala-dialect SQL -> Spark SQL.
 
@@ -4641,6 +4750,7 @@ def translate(sql: str, strict: bool = False) -> str:
         _check_strict_literal_exprs(tokens)
         _check_strict_typed_exprs(tokens)
         _check_strict_function_calls(tokens)
+        _check_strict_case_exprs(tokens)
         _check_strict_grammar_extras(tokens)
         _check_strict_ddl_values(tokens)
         _check_strict_correlated_subqueries(tokens)

@@ -1137,3 +1137,49 @@ def test_strict_function_call_param_errors_pin_reference_texts():
         "select rank() over (order by x) from t",
     ]:
         tr(sql, strict=True)
+
+
+def test_strict_case_expr_errors_pin_reference_texts():
+    """CaseExpr.analyze errors with the reference's exact strings
+    (A/CaseExpr.java:283-287 boolean WHEN rule; A/Analyzer.java:2210-2227
+    getCompatibleType accumulation; pins from
+    T/analysis/AnalyzeExprsTest.java:1678-1717, literal-typed forms)."""
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+
+    cases = [
+        ("select case when 20 then 20 when 1 > 2 then 3 else 15 end",
+         "When expr '20' is not of type boolean and not castable to type boolean."),
+        ("select case when 'x' then 1 end",
+         "When expr ''x'' is not of type boolean and not castable to type boolean."),
+        ("select case when 20 > 10 then 20 when 1 > 2 then "
+         "TIMESTAMP '2020-01-01 00:00:00' else 15 end",
+         "Incompatible return types 'TINYINT' and 'TIMESTAMP' of exprs "
+         "'20' and 'TIMESTAMP '2020-01-01 00:00:00''."),
+        ("select case cast(1 as bigint) when TIMESTAMP '2020-01-01 00:00:00' "
+         "then 30 else 15 end",
+         "Incompatible return types 'BIGINT' and 'TIMESTAMP' of exprs "
+         "'cast(1 as bigint)' and 'TIMESTAMP '2020-01-01 00:00:00''."),
+        # accumulated type is the merged decimal, not the first literal's
+        ("select case when 1 > 2 then 20 when 2 > 3 then 1.0 "
+         "when 3 > 4 then 'x' end",
+         "Incompatible return types 'DECIMAL(4,1)' and 'STRING' of exprs "
+         "'1.0' and ''x''."),
+    ]
+    for sql, want in cases:
+        try:
+            tr(sql, strict=True)
+            raise AssertionError(f"accepted: {sql}")
+        except ImpalaUnsupportedError as e:
+            assert want in str(e), f"{sql}\n  want: {want}\n  got:  {e}"
+
+    # positives (AnalyzeExprsTest.java:1666-1706 literal forms)
+    for sql in [
+        "select case when 20 > 10 then 20 else 15 end",
+        "select case when 20 > 10 then 20 when 1 > 2 then 1.0 else 15 end",
+        "select case when true then 1 end",
+        "select case x when 20 then 30 else 15 end from t",
+        "select case cast(1 as bigint) when 2 then 30 when 3.0 then 1.0 else 15 end",
+        "select case when col then 20 else 15 end from t",
+    ]:
+        tr(sql, strict=True)
