@@ -5121,6 +5121,44 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.skew_report(e, "user_id", topk=5)
 
 
+# Distributed global prefix sum (operators.global_running_sum — the r7
+# replacement for unpartitioned running-sum windows): exact long-integer
+# cumulative sum over a global total order, computed with range
+# partitioning + per-slice offsets instead of the single-partition
+# WindowExec the oracle's SUM() OVER (ORDER BY ...) plans. Bit-exact vs
+# the oracle because integer addition is associative under any slicing.
+@register(
+    "exchange_global_prefix_sum",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(SUM(cents) OVER (ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_cents
+    FROM (SELECT o_orderkey, o_orderdate,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders WHERE o_custkey <= 200) t
+    """,
+    cache=True,
+)
+def q_global_prefix_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 200)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    out = ops.global_running_sum(
+        o, "cents", [F.col("o_orderdate"), F.col("o_orderkey")],
+        out_col="cum_cents",
+    )
+    return out.select(
+        "o_orderkey", F.col("cum_cents").cast("bigint").alias("cum_cents")
+    )
+
+
 # SemDeDup-style semantic dedup: cluster-then-pairwise verdicts. The
 # fixture has no natural near-dups (max pair cosine ~0.51), so the query
 # plants one exact copy per original at vec_id+1M; every copy lands in its
