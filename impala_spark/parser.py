@@ -4066,13 +4066,16 @@ def _check_strict_typed_exprs(tokens: list[Token]) -> None:
             left = _typed_operand_back(tokens, li)
             right = _typed_operand_fwd(tokens, ri)
             if op in _COMPARISON_OPS:
-                if left and right and left[2] and right[2]:
+                # BinaryPredicate.java:178-183: comparable iff the
+                # non-strict compatibility matrix yields a common type.
+                # r7: generalized from the r6 cast-vs-cast subset to ANY
+                # statically-typed operand pair — the reference has no
+                # literal leniency here (AnalyzeExprsTest.java:328-331
+                # pins tinyint_col = '1' as an error: "No implicit cast
+                # from STRING to numeric and boolean")
+                if left and right:
                     t1, t2 = left[0], right[0]
-                    num1 = _is_numeric_type(t1) or t1 == "BOOLEAN"
-                    num2 = _is_numeric_type(t2) or t2 == "BOOLEAN"
-                    st1 = t1 in ("STRING", "TIMESTAMP")
-                    st2 = t2 in ("STRING", "TIMESTAMP")
-                    if (num1 and st2) or (st1 and num2):
+                    if _assignment_compatible(t1, t2) is None:
                         span = untokenize(
                             tokens[left[1]:right[1] + 1]
                         ).strip()

@@ -66,6 +66,25 @@ NEGATIVE = [
         "operands of type FLOAT and TIMESTAMP are not comparable: "
         "cast(NULL as float) <> cast(NULL as timestamp)",
     ),
+    # --- r7 generalization to literal operands: the reference has no
+    #     string-literal leniency in comparisons (AnalyzeExprsTest.java
+    #     :328-331 "No implicit cast from STRING to numeric and boolean")
+    (
+        "select 5 = 'x'",
+        "operands of type TINYINT and STRING are not comparable: 5 = 'x'",
+    ),
+    (
+        "select 'x' > 5",
+        "operands of type STRING and TINYINT are not comparable: 'x' > 5",
+    ),
+    (
+        "select true = '0'",
+        "operands of type BOOLEAN and STRING are not comparable: true = '0'",
+    ),
+    (
+        "select cast('a' as char(3)) = TIMESTAMP '2020-01-01 00:00:00'",
+        "operands of type CHAR(3) and TIMESTAMP are not comparable:",
+    ),
     # --- AnalyzeExprsTest TestDecimalCasts ---
     (
         "select cast(true as decimal)",
@@ -192,8 +211,10 @@ POSITIVE = [
     "select cast(NULL as string) = cast(NULL as timestamp)",  # implicit ok
     "select cast(NULL as int) = cast(NULL as bigint)",
     "select cast(NULL as decimal(12,2)) < cast(NULL as double)",
-    "select 5 = 'x'",  # string literal implicitly numeric
-    "select 'x' > 5",
+    # NOTE: r6 listed `5 = 'x'` here assuming string literals convert to
+    # numeric in comparisons; the reference pins the opposite
+    # (AnalyzeExprsTest.java:328-331 "No implicit cast from STRING to
+    # numeric and boolean") — moved to the error cases below in r7.
     "select cast(1.1 as decimal(10,2))",
     "select ts + interval 10 years from t",
     "select NULL - interval 2 days from t",
