@@ -4613,6 +4613,79 @@ def _check_strict_function_calls(tokens: list[Token]) -> None:
                         )
 
 
+def _check_strict_inlist_between_types(tokens: list[Token]) -> None:
+    """InPredicate.analyze / BetweenPredicate.analyze operand typing:
+    both run Analyzer.castAllToCompatibleType over [lhs, item...] /
+    [lhs, lower, upper] and fail with getCompatibleType's exact error
+    (A/Analyzer.java:2210-2227, pinned at AnalyzeExprsTest.java:622-634
+    and :668-682). Static chains only — any column-typed member
+    disables the check for that predicate."""
+    n = len(tokens)
+    for i, t in enumerate(tokens):
+        if t.kind != "word":
+            continue
+        up = t.upper
+        if up not in ("IN", "BETWEEN"):
+            continue
+        li = _significant(tokens, i, -1)
+        if li != -1 and tokens[li].kind == "word" and tokens[li].upper == "NOT":
+            li = _significant(tokens, li, -1)
+        lhs = _typed_operand_back(tokens, li)
+        if lhs is None:
+            continue
+        chain: list[tuple[str, int, int]] = [(lhs[0], lhs[1], li)]
+        if up == "IN":
+            j = _significant(tokens, i)
+            if j == -1 or tokens[j].kind != "op" or tokens[j].text != "(":
+                continue
+            close = _matching_paren(tokens, j)
+            first = _significant(tokens, j)
+            if (
+                first != -1 and tokens[first].kind == "word"
+                and tokens[first].upper in ("SELECT", "WITH", "VALUES")
+            ):
+                continue  # subquery form: typed via the unnesting rewrite
+            spans = _split_call_args(tokens, j, close)
+            ok = True
+            for lo, hi in spans:
+                ty = _span_static_type(tokens, lo, hi)
+                if ty is None:
+                    ok = False
+                    break
+                chain.append((ty, lo, hi))
+            if not ok:
+                continue
+        else:  # BETWEEN <lower> AND <upper>
+            lo1 = _significant(tokens, i)
+            b1 = _typed_operand_fwd(tokens, lo1)
+            if b1 is None:
+                continue
+            and_idx = _significant(tokens, b1[1])
+            if (
+                and_idx == -1 or tokens[and_idx].kind != "word"
+                or tokens[and_idx].upper != "AND"
+            ):
+                continue
+            lo2 = _significant(tokens, and_idx)
+            b2 = _typed_operand_fwd(tokens, lo2)
+            if b2 is None:
+                continue
+            chain.append((b1[0], lo1, b1[1]))
+            chain.append((b2[0], lo2, b2[1]))
+        if len(chain) < 2:
+            continue
+        last_ty, last_lo, last_hi = chain[0]
+        for ty, lo, hi in chain[1:]:
+            new_ty = _assignment_compatible(last_ty, ty)
+            if new_ty is None:
+                raise ImpalaUnsupportedError(
+                    f"Incompatible return types '{last_ty}' and '{ty}' "
+                    f"of exprs '{untokenize(tokens[last_lo:last_hi + 1]).strip()}' "
+                    f"and '{untokenize(tokens[lo:hi + 1]).strip()}'."
+                )
+            last_ty, last_lo, last_hi = new_ty, lo, hi
+
+
 def _check_strict_case_exprs(tokens: list[Token]) -> None:
     """CaseExpr.analyze (A/CaseExpr.java:270-305) over statically-typed
     operands: WHEN exprs of a CASE-without-operand must be castable to
@@ -4754,6 +4827,7 @@ def translate(sql: str, strict: bool = False) -> str:
         _check_strict_typed_exprs(tokens)
         _check_strict_function_calls(tokens)
         _check_strict_case_exprs(tokens)
+        _check_strict_inlist_between_types(tokens)
         _check_strict_grammar_extras(tokens)
         _check_strict_ddl_values(tokens)
         _check_strict_correlated_subqueries(tokens)

@@ -1183,3 +1183,44 @@ def test_strict_case_expr_errors_pin_reference_texts():
         "select case when col then 20 else 15 end from t",
     ]:
         tr(sql, strict=True)
+
+
+def test_strict_in_between_type_errors_pin_reference_texts():
+    """InPredicate/BetweenPredicate operand typing through
+    Analyzer.castAllToCompatibleType (A/Analyzer.java:2210-2252; pins
+    from T/analysis/AnalyzeExprsTest.java:622-634 BETWEEN and :668-682
+    IN, literal-typed forms)."""
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+
+    cases = [
+        ("select 1 from t where 'x' between true and 2.0",
+         "Incompatible return types 'STRING' and 'BOOLEAN' of exprs ''x'' and 'true'."),
+        ("select 1 from t where TIMESTAMP '2020-01-01 00:00:00' between 1 and 2.0",
+         "Incompatible return types 'TIMESTAMP' and 'TINYINT' of exprs "
+         "'TIMESTAMP '2020-01-01 00:00:00'' and '1'."),
+        ("select 1 from t where 'x' in (true, false)",
+         "Incompatible return types 'STRING' and 'BOOLEAN' of exprs ''x'' and 'true'."),
+        ("select 1 from t where TIMESTAMP '2020-01-01 00:00:00' in (1, 2)",
+         "Incompatible return types 'TIMESTAMP' and 'TINYINT' of exprs "
+         "'TIMESTAMP '2020-01-01 00:00:00'' and '1'."),
+    ]
+    for sql, want in cases:
+        try:
+            tr(sql, strict=True)
+            raise AssertionError(f"accepted: {sql}")
+        except ImpalaUnsupportedError as e:
+            assert want in str(e), f"{sql}\n  want: {want}\n  got:  {e}"
+
+    # positives incl. the NULL forms AnalyzeExprsTest.java:612-620 pins
+    for sql in [
+        "select 1 from t where 5 between 1 and 10.5",
+        "select 1 from t where 5 between NULL and 10",
+        "select 1 from t where NULL between NULL and NULL",
+        "select 1 from t where 'b' in ('a', 'c', NULL)",
+        "select 1 from t where x in (1, 2, 3)",
+        "select 1 from t where 5 in (x, 2)",
+        "select 1 from t where x in (select y from u)",
+        "select 1 from t where col between lo and hi",
+    ]:
+        tr(sql, strict=True)
