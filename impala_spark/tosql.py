@@ -113,6 +113,30 @@ def _render(items: list[tuple[str, bool]]) -> str:
     return "".join(parts)
 
 
+#: identifier words that must stay/become backquoted because they are
+#: statement keywords (ToSqlUtils.getIdentSql quotes Impala+Hive keywords)
+_IDENT_QUOTE_KEYWORDS = _UPPER_KEYWORDS | _TYPE_KEYWORDS | frozenset({
+    "ALTER", "DROP", "CREATE", "VIEW", "DATABASE", "FUNCTION", "LOAD",
+    "DATA", "UPDATE", "DELETE", "UPSERT", "SET", "SHOW", "USE", "IF",
+    "COMPUTE", "STATS", "REFRESH", "INVALIDATE", "METADATA", "TRUNCATE",
+})
+
+import re as _re
+
+_SAFE_IDENT = _re.compile(r"[A-Za-z][A-Za-z0-9_]*")
+
+
+def _ident_sql(name: str) -> str:
+    """ToSqlUtils.getIdentSql: backquote an identifier iff it is a
+    keyword or not lexable as a plain identifier by both Impala and
+    Hive (leading underscore/digit, or any special character);
+    otherwise emit it bare (ToSqlTest.java:372-400: `abc` -> abc,
+    _c0 -> `_c0`, `alter` stays quoted)."""
+    if _SAFE_IDENT.fullmatch(name) and name.upper() not in _IDENT_QUOTE_KEYWORDS:
+        return name
+    return f"`{name}`"
+
+
 def _unquote_double(text: str) -> str:
     """\"abc\" -> 'abc' (StringLiteral.toSqlImpl always single-quotes)."""
     if len(text) >= 2 and text[0] == '"' and text[-1] == '"':
@@ -259,6 +283,13 @@ def to_impala_sql(sql: str, default_db: str = "default") -> str:
                 )
             )
         ):
+            # a string-quoted alias after AS is an identifier, not a
+            # literal: `2.0 as 'xyz'` -> `2.0 xyz` (ToSqlTest.java:374)
+            if i + 1 < n and sig[i + 1][0].kind in ("string", "dstring"):
+                alias = sig[i + 1][0].text[1:-1]
+                out.append((_ident_sql(alias), False))
+                i += 2
+                continue
             i += 1
             continue
 
@@ -339,7 +370,14 @@ def to_impala_sql(sql: str, default_db: str = "default") -> str:
                 i += 1
                 continue
 
-            out.append((t.text, glued))
+            # ---- plain identifiers: ToSqlUtils.getIdentSql quoting ----
+            out.append((_ident_sql(t.text), glued))
+            i += 1
+            continue
+
+        # ---- backquoted identifiers: unquote when unnecessary ----
+        if t.kind == "bident":
+            out.append((_ident_sql(t.text[1:-1]), glued))
             i += 1
             continue
 

@@ -224,3 +224,24 @@ def test_tosql_idempotent_and_revalidatable_over_registry():
         translate(emitted)  # still analyzable by the shim
         checked += 1
     assert checked >= 100, f"registry shrank? only {checked} query texts"
+
+
+def test_tosql_identifier_quoting_pins():
+    """ToSqlUtils.getIdentSql re-quoting (ToSqlTest.java:372-400):
+    unnecessary backquotes removed, keyword/non-Hive-lexable identifiers
+    (re)quoted, string-quoted aliases emitted as identifiers."""
+    cases = [
+        ("select 1 as `abc`, 2.0 as 'xyz'", "SELECT 1 abc, 2.0 xyz"),      # :374
+        ("select 1 as _c0", "SELECT 1 `_c0`"),                              # :378
+        ("select 1 as `???`", "SELECT 1 `???`"),                            # :381
+        ("select `end`.`alter`, `end`.`table` from "
+         "(select 1 as `alter`, 2 as `table`) `end`",
+         "SELECT `end`.`alter`, `end`.`table` FROM "
+         "(SELECT 1 `alter`, 2 `table`) `end`"),                            # :384-387
+        ("select a from (select 1 as a) as _t",
+         "SELECT a FROM (SELECT 1 a) `_t`"),                                # :390-391
+        ("with _t as (select 1 as a) select * from _t",
+         "WITH `_t` AS (SELECT 1 a) SELECT * FROM `_t`"),                   # :394-395
+    ]
+    for src, want in cases:
+        assert to_impala_sql(src, default_db="functional") == want
