@@ -1243,6 +1243,46 @@ def _check_strict_ungrouped_select(tokens: list[Token]) -> None:
                     if not is_analytic:
                         has_agg = True
                         break
+        if from_idx >= end:
+            # analytic expr / star without a FROM clause
+            # (SelectStmt.java:568-580, AnalyzeExprsTest.java:822-823
+            # "select 1, count(*) over()"; AnalyzeStmtsTest pins
+            # "select *" -> "'*' expression in select list requires
+            # FROM clause.")
+            k2 = list_start
+            depth2 = 0
+            while k2 < end:
+                t2 = tokens[k2]
+                if t2.kind == "op" and t2.text == "(":
+                    nxt = _significant(tokens, k2)
+                    if (
+                        nxt != -1 and tokens[nxt].kind == "word"
+                        and tokens[nxt].upper == "SELECT"
+                    ):
+                        k2 = _matching_paren(tokens, k2) + 1
+                        continue
+                    depth2 += 1
+                elif t2.kind == "op" and t2.text == ")":
+                    depth2 -= 1
+                elif t2.kind == "word" and t2.upper == "OVER":
+                    raise ImpalaUnsupportedError(
+                        "Analytic expressions require FROM clause"
+                    )
+                elif depth2 == 0 and t2.kind == "op" and t2.text == "*":
+                    # top-level star item (not multiplication: a star
+                    # select item is preceded by start/comma)
+                    pv = _significant(tokens, k2, -1)
+                    if pv == -1 or (
+                        tokens[pv].kind == "op" and tokens[pv].text == ","
+                    ) or (
+                        tokens[pv].kind == "word"
+                        and tokens[pv].upper in ("SELECT", "DISTINCT")
+                    ):
+                        raise ImpalaUnsupportedError(
+                            "'*' expression in select list requires FROM "
+                            "clause."
+                        )
+                k2 += 1
         if not (block_has_group or has_agg):
             continue
         # aggregation without a FROM clause (SelectStmt.java:568)
@@ -1502,7 +1542,9 @@ def _check_strict_limit_offset(tokens: list[Token]) -> None:
             end = end if end != -1 else idx
             raise ImpalaUnsupportedError(
                 "OFFSET requires an ORDER BY clause: "
-                + untokenize(tokens[start:end + 1]).strip()
+                # the reference quotes toSql (uppercase keywords):
+                # "OFFSET requires an ORDER BY clause: OFFSET 5"
+                + _expr_to_sql(untokenize(tokens[start:end + 1]).strip())
             )
 
 
@@ -3084,6 +3126,15 @@ def _check_strict_grammar_extras(tokens: list[Token]) -> None:
                     )
                 )
                 if not ok:
+                    if sig and tokens[sig[0]].upper == "VALUES":
+                        # a star ITEM in a VALUES row parses; the
+                        # analyzer rejects it as a FROM-less star
+                        # (ValuesStmt = union of const selects;
+                        # SelectStmt.java:568-580)
+                        raise ImpalaUnsupportedError(
+                            "'*' expression in select list requires "
+                            "FROM clause."
+                        )
                     raise ImpalaUnsupportedError(
                         "Syntax error: '*' cannot be part of an expression"
                     )
@@ -3772,6 +3823,10 @@ def _num_literal_type(text: str) -> str:
         frac = text.split(".", 1)[1]
         digits = text.replace(".", "").lstrip("0") or "0"
         p = max(len(digits), len(frac), 1)
+        if p > 38:
+            # NumericLiteral.analyze: more digits than MAX_PRECISION can
+            # only be represented as a DOUBLE (AnalyzeExprsTest.java:1590)
+            return "DOUBLE"
         return f"DECIMAL({p},{len(frac)})"
     v = int(text)
     if v <= 127:
@@ -3782,7 +3837,8 @@ def _num_literal_type(text: str) -> str:
         return "INT"
     if v <= 2**63 - 1:
         return "BIGINT"
-    return f"DECIMAL({len(text)},0)"
+    digits = len(text.lstrip("0")) or 1
+    return "DOUBLE" if digits > 38 else f"DECIMAL({digits},0)"
 
 
 def _cast_target_type(tokens: list[Token], open_idx: int) -> tuple[str, int] | None:
@@ -3830,7 +3886,18 @@ def _typed_operand_fwd(tokens: list[Token], i: int):
             r = _cast_target_type(tokens, j)
             if r:
                 return (r[0], r[1], True)
+    if t.kind == "word" and t.text.lower() in _TIMESTAMP_RETURNING_FNS:
+        j = _significant(tokens, i)
+        if j != -1 and tokens[j].kind == "op" and tokens[j].text == "(":
+            k = _significant(tokens, j)
+            if k != -1 and tokens[k].kind == "op" and tokens[k].text == ")":
+                return ("TIMESTAMP", k, False)
     return None
+
+
+#: zero-arg builtins with a statically-known TIMESTAMP return type
+#: (BuiltinsDb: now/current_timestamp/utc_timestamp)
+_TIMESTAMP_RETURNING_FNS = frozenset({"now", "current_timestamp", "utc_timestamp"})
 
 
 def _typed_operand_back(tokens: list[Token], i: int):
@@ -3869,6 +3936,13 @@ def _typed_operand_back(tokens: list[Token], i: int):
                             r = _cast_target_type(tokens, k)
                             if r:
                                 return (r[0], w, True)
+                        if (
+                            w != -1
+                            and tokens[w].kind == "word"
+                            and tokens[w].text.lower() in _TIMESTAMP_RETURNING_FNS
+                            and _significant(tokens, k) == i  # empty parens
+                        ):
+                            return ("TIMESTAMP", w, False)
                         return None
     return None
 
@@ -4076,9 +4150,9 @@ def _check_strict_typed_exprs(tokens: list[Token]) -> None:
                 if left and right:
                     t1, t2 = left[0], right[0]
                     if _assignment_compatible(t1, t2) is None:
-                        span = untokenize(
-                            tokens[left[1]:right[1] + 1]
-                        ).strip()
+                        span = _expr_to_sql(
+                            untokenize(tokens[left[1]:right[1] + 1]).strip()
+                        )
                         raise ImpalaUnsupportedError(
                             f"operands of type {t1} and {t2} are not "
                             f"comparable: {span}"
@@ -4222,8 +4296,13 @@ def _arg_accepts(param: str, arg: str) -> bool:
     param type (Function.java isImplicitlyCastable)."""
     if arg == "NULL_TYPE" or param == "ANY":
         return True
-    if param == "DECIMAL":  # wildcard decimal parameter
-        return arg.split("(")[0] in _MIN_RES_DECIMAL or arg.split("(")[0] == "DECIMAL"
+    if param == "DECIMAL":
+        # wildcard decimal parameter: the compatible type of FLOAT/DOUBLE
+        # with any decimal is the FLOAT type, which does not match the
+        # wildcard — so only integer/decimal args resolve
+        # (AnalyzeExprsTest.java:1594 pins precision(FLOAT) as an error)
+        base = arg.split("(")[0]
+        return base == "DECIMAL" or _is_integer_type(base)
     compat = _assignment_compatible(arg, param)
     return compat is not None and compat.split("(")[0] == param.split("(")[0]
 
@@ -4477,6 +4556,47 @@ def _check_strict_function_calls(tokens: list[Token]) -> None:
                 )
             continue
         arg_types = [_span_static_type(tokens, lo, hi) for lo, hi in spans]
+        # ---- precision/scale on NULL: resolveDecimalReturnType
+        #      (FunctionCallExpr.java:300-310) ----
+        if (
+            fn in ("precision", "scale")
+            and len(spans) == 1
+            and arg_types[0] == "NULL_TYPE"
+        ):
+            raise ImpalaUnsupportedError(
+                "Cannot resolve DECIMAL precision and scale from NULL type."
+            )
+        # ---- DECODE arity (CaseExpr.java decode ctor:
+        #      "requires at least 3 arguments") ----
+        if fn == "decode" and len(spans) < 3:
+            raise ImpalaUnsupportedError(
+                f"DECODE in '{_render_call('decode', tokens, spans)}' "
+                "requires at least 3 arguments"
+            )
+        if fn == "decode" and len(spans) >= 3 and arg_types[0] is not None:
+            # decode rewrites to CASE with `expr = search_i` equality
+            # pairs (CaseExpr decode ctor); each pair must be comparable,
+            # and the error quotes the rewritten predicate's toSql
+            # (AnalyzeExprsTest pins "operands of type BOOLEAN and STRING
+            # are not comparable: TRUE = 'foo'" for decode(true,'foo',1))
+            n_args = len(spans)
+            search_idxs = range(1, n_args - 1 if n_args % 2 == 0 else n_args - 1, 2)
+            for si in search_idxs:
+                ty = arg_types[si]
+                if ty is None or ty == "NULL_TYPE":
+                    continue
+                if _assignment_compatible(arg_types[0], ty) is None:
+                    lhs_sql = untokenize(
+                        tokens[spans[0][0]:spans[0][1] + 1]
+                    ).strip()
+                    rhs_sql = untokenize(
+                        tokens[spans[si][0]:spans[si][1] + 1]
+                    ).strip()
+                    raise ImpalaUnsupportedError(
+                        f"operands of type {arg_types[0]} and {ty} are "
+                        "not comparable: "
+                        + _expr_to_sql(f"{lhs_sql} = {rhs_sql}")
+                    )
         # ---- SUM / AVG parameter classes (:275-278, :434-436) ----
         if fn in ("sum", "avg") and len(spans) == 1 and arg_types[0] is not None:
             base = arg_types[0].split("(")[0]
@@ -4611,6 +4731,92 @@ def _check_strict_function_calls(tokens: list[Token]) -> None:
                             f"Function {fn.upper()} does not accept the "
                             "keyword IGNORE NULLS."
                         )
+
+
+def _check_strict_values_rows(tokens: list[Token]) -> None:
+    """ValuesStmt analysis (a UNION ALL of constant selects,
+    A/ValuesStmt.java + A/UnionStmt.java): rows must have equal column
+    counts, column positions must share a compatible type across rows
+    (Analyzer.getCompatibleType), and aggregates are FROM-less
+    aggregation. Pins from AnalyzeStmtsTest TestValues."""
+    sig0 = _significant(tokens, -1)
+    if sig0 == -1 or tokens[sig0].upper != "VALUES":
+        return
+    j = _significant(tokens, sig0)
+    if j == -1 or tokens[j].kind != "op" or tokens[j].text != "(":
+        return
+    close = _matching_paren(tokens, j)
+    items = _split_call_args(tokens, j, close)
+    # multi-row form: every top-level item is itself parenthesized
+    multi_row = bool(items) and all(
+        tokens[lo].kind == "op" and tokens[lo].text == "("
+        and _matching_paren(tokens, lo) == hi
+        for lo, hi in items
+    )
+    rows = (
+        [_split_call_args(tokens, lo, hi) for lo, hi in items]
+        if multi_row
+        else [items]
+    )
+    row_sql = [
+        _expr_to_sql(untokenize(tokens[lo:hi + 1]).strip()) if multi_row else None
+        for lo, hi in items
+    ]
+    # aggregation without FROM (SelectStmt.java:568)
+    for cells in rows:
+        for lo, hi in cells:
+            k = lo
+            while k != -1 and k <= hi:
+                if _agg_call_at(tokens, k, hi + 1) != -1:
+                    raise ImpalaUnsupportedError(
+                        "aggregation without a FROM clause is not allowed"
+                    )
+                k += 1
+    # equal column counts (UnionStmt.analyze)
+    for r in range(1, len(rows)):
+        if len(rows[r]) != len(rows[0]):
+            raise ImpalaUnsupportedError(
+                "Operands have unequal number of columns:\n"
+                f"'{row_sql[0]}' has {len(rows[0])} column(s)\n"
+                f"'{row_sql[r]}' has {len(rows[r])} column(s)"
+            )
+    # per-position compatible types (Analyzer.getCompatibleType)
+    if len(rows) > 1:
+        for col in range(len(rows[0])):
+            last_ty = None
+            last_span = None
+            for cells in rows:
+                lo, hi = cells[col]
+                ty = _span_static_type(tokens, lo, hi)
+                if ty is None:
+                    last_ty = None
+                    break  # non-literal cell: cannot type the column
+                if last_ty is None:
+                    last_ty, last_span = ty, (lo, hi)
+                    continue
+                new_ty = _assignment_compatible(last_ty, ty)
+                if new_ty is None:
+                    raise ImpalaUnsupportedError(
+                        f"Incompatible return types '{last_ty}' and "
+                        f"'{ty}' of exprs "
+                        f"'{untokenize(tokens[last_span[0]:last_span[1] + 1]).strip()}' "
+                        f"and '{untokenize(tokens[lo:hi + 1]).strip()}'."
+                    )
+                last_ty, last_span = new_ty, (lo, hi)
+
+
+def _expr_to_sql(fragment: str) -> str:
+    """Render an expression fragment the way Expr.toSql prints it in
+    error messages (uppercase CAST/keywords, literal normalization) —
+    the reference quotes toSql, not the user's spelling, in analysis
+    errors (e.g. AnalyzeExprsTest.java:400 pins `now() = CAST('hi' AS
+    CHAR(3))`). Falls back to the fragment as-written on any failure."""
+    try:
+        from impala_spark.tosql import to_impala_sql
+
+        return to_impala_sql(fragment)
+    except Exception:
+        return fragment
 
 
 def _check_strict_inlist_between_types(tokens: list[Token]) -> None:
@@ -4828,6 +5034,7 @@ def translate(sql: str, strict: bool = False) -> str:
         _check_strict_function_calls(tokens)
         _check_strict_case_exprs(tokens)
         _check_strict_inlist_between_types(tokens)
+        _check_strict_values_rows(tokens)
         _check_strict_grammar_extras(tokens)
         _check_strict_ddl_values(tokens)
         _check_strict_correlated_subqueries(tokens)

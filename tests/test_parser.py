@@ -1224,3 +1224,66 @@ def test_strict_in_between_type_errors_pin_reference_texts():
         "select 1 from t where col between lo and hi",
     ]:
         tr(sql, strict=True)
+
+
+def test_strict_values_stmt_analysis_errors_pin_reference_texts():
+    """ValuesStmt analysis (A/ValuesStmt.java as a UNION of constant
+    selects + A/UnionStmt.java; pins from AnalyzeStmtsTest TestValues):
+    unequal row widths, per-position type accumulation, FROM-less
+    aggregation/star, and the toSql-rendered OFFSET span."""
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+
+    cases = [
+        ("values((1, 'a'), (2, 'b')) offset 5",
+         "OFFSET requires an ORDER BY clause: OFFSET 5"),
+        ("values(1, 'a', 1.0, *)",
+         "'*' expression in select list requires FROM clause."),
+        ("values(sum(1), 'a', 1.0)",
+         "aggregation without a FROM clause is not allowed"),
+        ("values((1, 2), (3, 4, 5))",
+         "Operands have unequal number of columns:\n"
+         "'(1, 2)' has 2 column(s)\n'(3, 4, 5)' has 3 column(s)"),
+        ("values((1, 'a'), (3, 4))",
+         "Incompatible return types 'STRING' and 'TINYINT' "
+         "of exprs ''a'' and '4'."),
+        # FROM-less star/analytic in SELECT (SelectStmt.java:568-580)
+        ("select *", "'*' expression in select list requires FROM clause."),
+        ("select 1, *, 2+4",
+         "'*' expression in select list requires FROM clause."),
+        ("select 1, count(*) over()",
+         "Analytic expressions require FROM clause"),
+        # misc closed this round
+        ("select decode()", "DECODE in 'decode()' requires at least 3 arguments"),
+        ("select decode(1, 2)", "DECODE in 'decode(1, 2)' requires at least 3 arguments"),
+        ("select decode(true, 'foo', 1)",
+         "operands of type BOOLEAN and STRING are not comparable: TRUE = 'foo'"),
+        ("select precision(cast(1 as float))",
+         "No matching function with signature: precision(FLOAT)"),
+        ("select precision(999999999999999999999999999999999999999.)",
+         "No matching function with signature: precision(DOUBLE)."),
+        ("select precision(NULL)",
+         "Cannot resolve DECIMAL precision and scale from NULL type."),
+        ("select scale(NULL)",
+         "Cannot resolve DECIMAL precision and scale from NULL type."),
+        ("select now() = cast('hi' as CHAR(3))",
+         "operands of type TIMESTAMP and CHAR(3) are not comparable: "
+         "now() = CAST('hi' AS CHAR(3))"),
+    ]
+    for sql, want in cases:
+        try:
+            tr(sql, strict=True)
+            raise AssertionError(f"accepted: {sql}")
+        except ImpalaUnsupportedError as e:
+            assert want in str(e), f"{sql}\n  want: {want!r}\n  got:  {e!r}"
+
+    for sql in [
+        "values(1, 'a', 1.0)",
+        "values((1, 'a'), (2, 'b'))",
+        "values((1, 'a'), (2, NULL))",
+        "values((1.5, 'a'), (2, 'b'))",
+        "select * from tbl",
+        "select decode(1, 2, 3)",
+        "select now()",
+    ]:
+        tr(sql, strict=True)

@@ -39,32 +39,32 @@ NEGATIVE = [
     (
         "select cast(NULL as int) = cast(NULL as string)",
         "operands of type INT and STRING are not comparable: "
-        "cast(NULL as int) = cast(NULL as string)",
+        "CAST(NULL AS INT) = CAST(NULL AS STRING)",
     ),
     (
         "select cast(NULL as string) < cast(NULL as double)",
         "operands of type STRING and DOUBLE are not comparable: "
-        "cast(NULL as string) < cast(NULL as double)",
+        "CAST(NULL AS STRING) < CAST(NULL AS DOUBLE)",
     ),
     (
         "select cast(NULL as boolean) != cast(NULL as timestamp)",
         "operands of type BOOLEAN and TIMESTAMP are not comparable: "
-        "cast(NULL as boolean) != cast(NULL as timestamp)",
+        "CAST(NULL AS BOOLEAN) != CAST(NULL AS TIMESTAMP)",
     ),
     (
         "select cast(NULL as decimal) >= cast(NULL as string)",
         "operands of type DECIMAL(9,0) and STRING are not comparable: "
-        "cast(NULL as decimal) >= cast(NULL as string)",
+        "CAST(NULL AS DECIMAL(9,0)) >= CAST(NULL AS STRING)",
     ),
     (
         "select cast(NULL as timestamp) <=> cast(NULL as bigint)",
         "operands of type TIMESTAMP and BIGINT are not comparable: "
-        "cast(NULL as timestamp) <=> cast(NULL as bigint)",
+        "CAST(NULL AS TIMESTAMP) <=> CAST(NULL AS BIGINT)",
     ),
     (
         "select cast(NULL as float) <> cast(NULL as timestamp)",
         "operands of type FLOAT and TIMESTAMP are not comparable: "
-        "cast(NULL as float) <> cast(NULL as timestamp)",
+        "CAST(NULL AS FLOAT) <> CAST(NULL AS TIMESTAMP)",
     ),
     # --- r7 generalization to literal operands: the reference has no
     #     string-literal leniency in comparisons (AnalyzeExprsTest.java
@@ -79,7 +79,7 @@ NEGATIVE = [
     ),
     (
         "select true = '0'",
-        "operands of type BOOLEAN and STRING are not comparable: true = '0'",
+        "operands of type BOOLEAN and STRING are not comparable: TRUE = '0'",
     ),
     (
         "select cast('a' as char(3)) = TIMESTAMP '2020-01-01 00:00:00'",

@@ -1,0 +1,197 @@
+"""Analyzer-error scorecard: replay the reference's AnalysisError pins
+through translate(strict=True) and report how many produce the exact
+reference text.
+
+Counterpart of tools/grammar_sweep.py (ParserTest) for the analysis
+layer: extracts every `AnalysisError("sql", "expected")` pair from the
+big reference test files and classifies each as
+
+  matched        raised, and the expected text is in our message
+  wrong-error    raised, but a different message
+  accepted       not raised (our permissive superset or a gap)
+
+Statements are further split by whether they need CATALOG knowledge
+(reference test-warehouse tables like functional.alltypes, whose column
+TYPES drive most errors) — a token-level dialect layer can only ever
+match the catalog-free subset, so the headline number is
+matched / catalog-free-total.
+
+Dev-time tool; skips silently if the reference checkout is absent.
+
+Usage: python tools/analyzer_sweep.py [--show-misses N]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF_TESTS = [
+    "/root/reference/fe/src/test/java/org/apache/impala/analysis/AnalyzeExprsTest.java",
+    "/root/reference/fe/src/test/java/org/apache/impala/analysis/AnalyzeStmtsTest.java",
+    "/root/reference/fe/src/test/java/org/apache/impala/analysis/AnalyzeSubqueriesTest.java",
+]
+
+#: statements touching reference test-warehouse objects — their errors
+#: depend on catalog column types a dialect layer cannot know
+_CATALOG_RE = re.compile(
+    r"functional\w*\.|\balltypes\w*\b|\btesttbl\b|\bdecimal_t\w*\b|\ballcomplextypes\b"
+    r"|\bdefault\.\w+|\btinyint_col\b|\bint_col\b|\bstring_col\b|\bbool_col\b"
+    r"|\bid\b|\bzip\b|\btimestamp_col\b|\bdouble_col\b|\bfloat_col\b|\bbigint_col\b"
+    r"|\bsmallint_col\b|\baggfn\b|\budf\b|\bt1\b|\bt2\b",
+    re.IGNORECASE,
+)
+
+
+def _java_string_args(body: str) -> list[str]:
+    """Split a Java argument list into top-level args, then concatenate
+    each arg's string-literal pieces ("a" + "b" -> "ab")."""
+    args: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    in_str = False
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if in_str:
+            cur.append(c)
+            if c == "\\":
+                cur.append(body[i + 1])
+                i += 2
+                continue
+            if c == '"':
+                in_str = False
+            i += 1
+            continue
+        if c == '"':
+            in_str = True
+            cur.append(c)
+        elif c in "([":
+            depth += 1
+            cur.append(c)
+        elif c in ")]":
+            depth -= 1
+            cur.append(c)
+        elif c == "," and depth == 0:
+            args.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    if cur:
+        args.append("".join(cur))
+
+    out: list[str] = []
+    for a in args:
+        pieces = re.findall(r'"((?:[^"\\]|\\.)*)"', a)
+        s = "".join(pieces)
+        s = s.replace('\\"', '"').replace("\\n", "\n").replace("\\\\", "\\")
+        out.append(s)
+    return out
+
+
+def extract_pairs(path: str) -> list[tuple[str, str]]:
+    src = open(path).read()
+    pairs: list[tuple[str, str]] = []
+    for m in re.finditer(r"AnalysisError\(", src):
+        i = m.end()
+        depth = 1
+        in_str = False
+        j = i
+        while j < len(src) and depth:
+            c = src[j]
+            if in_str:
+                if c == "\\":
+                    j += 2
+                    continue
+                if c == '"':
+                    in_str = False
+            elif c == '"':
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            j += 1
+        args = _java_string_args(src[i:j - 1])
+        # forms: (sql), (sql, expected), (sql, analyzer, expected)
+        strings = [a for a in args if a]
+        if len(strings) >= 2:
+            pairs.append((strings[0], strings[-1]))
+    return pairs
+
+
+def main() -> None:
+    from impala_spark.parser import ImpalaUnsupportedError, translate
+
+    show = 0
+    if "--show-misses" in sys.argv:
+        show = int(sys.argv[sys.argv.index("--show-misses") + 1])
+
+    total = cat_free = matched = wrong = accepted = 0
+    cat_matched = 0
+    misses: list[tuple[str, str, str | None]] = []
+    for path in REF_TESTS:
+        if not os.path.exists(path):
+            print(f"skip (no reference checkout): {path}")
+            continue
+        for sql, expected in extract_pairs(path):
+            if not sql.strip().lower().startswith(("select", "with", "values")):
+                continue  # DDL/insert heads route outside translate()
+            if "%s" in sql or "$TBL" in sql or "%s" in expected:
+                continue  # Java String.format template, not a statement
+            total += 1
+            catalog = bool(_CATALOG_RE.search(sql)) or bool(
+                # resolution-class errors need the canned test catalog
+                # (paths like a.a / d.t3.c resolve through its schemas)
+                re.search(
+                    r"Could not resolve|ambiguous|Cannot expand star"
+                    r"|returns a complex type|star exprs expanded"
+                    r"|Illegal column/field reference",
+                    expected,
+                )
+            )
+            if not catalog:
+                cat_free += 1
+            try:
+                translate(sql, strict=True)
+                got: str | None = None
+            except ImpalaUnsupportedError as e:
+                got = str(e)
+            except Exception as e:  # tokenizer edge: count as wrong-error
+                got = f"<{type(e).__name__}: {e}>"
+            if got is not None and expected in got:
+                matched += 1
+                if catalog:
+                    cat_matched += 1
+            elif got is not None:
+                wrong += 1
+                if not catalog:
+                    misses.append((sql, expected, got))
+            else:
+                accepted += 1
+                if not catalog:
+                    misses.append((sql, expected, None))
+
+    print(f"reference AnalysisError statements (query heads): {total}")
+    print(f"  catalog-free (token-level addressable):          {cat_free}")
+    print(f"  matched exact text:                              {matched} "
+          f"({cat_matched} of them catalog-dependent)")
+    print(f"  raised with a different text:                    {wrong}")
+    print(f"  accepted (permissive superset or gap):           {accepted}")
+    cf_matched = matched - cat_matched
+    if cat_free:
+        print(f"  catalog-free match rate:                         "
+              f"{cf_matched}/{cat_free} ({100.0 * cf_matched / cat_free:.1f}%)")
+    for sql, expected, got in misses[:show]:
+        print("---")
+        print("  sql:     ", sql[:140])
+        print("  expected:", expected[:140])
+        print("  got:     ", (got or "<accepted>")[:140])
+
+
+if __name__ == "__main__":
+    main()
