@@ -75,15 +75,69 @@ _NO_SPACE_AFTER = frozenset({"(", "."})
 
 def _strip_ws(tokens: list[Token]) -> list[tuple[Token, bool]]:
     """[(token, glued_to_previous_in_source)] without whitespace/comment
-    tokens; source adjacency drives call-paren spacing."""
+    tokens; source adjacency drives call-paren spacing. Plan-hint
+    comments (`/* +h */` and `-- +h`) survive as synthetic HINT tokens —
+    toSql always re-emits hints in the end-of-line commented style for
+    Hive view compatibility (ToSqlTest.java:442-447 planHintsTest)."""
+    import re
+
     out: list[tuple[Token, bool]] = []
     glued = True
     for t in tokens:
-        if t.kind in ("ws", "line_comment", "block_comment"):
+        if t.kind in ("line_comment", "block_comment"):
+            m = re.match(r"/\*\s*\+(.+?)\s*\*/$", t.text) or re.match(
+                r"--\s*\+(.+?)\s*$", t.text
+            )
+            if m:
+                out.append((Token("hint", "\n-- +" + m.group(1) + "\n"), False))
+            glued = False
+            continue
+        if t.kind == "ws":
             glued = False
             continue
         out.append((t, glued))
         glued = True
+    return out
+
+
+def _convert_bracket_hints(sig: list[tuple[Token, bool]]) -> list[tuple[Token, bool]]:
+    """Legacy `[hint, hint]` style directly after JOIN or SELECT
+    [DISTINCT] -> the same synthetic HINT token (sql-parser.cup
+    plan_hints; ToSqlTest.java:449-452 legacy style)."""
+    out: list[tuple[Token, bool]] = []
+    i = 0
+    n = len(sig)
+    while i < n:
+        t, glued = sig[i]
+        out.append((t, glued))
+        if (
+            t.kind == "word"
+            and t.upper in ("JOIN", "SELECT", "DISTINCT")
+            and i + 1 < n
+            and sig[i + 1][0].kind == "op"
+            and sig[i + 1][0].text == "["
+        ):
+            j = i + 1
+            names: list[str] = []
+            k = j + 1
+            ok = False
+            while k < n:
+                tk = sig[k][0]
+                if tk.kind in ("word", "bident"):
+                    names.append(tk.text)
+                elif tk.kind == "op" and tk.text == ",":
+                    pass
+                elif tk.kind == "op" and tk.text == "]":
+                    ok = True
+                    break
+                else:
+                    break
+                k += 1
+            if ok and names:
+                out.append((Token("hint", "\n-- +" + ",".join(names) + "\n"), False))
+                i = k + 1
+                continue
+        i += 1
     return out
 
 
@@ -259,7 +313,7 @@ def to_impala_sql(sql: str, default_db: str = "default") -> str:
     """Re-emit `sql` as the reference's analyzed `toSql()` would print
     it. `default_db` plays the session database's role in qualifying
     bare table refs (the analyzer's resolution step)."""
-    sig = _strip_ws(tokenize(sql))
+    sig = _convert_bracket_hints(_strip_ws(tokenize(sql)))
     cast_as = _find_cast_as_indices(sig)
     tbl_refs = _table_ref_positions(sig)
 

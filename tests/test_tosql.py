@@ -245,3 +245,36 @@ def test_tosql_identifier_quoting_pins():
     ]
     for src, want in cases:
         assert to_impala_sql(src, default_db="functional") == want
+
+
+def test_tosql_plan_hints_emit_eol_comment_style():
+    """Plan hints re-emit in the end-of-line commented style for Hive
+    view compatibility regardless of the input style
+    (ToSqlTest.java:443-507 planHintsTest: traditional comment, eol
+    comment, legacy bracket)."""
+    expected_join = (
+        "SELECT * FROM functional.alltypes a INNER JOIN \n-- +broadcast\n "
+        "functional.alltypes b ON a.id = b.id"
+    )
+    expected_sel = "SELECT \n-- +straight_join\n * FROM functional.alltypes"
+    cases = [
+        ("select * from functional.alltypes a join /* +broadcast */ "
+         "functional.alltypes b on a.id = b.id", expected_join),
+        ("select * from functional.alltypes a join \n-- +broadcast\n "
+         "functional.alltypes b on a.id = b.id", expected_join),
+        ("select * from functional.alltypes a join [broadcast] "
+         "functional.alltypes b on a.id = b.id", expected_join),
+        ("select /* +straight_join */ * from functional.alltypes", expected_sel),
+        ("select [straight_join] * from functional.alltypes", expected_sel),
+        ("select distinct /* +straight_join */ * from functional.alltypes",
+         "SELECT DISTINCT \n-- +straight_join\n * FROM functional.alltypes"),
+        ("select * from functional.alltypes a join [shuffle,broadcast] "
+         "functional.alltypes b on a.id = b.id",
+         "SELECT * FROM functional.alltypes a INNER JOIN "
+         "\n-- +shuffle,broadcast\n functional.alltypes b ON a.id = b.id"),
+        # ordinary comments are dropped, not re-emitted
+        ("select /* note */ 1", "SELECT 1"),
+        ("select 1 -- trailing\n", "SELECT 1"),
+    ]
+    for src, want in cases:
+        assert to_impala_sql(src, default_db="functional") == want
