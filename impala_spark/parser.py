@@ -195,6 +195,19 @@ def _check_subquery_in_or(tokens: list[Token]) -> None:
             t = tokens[idx]
             if not (t.kind == "word" and t.upper == "OR"):
                 continue
+            # Negation parity: the reference pushes negation to the leaf
+            # operands BEFORE the disjunction check (StmtRewriter.java:
+            # 104-111 pushNegationToOperands) — an OR under an odd number
+            # of enclosing NOT(...) groups becomes an AND and is legal
+            # (AnalyzeSubqueriesTest pins `not (id in (sq) or x)` as OK).
+            nots = 0
+            for o, (a, b) in groups.items():
+                if a < idx <= b:
+                    p = _significant(tokens, a, -1)
+                    if p != -1 and tokens[p].kind == "word" and tokens[p].upper == "NOT":
+                        nots += 1
+            if nots % 2 == 1:
+                continue
             od = depth_at[idx]
             # smallest paren group at the OR's depth containing it; else clause
             lo, hi = lo_r, hi_r
@@ -1148,6 +1161,13 @@ def _bare_column_of(tokens: list[Token], a: int, b: int) -> str | None:
         and tokens[sig[-2]].kind in ("word", "bident")
     ):
         sig = sig[:-1]
+    # constant literals are legal ungrouped (SelectStmt.java:728 only
+    # rejects non-grouped SlotRefs; AnalyzesOk pins
+    # `select true, NULL, 1*2+5 as a, zip, count(*) ... group by zip`)
+    if len(sig) == 1 and tokens[sig[0]].kind == "word" and tokens[sig[0]].upper in (
+        "TRUE", "FALSE", "NULL"
+    ):
+        return None
     parts = []
     expect_ident = True
     for k in sig:
@@ -1320,6 +1340,26 @@ def _check_strict_ungrouped_select(tokens: list[Token]) -> None:
                     re.sub(r"\s+", "", col) in group_exprs or str(i + 1) in ordinal_ok
                 ):
                     continue
+                # GROUP BY may name the item's ALIAS (Impala substitutes
+                # select-list aliases in GROUP BY, case-insensitively:
+                # AnalyzesOk pins `select zip z, id iD1, id ID2, count(*)
+                # ... group by z, ID1, id2`)
+                if group_exprs:
+                    sig_i = [
+                        k for k in range(a, b)
+                        if tokens[k].kind not in ("ws", "line_comment", "block_comment")
+                    ]
+                    if (
+                        len(sig_i) >= 2
+                        and tokens[sig_i[-1]].kind in ("word", "bident")
+                        and (
+                            tokens[sig_i[-2]].kind in ("word", "bident")
+                            or (tokens[sig_i[-2]].kind == "word"
+                                and tokens[sig_i[-2]].upper == "AS")
+                        )
+                        and tokens[sig_i[-1]].text.strip("`").lower() in group_exprs
+                    ):
+                        continue
                 raise ImpalaUnsupportedError(
                     "select list expression not produced by aggregation output "
                     f"(missing from GROUP BY clause?): {untokenize(tokens[a:b]).strip()}"
@@ -2476,7 +2516,13 @@ def _check_strict_between_subqueries(tokens: list[Token]) -> None:
                 if tk.upper in _CLAUSE_BOUNDARY | {"OR", "JOIN", "ON", "WHERE"}:
                     break
             k0 += 1
-        if lhs_subq or _is_subq(lo) or _is_subq(hi):
+        # BetweenPredicate.java:52-54: the error fires only when the
+        # COMPARAND is a subquery AND a bound is too ("comparison
+        # between subqueries"); a single subquery anywhere is legal
+        # (AnalyzeSubqueriesTest AnalyzesOk pins both
+        # `(select avg..) between 1 and 100` and
+        # `int_col between (select min..) and 100`)
+        if lhs_subq and (_is_subq(lo) or _is_subq(hi)):
             # BetweenPredicate.java:55-56 appends ': ' + toSqlImpl() — the
             # predicate's own SQL span (lhs BETWEEN lo AND hi). Scan to the
             # end of the hi bound: its subquery close, or (simple-expr
@@ -3864,6 +3910,62 @@ def _cast_target_type(tokens: list[Token], open_idx: int) -> tuple[str, int] | N
     return rendered, close
 
 
+#: column name (lowercase) -> rendered Impala type, set by
+#: translate(strict=True, schema=...) for the duration of the strict
+#: checks. With a schema bound, the typed-operand helpers resolve bare
+#: and alias-qualified column refs, which turns on the catalog-dependent
+#: half of the analyzer error surface (comparability, arithmetic,
+#: parameter classes, EXTRACT/INTERVAL typing) for engine-registered or
+#: canned-test-catalog tables. None = literal/cast-only static typing.
+_SCHEMA: dict[str, str] | None = None
+
+
+def _schema_col_fwd(tokens: list[Token], i: int):
+    """Resolve `col` or `alias.col[...]` STARTING at token i against the
+    bound schema; (type, end_idx, False) or None."""
+    if _SCHEMA is None:
+        return None
+    t = tokens[i]
+    if t.kind not in ("word", "bident"):
+        return None
+    end = i
+    name = t.text.strip("`")
+    k = _significant(tokens, i)
+    while k != -1 and tokens[k].kind == "op" and tokens[k].text == ".":
+        nxt = _significant(tokens, k)
+        if nxt == -1 or tokens[nxt].kind not in ("word", "bident"):
+            return None
+        name = tokens[nxt].text.strip("`")
+        end = nxt
+        k = _significant(tokens, nxt)
+    if k != -1 and tokens[k].kind == "op" and tokens[k].text == "(":
+        return None  # function call, not a column ref
+    ty = _SCHEMA.get(name.lower())
+    return (ty, end, False) if ty else None
+
+
+def _schema_col_back(tokens: list[Token], i: int):
+    """Resolve `col` or `alias.col` ENDING at token i against the bound
+    schema; (type, start_idx, False) or None."""
+    if _SCHEMA is None:
+        return None
+    t = tokens[i]
+    if t.kind not in ("word", "bident"):
+        return None
+    ty = _SCHEMA.get(t.text.strip("`").lower())
+    if ty is None:
+        return None
+    start = i
+    p = _significant(tokens, i, -1)
+    while p != -1 and tokens[p].kind == "op" and tokens[p].text == ".":
+        q = _significant(tokens, p, -1)
+        if q == -1 or tokens[q].kind not in ("word", "bident"):
+            break
+        start = q
+        p = _significant(tokens, q, -1)
+    return (ty, start, False)
+
+
 def _typed_operand_fwd(tokens: list[Token], i: int):
     """(type, end_idx, is_cast) for an operand STARTING at token i when
     its type is statically known; None for columns/complex exprs."""
@@ -3892,6 +3994,8 @@ def _typed_operand_fwd(tokens: list[Token], i: int):
             k = _significant(tokens, j)
             if k != -1 and tokens[k].kind == "op" and tokens[k].text == ")":
                 return ("TIMESTAMP", k, False)
+    if t.kind in ("word", "bident") and t.upper not in ("TRUE", "FALSE", "NULL"):
+        return _schema_col_fwd(tokens, i)
     return None
 
 
@@ -3944,6 +4048,8 @@ def _typed_operand_back(tokens: list[Token], i: int):
                         ):
                             return ("TIMESTAMP", w, False)
                         return None
+    if t.kind in ("word", "bident") and t.upper not in ("TRUE", "FALSE", "NULL"):
+        return _schema_col_back(tokens, i)
     return None
 
 
@@ -4839,6 +4945,18 @@ def _check_strict_inlist_between_types(tokens: list[Token]) -> None:
         lhs = _typed_operand_back(tokens, li)
         if lhs is None:
             continue
+        # if the resolved operand is itself the rhs of a LIKE-family or
+        # comparison predicate, the real comparand is that whole
+        # predicate — BOOLEAN (AnalyzesOk pins
+        # `select 'abc' like '%a' between true and false`)
+        pv = _significant(tokens, lhs[1], -1)
+        if pv != -1 and (
+            (tokens[pv].kind == "word" and tokens[pv].upper in (
+                "LIKE", "ILIKE", "RLIKE", "REGEXP", "IREGEXP"))
+            or (tokens[pv].kind == "op" and tokens[pv].text in (
+                "=", "==", "<", ">", "<=", ">=", "!=", "<>", "<=>"))
+        ):
+            lhs = ("BOOLEAN", lhs[1], False)
         chain: list[tuple[str, int, int]] = [(lhs[0], lhs[1], li)]
         if up == "IN":
             j = _significant(tokens, i)
@@ -5001,7 +5119,9 @@ def _check_strict_case_exprs(tokens: list[Token]) -> None:
                 last_ty, last_span = new_ty, (lo, hi)
 
 
-def translate(sql: str, strict: bool = False) -> str:
+def translate(
+    sql: str, strict: bool = False, schema: dict[str, str] | None = None
+) -> str:
     """Impala-dialect SQL -> Spark SQL.
 
     strict=False (default): the engine is a superset — constructs Spark
@@ -5010,10 +5130,26 @@ def translate(sql: str, strict: bool = False) -> str:
     reference analyzer's rejections with its exact messages
     (SelectStmt.java:181,538,598, QueryStmt.java:192) for migration
     compatibility testing.
+
+    schema (strict mode only): lowercase column name -> rendered Impala
+    type. Binds the typed-operand resolver to a catalog, enabling the
+    column-typed half of the analyzer error surface (the reference's
+    AnalysisError pins against the canned test warehouse). Without it
+    only literals/casts are statically typed — the permissive default.
     """
+    global _SCHEMA
     tokens = tokenize(sql)
     _check_rejections(tokens)
     _check_subquery_in_or(tokens)
+    if strict and schema is not None:
+        _SCHEMA = {k.lower(): v for k, v in schema.items()}
+    try:
+        return _translate_checked(tokens, sql, strict)
+    finally:
+        _SCHEMA = None
+
+
+def _translate_checked(tokens: list[Token], sql: str, strict: bool) -> str:
     if strict:
         _check_strict_subquery_clauses(tokens)
         _check_strict_where_exprs(tokens)

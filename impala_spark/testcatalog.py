@@ -1,0 +1,93 @@
+"""Canned test-warehouse schemas: the column layouts of the Impala
+functional dataset the reference's analyzer tests run against
+(T/common/FrontendTestBase.java loads them through
+T/testutil/ImpaladTestCatalog.java; the layouts themselves are the
+long-public Impala/Hive functional test schema — alltypes and friends).
+
+Used by tools/analyzer_sweep.py to bind translate(strict=True,
+schema=...) so the catalog-dependent half of the reference's
+AnalysisError pins (column-typed operands) can be replayed, and by
+tests as the canonical schema fixture.
+"""
+
+from __future__ import annotations
+
+#: the alltypes family: identical columns across
+#: alltypes/alltypestiny/alltypessmall/alltypesnopart/alltypeserror
+#: (+ partition columns year/month; alltypesagg adds day)
+ALLTYPES = {
+    "id": "INT",
+    "bool_col": "BOOLEAN",
+    "tinyint_col": "TINYINT",
+    "smallint_col": "SMALLINT",
+    "int_col": "INT",
+    "bigint_col": "BIGINT",
+    "float_col": "FLOAT",
+    "double_col": "DOUBLE",
+    "date_string_col": "STRING",
+    "string_col": "STRING",
+    "timestamp_col": "TIMESTAMP",
+    "year": "INT",
+    "month": "INT",
+    "day": "INT",  # alltypesagg
+}
+
+TESTTBL = {"id": "BIGINT", "name": "STRING", "zip": "INT"}
+
+JOINTBL = {
+    "test_id": "BIGINT",
+    "test_name": "STRING",
+    "test_zip": "INT",
+    "alltypes_id": "INT",
+}
+
+DECIMAL_TBL = {
+    "d1": "DECIMAL(9,0)",
+    "d2": "DECIMAL(10,0)",
+    "d3": "DECIMAL(20,10)",
+    "d4": "DECIMAL(38,38)",
+    "d5": "DECIMAL(10,5)",
+    "d6": "DECIMAL(9,0)",
+}
+
+DECIMAL_TINY = {
+    "c1": "DECIMAL(10,4)",
+    "c2": "DECIMAL(15,5)",
+    "c3": "DECIMAL(1,1)",
+}
+
+TABLE_SCHEMAS: dict[str, dict[str, str]] = {
+    "alltypes": ALLTYPES,
+    "alltypestiny": ALLTYPES,
+    "alltypessmall": ALLTYPES,
+    "alltypesagg": ALLTYPES,
+    "alltypesnopart": ALLTYPES,
+    "alltypeserror": ALLTYPES,
+    "alltypes_view": ALLTYPES,
+    "testtbl": TESTTBL,
+    "jointbl": JOINTBL,
+    "decimal_tbl": DECIMAL_TBL,
+    "decimal_tiny": DECIMAL_TINY,
+}
+
+
+def schema_for_statement(sql: str) -> dict[str, str]:
+    """Union of the canned schemas for every table named in the
+    statement text; columns whose type conflicts across mentioned
+    tables are DROPPED (the resolver must never guess — an ambiguous
+    column falls back to the untyped permissive path, exactly like a
+    column the schema does not know)."""
+    low = sql.lower()
+    merged: dict[str, str] = {}
+    conflicted: set[str] = set()
+    for tbl, cols in TABLE_SCHEMAS.items():
+        if tbl not in low:
+            continue
+        for col, ty in cols.items():
+            if col in merged and merged[col] != ty:
+                conflicted.add(col)
+            else:
+                merged[col] = ty
+    for col in conflicted:
+        merged.pop(col, None)
+    return merged

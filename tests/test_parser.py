@@ -805,11 +805,17 @@ def test_strict_batch_b_reference_texts():
         "predicate: (select max(a) from u) between (select min(a) from u) "
         "and 100" in str(ei.value)
     )
-    # a subquery anywhere in the predicate triggers it (contains() check)
-    with pytest.raises(ImpalaUnsupportedError) as ei:
-        tr("select * from t where x between (select min(a) from u) and 10",
-           strict=True)
-    assert "predicate: x between (select min(a) from u) and 10" in str(ei.value)
+    # BetweenPredicate.java:52-54 requires BOTH a subquery comparand AND a
+    # subquery bound; a single subquery anywhere is legal
+    # (AnalyzeSubqueriesTest.java:1265-1281 AnalyzesOk pins
+    # `int_col between (select min..) and (select max..)` and
+    # `(select avg..) between 1 and 100`)
+    tr("select * from t where x between (select min(a) from u) and 10",
+       strict=True)
+    tr("select * from t where x between (select min(a) from u) and "
+       "(select max(a) from u)", strict=True)
+    tr("select * from t where (select avg(a) from u) between 1 and 100",
+       strict=True)
     # legal BETWEEN forms untouched
     tr("select * from t where a between 1 and 10", strict=True)
     tr("select * from t where a between (1 + 2) and (3 + 4)", strict=True)
