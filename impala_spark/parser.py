@@ -1217,6 +1217,7 @@ def _check_strict_ungrouped_select(tokens: list[Token]) -> None:
                         )
         # block's GROUP BY region + whether any aggregate call appears
         group_exprs: set[str] | None = None
+        group_spans: list[tuple[int, int]] = []
         k = from_idx
         block_has_group = False
         while k < end:
@@ -1242,9 +1243,11 @@ def _check_strict_ungrouped_select(tokens: list[Token]) -> None:
                         g_end += 1
                     block_has_group = True
                     group_exprs = set()
+                    group_spans = []
                     for a, b in _split_top_level_commas(tokens, j + 1, g_end):
                         text = untokenize(tokens[a:b]).strip().strip("`").lower()
                         group_exprs.add(re.sub(r"\s+", "", text))
+                        group_spans.append((a, b))
                     k = g_end
                     continue
             k += 1
@@ -1303,14 +1306,110 @@ def _check_strict_ungrouped_select(tokens: list[Token]) -> None:
                             "clause."
                         )
                 k2 += 1
-        if not (block_has_group or has_agg):
+        # aggregate call anywhere in this block's HAVING clause (part of
+        # the reference's aggregation gate: SelectStmt.java:571-575)
+        having_has_agg = False
+        kh = from_idx
+        while kh < end:
+            th = tokens[kh]
+            if th.kind == "op" and th.text == "(":
+                kh = _matching_paren(tokens, kh) + 1
+                continue
+            if th.kind == "word" and th.upper == "HAVING":
+                h_end2 = kh + 1
+                d = 0
+                while h_end2 < end:
+                    t2 = tokens[h_end2]
+                    if t2.kind == "op" and t2.text == "(":
+                        d += 1
+                    elif t2.kind == "op" and t2.text == ")":
+                        d -= 1
+                        if d < 0:
+                            break
+                    elif d == 0 and t2.kind == "word" and t2.upper in _CLAUSE_BOUNDARY:
+                        break
+                    h_end2 += 1
+                for x in range(kh + 1, h_end2):
+                    if _agg_call_at(tokens, x, h_end2) != -1:
+                        having_has_agg = True
+                        break
+                kh = h_end2
+                continue
+            kh += 1
+        if not (block_has_group or has_agg or having_has_agg):
             continue
         # aggregation without a FROM clause (SelectStmt.java:568)
         if has_agg and from_idx >= end:
             raise ImpalaUnsupportedError(
                 "aggregation without a FROM clause is not allowed"
             )
+        # SELECT DISTINCT cannot be combined with the aggregation path
+        # (SelectStmt.java:571-578)
+        if is_distinct:
+            raise ImpalaUnsupportedError(
+                "cannot combine SELECT DISTINCT with aggregate functions "
+                "or GROUP BY"
+            )
         items = _split_top_level_commas(tokens, list_start, from_idx)
+        # '*' select item with grouping or aggregation
+        # (SelectStmt.java:583-591); the HAVING-only path doesn't trip it
+        if block_has_group or has_agg:
+            for a, b in items:
+                sig_s = [
+                    x for x in range(a, b)
+                    if tokens[x].kind not in ("ws", "line_comment", "block_comment")
+                ]
+                if (
+                    sig_s
+                    and tokens[sig_s[-1]].kind == "op"
+                    and tokens[sig_s[-1]].text == "*"
+                    and (
+                        len(sig_s) == 1
+                        or (tokens[sig_s[-2]].kind == "op"
+                            and tokens[sig_s[-2]].text == ".")
+                    )
+                ):
+                    raise ImpalaUnsupportedError(
+                        "cannot combine '*' in select list with grouping or "
+                        "aggregation"
+                    )
+        # GROUP BY ordinals referencing aggregate/analytic select items
+        # (SelectStmt.java:610-625 after substituteOrdinalsAliases; the
+        # agg error prints the ORIGINAL expr, the analytic error the
+        # substituted one)
+        for ga, gb in group_spans:
+            sig_g = [
+                x for x in range(ga, gb)
+                if tokens[x].kind not in ("ws", "line_comment", "block_comment")
+            ]
+            if not (
+                len(sig_g) == 1
+                and tokens[sig_g[0]].kind == "number"
+                and tokens[sig_g[0]].text.isdigit()
+            ):
+                continue
+            nth = int(tokens[sig_g[0]].text)
+            if not (1 <= nth <= len(items)):
+                continue
+            ia, ib = items[nth - 1]
+            is_analytic_item = False
+            for x in range(ia, ib):
+                if tokens[x].kind == "word" and tokens[x].upper == "OVER":
+                    nx = _significant(tokens, x)
+                    if nx != -1 and nx < ib and tokens[nx].text == "(":
+                        is_analytic_item = True
+                        break
+            if is_analytic_item:
+                raise ImpalaUnsupportedError(
+                    "GROUP BY expression must not contain analytic "
+                    "expressions: " + _frag_sql(tokens, ia, ib)
+                )
+            for x in range(ia, ib):
+                if _agg_call_at(tokens, x, ib) != -1:
+                    raise ImpalaUnsupportedError(
+                        "GROUP BY expression must not contain aggregate "
+                        "functions: " + untokenize(tokens[ga:gb]).strip()
+                    )
         check_select_list = block_has_group or len(items) > 1
         ordinal_ok = {
             str(i + 1)
@@ -1683,7 +1782,8 @@ def _check_strict_group_by_exprs(tokens: list[Token]) -> None:
                         ):
                             continue  # multiplication operand
                     raise ImpalaUnsupportedError(
-                        "cannot combine '*' in select list with GROUP BY: *"
+                        "cannot combine '*' in select list with grouping or "
+                        "aggregation"
                     )
         # aggregates / analytics inside the grouping expressions
         k = j + 1
@@ -1709,7 +1809,7 @@ def _check_strict_group_by_exprs(tokens: list[Token]) -> None:
                         ) else after
                         raise ImpalaUnsupportedError(
                             "GROUP BY expression must not contain analytic expressions: "
-                            + untokenize(tokens[k:stop + 1]).strip()
+                            + _frag_sql(tokens, k, stop + 1)
                         )
             if tk.kind == "word" and tk.upper.lower() in _AGG_FUNC_NAMES:
                 j2 = _significant(tokens, k)
@@ -1726,13 +1826,76 @@ def _check_strict_group_by_exprs(tokens: list[Token]) -> None:
                         ) else after
                         raise ImpalaUnsupportedError(
                             "GROUP BY expression must not contain analytic expressions: "
-                            + untokenize(tokens[k:stop + 1]).strip()
+                            + _frag_sql(tokens, k, stop + 1)
                         )
                     raise ImpalaUnsupportedError(
                         "GROUP BY expression must not contain aggregate functions: "
                         + untokenize(tokens[k:close + 1]).strip()
                     )
             k += 1
+
+
+def _check_strict_distinct_agg_params(tokens: list[Token]) -> None:
+    """AggregateInfo.java:235-251: every DISTINCT aggregate in a select
+    block must use the same parameter list as the first one
+    (group_concat compares only its first child)."""
+    for sel_idx, from_idx, end in _select_blocks(tokens):
+        first_params: list[str] | None = None
+        first_span: tuple[int, int] | None = None
+        k = sel_idx + 1
+        while k < end:
+            t = tokens[k]
+            if t.kind == "op" and t.text == "(":
+                nxt = _significant(tokens, k)
+                if (
+                    nxt != -1 and tokens[nxt].kind == "word"
+                    and tokens[nxt].upper == "SELECT"
+                ):
+                    k = _matching_paren(tokens, k) + 1
+                    continue
+            close = _agg_call_at(tokens, k, end)
+            if close == -1:
+                k += 1
+                continue
+            open_p = _significant(tokens, k)
+            first_arg = _significant(tokens, open_p)
+            if not (
+                first_arg != -1 and first_arg < close
+                and tokens[first_arg].kind == "word"
+                and tokens[first_arg].upper == "DISTINCT"
+            ):
+                k = close + 1
+                continue
+            fn = tokens[k].upper.lower()
+            if fn in ("min", "max"):
+                # ignoresDistinct builtins drop their DISTINCT during
+                # analysis (FunctionCallExpr.java:482, BuiltinsDb min/max
+                # registrations) and never join distinctAggExprs
+                k = close + 1
+                continue
+            arg_lo = _significant(tokens, first_arg)
+            if arg_lo == -1 or arg_lo >= close:
+                k = close + 1
+                continue
+            spans = _split_top_level_commas(tokens, arg_lo, close)
+            if fn == "group_concat":
+                spans = spans[:1]
+            params = [
+                re.sub(r"\s+", "", untokenize(tokens[a:b]).strip().lower())
+                for a, b in spans
+            ]
+            if first_params is None:
+                first_params = params
+                first_span = (k, close + 1)
+            elif params != first_params:
+                raise ImpalaUnsupportedError(
+                    "all DISTINCT aggregate functions need to have the same "
+                    "set of parameters as "
+                    + _frag_sql(tokens, first_span[0], first_span[1])
+                    + "; deviating function: "
+                    + _frag_sql(tokens, k, close + 1)
+                )
+            k = close + 1
 
 
 def _check_strict_nested_aggs(tokens: list[Token]) -> None:
@@ -1813,11 +1976,117 @@ def _check_strict_interval_units(tokens: list[Token]) -> None:
             continue
         unit = tokens[u].text
         if unit.upper() not in _TIME_UNIT_NAMES:
-            expr = untokenize(tokens[idx:u + 1]).strip()
+            # the message prints the WHOLE arithmetic expr's toSql
+            # (TimestampArithmeticExpr.java:138-140 + toSql :175-189):
+            # `ts + INTERVAL 10 error`, `INTERVAL 10 error + ts`, or
+            # `DATE_ADD(ts, INTERVAL 10 error)` with the func uppercased
+            lo, hi = idx, u + 1
+            rendered: str | None = None
+            prev = _significant(tokens, idx, -1)
+            nxt = _significant(tokens, u)
+            if prev != -1 and tokens[prev].kind == "op" and tokens[prev].text in ("+", "-"):
+                start = _primary_span_back(tokens, _significant(tokens, prev, -1))
+                if start != -1:
+                    lo = start
+            elif prev != -1 and tokens[prev].kind == "op" and tokens[prev].text == ",":
+                # DATE_ADD(ts, INTERVAL n unit) form: find the enclosing call
+                d = 0
+                b = idx - 1
+                open_p = -1
+                while b >= 0:
+                    tb = tokens[b]
+                    if tb.kind == "op" and tb.text == ")":
+                        d += 1
+                    elif tb.kind == "op" and tb.text == "(":
+                        if d == 0:
+                            open_p = b
+                            break
+                        d -= 1
+                    b -= 1
+                if open_p != -1:
+                    name_i = _significant(tokens, open_p, -1)
+                    if name_i != -1 and tokens[name_i].kind == "word" and tokens[
+                        name_i
+                    ].upper in ("DATE_ADD", "DATE_SUB", "ADDDATE", "SUBDATE"):
+                        close_p = _matching_paren(tokens, open_p)
+                        frag = _frag_sql(tokens, name_i, close_p + 1)
+                        fn_len = len(tokens[name_i].text)
+                        rendered = frag[:fn_len].upper() + frag[fn_len:]
+            if rendered is None and nxt != -1 and tokens[nxt].kind == "op" and tokens[
+                nxt
+            ].text in ("+", "-"):
+                opnd = _significant(tokens, nxt)
+                if opnd != -1:
+                    stop = _primary_span_fwd(tokens, opnd)
+                    if stop != -1:
+                        hi = stop + 1
+            if rendered is None:
+                rendered = _frag_sql(tokens, lo, hi)
             raise ImpalaUnsupportedError(
                 f"Invalid time unit '{unit}' in timestamp arithmetic "
-                f"expression '{expr}'."
+                f"expression '{rendered}'."
             )
+
+
+def _primary_span_back(tokens: list[Token], i: int) -> int:
+    """Start index of the primary expression ENDING at token i:
+    a literal, a (dotted) column ref, or a call/paren group."""
+    if i == -1:
+        return -1
+    t = tokens[i]
+    if t.kind in ("number", "string"):
+        return i
+    if t.kind == "op" and t.text == ")":
+        d = 0
+        b = i
+        while b >= 0:
+            tb = tokens[b]
+            if tb.kind == "op" and tb.text == ")":
+                d += 1
+            elif tb.kind == "op" and tb.text == "(":
+                d -= 1
+                if d == 0:
+                    name_i = _significant(tokens, b, -1)
+                    if name_i != -1 and tokens[name_i].kind in ("word", "bident"):
+                        return name_i
+                    return b
+            b -= 1
+        return -1
+    if t.kind in ("word", "bident"):
+        start = i
+        p = _significant(tokens, i, -1)
+        while p != -1 and tokens[p].kind == "op" and tokens[p].text == ".":
+            q = _significant(tokens, p, -1)
+            if q == -1 or tokens[q].kind not in ("word", "bident"):
+                break
+            start = q
+            p = _significant(tokens, q, -1)
+        return start
+    return -1
+
+
+def _primary_span_fwd(tokens: list[Token], i: int) -> int:
+    """End index of the primary expression STARTING at token i."""
+    if i == -1 or i >= len(tokens):
+        return -1
+    t = tokens[i]
+    if t.kind in ("number", "string"):
+        return i
+    if t.kind == "op" and t.text == "(":
+        return _matching_paren(tokens, i)
+    if t.kind in ("word", "bident"):
+        end = i
+        k = _significant(tokens, i)
+        while k != -1 and tokens[k].kind == "op" and tokens[k].text == ".":
+            q = _significant(tokens, k)
+            if q == -1 or tokens[q].kind not in ("word", "bident"):
+                break
+            end = q
+            k = _significant(tokens, q)
+        if k != -1 and tokens[k].kind == "op" and tokens[k].text == "(":
+            return _matching_paren(tokens, k)
+        return end
+    return -1
 
 
 #: Words that terminate a table ref's alias position inside a FROM clause.
@@ -2187,6 +2456,250 @@ def _check_strict_analytic_exprs(tokens: list[Token]) -> None:
                 k = body_end
                 continue
             k += 1
+        # windowing clause (ROWS/RANGE frame) boundary rules
+        _check_window_frame(tokens, spec_open, spec_close, full)
+
+
+def _frag_sql(tokens: list[Token], a: int, b: int) -> str:
+    """Render tokens[a:b] in the reference's toSql style (uppercase
+    keywords, normalized spacing); falls back to the raw text."""
+    raw = untokenize(tokens[a:b]).strip()
+    try:
+        from impala_spark.tosql import to_impala_sql
+
+        return to_impala_sql(raw)
+    except Exception:
+        return raw
+
+
+def _parse_frame_boundary(
+    tokens: list[Token], k: int, stop: int
+) -> tuple[str, int, int, int] | None:
+    """Parse one window-frame boundary starting at significant index k.
+    Returns (kind, expr_lo, expr_hi, next_idx) with kind in
+    UP/UF/CR/P/F; expr span only set for P/F offsets."""
+    t = tokens[k]
+    if t.kind == "word" and t.upper == "UNBOUNDED":
+        j = _significant(tokens, k)
+        if j == -1 or j >= stop or tokens[j].kind != "word":
+            return None
+        if tokens[j].upper == "PRECEDING":
+            return ("UP", -1, -1, j)
+        if tokens[j].upper == "FOLLOWING":
+            return ("UF", -1, -1, j)
+        return None
+    if t.kind == "word" and t.upper == "CURRENT":
+        j = _significant(tokens, k)
+        if j == -1 or j >= stop or tokens[j].upper != "ROW":
+            return None
+        return ("CR", -1, -1, j)
+    # <expr> PRECEDING|FOLLOWING: scan to the keyword at depth 0
+    d = 0
+    j = k
+    while j < stop:
+        tj = tokens[j]
+        if tj.kind == "op" and tj.text == "(":
+            d += 1
+        elif tj.kind == "op" and tj.text == ")":
+            d -= 1
+        elif d == 0 and tj.kind == "word" and tj.upper in ("PRECEDING", "FOLLOWING"):
+            kind = "P" if tj.upper == "PRECEDING" else "F"
+            return (kind, k, j, j)
+        j += 1
+    return None
+
+
+def _frame_offset_value(tokens: list[Token], a: int, b: int):
+    """Numeric value of a literal offset span (handles unary minus), or
+    None when the span is not a plain numeric literal."""
+    sig = [
+        x for x in range(a, b)
+        if tokens[x].kind not in ("ws", "line_comment", "block_comment")
+    ]
+    if len(sig) == 1 and tokens[sig[0]].kind == "number":
+        try:
+            return float(tokens[sig[0]].text)
+        except ValueError:
+            return None
+    if (
+        len(sig) == 2
+        and tokens[sig[0]].kind == "op"
+        and tokens[sig[0]].text in ("-", "+")
+        and tokens[sig[1]].kind == "number"
+    ):
+        try:
+            v = float(tokens[sig[1]].text)
+        except ValueError:
+            return None
+        return -v if tokens[sig[0]].text == "-" else v
+    return None
+
+
+def _frame_offset_invalid(tokens: list[Token], a: int, b: int, is_rows: bool) -> bool:
+    """True when a PRECEDING/FOLLOWING offset expr is detectably not a
+    constant positive integer (ROWS) / number (RANGE). Conservative:
+    unknown composite expressions pass (the reference evaluates them)."""
+    val = _frame_offset_value(tokens, a, b)
+    if val is not None:
+        if val <= 0:
+            return True
+        return is_rows and not float(val).is_integer()
+    sig = [
+        x for x in range(a, b)
+        if tokens[x].kind not in ("ws", "line_comment", "block_comment")
+    ]
+    if not sig:
+        return False
+    t0 = tokens[sig[0]]
+    if len(sig) == 1:
+        if t0.kind == "string":
+            return True  # string literal: wrong type
+        if t0.kind in ("word", "bident"):
+            return True  # bare column ref / TRUE / NULL: not a valid offset
+        return False
+    # dotted column ref (alias.col): non-constant
+    if all(
+        tokens[x].kind in ("word", "bident")
+        or (tokens[x].kind == "op" and tokens[x].text == ".")
+        for x in sig
+    ):
+        return True
+    # aggregate call offset (count(*) preceding): non-constant
+    if (
+        t0.kind == "word"
+        and t0.upper.lower() in _AGG_FUNC_NAMES
+        and len(sig) >= 2
+        and tokens[sig[1]].kind == "op"
+        and tokens[sig[1]].text == "("
+    ):
+        return True
+    return False
+
+
+def _check_window_frame(
+    tokens: list[Token], spec_open: int, spec_close: int, full: str
+) -> None:
+    """AnalyticWindow.analyze boundary rules (AnalyticWindow.java:290-415)
+    + the windowing-requires-ORDER-BY gate (AnalyticExpr.java:517-520),
+    replayed in the reference's exact order with its exact texts."""
+    fstart = -1
+    is_rows = True
+    d = 0
+    has_order = False
+    for k in range(spec_open + 1, spec_close):
+        t = tokens[k]
+        if t.kind == "op" and t.text == "(":
+            d += 1
+        elif t.kind == "op" and t.text == ")":
+            d -= 1
+        elif d == 0 and t.kind == "word":
+            if t.upper == "ORDER":
+                has_order = True
+            elif t.upper in ("ROWS", "RANGE"):
+                fstart = k
+                is_rows = t.upper == "ROWS"
+                break
+    if fstart == -1:
+        return
+    if not has_order:
+        # AnalyticExpr.java:517-520 — before the window's own analysis;
+        # the message appends the analytic expr's toSql
+        raise ImpalaUnsupportedError(
+            "Windowing clause requires ORDER BY clause: " + full
+        )
+    k = _significant(tokens, fstart)
+    if k == -1 or k >= spec_close:
+        return
+    between = tokens[k].kind == "word" and tokens[k].upper == "BETWEEN"
+    if between:
+        k = _significant(tokens, k)
+        if k == -1 or k >= spec_close:
+            return
+    b1 = _parse_frame_boundary(tokens, k, spec_close)
+    if b1 is None:
+        return
+    b2 = None
+    if between:
+        and_idx = _significant(tokens, b1[3])
+        if (
+            and_idx == -1 or and_idx >= spec_close
+            or tokens[and_idx].kind != "word" or tokens[and_idx].upper != "AND"
+        ):
+            return
+        k2 = _significant(tokens, and_idx)
+        if k2 == -1 or k2 >= spec_close:
+            return
+        b2 = _parse_frame_boundary(tokens, k2, spec_close)
+        if b2 is None:
+            return
+        frame_end = b2[3]
+    else:
+        frame_end = b1[3]
+    # AnalyticWindow.java:349-353
+    if b1[0] == "UF":
+        raise ImpalaUnsupportedError(
+            "UNBOUNDED FOLLOWING is only allowed for upper bound of BETWEEN"
+        )
+    if b2 is not None and b2[0] == "UP":
+        raise ImpalaUnsupportedError(
+            "UNBOUNDED PRECEDING is only allowed for lower bound of BETWEEN"
+        )
+    # RANGE restriction (AnalyticWindow.java:364-373)
+    if not is_rows:
+        if (
+            b1[0] in ("P", "F")
+            or (b2 is not None and b2[0] in ("P", "F"))
+            or (b1[0] == "CR" and (b2 is None or b2[0] == "CR"))
+        ):
+            raise ImpalaUnsupportedError(
+                "RANGE is only supported with both the lower and upper "
+                "bounds UNBOUNDED or one UNBOUNDED and the other CURRENT ROW."
+            )
+    # FOLLOWING without BETWEEN (AnalyticWindow.java:376-378)
+    if b2 is None and b1[0] == "F":
+        raise ImpalaUnsupportedError("FOLLOWING requires a BETWEEN clause")
+    kind_word = "integer" if is_rows else "number"
+    for bnd in (b1,) if b2 is None else (b1, b2):
+        if bnd[0] in ("P", "F") and _frame_offset_invalid(
+            tokens, bnd[1], bnd[2], is_rows
+        ):
+            suffix = "PRECEDING" if bnd[0] == "P" else "FOLLOWING"
+            raise ImpalaUnsupportedError(
+                f"For {'ROWS' if is_rows else 'RANGE'} window, the value of "
+                "a PRECEDING/FOLLOWING offset must be a constant positive "
+                f"{kind_word}: "
+                + _frag_sql(tokens, bnd[1], bnd[2]) + " " + suffix
+            )
+    if b2 is None:
+        return
+    # lower/upper consistency + offset ordering (AnalyticWindow.java:390-415)
+    frame_sql = _frag_sql(tokens, fstart, frame_end + 1)
+    if b1[0] == "F":
+        if b2[0] not in ("F", "UF"):
+            raise ImpalaUnsupportedError(
+                "A lower window bound of FOLLOWING requires that the upper "
+                "bound also be FOLLOWING"
+            )
+        if b2[0] == "F":
+            v1 = _frame_offset_value(tokens, b1[1], b1[2])
+            v2 = _frame_offset_value(tokens, b2[1], b2[2])
+            if v1 is not None and v2 is not None and v1 > v2:
+                raise ImpalaUnsupportedError(
+                    "Offset boundaries are in the wrong order: " + frame_sql
+                )
+    if b2[0] == "P":
+        if b1[0] not in ("P", "UP"):
+            raise ImpalaUnsupportedError(
+                "An upper window bound of PRECEDING requires that the lower "
+                "bound also be PRECEDING"
+            )
+        if b1[0] == "P":
+            v1 = _frame_offset_value(tokens, b1[1], b1[2])
+            v2 = _frame_offset_value(tokens, b2[1], b2[2])
+            if v1 is not None and v2 is not None and v2 > v1:
+                raise ImpalaUnsupportedError(
+                    "Offset boundaries are in the wrong order: " + frame_sql
+                )
 
 
 def _countable_select_items(tokens: list[Token], list_start: int, from_idx: int) -> int:
@@ -5155,6 +5668,7 @@ def _translate_checked(tokens: list[Token], sql: str, strict: bool) -> str:
         _check_strict_where_exprs(tokens)
         _check_strict_group_by_exprs(tokens)
         _check_strict_nested_aggs(tokens)
+        _check_strict_distinct_agg_params(tokens)
         # ordinal substitution precedes the grouping-output checks in the
         # reference (SelectStmt.analyze), so its errors win here too
         _check_strict_ordinals(tokens)

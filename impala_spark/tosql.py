@@ -147,12 +147,26 @@ def _render(items: list[tuple[str, bool]]) -> str:
     before commas, and a space after every comma."""
     parts: list[str] = []
     prev = ""
+    prev2 = ""
     for text, glue_call in items:
         if not parts:
             parts.append(text)
             prev = text
             continue
         if text in _NO_SPACE_BEFORE or prev in _NO_SPACE_AFTER:
+            parts.append(text)
+        elif (
+            prev == "-"
+            and text[:1].isdigit()
+            and (
+                not prev2
+                or prev2 in ("(", ",", "=", "<", ">", "<=", ">=", "!=",
+                             "<>", "<=>", "+", "-", "*", "/", "%")
+                or prev2 in _UPPER_KEYWORDS
+            )
+        ):
+            # unary minus absorbed into the numeric literal
+            # (NumericLiteral toSql prints -2, not - 2)
             parts.append(text)
         elif text == "(" and prev == "OVER":
             # AnalyticExpr.toSql always prints "OVER (" with a space
@@ -163,6 +177,7 @@ def _render(items: list[tuple[str, bool]]) -> str:
             parts.append(text)
         else:
             parts.append(" " + text)
+        prev2 = prev
         prev = text
     return "".join(parts)
 

@@ -431,7 +431,8 @@ def test_strict_negative_limit_offset_rejected():
 
 def test_strict_group_by_star_rejected():
     with _pytest.raises(
-        _Unsupported, match=r"cannot combine '\*' in select list with GROUP BY: \*"
+        _Unsupported,
+        match=r"cannot combine '\*' in select list with grouping or aggregation",
     ):
         translate("SELECT * FROM t GROUP BY a", strict=True)
     with _pytest.raises(_Unsupported, match=r"cannot combine '\*'"):
@@ -1013,6 +1014,15 @@ def test_strict_layer_accepts_all_registered_query_texts():
         "subquery_correlated_scalar",
         "tpcds_q1_shape",
         "tpcds_q6_shape",
+        # RANGE with value offsets: Spark supports it, the reference
+        # rejects it outright (AnalyticWindow.java:364-373 "RANGE is
+        # only supported with both the lower and upper bounds UNBOUNDED
+        # or one UNBOUNDED and the other CURRENT ROW.")
+        "analytic_range_offset_frame",
+        # multiple DISTINCT aggregates over different parameter lists:
+        # Spark plans them with Expand; the reference's single
+        # distinct-agg phase rejects them (AggregateInfo.java:235-251)
+        "agg_count_distinct",
     }
     unexpected = {}
     for name, fn in SPARK_QUERIES.items():
@@ -1293,3 +1303,198 @@ def test_strict_values_stmt_analysis_errors_pin_reference_texts():
         "select now()",
     ]:
         tr(sql, strict=True)
+
+
+def test_strict_window_frame_boundary_errors():
+    """AnalyticWindow.analyze boundary rules with the reference's exact
+    texts (AnalyticWindow.java:290-415, AnalyticExpr.java:517-520;
+    pinned at AnalyzeExprsTest.java:966-1044)."""
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+
+    cases = [
+        # AnalyzeExprsTest.java:967-969
+        ("select sum(int_col) over (partition by id "
+         "rows between unbounded preceding and current row) from t",
+         "Windowing clause requires ORDER BY clause"),
+        # :987-998
+        ("select sum(tinyint_col) over (partition by id order by tinyint_col "
+         "rows between unbounded following and current row) from t",
+         "UNBOUNDED FOLLOWING is only allowed for upper bound of BETWEEN"),
+        ("select sum(tinyint_col) over (partition by id order by tinyint_col "
+         "rows unbounded following) from t",
+         "UNBOUNDED FOLLOWING is only allowed for upper bound of BETWEEN"),
+        ("select sum(tinyint_col) over (partition by id order by tinyint_col "
+         "rows between current row and unbounded preceding) from t",
+         "UNBOUNDED PRECEDING is only allowed for lower bound of BETWEEN"),
+        ("select sum(tinyint_col) over (partition by id order by tinyint_col "
+         "rows 2 following) from t",
+         "FOLLOWING requires a BETWEEN clause"),
+        # :1003-1013
+        ("select sum(tinyint_col) over (partition by id order by tinyint_col "
+         "rows between 2 following and current row) from t",
+         "A lower window bound of FOLLOWING requires that the upper bound "
+         "also be FOLLOWING"),
+        ("select sum(tinyint_col) over (partition by id order by tinyint_col "
+         "rows between current row and 2 preceding) from t",
+         "An upper window bound of PRECEDING requires that the lower bound "
+         "also be PRECEDING"),
+        # offset boundaries :1016-1044
+        ("select min(int_col) over (partition by id order by tinyint_col "
+         "rows between tinyint_col preceding and current row) from t",
+         "For ROWS window, the value of a PRECEDING/FOLLOWING offset must "
+         "be a constant positive integer: tinyint_col PRECEDING"),
+        ("select min(int_col) over (partition by id order by tinyint_col "
+         "rows between current row and '2' following) from t",
+         "For ROWS window, the value of a PRECEDING/FOLLOWING offset must "
+         "be a constant positive integer: '2' FOLLOWING"),
+        ("select min(int_col) over (partition by id order by tinyint_col "
+         "rows between -2 preceding and current row) from t",
+         "For ROWS window, the value of a PRECEDING/FOLLOWING offset must "
+         "be a constant positive integer: -2 PRECEDING"),
+        ("select min(int_col) over (partition by id order by tinyint_col "
+         "rows between 2 preceding and 3 preceding) from t",
+         "Offset boundaries are in the wrong order: ROWS BETWEEN 2 "
+         "PRECEDING AND 3 PRECEDING"),
+        ("select min(int_col) over (partition by id order by tinyint_col "
+         "rows between count(*) preceding and current row) from t",
+         "For ROWS window, the value of a PRECEDING/FOLLOWING offset must "
+         "be a constant positive integer: count(*) PRECEDING"),
+        # RANGE restriction (AnalyticWindow.java:364-373)
+        ("select min(int_col) over (partition by id order by tinyint_col "
+         "range between 2 preceding and current row) from t",
+         "RANGE is only supported with both the lower and upper bounds "
+         "UNBOUNDED or one UNBOUNDED and the other CURRENT ROW."),
+        ("select min(int_col) over (partition by id order by tinyint_col "
+         "range current row) from t",
+         "RANGE is only supported with both the lower and upper bounds "
+         "UNBOUNDED or one UNBOUNDED and the other CURRENT ROW."),
+    ]
+    for sql, want in cases:
+        try:
+            tr(sql, strict=True)
+            raise AssertionError(f"accepted: {sql}")
+        except ImpalaUnsupportedError as e:
+            assert want in str(e), f"{sql}\n  want: {want!r}\n  got:  {e!r}"
+
+    # legal frames stay accepted
+    for sql in [
+        "select sum(x) over (order by y rows between unbounded preceding "
+        "and current row) from t",
+        "select sum(x) over (order by y rows between current row and "
+        "unbounded following) from t",
+        "select sum(x) over (order by y rows unbounded preceding) from t",
+        "select sum(x) over (order by y rows between 2 preceding and "
+        "2 following) from t",
+        "select sum(x) over (order by y rows between 2 preceding and "
+        "1 preceding) from t",
+        "select sum(x) over (order by y rows between 1 following and "
+        "3 following) from t",
+        "select sum(x) over (order by y rows current row) from t",
+        "select sum(x) over (order by y range between unbounded preceding "
+        "and current row) from t",
+        "select sum(x) over (order by y range unbounded preceding) from t",
+        "select sum(x) over (order by y) from t",
+        "select sum(x) over (partition by z) from t",
+    ]:
+        tr(sql, strict=True)
+
+
+def test_strict_select_distinct_and_star_aggregation_errors():
+    """SelectStmt.java:571-591 + AggregateInfo.java:235-251 exact texts
+    (pinned in AnalyzeStmtsTest/AnalyzeExprsTest AnalysisError pins)."""
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+
+    cases = [
+        ("select distinct count(*) from t",
+         "cannot combine SELECT DISTINCT with aggregate functions or GROUP BY"),
+        ("select distinct id, zip from t group by 1, 2",
+         "cannot combine SELECT DISTINCT with aggregate functions or GROUP BY"),
+        ("select distinct id from t having max(id) > 0",
+         "cannot combine SELECT DISTINCT with aggregate functions or GROUP BY"),
+        ("select * from (select distinct count(*) from t) x",
+         "cannot combine SELECT DISTINCT with aggregate functions or GROUP BY"),
+        ("select * from t group by 1",
+         "cannot combine '*' in select list with grouping or aggregation"),
+        ("select db.tbl.*, max(string_col) from db.tbl",
+         "cannot combine '*' in select list with grouping or aggregation"),
+        # GROUP BY ordinal resolving to an aggregate / analytic item
+        ("select zip, count(*) from t group by 2",
+         "GROUP BY expression must not contain aggregate functions"),
+        ("select id, rank() over(order by int_col), count(*) from t "
+         "group by 1, 2",
+         "GROUP BY expression must not contain analytic expressions: "
+         "rank() OVER (ORDER BY int_col ASC)"),
+        ("select id, count(*) from t group by 1, rank() over(order by int_col)",
+         "GROUP BY expression must not contain analytic expressions: "
+         "rank() OVER (ORDER BY int_col ASC)"),
+        # AggregateInfo.java:245-250
+        ("select count(distinct int_col, bigint_col), "
+         "count(distinct string_col, float_col) from t",
+         "all DISTINCT aggregate functions need to have the same set of "
+         "parameters as count(DISTINCT int_col, bigint_col); deviating "
+         "function: count(DISTINCT string_col, float_col)"),
+        ("select avg(distinct int_col), sum(distinct float_col) from t",
+         "all DISTINCT aggregate functions need to have the same set of "
+         "parameters as avg(DISTINCT int_col); deviating function: "
+         "sum(DISTINCT float_col)"),
+    ]
+    for sql, want in cases:
+        try:
+            tr(sql, strict=True)
+            raise AssertionError(f"accepted: {sql}")
+        except ImpalaUnsupportedError as e:
+            assert want in str(e), f"{sql}\n  want: {want!r}\n  got:  {e!r}"
+
+    # legal combinations stay accepted
+    for sql in [
+        "select distinct id, zip from t",
+        "select count(distinct id), sum(distinct id) from t",
+        # min/max ignore DISTINCT (FunctionCallExpr.java:482)
+        "select tinyint_col, count(distinct int_col), "
+        "min(distinct smallint_col), max(distinct string_col) "
+        "from t group by 1",
+        "select group_concat(distinct string_col), "
+        "count(distinct string_col) from t",
+        "select a, count(*) from t group by a",
+        "select a, count(*) from t group by 1",
+    ]:
+        tr(sql, strict=True)
+
+
+def test_strict_interval_unit_error_spans():
+    """TimestampArithmeticExpr.java:136-140: the message renders the
+    whole arithmetic expression's toSql, not just the interval clause."""
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+
+    cases = [
+        ("select timestamp_col + interval 10 error from t",
+         "Invalid time unit 'error' in timestamp arithmetic expression "
+         "'timestamp_col + INTERVAL 10 error'."),
+        ("select interval 10 error + timestamp_col from t",
+         "Invalid time unit 'error' in timestamp arithmetic expression "
+         "'INTERVAL 10 error + timestamp_col'."),
+        ("select date_add(timestamp_col, interval 10 error) from t",
+         "Invalid time unit 'error' in timestamp arithmetic expression "
+         "'DATE_ADD(timestamp_col, INTERVAL 10 error)'."),
+        ("select date_sub(timestamp_col, interval 10 error) from t",
+         "Invalid time unit 'error' in timestamp arithmetic expression "
+         "'DATE_SUB(timestamp_col, INTERVAL 10 error)'."),
+    ]
+    for sql, want in cases:
+        try:
+            tr(sql, strict=True)
+            raise AssertionError(f"accepted: {sql}")
+        except ImpalaUnsupportedError as e:
+            assert want in str(e), f"{sql}\n  want: {want!r}\n  got:  {e!r}"
+
+    tr("select timestamp_col + interval 10 days from t", strict=True)
+    tr("select date_add(timestamp_col, interval 10 years) from t", strict=True)

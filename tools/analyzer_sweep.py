@@ -93,8 +93,93 @@ def _java_string_args(body: str) -> list[str]:
     return out
 
 
+def _strip_java_comments(src: str) -> str:
+    """Remove // and /* */ comments (string-literal aware) so
+    commented-out AnalysisError/AnalyzesOk pins are not extracted."""
+    out: list[str] = []
+    i = 0
+    n = len(src)
+    in_str = False
+    while i < n:
+        c = src[i]
+        if in_str:
+            out.append(c)
+            if c == "\\" and i + 1 < n:
+                out.append(src[i + 1])
+                i += 2
+                continue
+            if c == '"':
+                in_str = False
+            i += 1
+            continue
+        if c == '"':
+            in_str = True
+            out.append(c)
+            i += 1
+        elif c == "/" and i + 1 < n and src[i + 1] == "/":
+            while i < n and src[i] != "\n":
+                i += 1
+        elif c == "/" and i + 1 < n and src[i + 1] == "*":
+            i += 2
+            while i + 1 < n and not (src[i] == "*" and src[i + 1] == "/"):
+                i += 1
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _java_raw_args(body: str) -> list[str]:
+    """Split a Java argument list into top-level RAW argument texts
+    (string-literal aware), without concatenating literals."""
+    args: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    in_str = False
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if in_str:
+            cur.append(c)
+            if c == "\\":
+                cur.append(body[i + 1])
+                i += 2
+                continue
+            if c == '"':
+                in_str = False
+            i += 1
+            continue
+        if c == '"':
+            in_str = True
+            cur.append(c)
+        elif c in "([":
+            depth += 1
+            cur.append(c)
+        elif c in ")]":
+            depth -= 1
+            cur.append(c)
+        elif c == "," and depth == 0:
+            args.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    if cur:
+        args.append("".join(cur))
+    return args
+
+
+def _has_variable_concat(raw_arg: str) -> bool:
+    """True when a raw Java arg mixes string literals with identifiers
+    (variable concatenation) — the extracted text would be truncated."""
+    stripped = re.sub(r'"(?:[^"\\]|\\.)*"', '""', raw_arg)
+    return bool(re.search(r'[A-Za-z_]\w*(?:\.\w+)*\s*(?:\+|\()', stripped)
+                or re.search(r'\+\s*[A-Za-z_]', stripped))
+
+
 def extract_pairs(path: str) -> list[tuple[str, str]]:
-    src = open(path).read()
+    src = _strip_java_comments(open(path).read())
     pairs: list[tuple[str, str]] = []
     for m in re.finditer(r"AnalysisError\(", src):
         i = m.end()
@@ -116,18 +201,26 @@ def extract_pairs(path: str) -> list[tuple[str, str]]:
             elif c == ")":
                 depth -= 1
             j += 1
-        args = _java_string_args(src[i:j - 1])
+        body = src[i:j - 1]
+        args = _java_string_args(body)
         # forms: (sql), (sql, expected), (sql, analyzer, expected)
         strings = [a for a in args if a]
-        if len(strings) >= 2:
-            pairs.append((strings[0], strings[-1]))
+        if len(strings) < 2:
+            continue
+        # skip statements assembled from Java VARIABLES (the extractor
+        # keeps only the string literals -> a truncated, unmatchable
+        # statement like `select cast(NULL as ) = ...`)
+        raw = _java_raw_args(body)
+        if raw and _has_variable_concat(raw[0]):
+            continue
+        pairs.append((strings[0], strings[-1]))
     return pairs
 
 
 def extract_positives(path: str) -> list[str]:
     """AnalyzesOk("sql" [, analyzer]) statements — the false-positive
     guard corpus."""
-    src = open(path).read()
+    src = _strip_java_comments(open(path).read())
     out: list[str] = []
     for m in re.finditer(r"AnalyzesOk\(", src):
         i = m.end()
@@ -157,10 +250,8 @@ def extract_positives(path: str) -> list[str]:
         # skip statements assembled by concatenating a Java VARIABLE
         # (the extractor keeps only string literals, yielding a
         # truncated statement like `... where ` — not a real positive)
-        first_arg = body.split(",")[0]
-        if re.search(r'"\s*\+\s*[A-Za-z_]', first_arg) or re.search(
-            r'[A-Za-z_]\w*\s*\+\s*"', first_arg
-        ):
+        raw = _java_raw_args(body)
+        if raw and _has_variable_concat(raw[0]):
             continue
         out.append(strings[0])
     return out
@@ -212,12 +303,10 @@ def main() -> None:
                     cat_matched += 1
             elif got is not None:
                 wrong += 1
-                if not catalog:
-                    misses.append((sql, expected, got))
+                misses.append((sql, expected, got))
             else:
                 accepted += 1
-                if not catalog:
-                    misses.append((sql, expected, None))
+                misses.append((sql, expected, None))
 
     # ---- false-positive guard: every AnalyzesOk statement must still
     # translate cleanly with the canned schema bound ----
