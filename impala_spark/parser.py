@@ -4432,6 +4432,595 @@ def _cast_target_type(tokens: list[Token], open_idx: int) -> tuple[str, int] | N
 #: canned-test-catalog tables. None = literal/cast-only static typing.
 _SCHEMA: dict[str, str] | None = None
 
+#: table name (lowercase) -> {column -> rendered Impala type}, bound by
+#: translate(strict=True, catalog=...) — enables table-aware path
+#: resolution for the nested-types analysis rules
+_CATALOG: dict[str, dict[str, str]] | None = None
+
+
+def _split_type_args(inner: str) -> list[str]:
+    """Split the <...> body of a rendered type at top-level commas."""
+    parts: list[str] = []
+    d = 0
+    start = 0
+    for i, c in enumerate(inner):
+        if c == "<":
+            d += 1
+        elif c == ">":
+            d -= 1
+        elif c == "," and d == 0:
+            parts.append(inner[start:i])
+            start = i + 1
+    parts.append(inner[start:])
+    return parts
+
+
+def _type_fields(ty: str) -> dict[str, str] | None:
+    """Navigable members of a rendered Impala type, per Path.resolve:
+    ARRAY exposes item/pos, MAP exposes key/value, STRUCT its fields."""
+    t = ty.strip()
+    up = t.upper()
+    if up.startswith("ARRAY<") and t.endswith(">"):
+        return {"item": t[6:-1].strip(), "pos": "BIGINT"}
+    if up.startswith("MAP<") and t.endswith(">"):
+        args = _split_type_args(t[4:-1])
+        if len(args) != 2:
+            return None
+        return {"key": args[0].strip(), "value": args[1].strip()}
+    if up.startswith("STRUCT<") and t.endswith(">"):
+        fields: dict[str, str] = {}
+        for part in _split_type_args(t[7:-1]):
+            name, sep, ft = part.partition(":")
+            if not sep:
+                return None
+            fields[name.strip().lower()] = ft.strip()
+        return fields
+    return None
+
+
+def _is_collection_type(ty: str) -> bool:
+    up = ty.strip().upper()
+    return up.startswith("ARRAY<") or up.startswith("MAP<")
+
+
+def _is_complex_type(ty: str) -> bool:
+    return _is_collection_type(ty) or ty.strip().upper().startswith("STRUCT<")
+
+
+def _resolve_member(ty: str, name: str) -> str | None:
+    """Resolve one path step through a type: direct member, or (matching
+    Path.resolve's implicit item/value hop) a struct field of an
+    ARRAY<STRUCT<..>> item / MAP<..,STRUCT<..>> value."""
+    fields = _type_fields(ty)
+    if fields is None:
+        return None
+    lo = name.lower()
+    if lo in fields:
+        return fields[lo]
+    up = ty.strip().upper()
+    if up.startswith("ARRAY<"):
+        item_fields = _type_fields(_type_fields(ty)["item"])
+        if item_fields and lo in item_fields:
+            return item_fields[lo]
+    elif up.startswith("MAP<"):
+        val_fields = _type_fields(_type_fields(ty)["value"])
+        if val_fields and lo in val_fields:
+            return val_fields[lo]
+    return None
+
+
+def _cte_names_of(tokens: list[Token]) -> set[str]:
+    """Names defined by WITH clauses (`name AS (` at any depth)."""
+    names: set[str] = set()
+    for i, t in enumerate(tokens):
+        if t.kind != "word" or t.upper != "AS":
+            continue
+        nx = _significant(tokens, i)
+        pv = _significant(tokens, i, -1)
+        if (
+            nx != -1 and tokens[nx].kind == "op" and tokens[nx].text == "("
+            and pv != -1 and tokens[pv].kind in ("word", "bident")
+        ):
+            inner = _significant(tokens, nx)
+            if inner != -1 and tokens[inner].kind == "word" and tokens[inner].upper in (
+                "SELECT", "WITH", "VALUES",
+            ):
+                names.add(tokens[pv].text.strip("`").lower())
+    return names
+
+
+def _check_strict_table_path_refs(tokens: list[Token]) -> None:
+    """FROM-clause path resolution against the bound catalog
+    (Analyzer.java:846-855 TABLE_REF rules + QueryStmt.java:140-156
+    correlated/uncorrelated mixing), replayed token-level. Unknown roots
+    (CTEs, uncataloged tables) are skipped — never guessed."""
+    if _CATALOG is None:
+        return
+    blocks = _select_blocks(tokens)
+    regions = _from_regions(tokens)
+    ctes = _cte_names_of(tokens)
+    n = len(tokens)
+
+    def enclosing_block(pos: int) -> tuple[int, int]:
+        best = (0, n)
+        best_size = n + 1
+        for sel, _f, end in blocks:
+            if sel <= pos <= end and (end - sel) < best_size:
+                best = (sel, end)
+                best_size = end - sel
+        return best
+
+    # registry: (name, kind, payload, def_idx, scope)
+    #   kind: "table" (payload=catalog table), "collection"
+    #   (payload=collection type), "view" (payload=None)
+    aliases: list[tuple[str, str, object, int, tuple[int, int]]] = []
+    # per-block subtree evidence for the nested-query rule:
+    #   refs: (block_span, is_absolute, corr_root_span, rendered_ref)
+    ref_evidence: list[tuple[tuple[int, int], bool, tuple[int, int] | None, str]] = []
+
+    def resolve_root(name: str, at: int):
+        for nm, kind, payload, didx, span in reversed(aliases):
+            if nm == name and didx <= at and span[0] <= at <= span[1]:
+                return (kind, payload, span)
+        return None
+
+    def walk_table_path(tbl: str, rest: list[str]) -> str | None:
+        cols = _CATALOG.get(tbl)
+        if cols is None or not rest:
+            return None
+        ty = cols.get(rest[0].lower())
+        if ty is None:
+            return None
+        for part in rest[1:]:
+            nxt = _resolve_member(ty, part)
+            if nxt is None:
+                return None
+            ty = nxt
+        return ty
+
+    def walk_type_path(ty: str, rest: list[str]) -> str | None:
+        for part in rest:
+            nxt = _resolve_member(ty, part)
+            if nxt is None:
+                return None
+            ty = nxt
+        return ty
+
+    for reg_lo, reg_hi in regions:
+        scope = enclosing_block(reg_lo)
+        k = reg_lo
+        expecting = True
+        while k < reg_hi:
+            t = tokens[k]
+            if t.kind in ("ws", "line_comment", "block_comment"):
+                k += 1
+                continue
+            if t.kind == "op" and t.text == "(":
+                close = _matching_paren(tokens, k)
+                k = close + 1
+                # optional [AS] alias after an inline view
+                a_i = _significant(tokens, k - 1)
+                if a_i != -1 and a_i < reg_hi and tokens[a_i].kind == "word" and tokens[a_i].upper == "AS":
+                    a_i = _significant(tokens, a_i)
+                if (
+                    a_i != -1 and a_i < reg_hi
+                    and tokens[a_i].kind in ("word", "bident")
+                    and (tokens[a_i].kind == "bident" or tokens[a_i].upper not in _FROM_KEYWORDS)
+                ):
+                    aliases.append((
+                        tokens[a_i].text.strip("`").lower(), "view", None,
+                        a_i, scope,
+                    ))
+                    k = a_i + 1
+                expecting = False
+                continue
+            if t.kind == "op" and t.text == ",":
+                expecting = True
+                k += 1
+                continue
+            if t.kind == "word" and t.upper == "JOIN":
+                expecting = True
+                k += 1
+                continue
+            if not expecting or t.kind not in ("word", "bident") or (
+                t.kind == "word" and t.upper in _FROM_KEYWORDS
+            ):
+                k += 1
+                continue
+            # dotted path starting at k
+            parts = [t.text.strip("`")]
+            path_lo = k
+            path_hi = k
+            p = _significant(tokens, k)
+            while p != -1 and p < reg_hi and tokens[p].kind == "op" and tokens[p].text == ".":
+                q = _significant(tokens, p)
+                if q == -1 or q >= reg_hi or tokens[q].kind not in ("word", "bident"):
+                    break
+                parts.append(tokens[q].text.strip("`"))
+                path_hi = q
+                p = _significant(tokens, q)
+            # optional [AS] alias
+            alias = None
+            a_i = p
+            if a_i != -1 and a_i < reg_hi and tokens[a_i].kind == "word" and tokens[a_i].upper == "AS":
+                a_i = _significant(tokens, a_i)
+            if (
+                a_i != -1 and a_i < reg_hi
+                and tokens[a_i].kind in ("word", "bident")
+                and (tokens[a_i].kind == "bident" or tokens[a_i].upper not in _FROM_KEYWORDS)
+            ):
+                alias = tokens[a_i].text.strip("`").lower()
+                k = a_i + 1
+            else:
+                k = path_hi + 1
+            expecting = False
+            raw = untokenize(tokens[path_lo:path_hi + 1]).strip()
+            raw = re.sub(r"\s*\.\s*", ".", raw)
+            rendered_ref = raw + ((" " + alias) if alias else "")
+            p0 = parts[0].lower()
+            root = resolve_root(p0, path_lo)
+            if root is not None:
+                kind, payload, def_span = root
+                is_outer_root = def_span != scope
+                if len(parts) == 1:
+                    # re-reference of a table/view alias as a table ref —
+                    # but when the name is ALSO a catalog table it may
+                    # resolve to the table under the session's default db
+                    # (AnalyzeStmtsTest.java:1203-1211 pins both verdicts
+                    # depending on createAnalyzer's db), so skip then
+                    if kind in ("table", "view") and p0 not in _CATALOG:
+                        raise ImpalaUnsupportedError(
+                            "Illegal table reference to non-collection "
+                            f"type: '{raw}'"
+                        )
+                    continue  # bare collection alias re-ref: leave alone
+                if kind == "view":
+                    continue  # view column paths: output schema unknown
+                if kind == "table":
+                    ty = walk_table_path(payload, parts[1:])
+                elif kind == "collection":
+                    ty = walk_type_path(payload, parts[1:])
+                else:
+                    ty = None
+                if ty is None:
+                    continue
+                if not _is_collection_type(ty):
+                    raise ImpalaUnsupportedError(
+                        "Illegal table reference to non-collection type: "
+                        f"'{raw}'\nPath resolved to type: {ty}"
+                    )
+                # legal relative collection ref
+                aliases.append((
+                    (alias or parts[-1].lower()), "collection", ty,
+                    path_lo, scope,
+                ))
+                ref_evidence.append((
+                    scope, False,
+                    def_span if is_outer_root else None, rendered_ref,
+                ))
+                continue
+            # catalog-rooted
+            if p0 in ctes:
+                continue
+            tbl = rest = None
+            if p0 in _CATALOG:
+                tbl, rest = p0, parts[1:]
+            elif len(parts) >= 2 and parts[1].lower() in _CATALOG:
+                tbl, rest = parts[1].lower(), parts[2:]
+            if tbl is None:
+                continue
+            if not rest:
+                aliases.append(((alias or parts[-1].lower()), "table", tbl,
+                                path_lo, scope))
+                ref_evidence.append((scope, True, None, rendered_ref))
+                continue
+            ty = walk_table_path(tbl, rest)
+            if ty is None:
+                continue
+            if not _is_collection_type(ty):
+                raise ImpalaUnsupportedError(
+                    "Illegal table reference to non-collection type: "
+                    f"'{raw}'\nPath resolved to type: {ty}"
+                )
+            aliases.append(((alias or parts[-1].lower()), "collection", ty,
+                            path_lo, scope))
+            ref_evidence.append((scope, True, None, rendered_ref))
+
+    # nested-query correlated/uncorrelated mixing (QueryStmt.java:140-156):
+    # outermost nested (parenthesized) block whose subtree holds both a
+    # collection ref rooted OUTSIDE the block and an absolute catalog ref
+    depth_at = []
+    d = 0
+    for t in tokens:
+        if t.kind == "op" and t.text == "(":
+            d += 1
+        depth_at.append(d)
+        if t.kind == "op" and t.text == ")":
+            d -= 1
+    for sel, _f, end in sorted(blocks, key=lambda b: (b[0], -(b[2]))):
+        if depth_at[sel] == 0:
+            continue  # a top-level statement block, not a nested query
+        corr_ref = None
+        abs_ref = None
+        for bspan, is_abs, corr_root, rendered in ref_evidence:
+            if not (sel <= bspan[0] and bspan[1] <= end):
+                continue
+            if is_abs and abs_ref is None:
+                abs_ref = rendered
+            if corr_root is not None and not (
+                sel <= corr_root[0] and corr_root[1] <= end
+            ):
+                corr_ref = rendered
+        if corr_ref is not None and abs_ref is not None:
+            stmt_sql = _frag_sql(tokens, sel, end)
+            raise ImpalaUnsupportedError(
+                "Nested query is illegal because it contains a table "
+                f"reference '{corr_ref}' correlated with an outer block "
+                f"as well as an uncorrelated one '{abs_ref}':\n{stmt_sql}"
+            )
+
+
+def _slot_path_resolve(parts: list[str]):
+    """Resolve a dotted column path with SLOT_REF rules against the flat
+    schema: ('ok', dest_type) when fully resolved, ('collection',
+    component_name, component_type) when the path steps THROUGH an
+    intermediate collection (illegal: Analyzer.java:858-866), None when
+    unresolvable (never guess)."""
+    if _SCHEMA is None:
+        return None
+    for skip in (0, 1, 2):
+        if len(parts) <= skip:
+            continue
+        ty = _SCHEMA.get(parts[skip].lower())
+        if ty is None:
+            continue
+        cur = ty
+        cur_name = parts[skip]
+        for part in parts[skip + 1:]:
+            if _is_collection_type(cur):
+                return ("collection", cur_name, cur)
+            fields = _type_fields(cur)
+            if fields is None:
+                return None
+            nxt = fields.get(part.lower())
+            if nxt is None:
+                return None
+            cur = nxt
+            cur_name = part
+        return ("ok", cur)
+    return None
+
+
+def _bare_path_of(tokens: list[Token], a: int, b: int):
+    """If tokens[a:b] is a bare dotted path (with optional alias),
+    return (parts, raw_text); else None."""
+    sig = [
+        k for k in range(a, b)
+        if tokens[k].kind not in ("ws", "line_comment", "block_comment")
+    ]
+    if len(sig) >= 2 and tokens[sig[-2]].kind == "word" and tokens[sig[-2]].upper == "AS":
+        sig = sig[:-2]
+    elif (
+        len(sig) >= 2
+        and tokens[sig[-1]].kind in ("word", "bident")
+        and tokens[sig[-2]].kind in ("word", "bident")
+    ):
+        sig = sig[:-1]
+    parts: list[str] = []
+    expect = True
+    for k in sig:
+        t = tokens[k]
+        if expect and t.kind in ("word", "bident"):
+            if t.kind == "word" and t.upper in _NON_OPERAND_WORDS | {
+                "NULL", "TRUE", "FALSE",
+            }:
+                return None
+            parts.append(t.text.strip("`"))
+            expect = False
+        elif not expect and t.kind == "op" and t.text == ".":
+            expect = True
+        else:
+            return None
+    if expect or not parts:
+        return None
+    return parts, ".".join(parts)
+
+
+def _check_strict_complex_types(tokens: list[Token]) -> None:
+    """Complex-type slot rules with the reference's exact texts:
+    select-list complex exprs (SelectStmt.java:206-215), intermediate
+    collection refs (Analyzer.java:858-866), star expansion to
+    non-struct (Analyzer.java:884-888), ORDER BY / PARTITION BY complex
+    (QueryStmt.java:243-247, AnalyticExpr.java:431-447), IS [NOT] NULL
+    on complex (IsNullPredicate.java:125-129)."""
+    if _SCHEMA is None:
+        return
+    for sel_idx, from_idx, end in _select_blocks(tokens):
+        list_start = _significant(tokens, sel_idx)
+        if list_start == -1:
+            continue
+        if tokens[list_start].kind == "word" and tokens[list_start].upper in (
+            "DISTINCT", "ALL",
+        ):
+            list_start = _significant(tokens, list_start)
+        if from_idx >= end:
+            continue
+        for a, b in _split_top_level_commas(tokens, list_start, from_idx):
+            sig = [
+                k for k in range(a, b)
+                if tokens[k].kind not in ("ws", "line_comment", "block_comment")
+            ]
+            # star expansion: path.* resolves to a struct or errors
+            if (
+                len(sig) >= 3
+                and tokens[sig[-1]].kind == "op" and tokens[sig[-1]].text == "*"
+                and tokens[sig[-2]].kind == "op" and tokens[sig[-2]].text == "."
+            ):
+                bp = _bare_path_of(tokens, a, sig[-2])
+                if bp is not None:
+                    res = _slot_path_resolve(bp[0])
+                    if res is not None and res[0] == "ok" and not res[1].strip(
+                    ).upper().startswith("STRUCT<"):
+                        raise ImpalaUnsupportedError(
+                            f"Cannot expand star in '{bp[1]}.*' because "
+                            f"path '{bp[1]}' resolved to type '{res[1]}'."
+                            "\nStar expansion is only valid for paths to "
+                            "a struct type."
+                        )
+                continue
+            bp = _bare_path_of(tokens, a, b)
+            if bp is None:
+                continue
+            res = _slot_path_resolve(bp[0])
+            if res is None:
+                continue
+            if res[0] == "collection":
+                raise ImpalaUnsupportedError(
+                    f"Illegal column/field reference '{bp[1]}' with "
+                    f"intermediate collection '{res[1]}' of type "
+                    f"'{res[2]}'"
+                )
+            if _is_complex_type(res[1]):
+                raise ImpalaUnsupportedError(
+                    f"Expr '{bp[1]}' in select list returns a complex "
+                    f"type '{res[1]}'.\nOnly scalar types are allowed "
+                    "in the select list."
+                )
+        # window specs anywhere in the block (select list included)
+        for k2 in range(sel_idx, end):
+            t2 = tokens[k2]
+            if t2.kind == "word" and t2.upper == "OVER":
+                op = _significant(tokens, k2)
+                if op != -1 and op < end and tokens[op].kind == "op" and tokens[op].text == "(":
+                    _check_window_spec_complex(tokens, op, _matching_paren(tokens, op))
+        # block-level ORDER BY + IS NULL
+        k = from_idx
+        while k < end:
+            t = tokens[k]
+            if t.kind == "op" and t.text == "(":
+                nxt = _significant(tokens, k)
+                if nxt != -1 and tokens[nxt].kind == "word" and tokens[nxt].upper in (
+                    "SELECT", "WITH",
+                ):
+                    k = _matching_paren(tokens, k) + 1
+                    continue
+                k += 1
+                continue
+            if t.kind == "word" and t.upper == "IS":
+                j = _significant(tokens, k)
+                neg = False
+                if j != -1 and tokens[j].kind == "word" and tokens[j].upper == "NOT":
+                    neg = True
+                    j = _significant(tokens, j)
+                if j != -1 and tokens[j].kind == "word" and tokens[j].upper == "NULL":
+                    pi = _significant(tokens, k, -1)
+                    start = _primary_span_back(tokens, pi) if pi != -1 else -1
+                    if start != -1 and tokens[start].kind in ("word", "bident"):
+                        bp = _bare_path_of(tokens, start, pi + 1)
+                        if bp is not None:
+                            res = _slot_path_resolve(bp[0])
+                            if res is not None and res[0] == "ok" and _is_complex_type(res[1]):
+                                kw = "IS NOT NULL" if neg else "IS NULL"
+                                raise ImpalaUnsupportedError(
+                                    f"{kw} predicate does not support "
+                                    f"complex types: {bp[1]} {kw}"
+                                )
+                k = j + 1 if j != -1 else k + 1
+                continue
+            if t.kind == "word" and t.upper == "ORDER":
+                j = _significant(tokens, k)
+                if j == -1 or tokens[j].upper != "BY":
+                    k += 1
+                    continue
+                o_end = j + 1
+                d = 0
+                while o_end < end:
+                    tg = tokens[o_end]
+                    if tg.kind == "op" and tg.text == "(":
+                        d += 1
+                    elif tg.kind == "op" and tg.text == ")":
+                        d -= 1
+                        if d < 0:
+                            break
+                    elif d == 0 and tg.kind == "word" and tg.upper in (
+                        "LIMIT", "OFFSET", "UNION",
+                    ):
+                        break
+                    o_end += 1
+                for oa, ob in _split_top_level_commas(tokens, j + 1, o_end):
+                    sig = [
+                        x for x in range(oa, ob)
+                        if tokens[x].kind not in ("ws", "line_comment", "block_comment")
+                    ]
+                    while sig and tokens[sig[-1]].kind == "word" and tokens[sig[-1]].upper in (
+                        "ASC", "DESC", "FIRST", "LAST", "NULLS",
+                    ):
+                        sig = sig[:-1]
+                    if not sig:
+                        continue
+                    bp = _bare_path_of(tokens, sig[0], sig[-1] + 1)
+                    if bp is None:
+                        continue
+                    res = _slot_path_resolve(bp[0])
+                    if res is not None and res[0] == "ok" and _is_complex_type(res[1]):
+                        raise ImpalaUnsupportedError(
+                            f"ORDER BY expression '{bp[1]}' with complex "
+                            f"type '{res[1]}' is not supported."
+                        )
+                k = o_end
+                continue
+            k += 1
+
+
+def _check_window_spec_complex(tokens: list[Token], spec_open: int, spec_close: int) -> None:
+    """PARTITION BY / ORDER BY items of a window spec must not be
+    complex-typed (AnalyticExpr.java:431-447)."""
+    k = spec_open + 1
+    while k < spec_close:
+        t = tokens[k]
+        if t.kind == "word" and t.upper in ("PARTITION", "ORDER"):
+            j = _significant(tokens, k)
+            if j == -1 or tokens[j].upper != "BY":
+                k += 1
+                continue
+            clause = "PARTITION BY" if t.upper == "PARTITION" else "ORDER BY"
+            body_end = j + 1
+            d = 0
+            while body_end < spec_close:
+                tb = tokens[body_end]
+                if tb.kind == "op" and tb.text == "(":
+                    d += 1
+                elif tb.kind == "op" and tb.text == ")":
+                    d -= 1
+                elif d == 0 and tb.kind == "word" and tb.upper in (
+                    "ORDER", "ROWS", "RANGE",
+                ):
+                    break
+                body_end += 1
+            for a, b in _split_top_level_commas(tokens, j + 1, body_end):
+                sig = [
+                    x for x in range(a, b)
+                    if tokens[x].kind not in ("ws", "line_comment", "block_comment")
+                ]
+                while sig and tokens[sig[-1]].kind == "word" and tokens[sig[-1]].upper in (
+                    "ASC", "DESC", "FIRST", "LAST", "NULLS",
+                ):
+                    sig = sig[:-1]
+                if not sig:
+                    continue
+                bp = _bare_path_of(tokens, sig[0], sig[-1] + 1)
+                if bp is None:
+                    continue
+                res = _slot_path_resolve(bp[0])
+                if res is not None and res[0] == "ok" and _is_complex_type(res[1]):
+                    raise ImpalaUnsupportedError(
+                        f"{clause} expression '{bp[1]}' with complex type "
+                        f"'{res[1]}' is not supported."
+                    )
+            k = body_end
+            continue
+        k += 1
+
 
 def _schema_col_fwd(tokens: list[Token], i: int):
     """Resolve `col` or `alias.col[...]` STARTING at token i against the
@@ -5633,7 +6222,10 @@ def _check_strict_case_exprs(tokens: list[Token]) -> None:
 
 
 def translate(
-    sql: str, strict: bool = False, schema: dict[str, str] | None = None
+    sql: str,
+    strict: bool = False,
+    schema: dict[str, str] | None = None,
+    catalog: dict[str, dict[str, str]] | None = None,
 ) -> str:
     """Impala-dialect SQL -> Spark SQL.
 
@@ -5649,21 +6241,35 @@ def translate(
     column-typed half of the analyzer error surface (the reference's
     AnalysisError pins against the canned test warehouse). Without it
     only literals/casts are statically typed — the permissive default.
+
+    catalog (strict mode only): table name -> {column -> rendered type}.
+    Enables table-AWARE path resolution (relative collection refs, the
+    nested-types rules of Analyzer.resolvePathWithMasking and
+    Path.resolve) on top of the flat column typing.
     """
-    global _SCHEMA
+    global _SCHEMA, _CATALOG
     tokens = tokenize(sql)
     _check_rejections(tokens)
     _check_subquery_in_or(tokens)
     if strict and schema is not None:
         _SCHEMA = {k.lower(): v for k, v in schema.items()}
+    if strict and catalog is not None:
+        _CATALOG = {
+            t.lower(): {c.lower(): ty for c, ty in cols.items()}
+            for t, cols in catalog.items()
+        }
     try:
         return _translate_checked(tokens, sql, strict)
     finally:
         _SCHEMA = None
+        _CATALOG = None
 
 
 def _translate_checked(tokens: list[Token], sql: str, strict: bool) -> str:
     if strict:
+        # FROM-clause analysis precedes everything in SelectStmt.analyze
+        _check_strict_table_path_refs(tokens)
+        _check_strict_complex_types(tokens)
         _check_strict_subquery_clauses(tokens)
         _check_strict_where_exprs(tokens)
         _check_strict_group_by_exprs(tokens)

@@ -56,6 +56,30 @@ DECIMAL_TINY = {
     "c3": "DECIMAL(1,1)",
 }
 
+#: the nested-types test table (the long-public Impala functional
+#: dataset's allcomplextypes layout; field types as pinned throughout
+#: AnalyzeStmtsTest.java:200-320)
+ALLCOMPLEXTYPES = {
+    "id": "INT",
+    "int_array_col": "ARRAY<INT>",
+    "array_array_col": "ARRAY<ARRAY<INT>>",
+    "map_array_col": "ARRAY<MAP<STRING,INT>>",
+    "struct_array_col": "ARRAY<STRUCT<f1:BIGINT,f2:STRING>>",
+    "int_map_col": "MAP<STRING,INT>",
+    "array_map_col": "MAP<STRING,ARRAY<INT>>",
+    "map_map_col": "MAP<STRING,MAP<STRING,INT>>",
+    "struct_map_col": "MAP<STRING,STRUCT<f1:BIGINT,f2:STRING>>",
+    "int_struct_col": "STRUCT<f1:INT,f2:INT>",
+    "complex_struct_col": "STRUCT<f1:INT,f2:ARRAY<INT>,f3:MAP<STRING,INT>>",
+    "nested_struct_col":
+        "STRUCT<f1:INT,f2:STRUCT<f11:BIGINT,f12:STRUCT<f21:BIGINT>>>",
+    "complex_nested_struct_col":
+        "STRUCT<f1:INT,f2:ARRAY<STRUCT<f11:BIGINT,"
+        "f12:MAP<STRING,STRUCT<f21:BIGINT>>>>>",
+    "year": "INT",
+    "month": "INT",
+}
+
 TABLE_SCHEMAS: dict[str, dict[str, str]] = {
     "alltypes": ALLTYPES,
     "alltypestiny": ALLTYPES,
@@ -68,6 +92,7 @@ TABLE_SCHEMAS: dict[str, dict[str, str]] = {
     "jointbl": JOINTBL,
     "decimal_tbl": DECIMAL_TBL,
     "decimal_tiny": DECIMAL_TINY,
+    "allcomplextypes": ALLCOMPLEXTYPES,
 }
 
 

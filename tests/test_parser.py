@@ -1498,3 +1498,142 @@ def test_strict_interval_unit_error_spans():
 
     tr("select timestamp_col + interval 10 days from t", strict=True)
     tr("select date_add(timestamp_col, interval 10 years) from t", strict=True)
+
+
+def _tr_cat(sql):
+    from impala_spark.parser import translate
+    from impala_spark.testcatalog import TABLE_SCHEMAS, schema_for_statement
+
+    return translate(sql, strict=True, schema=schema_for_statement(sql),
+                     catalog=TABLE_SCHEMAS)
+
+
+def test_strict_nested_types_table_refs():
+    """Analyzer.java:846-855 TABLE_REF path rules + QueryStmt.java:140-156
+    correlated/uncorrelated mixing (pinned AnalyzeStmtsTest.java:240-280,
+    1195-1240)."""
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+
+    cases = [
+        ("select 1 from functional.allcomplextypes a, a",
+         "Illegal table reference to non-collection type: 'a'"),
+        ("select 1 from functional.allcomplextypes.int_struct_col",
+         "Illegal table reference to non-collection type: "
+         "'functional.allcomplextypes.int_struct_col'\n"
+         "Path resolved to type: STRUCT<f1:INT,f2:INT>"),
+        ("select 1 from functional.allcomplextypes a, a.int_struct_col",
+         "Illegal table reference to non-collection type: "
+         "'a.int_struct_col'\nPath resolved to type: STRUCT<f1:INT,f2:INT>"),
+        ("select 1 from functional.allcomplextypes.int_array_col.item",
+         "Illegal table reference to non-collection type: "
+         "'functional.allcomplextypes.int_array_col.item'\n"
+         "Path resolved to type: INT"),
+        ("select 1 from functional.allcomplextypes.int_array_col a, a.pos",
+         "Illegal table reference to non-collection type: 'a.pos'\n"
+         "Path resolved to type: BIGINT"),
+        ("select 1 from functional.allcomplextypes.int_map_col a, a.key",
+         "Illegal table reference to non-collection type: 'a.key'\n"
+         "Path resolved to type: STRING"),
+        ("select * from functional.alltypestiny t where exists "
+         "(select * from t)",
+         "Illegal table reference to non-collection type: 't'"),
+        ("select cnt from functional.allcomplextypes t, "
+         "(select count(1) cnt from t) v",
+         "Illegal table reference to non-collection type: 't'"),
+        # QueryStmt.java:151-155
+        ("select cnt from functional.allcomplextypes t, "
+         "(select count(1) cnt from functional.alltypes, t.int_array_col) v",
+         "Nested query is illegal because it contains a table reference "
+         "'t.int_array_col' correlated with an outer block as well as an "
+         "uncorrelated one 'functional.alltypes':\n"
+         "SELECT count(1) cnt FROM functional.alltypes, t.int_array_col"),
+        ("select cnt from functional.allcomplextypes t, "
+         "(select * from functional.alltypes, "
+         "(select count(1) cnt from t.int_array_col) v1) v2",
+         "Nested query is illegal because it contains a table reference "
+         "'t.int_array_col' correlated with an outer block as well as an "
+         "uncorrelated one 'functional.alltypes':\n"
+         "SELECT * FROM functional.alltypes, (SELECT count(1) cnt "
+         "FROM t.int_array_col) v1"),
+    ]
+    for sql, want in cases:
+        try:
+            _tr_cat(sql)
+            raise AssertionError(f"accepted: {sql}")
+        except ImpalaUnsupportedError as e:
+            assert want in str(e), f"{sql}\n  want: {want!r}\n  got:  {e!r}"
+
+    # legal nested-type refs
+    for sql in [
+        "select 1 from functional.allcomplextypes.int_array_col",
+        "select 1 from functional.allcomplextypes a, a.int_array_col",
+        "select 1 from functional.allcomplextypes a, a.int_map_col m",
+        "select cnt from functional.allcomplextypes t, "
+        "(select count(1) cnt from t.int_array_col) v",
+        "select cnt from functional.allcomplextypes, "
+        "(select count(1) cnt from functional.allcomplextypes) v",
+        "select 1 from functional.alltypes t1, functional.alltypes t2",
+    ]:
+        _tr_cat(sql)
+
+
+def test_strict_complex_type_slot_rules():
+    """SelectStmt.java:206-215, Analyzer.java:858-866/884-888,
+    QueryStmt.java:243-247, AnalyticExpr.java:431-447,
+    IsNullPredicate.java:125-129 exact texts."""
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+
+    cases = [
+        ("select int_struct_col from functional.allcomplextypes",
+         "Expr 'int_struct_col' in select list returns a complex type "
+         "'STRUCT<f1:INT,f2:INT>'.\n"
+         "Only scalar types are allowed in the select list."),
+        ("select int_array_col.item from functional.allcomplextypes",
+         "Illegal column/field reference 'int_array_col.item' with "
+         "intermediate collection 'int_array_col' of type 'ARRAY<INT>'"),
+        ("select complex_nested_struct_col.f2.f11 "
+         "from functional.allcomplextypes",
+         "Illegal column/field reference 'complex_nested_struct_col.f2.f11' "
+         "with intermediate collection 'f2' of type "
+         "'ARRAY<STRUCT<f11:BIGINT,f12:MAP<STRING,STRUCT<f21:BIGINT>>>>'"),
+        ("select complex_struct_col.f2.* from functional.allcomplextypes",
+         "Cannot expand star in 'complex_struct_col.f2.*' because path "
+         "'complex_struct_col.f2' resolved to type 'ARRAY<INT>'.\n"
+         "Star expansion is only valid for paths to a struct type."),
+        ("select * from functional.allcomplextypes order by int_struct_col",
+         "ORDER BY expression 'int_struct_col' with complex type "
+         "'STRUCT<f1:INT,f2:INT>' is not supported."),
+        ("select id, row_number() over (order by int_array_col) "
+         "from functional.allcomplextypes",
+         "ORDER BY expression 'int_array_col' with complex type "
+         "'ARRAY<INT>' is not supported."),
+        ("select id, count() over (partition by int_struct_col) "
+         "from functional.allcomplextypes",
+         "PARTITION BY expression 'int_struct_col' with complex type "
+         "'STRUCT<f1:INT,f2:INT>' is not supported."),
+        ("select 1 from functional.allcomplextypes where int_map_col is null",
+         "IS NULL predicate does not support complex types: "
+         "int_map_col IS NULL"),
+        ("select * from functional.allcomplextypes "
+         "where nested_struct_col is not null",
+         "IS NOT NULL predicate does not support complex types: "
+         "nested_struct_col IS NOT NULL"),
+    ]
+    for sql, want in cases:
+        try:
+            _tr_cat(sql)
+            raise AssertionError(f"accepted: {sql}")
+        except ImpalaUnsupportedError as e:
+            assert want in str(e), f"{sql}\n  want: {want!r}\n  got:  {e!r}"
+
+    for sql in [
+        "select int_struct_col.f1 from functional.allcomplextypes",
+        "select id from functional.allcomplextypes where id is null",
+        "select nested_struct_col.f2.f11 from functional.allcomplextypes",
+        "select id from functional.allcomplextypes order by id",
+    ]:
+        _tr_cat(sql)

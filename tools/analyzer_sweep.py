@@ -259,7 +259,7 @@ def extract_positives(path: str) -> list[str]:
 
 def main() -> None:
     from impala_spark.parser import ImpalaUnsupportedError, translate
-    from impala_spark.testcatalog import schema_for_statement
+    from impala_spark.testcatalog import TABLE_SCHEMAS, schema_for_statement
 
     show = 0
     if "--show-misses" in sys.argv:
@@ -291,7 +291,8 @@ def main() -> None:
             if not catalog:
                 cat_free += 1
             try:
-                translate(sql, strict=True, schema=schema_for_statement(sql))
+                translate(sql, strict=True, schema=schema_for_statement(sql),
+                          catalog=TABLE_SCHEMAS)
                 got: str | None = None
             except ImpalaUnsupportedError as e:
                 got = str(e)
@@ -325,7 +326,8 @@ def main() -> None:
             # reference era genuinely had are pinned elsewhere)
             pos_total += 1
             try:
-                translate(sql, strict=True, schema=schema_for_statement(sql))
+                translate(sql, strict=True, schema=schema_for_statement(sql),
+                          catalog=TABLE_SCHEMAS)
             except ImpalaUnsupportedError as e:
                 pos_rejected += 1
                 fp.append((sql, str(e)))
