@@ -216,8 +216,16 @@ def _check_subquery_in_or(tokens: list[Token]) -> None:
                     lo, hi = a, b
             for s_idx, s_depth in subqueries:
                 if lo <= s_idx <= hi and s_depth >= od and s_idx != lo:
+                    # StmtRewriter quotes the whole OR predicate in
+                    # toSql form ("... not supported: t.id IN (...) OR
+                    # t.bool_col = FALSE")
+                    if lo == lo_r:
+                        frag = untokenize(tokens[lo_r + 1:hi_r + 1]).strip()
+                    else:
+                        frag = untokenize(tokens[lo + 1:hi]).strip()
                     raise ImpalaUnsupportedError(
-                        "Subqueries in OR predicates are not supported"
+                        "Subqueries in OR predicates are not supported: "
+                        + _expr_to_sql(frag)
                     )
 
 
@@ -2304,7 +2312,10 @@ def _check_strict_analytic_exprs(tokens: list[Token]) -> None:
             continue
         fn = tokens[name_idx].upper.lower()
         full = untokenize(tokens[name_idx:spec_close + 1]).strip()
-        call = untokenize(tokens[name_idx:args_close + 1]).strip()
+        # error texts quote the call in toSql form — NULL/TRUE/FALSE
+        # literals uppercased (AnalyzeAnalyticExprsTest pins
+        # "'lag(tinyint_col, 1, NULL)' requires an ORDER BY clause")
+        call = _expr_to_sql(untokenize(tokens[name_idx:args_close + 1]).strip())
         # composition: a known scalar builtin cannot take OVER (:464-468);
         # known non-analytic aggregates cannot either (:470-475). Unknown
         # names are left alone — they may be user-defined aggregates.
@@ -2851,7 +2862,8 @@ def _check_strict_union_columns(tokens: list[Token]) -> None:
         n = _countable_select_items(tokens, list_start, from_idx)
         if n < 0:
             continue
-        sql = untokenize(tokens[a:b]).strip()
+        # UnionStmt.analyze quotes each operand in toSql form
+        sql = _expr_to_sql(untokenize(tokens[a:b]).strip())
         if first_n is None:
             first_n, first_sql = n, sql
         elif n != first_n:
@@ -3068,7 +3080,7 @@ def _check_strict_between_subqueries(tokens: list[Token]) -> None:
                     if tk.kind not in ("ws", "line_comment", "block_comment"):
                         end = k
                     k += 1
-            span = untokenize(tokens[open_idx:end + 1]).strip()
+            span = _expr_to_sql(untokenize(tokens[open_idx:end + 1]).strip())
             raise ImpalaUnsupportedError(
                 "Comparison between subqueries is not supported in a "
                 "BETWEEN predicate: " + span
@@ -3155,7 +3167,7 @@ def _check_strict_subquery_columns(tokens: list[Token]) -> None:
             continue
         n = _countable_select_items(tokens, head + 1, from_idx)
         if n > 1:
-            sub_sql = untokenize(tokens[i:close + 1]).strip()
+            sub_sql = _expr_to_sql(untokenize(tokens[i:close + 1]).strip())
             if is_in:
                 raise ImpalaUnsupportedError(
                     "Subquery must return a single column: " + sub_sql
@@ -4221,7 +4233,7 @@ def _check_strict_correlated_subqueries(tokens: list[Token]) -> None:
                 break
         if not correlated:
             continue
-        sub_sql = untokenize(tokens[i + 1:close]).strip()
+        sub_sql = _expr_to_sql(untokenize(tokens[i + 1:close]).strip())
         if (kind == "in" and (agg_in_select or has_group or has_over)) or (
             kind == "cmp" and (has_group or has_over)
         ):
@@ -5328,6 +5340,74 @@ def _check_strict_typed_exprs(tokens: list[Token]) -> None:
                             f"expression '{expr}' returns type '{amt_ty}'. "
                             "Expected an integer type."
                         )
+                    else:
+                        # amount OK, not the lhs form: type the TIMESTAMP
+                        # operand of the reversed (INTERVAL n unit + <e>)
+                        # and DATE_ADD/DATE_SUB forms — the first child
+                        # must BE a timestamp, STRING included
+                        # (TimestampArithmeticExpr.java:142-147)
+                        after = _significant(tokens, u)
+                        if (
+                            after != -1
+                            and tokens[after].kind == "op"
+                            and tokens[after].text == "+"
+                        ):
+                            rhs0 = _significant(tokens, after)
+                            rinfo = _typed_operand_fwd(tokens, rhs0)
+                            if rinfo and rinfo[0] != "TIMESTAMP":
+                                rhs_sql = untokenize(
+                                    tokens[rhs0:rinfo[1] + 1]
+                                ).strip()
+                                raise ImpalaUnsupportedError(
+                                    f"Operand '{rhs_sql}' of timestamp "
+                                    "arithmetic expression "
+                                    f"'{interval_sql} + {rhs_sql}' returns "
+                                    f"type '{rinfo[0]}'. Expected type "
+                                    "'TIMESTAMP'."
+                                )
+                        elif (
+                            prev != -1
+                            and tokens[prev].kind == "op"
+                            and tokens[prev].text == ","
+                        ):
+                            # walk back over arg1 to the call's open paren
+                            d2, k2, arg_open, fn_idx = 0, prev - 1, -1, -1
+                            while k2 >= 0:
+                                tk2 = tokens[k2]
+                                if tk2.kind == "op" and tk2.text == ")":
+                                    d2 += 1
+                                elif tk2.kind == "op" and tk2.text == "(":
+                                    if d2 == 0:
+                                        arg_open = k2
+                                        break
+                                    d2 -= 1
+                                k2 -= 1
+                            if arg_open != -1:
+                                fn_idx = _significant(tokens, arg_open, -1)
+                            if (
+                                fn_idx != -1
+                                and tokens[fn_idx].kind == "word"
+                                and tokens[fn_idx].upper
+                                in ("DATE_ADD", "DATE_SUB")
+                            ):
+                                a0 = _significant(tokens, arg_open)
+                                ainfo = _typed_operand_fwd(tokens, a0)
+                                if (
+                                    ainfo
+                                    and ainfo[0] != "TIMESTAMP"
+                                    and _significant(tokens, ainfo[1]) == prev
+                                ):
+                                    arg1 = untokenize(
+                                        tokens[a0:ainfo[1] + 1]
+                                    ).strip()
+                                    raise ImpalaUnsupportedError(
+                                        f"Operand '{arg1}' of timestamp "
+                                        "arithmetic expression "
+                                        f"'{tokens[fn_idx].upper}({arg1}, "
+                                        f"{interval_sql})' returns type "
+                                        f"'{ainfo[0]}'. Expected type "
+                                        "'TIMESTAMP'."
+                                    )
         # ---- binary operators over typed operands ----
         is_div_word = t.kind == "word" and t.upper == "DIV"
         if (
@@ -5370,30 +5450,37 @@ def _check_strict_typed_exprs(tokens: list[Token]) -> None:
             # every child for numeric-ness first, then integer-ness for
             # the int-only operators. Skip timestamp-arith forms (the
             # INTERVAL branch above owns those).
-            for info in (left, right):
-                if not info:
-                    continue
+            # ArithmeticExpr.analyze checks EVERY child for numeric-ness
+            # before any integer-only rule — `float_col & bool_col` pins
+            # the numeric error (for bool_col), not the non-integer one
+            # (for float_col)
+            applicable = [
+                info for info in (left, right)
+                if info
                 # timestamp ± interval legality belongs to the INTERVAL
                 # branch; a TIMESTAMP operand of +/- is never flagged
                 # here to keep `TIMESTAMP '...' + INTERVAL n unit` legal
-                if info[0] == "TIMESTAMP" and op in ("+", "-"):
-                    continue
+                and not (info[0] == "TIMESTAMP" and op in ("+", "-"))
+            ]
+            if applicable:
                 # the full expr span for toSql: other side included when
                 # typed, bare otherwise
                 lo = left[1] if left else li if li != -1 else i
                 hi = right[1] if right else ri if ri != -1 else i
                 span = untokenize(tokens[min(lo, i):max(hi, i) + 1]).strip()
-                if not _is_numeric_type(info[0]):
-                    raise ImpalaUnsupportedError(
-                        "Arithmetic operation requires numeric operands: "
-                        + span
-                    )
-                if op in _BIT_BIN_OPS or op == "DIV":
-                    if not _is_integer_type(info[0]):
+                for info in applicable:
+                    if not _is_numeric_type(info[0]):
                         raise ImpalaUnsupportedError(
-                            "Invalid non-integer argument to operation "
-                            f"'{op}': {span}"
+                            "Arithmetic operation requires numeric "
+                            "operands: " + span
                         )
+                if op in _BIT_BIN_OPS or op == "DIV":
+                    for info in applicable:
+                        if not _is_integer_type(info[0]):
+                            raise ImpalaUnsupportedError(
+                                "Invalid non-integer argument to "
+                                f"operation '{op}': {span}"
+                            )
         # ---- unary '~' (prefix) and factorial '!' (postfix) ----
         if t.kind == "op" and t.text == "~":
             info = _typed_operand_fwd(tokens, _significant(tokens, i))
@@ -5661,6 +5748,631 @@ def _span_is_nonconstant_slot(tokens: list[Token], lo: int, hi: int) -> bool:
         return False  # something after the identifier (e.g. '(') -> not a slot
     after = _significant(tokens, hi)
     return not (after != -1 and tokens[after].kind == "op" and tokens[after].text == "(")
+
+
+# =====================================================================
+# Expression type evaluation: a recursive-descent typer over token
+# spans, mirroring the reference's Expr.analyze result-type rules
+# (A/ArithmeticExpr.java:181-260 + A/TypesUtil.java
+# getArithmeticResultType/getDecimalArithmeticResultType +
+# Expr.convertNumericLiteralsFromDecimal, A/Expr.java:454-496).
+# Returns None whenever any sub-expression's type is unknown — every
+# consumer treats None as "skip the check" so the typer can never cause
+# a false rejection on its own.
+# =====================================================================
+
+#: builtins whose return type does not depend on their argument types
+#: (BuiltinsDb registrations) — feeds _expr_type
+_FN_RETURN_TYPES: dict[str, str] = {
+    "trim": "STRING", "ltrim": "STRING", "rtrim": "STRING",
+    "lower": "STRING", "lcase": "STRING", "upper": "STRING",
+    "ucase": "STRING", "initcap": "STRING", "reverse": "STRING",
+    "concat": "STRING", "concat_ws": "STRING", "repeat": "STRING",
+    "substr": "STRING", "substring": "STRING", "lpad": "STRING",
+    "rpad": "STRING", "space": "STRING", "translate": "STRING",
+    "regexp_extract": "STRING", "regexp_replace": "STRING",
+    "group_concat": "STRING", "parse_url": "STRING", "chr": "STRING",
+    "base64encode": "STRING", "base64decode": "STRING",
+    "typeof": "STRING", "user": "STRING", "current_user": "STRING",
+    "version": "STRING", "uuid": "STRING", "effective_user": "STRING",
+    "from_unixtime": "STRING", "monthname": "STRING",
+    "dayname": "STRING", "to_date": "STRING",
+    "length": "INT", "char_length": "INT", "character_length": "INT",
+    "instr": "INT", "locate": "INT", "find_in_set": "INT",
+    "ascii": "INT", "year": "INT", "quarter": "INT", "month": "INT",
+    "day": "INT", "dayofmonth": "INT", "dayofweek": "INT",
+    "dayofyear": "INT", "weekofyear": "INT", "hour": "INT",
+    "minute": "INT", "second": "INT", "millisecond": "INT",
+    "count": "BIGINT", "unix_timestamp": "BIGINT", "datediff": "INT",
+    "factorial": "BIGINT", "murmur_hash": "BIGINT", "fnv_hash": "BIGINT",
+    "sin": "DOUBLE", "cos": "DOUBLE", "tan": "DOUBLE", "asin": "DOUBLE",
+    "acos": "DOUBLE", "atan": "DOUBLE", "atan2": "DOUBLE",
+    "exp": "DOUBLE", "ln": "DOUBLE", "log": "DOUBLE", "log10": "DOUBLE",
+    "log2": "DOUBLE", "sqrt": "DOUBLE", "pow": "DOUBLE",
+    "power": "DOUBLE", "degrees": "DOUBLE", "radians": "DOUBLE",
+    "pi": "DOUBLE", "e": "DOUBLE", "rand": "DOUBLE", "random": "DOUBLE",
+    "stddev": "DOUBLE", "stddev_samp": "DOUBLE", "stddev_pop": "DOUBLE",
+    "variance": "DOUBLE", "variance_samp": "DOUBLE",
+    "variance_pop": "DOUBLE", "var_samp": "DOUBLE", "var_pop": "DOUBLE",
+    "ndv": "BIGINT", "rank": "BIGINT", "dense_rank": "BIGINT",
+    "row_number": "BIGINT", "ntile": "BIGINT",
+    "percent_rank": "DOUBLE", "cume_dist": "DOUBLE",
+    "now": "TIMESTAMP", "current_timestamp": "TIMESTAMP",
+    "utc_timestamp": "TIMESTAMP", "trunc": "TIMESTAMP",
+    "date_trunc": "TIMESTAMP", "from_utc_timestamp": "TIMESTAMP",
+    "to_utc_timestamp": "TIMESTAMP", "to_timestamp": "TIMESTAMP",
+}
+
+
+def _next_resolution(ty: str) -> str:
+    """ScalarType.getNextResolutionType (C/ScalarType.java:345-353):
+    promote to the next-wider numeric to avoid overflow; BIGINT and
+    DOUBLE stay put."""
+    ladder = {"BOOLEAN": "TINYINT", "TINYINT": "SMALLINT",
+              "SMALLINT": "INT", "INT": "BIGINT", "BIGINT": "BIGINT",
+              "FLOAT": "DOUBLE", "DOUBLE": "DOUBLE"}
+    return ladder.get(ty, ty)
+
+
+def _arith_result_type(
+    left: tuple[str | None, bool], right: tuple[str | None, bool], op: str
+) -> str | None:
+    """Result type of `<left> op <right>` per TypesUtil.
+    getArithmeticResultType, with Expr.convertNumericLiteralsFromDecimal
+    applied first (a constant DECIMAL literal next to an integer/float
+    operand is demoted to DOUBLE/that float type — A/Expr.java:454-496).
+    left/right are (type, is_constant_literal); None type -> None."""
+    t1, c1 = left
+    t2, c2 = right
+    if t1 is None or t2 is None:
+        return None
+    for t in (t1, t2):
+        if t != "NULL_TYPE" and not _is_numeric_type(t):
+            return None  # the operand checks own the error surface
+    if t1 == "NULL_TYPE" and t2 == "NULL_TYPE":
+        return "DOUBLE" if op in ("+", "-", "*", "/", "%") else "INT"
+    dec1, dec2 = t1.startswith("DECIMAL"), t2.startswith("DECIMAL")
+    # literal demotion: exactly one side a constant decimal, other side
+    # integer (-> DOUBLE) or float (-> that float type)
+    if dec1 and c1 and not (dec2 and c2):
+        if _is_integer_type(t2):
+            t1, dec1 = "DOUBLE", False
+        elif t2 in ("FLOAT", "DOUBLE"):
+            t1, dec1 = t2, False
+    elif dec2 and c2 and not (dec1 and c1):
+        if _is_integer_type(t1):
+            t2, dec2 = "DOUBLE", False
+        elif t1 in ("FLOAT", "DOUBLE"):
+            t2, dec2 = t1, False
+    if op in ("DIV", "&", "|", "^"):
+        if t1 == "NULL_TYPE" and t2 == "NULL_TYPE":
+            return "INT"
+        compat = _assignment_compatible(t1, t2)
+        return compat if compat and _is_integer_type(compat) else None
+    if dec1 or dec2:
+        if t1 == "NULL_TYPE":
+            return t2
+        if t2 == "NULL_TYPE":
+            return t1
+        if op == "*" and (
+            t1 in ("FLOAT", "DOUBLE") or t2 in ("FLOAT", "DOUBLE")
+        ):
+            return "DOUBLE"
+        p1, s1 = _decimal_ps(t1) if dec1 else _MIN_RES_DECIMAL[t1]
+        p2, s2 = _decimal_ps(t2) if dec2 else _MIN_RES_DECIMAL[t2]
+        s_max = max(s1, s2)
+        if op in ("+", "-"):
+            p, s = s_max + max(p1 - s1, p2 - s2) + 1, s_max
+        elif op == "*":
+            p, s = p1 + p2, s1 + s2
+        elif op == "/":
+            s = max(4, s1 + p2 + 1)
+            p = p1 - s1 + s2 + s
+            if p > 38:
+                s, p = max(s1, s2), 38
+        elif op == "%":
+            p, s = min(p1 - s1, p2 - s2) + s_max, s_max
+        else:
+            return None
+        p = min(p, 38)
+        s = min(s, p)
+        return f"DECIMAL({p},{s})"
+    compat = _assignment_compatible(t1, t2)
+    if compat is None:
+        return None
+    if op in ("+", "-", "*"):
+        return _next_resolution(compat)
+    if op == "%":
+        return compat
+    if op == "/":
+        return "DOUBLE"
+    return None
+
+
+class _TypeBail(Exception):
+    """Internal: the typer met a construct it cannot follow."""
+
+
+_CMP_WORD_OPS = frozenset({"LIKE", "ILIKE", "RLIKE", "REGEXP", "IREGEXP"})
+
+
+def _expr_type(tokens: list[Token], lo: int, hi: int) -> str | None:
+    """Rendered Impala type of the expression spanning tokens[lo..hi],
+    or None when it cannot be determined. Structurally follows the
+    reference's expression grammar at the levels that matter for
+    typing: OR < AND < NOT < predicates (-> BOOLEAN) < | < ^ < & <
+    additive < multiplicative < unary < primary."""
+    sig = [
+        k for k in range(max(lo, 0), min(hi, len(tokens) - 1) + 1)
+        if tokens[k].kind not in ("ws", "line_comment", "block_comment")
+    ]
+    if not sig:
+        return None
+    pos = [0]
+
+    def peek(off: int = 0) -> Token | None:
+        i = pos[0] + off
+        return tokens[sig[i]] if 0 <= i < len(sig) else None
+
+    def cur_idx() -> int:
+        return sig[pos[0]] if pos[0] < len(sig) else -1
+
+    def advance(n: int = 1) -> None:
+        pos[0] += n
+
+    def advance_past(tok_idx: int) -> None:
+        """Position after the significant token at real index tok_idx."""
+        while pos[0] < len(sig) and sig[pos[0]] <= tok_idx:
+            pos[0] += 1
+
+    def skip_group() -> None:
+        """Consume a '(' ... ')' group starting at the current token."""
+        close = _matching_paren(tokens, cur_idx())
+        if close == -1 or close > hi:
+            raise _TypeBail
+        advance_past(close)
+
+    def parse_primary() -> tuple[str | None, bool]:
+        t = peek()
+        if t is None:
+            raise _TypeBail
+        if t.kind == "number":
+            advance()
+            return (_num_literal_type(t.text), True)
+        if t.kind == "string":
+            advance()
+            return ("STRING", True)
+        if t.kind == "op" and t.text in ("-", "+"):
+            advance()
+            ty, c = parse_unary()
+            return (ty, c)
+        if t.kind == "op" and t.text == "~":
+            advance()
+            ty, _ = parse_unary()
+            return (ty if ty and _is_integer_type(ty) else None, False)
+        if t.kind == "op" and t.text == "(":
+            j = _significant(tokens, cur_idx())
+            if j != -1 and tokens[j].kind == "word" and tokens[j].upper in (
+                "SELECT", "WITH", "VALUES",
+            ):
+                skip_group()  # scalar subquery: type unknown
+                return (None, False)
+            open_idx = cur_idx()
+            close = _matching_paren(tokens, open_idx)
+            if close == -1 or close > hi:
+                raise _TypeBail
+            inner = _expr_type(tokens, open_idx + 1, close - 1)
+            advance_past(close)
+            return (inner, False)
+        if t.kind not in ("word", "bident"):
+            raise _TypeBail
+        up = t.upper
+        if up == "NULL":
+            advance()
+            return ("NULL_TYPE", True)
+        if up in ("TRUE", "FALSE"):
+            advance()
+            return ("BOOLEAN", True)
+        if up == "NOT":
+            advance()
+            parse_not()
+            return ("BOOLEAN", False)
+        if up == "EXISTS":
+            advance()
+            if peek() is not None and peek().kind == "op" \
+                    and peek().text == "(":
+                skip_group()
+                return ("BOOLEAN", False)
+            raise _TypeBail
+        if up == "INTERVAL":
+            raise _TypeBail  # timestamp arithmetic: not typed here
+        if up in ("TIMESTAMP", "DATE") and peek(1) is not None \
+                and peek(1).kind == "string":
+            advance(2)
+            return ("TIMESTAMP" if up == "TIMESTAMP" else None, True)
+        if up == "CAST":
+            j = _significant(tokens, cur_idx())
+            if j == -1 or tokens[j].kind != "op" or tokens[j].text != "(":
+                raise _TypeBail
+            r = _cast_target_type(tokens, j)
+            close = _matching_paren(tokens, j)
+            if close == -1 or close > hi:
+                raise _TypeBail
+            advance_past(close)
+            # explicit casts block the decimal-literal demotion
+            # (Expr.isExplicitCastToDecimal)
+            return (r[0] if r else None, False)
+        if up == "CASE":
+            # scan to the matching END at this CASE's nesting level
+            depth = 0
+            k = pos[0] + 1
+            end_at = -1
+            while k < len(sig):
+                tk = tokens[sig[k]]
+                if tk.kind == "word":
+                    if tk.upper == "CASE":
+                        depth += 1
+                    elif tk.upper == "END":
+                        if depth == 0:
+                            end_at = k
+                            break
+                        depth -= 1
+                k += 1
+            if end_at == -1:
+                raise _TypeBail
+            pos[0] = end_at + 1
+            return (None, False)
+        # identifier: function call or column path
+        nxt = peek(1)
+        if nxt is not None and nxt.kind == "op" and nxt.text == "(" \
+                and sig[pos[0] + 1] == _significant(tokens, cur_idx()):
+            fn = t.text.lower()
+            open_idx = sig[pos[0] + 1]
+            close = _matching_paren(tokens, open_idx)
+            if close == -1 or close > hi:
+                raise _TypeBail
+            ret = _FN_RETURN_TYPES.get(fn)
+            if ret is None and fn in ("min", "max", "sum", "avg",
+                                      "first_value", "last_value"):
+                spans = _split_call_args(tokens, open_idx, close)
+                # skip a leading DISTINCT/ALL keyword in the argument
+                if len(spans) == 1:
+                    a, b = spans[0]
+                    if tokens[a].kind == "word" and tokens[a].upper in (
+                        "DISTINCT", "ALL",
+                    ):
+                        a = _significant(tokens, a)
+                    arg_ty = (
+                        _expr_type(tokens, a, b) if 0 <= a <= b else None
+                    )
+                    if arg_ty is not None:
+                        if fn in ("min", "max", "first_value",
+                                  "last_value"):
+                            ret = arg_ty
+                        elif fn == "sum":
+                            if _is_integer_type(arg_ty):
+                                ret = "BIGINT"
+                            elif arg_ty in ("FLOAT", "DOUBLE"):
+                                ret = "DOUBLE"
+                            elif arg_ty.startswith("DECIMAL"):
+                                _, s = _decimal_ps(arg_ty)
+                                ret = f"DECIMAL(38,{s})"
+                        elif fn == "avg":
+                            if arg_ty in ("FLOAT", "DOUBLE") \
+                                    or _is_integer_type(arg_ty) \
+                                    or arg_ty == "TIMESTAMP":
+                                ret = ("TIMESTAMP"
+                                       if arg_ty == "TIMESTAMP"
+                                       else "DOUBLE")
+            advance_past(close)
+            # optional OVER (...) analytic clause
+            t2 = peek()
+            if t2 is not None and t2.kind == "word" and t2.upper == "OVER":
+                t3 = peek(1)
+                if t3 is not None and t3.kind == "op" and t3.text == "(":
+                    advance()
+                    skip_group()
+            return (ret, False)
+        # column path: consume word (. word)* and resolve through the
+        # bound schema/catalog typed-operand layer
+        info = _typed_operand_fwd(tokens, cur_idx())
+        if info is not None:
+            advance_past(info[1])
+            return (info[0], False)
+        advance()
+        while True:
+            d = peek()
+            if d is not None and d.kind == "op" and d.text == ".":
+                nm = peek(1)
+                if nm is not None and nm.kind in ("word", "bident"):
+                    advance(2)
+                    continue
+            break
+        return (None, False)
+
+    def parse_unary() -> tuple[str | None, bool]:
+        return parse_primary()
+
+    def parse_mul() -> tuple[str | None, bool]:
+        left = parse_unary()
+        while True:
+            t = peek()
+            if t is None:
+                break
+            if (t.kind == "op" and t.text in ("*", "/", "%")) or (
+                t.kind == "word" and t.upper == "DIV"
+            ):
+                op = "DIV" if t.kind == "word" else t.text
+                advance()
+                right = parse_unary()
+                left = (_arith_result_type(left, right, op), False)
+            else:
+                break
+        return left
+
+    def parse_add() -> tuple[str | None, bool]:
+        left = parse_mul()
+        while True:
+            t = peek()
+            if t is not None and t.kind == "op" and t.text in ("+", "-"):
+                advance()
+                right = parse_mul()
+                left = (_arith_result_type(left, right, t.text), False)
+            else:
+                break
+        return left
+
+    def parse_bitand() -> tuple[str | None, bool]:
+        left = parse_add()
+        while True:
+            t = peek()
+            if t is not None and t.kind == "op" and t.text == "&":
+                advance()
+                left = (_arith_result_type(left, parse_add(), "&"), False)
+            else:
+                break
+        return left
+
+    def parse_bitxor() -> tuple[str | None, bool]:
+        left = parse_bitand()
+        while True:
+            t = peek()
+            if t is not None and t.kind == "op" and t.text == "^":
+                advance()
+                left = (_arith_result_type(left, parse_bitand(), "^"), False)
+            else:
+                break
+        return left
+
+    def parse_bitor() -> tuple[str | None, bool]:
+        left = parse_bitxor()
+        while True:
+            t = peek()
+            if t is not None and t.kind == "op" and t.text == "|":
+                advance()
+                left = (_arith_result_type(left, parse_bitxor(), "|"), False)
+            else:
+                break
+        return left
+
+    def parse_predicate() -> tuple[str | None, bool]:
+        left = parse_bitor()
+        is_bool = False
+        while True:
+            t = peek()
+            if t is None:
+                break
+            negated = False
+            k = 0
+            if t.kind == "word" and t.upper == "NOT":
+                t2 = peek(1)
+                if t2 is not None and (
+                    (t2.kind == "word" and (
+                        t2.upper in _CMP_WORD_OPS
+                        or t2.upper in ("IN", "BETWEEN")))
+                ):
+                    negated = True
+                    k = 1
+                    t = t2
+                else:
+                    break
+            if t.kind == "op" and t.text in (
+                "=", "==", "!=", "<>", "<", ">", "<=", ">=", "<=>",
+            ):
+                advance(1 + k)
+                parse_bitor()
+                is_bool = True
+                continue
+            if t.kind == "word" and t.upper in _CMP_WORD_OPS:
+                advance(1 + k)
+                parse_bitor()
+                nt = peek()
+                if nt is not None and nt.kind == "word" \
+                        and nt.upper == "ESCAPE":
+                    advance()
+                    parse_primary()
+                is_bool = True
+                continue
+            if t.kind == "word" and t.upper == "IN":
+                advance(1 + k)
+                nt = peek()
+                if nt is None or nt.kind != "op" or nt.text != "(":
+                    raise _TypeBail
+                skip_group()
+                is_bool = True
+                continue
+            if t.kind == "word" and t.upper == "BETWEEN":
+                advance(1 + k)
+                parse_bitor()
+                nt = peek()
+                if nt is None or nt.kind != "word" or nt.upper != "AND":
+                    raise _TypeBail
+                advance()
+                parse_bitor()
+                is_bool = True
+                continue
+            if t.kind == "word" and t.upper == "IS":
+                advance()
+                nt = peek()
+                if nt is not None and nt.kind == "word" \
+                        and nt.upper == "NOT":
+                    advance()
+                    nt = peek()
+                if nt is None or nt.kind != "word":
+                    raise _TypeBail
+                if nt.upper in ("NULL", "TRUE", "FALSE", "UNKNOWN"):
+                    advance()
+                elif nt.upper == "DISTINCT":
+                    advance()
+                    ft = peek()
+                    if ft is None or ft.kind != "word" \
+                            or ft.upper != "FROM":
+                        raise _TypeBail
+                    advance()
+                    parse_bitor()
+                else:
+                    raise _TypeBail
+                is_bool = True
+                continue
+            break
+        return ("BOOLEAN", False) if is_bool else left
+
+    def parse_not() -> tuple[str | None, bool]:
+        t = peek()
+        if t is not None and t.kind == "word" and t.upper == "NOT":
+            advance()
+            parse_not()
+            return ("BOOLEAN", False)
+        return parse_predicate()
+
+    def parse_and() -> tuple[str | None, bool]:
+        left = parse_not()
+        saw = False
+        while True:
+            t = peek()
+            if t is not None and t.kind == "word" and t.upper == "AND":
+                advance()
+                parse_not()
+                saw = True
+            else:
+                break
+        return ("BOOLEAN", False) if saw else left
+
+    def parse_or() -> tuple[str | None, bool]:
+        left = parse_and()
+        saw = False
+        while True:
+            t = peek()
+            if t is not None and t.kind == "word" and t.upper == "OR":
+                advance()
+                parse_and()
+                saw = True
+            else:
+                break
+        return ("BOOLEAN", False) if saw else left
+
+    try:
+        ty, _ = parse_or()
+    except (_TypeBail, RecursionError):
+        return None
+    if pos[0] != len(sig):
+        return None  # trailing tokens the grammar above did not consume
+    return ty
+
+
+#: clause keywords that terminate a WHERE/HAVING/ON expression at the
+#: same paren depth
+_BOOL_CLAUSE_ENDS = frozenset({
+    "GROUP", "ORDER", "HAVING", "LIMIT", "OFFSET", "UNION", "WINDOW",
+    "WHERE", "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "ON",
+    "USING", "WHEN", "THEN", "ELSE", "END", "SELECT", "FROM",
+})
+
+
+def _check_strict_clause_bool_types(tokens: list[Token]) -> None:
+    """Expr.checkReturnsBool (A/Expr.java:986-994) over the WHERE,
+    HAVING and join-ON clauses: a clause whose expression has a
+    statically-known non-BOOLEAN type is rejected with the reference's
+    message. WHERE omits the expr text (SelectStmt.java analyzeWhere
+    passes printExpr=false); HAVING and ON quote toSql
+    (AnalyzeStmtsTest.java:1297-1305,2131-2135,1801-1805)."""
+    depth_at: list[int] = []
+    d = 0
+    for t in tokens:
+        if t.kind == "op" and t.text == "(":
+            d += 1
+        depth_at.append(d)
+        if t.kind == "op" and t.text == ")":
+            d -= 1
+    n = len(tokens)
+    for i, t in enumerate(tokens):
+        if t.kind != "word":
+            continue
+        up = t.upper
+        if up not in ("WHERE", "HAVING", "ON"):
+            continue
+        if up == "ON":
+            # only join ON: walk back for a JOIN at the same depth with
+            # nothing but a table ref (+hints) in between
+            p = _significant(tokens, i, -1)
+            hops = 0
+            is_join_on = False
+            while p != -1 and hops < 12:
+                tp = tokens[p]
+                if tp.kind == "word" and tp.upper == "JOIN" \
+                        and depth_at[p] == depth_at[i]:
+                    is_join_on = True
+                    break
+                # table ref between JOIN and ON: identifiers, dots,
+                # closing parens (inline view), AS
+                if not (
+                    tp.kind in ("word", "bident")
+                    or (tp.kind == "op" and tp.text in (".", ")"))
+                ):
+                    break
+                if tp.kind == "word" and tp.upper in (
+                    "SELECT", "WHERE", "FROM", "UNION",
+                ):
+                    break
+                p = _significant(tokens, p, -1)
+                hops += 1
+            if not is_join_on:
+                continue
+        dw = depth_at[i]
+        start = _significant(tokens, i)
+        if start == -1:
+            continue
+        end = n - 1
+        for k in range(start, n):
+            if depth_at[k] < dw:
+                end = k - 1
+                break
+            tk = tokens[k]
+            if (
+                depth_at[k] == dw and k > start and tk.kind == "word"
+                and tk.upper in _BOOL_CLAUSE_ENDS
+            ):
+                end = k - 1
+                break
+        while end >= start and tokens[end].kind in (
+            "ws", "line_comment", "block_comment",
+        ):
+            end -= 1
+        if end < start:
+            continue
+        ty = _expr_type(tokens, start, end)
+        if ty in (None, "BOOLEAN", "NULL_TYPE"):
+            continue
+        if up == "WHERE":
+            raise ImpalaUnsupportedError(
+                "WHERE clause requires return type 'BOOLEAN'. "
+                f"Actual type is '{ty}'."
+            )
+        frag = _expr_to_sql(untokenize(tokens[start:end + 1]).strip())
+        raise ImpalaUnsupportedError(
+            f"{up} clause '{frag}' requires return type 'BOOLEAN'. "
+            f"Actual type is '{ty}'."
+        )
 
 
 def _check_strict_function_calls(tokens: list[Token]) -> None:
@@ -6010,7 +6722,9 @@ def _check_strict_values_rows(tokens: list[Token]) -> None:
                         f"'{untokenize(tokens[last_span[0]:last_span[1] + 1]).strip()}' "
                         f"and '{untokenize(tokens[lo:hi + 1]).strip()}'."
                     )
-                last_ty, last_span = new_ty, (lo, hi)
+                # castToUnionCompatibleTypes keeps firstList.get(i) as
+                # the named expr (Analyzer.java:2270) — span stays put
+                last_ty = new_ty
 
 
 def _expr_to_sql(fragment: str) -> str:
@@ -6022,7 +6736,7 @@ def _expr_to_sql(fragment: str) -> str:
     try:
         from impala_spark.tosql import to_impala_sql
 
-        return to_impala_sql(fragment)
+        return to_impala_sql(fragment, default_db=None)
     except Exception:
         return fragment
 
@@ -6109,7 +6823,11 @@ def _check_strict_inlist_between_types(tokens: list[Token]) -> None:
                     f"of exprs '{untokenize(tokens[last_lo:last_hi + 1]).strip()}' "
                     f"and '{untokenize(tokens[lo:hi + 1]).strip()}'."
                 )
-            last_ty, last_lo, last_hi = new_ty, lo, hi
+            # castAllToCompatibleType never advances lastCompatibleExpr
+            # (Analyzer.java:2237 — it stays exprs.get(0)), so the error
+            # always names the FIRST operand: `timestamp_col in (NULL,
+            # int_col)` pins 'timestamp_col' and 'int_col'
+            last_ty = new_ty
 
 
 def _check_strict_case_exprs(tokens: list[Token]) -> None:
@@ -6278,6 +6996,11 @@ def _translate_checked(tokens: list[Token], sql: str, strict: bool) -> str:
         # ordinal substitution precedes the grouping-output checks in the
         # reference (SelectStmt.analyze), so its errors win here too
         _check_strict_ordinals(tokens)
+        # checkReturnsBool runs while each clause is analyzed — before
+        # the aggregation-output registration errors (SelectStmt.analyze
+        # order: analyzeWhere/Having before analyzeAggregation), so a
+        # non-boolean HAVING wins over its missing-from-GROUP-BY error
+        _check_strict_clause_bool_types(tokens)
         _check_strict_ungrouped_select(tokens)
         _check_strict_limit_offset(tokens)
         _check_strict_interval_units(tokens)

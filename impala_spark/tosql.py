@@ -141,6 +141,16 @@ def _convert_bracket_hints(sig: list[tuple[Token, bool]]) -> list[tuple[Token, b
     return out
 
 
+#: keywords that can never head a function call — a paren glued to one in
+#: the source still gets toSql's single space ("IN (", "EXISTS (")
+_PAREN_SPACED_KEYWORDS = frozenset({
+    "IN", "EXISTS", "NOT", "AND", "OR", "BETWEEN", "ON", "WHERE",
+    "HAVING", "WHEN", "THEN", "ELSE", "USING", "SELECT", "FROM", "JOIN",
+    "BY", "ALL", "DISTINCT", "UNION", "AS", "LIKE", "ILIKE", "RLIKE",
+    "REGEXP", "IREGEXP",
+})
+
+
 def _render(items: list[tuple[str, bool]]) -> str:
     """Join normalized token texts with toSql spacing: single spaces,
     except glued call-parens, no space inside parens or around dots or
@@ -171,9 +181,12 @@ def _render(items: list[tuple[str, bool]]) -> str:
         elif text == "(" and prev == "OVER":
             # AnalyticExpr.toSql always prints "OVER (" with a space
             parts.append(" " + text)
-        elif text == "(" and glue_call:
+        elif text == "(" and glue_call and prev not in _PAREN_SPACED_KEYWORDS:
             # call paren: glued in source to a name/keyword -> glued in
-            # output ("count(", "CAST(", "VALUES(")
+            # output ("count(", "CAST(", "VALUES(") — but never after a
+            # pure clause/operator keyword: Expr.toSql prints "IN (",
+            # "EXISTS (", "NOT (" with a space even when the user glued
+            # them ("id in(select ...)" -> "id IN (SELECT ...)")
             parts.append(text)
         else:
             parts.append(" " + text)
@@ -324,10 +337,13 @@ def _table_ref_positions(sig: list[tuple[Token, bool]]) -> set[int]:
     return out
 
 
-def to_impala_sql(sql: str, default_db: str = "default") -> str:
+def to_impala_sql(sql: str, default_db: str | None = "default") -> str:
     """Re-emit `sql` as the reference's analyzed `toSql()` would print
     it. `default_db` plays the session database's role in qualifying
-    bare table refs (the analyzer's resolution step)."""
+    bare table refs (the analyzer's resolution step); pass None to keep
+    bare refs unqualified — Expr/Stmt.toSql quoted inside ERROR messages
+    prints table refs as written (only getCreateViewSql-style re-emission
+    qualifies)."""
     sig = _convert_bracket_hints(_strip_ws(tokenize(sql)))
     cast_as = _find_cast_as_indices(sig)
     tbl_refs = _table_ref_positions(sig)
@@ -434,7 +450,7 @@ def to_impala_sql(sql: str, default_db: str = "default") -> str:
                 continue
 
             # ---- bare table refs: qualify ----
-            if i in tbl_refs:
+            if i in tbl_refs and default_db is not None:
                 out.append((f"{default_db}.{t.text}", glued))
                 i += 1
                 continue

@@ -803,8 +803,8 @@ def test_strict_batch_b_reference_texts():
         )
     assert (
         "Comparison between subqueries is not supported in a BETWEEN "
-        "predicate: (select max(a) from u) between (select min(a) from u) "
-        "and 100" in str(ei.value)
+        "predicate: (SELECT max(a) FROM u) BETWEEN (SELECT min(a) FROM u) "
+        "AND 100" in str(ei.value)
     )
     # BetweenPredicate.java:52-54 requires BOTH a subquery comparand AND a
     # subquery bound; a single subquery anywhere is legal
@@ -858,7 +858,8 @@ def test_strict_analytic_param_errors_pin_reference_texts():
     cases = [
         (
             "select count(distinct a) over (partition by b) from t",
-            "DISTINCT not allowed in analytic function: count(distinct a)",
+            # FunctionCallExpr.toSqlImpl prints "DISTINCT " uppercase
+            "DISTINCT not allowed in analytic function: count(DISTINCT a)",
         ),
         (
             "select lead(a ignore nulls) over (order by b) from t",
@@ -945,12 +946,12 @@ def test_strict_subquery_column_count_pins_reference_texts():
 
     with pytest.raises(
         ImpalaUnsupportedError,
-        match=r"Subquery must return a single column: \(select a, b from u\)",
+        match=r"Subquery must return a single column: \(SELECT a, b FROM u\)",
     ):
         tr("select * from t where x in (select a, b from u)", strict=True)
     with pytest.raises(
         ImpalaUnsupportedError,
-        match=r"Subquery must return a single row: \(select a, b from u\)",
+        match=r"Subquery must return a single row: \(SELECT a, b FROM u\)",
     ):
         tr("select * from t where x = (select a, b from u)", strict=True)
     # legal single-column / EXISTS / FROM-subquery forms untouched

@@ -401,7 +401,7 @@ def test_correlated_subquery_eligibility_errors():
             "select * from t a where a.id in "
             "(select max(x) from u where u.k = a.k)",
             "Unsupported correlated subquery with grouping and/or "
-            "aggregation: select max(x) from u where u.k = a.k",
+            "aggregation: SELECT max(x) FROM u WHERE u.k = a.k",
         ),
         (
             "select * from t a where a.id in "
@@ -419,7 +419,7 @@ def test_correlated_subquery_eligibility_errors():
             "select * from t a where a.id in "
             "(select x from u where u.k = a.k limit 5)",
             "Unsupported correlated subquery with a LIMIT clause: "
-            "select x from u where u.k = a.k limit 5",
+            "SELECT x FROM u WHERE u.k = a.k LIMIT 5",
         ),
         (
             "select * from t a where a.v > "
@@ -436,7 +436,7 @@ def test_correlated_subquery_eligibility_errors():
             "(select 1 + count(*) from u where u.k = a.k)",
             "Aggregate function that returns non-null on an empty input "
             "cannot be used in an expression in a correlated subquery's "
-            "select list: (select 1 + count(*) from u where u.k = a.k)",
+            "select list: (SELECT 1 + count(*) FROM u WHERE u.k = a.k)",
         ),
     ]
     for sql, msg in neg:
@@ -501,3 +501,127 @@ def test_stmt_shape_errors_exact_texts():
         "alter table t drop partition (year=1, year=2)",
     ]:
         tr(sql, strict=True)
+
+
+def test_clause_bool_type_errors_pin_reference_texts():
+    """Expr.checkReturnsBool (A/Expr.java:986-994) over WHERE/HAVING/ON:
+    AnalyzeStmtsTest.java:1801-1805 (WHERE, no expr printed),
+    :2131-2135 (HAVING, toSql quoted), :1297-1305 (ON, toSql quoted).
+    Result types come from the recursive-descent _expr_type — literal
+    demotion + arithmetic promotion per A/TypesUtil.java and
+    Expr.convertNumericLiteralsFromDecimal."""
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+    from impala_spark.testcatalog import schema_for_statement
+
+    neg = [
+        ("select id from functional.alltypes where int_col",
+         "WHERE clause requires return type 'BOOLEAN'. Actual type is 'INT'."),
+        ("select id from functional.alltypes where trim('abc')",
+         "WHERE clause requires return type 'BOOLEAN'. "
+         "Actual type is 'STRING'."),
+        ("select id from functional.alltypes where (int_col + float_col) * 10",
+         "WHERE clause requires return type 'BOOLEAN'. "
+         "Actual type is 'DOUBLE'."),
+        ("select count(*) from functional.alltypes group by bool_col "
+         "having 5 + 10 * 5.6",
+         "HAVING clause '5 + 10 * 5.6' requires return type 'BOOLEAN'. "
+         "Actual type is 'DOUBLE'."),
+        # boolean check precedes the aggregation-membership error
+        ("select count(*) from functional.alltypes group by bool_col "
+         "having int_col",
+         "HAVING clause 'int_col' requires return type 'BOOLEAN'. "
+         "Actual type is 'INT'."),
+        ("select a.int_col from functional.alltypes a "
+         "join functional.alltypes b on trim(a.string_col)",
+         "ON clause 'trim(a.string_col)' requires return type 'BOOLEAN'. "
+         "Actual type is 'STRING'."),
+        ("select a.int_col from functional.alltypes a "
+         "join functional.alltypes b on a.int_col * b.float_col",
+         "ON clause 'a.int_col * b.float_col' requires return type "
+         "'BOOLEAN'. Actual type is 'DOUBLE'."),
+    ]
+    for sql, msg in neg:
+        with pytest.raises(ImpalaUnsupportedError) as ei:
+            tr(sql, strict=True, schema=schema_for_statement(sql))
+        assert msg in str(ei.value), sql
+    # legal boolean / untypeable clauses untouched
+    for sql in [
+        "select id from functional.alltypes where bool_col",
+        "select id from functional.alltypes where int_col = 5",
+        "select id from functional.alltypes where null",
+        "select count(*) from functional.alltypes group by bool_col "
+        "having bool_col",
+        "select a.int_col from functional.alltypes a "
+        "join functional.alltypes b on a.id = b.id",
+        "select id from functional.alltypes where unknown_col",
+    ]:
+        tr(sql, strict=True, schema=schema_for_statement(sql))
+
+
+def test_typed_operand_and_rendering_parity_round7():
+    """Round-7 wrong-error fixes, each citing the reference rule:
+    - ArithmeticExpr.analyze checks ALL children for numeric-ness before
+      any integer-only rule (AnalyzeExprsTest bit-op pins)
+    - TimestampArithmeticExpr.java:142-147: reversed and DATE_ADD forms
+      type their first operand (STRING included — no implicit cast)
+    - Analyzer.castAllToCompatibleType never advances lastCompatibleExpr
+      (Analyzer.java:2237): IN-list incompatibility names the FIRST expr
+    - StmtRewriter error suffixes are toSql-rendered (uppercase keywords)
+    """
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+    from impala_spark.testcatalog import schema_for_statement
+
+    neg = [
+        ("select int_col from functional.alltypes where "
+         "float_col & bool_col > 5",
+         "Arithmetic operation requires numeric operands"),
+        ("select interval 10 years + string_col from functional.alltypes",
+         "Operand 'string_col' of timestamp arithmetic expression "
+         "'INTERVAL 10 years + string_col' returns type 'STRING'. "
+         "Expected type 'TIMESTAMP'"),
+        ("select interval 10 years + float_col from functional.alltypes",
+         "Operand 'float_col' of timestamp arithmetic expression "
+         "'INTERVAL 10 years + float_col' returns type 'FLOAT'. "
+         "Expected type 'TIMESTAMP'"),
+        ("select date_add(float_col, interval 10 years) "
+         "from functional.alltypes",
+         "Operand 'float_col' of timestamp arithmetic expression "
+         "'DATE_ADD(float_col, INTERVAL 10 years)' returns type 'FLOAT'. "
+         "Expected type 'TIMESTAMP'"),
+        ("select * from functional.alltypes where "
+         "timestamp_col in (NULL, int_col)",
+         "Incompatible return types 'TIMESTAMP' and 'INT' of exprs "
+         "'timestamp_col' and 'int_col'."),
+        ("select * from functional.alltypes t where t.id in "
+         "(select id from functional.alltypesagg) or t.bool_col = false",
+         "Subqueries in OR predicates are not supported: t.id IN "
+         "(SELECT id FROM functional.alltypesagg) OR t.bool_col = FALSE"),
+        ("select lag(tinyint_col, 1, null) over (partition by id) "
+         "from functional.alltypes",
+         "'lag(tinyint_col, 1, NULL)' requires an ORDER BY clause"),
+        ("select int_col from functional.alltypes union "
+         "select int_col, float_col from functional.alltypes",
+         "Operands have unequal number of columns:\n"
+         "'SELECT int_col FROM functional.alltypes' has 1 column(s)\n"
+         "'SELECT int_col, float_col FROM functional.alltypes' has "
+         "2 column(s)"),
+    ]
+    for sql, msg in neg:
+        with pytest.raises(ImpalaUnsupportedError) as ei:
+            tr(sql, strict=True, schema=schema_for_statement(sql))
+        assert msg in str(ei.value), sql
+    # legal forms untouched
+    for sql in [
+        "select interval 10 years + timestamp_col from functional.alltypes",
+        "select date_add(timestamp_col, interval 10 years) "
+        "from functional.alltypes",
+        "select timestamp_col + interval 10 years from functional.alltypes",
+        "select int_col & tinyint_col from functional.alltypes",
+    ]:
+        tr(sql, strict=True, schema=schema_for_statement(sql))
