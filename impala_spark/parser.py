@@ -987,7 +987,8 @@ _STRICT_CLAUSE_MESSAGES = {
 }
 
 _CLAUSE_BOUNDARY = {
-    "FROM", "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "UNION", "WINDOW",
+    "FROM", "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "OFFSET", "UNION",
+    "WINDOW",
 }
 
 
@@ -1063,10 +1064,47 @@ def _where_regions(tokens: list[Token]) -> list[tuple[int, int]]:
     return regions
 
 
+def _find_analytic_in_region(
+    tokens: list[Token], start: int, end: int
+) -> str | None:
+    """toSql of the first `fn(...) OVER (...)` analytic expr inside
+    [start, end), skipping subqueries (their analytics are legal in the
+    nested block). ANY call followed by OVER counts — rank/row_number
+    are not aggregate names but are still analytic."""
+    k = start
+    while k < end:
+        t = tokens[k]
+        if t.kind == "op" and t.text == "(":
+            j = _significant(tokens, k)
+            if j != -1 and tokens[j].kind == "word" and tokens[j].upper == "SELECT":
+                k = _matching_paren(tokens, k) + 1  # skip subquery
+                continue
+        if t.kind in ("word", "bident"):
+            j = _significant(tokens, k)
+            if j != -1 and j < end and tokens[j].kind == "op" and tokens[j].text == "(":
+                close = _matching_paren(tokens, j)
+                after = _significant(tokens, close)
+                if (
+                    after != -1
+                    and after < end
+                    and tokens[after].kind == "word"
+                    and tokens[after].upper == "OVER"
+                ):
+                    op = _significant(tokens, after)
+                    stop = _matching_paren(tokens, op) if (
+                        op != -1 and tokens[op].kind == "op"
+                        and tokens[op].text == "("
+                    ) else after
+                    return _expr_to_sql(untokenize(tokens[k:stop + 1]).strip())
+        k += 1
+    return None
+
+
 def _check_strict_where_exprs(tokens: list[Token]) -> None:
     """Impala rejects aggregates and analytic expressions in WHERE
-    (analysis/SelectStmt.java:236-246). Aggregates inside a subquery that
-    happens to sit in WHERE are legal and skipped."""
+    (analysis/SelectStmt.java:236-246; aggregate check first). Aggregates
+    inside a subquery that happens to sit in WHERE are legal and
+    skipped."""
     for start, end in _where_regions(tokens):
         k = start
         while k < end:
@@ -1081,24 +1119,181 @@ def _check_strict_where_exprs(tokens: list[Token]) -> None:
                 if j != -1 and j < end and tokens[j].kind == "op" and tokens[j].text == "(":
                     close = _matching_paren(tokens, j)
                     after = _significant(tokens, close)
-                    if (
+                    if not (
                         after != -1
                         and after < end
                         and tokens[after].kind == "word"
                         and tokens[after].upper == "OVER"
                     ):
-                        op = _significant(tokens, after)
-                        stop = _matching_paren(tokens, op) if (
-                            op != -1 and tokens[op].kind == "op" and tokens[op].text == "("
-                        ) else after
-                        expr = untokenize(tokens[k:stop + 1]).strip()
                         raise ImpalaUnsupportedError(
-                            f"WHERE clause must not contain analytic expressions: {expr}"
+                            "aggregate function not allowed in WHERE clause"
                         )
-                    raise ImpalaUnsupportedError(
-                        "aggregate function not allowed in WHERE clause"
-                    )
             k += 1
+        expr = _find_analytic_in_region(tokens, start, end)
+        if expr is not None:
+            raise ImpalaUnsupportedError(
+                f"WHERE clause must not contain analytic expressions: {expr}"
+            )
+
+
+#: aggregate names for the ON/HAVING placement rules (subset that can
+#: never be a scalar builtin)
+_PLACEMENT_AGG_NAMES = frozenset({
+    "count", "sum", "avg", "min", "max", "ndv", "group_concat",
+    "stddev", "stddev_samp", "stddev_pop", "variance", "variance_samp",
+    "variance_pop", "var_samp", "var_pop", "appx_median",
+})
+
+
+def _check_strict_join_clauses(tokens: list[Token]) -> None:
+    """TableRef.analyzeJoin (A/TableRef.java:488-519):
+    - aggregate function not allowed in ON clause (:494-496, checked
+      before the analytic rule)
+    - analytic expression not allowed in ON clause (:497-500)
+    - OUTER/SEMI/ANTI joins require an ON or USING clause (:515-518)
+    Plus SelectStmt.analyzeHaving's analytic rejection
+    (SelectStmt.java:545-548)."""
+    n = len(tokens)
+    depth_at: list[int] = []
+    d = 0
+    for t in tokens:
+        if t.kind == "op" and t.text == "(":
+            d += 1
+        depth_at.append(d)
+        if t.kind == "op" and t.text == ")":
+            d -= 1
+    for i, t in enumerate(tokens):
+        if t.kind != "word":
+            continue
+        up = t.upper
+        if up == "JOIN":
+            # canonical operator name from the preceding modifiers
+            p = _significant(tokens, i, -1)
+            mods: list[str] = []
+            while p != -1 and tokens[p].kind == "word" and tokens[p].upper in (
+                "LEFT", "RIGHT", "FULL", "OUTER", "INNER", "CROSS",
+                "SEMI", "ANTI",
+            ):
+                mods.insert(0, tokens[p].upper)
+                p = _significant(tokens, p, -1)
+            if not mods or mods == ["INNER"] or mods == ["CROSS"]:
+                continue
+            side = mods[0] if mods[0] in ("LEFT", "RIGHT", "FULL") else ""
+            kind = mods[-1] if mods[-1] in ("SEMI", "ANTI") else "OUTER"
+            if not side:
+                continue
+            op_name = f"{side} {kind} JOIN"
+            # scan forward past the joined table ref for ON/USING at the
+            # same depth
+            dw = depth_at[i]
+            k = _significant(tokens, i)
+            found = False
+            ended = False
+            hops = 0
+            while k != -1 and k < n and hops < 64:
+                tk = tokens[k]
+                if depth_at[k] < dw:
+                    ended = True
+                    break
+                if tk.kind == "op" and tk.text == "(":
+                    k = _matching_paren(tokens, k)
+                    if k == -1:
+                        ended = True
+                        break
+                    k = _significant(tokens, k)
+                    hops += 1
+                    continue
+                if tk.kind == "word" and depth_at[k] == dw:
+                    if tk.upper in ("ON", "USING"):
+                        found = True
+                        break
+                    if tk.upper in (
+                        "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS",
+                        "SEMI", "ANTI", "WHERE", "GROUP", "ORDER",
+                        "HAVING", "LIMIT", "UNION", "STRAIGHT_JOIN",
+                    ):
+                        ended = True
+                        break
+                if tk.kind == "op" and tk.text == "," and depth_at[k] == dw:
+                    ended = True
+                    break
+                k = _significant(tokens, k)
+                hops += 1
+            if not found and (ended or k == -1 or k >= n):
+                raise ImpalaUnsupportedError(
+                    f"{op_name} requires an ON or USING clause"
+                )
+        elif up == "ON":
+            # region: to the next same-depth clause boundary
+            dw = depth_at[i]
+            start = _significant(tokens, i)
+            if start == -1:
+                continue
+            end = n
+            for k in range(start, n):
+                if depth_at[k] < dw:
+                    end = k
+                    break
+                tk = tokens[k]
+                if (
+                    depth_at[k] == dw and k > start and tk.kind == "word"
+                    and tk.upper in _BOOL_CLAUSE_ENDS
+                ):
+                    end = k
+                    break
+            # aggregate check first (TableRef.java:494-496)
+            k = start
+            while k < end:
+                tk = tokens[k]
+                if tk.kind == "op" and tk.text == "(":
+                    j = _significant(tokens, k)
+                    if j != -1 and tokens[j].kind == "word" \
+                            and tokens[j].upper == "SELECT":
+                        k = _matching_paren(tokens, k) + 1
+                        continue
+                if tk.kind == "word" and tk.text.lower() in _PLACEMENT_AGG_NAMES:
+                    j = _significant(tokens, k)
+                    if j != -1 and j < end and tokens[j].kind == "op" \
+                            and tokens[j].text == "(":
+                        close = _matching_paren(tokens, j)
+                        after = _significant(tokens, close)
+                        if not (
+                            after != -1 and after < end
+                            and tokens[after].kind == "word"
+                            and tokens[after].upper == "OVER"
+                        ):
+                            raise ImpalaUnsupportedError(
+                                "aggregate function not allowed in ON clause"
+                            )
+                k += 1
+            if _find_analytic_in_region(tokens, start, end) is not None:
+                raise ImpalaUnsupportedError(
+                    "analytic expression not allowed in ON clause"
+                )
+        elif up == "HAVING":
+            dw = depth_at[i]
+            start = _significant(tokens, i)
+            if start == -1:
+                continue
+            end = n
+            for k in range(start, n):
+                if depth_at[k] < dw:
+                    end = k
+                    break
+                tk = tokens[k]
+                if (
+                    depth_at[k] == dw and k > start and tk.kind == "word"
+                    and tk.upper in ("GROUP", "ORDER", "LIMIT", "UNION",
+                                     "WINDOW", "OFFSET")
+                ):
+                    end = k
+                    break
+            expr = _find_analytic_in_region(tokens, start, end)
+            if expr is not None:
+                raise ImpalaUnsupportedError(
+                    "HAVING clause must not contain analytic expressions: "
+                    + expr
+                )
 
 
 def _select_blocks(tokens: list[Token]) -> list[tuple[int, int, int]]:
@@ -2097,7 +2292,752 @@ def _primary_span_fwd(tokens: list[Token], i: int) -> int:
     return -1
 
 
-#: Words that terminate a table ref's alias position inside a FROM clause.
+_ARITH_CHAIN_OPS = frozenset({"+", "-", "*", "/", "%", "&", "|", "^"})
+
+
+#: keywords that can precede a parenthesized expression without being a
+#: call name — _primary_span_back would otherwise fold them into the span
+_NON_CALL_KEYWORDS = frozenset({
+    "WHERE", "HAVING", "ON", "AND", "OR", "NOT", "WHEN", "THEN", "ELSE",
+    "IN", "SELECT", "FROM", "BY", "UNION", "ALL", "DISTINCT", "USING",
+    "AS", "BETWEEN", "LIKE", "ILIKE", "RLIKE", "REGEXP", "IREGEXP", "IS",
+})
+
+
+def _primary_back_nokw(tokens: list[Token], i: int) -> int:
+    """_primary_span_back, but a leading clause keyword glued to a paren
+    group ("WHERE (expr)") yields the group's '(' — keywords are not
+    call names."""
+    start = _primary_span_back(tokens, i)
+    if start == -1:
+        return -1
+    if (
+        tokens[start].kind == "word"
+        and tokens[start].upper in _NON_CALL_KEYWORDS
+    ):
+        nx = _significant(tokens, start)
+        if nx != -1 and tokens[nx].kind == "op" and tokens[nx].text == "(":
+            return nx
+        return -1
+    return start
+
+
+def _chain_span_back(tokens: list[Token], i: int) -> int:
+    """Start index of the arithmetic chain (primaries joined by
+    + - * / % DIV & | ^) ENDING at token i; -1 if no primary ends
+    there."""
+    start = _primary_back_nokw(tokens, i)
+    if start == -1:
+        return -1
+    while True:
+        p = _significant(tokens, start, -1)
+        if p == -1:
+            break
+        tp = tokens[p]
+        if (tp.kind == "op" and tp.text in _ARITH_CHAIN_OPS) or (
+            tp.kind == "word" and tp.upper == "DIV"
+        ):
+            q = _significant(tokens, p, -1)
+            s2 = _primary_back_nokw(tokens, q)
+            if s2 == -1:
+                break
+            start = s2
+            continue
+        break
+    return start
+
+
+def _chain_span_fwd(tokens: list[Token], i: int) -> int:
+    """End index of the arithmetic chain STARTING at token i."""
+    end = _primary_span_fwd(tokens, i)
+    if end == -1:
+        return -1
+    while True:
+        p = _significant(tokens, end)
+        if p == -1:
+            break
+        tp = tokens[p]
+        if (tp.kind == "op" and tp.text in _ARITH_CHAIN_OPS) or (
+            tp.kind == "word" and tp.upper == "DIV"
+        ):
+            q = _significant(tokens, p)
+            e2 = _primary_span_fwd(tokens, q)
+            if e2 == -1:
+                break
+            end = e2
+            continue
+        break
+    return end
+
+
+def _span_subquery_opens(tokens: list[Token], a: int, b: int) -> list[int]:
+    """Indices of every TOP-LEVEL '(' in [a, b] whose first significant
+    content token is SELECT (a subquery open paren). Subqueries nested
+    inside another subquery in the span are that subquery's own business
+    and are not reported."""
+    opens: list[int] = []
+    k = a
+    while k <= b:
+        if tokens[k].kind == "op" and tokens[k].text == "(":
+            j = _significant(tokens, k)
+            if j != -1 and tokens[j].kind == "word" \
+                    and tokens[j].upper == "SELECT":
+                opens.append(k)
+                close = _matching_paren(tokens, k)
+                if close == -1:
+                    break
+                k = close + 1
+                continue
+        k += 1
+    return opens
+
+
+def _outside_subqueries(tokens: list[Token], a: int, b: int) -> list[int]:
+    """Token indices in [a, b] that are not inside any top-level
+    subquery group of the span."""
+    out: list[int] = []
+    k = a
+    while k <= b:
+        if tokens[k].kind == "op" and tokens[k].text == "(":
+            j = _significant(tokens, k)
+            if j != -1 and tokens[j].kind == "word" \
+                    and tokens[j].upper == "SELECT":
+                close = _matching_paren(tokens, k)
+                if close != -1:
+                    k = close + 1
+                    continue
+        out.append(k)
+        k += 1
+    return out
+
+
+def _subquery_is_scalar(tokens: list[Token], open_idx: int) -> bool:
+    """Approximate Subquery.isScalarSubquery for the group opening at
+    open_idx: a single select-list item that is an aggregate call, and
+    no GROUP BY at the subquery's top level. Also recurses one level
+    into a directly-nested subquery (contains() is deep)."""
+    close = _matching_paren(tokens, open_idx)
+    if close == -1:
+        return False
+    sel = _significant(tokens, open_idx)
+    if sel == -1 or tokens[sel].kind != "word" or tokens[sel].upper != "SELECT":
+        return False
+    d = 0
+    from_idx = close
+    has_group = False
+    for k in range(sel + 1, close):
+        tk = tokens[k]
+        if tk.kind == "op" and tk.text == "(":
+            d += 1
+        elif tk.kind == "op" and tk.text == ")":
+            d -= 1
+        elif d == 0 and tk.kind == "word":
+            if tk.upper == "FROM" and from_idx == close:
+                from_idx = k
+            elif tk.upper == "GROUP":
+                has_group = True
+    if has_group:
+        return False
+    items = _split_top_level_commas(tokens, sel + 1, from_idx)
+    if len(items) != 1:
+        return False
+    a, b = items[0]
+    a2 = a
+    while a2 < b and tokens[a2].kind in ("ws", "line_comment", "block_comment"):
+        a2 += 1
+    if a2 >= b or tokens[a2].kind != "word":
+        return False
+    if tokens[a2].text.lower() not in _PLACEMENT_AGG_NAMES:
+        return False
+    j = _significant(tokens, a2)
+    return j != -1 and j < b and tokens[j].kind == "op" and tokens[j].text == "("
+
+
+def _subquery_clearly_multi_row(tokens: list[Token], open_idx: int) -> bool:
+    """True only when the subquery at open_idx DEFINITELY returns more
+    than one row per SelectStmt.returnsSingleRow: a FROM clause, no
+    LIMIT 1, and no aggregate/analytic call anywhere (an unknown
+    function name may be a UDA, and aggregation/analytics route to the
+    StmtRewriter error family instead). Correlated subqueries are left
+    to the correlation checks — only uncorrelated ones count."""
+    close = _matching_paren(tokens, open_idx)
+    if close == -1:
+        return False
+    d = 0
+    has_from = False
+    from_idx = -1
+    for k in range(open_idx + 1, close):
+        tk = tokens[k]
+        if tk.kind == "op" and tk.text == "(":
+            d += 1
+        elif tk.kind == "op" and tk.text == ")":
+            d -= 1
+        elif d == 0 and tk.kind == "word":
+            if tk.upper == "FROM" and from_idx == -1:
+                has_from = True
+                from_idx = k
+            elif tk.upper == "GROUP":
+                return False  # grouping -> StmtRewriter error family
+            elif tk.upper == "LIMIT":
+                j = _significant(tokens, k)
+                if j != -1 and tokens[j].kind == "number" \
+                        and tokens[j].text == "1":
+                    return False
+    if not has_from:
+        return False
+    inner_names: set[str] = set()
+    for k in range(open_idx + 1, close):
+        tk = tokens[k]
+        if tk.kind == "word":
+            if tk.upper == "OVER":
+                return False  # analytic
+            nx = _significant(tokens, k)
+            if nx != -1 and nx < close and tokens[nx].kind == "op" \
+                    and tokens[nx].text == "(":
+                fname = tk.text.lower()
+                if fname in _PLACEMENT_AGG_NAMES:
+                    return False  # aggregate -> single row / other family
+                if fname not in _FN_RETURN_TYPES and fname not in _FN_SIGS:
+                    return False  # unknown call: may be a UDA
+    # declared FROM-clause names (table tail parts and aliases)
+    k = from_idx
+    while k != -1 and k < close:
+        tk = tokens[k]
+        if tk.kind == "word" and tk.upper in (
+            "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "UNION",
+        ):
+            break
+        if tk.kind in ("word", "bident") and tk.upper not in (
+            "FROM", "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "OUTER",
+            "CROSS", "SEMI", "ANTI", "ON", "USING", "AS",
+        ):
+            inner_names.add(tk.text.strip("`").lower())
+        if tk.kind == "op" and tk.text == "(":
+            k = _matching_paren(tokens, k)
+            if k == -1:
+                break
+        k += 1
+    # correlated? a dotted ref whose root is not declared inside
+    for k in range(open_idx + 1, close):
+        tk = tokens[k]
+        if tk.kind not in ("word", "bident"):
+            continue
+        nx = _significant(tokens, k)
+        pv = _significant(tokens, k, -1)
+        if nx != -1 and nx < close and tokens[nx].kind == "op" \
+                and tokens[nx].text == ".":
+            if pv != -1 and tokens[pv].kind == "op" and tokens[pv].text == ".":
+                continue  # path tail
+            if tk.text.strip("`").lower() not in inner_names:
+                return False  # correlated: other checks own it
+    return True
+
+
+def _subquery_inner_names(tokens: list[Token], open_idx: int, close: int) -> set[str]:
+    """Names declared by the subquery's own FROM clause (table tail
+    parts and aliases)."""
+    inner: set[str] = set()
+    d = 0
+    from_idx = -1
+    for k in range(open_idx + 1, close):
+        tk = tokens[k]
+        if tk.kind == "op" and tk.text == "(":
+            d += 1
+        elif tk.kind == "op" and tk.text == ")":
+            d -= 1
+        elif d == 0 and tk.kind == "word" and tk.upper == "FROM":
+            from_idx = k
+            break
+    k = from_idx
+    while k != -1 and k < close:
+        tk = tokens[k]
+        if tk.kind == "word" and tk.upper in (
+            "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "UNION",
+        ):
+            break
+        if tk.kind in ("word", "bident") and tk.upper not in (
+            "FROM", "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "OUTER",
+            "CROSS", "SEMI", "ANTI", "ON", "USING", "AS",
+        ):
+            inner.add(tk.text.strip("`").lower())
+        if tk.kind == "op" and tk.text == "(":
+            k = _matching_paren(tokens, k)
+            if k == -1:
+                break
+        k += 1
+    return inner
+
+
+def _subquery_correlation(tokens: list[Token], open_idx: int) -> str:
+    """'none' (uncorrelated), 'equi' (correlated with at least one
+    outer_slot = inner_slot conjunct — rewritable as a join), or
+    'nonequi' (correlated without one) for the subquery at open_idx."""
+    close = _matching_paren(tokens, open_idx)
+    if close == -1:
+        return "none"
+    inner = _subquery_inner_names(tokens, open_idx, close)
+    correlated = False
+    has_equi = False
+    for k in range(open_idx + 1, close):
+        tk = tokens[k]
+        if tk.kind in ("word", "bident"):
+            nx = _significant(tokens, k)
+            pv = _significant(tokens, k, -1)
+            if nx != -1 and nx < close and tokens[nx].kind == "op" \
+                    and tokens[nx].text == ".":
+                if pv != -1 and tokens[pv].kind == "op" \
+                        and tokens[pv].text == ".":
+                    continue
+                if tk.text.strip("`").lower() not in inner:
+                    correlated = True
+        elif tk.kind == "op" and tk.text == "=":
+            li = _significant(tokens, k, -1)
+            ri = _significant(tokens, k)
+
+            def _side_root(idx: int, back: bool) -> str | None:
+                if idx == -1 or idx >= close:
+                    return None
+                span = (_primary_span_back(tokens, idx) if back
+                        else idx)
+                end = idx if back else _primary_span_fwd(tokens, idx)
+                if span == -1 or end == -1:
+                    return None
+                head = span
+                if tokens[head].kind not in ("word", "bident"):
+                    return None
+                nx2 = _significant(tokens, head)
+                if nx2 != -1 and tokens[nx2].kind == "op" \
+                        and tokens[nx2].text == "(":
+                    return None  # call, not a slot
+                return tokens[head].text.strip("`").lower()
+
+            lroot = _side_root(li, True)
+            rroot = _side_root(ri, False)
+            if lroot is None or rroot is None:
+                continue
+
+            # a dotted ref with an undeclared root is an outer slot; a
+            # bare column or declared-root ref is an inner slot
+            def _is_outer(root: str, idx: int, back: bool) -> bool:
+                span = _primary_span_back(tokens, idx) if back else idx
+                nxt = _significant(tokens, span)
+                dotted = nxt != -1 and tokens[nxt].kind == "op" \
+                    and tokens[nxt].text == "."
+                if not dotted:
+                    return False  # bare column: inner
+                return root not in inner
+
+            if _is_outer(lroot, li, True) != _is_outer(rroot, ri, False):
+                has_equi = True
+    if not correlated:
+        return "none"
+    return "equi" if has_equi else "nonequi"
+
+
+def _expand_between(fragment: str) -> str:
+    """Rewrite `X BETWEEN A AND B` to `X >= A AND X <= B` (and NOT
+    BETWEEN to `X < A OR X > B`) the way the analyzer's
+    BetweenToCompoundRule does before toSql is quoted in StmtRewriter
+    errors."""
+    toks = tokenize(fragment)
+    changed = True
+    while changed:
+        changed = False
+        for i, t in enumerate(toks):
+            if t.kind != "word" or t.upper != "BETWEEN":
+                continue
+            li = _significant(toks, i, -1)
+            negated = False
+            if li != -1 and toks[li].kind == "word" and toks[li].upper == "NOT":
+                negated = True
+                li = _significant(toks, li, -1)
+            lhs = _primary_span_back(toks, li)
+            lo1 = _significant(toks, i)
+            b1e = _primary_span_fwd(toks, lo1)
+            if lhs == -1 or b1e == -1:
+                continue
+            and_i = _significant(toks, b1e)
+            if and_i == -1 or toks[and_i].kind != "word" \
+                    or toks[and_i].upper != "AND":
+                continue
+            lo2 = _significant(toks, and_i)
+            b2e = _primary_span_fwd(toks, lo2)
+            if b2e == -1:
+                continue
+            x = untokenize(toks[lhs:li + 1]).strip()
+            a = untokenize(toks[lo1:b1e + 1]).strip()
+            b = untokenize(toks[lo2:b2e + 1]).strip()
+            rep = (f"{x} < {a} OR {x} > {b}" if negated
+                   else f"{x} >= {a} AND {x} <= {b}")
+            new = untokenize(toks[:lhs]) + rep + untokenize(toks[b2e + 1:])
+            toks = tokenize(new)
+            changed = True
+            break
+    return untokenize(toks)
+
+
+def _check_strict_subquery_predicates(tokens: list[Token]) -> None:
+    """Subquery-placement constraints the reference enforces during
+    analysis/rewrite, over statement shapes:
+
+    - Subquery.analyze (A/Subquery.java:77-81): an expression subquery
+      must contain a single select block — no UNION, no VALUES.
+    - LimitElement.analyze (A/LimitElement.java:109-113): LIMIT with a
+      subquery is not a constant expression.
+    - IsNullPredicate.analyze (A/IsNullPredicate.java:108-118): IS NULL
+      over anything containing a subquery other than a bare scalar
+      subquery.
+    - BinaryPredicate.analyze (A/BinaryPredicate.java:197-218): at most
+      one subquery under a comparison; no EXISTS; no IN-with-subquery.
+    - StmtRewriter (A/StmtRewriter.java:455-505): an IN/NOT IN whose
+      left side is constant needs an equi-join conjunct from
+      correlation; NOT IN additionally needs it even against a scalar
+      subquery; a correlated EXISTS needs at least one equi-join
+      correlated conjunct.
+    """
+    n = len(tokens)
+
+    def tosql_span(a: int, b: int) -> str:
+        return _expr_to_sql(untokenize(tokens[a:b + 1]).strip())
+
+    # ---- expression-position subqueries: single select block + LIMIT --
+    for i, t in enumerate(tokens):
+        if t.kind != "op" or t.text != "(":
+            continue
+        j = _significant(tokens, i)
+        if j == -1 or tokens[j].kind != "word":
+            continue
+        head = tokens[j].upper
+        prev = _significant(tokens, i, -1)
+        if prev == -1:
+            continue
+        tp = tokens[prev]
+        is_limit = tp.kind == "word" and tp.upper == "LIMIT"
+        expr_pos = (
+            (tp.kind == "op" and tp.text in (
+                "=", "==", "!=", "<>", "<", ">", "<=", ">=", "<=>",
+                "+", "-", "*", "/", "%",
+            ))
+            or (tp.kind == "word" and tp.upper in ("IN", "EXISTS"))
+        )
+        if not (is_limit or expr_pos):
+            continue
+        close = _matching_paren(tokens, i)
+        if close == -1:
+            continue
+        if head == "VALUES" and expr_pos:
+            raise ImpalaUnsupportedError(
+                "A subquery must contain a single select block: "
+                + tosql_span(i, close)
+            )
+        if head != "SELECT":
+            continue
+        if is_limit:
+            raise ImpalaUnsupportedError(
+                "LIMIT expression must be a constant expression: "
+                + tosql_span(i, close)
+            )
+        d = 0
+        for k in range(i + 1, close):
+            tk = tokens[k]
+            if tk.kind == "op" and tk.text == "(":
+                d += 1
+            elif tk.kind == "op" and tk.text == ")":
+                d -= 1
+            elif d == 0 and tk.kind == "word" and tk.upper == "UNION":
+                raise ImpalaUnsupportedError(
+                    "A subquery must contain a single select block: "
+                    + tosql_span(i, close)
+                )
+
+    # ---- correlated-ref visibility: an outer alias is only visible in
+    #      a subquery's WHERE/ON — a qualified ref in its GROUP BY or
+    #      ORDER BY, or a qualified star, does not resolve
+    #      (Analyzer path resolution; AnalyzeSubqueriesTest pins
+    #      "Could not resolve column/field reference: 't.test_id'") ----
+    for i, t in enumerate(tokens):
+        if t.kind != "op" or t.text != "(":
+            continue
+        hd = _significant(tokens, i)
+        if hd == -1 or tokens[hd].kind != "word" or tokens[hd].upper != "SELECT":
+            continue
+        prev = _significant(tokens, i, -1)
+        if prev == -1:
+            continue
+        tp = tokens[prev]
+        if not (
+            (tp.kind == "op" and tp.text in (
+                "=", "==", "!=", "<>", "<", ">", "<=", ">=", "<=>",
+            ))
+            or (tp.kind == "word" and tp.upper in ("IN", "EXISTS"))
+        ):
+            continue
+        close = _matching_paren(tokens, i)
+        if close == -1:
+            continue
+        inner = _subquery_inner_names(tokens, i, close)
+        if not inner:
+            continue
+        # qualified star in the select list
+        d = 0
+        for k in range(hd + 1, close):
+            tk = tokens[k]
+            if tk.kind == "op" and tk.text == "(":
+                d += 1
+            elif tk.kind == "op" and tk.text == ")":
+                d -= 1
+            elif d == 0 and tk.kind == "word" and tk.upper == "FROM":
+                break
+            elif d == 0 and tk.kind in ("word", "bident"):
+                nx = _significant(tokens, k)
+                if nx != -1 and tokens[nx].kind == "op" and tokens[nx].text == ".":
+                    n2 = _significant(tokens, nx)
+                    if n2 != -1 and tokens[n2].kind == "op" \
+                            and tokens[n2].text == "*":
+                        root = tk.text.strip("`").lower()
+                        if root not in inner:
+                            raise ImpalaUnsupportedError(
+                                "Could not resolve star expression: "
+                                f"'{untokenize(tokens[k:n2 + 1]).strip()}'"
+                            )
+        # qualified refs inside GROUP BY / ORDER BY regions
+        d = 0
+        k = i + 1
+        while k < close:
+            tk = tokens[k]
+            if tk.kind == "op" and tk.text == "(":
+                d += 1
+            elif tk.kind == "op" and tk.text == ")":
+                d -= 1
+            elif d == 0 and tk.kind == "word" and tk.upper in ("GROUP", "ORDER"):
+                by = _significant(tokens, k)
+                if by == -1 or tokens[by].kind != "word" \
+                        or tokens[by].upper != "BY":
+                    k += 1
+                    continue
+                # region end: next same-depth clause keyword or close
+                end = close
+                d2 = 0
+                for m in range(by + 1, close):
+                    tm = tokens[m]
+                    if tm.kind == "op" and tm.text == "(":
+                        d2 += 1
+                    elif tm.kind == "op" and tm.text == ")":
+                        d2 -= 1
+                    elif d2 == 0 and tm.kind == "word" and tm.upper in (
+                        "LIMIT", "OFFSET", "HAVING", "UNION", "ORDER",
+                        "GROUP",
+                    ):
+                        end = m
+                        break
+                for m in range(by + 1, end):
+                    tm = tokens[m]
+                    if tm.kind not in ("word", "bident"):
+                        continue
+                    nx = _significant(tokens, m)
+                    pv = _significant(tokens, m, -1)
+                    if not (nx != -1 and nx < end and tokens[nx].kind == "op"
+                            and tokens[nx].text == "."):
+                        continue
+                    if pv != -1 and tokens[pv].kind == "op" \
+                            and tokens[pv].text == ".":
+                        continue
+                    root = tm.text.strip("`").lower()
+                    if root in inner:
+                        continue
+                    # full dotted path as written
+                    pe = m
+                    p2 = nx
+                    while p2 != -1 and p2 < end and tokens[p2].kind == "op" \
+                            and tokens[p2].text == ".":
+                        n3 = _significant(tokens, p2)
+                        if n3 == -1 or tokens[n3].kind not in ("word", "bident"):
+                            break
+                        pe = n3
+                        p2 = _significant(tokens, n3)
+                    raise ImpalaUnsupportedError(
+                        "Could not resolve column/field reference: "
+                        f"'{untokenize(tokens[m:pe + 1]).strip()}'"
+                    )
+                k = end
+                continue
+            k += 1
+
+    # ---- StmtRewriter join-rewrite eligibility (:455-505): an IN whose
+    #      left side is constant, and a correlated EXISTS without an
+    #      equi-join conjunct, cannot be rewritten ----
+    for i, t in enumerate(tokens):
+        if t.kind != "word":
+            continue
+        up = t.upper
+        if up == "IN":
+            j = _significant(tokens, i)
+            if j == -1 or tokens[j].kind != "op" or tokens[j].text != "(":
+                continue
+            hd = _significant(tokens, j)
+            if hd == -1 or tokens[hd].kind != "word" \
+                    or tokens[hd].upper != "SELECT":
+                continue
+            close = _matching_paren(tokens, j)
+            if close == -1:
+                continue
+            li2 = _significant(tokens, i, -1)
+            negated = False
+            if li2 != -1 and tokens[li2].kind == "word" \
+                    and tokens[li2].upper == "NOT":
+                negated = True
+                li2 = _significant(tokens, li2, -1)
+            lhs2 = _chain_span_back(tokens, li2)
+            if lhs2 == -1 or li2 == -1:
+                continue
+            if not _span_is_constant_expr(tokens, lhs2, li2):
+                continue
+            corr = _subquery_correlation(tokens, j)
+            rendered = _expr_to_sql(
+                _expand_between(untokenize(tokens[lhs2:close + 1]).strip())
+            )
+            if corr == "equi":
+                if negated:
+                    raise ImpalaUnsupportedError(
+                        "Unsupported NOT IN predicate with subquery: "
+                        + rendered
+                    )
+            else:
+                if _subquery_is_scalar(tokens, j):
+                    if negated:
+                        raise ImpalaUnsupportedError(
+                            "Unsupported NOT IN predicate with subquery: "
+                            + rendered
+                        )
+                else:
+                    raise ImpalaUnsupportedError(
+                        "Unsupported predicate with subquery: " + rendered
+                    )
+        elif up == "EXISTS":
+            j = _significant(tokens, i)
+            if j == -1 or tokens[j].kind != "op" or tokens[j].text != "(":
+                continue
+            hd = _significant(tokens, j)
+            if hd == -1 or tokens[hd].kind != "word" \
+                    or tokens[hd].upper != "SELECT":
+                continue
+            close = _matching_paren(tokens, j)
+            if close == -1:
+                continue
+            if _subquery_correlation(tokens, j) == "nonequi":
+                rendered = _expr_to_sql(_expand_between(
+                    untokenize(tokens[i:close + 1]).strip()
+                ))
+                raise ImpalaUnsupportedError(
+                    "Unsupported predicate with subquery: " + rendered
+                )
+
+    # ---- IS NULL over subquery-bearing exprs ----
+    for i, t in enumerate(tokens):
+        if t.kind != "word" or t.upper != "IS":
+            continue
+        j = _significant(tokens, i)
+        negated = False
+        if j != -1 and tokens[j].kind == "word" and tokens[j].upper == "NOT":
+            negated = True
+            j = _significant(tokens, j)
+        if j == -1 or tokens[j].kind != "word" or tokens[j].upper != "NULL":
+            continue
+        li = _significant(tokens, i, -1)
+        lhs = _chain_span_back(tokens, li)
+        if lhs == -1:
+            continue
+        subqs = _span_subquery_opens(tokens, lhs, li)
+        if not subqs:
+            continue
+        # legal iff the expr CONTAINS a scalar subquery
+        # (IsNullPredicate.java:110 `contains(Expr.IS_SCALAR_SUBQUERY)`) —
+        # approximate scalar-ness as single-aggregate select list with no
+        # GROUP BY; only raise when NO subquery qualifies
+        if any(_subquery_is_scalar(tokens, o) for o in subqs):
+            continue
+        raise ImpalaUnsupportedError(
+            "Unsupported IS NULL predicate that contains a subquery: "
+            + tosql_span(lhs, li) + (" IS NOT NULL" if negated else " IS NULL")
+        )
+
+    # ---- binary predicates over subqueries ----
+    for i, t in enumerate(tokens):
+        if not (t.kind == "op" and t.text in (
+            "=", "==", "!=", "<>", "<", ">", "<=", ">=", "<=>",
+        )):
+            continue
+        li = _significant(tokens, i, -1)
+        ri = _significant(tokens, i)
+        lhs = _chain_span_back(tokens, li)
+        rhs = _chain_span_fwd(tokens, ri)
+        if lhs == -1 or rhs == -1:
+            continue
+        subqs = _span_subquery_opens(tokens, lhs, rhs)
+        if not subqs:
+            continue
+        # BinaryPredicate.analyze order (BinaryPredicate.java:176-218):
+        # the overload lookup runs FIRST — a direct subquery operand
+        # whose statement cannot return a single row has a non-scalar
+        # type, failing the lookup with the single-row message; operands
+        # of known incompatible types fail it with the comparability
+        # message. Only then come the subquery-count/EXISTS/IN rules.
+        for op_lo, op_hi in ((lhs, li), (ri, rhs)):
+            if (
+                op_lo != -1 and op_hi != -1
+                and tokens[op_lo].kind == "op" and tokens[op_lo].text == "("
+                and _matching_paren(tokens, op_lo) == op_hi
+            ):
+                hd = _significant(tokens, op_lo)
+                if (
+                    hd != -1 and tokens[hd].kind == "word"
+                    and tokens[hd].upper == "SELECT"
+                    and _subquery_clearly_multi_row(tokens, op_lo)
+                ):
+                    raise ImpalaUnsupportedError(
+                        "Subquery must return a single row: "
+                        + tosql_span(op_lo, op_hi)
+                    )
+        t1 = _expr_type(tokens, lhs, li)
+        t2 = _expr_type(tokens, ri, rhs)
+        if t1 is not None and t2 is not None \
+                and _assignment_compatible(t1, t2) is None:
+            raise ImpalaUnsupportedError(
+                f"operands of type {t1} and {t2} are not comparable: "
+                + tosql_span(lhs, rhs)
+            )
+        if len(subqs) > 1:
+            raise ImpalaUnsupportedError(
+                "Multiple subqueries are not supported in binary "
+                "predicates: " + tosql_span(lhs, rhs)
+            )
+        outside = _outside_subqueries(tokens, lhs, rhs)
+        for k in outside:
+            if tokens[k].kind == "word" and tokens[k].upper == "EXISTS":
+                raise ImpalaUnsupportedError(
+                    "EXISTS subquery predicates are not supported in "
+                    "binary predicates: " + tosql_span(lhs, rhs)
+                )
+        for k in outside:
+            if tokens[k].kind == "word" and tokens[k].upper == "IN" \
+                    and k != lhs:
+                j2 = _significant(tokens, k)
+                if j2 != -1 and j2 <= rhs and tokens[j2].kind == "op" \
+                        and tokens[j2].text == "(":
+                    cl = _matching_paren(tokens, j2)
+                    hd = _significant(tokens, j2)
+                    is_subq = (
+                        hd != -1 and tokens[hd].kind == "word"
+                        and tokens[hd].upper == "SELECT"
+                    )
+                    if cl != -1 and (
+                        is_subq
+                        or _span_subquery_opens(tokens, j2 + 1, cl - 1)
+                    ):
+                        raise ImpalaUnsupportedError(
+                            "IN subquery predicates are not supported in "
+                            "binary predicates: " + tosql_span(lhs, rhs)
+                        )
 _FROM_KEYWORDS = frozenset({
     "ON", "USING", "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "OUTER",
     "CROSS", "SEMI", "ANTI", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
@@ -2279,10 +3219,66 @@ _KNOWN_SCALAR_FNS = {
 }
 
 
+#: words legal inside a constant expression (operators, literal
+#: keywords, cast targets, interval units) — anything else is a slot ref
+_CONST_EXPR_WORDS = frozenset({
+    "TRUE", "FALSE", "NULL", "CAST", "AS", "CASE", "WHEN", "THEN",
+    "ELSE", "END", "NOT", "AND", "OR", "IS", "IN", "BETWEEN", "LIKE",
+    "DIV", "DISTINCT", "INTERVAL", "TINYINT", "SMALLINT", "INT",
+    "INTEGER", "BIGINT", "FLOAT", "DOUBLE", "REAL", "DECIMAL", "STRING",
+    "VARCHAR", "CHAR", "BOOLEAN", "TIMESTAMP", "YEAR", "YEARS", "MONTH",
+    "MONTHS", "WEEK", "WEEKS", "DAY", "DAYS", "HOUR", "HOURS", "MINUTE",
+    "MINUTES", "SECOND", "SECONDS",
+})
+
+
+def _span_is_constant_expr(tokens: list[Token], a: int, b: int) -> bool:
+    """True when tokens[a..b] is a constant expression per
+    Expr.isConstant: literals, operators and function calls over
+    constants — no bare identifier (slot ref) anywhere."""
+    for k in range(a, b + 1):
+        t = tokens[k]
+        if t.kind == "bident":
+            return False
+        if t.kind != "word":
+            continue
+        if t.upper in _CONST_EXPR_WORDS:
+            continue
+        j = _significant(tokens, k)
+        if j != -1 and j <= b and tokens[j].kind == "op" and tokens[j].text == "(":
+            continue  # function name: constness judged by its args
+        return False
+    return True
+
+
 def _check_strict_analytic_exprs(tokens: list[Token]) -> None:
     """AnalyticExpr.java analysis rules: no nested analytics (:540),
     LEAD/LAG offset a constant positive integer (:414), and no constant
     PARTITION BY / ORDER BY expressions in the window spec (:429, :440)."""
+    # select-list aliases bound to analytic items: an ORDER BY analytic
+    # whose spec references one nests an analytic after alias
+    # substitution (AnalyticExpr.java:539)
+    analytic_aliases: set[str] = set()
+    for sel_idx, from_idx, _blk_end in _select_blocks(tokens):
+        for a, b in _split_top_level_commas(tokens, sel_idx + 1, from_idx):
+            if not any(
+                tokens[x].kind == "word" and tokens[x].upper == "OVER"
+                for x in range(a, b)
+            ):
+                continue
+            last = b - 1
+            while last >= a and tokens[last].kind in (
+                "ws", "line_comment", "block_comment",
+            ):
+                last -= 1
+            if last < a or tokens[last].kind not in ("word", "bident"):
+                continue
+            prev = _significant(tokens, last, -1)
+            if prev != -1 and (
+                (tokens[prev].kind == "op" and tokens[prev].text == ")")
+                or (tokens[prev].kind == "word" and tokens[prev].upper == "AS")
+            ):
+                analytic_aliases.add(tokens[last].text.strip("`").lower())
     for idx, t in enumerate(tokens):
         if t.kind != "word" or t.upper != "OVER":
             continue
@@ -2386,13 +3382,55 @@ def _check_strict_analytic_exprs(tokens: list[Token]) -> None:
                 raise ImpalaUnsupportedError(
                     f"Windowing clause not allowed with '{call}'"
                 )
-        # nested analytic inside the function arguments
-        for k in range(args_open + 1, args_close):
-            if tokens[k].kind == "word" and tokens[k].upper == "OVER":
-                nx = _significant(tokens, k)
-                if nx != -1 and tokens[nx].text == "(":
+        # nested analytic inside the function arguments OR inside the
+        # window spec itself (partition-by/order-by exprs —
+        # AnalyticExpr.java:539: "Nesting of analytic expressions is not
+        # allowed")
+        for lo_n, hi_n in ((args_open, args_close), (spec_open, spec_close)):
+            for k in range(lo_n + 1, hi_n):
+                if tokens[k].kind == "word" and tokens[k].upper == "OVER":
+                    nx = _significant(tokens, k)
+                    if nx != -1 and tokens[nx].text == "(":
+                        raise ImpalaUnsupportedError(
+                            "Nesting of analytic expressions is not allowed: "
+                            + full
+                        )
+        # an ORDER BY analytic whose spec references a select-list alias
+        # bound to another analytic nests after alias substitution
+        if analytic_aliases:
+            # is this call inside a statement-level ORDER BY clause?
+            in_order_by = False
+            for b in range(name_idx - 1, -1, -1):
+                tb = tokens[b]
+                if tb.kind != "word":
+                    continue
+                if tb.upper == "BY":
+                    p2 = _significant(tokens, b, -1)
+                    if p2 != -1 and tokens[p2].kind == "word" \
+                            and tokens[p2].upper == "ORDER":
+                        in_order_by = True
+                    break
+                if tb.upper in ("SELECT", "FROM", "WHERE", "HAVING",
+                                "GROUP", "OVER", "LIMIT"):
+                    break
+            if in_order_by:
+                for k in range(spec_open + 1, spec_close):
+                    tk = tokens[k]
+                    if tk.kind not in ("word", "bident"):
+                        continue
+                    if tk.text.strip("`").lower() not in analytic_aliases:
+                        continue
+                    nx = _significant(tokens, k)
+                    pv = _significant(tokens, k, -1)
+                    if nx != -1 and tokens[nx].kind == "op" \
+                            and tokens[nx].text in ("(", "."):
+                        continue
+                    if pv != -1 and tokens[pv].kind == "op" \
+                            and tokens[pv].text == ".":
+                        continue
                     raise ImpalaUnsupportedError(
-                        "Nesting of analytic expressions is not allowed: " + full
+                        "Nesting of analytic expressions is not allowed: "
+                        + full
                     )
         # LEAD/LAG offset (2nd argument)
         if fn in ("lead", "lag"):
@@ -2419,11 +3457,52 @@ def _check_strict_analytic_exprs(tokens: list[Token]) -> None:
                         bad = True  # bool literal offset
                 elif len(sig) == 1 and tokens[sig[0]].kind in ("word", "bident"):
                     bad = tokens[sig[0]].upper not in ("TRUE", "FALSE")  # column ref
+                elif sig and not _span_is_constant_expr(tokens, sig[0], sig[-1]):
+                    # non-constant offset expression (AnalyticExpr.java:
+                    # 414, AnalyzeExprsTest.java:949 pins
+                    # `lag(int_col, tinyint_col * 2, 5)`)
+                    bad = True
                 if bad:
                     raise ImpalaUnsupportedError(
                         "The offset parameter of LEAD/LAG must be a constant "
                         "positive integer: " + call
                     )
+            if len(items) >= 3:
+                a, b = items[2]
+                sig = [
+                    k for k in range(a, b)
+                    if tokens[k].kind not in ("ws", "line_comment", "block_comment")
+                ]
+                if sig and not _span_is_constant_expr(tokens, sig[0], sig[-1]):
+                    raise ImpalaUnsupportedError(
+                        "The default parameter (parameter 3) of LEAD/LAG "
+                        "must be a constant: " + call
+                    )
+        # NTILE(): constant positive argument (AnalyticExpr.java:499-510)
+        if fn == "ntile":
+            items = _split_top_level_commas(tokens, args_open + 1, args_close)
+            if items:
+                a, b = items[0]
+                sig = [
+                    k for k in range(a, b)
+                    if tokens[k].kind not in ("ws", "line_comment", "block_comment")
+                ]
+                if sig:
+                    if not _span_is_constant_expr(tokens, sig[0], sig[-1]):
+                        raise ImpalaUnsupportedError(
+                            "NTILE() requires a constant argument"
+                        )
+                    lit = _is_pure_literal(tokens, sig[0], sig[-1] + 1)
+                    if lit is not None:
+                        try:
+                            v = float(lit)
+                        except ValueError:
+                            v = None
+                        if v is not None and v <= 0 and v.is_integer():
+                            raise ImpalaUnsupportedError(
+                                "NTILE() requires a positive argument: "
+                                + str(int(v))
+                            )
         # constant PARTITION BY / ORDER BY items inside the window spec
         k = spec_open + 1
         while k < spec_close:
@@ -2469,6 +3548,51 @@ def _check_strict_analytic_exprs(tokens: list[Token]) -> None:
             k += 1
         # windowing clause (ROWS/RANGE frame) boundary rules
         _check_window_frame(tokens, spec_open, spec_close, full)
+        # min/max over a sliding window: the start bound must be
+        # UNBOUNDED PRECEDING (AnalyticExpr.java:548-553). Runs AFTER
+        # the window-boundary validation above, matching the reference's
+        # analyze order (window_.analyze precedes the min/max rule).
+        if fn in ("min", "max"):
+            d2 = 0
+            frame_at = -1
+            for k in range(spec_open + 1, spec_close):
+                tk = tokens[k]
+                if tk.kind == "op" and tk.text == "(":
+                    d2 += 1
+                elif tk.kind == "op" and tk.text == ")":
+                    d2 -= 1
+                elif d2 == 0 and tk.kind == "word" and tk.upper in (
+                    "ROWS", "RANGE",
+                ):
+                    frame_at = k
+                    break
+            if frame_at != -1:
+                b1 = _significant(tokens, frame_at)
+                if b1 != -1 and tokens[b1].kind == "word" \
+                        and tokens[b1].upper == "BETWEEN":
+                    b1 = _significant(tokens, b1)
+                start_unbounded = (
+                    b1 != -1
+                    and tokens[b1].kind == "word"
+                    and tokens[b1].upper == "UNBOUNDED"
+                )
+                # standardize() runs first: a window ENDING in UNBOUNDED
+                # FOLLOWING is reversed into an UNBOUNDED PRECEDING one
+                # (AnalyticExpr.standardize/reverseWindow), so it passes
+                end_unbounded = False
+                for k in range(frame_at + 1, spec_close):
+                    if tokens[k].kind == "word" \
+                            and tokens[k].upper == "UNBOUNDED":
+                        nx2 = _significant(tokens, k)
+                        if nx2 != -1 and tokens[nx2].kind == "word" \
+                                and tokens[nx2].upper == "FOLLOWING":
+                            end_unbounded = True
+                            break
+                if not start_unbounded and not end_unbounded:
+                    raise ImpalaUnsupportedError(
+                        f"'{call}' is only supported with an UNBOUNDED "
+                        "PRECEDING startPosition bound."
+                    )
 
 
 def _frag_sql(tokens: list[Token], a: int, b: int) -> str:
@@ -4681,6 +5805,15 @@ def _check_strict_table_path_refs(tokens: list[Token]) -> None:
                     # (AnalyzeStmtsTest.java:1203-1211 pins both verdicts
                     # depending on createAnalyzer's db), so skip then
                     if kind in ("table", "view") and p0 not in _CATALOG:
+                        # a WITH-clause view with this name resolves as a
+                        # real table ref FIRST; registering its implicit
+                        # alias then collides with the earlier one
+                        # (Analyzer.registerTableRef, AnalyzeStmtsTest
+                        # "Duplicate table alias" pins over CTE names)
+                        if p0 in ctes:
+                            raise ImpalaUnsupportedError(
+                                f"Duplicate table alias: '{p0}'"
+                            )
                         raise ImpalaUnsupportedError(
                             "Illegal table reference to non-collection "
                             f"type: '{raw}'"
@@ -6289,13 +7422,10 @@ _BOOL_CLAUSE_ENDS = frozenset({
 })
 
 
-def _check_strict_clause_bool_types(tokens: list[Token]) -> None:
-    """Expr.checkReturnsBool (A/Expr.java:986-994) over the WHERE,
-    HAVING and join-ON clauses: a clause whose expression has a
-    statically-known non-BOOLEAN type is rejected with the reference's
-    message. WHERE omits the expr text (SelectStmt.java analyzeWhere
-    passes printExpr=false); HAVING and ON quote toSql
-    (AnalyzeStmtsTest.java:1297-1305,2131-2135,1801-1805)."""
+def _bool_clause_regions(tokens: list[Token]) -> list[tuple[str, int, int]]:
+    """(clause_keyword, start, end) inclusive expression regions for
+    every WHERE, HAVING and join-ON clause in the statement."""
+    regions: list[tuple[str, int, int]] = []
     depth_at: list[int] = []
     d = 0
     for t in tokens:
@@ -6360,6 +7490,157 @@ def _check_strict_clause_bool_types(tokens: list[Token]) -> None:
             end -= 1
         if end < start:
             continue
+        regions.append((up, start, end))
+    return regions
+
+
+def _check_strict_compound_operands(tokens: list[Token]) -> None:
+    """CompoundPredicate.analyzeImpl (A/CompoundPredicate.java:86-95):
+    every operand of AND/OR/NOT must return BOOLEAN (NULL implicitly
+    casts); the first failing operand is reported with the enclosing
+    predicate's toSql — `Operand 'x' part of predicate 'x AND y' should
+    return type 'BOOLEAN' but returns type 'T'.` Children analyze
+    bottom-up, so a nested compound's error wins over its parent's.
+    Scans select-list items and WHERE/HAVING/join-ON regions;
+    statically-typeable operands only (unknown types fall through)."""
+
+    def split_at(a: int, b: int, word: str) -> list[tuple[int, int]]:
+        """Split [a, b] at depth-0 `word` keywords, skipping paren
+        groups, CASE..END bodies and BETWEEN's AND."""
+        parts: list[tuple[int, int]] = []
+        lo = a
+        pending_between = 0
+        case_depth = 0
+        k = a
+        while k <= b:
+            t = tokens[k]
+            if t.kind == "op" and t.text == "(":
+                close = _matching_paren(tokens, k)
+                if close == -1 or close > b:
+                    return []
+                k = close + 1
+                continue
+            if t.kind == "word":
+                up = t.upper
+                if up == "CASE":
+                    case_depth += 1
+                elif up == "END" and case_depth:
+                    case_depth -= 1
+                elif not case_depth:
+                    if up == "BETWEEN":
+                        pending_between += 1
+                    elif up == "AND" and pending_between:
+                        pending_between -= 1
+                    elif up == word:
+                        parts.append((lo, k - 1))
+                        lo = k + 1
+            k += 1
+        parts.append((lo, b))
+        return parts if len(parts) > 1 else []
+
+    def trim(a: int, b: int) -> tuple[int, int]:
+        while a <= b and tokens[a].kind in (
+            "ws", "line_comment", "block_comment",
+        ):
+            a += 1
+        while b >= a and tokens[b].kind in (
+            "ws", "line_comment", "block_comment",
+        ):
+            b -= 1
+        return a, b
+
+    def check_span(a: int, b: int) -> None:
+        a, b = trim(a, b)
+        if a > b:
+            return
+        # strip a fully-enclosing paren group
+        while (
+            tokens[a].kind == "op" and tokens[a].text == "("
+            and _matching_paren(tokens, a) == b
+        ):
+            a, b = trim(a + 1, b - 1)
+            if a > b:
+                return
+        for word in ("OR", "AND"):
+            parts = split_at(a, b, word)
+            if not parts:
+                continue
+            for pa, pb in parts:
+                check_span(pa, pb)
+            for k, (pa, pb) in enumerate(parts):
+                pa, pb = trim(pa, pb)
+                if pa > pb:
+                    continue
+                ty = _expr_type(tokens, pa, pb)
+                if ty in (None, "BOOLEAN", "NULL_TYPE"):
+                    continue
+                # left-assoc nesting: the smallest compound holding the
+                # failing child as a DIRECT operand
+                hi = parts[1][1] if k <= 1 else parts[k][1]
+                _, hi = trim(parts[0][0], hi)
+                pred = _expr_to_sql(
+                    untokenize(tokens[parts[0][0]:hi + 1]).strip()
+                )
+                operand = _expr_to_sql(
+                    untokenize(tokens[pa:pb + 1]).strip()
+                )
+                raise ImpalaUnsupportedError(
+                    f"Operand '{operand}' part of predicate '{pred}' "
+                    "should return type 'BOOLEAN' but returns type "
+                    f"'{ty}'."
+                )
+            return
+        if tokens[a].kind == "word" and tokens[a].upper == "NOT":
+            ra = _significant(tokens, a)
+            if ra == -1 or ra > b:
+                return
+            check_span(ra, b)
+            ty = _expr_type(tokens, ra, b)
+            if ty in (None, "BOOLEAN", "NULL_TYPE"):
+                return
+            operand = _expr_to_sql(untokenize(tokens[ra:b + 1]).strip())
+            raise ImpalaUnsupportedError(
+                f"Operand '{operand}' part of predicate 'NOT {operand}' "
+                "should return type 'BOOLEAN' but returns type "
+                f"'{ty}'."
+            )
+
+    for sel, from_idx, _ in _select_blocks(tokens):
+        first = _significant(tokens, sel)
+        items = _split_top_level_commas(tokens, sel + 1, from_idx)
+        for a, b in items:
+            a, b = trim(a, b - 1)
+            if a > b:
+                continue
+            if tokens[a].kind == "word" and tokens[a].upper in (
+                "DISTINCT", "ALL", "STRAIGHT_JOIN",
+            ) and a == first:
+                a = _significant(tokens, a)
+                if a == -1 or a > b:
+                    continue
+            # strip a trailing [AS] alias so it can't poison the typer
+            sig = [
+                k for k in range(a, b + 1)
+                if tokens[k].kind not in ("ws", "line_comment", "block_comment")
+            ]
+            if len(sig) >= 2 and tokens[sig[-2]].kind == "word" \
+                    and tokens[sig[-2]].upper == "AS":
+                b = sig[-3] if len(sig) >= 3 else sig[0]
+                if b < a:
+                    continue
+            check_span(a, b)
+    for _, start, end in _bool_clause_regions(tokens):
+        check_span(start, end)
+
+
+def _check_strict_clause_bool_types(tokens: list[Token]) -> None:
+    """Expr.checkReturnsBool (A/Expr.java:986-994) over the WHERE,
+    HAVING and join-ON clauses: a clause whose expression has a
+    statically-known non-BOOLEAN type is rejected with the reference's
+    message. WHERE omits the expr text (SelectStmt.java analyzeWhere
+    passes printExpr=false); HAVING and ON quote toSql
+    (AnalyzeStmtsTest.java:1297-1305,2131-2135,1801-1805)."""
+    for up, start, end in _bool_clause_regions(tokens):
         ty = _expr_type(tokens, start, end)
         if ty in (None, "BOOLEAN", "NULL_TYPE"):
             continue
@@ -6989,6 +8270,7 @@ def _translate_checked(tokens: list[Token], sql: str, strict: bool) -> str:
         _check_strict_table_path_refs(tokens)
         _check_strict_complex_types(tokens)
         _check_strict_subquery_clauses(tokens)
+        _check_strict_subquery_predicates(tokens)
         _check_strict_where_exprs(tokens)
         _check_strict_group_by_exprs(tokens)
         _check_strict_nested_aggs(tokens)
@@ -6999,8 +8281,12 @@ def _translate_checked(tokens: list[Token], sql: str, strict: bool) -> str:
         # checkReturnsBool runs while each clause is analyzed — before
         # the aggregation-output registration errors (SelectStmt.analyze
         # order: analyzeWhere/Having before analyzeAggregation), so a
-        # non-boolean HAVING wins over its missing-from-GROUP-BY error
+        # non-boolean HAVING wins over its missing-from-GROUP-BY error.
+        # Compound-operand typing is child analysis, so it wins over the
+        # clause-level checkReturnsBool
+        _check_strict_compound_operands(tokens)
         _check_strict_clause_bool_types(tokens)
+        _check_strict_join_clauses(tokens)
         _check_strict_ungrouped_select(tokens)
         _check_strict_limit_offset(tokens)
         _check_strict_interval_units(tokens)

@@ -625,3 +625,294 @@ def test_typed_operand_and_rendering_parity_round7():
         "select int_col & tinyint_col from functional.alltypes",
     ]:
         tr(sql, strict=True, schema=schema_for_statement(sql))
+
+
+def test_analytic_placement_and_param_errors():
+    """Analytic placement + parameter rules with the reference's texts:
+    SelectStmt.java:236-246 (WHERE), :545-548 (HAVING),
+    TableRef.java:494-518 (ON clause, OUTER/SEMI join ON requirement),
+    AnalyticExpr.java:414/:493/:499-510/:539/:548-553."""
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+    from impala_spark.testcatalog import schema_for_statement
+
+    neg = [
+        ("select id from functional.alltypes where "
+         "row_number() over(order by id) > 1",
+         "WHERE clause must not contain analytic expressions: "
+         "row_number() OVER (ORDER BY id ASC)"),
+        ("select id, count(*) from functional.alltypes group by 1 "
+         "having rank() over(order by int_col) > 1",
+         "HAVING clause must not contain analytic expressions: "
+         "rank() OVER (ORDER BY int_col ASC)"),
+        ("select a.int_col from functional.alltypes a join "
+         "functional.alltypes b on (a.bigint_col = sum(b.int_col))",
+         "aggregate function not allowed in ON clause"),
+        ("select a.int_col from functional.alltypes a join "
+         "functional.alltypes b on "
+         "(a.bigint_col = lag(b.int_col) over(order by a.bigint_col))",
+         "analytic expression not allowed in ON clause"),
+        ("select * from functional.alltypes a left outer join "
+         "functional.alltypes b",
+         "LEFT OUTER JOIN requires an ON or USING clause"),
+        ("select * from functional.alltypes a full outer join "
+         "functional.alltypes b",
+         "FULL OUTER JOIN requires an ON or USING clause"),
+        ("select max(int_col) over (partition by id order by tinyint_col "
+         "rows 2 preceding) from functional.alltypes",
+         "'max(int_col)' is only supported with an UNBOUNDED PRECEDING "
+         "startPosition bound."),
+        ("select lag(int_col, tinyint_col * 2, 5) over "
+         "(order by tinyint_col, int_col) from functional.alltypes",
+         "The offset parameter of LEAD/LAG must be a constant positive "
+         "integer"),
+        ("select lag(int_col, 1, int_col) over (order by tinyint_col) "
+         "from functional.alltypes",
+         "The default parameter (parameter 3) of LEAD/LAG must be a "
+         "constant"),
+        ("select ntile(-1) over(order by int_col) from "
+         "functional.alltypestiny",
+         "NTILE() requires a positive argument: -1"),
+        ("select ntile(int_col) over(order by tinyint_col) from "
+         "functional.alltypestiny",
+         "NTILE() requires a constant argument"),
+        ("select max(int_col) over (partition by id order by "
+         "rank() over (order by tinyint_col), int_col) from "
+         "functional.alltypes",
+         "Nesting of analytic expressions is not allowed"),
+    ]
+    for sql, msg in neg:
+        with pytest.raises(ImpalaUnsupportedError) as ei:
+            tr(sql, strict=True, schema=schema_for_statement(sql))
+        assert msg in str(ei.value), sql
+    for sql in [
+        "select * from functional.alltypes a left join "
+        "functional.alltypes b using (id)",
+        "select * from functional.alltypes a cross join "
+        "functional.alltypes b",
+        # reverseWindow standardization: end UNBOUNDED FOLLOWING is legal
+        "select max(id) over (order by id rows between current row and "
+        "unbounded following) from functional.alltypes",
+        "select min(int_col) over (order by id rows unbounded preceding) "
+        "from functional.alltypes",
+        "select ntile(3) over(order by int_col) from functional.alltypes",
+    ]:
+        tr(sql, strict=True, schema=schema_for_statement(sql))
+
+
+def test_subquery_predicate_shape_errors():
+    """Subquery-placement constraints with the reference's texts:
+    Subquery.java:77-81 (single select block), LimitElement.java:109-113,
+    IsNullPredicate.java:108-118, BinaryPredicate.java:176-218 (order:
+    single-row/comparability -> multiple -> EXISTS -> IN), and the
+    StmtRewriter join-rewrite eligibility rules (:455-505)."""
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+    from impala_spark.testcatalog import schema_for_statement
+
+    neg = [
+        ("select * from functional.alltypes where exists "
+         "(select id from functional.alltypestiny union "
+         "select id from functional.alltypesagg)",
+         "A subquery must contain a single select block: (SELECT id FROM "
+         "functional.alltypestiny UNION SELECT id FROM "
+         "functional.alltypesagg)"),
+        ("select * from functional.alltypes where exists (values(1))",
+         "A subquery must contain a single select block: (VALUES(1))"),
+        ("select * from functional.alltypes limit "
+         "(select count(*) from functional.alltypesagg)",
+         "LIMIT expression must be a constant expression: "
+         "(SELECT count(*) FROM functional.alltypesagg)"),
+        ("select * from functional.alltypestiny t where "
+         "(id in (select id from functional.alltypes)) is null",
+         "Unsupported IS NULL predicate that contains a subquery: "
+         "(id IN (SELECT id FROM functional.alltypes)) IS NULL"),
+        ("select * from functional.alltypestiny t where "
+         "(select count(*) from functional.alltypessmall) = "
+         "(select count(*) from functional.alltypesagg)",
+         "Multiple subqueries are not supported in binary predicates"),
+        ("select * from functional.alltypes where "
+         "if(exists(select * from functional.alltypesagg), 1, 0) = 1",
+         "EXISTS subquery predicates are not supported in binary "
+         "predicates: if(EXISTS (SELECT * FROM functional.alltypesagg), "
+         "1, 0) = 1"),
+        ("select * from functional.alltypestiny where "
+         "(tinyint_col in (1,2)) = "
+         "(bool_col in (select bool_col from functional.alltypes))",
+         "IN subquery predicates are not supported in binary predicates"),
+        # comparability precedes the IN-in-binary rule
+        ("select * from functional.alltypes t where "
+         "(id in (select id from functional.alltypestiny)) = 'string_val'",
+         "operands of type BOOLEAN and STRING are not comparable: "
+         "(id IN (SELECT id FROM functional.alltypestiny)) = 'string_val'"),
+        # direct non-single-row subquery operand beats the multiple rule
+        ("select * from functional.alltypestiny where "
+         "(select max(id) from functional.alltypes) = "
+         "(select id from functional.alltypestiny)",
+         "Subquery must return a single row: "
+         "(SELECT id FROM functional.alltypestiny)"),
+        ("select id from functional.alltypestiny where int_col = "
+         "(select int_col from functional.alltypessmall limit 2)",
+         "Subquery must return a single row: (SELECT int_col FROM "
+         "functional.alltypessmall LIMIT 2)"),
+        ("select * from functional.alltypes t where 1 in "
+         "(select int_col from functional.alltypesagg)",
+         "Unsupported predicate with subquery: 1 IN "
+         "(SELECT int_col FROM functional.alltypesagg)"),
+        ("select * from functional.alltypestiny t1 where 10 not in "
+         "(select max(int_col) from functional.alltypestiny)",
+         "Unsupported NOT IN predicate with subquery: 10 NOT IN "
+         "(SELECT max(int_col) FROM functional.alltypestiny)"),
+        ("select * from functional.alltypes a where 1 not in "
+         "(select id from functional.alltypesagg s "
+         "where s.int_col = a.int_col)",
+         "Unsupported NOT IN predicate with subquery: 1 NOT IN (SELECT id "
+         "FROM functional.alltypesagg s WHERE s.int_col = a.int_col)"),
+        ("select * from functional.alltypestiny t where exists "
+         "(select int_col + 1 from functional.alltypessmall s "
+         "where t.int_col = 10)",
+         "Unsupported predicate with subquery: EXISTS (SELECT int_col + 1 "
+         "FROM functional.alltypessmall s WHERE t.int_col = 10)"),
+        # BETWEEN in the quoted subquery is re-emitted in its rewritten
+        # compound form (BetweenToCompoundRule precedes toSql)
+        ("select 1 from functional.alltypes t where EXISTS (select id "
+         "from functional.alltypessmall a where a.int_col between "
+         "t.tinyint_col and t.bigint_col)",
+         "Unsupported predicate with subquery: EXISTS (SELECT id FROM "
+         "functional.alltypessmall a WHERE a.int_col >= t.tinyint_col "
+         "AND a.int_col <= t.bigint_col)"),
+        # outer aliases are invisible in a subquery's GROUP BY / ORDER BY
+        ("select * from functional.jointbl t where test_zip in "
+         "(select count(*) from functional.alltypes group by t.test_id)",
+         "Could not resolve column/field reference: 't.test_id'"),
+        ("select * from functional.jointbl t where exists "
+         "(select t.* from functional.alltypes)",
+         "Could not resolve star expression: 't.*'"),
+    ]
+    for sql, msg in neg:
+        with pytest.raises(ImpalaUnsupportedError) as ei:
+            tr(sql, strict=True, schema=schema_for_statement(sql))
+        assert msg in str(ei.value), sql
+    for sql in [
+        "select * from functional.alltypes t where t.id = "
+        "(select min(id) from functional.alltypesagg)",
+        "select * from functional.alltypes t where "
+        "(select max(id) from functional.alltypesagg) is null",
+        "select * from functional.alltypes t where exists "
+        "(select 1 from functional.alltypesagg g where g.id = t.id)",
+        "select * from (select id from functional.alltypes union "
+        "select id from functional.alltypesagg) v",
+        "select * from functional.alltypes t where t.id in "
+        "(select id from functional.alltypesagg)",
+        "select * from functional.alltypes t where 1 in "
+        "(select max(int_col) from functional.alltypesagg)",
+    ]:
+        tr(sql, strict=True, schema=schema_for_statement(sql))
+
+
+def test_offset_and_cte_alias_collision_errors():
+    """OFFSET-without-ORDER-BY must win over the grouped-select check
+    even when OFFSET trails a GROUP BY ordinal (AnalyzeStmtsTest pins
+    `group by 1 offset 5` -> the OFFSET text: OFFSET terminates the
+    GROUP BY region like every other clause keyword), and a bare table
+    ref naming a WITH-clause view whose implicit alias collides with an
+    earlier explicit alias is a Duplicate-table-alias error, not an
+    illegal-collection-ref one (Analyzer.registerTableRef order)."""
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+    from impala_spark.testcatalog import TABLE_SCHEMAS, schema_for_statement
+
+    neg = [
+        ("select * from (select zip, count(*) from (select * from "
+         "functional.testtbl) x group by 1 offset 5) x",
+         "OFFSET requires an ORDER BY clause: OFFSET 5"),
+        ("with t1 as (select 1 x), t2 as (select 2 y) select * from "
+         "functional.alltypes as t1 inner join t1",
+         "Duplicate table alias: 't1'"),
+        ("with t1 as (select 1) select * from (select 2) as t1 "
+         "inner join t1",
+         "Duplicate table alias: 't1'"),
+    ]
+    for sql, msg in neg:
+        with pytest.raises(ImpalaUnsupportedError) as ei:
+            tr(sql, strict=True, schema=schema_for_statement(sql),
+               catalog=TABLE_SCHEMAS)
+        assert msg in str(ei.value), sql
+    # positives: ordinal GROUP BY with a real ORDER BY + OFFSET is fine;
+    # distinct CTE/alias names coexist
+    for sql in [
+        "select zip, count(*) from functional.testtbl group by 1 "
+        "order by 1 limit 10 offset 5",
+        "with t1 as (select 1 x) select * from functional.alltypes "
+        "as t9 inner join t1",
+    ]:
+        tr(sql, strict=True, schema=schema_for_statement(sql),
+           catalog=TABLE_SCHEMAS)
+
+
+def test_compound_predicate_operand_errors():
+    """CompoundPredicate.analyzeImpl (A/CompoundPredicate.java:86-95):
+    AND/OR/NOT operands must return BOOLEAN; the first failing operand
+    is quoted with the enclosing predicate's toSql (AnalyzeExprsTest
+    pins the message down to the trailing period)."""
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+    from impala_spark.testcatalog import TABLE_SCHEMAS, schema_for_statement
+
+    neg = [
+        ("select * from functional.alltypes where 1 + 2 and false",
+         "Operand '1 + 2' part of predicate '1 + 2 AND FALSE' should "
+         "return type 'BOOLEAN' but returns type 'SMALLINT'."),
+        ("select * from functional.alltypes where not 1 + 2",
+         "Operand '1 + 2' part of predicate 'NOT 1 + 2' should return "
+         "type 'BOOLEAN' but returns type 'SMALLINT'."),
+        ("select * from functional.alltypes where false and trim('abc')",
+         "Operand 'trim('abc')' part of predicate 'FALSE AND "
+         "trim('abc')' should return type 'BOOLEAN' but returns type "
+         "'STRING'."),
+        ("select * from functional.alltypes where bool_col or double_col",
+         "Operand 'double_col' part of predicate 'bool_col OR "
+         "double_col' should return type 'BOOLEAN' but returns type "
+         "'DOUBLE'."),
+        # compound operands type-check in the SELECT list too, and
+        # complex types render in the Impala style
+        ("select int_array_col or true from functional.allcomplextypes",
+         "Operand 'int_array_col' part of predicate 'int_array_col OR "
+         "TRUE' should return type 'BOOLEAN' but returns type "
+         "'ARRAY<INT>'."),
+        ("select false and int_struct_col from functional.allcomplextypes",
+         "Operand 'int_struct_col' part of predicate 'FALSE AND "
+         "int_struct_col' should return type 'BOOLEAN' but returns "
+         "type 'STRUCT<f1:INT,f2:INT>'."),
+        ("select not int_map_col from functional.allcomplextypes",
+         "Operand 'int_map_col' part of predicate 'NOT int_map_col' "
+         "should return type 'BOOLEAN' but returns type "
+         "'MAP<STRING,INT>'."),
+    ]
+    for sql, msg in neg:
+        with pytest.raises(ImpalaUnsupportedError) as ei:
+            tr(sql, strict=True, schema=schema_for_statement(sql),
+               catalog=TABLE_SCHEMAS)
+        assert msg in str(ei.value), sql
+    # positives: BETWEEN's AND is not a compound AND; NULL operands
+    # implicitly cast; parenthesized/nested compounds of booleans pass
+    for sql in [
+        "select * from functional.alltypes where int_col between 1 and 5",
+        "select * from functional.alltypes where null and bool_col",
+        "select * from functional.alltypes where not (bool_col or "
+        "int_col > 2) and id < 7",
+        "select case when bool_col and id > 3 then 1 else 2 end "
+        "from functional.alltypes",
+        "select * from functional.alltypes where 'ab' like 'a%' "
+        "and bool_col",
+    ]:
+        tr(sql, strict=True, schema=schema_for_statement(sql),
+           catalog=TABLE_SCHEMAS)
