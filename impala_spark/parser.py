@@ -4531,7 +4531,39 @@ def _check_strict_literal_exprs(tokens: list[Token]) -> None:
                 raise ImpalaUnsupportedError(
                     f"left operand of {up} must be of type STRING"
                 )
-        elif up in ("REGEXP", "IREGEXP", "RLIKE"):
+        if up in _CMP_WORD_OPS:
+            # schema-typed operands (LikePredicate.java:120-127: both
+            # sides must be a string type or NULL; ': ' + toSql suffix)
+            prev = _significant(tokens, i, -1)
+            neg = prev != -1 and tokens[prev].kind == "word" \
+                and tokens[prev].upper == "NOT"
+            if neg:
+                prev = _significant(tokens, prev, -1)
+            lhs = _typed_operand_back(tokens, prev)
+            nxt = _significant(tokens, i)
+            rhs = _typed_operand_fwd(tokens, nxt) if nxt != -1 else None
+            bad_side = None
+            if lhs is not None and lhs[0] not in (
+                None, "STRING", "NULL_TYPE",
+            ) and not lhs[0].startswith(("VARCHAR", "CHAR")):
+                bad_side = "left"
+            elif rhs is not None and rhs[0] not in (
+                None, "STRING", "NULL_TYPE",
+            ) and not rhs[0].startswith(("VARCHAR", "CHAR")):
+                bad_side = "right"
+            if bad_side is not None:
+                lo = lhs[1] if lhs is not None else (
+                    prev if prev != -1 else i
+                )
+                hi = rhs[1] if rhs is not None else (
+                    nxt if nxt != -1 else i
+                )
+                frag = _expr_to_sql(untokenize(tokens[lo:hi + 1]).strip())
+                raise ImpalaUnsupportedError(
+                    f"{bad_side} operand of {up} must be of type "
+                    f"STRING: {frag}"
+                )
+        if up in ("REGEXP", "IREGEXP", "RLIKE"):
             nxt = _significant(tokens, i)
             prev = _significant(tokens, i, -1)
             if (
@@ -6570,7 +6602,13 @@ def _check_strict_typed_exprs(tokens: list[Token]) -> None:
                 # from STRING to numeric and boolean")
                 if left and right:
                     t1, t2 = left[0], right[0]
-                    if _assignment_compatible(t1, t2) is None:
+                    # complex types never compare, even with themselves
+                    # (Type.isComparable excludes ARRAY/MAP/STRUCT)
+                    complex_side = any(
+                        ty.startswith(("ARRAY<", "MAP<", "STRUCT<"))
+                        for ty in (t1, t2)
+                    )
+                    if complex_side or _assignment_compatible(t1, t2) is None:
                         span = _expr_to_sql(
                             untokenize(tokens[left[1]:right[1] + 1]).strip()
                         )
@@ -8119,8 +8157,19 @@ def _check_strict_case_exprs(tokens: list[Token]) -> None:
     pairs plus the THEN/ELSE results must share a non-strict
     assignment-compatible type, accumulated left-to-right with the
     reference's exact error (Analyzer.getCompatibleType,
-    A/Analyzer.java:2210-2227). Column-typed operands fall through."""
+    A/Analyzer.java:2210-2227). Column-typed operands fall through.
+
+    The terminator also matches an END-prefixed word (`... else 15
+    endPosition`): the reference's own test statements spell it that
+    way and its scanner resolves the prefix to END + an alias."""
     n = len(tokens)
+
+    def is_end(tk: Token) -> bool:
+        return tk.kind == "word" and (
+            tk.upper == "END"
+            or (tk.upper.startswith("END") and tk.text[3:].isidentifier())
+        )
+
     for i, t in enumerate(tokens):
         if t.kind != "word" or t.upper != "CASE":
             continue
@@ -8138,7 +8187,7 @@ def _check_strict_case_exprs(tokens: list[Token]) -> None:
             elif d == 0 and tk.kind == "word":
                 if tk.upper == "CASE":
                     depth_case += 1
-                elif tk.upper == "END":
+                elif is_end(tk):
                     if depth_case == 0:
                         end_idx = k
                         break
@@ -8158,7 +8207,7 @@ def _check_strict_case_exprs(tokens: list[Token]) -> None:
             elif d == 0 and tk.kind == "word":
                 if tk.upper == "CASE":
                     depth_case2 += 1
-                elif tk.upper == "END":
+                elif is_end(tk):
                     depth_case2 -= 1
                 elif depth_case2 == 0 and tk.upper in ("WHEN", "THEN", "ELSE"):
                     marks.append((tk.upper, k))

@@ -916,3 +916,69 @@ def test_compound_predicate_operand_errors():
     ]:
         tr(sql, strict=True, schema=schema_for_statement(sql),
            catalog=TABLE_SCHEMAS)
+
+
+def test_case_like_and_complex_comparability_errors():
+    """CASE typing through the reference's own `endPosition` spelling
+    (AnalyzeExprsTest.java:1676-1692 — the scanner resolves the END
+    prefix + alias), LIKE operand types (LikePredicate.java:120-127)
+    and complex-type comparability (Type.isComparable excludes
+    ARRAY/MAP/STRUCT even for identical types)."""
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+    from impala_spark.testcatalog import TABLE_SCHEMAS, schema_for_statement
+
+    neg = [
+        ("select case when 20 then 20 when 1 > 2 then timestamp_col "
+         "when 4 < 5 then 2 else 15 endPosition from functional.alltypes",
+         "When expr '20' is not of type boolean and not castable to "
+         "type boolean."),
+        ("select case when int_array_col then 20 when 1 > 2 then id "
+         "endPosition from functional.allcomplextypes",
+         "When expr 'int_array_col' is not of type boolean and not "
+         "castable to type boolean."),
+        ("select case when 20 > 10 then 20 when 1 > 2 then timestamp_col "
+         "when 4 < 5 then 2 else 15 endPosition from functional.alltypes",
+         "Incompatible return types 'TINYINT' and 'TIMESTAMP' of exprs "
+         "'20' and 'timestamp_col'."),
+        ("select case when 20 > 10 then 20 when 1 > 2 then int_map_col "
+         "else 15 endPosition from functional.allcomplextypes",
+         "Incompatible return types 'TINYINT' and 'MAP<STRING,INT>' of "
+         "exprs '20' and 'int_map_col'."),
+        ("select case bigint_col when timestamp_col then 30 when "
+         "double_col then 1.0 else 15 endPosition from functional.alltypes",
+         "Incompatible return types 'BIGINT' and 'TIMESTAMP' of exprs "
+         "'bigint_col' and 'timestamp_col'."),
+        ("select case bigint_col when int_col then 30 when double_col "
+         "then timestamp_col else 15 endPosition from functional.alltypes",
+         "Incompatible return types 'TINYINT' and 'TIMESTAMP' of exprs "
+         "'30' and 'timestamp_col'."),
+        ("select * from functional.alltypes where int_col like 'test%'",
+         "left operand of LIKE must be of type STRING: int_col LIKE "
+         "'test%'"),
+        ("select * from functional.alltypes where int_col ilike 'test%'",
+         "left operand of ILIKE must be of type STRING: int_col ILIKE "
+         "'test%'"),
+        ("select 1 from functional.allcomplextypes where int_map_col = "
+         "int_map_col",
+         "operands of type MAP<STRING,INT> and MAP<STRING,INT> are not "
+         "comparable: int_map_col = int_map_col"),
+    ]
+    for sql, msg in neg:
+        with pytest.raises(ImpalaUnsupportedError) as ei:
+            tr(sql, strict=True, schema=schema_for_statement(sql),
+               catalog=TABLE_SCHEMAS)
+        assert msg in str(ei.value), sql
+    for sql in [
+        "select case when 20 > 10 then 20 when 1 > 2 then 1.0 else 15 "
+        "endPosition from functional.alltypes",
+        "select case when bool_col then 20 else 15 endPosition "
+        "from functional.alltypes",
+        "select * from functional.alltypes where string_col like 'a%'",
+        "select * from functional.alltypes where string_col not like "
+        "'a%' and bool_col",
+    ]:
+        tr(sql, strict=True, schema=schema_for_statement(sql),
+           catalog=TABLE_SCHEMAS)

@@ -178,8 +178,28 @@ def _has_variable_concat(raw_arg: str) -> bool:
                 or re.search(r'\+\s*[A-Za-z_]', stripped))
 
 
+def _drop_disabled_methods(src: str) -> str:
+    """Blank the bodies of never-run methods (the `DoNotTest*` disable
+    convention: the @Test annotation is commented out, so the method is
+    dead code — its pins reflect no reference behavior)."""
+    out = src
+    for m in re.finditer(r"void\s+(DoNotTest\w*)\s*\(", src):
+        open_b = src.find("{", m.end())
+        if open_b == -1:
+            continue
+        depth, j = 1, open_b + 1
+        while j < len(src) and depth:
+            if src[j] == "{":
+                depth += 1
+            elif src[j] == "}":
+                depth -= 1
+            j += 1
+        out = out.replace(src[open_b:j], "{}", 1)
+    return out
+
+
 def extract_pairs(path: str) -> list[tuple[str, str]]:
-    src = _strip_java_comments(open(path).read())
+    src = _drop_disabled_methods(_strip_java_comments(open(path).read()))
     pairs: list[tuple[str, str]] = []
     for m in re.finditer(r"AnalysisError\(", src):
         i = m.end()
@@ -220,7 +240,7 @@ def extract_pairs(path: str) -> list[tuple[str, str]]:
 def extract_positives(path: str) -> list[str]:
     """AnalyzesOk("sql" [, analyzer]) statements — the false-positive
     guard corpus."""
-    src = _strip_java_comments(open(path).read())
+    src = _drop_disabled_methods(_strip_java_comments(open(path).read()))
     out: list[str] = []
     for m in re.finditer(r"AnalyzesOk\(", src):
         i = m.end()
