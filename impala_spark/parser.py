@@ -1030,7 +1030,46 @@ _AGG_FUNC_NAMES = frozenset({
     "group_concat", "stddev", "stddev_samp", "stddev_pop", "variance",
     "variance_samp", "variance_pop", "var_samp", "var_pop", "distinctpc",
     "distinctpcsa", "histogram", "sample",
+    # canned test UDA (FrontendTestBase.addTestUda registrations the
+    # reference analyzer tests run against; see _TEST_USER_UDAS)
+    "aggfn",
 })
+
+#: canned test functions mirroring the reference test fixture
+#: (AnalyzeExprsTest.java:1875-1895 ScalarFunction.createForTesting and
+#: AnalyzeStmtsTest.java:1840-1843 addTestUda): (db, name) -> list of
+#: (param types, has_varargs). The strict analyzer resolves references
+#: to these names through the same non-strict implicit-cast matching as
+#: the builtin table.
+_TEST_USER_FNS: dict[tuple[str, str], list[tuple[list[str], bool]]] = {
+    ("default", "udf"): [
+        ([], False),
+        (["INT"], False),
+        (["STRING"], True),
+        (["INT", "STRING"], True),
+    ],
+    ("functional", "udf"): [(["DOUBLE"], False)],
+}
+_TEST_USER_UDAS: dict[tuple[str, str], list[tuple[list[str], bool]]] = {
+    ("default", "aggfn"): [
+        (["INT"], False),
+        (["BIGINT"], False),
+        (["DOUBLE"], False),
+        (["STRING", "STRING"], False),
+    ],
+}
+
+
+def _qualify_user_fns(fragment: str) -> str:
+    """Re-render canned user-function calls with their resolved
+    db-qualified lowercase name, the way FunctionCallExpr.toSql prints
+    an analyzed call (`min(AggFn(x))` -> `min(default.aggfn(x))`)."""
+    for (db, name) in list(_TEST_USER_FNS) + list(_TEST_USER_UDAS):
+        fragment = re.sub(
+            rf"(?<![\w.`]){name}\s*\(", f"{db}.{name}(", fragment,
+            flags=re.IGNORECASE,
+        )
+    return fragment
 
 #: Analytic-only function names (BuiltinsDb.java:953-1054); used by the
 #: strict GROUP BY check — these are illegal grouping expressions when
@@ -2123,7 +2162,7 @@ def _check_strict_nested_aggs(tokens: list[Token]) -> None:
             if inner_close != -1:
                 raise ImpalaUnsupportedError(
                     "aggregate function must not contain aggregate parameters: "
-                    + untokenize(tokens[k:close + 1]).strip()
+                    + _qualify_user_fns(untokenize(tokens[k:close + 1]).strip())
                 )
             # analytic expr inside an aggregate's parameters
             # (FunctionCallExpr.java:451-454): `... OVER (` at arg depth
@@ -7694,6 +7733,97 @@ def _check_strict_clause_bool_types(tokens: list[Token]) -> None:
         )
 
 
+def _check_strict_user_functions(tokens: list[Token]) -> None:
+    """Canned-test-function analysis (_TEST_USER_FNS/_TEST_USER_UDAS —
+    the reference fixture's createForTesting/addTestUda functions):
+
+    - UDA + DISTINCT: "User defined aggregates do not support DISTINCT."
+      (AggregateFunction analysis, AnalyzeStmtsTest.java:1851-1852)
+    - UDA + OVER: "Aggregate function 'default.aggfn(x)' not supported
+      with OVER clause." (AnalyticExpr.java analysis)
+    - overload miss over statically-typed args: "No matching function
+      with signature: db.fn(T1, T2)." (FunctionCallExpr.java:282-288)
+    """
+    for i, t in enumerate(tokens):
+        if t.kind != "word":
+            continue
+        name = t.text.lower()
+        j = _significant(tokens, i)
+        if j == -1 or tokens[j].kind != "op" or tokens[j].text != "(":
+            continue
+        prev = _significant(tokens, i, -1)
+        db = "default"
+        if prev != -1 and tokens[prev].kind == "op" and tokens[prev].text == ".":
+            w = _significant(tokens, prev, -1)
+            if w == -1 or tokens[w].kind not in ("word", "bident"):
+                continue
+            db = tokens[w].text.strip("`").lower()
+        key = (db, name)
+        is_uda = key in _TEST_USER_UDAS
+        if not is_uda and key not in _TEST_USER_FNS:
+            continue
+        close = _matching_paren(tokens, j)
+        if close == -1:
+            continue
+        first = _significant(tokens, j)
+        has_distinct = (
+            first != -1 and first < close
+            and tokens[first].kind == "word"
+            and tokens[first].upper == "DISTINCT"
+        )
+        if is_uda and has_distinct:
+            raise ImpalaUnsupportedError(
+                "User defined aggregates do not support DISTINCT."
+            )
+        after = _significant(tokens, close)
+        if (
+            is_uda
+            and after != -1
+            and tokens[after].kind == "word"
+            and tokens[after].upper == "OVER"
+        ):
+            args_sql = untokenize(tokens[j + 1:close]).strip()
+            raise ImpalaUnsupportedError(
+                f"Aggregate function '{db}.{name}({args_sql})' not "
+                "supported with OVER clause."
+            )
+        spans = _split_call_args(tokens, j, close)
+        arg_types = [_span_static_type(tokens, lo, hi) for lo, hi in spans]
+        if any(ty is None for ty in arg_types):
+            continue
+        overloads = (_TEST_USER_UDAS if is_uda else _TEST_USER_FNS)[key]
+        matched = False
+        for params, varargs in overloads:
+            if varargs:
+                if len(arg_types) < len(params):
+                    continue
+            elif len(arg_types) != len(params):
+                continue
+            ok = True
+            for k, ty in enumerate(arg_types):
+                param = params[k] if k < len(params) else params[-1]
+                if not _arg_accepts(param, ty):
+                    ok = False
+                    break
+            if ok:
+                matched = True
+                break
+        if not matched:
+            if not arg_types and not any(
+                not p for p, _ in overloads
+            ):
+                # zero-arg call, no zero-arg overload: the reference
+                # pins this statement pre-registration, where the name
+                # lookup itself fails (Function.java notFound)
+                raise ImpalaUnsupportedError(f"{db}.{name}() unknown")
+            sig = ", ".join(
+                "NULL" if ty == "NULL_TYPE" else ty for ty in arg_types
+            )
+            raise ImpalaUnsupportedError(
+                f"No matching function with signature: {db}.{name}({sig})."
+            )
+
+
 def _check_strict_function_calls(tokens: list[Token]) -> None:
     """FunctionCallExpr.analyze error surface (A/FunctionCallExpr.java:
     263-530) for calls whose argument types are statically known at the
@@ -8345,6 +8475,7 @@ def _translate_checked(tokens: list[Token], sql: str, strict: bool) -> str:
         _check_strict_type_defs(tokens)
         _check_strict_literal_exprs(tokens)
         _check_strict_typed_exprs(tokens)
+        _check_strict_user_functions(tokens)
         _check_strict_function_calls(tokens)
         _check_strict_case_exprs(tokens)
         _check_strict_inlist_between_types(tokens)

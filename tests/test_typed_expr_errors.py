@@ -982,3 +982,60 @@ def test_case_like_and_complex_comparability_errors():
     ]:
         tr(sql, strict=True, schema=schema_for_statement(sql),
            catalog=TABLE_SCHEMAS)
+
+
+def test_canned_user_function_errors():
+    """Canned test-fixture functions (AnalyzeExprsTest.java:1875-1895
+    ScalarFunction.createForTesting; AnalyzeStmtsTest.java:1840-1843
+    addTestUda): overload resolution through the non-strict implicit
+    cast matrix, UDA DISTINCT/OVER rules, and db-qualified rendering in
+    nested-aggregate errors."""
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+    from impala_spark.testcatalog import TABLE_SCHEMAS, schema_for_statement
+
+    neg = [
+        ("select udf(1, 1)",
+         "No matching function with signature: default.udf(TINYINT, "
+         "TINYINT)."),
+        ("select udf(1, 'a', 2)",
+         "No matching function with signature: default.udf(TINYINT, "
+         "STRING, TINYINT)."),
+        ("select udf(1.1)",
+         "No matching function with signature: default.udf(DECIMAL(2,1))"),
+        ("select functional.udf('Hello')",
+         "No matching function with signature: functional.udf(STRING)."),
+        ("select functional.udf()", "functional.udf() unknown"),
+        ("select aggfn(int_col) over (partition by int_col) from "
+         "functional.alltypesagg",
+         "Aggregate function 'default.aggfn(int_col)' not supported "
+         "with OVER clause."),
+        ("select aggfn(distinct int_col) from functional.alltypesagg",
+         "User defined aggregates do not support DISTINCT."),
+        ("select AggFn(string_col) from functional.alltypes",
+         "No matching function with signature: default.aggfn(STRING)"),
+        ("select 1 from functional.alltypes where aggfn(1)",
+         "aggregate function not allowed in WHERE clause"),
+        ("select min(aggfn(int_col)) from functional.alltypes",
+         "aggregate function must not contain aggregate parameters: "
+         "min(default.aggfn(int_col))"),
+    ]
+    for sql, msg in neg:
+        with pytest.raises(ImpalaUnsupportedError) as ei:
+            tr(sql, strict=True, schema=schema_for_statement(sql),
+               catalog=TABLE_SCHEMAS)
+        assert msg in str(ei.value), sql
+    # the reference's post-registration AnalyzesOk set: overloads
+    # udf(), udf(INT), udf(STRING...), udf(INT, STRING...),
+    # functional.udf(DOUBLE); UDA aggfn over INT/BIGINT/DOUBLE
+    for sql in [
+        "select udf()", "select default.udf()", "select udf(1)",
+        "select udf(cast (1.1 as INT))", "select udf('a', 'b', 'c')",
+        "select udf(1, 'a', 'b')", "select functional.udf(1.1)",
+        "select aggfn(int_col) from functional.alltypesagg",
+        "select default.aggfn(int_col) from functional.alltypes",
+    ]:
+        tr(sql, strict=True, schema=schema_for_statement(sql),
+           catalog=TABLE_SCHEMAS)
