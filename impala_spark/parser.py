@@ -5736,17 +5736,150 @@ def _cte_names_of(tokens: list[Token]) -> set[str]:
     return names
 
 
+def _cte_defs_of(tokens: list[Token]) -> list[tuple[str, int, int, int]]:
+    """(name, body_open, body_close, scope_end) per WITH-clause view.
+    A reference to `name` at position p resolves iff body_close < p <=
+    scope_end: Impala's WITH registration makes a view visible only
+    AFTER its own definition (no recursion, no forward references —
+    Analyzer.registerWith), until the end of the statement or of the
+    paren group enclosing the WITH clause."""
+    n = len(tokens)
+    # group_end[i]: index of the ')' closing the innermost group open at i
+    group_end = [n] * n
+    stack: list[int] = []
+    for i, t in enumerate(tokens):
+        if t.kind == "op" and t.text == "(":
+            stack.append(i)
+        elif t.kind == "op" and t.text == ")" and stack:
+            o = stack.pop()
+            for k in range(o, i + 1):
+                if group_end[k] == n:
+                    group_end[k] = i
+    defs: list[tuple[str, int, int, int]] = []
+    for i, t in enumerate(tokens):
+        if t.kind != "word" or t.upper != "AS":
+            continue
+        nx = _significant(tokens, i)
+        pv = _significant(tokens, i, -1)
+        if not (
+            nx != -1 and tokens[nx].kind == "op" and tokens[nx].text == "("
+            and pv != -1 and tokens[pv].kind in ("word", "bident")
+        ):
+            continue
+        inner = _significant(tokens, nx)
+        if inner == -1 or tokens[inner].kind != "word" \
+                or tokens[inner].upper not in ("SELECT", "WITH", "VALUES"):
+            continue
+        name_idx = pv
+        close = _matching_paren(tokens, nx)
+        if close == -1:
+            continue
+        defs.append((
+            tokens[name_idx].text.strip("`").lower(), nx, close,
+            group_end[name_idx],
+        ))
+    # column-label form `name (c1, c2) AS (`: the name sits before the
+    # label group
+    for i, t in enumerate(tokens):
+        if t.kind != "word" or t.upper != "AS":
+            continue
+        nx = _significant(tokens, i)
+        pv = _significant(tokens, i, -1)
+        if not (
+            nx != -1 and tokens[nx].kind == "op" and tokens[nx].text == "("
+            and pv != -1 and tokens[pv].kind == "op" and tokens[pv].text == ")"
+        ):
+            continue
+        inner = _significant(tokens, nx)
+        if inner == -1 or tokens[inner].kind != "word" \
+                or tokens[inner].upper not in ("SELECT", "WITH", "VALUES"):
+            continue
+        # walk back over the label group to the name
+        lbl_open = -1
+        d = 0
+        for k in range(pv, -1, -1):
+            tk = tokens[k]
+            if tk.kind == "op" and tk.text == ")":
+                d += 1
+            elif tk.kind == "op" and tk.text == "(":
+                d -= 1
+                if d == 0:
+                    lbl_open = k
+                    break
+        if lbl_open == -1:
+            continue
+        nm = _significant(tokens, lbl_open, -1)
+        if nm == -1 or tokens[nm].kind not in ("word", "bident"):
+            continue
+        close = _matching_paren(tokens, nx)
+        if close == -1:
+            continue
+        defs.append((
+            tokens[nm].text.strip("`").lower(), nx, close, group_end[nm],
+        ))
+    return defs
+
+
+#: bare table names that exist SOMEWHERE in the reference test warehouse
+#: or fixture (functional* dbs + addTestTable registrations) — the
+#: unknown-table check must not fire for these, since a statement can
+#: reference them bare under a non-default session db
+_TEST_WAREHOUSE_BARE_NAMES = frozenset({
+    "alltypes", "allcomplextypes", "alltypes_view", "alltypes_view_sub",
+    "alltypesagg", "alltypescopy", "alltypesinsert", "alltypesnopart",
+    "alltypessmall", "alltypestiny", "alltypeserror", "chars_tiny",
+    "complex_view", "decimal_tbl", "decimal_tiny", "insertalltypesagg",
+    "jointbl", "test_tbl", "testtbl", "tinytable", "view_view",
+    "only_complex_types", "ambig", "a", "array_test", "map_test",
+    # NOT a.t1/d.t1-t8: the fixture only ever references those
+    # db-qualified, so a bare t1 stays unresolvable under default
+})
+
+
 def _check_strict_table_path_refs(tokens: list[Token]) -> None:
     """FROM-clause path resolution against the bound catalog
     (Analyzer.java:846-855 TABLE_REF rules + QueryStmt.java:140-156
     correlated/uncorrelated mixing), replayed token-level. Unknown roots
-    (CTEs, uncataloged tables) are skipped — never guessed."""
+    (CTEs, uncataloged tables) are skipped — never guessed, except that
+    a bare name in NO known namespace (catalog, warehouse fixture,
+    WITH-clause defs) is unresolvable with the reference's text."""
     if _CATALOG is None:
         return
     blocks = _select_blocks(tokens)
     regions = _from_regions(tokens)
     ctes = _cte_names_of(tokens)
+    cte_defs = _cte_defs_of(tokens)
+    ctes |= {nm for nm, _o, _c, _s in cte_defs}
     n = len(tokens)
+
+    def cte_visible(name: str, p: int) -> bool:
+        return any(
+            nm == name and close < p <= scope_end
+            for nm, _o, close, scope_end in cte_defs
+        )
+
+    # INSERT targets resolve against the catalog only — a WITH-clause
+    # view is not a table (InsertStmt.analyze: "Table does not exist")
+    for i, t in enumerate(tokens):
+        if t.kind != "word" or t.upper != "INSERT":
+            continue
+        j = _significant(tokens, i)
+        if j == -1 or tokens[j].kind != "word" \
+                or tokens[j].upper not in ("INTO", "OVERWRITE"):
+            continue
+        j = _significant(tokens, j)
+        if j != -1 and tokens[j].kind == "word" and tokens[j].upper == "TABLE":
+            j = _significant(tokens, j)
+        if j == -1 or tokens[j].kind not in ("word", "bident"):
+            continue
+        nm = tokens[j].text.strip("`").lower()
+        nxt = _significant(tokens, j)
+        qualified = nxt != -1 and tokens[nxt].kind == "op" \
+            and tokens[nxt].text == "."
+        if not qualified and nm in ctes and nm not in _CATALOG:
+            raise ImpalaUnsupportedError(
+                f"Table does not exist: default.{nm}"
+            )
 
     def enclosing_block(pos: int) -> tuple[int, int]:
         best = (0, n)
@@ -5846,6 +5979,14 @@ def _check_strict_table_path_refs(tokens: list[Token]) -> None:
                 parts.append(tokens[q].text.strip("`"))
                 path_hi = q
                 p = _significant(tokens, q)
+            # a '(' directly after the path is a function call, not a
+            # table ref (EXTRACT's `FROM now()` lands in a from-region)
+            if p != -1 and p < reg_hi and tokens[p].kind == "op" \
+                    and tokens[p].text == "(":
+                close_call = _matching_paren(tokens, p)
+                k = (close_call + 1) if close_call != -1 else p + 1
+                expecting = False
+                continue
             # optional [AS] alias
             alias = None
             a_i = p
@@ -5917,7 +6058,26 @@ def _check_strict_table_path_refs(tokens: list[Token]) -> None:
                 continue
             # catalog-rooted
             if p0 in ctes:
+                # WITH-view name: must be a def visible at this position
+                # (no self/forward references — Analyzer.registerWith);
+                # invisible + not a catalog table -> unresolvable
+                if (
+                    len(parts) == 1
+                    and not cte_visible(p0, path_lo)
+                    and p0 not in _CATALOG
+                ):
+                    raise ImpalaUnsupportedError(
+                        f"Could not resolve table reference: '{parts[0]}'"
+                    )
                 continue
+            if (
+                len(parts) == 1
+                and p0 not in _CATALOG
+                and p0 not in _TEST_WAREHOUSE_BARE_NAMES
+            ):
+                raise ImpalaUnsupportedError(
+                    f"Could not resolve table reference: '{parts[0]}'"
+                )
             tbl = rest = None
             if p0 in _CATALOG:
                 tbl, rest = p0, parts[1:]
@@ -6042,13 +6202,88 @@ def _bare_path_of(tokens: list[Token], a: int, b: int):
     return parts, ".".join(parts)
 
 
+def _block_from_tables(
+    tokens: list[Token], from_idx: int, end: int,
+) -> tuple[dict[str, str], bool]:
+    """({alias_or_name: catalog table}, any_unknown_source) for the
+    simple table refs of one block's FROM clause. Inline views, paths
+    and uncataloged tables set the unknown flag."""
+    amap: dict[str, str] = {}
+    unknown = False
+    k = from_idx + 1
+    expecting = True
+    while k < end:
+        t = tokens[k]
+        if t.kind in ("ws", "line_comment", "block_comment"):
+            k += 1
+            continue
+        if t.kind == "op" and t.text == "(":
+            close = _matching_paren(tokens, k)
+            unknown = True  # inline view / subquery source
+            k = (close + 1) if close != -1 else k + 1
+            continue
+        if t.kind == "op" and t.text == ",":
+            expecting = True
+            k += 1
+            continue
+        if t.kind == "word" and t.upper == "JOIN":
+            expecting = True
+            k += 1
+            continue
+        if t.kind == "word" and t.upper in _CLAUSE_BOUNDARY:
+            break
+        if expecting and t.kind in ("word", "bident") and not (
+            t.kind == "word" and t.upper in _FROM_KEYWORDS
+        ):
+            parts = [t.text.strip("`").lower()]
+            hi = k
+            p = _significant(tokens, k)
+            while p != -1 and p < end and tokens[p].kind == "op" \
+                    and tokens[p].text == ".":
+                q = _significant(tokens, p)
+                if q == -1 or tokens[q].kind not in ("word", "bident"):
+                    break
+                parts.append(tokens[q].text.strip("`").lower())
+                hi = q
+                p = _significant(tokens, q)
+            alias = None
+            a_i = p
+            if a_i != -1 and a_i < end and tokens[a_i].kind == "word" \
+                    and tokens[a_i].upper == "AS":
+                a_i = _significant(tokens, a_i)
+            if (
+                a_i != -1 and a_i < end
+                and tokens[a_i].kind in ("word", "bident")
+                and (tokens[a_i].kind == "bident"
+                     or tokens[a_i].upper not in _FROM_KEYWORDS)
+            ):
+                alias = tokens[a_i].text.strip("`").lower()
+                k = a_i + 1
+            else:
+                k = hi + 1
+            expecting = False
+            tbl = None
+            if len(parts) == 1 and parts[0] in (_CATALOG or {}):
+                tbl = parts[0]
+            elif len(parts) == 2 and parts[1] in (_CATALOG or {}):
+                tbl = parts[1]
+            if tbl is None:
+                unknown = True
+            else:
+                amap[alias or parts[-1]] = tbl
+            continue
+        k += 1
+    return amap, unknown
+
+
 def _check_strict_complex_types(tokens: list[Token]) -> None:
     """Complex-type slot rules with the reference's exact texts:
     select-list complex exprs (SelectStmt.java:206-215), intermediate
     collection refs (Analyzer.java:858-866), star expansion to
-    non-struct (Analyzer.java:884-888), ORDER BY / PARTITION BY complex
-    (QueryStmt.java:243-247, AnalyticExpr.java:431-447), IS [NOT] NULL
-    on complex (IsNullPredicate.java:125-129)."""
+    non-struct (Analyzer.java:884-888), star lists that expand to zero
+    scalar columns (SelectStmt.java:218-222), ORDER BY / PARTITION BY
+    complex (QueryStmt.java:243-247, AnalyticExpr.java:431-447),
+    IS [NOT] NULL on complex (IsNullPredicate.java:125-129)."""
     if _SCHEMA is None:
         return
     for sel_idx, from_idx, end in _select_blocks(tokens):
@@ -6061,11 +6296,38 @@ def _check_strict_complex_types(tokens: list[Token]) -> None:
             list_start = _significant(tokens, list_start)
         if from_idx >= end:
             continue
+        amap, src_unknown = _block_from_tables(tokens, from_idx, end)
+
+        def scalar_cols(tbl: str) -> int | None:
+            cols = (_CATALOG or {}).get(tbl)
+            if cols is None:
+                return None
+            return sum(
+                1 for ty in cols.values()
+                if not ty.upper().startswith(("ARRAY<", "MAP<", "STRUCT<"))
+            )
+
+        star_expansions: list[int | None] = []
+        nonstar_items = 0
         for a, b in _split_top_level_commas(tokens, list_start, from_idx):
             sig = [
                 k for k in range(a, b)
                 if tokens[k].kind not in ("ws", "line_comment", "block_comment")
             ]
+            # unqualified '*': expands over every FROM source
+            if (
+                len(sig) == 1
+                and tokens[sig[0]].kind == "op" and tokens[sig[0]].text == "*"
+            ):
+                if src_unknown or not amap:
+                    star_expansions.append(None)
+                else:
+                    counts = [scalar_cols(t) for t in amap.values()]
+                    star_expansions.append(
+                        None if any(c is None for c in counts)
+                        else sum(counts)
+                    )
+                continue
             # star expansion: path.* resolves to a struct or errors
             if (
                 len(sig) >= 3
@@ -6073,6 +6335,14 @@ def _check_strict_complex_types(tokens: list[Token]) -> None:
                 and tokens[sig[-2]].kind == "op" and tokens[sig[-2]].text == "."
             ):
                 bp = _bare_path_of(tokens, a, sig[-2])
+                if bp is not None and len(bp[0]) == 1 \
+                        and bp[0][0].lower() in amap:
+                    # table-alias star: expands that table's scalar cols
+                    star_expansions.append(
+                        scalar_cols(amap[bp[0][0].lower()])
+                    )
+                    continue
+                star_expansions.append(None)
                 if bp is not None:
                     res = _slot_path_resolve(bp[0])
                     if res is not None and res[0] == "ok" and not res[1].strip(
@@ -6084,6 +6354,7 @@ def _check_strict_complex_types(tokens: list[Token]) -> None:
                             "a struct type."
                         )
                 continue
+            nonstar_items += 1
             bp = _bare_path_of(tokens, a, b)
             if bp is None:
                 continue
@@ -6102,6 +6373,18 @@ def _check_strict_complex_types(tokens: list[Token]) -> None:
                     f"type '{res[1]}'.\nOnly scalar types are allowed "
                     "in the select list."
                 )
+        # all-star select lists whose expansion yields zero scalar
+        # columns (SelectStmt.java:218-222)
+        if (
+            star_expansions
+            and nonstar_items == 0
+            and all(e == 0 for e in star_expansions)
+        ):
+            raise ImpalaUnsupportedError(
+                "The star exprs expanded to an empty select list "
+                "because the referenced tables only have complex-typed "
+                "columns."
+            )
         # window specs anywhere in the block (select list included)
         for k2 in range(sel_idx, end):
             t2 = tokens[k2]

@@ -93,6 +93,14 @@ TABLE_SCHEMAS: dict[str, dict[str, str]] = {
     "decimal_tbl": DECIMAL_TBL,
     "decimal_tiny": DECIMAL_TINY,
     "allcomplextypes": ALLCOMPLEXTYPES,
+    # fixture tables (AnalyzeStmtsTest.java:886 addTestTable; the
+    # functional.complex_view warehouse view's output columns)
+    "only_complex_types": {
+        "a": "ARRAY<INT>",
+        "b": "STRUCT<x:INT,y:INT>",
+        "c": "MAP<STRING,INT>",
+    },
+    "complex_view": {"abc": "BIGINT", "xyz": "STRING"},
 }
 
 

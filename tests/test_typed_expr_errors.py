@@ -1039,3 +1039,63 @@ def test_canned_user_function_errors():
     ]:
         tr(sql, strict=True, schema=schema_for_statement(sql),
            catalog=TABLE_SCHEMAS)
+
+
+def test_cte_visibility_and_star_expansion_errors():
+    """WITH-view scoping (Analyzer.registerWith: no self or forward
+    references), unknown bare table names, CTE as INSERT target
+    (InsertStmt.analyze), and all-star select lists expanding to zero
+    scalar columns (SelectStmt.java:218-222)."""
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+    from impala_spark.testcatalog import TABLE_SCHEMAS, schema_for_statement
+
+    neg = [
+        ("select int_col from badtbl",
+         "Could not resolve table reference: 'badtbl'"),
+        ("with t1 as (select 'a' x) insert into t1 values('b' x)",
+         "Table does not exist: default.t1"),
+        ("with t as (select int_col x, bigint_col y from t1) "
+         "select x, y from t",
+         "Could not resolve table reference: 't1'"),
+        ("with t as (select 1 as x, 2 as y union all select * from t) "
+         "select x, y from t",
+         "Could not resolve table reference: 't'"),
+        ("with t1 as (with t2 as (select * from t1) select * from t2) "
+         "select * from t1",
+         "Could not resolve table reference: 't1'"),
+        ("with t1 as (select int_col x from t2), t2 as "
+         "(select int_col x from t1) select x from t1",
+         "Could not resolve table reference: 't2'"),
+        ("select * from only_complex_types",
+         "The star exprs expanded to an empty select list because the "
+         "referenced tables only have complex-typed columns."),
+        ("select a.* from only_complex_types a, "
+         "functional.allcomplextypes b",
+         "The star exprs expanded to an empty select list because the "
+         "referenced tables only have complex-typed columns."),
+    ]
+    for sql, msg in neg:
+        with pytest.raises(ImpalaUnsupportedError) as ei:
+            tr(sql, strict=True, schema=schema_for_statement(sql),
+               catalog=TABLE_SCHEMAS)
+        assert msg in str(ei.value), sql
+    for sql in [
+        # scoping positives: prior-sibling and outer CTEs ARE visible;
+        # a non-empty expansion or extra item silences the star rule;
+        # catalog views resolve where a CTE is invisible
+        "with t1 as (select 1 x), t2 as (select x from t1) "
+        "select * from t2",
+        "with t1 as (with t1 as (select int_col x from "
+        "functional.alltypes) select x from t1) select * from t1",
+        "select 1, * from only_complex_types",
+        "select * from functional.allcomplextypes",
+        "with t1 as (select abc x, xyz y from complex_view), "
+        "complex_view as (select x a, y b from t1) "
+        "select a, b from complex_view",
+        "select extract(year from now())",
+    ]:
+        tr(sql, strict=True, schema=schema_for_statement(sql),
+           catalog=TABLE_SCHEMAS)
