@@ -3899,6 +3899,75 @@ def _countable_select_items(tokens: list[Token], list_start: int, from_idx: int)
     return len(items)
 
 
+def _star_list_width(
+    tokens: list[Token], list_start: int, from_idx: int, end: int,
+) -> int:
+    """Expanded width of a select list that is exactly `*`, when every
+    FROM source is countable: a cataloged table contributes its scalar
+    columns, a single inline view its select-item count. -1 = unknown."""
+    sig = [
+        k for k in range(list_start, from_idx)
+        if tokens[k].kind not in ("ws", "line_comment", "block_comment")
+    ]
+    if not (
+        len(sig) == 1
+        and tokens[sig[0]].kind == "op" and tokens[sig[0]].text == "*"
+    ):
+        return -1
+    amap, unknown = _block_from_tables(tokens, from_idx, end)
+    total = 0
+    for tbl in amap.values():
+        cols = (_CATALOG or {}).get(tbl)
+        if cols is None:
+            return -1
+        total += sum(
+            1 for ty in cols.values()
+            if not ty.upper().startswith(("ARRAY<", "MAP<", "STRUCT<"))
+        )
+    if not unknown:
+        return total if amap else -1
+    if amap:
+        return -1  # mixed known/unknown sources
+    # single inline-view source `( select ... ) alias`
+    k = _significant(tokens, from_idx)
+    if k == -1 or tokens[k].kind != "op" or tokens[k].text != "(":
+        return -1
+    close = _matching_paren(tokens, k)
+    inner_sel = _significant(tokens, k)
+    if inner_sel == -1 or tokens[inner_sel].kind != "word" \
+            or tokens[inner_sel].upper != "SELECT":
+        return -1
+    # the alias (with optional AS) must be the last FROM content
+    a_i = _significant(tokens, close)
+    if a_i != -1 and a_i < end and tokens[a_i].kind == "word" \
+            and tokens[a_i].upper == "AS":
+        a_i = _significant(tokens, a_i)
+    if a_i == -1 or a_i >= end or tokens[a_i].kind not in ("word", "bident"):
+        return -1
+    nxt = _significant(tokens, a_i)
+    if nxt != -1 and nxt < end and not (
+        tokens[nxt].kind == "word" and tokens[nxt].upper in _CLAUSE_BOUNDARY
+    ):
+        return -1  # joins/commas after the view: give up
+    inner_from = len(tokens)
+    d = 0
+    for x in range(inner_sel + 1, close):
+        tx = tokens[x]
+        if tx.kind == "op" and tx.text == "(":
+            d += 1
+        elif tx.kind == "op" and tx.text == ")":
+            d -= 1
+        elif d == 0 and tx.kind == "word" and tx.upper == "FROM":
+            inner_from = x
+            break
+    ls = _significant(tokens, inner_sel)
+    if ls == -1:
+        return -1
+    if tokens[ls].kind == "word" and tokens[ls].upper in ("DISTINCT", "ALL"):
+        ls = _significant(tokens, ls)
+    return _countable_select_items(tokens, ls, min(inner_from, close))
+
+
 def _check_strict_ordinals(tokens: list[Token]) -> None:
     """QueryStmt.java:311-323 trySubstituteOrdinal: an integer-literal
     ORDER BY / GROUP BY item is an ordinal into the select list and must
@@ -3910,6 +3979,8 @@ def _check_strict_ordinals(tokens: list[Token]) -> None:
         if tokens[list_start].kind == "word" and tokens[list_start].upper in ("DISTINCT", "ALL"):
             list_start = _significant(tokens, list_start)
         n_items = _countable_select_items(tokens, list_start, from_idx)
+        if n_items < 0:
+            n_items = _star_list_width(tokens, list_start, from_idx, end)
         if n_items < 0:
             continue
         k = from_idx
@@ -5248,13 +5319,10 @@ def _check_strict_stmt_shapes(tokens: list[Token]) -> None:
                     k for k in range(a, b)
                     if tokens[k].kind not in ("ws", "line_comment", "block_comment")
                 ]
-                # a single bare column ref (word, no parens/literals) is
-                # the unambiguous non-constant case; literals and
-                # expressions over literals fall through
-                if (
-                    len(sigs) == 1
-                    and tokens[sigs[0]].kind in ("word", "bident")
-                    and tokens[sigs[0]].upper not in ("NULL", "TRUE", "FALSE")
+                # Expr.isConstant over the separator: any slot ref
+                # anywhere (bare or inside a call) breaks constness
+                if sigs and not _span_is_constant_expr(
+                    tokens, sigs[0], sigs[-1]
                 ):
                     raise ImpalaUnsupportedError(
                         "Second parameter in GROUP_CONCAT(DISTINCT) must be "
@@ -6736,6 +6804,40 @@ def _check_strict_typed_exprs(tokens: list[Token]) -> None:
         # ---- timestamp arithmetic: <e> ± INTERVAL <amount> <unit> ----
         if t.kind == "word" and t.upper == "INTERVAL":
             amt = _significant(tokens, i)
+            # schema-typed amount operand (a column path): integer or
+            # NULL required (TimestampArithmeticExpr.java:149-155)
+            if amt != -1 and tokens[amt].kind in ("word", "bident"):
+                ainfo = _typed_operand_fwd(tokens, amt)
+                if ainfo is not None and ainfo[0] not in (None, "NULL_TYPE") \
+                        and not _is_integer_type(ainfo[0]):
+                    u = _significant(tokens, ainfo[1])
+                    if u != -1 and tokens[u].kind == "word" \
+                            and tokens[u].text.upper() in _TIME_UNIT_NAMES:
+                        amt_sql = untokenize(
+                            tokens[amt:ainfo[1] + 1]
+                        ).strip()
+                        unit = tokens[u].text
+                        prev = _significant(tokens, i, -1)
+                        if (
+                            prev != -1
+                            and tokens[prev].kind == "op"
+                            and tokens[prev].text in ("+", "-")
+                        ):
+                            lhs = _significant(tokens, prev, -1)
+                            lhs_info = _typed_operand_back(tokens, lhs)
+                            lhs_sql = _expr_to_sql(untokenize(
+                                tokens[lhs_info[1]:lhs + 1]
+                            ).strip()) if lhs_info else ""
+                            expr = (
+                                f"{lhs_sql} {tokens[prev].text} "
+                                f"INTERVAL {amt_sql} {unit}"
+                            )
+                            raise ImpalaUnsupportedError(
+                                f"Operand '{amt_sql}' of timestamp "
+                                f"arithmetic expression '{expr}' returns "
+                                f"type '{ainfo[0]}'. Expected an integer "
+                                "type."
+                            )
             if amt != -1 and tokens[amt].kind in ("number", "string"):
                 u = _significant(tokens, amt)
                 if u != -1 and tokens[u].kind == "word" \
@@ -8155,6 +8257,31 @@ def _check_strict_function_calls(tokens: list[Token]) -> None:
                     f"Invalid function name: '{full}'. "
                     "Expected [dbname].funcname"
                 )
+            # builtins live only in _impala_builtins — a user-db
+            # qualification of a builtin name fails the lookup
+            # (Analyzer.getFunction: "db.fn() unknown")
+            if len(parts) == 2:
+                qdb = parts[1].lower()
+                qfn = parts[0].lower()
+                if qfn == "extract" and qdb != "_impala_builtins":
+                    # the keyword-grammar EXTRACT cannot be db-qualified
+                    # (FunctionCallExpr.java:156-160)
+                    raise ImpalaUnsupportedError(
+                        f"Function {qdb}.extract conflicts with the "
+                        "EXTRACT builtin"
+                    )
+                if (
+                    qdb != "_impala_builtins"
+                    and (qdb, qfn) not in _TEST_USER_FNS
+                    and (qdb, qfn) not in _TEST_USER_UDAS
+                    and (
+                        qfn in _KNOWN_SCALAR_FNS
+                        or qfn in _AGG_FUNC_NAMES
+                        or qfn in _FN_SIGS
+                        or qfn == "decode"  # rewrite-handled builtin
+                    )
+                ):
+                    raise ImpalaUnsupportedError(f"{qdb}.{qfn}() unknown")
             continue  # db-qualified UDF: no builtin analysis
         fn = t.text.lower()
         # IF stays (validated via _FN_SIGS); other keyword-heads are not
@@ -8208,6 +8335,33 @@ def _check_strict_function_calls(tokens: list[Token]) -> None:
                 )
             continue
         arg_types = [_span_static_type(tokens, lo, hi) for lo, hi in spans]
+        # ---- single-argument aggregate arity (BuiltinsDb registers
+        #      min/max/sum/avg/ndv with exactly one parameter; the miss
+        #      renders the actual signature, :282-288) ----
+        if fn in ("min", "max", "sum", "avg", "ndv"):
+            if not spans:
+                raise ImpalaUnsupportedError(
+                    f"No matching function with signature: {fn}()."
+                )
+            if len(spans) > 1 and all(ty is not None for ty in arg_types):
+                sig = ", ".join(
+                    "NULL" if ty == "NULL_TYPE" else ty for ty in arg_types
+                )
+                raise ImpalaUnsupportedError(
+                    f"No matching function with signature: {fn}({sig})."
+                )
+        # ---- scalar builtins never take complex-typed arguments
+        #      (BuiltinsDb has no ARRAY/MAP/STRUCT overloads) ----
+        if known_scalar and any(
+            ty is not None and ty.startswith(("ARRAY<", "MAP<", "STRUCT<"))
+            for ty in arg_types
+        ) and all(ty is not None for ty in arg_types):
+            sig = ", ".join(
+                "NULL" if ty == "NULL_TYPE" else ty for ty in arg_types
+            )
+            raise ImpalaUnsupportedError(
+                f"No matching function with signature: {fn}({sig})."
+            )
         # ---- precision/scale on NULL: resolveDecimalReturnType
         #      (FunctionCallExpr.java:300-310) ----
         if (

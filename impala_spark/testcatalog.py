@@ -29,8 +29,10 @@ ALLTYPES = {
     "timestamp_col": "TIMESTAMP",
     "year": "INT",
     "month": "INT",
-    "day": "INT",  # alltypesagg
 }
+
+#: alltypesagg adds a day partition column to the alltypes layout
+ALLTYPESAGG = dict(ALLTYPES, day="INT")
 
 TESTTBL = {"id": "BIGINT", "name": "STRING", "zip": "INT"}
 
@@ -84,7 +86,7 @@ TABLE_SCHEMAS: dict[str, dict[str, str]] = {
     "alltypes": ALLTYPES,
     "alltypestiny": ALLTYPES,
     "alltypessmall": ALLTYPES,
-    "alltypesagg": ALLTYPES,
+    "alltypesagg": ALLTYPESAGG,
     "alltypesnopart": ALLTYPES,
     "alltypeserror": ALLTYPES,
     "alltypes_view": ALLTYPES,

@@ -1099,3 +1099,63 @@ def test_cte_visibility_and_star_expansion_errors():
     ]:
         tr(sql, strict=True, schema=schema_for_statement(sql),
            catalog=TABLE_SCHEMAS)
+
+
+def test_function_lookup_and_star_ordinal_errors():
+    """Aggregate arity misses with rendered signatures, complex-typed
+    scalar-builtin arguments (no ARRAY/MAP/STRUCT overloads exist),
+    db-qualified builtin lookups (Analyzer.getFunction), GROUP_CONCAT
+    constant separators, star-expanded ORDER BY ordinal bounds, and
+    typed INTERVAL amount operands."""
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+    from impala_spark.testcatalog import TABLE_SCHEMAS, schema_for_statement
+
+    neg = [
+        ("select min() from functional.alltypes",
+         "No matching function with signature: min()."),
+        ("select min(id, zip) from functional.testtbl",
+         "No matching function with signature: min(BIGINT, INT)."),
+        ("select if(true, int_struct_col, int_struct_col) from "
+         "functional.allcomplextypes",
+         "No matching function with signature: if(BOOLEAN, "
+         "STRUCT<f1:INT,f2:INT>, STRUCT<f1:INT,f2:INT>)."),
+        ("select functional.decode(1, 1, 1)",
+         "functional.decode() unknown"),
+        ("select functional.extract(year from now())",
+         "Function functional.extract conflicts with the EXTRACT builtin"),
+        ("select group_concat(distinct name, cast(id as string)) from "
+         "functional.testtbl",
+         "Second parameter in GROUP_CONCAT(DISTINCT) must be a constant "
+         "expression that returns a string."),
+        ("select * from functional.alltypes order by 14",
+         "ORDER BY: ordinal exceeds number of items in select list: 14"),
+        ("select * from (select max(id) from functional.testtbl) t1 "
+         "order by 2",
+         "ORDER BY: ordinal exceeds number of items in select list: 2"),
+        ("select cast(0 as timestamp) + interval int_array_col years "
+         "from functional.allcomplextypes",
+         "Operand 'int_array_col' of timestamp arithmetic expression "
+         "'CAST(0 AS TIMESTAMP) + INTERVAL int_array_col years' returns "
+         "type 'ARRAY<INT>'. Expected an integer type."),
+    ]
+    for sql, msg in neg:
+        with pytest.raises(ImpalaUnsupportedError) as ei:
+            tr(sql, strict=True, schema=schema_for_statement(sql),
+               catalog=TABLE_SCHEMAS)
+        assert msg in str(ei.value), sql
+    for sql in [
+        "select min(id) from functional.testtbl",
+        "select _impala_builtins.decode(1, 1, 1)",
+        "select group_concat(distinct string_col, ', ') from "
+        "functional.alltypes",
+        "select * from functional.alltypes order by 13",
+        "select * from (select max(id) from functional.testtbl) t1 "
+        "order by 1",
+        "select cast(0 as timestamp) + interval int_col years "
+        "from functional.alltypes",
+    ]:
+        tr(sql, strict=True, schema=schema_for_statement(sql),
+           catalog=TABLE_SCHEMAS)
