@@ -6149,6 +6149,9 @@ def _check_strict_table_path_refs(tokens: list[Token]) -> None:
             tbl = rest = None
             if p0 in _CATALOG:
                 tbl, rest = p0, parts[1:]
+            elif len(parts) >= 2 and f"{p0}.{parts[1].lower()}" in _CATALOG:
+                # db-qualified fixture table ("d.t1"-style key)
+                tbl, rest = f"{p0}.{parts[1].lower()}", parts[2:]
             elif len(parts) >= 2 and parts[1].lower() in _CATALOG:
                 tbl, rest = parts[1].lower(), parts[2:]
             if tbl is None:
@@ -6276,7 +6279,18 @@ def _block_from_tables(
     """({alias_or_name: catalog table}, any_unknown_source) for the
     simple table refs of one block's FROM clause. Inline views, paths
     and uncataloged tables set the unknown flag."""
+    amap, unknown, _aliases = _block_from_sources(tokens, from_idx, end)
+    return amap, unknown
+
+
+def _block_from_sources(
+    tokens: list[Token], from_idx: int, end: int,
+) -> tuple[dict[str, str], bool, set[str]]:
+    """_block_from_tables plus the set of EVERY alias name the FROM
+    clause introduces (collection-path refs and uncataloged sources
+    included) — slot resolution must not shadow these."""
     amap: dict[str, str] = {}
+    aliases: set[str] = set()
     unknown = False
     k = from_idx + 1
     expecting = True
@@ -6330,9 +6344,12 @@ def _block_from_tables(
             else:
                 k = hi + 1
             expecting = False
+            aliases.add(alias or parts[-1])
             tbl = None
             if len(parts) == 1 and parts[0] in (_CATALOG or {}):
                 tbl = parts[0]
+            elif len(parts) == 2 and ".".join(parts) in (_CATALOG or {}):
+                tbl = ".".join(parts)
             elif len(parts) == 2 and parts[1] in (_CATALOG or {}):
                 tbl = parts[1]
             if tbl is None:
@@ -6341,7 +6358,68 @@ def _block_from_tables(
                 amap[alias or parts[-1]] = tbl
             continue
         k += 1
-    return amap, unknown
+    return amap, unknown, aliases
+
+
+def _single_collection_source(
+    tokens: list[Token], from_idx: int, end: int,
+) -> tuple[str, str] | None:
+    """(alias, collection type) when the block's FROM clause is exactly
+    one catalog collection path (`db.tbl.col...` / `tbl.col...`)."""
+    if _CATALOG is None:
+        return None
+    k = _significant(tokens, from_idx)
+    if k == -1 or tokens[k].kind not in ("word", "bident"):
+        return None
+    parts = [tokens[k].text.strip("`").lower()]
+    hi = k
+    p = _significant(tokens, k)
+    while p != -1 and p < end and tokens[p].kind == "op" and tokens[p].text == ".":
+        q = _significant(tokens, p)
+        if q == -1 or tokens[q].kind not in ("word", "bident"):
+            return None
+        parts.append(tokens[q].text.strip("`").lower())
+        hi = q
+        p = _significant(tokens, q)
+    alias = parts[-1]
+    a_i = p
+    if a_i != -1 and a_i < end and tokens[a_i].kind == "word" \
+            and tokens[a_i].upper == "AS":
+        a_i = _significant(tokens, a_i)
+    if (
+        a_i != -1 and a_i < end
+        and tokens[a_i].kind in ("word", "bident")
+        and (tokens[a_i].kind == "bident"
+             or tokens[a_i].upper not in _FROM_KEYWORDS)
+    ):
+        alias = tokens[a_i].text.strip("`").lower()
+        p = _significant(tokens, a_i)
+    # single source: nothing but a clause boundary may follow
+    if p != -1 and p < end and not (
+        tokens[p].kind == "word" and tokens[p].upper in _CLAUSE_BOUNDARY
+    ):
+        return None
+    if len(parts) < 2:
+        return None
+    cols = rest = None
+    if parts[0] in _CATALOG:
+        cols, rest = _CATALOG[parts[0]], parts[1:]
+    elif len(parts) >= 3 and f"{parts[0]}.{parts[1]}" in _CATALOG:
+        cols, rest = _CATALOG[f"{parts[0]}.{parts[1]}"], parts[2:]
+    elif len(parts) >= 3 and parts[1] in _CATALOG:
+        cols, rest = _CATALOG[parts[1]], parts[2:]
+    if cols is None or not rest:
+        return None
+    ty = cols.get(rest[0])
+    if ty is None:
+        return None
+    for part in rest[1:]:
+        ty = _resolve_member(ty, part)
+        if ty is None:
+            return None
+    if not ty.strip().upper().startswith(("ARRAY<", "MAP<")):
+        return None
+    return alias, ty
 
 
 def _check_strict_complex_types(tokens: list[Token]) -> None:
@@ -6364,7 +6442,16 @@ def _check_strict_complex_types(tokens: list[Token]) -> None:
             list_start = _significant(tokens, list_start)
         if from_idx >= end:
             continue
-        amap, src_unknown = _block_from_tables(tokens, from_idx, end)
+        amap, src_unknown, from_aliases = _block_from_sources(
+            tokens, from_idx, end,
+        )
+        # alias names that are NOT resolvable catalog tables shadow
+        # same-named schema columns (a collection ref `t.a` aliased 'a'
+        # makes `a.item` an alias path, not a column path)
+        shadowing = {
+            nm for nm in from_aliases if nm not in amap
+        }
+        coll_ctx = _single_collection_source(tokens, from_idx, end)
 
         def scalar_cols(tbl: str) -> int | None:
             cols = (_CATALOG or {}).get(tbl)
@@ -6411,7 +6498,7 @@ def _check_strict_complex_types(tokens: list[Token]) -> None:
                     )
                     continue
                 star_expansions.append(None)
-                if bp is not None:
+                if bp is not None and bp[0][0].lower() not in shadowing:
                     res = _slot_path_resolve(bp[0])
                     if res is not None and res[0] == "ok" and not res[1].strip(
                     ).upper().startswith("STRUCT<"):
@@ -6425,6 +6512,34 @@ def _check_strict_complex_types(tokens: list[Token]) -> None:
             nonstar_items += 1
             bp = _bare_path_of(tokens, a, b)
             if bp is None:
+                continue
+            # collection-tuple resolution: over a lone collection-ref
+            # source, paths resolve against the element's implicit
+            # item/pos (arrays) or key/value (maps) fields plus struct
+            # members (Path.resolve over a CollectionTableRef)
+            if coll_ctx is not None:
+                cparts = [p.lower() for p in bp[0]]
+                if cparts and cparts[0] == coll_ctx[0]:
+                    cparts = cparts[1:]
+                if cparts:
+                    ty = _resolve_member(coll_ctx[1], cparts[0])
+                    if ty is not None:
+                        for part in cparts[1:]:
+                            nxt = _resolve_member(ty, part)
+                            if nxt is None:
+                                raise ImpalaUnsupportedError(
+                                    "Could not resolve column/field "
+                                    f"reference: '{bp[1]}'"
+                                )
+                            ty = nxt
+                        if _is_complex_type(ty):
+                            raise ImpalaUnsupportedError(
+                                f"Expr '{bp[1]}' in select list returns "
+                                f"a complex type '{ty}'.\nOnly scalar "
+                                "types are allowed in the select list."
+                            )
+                        continue
+            if bp[0][0].lower() in shadowing:
                 continue
             res = _slot_path_resolve(bp[0])
             if res is None:

@@ -103,6 +103,33 @@ TABLE_SCHEMAS: dict[str, dict[str, str]] = {
         "c": "MAP<STRING,INT>",
     },
     "complex_view": {"abc": "BIGINT", "xyz": "STRING"},
+    # db-qualified fixture tables (addTestTable registrations in
+    # AnalyzeStmtsTest.java:414-585,770-771): qualified keys resolve
+    # only through the db.table path, never as bare names
+    "d.t1": {"c": "ARRAY<INT>"},
+    "d.t2": {"c": "ARRAY<STRUCT<f:INT>>"},
+    "d.t3": {"c": "ARRAY<STRUCT<f:INT,item:INT,pos:INT>>"},
+    "d.t4": {"c": "MAP<INT,STRING>"},
+    "d.t5": {"c": "MAP<INT,STRUCT<f:INT>>"},
+    "d.t6": {"c": "MAP<INT,STRUCT<f:INT,key:INT,value:INT>>"},
+    "d.t7": {
+        "c1": "INT",
+        "c2": "DECIMAL(10,4)",
+        "c3": "ARRAY<STRUCT<a1:ARRAY<INT>,"
+              "a2:ARRAY<STRUCT<x:INT,y:INT,a3:ARRAY<INT>>>>>",
+        "c4": "BIGINT",
+        "c5": "MAP<INT,STRUCT<m1:MAP<INT,STRING>,"
+              "m2:MAP<INT,STRUCT<x:INT,y:INT,m3:MAP<INT,INT>>>>>",
+    },
+    "d.t8": {
+        "c1": "ARRAY<MAP<STRING,STRING>>",
+        "c2": "MAP<STRING,ARRAY<STRUCT<a:INT>>>",
+        "c3": "STRUCT<s1:STRUCT<a:ARRAY<ARRAY<STRUCT<e:INT,f:STRING>>>>>",
+    },
+    "a.t1": {"x": "ARRAY<STRUCT<y:ARRAY<INT>>>"},
+    "a.t2": {"y": "ARRAY<INT>"},
+    "a.array_test": {"a": "ARRAY<INT>"},
+    "a.map_test": {"a": "MAP<INT,INT>"},
 }
 
 

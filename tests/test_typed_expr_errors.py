@@ -1159,3 +1159,49 @@ def test_function_lookup_and_star_ordinal_errors():
     ]:
         tr(sql, strict=True, schema=schema_for_statement(sql),
            catalog=TABLE_SCHEMAS)
+
+
+def test_collection_tuple_field_resolution_errors():
+    """Path.resolve over a lone collection-ref FROM source (the d.tN
+    fixture tables, AnalyzeStmtsTest.java:414-585): arrays expose
+    item/pos, maps key/value, struct elements their members; a member
+    step off a scalar fails, and a complex final type cannot sit in the
+    select list."""
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+    from impala_spark.testcatalog import TABLE_SCHEMAS, schema_for_statement
+
+    neg = [
+        ("select item.item from d.t1.c",
+         "Could not resolve column/field reference: 'item.item'"),
+        ("select item.pos from d.t2.c",
+         "Could not resolve column/field reference: 'item.pos'"),
+        ("select item from d.t2.c",
+         "Expr 'item' in select list returns a complex type "
+         "'STRUCT<f:INT>'."),
+        ("select item from d.t3.c",
+         "Expr 'item' in select list returns a complex type "
+         "'STRUCT<f:INT,item:INT,pos:INT>'."),
+        ("select value.objectValue from d.t4.c",
+         "Could not resolve column/field reference: 'value.objectValue'"),
+        ("select value from d.t6.c",
+         "Expr 'value' in select list returns a complex type "
+         "'STRUCT<f:INT,key:INT,value:INT>'."),
+    ]
+    for sql, msg in neg:
+        with pytest.raises(ImpalaUnsupportedError) as ei:
+            tr(sql, strict=True, schema=schema_for_statement(sql),
+               catalog=TABLE_SCHEMAS)
+        assert msg in str(ei.value), sql
+    for sql in [
+        "select item from d.t1.c", "select pos from d.t1.c",
+        "select key from d.t4.c", "select item.f from d.t2.c",
+        "select f from d.t2.c", "select c.item from d.t1.c",
+        # collection alias shadows the same-named schema column
+        "select a.item from a.array_test t, t.a",
+        "select a.key, a.value from a.map_test t, t.a",
+    ]:
+        tr(sql, strict=True, schema=schema_for_statement(sql),
+           catalog=TABLE_SCHEMAS)
