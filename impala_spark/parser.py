@@ -8071,6 +8071,165 @@ def _bool_clause_regions(tokens: list[Token]) -> list[tuple[str, int, int]]:
     return regions
 
 
+def _check_strict_ref_ambiguity(tokens: list[Token]) -> None:
+    """Analyzer.registerTableRef / resolveColumnRef ambiguity over a
+    block whose FROM holds two same-named tables from different dbs
+    (AnalyzeStmtsTest cross-db pins):
+
+    - same implicit alias, same written full name (a bare ref under the
+      session db + its qualified twin): "Duplicate table alias: 'db.t'"
+    - same implicit alias, different sources: a ref THROUGH the alias is
+      "Unqualified table alias is ambiguous: 't'"
+    - a bare column ref found in several sources' schemas:
+      "Column/field reference is ambiguous: 'c'"
+    """
+    if _CATALOG is None:
+        return
+    for sel_idx, from_idx, end in _select_blocks(tokens):
+        if from_idx >= end:
+            continue
+        # source list: (written_path_lower, effective_alias, table_key)
+        sources: list[tuple[str, str, str | None]] = []
+        k = _significant(tokens, from_idx)
+        expecting = True
+        while k != -1 and k < end:
+            t = tokens[k]
+            if t.kind in ("ws", "line_comment", "block_comment"):
+                k += 1
+                continue
+            if t.kind == "op" and t.text == "(":
+                close = _matching_paren(tokens, k)
+                k = (close + 1) if close != -1 else k + 1
+                expecting = False
+                continue
+            if t.kind == "op" and t.text == ",":
+                expecting = True
+                k += 1
+                continue
+            if t.kind == "word" and t.upper == "JOIN":
+                expecting = True
+                k += 1
+                continue
+            if t.kind == "word" and t.upper in _CLAUSE_BOUNDARY:
+                break
+            if not expecting or t.kind not in ("word", "bident") or (
+                t.kind == "word" and t.upper in _FROM_KEYWORDS
+            ):
+                k += 1
+                continue
+            parts = [t.text.strip("`").lower()]
+            hi = k
+            p = _significant(tokens, k)
+            while p != -1 and p < end and tokens[p].kind == "op" \
+                    and tokens[p].text == ".":
+                q = _significant(tokens, p)
+                if q == -1 or tokens[q].kind not in ("word", "bident"):
+                    break
+                parts.append(tokens[q].text.strip("`").lower())
+                hi = q
+                p = _significant(tokens, q)
+            if p != -1 and p < end and tokens[p].kind == "op" \
+                    and tokens[p].text == "(":
+                close = _matching_paren(tokens, p)
+                k = (close + 1) if close != -1 else p + 1
+                expecting = False
+                continue  # function call, not a table ref
+            alias = None
+            a_i = p
+            if a_i != -1 and a_i < end and tokens[a_i].kind == "word" \
+                    and tokens[a_i].upper == "AS":
+                a_i = _significant(tokens, a_i)
+            if (
+                a_i != -1 and a_i < end
+                and tokens[a_i].kind in ("word", "bident")
+                and (tokens[a_i].kind == "bident"
+                     or tokens[a_i].upper not in _FROM_KEYWORDS)
+            ):
+                alias = tokens[a_i].text.strip("`").lower()
+                k = a_i + 1
+            else:
+                k = hi + 1
+            expecting = False
+            tbl = None
+            if len(parts) == 1 and parts[0] in _CATALOG:
+                tbl = parts[0]
+            elif len(parts) == 2 and ".".join(parts) in _CATALOG:
+                tbl = ".".join(parts)
+            elif len(parts) == 2 and parts[1] in _CATALOG:
+                tbl = parts[1]
+            sources.append((".".join(parts), alias or parts[-1], tbl))
+        # registration duplicates + alias ambiguity require >= 2 sources
+        dup_aliases: set[str] = set()
+        for i1 in range(len(sources)):
+            for i2 in range(i1 + 1, len(sources)):
+                w1, a1, t1 = sources[i1]
+                w2, a2, t2 = sources[i2]
+                if a1 != a2:
+                    continue
+                if t1 is None and t2 is None:
+                    continue
+                # bare + qualified spelling of the same table: the bare
+                # ref resolves under the session db to the same full
+                # name -> registration collides
+                if t1 == t2 and ("." in w1) != ("." in w2):
+                    full = w1 if "." in w1 else w2
+                    raise ImpalaUnsupportedError(
+                        f"Duplicate table alias: '{full}'"
+                    )
+                if w1 != w2:
+                    dup_aliases.add(a1)
+        if not dup_aliases:
+            continue
+        # any reference through a duplicated implicit alias (col path or
+        # star) is ambiguous; bare columns present in several sources
+        # are caught here too via the shared schema
+        k2 = _significant(tokens, sel_idx)
+        while k2 != -1 and k2 < from_idx:
+            t2_ = tokens[k2]
+            if t2_.kind in ("word", "bident") \
+                    and t2_.text.strip("`").lower() in dup_aliases:
+                nx = _significant(tokens, k2)
+                if nx != -1 and tokens[nx].kind == "op" \
+                        and tokens[nx].text == ".":
+                    pv = _significant(tokens, k2, -1)
+                    if not (
+                        pv != -1 and tokens[pv].kind == "op"
+                        and tokens[pv].text == "."
+                    ):
+                        raise ImpalaUnsupportedError(
+                            "Unqualified table alias is ambiguous: "
+                            f"'{t2_.text.strip('`').lower()}'"
+                        )
+            k2 += 1
+        # bare column refs shared by the duplicated sources
+        dup_tables = [
+            t for w, a, t in sources if a in dup_aliases and t is not None
+        ]
+        if len(dup_tables) >= 2:
+            k2 = _significant(tokens, sel_idx)
+            while k2 != -1 and k2 < from_idx:
+                t2_ = tokens[k2]
+                if t2_.kind in ("word", "bident"):
+                    nm = t2_.text.strip("`").lower()
+                    nx = _significant(tokens, k2)
+                    pv = _significant(tokens, k2, -1)
+                    dotted = (
+                        (nx != -1 and tokens[nx].kind == "op"
+                         and tokens[nx].text in (".", "("))
+                        or (pv != -1 and tokens[pv].kind == "op"
+                            and tokens[pv].text == ".")
+                    )
+                    if not dotted and sum(
+                        1 for tb in dup_tables
+                        if nm in (_CATALOG.get(tb) or {})
+                    ) >= 2:
+                        raise ImpalaUnsupportedError(
+                            "Column/field reference is ambiguous: "
+                            f"'{nm}'"
+                        )
+                k2 += 1
+
+
 def _check_strict_compound_operands(tokens: list[Token]) -> None:
     """CompoundPredicate.analyzeImpl (A/CompoundPredicate.java:86-95):
     every operand of AND/OR/NOT must return BOOLEAN (NULL implicitly
@@ -8999,6 +9158,7 @@ def _translate_checked(tokens: list[Token], sql: str, strict: bool) -> str:
     if strict:
         # FROM-clause analysis precedes everything in SelectStmt.analyze
         _check_strict_table_path_refs(tokens)
+        _check_strict_ref_ambiguity(tokens)
         _check_strict_complex_types(tokens)
         _check_strict_subquery_clauses(tokens)
         _check_strict_subquery_predicates(tokens)

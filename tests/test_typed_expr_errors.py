@@ -1205,3 +1205,46 @@ def test_collection_tuple_field_resolution_errors():
     ]:
         tr(sql, strict=True, schema=schema_for_statement(sql),
            catalog=TABLE_SCHEMAS)
+
+
+def test_cross_db_reference_ambiguity_errors():
+    """Cross-db same-name sources (AnalyzeStmtsTest cross-db pins):
+    a bare + qualified spelling of one table collides at registration;
+    two distinct same-named sources make alias- and bare-column refs
+    ambiguous at reference time."""
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+    from impala_spark.testcatalog import TABLE_SCHEMAS, schema_for_statement
+
+    neg = [
+        ("select int_col from functional.alltypes cross join "
+         "functional_parquet.alltypes",
+         "Column/field reference is ambiguous: 'int_col'"),
+        ("select alltypes.int_col from functional.alltypes cross join "
+         "functional_parquet.alltypes",
+         "Unqualified table alias is ambiguous: 'alltypes'"),
+        ("select alltypes.* from functional.alltypes cross join "
+         "functional_parquet.alltypes",
+         "Unqualified table alias is ambiguous: 'alltypes'"),
+        ("select alltypes.smallint_col, functional.alltypes.int_col "
+         "from alltypes inner join functional.alltypes on "
+         "(alltypes.id = functional.alltypes.id)",
+         "Duplicate table alias: 'functional.alltypes'"),
+    ]
+    for sql, msg in neg:
+        with pytest.raises(ImpalaUnsupportedError) as ei:
+            tr(sql, strict=True, schema=schema_for_statement(sql),
+               catalog=TABLE_SCHEMAS)
+        assert msg in str(ei.value), sql
+    for sql in [
+        "select a.int_col, b.int_col from functional.alltypes a cross "
+        "join functional_parquet.alltypes b",
+        "select functional.alltypes.int_col from functional.alltypes "
+        "cross join functional_parquet.alltypes",
+        "select t1.int_col from functional.alltypes t1, "
+        "functional.alltypessmall t2",
+    ]:
+        tr(sql, strict=True, schema=schema_for_statement(sql),
+           catalog=TABLE_SCHEMAS)
