@@ -3968,6 +3968,245 @@ def _star_list_width(
     return _countable_select_items(tokens, ls, min(inner_from, close))
 
 
+def _select_item_labels(
+    tokens: list[Token], list_start: int, from_idx: int,
+) -> list[tuple[str, str]]:
+    """(label, normalized expr text) per select item: explicit alias
+    (with or without AS), else the bare column path's last part, else
+    the positional _cN label Impala assigns unnamed exprs."""
+    labels: list[tuple[str, str]] = []
+    for pos, (a, b) in enumerate(
+        _split_top_level_commas(tokens, list_start, from_idx)
+    ):
+        sig = [
+            k for k in range(a, b)
+            if tokens[k].kind not in ("ws", "line_comment", "block_comment")
+        ]
+        if not sig:
+            continue
+        label = None
+        expr_sig = sig
+        if (
+            len(sig) >= 3
+            and tokens[sig[-2]].kind == "word"
+            and tokens[sig[-2]].upper == "AS"
+            and tokens[sig[-1]].kind in ("word", "bident")
+        ):
+            label = tokens[sig[-1]].text.strip("`").lower()
+            expr_sig = sig[:-2]
+        elif (
+            len(sig) >= 2
+            and tokens[sig[-1]].kind in ("word", "bident")
+            and (tokens[sig[-1]].kind == "bident"
+                 or tokens[sig[-1]].upper not in _NON_OPERAND_WORDS)
+            and not (
+                tokens[sig[-2]].kind == "op" and tokens[sig[-2]].text == "."
+            )
+        ):
+            label = tokens[sig[-1]].text.strip("`").lower()
+            expr_sig = sig[:-1]
+        elif len(sig) == 1 and tokens[sig[0]].kind in ("word", "bident"):
+            label = tokens[sig[0]].text.strip("`").lower()
+        elif (
+            tokens[sig[-1]].kind in ("word", "bident")
+            and len(sig) >= 2
+            and tokens[sig[-2]].kind == "op" and tokens[sig[-2]].text == "."
+        ):
+            label = tokens[sig[-1]].text.strip("`").lower()
+        expr_norm = re.sub(
+            r"\s+", "",
+            "".join(tokens[k].text for k in expr_sig).lower(),
+        )
+        labels.append((
+            label if label is not None else f"_c{pos}", expr_norm,
+        ))
+    return labels
+
+
+def _check_strict_label_ambiguity(tokens: list[Token]) -> None:
+    """QueryStmt.substituteOrdinalsAliases: an ORDER BY / GROUP BY item
+    that is a single identifier matching SEVERAL select-list labels is
+    ambiguous ("Column 'a' in ORDER BY clause is ambiguous")."""
+    blocks = _select_blocks(tokens)
+    n = len(tokens)
+    for sel_idx, from_idx, end in blocks:
+        list_start = _significant(tokens, sel_idx)
+        if list_start == -1:
+            continue
+        if tokens[list_start].kind == "word" and tokens[list_start].upper in (
+            "DISTINCT", "ALL",
+        ):
+            list_start = _significant(tokens, list_start)
+        labels = _select_item_labels(tokens, list_start, from_idx)
+        # a duplicated label is ambiguous iff it names DIFFERENT exprs
+        # (QueryStmt.getFirstAmbiguousAlias: identical duplicate items
+        # collapse to one slot) — except across UNION operands, where
+        # each output position is its own slot
+        by_label: dict[str, set[str]] = {}
+        for lbl, expr in labels:
+            by_label.setdefault(lbl, set()).add(expr)
+        dup = {lbl for lbl, exprs in by_label.items() if len(exprs) > 1}
+        union_dup = {
+            lbl for lbl, _ in labels
+            if sum(1 for l2, _e in labels if l2 == lbl) > 1
+        }
+        # this block's ORDER BY / GROUP BY, plus a statement-level
+        # ORDER BY after a UNION (labels come from the first operand)
+        scan_end = end
+        if end < n and tokens[end].kind == "word" \
+                and tokens[end].upper == "UNION" and sel_idx == blocks[0][0]:
+            scan_end = n
+            dup = dup | union_dup
+        if not dup:
+            continue
+        k = from_idx
+        d = 0
+        while k < scan_end:
+            t = tokens[k]
+            if t.kind == "op" and t.text == "(":
+                d += 1
+            elif t.kind == "op" and t.text == ")":
+                d -= 1
+            elif (
+                d <= 0 and t.kind == "word"
+                and t.upper in ("ORDER", "GROUP")
+            ):
+                j = _significant(tokens, k)
+                if j == -1 or tokens[j].upper != "BY":
+                    k += 1
+                    continue
+                clause = t.upper + " BY"
+                body_end = j + 1
+                d2 = 0
+                while body_end < scan_end:
+                    tb = tokens[body_end]
+                    if tb.kind == "op" and tb.text == "(":
+                        d2 += 1
+                    elif tb.kind == "op" and tb.text == ")":
+                        d2 -= 1
+                        if d2 < 0:
+                            break
+                    elif d2 == 0 and tb.kind == "word" \
+                            and tb.upper in _CLAUSE_BOUNDARY:
+                        break
+                    body_end += 1
+                for a, b in _split_top_level_commas(tokens, j + 1, body_end):
+                    sig = [
+                        x for x in range(a, b)
+                        if tokens[x].kind not in (
+                            "ws", "line_comment", "block_comment",
+                        )
+                    ]
+                    while sig and tokens[sig[-1]].kind == "word" \
+                            and tokens[sig[-1]].upper in (
+                                "ASC", "DESC", "FIRST", "LAST", "NULLS",
+                            ):
+                        sig = sig[:-1]
+                    if (
+                        len(sig) == 1
+                        and tokens[sig[0]].kind in ("word", "bident")
+                        and tokens[sig[0]].text.strip("`").lower() in dup
+                    ):
+                        raise ImpalaUnsupportedError(
+                            f"Column '{tokens[sig[0]].text.strip('`').lower()}'"
+                            f" in {clause} clause is ambiguous"
+                        )
+                k = body_end
+                continue
+            k += 1
+
+
+def _check_strict_using_columns(tokens: list[Token]) -> None:
+    """TableRef.analyzeJoin USING resolution: every USING column must
+    exist in the left table ("unknown column badcol for alias a")."""
+    if _CATALOG is None:
+        return
+    for i, t in enumerate(tokens):
+        if t.kind != "word" or t.upper != "USING":
+            continue
+        op = _significant(tokens, i)
+        if op == -1 or tokens[op].kind != "op" or tokens[op].text != "(":
+            continue
+        close = _matching_paren(tokens, op)
+        # walk back: <left-table> <alias> JOIN <right> [alias] USING
+        p = _significant(tokens, i, -1)
+        hops = 0
+        join_at = -1
+        while p != -1 and hops < 12:
+            if tokens[p].kind == "word" and tokens[p].upper == "JOIN":
+                join_at = p
+                break
+            p = _significant(tokens, p, -1)
+            hops += 1
+        if join_at == -1:
+            continue
+        # left side: ... <table-path> <alias>? JOIN — the alias is the
+        # token just before JOIN (or the path's last part)
+        la = _significant(tokens, join_at, -1)
+        while la != -1 and tokens[la].kind == "word" and tokens[la].upper in (
+            "INNER", "LEFT", "RIGHT", "FULL", "OUTER", "SEMI", "ANTI",
+            "CROSS",
+        ):
+            la = _significant(tokens, la, -1)
+        if la == -1 or tokens[la].kind not in ("word", "bident"):
+            continue
+        alias = tokens[la].text.strip("`").lower()
+        # the table path before the alias (possibly the alias IS the
+        # table name)
+        pv = _significant(tokens, la, -1)
+        parts = []
+        cursor = la
+        while pv != -1 and tokens[pv].kind == "op" and tokens[pv].text == ".":
+            w = _significant(tokens, pv, -1)
+            if w == -1 or tokens[w].kind not in ("word", "bident"):
+                break
+            parts.insert(0, tokens[w].text.strip("`").lower())
+            cursor = w
+            pv = _significant(tokens, w, -1)
+        if not parts and pv != -1 and tokens[pv].kind in ("word", "bident") \
+                and not (tokens[pv].kind == "word"
+                         and tokens[pv].upper in _FROM_KEYWORDS | {"JOIN"}):
+            tb = tokens[pv].text.strip("`").lower()
+            p2 = _significant(tokens, pv, -1)
+            while p2 != -1 and tokens[p2].kind == "op" and tokens[p2].text == ".":
+                w = _significant(tokens, p2, -1)
+                if w == -1 or tokens[w].kind not in ("word", "bident"):
+                    break
+                parts.insert(0, tokens[w].text.strip("`").lower())
+                p2 = _significant(tokens, w, -1)
+            parts.append(tb)
+        else:
+            parts.append(alias)
+        tbl = None
+        for cand in (".".join(parts[-2:]), parts[-1]):
+            if cand in _CATALOG:
+                tbl = cand
+                break
+        if tbl is None:
+            continue
+        cols = _CATALOG[tbl]
+        for a, b in _split_top_level_commas(tokens, op + 1, close):
+            sig = [
+                x for x in range(a, b)
+                if tokens[x].kind not in ("ws", "line_comment", "block_comment")
+            ]
+            if len(sig) != 1 or tokens[sig[0]].kind not in ("word", "bident"):
+                continue
+            cname = tokens[sig[0]].text.strip("`").lower()
+            if cname not in cols:
+                ref_sql = re.sub(
+                    r"\s+", " ",
+                    untokenize(tokens[join_at + 1:close + 1]).strip(),
+                )
+                ref_sql = re.sub(
+                    r"\busing\b", "USING", ref_sql, flags=re.IGNORECASE,
+                )
+                raise ImpalaUnsupportedError(
+                    f"unknown column {cname} for alias {alias} "
+                    f'(in "{ref_sql}")'
+                )
+
+
 def _check_strict_ordinals(tokens: list[Token]) -> None:
     """QueryStmt.java:311-323 trySubstituteOrdinal: an integer-literal
     ORDER BY / GROUP BY item is an ordinal into the select list and must
@@ -9169,6 +9408,8 @@ def _translate_checked(tokens: list[Token], sql: str, strict: bool) -> str:
         # ordinal substitution precedes the grouping-output checks in the
         # reference (SelectStmt.analyze), so its errors win here too
         _check_strict_ordinals(tokens)
+        _check_strict_label_ambiguity(tokens)
+        _check_strict_using_columns(tokens)
         # checkReturnsBool runs while each clause is analyzed — before
         # the aggregation-output registration errors (SelectStmt.analyze
         # order: analyzeWhere/Having before analyzeAggregation), so a

@@ -1248,3 +1248,53 @@ def test_cross_db_reference_ambiguity_errors():
     ]:
         tr(sql, strict=True, schema=schema_for_statement(sql),
            catalog=TABLE_SCHEMAS)
+
+
+def test_using_columns_and_label_ambiguity_errors():
+    """USING-column resolution against the left table (TableRef.java:
+    430-446, with the `(in "...")` toSql suffix) and duplicate
+    select-label ambiguity in ORDER BY / GROUP BY — identical duplicate
+    exprs collapse to one slot, union operands never do
+    (QueryStmt.getFirstAmbiguousAlias)."""
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+    from impala_spark.testcatalog import TABLE_SCHEMAS, schema_for_statement
+
+    neg = [
+        ("select a.int_col from functional.alltypes a join "
+         "functional.alltypes b using (badcol)",
+         "unknown column badcol for alias a "),
+        ("select a.int_col from functional.alltypes a join "
+         "functional.alltypes b using (int_col, badcol)",
+         "unknown column badcol for alias a "),
+        ("select zip a, id a, count(*) from functional.testtbl group by a",
+         "Column 'a' in GROUP BY clause is ambiguous"),
+        ("select zip id, id, count(*) from functional.testtbl group by id",
+         "Column 'id' in GROUP BY clause is ambiguous"),
+        ("select string_col a, int_col a from functional.alltypessmall "
+         "order by a limit 1",
+         "Column 'a' in ORDER BY clause is ambiguous"),
+        ("select int_col a, int_col a from functional.alltypes union all "
+         "(select 1, bigint_col from functional.alltypessmall) order by a",
+         "Column 'a' in ORDER BY clause is ambiguous"),
+    ]
+    for sql, msg in neg:
+        with pytest.raises(ImpalaUnsupportedError) as ei:
+            tr(sql, strict=True, schema=schema_for_statement(sql),
+               catalog=TABLE_SCHEMAS)
+        assert msg in str(ei.value), sql
+    for sql in [
+        "select a.int_col from functional.alltypes a join "
+        "functional.alltypes b using (int_col)",
+        # identical duplicate exprs are one slot, not ambiguous
+        "select int_col, INT_COL from functional.alltypes group by int_col",
+        "select bool_col a, bool_col A from functional.alltypes order by a",
+        "select int_col A, bool_col b, int_col a, bool_col B from "
+        "functional.alltypes group by a, b",
+        "select zip z, id iD1, id ID2, count(*) from functional.testtbl "
+        "group by z, ID1, id2",
+    ]:
+        tr(sql, strict=True, schema=schema_for_statement(sql),
+           catalog=TABLE_SCHEMAS)
