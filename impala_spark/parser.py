@@ -3999,8 +3999,14 @@ def _select_item_labels(
             and tokens[sig[-1]].kind in ("word", "bident")
             and (tokens[sig[-1]].kind == "bident"
                  or tokens[sig[-1]].upper not in _NON_OPERAND_WORDS)
+            and (
+                tokens[sig[-2]].kind in ("word", "bident", "number", "string")
+                or (tokens[sig[-2]].kind == "op"
+                    and tokens[sig[-2]].text == ")")
+            )
             and not (
-                tokens[sig[-2]].kind == "op" and tokens[sig[-2]].text == "."
+                tokens[sig[-2]].kind == "word"
+                and tokens[sig[-2]].upper in _NON_OPERAND_WORDS
             )
         ):
             label = tokens[sig[-1]].text.strip("`").lower()
@@ -4205,6 +4211,504 @@ def _check_strict_using_columns(tokens: list[Token]) -> None:
                     f"unknown column {cname} for alias {alias} "
                     f'(in "{ref_sql}")'
                 )
+
+
+#: words never treated as a column-path head by the resolver
+_RESOLVER_SKIP_WORDS = frozenset(
+    w.upper() for w in (
+        set(_NON_OPERAND_WORDS)
+        | {"NULL", "TRUE", "FALSE", "END", "EXISTS", "INTERVAL",
+           "ASC", "DESC", "NULLS", "FIRST", "LAST", "OVER", "PARTITION",
+           "ORDER", "GROUP", "LIMIT", "OFFSET", "UNION", "INNER", "LEFT",
+           "RIGHT", "FULL", "OUTER", "SEMI", "ANTI", "CROSS", "USING",
+           "VALUES", "WITH", "CAST", "DIV", "IGNORE", "ROWS", "RANGE",
+           "PRECEDING", "FOLLOWING", "UNBOUNDED", "CURRENT", "ROW",
+           "STRAIGHT_JOIN", "INTERSECT", "EXCEPT", "WINDOW", "ESCAPE",
+           "IREGEXP", "FOR", "TABLESAMPLE"}
+    )
+) | frozenset(w for w in _CONST_EXPR_WORDS) | frozenset(
+    u for u in ("YEAR", "YEARS", "MONTH", "MONTHS", "WEEK", "WEEKS",
+                "DAY", "DAYS", "HOUR", "HOURS", "MINUTE", "MINUTES",
+                "SECOND", "SECONDS", "MILLISECOND", "MILLISECONDS",
+                "MICROSECOND", "MICROSECONDS", "NANOSECOND",
+                "NANOSECONDS", "EPOCH")
+)
+
+
+def _inline_view_labels(
+    tokens: list[Token], open_idx: int,
+) -> list[str] | None:
+    """Output labels of an inline view / CTE body `( select ... )`.
+    None when they cannot be known statically (stars, WITH, VALUES,
+    unions whose first operand is unknowable)."""
+    close = _matching_paren(tokens, open_idx)
+    if close == -1:
+        return None
+    head = _significant(tokens, open_idx)
+    if head == -1 or tokens[head].kind != "word" \
+            or tokens[head].upper != "SELECT":
+        return None
+    list_start = _significant(tokens, head)
+    if list_start == -1:
+        return None
+    if tokens[list_start].kind == "word" and tokens[list_start].upper in (
+        "DISTINCT", "ALL",
+    ):
+        list_start = _significant(tokens, list_start)
+    # this select's FROM (or a set operator, or end of list) at the
+    # group's depth — a union's output labels come from operand #1
+    inner_from = close
+    d = 0
+    for x in range(head + 1, close):
+        tx = tokens[x]
+        if tx.kind == "op" and tx.text == "(":
+            d += 1
+        elif tx.kind == "op" and tx.text == ")":
+            d -= 1
+        elif d == 0 and tx.kind == "word" and tx.upper in (
+            "FROM", "UNION", "INTERSECT", "EXCEPT",
+        ):
+            inner_from = x
+            break
+    # stars make the width/labels unknowable at the token level
+    for a, b in _split_top_level_commas(tokens, list_start, inner_from):
+        for x in range(a, b):
+            if tokens[x].kind == "op" and tokens[x].text == "*":
+                pv = _significant(tokens, x, -1)
+                if pv == -1 or not (
+                    tokens[pv].kind == "op" and tokens[pv].text in (")",)
+                ) and not (
+                    tokens[pv].kind in ("word", "bident", "number")
+                    or tokens[pv].kind == "string"
+                ):
+                    return None
+                if pv != -1 and tokens[pv].kind == "op" \
+                        and tokens[pv].text == ".":
+                    return None
+        sig = [
+            x for x in range(a, b)
+            if tokens[x].kind not in ("ws", "line_comment", "block_comment")
+        ]
+        if len(sig) == 1 and tokens[sig[0]].kind == "op" \
+                and tokens[sig[0]].text == "*":
+            return None
+    labels = [
+        l for l, _e in _select_item_labels(tokens, list_start, inner_from)
+    ]
+    # unnamed non-column items are referenceable BOTH as _cN and by
+    # their toSql text (`int_col * 1`, `NOT bool_col` in backticks)
+    for pos, (a, b) in enumerate(
+        _split_top_level_commas(tokens, list_start, inner_from)
+    ):
+        if pos < len(labels) and labels[pos] == f"_c{pos}":
+            raw = untokenize(tokens[a:b]).strip()
+            raw = re.sub(r"!(?!=)\s*", "NOT ", raw)
+            rendered = _expr_to_sql(raw).lower()
+            if rendered:
+                labels.append(rendered)
+    return labels
+
+
+def _check_strict_column_resolution(tokens: list[Token]) -> None:
+    """Analyzer.resolvePath coverage over statically-known namespaces:
+
+    - `alias.col` against a source whose output columns are known
+      (catalog table, label-complete inline view, WITH view incl. its
+      column-label override) -> "Could not resolve column/field
+      reference: 'alias.col'"
+    - a bare name found in none of a fully-known block's sources (or in
+      a FROM-less block) -> same error; found in several -> ambiguous
+    - WITH label lists longer than the view's select list
+      (Analyzer.registerLocalView, A/Analyzer.java:459-469)
+    - VALUES rows can reference no slots at all
+
+    Unknown-label sources (stars, collection refs, views we cannot
+    width) disable the block's bare-name rules — never guessed."""
+    if _CATALOG is None:
+        return
+    blocks = _select_blocks(tokens)
+    cte_defs = _cte_defs_of(tokens)
+    n = len(tokens)
+
+    # CTE output labels (body labels with the optional (c1,..) override)
+    cte_label_map: dict[tuple[str, int], list[str] | None] = {}
+    for nm, open_idx, close, scope_end in cte_defs:
+        body = _inline_view_labels(tokens, open_idx)
+        # explicit label list: `name (c1, c2) AS (`
+        lbl_open = -1
+        p = _significant(tokens, open_idx, -1)  # AS
+        if p != -1 and tokens[p].kind == "word" and tokens[p].upper == "AS":
+            q = _significant(tokens, p, -1)
+            if q != -1 and tokens[q].kind == "op" and tokens[q].text == ")":
+                d = 0
+                for x in range(q, -1, -1):
+                    if tokens[x].kind == "op" and tokens[x].text == ")":
+                        d += 1
+                    elif tokens[x].kind == "op" and tokens[x].text == "(":
+                        d -= 1
+                        if d == 0:
+                            lbl_open = x
+                            break
+        if lbl_open != -1:
+            labels = [
+                tokens[x].text.strip("`").lower()
+                for x in range(lbl_open + 1, q)
+                if tokens[x].kind in ("word", "bident")
+            ]
+            if body is not None and len(labels) > len(body):
+                raise ImpalaUnsupportedError(
+                    f"WITH-clause view '{nm}' returns {len(body)} "
+                    f"columns, but {len(labels)} labels were specified. "
+                    "The number of column labels must be smaller or "
+                    "equal to the number of returned columns."
+                )
+            if body is not None:
+                body = labels + body[len(labels):]
+            elif labels:
+                body = None  # width unknown: keep permissive
+        cte_label_map[(nm, open_idx)] = body
+
+    def cte_labels_at(name: str, pos: int) -> tuple[bool, list[str] | None]:
+        """(is_cte, labels) for the def visible at pos."""
+        best = None
+        for nm, open_idx, close, scope_end in cte_defs:
+            if nm == name and close < pos <= scope_end:
+                best = (nm, open_idx)
+        if best is None:
+            return False, None
+        return True, cte_label_map.get(best)
+
+    # ---- per-block source lists + consumed-token exclusion ----
+    block_sources: list[list[tuple[str, frozenset | None]]] = []
+    consumed: set[int] = set()
+    from_spans: list[tuple[int, int]] = []
+    for sel_idx, from_idx, end in blocks:
+        sources: list[tuple[str, frozenset | None]] = []
+        if from_idx < end:
+            k = _significant(tokens, from_idx)
+            from_end = end
+            expecting = True
+            while k != -1 and k < end:
+                t = tokens[k]
+                if t.kind in ("ws", "line_comment", "block_comment"):
+                    k += 1
+                    continue
+                if t.kind == "word" and t.upper in (
+                    "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
+                    "OFFSET", "UNION", "WINDOW",
+                ):
+                    from_end = k
+                    break
+                if t.kind == "op" and t.text == "(":
+                    close = _matching_paren(tokens, k)
+                    if close == -1:
+                        break
+                    if expecting:
+                        labels = _inline_view_labels(tokens, k)
+                        a_i = _significant(tokens, close)
+                        if a_i != -1 and tokens[a_i].kind == "word" \
+                                and tokens[a_i].upper == "AS":
+                            a_i = _significant(tokens, a_i)
+                        if (
+                            a_i != -1 and a_i < end
+                            and tokens[a_i].kind in ("word", "bident")
+                            and (tokens[a_i].kind == "bident"
+                                 or tokens[a_i].upper not in _FROM_KEYWORDS)
+                        ):
+                            sources.append((
+                                tokens[a_i].text.strip("`").lower(),
+                                frozenset(labels) if labels is not None
+                                else None,
+                            ))
+                            consumed.add(a_i)
+                            k = a_i + 1
+                            expecting = False
+                            continue
+                    k = close + 1
+                    expecting = False
+                    continue
+                if t.kind == "op" and t.text == ",":
+                    expecting = True
+                    k += 1
+                    continue
+                if t.kind == "word" and t.upper == "JOIN":
+                    expecting = True
+                    k += 1
+                    continue
+                if t.kind == "word" and t.upper == "USING":
+                    op = _significant(tokens, k)
+                    if op != -1 and tokens[op].kind == "op" \
+                            and tokens[op].text == "(":
+                        cu = _matching_paren(tokens, op)
+                        for x in range(k, (cu if cu != -1 else op) + 1):
+                            consumed.add(x)
+                        k = (cu + 1) if cu != -1 else op + 1
+                        continue
+                if not expecting or t.kind not in ("word", "bident") or (
+                    t.kind == "word" and t.upper in _FROM_KEYWORDS
+                ):
+                    k += 1
+                    continue
+                parts = [t.text.strip("`").lower()]
+                span = [k]
+                hi = k
+                p = _significant(tokens, k)
+                while p != -1 and p < end and tokens[p].kind == "op" \
+                        and tokens[p].text == ".":
+                    q = _significant(tokens, p)
+                    if q == -1 or tokens[q].kind not in ("word", "bident"):
+                        break
+                    parts.append(tokens[q].text.strip("`").lower())
+                    span.extend((p, q))
+                    hi = q
+                    p = _significant(tokens, q)
+                if p != -1 and p < end and tokens[p].kind == "op" \
+                        and tokens[p].text == "(":
+                    cl2 = _matching_paren(tokens, p)
+                    k = (cl2 + 1) if cl2 != -1 else p + 1
+                    expecting = False
+                    continue  # function call in a from-region (EXTRACT)
+                alias = None
+                a_i = p
+                if a_i != -1 and a_i < end and tokens[a_i].kind == "word" \
+                        and tokens[a_i].upper == "AS":
+                    a_i = _significant(tokens, a_i)
+                if (
+                    a_i != -1 and a_i < end
+                    and tokens[a_i].kind in ("word", "bident")
+                    and (tokens[a_i].kind == "bident"
+                         or tokens[a_i].upper not in _FROM_KEYWORDS)
+                ):
+                    alias = tokens[a_i].text.strip("`").lower()
+                    span.append(a_i)
+                    k = a_i + 1
+                else:
+                    k = hi + 1
+                consumed.update(span)
+                expecting = False
+                labels: frozenset | None = None
+                is_cte, cl = cte_labels_at(parts[0], span[0])
+                if len(parts) == 1 and is_cte:
+                    labels = frozenset(cl) if cl is not None else None
+                elif len(parts) == 1 and parts[0] in _CATALOG:
+                    labels = frozenset(_CATALOG[parts[0]])
+                elif len(parts) == 2 and ".".join(parts) in _CATALOG:
+                    labels = frozenset(_CATALOG[".".join(parts)])
+                elif len(parts) == 2 and parts[1] in _CATALOG:
+                    labels = frozenset(_CATALOG[parts[1]])
+                sources.append((alias or parts[-1], labels))
+                continue
+            from_spans.append((from_idx, from_end))
+        else:
+            from_spans.append((from_idx, from_idx))
+        block_sources.append(sources)
+
+    def ancestors_of(bi: int) -> list[int]:
+        s, _f, e = blocks[bi]
+        return [
+            j for j, (s2, _f2, e2) in enumerate(blocks)
+            if j != bi and s2 < s and e <= e2
+        ]
+
+    def render_path(span: list[int]) -> str:
+        return re.sub(
+            r"\s*\.\s*", ".",
+            untokenize(tokens[span[0]:span[-1] + 1]).strip(),
+        ).replace("`", "")
+
+    for bi, (sel_idx, from_idx, end) in enumerate(blocks):
+        own = block_sources[bi]
+        anc_sources = [
+            src for j in ancestors_of(bi) for src in block_sources[j]
+        ]
+        own_known = all(lbls is not None for _a, lbls in own)
+        list_start = _significant(tokens, sel_idx)
+        if list_start == -1:
+            continue
+        if tokens[list_start].kind == "word" and tokens[list_start].upper in (
+            "DISTINCT", "ALL", "STRAIGHT_JOIN",
+        ):
+            list_start = _significant(tokens, list_start)
+        labels_here = {
+            l for l, _e in _select_item_labels(tokens, list_start, from_idx)
+        }
+        # exclude select-item alias tails from ref scanning
+        for a, b in _split_top_level_commas(tokens, list_start, from_idx):
+            sig = [
+                x for x in range(a, b)
+                if tokens[x].kind not in ("ws", "line_comment", "block_comment")
+            ]
+            if len(sig) >= 2 and tokens[sig[-1]].kind in ("word", "bident") \
+                    and not (tokens[sig[-2]].kind == "op"
+                             and tokens[sig[-2]].text == "."):
+                consumed.add(sig[-1])
+                if tokens[sig[-2]].kind == "word" \
+                        and tokens[sig[-2]].upper == "AS":
+                    consumed.add(sig[-2])
+
+        fe_lo, fe_hi = from_spans[bi]
+        k = sel_idx + 1
+        while k < end:
+            t = tokens[k]
+            if fe_lo <= k < fe_hi and k in consumed:
+                k += 1
+                continue
+            if t.kind == "op" and t.text == "(":
+                hd = _significant(tokens, k)
+                if hd != -1 and tokens[hd].kind == "word" \
+                        and tokens[hd].upper in ("SELECT", "WITH", "VALUES"):
+                    cl2 = _matching_paren(tokens, k)
+                    k = (cl2 + 1) if cl2 != -1 else k + 1
+                    continue
+                k += 1
+                continue
+            if t.kind not in ("word", "bident") or k in consumed:
+                k += 1
+                continue
+            if t.kind == "word" and (
+                t.upper in _RESOLVER_SKIP_WORDS
+                or t.upper in ("ARRAY", "MAP", "STRUCT")
+            ):
+                k += 1
+                continue
+            pv = _significant(tokens, k, -1)
+            if pv != -1 and tokens[pv].kind == "op" and tokens[pv].text == ".":
+                k += 1
+                continue  # not a path head
+            # INTERVAL <amount> <unit>: the unit word is not a ref (the
+            # interval-unit check owns invalid units)
+            if pv != -1 and tokens[pv].kind in ("number", "string"):
+                pv2 = _significant(tokens, pv, -1)
+                if pv2 != -1 and tokens[pv2].kind == "word" \
+                        and tokens[pv2].upper == "INTERVAL":
+                    k += 1
+                    continue
+            # EXTRACT(unit ...) / DATE_PART(unit ...): unit not a ref
+            if pv != -1 and tokens[pv].kind == "op" and tokens[pv].text == "(":
+                fw = _significant(tokens, pv, -1)
+                if fw != -1 and tokens[fw].kind == "word" \
+                        and tokens[fw].upper in ("EXTRACT", "DATE_PART"):
+                    k += 1
+                    continue
+            # struct-type field spec `name:type` inside a type literal
+            nx0 = _significant(tokens, k)
+            if nx0 != -1 and tokens[nx0].kind == "op" \
+                    and tokens[nx0].text == ":":
+                k += 1
+                continue
+            nx = _significant(tokens, k)
+            if nx != -1 and tokens[nx].kind == "op" and tokens[nx].text == "(":
+                cl2 = _matching_paren(tokens, nx)
+                k = k + 1  # function name; args scanned normally
+                continue
+            # collect the dotted path
+            parts = [t.text.strip("`").lower()]
+            span = [k]
+            p = nx
+            while p != -1 and p < end and tokens[p].kind == "op" \
+                    and tokens[p].text == ".":
+                q = _significant(tokens, p)
+                if q == -1 or tokens[q].kind not in ("word", "bident"):
+                    break
+                parts.append(tokens[q].text.strip("`").lower())
+                span.extend((p, q))
+                p = _significant(tokens, q)
+            if p != -1 and p < end and tokens[p].kind == "op" \
+                    and tokens[p].text == "(":
+                k = span[-1] + 1
+                continue  # qualified function call
+            k = span[-1] + 1
+            p0 = parts[0]
+            # `path.*` star expression: resolve the root or fail with
+            # the star-specific text (Analyzer.resolveStar)
+            if p != -1 and p < end and tokens[p].kind == "op" \
+                    and tokens[p].text == ".":
+                q2 = _significant(tokens, p)
+                if q2 != -1 and tokens[q2].kind == "op" \
+                        and tokens[q2].text == "*":
+                    k = q2 + 1
+                    if any(a2 == p0 for a2, _l in own) or any(
+                        a2 == p0 for a2, _l in anc_sources
+                    ):
+                        continue
+                    # struct-column star (int_struct_col.*) is legal
+                    if any(
+                        lbls is not None and p0 in lbls
+                        for _a2, lbls in own + anc_sources
+                    ):
+                        continue
+                    if cte_labels_at(p0, span[0])[0]:
+                        continue
+                    if len(parts) >= 2 and (
+                        p0 in _CATALOG
+                        or p0 in _TEST_WAREHOUSE_BARE_NAMES
+                        or p0.startswith("functional")
+                        or p0 in ("default", "d", "a", "_impala_builtins")
+                    ):
+                        continue
+                    if not own_known or any(
+                        lbls is None for _a2, lbls in anc_sources
+                    ):
+                        continue
+                    raise ImpalaUnsupportedError(
+                        "Could not resolve star expression: "
+                        f"'{render_path(span)}.*'"
+                    )
+            in_clause_tail = span[0] >= fe_hi
+            if in_clause_tail and p0 in labels_here:
+                continue  # ORDER BY / GROUP BY / HAVING alias ref
+            alias_hits = [lbls for a2, lbls in own if a2 == p0]
+            anc_hits = [lbls for a2, lbls in anc_sources if a2 == p0]
+            if alias_hits or anc_hits:
+                if len(parts) < 2:
+                    continue
+                hits = alias_hits or anc_hits
+                if any(lbls is None for lbls in hits):
+                    continue
+                if any(parts[1] in lbls for lbls in hits):
+                    continue
+                # p0 might ALSO be a column (struct path): stay silent
+                if any(
+                    lbls is not None and p0 in lbls for _a2, lbls in own
+                ):
+                    continue
+                raise ImpalaUnsupportedError(
+                    "Could not resolve column/field reference: "
+                    f"'{render_path(span)}'"
+                )
+            # no alias interpretation
+            col_hits = [
+                lbls for _a2, lbls in own
+                if lbls is not None and p0 in lbls
+            ]
+            if len(parts) == 1 and len(col_hits) >= 2:
+                raise ImpalaUnsupportedError(
+                    f"Column/field reference is ambiguous: '{p0}'"
+                )
+            if col_hits:
+                continue
+            is_cte, _cl = cte_labels_at(p0, span[0])
+            if is_cte and len(parts) == 1:
+                continue  # bare CTE name: not a slot, but not a column miss
+            if len(parts) >= 2 and (
+                p0 in _CATALOG or p0 in _TEST_WAREHOUSE_BARE_NAMES
+                or p0.startswith("functional")
+                or p0 in ("default", "d", "_impala_builtins")
+            ):
+                continue  # possible db- or table-qualified path
+            if not own_known:
+                continue
+            if any(lbls is None for _a2, lbls in anc_sources):
+                continue
+            if any(
+                lbls is not None and p0 in lbls
+                for _a2, lbls in anc_sources
+            ):
+                continue
+            raise ImpalaUnsupportedError(
+                "Could not resolve column/field reference: "
+                f"'{render_path(span)}'"
+            )
 
 
 def _check_strict_ordinals(tokens: list[Token]) -> None:
@@ -6423,9 +6927,21 @@ def _check_strict_table_path_refs(tokens: list[Token]) -> None:
         depth_at.append(d)
         if t.kind == "op" and t.text == ")":
             d -= 1
-    for sel, _f, end in sorted(blocks, key=lambda b: (b[0], -(b[2]))):
-        if depth_at[sel] == 0:
-            continue  # a top-level statement block, not a nested query
+    # spans to test: nested select blocks AND whole parenthesized query
+    # groups (a UNION inside an inline view is ONE nested query even
+    # though its arms are separate select blocks)
+    spans: list[tuple[int, int]] = [
+        (sel, end) for sel, _f, end in blocks if depth_at[sel] > 0
+    ]
+    for i2, t2 in enumerate(tokens):
+        if t2.kind == "op" and t2.text == "(":
+            hd = _significant(tokens, i2)
+            if hd != -1 and tokens[hd].kind == "word" \
+                    and tokens[hd].upper == "SELECT":
+                cl = _matching_paren(tokens, i2)
+                if cl != -1:
+                    spans.append((hd, cl))
+    for sel, end in sorted(spans, key=lambda b: (b[0], -(b[1]))):
         corr_ref = None
         abs_ref = None
         for bspan, is_abs, corr_root, rendered in ref_evidence:
@@ -9410,6 +9926,7 @@ def _translate_checked(tokens: list[Token], sql: str, strict: bool) -> str:
         _check_strict_ordinals(tokens)
         _check_strict_label_ambiguity(tokens)
         _check_strict_using_columns(tokens)
+        _check_strict_column_resolution(tokens)
         # checkReturnsBool runs while each clause is analyzed — before
         # the aggregation-output registration errors (SelectStmt.analyze
         # order: analyzeWhere/Having before analyzeAggregation), so a

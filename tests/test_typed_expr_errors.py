@@ -1298,3 +1298,86 @@ def test_using_columns_and_label_ambiguity_errors():
     ]:
         tr(sql, strict=True, schema=schema_for_statement(sql),
            catalog=TABLE_SCHEMAS)
+
+
+def test_column_resolution_engine_errors():
+    """Analyzer.resolvePath over statically-known namespaces: inline
+    view and WITH-view output labels (incl. label-list overrides, _cN
+    positional names and toSql-text labels for unnamed exprs), alias-
+    qualified misses, bare-name misses in fully-known blocks, FROM-less
+    selects and VALUES bodies, and star roots
+    (Analyzer.resolveStar)."""
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+    from impala_spark.testcatalog import TABLE_SCHEMAS, schema_for_statement
+
+    neg = [
+        ("select a + 1", "Could not resolve column/field reference: 'a'"),
+        ("select id from (select id+2 from functional_hbase.alltypessmall)"
+         " a", "Could not resolve column/field reference: 'id'"),
+        ("select a.id from (select id y from functional_hbase."
+         "alltypessmall) a",
+         "Could not resolve column/field reference: 'a.id'"),
+        ("select tinyint_col from (select int_col from functional.alltypes"
+         "  union all  select tinyint_col from functional.alltypessmall) a",
+         "Could not resolve column/field reference: 'tinyint_col'"),
+        ("select _c0, a, _c2, _c3 from (select int_col * 1, int_col as a, "
+         "int_col, !bool_col, concat(string_col) from functional.alltypes)"
+         " t", "Could not resolve column/field reference: '_c2'"),
+        ("select a.int_col from functional.alltypes a join "
+         "functional.alltypes b on (a.int_col = b.badcol)",
+         "Could not resolve column/field reference: 'b.badcol'"),
+        ("select a.int_col from functional.alltypes a join "
+         "functional.alltypes b on (a.int_col = badalias.int_col)",
+         "Could not resolve column/field reference: 'badalias.int_col'"),
+        ("select zip, name from functional.testtbl where badcol > 15",
+         "Could not resolve column/field reference: 'badcol'"),
+        ("with t1(c1) as (select id cnt from functional.alltypes) "
+         "select cnt from t1",
+         "Could not resolve column/field reference: 'cnt'"),
+        ("with t(c1, c2) as (select id from functional.alltypes) "
+         "select * from t",
+         "WITH-clause view 't' returns 1 columns, but 2 labels were "
+         "specified. The number of column labels must be smaller or "
+         "equal to the number of returned columns."),
+        ("with t1 as (select 'a' x) select t1.x from t1 as t2",
+         "Could not resolve column/field reference: 't1.x'"),
+        ("select * from functional.alltypestiny t where id in (select id "
+         "from functional.alltypessmall s where s.int_col = t.bad_col)",
+         "Could not resolve column/field reference: 't.bad_col'"),
+        ("select a.*", "Could not resolve star expression: 'a.*'"),
+        ("select functional.* from functional.alltypes",
+         "Could not resolve star expression: 'functional.*'"),
+        ("select _c0 from (select int_col * 2, id from "
+         "functional.alltypes) a inner join (select int_col + 6, id from "
+         "functional.alltypes) b on (a.id = b.id)",
+         "Column/field reference is ambiguous: '_c0'"),
+    ]
+    for sql, msg in neg:
+        with pytest.raises(ImpalaUnsupportedError) as ei:
+            tr(sql, strict=True, schema=schema_for_statement(sql),
+               catalog=TABLE_SCHEMAS)
+        assert msg in str(ei.value), sql
+    for sql in [
+        # toSql-text + _cN dual labels; label overrides; union first-arm
+        # labels; struct-column stars; EXTRACT/INTERVAL units not refs
+        "select `int_col * 1`, a, int_col, `NOT bool_col` from (select "
+        "int_col * 1, int_col as a, int_col, !bool_col, "
+        "concat(string_col) from functional.alltypes) t",
+        "select _c0, a, int_col, _c3 from (select int_col * 1, int_col "
+        "as a, int_col, !bool_col, concat(string_col) from "
+        "functional.alltypes) t",
+        "with t as (select int_col + 2, !bool_col from "
+        "functional.alltypes) select `int_col + 2`, `NOT bool_col` from t",
+        "with t1 as (select int_col x from functional.alltypes), "
+        "t4 as (select 4 x, 40 y union all select 5, 50) "
+        "select t1.x, t4.y from t1, t4 where t1.x = t4.y",
+        "select int_struct_col.* from functional.allcomplextypes",
+        "select extract(year from now())",
+        "select interval 10 years + timestamp_col from functional.alltypes",
+        "select functional_seq.alltypes.* from functional_seq.alltypes",
+    ]:
+        tr(sql, strict=True, schema=schema_for_statement(sql),
+           catalog=TABLE_SCHEMAS)
