@@ -1493,10 +1493,18 @@ def _check_strict_ungrouped_select(tokens: list[Token]) -> None:
                     k = g_end
                     continue
             k += 1
-        # any aggregate call in the select list?
+        # any aggregate call in the select list? (aggs INSIDE a window
+        # spec are the analytic's business, not the block's)
         has_agg = False
-        for k in range(list_start, from_idx):
+        k = list_start
+        while k < from_idx:
             t = tokens[k]
+            if t.kind == "word" and t.upper == "OVER":
+                j = _significant(tokens, k)
+                if j != -1 and j < from_idx and tokens[j].kind == "op" \
+                        and tokens[j].text == "(":
+                    k = _matching_paren(tokens, j) + 1
+                    continue
             if t.kind == "word" and t.upper.lower() in _AGG_FUNC_NAMES:
                 j = _significant(tokens, k)
                 if j != -1 and j < from_idx and tokens[j].kind == "op" and tokens[j].text == "(":
@@ -1508,6 +1516,7 @@ def _check_strict_ungrouped_select(tokens: list[Token]) -> None:
                     if not is_analytic:
                         has_agg = True
                         break
+            k += 1
         if from_idx >= end:
             # analytic expr / star without a FROM clause
             # (SelectStmt.java:568-580, AnalyzeExprsTest.java:822-823
@@ -1578,7 +1587,41 @@ def _check_strict_ungrouped_select(tokens: list[Token]) -> None:
                 kh = h_end2
                 continue
             kh += 1
-        if not (block_has_group or has_agg or having_has_agg):
+        # aggregate call in this block's ORDER BY (SelectStmt.java: an
+        # ordering aggregate makes the whole block an agg query)
+        orderby_has_agg = False
+        ko = from_idx
+        while ko < end:
+            to = tokens[ko]
+            if to.kind == "op" and to.text == "(":
+                ko = _matching_paren(tokens, ko) + 1
+                continue
+            if to.kind == "word" and to.upper == "ORDER":
+                jo = _significant(tokens, ko)
+                if jo != -1 and tokens[jo].upper == "BY":
+                    o_end = jo + 1
+                    d = 0
+                    while o_end < end:
+                        t2 = tokens[o_end]
+                        if t2.kind == "op" and t2.text == "(":
+                            d += 1
+                        elif t2.kind == "op" and t2.text == ")":
+                            d -= 1
+                            if d < 0:
+                                break
+                        elif d == 0 and t2.kind == "word" \
+                                and t2.upper in _CLAUSE_BOUNDARY:
+                            break
+                        o_end += 1
+                    for x in range(jo + 1, o_end):
+                        if _agg_call_at(tokens, x, o_end) != -1:
+                            orderby_has_agg = True
+                            break
+                    ko = o_end
+                    continue
+            ko += 1
+        if not (block_has_group or has_agg or having_has_agg
+                or orderby_has_agg):
             continue
         # aggregation without a FROM clause (SelectStmt.java:568)
         if has_agg and from_idx >= end:
@@ -1652,7 +1695,99 @@ def _check_strict_ungrouped_select(tokens: list[Token]) -> None:
                         "GROUP BY expression must not contain aggregate "
                         "functions: " + untokenize(tokens[ga:gb]).strip()
                     )
-        check_select_list = block_has_group or len(items) > 1
+        check_select_list = (
+            block_has_group or len(items) > 1
+            or orderby_has_agg or having_has_agg
+        )
+        # a mixed item (ungrouped column inside an expression WITH an
+        # aggregate, e.g. `zip + count(*)`) in a group-less agg query
+        if not block_has_group:
+            for a, b in items:
+                # strip the item's trailing [AS] alias before scanning
+                sig_i2 = [
+                    x2 for x2 in range(a, b)
+                    if tokens[x2].kind not in (
+                        "ws", "line_comment", "block_comment",
+                    )
+                ]
+                if (
+                    len(sig_i2) >= 2
+                    and tokens[sig_i2[-1]].kind in ("word", "bident")
+                    and (
+                        (tokens[sig_i2[-2]].kind == "word"
+                         and tokens[sig_i2[-2]].upper == "AS")
+                        or tokens[sig_i2[-2]].kind in (
+                            "word", "bident", "number", "string",
+                        )
+                        or (tokens[sig_i2[-2]].kind == "op"
+                            and tokens[sig_i2[-2]].text == ")")
+                    )
+                    and not (tokens[sig_i2[-2]].kind == "op"
+                             and tokens[sig_i2[-2]].text == ".")
+                ):
+                    b = sig_i2[-1]
+                    if tokens[sig_i2[-2]].kind == "word" \
+                            and tokens[sig_i2[-2]].upper == "AS":
+                        b = sig_i2[-2]
+                x = a
+                flagged = False
+                while x < b:
+                    tx = tokens[x]
+                    if tx.kind == "op" and tx.text == "(":
+                        hd = _significant(tokens, x)
+                        if hd != -1 and tokens[hd].kind == "word" \
+                                and tokens[hd].upper == "SELECT":
+                            x = _matching_paren(tokens, x) + 1
+                            continue
+                        x += 1
+                        continue
+                    if tx.kind == "word" and tx.upper == "OVER":
+                        j2 = _significant(tokens, x)
+                        if j2 != -1 and j2 < b and tokens[j2].kind == "op" \
+                                and tokens[j2].text == "(":
+                            x = _matching_paren(tokens, j2) + 1
+                            continue
+                    close_agg = _agg_call_at(tokens, x, b)
+                    if close_agg != -1:
+                        x = close_agg + 1
+                        continue
+                    if tx.kind in ("word", "bident"):
+                        nx2 = _significant(tokens, x)
+                        is_call = (
+                            nx2 != -1 and tokens[nx2].kind == "op"
+                            and tokens[nx2].text == "("
+                        )
+                        heads_path = (
+                            nx2 != -1 and tokens[nx2].kind == "op"
+                            and tokens[nx2].text == "."
+                        )
+                        pv2 = _significant(tokens, x, -1)
+                        after_dot = (
+                            pv2 != -1 and tokens[pv2].kind == "op"
+                            and tokens[pv2].text == "."
+                        )
+                        if (
+                            not is_call and not after_dot and not heads_path
+                            and (tx.kind == "bident"
+                                 or tx.upper not in _RESOLVER_SKIP_WORDS)
+                        ):
+                            flagged = True
+                    x += 1
+                if flagged:
+                    # only when the item itself CONTAINS an aggregate
+                    # somewhere (otherwise the bare-column rule below
+                    # owns the verdict and its suffix)
+                    has_inner_agg = any(
+                        _agg_call_at(tokens, x2, b) != -1
+                        for x2 in range(a, b)
+                    )
+                    if has_inner_agg:
+                        raise ImpalaUnsupportedError(
+                            "select list expression not produced by "
+                            "aggregation output (missing from GROUP BY "
+                            "clause?): "
+                            + untokenize(tokens[a:b]).strip()
+                        )
         ordinal_ok = {
             str(i + 1)
             for i, (a, b) in enumerate(items)
@@ -1927,6 +2062,29 @@ def _check_strict_limit_offset(tokens: list[Token]) -> None:
                 # "OFFSET requires an ORDER BY clause: OFFSET 5"
                 + _expr_to_sql(untokenize(tokens[start:end + 1]).strip())
             )
+        # OFFSET without LIMIT inside a nested query (a union operand or
+        # parenthesized subquery) — QueryStmt.java:162-165
+        has_limit = False
+        pv = _significant(tokens, idx, -1)
+        if pv != -1 and tokens[pv].kind == "number":
+            pv2 = _significant(tokens, pv, -1)
+            if pv2 != -1 and tokens[pv2].kind == "word" \
+                    and tokens[pv2].upper == "LIMIT":
+                has_limit = True
+        if not has_limit:
+            # nested = inside parens, or belonging to a union operand
+            # (a depth-0 UNION follows it); the statement-level ORDER BY
+            # after the LAST operand is not nested
+            nested = depth_at[idx] > 0 or any(
+                tk.kind == "word" and tk.upper == "UNION"
+                and depth_at[k3] == 0
+                for k3, tk in enumerate(tokens[idx + 1:], idx + 1)
+            )
+            if nested:
+                raise ImpalaUnsupportedError(
+                    "Order-by with offset without limit not supported "
+                    "in nested queries."
+                )
 
 
 def _agg_call_at(tokens: list[Token], k: int, end: int) -> int:
@@ -2529,14 +2687,29 @@ def _subquery_clearly_multi_row(tokens: list[Token], open_idx: int) -> bool:
         tk = tokens[k]
         if tk.kind == "word":
             if tk.upper == "OVER":
+                # a PARTITION BY analytic returns one row per partition
+                # — definitely multi-row; other analytics defer
+                j = _significant(tokens, k)
+                if j != -1 and tokens[j].kind == "op" and tokens[j].text == "(":
+                    inner0 = _significant(tokens, j)
+                    if inner0 != -1 and tokens[inner0].kind == "word" \
+                            and tokens[inner0].upper == "PARTITION":
+                        continue
                 return False  # analytic
             nx = _significant(tokens, k)
             if nx != -1 and nx < close and tokens[nx].kind == "op" \
                     and tokens[nx].text == "(":
                 fname = tk.text.lower()
-                if fname in _PLACEMENT_AGG_NAMES:
+                cl2 = _matching_paren(tokens, nx)
+                af2 = _significant(tokens, cl2) if cl2 != -1 else -1
+                fn_is_analytic = (
+                    af2 != -1 and tokens[af2].kind == "word"
+                    and tokens[af2].upper == "OVER"
+                )
+                if fname in _PLACEMENT_AGG_NAMES and not fn_is_analytic:
                     return False  # aggregate -> single row / other family
-                if fname not in _FN_RETURN_TYPES and fname not in _FN_SIGS:
+                if not fn_is_analytic and fname not in _FN_RETURN_TYPES \
+                        and fname not in _FN_SIGS:
                     return False  # unknown call: may be a UDA
     # declared FROM-clause names (table tail parts and aliases)
     k = from_idx
@@ -5141,8 +5314,26 @@ def _check_strict_subquery_columns(tokens: list[Token]) -> None:
             elif d2 == 0 and tk.kind == "op" and tk.text == "*":
                 has_star = True  # star item OR multiplication: defer
         if has_star:
-            continue
-        n = _countable_select_items(tokens, head + 1, from_idx)
+            # `select * from (values(...)) v`: width = the first VALUES
+            # row's item count
+            n = -1
+            fk = _significant(tokens, from_idx)
+            if fk != -1 and tokens[fk].kind == "op" and tokens[fk].text == "(":
+                vh = _significant(tokens, fk)
+                if vh != -1 and tokens[vh].kind == "word" \
+                        and tokens[vh].upper == "VALUES":
+                    r0 = _significant(tokens, vh)
+                    if r0 != -1 and tokens[r0].kind == "op" \
+                            and tokens[r0].text == "(":
+                        rc = _matching_paren(tokens, r0)
+                        if rc != -1:
+                            n = len(_split_top_level_commas(
+                                tokens, r0 + 1, rc,
+                            ))
+            if n <= 1:
+                continue
+        else:
+            n = _countable_select_items(tokens, head + 1, from_idx)
         if n > 1:
             sub_sql = _expr_to_sql(untokenize(tokens[i:close + 1]).strip())
             if is_in:

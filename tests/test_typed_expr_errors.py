@@ -1381,3 +1381,57 @@ def test_column_resolution_engine_errors():
     ]:
         tr(sql, strict=True, schema=schema_for_statement(sql),
            catalog=TABLE_SCHEMAS)
+
+
+def test_aggregation_gate_and_subquery_width_errors():
+    """Aggregation-gate extensions (ORDER BY aggregates make the block
+    an agg query; mixed items with ungrouped columns), subquery width
+    over VALUES views and partitioned analytics, and offset-without-
+    limit inside union operands."""
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+    from impala_spark.testcatalog import TABLE_SCHEMAS, schema_for_statement
+
+    neg = [
+        ("select zip + count(*) from functional.testtbl",
+         "select list expression not produced by aggregation output "
+         "(missing from GROUP BY clause?)"),
+        ("select int_col from functional.alltypes order by count(*)",
+         "select list expression not produced by aggregation output "
+         "(missing from GROUP BY clause?): int_col"),
+        ("select * from functional.alltypestiny where id in "
+         "(select * from (values(1,2)) as t)",
+         "Subquery must return a single column: (SELECT * FROM "
+         "(VALUES(1, 2)) t)"),
+        ("select id, int_col, bool_col from functional.alltypestiny t1 "
+         "where int_col = (select min(bigint_col) over (partition by "
+         "bool_col) from functional.alltypessmall t2 where int_col < 10)",
+         "Subquery must return a single row: (SELECT min(bigint_col) "
+         "OVER (PARTITION BY bool_col) FROM functional.alltypessmall t2 "
+         "WHERE int_col < 10)"),
+        ("select int_col from functional.alltypes order by int_col "
+         "offset 5 union (select tinyint_col from "
+         "functional.alltypessmall) ",
+         "Order-by with offset without limit not supported in nested "
+         "queries"),
+    ]
+    for sql, msg in neg:
+        with pytest.raises(ImpalaUnsupportedError) as ei:
+            tr(sql, strict=True, schema=schema_for_statement(sql),
+               catalog=TABLE_SCHEMAS)
+        assert msg in str(ei.value), sql
+    for sql in [
+        "select zip + count(*) from functional.testtbl group by zip",
+        "select count(*) + 1 from functional.testtbl",
+        "select a.x from (select count(id) x from functional.alltypes) a",
+        "select default.aggfn(int_col) from functional.alltypes",
+        # statement-level union ORDER BY with offset is not nested
+        "select int_col from functional.alltypes order by int_col "
+        "union select int_col from functional.alltypes order by int_col "
+        "limit 10 union (select int_col from functional.alltypes "
+        "order by int_col limit 10 offset 5) order by int_col offset 5",
+    ]:
+        tr(sql, strict=True, schema=schema_for_statement(sql),
+           catalog=TABLE_SCHEMAS)
