@@ -4859,6 +4859,23 @@ def _check_strict_column_resolution(tokens: list[Token]) -> None:
                     f"Column/field reference is ambiguous: '{p0}'"
                 )
             if col_hits:
+                # struct member steps off a KNOWN column type must all
+                # resolve (Path.resolve): a missing field is an error
+                if len(parts) >= 2 and _SCHEMA is not None:
+                    ty0 = _SCHEMA.get(p0)
+                    if ty0 is not None and ty0.upper().startswith("STRUCT<"):
+                        ty_walk = ty0
+                        ok_walk = True
+                        for part in parts[1:]:
+                            if _is_collection_type(ty_walk):
+                                break  # complex pass owns collections
+                            nxt3 = _resolve_member(ty_walk, part)
+                            if nxt3 is None:
+                                raise ImpalaUnsupportedError(
+                                    "Could not resolve column/field "
+                                    f"reference: '{render_path(span)}'"
+                                )
+                            ty_walk = nxt3
                 continue
             is_cte, _cl = cte_labels_at(p0, span[0])
             if is_cte and len(parts) == 1:
@@ -6296,6 +6313,9 @@ def _check_strict_correlated_subqueries(tokens: list[Token]) -> None:
         return
 
     def span_aliases(a: int, b: int) -> set[str]:
+        """names a FROM span BINDS: final aliases and bare table names —
+        never the head/middle parts of a dotted path (a relative ref
+        `t.struct_array_col a` binds only 'a', not the outer 't')."""
         out: set[str] = set()
         depth = 0
         for k in range(a, b):
@@ -6307,7 +6327,13 @@ def _check_strict_correlated_subqueries(tokens: list[Token]) -> None:
                     depth -= 1
             elif depth == 0 and t.kind in ("word", "bident"):
                 w = t.text.strip("`")
-                if t.upper not in _FROM_KEYWORDS and not w.isdigit():
+                nx = _significant(tokens, k)
+                heads_path = (
+                    nx != -1 and nx < b and tokens[nx].kind == "op"
+                    and tokens[nx].text == "."
+                )
+                if t.upper not in _FROM_KEYWORDS and not w.isdigit() \
+                        and not heads_path:
                     out.add(w.lower())
         return out
 
@@ -6318,18 +6344,25 @@ def _check_strict_correlated_subqueries(tokens: list[Token]) -> None:
         if head == -1 or tokens[head].upper != "SELECT":
             continue
         close = _matching_paren(tokens, i)
-        # predicate kind from the token(s) before the '('
+        # predicate kind from the token(s) before the '(' — or a
+        # comparison operator AFTER the ')' (left-side scalar subquery)
         prev = _significant(tokens, i, -1)
         if prev != -1 and tokens[prev].kind == "word" and tokens[prev].upper == "NOT":
             prev = _significant(tokens, prev, -1)
         if prev == -1:
             continue
         pt = tokens[prev]
+        after_cl = _significant(tokens, close) if close != -1 else -1
         if pt.kind == "word" and pt.upper == "IN":
             kind = "in"
         elif pt.kind == "word" and pt.upper == "EXISTS":
             kind = "exists"
         elif pt.kind == "op" and pt.text in _COMPARISON_OPS:
+            kind = "cmp"
+        elif (
+            after_cl != -1 and tokens[after_cl].kind == "op"
+            and tokens[after_cl].text in _COMPARISON_OPS
+        ):
             kind = "cmp"
         else:
             continue
@@ -6347,6 +6380,11 @@ def _check_strict_correlated_subqueries(tokens: list[Token]) -> None:
         has_group = has_having = has_limit = has_over = False
         agg_in_select = False
         from_idx = -1
+        first_sig = _significant(tokens, head)
+        has_distinct = (
+            first_sig != -1 and tokens[first_sig].kind == "word"
+            and tokens[first_sig].upper == "DISTINCT"
+        )
         for k in range(i + 1, close):
             tk = tokens[k]
             if tk.kind == "op":
@@ -6431,7 +6469,95 @@ def _check_strict_correlated_subqueries(tokens: list[Token]) -> None:
         if not correlated:
             continue
         sub_sql = _expr_to_sql(untokenize(tokens[i + 1:close]).strip())
-        if (kind == "in" and (agg_in_select or has_group or has_over)) or (
+        # a canned UDA in the select list of a correlated subquery
+        # (StmtRewriter.java: UDAs may return non-NULL on empty input)
+        for k in range(head + 1, sel_end):
+            tk = tokens[k]
+            if tk.kind == "word" and (
+                ("default", tk.text.lower()) in _TEST_USER_UDAS
+            ):
+                nx = _significant(tokens, k)
+                if nx != -1 and nx < sel_end and tokens[nx].kind == "op" \
+                        and tokens[nx].text == "(":
+                    raise ImpalaUnsupportedError(
+                        "UDAs are not supported in the select list of "
+                        "correlated subqueries: ("
+                        + _qualify_user_fns(sub_sql) + ")"
+                    )
+        # a top-level disjunction inside the subquery's WHERE with a
+        # correlated operand (StmtRewriter.java:
+        # "Disjunctions with correlated predicates")
+        wh = -1
+        d3 = 0
+        for k in range(i + 1, close):
+            tk = tokens[k]
+            if tk.kind == "op":
+                if tk.text == "(":
+                    d3 += 1
+                elif tk.text == ")":
+                    d3 -= 1
+            elif d3 == 0 and tk.kind == "word" and tk.upper == "WHERE":
+                wh = k
+                break
+        if wh != -1:
+            w_end = close
+            d3 = 0
+            for k in range(wh + 1, close):
+                tk = tokens[k]
+                if tk.kind == "op":
+                    if tk.text == "(":
+                        d3 += 1
+                    elif tk.text == ")":
+                        d3 -= 1
+                elif d3 == 0 and tk.kind == "word" \
+                        and tk.upper in _CLAUSE_BOUNDARY:
+                    w_end = k
+                    break
+            d3 = 0
+            pending_between = 0
+            for k in range(wh + 1, w_end):
+                tk = tokens[k]
+                if tk.kind == "op":
+                    if tk.text == "(":
+                        d3 += 1
+                    elif tk.text == ")":
+                        d3 -= 1
+                    continue
+                if d3 or tk.kind != "word":
+                    continue
+                if tk.upper == "BETWEEN":
+                    pending_between += 1
+                elif tk.upper == "AND" and pending_between:
+                    pending_between -= 1
+                elif tk.upper == "OR":
+                    # correlated ref anywhere in the WHERE expr?
+                    corr_here = False
+                    for k2 in range(wh + 1, w_end):
+                        t2 = tokens[k2]
+                        if t2.kind not in ("word", "bident"):
+                            continue
+                        nx2 = _significant(tokens, k2)
+                        if nx2 == -1 or not (
+                            tokens[nx2].kind == "op"
+                            and tokens[nx2].text == "."
+                        ):
+                            continue
+                        r2 = t2.text.strip("`").lower()
+                        if r2 in outer and r2 not in inner_aliases:
+                            corr_here = True
+                            break
+                    if corr_here:
+                        frag = _expr_to_sql(
+                            untokenize(tokens[wh + 1:w_end]).strip()
+                        )
+                        raise ImpalaUnsupportedError(
+                            "Disjunctions with correlated predicates "
+                            "are not supported: " + frag
+                        )
+        if (
+            kind == "in"
+            and (agg_in_select or has_group or has_over or has_distinct)
+        ) or (
             kind == "cmp" and (has_group or has_over)
         ):
             raise ImpalaUnsupportedError(

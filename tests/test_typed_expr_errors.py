@@ -1435,3 +1435,64 @@ def test_aggregation_gate_and_subquery_width_errors():
     ]:
         tr(sql, strict=True, schema=schema_for_statement(sql),
            catalog=TABLE_SCHEMAS)
+
+
+def test_correlated_subquery_and_member_walk_errors():
+    """StmtRewriter decorrelation rules over relative collection refs
+    (span aliases no longer shadow the outer alias a `t.coll a` path
+    correlates with), DISTINCT/analytic forms, left-side scalar
+    subqueries, UDA select items, correlated disjunctions, and struct
+    member-walk failures off known column types."""
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+    from impala_spark.testcatalog import TABLE_SCHEMAS, schema_for_statement
+
+    neg = [
+        ("select id from functional.allcomplextypes t where id in"
+         "(select count(f1) from t.struct_array_col a where "
+         "t.int_struct_col.f1 < a.f1)",
+         "Unsupported correlated subquery with grouping and/or "
+         "aggregation: SELECT count(f1) FROM t.struct_array_col a "
+         "WHERE t.int_struct_col.f1 < a.f1"),
+        ("select * from functional.alltypes t where t.id in (select "
+         "distinct a.id from functional.alltypesagg a where "
+         "a.bigint_col = t.bigint_col)",
+         "Unsupported correlated subquery with grouping and/or "
+         "aggregation: SELECT DISTINCT a.id FROM functional.alltypesagg"),
+        ("select * from functional.alltypesagg g where (select "
+         "aggfn(int_col) from functional.alltypes s where s.id = g.id) "
+         "= 10",
+         "UDAs are not supported in the select list of correlated "
+         "subqueries: (SELECT default.aggfn(int_col) FROM "
+         "functional.alltypes s WHERE s.id = g.id)"),
+        ("select * from functional.alltypes t where id in (select id "
+         "from functional.alltypesagg a where a.int_col = t.int_col or "
+         "a.bool_col = false)",
+         "Disjunctions with correlated predicates are not supported: "
+         "a.int_col = t.int_col OR a.bool_col = FALSE"),
+        ("select nested_struct_col.badfield from "
+         "functional.allcomplextypes",
+         "Could not resolve column/field reference: "
+         "'nested_struct_col.badfield'"),
+        ("select nested_struct_col.f2.badfield from "
+         "functional.allcomplextypes",
+         "Could not resolve column/field reference: "
+         "'nested_struct_col.f2.badfield'"),
+    ]
+    for sql, msg in neg:
+        with pytest.raises(ImpalaUnsupportedError) as ei:
+            tr(sql, strict=True, schema=schema_for_statement(sql),
+               catalog=TABLE_SCHEMAS)
+        assert msg in str(ei.value), sql
+    for sql in [
+        "select * from functional.alltypes t where id in (select id "
+        "from functional.alltypesagg a where a.int_col = t.int_col)",
+        "select nested_struct_col.f2.f11 from functional.allcomplextypes",
+        "select * from functional.alltypes t where id in (select id "
+        "from functional.alltypesagg a where a.int_col = 3 or "
+        "a.bool_col = false)",
+    ]:
+        tr(sql, strict=True, schema=schema_for_statement(sql),
+           catalog=TABLE_SCHEMAS)
