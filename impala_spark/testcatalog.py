@@ -130,6 +130,9 @@ TABLE_SCHEMAS: dict[str, dict[str, str]] = {
     "a.t2": {"y": "ARRAY<INT>"},
     "a.array_test": {"a": "ARRAY<INT>"},
     "a.map_test": {"a": "MAP<INT,INT>"},
+    "a.a": {"a": "STRUCT<a:STRUCT<a:INT>>"},
+    # the functional.alltypes_view_sub warehouse view (x, y, z columns)
+    "alltypes_view_sub": {"x": "INT", "y": "BIGINT", "z": "DOUBLE"},
 }
 
 

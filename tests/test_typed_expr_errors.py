@@ -1496,3 +1496,84 @@ def test_correlated_subquery_and_member_walk_errors():
     ]:
         tr(sql, strict=True, schema=schema_for_statement(sql),
            catalog=TABLE_SCHEMAS)
+
+
+def test_path_interpretation_ambiguity_errors():
+    """Path.resolve interpretation candidates over the deliberately
+    self-named a.a fixture (AnalyzeStmtsTest.java:664-750): unqualified,
+    alias-rooted and db.table-rooted roots each contribute; two LEGAL
+    resolutions make a slot or star path ambiguous, one drives the
+    complex-type/star verdicts, zero is unresolvable."""
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+    from impala_spark.testcatalog import TABLE_SCHEMAS, schema_for_statement
+
+    neg = [
+        ("select a from a.a",
+         "Expr 'a' in select list returns a complex type "
+         "'STRUCT<a:STRUCT<a:INT>>'.\nOnly scalar types are allowed in "
+         "the select list."),
+        ("select t.a.a from a.a t",
+         "Expr 't.a.a' in select list returns a complex type "
+         "'STRUCT<a:INT>'."),
+        ("select a.a from a.a",
+         "Column/field reference is ambiguous: 'a.a'"),
+        ("select a.a.a from a.a",
+         "Column/field reference is ambiguous: 'a.a.a'"),
+        ("select a.a.a.a from a.a",
+         "Column/field reference is ambiguous: 'a.a.a.a'"),
+        ("select a.a.a.a.a.a from a.a",
+         "Could not resolve column/field reference: 'a.a.a.a.a.a'"),
+        ("select t.a.a.a.a from a.a t",
+         "Could not resolve column/field reference: 't.a.a.a.a'"),
+        ("select a.* from a.a",
+         "Star expression is ambiguous: 'a.*'"),
+        ("select a.a.* from a.a",
+         "Star expression is ambiguous: 'a.a.*'"),
+        ("select a.a.a.* from a.a",
+         "Star expression is ambiguous: 'a.a.a.*'"),
+        ("select a.a.a.a.a.* from a.a",
+         "Cannot expand star in 'a.a.a.a.a.*' because path 'a.a.a.a.a' "
+         "resolved to type 'INT'."),
+        ("select t.a.a.a.* from a.a t",
+         "Cannot expand star in 't.a.a.a.*' because path 't.a.a.a' "
+         "resolved to type 'INT'."),
+        ("select a.a.a.a.a.a.* from a.a",
+         "Could not resolve star expression: 'a.a.a.a.a.a.*'"),
+        ("select t.a.a.a.a.* from a.a t",
+         "Could not resolve star expression: 't.a.a.a.a.*'"),
+        ("select t.* from a.a t",
+         "The star exprs expanded to an empty select list because the "
+         "referenced tables only have complex-typed columns."),
+        ("values(1, id, 2)",
+         "Could not resolve column/field reference: 'id'"),
+        ("values((1 as x, 'a' as y), (2, 'b')) order by c limit 1",
+         "Could not resolve column/field reference: 'c'"),
+        ("select int_col from functional.alltypes_view_sub",
+         "Could not resolve column/field reference: 'int_col'"),
+        ("select * from functional.jointbl t where exists "
+         "(select t.test_id = id from functional.alltypes)",
+         "Could not resolve column/field reference: 't.test_id'"),
+    ]
+    for sql, msg in neg:
+        with pytest.raises(ImpalaUnsupportedError) as ei:
+            tr(sql, strict=True, schema=schema_for_statement(sql),
+               catalog=TABLE_SCHEMAS)
+        assert msg in str(ei.value), sql
+    for sql in [
+        # unambiguous deep paths and stars; alias resolution beats the
+        # illegal unqualified interpretation
+        "select a.a.a.a.a from a.a",
+        "select t.a.a.a from a.a t",
+        "select a.a.a.a.* from a.a",
+        "select t.a.a.* from a.a t",
+        "select 1 from a.a", "select 1 from a.a.a",
+        "select a.item from a.array_test t, t.a",
+        "select a.* from a.array_test t, t.a",
+        "values((1 as x, 'a' as y), (2, 'b')) order by x limit 1",
+        "select x, y, z from functional.alltypes_view_sub",
+    ]:
+        tr(sql, strict=True, schema=schema_for_statement(sql),
+           catalog=TABLE_SCHEMAS)
