@@ -227,6 +227,92 @@ def _check_subquery_in_or(tokens: list[Token]) -> None:
                         "Subqueries in OR predicates are not supported: "
                         + _expr_to_sql(frag)
                     )
+        # NOT(A AND B) rewrites to (NOT A) OR (NOT B) before the OR
+        # check (pushNegationToOperands), so an odd-NOT AND over a
+        # subquery is the same error, quoted in its REWRITTEN form
+        for idx in range(lo_r, hi_r + 1):
+            t = tokens[idx]
+            if not (t.kind == "word" and t.upper == "AND"):
+                continue
+            not_groups = []
+            for o, (a, b) in groups.items():
+                if a < idx <= b:
+                    p = _significant(tokens, a, -1)
+                    if p != -1 and tokens[p].kind == "word" \
+                            and tokens[p].upper == "NOT":
+                        not_groups.append((a, b))
+            if len(not_groups) % 2 == 0:
+                continue
+            ng = min(not_groups, key=lambda ab: ab[1] - ab[0])
+            if not any(ng[0] <= s <= ng[1] for s, _d in subqueries):
+                continue
+            # split the group at its top-level ANDs (BETWEEN's AND kept)
+            conjs: list[tuple[int, int]] = []
+            lo2 = ng[0] + 1
+            d4 = 0
+            pend_between = 0
+            for k in range(ng[0] + 1, ng[1]):
+                tk = tokens[k]
+                if tk.kind == "op":
+                    if tk.text == "(":
+                        d4 += 1
+                    elif tk.text == ")":
+                        d4 -= 1
+                    continue
+                if d4 or tk.kind != "word":
+                    continue
+                if tk.upper == "BETWEEN":
+                    pend_between += 1
+                elif tk.upper == "AND":
+                    if pend_between:
+                        pend_between -= 1
+                    else:
+                        conjs.append((lo2, k - 1))
+                        lo2 = k + 1
+            conjs.append((lo2, ng[1] - 1))
+            if len(conjs) < 2:
+                continue
+            flip = {"=": "!=", "==": "!=", "!=": "=", "<>": "=",
+                    "<": ">=", ">": "<=", "<=": ">", ">=": "<"}
+
+            def negate(a2: int, b2: int) -> str:
+                d5 = 0
+                for k in range(a2, b2 + 1):
+                    tk = tokens[k]
+                    if tk.kind == "op":
+                        if tk.text == "(":
+                            d5 += 1
+                        elif tk.text == ")":
+                            d5 -= 1
+                        elif d5 == 0 and tk.text in flip:
+                            lhs = untokenize(tokens[a2:k]).strip()
+                            rhs = untokenize(tokens[k + 1:b2 + 1]).strip()
+                            return _expr_to_sql(
+                                f"{lhs} {flip[tk.text]} {rhs}"
+                            )
+                        continue
+                    if d5 == 0 and tk.kind == "word" and tk.upper == "IN":
+                        pvk = _significant(tokens, k, -1)
+                        neg_in = (
+                            pvk != -1 and tokens[pvk].kind == "word"
+                            and tokens[pvk].upper == "NOT"
+                        )
+                        lhs_end = pvk if neg_in else k
+                        lhs = untokenize(tokens[a2:lhs_end]).strip()
+                        rhs = untokenize(tokens[k + 1:b2 + 1]).strip()
+                        kw = "IN" if neg_in else "NOT IN"
+                        return (
+                            _expr_to_sql(lhs) + f" {kw} "
+                            + _expr_to_sql(rhs)
+                        )
+                return "NOT " + _expr_to_sql(
+                    untokenize(tokens[a2:b2 + 1]).strip()
+                )
+
+            raise ImpalaUnsupportedError(
+                "Subqueries in OR predicates are not supported: "
+                + " OR ".join(negate(a2, b2) for a2, b2 in conjs)
+            )
 
 
 # ---------------------------------------------------------------------------
@@ -5137,6 +5223,7 @@ def _check_strict_union_columns(tokens: list[Token]) -> None:
     if not bounds:
         return
     first_n = first_sql = None
+    prev_items: list[tuple[str | None, str]] | None = None
     for i, a in enumerate(arm_starts):
         b = bounds[i] if i < len(bounds) else len(tokens)
         sel = -1
@@ -5178,6 +5265,81 @@ def _check_strict_union_columns(tokens: list[Token]) -> None:
                 f"'{first_sql}' has {first_n} column(s)\n"
                 f"'{sql}' has {n} column(s)"
             )
+        # per-position operand typing (StatementBase.createCompatible-
+        # Exprs via Analyzer.getCompatibleType): adjacent arms with
+        # statically-known incompatible types raise, quoting each expr's
+        # toSql (LEAD/LAG print their defaults expanded)
+        arm_items: list[tuple[str | None, str]] = []
+        for ia, ib in _split_top_level_commas(tokens, list_start, from_idx):
+            sig = [
+                x for x in range(ia, ib)
+                if tokens[x].kind not in ("ws", "line_comment", "block_comment")
+            ]
+            if not sig:
+                arm_items.append((None, ""))
+                continue
+            # strip trailing [AS] alias
+            if len(sig) >= 2 and tokens[sig[-1]].kind in ("word", "bident") \
+                    and (
+                        (tokens[sig[-2]].kind == "word"
+                         and tokens[sig[-2]].upper == "AS")
+                        or tokens[sig[-2]].kind in (
+                            "word", "bident", "number", "string")
+                        or (tokens[sig[-2]].kind == "op"
+                            and tokens[sig[-2]].text == ")")
+                    ) and not (
+                        tokens[sig[-2]].kind == "word"
+                        and tokens[sig[-2]].upper in _NON_OPERAND_WORDS
+                    ):
+                sig = sig[:-2] if (
+                    tokens[sig[-2]].kind == "word"
+                    and tokens[sig[-2]].upper == "AS"
+                ) else sig[:-1]
+            if not sig:
+                arm_items.append((None, ""))
+                continue
+            lo2, hi2 = sig[0], sig[-1]
+            ty = _expr_type(tokens, lo2, hi2)
+            # render: the call part only for analytics, with LEAD/LAG
+            # defaults expanded
+            rend_hi = hi2
+            for x in sig:
+                if tokens[x].kind == "word" and tokens[x].upper == "OVER":
+                    pvx = _significant(tokens, x, -1)
+                    if pvx != -1 and tokens[pvx].kind == "op" \
+                            and tokens[pvx].text == ")":
+                        rend_hi = pvx
+                    break
+            rendered = untokenize(tokens[lo2:rend_hi + 1]).strip()
+            m = re.match(r"(?is)^(lag|lead)\s*\((.*)\)$", rendered)
+            if m:
+                args = m.group(2).strip()
+                depth3 = 0
+                n_args = 1 if args else 0
+                for ch in args:
+                    if ch == "(":
+                        depth3 += 1
+                    elif ch == ")":
+                        depth3 -= 1
+                    elif ch == "," and depth3 == 0:
+                        n_args += 1
+                if n_args == 1:
+                    rendered = f"{m.group(1).lower()}({args}, 1, NULL)"
+                elif n_args == 2:
+                    rendered = f"{m.group(1).lower()}({args}, NULL)"
+            arm_items.append((ty, _expr_to_sql(rendered)))
+        if i == 0 or prev_items is None:
+            prev_items = arm_items
+        else:
+            for (t1, e1), (t2, e2) in zip(prev_items, arm_items):
+                if t1 is None or t2 is None:
+                    continue
+                if _assignment_compatible(t1, t2) is None:
+                    raise ImpalaUnsupportedError(
+                        f"Incompatible return types '{t1}' and '{t2}' "
+                        f"of exprs '{e1}' and '{e2}'."
+                    )
+            prev_items = arm_items
 
 
 #: Impala 2.7 reserved words that cannot appear as bare identifiers
@@ -9094,6 +9256,12 @@ def _expr_type(tokens: list[Token], lo: int, hi: int) -> str | None:
             if close == -1 or close > hi:
                 raise _TypeBail
             ret = _FN_RETURN_TYPES.get(fn)
+            if ret is None and fn in ("lag", "lead"):
+                # LEAD/LAG return their first argument's type
+                spans0 = _split_call_args(tokens, open_idx, close)
+                if spans0:
+                    a0, b0 = spans0[0]
+                    ret = _expr_type(tokens, a0, b0)
             if ret is None and fn in ("min", "max", "sum", "avg",
                                       "first_value", "last_value"):
                 spans = _split_call_args(tokens, open_idx, close)

@@ -1577,3 +1577,47 @@ def test_path_interpretation_ambiguity_errors():
     ]:
         tr(sql, strict=True, schema=schema_for_statement(sql),
            catalog=TABLE_SCHEMAS)
+
+
+def test_union_typing_and_demorgan_or_errors():
+    """Union operands type-check per position through the non-strict
+    compatibility matrix (LEAD/LAG render with defaults expanded, the
+    OVER clause omitted), and NOT(A AND B) reaches the OR-subquery rule
+    in its pushNegationToOperands rewritten form."""
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+    from impala_spark.testcatalog import TABLE_SCHEMAS, schema_for_statement
+
+    neg = [
+        ("select bool_col from functional.alltypes union select "
+         "lag(string_col) over(order by int_col) from functional.alltypes",
+         "Incompatible return types 'BOOLEAN' and 'STRING' of exprs "
+         "'bool_col' and 'lag(string_col, 1, NULL)'."),
+        ("select int_col, string_col from functional.alltypes union "
+         "select tinyint_col, bool_col from functional.alltypes union "
+         "select smallint_col, int_col from functional.alltypes",
+         "Incompatible return types 'STRING' and 'BOOLEAN' of exprs "
+         "'string_col' and 'bool_col'."),
+        ("select * from functional.alltypes t where not (t.id in "
+         "(select id from functional.alltypesagg) and t.int_col = 10)",
+         "Subqueries in OR predicates are not supported: t.id NOT IN "
+         "(SELECT id FROM functional.alltypesagg) OR t.int_col != 10"),
+    ]
+    for sql, msg in neg:
+        with pytest.raises(ImpalaUnsupportedError) as ei:
+            tr(sql, strict=True, schema=schema_for_statement(sql),
+               catalog=TABLE_SCHEMAS)
+        assert msg in str(ei.value), sql
+    for sql in [
+        "select int_col from functional.alltypes union select "
+        "tinyint_col from functional.alltypessmall",
+        "select id, string_col from functional.alltypes union all "
+        "select id, date_string_col from functional.alltypes",
+        # odd-NOT OR becomes AND: legal
+        "select * from functional.alltypes t where not (t.id in "
+        "(select id from functional.alltypesagg) or t.int_col = 10)",
+    ]:
+        tr(sql, strict=True, schema=schema_for_statement(sql),
+           catalog=TABLE_SCHEMAS)
