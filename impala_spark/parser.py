@@ -6447,25 +6447,59 @@ def _check_create_table_tail(tokens: list[Token], sig: list[int]) -> None:
         last_rank = rank
         if up == "PARTITIONED":
             # PARTITIONED BY (<name> <type>, ...): each item needs both
+            # — except in CTAS, where partition columns are NAME-ONLY
+            # references into the query's select list
+            is_ctas = any(
+                tokens[s2].kind == "word" and tokens[s2].upper == "SELECT"
+                for s2 in sig
+            )
             by = sig[p + 1] if p + 1 < len(sig) else -1
             po = sig[p + 2] if p + 2 < len(sig) else -1
             if (
-                by != -1 and tokens[by].kind == "word"
+                not is_ctas
+                and by != -1 and tokens[by].kind == "word"
                 and tokens[by].upper == "BY"
                 and po != -1 and tokens[po].kind == "op"
                 and tokens[po].text == "("
             ):
                 close = _matching_paren(tokens, po)
-                for a, b in _split_top_level_commas(tokens, po + 1, close):
-                    words = [
-                        k for k in range(a, b)
-                        if tokens[k].kind in ("word", "bident")
-                    ]
-                    if len(words) == 1:
-                        raise ImpalaUnsupportedError(
-                            "Syntax error: partition column requires a name "
-                            "and a type"
-                        )
+                # complex-typed partition column (PartitionDef analysis)
+                for k in range(po + 1, close):
+                    tk = tokens[k]
+                    if tk.kind == "word" and tk.upper in (
+                        "ARRAY", "MAP", "STRUCT",
+                    ):
+                        nxk = _significant(tokens, k)
+                        if nxk != -1 and tokens[nxk].kind == "op" \
+                                and tokens[nxk].text == "<":
+                            cname_i = _significant(tokens, k, -1)
+                            cname = (
+                                tokens[cname_i].text.strip("`")
+                                if cname_i != -1 and tokens[cname_i].kind
+                                in ("word", "bident") else "?"
+                            )
+                            raise ImpalaUnsupportedError(
+                                f"Type '{_type_to_sql(tokens, k, close)}' "
+                                "is not supported as partition-column "
+                                f"type in column: {cname}"
+                            )
+                has_angle = any(
+                    tokens[k].kind == "op" and tokens[k].text == "<"
+                    for k in range(po + 1, close)
+                )
+                if not has_angle:
+                    for a, b in _split_top_level_commas(
+                        tokens, po + 1, close,
+                    ):
+                        words = [
+                            k for k in range(a, b)
+                            if tokens[k].kind in ("word", "bident")
+                        ]
+                        if len(words) == 1:
+                            raise ImpalaUnsupportedError(
+                                "Syntax error: partition column requires "
+                                "a name and a type"
+                            )
     # PRIMARY KEY must follow the column definitions, not lead them;
     # column names must pass MetaStore validation (ColumnDef.java:169-172)
     for p, s in enumerate(sig):
@@ -6946,7 +6980,9 @@ def _check_strict_ddl_values(tokens: list[Token]) -> None:
             if nx == -1 or tokens[nx].kind != "string":
                 continue
             v = tokens[nx].text[1:-1].replace("''", "'")
-            ok = len(v) == 1
+            # 1 char, a backslash escape sequence ('\t', '\001', '\\'),
+            # or a decimal byte value
+            ok = len(v) == 1 or v.startswith("\\")
             if not ok:
                 try:
                     ok = -128 <= int(v) <= 127
@@ -6958,17 +6994,24 @@ def _check_strict_ddl_values(tokens: list[Token]) -> None:
                     "specified as a single character or as a decimal value in "
                     f"the range [-128:127]: {v}"
                 )
-        # --- LOCATION '<uri>' must be absolute ---
+        # --- LOCATION '<uri>' must be non-empty and absolute ---
         if up == "LOCATION":
             nx = sig[p + 1] if p + 1 < len(sig) else -1
             if nx != -1 and tokens[nx].kind == "string":
                 uri = tokens[nx].text[1:-1].replace("''", "'")
-                if "://" not in uri and not uri.startswith("/"):
+                if not uri.strip():
+                    raise ImpalaUnsupportedError("URI path cannot be empty.")
+                if (
+                    "://" not in uri
+                    and not uri.startswith("/")
+                    and not re.match(r"^[A-Za-z][\w+.-]*:/", uri)
+                ):
                     raise ImpalaUnsupportedError(
                         f"URI path must be absolute: {uri}"
                     )
         # --- MetaStore name validation (backquoted junk names) ---
-        if head in ("CREATE", "DROP", "ALTER", "USE", "DESCRIBE") and up in (
+        if head in ("CREATE", "DROP", "ALTER", "USE", "DESCRIBE",
+                    "TRUNCATE") and up in (
             "DATABASE", "SCHEMA", "TABLE", "VIEW",
         ):
             q = p + 1
@@ -6989,6 +7032,21 @@ def _check_strict_ddl_values(tokens: list[Token]) -> None:
             for j, part in enumerate(parts):
                 name = part.text[1:-1] if part.kind == "bident" else part.text
                 if part.kind == "bident" and not _VALID_NAME_RE.match(name):
+                    # DROP resolves existence FIRST: a backquoted junk
+                    # name is a legal identifier that simply names
+                    # nothing (AnalyzeDDLTest pins does-not-exist)
+                    if head in ("DROP", "TRUNCATE"):
+                        if up in ("DATABASE", "SCHEMA"):
+                            raise ImpalaUnsupportedError(
+                                f"Database does not exist: {name}"
+                            )
+                        qual = (
+                            parts[0].text.strip("`") + "."
+                            if len(parts) == 2 and j == 1 else "default."
+                        )
+                        raise ImpalaUnsupportedError(
+                            f"Table does not exist: {qual}{name}"
+                        )
                     if up in ("DATABASE", "SCHEMA") or (
                         len(parts) == 2 and j == 0
                     ):

@@ -372,7 +372,7 @@ def test_ddl_value_errors_exact_texts():
         ("create database `???`", "Invalid database name: ???"),
         ("create table `%^&` (i int)", "Invalid table/view name: %^&"),
         ("create table `bad db`.`t` (i int)", "Invalid database name: bad db"),
-        ("drop table `%^&`", "Invalid table/view name: %^&"),
+        ("drop table `%^&`", "Table does not exist: default.%^&"),
         ("create table t (`x y z` int)", "Invalid column/field name: x y z"),
     ]
     for sql, msg in cases:

@@ -33,6 +33,7 @@ REF_TESTS = [
     "/root/reference/fe/src/test/java/org/apache/impala/analysis/AnalyzeExprsTest.java",
     "/root/reference/fe/src/test/java/org/apache/impala/analysis/AnalyzeStmtsTest.java",
     "/root/reference/fe/src/test/java/org/apache/impala/analysis/AnalyzeSubqueriesTest.java",
+    "/root/reference/fe/src/test/java/org/apache/impala/analysis/AnalyzeDDLTest.java",
 ]
 
 #: statements touching reference test-warehouse objects — their errors
@@ -293,8 +294,13 @@ def main() -> None:
             print(f"skip (no reference checkout): {path}")
             continue
         for sql, expected in extract_pairs(path):
-            if not sql.strip().lower().startswith(("select", "with", "values")):
-                continue  # DDL/insert heads route outside translate()
+            if not sql.strip().lower().startswith((
+                "select", "with", "values",
+                # DDL heads: the parser's token-level DDL analysis runs
+                # inside translate() before the engine dispatch
+                "create", "alter", "drop", "truncate",
+            )):
+                continue  # remaining heads route outside translate()
             if "%s" in sql or "$TBL" in sql or "%s" in expected:
                 continue  # Java String.format template, not a statement
             total += 1
@@ -337,7 +343,10 @@ def main() -> None:
         if not os.path.exists(path):
             continue
         for sql in extract_positives(path):
-            if not sql.strip().lower().startswith(("select", "with", "values")):
+            if not sql.strip().lower().startswith((
+                "select", "with", "values",
+                "create", "alter", "drop", "truncate",
+            )):
                 continue
             if "%s" in sql or "$TBL" in sql:
                 continue
