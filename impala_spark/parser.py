@@ -7501,6 +7501,129 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
                 f"Could not resolve table reference: '{written(span)}'"
             )
         return  # CREATE target: fine to not exist
+    # CREATE target / RENAME TO an EXISTING catalog table
+    if head == "CREATE" and kw in ("TABLE", "VIEW") and not if_exists \
+            and db is not None and tname in _CATALOG:
+        raise ImpalaUnsupportedError(
+            f"Table already exists: {db}.{tname}"
+        )
+    # partition-level ALTER rules over the canned warehouse
+    if head == "ALTER" and kw == "TABLE" and not is_rename:
+        qual0 = f"{db or 'functional'}.{tname}"
+        has_part_kw = False
+        drop_part = False
+        if_exists_part = False
+        part_open = -1
+        for p2 in range(q_after, len(sig)):
+            tq = tokens[sig[p2]]
+            if tq.kind == "word" and tq.upper == "PARTITIONS" \
+                    and p2 > 0 and tokens[sig[p2 - 1]].kind == "word" \
+                    and tokens[sig[p2 - 1]].upper == "RECOVER":
+                has_part_kw = True
+            if tq.kind == "word" and tq.upper == "PARTITION":
+                has_part_kw = True
+                drop_part = (
+                    p2 > 0 and tokens[sig[p2 - 1]].kind == "word"
+                    and tokens[sig[p2 - 1]].upper
+                    in ("DROP", "EXISTS")
+                )
+                if p2 >= 3 and tokens[sig[p2 - 1]].upper == "EXISTS":
+                    if_exists_part = True
+                    drop_part = tokens[sig[p2 - 3]].upper == "DROP"
+                nx2 = sig[p2 + 1] if p2 + 1 < len(sig) else -1
+                if nx2 != -1 and tokens[nx2].kind == "op" \
+                        and tokens[nx2].text == "(":
+                    part_open = nx2
+                break
+        if has_part_kw and tname == "alltypesnopart":
+            raise ImpalaUnsupportedError(
+                f"Table is not partitioned: {qual0}"
+            )
+        # DROP PARTITION / PARTITION(...) <SET op> values outside the
+        # alltypes grid (ADD creates new partitions and is exempt)
+        if part_open != -1 and tname == "alltypes" \
+                and not if_exists_part:
+            is_add = any(
+                tokens[sig[p2]].kind == "word"
+                and tokens[sig[p2]].upper == "ADD"
+                for p2 in range(q_after, len(sig))
+            )
+            if not is_add:
+                close2 = _matching_paren(tokens, part_open)
+                no_match = False
+                pair_spans = list(_split_top_level_commas(
+                    tokens, part_open + 1, close2,
+                ))
+                # column validity first (the reference validates every
+                # partition expr before matching), then range checks
+                for validity_pass in (True, False):
+                  for a, b in pair_spans:
+                    s3 = [
+                        x for x in range(a, b)
+                        if tokens[x].kind not in (
+                            "ws", "line_comment", "block_comment",
+                        )
+                    ]
+                    if len(s3) < 3 or tokens[s3[0]].kind not in (
+                        "word", "bident",
+                    ):
+                        continue
+                    # exact-match pairs only: range predicates may
+                    # legally match zero partitions
+                    if not (
+                        tokens[s3[1]].kind == "op"
+                        and tokens[s3[1]].text == "="
+                    ) and not (
+                        tokens[s3[1]].kind == "word"
+                        and tokens[s3[1]].upper == "IS"
+                    ):
+                        continue
+                    col = tokens[s3[0]].text.strip("`").lower()
+                    rng = _ALLTYPES_PART_RANGE.get(col)
+                    val_tok = tokens[s3[-1]]
+                    if validity_pass:
+                        if rng is None:
+                            # non-partition or unknown column
+                            if col in (_CATALOG.get(tname) or {}):
+                                val_sql = untokenize(
+                                    tokens[s3[2]:s3[-1] + 1]
+                                ).strip()
+                                raise ImpalaUnsupportedError(
+                                    "Partition exprs cannot contain "
+                                    "non-partition column(s): "
+                                    f"{col} = {val_sql}."
+                                )
+                            raise ImpalaUnsupportedError(
+                                "Could not resolve column/field "
+                                f"reference: '{col}'"
+                            )
+                        if val_tok.kind in ("word", "bident") \
+                                and val_tok.upper != "NULL":
+                            # non-constant value (a column ref)
+                            raise ImpalaUnsupportedError(
+                                "Partition exprs cannot contain "
+                                "non-partition column(s): "
+                                f"{col} = {val_tok.text.strip('`')}."
+                            )
+                        continue
+                    if rng is None:
+                        continue
+                    if val_tok.kind == "word" \
+                            and val_tok.upper == "NULL":
+                        no_match = True
+                        break
+                    if val_tok.kind == "number":
+                        try:
+                            v2 = int(val_tok.text)
+                        except ValueError:
+                            continue
+                        if not (rng[0] <= v2 <= rng[1]):
+                            no_match = True
+                            break
+                if no_match:
+                    raise ImpalaUnsupportedError(
+                        "No matching partition(s) found."
+                    )
     # object-kind rules for ALTER
     if head == "ALTER":
         qual = f"{db or 'functional'}.{tname}"
@@ -7546,6 +7669,11 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
                     raise ImpalaUnsupportedError(
                         f"Database does not exist: {t0w}"
                     )
+                if len(tparts) >= 2 and tparts[-1] in _CATALOG:
+                    raise ImpalaUnsupportedError(
+                        "Table already exists: "
+                        f"{tparts[0]}.{tparts[-1]}"
+                    )
     # CREATE ... LIKE <source>
     if head == "CREATE":
         for p2 in range(q_after, len(sig)):
@@ -7575,6 +7703,190 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
                 break
             if tq.kind == "word" and tq.upper in ("AS", "SELECT"):
                 break
+
+
+#: filesystem schemes Hadoop's test configuration can service
+_KNOWN_FS_SCHEMES = frozenset({
+    "hdfs", "file", "s3", "s3a", "s3n", "abfs", "abfss", "adl", "gs",
+    "wasb", "wasbs", "viewfs", "o3fs", "ofs", "cosn", "oss", "webhdfs",
+})
+
+#: the alltypes partition grid in the functional dataset
+_ALLTYPES_PART_RANGE = {"year": (2009, 2010), "month": (1, 12)}
+
+
+def _check_strict_ddl_columns(tokens: list[Token]) -> None:
+    """Column-level and storage-level DDL analysis (AnalyzeDDLTest):
+    unknown filesystem schemes in LOCATION, invalid/duplicate column
+    names in ADD/REPLACE/CHANGE COLUMNS and view/CTAS select lists,
+    already-existing CREATE/RENAME targets, un-partitioned and
+    no-matching-partition ALTERs over the canned partition grid."""
+    if _CATALOG is None:
+        return
+    sig = [
+        k for k, t in enumerate(tokens)
+        if t.kind not in ("ws", "line_comment", "block_comment")
+    ]
+    if not sig or tokens[sig[0]].kind != "word":
+        return
+    head = tokens[sig[0]].upper
+    if head not in ("ALTER", "DROP", "TRUNCATE", "CREATE"):
+        return
+    # --- LOCATION scheme ---
+    for p, s in enumerate(sig[1:], 1):
+        t = tokens[s]
+        if t.kind != "string":
+            continue
+        pv = tokens[sig[p - 1]]
+        if not (pv.kind == "word" and pv.upper == "LOCATION"):
+            continue
+        v = t.text[1:-1]
+        m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", v)
+        if m and m.group(1).lower() not in _KNOWN_FS_SCHEMES:
+            raise ImpalaUnsupportedError(
+                f"No FileSystem for scheme: {m.group(1)}"
+            )
+
+    def check_col_list(open_idx: int) -> None:
+        close = _matching_paren(tokens, open_idx)
+        if close == -1:
+            return
+        seen: set[str] = set()
+        for a, b in _split_top_level_commas(tokens, open_idx + 1, close):
+            fs = _significant(tokens, a - 1)
+            if fs == -1 or fs >= b or tokens[fs].kind not in (
+                "word", "bident",
+            ):
+                continue
+            name = (
+                tokens[fs].text[1:-1] if tokens[fs].kind == "bident"
+                else tokens[fs].text
+            )
+            if tokens[fs].kind == "bident" \
+                    and not _VALID_NAME_RE.match(name):
+                raise ImpalaUnsupportedError(
+                    f"Invalid column/field name: {name}"
+                )
+            low = name.lower()
+            if low in seen:
+                raise ImpalaUnsupportedError(
+                    f"Duplicate column name: {low}"
+                )
+            seen.add(low)
+
+    if head == "ALTER":
+        for p, s in enumerate(sig):
+            t = tokens[s]
+            if t.kind != "word":
+                continue
+            if t.upper in ("ADD", "REPLACE") and p + 1 < len(sig) \
+                    and tokens[sig[p + 1]].kind == "word" \
+                    and tokens[sig[p + 1]].upper == "COLUMNS":
+                op_i = sig[p + 2] if p + 2 < len(sig) else -1
+                if op_i != -1 and tokens[op_i].kind == "op" \
+                        and tokens[op_i].text == "(":
+                    check_col_list(op_i)
+            if t.upper == "CHANGE":
+                q = p + 1
+                if q < len(sig) and tokens[sig[q]].kind == "word" \
+                        and tokens[sig[q]].upper == "COLUMN":
+                    q += 1
+                nn = sig[q + 1] if q + 1 < len(sig) else -1
+                if nn != -1 and tokens[nn].kind == "bident":
+                    name = tokens[nn].text[1:-1]
+                    if not _VALID_NAME_RE.match(name):
+                        raise ImpalaUnsupportedError(
+                            f"Invalid column/field name: {name}"
+                        )
+    # --- explicit CREATE VIEW column-label list ---
+    if head == "CREATE":
+        for p, s in enumerate(sig):
+            t = tokens[s]
+            if t.kind == "word" and t.upper == "VIEW":
+                for p2 in range(p + 1, min(p + 8, len(sig))):
+                    t2 = tokens[sig[p2]]
+                    if t2.kind == "op" and t2.text == "(":
+                        check_col_list(sig[p2])
+                        break
+                    if t2.kind == "word" and t2.upper == "AS":
+                        break
+                break
+    # --- view / CTAS output labels ---
+    is_view_as = False
+    for p, s in enumerate(sig):
+        t = tokens[s]
+        if t.kind == "word" and t.upper == "AS" and p + 1 < len(sig):
+            nxt = tokens[sig[p + 1]]
+            if nxt.kind == "word" and nxt.upper == "SELECT":
+                sel = sig[p + 1]
+                blocks = _select_blocks(tokens)
+                for sel_idx, from_idx, end in blocks:
+                    if sel_idx != sel:
+                        continue
+                    ls = _significant(tokens, sel_idx)
+                    if ls == -1:
+                        break
+                    if tokens[ls].kind == "word" and tokens[ls].upper in (
+                        "DISTINCT", "ALL",
+                    ):
+                        ls = _significant(tokens, ls)
+                    # star lists expand over known sources
+                    sigl = [
+                        x for x in range(ls, from_idx)
+                        if tokens[x].kind not in (
+                            "ws", "line_comment", "block_comment",
+                        )
+                    ]
+                    labels: list[str] = []
+                    if len(sigl) == 1 and tokens[sigl[0]].kind == "op" \
+                            and tokens[sigl[0]].text == "*":
+                        amap, unknown, _al = _block_from_sources(
+                            tokens, from_idx, end,
+                        )
+                        if unknown or not amap:
+                            break
+                        for tbl in amap.values():
+                            cols = _CATALOG.get(tbl)
+                            if cols is None:
+                                labels = []
+                                break
+                            labels.extend(cols)
+                    else:
+                        labels = [
+                            l for l, _e in _select_item_labels(
+                                tokens, ls, from_idx,
+                            )
+                        ]
+                        # a backquoted junk alias is invalid
+                        for a, b in _split_top_level_commas(
+                            tokens, ls, from_idx,
+                        ):
+                            s2 = [
+                                x for x in range(a, b)
+                                if tokens[x].kind not in (
+                                    "ws", "line_comment",
+                                    "block_comment",
+                                )
+                            ]
+                            if s2 and tokens[s2[-1]].kind == "bident":
+                                nm2 = tokens[s2[-1]].text[1:-1]
+                                if not _VALID_NAME_RE.match(nm2):
+                                    raise ImpalaUnsupportedError(
+                                        "Invalid column/field name: "
+                                        f"{nm2}"
+                                    )
+                    seen2: set[str] = set()
+                    for l in labels:
+                        if l.startswith("_c"):
+                            continue
+                        if l in seen2:
+                            raise ImpalaUnsupportedError(
+                                f"Duplicate column name: {l}"
+                            )
+                        seen2.add(l)
+                    break
+            break
+    _ = is_view_as
 
 
 def _check_strict_table_path_refs(tokens: list[Token]) -> None:
@@ -10990,6 +11302,7 @@ def _translate_checked(tokens: list[Token], sql: str, strict: bool) -> str:
     if strict:
         # FROM-clause analysis precedes everything in SelectStmt.analyze
         _check_strict_ddl_refs(tokens)
+        _check_strict_ddl_columns(tokens)
         _check_strict_table_path_refs(tokens)
         _check_strict_ref_ambiguity(tokens)
         _check_strict_complex_types(tokens)

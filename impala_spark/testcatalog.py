@@ -34,6 +34,11 @@ ALLTYPES = {
 #: alltypesagg adds a day partition column to the alltypes layout
 ALLTYPESAGG = dict(ALLTYPES, day="INT")
 
+#: alltypesnopart has the data columns only — no partition columns
+ALLTYPESNOPART = {
+    k: v for k, v in ALLTYPES.items() if k not in ("year", "month")
+}
+
 TESTTBL = {"id": "BIGINT", "name": "STRING", "zip": "INT"}
 
 JOINTBL = {
@@ -87,7 +92,7 @@ TABLE_SCHEMAS: dict[str, dict[str, str]] = {
     "alltypestiny": ALLTYPES,
     "alltypessmall": ALLTYPES,
     "alltypesagg": ALLTYPESAGG,
-    "alltypesnopart": ALLTYPES,
+    "alltypesnopart": ALLTYPESNOPART,
     "alltypeserror": ALLTYPES,
     "alltypes_view": ALLTYPES,
     "testtbl": TESTTBL,

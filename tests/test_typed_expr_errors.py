@@ -1621,3 +1621,94 @@ def test_union_typing_and_demorgan_or_errors():
     ]:
         tr(sql, strict=True, schema=schema_for_statement(sql),
            catalog=TABLE_SCHEMAS)
+
+
+def test_ddl_warehouse_resolution_errors():
+    """AnalyzeDDLTest warehouse rules: existence per statement kind,
+    object-kind ALTERs, partition-spec validity and the canned alltypes
+    partition grid, column-name validity/duplicates, filesystem
+    schemes, and already-existing CREATE/RENAME targets."""
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+    from impala_spark.testcatalog import TABLE_SCHEMAS, schema_for_statement
+
+    neg = [
+        ("alter table db_does_not_exist.alltypes add columns (i int)",
+         "Could not resolve table reference: 'db_does_not_exist.alltypes'"),
+        ("alter table functional.table_does_not_exist add columns (i int)",
+         "Could not resolve table reference: "
+         "'functional.table_does_not_exist'"),
+        ("alter table db_does_not_exist.alltypes rename to new_table",
+         "Database does not exist: db_does_not_exist"),
+        ("drop database db_does_not_exist",
+         "Database does not exist: db_does_not_exist"),
+        ("drop table db_does_not_exist.alltypes",
+         "Database does not exist: db_does_not_exist"),
+        ("drop view functional.badview",
+         "Table does not exist: functional.badview"),
+        ("alter table functional.alltypes_view add columns (c1 string)",
+         "ALTER TABLE not allowed on a view: functional.alltypes_view"),
+        ("alter table allcomplextypes.int_array_col drop column int_col",
+         "ALTER TABLE not allowed on a nested collection: "
+         "allcomplextypes.int_array_col"),
+        ("alter table functional.alltypes_datasource drop column int_col",
+         "ALTER TABLE not allowed on a table produced by a data source: "
+         "functional.alltypes_datasource"),
+        ("alter view functional.alltypes set fileformat parquet",
+         "ALTER VIEW not allowed on a table: functional.alltypes"),
+        ("alter table functional.alltypes rename to `???`.new_table",
+         "Invalid database name: ???"),
+        ("create table functional.alltypes as select 1",
+         "Table already exists: functional.alltypes"),
+        ("alter table functional.alltypes rename to functional.alltypes",
+         "Table already exists: functional.alltypes"),
+        ("alter table functional.alltypesnopart PARTITION (month=1) "
+         "set location '/a/b/c'",
+         "Table is not partitioned: functional.alltypesnopart"),
+        ("alter table functional.alltypes drop partition(year=2050, "
+         "month=10)",
+         "No matching partition(s) found."),
+        ("alter table functional.alltypes drop partition(year=2050, "
+         "int_col=1)",
+         "Partition exprs cannot contain non-partition column(s): "
+         "int_col = 1."),
+        ("alter table functional.alltypes drop partition(year=2050, "
+         "blah=1)",
+         "Could not resolve column/field reference: 'blah'"),
+        ("alter table functional.alltypes add columns (c1 int, c1 int)",
+         "Duplicate column name: c1"),
+        ("alter table functional.alltypes add columns (`???` int)",
+         "Invalid column/field name: ???"),
+        ("alter table functional.alltypes set location "
+         "'blah:///warehouse/'",
+         "No FileSystem for scheme: blah"),
+        ("create view foo (a, b, a) as select int_col, int_col, int_col "
+         "from functional.alltypes",
+         "Duplicate column name: a"),
+        ("create table newtbl as select 1 as c1, 2 as c1",
+         "Duplicate column name: c1"),
+    ]
+    for sql, msg in neg:
+        with pytest.raises(ImpalaUnsupportedError) as ei:
+            tr(sql, strict=True, schema=schema_for_statement(sql),
+               catalog=TABLE_SCHEMAS)
+        assert msg in str(ei.value), sql
+    for sql in [
+        "alter table functional.alltypes add columns (c1 int, c2 int)",
+        "alter table functional.alltypes drop partition(year=2010, "
+        "month=10)",
+        "alter table functional.alltypes drop partition(year>9050, "
+        "month=10)",
+        "alter table functional.alltypes add partition(year=2050, "
+        "month=10)",
+        "alter table functional.alltypes_datasource rename to new_ds",
+        "create table if not exists functional.alltypes (i int)",
+        "create table functional.new_table (i int)",
+        "drop table if exists db_does_not_exist.alltypes",
+        "alter table functional.alltypes set location "
+        "'hdfs://localhost:20500/a'",
+    ]:
+        tr(sql, strict=True, schema=schema_for_statement(sql),
+           catalog=TABLE_SCHEMAS)
