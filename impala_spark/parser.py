@@ -7798,6 +7798,85 @@ def _check_strict_ddl_columns(tokens: list[Token]) -> None:
                         raise ImpalaUnsupportedError(
                             f"Invalid column/field name: {name}"
                         )
+    # --- scalar type bounds in any DDL type position ---
+    for p, s in enumerate(sig):
+        t = tokens[s]
+        if t.kind == "word" and t.upper in ("CHAR", "VARCHAR", "DECIMAL"):
+            nx = sig[p + 1] if p + 1 < len(sig) else -1
+            if nx != -1 and tokens[nx].kind == "op" \
+                    and tokens[nx].text == "(":
+                close = _matching_paren(tokens, nx)
+                nums = [
+                    int(tokens[x].text)
+                    for x in range(nx + 1, close if close != -1 else nx)
+                    if tokens[x].kind == "number"
+                    and tokens[x].text.isdigit()
+                ]
+                if nums:
+                    _scalar_type_bounds(
+                        t.upper, nums[0],
+                        nums[1] if len(nums) > 1 else 0,
+                    )
+    # --- CREATE [AGGREGATE] FUNCTION binary/type rules ---
+    if head == "CREATE":
+        fpos = -1
+        for p, s in enumerate(sig[:4]):
+            if tokens[s].kind == "word" and tokens[s].upper == "FUNCTION":
+                fpos = p
+                break
+        if fpos != -1:
+            # LOCATION '<path>'
+            loc = None
+            for p, s in enumerate(sig):
+                if tokens[s].kind == "word" \
+                        and tokens[s].upper == "LOCATION" \
+                        and p + 1 < len(sig) \
+                        and tokens[sig[p + 1]].kind == "string":
+                    loc = tokens[sig[p + 1]].text[1:-1]
+                    break
+            if loc is not None and loc.lower().endswith(".jar"):
+                # Java UDFs support no CHAR/VARCHAR/TIMESTAMP/DECIMAL
+                bad_ty = None
+                for p, s in enumerate(sig):
+                    t2 = tokens[s]
+                    if t2.kind == "word" and t2.upper == "LOCATION":
+                        break
+                    if t2.kind == "word" and t2.upper in (
+                        "CHAR", "VARCHAR", "DECIMAL", "TIMESTAMP",
+                    ):
+                        if t2.upper == "TIMESTAMP":
+                            bad_ty = "TIMESTAMP"
+                            break
+                        nx = sig[p + 1] if p + 1 < len(sig) else -1
+                        if nx != -1 and tokens[nx].kind == "op" \
+                                and tokens[nx].text == "(":
+                            close = _matching_paren(tokens, nx)
+                            inner = re.sub(
+                                r"\s+", "",
+                                untokenize(tokens[nx + 1:close]),
+                            )
+                            bad_ty = f"{t2.upper}({inner})"
+                            break
+                        if t2.upper == "DECIMAL":
+                            bad_ty = "DECIMAL(9,0)"
+                            break
+                if bad_ty is not None:
+                    raise ImpalaUnsupportedError(
+                        f"Type {bad_ty} is not supported for Java UDFs."
+                    )
+            is_aggregate = any(
+                tokens[s].kind == "word"
+                and tokens[s].upper == "AGGREGATE"
+                for s in sig[:3]
+            )
+            if loc is not None and loc.lower().endswith(".jar") \
+                    and is_aggregate:
+                raise ImpalaUnsupportedError("Java UDAs are not supported.")
+            if loc is not None and loc.lower().endswith(".jar") \
+                    and "/test-warehouse/" not in loc:
+                raise ImpalaUnsupportedError(
+                    f"Could not load binary: {loc}"
+                )
     # --- explicit CREATE VIEW column-label list ---
     if head == "CREATE":
         for p, s in enumerate(sig):
