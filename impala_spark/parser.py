@@ -7447,7 +7447,15 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
         for p2 in range(q_after, len(sig) - 1):
             if tokens[sig[p2]].kind == "word"                     and tokens[sig[p2]].upper == "LIKE"                     and tokens[sig[p2 + 1]].kind == "word"                     and tokens[sig[p2 + 1]].upper == "PARQUET":
                 f2 = sig[p2 + 2] if p2 + 2 < len(sig) else -1
-                if f2 == -1 or tokens[f2].kind != "string" or not                         tokens[f2].text[1:-1].endswith(".parquet"):
+                if f2 != -1 and tokens[f2].kind == "string":
+                    pth = tokens[f2].text[1:-1]
+                    if "://" not in pth and not pth.startswith("/") \
+                            and not re.match(r"^[A-Za-z][\w+.-]*:/", pth):
+                        raise ImpalaUnsupportedError(
+                            f"URI path must be absolute: {pth}"
+                        )
+                if f2 == -1 or tokens[f2].kind != "string" or not \
+                        tokens[f2].text[1:-1].endswith(".parquet"):
                     like_parquet_unknowable = True
                 break
     db_tok = tokens[span[0]]
@@ -7624,6 +7632,102 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
                     raise ImpalaUnsupportedError(
                         "No matching partition(s) found."
                     )
+    # column-level ALTER rules over the canned schemas
+    if head == "ALTER" and kw == "TABLE" and tname in _CATALOG:
+        cols0 = _CATALOG[tname]
+        part_cols = set(_ALLTYPES_PART_RANGE) if tname.startswith(
+            "alltypes"
+        ) and tname != "alltypesnopart" else set()
+        if tname == "alltypesagg":
+            part_cols.add("day")
+        qual0 = f"{db or 'functional'}.{tname}"
+        for p2 in range(q_after, len(sig)):
+            tq = tokens[sig[p2]]
+            if tq.kind != "word":
+                continue
+            u2 = tq.upper
+            # ADD/REPLACE COLUMNS (...) conflicting with partition cols
+            if u2 in ("ADD", "REPLACE") and p2 + 2 < len(sig) \
+                    and tokens[sig[p2 + 1]].kind == "word" \
+                    and tokens[sig[p2 + 1]].upper == "COLUMNS" \
+                    and tokens[sig[p2 + 2]].kind == "op" \
+                    and tokens[sig[p2 + 2]].text == "(":
+                cl2 = _matching_paren(tokens, sig[p2 + 2])
+                for a, b in _split_top_level_commas(
+                    tokens, sig[p2 + 2] + 1, cl2,
+                ):
+                    fs2 = _significant(tokens, a - 1)
+                    if fs2 != -1 and fs2 < b and tokens[fs2].kind in (
+                        "word", "bident",
+                    ):
+                        nm2 = tokens[fs2].text.strip("`").lower()
+                        if nm2 in part_cols:
+                            raise ImpalaUnsupportedError(
+                                "Column name conflicts with existing "
+                                f"partition column: {nm2}"
+                            )
+            # DROP COLUMN / CHANGE COLUMN <old>: must exist
+            if u2 in ("DROP", "CHANGE"):
+                q2 = p2 + 1
+                if q2 < len(sig) and tokens[sig[q2]].kind == "word" \
+                        and tokens[sig[q2]].upper == "COLUMN":
+                    q2 += 1
+                elif u2 == "DROP":
+                    continue  # DROP PARTITION etc.
+                if q2 < len(sig) and tokens[sig[q2]].kind in (
+                    "word", "bident",
+                ):
+                    old = tokens[sig[q2]].text.strip("`").lower()
+                    if old not in cols0 and old not in part_cols \
+                            and _VALID_NAME_RE.match(old):
+                        raise ImpalaUnsupportedError(
+                            f"Column '{old}' does not exist in "
+                            f"table: {qual0}"
+                        )
+            # SET COLUMN STATS <col>
+            if u2 == "SET" and p2 + 3 < len(sig) \
+                    and tokens[sig[p2 + 1]].kind == "word" \
+                    and tokens[sig[p2 + 1]].upper == "COLUMN" \
+                    and tokens[sig[p2 + 2]].kind == "word" \
+                    and tokens[sig[p2 + 2]].upper == "STATS":
+                ctok = tokens[sig[p2 + 3]]
+                if ctok.kind in ("word", "bident"):
+                    cn = ctok.text.strip("`").lower()
+                    if cn in part_cols:
+                        raise ImpalaUnsupportedError(
+                            "Updating the stats of a partition column "
+                            f"is not allowed: {cn}"
+                        )
+                    if cn not in cols0 and _VALID_NAME_RE.match(cn):
+                        raise ImpalaUnsupportedError(
+                            f"Column '{cn}' does not exist in "
+                            f"table: {qual0}"
+                        )
+            # SET CACHED IN '<pool>' [WITH REPLICATION = n]
+            if u2 == "IN" and p2 > 0 \
+                    and tokens[sig[p2 - 1]].kind == "word" \
+                    and tokens[sig[p2 - 1]].upper == "CACHED" \
+                    and p2 + 1 < len(sig) \
+                    and tokens[sig[p2 + 1]].kind == "string":
+                pool = tokens[sig[p2 + 1]].text[1:-1]
+                if pool != "testPool":
+                    raise ImpalaUnsupportedError(
+                        "The specified cache pool does not exist: "
+                        f"{pool}"
+                    )
+                # WITH REPLICATION = <n>
+                for p3 in range(p2 + 2, min(p2 + 7, len(sig))):
+                    if tokens[sig[p3]].kind == "number":
+                        try:
+                            rep = int(tokens[sig[p3]].text)
+                        except ValueError:
+                            break
+                        if rep < 1 or rep > 32767:
+                            raise ImpalaUnsupportedError(
+                                "Cache replication factor must be "
+                                "between 0 and Short.MAX_VALUE"
+                            )
+                        break
     # object-kind rules for ALTER
     if head == "ALTER":
         qual = f"{db or 'functional'}.{tname}"
@@ -7669,6 +7773,12 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
                     raise ImpalaUnsupportedError(
                         f"Database does not exist: {t0w}"
                     )
+                if len(tparts) >= 2 and tokens[tspan[-1]].kind == "bident":
+                    tnw = tokens[tspan[-1]].text[1:-1]
+                    if not _VALID_NAME_RE.match(tnw):
+                        raise ImpalaUnsupportedError(
+                            f"Invalid table/view name: {tnw}"
+                        )
                 if len(tparts) >= 2 and tparts[-1] in _CATALOG:
                     raise ImpalaUnsupportedError(
                         "Table already exists: "
@@ -7798,6 +7908,53 @@ def _check_strict_ddl_columns(tokens: list[Token]) -> None:
                         raise ImpalaUnsupportedError(
                             f"Invalid column/field name: {name}"
                         )
+    # --- ROW FORMAT DELIMITED terminator conflicts ---
+    def _delim_byte(v: str) -> int | None:
+        if len(v) == 1:
+            return ord(v)
+        if v.startswith("\\") and len(v) >= 2:
+            esc = {"t": 9, "n": 10, "r": 13, "\\": 92, "0": 0}
+            if v[1] in esc and len(v) == 2:
+                return esc[v[1]]
+            try:
+                return int(v[1:], 8)
+            except ValueError:
+                return None
+        try:
+            return int(v)
+        except ValueError:
+            return None
+
+    field_b, line_b = 1, 10  # Hive text defaults: \001 and \n
+    saw_row_format = False
+    for p, s in enumerate(sig):
+        t = tokens[s]
+        if t.kind == "word" and t.upper == "DELIMITED":
+            saw_row_format = True
+        if (
+            saw_row_format
+            and t.kind == "word" and t.upper == "BY"
+            and p > 0 and tokens[sig[p - 1]].kind == "word"
+            and p + 1 < len(sig) and tokens[sig[p + 1]].kind == "string"
+        ):
+            what = tokens[sig[p - 1]].upper
+            v = _delim_byte(
+                tokens[sig[p + 1]].text[1:-1].replace("''", "'")
+            )
+            if v is None:
+                continue
+            if what == "TERMINATED" and p > 1:
+                kind2 = tokens[sig[p - 2]].upper \
+                    if tokens[sig[p - 2]].kind == "word" else ""
+                if kind2 == "FIELDS":
+                    field_b = v
+                elif kind2 == "LINES":
+                    line_b = v
+    if saw_row_format and field_b == line_b:
+        raise ImpalaUnsupportedError(
+            "Field delimiter and line delimiter have same value: "
+            f"byte {field_b}"
+        )
     # --- scalar type bounds in any DDL type position ---
     for p, s in enumerate(sig):
         t = tokens[s]
@@ -7864,6 +8021,21 @@ def _check_strict_ddl_columns(tokens: list[Token]) -> None:
                     raise ImpalaUnsupportedError(
                         f"Type {bad_ty} is not supported for Java UDFs."
                     )
+            if loc is not None and "://" not in loc \
+                    and not loc.startswith("/") \
+                    and not re.match(r"^[A-Za-z][\w+.-]*:/", loc):
+                raise ImpalaUnsupportedError(
+                    f"URI path must be absolute: {loc}"
+                )
+            if loc is not None and not loc.lower().endswith(
+                (".jar", ".so", ".ll"),
+            ):
+                # the reference spells this "endPosition" (its test
+                # fixture's literal text) — match it verbatim
+                raise ImpalaUnsupportedError(
+                    f"Unknown binary type: '{loc}'. Binary must "
+                    "endPosition in .jar, .so or .ll"
+                )
             is_aggregate = any(
                 tokens[s].kind == "word"
                 and tokens[s].upper == "AGGREGATE"
@@ -7877,6 +8049,29 @@ def _check_strict_ddl_columns(tokens: list[Token]) -> None:
                 raise ImpalaUnsupportedError(
                     f"Could not load binary: {loc}"
                 )
+    # --- multiple PRIMARY KEY markers in a CREATE TABLE column list ---
+    if head == "CREATE":
+        pk_count = 0
+        d6 = 0
+        for p, s in enumerate(sig):
+            t = tokens[s]
+            if t.kind == "op":
+                if t.text == "(":
+                    d6 += 1
+                elif t.text == ")":
+                    d6 -= 1
+            elif t.kind == "word" and t.upper == "PRIMARY" \
+                    and p + 1 < len(sig) \
+                    and tokens[sig[p + 1]].kind == "word" \
+                    and tokens[sig[p + 1]].upper == "KEY" and d6 == 1:
+                pk_count += 1
+        if pk_count > 1:
+            raise ImpalaUnsupportedError(
+                "Multiple primary keys specified. Composite primary "
+                "keys can be specified using the PRIMARY KEY (col1, "
+                "col2, ...) syntax at the endPosition of the column "
+                "definition."
+            )
     # --- explicit CREATE VIEW column-label list ---
     if head == "CREATE":
         for p, s in enumerate(sig):

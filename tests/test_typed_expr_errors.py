@@ -1712,3 +1712,76 @@ def test_ddl_warehouse_resolution_errors():
     ]:
         tr(sql, strict=True, schema=schema_for_statement(sql),
            catalog=TABLE_SCHEMAS)
+
+
+def test_ddl_delimiters_functions_and_pk_errors():
+    """Row-format terminator conflicts (Hive text defaults \\001 and
+    \\n), CREATE FUNCTION binary suffix/URI/aggregate rules, rename-
+    target name validity, LIKE PARQUET URI checks, and multiple
+    PRIMARY KEY markers (the reference fixture literally spells
+    'endPosition' in two of these texts)."""
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+    from impala_spark.testcatalog import TABLE_SCHEMAS, schema_for_statement
+
+    neg = [
+        ("create table functional.broken_text_table (c int) row format "
+         "delimited lines terminated by '\\001'",
+         "Field delimiter and line delimiter have same value: byte 1"),
+        ("create table functional.broken_text_table (c int) row format "
+         "delimited fields terminated by '\\012'",
+         "Field delimiter and line delimiter have same value: byte 10"),
+        ("create function foo() RETURNS int LOCATION 'bad-location' "
+         "SYMBOL='c'",
+         "URI path must be absolute: bad-location"),
+        ("create function foo() RETURNS int LOCATION '/binary.a' "
+         "SYMBOL='c'",
+         "Unknown binary type: '/binary.a'. Binary must endPosition in "
+         ".jar, .so or .ll"),
+        ("create function foo(varchar(5)) RETURNS int LOCATION "
+         "'/foo.jar' SYMBOL='c'",
+         "Type VARCHAR(5) is not supported for Java UDFs."),
+        ("create function foo(int) RETURNS int LOCATION '/binary.JAR' "
+         "SYMBOL='c'",
+         "Could not load binary: /binary.JAR"),
+        ("create aggregate function foo(int) RETURNS int LOCATION "
+         "'/foo.jar' UPDATE_FN='b'",
+         "Java UDAs are not supported."),
+        ("create table tab (x int primary key, y int primary key) "
+         "stored as kudu",
+         "Multiple primary keys specified."),
+        ("alter table functional.alltypes rename to functional.`%^&`",
+         "Invalid table/view name: %^&"),
+        ("alter table functional.alltypes add columns (year int)",
+         "Column name conflicts with existing partition column: year"),
+        ("alter table functional.alltypes drop column no_col",
+         "Column 'no_col' does not exist in table: functional.alltypes"),
+        ("alter table functional.alltypes set column stats month "
+         "('numDVs'='10')",
+         "Updating the stats of a partition column is not allowed: month"),
+        ("alter table functional.alltypes set cached in 'badPool'",
+         "The specified cache pool does not exist: badPool"),
+        ("alter table functional.alltypes set cached in 'testPool' "
+         "with replication = 90000",
+         "Cache replication factor must be between 0 and Short.MAX_VALUE"),
+        ("create table new_table(s1 char(0))", "Char size must be > 0: 0"),
+        ("create table new_table(s1 varchar(65536))",
+         "Varchar size must be <= 65535: 65536"),
+    ]
+    for sql, msg in neg:
+        with pytest.raises(ImpalaUnsupportedError) as ei:
+            tr(sql, strict=True, schema=schema_for_statement(sql),
+               catalog=TABLE_SCHEMAS)
+        assert msg in str(ei.value), sql
+    for sql in [
+        "create table functional.broken_text_table (c int) row format "
+        "delimited fields terminated by '\\002'",
+        "alter table functional.alltypes set cached in 'testPool' "
+        "with replication = 8",
+        "alter table functional.alltypes drop column int_col",
+        "create table new_table(s1 char(255), s2 varchar(65535))",
+    ]:
+        tr(sql, strict=True, schema=schema_for_statement(sql),
+           catalog=TABLE_SCHEMAS)
