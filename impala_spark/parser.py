@@ -7547,6 +7547,42 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
             raise ImpalaUnsupportedError(
                 f"Table is not partitioned: {qual0}"
             )
+        is_add_part = any(
+            tokens[sig[p2]].kind == "word"
+            and tokens[sig[p2]].upper == "ADD"
+            for p2 in range(q_after, len(sig))
+        )
+        # ADD PARTITION values must be constant expressions
+        if part_open != -1 and is_add_part:
+            close2 = _matching_paren(tokens, part_open)
+            for a, b in _split_top_level_commas(
+                tokens, part_open + 1, close2,
+            ):
+                s3 = [
+                    x for x in range(a, b)
+                    if tokens[x].kind not in (
+                        "ws", "line_comment", "block_comment",
+                    )
+                ]
+                if len(s3) < 3 or not (
+                    tokens[s3[1]].kind == "op"
+                    and tokens[s3[1]].text == "="
+                ):
+                    continue
+                col2 = tokens[s3[0]].text.strip("`").lower()
+                if col2 not in _ALLTYPES_PART_RANGE and col2 != "day":
+                    continue
+                if not _span_is_constant_expr(tokens, s3[2], s3[-1]):
+                    pair = re.sub(
+                        r"\s*=\s*", "=",
+                        untokenize(tokens[s3[0]:s3[-1] + 1]).strip(),
+                    )
+                    pair = pair.split("=", 1)
+                    raise ImpalaUnsupportedError(
+                        "Non-constant expressions are not supported "
+                        "as static partition-key values in "
+                        f"'{pair[0]}={_expr_to_sql(pair[1])}'."
+                    )
         # DROP PARTITION / PARTITION(...) <SET op> values outside the
         # alltypes grid (ADD creates new partitions and is exempt)
         if part_open != -1 and tname == "alltypes" \
@@ -7632,6 +7668,38 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
                     raise ImpalaUnsupportedError(
                         "No matching partition(s) found."
                     )
+    # HBase-backed tables accept no structural ALTERs
+    if head == "ALTER" and kw == "TABLE" and db == "functional_hbase":
+        for p2 in range(q_after, len(sig)):
+            tq = tokens[sig[p2]]
+            if tq.kind != "word":
+                continue
+            u2 = tq.upper
+            if u2 in ("ADD", "REPLACE") and p2 + 1 < len(sig) \
+                    and tokens[sig[p2 + 1]].kind == "word" \
+                    and tokens[sig[p2 + 1]].upper == "COLUMNS":
+                raise ImpalaUnsupportedError(
+                    "ALTER TABLE ADD|REPLACE COLUMNS not currently "
+                    "supported on HBase tables."
+                )
+            if u2 in ("DROP", "CHANGE") and p2 + 1 < len(sig) \
+                    and tokens[sig[p2 + 1]].kind == "word" \
+                    and tokens[sig[p2 + 1]].upper.startswith("COLUMN"):
+                raise ImpalaUnsupportedError(
+                    f"ALTER TABLE {u2} COLUMN not currently supported "
+                    "on HBase tables."
+                )
+            if u2 == "SET":
+                nx2 = tokens[sig[p2 + 1]] if p2 + 1 < len(sig) else None
+                if not (
+                    nx2 is not None and nx2.kind == "word"
+                    and nx2.upper == "COLUMN"
+                ):  # SET COLUMN STATS is metadata-only and allowed
+                    raise ImpalaUnsupportedError(
+                        "ALTER TABLE SET not currently supported on "
+                        "HBase tables."
+                    )
+            break
     # column-level ALTER rules over the canned schemas
     if head == "ALTER" and kw == "TABLE" and tname in _CATALOG:
         cols0 = _CATALOG[tname]
@@ -8049,6 +8117,64 @@ def _check_strict_ddl_columns(tokens: list[Token]) -> None:
                 raise ImpalaUnsupportedError(
                     f"Could not load binary: {loc}"
                 )
+    # --- Kudu CREATE TABLE rules ---
+    if head == "CREATE":
+        is_kudu = any(
+            tokens[sig[p]].kind == "word"
+            and tokens[sig[p]].upper == "KUDU"
+            and p >= 2
+            and tokens[sig[p - 1]].kind == "word"
+            and tokens[sig[p - 1]].upper == "AS"
+            and tokens[sig[p - 2]].kind == "word"
+            and tokens[sig[p - 2]].upper == "STORED"
+            for p in range(2, len(sig))
+        )
+        if is_kudu:
+            for p, s in enumerate(sig):
+                t = tokens[s]
+                if t.kind == "word" and t.upper == "CACHED":
+                    raise ImpalaUnsupportedError(
+                        "A Kudu table cannot be cached in HDFS."
+                    )
+                if t.kind == "word" and t.upper == "LOCATION":
+                    raise ImpalaUnsupportedError(
+                        "LOCATION cannot be specified for a Kudu table."
+                    )
+            # NULL range partition values
+            for p, s in enumerate(sig):
+                t = tokens[s]
+                if t.kind == "word" and t.upper == "PARTITION" \
+                        and p + 1 < len(sig) \
+                        and tokens[sig[p + 1]].kind == "word" \
+                        and tokens[sig[p + 1]].upper in (
+                            "VALUE", "VALUES",
+                        ):
+                    # span to the next depth-0 comma or close paren
+                    e2 = s + 1
+                    d7 = 0
+                    while e2 < len(tokens):
+                        tk = tokens[e2]
+                        if tk.kind == "op":
+                            if tk.text == "(":
+                                d7 += 1
+                            elif tk.text == ")":
+                                if d7 == 0:
+                                    break
+                                d7 -= 1
+                            elif tk.text == "," and d7 == 0:
+                                break
+                        e2 += 1
+                    frag = untokenize(tokens[s:e2]).strip()
+                    if re.search(r"(?i)\bnull\b", frag):
+                        rendered = _expr_to_sql(frag)
+                        rendered = re.sub(
+                            r"(?i)^(partition\s+values?)",
+                            lambda m: m.group(1).upper(), rendered,
+                        )
+                        raise ImpalaUnsupportedError(
+                            "Range partition values cannot be NULL. "
+                            f"Range partition: '{rendered}'"
+                        )
     # --- multiple PRIMARY KEY markers in a CREATE TABLE column list ---
     if head == "CREATE":
         pk_count = 0
