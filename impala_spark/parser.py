@@ -7552,6 +7552,70 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
             and tokens[sig[p2]].upper == "ADD"
             for p2 in range(q_after, len(sig))
         )
+        # constant predicates are never legal partition exprs
+        if part_open != -1:
+            close2 = _matching_paren(tokens, part_open)
+            for a, b in _split_top_level_commas(
+                tokens, part_open + 1, close2,
+            ):
+                s3 = [
+                    x for x in range(a, b)
+                    if tokens[x].kind not in (
+                        "ws", "line_comment", "block_comment",
+                    )
+                ]
+                if len(s3) >= 3 and tokens[s3[0]].kind == "number" \
+                        and tokens[s3[1]].kind == "op" \
+                        and tokens[s3[1]].text == "=":
+                    frag2 = untokenize(tokens[s3[0]:s3[-1] + 1]).strip()
+                    frag2 = re.sub(r"\s*=\s*", " = ", frag2)
+                    raise ImpalaUnsupportedError(
+                        f"Invalid partition expr {frag2}. A partition "
+                        "spec may not contain constant predicates."
+                    )
+        # ADD PARTITION: unknown spec columns, then exact-duplicate specs
+        if part_open != -1 and is_add_part and tname == "alltypes" \
+                and not if_exists_part:
+            close2 = _matching_paren(tokens, part_open)
+            pairs2 = []
+            all_eq_known = True
+            for a, b in _split_top_level_commas(
+                tokens, part_open + 1, close2,
+            ):
+                s3 = [
+                    x for x in range(a, b)
+                    if tokens[x].kind not in (
+                        "ws", "line_comment", "block_comment",
+                    )
+                ]
+                if len(s3) < 3 or tokens[s3[0]].kind not in (
+                    "word", "bident",
+                ):
+                    all_eq_known = False
+                    continue
+                col3 = tokens[s3[0]].text.strip("`").lower()
+                if col3 not in _ALLTYPES_PART_RANGE:
+                    if col3 in (_CATALOG.get(tname) or {}):
+                        all_eq_known = False
+                        continue
+                    raise ImpalaUnsupportedError(
+                        f"Partition column '{col3}' not found in "
+                        f"table: {db or 'functional'}.{tname}"
+                    )
+                if tokens[s3[1]].kind == "op" and tokens[s3[1]].text == "=" \
+                        and tokens[s3[-1]].kind == "number" \
+                        and tokens[s3[-1]].text.isdigit():
+                    v3 = int(tokens[s3[-1]].text)
+                    rng3 = _ALLTYPES_PART_RANGE[col3]
+                    pairs2.append((col3, v3, rng3[0] <= v3 <= rng3[1]))
+                else:
+                    all_eq_known = False
+            if all_eq_known and len(pairs2) == len(_ALLTYPES_PART_RANGE) \
+                    and all(ok3 for _c, _v, ok3 in pairs2):
+                spec = ", ".join(f"{c}={v}" for c, v, _ok in pairs2)
+                raise ImpalaUnsupportedError(
+                    f"Partition spec already exists: ({spec})."
+                )
         # ADD PARTITION values must be constant expressions
         if part_open != -1 and is_add_part:
             close2 = _matching_paren(tokens, part_open)
@@ -7752,7 +7816,7 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
                             f"Column '{old}' does not exist in "
                             f"table: {qual0}"
                         )
-            # SET COLUMN STATS <col>
+            # SET COLUMN STATS <col> ('key'='value', ...)
             if u2 == "SET" and p2 + 3 < len(sig) \
                     and tokens[sig[p2 + 1]].kind == "word" \
                     and tokens[sig[p2 + 1]].upper == "COLUMN" \
@@ -7771,6 +7835,60 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
                             f"Column '{cn}' does not exist in "
                             f"table: {qual0}"
                         )
+                    cty = cols0.get(cn, "")
+                    if cty.upper().startswith((
+                        "ARRAY<", "MAP<", "STRUCT<",
+                    )):
+                        raise ImpalaUnsupportedError(
+                            f"Statistics for column '{cn}' are not "
+                            "supported because it has type "
+                            f"'{cty}'."
+                        )
+                    # key/value validation
+                    so = sig[p2 + 4] if p2 + 4 < len(sig) else -1
+                    if so != -1 and tokens[so].kind == "op" \
+                            and tokens[so].text == "(":
+                        sc = _matching_paren(tokens, so)
+                        for a4, b4 in _split_top_level_commas(
+                            tokens, so + 1, sc,
+                        ):
+                            strs4 = [
+                                x for x in range(a4, b4)
+                                if tokens[x].kind == "string"
+                            ]
+                            if len(strs4) < 2:
+                                continue
+                            key4 = tokens[strs4[0]].text[1:-1]
+                            val4 = tokens[strs4[1]].text[1:-1]
+                            kl = key4.lower()
+                            if kl not in (
+                                "numdvs", "numnulls", "avgsize",
+                                "maxsize",
+                            ):
+                                raise ImpalaUnsupportedError(
+                                    f"Invalid column stats key: {key4}"
+                                )
+                            bad4 = False
+                            if kl in ("numdvs", "numnulls", "maxsize"):
+                                try:
+                                    bad4 = int(val4) < -1
+                                except ValueError:
+                                    bad4 = True
+                            else:
+                                try:
+                                    f4 = float(val4)
+                                    bad4 = (
+                                        f4 < 0
+                                        or f4 != f4
+                                        or f4 == float("inf")
+                                    )
+                                except ValueError:
+                                    bad4 = True
+                            if bad4:
+                                raise ImpalaUnsupportedError(
+                                    f"Invalid stats value '{val4}' for "
+                                    f"column stats key: {key4}"
+                                )
             # SET CACHED IN '<pool>' [WITH REPLICATION = n]
             if u2 == "IN" and p2 > 0 \
                     and tokens[sig[p2 - 1]].kind == "word" \
@@ -7796,6 +7914,11 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
                                 "between 0 and Short.MAX_VALUE"
                             )
                         break
+    if head == "TRUNCATE" and tname in _WAREHOUSE_VIEWS:
+        raise ImpalaUnsupportedError(
+            "TRUNCATE TABLE not supported on non-HDFS table: "
+            f"{db or 'functional'}.{tname}"
+        )
     # object-kind rules for ALTER
     if head == "ALTER":
         qual = f"{db or 'functional'}.{tname}"
@@ -8129,7 +8252,32 @@ def _check_strict_ddl_columns(tokens: list[Token]) -> None:
             and tokens[sig[p - 2]].upper == "STORED"
             for p in range(2, len(sig))
         )
+        has_partition_by = any(
+            tokens[sig[p]].kind == "word"
+            and tokens[sig[p]].upper == "PARTITION"
+            and p + 1 < len(sig)
+            and tokens[sig[p + 1]].kind == "word"
+            and tokens[sig[p + 1]].upper == "BY"
+            for p in range(len(sig))
+        )
+        if has_partition_by and not is_kudu:
+            raise ImpalaUnsupportedError(
+                "Only Kudu tables can use the PARTITION BY clause."
+            )
         if is_kudu:
+            is_external = any(
+                tokens[s].kind == "word"
+                and tokens[s].upper == "EXTERNAL"
+                for s in sig[:3]
+            )
+            has_pk = any(
+                tokens[sig[p]].kind == "word"
+                and tokens[sig[p]].upper == "PRIMARY"
+                and p + 1 < len(sig)
+                and tokens[sig[p + 1]].kind == "word"
+                and tokens[sig[p + 1]].upper == "KEY"
+                for p in range(len(sig))
+            )
             for p, s in enumerate(sig):
                 t = tokens[s]
                 if t.kind == "word" and t.upper == "CACHED":
@@ -8140,6 +8288,241 @@ def _check_strict_ddl_columns(tokens: list[Token]) -> None:
                     raise ImpalaUnsupportedError(
                         "LOCATION cannot be specified for a Kudu table."
                     )
+                if t.kind == "word" and t.upper == "ROW" \
+                        and p + 1 < len(sig) \
+                        and tokens[sig[p + 1]].kind == "word" \
+                        and tokens[sig[p + 1]].upper == "FORMAT":
+                    raise ImpalaUnsupportedError(
+                        "ROW FORMAT cannot be specified for file "
+                        "format KUDU."
+                    )
+                if t.kind == "word" and t.upper == "PARTITIONED" \
+                        and p + 1 < len(sig) \
+                        and tokens[sig[p + 1]].kind == "word" \
+                        and tokens[sig[p + 1]].upper == "BY":
+                    raise ImpalaUnsupportedError(
+                        "PARTITIONED BY cannot be used in Kudu tables."
+                    )
+            for p, s in enumerate(sig):
+                if tokens[s].kind == "word" and tokens[s].upper == "LIKE":
+                    nx6 = tokens[sig[p + 1]] if p + 1 < len(sig) else None
+                    if nx6 is not None and nx6.kind == "word" \
+                            and nx6.upper == "PARQUET":
+                        raise ImpalaUnsupportedError(
+                            "CREATE TABLE LIKE FILE statement is not "
+                            "supported for Kudu tables."
+                        )
+                    raise ImpalaUnsupportedError(
+                        "CREATE TABLE LIKE is not supported for Kudu "
+                        "tables"
+                    )
+            if is_external and has_pk:
+                raise ImpalaUnsupportedError(
+                    "Primary keys cannot be specified for an external "
+                    "Kudu table"
+                )
+            pk_markers = 0
+            d9 = 0
+            for p, s in enumerate(sig):
+                t9 = tokens[s]
+                if t9.kind == "op":
+                    if t9.text == "(":
+                        d9 += 1
+                    elif t9.text == ")":
+                        d9 -= 1
+                elif t9.kind == "word" and t9.upper == "PRIMARY" \
+                        and d9 == 1 and p + 1 < len(sig) \
+                        and tokens[sig[p + 1]].kind == "word" \
+                        and tokens[sig[p + 1]].upper == "KEY":
+                    pk_markers += 1
+            if pk_markers > 1:
+                raise ImpalaUnsupportedError(
+                    "Multiple primary keys specified. Composite primary "
+                    "keys can be specified using the PRIMARY KEY (col1, "
+                    "col2, ...) syntax at the endPosition of the column "
+                    "definition."
+                )
+            if not has_pk and not is_external:
+                raise ImpalaUnsupportedError(
+                    "A primary key is required for a Kudu table."
+                )
+            for p, s in enumerate(sig):
+                t9 = tokens[s]
+                if t9.kind == "string" \
+                        and t9.text[1:-1] == "kudu.num_tablet_replicas" \
+                        and p + 2 < len(sig) \
+                        and tokens[sig[p + 2]].kind == "string":
+                    v9 = tokens[sig[p + 2]].text[1:-1]
+                    try:
+                        int(v9)
+                    except ValueError:
+                        raise ImpalaUnsupportedError(
+                            "Table property 'kudu.num_tablet_replicas' "
+                            "must be an integer."
+                        ) from None
+            if not is_external and not has_partition_by:
+                raise ImpalaUnsupportedError(
+                    "Table partitioning must be specified for managed "
+                    "Kudu tables."
+                )
+            # column defs: complex types, nullable PK cols, PK existence
+            col_open = -1
+            for p, s in enumerate(sig):
+                if tokens[s].kind == "op" and tokens[s].text == "(":
+                    col_open = s
+                    break
+            if col_open != -1:
+                cl5 = _matching_paren(tokens, col_open)
+                names5: set[str] = set()
+                pk_list: list[str] = []
+                for a5, b5 in _split_top_level_commas(
+                    tokens, col_open + 1, cl5,
+                ):
+                    s5 = [
+                        x for x in range(a5, b5)
+                        if tokens[x].kind not in (
+                            "ws", "line_comment", "block_comment",
+                        )
+                    ]
+                    if not s5:
+                        continue
+                    if tokens[s5[0]].kind == "word" \
+                            and tokens[s5[0]].upper == "PRIMARY":
+                        po5 = next(
+                            (x for x in s5 if tokens[x].kind == "op"
+                             and tokens[x].text == "("), -1,
+                        )
+                        if po5 != -1:
+                            pc5 = _matching_paren(tokens, po5)
+                            pk_list.extend(
+                                tokens[x].text.strip("`").lower()
+                                for x in range(po5 + 1, pc5)
+                                if tokens[x].kind in ("word", "bident")
+                            )
+                        continue
+                    cname5 = tokens[s5[0]].text.strip("`").lower()
+                    names5.add(cname5)
+                    item5 = untokenize(
+                        tokens[s5[0]:s5[-1] + 1]
+                    ).strip()
+                    for x in s5[1:]:
+                        tk5 = tokens[x]
+                        if tk5.kind == "word" and tk5.upper in (
+                            "ARRAY", "MAP", "STRUCT",
+                        ):
+                            nx5 = _significant(tokens, x)
+                            if nx5 != -1 and tokens[nx5].kind == "op" \
+                                    and tokens[nx5].text == "<":
+                                raise ImpalaUnsupportedError(
+                                    "Kudu tables do not support "
+                                    "complex types: "
+                                    f"{cname5} "
+                                    f"{_type_to_sql(tokens, x, b5)}"
+                                )
+                    if re.search(r"(?i)\bdefault\s+isnull\b", item5) \
+                            and re.search(
+                                r"(?i)\bprimary\s+key\b", item5,
+                            ):
+                        raise ImpalaUnsupportedError(
+                            "Default value of NULL not allowed on "
+                            f"non-nullable column: '{cname5}'"
+                        )
+                    if re.search(r"(?i)\bnull\b", item5) \
+                            and not re.search(
+                                r"(?i)\bnot\s+null\b", item5,
+                            ) and not re.search(
+                                r"(?i)\bdefault\b", item5,
+                            ) and (
+                        re.search(r"(?i)\bprimary\s+key\b", item5)
+                        or cname5 in pk_list
+                    ):
+                        rendered5 = cname5 + " " + " ".join(
+                            w.upper()
+                            for w in item5.split()[1:]
+                        )
+                        raise ImpalaUnsupportedError(
+                            "Primary key columns cannot be nullable: "
+                            f"{rendered5}"
+                        )
+                for pk5 in pk_list:
+                    if pk5 not in names5:
+                        raise ImpalaUnsupportedError(
+                            f"PRIMARY KEY column '{pk5}' does not "
+                            "exist in the table"
+                        )
+                # trailing-item nullable check against composite PKs
+                for a5, b5 in _split_top_level_commas(
+                    tokens, col_open + 1, cl5,
+                ):
+                    s5 = [
+                        x for x in range(a5, b5)
+                        if tokens[x].kind not in (
+                            "ws", "line_comment", "block_comment",
+                        )
+                    ]
+                    if not s5 or tokens[s5[0]].kind not in (
+                        "word", "bident",
+                    ) or tokens[s5[0]].upper == "PRIMARY":
+                        continue
+                    cname5 = tokens[s5[0]].text.strip("`").lower()
+                    item5 = untokenize(
+                        tokens[s5[0]:s5[-1] + 1]
+                    ).strip()
+                    if cname5 in pk_list and re.search(
+                        r"(?i)\bnull\b", item5,
+                    ) and not re.search(r"(?i)\bnot\s+null\b", item5):
+                        rendered5 = cname5 + " " + " ".join(
+                            w.upper() for w in item5.split()[1:]
+                        )
+                        raise ImpalaUnsupportedError(
+                            "Primary key columns cannot be nullable: "
+                            f"{rendered5}"
+                        )
+            # range-partition bounds must be constant
+            for p, s in enumerate(sig):
+                t = tokens[s]
+                if t.kind == "word" and t.upper in ("VALUE", "VALUES") \
+                        and p > 0 and tokens[sig[p - 1]].kind == "word" \
+                        and tokens[sig[p - 1]].upper == "PARTITION":
+                    e6 = s + 1
+                    d8 = 0
+                    while e6 < len(tokens):
+                        tk6 = tokens[e6]
+                        if tk6.kind == "op":
+                            if tk6.text == "(":
+                                d8 += 1
+                            elif tk6.text == ")":
+                                if d8 == 0:
+                                    break
+                                d8 -= 1
+                            elif tk6.text == "," and d8 == 0:
+                                break
+                        e6 += 1
+                    v6 = [
+                        x for x in range(s + 1, e6)
+                        if tokens[x].kind not in (
+                            "ws", "line_comment", "block_comment",
+                        )
+                    ]
+                    # drop comparison operators / VALUES keywords head
+                    while v6 and (
+                        (tokens[v6[0]].kind == "op"
+                         and tokens[v6[0]].text in ("<", "<=", "=",
+                                                    ">", ">="))
+                    ):
+                        v6 = v6[1:]
+                    if v6 and not _span_is_constant_expr(
+                        tokens, v6[0], v6[-1],
+                    ):
+                        frag6 = _expr_to_sql(
+                            untokenize(
+                                tokens[v6[0]:v6[-1] + 1]
+                            ).strip()
+                        )
+                        raise ImpalaUnsupportedError(
+                            "Only constant values are allowed for "
+                            f"range-partition bounds: {frag6}"
+                        )
             # NULL range partition values
             for p, s in enumerate(sig):
                 t = tokens[s]

@@ -1785,3 +1785,82 @@ def test_ddl_delimiters_functions_and_pk_errors():
     ]:
         tr(sql, strict=True, schema=schema_for_statement(sql),
            catalog=TABLE_SCHEMAS)
+
+
+def test_kudu_and_partition_spec_errors():
+    """Kudu CREATE TABLE rules (LIKE forms, primary-key requirements,
+    nullable/absent PK columns, complex types, constant range bounds,
+    tablet-replica property), column-stats key/value validation, and
+    partition-spec duplication/constant-predicate rules."""
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+    from impala_spark.testcatalog import TABLE_SCHEMAS, schema_for_statement
+
+    neg = [
+        ("create table kudu_tbl like functional.alltypestiny stored "
+         "as kudu",
+         "CREATE TABLE LIKE is not supported for Kudu tables"),
+        ("create table tab (a int) stored as kudu",
+         "A primary key is required for a Kudu table."),
+        ("create table tab (x int primary key) stored as kudu "
+         "cached in 'testPool'",
+         "A Kudu table cannot be cached in HDFS."),
+        ("create table tab (x int primary key, a struct<f1:int>) "
+         "partition by hash (x) partitions 3 stored as kudu",
+         "Kudu tables do not support complex types: a STRUCT<f1:INT>"),
+        ("create table tab (x int primary key, primary key(x)) stored "
+         "as kudu",
+         "Multiple primary keys specified."),
+        ("create table tab (x int, primary key(z)) partition by "
+         "hash (x) partitions 3 stored as kudu",
+         "PRIMARY KEY column 'z' does not exist in the table"),
+        ("create table t (x int primary key) stored as kudu "
+         "tblproperties ('kudu.num_tablet_replicas'='1.1')",
+         "Table property 'kudu.num_tablet_replicas' must be an integer."),
+        ("alter table functional.alltypes set column stats int_col "
+         "('badKey'='10')",
+         "Invalid column stats key: badKey"),
+        ("alter table functional.alltypes set column stats int_col "
+         "('numDVs'='-10')",
+         "Invalid stats value '-10' for column stats key: numDVs"),
+        ("alter table functional.alltypes set column stats string_col "
+         "('avgSize'='NaN')",
+         "Invalid stats value 'NaN' for column stats key: avgSize"),
+        ("alter table functional.allcomplextypes set column stats "
+         "int_array_col ('numDVs'='10')",
+         "Statistics for column 'int_array_col' are not supported "
+         "because it has type 'ARRAY<INT>'."),
+        ("alter table functional.alltypes add partition(year=2010, "
+         "month=10)",
+         "Partition spec already exists: (year=2010, month=10)."),
+        ("alter table functional.alltypes drop partition(1=1, month=10)",
+         "Invalid partition expr 1 = 1. A partition spec may not "
+         "contain constant predicates."),
+        ("alter table functional.alltypes add partition(year=2050, "
+         "blah=1)",
+         "Partition column 'blah' not found in table: "
+         "functional.alltypes"),
+        ("truncate table functional.alltypes_view",
+         "TRUNCATE TABLE not supported on non-HDFS table: "
+         "functional.alltypes_view"),
+    ]
+    for sql, msg in neg:
+        with pytest.raises(ImpalaUnsupportedError) as ei:
+            tr(sql, strict=True, schema=schema_for_statement(sql),
+               catalog=TABLE_SCHEMAS)
+        assert msg in str(ei.value), sql
+    for sql in [
+        "create table tab (x int primary key) partition by hash (x) "
+        "partitions 3 stored as kudu",
+        "create external table tab stored as kudu "
+        "tblproperties ('kudu.table_name'='t')",
+        "alter table functional.alltypes set column stats int_col "
+        "('numDVs'='10','numNulls'='2')",
+        "alter table functional.alltypes add partition(year=2050, "
+        "month=10)",
+        "truncate table functional.alltypes",
+    ]:
+        tr(sql, strict=True, schema=schema_for_statement(sql),
+           catalog=TABLE_SCHEMAS)
