@@ -7403,6 +7403,52 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
             untokenize(tokens[span[0]:span[-1] + 1]).strip(),
         ).replace("`", "")
 
+    # DROP [INCREMENTAL] STATS <ref> [PARTITION (...)]: grid check
+    if head == "DROP" and len(sig) >= 3:
+        q0 = 1
+        if tokens[sig[q0]].kind == "word" \
+                and tokens[sig[q0]].upper == "INCREMENTAL":
+            q0 += 1
+        if q0 < len(sig) and tokens[sig[q0]].kind == "word" \
+                and tokens[sig[q0]].upper == "STATS":
+            rparts, _rspan, rq = read_ref(q0 + 1)
+            if rparts and rparts[-1] in _WAREHOUSE_PARTITIONS \
+                    and rq < len(sig) \
+                    and tokens[sig[rq]].kind == "word" \
+                    and tokens[sig[rq]].upper == "PARTITION":
+                po0 = sig[rq + 1] if rq + 1 < len(sig) else -1
+                if po0 != -1 and tokens[po0].kind == "op" \
+                        and tokens[po0].text == "(":
+                    meta0 = _WAREHOUSE_PARTITIONS[rparts[-1]]
+                    cl0 = _matching_paren(tokens, po0)
+                    for a0, b0 in _split_top_level_commas(
+                        tokens, po0 + 1, cl0,
+                    ):
+                        s0 = [
+                            x for x in range(a0, b0)
+                            if tokens[x].kind not in (
+                                "ws", "line_comment", "block_comment",
+                            )
+                        ]
+                        if len(s0) < 3 or tokens[s0[0]].kind not in (
+                            "word", "bident",
+                        ) or not (
+                            tokens[s0[1]].kind == "op"
+                            and tokens[s0[1]].text == "="
+                        ):
+                            continue
+                        rng0 = meta0.get(
+                            tokens[s0[0]].text.strip("`").lower()
+                        )
+                        if isinstance(rng0, tuple) \
+                                and tokens[s0[-1]].kind == "number" \
+                                and tokens[s0[-1]].text.isdigit():
+                            v0 = int(tokens[s0[-1]].text)
+                            if not (rng0[0] <= v0 <= rng0[1]):
+                                raise ImpalaUnsupportedError(
+                                    "No matching partition(s) found."
+                                )
+            return
     p = 1
     if head == "CREATE" and p < len(sig) and tokens[sig[p]].kind == "word" \
             and tokens[sig[p]].upper == "EXTERNAL":
@@ -7511,7 +7557,9 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
         return  # CREATE target: fine to not exist
     # CREATE target / RENAME TO an EXISTING catalog table
     if head == "CREATE" and kw in ("TABLE", "VIEW") and not if_exists \
-            and db is not None and tname in _CATALOG:
+            and db is not None and (
+                tname in _CATALOG or tname in _WAREHOUSE_REAL_EXTRA
+            ):
         raise ImpalaUnsupportedError(
             f"Table already exists: {db}.{tname}"
         )
@@ -7648,8 +7696,8 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
                         f"'{pair[0]}={_expr_to_sql(pair[1])}'."
                     )
         # DROP PARTITION / PARTITION(...) <SET op> values outside the
-        # alltypes grid (ADD creates new partitions and is exempt)
-        if part_open != -1 and tname == "alltypes" \
+        # canned partition grid (ADD creates new partitions, exempt)
+        if part_open != -1 and tname in _WAREHOUSE_PARTITIONS \
                 and not if_exists_part:
             is_add = any(
                 tokens[sig[p2]].kind == "word"
@@ -7687,7 +7735,7 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
                     ):
                         continue
                     col = tokens[s3[0]].text.strip("`").lower()
-                    rng = _ALLTYPES_PART_RANGE.get(col)
+                    rng = _WAREHOUSE_PARTITIONS[tname].get(col)
                     val_tok = tokens[s3[-1]]
                     if validity_pass:
                         if rng is None:
@@ -7706,7 +7754,10 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
                                 f"reference: '{col}'"
                             )
                         if val_tok.kind in ("word", "bident") \
-                                and val_tok.upper != "NULL":
+                                and val_tok.upper != "NULL" \
+                                and not _span_is_constant_expr(
+                                    tokens, s3[2], s3[-1],
+                                ):
                             # non-constant value (a column ref)
                             raise ImpalaUnsupportedError(
                                 "Partition exprs cannot contain "
@@ -7720,14 +7771,25 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
                             and val_tok.upper == "NULL":
                         no_match = True
                         break
+                    if isinstance(rng, frozenset) \
+                            and val_tok.kind == "string":
+                        if val_tok.text[1:-1] not in rng:
+                            no_match = True
+                            break
+                        continue
+                    if not isinstance(rng, tuple):
+                        continue
+                    v2 = None
                     if val_tok.kind == "number":
                         try:
                             v2 = int(val_tok.text)
                         except ValueError:
-                            continue
-                        if not (rng[0] <= v2 <= rng[1]):
-                            no_match = True
-                            break
+                            v2 = None
+                    if v2 is None:
+                        v2 = _const_int_eval(tokens, s3[2], s3[-1])
+                    if v2 is not None and not (rng[0] <= v2 <= rng[1]):
+                        no_match = True
+                        break
                 if no_match:
                     raise ImpalaUnsupportedError(
                         "No matching partition(s) found."
@@ -8015,6 +8077,44 @@ _KNOWN_FS_SCHEMES = frozenset({
 #: the alltypes partition grid in the functional dataset
 _ALLTYPES_PART_RANGE = {"year": (2009, 2010), "month": (1, 12)}
 
+#: per-table partition metadata for the canned warehouse: int ranges or
+#: string value sets
+_WAREHOUSE_PARTITIONS: dict[str, dict[str, object]] = {
+    "alltypes": _ALLTYPES_PART_RANGE,
+    "alltypestiny": _ALLTYPES_PART_RANGE,
+    "alltypessmall": _ALLTYPES_PART_RANGE,
+    "alltypeserror": _ALLTYPES_PART_RANGE,
+    "alltypesagg": dict(_ALLTYPES_PART_RANGE, day=(1, 10)),
+    "stringpartitionkey": {"string_col": frozenset({"partition1"})},
+}
+
+#: real warehouse tables outside the schema catalog (existence checks)
+_WAREHOUSE_REAL_EXTRA = frozenset({
+    "zipcode_incomes", "stringpartitionkey", "chars_tiny", "tinytable",
+    "dimtbl", "emptytable",
+})
+
+#: db names the fixture deliberately leaves uncreated
+_FAKE_TEST_DBS = frozenset({
+    "wrongdb", "baddb", "no_db", "db_does_not_exist", "database_dne",
+})
+
+
+def _const_int_eval(tokens: list[Token], a: int, b: int) -> int | None:
+    """Evaluate a constant integer expression (digits, + - * / %, parens,
+    CAST(x AS INT) wrappers) spanning tokens[a..b]; None if not one."""
+    text = untokenize(tokens[a:b + 1]).strip()
+    text = re.sub(r"(?is)\bcast\s*\(", "(", text)
+    text = re.sub(r"(?is)\bas\s+\w+\s*\)", ")", text)
+    if not re.match(r"^[\d\s()+*/%-]+$", text):
+        return None
+    try:
+        v = eval(text, {"__builtins__": {}}, {})  # noqa: S307 - digits/ops only
+    except Exception:
+        return None
+    return int(v) if isinstance(v, (int, float)) and float(v).is_integer() \
+        else None
+
 
 def _check_strict_ddl_columns(tokens: list[Token]) -> None:
     """Column-level and storage-level DDL analysis (AnalyzeDDLTest):
@@ -8240,6 +8340,83 @@ def _check_strict_ddl_columns(tokens: list[Token]) -> None:
                 raise ImpalaUnsupportedError(
                     f"Could not load binary: {loc}"
                 )
+    # --- CREATE TABLE column list: duplicate/invalid names, and
+    # PARTITIONED BY columns colliding with data columns ---
+    if head == "CREATE":
+        tbl_kw = -1
+        for p, s in enumerate(sig[:4]):
+            if tokens[s].kind == "word" and tokens[s].upper == "TABLE":
+                tbl_kw = p
+                break
+        if tbl_kw != -1:
+            col_open9 = -1
+            for p in range(tbl_kw + 1, len(sig)):
+                t9 = tokens[sig[p]]
+                if t9.kind == "word" and t9.upper in (
+                    "AS", "LIKE", "SELECT", "PARTITIONED", "STORED",
+                    "ROW", "LOCATION", "TBLPROPERTIES",
+                ):
+                    break
+                if t9.kind == "op" and t9.text == "(":
+                    col_open9 = sig[p]
+                    break
+            names9: set[str] = set()
+            if col_open9 != -1:
+                cl9 = _matching_paren(tokens, col_open9)
+                if any(
+                    tokens[x].kind == "op" and tokens[x].text == "<"
+                    for x in range(col_open9 + 1, cl9)
+                ):
+                    cl9 = col_open9  # generic-type commas: stay silent
+                for a9, b9 in _split_top_level_commas(
+                    tokens, col_open9 + 1, cl9,
+                ):
+                    fs9 = _significant(tokens, a9 - 1)
+                    if fs9 == -1 or fs9 >= b9 or tokens[fs9].kind not in (
+                        "word", "bident",
+                    ) or (
+                        tokens[fs9].kind == "word"
+                        and tokens[fs9].upper == "PRIMARY"
+                    ):
+                        continue
+                    nm9 = (
+                        tokens[fs9].text[1:-1]
+                        if tokens[fs9].kind == "bident"
+                        else tokens[fs9].text
+                    )
+                    if tokens[fs9].kind == "bident" \
+                            and not _VALID_NAME_RE.match(nm9):
+                        raise ImpalaUnsupportedError(
+                            f"Invalid column/field name: {nm9}"
+                        )
+                    low9 = nm9.lower()
+                    if low9 in names9:
+                        raise ImpalaUnsupportedError(
+                            f"Duplicate column name: {low9}"
+                        )
+                    names9.add(low9)
+            # PARTITIONED BY (name type, ...) vs the data columns
+            for p, s in enumerate(sig):
+                if tokens[s].kind == "word" \
+                        and tokens[s].upper == "PARTITIONED" \
+                        and p + 2 < len(sig) \
+                        and tokens[sig[p + 1]].kind == "word" \
+                        and tokens[sig[p + 1]].upper == "BY" \
+                        and tokens[sig[p + 2]].kind == "op" \
+                        and tokens[sig[p + 2]].text == "(":
+                    clp = _matching_paren(tokens, sig[p + 2])
+                    for a9, b9 in _split_top_level_commas(
+                        tokens, sig[p + 2] + 1, clp,
+                    ):
+                        fs9 = _significant(tokens, a9 - 1)
+                        if fs9 != -1 and fs9 < b9 \
+                                and tokens[fs9].kind in ("word", "bident"):
+                            low9 = tokens[fs9].text.strip("`").lower()
+                            if low9 in names9:
+                                raise ImpalaUnsupportedError(
+                                    f"Duplicate column name: {low9}"
+                                )
+                    break
     # --- Kudu CREATE TABLE rules ---
     if head == "CREATE":
         is_kudu = any(
@@ -8913,6 +9090,11 @@ def _check_strict_table_path_refs(tokens: list[Token]) -> None:
             ):
                 raise ImpalaUnsupportedError(
                     f"Could not resolve table reference: '{parts[0]}'"
+                )
+            if len(parts) >= 2 and p0 in _FAKE_TEST_DBS:
+                raise ImpalaUnsupportedError(
+                    "Could not resolve table reference: "
+                    f"'{'.'.join(parts)}'"
                 )
             tbl = rest = None
             if p0 in _CATALOG:
