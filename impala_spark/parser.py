@@ -8395,6 +8395,56 @@ def _check_strict_ddl_columns(tokens: list[Token]) -> None:
                             f"Duplicate column name: {low9}"
                         )
                     names9.add(low9)
+            # CTAS: PARTITIONED BY names must be the TRAILING select
+            # columns, in order, and fewer than the select width
+            is_ctas9 = any(
+                tokens[sig[p]].kind == "word"
+                and tokens[sig[p]].upper == "SELECT"
+                for p in range(len(sig))
+            )
+            if is_ctas9:
+                pnames: list[str] = []
+                for p, s in enumerate(sig):
+                    if tokens[s].kind == "word" \
+                            and tokens[s].upper == "PARTITIONED" \
+                            and p + 2 < len(sig) \
+                            and tokens[sig[p + 1]].upper == "BY" \
+                            and tokens[sig[p + 2]].kind == "op" \
+                            and tokens[sig[p + 2]].text == "(":
+                        clp9 = _matching_paren(tokens, sig[p + 2])
+                        pnames = [
+                            tokens[x].text.strip("`").lower()
+                            for x in range(sig[p + 2] + 1, clp9)
+                            if tokens[x].kind in ("word", "bident")
+                        ]
+                        break
+                if pnames:
+                    for sel9, from9, end9 in _select_blocks(tokens):
+                        ls9 = _significant(tokens, sel9)
+                        if ls9 == -1:
+                            break
+                        labels9 = [
+                            l for l, _e in _select_item_labels(
+                                tokens, ls9, from9,
+                            )
+                        ]
+                        if any(l.startswith("_c") for l in labels9):
+                            break
+                        if len(pnames) >= len(labels9):
+                            raise ImpalaUnsupportedError(
+                                "Number of partition columns "
+                                f"({len(pnames)}) must be smaller than "
+                                "the number of columns in the select "
+                                f"statement ({len(labels9)})."
+                            )
+                        tail9 = labels9[-len(pnames):]
+                        for pn9, tl9 in zip(pnames, tail9):
+                            if pn9 != tl9:
+                                raise ImpalaUnsupportedError(
+                                    "Partition column name mismatch: "
+                                    f"{pn9} != {tl9}"
+                                )
+                        break
             # PARTITIONED BY (name type, ...) vs the data columns
             for p, s in enumerate(sig):
                 if tokens[s].kind == "word" \
