@@ -7780,7 +7780,7 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
                     if not isinstance(rng, tuple):
                         continue
                     v2 = None
-                    if val_tok.kind == "number":
+                    if len(s3) == 3 and val_tok.kind == "number":
                         try:
                             v2 = int(val_tok.text)
                         except ValueError:
@@ -8100,18 +8100,73 @@ _FAKE_TEST_DBS = frozenset({
 })
 
 
+#: magnitude cap for constant folding — partition keys are INTs; anything
+#: beyond this can't match the grid and guards against huge intermediates
+_CONST_EVAL_CAP = 10 ** 18
+
+
+def _ast_int_eval(node) -> int | float | None:
+    """Recursively evaluate a restricted arithmetic AST: Constant ints,
+    unary +/-, binary + - * / % only (no **), with a magnitude cap."""
+    import ast
+    if isinstance(node, ast.Expression):
+        return _ast_int_eval(node.body)
+    if isinstance(node, ast.Constant):
+        v = node.value
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            return None
+        return v if abs(v) <= _CONST_EVAL_CAP else None
+    if isinstance(node, ast.UnaryOp):
+        import ast as _a
+        v = _ast_int_eval(node.operand)
+        if v is None:
+            return None
+        if isinstance(node.op, _a.USub):
+            return -v
+        if isinstance(node.op, _a.UAdd):
+            return v
+        return None
+    if isinstance(node, ast.BinOp):
+        import ast as _a
+        lt = _ast_int_eval(node.left)
+        rt = _ast_int_eval(node.right)
+        if lt is None or rt is None:
+            return None
+        try:
+            if isinstance(node.op, _a.Add):
+                v = lt + rt
+            elif isinstance(node.op, _a.Sub):
+                v = lt - rt
+            elif isinstance(node.op, _a.Mult):
+                v = lt * rt
+            elif isinstance(node.op, _a.Div):
+                v = lt / rt
+            elif isinstance(node.op, _a.Mod):
+                v = lt % rt
+            else:  # Pow and friends: rejected (DoS guard)
+                return None
+        except (ZeroDivisionError, OverflowError):
+            return None
+        return v if abs(v) <= _CONST_EVAL_CAP else None
+    return None
+
+
 def _const_int_eval(tokens: list[Token], a: int, b: int) -> int | None:
     """Evaluate a constant integer expression (digits, + - * / %, parens,
-    CAST(x AS INT) wrappers) spanning tokens[a..b]; None if not one."""
+    CAST(x AS INT) wrappers) spanning tokens[a..b]; None if not one.
+    Evaluation is a restricted ast.parse walk — no eval(), exponentiation
+    rejected, operand magnitude capped — so adversarial SQL can't DoS."""
+    import ast
     text = untokenize(tokens[a:b + 1]).strip()
     text = re.sub(r"(?is)\bcast\s*\(", "(", text)
     text = re.sub(r"(?is)\bas\s+\w+\s*\)", ")", text)
     if not re.match(r"^[\d\s()+*/%-]+$", text):
         return None
     try:
-        v = eval(text, {"__builtins__": {}}, {})  # noqa: S307 - digits/ops only
-    except Exception:
+        tree = ast.parse(text, mode="eval")
+    except SyntaxError:
         return None
+    v = _ast_int_eval(tree)
     return int(v) if isinstance(v, (int, float)) and float(v).is_integer() \
         else None
 

@@ -1701,6 +1701,13 @@ def test_ddl_warehouse_resolution_errors():
         "month=10)",
         "alter table functional.alltypes drop partition(year>9050, "
         "month=10)",
+        # multi-token constant value folds (2009+1 = 2010, in the grid)
+        "alter table functional.alltypes drop partition(year=2009+1, "
+        "month=10)",
+        # exponentiation must not hang (restricted-AST eval, no eval());
+        # unfoldable value => no grid check, statement passes through
+        "alter table functional.alltypes drop partition("
+        "year=(9)**(999999999))",
         "alter table functional.alltypes add partition(year=2050, "
         "month=10)",
         "alter table functional.alltypes_datasource rename to new_ds",

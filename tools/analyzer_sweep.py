@@ -183,7 +183,7 @@ def _drop_disabled_methods(src: str) -> str:
     """Blank the bodies of never-run methods (the `DoNotTest*` disable
     convention: the @Test annotation is commented out, so the method is
     dead code — its pins reflect no reference behavior)."""
-    out = src
+    spans: list[tuple[int, int]] = []
     for m in re.finditer(r"void\s+(DoNotTest\w*)\s*\(", src):
         open_b = src.find("{", m.end())
         if open_b == -1:
@@ -195,7 +195,12 @@ def _drop_disabled_methods(src: str) -> str:
             elif src[j] == "}":
                 depth -= 1
             j += 1
-        out = out.replace(src[open_b:j], "{}", 1)
+        spans.append((open_b, j))
+    # splice by index in one reverse pass — substring replace could blank
+    # the wrong region when two bodies share text
+    out = src
+    for open_b, j in sorted(spans, reverse=True):
+        out = out[:open_b] + "{}" + out[j:]
     return out
 
 
