@@ -146,6 +146,12 @@ def main() -> None:
                 "metric": "headline_suite_total",
                 "loadavg_before_spark": load_at_start,
                 "loadavg_after_run": load_at_end,
+                # verdict, not just evidence: a pre-Spark 1-min loadavg
+                # above 2 on this box means other tenants were consuming
+                # cores before our JVM started — totals carry external
+                # contention and must be read against BASELINE.md's
+                # idle-box bands, not as absolutes
+                "contaminated": load_at_start[0] > 2.0,
                 "ncpus": os.cpu_count(),
                 "value": round(total, 3),
                 "unit": "sec",

@@ -495,8 +495,6 @@ def skew_report(df: DataFrame, key_col: str, topk: int = 5) -> DataFrame:
     key-cardinality rows. skew_ratio = max_freq * n_keys / n_rows: 1.0
     is perfectly uniform; >10 means the hottest key dominates whole
     partitions and a plain shuffle join will straggle."""
-    from pyspark.sql.window import Window
-
     # key is surfaced (and tie-broken) as STRING: a type-stable total
     # order for any key type — count ties at scale made the pre-cast
     # numeric order diverge from the report's string contract (caught by
@@ -509,8 +507,27 @@ def skew_report(df: DataFrame, key_col: str, topk: int = 5) -> DataFrame:
         F.count("*").cast("bigint").alias("n_keys"),
         F.max("n").cast("bigint").alias("max_freq"),
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("key"))
-    top = counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= topk)
+    # explicit TakeOrderedAndProject(limit=topk) FIRST, then rank the
+    # surviving <=topk rows WITHOUT a window: a constant-key window
+    # still plans as an empty partitionSpec (Catalyst folds the lit
+    # away) and fires Spark's "WindowExec: No Partition Defined"
+    # warning on every run. rank(row) = 1 + |rows strictly ahead in
+    # the (n desc, key) order| — a <=topk x <=topk broadcast
+    # comparison join, order-independent so immune to physical plan
+    # changes, and trivially sized
+    order = [F.col("n").desc(), F.col("key")]
+    t = counts.orderBy(*order).limit(topk)
+    ahead = t.select(F.col("key").alias("_bk"), F.col("n").alias("_bn"))
+    top = (
+        t.join(
+            F.broadcast(ahead),
+            (F.col("_bn") > F.col("n"))
+            | ((F.col("_bn") == F.col("n")) & (F.col("_bk") < F.col("key"))),
+            "left",
+        )
+        .groupBy("key", "n")
+        .agg((F.count("_bk") + F.lit(1)).cast("int").alias("rk"))
+    )
     return (
         top.crossJoin(F.broadcast(stats))
         .select(

@@ -5696,7 +5696,6 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     e = table(spark, sf_dir, "embeddings")
-    n_input = d.count()
     g = llm_ops.gopher_filter(d)
     quality = d.join(
         g.filter(F.col("keep")).select("doc_id", "n_words"), "doc_id"
@@ -5734,7 +5733,12 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.max("doc_id"), F.lit(-1)).cast("bigint").alias("sel_id_max"),
     )
     return (
-        funnel.withColumn("n_input", F.lit(n_input).cast("bigint"))
+        # n_input joins the same lazy cross-joined aggregate chain as the
+        # other funnel counters — no eager d.count() on the driver, so no
+        # extra full corpus scan before the funnel starts (r7 verdict #3)
+        funnel.crossJoin(
+            d.agg(F.count(F.lit(1)).cast("bigint").alias("n_input"))
+        )
         .crossJoin(
             quality.agg(F.count(F.lit(1)).cast("bigint").alias("n_quality"))
         )

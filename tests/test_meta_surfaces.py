@@ -283,20 +283,18 @@ def test_explain_levels_and_missing_stats_warning(spark, sf_dir):
 
 
 def test_skew_report_topk_is_take_ordered(spark, sf_dir):
-    """The unpartitioned row_number()<=5 in operators.skew_report must
-    NOT execute as a single-partition full sort over all group keys:
-    Catalyst's LimitPushDownThroughWindow rewrites it to a distributed
-    TakeOrderedAndProject(limit=5) feeding a 5-row window. Pinned so a
-    Spark upgrade or a query edit can't silently regress the top-k over
-    billions of keys back to one task (r6 verdict 'What's wrong' #2)."""
+    """The top-k in operators.skew_report must NOT execute as a
+    single-partition full sort over all group keys: the query plans an
+    explicit distributed TakeOrderedAndProject(limit=5), and the rank
+    over the 5 survivors is a comparison join, not a window — so no
+    WindowExec at all (r6 verdict #2: distributed top-k; r7 verdict #2:
+    the zero-partition WindowExec warning on a healthy plan)."""
     df = SPARK_QUERIES["meta_skew_report"](spark, sf_dir)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject(limit=5" in plan, plan
-    # and the limit must sit BELOW the window (window input = 5 rows)
-    win = plan.index("Window [row_number()")
-    take = plan.index("TakeOrderedAndProject(limit=5")
-    assert take > win, "TakeOrdered must be the window's child"
+    # no window anywhere => Spark's "No Partition Defined" WARN can't fire
+    assert "Window" not in plan, plan
 
 
 def test_top_terms_per_doc_topk_uses_window_group_limit(spark, sf_dir):
