@@ -6430,6 +6430,26 @@ def _check_create_table_tail(tokens: list[Token], sig: list[int]) -> None:
                 raise ImpalaUnsupportedError(
                     f"Syntax error: invalid file format '{tokens[fmt].text}'"
                 )
+            # CTAS can only WRITE formats Impala has a writer for
+            if (
+                nx != -1 and tokens[nx].kind == "word"
+                and tokens[nx].upper == "AS"
+                and fmt != -1 and tokens[fmt].kind == "word"
+                and tokens[fmt].upper in _FILE_FORMATS
+                and tokens[fmt].upper not in (
+                    "PARQUET", "PARQUETFILE", "TEXTFILE", "KUDU",
+                )
+                and any(
+                    tokens[s2].kind == "word"
+                    and tokens[s2].upper == "SELECT"
+                    for s2 in sig[p + 3:]
+                )
+            ):
+                raise ImpalaUnsupportedError(
+                    "CREATE TABLE AS SELECT does not support the "
+                    f"({tokens[fmt].upper}) file format. Supported "
+                    "formats are: (PARQUET, TEXTFILE, KUDU)"
+                )
         if up == "ROW":
             nx = sig[p + 1] if p + 1 < len(sig) else -1
             if not (
@@ -7412,6 +7432,26 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
         if q0 < len(sig) and tokens[sig[q0]].kind == "word" \
                 and tokens[sig[q0]].upper == "STATS":
             rparts, _rspan, rq = read_ref(q0 + 1)
+            # table must resolve
+            if rparts:
+                rdb_known = len(rparts) < 2 or _is_known_test_db(
+                    rparts[0]
+                ) or known_table(rparts[0])
+                if not rdb_known or not known_table(rparts[-1]):
+                    raise ImpalaUnsupportedError(
+                        "Could not resolve table reference: "
+                        f"'{written(_rspan)}'"
+                    )
+            # plain DROP STATS takes no PARTITION clause (the grammar
+            # reserves it for DROP INCREMENTAL STATS)
+            if q0 == 1 and rq < len(sig) \
+                    and tokens[sig[rq]].kind == "word" \
+                    and tokens[sig[rq]].upper == "PARTITION":
+                raise ImpalaUnsupportedError(
+                    "Syntax error in line 1:\nDROP STATS does not "
+                    "accept a PARTITION clause; use DROP INCREMENTAL "
+                    "STATS <table> PARTITION (...)"
+                )
             if rparts and rparts[-1] in _WAREHOUSE_PARTITIONS \
                     and rq < len(sig) \
                     and tokens[sig[rq]].kind == "word" \
@@ -7475,6 +7515,13 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
                 raise ImpalaUnsupportedError(
                     f"Database does not exist: "
                     f"{tokens[sig[q]].text.strip('`')}"
+                )
+        if head == "CREATE" and not if_exists and q < len(sig) \
+                and tokens[sig[q]].kind in ("word", "bident"):
+            name = tokens[sig[q]].text.strip("`").lower()
+            if _is_known_test_db(name):
+                raise ImpalaUnsupportedError(
+                    f"Database already exists: {name}"
                 )
         return
     parts, span, q_after = read_ref(q)
@@ -7555,6 +7602,18 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
                 f"Could not resolve table reference: '{written(span)}'"
             )
         return  # CREATE target: fine to not exist
+    # DROP object-kind agreement over the canned warehouse
+    if head == "DROP" and kw in ("TABLE", "VIEW"):
+        qual1 = f"{db or 'functional'}.{tname}"
+        if kw == "TABLE" and tname in _WAREHOUSE_VIEWS:
+            raise ImpalaUnsupportedError(
+                f"DROP TABLE not allowed on a view: {qual1}"
+            )
+        if kw == "VIEW" and tname in _CATALOG \
+                and tname not in _WAREHOUSE_VIEWS:
+            raise ImpalaUnsupportedError(
+                f"DROP VIEW not allowed on a table: {qual1}"
+            )
     # CREATE target / RENAME TO an EXISTING catalog table
     if head == "CREATE" and kw in ("TABLE", "VIEW") and not if_exists \
             and db is not None and (
@@ -7621,6 +7680,68 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
                         f"Invalid partition expr {frag2}. A partition "
                         "spec may not contain constant predicates."
                     )
+        # ADD PARTITION: duplicate key names, non-partition catalog
+        # columns, and static-value typing against the declared
+        # partition-column types (AnalyzeDDLTest partition-spec family)
+        if part_open != -1 and is_add_part \
+                and tname in _PARTITION_COL_TYPES:
+            close2 = _matching_paren(tokens, part_open)
+            ptypes = _PARTITION_COL_TYPES[tname]
+            seen_keys: set[str] = set()
+            for a, b in _split_top_level_commas(
+                tokens, part_open + 1, close2,
+            ):
+                s3 = [
+                    x for x in range(a, b)
+                    if tokens[x].kind not in (
+                        "ws", "line_comment", "block_comment",
+                    )
+                ]
+                if len(s3) < 3 or tokens[s3[0]].kind not in (
+                    "word", "bident",
+                ) or not (
+                    tokens[s3[1]].kind == "op"
+                    and tokens[s3[1]].text == "="
+                ):
+                    continue
+                col3 = tokens[s3[0]].text.strip("`").lower()
+                if col3 in seen_keys:
+                    raise ImpalaUnsupportedError(
+                        f"Duplicate partition key name: {col3}"
+                    )
+                seen_keys.add(col3)
+                if col3 not in ptypes:
+                    if col3 in (_CATALOG.get(tname) or {}):
+                        raise ImpalaUnsupportedError(
+                            f"Column '{col3}' is not a partition column "
+                            f"in table: {db or 'functional'}.{tname}"
+                        )
+                    continue  # unknown column: handled below
+                # static value typing: single integer literal values
+                if len(s3) == 3 and tokens[s3[2]].kind == "number" \
+                        and "." not in tokens[s3[2]].text:
+                    try:
+                        v3 = int(tokens[s3[2]].text)
+                    except ValueError:
+                        continue
+                    vt3 = _smallest_int_type(v3)
+                    want3 = ptypes[col3]
+                    if want3 == "STRING":
+                        raise ImpalaUnsupportedError(
+                            f"Value of partition spec (column={col3}) "
+                            f"has incompatible type: '{vt3}'. Expected "
+                            f"type: '{want3}'."
+                        )
+                    if want3 in _INT_TYPE_RANK and (
+                        vt3 not in _INT_TYPE_RANK
+                        or _INT_TYPE_RANK[vt3] > _INT_TYPE_RANK[want3]
+                    ):
+                        raise ImpalaUnsupportedError(
+                            "Partition key value may result in loss of "
+                            "precision.\nWould need to cast "
+                            f"'{tokens[s3[2]].text}' to '{want3}' for "
+                            f"partition column: {col3}"
+                        )
         # ADD PARTITION: unknown spec columns, then exact-duplicate specs
         if part_open != -1 and is_add_part and tname == "alltypes" \
                 and not if_exists_part:
@@ -7697,8 +7818,10 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
                     )
         # DROP PARTITION / PARTITION(...) <SET op> values outside the
         # canned partition grid (ADD creates new partitions, exempt)
-        if part_open != -1 and tname in _WAREHOUSE_PARTITIONS \
-                and not if_exists_part:
+        if part_open != -1 and not if_exists_part and (
+            tname in _WAREHOUSE_PARTITIONS
+            or tname in _PARTITION_COL_TYPES
+        ):
             is_add = any(
                 tokens[sig[p2]].kind == "word"
                 and tokens[sig[p2]].upper == "ADD"
@@ -7735,10 +7858,11 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
                     ):
                         continue
                     col = tokens[s3[0]].text.strip("`").lower()
-                    rng = _WAREHOUSE_PARTITIONS[tname].get(col)
+                    rng = _WAREHOUSE_PARTITIONS.get(tname, {}).get(col)
+                    ptype = _PARTITION_COL_TYPES.get(tname, {}).get(col)
                     val_tok = tokens[s3[-1]]
                     if validity_pass:
-                        if rng is None:
+                        if rng is None and ptype is None:
                             # non-partition or unknown column
                             if col in (_CATALOG.get(tname) or {}):
                                 val_sql = untokenize(
@@ -7753,17 +7877,37 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
                                 "Could not resolve column/field "
                                 f"reference: '{col}'"
                             )
-                        if val_tok.kind in ("word", "bident") \
-                                and val_tok.upper != "NULL" \
-                                and not _span_is_constant_expr(
-                                    tokens, s3[2], s3[-1],
-                                ):
-                            # non-constant value (a column ref)
+                        if not (
+                            val_tok.kind == "word"
+                            and val_tok.upper == "NULL"
+                        ) and not _span_is_constant_expr(
+                            tokens, s3[2], s3[-1],
+                        ):
+                            # non-constant value (contains a column ref)
+                            val_sql = _expr_to_sql(untokenize(
+                                tokens[s3[2]:s3[-1] + 1]
+                            ).strip())
                             raise ImpalaUnsupportedError(
                                 "Partition exprs cannot contain "
                                 "non-partition column(s): "
-                                f"{col} = {val_tok.text.strip('`')}."
+                                f"{col} = {val_sql}."
                             )
+                        # STRING partition keys aren't comparable to
+                        # integer literals (the analyzer types 1234 as
+                        # its smallest fitting int type first)
+                        if ptype == "STRING" and len(s3) == 3 \
+                                and val_tok.kind == "number" \
+                                and "." not in val_tok.text:
+                            try:
+                                vt4 = _smallest_int_type(int(val_tok.text))
+                            except ValueError:
+                                vt4 = None
+                            if vt4 is not None:
+                                raise ImpalaUnsupportedError(
+                                    f"operands of type STRING and {vt4} "
+                                    "are not comparable: "
+                                    f"{col} = {val_tok.text}"
+                                )
                         continue
                     if rng is None:
                         continue
@@ -7794,6 +7938,59 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
                     raise ImpalaUnsupportedError(
                         "No matching partition(s) found."
                     )
+                # SET LOCATION: the partition expr must match exactly
+                # one partition, and that partition must not be cached
+                after3 = _significant(tokens, close2)
+                nxt3 = _significant(tokens, after3) if after3 != -1 else -1
+                is_set_loc = (
+                    after3 != -1 and tokens[after3].kind == "word"
+                    and tokens[after3].upper == "SET"
+                    and nxt3 != -1 and tokens[nxt3].kind == "word"
+                    and tokens[nxt3].upper == "LOCATION"
+                )
+                grid0 = _WAREHOUSE_PARTITIONS.get(tname)
+                if is_set_loc and grid0 and all(
+                    isinstance(r, tuple) for r in grid0.values()
+                ):
+                    matches = _grid_matches(tokens, pair_spans, grid0)
+                    if matches is not None and len(matches) > 1:
+                        listed = ",".join(
+                            "/".join(f"{c}={v}" for c, v in m)
+                            for m in matches
+                        )
+                        raise ImpalaUnsupportedError(
+                            "Partition expr in set location statements "
+                            "can only match one partition. Too many "
+                            f"matched partitions {listed}"
+                        )
+                    if matches is not None and len(matches) == 1 \
+                            and tname in _CACHED_TABLES:
+                        spec4 = ", ".join(
+                            re.sub(
+                                r"\s*=\s*", " = ",
+                                untokenize(tokens[a:b]).strip(),
+                            )
+                            for a, b in pair_spans
+                        )
+                        raise ImpalaUnsupportedError(
+                            "Target partition is cached, please uncache "
+                            "before changing the location using: ALTER "
+                            f"TABLE {db or 'functional'}.{tname} "
+                            f"PARTITION ({spec4}) SET UNCACHED"
+                        )
+    # ALTER TABLE <cached table> SET LOCATION without a partition clause
+    if head == "ALTER" and kw == "TABLE" and not is_rename \
+            and tname in _CACHED_TABLES and part_open == -1:
+        for p2 in range(q_after, len(sig) - 1):
+            if tokens[sig[p2]].kind == "word" \
+                    and tokens[sig[p2]].upper == "SET" \
+                    and tokens[sig[p2 + 1]].kind == "word" \
+                    and tokens[sig[p2 + 1]].upper == "LOCATION":
+                raise ImpalaUnsupportedError(
+                    "Target table is cached, please uncache before "
+                    "changing the location using: ALTER TABLE "
+                    f"{db or 'functional'}.{tname} SET UNCACHED"
+                )
     # HBase-backed tables accept no structural ALTERs
     if head == "ALTER" and kw == "TABLE" and db == "functional_hbase":
         for p2 in range(q_after, len(sig)):
@@ -7814,6 +8011,13 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
                 raise ImpalaUnsupportedError(
                     f"ALTER TABLE {u2} COLUMN not currently supported "
                     "on HBase tables."
+                )
+            if u2 == "RECOVER" and p2 + 1 < len(sig) \
+                    and tokens[sig[p2 + 1]].kind == "word" \
+                    and tokens[sig[p2 + 1]].upper == "PARTITIONS":
+                raise ImpalaUnsupportedError(
+                    "ALTER TABLE RECOVER PARTITIONS must target an "
+                    f"HDFS table: functional_hbase.{tname}"
                 )
             if u2 == "SET":
                 nx2 = tokens[sig[p2 + 1]] if p2 + 1 < len(sig) else None
@@ -7860,6 +8064,11 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
                                 "Column name conflicts with existing "
                                 f"partition column: {nm2}"
                             )
+                        # ADD requires a fresh name; REPLACE may reuse
+                        if u2 == "ADD" and nm2 in cols0:
+                            raise ImpalaUnsupportedError(
+                                f"Column already exists: {nm2}"
+                            )
             # DROP COLUMN / CHANGE COLUMN <old>: must exist
             if u2 in ("DROP", "CHANGE"):
                 q2 = p2 + 1
@@ -7878,6 +8087,23 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
                             f"Column '{old}' does not exist in "
                             f"table: {qual0}"
                         )
+                    if old in part_cols:
+                        raise ImpalaUnsupportedError(
+                            f"Cannot drop partition column: {old}"
+                            if u2 == "DROP"
+                            else f"Cannot modify partition column: {old}"
+                        )
+                    # CHANGE COLUMN <old> <new> <type>: renaming onto an
+                    # existing column is a conflict
+                    if u2 == "CHANGE" and q2 + 1 < len(sig) \
+                            and tokens[sig[q2 + 1]].kind in (
+                                "word", "bident",
+                            ):
+                        nw = tokens[sig[q2 + 1]].text.strip("`").lower()
+                        if nw != old and nw in cols0:
+                            raise ImpalaUnsupportedError(
+                                f"Column already exists: {nw}"
+                            )
             # SET COLUMN STATS <col> ('key'='value', ...)
             if u2 == "SET" and p2 + 3 < len(sig) \
                     and tokens[sig[p2 + 1]].kind == "word" \
@@ -7930,6 +8156,20 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
                                 raise ImpalaUnsupportedError(
                                     f"Invalid column stats key: {key4}"
                                 )
+                            # size stats only make sense for
+                            # variable-length columns (STRING/VARCHAR)
+                            if kl in ("avgsize", "maxsize") \
+                                    and cn in cols0 \
+                                    and not cty.upper().startswith(
+                                        ("STRING", "VARCHAR"),
+                                    ):
+                                raise ImpalaUnsupportedError(
+                                    f"Cannot update the '{key4}' stats "
+                                    f"of column '{cn}' with type "
+                                    f"'{cty.upper()}'.\nChanging "
+                                    f"'{key4}' is only allowed for "
+                                    "variable-length columns."
+                                )
                             bad4 = False
                             if kl in ("numdvs", "numnulls", "maxsize"):
                                 try:
@@ -7976,6 +8216,46 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
                                 "between 0 and Short.MAX_VALUE"
                             )
                         break
+    # ALTER TABLE ... SET TBLPROPERTIES may not touch 'storage_handler'
+    if head == "ALTER" and kw == "TABLE":
+        for p2 in range(q_after, len(sig) - 1):
+            if tokens[sig[p2]].kind == "word" \
+                    and tokens[sig[p2]].upper == "TBLPROPERTIES" \
+                    and p2 > 0 and tokens[sig[p2 - 1]].kind == "word" \
+                    and tokens[sig[p2 - 1]].upper == "SET":
+                op3 = sig[p2 + 1]
+                if tokens[op3].kind == "op" and tokens[op3].text == "(":
+                    cl3 = _matching_paren(tokens, op3)
+                    for x in range(op3 + 1, cl3):
+                        if tokens[x].kind == "string" \
+                                and tokens[x].text[1:-1] \
+                                == "storage_handler":
+                            raise ImpalaUnsupportedError(
+                                "Changing the 'storage_handler' table "
+                                "property is not supported to protect "
+                                "against metadata corruption."
+                            )
+                break
+    # DROP COLUMN on a canned single-column table would empty it
+    if head == "ALTER" and kw == "TABLE" \
+            and (db, tname) in _SINGLE_COLUMN_TABLES:
+        only_col = _SINGLE_COLUMN_TABLES[(db, tname)]
+        for p2 in range(q_after, len(sig) - 1):
+            if tokens[sig[p2]].kind == "word" \
+                    and tokens[sig[p2]].upper == "DROP":
+                q2 = p2 + 1
+                if q2 < len(sig) and tokens[sig[q2]].kind == "word" \
+                        and tokens[sig[q2]].upper == "COLUMN":
+                    q2 += 1
+                if q2 < len(sig) and tokens[sig[q2]].kind in (
+                    "word", "bident",
+                ) and tokens[sig[q2]].text.strip("`").lower() == only_col:
+                    raise ImpalaUnsupportedError(
+                        f"Cannot drop column '{only_col}' from "
+                        f"{db}.{tname}. Tables must contain at least "
+                        "1 column."
+                    )
+                break
     if head == "TRUNCATE" and tname in _WAREHOUSE_VIEWS:
         raise ImpalaUnsupportedError(
             "TRUNCATE TABLE not supported on non-HDFS table: "
@@ -8004,7 +8284,7 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
                     "ALTER TABLE not allowed on a table produced by a "
                     f"data source: {qual}"
                 )
-        if kw == "VIEW" and not is_rename and tname not in _WAREHOUSE_VIEWS \
+        if kw == "VIEW" and tname not in _WAREHOUSE_VIEWS \
                 and known_table(tname) and tname in _CATALOG:
             raise ImpalaUnsupportedError(
                 f"ALTER VIEW not allowed on a table: {qual}"
@@ -8087,6 +8367,90 @@ _WAREHOUSE_PARTITIONS: dict[str, dict[str, object]] = {
     "alltypesagg": dict(_ALLTYPES_PART_RANGE, day=(1, 10)),
     "stringpartitionkey": {"string_col": frozenset({"partition1"})},
 }
+
+#: declared partition-column types for the canned warehouse (the half of
+#: the partition metadata _WAREHOUSE_PARTITIONS' value grids don't carry)
+_PARTITION_COL_TYPES: dict[str, dict[str, str]] = {
+    "alltypes": {"year": "INT", "month": "INT"},
+    "alltypestiny": {"year": "INT", "month": "INT"},
+    "alltypessmall": {"year": "INT", "month": "INT"},
+    "alltypeserror": {"year": "INT", "month": "INT"},
+    "alltypesagg": {"year": "INT", "month": "INT", "day": "INT"},
+    "stringpartitionkey": {"string_col": "STRING"},
+    "insert_string_partitioned": {"s2": "STRING"},
+}
+
+#: tables the canned warehouse keeps HDFS-cached in 'testPool'
+_CACHED_TABLES = frozenset({"alltypestiny"})
+
+#: canned single-column tables (DROP COLUMN would empty them)
+_SINGLE_COLUMN_TABLES = {("functional_seq_snap", "bad_seq_snap"): "field"}
+
+
+def _grid_matches(
+    tokens: list[Token],
+    pair_spans: list[tuple[int, int]],
+    grid: dict[str, object],
+) -> list[tuple[tuple[str, int], ...]] | None:
+    """Enumerate the canned partition-grid tuples matched by a
+    conjunction of simple `col OP const` partition predicates. Returns
+    None when any predicate is outside the supported shape (complex
+    exprs legally bind partitions in other ways — stay silent then)."""
+    import itertools
+
+    preds: list[tuple[str, str, int]] = []
+    for a, b in pair_spans:
+        s3 = [
+            x for x in range(a, b)
+            if tokens[x].kind not in ("ws", "line_comment", "block_comment")
+        ]
+        if len(s3) < 3 or tokens[s3[0]].kind not in ("word", "bident"):
+            return None
+        col = tokens[s3[0]].text.strip("`").lower()
+        if col not in grid or not isinstance(grid[col], tuple):
+            return None
+        op = tokens[s3[1]].text if tokens[s3[1]].kind == "op" else None
+        if op not in ("=", "!=", "<>", "<", "<=", ">", ">="):
+            return None
+        v = _const_int_eval(tokens, s3[2], s3[-1])
+        if v is None:
+            return None
+        preds.append((col, op, v))
+    cols = [c for c in grid if isinstance(grid[c], tuple)]
+    axes = [range(grid[c][0], grid[c][1] + 1) for c in cols]
+    ops = {
+        "=": lambda x, y: x == y,
+        "!=": lambda x, y: x != y,
+        "<>": lambda x, y: x != y,
+        "<": lambda x, y: x < y,
+        "<=": lambda x, y: x <= y,
+        ">": lambda x, y: x > y,
+        ">=": lambda x, y: x >= y,
+    }
+    out: list[tuple[tuple[str, int], ...]] = []
+    for combo in itertools.product(*axes):
+        env = dict(zip(cols, combo))
+        if all(ops[op](env[c], v) for c, op, v in preds):
+            out.append(tuple(zip(cols, combo)))
+    return out
+
+
+def _smallest_int_type(v: int) -> str:
+    """Impala types an integer literal as the smallest fitting type
+    (reference: analysis/LiteralExpr.java / NumericLiteral)."""
+    if -128 <= v <= 127:
+        return "TINYINT"
+    if -32768 <= v <= 32767:
+        return "SMALLINT"
+    if -(2 ** 31) <= v <= 2 ** 31 - 1:
+        return "INT"
+    if -(2 ** 63) <= v <= 2 ** 63 - 1:
+        return "BIGINT"
+    return f"DECIMAL({len(str(abs(v)))},0)"
+
+
+_INT_TYPE_RANK = {"TINYINT": 0, "SMALLINT": 1, "INT": 2, "BIGINT": 3}
+
 
 #: real warehouse tables outside the schema catalog (existence checks)
 _WAREHOUSE_REAL_EXTRA = frozenset({
@@ -8202,6 +8566,50 @@ def _check_strict_ddl_columns(tokens: list[Token]) -> None:
             raise ImpalaUnsupportedError(
                 f"No FileSystem for scheme: {m.group(1)}"
             )
+        # HDFS caching requires an HDFS location: a local-fs LOCATION
+        # combined with CACHED IN cannot be cached
+        if m and m.group(1).lower() == "file" and any(
+            tokens[sig[p3]].kind == "word"
+            and tokens[sig[p3]].upper == "CACHED"
+            and p3 + 1 < len(sig)
+            and tokens[sig[p3 + 1]].kind == "word"
+            and tokens[sig[p3 + 1]].upper == "IN"
+            for p3 in range(p + 1, len(sig) - 1)
+        ):
+            norm = re.sub(r"^file:/+", "file:/", v)
+            if head == "CREATE":
+                stmt_desc = "CREATE TABLE ..."
+            else:
+                stmt_desc = None
+                for p3 in range(1, p):
+                    if tokens[sig[p3]].kind == "word" \
+                            and tokens[sig[p3]].upper == "PARTITION":
+                        # qualified table name sits at sig[2]: name
+                        # optionally extended by ".name" segments
+                        ref4 = [tokens[sig[2]].text.strip("`")]
+                        p4 = 3
+                        while p4 + 1 < len(sig) \
+                                and tokens[sig[p4]].kind == "op" \
+                                and tokens[sig[p4]].text == "." \
+                                and tokens[sig[p4 + 1]].kind in (
+                                    "word", "bident",
+                                ):
+                            ref4.append(".")
+                            ref4.append(
+                                tokens[sig[p4 + 1]].text.strip("`")
+                            )
+                            p4 += 2
+                        stmt_desc = (
+                            "ALTER TABLE "
+                            + "".join(ref4)
+                            + " ADD PARTITION ..."
+                        )
+                        break
+            if stmt_desc is not None:
+                raise ImpalaUnsupportedError(
+                    f"Location '{norm}' cannot be cached. Please retry "
+                    f"without caching: {stmt_desc} UNCACHED"
+                )
 
     def check_col_list(open_idx: int) -> None:
         close = _matching_paren(tokens, open_idx)
@@ -8516,10 +8924,33 @@ def _check_strict_ddl_columns(tokens: list[Token]) -> None:
                         fs9 = _significant(tokens, a9 - 1)
                         if fs9 != -1 and fs9 < b9 \
                                 and tokens[fs9].kind in ("word", "bident"):
-                            low9 = tokens[fs9].text.strip("`").lower()
+                            nm9 = (
+                                tokens[fs9].text[1:-1]
+                                if tokens[fs9].kind == "bident"
+                                else tokens[fs9].text
+                            )
+                            if tokens[fs9].kind == "bident" \
+                                    and not _VALID_NAME_RE.match(nm9):
+                                raise ImpalaUnsupportedError(
+                                    f"Invalid column/field name: {nm9}"
+                                )
+                            low9 = nm9.lower()
+                            # duplicates against data columns AND
+                            # against earlier partition columns
                             if low9 in names9:
                                 raise ImpalaUnsupportedError(
                                     f"Duplicate column name: {low9}"
+                                )
+                            names9.add(low9)
+                            # TIMESTAMP partition keys are unsupported
+                            ty9 = _significant(tokens, fs9)
+                            if ty9 != -1 and ty9 < b9 \
+                                    and tokens[ty9].kind == "word" \
+                                    and tokens[ty9].upper == "TIMESTAMP":
+                                raise ImpalaUnsupportedError(
+                                    "Type 'TIMESTAMP' is not supported "
+                                    "as partition-column type in "
+                                    f"column: {nm9}"
                                 )
                     break
     # --- Kudu CREATE TABLE rules ---

@@ -39,8 +39,15 @@ def register(name: str, oracle: str | None = None, cache: bool = False):
     def deco(fn):
         if cache:
             def cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-                from impala_spark.session import _session_token
+                from impala_spark.session import (
+                    _session_token,
+                    apply_query_posture,
+                )
 
+                # DataFrame-built ops are the compute-parallel family:
+                # restore the session shuffle-partition default in case
+                # a preceding relational statement narrowed it to 1
+                apply_query_posture(spark, sf_dir, "parallel")
                 key = (_session_token(spark), sf_dir, name)
                 df = _PLAN_CACHE.get(key)
                 if df is None:
@@ -52,7 +59,15 @@ def register(name: str, oracle: str | None = None, cache: bool = False):
             cached.__doc__ = fn.__doc__
             SPARK_QUERIES[name] = cached
         else:
-            SPARK_QUERIES[name] = fn
+            def uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
+                from impala_spark.session import apply_query_posture
+
+                apply_query_posture(spark, sf_dir, "parallel")
+                return fn(spark, sf_dir)
+
+            uncached.__name__ = fn.__name__
+            uncached.__doc__ = fn.__doc__
+            SPARK_QUERIES[name] = uncached
         if oracle is not None:
             ORACLE_SQL[name] = oracle
         return fn
@@ -78,8 +93,12 @@ def sql_query(name: str, impala_sql: str, oracle: str | None = None) -> None:
     """Register an Impala-dialect SQL query; oracle defaults to same text."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from impala_spark.session import _session_token
+        from impala_spark.session import _session_token, apply_query_posture
 
+        # relational statement: small-input single-node fast path
+        # (1 shuffle partition below SMALL_QUERY_BYTES — see
+        # session.apply_query_posture)
+        apply_query_posture(spark, sf_dir, "relational")
         key = (_session_token(spark), sf_dir, name)
         df = _PLAN_CACHE.get(key)
         if df is None:
