@@ -9499,6 +9499,82 @@ def _check_strict_ddl_columns(tokens: list[Token]) -> None:
                             "Range partition values cannot be NULL. "
                             f"Range partition: '{rendered}'"
                         )
+            # duplicate columns in the PRIMARY KEY (...) clause
+            seen_pk6: set[str] = set()
+            for pk6 in pk_list:
+                if pk6 in seen_pk6:
+                    raise ImpalaUnsupportedError(
+                        f"Column '{pk6}' is listed multiple times as "
+                        "a PRIMARY KEY."
+                    )
+                seen_pk6.add(pk6)
+            # column metadata for option typing: name -> (TYPE, span)
+            kudu_cols: list[tuple[str, str, list[int]]] = []
+            if col_open != -1:
+                for a5, b5 in _split_top_level_commas(
+                    tokens, col_open + 1, cl5,
+                ):
+                    s5 = [
+                        x for x in range(a5, b5)
+                        if tokens[x].kind not in (
+                            "ws", "line_comment", "block_comment",
+                        )
+                    ]
+                    if len(s5) < 2 or tokens[s5[0]].kind not in (
+                        "word", "bident",
+                    ) or tokens[s5[0]].upper == "PRIMARY":
+                        continue
+                    cn6 = tokens[s5[0]].text.strip("`").lower()
+                    ct6 = tokens[s5[1]].upper \
+                        if tokens[s5[1]].kind == "word" else "?"
+                    j6 = 2
+                    if j6 < len(s5) and tokens[s5[j6]].kind == "op" \
+                            and tokens[s5[j6]].text == "(":
+                        clj = _matching_paren(tokens, s5[j6])
+                        ct6 += "(" + re.sub(
+                            r"\s+", "",
+                            untokenize(tokens[s5[j6] + 1:clj]),
+                        ) + ")"
+                        while j6 < len(s5) and s5[j6] <= clj:
+                            j6 += 1
+                    kudu_cols.append((cn6, ct6, s5[j6:]))
+            # key columns = PRIMARY KEY (...) clause + inline markers
+            key_cols = list(pk_list) + [
+                cn6 for cn6, _t6, opts6 in kudu_cols
+                if opts6 and re.search(
+                    r"(?i)\bprimary\s+key\b",
+                    untokenize(tokens[opts6[0]:opts6[-1] + 1]),
+                )
+            ]
+            _check_kudu_column_options(tokens, kudu_cols, key_cols)
+            _check_kudu_range_partitions(tokens, sig, kudu_cols, key_cols)
+            if is_external:
+                for p, s in enumerate(sig):
+                    if tokens[s].kind == "string" and tokens[s].text[
+                        1:-1
+                    ] == "kudu.num_tablet_replicas":
+                        raise ImpalaUnsupportedError(
+                            "Table property 'kudu.num_tablet_replicas' "
+                            "cannot be used with an external Kudu "
+                            "table."
+                        )
+            # external Kudu tables take their schema from Kudu
+            if is_external and col_open != -1 and (
+                kudu_cols or pk_list
+            ):
+                raise ImpalaUnsupportedError(
+                    "Columns cannot be specified with an external "
+                    "Kudu table."
+                )
+                if any(
+                    tokens[s].kind == "word"
+                    and tokens[s].upper == "SELECT"
+                    for s in sig
+                ):
+                    raise ImpalaUnsupportedError(
+                        "CREATE TABLE AS SELECT is not supported for "
+                        "external Kudu tables."
+                    )
     # --- multiple PRIMARY KEY markers in a CREATE TABLE column list ---
     if head == "CREATE":
         pk_count = 0
@@ -9635,6 +9711,253 @@ def _check_strict_ddl_columns(tokens: list[Token]) -> None:
                     break
             break
     _ = is_view_as
+
+
+#: Kudu column-storage attribute value sets (catalog/KuduColumn.java)
+_KUDU_ENCODINGS = frozenset({
+    "AUTO_ENCODING", "PLAIN_ENCODING", "PREFIX_ENCODING", "GROUP_VARINT",
+    "RLE", "DICT_ENCODING", "BIT_SHUFFLE",
+})
+_KUDU_COMPRESSIONS = frozenset({
+    "DEFAULT_COMPRESSION", "NO_COMPRESSION", "SNAPPY", "LZ4", "ZLIB",
+})
+
+
+def _literal_kind(txt: str) -> tuple[str, int | None] | None:
+    """(display type, int rank) of a literal as written; None if the
+    text is not a simple literal (expressions are skipped, like the
+    reference skips non-foldable defaults at this layer)."""
+    if len(txt) >= 2 and txt[0] in "'\"" and txt[-1] == txt[0]:
+        return "STRING", None
+    if re.match(r"^-?\d+$", txt):
+        t = _smallest_int_type(int(txt))
+        return t, _INT_TYPE_RANK.get(t)
+    m = re.match(r"^-?(\d*)\.(\d+)$", txt)
+    if m:
+        ip = m.group(1).lstrip("0")
+        prec = max(len(ip) + len(m.group(2)), len(m.group(2)))
+        return f"DECIMAL({prec},{len(m.group(2))})", None
+    return None
+
+
+def _check_kudu_column_options(
+    tokens: list[Token],
+    kudu_cols: list[tuple[str, str, list[int]]],
+    pk_list: list[str],
+) -> None:
+    """Per-column Kudu storage attribute analysis (AnalyzeDDLTest
+    TestCreateKuduTable: DEFAULT typing/nullability, ENCODING,
+    COMPRESSION, BLOCK_SIZE)."""
+    for cn, ct, opts in kudu_cols:
+        opt_text = untokenize(
+            tokens[opts[0]:opts[-1] + 1]
+        ).strip() if opts else ""
+        non_nullable = bool(
+            re.search(r"(?i)\bnot\s+null\b", opt_text)
+            or re.search(r"(?i)\bprimary\s+key\b", opt_text)
+            or (cn in pk_list
+                and not re.search(r"(?i)\bnull\b", opt_text))
+        )
+        k = 0
+        while k < len(opts):
+            tk = tokens[opts[k]]
+            if tk.kind != "word":
+                k += 1
+                continue
+            u = tk.upper
+            if u == "ENCODING" and k + 1 < len(opts):
+                v = tokens[opts[k + 1]].text
+                if v.upper() not in _KUDU_ENCODINGS:
+                    raise ImpalaUnsupportedError(
+                        f"Unsupported encoding value '{v.upper()}'. "
+                        "Supported encoding values are: "
+                        + ", ".join(sorted(_KUDU_ENCODINGS))
+                    )
+                k += 2
+                continue
+            if u == "COMPRESSION" and k + 1 < len(opts):
+                v = tokens[opts[k + 1]].text
+                if v.upper() not in _KUDU_COMPRESSIONS:
+                    raise ImpalaUnsupportedError(
+                        "Unsupported compression algorithm "
+                        f"'{v.upper()}'. Supported compression "
+                        "algorithms are: "
+                        + ", ".join(sorted(_KUDU_COMPRESSIONS))
+                    )
+                k += 2
+                continue
+            if u == "BLOCK_SIZE" and k + 1 < len(opts):
+                v = tokens[opts[k + 1]].text
+                if not re.match(r"^\d+$", v):
+                    raise ImpalaUnsupportedError(
+                        f"Invalid value for BLOCK_SIZE: {v}. A "
+                        "positive INTEGER value is expected."
+                    )
+                k += 2
+                continue
+            if u == "DEFAULT" and k + 1 < len(opts):
+                vtoks = opts[k + 1:]
+                # trim trailing options after the default value
+                stop = len(vtoks)
+                for z, x in enumerate(vtoks):
+                    if tokens[x].kind == "word" and tokens[x].upper in (
+                        "ENCODING", "COMPRESSION", "BLOCK_SIZE",
+                        "PRIMARY", "NOT",
+                    ):
+                        stop = z
+                        break
+                vtoks = vtoks[:stop]
+                if not vtoks:
+                    k += 1
+                    continue
+                vtxt = untokenize(
+                    tokens[vtoks[0]:vtoks[-1] + 1]
+                ).strip()
+                is_null_default = (
+                    re.match(r"(?i)^null$", vtxt)
+                    or re.match(
+                        r"(?i)^isnull\s*\(\s*null\s*,\s*null\s*\)$",
+                        vtxt,
+                    )
+                )
+                if is_null_default:
+                    if non_nullable:
+                        raise ImpalaUnsupportedError(
+                            "Default value of NULL not allowed on "
+                            f"non-nullable column: '{cn}'"
+                        )
+                    k += 1 + len(vtoks)
+                    continue
+                if len(vtoks) == 1:
+                    lk = _literal_kind(vtxt)
+                    if lk is not None:
+                        vt, vrank = lk
+                        base = ct.split("(")[0]
+                        crank = _INT_TYPE_RANK.get(base)
+                        compatible = (
+                            (vt == "STRING" and base in (
+                                "STRING", "VARCHAR", "CHAR",
+                            ))
+                            or (vrank is not None and crank is not None
+                                and vrank <= crank)
+                            or (vt.startswith("DECIMAL")
+                                and base in ("FLOAT", "DOUBLE",
+                                             "DECIMAL"))
+                            or base in ("FLOAT", "DOUBLE")
+                        )
+                        if not compatible:
+                            raise ImpalaUnsupportedError(
+                                f"Default value {vtxt} (type: {vt}) "
+                                "is not compatible with column "
+                                f"'{cn}' (type: {ct})."
+                            )
+                k += 1 + len(vtoks)
+                continue
+            k += 1
+
+
+def _check_kudu_range_partitions(
+    tokens: list[Token],
+    sig: list[int],
+    kudu_cols: list[tuple[str, str, list[int]]],
+    pk_list: list[str],
+) -> None:
+    """RANGE (cols) (PARTITION VALUE = ...) analysis: key-column-only
+    partitioning, per-partition value arity, and value/column type
+    compatibility (the 'objectValue' spelling for int literals is the
+    reference fixture's own text)."""
+    ctypes = {cn: ct for cn, ct, _o in kudu_cols}
+    for p, s in enumerate(sig):
+        if not (tokens[s].kind == "word" and tokens[s].upper == "RANGE"):
+            continue
+        po = sig[p + 1] if p + 1 < len(sig) else -1
+        if po == -1 or tokens[po].kind != "op" or tokens[po].text != "(":
+            continue
+        pc = _matching_paren(tokens, po)
+        rcols = [
+            tokens[x].text.strip("`").lower()
+            for x in range(po + 1, pc)
+            if tokens[x].kind in ("word", "bident")
+        ]
+        if not rcols:
+            continue
+        lo = _significant(tokens, pc)
+        if lo == -1 or tokens[lo].kind != "op" or tokens[lo].text != "(":
+            continue
+        lc = _matching_paren(tokens, lo)
+        items: list[str] = []  # rendered 'PARTITION VALUE = x' items
+        checks: list[tuple[str, list[int]]] = []
+        for a, b in _split_top_level_commas(tokens, lo + 1, lc):
+            s3 = [
+                x for x in range(a, b)
+                if tokens[x].kind not in (
+                    "ws", "line_comment", "block_comment",
+                )
+            ]
+            if len(s3) < 4 or not (
+                tokens[s3[0]].kind == "word"
+                and tokens[s3[0]].upper == "PARTITION"
+            ) or not (
+                tokens[s3[2]].kind == "op" and tokens[s3[2]].text == "="
+            ):
+                items = []
+                break  # bound forms (<=, VALUES): out of scope
+            vspan = s3[3:]
+            vtxt = re.sub(
+                r"\s+", "",
+                untokenize(tokens[vspan[0]:vspan[-1] + 1]).strip(),
+            )
+            items.append(f"PARTITION VALUE = {vtxt}")
+            checks.append((vtxt, vspan))
+        if not items:
+            continue
+        rendered = (
+            "RANGE (" + ", ".join(rcols) + ") (" + ", ".join(items) + ")"
+        )
+        for rc in rcols:
+            if rc not in pk_list:
+                raise ImpalaUnsupportedError(
+                    f"Column '{rc}' in '{rendered}' is not a key "
+                    "column. Only key columns can be used in "
+                    "PARTITION BY."
+                )
+        for vtxt, vspan in checks:
+            if tokens[vspan[0]].kind == "op" \
+                    and tokens[vspan[0]].text == "(":
+                nvals = len(list(_split_top_level_commas(
+                    tokens, vspan[0] + 1, _matching_paren(
+                        tokens, vspan[0],
+                    ),
+                )))
+                if nvals != len(rcols):
+                    raise ImpalaUnsupportedError(
+                        "Number of specified range partition values "
+                        "is different than the number of partitioning "
+                        f"columns: ({nvals} vs {len(rcols)}). Range "
+                        f"partition: 'PARTITION VALUE = {vtxt}'"
+                    )
+                continue
+            if len(rcols) != 1:
+                continue
+            lk = _literal_kind(vtxt)
+            if lk is None or vtxt.upper() in ("TRUE", "FALSE"):
+                continue
+            vt, vrank = lk
+            ct = ctypes.get(rcols[0], "?")
+            base = ct.split("(")[0]
+            crank = _INT_TYPE_RANK.get(base)
+            compatible = (
+                (vt == "STRING" and base in ("STRING", "VARCHAR", "CHAR"))
+                or (vrank is not None and crank is not None
+                    and vrank <= crank)
+            )
+            if not compatible and base != "?":
+                word = "objectValue" if vrank is not None else "value"
+                raise ImpalaUnsupportedError(
+                    f"Range partition {word} {vtxt} (type: {vt}) is "
+                    "not type compatible with partitioning column "
+                    f"'{rcols[0]}' (type: {ct})."
+                )
 
 
 def _check_strict_table_path_refs(tokens: list[Token]) -> None:

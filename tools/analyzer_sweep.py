@@ -239,8 +239,51 @@ def extract_pairs(path: str) -> list[tuple[str, str]]:
         raw = _java_raw_args(body)
         if raw and _has_variable_concat(raw[0]):
             continue
-        pairs.append((strings[0], strings[-1]))
+        expected = strings[-1]
+        # the expected text may be assembled as "literal" + variable +
+        # "literal": concatenating literals ACROSS the variable yields a
+        # string the reference never produced (e.g. "...are: " +
+        # Joiner.join(...) -> "...are: , "). Truncate at the first
+        # non-literal operand instead — a faithful known prefix.
+        raw_exp = raw[-1] if raw else ""
+        if _has_variable_concat(raw_exp):
+            expected = _java_literal_prefix(raw_exp)
+        if expected:
+            pairs.append((strings[0], expected))
     return pairs
+
+
+def _java_literal_prefix(raw_arg: str) -> str:
+    """Concatenated leading string-literal operands of a Java `+`
+    expression, stopping at the first non-literal operand."""
+    s = ""
+    i = 0
+    n = len(raw_arg)
+    while i < n:
+        while i < n and raw_arg[i] in " \t\r\n":
+            i += 1
+        if i >= n or raw_arg[i] != '"':
+            break  # non-literal operand: stop
+        j = i + 1
+        piece: list[str] = []
+        while j < n:
+            if raw_arg[j] == "\\" and j + 1 < n:
+                piece.append(raw_arg[j:j + 2])
+                j += 2
+                continue
+            if raw_arg[j] == '"':
+                break
+            piece.append(raw_arg[j])
+            j += 1
+        s += "".join(piece)
+        i = j + 1
+        while i < n and raw_arg[i] in " \t\r\n":
+            i += 1
+        if i < n and raw_arg[i] == "+":
+            i += 1
+            continue
+        break
+    return s.replace('\\"', '"').replace("\\n", "\n").replace("\\\\", "\\")
 
 
 def extract_positives(path: str) -> list[str]:
