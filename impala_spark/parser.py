@@ -8078,6 +8078,151 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
                     "changing the location using: ALTER TABLE "
                     f"{db or 'functional'}.{tname} SET UNCACHED"
                 )
+    # Kudu-backed tables: storage-attribute and schema-change rules
+    if head == "ALTER" and kw == "TABLE" and db == "functional_kudu":
+        for p2 in range(q_after, len(sig)):
+            tq = tokens[sig[p2]]
+            if tq.kind != "word":
+                continue
+            u2 = tq.upper
+            if u2 == "REPLACE" and p2 + 1 < len(sig) \
+                    and tokens[sig[p2 + 1]].kind == "word" \
+                    and tokens[sig[p2 + 1]].upper == "COLUMNS":
+                raise ImpalaUnsupportedError(
+                    "ALTER TABLE REPLACE COLUMNS is not supported on "
+                    "Kudu tables"
+                )
+            if u2 == "ADD" and p2 + 2 < len(sig) \
+                    and tokens[sig[p2 + 1]].kind == "word" \
+                    and tokens[sig[p2 + 1]].upper == "COLUMNS" \
+                    and tokens[sig[p2 + 2]].kind == "op" \
+                    and tokens[sig[p2 + 2]].text == "(":
+                cl2 = _matching_paren(tokens, sig[p2 + 2])
+                for a, b in _split_top_level_commas(
+                    tokens, sig[p2 + 2] + 1, cl2,
+                ):
+                    s3 = [
+                        x for x in range(a, b)
+                        if tokens[x].kind not in (
+                            "ws", "line_comment", "block_comment",
+                        )
+                    ]
+                    if len(s3) < 2 or tokens[s3[0]].kind not in (
+                        "word", "bident",
+                    ):
+                        continue
+                    cn7 = tokens[s3[0]].text.strip("`").lower()
+                    item7 = untokenize(
+                        tokens[s3[0]:s3[-1] + 1]
+                    ).strip()
+                    for x in s3[1:]:
+                        if tokens[x].kind == "word" \
+                                and tokens[x].upper in (
+                                    "ARRAY", "MAP", "STRUCT",
+                                ):
+                            nx7 = _significant(tokens, x)
+                            if nx7 != -1 \
+                                    and tokens[nx7].kind == "op" \
+                                    and tokens[nx7].text == "<":
+                                raise ImpalaUnsupportedError(
+                                    "Kudu tables do not support "
+                                    "complex types: "
+                                    f"{cn7} "
+                                    f"{_type_to_sql(tokens, x, b)}"
+                                )
+                    if re.search(r"(?i)\bprimary\s+key\b", item7):
+                        rend7 = cn7 + " " + " ".join(
+                            w.upper() for w in item7.split()[1:]
+                        )
+                        raise ImpalaUnsupportedError(
+                            "Cannot add a primary key using an ALTER "
+                            "TABLE ADD COLUMNS statement: "
+                            f"{rend7}"
+                        )
+                break
+            if u2 == "CHANGE" and p2 + 1 < len(sig):
+                q7 = p2 + 1
+                if tokens[sig[q7]].kind == "word" \
+                        and tokens[sig[q7]].upper == "COLUMN":
+                    q7 += 1
+                # CHANGE COLUMN <old> <new> <type> [options...]
+                if q7 + 2 < len(sig) and tokens[sig[q7]].kind in (
+                    "word", "bident",
+                ) and tokens[sig[q7 + 1]].kind in ("word", "bident"):
+                    old7 = tokens[sig[q7]].text.strip("`").lower()
+                    rest7 = untokenize(
+                        tokens[sig[q7 + 1]:sig[-1] + 1]
+                    ).strip()
+                    words7 = rest7.split()
+                    has_opts = any(
+                        w.upper() in (
+                            "ENCODING", "COMPRESSION", "DEFAULT",
+                            "BLOCK_SIZE",
+                        ) for w in words7
+                    )
+                    if has_opts:
+                        rend7 = words7[0] + " " + " ".join(
+                            w.upper() for w in words7[1:]
+                        )
+                        raise ImpalaUnsupportedError(
+                            "Unsupported column options in ALTER "
+                            "TABLE CHANGE COLUMN statement: "
+                            f"{rend7}"
+                        )
+                    newty7 = words7[1].upper() if len(words7) > 1 \
+                        else ""
+                    oldty7 = (_CATALOG.get(tname) or {}).get(old7, "")
+                    if oldty7 and newty7 \
+                            and newty7 != oldty7.upper():
+                        raise ImpalaUnsupportedError(
+                            "Cannot change the type of a Kudu column "
+                            "using an ALTER TABLE CHANGE COLUMN "
+                            f"statement: ({oldty7.upper()} vs "
+                            f"{newty7})"
+                        )
+                break
+    # non-Kudu tables reject Kudu-only column options in ADD COLUMNS
+    if head == "ALTER" and kw == "TABLE" and db != "functional_kudu" \
+            and tname in _CATALOG:
+        for p2 in range(q_after, len(sig)):
+            tq = tokens[sig[p2]]
+            if tq.kind == "word" and tq.upper == "ADD" \
+                    and p2 + 2 < len(sig) \
+                    and tokens[sig[p2 + 1]].kind == "word" \
+                    and tokens[sig[p2 + 1]].upper == "COLUMNS" \
+                    and tokens[sig[p2 + 2]].kind == "op" \
+                    and tokens[sig[p2 + 2]].text == "(":
+                cl2 = _matching_paren(tokens, sig[p2 + 2])
+                for a, b in _split_top_level_commas(
+                    tokens, sig[p2 + 2] + 1, cl2,
+                ):
+                    s3 = [
+                        x for x in range(a, b)
+                        if tokens[x].kind not in (
+                            "ws", "line_comment", "block_comment",
+                        )
+                    ]
+                    if len(s3) < 3 or tokens[s3[0]].kind not in (
+                        "word", "bident",
+                    ):
+                        continue
+                    item7 = untokenize(
+                        tokens[s3[0]:s3[-1] + 1]
+                    ).strip()
+                    if re.search(
+                        r"(?i)\b(not\s+null|encoding|compression"
+                        r"|block_size)\b", item7,
+                    ) or re.search(r"(?i)\bdefault\b", item7):
+                        cn7 = tokens[s3[0]].text.strip("`").lower()
+                        rend7 = cn7 + " " + " ".join(
+                            w.upper() for w in item7.split()[1:]
+                        )
+                        raise ImpalaUnsupportedError(
+                            "The specified column options are only "
+                            "supported in Kudu tables: "
+                            f"{rend7}"
+                        )
+                break
     # HBase-backed tables accept no structural ALTERs
     if head == "ALTER" and kw == "TABLE" and db == "functional_hbase":
         for p2 in range(q_after, len(sig)):
@@ -8419,6 +8564,11 @@ def _check_strict_ddl_refs(tokens: list[Token]) -> None:
                 sparts, sspan, _q3 = read_ref(p2 + 1)
                 if not sparts:
                     break
+                if sparts[0] == "functional_kudu":
+                    raise ImpalaUnsupportedError(
+                        "Cloning a Kudu table using CREATE TABLE LIKE "
+                        "is not supported."
+                    )
                 if len(sparts) >= 2 and not known_table(sparts[0]) \
                         and not _is_known_test_db(sparts[0]):
                     raise ImpalaUnsupportedError(
@@ -9566,15 +9716,73 @@ def _check_strict_ddl_columns(tokens: list[Token]) -> None:
                     "Columns cannot be specified with an external "
                     "Kudu table."
                 )
-                if any(
-                    tokens[s].kind == "word"
-                    and tokens[s].upper == "SELECT"
-                    for s in sig
-                ):
-                    raise ImpalaUnsupportedError(
-                        "CREATE TABLE AS SELECT is not supported for "
-                        "external Kudu tables."
-                    )
+            if is_external and any(
+                tokens[s].kind == "word" and tokens[s].upper == "SELECT"
+                for s in sig
+            ):
+                raise ImpalaUnsupportedError(
+                    "CREATE TABLE AS SELECT is not supported for "
+                    "external Kudu tables."
+                )
+            # Kudu CTAS: select-list column types must be Kudu-storable
+            # and scalar (resolved against the canned catalog)
+            sel_p = next(
+                (p for p, s in enumerate(sig)
+                 if tokens[s].kind == "word"
+                 and tokens[s].upper == "SELECT"), -1,
+            )
+            if sel_p != -1:
+                # CREATE TABLE <name>: message names the target
+                tgt7 = tokens[sig[2]].text.strip("`") \
+                    if len(sig) > 2 else "?"
+                from_p = next(
+                    (p for p in range(sel_p + 1, len(sig))
+                     if tokens[sig[p]].kind == "word"
+                     and tokens[sig[p]].upper == "FROM"), -1,
+                )
+                src_cols = None
+                if from_p != -1:
+                    fref = [
+                        tokens[sig[x]].text.strip("`").lower()
+                        for x in range(from_p + 1, min(
+                            from_p + 4, len(sig),
+                        ))
+                        if tokens[sig[x]].kind in ("word", "bident")
+                        or (tokens[sig[x]].kind == "op"
+                            and tokens[sig[x]].text == ".")
+                    ]
+                    if fref:
+                        src_cols = _CATALOG.get(fref[-1])
+                if src_cols and from_p != -1:
+                    for x in range(sel_p + 1, from_p):
+                        sx = sig[x]
+                        if tokens[sx].kind not in ("word", "bident"):
+                            continue
+                        if tokens[sx].upper == "AS":
+                            continue
+                        prev7 = sig[x - 1] if x > 0 else -1
+                        if prev7 != -1 and tokens[prev7].kind == "word" \
+                                and tokens[prev7].upper == "AS":
+                            continue  # the alias, not a source column
+                        cn7 = tokens[sx].text.strip("`").lower()
+                        ty7 = src_cols.get(cn7)
+                        if ty7 is None:
+                            continue
+                        if "<" in ty7:
+                            raise ImpalaUnsupportedError(
+                                f"Expr '{cn7}' in select list returns "
+                                f"a complex type '{ty7}'.\nOnly scalar "
+                                "types are allowed in the select list."
+                            )
+                        base7 = ty7.split("(")[0].upper()
+                        if base7 in (
+                            "TIMESTAMP", "CHAR", "VARCHAR", "DECIMAL",
+                        ):
+                            raise ImpalaUnsupportedError(
+                                f"Cannot create table '{tgt7}': Type "
+                                f"{ty7.upper()} is not supported in "
+                                "Kudu"
+                            )
     # --- multiple PRIMARY KEY markers in a CREATE TABLE column list ---
     if head == "CREATE":
         pk_count = 0
@@ -9887,6 +10095,7 @@ def _check_kudu_range_partitions(
         lc = _matching_paren(tokens, lo)
         items: list[str] = []  # rendered 'PARTITION VALUE = x' items
         checks: list[tuple[str, list[int]]] = []
+        all_eq_form = True
         for a, b in _split_top_level_commas(tokens, lo + 1, lc):
             s3 = [
                 x for x in range(a, b)
@@ -9900,8 +10109,10 @@ def _check_kudu_range_partitions(
             ) or not (
                 tokens[s3[2]].kind == "op" and tokens[s3[2]].text == "="
             ):
-                items = []
-                break  # bound forms (<=, VALUES): out of scope
+                # bound forms (<=, VALUES): value checks still apply to
+                # the = items, but the clause can't be fully rendered
+                all_eq_form = False
+                continue
             vspan = s3[3:]
             vtxt = re.sub(
                 r"\s+", "",
@@ -9911,16 +10122,18 @@ def _check_kudu_range_partitions(
             checks.append((vtxt, vspan))
         if not items:
             continue
-        rendered = (
-            "RANGE (" + ", ".join(rcols) + ") (" + ", ".join(items) + ")"
-        )
-        for rc in rcols:
-            if rc not in pk_list:
-                raise ImpalaUnsupportedError(
-                    f"Column '{rc}' in '{rendered}' is not a key "
-                    "column. Only key columns can be used in "
-                    "PARTITION BY."
-                )
+        if all_eq_form:
+            rendered = (
+                "RANGE (" + ", ".join(rcols) + ") ("
+                + ", ".join(items) + ")"
+            )
+            for rc in rcols:
+                if rc not in pk_list:
+                    raise ImpalaUnsupportedError(
+                        f"Column '{rc}' in '{rendered}' is not a key "
+                        "column. Only key columns can be used in "
+                        "PARTITION BY."
+                    )
         for vtxt, vspan in checks:
             if tokens[vspan[0]].kind == "op" \
                     and tokens[vspan[0]].text == "(":

@@ -108,6 +108,20 @@ TABLE_SCHEMAS: dict[str, dict[str, str]] = {
         "c": "MAP<STRING,INT>",
     },
     "complex_view": {"abc": "BIGINT", "xyz": "STRING"},
+    # functional.chars_tiny (fixed/var-length char columns) and
+    # functional.complextypes_fileformat (one column per complex kind),
+    # pinned by the Kudu CTAS type-compat tests (AnalyzeDDLTest)
+    "chars_tiny": {
+        "cs": "CHAR(5)",
+        "cl": "CHAR(140)",
+        "vc": "VARCHAR(32)",
+    },
+    "complextypes_fileformat": {
+        "id": "INT",
+        "s": "STRUCT<f1:STRING,f2:INT>",
+        "a": "ARRAY<INT>",
+        "m": "MAP<STRING,BIGINT>",
+    },
     # db-qualified fixture tables (addTestTable registrations in
     # AnalyzeStmtsTest.java:414-585,770-771): qualified keys resolve
     # only through the db.table path, never as bare names
