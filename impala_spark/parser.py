@@ -8973,6 +8973,107 @@ def _check_strict_ddl_columns(tokens: list[Token]) -> None:
                         t.upper, nums[0],
                         nums[1] if len(nums) > 1 else 0,
                     )
+    # --- CREATE TABLE ... STORED AS AVRO: schema requirements ---
+    if head == "CREATE":
+        avro_p = next(
+            (p for p, s in enumerate(sig)
+             if tokens[s].kind == "word" and tokens[s].upper == "AVRO"
+             and p >= 2
+             and tokens[sig[p - 1]].kind == "word"
+             and tokens[sig[p - 1]].upper == "AS"
+             and tokens[sig[p - 2]].kind == "word"
+             and tokens[sig[p - 2]].upper == "STORED"), -1,
+        )
+        if avro_p != -1:
+            props: dict[str, str] = {}
+            for p in range(avro_p, len(sig) - 2):
+                tk9 = tokens[sig[p]]
+                if tk9.kind == "string" and tk9.text[1:-1].startswith(
+                    "avro.schema.",
+                ) and tokens[sig[p + 1]].kind == "op" \
+                        and tokens[sig[p + 1]].text == "=" \
+                        and tokens[sig[p + 2]].kind == "string":
+                    props[tk9.text[1:-1]] = tokens[sig[p + 2]].text[1:-1]
+            has_cols = any(
+                tokens[sig[p]].kind == "op"
+                and tokens[sig[p]].text == "("
+                for p in range(2, avro_p - 2)
+            )
+            # target qualification for the literal-parse error text
+            tparts9 = []
+            for p in range(2, min(6, len(sig))):
+                t9 = tokens[sig[p]]
+                if t9.kind in ("word", "bident"):
+                    if t9.upper in ("IF", "NOT", "EXISTS", "EXTERNAL"):
+                        continue
+                    tparts9.append(t9.text.strip("`").lower())
+                    nx9 = sig[p + 1] if p + 1 < len(sig) else -1
+                    if not (nx9 != -1 and tokens[nx9].kind == "op"
+                            and tokens[nx9].text == "."):
+                        break
+            qual9 = ".".join(tparts9) if len(tparts9) >= 2 \
+                else f"default.{tparts9[0]}" if tparts9 else "default.?"
+            if not has_cols and not props:
+                raise ImpalaUnsupportedError(
+                    "An Avro table requires column definitions or an "
+                    "Avro schema."
+                )
+            if "avro.schema.literal" in props:
+                _check_avro_schema_literal(
+                    props["avro.schema.literal"], qual9,
+                )
+            elif "avro.schema.url" in props:
+                _check_avro_schema_url(props["avro.schema.url"])
+    # --- inline column options are Kudu-only: other formats reject ---
+    if head == "CREATE":
+        fmt_p = next(
+            (p for p, s in enumerate(sig)
+             if tokens[s].kind == "word"
+             and tokens[s].upper in _FILE_FORMATS
+             and tokens[s].upper != "KUDU"
+             and p >= 2
+             and tokens[sig[p - 1]].kind == "word"
+             and tokens[sig[p - 1]].upper == "AS"
+             and tokens[sig[p - 2]].kind == "word"
+             and tokens[sig[p - 2]].upper == "STORED"), -1,
+        )
+        if fmt_p != -1:
+            col_open8 = next(
+                (sig[p] for p in range(2, fmt_p - 2)
+                 if tokens[sig[p]].kind == "op"
+                 and tokens[sig[p]].text == "("), -1,
+            )
+            if col_open8 != -1:
+                cl8 = _matching_paren(tokens, col_open8)
+                for a, b in _split_top_level_commas(
+                    tokens, col_open8 + 1, cl8,
+                ):
+                    s8 = [
+                        x for x in range(a, b)
+                        if tokens[x].kind not in (
+                            "ws", "line_comment", "block_comment",
+                        )
+                    ]
+                    if len(s8) < 3 or tokens[s8[0]].kind not in (
+                        "word", "bident",
+                    ) or tokens[s8[0]].upper == "PRIMARY":
+                        continue
+                    item8 = untokenize(
+                        tokens[s8[0]:s8[-1] + 1]
+                    ).strip()
+                    if re.search(
+                        r"(?i)\b(primary\s+key|encoding|compression"
+                        r"|block_size|not\s+null)\b", item8,
+                    ):
+                        cn8 = tokens[s8[0]].text.strip("`").lower()
+                        rend8 = cn8 + " " + " ".join(
+                            w.upper() for w in item8.split()[1:]
+                        )
+                        raise ImpalaUnsupportedError(
+                            "Unsupported column options for file "
+                            f"format '{tokens[sig[fmt_p]].upper}': "
+                            f"'{rend8}'"
+                        )
     # --- CREATE DATA SOURCE / PRODUCED BY DATA SOURCE ---
     if head == "CREATE":
         for p, s in enumerate(sig):
@@ -9919,6 +10020,132 @@ def _check_strict_ddl_columns(tokens: list[Token]) -> None:
                     break
             break
     _ = is_view_as
+
+
+def _json_close_marker_error(text: str) -> tuple[str, str] | None:
+    """First mismatched JSON close marker: (found, expected) — the
+    shape of Jackson's 'Unexpected close marker' parse error."""
+    stack: list[str] = []
+    in_str = False
+    i = 0
+    while i < len(text):
+        c = text[i]
+        if in_str:
+            if c == "\\":
+                i += 2
+                continue
+            if c == '"':
+                in_str = False
+            i += 1
+            continue
+        if c == '"':
+            in_str = True
+        elif c in "{[":
+            stack.append(c)
+        elif c in "}]":
+            want = "{" if c == "}" else "["
+            if not stack or stack[-1] != want:
+                expected = "}" if stack and stack[-1] == "{" else "]"
+                return c, expected
+            stack.pop()
+        i += 1
+    return None
+
+
+def _check_avro_schema_literal(literal: str, qual: str) -> None:
+    """Avro schema-literal analysis against the reference's error
+    surface (catalog/AvroSchemaParser + HdfsTable schema loading)."""
+    import json
+
+    if literal == "":
+        raise ImpalaUnsupportedError(
+            f"Avro schema is null or empty: {qual}"
+        )
+    prefix = f"Error parsing Avro schema for table '{qual}': "
+    try:
+        schema = json.loads(literal)
+    except ValueError:
+        mk = _json_close_marker_error(literal)
+        if mk is not None:
+            raise ImpalaUnsupportedError(
+                prefix + "org.codehaus.jackson.JsonParseException: "
+                f"Unexpected close marker '{mk[0]}': "
+                f"expected '{mk[1]}'"
+            ) from None
+        raise ImpalaUnsupportedError(
+            prefix + "Invalid JSON schema"
+        ) from None
+    if not isinstance(schema, dict):
+        return
+    compact = json.dumps(schema, separators=(",", ":"))
+    if "type" not in schema:
+        raise ImpalaUnsupportedError(prefix + f"No type: {compact}")
+    if schema.get("type") == "record" and "fields" not in schema:
+        raise ImpalaUnsupportedError(
+            prefix + f"Record has no fields: {compact}"
+        )
+    if "name" not in schema:
+        raise ImpalaUnsupportedError(
+            prefix + f"No name in schema: {compact}"
+        )
+    for f in schema.get("fields", []) or []:
+        if not isinstance(f, dict):
+            continue
+        fty = f.get("type")
+        if isinstance(fty, dict) \
+                and fty.get("logicalType") == "decimal":
+            if "precision" not in fty:
+                raise ImpalaUnsupportedError(
+                    prefix + "No 'precision' property specified for "
+                    "'decimal' logicalType"
+                )
+            prec = fty.get("precision")
+            if isinstance(prec, int) and prec < 0:
+                raise ImpalaUnsupportedError(
+                    prefix + "Invalid decimal 'precision' property "
+                    f"value: {prec}"
+                )
+            sc = fty.get("scale")
+            if isinstance(sc, int) and sc < 0:
+                raise ImpalaUnsupportedError(
+                    prefix + "Invalid decimal 'scale' property "
+                    f"value: {sc}"
+                )
+        if isinstance(fty, list):
+            non_null = [x for x in fty if x != "null"]
+            if len(non_null) > 1:
+                raise ImpalaUnsupportedError(
+                    "Unsupported type 'union' of column "
+                    f"'{f.get('name')}'"
+                )
+
+
+def _check_avro_schema_url(url: str) -> None:
+    """avro.schema.url analysis over the canned warehouse fs."""
+    if url == "":
+        raise ImpalaUnsupportedError(
+            "Invalid avro.schema.url: . Can not create a Path from an "
+            "empty string"
+        )
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/]*)", url)
+    if m:
+        scheme, host = m.group(1).lower(), m.group(2)
+        if scheme not in _KNOWN_FS_SCHEMES:
+            raise ImpalaUnsupportedError(
+                f"Failed to read Avro schema at: {url}. "
+                f"No FileSystem for scheme: {scheme}"
+            )
+        if scheme == "hdfs" and host \
+                and not re.match(r"^[A-Za-z0-9._:-]+$", host):
+            raise ImpalaUnsupportedError(
+                f"Failed to read Avro schema at: {url}. "
+                f"Incomplete HDFS URI, no host: {url}"
+            )
+        return
+    if not url.startswith("/"):
+        raise ImpalaUnsupportedError(
+            f"Invalid avro.schema.url: {url}. Path does not exist."
+        )
 
 
 #: Kudu column-storage attribute value sets (catalog/KuduColumn.java)
