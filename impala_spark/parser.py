@@ -10400,6 +10400,219 @@ def _check_kudu_range_partitions(
                 )
 
 
+def _check_strict_on_alias_order(tokens: list[Token]) -> None:
+    """ON-clause expressions may only reference table aliases declared
+    at or before that join (TableRef.analyzeJoin: "can't reference an
+    alias that gets declared afterwards")."""
+    if _CATALOG is None:
+        return
+    for from_idx, end in _from_regions(tokens):
+        # (token position, alias) declarations in FROM order
+        decls: list[tuple[int, str]] = []
+        k = from_idx + 1
+        expecting = True
+        on_spans: list[tuple[int, int]] = []
+        while k < end:
+            t = tokens[k]
+            if t.kind in ("ws", "line_comment", "block_comment"):
+                k += 1
+                continue
+            if t.kind == "op" and t.text == "(":
+                close = _matching_paren(tokens, k)
+                k = (close + 1) if close != -1 else k + 1
+                continue
+            if t.kind == "op" and t.text == ",":
+                expecting = True
+                k += 1
+                continue
+            if t.kind == "word" and t.upper == "JOIN":
+                expecting = True
+                k += 1
+                continue
+            if t.kind == "word" and t.upper == "ON":
+                # span to the next top-level JOIN-ish keyword
+                j = k + 1
+                d = 0
+                while j < end:
+                    tj = tokens[j]
+                    if tj.kind == "op":
+                        if tj.text == "(":
+                            d += 1
+                        elif tj.text == ")":
+                            if d == 0:
+                                break
+                            d -= 1
+                    elif d == 0 and tj.kind == "word" and tj.upper in (
+                        "JOIN", "INNER", "LEFT", "RIGHT", "FULL",
+                        "CROSS", "ON", "USING",
+                    ):
+                        break
+                    j += 1
+                on_spans.append((k, j))
+                k = j
+                continue
+            if t.kind == "word" and t.upper in _CLAUSE_BOUNDARY:
+                break
+            if expecting and t.kind in ("word", "bident") and not (
+                t.kind == "word" and t.upper in _FROM_KEYWORDS
+            ):
+                # ref path, then optional alias
+                hi = k
+                p = _significant(tokens, k)
+                while p != -1 and p < end and tokens[p].kind == "op" \
+                        and tokens[p].text == ".":
+                    q = _significant(tokens, p)
+                    if q == -1 or tokens[q].kind not in (
+                        "word", "bident",
+                    ):
+                        break
+                    hi = q
+                    p = _significant(tokens, q)
+                alias = tokens[hi].text.strip("`").lower()
+                a_i = p
+                if a_i != -1 and a_i < end \
+                        and tokens[a_i].kind == "word" \
+                        and tokens[a_i].upper == "AS":
+                    a_i = _significant(tokens, a_i)
+                if (
+                    a_i != -1 and a_i < end
+                    and tokens[a_i].kind in ("word", "bident")
+                    and (tokens[a_i].kind == "bident"
+                         or tokens[a_i].upper not in _FROM_KEYWORDS)
+                ):
+                    alias = tokens[a_i].text.strip("`").lower()
+                    k = a_i + 1
+                else:
+                    k = hi + 1
+                decls.append((k, alias))
+                expecting = False
+                continue
+            k += 1
+        if not on_spans or not decls:
+            continue
+        for on_k, on_end in on_spans:
+            declared = {a for pos, a in decls if pos <= on_k}
+            later = {a for pos, a in decls if pos > on_k}
+            j = on_k + 1
+            while j < on_end:
+                t = tokens[j]
+                if t.kind in ("word", "bident") and j + 1 < on_end:
+                    nx = _significant(tokens, j)
+                    prev = _significant(tokens, j, -1)
+                    if nx != -1 and tokens[nx].kind == "op" \
+                            and tokens[nx].text == "." \
+                            and not (
+                                prev != -1
+                                and tokens[prev].kind == "op"
+                                and tokens[prev].text == "."
+                            ):
+                        root = t.text.strip("`").lower()
+                        if root in later and root not in declared:
+                            # full dotted path as written
+                            parts = [t.text.strip("`")]
+                            q = nx
+                            while q != -1 and q < on_end \
+                                    and tokens[q].kind == "op" \
+                                    and tokens[q].text == ".":
+                                r = _significant(tokens, q)
+                                if r == -1 or tokens[r].kind not in (
+                                    "word", "bident",
+                                ):
+                                    break
+                                parts.append(tokens[r].text.strip("`"))
+                                q = _significant(tokens, r)
+                            raise ImpalaUnsupportedError(
+                                "Could not resolve column/field "
+                                f"reference: '{'.'.join(parts)}'"
+                            )
+                j += 1
+
+
+def _check_strict_inline_view_labels(tokens: list[Token]) -> None:
+    """Star-expanded inline views must not produce duplicate column
+    labels (InlineViewRef.analyze: 'duplicated inline view column
+    alias')."""
+    if _CATALOG is None:
+        return
+    blocks = _select_blocks(tokens)
+    for from_idx, end in _from_regions(tokens):
+        k = from_idx + 1
+        while k < end:
+            t = tokens[k]
+            if t.kind == "op" and t.text == "(":
+                close = _matching_paren(tokens, k)
+                if close == -1:
+                    break
+                inner_sel = _significant(tokens, k)
+                a_i = _significant(tokens, close)
+                if inner_sel == -1 or not (
+                    tokens[inner_sel].kind == "word"
+                    and tokens[inner_sel].upper == "SELECT"
+                ) or a_i == -1 or a_i >= end \
+                        or tokens[a_i].kind not in ("word", "bident"):
+                    k = close + 1
+                    continue
+                if tokens[a_i].kind == "word" \
+                        and tokens[a_i].upper == "AS":
+                    a_i = _significant(tokens, a_i)
+                if a_i == -1 or tokens[a_i].kind not in (
+                    "word", "bident",
+                ):
+                    k = close + 1
+                    continue
+                valias = tokens[a_i].text.strip("`").lower()
+                blk = next(
+                    (b for b in blocks if b[0] == inner_sel), None,
+                )
+                if blk is None:
+                    k = close + 1
+                    continue
+                _sel, bfrom, bend = blk
+                ls = _significant(tokens, inner_sel)
+                sigl = [
+                    x for x in range(ls, bfrom)
+                    if tokens[x].kind not in (
+                        "ws", "line_comment", "block_comment",
+                    )
+                ] if ls != -1 and bfrom != -1 else []
+                if len(sigl) == 1 and tokens[sigl[0]].kind == "op" \
+                        and tokens[sigl[0]].text == "*" \
+                        and bfrom != -1:
+                    # clamp at the first top-level ON: its parenthesized
+                    # expr would read as an uncataloged source, and all
+                    # join sources precede it anyway (JOIN t2 b ON ...)
+                    send = min(bend, close)
+                    d9 = 0
+                    for x in range(bfrom + 1, send):
+                        tx = tokens[x]
+                        if tx.kind == "op":
+                            if tx.text == "(":
+                                d9 += 1
+                            elif tx.text == ")":
+                                d9 -= 1
+                        elif d9 == 0 and tx.kind == "word" \
+                                and tx.upper == "ON":
+                            send = x
+                            break
+                    amap, unknown, _al = _block_from_sources(
+                        tokens, bfrom, send,
+                    )
+                    if not unknown and len(amap) >= 2:
+                        seen: set[str] = set()
+                        for tbl in amap.values():
+                            for c in (_CATALOG.get(tbl) or {}):
+                                if c in seen:
+                                    raise ImpalaUnsupportedError(
+                                        "duplicated inline view "
+                                        f"column alias: '{c}' in "
+                                        f"inline view '{valias}'"
+                                    )
+                                seen.add(c)
+                k = close + 1
+                continue
+            k += 1
+
+
 def _check_strict_table_path_refs(tokens: list[Token]) -> None:
     """FROM-clause path resolution against the bound catalog
     (Analyzer.java:846-855 TABLE_REF rules + QueryStmt.java:140-156
@@ -10656,6 +10869,20 @@ def _check_strict_table_path_refs(tokens: list[Token]) -> None:
             elif len(parts) >= 2 and parts[1].lower() in _CATALOG:
                 tbl, rest = parts[1].lower(), parts[2:]
             if tbl is None:
+                # the functional db's table set IS the canned catalog:
+                # a functional.<name> ref outside every known namespace
+                # is unresolvable (e.g. ALTER VIEW ... AS SELECT over a
+                # missing source)
+                if len(parts) == 2 and p0 == "functional" and not (
+                    parts[1].lower() in _CATALOG
+                    or parts[1].lower() in _TEST_WAREHOUSE_BARE_NAMES
+                    or parts[1].lower() in _WAREHOUSE_REAL_EXTRA
+                    or parts[1].lower() in _WAREHOUSE_VIEWS
+                ):
+                    raise ImpalaUnsupportedError(
+                        "Could not resolve table reference: "
+                        f"'{'.'.join(parts)}'"
+                    )
                 continue
             if not rest:
                 aliases.append(((alias or parts[-1].lower()), "table", tbl,
@@ -13820,6 +14047,8 @@ def _translate_checked(tokens: list[Token], sql: str, strict: bool) -> str:
         _check_strict_ddl_refs(tokens)
         _check_strict_ddl_columns(tokens)
         _check_strict_table_path_refs(tokens)
+        _check_strict_on_alias_order(tokens)
+        _check_strict_inline_view_labels(tokens)
         _check_strict_ref_ambiguity(tokens)
         _check_strict_complex_types(tokens)
         _check_strict_subquery_clauses(tokens)
