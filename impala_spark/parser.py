@@ -10783,6 +10783,16 @@ def _check_strict_table_path_refs(tokens: list[Token]) -> None:
             raw = re.sub(r"\s*\.\s*", ".", raw)
             rendered_ref = raw + ((" " + alias) if alias else "")
             p0 = parts[0].lower()
+            # a registered alias that itself contains a dot (backquoted)
+            # makes a longer path ambiguous when its first segment is
+            # ALSO an alias (Analyzer.resolvePath candidate ambiguity)
+            if len(parts) >= 2:
+                two_seg = f"{p0}.{parts[1].lower()}"
+                if resolve_root(p0, path_lo) is not None \
+                        and resolve_root(two_seg, path_lo) is not None:
+                    raise ImpalaUnsupportedError(
+                        f"Table reference is ambiguous: '{raw}'"
+                    )
             root = resolve_root(p0, path_lo)
             if root is not None:
                 kind, payload, def_span = root
@@ -10817,6 +10827,20 @@ def _check_strict_table_path_refs(tokens: list[Token]) -> None:
                 else:
                     ty = None
                 if ty is None:
+                    # alias-rooted interpretation failed — the
+                    # db-qualified catalog interpretation may still
+                    # resolve (the reference races both candidates),
+                    # and its alias must register for later ambiguity
+                    if len(parts) == 2:
+                        q_tbl = f"{p0}.{parts[1].lower()}"
+                        if q_tbl in _CATALOG:
+                            aliases.append((
+                                (alias or parts[-1].lower()), "table",
+                                q_tbl, path_lo, scope,
+                            ))
+                            ref_evidence.append(
+                                (scope, True, None, rendered_ref)
+                            )
                     continue
                 if not _is_collection_type(ty):
                     raise ImpalaUnsupportedError(
