@@ -24,7 +24,11 @@ QUERIES = [
 
 @pytest.mark.parametrize("name", QUERIES)
 def test_result_invariant_under_partitioning(spark, sf_dir, name):
+    import os
+
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    # the small-query posture would otherwise own the knob we are testing
+    os.environ["SPARK_GRAFT_DISABLE_SMALL_POSTURE"] = "1"
     try:
         results = []
         for parts in ("5", "32"):
@@ -35,5 +39,24 @@ def test_result_invariant_under_partitioning(spark, sf_dir, name):
         assert results[0] == results[1], f"{name} varies with partition count"
         assert len(results[0]) > 0
     finally:
+        os.environ.pop("SPARK_GRAFT_DISABLE_SMALL_POSTURE", None)
         spark.conf.set("spark.sql.shuffle.partitions", old)
         _PLAN_CACHE.clear()
+
+
+def test_small_query_posture_per_family(spark, sf_dir):
+    """The reference-style small-query fast path is per-FAMILY: below
+    SMALL_QUERY_BYTES, relational statements plan with ONE shuffle
+    partition (no RangePartitioner sampling job, Impala's single-node
+    shape) while compute-parallel DataFrame ops keep the session
+    default (r6: global narrowing regressed the LLM ops)."""
+    _PLAN_CACHE.clear()
+    SPARK_QUERIES["pricing_summary"](spark, sf_dir)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
+    SPARK_QUERIES["llm_dedup_exact"](spark, sf_dir)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
+    # and the single-partition relational plan executes correctly
+    _PLAN_CACHE.clear()
+    rows = SPARK_QUERIES["pricing_summary"](spark, sf_dir).collect()
+    assert len(rows) == 6
+    _PLAN_CACHE.clear()
