@@ -10400,6 +10400,80 @@ def _check_kudu_range_partitions(
                 )
 
 
+def _check_strict_union_arm_types(tokens: list[Token]) -> None:
+    """Set-operation arms must agree positionally on assignment-
+    compatible column types (StmtRewriter/Analyzer castAllToCompatible
+    over UnionStmt operands). Only statically-resolvable items are
+    compared: catalog-typed bare columns and typed literals/exprs."""
+    if _CATALOG is None:
+        return
+    blocks = _select_blocks(tokens)
+    if len(blocks) < 2:
+        return
+
+    def arm_item_types(blk) -> list[tuple[str, str]] | None:
+        sel_idx, from_idx, end = blk
+        if from_idx == -1:
+            return None
+        ls = _significant(tokens, sel_idx)
+        if ls == -1:
+            return None
+        if tokens[ls].kind == "word" and tokens[ls].upper in (
+            "DISTINCT", "ALL",
+        ):
+            ls = _significant(tokens, ls)
+        amap, unknown, _al = _block_from_sources(tokens, from_idx, end)
+        out: list[tuple[str, str]] = []
+        for a, b in _split_top_level_commas(tokens, ls, from_idx):
+            s2 = [
+                x for x in range(a, b)
+                if tokens[x].kind not in (
+                    "ws", "line_comment", "block_comment",
+                )
+            ]
+            if not s2:
+                return None
+            txt = untokenize(tokens[s2[0]:s2[-1] + 1]).strip()
+            ty = None
+            if len(s2) == 1 and tokens[s2[0]].kind in ("word", "bident"):
+                cn = tokens[s2[0]].text.strip("`").lower()
+                if not unknown and len(amap) == 1:
+                    tbl = next(iter(amap.values()))
+                    ty = (_CATALOG.get(tbl) or {}).get(cn)
+            if ty is None:
+                ty = _span_static_type(tokens, s2[0], s2[-1])
+            if ty is None or "<" in (ty or ""):
+                return None  # untyped or complex: stay permissive
+            out.append((ty.upper(), txt))
+        return out
+
+    # consecutive select blocks separated only by UNION [ALL|DISTINCT]
+    for i in range(len(blocks) - 1):
+        a_blk, b_blk = blocks[i], blocks[i + 1]
+        gap = [
+            x for x in range(a_blk[2], b_blk[0])
+            if tokens[x].kind not in (
+                "ws", "line_comment", "block_comment",
+            )
+        ]
+        if not gap or not all(
+            tokens[x].kind == "word"
+            and tokens[x].upper in ("UNION", "ALL", "DISTINCT")
+            for x in gap
+        ):
+            continue
+        ta = arm_item_types(a_blk)
+        tb = arm_item_types(b_blk)
+        if ta is None or tb is None or len(ta) != len(tb):
+            continue
+        for (ty1, e1), (ty2, e2) in zip(ta, tb):
+            if _assignment_compatible(ty1, ty2) is None:
+                raise ImpalaUnsupportedError(
+                    f"Incompatible return types '{ty1}' and '{ty2}' "
+                    f"of exprs '{e1}' and '{e2}'."
+                )
+
+
 def _check_strict_on_alias_order(tokens: list[Token]) -> None:
     """ON-clause expressions may only reference table aliases declared
     at or before that join (TableRef.analyzeJoin: "can't reference an
@@ -14073,6 +14147,7 @@ def _translate_checked(tokens: list[Token], sql: str, strict: bool) -> str:
         _check_strict_table_path_refs(tokens)
         _check_strict_on_alias_order(tokens)
         _check_strict_inline_view_labels(tokens)
+        _check_strict_union_arm_types(tokens)
         _check_strict_ref_ambiguity(tokens)
         _check_strict_complex_types(tokens)
         _check_strict_subquery_clauses(tokens)
