@@ -31,9 +31,9 @@ def main() -> None:
                    "tools/gen_sf1.py chained (sf0.1 -> sf1 -> sf10)",
         "posture": "32 MB scan splits (SPARK_GRAFT_MAX_PARTITION_BYTES "
                    "default), shuffle.partitions 32 (above the 64 MB "
-                   "small-input gate), AQE+bloom on (above 1 GiB: "
-                   "on; this dir is 0.96 GiB so bloom/AQE follow "
-                   "SMALL_QUERY_BYTES)",
+                   "single-partition gate), AQE + runtime bloom filters "
+                   "ON (0.96 GiB input is above the 512 MB small-query "
+                   "gate)",
         "loadavg_before_spark": spark.get("loadavg_before_spark"),
         "contaminated": spark.get("contaminated"),
         "spark_total_sec": round(total_s, 3),
