@@ -150,8 +150,13 @@ def main() -> None:
                 # above 2 on this box means other tenants were consuming
                 # cores before our JVM started — totals carry external
                 # contention and must be read against BASELINE.md's
-                # idle-box bands, not as absolutes
-                "contaminated": load_at_start[0] > 2.0,
+                # idle-box bands, not as absolutes. The 5-min average
+                # catches tenants that paused just long enough to fool
+                # the 1-min sample (measured: load [0.41, 7.99, ...]
+                # still inflated pricing_summary 2x).
+                "contaminated": (
+                    load_at_start[0] > 2.0 or load_at_start[1] > 4.0
+                ),
                 "ncpus": os.cpu_count(),
                 "value": round(total, 3),
                 "unit": "sec",
