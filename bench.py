@@ -63,6 +63,22 @@ def main() -> None:
     # query uniformly (BENCH_r06 was +21% over idle-box bands purely from
     # co-running sweeps). Recorded in the JSON so noisy runs are
     # flaggable without re-running.
+    #
+    # Best-effort quiet-window wait (honesty, not gaming: it only delays
+    # the start, never edits samples): external tenants on this box come
+    # and go within minutes, so waiting up to QUIET_WAIT_SECS for the
+    # 1-min loadavg to drop below 2 turns many would-be-contaminated
+    # records into clean ones. Skippable via SPARK_GRAFT_NO_QUIET_WAIT.
+    quiet_wait = 0 if os.environ.get("SPARK_GRAFT_NO_QUIET_WAIT") else int(
+        os.environ.get("SPARK_GRAFT_QUIET_WAIT_SECS", "180")
+    )
+    waited = 0
+    try:
+        while waited < quiet_wait and os.getloadavg()[0] > 2.0:
+            time.sleep(15)
+            waited += 15
+    except OSError:
+        pass
     try:
         load_at_start = [round(x, 2) for x in os.getloadavg()]
     except OSError:
