@@ -10400,6 +10400,105 @@ def _check_kudu_range_partitions(
                 )
 
 
+#: Impala builtin function names beyond the typed signature tables —
+#: the names-only registry (public Impala docs / BuiltinsDb surface),
+#: used to reject unknown function names with the reference's
+#: "default.fn() unknown" text when the canned catalog is bound.
+_EXTRA_BUILTIN_NAMES = frozenset({
+    # conditional
+    "nvl2", "nullifzero", "zeroifnull", "isfalse", "istrue",
+    "isnotfalse", "isnottrue", "nonnullvalue", "nullvalue",
+    # math
+    "atan2", "bin", "conv", "cosh", "cot", "dceil", "dexp", "dfloor",
+    "dlog1", "dlog10", "dpow", "dsqrt", "factorial", "fmod", "fnv_hash",
+    "hex", "unhex", "is_inf", "is_nan", "murmur_hash", "negative",
+    "positive", "quotient", "rand", "random", "sinh", "tanh",
+    "width_bucket", "abs",
+    # string
+    "base64decode", "base64encode", "btrim", "char_length",
+    "character_length", "find_in_set", "get_json_object",
+    "jaro_distance", "jaro_dist", "jaro_similarity", "jaro_sim",
+    "jaro_winkler_distance", "jaro_winkler_similarity", "left", "right",
+    "levenshtein", "le_dst", "parse_url", "regexp_escape",
+    "regexp_like", "split_part", "space", "strleft", "strright",
+    "effective_user", "logged_in_user",
+    # date/time
+    "add_months", "adddate", "current_date", "date_part", "date_trunc",
+    "dayname", "dayofmonth", "dayofweek", "dayofyear", "days_add",
+    "days_sub", "extract", "from_timestamp", "from_utc_timestamp",
+    "hours_add", "hours_sub", "int_months_between", "last_day",
+    "localtime", "localtimestamp", "microsecond", "microseconds_add",
+    "microseconds_sub", "millisecond", "milliseconds_add",
+    "milliseconds_sub", "minutes_add", "minutes_sub", "months_add",
+    "months_sub", "months_between", "nanosecond", "nanoseconds_add",
+    "nanoseconds_sub", "next_day", "quarter", "seconds_add",
+    "seconds_sub", "subdate", "timeofday", "timestamp_cmp",
+    "to_timestamp", "to_utc_timestamp", "utc_timestamp", "weekofyear",
+    "week", "weeks_add", "weeks_sub", "years_add", "years_sub",
+    # bit manipulation
+    "bitand", "bitnot", "bitor", "bitxor", "countset", "getbit",
+    "rotateleft", "rotateright", "setbit", "shiftleft", "shiftright",
+    # math/string aliases and bounds
+    "ceiling", "trunc", "lcase", "ucase",
+    "max_tinyint", "min_tinyint", "max_smallint", "min_smallint",
+    "max_int", "min_int", "max_bigint", "min_bigint",
+    # hashes / misc
+    "md5", "sha1", "sha2", "crc32", "coordinator", "current_database",
+    "current_session", "current_user", "database", "pid", "sleep",
+    "typeof", "uuid", "version", "user",
+    # aggregates / analytic extras
+    "grouping", "grouping_id", "percentile_disc", "percentile_cont",
+    "corr", "covar_pop", "covar_samp", "regr_slope", "regr_intercept",
+    "regr_count", "regr_r2", "regr_avgx", "regr_avgy",
+})
+
+
+def _check_strict_unknown_functions(tokens: list[Token]) -> None:
+    """Unknown function names in select lists fail the catalog lookup
+    (Analyzer.getFunction: "default.fn() unknown"). Closed-world check:
+    only when the canned catalog is bound — the live engine leaves
+    unknown-function detection to its own analysis layer."""
+    if _CATALOG is None:
+        return
+    known = (
+        set(_KNOWN_SCALAR_FNS) | set(_ZERO_ARG_SCALAR_FNS)
+        | set(_FN_SIGS) | set(_AGG_FUNC_NAMES)
+        | set(_ANALYTIC_ONLY_FNS) | _EXTRA_BUILTIN_NAMES
+    )
+    skip_words = frozenset({
+        "CAST", "EXTRACT", "DATE_PART", "CASE", "WHEN", "AND", "OR",
+        "NOT", "IN", "EXISTS", "VALUES", "OVER", "INTERVAL", "DISTINCT",
+        "ALL", "AS", "THEN", "ELSE", "END", "BETWEEN", "LIKE", "RLIKE",
+        "REGEXP", "ILIKE", "IREGEXP", "IS", "SELECT", "IF",
+        # parameterized type names inside CAST/type positions
+        "VARCHAR", "CHAR", "DECIMAL", "DEC", "NUMERIC", "STRING", "INT",
+        "INTEGER", "BIGINT", "SMALLINT", "TINYINT", "FLOAT", "DOUBLE",
+        "REAL", "BOOLEAN", "TIMESTAMP", "DATE", "DATETIME", "BINARY",
+        "ARRAY", "MAP", "STRUCT",
+    })
+    for sel_idx, from_idx, _end in _select_blocks(tokens):
+        stop = from_idx if from_idx != -1 else _end
+        for k in range(sel_idx + 1, stop):
+            t = tokens[k]
+            if t.kind != "word" or t.upper in skip_words:
+                continue
+            nx = _significant(tokens, k)
+            if nx == -1 or nx >= stop or tokens[nx].kind != "op" \
+                    or tokens[nx].text != "(":
+                continue
+            prev = _significant(tokens, k, -1)
+            if prev != -1 and tokens[prev].kind == "op" \
+                    and tokens[prev].text == ".":
+                continue  # qualified: handled by the db-qualified check
+            fn = t.text.lower()
+            if fn in known or not _VALID_NAME_RE.match(fn):
+                continue
+            if ("default", fn) in _TEST_USER_FNS \
+                    or ("default", fn) in _TEST_USER_UDAS:
+                continue
+            raise ImpalaUnsupportedError(f"default.{fn}() unknown")
+
+
 def _check_strict_union_arm_types(tokens: list[Token]) -> None:
     """Set-operation arms must agree positionally on assignment-
     compatible column types (StmtRewriter/Analyzer castAllToCompatible
@@ -14148,6 +14247,7 @@ def _translate_checked(tokens: list[Token], sql: str, strict: bool) -> str:
         _check_strict_on_alias_order(tokens)
         _check_strict_inline_view_labels(tokens)
         _check_strict_union_arm_types(tokens)
+        _check_strict_unknown_functions(tokens)
         _check_strict_ref_ambiguity(tokens)
         _check_strict_complex_types(tokens)
         _check_strict_subquery_clauses(tokens)
