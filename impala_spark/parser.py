@@ -3298,6 +3298,10 @@ def _check_strict_subquery_predicates(tokens: list[Token]) -> None:
                     )
         t1 = _expr_type(tokens, lhs, li)
         t2 = _expr_type(tokens, ri, rhs)
+        if t1 is None:
+            t1 = _scalar_subquery_type(tokens, lhs, li)
+        if t2 is None:
+            t2 = _scalar_subquery_type(tokens, ri, rhs)
         if t1 is not None and t2 is not None \
                 and _assignment_compatible(t1, t2) is None:
             raise ImpalaUnsupportedError(
@@ -3528,6 +3532,61 @@ _CONST_EXPR_WORDS = frozenset({
     "MONTHS", "WEEK", "WEEKS", "DAY", "DAYS", "HOUR", "HOURS", "MINUTE",
     "MINUTES", "SECOND", "SECONDS",
 })
+
+
+def _scalar_subquery_type(tokens: list[Token], lo: int, hi: int) -> str | None:
+    """Output type of a span that is exactly a parenthesized scalar
+    subquery of the canned-catalog shape `(select AGG(col) from tbl)` —
+    min/max take the column's type, count/ndv are BIGINT, avg DOUBLE.
+    None for every other shape (stay permissive)."""
+    if _CATALOG is None or lo == -1 or hi == -1:
+        return None
+    if not (tokens[lo].kind == "op" and tokens[lo].text == "("
+            and _matching_paren(tokens, lo) == hi):
+        return None
+    s = [
+        x for x in range(lo + 1, hi)
+        if tokens[x].kind not in ("ws", "line_comment", "block_comment")
+    ]
+    # select AGG ( col ) from [db .] tbl
+    if len(s) < 7 or tokens[s[0]].upper != "SELECT":
+        return None
+    if tokens[s[1]].kind != "word":
+        return None
+    agg = tokens[s[1]].text.lower()
+    if agg not in ("min", "max", "count", "ndv", "avg"):
+        return None
+    if not (tokens[s[2]].kind == "op" and tokens[s[2]].text == "("):
+        return None
+    cl = _matching_paren(tokens, s[2])
+    inner = [x for x in s if s[2] < x < cl]
+    after = [x for x in s if x > cl]
+    if not after or tokens[after[0]].upper != "FROM":
+        return None
+    ref = [
+        tokens[x].text.strip("`").lower()
+        for x in after[1:]
+        if tokens[x].kind in ("word", "bident")
+    ]
+    if not ref or any(
+        tokens[x].kind == "word" and tokens[x].upper in (
+            "GROUP", "WHERE", "HAVING", "JOIN", "UNION",
+        ) for x in after[1:]
+    ):
+        return None
+    if agg in ("count", "ndv"):
+        return "BIGINT"
+    if agg == "avg":
+        return "DOUBLE"
+    if len(inner) != 1 or tokens[inner[0]].kind not in ("word", "bident"):
+        return None
+    cols = _CATALOG.get(ref[-1])
+    if cols is None:
+        return None
+    ty = cols.get(tokens[inner[0]].text.strip("`").lower())
+    if ty is None or "<" in ty:
+        return None
+    return ty.split("(")[0].upper()
 
 
 def _span_is_constant_expr(tokens: list[Token], a: int, b: int) -> bool:
