@@ -83,6 +83,16 @@ def main() -> None:
         load_at_start = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         load_at_start = [-1.0, -1.0, -1.0]
+    # CPU canary: a fixed single-thread workload timed before Spark
+    # starts. Hypervisor steal does NOT show up in loadavg (observed: a
+    # [0.54, 0.67] run with every query uniformly 2x its idle band); a
+    # slow canary is direct evidence the physical cores are
+    # oversubscribed. Idle reference on this box: ~0.10-0.15 s.
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(2_000_000):
+        acc = (acc * 1103515245 + i) & 0xFFFFFFFF
+    cpu_canary = round(time.perf_counter() - t0, 3)
     spark = get_spark("impala_spark_bench")
     # Warm pass: run every headline query once so the measured passes see
     # steady state — parquet footers cached, plans compiled, JIT'd code.
@@ -172,7 +182,12 @@ def main() -> None:
                 # still inflated pricing_summary 2x).
                 "contaminated": (
                     load_at_start[0] > 2.0 or load_at_start[1] > 4.0
+                    or cpu_canary > 0.4
                 ),
+                # single-thread canary: ~0.10-0.15 s when this box's
+                # physical cores are actually available; 2x that means
+                # hypervisor steal even at loadavg ~0
+                "cpu_canary_sec": cpu_canary,
                 "ncpus": os.cpu_count(),
                 "value": round(total, 3),
                 "unit": "sec",
