@@ -41,13 +41,14 @@ def register(name: str, oracle: str | None = None, cache: bool = False):
             def cached(spark: SparkSession, sf_dir: str) -> DataFrame:
                 from impala_spark.session import (
                     _session_token,
-                    apply_query_posture,
+                    posture_session,
                 )
 
                 # DataFrame-built ops are the compute-parallel family:
-                # restore the session shuffle-partition default in case
-                # a preceding relational statement narrowed it to 1
-                apply_query_posture(spark, sf_dir, "parallel")
+                # a session PINNED at the shuffle-partition default (the
+                # posture rides the DataFrame; interleaved relational
+                # builds can no longer narrow it to 1 — r8 ADVICE)
+                spark = posture_session(spark, sf_dir, "parallel")
                 key = (_session_token(spark), sf_dir, name)
                 df = _PLAN_CACHE.get(key)
                 if df is None:
@@ -60,9 +61,9 @@ def register(name: str, oracle: str | None = None, cache: bool = False):
             SPARK_QUERIES[name] = cached
         else:
             def uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
-                from impala_spark.session import apply_query_posture
+                from impala_spark.session import posture_session
 
-                apply_query_posture(spark, sf_dir, "parallel")
+                spark = posture_session(spark, sf_dir, "parallel")
                 return fn(spark, sf_dir)
 
             uncached.__name__ = fn.__name__
@@ -93,12 +94,12 @@ def sql_query(name: str, impala_sql: str, oracle: str | None = None) -> None:
     """Register an Impala-dialect SQL query; oracle defaults to same text."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from impala_spark.session import _session_token, apply_query_posture
+        from impala_spark.session import _session_token, posture_session
 
         # relational statement: small-input single-node fast path
-        # (1 shuffle partition below SMALL_QUERY_BYTES — see
-        # session.apply_query_posture)
-        apply_query_posture(spark, sf_dir, "relational")
+        # (1 shuffle partition on a conf-pinned cloned session — see
+        # session.posture_session)
+        spark = posture_session(spark, sf_dir, "relational")
         key = (_session_token(spark), sf_dir, name)
         df = _PLAN_CACHE.get(key)
         if df is None:

@@ -51,9 +51,17 @@ def test_small_query_posture_per_family(spark, sf_dir):
     shape) while compute-parallel DataFrame ops keep the session
     default (r6: global narrowing regressed the LLM ops)."""
     _PLAN_CACHE.clear()
-    SPARK_QUERIES["pricing_summary"](spark, sf_dir)
-    assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
-    SPARK_QUERIES["llm_dedup_exact"](spark, sf_dir)
+    # the posture rides each DataFrame's own conf-pinned session (r9:
+    # build-time session-global mutation raced interleaved families);
+    # the parent session's conf is never touched
+    rel_df = SPARK_QUERIES["pricing_summary"](spark, sf_dir)
+    assert (
+        rel_df.sparkSession.conf.get("spark.sql.shuffle.partitions") == "1"
+    )
+    par_df = SPARK_QUERIES["llm_dedup_exact"](spark, sf_dir)
+    assert (
+        par_df.sparkSession.conf.get("spark.sql.shuffle.partitions") == "32"
+    )
     assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
     # and the single-partition relational plan executes correctly
     _PLAN_CACHE.clear()
