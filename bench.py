@@ -57,18 +57,21 @@ def _materialize(df) -> int:
         return len(df.collect())
 
 
-def main() -> None:
-    # Contamination evidence (sampled BEFORE Spark starts, so it measures
-    # other tenants, not our own executors): a loaded box inflates every
-    # query uniformly (BENCH_r06 was +21% over idle-box bands purely from
-    # co-running sweeps). Recorded in the JSON so noisy runs are
-    # flaggable without re-running.
-    #
-    # Best-effort quiet-window wait (honesty, not gaming: it only delays
-    # the start, never edits samples): external tenants on this box come
-    # and go within minutes, so waiting up to QUIET_WAIT_SECS for the
-    # 1-min loadavg to drop below 2 turns many would-be-contaminated
-    # records into clean ones. Skippable via SPARK_GRAFT_NO_QUIET_WAIT.
+def _quiet_wait_and_sample() -> tuple[list[float], float]:
+    """Best-effort quiet-window wait + contamination evidence.
+
+    The wait is honesty, not gaming: it only delays the start, never
+    edits samples — external tenants on this box come and go within
+    minutes, so waiting up to QUIET_WAIT_SECS for the 1-min loadavg to
+    drop below 2 turns many would-be-contaminated records into clean
+    ones. Skippable via SPARK_GRAFT_NO_QUIET_WAIT.
+
+    Returns (loadavg triple, cpu canary seconds). The canary is a fixed
+    single-thread workload: hypervisor steal does NOT show up in loadavg
+    (observed: a [0.54, 0.67] run with every query uniformly 2x its idle
+    band); a slow canary is direct evidence the physical cores are
+    oversubscribed. Idle reference on this box: ~0.10-0.15 s.
+    """
     quiet_wait = 0 if os.environ.get("SPARK_GRAFT_NO_QUIET_WAIT") else int(
         os.environ.get("SPARK_GRAFT_QUIET_WAIT_SECS", "180")
     )
@@ -83,16 +86,27 @@ def main() -> None:
         load_at_start = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         load_at_start = [-1.0, -1.0, -1.0]
-    # CPU canary: a fixed single-thread workload timed before Spark
-    # starts. Hypervisor steal does NOT show up in loadavg (observed: a
-    # [0.54, 0.67] run with every query uniformly 2x its idle band); a
-    # slow canary is direct evidence the physical cores are
-    # oversubscribed. Idle reference on this box: ~0.10-0.15 s.
     t0 = time.perf_counter()
     acc = 0
     for i in range(2_000_000):
         acc = (acc * 1103515245 + i) & 0xFFFFFFFF
     cpu_canary = round(time.perf_counter() - t0, 3)
+    return load_at_start, cpu_canary
+
+
+def _is_contaminated(load_at_start: list[float], cpu_canary: float) -> bool:
+    """Pre-start verdict, not just evidence: a 1-min loadavg above 2
+    means other tenants were consuming cores before our JVM started; the
+    5-min average catches tenants that paused just long enough to fool
+    the 1-min sample (measured: load [0.41, 7.99, ...] still inflated
+    pricing_summary 2x); the canary catches hypervisor steal."""
+    return (
+        load_at_start[0] > 2.0 or load_at_start[1] > 4.0 or cpu_canary > 0.4
+    )
+
+
+def main() -> None:
+    load_at_start, cpu_canary = _quiet_wait_and_sample()
     spark = get_spark("impala_spark_bench")
     # Warm pass: run every headline query once so the measured passes see
     # steady state — parquet footers cached, plans compiled, JIT'd code.
@@ -134,24 +148,73 @@ def main() -> None:
     # inside the same burst and the median can't reject it. Running the
     # whole suite three times spreads each query's samples across the
     # run — a burst now costs one sample, which the median discards.
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    rows_of: dict[str, int] = {}
-    for _pass in range(3):
+    # Best-of-N-windows retry (r8 verdict task #6): when the pre-start
+    # indicators flag contamination, re-wait for a quiet window and
+    # re-run the TIMED passes (bounded attempts) — keep the FIRST clean
+    # attempt. Every attempt's indicators are disclosed; if none is
+    # clean the lowest-total attempt is emitted with contaminated=true.
+    # This never edits samples: each attempt is a complete, honestly
+    # sampled suite run.
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+    attempts_log: list[dict] = []
+    best: dict | None = None
+    for attempt in range(1, max_attempts + 1):
+        if attempt > 1:
+            load_at_start, cpu_canary = _quiet_wait_and_sample()
+        samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+        rows_of: dict[str, int] = {}
+        for _pass in range(3):
+            for name in HEADLINE:
+                fn = SPARK_QUERIES[name]
+                _PLAN_CACHE.clear()  # force fresh plan + fresh shuffles
+                t0 = time.time()
+                rows_of[name] = _materialize(fn(spark, SF_DIR))
+                samples[name].append(time.time() - t0)
+        per_query: dict[str, float] = {}
+        per_query_min: dict[str, float] = {}
+        total = 0.0
         for name in HEADLINE:
-            fn = SPARK_QUERIES[name]
-            _PLAN_CACHE.clear()  # force fresh plan + fresh shuffles
-            t0 = time.time()
-            rows_of[name] = _materialize(fn(spark, SF_DIR))
-            samples[name].append(time.time() - t0)
-    per_query: dict[str, float] = {}
-    per_query_min: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        dt = round(sorted(samples[name])[1], 3)
-        per_query[name] = dt
-        per_query_min[name] = round(min(samples[name]), 3)
-        total += dt
-        print(f"# {name}: {dt}s ({rows_of[name]} rows)", file=sys.stderr)
+            dt = round(sorted(samples[name])[1], 3)
+            per_query[name] = dt
+            per_query_min[name] = round(min(samples[name]), 3)
+            total += dt
+            print(f"# {name}: {dt}s ({rows_of[name]} rows)", file=sys.stderr)
+        contaminated = _is_contaminated(load_at_start, cpu_canary)
+        attempts_log.append(
+            {
+                "attempt": attempt,
+                "loadavg_before": load_at_start,
+                "cpu_canary_sec": cpu_canary,
+                "contaminated": contaminated,
+                "total_sec": round(total, 3),
+            }
+        )
+        record = {
+            "load_at_start": load_at_start,
+            "cpu_canary": cpu_canary,
+            "contaminated": contaminated,
+            "per_query": per_query,
+            "per_query_min": per_query_min,
+            "total": total,
+            "attempt": attempt,
+        }
+        if best is None or record["total"] < best["total"]:
+            best = record
+        if not contaminated:
+            best = record
+            break
+        print(
+            f"# attempt {attempt} contaminated "
+            f"(load {load_at_start}, canary {cpu_canary}s)"
+            + (" - retrying in a quieter window" if attempt < max_attempts
+               else " - attempts exhausted"),
+            file=sys.stderr,
+        )
+    load_at_start = best["load_at_start"]
+    cpu_canary = best["cpu_canary"]
+    per_query = best["per_query"]
+    per_query_min = best["per_query_min"]
+    total = best["total"]
 
     repeated: dict[str, float] = {}
     rep_total = 0.0
@@ -182,18 +245,15 @@ def main() -> None:
                 "metric": "headline_suite_total",
                 "loadavg_before_spark": load_at_start,
                 "loadavg_after_run": load_at_end,
-                # verdict, not just evidence: a pre-Spark 1-min loadavg
-                # above 2 on this box means other tenants were consuming
-                # cores before our JVM started — totals carry external
-                # contention and must be read against BASELINE.md's
-                # idle-box bands, not as absolutes. The 5-min average
-                # catches tenants that paused just long enough to fool
-                # the 1-min sample (measured: load [0.41, 7.99, ...]
-                # still inflated pricing_summary 2x).
-                "contaminated": (
-                    load_at_start[0] > 2.0 or load_at_start[1] > 4.0
-                    or cpu_canary > 0.4
-                ),
+                # verdict per _is_contaminated: pre-start loadavg (1-min
+                # AND 5-min) + the steal canary — totals from a
+                # contaminated attempt must be read against BASELINE.md's
+                # idle-box bands, not as absolutes
+                "contaminated": _is_contaminated(load_at_start, cpu_canary),
+                # best-of-N-windows disclosure: every attempt's
+                # indicators and total; the emitted record is the first
+                # clean attempt (or the lowest-total one if none)
+                "attempts": attempts_log,
                 # single-thread canary: ~0.10-0.15 s when this box's
                 # physical cores are actually available; 2x that means
                 # hypervisor steal even at loadavg ~0
