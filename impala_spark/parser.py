@@ -7231,6 +7231,11 @@ _SCHEMA: dict[str, str] | None = None
 #: resolution for the nested-types analysis rules
 _CATALOG: dict[str, dict[str, str]] | None = None
 
+#: Session database the statement analyzes under (strict mode): the
+#: reference's createAnalyzer("db") test parameter / USE db state. None =
+#: unknown -> every session-db-dependent verdict stays permissive.
+_SESSION_DB: str | None = None
+
 
 def _split_type_args(inner: str) -> list[str]:
     """Split the <...> body of a rendered type at top-level commas."""
@@ -11052,11 +11057,26 @@ def _check_strict_table_path_refs(tokens: list[Token]) -> None:
                 is_outer_root = def_span != scope
                 if len(parts) == 1:
                     # re-reference of a table/view alias as a table ref —
-                    # but when the name is ALSO a catalog table it may
-                    # resolve to the table under the session's default db
-                    # (AnalyzeStmtsTest.java:1203-1211 pins both verdicts
-                    # depending on createAnalyzer's db), so skip then
-                    if kind in ("table", "view") and p0 not in _CATALOG:
+                    # unless the name ALSO resolves as a table under the
+                    # SESSION db, in which case the base table wins
+                    # ("Inner reference resolves to the base table, not
+                    # the implicit parent alias" — AnalyzeStmtsTest.java:
+                    # 1199-1211 pins both verdicts: AnalyzesOk under
+                    # createAnalyzer("functional"), AnalysisError under
+                    # the default session db). _SESSION_DB None = session
+                    # unknown: stay permissive (skip when the name is any
+                    # catalog table). The flat bare-name catalog models
+                    # the functional db, so an explicit session db
+                    # resolves bare names only when it IS functional or
+                    # has a db-qualified entry.
+                    resolves_as_base_table = (
+                        p0 in _CATALOG
+                        and _SESSION_DB in (None, "functional")
+                    ) or (
+                        _SESSION_DB is not None
+                        and f"{_SESSION_DB}.{p0}" in _CATALOG
+                    )
+                    if kind in ("table", "view") and not resolves_as_base_table:
                         # a WITH-clause view with this name resolves as a
                         # real table ref FIRST; registering its implicit
                         # alias then collides with the earlier one
@@ -11137,6 +11157,29 @@ def _check_strict_table_path_refs(tokens: list[Token]) -> None:
                     "Could not resolve table reference: "
                     f"'{'.'.join(parts)}'"
                 )
+            # session-db candidate race (Path.resolve): under an explicit
+            # session db, 'p0.p1...' is ALSO (session_db.p0 table).p1...
+            # — when BOTH the db-qualified and the session-relative
+            # interpretation resolve, the ref is ambiguous
+            # (AnalyzeStmtsTest TestTableRefPathAmbiguity: 'select 1
+            # from a.a' / 'a.a.a' under createAnalyzer("a") error while
+            # the same texts AnalyzesOk under the default session db;
+            # 'a.a.a.a' stays OK because the session-relative walk dies
+            # at the int leaf)
+            if _SESSION_DB is not None and len(parts) >= 2:
+                sess_tbl = f"{_SESSION_DB}.{p0}"
+                if sess_tbl in _CATALOG:
+                    db_q = f"{p0}.{parts[1].lower()}"
+                    db_ok = db_q in _CATALOG and (
+                        len(parts) == 2
+                        or walk_table_path(db_q, parts[2:]) is not None
+                    )
+                    if db_ok and walk_table_path(
+                        sess_tbl, parts[1:]
+                    ) is not None:
+                        raise ImpalaUnsupportedError(
+                            f"Table reference is ambiguous: '{raw}'"
+                        )
             tbl = rest = None
             if p0 in _CATALOG:
                 tbl, rest = p0, parts[1:]
@@ -14283,6 +14326,7 @@ def translate(
     strict: bool = False,
     schema: dict[str, str] | None = None,
     catalog: dict[str, dict[str, str]] | None = None,
+    session_db: str | None = None,
 ) -> str:
     """Impala-dialect SQL -> Spark SQL.
 
@@ -14303,8 +14347,17 @@ def translate(
     Enables table-AWARE path resolution (relative collection refs, the
     nested-types rules of Analyzer.resolvePathWithMasking and
     Path.resolve) on top of the flat column typing.
+
+    session_db (strict mode only): the session's current database — the
+    reference's createAnalyzer("db") test parameter / USE db state.
+    Enables the session-db-dependent verdicts (table-path candidate
+    ambiguity, base-table-vs-implicit-alias resolution of bare names in
+    nested blocks) that a db-less replay must leave permissive: the
+    reference pins BOTH AnalyzesOk and AnalysisError for the SAME text
+    under different session dbs (AnalyzeStmtsTest
+    TestTableRefPathAmbiguity, :1199-1211). None = unknown (permissive).
     """
-    global _SCHEMA, _CATALOG
+    global _SCHEMA, _CATALOG, _SESSION_DB
     tokens = tokenize(sql)
     _check_rejections(tokens)
     _check_subquery_in_or(tokens)
@@ -14315,11 +14368,26 @@ def translate(
             t.lower(): {c.lower(): ty for c, ty in cols.items()}
             for t, cols in catalog.items()
         }
+    if strict and session_db is not None:
+        _SESSION_DB = session_db.lower()
+        # per-session-db fixture overrides: the reference re-registers
+        # a.a with a DIFFERENT schema inside the session-db test methods
+        # (addTestTable in TestTableRefPathAmbiguity vs the slot/star
+        # tests), so the live schema follows the declared session db
+        from impala_spark.testcatalog import SESSION_DB_TABLE_OVERRIDES
+
+        ov = SESSION_DB_TABLE_OVERRIDES.get(_SESSION_DB)
+        if ov and _CATALOG is not None:
+            _CATALOG = {**_CATALOG, **{
+                t.lower(): {c.lower(): ty for c, ty in cols.items()}
+                for t, cols in ov.items()
+            }}
     try:
         return _translate_checked(tokens, sql, strict)
     finally:
         _SCHEMA = None
         _CATALOG = None
+        _SESSION_DB = None
 
 
 def _translate_checked(tokens: list[Token], sql: str, strict: bool) -> str:

@@ -154,6 +154,17 @@ TABLE_SCHEMAS: dict[str, dict[str, str]] = {
     "alltypes_view_sub": {"x": "INT", "y": "BIGINT", "z": "DOUBLE"},
 }
 
+#: Per-session-db fixture overrides (translate(session_db=...)): the
+#: reference's test methods re-register a.a with DIFFERENT schemas —
+#: STRUCT<a:STRUCT<a:INT>> in the slot/star ambiguity tests (the flat
+#: default above) but ARRAY<STRUCT<a:ARRAY<INT>>> inside
+#: TestTableRefPathAmbiguity (AnalyzeStmtsTest.java:753-754), whose
+#: statements all run under createAnalyzer("a"). The declared session db
+#: therefore selects which fixture state is live.
+SESSION_DB_TABLE_OVERRIDES: dict[str, dict[str, dict[str, str]]] = {
+    "a": {"a.a": {"a": "ARRAY<STRUCT<a:ARRAY<INT>>>"}},
+}
+
 
 def schema_for_statement(sql: str) -> dict[str, str]:
     """Union of the canned schemas for every table named in the

@@ -1924,3 +1924,45 @@ def test_scalar_subquery_avg_output_typing():
     ]:
         tr(sql, strict=True, schema=schema_for_statement(sql),
            catalog=TABLE_SCHEMAS)
+
+
+def test_session_db_parameterized_resolution():
+    """Session-db duality pins (AnalyzeStmtsTest TestTableRefPathAmbiguity
+    :753-768 and :1199-1211): the reference pins BOTH verdicts for the
+    same text under different createAnalyzer dbs; translate(session_db=)
+    replays each under its declared db (r8 verdict task #3)."""
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+    from impala_spark.testcatalog import TABLE_SCHEMAS, schema_for_statement
+
+    def t(sql, db):
+        return tr(sql, strict=True, schema=schema_for_statement(sql),
+                  catalog=TABLE_SCHEMAS, session_db=db)
+
+    # --- table-path candidate ambiguity under createAnalyzer("a") ---
+    for sql in ("select 1 from a.a", "select 1 from a.a.a"):
+        with pytest.raises(ImpalaUnsupportedError) as ei:
+            t(sql, "a")
+        assert "Table reference is ambiguous: '" + sql.split()[-1] + "'" \
+            in str(ei.value), sql
+        # same text under the DEFAULT session db: AnalyzesOk
+        t(sql, "default")
+        # and with no declared session db: permissive
+        t(sql, None)
+    # the 4-part path is unambiguous even under "a" (the session-relative
+    # walk dies at the int leaf)
+    t("select 1 from a.a.a.a", "a")
+
+    # --- base-table vs implicit-alias duality (:1199-1211) ---
+    dual = ("select cnt from functional.allcomplextypes, "
+            "(select count(1) cnt from allcomplextypes) v")
+    with pytest.raises(ImpalaUnsupportedError) as ei:
+        t(dual, "default")
+    assert ("Illegal table reference to non-collection type: "
+            "'allcomplextypes'") in str(ei.value)
+    # under createAnalyzer("functional") the base table wins: AnalyzesOk
+    t(dual, "functional")
+    # session unknown: permissive (no false positive for API callers)
+    t(dual, None)

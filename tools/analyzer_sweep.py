@@ -204,9 +204,23 @@ def _drop_disabled_methods(src: str) -> str:
     return out
 
 
-def extract_pairs(path: str) -> list[tuple[str, str]]:
+#: createAnalyzer("db") in a raw argument list -> the declared session db
+_SESSION_DB_RE = re.compile(r'createAnalyzer\(\s*"(\w+)"\s*\)')
+
+
+def _declared_session_db(body: str) -> str:
+    """The session db a pin analyzes under: createAnalyzer("db") when the
+    test passes one, else the fixture default (Catalog.DEFAULT_DB =
+    "default" — FrontendTestBase.java:226-235). Analyzer-valued args of
+    other shapes (createAnalyzerUsingHiveColLabels(), variables) keep the
+    default too: only the literal form declares a db."""
+    m = _SESSION_DB_RE.search(body)
+    return m.group(1).lower() if m else "default"
+
+
+def extract_pairs(path: str) -> list[tuple[str, str, str]]:
     src = _drop_disabled_methods(_strip_java_comments(open(path).read()))
-    pairs: list[tuple[str, str]] = []
+    pairs: list[tuple[str, str, str]] = []
     for m in re.finditer(r"AnalysisError\(", src):
         i = m.end()
         depth = 1
@@ -249,7 +263,7 @@ def extract_pairs(path: str) -> list[tuple[str, str]]:
         if _has_variable_concat(raw_exp):
             expected = _java_literal_prefix(raw_exp)
         if expected:
-            pairs.append((strings[0], expected))
+            pairs.append((strings[0], expected, _declared_session_db(body)))
     return pairs
 
 
@@ -286,11 +300,11 @@ def _java_literal_prefix(raw_arg: str) -> str:
     return s.replace('\\"', '"').replace("\\n", "\n").replace("\\\\", "\\")
 
 
-def extract_positives(path: str) -> list[str]:
-    """AnalyzesOk("sql" [, analyzer]) statements — the false-positive
-    guard corpus."""
+def extract_positives(path: str) -> list[tuple[str, str]]:
+    """AnalyzesOk("sql" [, analyzer]) statements (+ declared session db)
+    — the false-positive guard corpus."""
     src = _drop_disabled_methods(_strip_java_comments(open(path).read()))
-    out: list[str] = []
+    out: list[tuple[str, str]] = []
     for m in re.finditer(r"AnalyzesOk\(", src):
         i = m.end()
         depth = 1
@@ -322,7 +336,7 @@ def extract_positives(path: str) -> list[str]:
         raw = _java_raw_args(body)
         if raw and _has_variable_concat(raw[0]):
             continue
-        out.append(strings[0])
+        out.append((strings[0], _declared_session_db(body)))
     return out
 
 
@@ -341,7 +355,7 @@ def main() -> None:
         if not os.path.exists(path):
             print(f"skip (no reference checkout): {path}")
             continue
-        for sql, expected in extract_pairs(path):
+        for sql, expected, session_db in extract_pairs(path):
             if not sql.strip().lower().startswith((
                 "select", "with", "values",
                 # DDL heads: the parser's token-level DDL analysis runs
@@ -366,7 +380,7 @@ def main() -> None:
                 cat_free += 1
             try:
                 translate(sql, strict=True, schema=schema_for_statement(sql),
-                          catalog=TABLE_SCHEMAS)
+                          catalog=TABLE_SCHEMAS, session_db=session_db)
                 got: str | None = None
             except ImpalaUnsupportedError as e:
                 got = str(e)
@@ -390,7 +404,7 @@ def main() -> None:
     for path in REF_TESTS:
         if not os.path.exists(path):
             continue
-        for sql in extract_positives(path):
+        for sql, session_db in extract_positives(path):
             if not sql.strip().lower().startswith((
                 "select", "with", "values",
                 "create", "alter", "drop", "truncate",
@@ -404,7 +418,7 @@ def main() -> None:
             pos_total += 1
             try:
                 translate(sql, strict=True, schema=schema_for_statement(sql),
-                          catalog=TABLE_SCHEMAS)
+                          catalog=TABLE_SCHEMAS, session_db=session_db)
             except ImpalaUnsupportedError as e:
                 pos_rejected += 1
                 fp.append((sql, str(e)))
