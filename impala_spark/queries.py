@@ -2099,30 +2099,41 @@ sql_query(
     "tpch_q5_local_supplier",
     # scaled-long revenue kernel (see pricing_summary); measured 2.1x at
     # sf10 (11.0 -> 5.3 s), bit-identical to the decimal oracle.
-    # r6 profile (post-SHJ 3.0-3.7 s steady-state at sf10): the plan is
-    # already the right shape — all five dims broadcast, one hash
-    # shuffle of lineitem on l_orderkey. Two further rewrites measured
-    # and REJECTED: (a) runtime bloom filter from the filtered orders
-    # side into the lineitem scan (forced via lowered thresholds —
-    # injects, but the bloom-build subquery costs what the pruning saves
-    # when scans are memory-speed; Spark's 10GB application-side default
-    # correctly reserves it for cluster-scale scans), (b) computing dp8
-    # before the exchange (24B vs 32B shuffle rows — 4.2 s, no win).
-    # The remaining gap to DuckDB is the 60M-row exchange itself, which
-    # a single-node shared-hash-table engine never pays.
+    # r9 join-order rewrite (r8 verdict task #2): the old left-deep
+    # customer->orders->lineitem chain shuffled ALL 60M lineitem rows on
+    # l_orderkey before the region filter pruned anything. Joining
+    # lineitem FIRST to the ASIA-filtered supplier (broadcast, ~20k
+    # rows/SF10 — the /*+ BROADCAST */ hint is needed because non-CBO
+    # size estimates multiply through the 3-way dim join) cuts the fact
+    # exchange 5x (60M -> 12M rows) BEFORE it happens; customer then
+    # broadcasts too after column pruning. Executed plan: 4 broadcast
+    # joins + ONE fact exchange of the supplier-pruned rows + the agg
+    # exchange — the same shape a 1000-executor cluster wants (dims
+    # broadcast, single co-partitioned fact exchange). Interleaved A/B
+    # at sf10 (drift-canceling arms, results asserted identical): new
+    # arm faster in every rep, medians 5.9s vs 59s under heavy external
+    # load; clean-window medians in BASELINE.md round 9.
+    # Earlier rewrites measured and REJECTED stand: runtime bloom into
+    # the lineitem scan (build jobs cost more than the pruning saves at
+    # memory-speed scans), dp8 before the exchange (no win), and
+    # (orderkey,suppkey) pre-aggregation (TPC-H lineitem is ~unique on
+    # that pair — nothing to combine).
     """
-    WITH j AS (
-      SELECT n_name,
+    WITH s_asia AS (
+      SELECT s_suppkey, s_nationkey, n_name
+      FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+    ), j AS (
+      SELECT /*+ BROADCAST(s_asia) */ n_name,
         CAST(ROUND(l_extendedprice * 10000) AS BIGINT)
           * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)) AS dp8
-      FROM customer
-        JOIN orders   ON c_custkey = o_custkey
-        JOIN lineitem ON l_orderkey = o_orderkey
-        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-        JOIN nation   ON s_nationkey = n_nationkey
-        JOIN region   ON n_regionkey = r_regionkey
-      WHERE r_name = 'ASIA'
-        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      FROM lineitem
+        JOIN s_asia   ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
     ), a AS (
       SELECT n_name,
