@@ -495,7 +495,12 @@ sql_query(
     # query is dominated by the join + distinct-Expand shuffle (run
     # variance 5.7-12.7 s swamps the decimal term); the simple form wins
     # on clarity at equal cost. An eager lineitem-by-orderkey pre-agg was
-    # also measured and did not beat Catalyst's Expand-based plan.
+    # also measured and did not beat Catalyst's Expand-based plan —
+    # RE-MEASURED r9 at sf30 (interleaved A/B, results identical): the
+    # pre-agg arm lost every rep (medians 48 vs 39 s under load) — the
+    # 45M-group hash aggregate it adds costs more than the Expand x2 it
+    # removes, because the join key IS the distinct key so Expand's
+    # partial agg already collapses map-side.
     """
     SELECT o_orderpriority,
            CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
@@ -526,7 +531,33 @@ sql_query(
 
 sql_query(
     "agg_count_distinct",
+    # r9 rewrite: two distinct aggs + COUNT(*) made Catalyst EXPAND the
+    # input 3x before the partial agg (135M intermediate rows at sf30).
+    # Splitting the high-cardinality distinct into a two-level aggregate
+    # — group by (status, custkey) first, then count the groups — and
+    # joining the cheap low-cardinality distinct keeps every shuffle at
+    # or below the input's distinct-pair count. Interleaved A/B at sf30
+    # (results asserted identical): medians 7.6 vs 8.4 s in calm reps,
+    # and 13.4 vs 40.1 s inside a contention burst — the smaller shuffle
+    # footprint is strictly more robust, and at the 100 TB design point
+    # the Expand tripling is exactly what a distributed plan must avoid.
     """
+    WITH pc AS (
+      SELECT o_orderstatus, o_custkey, COUNT(*) AS n
+      FROM orders GROUP BY o_orderstatus, o_custkey
+    ), c AS (
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(n) AS BIGINT) AS n_orders
+      FROM pc GROUP BY o_orderstatus
+    ), pr AS (
+      SELECT o_orderstatus,
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT c.o_orderstatus, c.n_customers, pr.n_priorities, c.n_orders
+    FROM c JOIN pr ON c.o_orderstatus = pr.o_orderstatus
+    """,
+    oracle="""
     SELECT o_orderstatus,
            CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
            CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
