@@ -1020,10 +1020,11 @@ def test_strict_layer_accepts_all_registered_query_texts():
         # only supported with both the lower and upper bounds UNBOUNDED
         # or one UNBOUNDED and the other CURRENT ROW.")
         "analytic_range_offset_frame",
-        # multiple DISTINCT aggregates over different parameter lists:
-        # Spark plans them with Expand; the reference's single
-        # distinct-agg phase rejects them (AggregateInfo.java:235-251)
-        "agg_count_distinct",
+        # (agg_count_distinct left this set in r9: its two-level-
+        # aggregate rewrite has at most ONE distinct parameter list per
+        # block, which the reference's single distinct-agg phase accepts
+        # (AggregateInfo.java:235-251) — the rewrite is both faster at
+        # scale AND more Impala-2.7-compatible than the Expand form)
     }
     unexpected = {}
     for name, fn in SPARK_QUERIES.items():
