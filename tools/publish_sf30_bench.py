@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Assemble BENCH_sf30_r9.json from one or more tools/crossover_ab.py
+output files (r8 verdict task #1: the crossover claim must be a
+checked-in interleaved-A/B artifact, not an extrapolation).
+
+Every input run is disclosed verbatim (env indicators included); the
+headline ratios come from the run whose END canary is fastest (the
+least-stolen window), never from mixing runs.
+
+Usage: python tools/publish_sf30_bench.py <round> <run.json> [more...]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.publish_sf10_bench import derive_posture
+
+
+def main() -> None:
+    rnd = int(sys.argv[1])
+    runs = [json.load(open(p)) for p in sys.argv[2:]]
+    best = min(
+        runs,
+        key=lambda r: max(
+            r["env_start"]["cpu_canary_sec"], r["env_end"]["cpu_canary_sec"]
+        ),
+    )
+    sf_dir = best["sf_dir"]
+    out = {
+        "round": rnd,
+        "sf_dir": sf_dir,
+        "fixture": (
+            "180M-row lineitem / 3.0 GiB, 32 files/table, chained "
+            "key-offset replication: tools/gen_sf1.py "
+            "/root/repo/.bench_sf30 --src /root/repo/.bench_sf1 "
+            "--copies 30 --skip-corpus; gitignored, reproducible"
+        ),
+        "spark_posture": derive_posture(sf_dir),
+        "methodology": best["methodology"],
+        "environment_note": (
+            "this host's effective CPU speed swings ~2-3x with clean "
+            "start indicators (single-thread canary 0.10-0.53 s across "
+            "r9; idle reference 0.10-0.15 s) — the interleaved "
+            "DuckDB-then-Spark per-query alternation cancels that drift "
+            "out of the RATIOS; absolute seconds must be read against "
+            "each run's canary"
+        ),
+        "headline": {
+            "spark_total_sec": best["spark_total_sec"],
+            "duckdb_total_sec": best["duckdb_total_sec"],
+            "ratio_total": best["ratio_total"],
+            "queries_within_2x": best["queries_within_2x"],
+            "ratios": best["ratios"],
+            "spark_median_sec": best["spark_median_sec"],
+            "duckdb_median_sec": best["duckdb_median_sec"],
+            "env_start": best["env_start"],
+            "env_end": best["env_end"],
+        },
+        "all_runs": runs,
+        "verdict_honest": (
+            "the r5 'inside the 2x gate around sf30-100' extrapolation "
+            "is FALSIFIED: at 3 GiB both engines are in their linear "
+            "regime (DuckDB hits no memory wall on a 128 GiB box), so "
+            "the suite ratio converges to the marginal-throughput "
+            "constant, not to 1. The gate-passing scenarios are the "
+            "repeated-statement daemon model (12x FASTER than DuckDB "
+            "fresh at sf10, disclosed separately), the algorithmic wins "
+            "(minhash-LSH 79x), and per-query analytic_ranking; the "
+            "cold relational scans sit at a constant ~3-10x, dominated "
+            "by scan decode + exchange machinery that distributes at "
+            "cluster scale"
+        ),
+    }
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
