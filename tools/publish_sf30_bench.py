@@ -8,6 +8,7 @@ headline ratios come from the run whose END canary is fastest (the
 least-stolen window), never from mixing runs.
 
 Usage: python tools/publish_sf30_bench.py <round> <run.json> [more...]
+           [--sf10 <sf10_run.json>]
 """
 from __future__ import annotations
 
@@ -20,9 +21,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.publish_sf10_bench import derive_posture
 
 
+def _load(path: str) -> dict:
+    """JSON load tolerant of leading non-JSON noise (the driver JVM can
+    emit GC warnings on stdout ahead of the result line)."""
+    raw = open(path).read()
+    return json.loads(raw[raw.index("{"):])
+
+
 def main() -> None:
-    rnd = int(sys.argv[1])
-    runs = [json.load(open(p)) for p in sys.argv[2:]]
+    args = sys.argv[1:]
+    sf10 = None
+    if "--sf10" in args:
+        i = args.index("--sf10")
+        sf10 = _load(args[i + 1])
+        del args[i:i + 2]
+    rnd = int(args[0])
+    runs = [_load(p) for p in args[1:]]
     best = min(
         runs,
         key=lambda r: max(
@@ -61,6 +75,7 @@ def main() -> None:
             "env_end": best["env_end"],
         },
         "all_runs": runs,
+        "sf10_companion": sf10,
         "verdict_honest": (
             "the r5 'inside the 2x gate around sf30-100' extrapolation "
             "is FALSIFIED: at 3 GiB both engines are in their linear "
