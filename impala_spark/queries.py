@@ -90,6 +90,40 @@ def register(name: str, oracle: str | None = None, cache: bool = False):
 _PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+#: Broadcast-hint cost gate — the reference's broadcast-vs-partitioned
+#: join decision (planner/DistributedPlanner.java:425-506) made with the
+#: one statistic a path-based catalog has: total input bytes. Registry
+#: SQL marks FILTERED build sides it wants broadcast with
+#: /*+ BROADCAST(x) */ (Catalyst's non-CBO size estimates multiply
+#: through multi-table subqueries and would never pick them); those
+#: sides grow linearly with scale, so above this input size the hints
+#: are STRIPPED and Catalyst falls back to partitioned joins — the same
+#: flip the reference's cost model makes when build-side stats exceed
+#: the broadcast budget. Spark honors explicit broadcast hints
+#: unconditionally (an un-gated hint OOMs a cluster at sf1000); this
+#: gate is what makes the hinted plans safe at the 100 TB design point.
+#: 16 GiB ~= sf160: the largest hinted side (q3's BUILDING-customer x
+#: filtered-orders join, ~1% of orders) is ~2M rows / ~100 MB hashed
+#: there — still a safe broadcast; beyond it, it is not.
+BROADCAST_HINT_MAX_INPUT_BYTES = 16 << 30
+
+import re as _re
+
+_BROADCAST_HINT_RE = _re.compile(
+    r"/\*\+\s*BROADCAST\s*\([^)]*\)(\s*,\s*BROADCAST\s*\([^)]*\))*\s*\*/"
+)
+
+
+def gate_broadcast_hints(sql: str, sf_dir: str) -> str:
+    """Strip /*+ BROADCAST(...) */ hints when the input scale makes the
+    hinted build sides too large to broadcast (see the constant above)."""
+    from impala_spark.session import _dir_total_bytes
+
+    if _dir_total_bytes(sf_dir) > BROADCAST_HINT_MAX_INPUT_BYTES:
+        return _BROADCAST_HINT_RE.sub("", sql)
+    return sql
+
+
 def sql_query(name: str, impala_sql: str, oracle: str | None = None) -> None:
     """Register an Impala-dialect SQL query; oracle defaults to same text."""
 
@@ -104,7 +138,7 @@ def sql_query(name: str, impala_sql: str, oracle: str | None = None) -> None:
         df = _PLAN_CACHE.get(key)
         if df is None:
             register_tables(spark, sf_dir)
-            df = spark.sql(translate(impala_sql))
+            df = spark.sql(gate_broadcast_hints(translate(impala_sql), sf_dir))
             _PLAN_CACHE[key] = df
         return df
 
@@ -2079,25 +2113,32 @@ sql_query(
     # bit-identical (oracle keeps the decimal form) and ~2x at sf10.
     # r6 (verdict task #4, q3 34x at sf10): profiled — the cost was the
     # fact-fact SortMergeJoin's two sort stages, not an unpushed filter
-    # (PushedFilters reach both scans; runtime bloom filters prune the
-    # lineitem probe side). Fixed at the ENGINE level: the session now
-    # sets preferSortMergeJoin=false (session.py), so this joins as a
-    # ShuffledHashJoin like the reference's PARTITIONED hash join —
-    # measured 6.1s -> 2.0s fresh at sf10. An eager-aggregation rewrite
-    # (pre-aggregate lineitem by l_orderkey below the join) was also
-    # tried and REJECTED: it aggregates the ~52% shipdate survivors
-    # (32M rows -> 7.5M groups, ~8s) where the join-first plan lets the
-    # selective orders side cut agg input to ~3M rows first.
+    # (PushedFilters reach both scans). Fixed at the ENGINE level:
+    # preferSortMergeJoin=false (session.py) — 6.1s -> 2.0s at sf10. An
+    # eager-aggregation rewrite (pre-aggregate lineitem by l_orderkey
+    # below the join) was tried and REJECTED (aggregates the 52%
+    # shipdate survivors before the selective orders side prunes them).
+    # r9: the BUILDING+date-filtered customer x orders side is ~1% of
+    # orders — small enough to BROADCAST into the lineitem probe (the
+    # reference's DistributedPlanner broadcast choice; the explicit hint
+    # is needed because non-CBO size estimates multiply through the
+    # subquery join, and it is scale-gated by gate_broadcast_hints
+    # above). The 30M-row (sf10) filtered-lineitem exchange disappears:
+    # executed plan = 2 broadcast joins + the single partial-agg
+    # exchange. Interleaved A/B (results identical): sf10 4.10 -> 1.04 s
+    # (-75%, ~1.9x DuckDB — inside the 2x gate); sf30 29.8 -> 3.04 s.
     """
-    WITH j AS (
-      SELECT l_orderkey, o_orderdate, o_orderpriority,
-        CAST(ROUND(l_extendedprice * 10000) AS BIGINT)
-          * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)) AS dp8
+    WITH co AS (
+      SELECT o_orderkey, o_orderdate, o_orderpriority
       FROM customer JOIN orders ON c_custkey = o_custkey
-                    JOIN lineitem ON l_orderkey = o_orderkey
       WHERE c_mktsegment = 'BUILDING'
         AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
-        AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    ), j AS (
+      SELECT /*+ BROADCAST(co) */ l_orderkey, o_orderdate, o_orderpriority,
+        CAST(ROUND(l_extendedprice * 10000) AS BIGINT)
+          * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)) AS dp8
+      FROM lineitem JOIN co ON l_orderkey = o_orderkey
+      WHERE l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
     ), a AS (
       SELECT l_orderkey, o_orderdate, o_orderpriority,
         SUM(dp8 % 1000000) AS r0, SUM(dp8 DIV 1000000 % 1000000) AS r1,
@@ -2196,19 +2237,27 @@ sql_query(
 
 sql_query(
     "tpch_q10_returned_items",
-    # scaled-long revenue kernel (see pricing_summary)
+    # scaled-long revenue kernel (see pricing_summary).
+    # r9: the 3-month orders window is ~3.5% of orders — the
+    # orders x customer x nation side broadcasts into the R-filtered
+    # lineitem probe (same DistributedPlanner-style choice and scale
+    # gate as q3). Interleaved A/B at sf10 (results identical):
+    # 4.00 -> 2.98 s (-25%); executed plan = 3 broadcast joins + the
+    # single partial-agg exchange.
     """
-    WITH j AS (
-      SELECT c_custkey, c_name, c_acctbal, n_name,
-        CAST(ROUND(l_extendedprice * 10000) AS BIGINT)
-          * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)) AS dp8
-      FROM customer
-        JOIN orders   ON c_custkey = o_custkey
-        JOIN lineitem ON l_orderkey = o_orderkey
+    WITH co AS (
+      SELECT o_orderkey, c_custkey, c_name, c_acctbal, n_name
+      FROM orders
+        JOIN customer ON c_custkey = o_custkey
         JOIN nation   ON c_nationkey = n_nationkey
       WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
         AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-        AND l_returnflag = 'R'
+    ), j AS (
+      SELECT /*+ BROADCAST(co) */ c_custkey, c_name, c_acctbal, n_name,
+        CAST(ROUND(l_extendedprice * 10000) AS BIGINT)
+          * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)) AS dp8
+      FROM lineitem JOIN co ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
     ), a AS (
       SELECT c_custkey, c_name, c_acctbal, n_name,
         SUM(dp8 % 1000000) AS r0, SUM(dp8 DIV 1000000 % 1000000) AS r1,

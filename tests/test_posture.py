@@ -80,3 +80,33 @@ def test_escape_hatch_returns_parent(spark):
         assert posture_session(spark, SF_TINY, "relational") is spark
     finally:
         os.environ.pop("SPARK_GRAFT_DISABLE_SMALL_POSTURE", None)
+
+
+def test_broadcast_hint_scale_gate(spark):
+    """gate_broadcast_hints strips /*+ BROADCAST */ above the input-size
+    budget (the DistributedPlanner broadcast-cost flip) and leaves it
+    below — Spark honors explicit hints unconditionally, so an un-gated
+    hint would OOM at cluster scale."""
+    from impala_spark import session as S
+    from impala_spark.queries import (
+        BROADCAST_HINT_MAX_INPUT_BYTES,
+        gate_broadcast_hints,
+    )
+
+    sql = "SELECT /*+ BROADCAST(co) */ 1 FROM lineitem JOIN co ON a = b"
+    sql2 = "SELECT /*+ BROADCAST(a), BROADCAST(b) */ 1 FROM t"
+    small_dir, big_dir = "/tmp/gate_small_fixture", "/tmp/gate_big_fixture"
+    S._DIR_BYTES[small_dir] = 64 << 20
+    S._DIR_BYTES[big_dir] = BROADCAST_HINT_MAX_INPUT_BYTES + 1
+    try:
+        assert gate_broadcast_hints(sql, small_dir) == sql
+        assert "BROADCAST" not in gate_broadcast_hints(sql, big_dir)
+        assert "BROADCAST" not in gate_broadcast_hints(sql2, big_dir)
+        # the stripped text stays valid SQL (hint comment fully removed)
+        assert gate_broadcast_hints(sql, big_dir).split() == [
+            "SELECT", "1", "FROM", "lineitem", "JOIN", "co", "ON", "a",
+            "=", "b",
+        ]
+    finally:
+        S._DIR_BYTES.pop(small_dir, None)
+        S._DIR_BYTES.pop(big_dir, None)
