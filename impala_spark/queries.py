@@ -525,17 +525,36 @@ sql_query(
 # Fact-to-fact join: lineitem x orders (shuffle join at scale).
 sql_query(
     "join_fact_fact",
-    # NOT converted to the scaled-long kernel: A/B at sf10 showed this
-    # query is dominated by the join + distinct-Expand shuffle (run
-    # variance 5.7-12.7 s swamps the decimal term); the simple form wins
-    # on clarity at equal cost. An eager lineitem-by-orderkey pre-agg was
-    # also measured and did not beat Catalyst's Expand-based plan —
-    # RE-MEASURED r9 at sf30 (interleaved A/B, results identical): the
-    # pre-agg arm lost every rep (medians 48 vs 39 s under load) — the
-    # 45M-group hash aggregate it adds costs more than the Expand x2 it
-    # removes, because the join key IS the distinct key so Expand's
-    # partial agg already collapses map-side.
+    # NOT converted to the scaled-long kernel: dominated by the join
+    # exchanges, not the decimal term. Two pre-aggregation variants were
+    # measured and REJECTED: lineitem-by-orderkey BEFORE the join (r5 at
+    # sf10; re-measured r9 at sf30 — lost every interleaved rep, the
+    # 45M-group hash agg costs more than it saves).
+    # r9 SHIPPED variant: two-level aggregate AFTER the join. The
+    # (o_orderpriority, o_orderkey) group-by rides the join's existing
+    # hash partitioning on the order key (ClusteredDistribution is
+    # satisfied — NO new exchange), so COUNT(DISTINCT)'s Expand x2 over
+    # the joined rows (360M expanded at sf30) and its 44M-row mid
+    # exchange both disappear; the final per-priority agg collapses
+    # map-side to 5 rows/partition. Interleaved A/B (results identical):
+    # sf30 114 -> 57 s median, new arm won EVERY rep (the smaller spill
+    # surface is also far less steal-burst-sensitive); sf10 a wash
+    # (+1%) — better at scale, equal small, the right trade for the
+    # 100 TB design point.
     """
+    WITH pa AS (
+      SELECT o_orderpriority, o.o_orderkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS ps
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'O'
+      GROUP BY o_orderpriority, o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(ps) AS DOUBLE) AS revenue
+    FROM pa GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
