@@ -3590,7 +3590,12 @@ def _scalar_subquery_type(tokens: list[Token], lo: int, hi: int) -> str | None:
         # DECIMAL (stays DECIMAL) and TIMESTAMP (stays TIMESTAMP) —
         # typing it unconditionally DOUBLE diverged from the reference
         # on '(select avg(decimal_col) from t) <op> x' (r8 ADVICE).
-        return base if base in ("DECIMAL", "TIMESTAMP") else "DOUBLE"
+        # For DECIMAL keep the child's exact (p,s) — the reference's
+        # resolveDecimalReturnType preserves it, and a precision-less
+        # 'DECIMAL' would default to (9,0) downstream (r9 ADVICE).
+        if base == "DECIMAL":
+            return ty.upper()
+        return base if base == "TIMESTAMP" else "DOUBLE"
     return base
 
 
@@ -6170,10 +6175,14 @@ def _check_strict_grammar_extras(tokens: list[Token]) -> None:
     #     guard) but strict translate must also REJECT it (r8 verdict
     #     missing #2) ---
     for a, b in zip(sig, sig[1:]):
+        # no raw-adjacency requirement: two consecutive significant '*'
+        # tokens are never valid in this grammar position ('*' is either
+        # a select-list star, count(*), or binary multiplication — none
+        # can be followed by another '*'), and the spaced form '9 * * 9'
+        # is the same ParserError in the reference (r9 ADVICE).
         if (
             tokens[a].kind == "op" and tokens[a].text == "*"
             and tokens[b].kind == "op" and tokens[b].text == "*"
-            and b == a + 1
         ):
             raise ImpalaUnsupportedError(
                 "Syntax error: '**' is not an operator"

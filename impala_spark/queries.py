@@ -608,7 +608,7 @@ sql_query(
       FROM orders GROUP BY o_orderstatus
     )
     SELECT c.o_orderstatus, c.n_customers, pr.n_priorities, c.n_orders
-    FROM c JOIN pr ON c.o_orderstatus = pr.o_orderstatus
+    FROM c JOIN pr ON c.o_orderstatus <=> pr.o_orderstatus
     """,
     oracle="""
     SELECT o_orderstatus,

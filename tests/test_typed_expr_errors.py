@@ -1897,10 +1897,13 @@ def test_scalar_subquery_avg_output_typing():
         ("select * from functional.alltypes where "
          "(select avg(timestamp_col) from functional.alltypes) = 5",
          "operands of type TIMESTAMP and TINYINT are not comparable"),
-        # DECIMAL result renders as DECIMAL in the message, not DOUBLE
+        # DECIMAL result keeps the child's exact (p,s) — the reference's
+        # resolveDecimalReturnType falls through to returnType=childType
+        # for avg (FunctionCallExpr.java:317), so avg(DECIMAL(9,0))
+        # renders as DECIMAL(9,0), not bare DECIMAL (r9 ADVICE)
         ("select * from functional.decimal_tbl where "
          "(select avg(d1) from functional.decimal_tbl) = 'x'",
-         "operands of type DECIMAL and STRING are not comparable"),
+         "operands of type DECIMAL(9,0) and STRING are not comparable"),
     ]
     for sql, msg in neg:
         with pytest.raises(ImpalaUnsupportedError) as ei:
