@@ -125,6 +125,9 @@ class ImpalaEngine:
         #: names created via CREATE VIEW in this engine (AlterTableStmt
         #: .java:76-79 needs to tell views from tables)
         self._views: set[str] = set()
+        #: input directory for the size-gated plan rewrites (None = unknown
+        #: scale, keep Catalyst's default plans)
+        self._sf_dir = sf_dir or None
         if sf_dir:
             register_tables(spark, sf_dir)
 
@@ -360,7 +363,31 @@ class ImpalaEngine:
             from impala_spark.parser import rewrite_appx_count_distinct
 
             q = rewrite_appx_count_distinct(q)
-        return self._sql_with_impala_errors(translate(q, strict=self.strict))
+        # strict-mode analysis always runs on the USER's text first
+        sql_text = translate(q, strict=self.strict)
+        rw = self._plan_rewrite(q)
+        if rw is not None:
+            sql_text = translate(rw)
+        return self._sql_with_impala_errors(sql_text)
+
+    def _plan_rewrite(self, q: str) -> str | None:
+        """Input-size-gated plan rewrites on plain user SQL — the engine
+        analog of the reference's stats-driven aggregate planning
+        (A/AggregateInfo.java:42-60 two-phase DISTINCT). Only fires above
+        the rewrite's input-size knee, like queries.gate_broadcast_hints."""
+        if self._sf_dir is None:
+            return None
+        from impala_spark.rewrites import (
+            TWO_LEVEL_DISTINCT_MIN_INPUT_BYTES,
+            two_level_distinct,
+        )
+        from impala_spark.session import _dir_total_bytes
+
+        if _dir_total_bytes(self._sf_dir) < TWO_LEVEL_DISTINCT_MIN_INPUT_BYTES:
+            return None
+        # session UDAs (CREATE AGGREGATE FUNCTION) must be recognized as
+        # aggregates — an unknown aggregate name would read as a scalar fn
+        return two_level_distinct(q, extra_aggs=frozenset(self._functions))
 
     def _session_view_name(self, raw: str) -> str:
         """Resolve a possibly db-qualified view/table name to a session

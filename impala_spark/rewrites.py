@@ -1,0 +1,486 @@
+"""Engine-level plan rewrites applied between parse and execution.
+
+Multi-DISTINCT aggregate split — the reference plans DISTINCT aggregates
+as two aggregation phases keyed on (grouping exprs, distinct exprs) and
+never replicates input rows (analysis/AggregateInfo.java:42-60 "the
+original query is equivalent to [a two-level query with] agg fns that
+are aggregates of their input counterparts"). Catalyst handles ONE
+distinct expression the same way (AggUtils.planAggregateWithOneDistinct
+— no row replication), but with TWO OR MORE distinct expressions it
+EXPANDS the input one copy per distinct group plus one for the plain
+aggregates (RewriteDistinctAggregates): at the 100 TB design point that
+Expand is exactly what a distributed plan must avoid (measured at sf30
+on the registry's agg_count_distinct: 135M expanded rows vs 45M distinct
+pairs; interleaved A/B medians 7.6 s vs 8.4 s calm and 13.4 s vs 40.1 s
+inside a contention burst, r9 commit 3e4c94b).
+
+This module generalizes that hand-written registry rewrite to PLAIN user
+SQL. A single-block aggregate with N>=2 distinct COUNT(DISTINCT expr)
+groups is rewritten to one CTE per distinct group — each a
+single-distinct aggregate Catalyst plans without Expand, the first one
+carrying every plain aggregate verbatim — joined back on the grouping
+keys with null-safe equality:
+
+    WITH __tla0 AS (SELECT k, COUNT(DISTINCT d0) AS __cd0,
+                           <plain aggs verbatim> FROM ... GROUP BY k),
+         __tla1 AS (SELECT k, COUNT(DISTINCT d1) AS __cd1
+                    FROM ... GROUP BY k)
+    SELECT <items over __t0.*, __t1.__cd1>
+    FROM __tla0 __t0 JOIN __tla1 __t1 ON __t0.k <=> __t1.k
+
+Equivalence: each CTE is the original query restricted to a subset of
+its aggregates, so the key sets are identical across CTEs (same
+FROM/WHERE/GROUP BY over the same input) and the null-safe inner join
+is a bijection; NULL grouping keys survive via <=>; with no grouping
+keys each CTE is exactly one row and a CROSS JOIN recombines them
+(COUNT over empty input is 0 in every CTE, exactly as in the original).
+Any shape the rewrite cannot prove equivalent is returned unchanged and
+keeps Catalyst's default plan.
+
+The engine applies it above TWO_LEVEL_DISTINCT_MIN_INPUT_BYTES — the
+same input-size gating idea as queries.gate_broadcast_hints (the
+reference makes the equivalent choice from COMPUTE STATS row counts; a
+path-based catalog has total input bytes).
+"""
+
+from __future__ import annotations
+
+from impala_spark.parser import (
+    Token,
+    _matching_paren,
+    _split_top_level_commas,
+    tokenize,
+)
+
+#: Input-size knee, measured with interleaved A/Bs (r10, this box):
+#: at sf10 (~1 GiB) the rewrite LOSES warm (medians 2.1 vs 2.7 s — the
+#: second column-pruned scan costs more than Expand saves when the
+#: input is page-cached in one JVM); at sf30 (~3 GiB) it is a wash in
+#: calm windows (4.8-6.0 s both arms, reps interleaved under drifting
+#: load) and strictly more burst-robust (r9 registry A/B of the same
+#: shape: 13.4 vs 40.1 s inside a contention burst — the Expand arm's
+#: 3x shuffle footprint amplifies steal). The rewrite exists for the
+#: 100 TB design point, where Expand multiplies SHUFFLED fact bytes by
+#: (distinct groups + 1) while the extra scans are map-side and
+#: column-pruned — so it arms above the single-box wash point rather
+#: than at a local win threshold (there isn't one on cached local
+#: input).
+TWO_LEVEL_DISTINCT_MIN_INPUT_BYTES = 1 << 30
+
+#: every aggregate name the dialect knows — used to route calls into
+#: distinct groups vs plain aggregates. An aggregate NAME we don't know
+#: is treated as a scalar function; its bare column args then fail the
+#: key-reference check and the rewrite bails (callers can extend via
+#: extra_aggs for CREATE FUNCTION UDAs).
+_ALL_AGGS = frozenset({
+    "count", "sum", "avg", "min", "max", "ndv", "group_concat",
+    "stddev", "stddev_samp", "stddev_pop", "variance", "variance_samp",
+    "variance_pop", "var_samp", "var_pop", "appx_median", "histogram",
+    "sample", "distinctpc", "distinctpcsa", "percentile",
+    "approx_count_distinct", "collect_list", "collect_set", "listagg",
+})
+
+#: non-reference words that may appear inside a select item without
+#: being a column reference (operators/keywords/type names — CAST
+#: targets, CASE arms, boolean connectives, sort direction)
+_NEUTRAL_WORDS = frozenset({
+    "as", "and", "or", "not", "is", "null", "true", "false", "in",
+    "between", "like", "rlike", "regexp", "ilike", "iregexp", "div",
+    "case", "when", "then", "else", "end",
+    "asc", "desc", "nulls", "first", "last",
+    "tinyint", "smallint", "int", "integer", "bigint", "float", "real",
+    "double", "decimal", "numeric", "string", "varchar", "char",
+    "boolean", "timestamp", "date",
+    "interval", "year", "years", "month", "months", "day", "days",
+    "hour", "hours", "minute", "minutes", "second", "seconds",
+})
+
+_WS = ("ws", "line_comment", "block_comment")
+
+
+def _sig(tokens: list[Token], a: int, b: int) -> list[int]:
+    return [k for k in range(a, b) if tokens[k].kind not in _WS]
+
+
+def _norm(text: str) -> str:
+    """Whitespace/case-normalized expression text for equality checks."""
+    return " ".join(t.text.lower() for t in tokenize(text) if t.kind not in _WS)
+
+
+def _frag(tokens: list[Token], a: int, b: int) -> str:
+    return "".join(t.text for t in tokens[a:b]).strip()
+
+
+def _clause_spans(tokens: list[Token]) -> dict[str, tuple[int, int]] | None:
+    """Top-level clause keyword -> (first token after the keyword, end).
+
+    Returns None when the statement is not a single plain SELECT block
+    (set ops, WITH, HAVING, subqueries anywhere, OVER windows).
+    """
+    n = len(tokens)
+    sig = _sig(tokens, 0, n)
+    if not sig or tokens[sig[0]].upper != "SELECT":
+        return None
+    depth = 0
+    marks: list[tuple[str, int]] = []  # (clause, index of token AFTER keyword)
+    k = 0
+    while k < n:
+        t = tokens[k]
+        if t.kind == "op":
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                depth -= 1
+                if depth < 0:
+                    return None
+        elif t.kind == "word":
+            u = t.upper
+            if u in ("UNION", "HAVING", "OVER", "WITH", "VALUES"):
+                return None  # out of scope for this rewrite
+            if depth > 0:
+                if u == "SELECT":
+                    return None  # subquery anywhere: bail
+                k += 1
+                continue
+            if u == "SELECT":
+                if marks:
+                    return None  # second top-level SELECT (malformed)
+                marks.append(("SELECT", k + 1))
+            elif u in ("FROM", "WHERE", "LIMIT", "OFFSET"):
+                marks.append((u, k + 1))
+            elif u in ("GROUP", "ORDER"):
+                j = k + 1
+                while j < n and tokens[j].kind in _WS:
+                    j += 1
+                if j >= n or tokens[j].upper != "BY":
+                    return None
+                marks.append((u, j + 1))
+                k = j
+        k += 1
+    if depth != 0 or not marks or marks[0][0] != "SELECT":
+        return None
+    spans: dict[str, tuple[int, int]] = {}
+    for i, (name, start) in enumerate(marks):
+        end = n
+        if i + 1 < len(marks):
+            j = marks[i + 1][1] - 1
+            # GROUP BY / ORDER BY marks point past BY; keyword is further back
+            if tokens[j].upper == "BY":
+                j -= 1
+                while j >= 0 and tokens[j].kind in _WS:
+                    j -= 1
+            end = j
+        if name in spans:
+            return None
+        spans[name] = (start, end)
+    return spans
+
+
+class _Bail(Exception):
+    pass
+
+
+def _find_agg_calls(tokens: list[Token], a: int, b: int, aggs: frozenset[str]):
+    """All (name_idx, open_idx, close_idx, lname) aggregate calls in
+    tokens[a:b], outermost only (valid SQL never nests aggregates)."""
+    k = a
+    out = []
+    while k < b:
+        t = tokens[k]
+        if t.kind == "word":
+            lname = t.text.lower()
+            j = k + 1
+            while j < b and tokens[j].kind in _WS:
+                j += 1
+            if j < b and tokens[j].kind == "op" and tokens[j].text == "(":
+                if lname in aggs:
+                    close = _matching_paren(tokens, j)
+                    if close >= b:
+                        raise _Bail()
+                    out.append((k, j, close, lname))
+                    k = close + 1
+                    continue
+        k += 1
+    return out
+
+
+def _item_alias_split(tokens: list[Token], a: int, b: int):
+    """Return (expr_end, alias_text) — alias_text includes ' AS name'."""
+    sig = _sig(tokens, a, b)
+    if len(sig) >= 2 and tokens[sig[-2]].upper == "AS" and \
+            tokens[sig[-1]].kind in ("word", "bident"):
+        return sig[-2], " AS " + tokens[sig[-1]].text
+    if (
+        len(sig) >= 2
+        and tokens[sig[-1]].kind in ("word", "bident")
+        and tokens[sig[-1]].text.lower() not in _NEUTRAL_WORDS
+        and (tokens[sig[-2]].kind in ("word", "bident", "number", "string")
+             or (tokens[sig[-2]].kind == "op" and tokens[sig[-2]].text == ")"))
+        and tokens[sig[-2]].text.lower() not in _NEUTRAL_WORDS
+    ):
+        # implicit alias: `expr name`
+        return sig[-1], " AS " + tokens[sig[-1]].text
+    return b, ""
+
+
+def _rewrite_region(
+    tokens: list[Token], a: int, b: int,
+    agg_sub: dict[tuple[int, int], str],
+    key_map: dict[str, str],
+    extra_names: frozenset[str],
+    aggs: frozenset[str],
+) -> str:
+    """Re-emit tokens[a:b], substituting aggregate call spans per agg_sub
+    and redirecting group-key references per key_map (normalized chain
+    text -> outer-qualified name). Raises _Bail on any identifier it
+    cannot prove is a group key / select alias."""
+    out: list[str] = []
+    k = a
+    agg_by_start = {s: (e, txt) for (s, e), txt in agg_sub.items()}
+    while k < b:
+        t = tokens[k]
+        if k in agg_by_start:
+            e, txt = agg_by_start[k]
+            out.append(txt)
+            k = e + 1
+            continue
+        if t.kind in _WS or t.kind in ("number", "string", "dstring"):
+            out.append(t.text)
+            k += 1
+            continue
+        if t.kind == "op":
+            out.append(t.text)
+            k += 1
+            continue
+        # word / bident: function name, neutral word, or identifier chain
+        lword = t.text.strip("`").lower()
+        j = k + 1
+        while j < b and tokens[j].kind in _WS:
+            j += 1
+        if j < b and tokens[j].kind == "op" and tokens[j].text == "(":
+            if lword in aggs:
+                raise _Bail()  # aggregate not covered by agg_sub
+            out.append(t.text)  # scalar function name
+            k += 1
+            continue
+        if t.kind == "word" and lword in _NEUTRAL_WORDS:
+            out.append(t.text)
+            k += 1
+            continue
+        # identifier chain: ident (. ident)*
+        chain = [t.text.strip("`")]
+        kk = k
+        while True:
+            j = kk + 1
+            while j < b and tokens[j].kind in _WS:
+                j += 1
+            if j < b and tokens[j].kind == "op" and tokens[j].text == ".":
+                j2 = j + 1
+                while j2 < b and tokens[j2].kind in _WS:
+                    j2 += 1
+                if j2 < b and tokens[j2].kind in ("word", "bident"):
+                    chain.append(tokens[j2].text.strip("`"))
+                    kk = j2
+                    continue
+            break
+        ctext = ".".join(p.lower() for p in chain)
+        if ctext in key_map:
+            out.append(key_map[ctext])
+        elif chain[-1].lower() in extra_names:
+            out.append(chain[-1])
+        else:
+            raise _Bail()
+        k = kk + 1
+    return "".join(out)
+
+
+def two_level_distinct(
+    sql: str, extra_aggs: frozenset[str] = frozenset()
+) -> str | None:
+    """Rewrite a single-block aggregate with >=2 distinct-expression
+    groups into the reference's per-distinct two-phase shape (one CTE
+    per distinct group, null-safe key join). Returns the rewritten
+    Impala-dialect SQL, or None when the statement doesn't match /
+    can't be proven equivalent (caller keeps the original).
+
+    extra_aggs: additional aggregate function names (session UDAs) so
+    they are recognized — an unknown aggregate would otherwise be
+    treated as a scalar function."""
+    try:
+        tokens = tokenize(sql)
+    except Exception:
+        return None
+    spans = _clause_spans(tokens)
+    if spans is None or "FROM" not in spans:
+        return None
+    aggs = _ALL_AGGS | frozenset(a.lower() for a in extra_aggs)
+    try:
+        sel_a, sel_b = spans["SELECT"]
+        sig0 = _sig(tokens, sel_a, sel_b)
+        if sig0 and tokens[sig0[0]].upper == "DISTINCT":
+            return None  # SELECT DISTINCT: out of scope
+        # ---- group keys -------------------------------------------------
+        keys: list[tuple[str, str]] = []  # (full text, bare name)
+        key_map: dict[str, str] = {}
+        if "GROUP" in spans:
+            ga, gb = spans["GROUP"]
+            for ia, ib in _split_top_level_commas(tokens, ga, gb):
+                sig = _sig(tokens, ia, ib)
+                if not sig:
+                    raise _Bail()
+                # simple (possibly qualified) column ref only
+                parts = []
+                expect = True
+                for s in sig:
+                    tt = tokens[s]
+                    if expect and tt.kind in ("word", "bident"):
+                        if tt.kind == "word" and tt.text.lower() in aggs:
+                            raise _Bail()
+                        parts.append(tt.text.strip("`"))
+                        expect = False
+                    elif not expect and tt.kind == "op" and tt.text == ".":
+                        expect = True
+                    else:
+                        raise _Bail()
+                if expect or not parts:
+                    raise _Bail()
+                full = ".".join(parts)
+                bare = parts[-1]
+                if bare.lower() in (b.lower() for _, b in keys):
+                    raise _Bail()  # bare-name collision across keys
+                keys.append((full, bare))
+                key_map[full.lower()] = f"__t0.{bare}"
+                key_map[bare.lower()] = f"__t0.{bare}"
+        # ---- aggregate calls in select list + ORDER BY -------------------
+        distinct_groups: list[str] = []  # expr text per group
+        group_ids: dict[str, int] = {}  # normalized expr -> group index
+        plains: list[str] = []  # verbatim aggregate call text
+        plain_ids: dict[str, str] = {}  # normalized call -> __a alias
+        agg_sub: dict[tuple[int, int], str] = {}
+
+        def handle_agg(name_idx: int, open_idx: int, close_idx: int, lname: str):
+            arg_sig = _sig(tokens, open_idx + 1, close_idx)
+            has_distinct = bool(arg_sig) and tokens[arg_sig[0]].upper == "DISTINCT"
+            arg_a = (
+                arg_sig[1] if has_distinct and len(arg_sig) > 1 else open_idx + 1
+            )
+            if has_distinct and lname == "count":
+                args = _split_top_level_commas(tokens, arg_a, close_idx)
+                if len(args) != 1:
+                    raise _Bail()  # multi-column COUNT(DISTINCT a, b)
+                dx = _frag(tokens, args[0][0], args[0][1])
+                dn = _norm(dx)
+                g = group_ids.get(dn)
+                if g is None:
+                    # the distinct expr must not itself contain aggregates
+                    dtoks = tokenize(dx)
+                    if _find_agg_calls(dtoks, 0, len(dtoks), aggs):
+                        raise _Bail()
+                    g = len(distinct_groups)
+                    group_ids[dn] = g
+                    distinct_groups.append(dx)
+                agg_sub[(name_idx, close_idx)] = f"__t{g}.__cd{g}"
+                return
+            if has_distinct and lname in ("min", "max"):
+                # MIN/MAX(DISTINCT x) == MIN/MAX(x); strip the keyword so
+                # Catalyst doesn't count it as another distinct group
+                call = f"{lname.upper()}({_frag(tokens, arg_a, close_idx)})"
+            elif has_distinct:
+                raise _Bail()  # SUM(DISTINCT)/AVG(DISTINCT)/...: not split
+            else:
+                call = _frag(tokens, name_idx, close_idx + 1)
+                # a plain aggregate's args must not hide an aggregate
+                # (malformed anyway) — and must not contain a subquery;
+                # subqueries were globally bailed in _clause_spans
+            nk = _norm(call)
+            alias = plain_ids.get(nk)
+            if alias is None:
+                alias = f"__a{len(plain_ids)}"
+                plain_ids[nk] = alias
+                plains.append(call)
+            agg_sub[(name_idx, close_idx)] = f"__t0.{alias}"
+
+        regions = [(sel_a, sel_b)]
+        if "ORDER" in spans:
+            regions.append(spans["ORDER"])
+        for ra, rb in regions:
+            for name_idx, open_idx, close_idx, lname in _find_agg_calls(
+                tokens, ra, rb, aggs
+            ):
+                handle_agg(name_idx, open_idx, close_idx, lname)
+        if len(distinct_groups) < 2:
+            # zero: nothing to split; one: Catalyst already plans it
+            # two-phase without Expand (AggUtils.planAggregateWithOneDistinct)
+            return None
+
+        # ---- re-emit the select list ------------------------------------
+        sel_items: list[str] = []
+        aliases: list[str] = []
+        for ia, ib in _split_top_level_commas(tokens, sel_a, sel_b):
+            expr_end, alias_text = _item_alias_split(tokens, ia, ib)
+            body = _rewrite_region(
+                tokens, ia, expr_end, agg_sub, key_map, frozenset(), aggs
+            )
+            if alias_text:
+                aliases.append(alias_text[4:].strip("`").lower())
+            sel_items.append(body.strip() + alias_text)
+        order_text = ""
+        if "ORDER" in spans:
+            oa, ob = spans["ORDER"]
+            order_items = []
+            for ia, ib in _split_top_level_commas(tokens, oa, ob):
+                order_items.append(
+                    _rewrite_region(
+                        tokens, ia, ib, agg_sub, key_map,
+                        frozenset(aliases), aggs,
+                    ).strip()
+                )
+            order_text = " ORDER BY " + ", ".join(order_items)
+        limit_text = ""
+        if "LIMIT" in spans:
+            la, lb = spans["LIMIT"]
+            limit_text = " LIMIT " + _frag(tokens, la, lb)
+        if "OFFSET" in spans:
+            la, lb = spans["OFFSET"]
+            limit_text += " OFFSET " + _frag(tokens, la, lb)
+
+        # ---- assemble ----------------------------------------------------
+        fa, fb = spans["FROM"]
+        base = " FROM " + _frag(tokens, fa, fb)
+        if "WHERE" in spans:
+            wa, wb = spans["WHERE"]
+            base += " WHERE " + _frag(tokens, wa, wb)
+        group_tail = (
+            " GROUP BY " + ", ".join(str(i + 1) for i in range(len(keys)))
+            if keys else ""
+        )
+        key_items = [f"{full} AS {bare}" for full, bare in keys]
+        ctes = []
+        for g, dx in enumerate(distinct_groups):
+            items = list(key_items)
+            items.append(f"COUNT(DISTINCT {dx}) AS __cd{g}")
+            if g == 0:
+                items += [
+                    f"{call} AS {alias}"
+                    for call, alias in zip(plains, plain_ids.values())
+                ]
+            ctes.append(
+                f"__tla{g} AS (SELECT " + ", ".join(items) + base + group_tail + ")"
+            )
+        joins = "__tla0 __t0"
+        for g in range(1, len(distinct_groups)):
+            if keys:
+                cond = " AND ".join(
+                    f"__t0.{bare} <=> __t{g}.{bare}" for _, bare in keys
+                )
+                joins += f" JOIN __tla{g} __t{g} ON {cond}"
+            else:
+                joins += f" CROSS JOIN __tla{g} __t{g}"
+        out = "WITH " + ", ".join(ctes)
+        out += " SELECT " + ", ".join(sel_items)
+        out += " FROM " + joins + order_text + limit_text
+        return out
+    except _Bail:
+        return None
+    except Exception:
+        return None

@@ -1,0 +1,236 @@
+"""Multi-DISTINCT aggregate rewrite (rewrites.py) — the reference's
+AggregateInfo.java:42-60 two-phase distinct planning applied to plain
+user SQL through engine.sql(), r9 verdict task #2.
+
+Catalyst plans ONE distinct expression without row replication
+(AggUtils.planAggregateWithOneDistinct) but EXPANDS the input for >=2
+distinct groups (RewriteDistinctAggregates) — so the rewrite fires only
+there, splitting each distinct group into its own single-distinct CTE
+joined back on the grouping keys null-safely.
+
+Three layers: shape routing (pure), semantic equivalence vs DuckDB on
+NULL-heavy data (pure), and the engine-level plan assert: above the
+input gate the executed Spark plan must contain NO Expand while
+producing the same rows as Catalyst's default plan.
+"""
+
+import duckdb
+import pytest
+
+
+def _duck(sql: str) -> str:
+    """DuckDB has no <=> operator; it spells null-safe equality
+    IS NOT DISTINCT FROM (the emitted text is Impala/Spark dialect)."""
+    return sql.replace("<=>", "IS NOT DISTINCT FROM")
+
+from impala_spark.rewrites import two_level_distinct as tld
+
+SF_001 = "/root/testdata/sf0.001"
+SF_01 = "/root/testdata/sf0.01"
+
+
+# ---------------------------------------------------------------------------
+# shape routing
+# ---------------------------------------------------------------------------
+
+REWRITES = [
+    "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS cd1,"
+    " COUNT(DISTINCT o_orderpriority) AS cd2, COUNT(*) AS n"
+    " FROM orders GROUP BY o_orderstatus",
+    # global (no keys): one-row CTEs recombined by CROSS JOIN
+    "SELECT COUNT(DISTINCT o_custkey) AS c1, COUNT(DISTINCT o_clerk) AS c2,"
+    " SUM(o_totalprice) AS s FROM orders",
+    # qualified keys, CAST wrapper, WHERE, ORDER BY alias, LIMIT, AVG rides
+    "SELECT o.o_orderpriority, CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS c,"
+    " COUNT(DISTINCT o_clerk) AS c2, AVG(o_totalprice) AS a"
+    " FROM orders o WHERE o_orderstatus = 'O'"
+    " GROUP BY o.o_orderpriority ORDER BY c DESC LIMIT 3",
+    # joins in FROM stay inside the CTEs
+    "SELECT o_orderpriority, COUNT(DISTINCT o.o_orderkey) AS n,"
+    " COUNT(DISTINCT l_suppkey) AS ns, SUM(l_extendedprice) AS r"
+    " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+    " WHERE o.o_orderstatus = 'O' GROUP BY o_orderpriority"
+    " ORDER BY o_orderpriority",
+]
+
+BAILS = [
+    # single distinct: Catalyst already plans it two-phase without Expand
+    "SELECT k, COUNT(DISTINCT x), COUNT(*) FROM t GROUP BY k",
+    "SELECT k, COUNT(DISTINCT x) FROM t GROUP BY k HAVING COUNT(*) > 1",
+    "SELECT k, COUNT(DISTINCT x), COUNT(DISTINCT y) FROM (SELECT * FROM t) s"
+    " GROUP BY k",
+    "SELECT DISTINCT k, COUNT(DISTINCT x), COUNT(DISTINCT y) FROM t GROUP BY k",
+    "SELECT k, COUNT(DISTINCT x) OVER (), COUNT(DISTINCT y) FROM t",
+    "SELECT k, COUNT(*) FROM t GROUP BY k",
+    # expression grouping keys: out of (conservative) scope
+    "SELECT upper(k), COUNT(DISTINCT x), COUNT(DISTINCT y) FROM t"
+    " GROUP BY upper(k)",
+    "SELECT k, SUM(DISTINCT x), COUNT(DISTINCT y), COUNT(DISTINCT z) FROM t"
+    " GROUP BY k",
+    "SELECT k, COUNT(DISTINCT x, y), COUNT(DISTINCT z) FROM t GROUP BY k",
+    "SELECT a.k, b.k, COUNT(DISTINCT x), COUNT(DISTINCT y) FROM a JOIN b"
+    " ON a.i = b.i GROUP BY a.k, b.k",  # bare-name key collision
+    "WITH c AS (SELECT 1) SELECT COUNT(DISTINCT x), COUNT(DISTINCT y) FROM c",
+]
+
+
+def test_rewrite_shapes():
+    for q in REWRITES:
+        r = tld(q)
+        assert r is not None and "__tla1" in r and "__cd1" in r, q
+        assert r.upper().startswith("WITH "), r
+
+
+def test_bail_shapes():
+    for q in BAILS:
+        assert tld(q) is None, q
+
+
+# ---------------------------------------------------------------------------
+# semantic equivalence on NULL-heavy data (DuckDB evaluates both texts)
+# ---------------------------------------------------------------------------
+
+EQUIV = [
+    "SELECT k, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cd2,"
+    " COUNT(*) AS n, SUM(y) AS s, MIN(y) AS mn, MAX(y) AS mx,"
+    " COUNT(y) AS cy, AVG(x) AS ax FROM t GROUP BY k",
+    "SELECT COUNT(DISTINCT x) AS cd, COUNT(DISTINCT k) AS cd2,"
+    " COUNT(*) AS n, SUM(y) AS s FROM t",
+    "SELECT k, k2, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cd2,"
+    " SUM(y) AS s FROM t WHERE y IS NOT NULL GROUP BY k, k2",
+    "SELECT k, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cdy"
+    " FROM t GROUP BY k ORDER BY cd DESC, k LIMIT 2",
+    "SELECT k, COUNT(DISTINCT x + 1) AS cd, COUNT(DISTINCT y) AS cdy,"
+    " SUM(x) AS s FROM t GROUP BY k",
+    # duplicate distinct exprs collapse to one group
+    "SELECT k, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT x) AS cd2,"
+    " COUNT(DISTINCT y) AS cdy, MIN(DISTINCT y) AS mn FROM t GROUP BY k",
+    "SELECT k, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT k2) AS cdk2"
+    " FROM t GROUP BY k ORDER BY COUNT(*) DESC, k LIMIT 3",
+]
+
+
+@pytest.mark.parametrize("empty", [False, True])
+def test_semantic_equivalence_duckdb(empty):
+    import random
+
+    random.seed(11)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k VARCHAR, k2 INT, x INT, y DOUBLE)")
+    if not empty:
+        rows = [
+            (
+                random.choice(["a", "b", None]),
+                random.choice([1, 2, None]),
+                random.choice([None] + list(range(30))),
+                random.choice([None, 1.5, -2.0, 0.0]),
+            )
+            for _ in range(2000)
+        ]
+        con.executemany("INSERT INTO t VALUES (?,?,?,?)", rows)
+    for q in EQUIV:
+        r = tld(q)
+        assert r is not None, q
+        a = sorted(map(tuple, con.execute(q).fetchall()), key=str)
+        b = sorted(map(tuple, con.execute(_duck(r)).fetchall()), key=str)
+        assert a == b, f"{q}\n{r}\n{a[:3]} != {b[:3]}"
+
+
+def test_semantic_equivalence_fuzz():
+    """Randomized datasets x randomized agg combinations."""
+    import random
+
+    random.seed(42)
+    for _ in range(25):
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (k VARCHAR, k2 INT, x INT, y DOUBLE)")
+        n = random.choice([0, 1, 7, 400])
+        if n:
+            rows = [
+                (
+                    random.choice(["a", "b", None]),
+                    random.choice([1, 2, 3, None]),
+                    random.choice([None] + list(range(random.choice([2, 40])))),
+                    random.choice([None, 1.5, -2.0, 0.0, 9.75]),
+                )
+                for _ in range(n)
+            ]
+            con.executemany("INSERT INTO t VALUES (?,?,?,?)", rows)
+        keys = random.choice([[], ["k"], ["k", "k2"]])
+        aggs = ["COUNT(DISTINCT x) AS cd", "COUNT(DISTINCT y) AS cdy"]
+        aggs += random.sample(
+            ["COUNT(*) AS n", "SUM(y) AS s", "MIN(y) AS mn", "MAX(x) AS mx",
+             "COUNT(y) AS cy", "AVG(y) AS ay", "COUNT(DISTINCT k2) AS cdk"],
+            random.randint(0, 4),
+        )
+        q = f"SELECT {', '.join(keys + aggs)} FROM t"
+        if random.random() < 0.5:
+            q += " WHERE k2 IS NOT NULL OR k IS NULL"
+        if keys:
+            q += " GROUP BY " + ", ".join(keys)
+            if random.random() < 0.4:
+                q += " ORDER BY " + keys[0] + " DESC"
+        r = tld(q)
+        assert r is not None, q
+        a = sorted(map(tuple, con.execute(q).fetchall()), key=str)
+        b = sorted(map(tuple, con.execute(_duck(r)).fetchall()), key=str)
+        assert a == b, f"{q}\n{r}\n{a[:3]} != {b[:3]}"
+
+
+# ---------------------------------------------------------------------------
+# engine integration: gated, plan-asserted, result-identical
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from impala_spark.session import get_spark
+
+    s = get_spark("impala_spark_tests")
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+PLAIN = (
+    "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,"
+    " COUNT(DISTINCT o_orderpriority) AS n_priorities, COUNT(*) AS n_orders"
+    " FROM orders GROUP BY o_orderstatus"
+)
+
+
+def test_engine_two_level_distinct_gated(spark, monkeypatch):
+    from impala_spark.engine import ImpalaEngine
+
+    # below the gate: Catalyst's default multi-distinct planning (Expand)
+    eng = ImpalaEngine(spark, sf_dir=SF_01)
+    default_df = eng.sql(PLAIN)
+    default_rows = sorted(map(tuple, default_df.collect()))
+    assert "Expand" in default_df._jdf.queryExecution().executedPlan().toString()
+
+    # above the gate: one CTE per distinct group — NO Expand, same rows
+    import impala_spark.rewrites as RW
+
+    monkeypatch.setattr(RW, "TWO_LEVEL_DISTINCT_MIN_INPUT_BYTES", 0)
+    eng2 = ImpalaEngine(spark, sf_dir=SF_01)
+    rewritten_df = eng2.sql(PLAIN)
+    rewritten_rows = sorted(map(tuple, rewritten_df.collect()))
+    plan = rewritten_df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan
+    assert rewritten_rows == default_rows
+
+
+def test_engine_rewrite_preserves_strict_errors(spark, monkeypatch):
+    """Strict analysis still runs on the USER's text, not the rewrite."""
+    import impala_spark.rewrites as RW
+
+    from impala_spark.engine import ImpalaEngine
+    from impala_spark.parser import ImpalaUnsupportedError
+
+    monkeypatch.setattr(RW, "TWO_LEVEL_DISTINCT_MIN_INPUT_BYTES", 0)
+    eng = ImpalaEngine(spark, sf_dir=SF_001, strict=True)
+    with pytest.raises(ImpalaUnsupportedError):
+        eng.sql(
+            "SELECT o_orderstatus, COUNT(DISTINCT o_custkey),"
+            " COUNT(DISTINCT o_clerk)"
+            " FROM orders GROUP BY o_orderstatus LIMIT 2 ** 3"
+        )
