@@ -108,6 +108,23 @@ _QUERY_OPTIONS = {
 }
 
 
+def _ntz_outputs(df: DataFrame) -> DataFrame:
+    """Cast LTZ timestamp result columns back to TIMESTAMP_NTZ. The stats
+    session plans in LTZ (Spark 4.1.2's FilterEstimation can't estimate
+    NTZ — session.register_stats_table), but the engine's Impala-parity
+    surface is timezone-less timestamps; under the UTC session the cast
+    is wall-clock exact."""
+    casts = [
+        F.col(f.name).cast("timestamp_ntz").alias(f.name)
+        if f.dataType.typeName() == "timestamp"
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    if any(f.dataType.typeName() == "timestamp" for f in df.schema.fields):
+        return df.select(*casts)
+    return df
+
+
 class ImpalaEngine:
     """SQL-string front door with Impala dialect + statement surface."""
 
@@ -128,6 +145,9 @@ class ImpalaEngine:
         #: input directory for the size-gated plan rewrites (None = unknown
         #: scale, keep Catalyst's default plans)
         self._sf_dir = sf_dir or None
+        #: fixture tables promoted to stats-backed catalog tables by
+        #: COMPUTE STATS (see session.register_stats_table)
+        self._stats_tables: set[str] = set()
         if sf_dir:
             register_tables(spark, sf_dir)
 
@@ -368,7 +388,41 @@ class ImpalaEngine:
         rw = self._plan_rewrite(q)
         if rw is not None:
             sql_text = translate(rw)
-        return self._sql_with_impala_errors(sql_text)
+        sess = self._route_session(q)
+        df = self._sql_with_impala_errors(sql_text, spark=sess)
+        if sess is not self.spark:
+            df = _ntz_outputs(df)
+        return df
+
+    def _route_session(self, q: str):
+        """Pick the session a plain query plans in. After COMPUTE STATS
+        promoted every base table a SELECT reads, the statement plans in
+        the stats session — CBO + catalog stats reproduce the broadcast
+        shapes the registry otherwise needs hand hints for (the
+        reference's stats-costed DistributedPlanner.java:420-536
+        decision). Anything the scanner can't prove (views, engine-DDL
+        tables, qualified names, derived tables) keeps the default
+        session and Catalyst's stats-less planning."""
+        if not self._stats_tables or self._sf_dir is None:
+            return self.spark
+        head = q.lstrip()[:8].upper().split(None, 1)
+        if not head or head[0] not in ("SELECT", "WITH"):
+            return self.spark
+        from impala_spark.rewrites import referenced_base_tables
+
+        refs = referenced_base_tables(q)
+        if not refs:
+            return self.spark
+        for r in refs:
+            if (
+                r not in self._stats_tables
+                or r in self._views
+                or ddl.table_info(r) is not None
+            ):
+                return self.spark
+        from impala_spark.session import stats_session
+
+        return stats_session(self.spark, self._sf_dir)
 
     def _plan_rewrite(self, q: str) -> str | None:
         """Input-size-gated plan rewrites on plain user SQL — the engine
@@ -459,7 +513,9 @@ class ImpalaEngine:
             format_spec(sm.group(1))  # validate; unsupported formats raise
         return ddl.create_table(self.spark, tname, col_defs, part_defs)
 
-    def _sql_with_impala_errors(self, spark_sql: str) -> DataFrame:
+    def _sql_with_impala_errors(
+        self, spark_sql: str, spark: SparkSession | None = None
+    ) -> DataFrame:
         """Run translated SQL, remapping Catalyst resolution failures onto
         the reference's exact analyzer messages (Analyzer.java:~712
         "Could not resolve table reference", Path resolution
@@ -467,7 +523,7 @@ class ImpalaEngine:
         from pyspark.errors import AnalysisException
 
         try:
-            return self.spark.sql(spark_sql)
+            return (spark or self.spark).sql(spark_sql)
         except AnalysisException as e:
             cond = ""
             for attr in ("getCondition", "getErrorClass"):
@@ -515,7 +571,40 @@ class ImpalaEngine:
         (ComputeStatsStmt.java:218-242 issues exactly these child queries).
         Spark: ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS feeds
         the same numbers to the CBO.
+
+        Fixture tables are PROMOTED to stats-backed catalog tables
+        (session.register_stats_table): subsequent plain SELECTs over
+        only-promoted tables plan in the stats session, where CBO + join
+        reorder reproduce the broadcast shapes the registry otherwise
+        needs hand hints for — the reference's own coupling (COMPUTE
+        STATS feeds DistributedPlanner.java:420-536's cost model; without
+        it the planner runs left-deep as written).
         """
+        from impala_spark.session import (
+            TABLES,
+            register_stats_table,
+            stats_db_name,
+        )
+
+        tname = table.strip("`")
+        if (
+            self._sf_dir
+            and tname in TABLES
+            and tname not in self._views
+            and ddl.table_info(tname) is None
+            and register_stats_table(self.spark, self._sf_dir, tname)
+        ):
+            self._stats_tables.add(tname)
+            db = stats_db_name(self._sf_dir)
+            # same output contract as the temp-view path: the reference's
+            # child-query numbers (row count + per-column NDV)
+            cols = self.spark.table(f"{db}.`{tname}`").columns
+            ndvs = ", ".join(
+                f"approx_count_distinct(`{c}`) AS ndv_{c}" for c in cols
+            )
+            return self.spark.sql(
+                f"SELECT count(*) AS row_count, {ndvs} FROM {db}.`{tname}`"
+            )
         is_temp_view = any(
             t.name == table and t.tableType in ("TEMPORARY", "TEMP")
             for t in self.spark.catalog.listTables()

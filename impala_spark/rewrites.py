@@ -294,6 +294,97 @@ def _rewrite_region(
     return "".join(out)
 
 
+#: words that terminate a FROM item list / can't be a table alias
+_FROM_STOP_WORDS = frozenset({
+    "where", "group", "order", "limit", "offset", "having", "join",
+    "inner", "left", "right", "full", "cross", "semi", "anti", "on",
+    "using", "union", "lateral", "straight_join", "when", "then",
+    "else", "end", "and", "or", "not", "select",
+})
+
+
+def referenced_base_tables(sql: str) -> set[str] | None:
+    """Lower-cased base-table names a statement reads FROM — CTE names
+    excluded, subquery FROMs included. Returns None whenever the shape
+    is not provably simple (qualified names, nested-collection paths,
+    anything surprising): callers must treat None as 'unknown' and take
+    the conservative path."""
+    try:
+        tokens = tokenize(sql)
+    except Exception:
+        return None
+    sig = _sig(tokens, 0, len(tokens))
+    ctes: set[str] = set()
+    # CTE names: every `ident AS (` (the only place that shape occurs in
+    # this grammar — Impala 2.7 has no named-WINDOW clause)
+    for a, b, c in zip(sig, sig[1:], sig[2:]):
+        if (
+            tokens[a].kind in ("word", "bident")
+            and tokens[b].upper == "AS"
+            and tokens[c].kind == "op" and tokens[c].text == "("
+        ):
+            ctes.add(tokens[a].text.strip("`").lower())
+    refs: set[str] = set()
+    i = 0
+    while i < len(sig):
+        t = tokens[sig[i]]
+        if t.kind == "word" and t.upper in ("FROM", "JOIN"):
+            j = i + 1
+            while True:
+                if j >= len(sig):
+                    break
+                tj = tokens[sig[j]]
+                if tj.kind == "op" and tj.text == "(":
+                    # derived table in FROM position: a trailing
+                    # `, table` after it would escape this scanner —
+                    # unknown is the only safe answer
+                    return None
+                if tj.kind not in ("word", "bident"):
+                    return None
+                # identifier chain
+                parts = [tj.text.strip("`").lower()]
+                k = j
+                while (
+                    k + 1 < len(sig)
+                    and tokens[sig[k + 1]].kind == "op"
+                    and tokens[sig[k + 1]].text == "."
+                ):
+                    if k + 2 >= len(sig) or tokens[sig[k + 2]].kind not in (
+                        "word", "bident",
+                    ):
+                        return None
+                    parts.append(tokens[sig[k + 2]].text.strip("`").lower())
+                    k += 2
+                if len(parts) != 1:
+                    return None  # db-qualified / collection path: unknown
+                if parts[0] in _FROM_STOP_WORDS:
+                    return None  # malformed for this scanner
+                refs.add(parts[0])
+                # skip optional [AS] alias
+                k += 1
+                if k < len(sig) and tokens[sig[k]].upper == "AS":
+                    k += 1
+                if (
+                    k < len(sig)
+                    and tokens[sig[k]].kind in ("word", "bident")
+                    and tokens[sig[k]].text.strip("`").lower()
+                    not in _FROM_STOP_WORDS
+                ):
+                    k += 1  # alias
+                # comma-separated FROM list continues the item loop
+                if (
+                    k < len(sig)
+                    and tokens[sig[k]].kind == "op"
+                    and tokens[sig[k]].text == ","
+                ):
+                    j = k + 1
+                    continue
+                i = k - 1
+                break
+        i += 1
+    return refs - ctes
+
+
 def two_level_distinct(
     sql: str, extra_aggs: frozenset[str] = frozenset()
 ) -> str | None:
