@@ -105,6 +105,17 @@ _PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 #: 16 GiB ~= sf160: the largest hinted side (q3's BUILDING-customer x
 #: filtered-orders join, ~1% of orders) is ~2M rows / ~100 MB hashed
 #: there — still a safe broadcast; beyond it, it is not.
+#:
+#: r10 DEMOTION NOTE: these hints are now the STATS-LESS fallback only.
+#: After COMPUTE STATS, engine.sql() plans plain (hint-free) texts in
+#: the stats session (session.stats_session) where CBO + catalog stats
+#: make this same decision from row counts — the reference's actual
+#: mechanism — and flip it automatically as estimates grow with scale.
+#: Interleaved A/B at sf10 (loaded box, arms alternate per rep):
+#: stats-planned plain q3 0.99 s vs hinted 1.06 s, q10 1.67 vs 2.44
+#: (stats BEATS the hand plan), q5 3.17 vs 2.65 (hand join order still
+#: ~20% better). The registry keeps hinted texts because the driver's
+#: correctness harness runs statements stats-less.
 BROADCAST_HINT_MAX_INPUT_BYTES = 16 << 30
 
 import re as _re
