@@ -7245,6 +7245,15 @@ _CATALOG: dict[str, dict[str, str]] | None = None
 #: unknown -> every session-db-dependent verdict stays permissive.
 _SESSION_DB: str | None = None
 
+#: Canned test functions NOT YET registered at this statement's point in
+#: the reference test (strict mode): the reference registers its test
+#: UDFs MID-METHOD (AnalyzeExprsTest.java TestUdfs: the `select udf()`
+#: pins at :1870-1872 precede the catalog_.addFunction calls at
+#: :1877-1895), so a faithful replay of the earlier statements must see
+#: the PRE-registration catalog. frozenset of (db, name); empty/None =
+#: fully-registered state (every non-sweep caller).
+_PRE_REG_FNS: frozenset = frozenset()
+
 
 def _split_type_args(inner: str) -> list[str]:
     """Split the <...> body of a rendered type at top-level commas."""
@@ -10587,8 +10596,9 @@ def _check_strict_unknown_functions(tokens: list[Token]) -> None:
             fn = t.text.lower()
             if fn in known or not _VALID_NAME_RE.match(fn):
                 continue
-            if ("default", fn) in _TEST_USER_FNS \
-                    or ("default", fn) in _TEST_USER_UDAS:
+            if (("default", fn) in _TEST_USER_FNS
+                    or ("default", fn) in _TEST_USER_UDAS) \
+                    and ("default", fn) not in _PRE_REG_FNS:
                 continue
             raise ImpalaUnsupportedError(f"default.{fn}() unknown")
 
@@ -14336,6 +14346,7 @@ def translate(
     schema: dict[str, str] | None = None,
     catalog: dict[str, dict[str, str]] | None = None,
     session_db: str | None = None,
+    unregistered_fns: frozenset | None = None,
 ) -> str:
     """Impala-dialect SQL -> Spark SQL.
 
@@ -14366,7 +14377,7 @@ def translate(
     under different session dbs (AnalyzeStmtsTest
     TestTableRefPathAmbiguity, :1199-1211). None = unknown (permissive).
     """
-    global _SCHEMA, _CATALOG, _SESSION_DB
+    global _SCHEMA, _CATALOG, _SESSION_DB, _PRE_REG_FNS
     tokens = tokenize(sql)
     _check_rejections(tokens)
     _check_subquery_in_or(tokens)
@@ -14377,6 +14388,12 @@ def translate(
             t.lower(): {c.lower(): ty for c, ty in cols.items()}
             for t, cols in catalog.items()
         }
+    if strict and unregistered_fns:
+        # replay point precedes these test-fn registrations (see
+        # _PRE_REG_FNS) — the canned-fn exemptions must not apply
+        _PRE_REG_FNS = frozenset(
+            (d.lower(), f.lower()) for d, f in unregistered_fns
+        )
     if strict and session_db is not None:
         _SESSION_DB = session_db.lower()
         # per-session-db fixture overrides: the reference re-registers
@@ -14397,6 +14414,7 @@ def translate(
         _SCHEMA = None
         _CATALOG = None
         _SESSION_DB = None
+        _PRE_REG_FNS = frozenset()
 
 
 def _translate_checked(tokens: list[Token], sql: str, strict: bool) -> str:

@@ -1969,3 +1969,26 @@ def test_session_db_parameterized_resolution():
     t(dual, "functional")
     # session unknown: permissive (no false positive for API callers)
     t(dual, None)
+
+def test_pre_registration_function_replay():
+    """Registration-order replay (r9 verdict task #5): the reference
+    registers default.udf MID-METHOD (AnalyzeExprsTest.java TestUdfs —
+    pins at :1870-1872 precede catalog_.addFunction at :1877-1895), so
+    statements replayed from earlier positions must see the
+    PRE-registration catalog and raise 'default.udf() unknown', while
+    later statements resolve the canned overloads as before."""
+    import pytest
+
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.parser import translate as tr
+    from impala_spark.testcatalog import TABLE_SCHEMAS
+
+    pre = frozenset({("default", "udf")})
+    for sql in ["select udf()", "select udf(1)"]:
+        with pytest.raises(ImpalaUnsupportedError) as ei:
+            tr(sql, strict=True, catalog=TABLE_SCHEMAS, unregistered_fns=pre)
+        assert "default.udf() unknown" in str(ei.value), sql
+        # post-registration state (no param): resolves the canned overloads
+        assert tr(sql, strict=True, catalog=TABLE_SCHEMAS) == sql
+    # the global resets: a following strict call is fully registered
+    assert tr("select udf()", strict=True, catalog=TABLE_SCHEMAS)

@@ -218,9 +218,44 @@ def _declared_session_db(body: str) -> str:
     return m.group(1).lower() if m else "default"
 
 
-def extract_pairs(path: str) -> list[tuple[str, str, str]]:
+
+#: ScalarFunction.createForTesting("db", "name", ...) — the reference
+#: registers its test UDFs MID-METHOD (AnalyzeExprsTest TestUdfs), so a
+#: pin extracted from an earlier line must replay against the
+#: PRE-registration catalog (r9 verdict task #5: capture the two
+#: `select udf()` / `select udf(1)` "default.udf() unknown" twins by
+#: replaying registration order)
+_REGISTRATION_RE = re.compile(r'createForTesting\(\s*"(\w+)",\s*"(\w+)"')
+_METHOD_RE = re.compile(r'public void (\w+)\s*\(')
+
+
+def _pre_registration_fns(src: str):
+    """pos -> frozenset of (db, fn) registered LATER in the same test
+    method (JUnit runs each method on a fresh catalog instance, so only
+    same-method ordering matters)."""
+    methods = [m.start() for m in _METHOD_RE.finditer(src)] + [len(src)]
+    regs = [
+        (m.start(), m.group(1).lower(), m.group(2).lower())
+        for m in _REGISTRATION_RE.finditer(src)
+    ]
+
+    def at(pos: int) -> frozenset:
+        import bisect
+
+        k = bisect.bisect_right(methods, pos) - 1
+        lo = methods[k] if k >= 0 else 0
+        hi = methods[k + 1] if k + 1 < len(methods) else len(src)
+        return frozenset(
+            (db, fn) for rpos, db, fn in regs if lo <= pos < rpos < hi
+        )
+
+    return at
+
+
+def extract_pairs(path: str) -> list[tuple[str, str, str, frozenset]]:
     src = _drop_disabled_methods(_strip_java_comments(open(path).read()))
-    pairs: list[tuple[str, str, str]] = []
+    pre_at = _pre_registration_fns(src)
+    pairs: list[tuple[str, str, str, frozenset]] = []
     for m in re.finditer(r"AnalysisError\(", src):
         i = m.end()
         depth = 1
@@ -263,7 +298,10 @@ def extract_pairs(path: str) -> list[tuple[str, str, str]]:
         if _has_variable_concat(raw_exp):
             expected = _java_literal_prefix(raw_exp)
         if expected:
-            pairs.append((strings[0], expected, _declared_session_db(body)))
+            pairs.append(
+                (strings[0], expected, _declared_session_db(body),
+                 pre_at(m.start()))
+            )
     return pairs
 
 
@@ -300,11 +338,12 @@ def _java_literal_prefix(raw_arg: str) -> str:
     return s.replace('\\"', '"').replace("\\n", "\n").replace("\\\\", "\\")
 
 
-def extract_positives(path: str) -> list[tuple[str, str]]:
-    """AnalyzesOk("sql" [, analyzer]) statements (+ declared session db)
-    — the false-positive guard corpus."""
+def extract_positives(path: str) -> list[tuple[str, str, frozenset]]:
+    """AnalyzesOk("sql" [, analyzer]) statements (+ declared session db
+    + the pre-registration set) — the false-positive guard corpus."""
     src = _drop_disabled_methods(_strip_java_comments(open(path).read()))
-    out: list[tuple[str, str]] = []
+    pre_at = _pre_registration_fns(src)
+    out: list[tuple[str, str, frozenset]] = []
     for m in re.finditer(r"AnalyzesOk\(", src):
         i = m.end()
         depth = 1
@@ -336,7 +375,7 @@ def extract_positives(path: str) -> list[tuple[str, str]]:
         raw = _java_raw_args(body)
         if raw and _has_variable_concat(raw[0]):
             continue
-        out.append((strings[0], _declared_session_db(body)))
+        out.append((strings[0], _declared_session_db(body), pre_at(m.start())))
     return out
 
 
@@ -355,7 +394,7 @@ def main() -> None:
         if not os.path.exists(path):
             print(f"skip (no reference checkout): {path}")
             continue
-        for sql, expected, session_db in extract_pairs(path):
+        for sql, expected, session_db, pre_reg in extract_pairs(path):
             if not sql.strip().lower().startswith((
                 "select", "with", "values",
                 # DDL heads: the parser's token-level DDL analysis runs
@@ -380,7 +419,8 @@ def main() -> None:
                 cat_free += 1
             try:
                 translate(sql, strict=True, schema=schema_for_statement(sql),
-                          catalog=TABLE_SCHEMAS, session_db=session_db)
+                          catalog=TABLE_SCHEMAS, session_db=session_db,
+                          unregistered_fns=pre_reg)
                 got: str | None = None
             except ImpalaUnsupportedError as e:
                 got = str(e)
@@ -404,7 +444,7 @@ def main() -> None:
     for path in REF_TESTS:
         if not os.path.exists(path):
             continue
-        for sql, session_db in extract_positives(path):
+        for sql, session_db, pre_reg in extract_positives(path):
             if not sql.strip().lower().startswith((
                 "select", "with", "values",
                 "create", "alter", "drop", "truncate",
@@ -418,7 +458,8 @@ def main() -> None:
             pos_total += 1
             try:
                 translate(sql, strict=True, schema=schema_for_statement(sql),
-                          catalog=TABLE_SCHEMAS, session_db=session_db)
+                          catalog=TABLE_SCHEMAS, session_db=session_db,
+                          unregistered_fns=pre_reg)
             except ImpalaUnsupportedError as e:
                 pos_rejected += 1
                 fp.append((sql, str(e)))
@@ -487,7 +528,7 @@ def ddl_main() -> None:
 
     total = matched = wrong = accepted = 0
     misses: list[tuple[str, str, str | None]] = []
-    for sql, expected in extract_pairs(DDL_TEST):
+    for sql, expected, _db, _pre in extract_pairs(DDL_TEST):
         head = sql.strip().split(None, 1)[0].lower() if sql.strip() else ""
         if head not in _DDL_HEADS:
             continue
