@@ -2156,7 +2156,10 @@ sql_query(
     # above). The 30M-row (sf10) filtered-lineitem exchange disappears:
     # executed plan = 2 broadcast joins + the single partial-agg
     # exchange. Interleaved A/B (results identical): sf10 4.10 -> 1.04 s
-    # (-75%, ~1.9x DuckDB — inside the 2x gate); sf30 29.8 -> 3.04 s.
+    # (-75%); sf30 29.8 -> 3.04 s. vs-DuckDB ratios for this query vary
+    # with the measurement window — clean-window ~1.9x, steal-burst
+    # medians up to 8x (BENCH_sf30_r9.json runs_note) — quote
+    # CROSSOVER.md's bounded ranges, never a point ratio.
     """
     WITH co AS (
       SELECT o_orderkey, o_orderdate, o_orderpriority
