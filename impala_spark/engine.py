@@ -829,7 +829,11 @@ class ImpalaEngine:
         # strict engines apply the same analyzer rejections to EXPLAIN as
         # to sql() — Impala analyzes before planning, so EXPLAIN of an
         # invalid query raises the analysis error, not a plan.
-        df = self.spark.sql(translate(query, strict=self.strict))
+        # EXPLAIN plans in the same session sql() would execute in, so
+        # after COMPUTE STATS the text shows the CBO plan the statement
+        # will actually get (the reference's COMPUTE STATS -> EXPLAIN
+        # cardinality loop).
+        df = self._route_session(query).sql(translate(query, strict=self.strict))
         qe = df._jdf.queryExecution()
         plan = qe.executedPlan().toString()
         # Cardinality/size annotations (planner/PlanNode.getExplainString
