@@ -64,7 +64,11 @@ def _quiet_wait_and_sample() -> tuple[list[float], float]:
     edits samples — external tenants on this box come and go within
     minutes, so waiting up to QUIET_WAIT_SECS for the 1-min loadavg to
     drop below 2 turns many would-be-contaminated records into clean
-    ones. Skippable via SPARK_GRAFT_NO_QUIET_WAIT.
+    ones. Skippable via SPARK_GRAFT_NO_QUIET_WAIT. r9's three
+    attempts at 180 s never found a window (loadavg 5-7 throughout);
+    r10 raises the per-attempt wait to 300 s and attempts to 4 —
+    worst case ~20 min of waiting, still inside a round's bench
+    budget, with every attempt disclosed either way.
 
     Returns (loadavg triple, cpu canary seconds). The canary is a fixed
     single-thread workload: hypervisor steal does NOT show up in loadavg
@@ -73,7 +77,7 @@ def _quiet_wait_and_sample() -> tuple[list[float], float]:
     oversubscribed. Idle reference on this box: ~0.10-0.15 s.
     """
     quiet_wait = 0 if os.environ.get("SPARK_GRAFT_NO_QUIET_WAIT") else int(
-        os.environ.get("SPARK_GRAFT_QUIET_WAIT_SECS", "180")
+        os.environ.get("SPARK_GRAFT_QUIET_WAIT_SECS", "300")
     )
     waited = 0
     try:
@@ -155,7 +159,7 @@ def main() -> None:
     # clean the lowest-total attempt is emitted with contaminated=true.
     # This never edits samples: each attempt is a complete, honestly
     # sampled suite run.
-    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "4"))
     attempts_log: list[dict] = []
     best: dict | None = None
     for attempt in range(1, max_attempts + 1):
