@@ -166,3 +166,57 @@ def test_stats_plans_broadcast_shapes_sf10(spark):
         assert "ShuffledHashJoin" not in plan, (name, plan)
         assert "CartesianProduct" not in plan, (name, plan)
         assert plan.count("Exchange hashpartitioning") <= 2, (name, plan)
+
+
+def test_stats_path_matches_duckdb_oracle(spark):
+    """The stats-planned plain texts are value-identical to DuckDB
+    running the same SQL over the same parquet — the same contract the
+    driver's oracle gate enforces for registry queries."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TPCH:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_01}/{t}.parquet'"
+        )
+    eng = ImpalaEngine(spark, sf_dir=SF_01)
+    for t in TPCH:
+        eng.sql(f"COMPUTE STATS {t}")
+    for name, q in (("q3", Q3), ("q5", Q5), ("q10", Q10)):
+        df = eng.sql(q)
+        assert df.sparkSession is not spark, name
+        got = sorted(
+            tuple(
+                round(v, 2) if isinstance(v, float) else str(v)
+                for v in r
+            )
+            for r in df.collect()
+        )
+        want = sorted(
+            tuple(
+                round(v, 2) if isinstance(v, float) else str(v)
+                for v in r
+            )
+            for r in con.execute(q).fetchall()
+        )
+        assert got == want, (name, got[:3], want[:3])
+
+
+def test_stats_broadcast_budget_flips_at_scale(spark, monkeypatch):
+    """The stats-driven broadcast decision must FLIP to partitioned
+    joins when estimates exceed the budget (the reference's cost-model
+    flip, DistributedPlanner.java:425-506) — simulated by shrinking the
+    budget to 1 KB, the same plan the estimates produce at ~sf100+."""
+    import impala_spark.session as S
+
+    monkeypatch.setattr(S, "STATS_BROADCAST_THRESHOLD_BYTES", 1024)
+    eng = ImpalaEngine(spark, sf_dir=SF_01)
+    for t in TPCH:
+        eng.sql(f"COMPUTE STATS {t}")
+    # a fresh clone must exist for the patched budget to apply
+    S._STATS_SESSIONS.pop((S._session_token(spark), SF_01), None)
+    df = eng.sql(Q3)
+    assert df.sparkSession is not spark
+    plan = _executed(df)
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+    S._STATS_SESSIONS.pop((S._session_token(spark), SF_01), None)
