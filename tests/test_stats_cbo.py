@@ -220,3 +220,34 @@ def test_stats_broadcast_budget_flips_at_scale(spark, monkeypatch):
     plan = _executed(df)
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
     S._STATS_SESSIONS.pop((S._session_token(spark), SF_01), None)
+
+
+def test_rewrite_composes_with_stats_routing(spark, monkeypatch):
+    """A plain multi-DISTINCT aggregate both rewrites (two-phase CTEs,
+    no Expand) AND routes to the stats session — the two engine-level
+    plan mechanisms compose."""
+    import impala_spark.rewrites as RW
+
+    monkeypatch.setattr(RW, "TWO_LEVEL_DISTINCT_MIN_INPUT_BYTES", 0)
+    eng = ImpalaEngine(spark, sf_dir=SF_01)
+    for t in TPCH:
+        eng.sql(f"COMPUTE STATS {t}")
+    q = (
+        "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS cd1,"
+        " COUNT(DISTINCT o_orderpriority) AS cd2, COUNT(*) AS n"
+        " FROM orders GROUP BY o_orderstatus"
+    )
+    df = eng.sql(q)
+    assert df.sparkSession is not spark  # routed
+    plan = _executed(df)
+    assert "Expand" not in plan, plan  # rewritten
+    # values match DuckDB on the same parquet
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{SF_01}/orders.parquet'"
+    )
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, con.execute(q).fetchall()))
+    assert got == want
