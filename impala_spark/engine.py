@@ -757,7 +757,38 @@ class ImpalaEngine:
 
     def show_column_stats(self, table: str) -> DataFrame:
         """SHOW COLUMN STATS — per-column NDV / null count / max size
-        (the child-query stats ComputeStatsStmt.java:218-242 gathers)."""
+        (the child-query stats ComputeStatsStmt.java:218-242 gathers).
+
+        After COMPUTE STATS promoted the table, the numbers come from
+        the metastore (DESCRIBE EXTENDED col) with NO scan — Impala's
+        own behavior: SHOW COLUMN STATS reads what COMPUTE STATS stored,
+        it never recomputes."""
+        tname = table.strip("`")
+        if tname in self._stats_tables and self._sf_dir:
+            from impala_spark.session import stats_db_name
+
+            db = stats_db_name(self._sf_dir)
+            sdf = self.spark.table(f"{db}.`{tname}`")
+            rows = []
+            for f in sdf.schema.fields:
+                stats = {
+                    r["info_name"]: r["info_value"]
+                    for r in self.spark.sql(
+                        f"DESCRIBE EXTENDED {db}.`{tname}` `{f.name}`"
+                    ).collect()
+                }
+
+                def _num(key):
+                    v = stats.get(key)
+                    return int(v) if v is not None and v.isdigit() else -1
+
+                rows.append(
+                    (f.name, f.dataType.simpleString(),
+                     _num("distinct_count"), _num("num_nulls"))
+                )
+            return self.spark.createDataFrame(
+                rows, "column: string, type: string, ndv: long, num_nulls: long"
+            )
         df = self.spark.table(table)
         aggs = []
         for f in df.schema.fields:

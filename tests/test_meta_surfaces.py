@@ -307,3 +307,17 @@ def test_top_terms_per_doc_topk_uses_window_group_limit(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
     assert "Partial" in plan and "Final" in plan, plan
+
+
+def test_show_column_stats_reads_metastore_after_promotion(spark):
+    """After COMPUTE STATS promotes a fixture, SHOW COLUMN STATS answers
+    from the metastore (no scan) with the stored NDV/null counts —
+    Impala's behavior: the SHOW surface reads what COMPUTE STATS stored."""
+    from impala_spark.engine import ImpalaEngine
+
+    eng = ImpalaEngine(spark, sf_dir="/root/testdata/sf0.001")
+    eng.sql("COMPUTE STATS nation")
+    rows = {r["column"]: r for r in eng.sql("SHOW COLUMN STATS nation").collect()}
+    assert rows["n_nationkey"]["ndv"] == 25
+    assert rows["n_regionkey"]["ndv"] == 5
+    assert rows["n_name"]["num_nulls"] == 0
