@@ -1830,6 +1830,44 @@ def q_compute_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: plain, hint-free TPC-H Q3 (fixture dialect) — the stats-path showcase.
+#: Rounded + string-cast outputs and a full tiebreak make the top-10
+#: deterministic across engines (registry float-compare conventions).
+_PLAIN_Q3_STATS = """
+    SELECT l_orderkey,
+           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS STRING) AS o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+"""
+
+
+@register("meta_stats_cbo_plain_q3", oracle=_PLAIN_Q3_STATS)
+def q_stats_cbo_plain_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPUTE STATS -> stats-costed CBO planning of PLAIN user SQL,
+    end-to-end through engine.sql() (r10; the reference's coupling:
+    A/ComputeStatsStmt.java feeds P/DistributedPlanner.java:420-536's
+    cost model). No hints anywhere: after promotion the statement plans
+    in the CBO stats session — broadcast of the filtered build sides
+    from row-count estimates, plan-asserted no CartesianProduct — and
+    must match the same SQL on DuckDB."""
+    eng = ImpalaEngine(spark, sf_dir)
+    for t in ("customer", "orders", "lineitem"):
+        eng.sql(f"COMPUTE STATS {t}")
+    df = eng.sql(_PLAIN_Q3_STATS)
+    # routed to the stats session (silent demotion would hide the path)
+    assert df.sparkSession is not spark, "stats routing did not engage"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:800]
+    return df
+
+
 @register(
     "meta_load_data",
     "SELECT CAST(COUNT(*) * 2 AS BIGINT) AS n FROM region",
