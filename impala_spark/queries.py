@@ -1830,6 +1830,43 @@ def q_compute_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: plain multi-DISTINCT aggregate — the engine-level two-phase rewrite
+#: showcase (rewrites.two_level_distinct; A/AggregateInfo.java:42-60).
+_PLAIN_MULTI_DISTINCT = """
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+"""
+
+
+@register("agg_multi_distinct_rewrite", oracle=_PLAIN_MULTI_DISTINCT)
+def q_multi_distinct_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generalized two-phase multi-DISTINCT rewrite (r10;
+    rewrites.two_level_distinct — the reference's AggregateInfo.java:
+    42-60 shape on plain user SQL), driver-verified: the rewritten text
+    must match the PLAIN text's oracle exactly, and its executed plan
+    must contain no Expand (Catalyst's default for >=2 distinct groups
+    replicates the input one copy per group — the thing a 100 TB plan
+    must avoid). engine.sql applies this above 1 GiB of input; here the
+    rewrite is invoked directly so the equivalence is pinned at the
+    driver's scale too."""
+    from impala_spark.rewrites import two_level_distinct
+    from impala_spark.session import posture_session
+
+    spark = posture_session(spark, sf_dir, "relational")
+    register_tables(spark, sf_dir)
+    rw = two_level_distinct(_PLAIN_MULTI_DISTINCT)
+    assert rw is not None, "rewrite must fire on two distinct groups"
+    df = spark.sql(translate(rw))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan[:800]
+    return df
+
+
 #: plain, hint-free TPC-H Q3 (fixture dialect) — the stats-path showcase.
 #: Rounded + string-cast outputs and a full tiebreak make the top-10
 #: deterministic across engines (registry float-compare conventions).
