@@ -617,7 +617,25 @@ class ImpalaEngine:
                 f"approx_count_distinct(`{c}`) AS ndv_{c}" for c in cols
             )
             return self.spark.sql(f"SELECT count(*) AS row_count, {ndvs} FROM `{table}`")
-        self.spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR ALL COLUMNS")
+        # Exclude TIMESTAMP_NTZ columns: Spark 4.1.2's FilterEstimation
+        # has no TimestampNTZType case (MatchError at
+        # FilterEstimation.scala:281, found r10) — with CBO on, NTZ
+        # column stats crash the optimizer on the first join + NTZ
+        # comparison (repro: two analyzed bucketed tables, ts filter).
+        # The table keeps row-count stats; NTZ predicates just estimate
+        # at default selectivity.
+        cols = [
+            f.name
+            for f in self.spark.table(table).schema.fields
+            if f.dataType.typeName() != "timestamp_ntz"
+        ]
+        if cols:
+            self.spark.sql(
+                f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS "
+                + ", ".join(f"`{c}`" for c in cols)
+            )
+        else:
+            self.spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
         # Stats unlock cost-based planning — the same coupling as the
         # reference (COMPUTE STATS is what feeds Impala's cost model;
         # without it the planner falls back to as-written join order).

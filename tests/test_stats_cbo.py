@@ -251,3 +251,33 @@ def test_rewrite_composes_with_stats_routing(spark, monkeypatch):
     got = sorted(map(tuple, df.collect()))
     want = sorted(map(tuple, con.execute(q).fetchall()))
     assert got == want
+
+
+def test_catalog_table_compute_stats_ntz_safe(spark):
+    """The non-fixture COMPUTE STATS path (genuine catalog tables, e.g.
+    write_bucketed outputs) must not store NTZ column stats: with CBO
+    enabled they crash Spark 4.1.2's FilterEstimation on the first join
+    + NTZ comparison (MatchError at FilterEstimation.scala:281)."""
+    from impala_spark import operators as ops
+    from impala_spark.session import table
+
+    eng = ImpalaEngine(spark, sf_dir=SF_001)
+    o = table(spark, SF_001, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = table(spark, SF_001, "customer").select("c_custkey", "c_acctbal")
+    ops.write_bucketed(o, "ntz_stats_o", ["o_orderkey"], buckets=4)
+    ops.write_bucketed(c, "ntz_stats_c", ["c_custkey"], buckets=4)
+    try:
+        eng.sql("COMPUTE STATS bucketed_db.ntz_stats_o")
+        eng.sql("COMPUTE STATS bucketed_db.ntz_stats_c")
+        n = eng.sql(
+            "SELECT COUNT(*) AS n FROM bucketed_db.ntz_stats_o o"
+            " JOIN bucketed_db.ntz_stats_c c ON o.o_custkey = c.c_custkey"
+            " WHERE o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'"
+        ).collect()[0][0]
+        assert n > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_db.ntz_stats_o")
+        spark.sql("DROP TABLE IF EXISTS bucketed_db.ntz_stats_c")
+        spark.conf.set("spark.sql.cbo.enabled", "false")
