@@ -164,8 +164,18 @@ class ImpalaEngine:
             return self.compute_stats(m.group(2).strip("`"))
         m = _DROP_STATS_RE.match(q)
         if m:
-            # Spark has no DROP STATS; nearest: re-analyze with NOSCAN to
-            # blank row-level detail. Record as no-op success.
+            # DROP STATS reverts the planner to the stats-less posture
+            # (the reference drops the metastore stats and the planner
+            # falls back to as-written plans) — here: the table leaves
+            # the stats-routing set, so subsequent statements plan in
+            # the default session again. Catalog numbers themselves are
+            # harmless to keep (nothing reads them once unrouted).
+            tname = m.group(2).strip("`")
+            if tname in self._stats_tables:
+                self._stats_tables.discard(tname)
+                return self.spark.sql(
+                    "SELECT 'stats dropped (table left the CBO posture)' AS result"
+                )
             return self.spark.sql("SELECT 'stats dropped (no-op on Spark)' AS result")
         m = _SET_RE.match(q)
         if m:

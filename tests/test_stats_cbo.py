@@ -281,3 +281,16 @@ def test_catalog_table_compute_stats_ntz_safe(spark):
         spark.sql("DROP TABLE IF EXISTS bucketed_db.ntz_stats_o")
         spark.sql("DROP TABLE IF EXISTS bucketed_db.ntz_stats_c")
         spark.conf.set("spark.sql.cbo.enabled", "false")
+
+
+def test_drop_stats_demotes_routing(spark):
+    """DROP STATS reverts the planner to the stats-less posture — the
+    reference's behavior when the metastore stats are dropped."""
+    eng = ImpalaEngine(spark, sf_dir=SF_01)
+    for t in TPCH:
+        eng.sql(f"COMPUTE STATS {t}")
+    assert eng.sql(Q3).sparkSession is not spark
+    eng.sql("DROP STATS orders")
+    assert eng.sql(Q3).sparkSession is spark  # orders left the set
+    eng.sql("COMPUTE STATS orders")  # re-promote: routing returns
+    assert eng.sql(Q3).sparkSession is not spark
