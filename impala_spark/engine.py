@@ -115,9 +115,9 @@ def _ntz_outputs(df: DataFrame) -> DataFrame:
     surface is timezone-less timestamps; under the UTC session the cast
     is wall-clock exact."""
     casts = [
-        F.col(f.name).cast("timestamp_ntz").alias(f.name)
+        df[f.name].cast("timestamp_ntz").alias(f.name)
         if f.dataType.typeName() == "timestamp"
-        else F.col(f.name)
+        else df[f.name]
         for f in df.schema.fields
     ]
     if any(f.dataType.typeName() == "timestamp" for f in df.schema.fields):
