@@ -294,3 +294,23 @@ def test_drop_stats_demotes_routing(spark):
     assert eng.sql(Q3).sparkSession is spark  # orders left the set
     eng.sql("COMPUTE STATS orders")  # re-promote: routing returns
     assert eng.sql(Q3).sparkSession is not spark
+
+
+def test_two_sf_dirs_promote_into_isolated_databases(spark):
+    """Two engines over different scale dirs promote into per-sf_dir
+    databases and route independently — no catalog name fights."""
+    from impala_spark.session import stats_db_name
+
+    a = ImpalaEngine(spark, sf_dir=SF_001)
+    b = ImpalaEngine(spark, sf_dir=SF_01)
+    a.sql("COMPUTE STATS nation")
+    b.sql("COMPUTE STATS nation")
+    assert stats_db_name(SF_001) != stats_db_name(SF_01)
+    ra = a.sql("SELECT COUNT(*) AS n FROM nation").collect()[0][0]
+    rb = b.sql("SELECT COUNT(*) AS n FROM nation").collect()[0][0]
+    assert ra == rb == 25  # nation is 25 rows at every SF
+    # each routed session reads its OWN db
+    sa = a.sql("SELECT COUNT(*) AS n FROM nation").sparkSession
+    sb = b.sql("SELECT COUNT(*) AS n FROM nation").sparkSession
+    assert sa is not spark and sb is not spark and sa is not sb
+    assert sa.catalog.currentDatabase() != sb.catalog.currentDatabase()
