@@ -1837,7 +1837,7 @@ _PLAIN_MULTI_DISTINCT = """
            CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
            CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS total
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
     FROM orders
     GROUP BY o_orderstatus
 """
@@ -1872,7 +1872,9 @@ def q_multi_distinct_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: deterministic across engines (registry float-compare conventions).
 _PLAIN_Q3_STATS = """
     SELECT l_orderkey,
-           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS revenue,
            CAST(o_orderdate AS STRING) AS o_orderdate, o_orderpriority
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
