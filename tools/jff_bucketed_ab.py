@@ -56,7 +56,11 @@ def _load() -> list[float]:
 
 def build_layout(spark, rebuild: bool = False) -> tuple:
     """One-time bucketed layout: full orders + lineitem bucketed AND
-    bucket-sorted by order key."""
+    bucket-sorted by order key. A fresh process re-ATTACHES an existing
+    on-disk layout (CREATE TABLE ... CLUSTERED BY ... LOCATION restores
+    the bucket spec without rewriting — the in-memory catalog is what
+    forgot, not the filesystem; a persistent metastore wouldn't even
+    need this)."""
     names = ("bucketed_db.orders_sf30_bkt", "bucketed_db.lineitem_sf30_bkt")
     if not rebuild:
         try:
@@ -66,6 +70,38 @@ def build_layout(spark, rebuild: bool = False) -> tuple:
                 return spark.table(names[0]), spark.table(names[1])
         except Exception:
             pass
+        try:
+            from impala_spark.ddl import WAREHOUSE
+
+            db_loc = os.path.join(WAREHOUSE, "bucketed_db")
+            spark.sql(
+                f"CREATE DATABASE IF NOT EXISTS bucketed_db LOCATION '{db_loc}'"
+            )
+            keys = {"orders_sf30_bkt": "o_orderkey",
+                    "lineitem_sf30_bkt": "l_orderkey"}
+            out = []
+            for n in names:
+                short = n.split(".", 1)[1]
+                loc = os.path.join(db_loc, short)
+                if not os.path.isdir(loc):
+                    raise FileNotFoundError(loc)
+                inferred = spark.read.parquet(loc).schema
+                cols = ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}"
+                    for f in inferred.fields
+                )
+                k = keys[short]
+                spark.sql(
+                    f"CREATE TABLE {n} ({cols}) USING parquet"
+                    f" CLUSTERED BY (`{k}`) SORTED BY (`{k}`)"
+                    f" INTO {BUCKETS} BUCKETS LOCATION '{loc}'"
+                )
+                out.append(spark.table(n))
+            print("# layout re-attached from disk (no rebuild)",
+                  file=sys.stderr, flush=True)
+            return tuple(out)
+        except Exception:
+            pass  # no on-disk layout yet: build below
     t0 = time.time()
     o = ops.write_bucketed(
         table(spark, SF_DIR, "orders"), names[0], ["o_orderkey"],
