@@ -113,16 +113,24 @@ def _ntz_outputs(df: DataFrame) -> DataFrame:
     session plans in LTZ (Spark 4.1.2's FilterEstimation can't estimate
     NTZ — session.register_stats_table), but the engine's Impala-parity
     surface is timezone-less timestamps; under the UTC session the cast
-    is wall-clock exact."""
+    is wall-clock exact.
+
+    Truly positional (r10 ADVICE): name-based df[name] raises
+    AMBIGUOUS_REFERENCE on duplicate output names (SELECT a.k, b.k), so
+    rename to unique ordinals with toDF, cast, and rename back."""
+    fields = df.schema.fields
+    if not any(f.dataType.typeName() == "timestamp" for f in fields):
+        return df
+    names = [f.name for f in fields]
+    tmp = [f"__ntz_c{i}" for i in range(len(fields))]
+    tmp_df = df.toDF(*tmp)
     casts = [
-        df[f.name].cast("timestamp_ntz").alias(f.name)
+        tmp_df[t].cast("timestamp_ntz").alias(t)
         if f.dataType.typeName() == "timestamp"
-        else df[f.name]
-        for f in df.schema.fields
+        else tmp_df[t]
+        for t, f in zip(tmp, fields)
     ]
-    if any(f.dataType.typeName() == "timestamp" for f in df.schema.fields):
-        return df.select(*casts)
-    return df
+    return tmp_df.select(*casts).toDF(*names)
 
 
 class ImpalaEngine:
@@ -139,6 +147,9 @@ class ImpalaEngine:
         self.explain_level = 1
         #: name -> SYMBOL of functions created via CREATE FUNCTION
         self._functions: dict[str, str] = {}
+        #: session token -> function names already re-registered there
+        #: (routed session clones own an isolated FunctionRegistry)
+        self._synced_functions: dict[str, set[str]] = {}
         #: names created via CREATE VIEW in this engine (AlterTableStmt
         #: .java:76-79 needs to tell views from tables)
         self._views: set[str] = set()
@@ -396,10 +407,18 @@ class ImpalaEngine:
         # strict-mode analysis always runs on the USER's text first
         sql_text = translate(q, strict=self.strict)
         rw = self._plan_rewrite(q)
-        if rw is not None:
-            sql_text = translate(rw)
         sess = self._route_session(q)
-        df = self._sql_with_impala_errors(sql_text, spark=sess)
+        if rw is not None:
+            df = self._sql_with_impala_errors(translate(rw), spark=sess)
+            # The rewrite renames UNALIASED aggregate outputs (__cd0/__a0,
+            # r10 ADVICE): restore the original statement's output names
+            # positionally. Analysis-only — the unrewritten frame is never
+            # executed, and the rewrite preserves select-item order/count.
+            orig_cols = self._sql_with_impala_errors(sql_text, spark=sess).columns
+            if df.columns != orig_cols:
+                df = df.toDF(*orig_cols)
+        else:
+            df = self._sql_with_impala_errors(sql_text, spark=sess)
         if sess is not self.spark:
             df = _ntz_outputs(df)
         return df
@@ -432,7 +451,30 @@ class ImpalaEngine:
                 return self.spark
         from impala_spark.session import stats_session
 
-        return stats_session(self.spark, self._sf_dir)
+        sess = stats_session(self.spark, self._sf_dir)
+        self._sync_functions(sess)
+        return sess
+
+    def _sync_functions(self, sess: SparkSession) -> None:
+        """spark.newSession() clones own an ISOLATED FunctionRegistry, so
+        a CREATE FUNCTION UDF registered on the default session would be
+        unknown in the routed stats session (r10 ADVICE, high): register
+        every engine function there before the statement plans. DROP
+        FUNCTION parity matches the default session (Spark has no
+        udf.unregister; the engine-side catalog is the contract)."""
+        if not self._functions:
+            return
+        from impala_spark.session import _session_token
+
+        synced = self._synced_functions.setdefault(_session_token(sess), set())
+        for name, symbol in self._functions.items():
+            if name in synced:
+                continue
+            entry = ifn.UDF_LIBRARY.get(symbol.strip().strip("'\""))
+            ifn.create_function(
+                sess, name, symbol, aggregate=bool(entry and entry[0])
+            )
+            synced.add(name)
 
     def _plan_rewrite(self, q: str) -> str | None:
         """Input-size-gated plan rewrites on plain user SQL — the engine

@@ -15,11 +15,14 @@ pairs; interleaved A/B medians 7.6 s vs 8.4 s calm and 13.4 s vs 40.1 s
 inside a contention burst, r9 commit 3e4c94b).
 
 This module generalizes that hand-written registry rewrite to PLAIN user
-SQL. A single-block aggregate with N>=2 distinct COUNT(DISTINCT expr)
-groups is rewritten to one CTE per distinct group — each a
+SQL. A single-block aggregate with N>=2 distinct COUNT(DISTINCT exprs)
+groups (multi-column COUNT(DISTINCT a, b) is one group keyed on the
+tuple, r11) is rewritten to one CTE per distinct group — each a
 single-distinct aggregate Catalyst plans without Expand, the first one
 carrying every plain aggregate verbatim — joined back on the grouping
-keys with null-safe equality:
+keys with null-safe equality; a HAVING clause maps onto the joined
+result as an outer WHERE (the reference evaluates HAVING post-merge,
+P/DistributedPlanner.java:835 — r11):
 
     WITH __tla0 AS (SELECT k, COUNT(DISTINCT d0) AS __cd0,
                            <plain aggs verbatim> FROM ... GROUP BY k),
@@ -135,18 +138,18 @@ def _clause_spans(tokens: list[Token]) -> dict[str, tuple[int, int]] | None:
                     return None
         elif t.kind == "word":
             u = t.upper
-            if u in ("UNION", "HAVING", "OVER", "WITH", "VALUES"):
+            if u in ("UNION", "OVER", "WITH", "VALUES"):
                 return None  # out of scope for this rewrite
             if depth > 0:
-                if u == "SELECT":
-                    return None  # subquery anywhere: bail
+                if u in ("SELECT", "HAVING"):
+                    return None  # subquery / nested HAVING: bail
                 k += 1
                 continue
             if u == "SELECT":
                 if marks:
                     return None  # second top-level SELECT (malformed)
                 marks.append(("SELECT", k + 1))
-            elif u in ("FROM", "WHERE", "LIMIT", "OFFSET"):
+            elif u in ("FROM", "WHERE", "HAVING", "LIMIT", "OFFSET"):
                 marks.append((u, k + 1))
             elif u in ("GROUP", "ORDER"):
                 j = k + 1
@@ -287,7 +290,7 @@ def _rewrite_region(
         if ctext in key_map:
             out.append(key_map[ctext])
         elif chain[-1].lower() in extra_names:
-            out.append(chain[-1])
+            out.append(f"`{chain[-1]}`")
         else:
             raise _Bail()
         k = kk + 1
@@ -411,7 +414,10 @@ def two_level_distinct(
         if sig0 and tokens[sig0[0]].upper == "DISTINCT":
             return None  # SELECT DISTINCT: out of scope
         # ---- group keys -------------------------------------------------
-        keys: list[tuple[str, str]] = []  # (full text, bare name)
+        #: (full text WITH original quoting, bare name stripped) — all
+        #: emitted key references are backtick-quoted so reserved-word /
+        #: backquoted columns survive the re-emission (r10 ADVICE)
+        keys: list[tuple[str, str]] = []
         key_map: dict[str, str] = {}
         if "GROUP" in spans:
             ga, gb = spans["GROUP"]
@@ -420,7 +426,8 @@ def two_level_distinct(
                 if not sig:
                     raise _Bail()
                 # simple (possibly qualified) column ref only
-                parts = []
+                parts = []  # stripped, for map keys
+                raw_parts = []  # original quoting, for re-emission
                 expect = True
                 for s in sig:
                     tt = tokens[s]
@@ -428,6 +435,7 @@ def two_level_distinct(
                         if tt.kind == "word" and tt.text.lower() in aggs:
                             raise _Bail()
                         parts.append(tt.text.strip("`"))
+                        raw_parts.append(tt.text)
                         expect = False
                     elif not expect and tt.kind == "op" and tt.text == ".":
                         expect = True
@@ -436,12 +444,13 @@ def two_level_distinct(
                 if expect or not parts:
                     raise _Bail()
                 full = ".".join(parts)
+                full_raw = ".".join(raw_parts)
                 bare = parts[-1]
                 if bare.lower() in (b.lower() for _, b in keys):
                     raise _Bail()  # bare-name collision across keys
-                keys.append((full, bare))
-                key_map[full.lower()] = f"__t0.{bare}"
-                key_map[bare.lower()] = f"__t0.{bare}"
+                keys.append((full_raw, bare))
+                key_map[full.lower()] = f"__t0.`{bare}`"
+                key_map[bare.lower()] = f"__t0.`{bare}`"
         # ---- aggregate calls in select list + ORDER BY -------------------
         distinct_groups: list[str] = []  # expr text per group
         group_ids: dict[str, int] = {}  # normalized expr -> group index
@@ -456,17 +465,24 @@ def two_level_distinct(
                 arg_sig[1] if has_distinct and len(arg_sig) > 1 else open_idx + 1
             )
             if has_distinct and lname == "count":
+                # multi-column COUNT(DISTINCT a, b) is one distinct group
+                # keyed on the tuple (AggregateInfo.java treats the distinct
+                # expr LIST as the second-level grouping); emitted verbatim,
+                # its CTE has a single distinct group which Catalyst plans
+                # without Expand (AggUtils.planAggregateWithOneDistinct).
                 args = _split_top_level_commas(tokens, arg_a, close_idx)
-                if len(args) != 1:
-                    raise _Bail()  # multi-column COUNT(DISTINCT a, b)
-                dx = _frag(tokens, args[0][0], args[0][1])
+                arg_texts = [_frag(tokens, a, b) for a, b in args]
+                if not arg_texts or any(not t for t in arg_texts):
+                    raise _Bail()
+                dx = ", ".join(arg_texts)
                 dn = _norm(dx)
                 g = group_ids.get(dn)
                 if g is None:
-                    # the distinct expr must not itself contain aggregates
-                    dtoks = tokenize(dx)
-                    if _find_agg_calls(dtoks, 0, len(dtoks), aggs):
-                        raise _Bail()
+                    # the distinct exprs must not themselves contain aggregates
+                    for at in arg_texts:
+                        dtoks = tokenize(at)
+                        if _find_agg_calls(dtoks, 0, len(dtoks), aggs):
+                            raise _Bail()
                     g = len(distinct_groups)
                     group_ids[dn] = g
                     distinct_groups.append(dx)
@@ -494,6 +510,8 @@ def two_level_distinct(
         regions = [(sel_a, sel_b)]
         if "ORDER" in spans:
             regions.append(spans["ORDER"])
+        if "HAVING" in spans:
+            regions.append(spans["HAVING"])
         for ra, rb in regions:
             for name_idx, open_idx, close_idx, lname in _find_agg_calls(
                 tokens, ra, rb, aggs
@@ -515,6 +533,19 @@ def two_level_distinct(
             if alias_text:
                 aliases.append(alias_text[4:].strip("`").lower())
             sel_items.append(body.strip() + alias_text)
+        # HAVING maps onto the joined result as an outer WHERE — the
+        # reference evaluates HAVING post-merge on the final aggregation
+        # (P/DistributedPlanner.java:835 addHavingPredicates after the
+        # merge phase), and every group row exists in the join result.
+        # Select ALIASES are deliberately not resolvable here (a Spark
+        # WHERE cannot see them): an alias reference bails via
+        # _rewrite_region's identifier check and keeps the default plan.
+        having_text = ""
+        if "HAVING" in spans:
+            ha, hb = spans["HAVING"]
+            having_text = " WHERE (" + _rewrite_region(
+                tokens, ha, hb, agg_sub, key_map, frozenset(), aggs
+            ).strip() + ")"
         order_text = ""
         if "ORDER" in spans:
             oa, ob = spans["ORDER"]
@@ -545,7 +576,7 @@ def two_level_distinct(
             " GROUP BY " + ", ".join(str(i + 1) for i in range(len(keys)))
             if keys else ""
         )
-        key_items = [f"{full} AS {bare}" for full, bare in keys]
+        key_items = [f"{full_raw} AS `{bare}`" for full_raw, bare in keys]
         ctes = []
         for g, dx in enumerate(distinct_groups):
             items = list(key_items)
@@ -562,14 +593,14 @@ def two_level_distinct(
         for g in range(1, len(distinct_groups)):
             if keys:
                 cond = " AND ".join(
-                    f"__t0.{bare} <=> __t{g}.{bare}" for _, bare in keys
+                    f"__t0.`{bare}` <=> __t{g}.`{bare}`" for _, bare in keys
                 )
                 joins += f" JOIN __tla{g} __t{g} ON {cond}"
             else:
                 joins += f" CROSS JOIN __tla{g} __t{g}"
         out = "WITH " + ", ".join(ctes)
         out += " SELECT " + ", ".join(sel_items)
-        out += " FROM " + joins + order_text + limit_text
+        out += " FROM " + joins + having_text + order_text + limit_text
         return out
     except _Bail:
         return None

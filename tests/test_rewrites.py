@@ -18,10 +18,32 @@ import duckdb
 import pytest
 
 
+import re
+
+
 def _duck(sql: str) -> str:
     """DuckDB has no <=> operator; it spells null-safe equality
-    IS NOT DISTINCT FROM (the emitted text is Impala/Spark dialect)."""
-    return sql.replace("<=>", "IS NOT DISTINCT FROM")
+    IS NOT DISTINCT FROM (the emitted text is Impala/Spark dialect).
+    DuckDB also lacks multi-arg COUNT(DISTINCT a, b) (Spark: count of
+    distinct tuples with ALL args non-null) — spell it as a distinct
+    count of a CASE-guarded struct. Applied to BOTH texts, so the
+    equivalence comparison itself stays engine-neutral."""
+    sql = sql.replace("<=>", "IS NOT DISTINCT FROM")
+    # backtick-quoted identifiers (emitted for group keys) -> ANSI quotes
+    sql = sql.replace("`", '"')
+
+    def _multi(m: "re.Match[str]") -> str:
+        args = [a.strip() for a in m.group(1).split(",")]
+        if len(args) == 1:
+            return m.group(0)
+        guard = " AND ".join(f"{a} IS NOT NULL" for a in args)
+        return (
+            f"COUNT(DISTINCT CASE WHEN {guard} THEN ({', '.join(args)}) END)"
+        )
+
+    # simple-column arg lists only (the tests'), not general expressions
+    return re.sub(r"COUNT\(DISTINCT ([\w.]+(?:\s*,\s*[\w.]+)+)\)", _multi, sql,
+                  flags=re.IGNORECASE)
 
 from impala_spark.rewrites import two_level_distinct as tld
 
@@ -51,6 +73,18 @@ REWRITES = [
     " FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
     " WHERE o.o_orderstatus = 'O' GROUP BY o_orderpriority"
     " ORDER BY o_orderpriority",
+    # r11: HAVING maps onto the joined result as an outer WHERE
+    "SELECT k, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cd2 FROM t"
+    " GROUP BY k HAVING COUNT(*) > 1",
+    # r11: multi-column COUNT(DISTINCT a, b) is one group on the tuple
+    "SELECT k, COUNT(DISTINCT x, y) AS cd, COUNT(DISTINCT z) AS cd2 FROM t"
+    " GROUP BY k",
+    # r11: HAVING may introduce the second distinct group itself
+    "SELECT k, COUNT(DISTINCT x) AS cd FROM t GROUP BY k"
+    " HAVING COUNT(DISTINCT y) > 1",
+    # r11: backquoted reserved-word grouping key survives re-emission
+    "SELECT `order`, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cd2"
+    " FROM t GROUP BY `order`",
 ]
 
 BAILS = [
@@ -67,10 +101,15 @@ BAILS = [
     " GROUP BY upper(k)",
     "SELECT k, SUM(DISTINCT x), COUNT(DISTINCT y), COUNT(DISTINCT z) FROM t"
     " GROUP BY k",
-    "SELECT k, COUNT(DISTINCT x, y), COUNT(DISTINCT z) FROM t GROUP BY k",
     "SELECT a.k, b.k, COUNT(DISTINCT x), COUNT(DISTINCT y) FROM a JOIN b"
     " ON a.i = b.i GROUP BY a.k, b.k",  # bare-name key collision
     "WITH c AS (SELECT 1) SELECT COUNT(DISTINCT x), COUNT(DISTINCT y) FROM c",
+    # HAVING referencing a select ALIAS: a Spark WHERE can't see it — bail
+    "SELECT k, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cd2 FROM t"
+    " GROUP BY k HAVING cd > 2",
+    # HAVING inside a subquery-ish depth is never rewritten
+    "SELECT k, COUNT(DISTINCT x), COUNT(DISTINCT y) FROM t GROUP BY k"
+    " HAVING EXISTS (SELECT 1)",
 ]
 
 
@@ -107,6 +146,23 @@ EQUIV = [
     " COUNT(DISTINCT y) AS cdy, MIN(DISTINCT y) AS mn FROM t GROUP BY k",
     "SELECT k, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT k2) AS cdk2"
     " FROM t GROUP BY k ORDER BY COUNT(*) DESC, k LIMIT 3",
+    # r11: HAVING over keys / plain aggs / distinct aggs (incl. one only
+    # referenced in HAVING)
+    "SELECT k, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cdy,"
+    " COUNT(*) AS n FROM t GROUP BY k HAVING COUNT(*) > 100",
+    "SELECT k, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cdy"
+    " FROM t GROUP BY k HAVING COUNT(DISTINCT x) > 3 AND SUM(y) < 100",
+    "SELECT k, COUNT(DISTINCT x) AS cd FROM t GROUP BY k"
+    " HAVING COUNT(DISTINCT k2) > 1 ORDER BY k",
+    "SELECT COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cdy FROM t"
+    " HAVING COUNT(*) > 100",
+    # r11: multi-column distinct groups (tuple semantics: all-non-null)
+    "SELECT k, COUNT(DISTINCT x, y) AS cd, COUNT(DISTINCT k2) AS cdk"
+    " FROM t GROUP BY k",
+    "SELECT COUNT(DISTINCT k, k2) AS cd, COUNT(DISTINCT x) AS cdx,"
+    " SUM(y) AS s FROM t",
+    "SELECT k, COUNT(DISTINCT x, y) AS cd, COUNT(DISTINCT y, x) AS cd2,"
+    " COUNT(*) AS n FROM t GROUP BY k HAVING COUNT(DISTINCT x, y) >= 1",
 ]
 
 
@@ -131,7 +187,7 @@ def test_semantic_equivalence_duckdb(empty):
     for q in EQUIV:
         r = tld(q)
         assert r is not None, q
-        a = sorted(map(tuple, con.execute(q).fetchall()), key=str)
+        a = sorted(map(tuple, con.execute(_duck(q)).fetchall()), key=str)
         b = sorted(map(tuple, con.execute(_duck(r)).fetchall()), key=str)
         assert a == b, f"{q}\n{r}\n{a[:3]} != {b[:3]}"
 
@@ -157,7 +213,12 @@ def test_semantic_equivalence_fuzz():
             ]
             con.executemany("INSERT INTO t VALUES (?,?,?,?)", rows)
         keys = random.choice([[], ["k"], ["k", "k2"]])
-        aggs = ["COUNT(DISTINCT x) AS cd", "COUNT(DISTINCT y) AS cdy"]
+        aggs = [
+            random.choice(
+                ["COUNT(DISTINCT x) AS cd", "COUNT(DISTINCT x, k2) AS cd"]
+            ),
+            "COUNT(DISTINCT y) AS cdy",
+        ]
         aggs += random.sample(
             ["COUNT(*) AS n", "SUM(y) AS s", "MIN(y) AS mn", "MAX(x) AS mx",
              "COUNT(y) AS cy", "AVG(y) AS ay", "COUNT(DISTINCT k2) AS cdk"],
@@ -169,10 +230,15 @@ def test_semantic_equivalence_fuzz():
         if keys:
             q += " GROUP BY " + ", ".join(keys)
             if random.random() < 0.4:
+                q += " HAVING " + random.choice(
+                    ["COUNT(*) >= 1", "COUNT(DISTINCT y) >= 0",
+                     "SUM(y) IS NOT NULL OR COUNT(*) > 0"]
+                )
+            if random.random() < 0.4:
                 q += " ORDER BY " + keys[0] + " DESC"
         r = tld(q)
         assert r is not None, q
-        a = sorted(map(tuple, con.execute(q).fetchall()), key=str)
+        a = sorted(map(tuple, con.execute(_duck(q)).fetchall()), key=str)
         b = sorted(map(tuple, con.execute(_duck(r)).fetchall()), key=str)
         assert a == b, f"{q}\n{r}\n{a[:3]} != {b[:3]}"
 
