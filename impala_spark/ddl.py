@@ -43,8 +43,25 @@ class ManagedTable:
 #: catalog of write-capable tables (name -> ManagedTable)
 _REGISTRY: dict[str, ManagedTable] = {}
 
+#: per-table mutation counter, bumped on every write-path refresh/drop.
+#: COMPUTE STATS promotion records the value at ANALYZE time; the stats
+#: routing compares it so a mutated table silently leaves the CBO posture
+#: until stats are recomputed (the r10 verdict's stale-memo guard: a
+#: re-run COMPUTE STATS after an INSERT must re-ANALYZE, never reuse).
+_MUTATIONS: dict[str, int] = {}
+
+
+def mutation_count(name: str) -> int:
+    """Monotone per-table write version (0 = never written this process)."""
+    return _MUTATIONS.get(name, 0)
+
+
+def _bump(name: str) -> None:
+    _MUTATIONS[name] = _MUTATIONS.get(name, 0) + 1
+
 
 def _refresh_view(spark: SparkSession, t: ManagedTable) -> DataFrame:
+    _bump(t.name)
     try:
         df = spark.read.parquet(t.path)
     except Exception:
@@ -83,6 +100,7 @@ def _managed(name: str) -> ManagedTable:
 
 
 def drop_table(spark: SparkSession, name: str, purge: bool = True) -> None:
+    _bump(name)
     t = _REGISTRY.pop(name, None)
     spark.catalog.dropTempView(name)
     if purge:
@@ -559,6 +577,7 @@ def alter_table(spark: SparkSession, stmt: str) -> DataFrame:
         t = _managed(old)
         if new in _REGISTRY:
             raise ValueError(f"ALTER TABLE RENAME: table '{new}' already exists")
+        _bump(old)
         spark.catalog.dropTempView(old)
         _REGISTRY[new] = ManagedTable(
             name=new, path=t.path, partition_cols=t.partition_cols,

@@ -159,6 +159,10 @@ class ImpalaEngine:
         #: fixture tables promoted to stats-backed catalog tables by
         #: COMPUTE STATS (see session.register_stats_table)
         self._stats_tables: set[str] = set()
+        #: managed (engine-created) promoted tables -> ddl.mutation_count
+        #: at ANALYZE time; a drifted count demotes the table from the
+        #: CBO posture until COMPUTE STATS re-runs (stale-stats guard)
+        self._stats_versions: dict[str, int] = {}
         if sf_dir:
             register_tables(spark, sf_dir)
 
@@ -443,11 +447,21 @@ class ImpalaEngine:
         if not refs:
             return self.spark
         for r in refs:
-            if (
-                r not in self._stats_tables
-                or r in self._views
-                or ddl.table_info(r) is not None
-            ):
+            if r not in self._stats_tables or r in self._views:
+                return self.spark
+            if r in self._stats_versions:
+                # promoted as a MANAGED table: any write since ANALYZE
+                # (or a DROP/RENAME) demotes it until stats recompute —
+                # the catalog entry would read stale files otherwise
+                info = ddl.table_info(r)
+                if info is None or ddl.mutation_count(r) != self._stats_versions[r]:
+                    self._stats_tables.discard(r)
+                    self._stats_versions.pop(r, None)
+                    return self.spark
+            elif ddl.table_info(r) is not None:
+                # fixture-promoted name now shadowed by an engine table:
+                # the stats db entry points at the fixture, the session
+                # name resolves to the engine table — never route
                 return self.spark
         from impala_spark.session import stats_session
 
@@ -487,13 +501,66 @@ class ImpalaEngine:
             TWO_LEVEL_DISTINCT_MIN_INPUT_BYTES,
             two_level_distinct,
         )
-        from impala_spark.session import _dir_total_bytes
 
-        if _dir_total_bytes(self._sf_dir) < TWO_LEVEL_DISTINCT_MIN_INPUT_BYTES:
+        if self._gate_input_bytes(q) < TWO_LEVEL_DISTINCT_MIN_INPUT_BYTES:
             return None
         # session UDAs (CREATE AGGREGATE FUNCTION) must be recognized as
         # aggregates — an unknown aggregate name would read as a scalar fn
         return two_level_distinct(q, extra_aggs=frozenset(self._functions))
+
+    def _gate_input_bytes(self, q: str) -> int:
+        """Input-size estimate for the size-gated rewrites, preferring
+        catalog stats over file sizes (r10 verdict task #5 — the
+        reference costs every such decision from COMPUTE STATS numbers):
+        per referenced table, catalog sizeInBytes when promoted, the
+        table's own files when its path is known (fixture parquet /
+        managed warehouse dir), and the whole fixture dir only as the
+        conservative unknown-shape fallback."""
+        import os as _os
+
+        from impala_spark.rewrites import referenced_base_tables
+        from impala_spark.session import (
+            TABLES,
+            _dir_total_bytes,
+            table_stats_bytes,
+        )
+
+        fallback = _dir_total_bytes(self._sf_dir)
+        refs = referenced_base_tables(q)
+        if not refs:
+            return fallback
+        total = 0
+        for r in refs:
+            b = None
+            if r in self._stats_tables and r not in self._views:
+                b = table_stats_bytes(
+                    self.spark, self._sf_dir, r, self._stats_versions.get(r, 0)
+                )
+            if b is None:
+                info = ddl.table_info(r)
+                if info is not None:
+                    # fresh walk, not _dir_total_bytes: managed tables
+                    # mutate, so a per-path size cache would go stale
+                    b = 0
+                    for root, _dirs, files in _os.walk(info.path):
+                        for f in files:
+                            try:
+                                b += _os.path.getsize(_os.path.join(root, f))
+                            except OSError:
+                                pass
+                elif r in TABLES and r not in self._views:
+                    p = _os.path.join(self._sf_dir, f"{r}.parquet")
+                    if _os.path.isfile(p):
+                        try:
+                            b = _os.path.getsize(p)
+                        except OSError:
+                            b = None
+                    elif _os.path.isdir(p):
+                        b = _dir_total_bytes(p)
+            if b is None:
+                return fallback  # view / unknown name: conservative
+            total += b
+        return total
 
     def _session_view_name(self, raw: str) -> str:
         """Resolve a possibly db-qualified view/table name to a session
@@ -634,11 +701,30 @@ class ImpalaEngine:
         """
         from impala_spark.session import (
             TABLES,
+            register_stats_managed,
             register_stats_table,
             stats_db_name,
         )
 
         tname = table.strip("`")
+        info = ddl.table_info(tname)
+        if self._sf_dir and info is not None and tname not in self._views:
+            # engine-created (CTAS/CREATE TABLE/INSERT target) table: the
+            # reference's ComputeStatsStmt works on ANY catalog table —
+            # promote it into the same stats db as the fixtures. Always
+            # re-creates + re-ANALYZEs (mutable source; stale-memo guard).
+            version = ddl.mutation_count(tname)
+            if register_stats_managed(self.spark, self._sf_dir, info):
+                self._stats_tables.add(tname)
+                self._stats_versions[tname] = version
+                db = stats_db_name(self._sf_dir)
+                cols = self.spark.table(f"{db}.`{tname}`").columns
+                ndvs = ", ".join(
+                    f"approx_count_distinct(`{c}`) AS ndv_{c}" for c in cols
+                )
+                return self.spark.sql(
+                    f"SELECT count(*) AS row_count, {ndvs} FROM {db}.`{tname}`"
+                )
         if (
             self._sf_dir
             and tname in TABLES

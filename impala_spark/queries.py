@@ -1907,6 +1907,99 @@ def q_stats_cbo_plain_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+#: the DuckDB equivalent computes the derived table inline (the oracle
+#: engine has no CTAS side effects); column names match the Spark side.
+_CTAS_STATS_ORACLE = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+    FROM (SELECT c_custkey, c_nationkey FROM customer
+          WHERE c_mktsegment = 'BUILDING') bldg_stats_ctas
+    JOIN orders ON c_custkey = o_custkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@register("meta_stats_cbo_ctas", oracle=_CTAS_STATS_ORACLE)
+def q_stats_cbo_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPUTE STATS on an ENGINE-CREATED table (r11; the reference's
+    ComputeStatsStmt works on ANY catalog table, A/ComputeStatsStmt.java:
+    218-242): CTAS output + a promoted fixture plan together in the CBO
+    stats session — plain SQL, no hints, plan-asserted broadcast of the
+    (stats-known, small) derived side. Derived tables are exactly where
+    stats matter most: they have none by construction, so without this
+    path their joins keep Catalyst's stats-less left-deep plans."""
+    from impala_spark.engine import ImpalaEngine as _Eng
+
+    eng = _Eng(spark, sf_dir)
+    eng.sql(
+        "CREATE TABLE bldg_stats_ctas AS SELECT c_custkey, c_nationkey"
+        " FROM customer WHERE c_mktsegment = 'BUILDING'"
+    )
+    eng.sql("COMPUTE STATS bldg_stats_ctas")
+    eng.sql("COMPUTE STATS orders")
+    df = eng.sql(
+        "SELECT o_orderpriority,"
+        " CAST(COUNT(*) AS BIGINT) AS n_orders,"
+        " CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations"
+        " FROM bldg_stats_ctas JOIN orders ON c_custkey = o_custkey"
+        " GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+    assert df.sparkSession is not spark, "managed-table stats routing did not engage"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    assert "CartesianProduct" not in plan, plan[:800]
+    return df
+
+
+#: HAVING + multi-column COUNT(DISTINCT a, b) through the widened
+#: two-level rewrite (r11). Oracle spells the tuple count in ANSI SQL
+#: (DuckDB lacks multi-arg COUNT): distinct all-non-null pairs.
+_MULTI_DISTINCT_HAVING = """
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey, o_orderpriority) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    HAVING COUNT(*) > 10
+"""
+
+_MULTI_DISTINCT_HAVING_ORACLE = """
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT CASE WHEN o_custkey IS NOT NULL
+                AND o_orderpriority IS NOT NULL
+                THEN (o_custkey, o_orderpriority) END) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    HAVING COUNT(*) > 10
+"""
+
+
+@register("agg_multi_distinct_having", oracle=_MULTI_DISTINCT_HAVING_ORACLE)
+def q_multi_distinct_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 widening of the two-level DISTINCT rewrite (A/AggregateInfo
+    .java:42-78 applies per aggregation node regardless of HAVING; the
+    reference evaluates HAVING post-merge, P/DistributedPlanner.java:835):
+    a HAVING block maps onto the joined two-phase result as an outer
+    filter, and multi-column COUNT(DISTINCT a, b) forms one distinct
+    group on the tuple. Plan-asserted no-Expand, oracle-matched."""
+    from impala_spark.rewrites import two_level_distinct
+    from impala_spark.session import posture_session
+
+    spark = posture_session(spark, sf_dir, "relational")
+    register_tables(spark, sf_dir)
+    rw = two_level_distinct(_MULTI_DISTINCT_HAVING)
+    assert rw is not None, "rewrite must fire on HAVING + tuple-distinct"
+    df = spark.sql(translate(rw))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan[:800]
+    return df
+
+
 @register(
     "meta_load_data",
     "SELECT CAST(COUNT(*) * 2 AS BIGINT) AS n FROM region",

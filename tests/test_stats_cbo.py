@@ -314,3 +314,86 @@ def test_two_sf_dirs_promote_into_isolated_databases(spark):
     sb = b.sql("SELECT COUNT(*) AS n FROM nation").sparkSession
     assert sa is not spark and sb is not spark and sa is not sb
     assert sa.catalog.currentDatabase() != sb.catalog.currentDatabase()
+
+
+# ---------------------------------------------------------------------------
+# r11: COMPUTE STATS on ENGINE-CREATED tables (verdict task #1) — the
+# reference's ComputeStatsStmt works on any catalog table
+# (A/ComputeStatsStmt.java:218-242); derived CTAS/INSERT outputs have no
+# inherent stats, which is exactly when promotion matters.
+# ---------------------------------------------------------------------------
+
+
+def test_managed_table_compute_stats_promotes_and_routes(spark):
+    eng = ImpalaEngine(spark, sf_dir=SF_01)
+    eng.sql(
+        "CREATE TABLE stats_mgd AS SELECT c_custkey, c_nationkey"
+        " FROM customer WHERE c_mktsegment = 'BUILDING'"
+    )
+    stats = eng.sql("COMPUTE STATS stats_mgd")
+    assert "row_count" in stats.columns
+    eng.sql("COMPUTE STATS orders")
+    q = (
+        "SELECT o_orderpriority, COUNT(*) AS n FROM stats_mgd, orders"
+        " WHERE c_custkey = o_custkey GROUP BY o_orderpriority"
+    )
+    df = eng.sql(q)
+    assert df.sparkSession is not spark, "managed+fixture join must route"
+    plan = _executed(df)
+    # CBO broadcasts the (small, stats-known) derived table
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan, plan
+    eng.sql("DROP TABLE stats_mgd")
+
+
+def test_managed_mutation_demotes_until_recompute(spark):
+    """Any write after ANALYZE must demote the table from the CBO posture
+    (stale catalog listing would silently read pre-write files); a re-run
+    COMPUTE STATS re-ANALYZEs and re-promotes with FRESH data."""
+    eng = ImpalaEngine(spark, sf_dir=SF_01)
+    eng.sql(
+        "CREATE TABLE stats_mut AS SELECT c_custkey, c_nationkey"
+        " FROM customer WHERE c_mktsegment = 'BUILDING'"
+    )
+    eng.sql("COMPUTE STATS stats_mut")
+    eng.sql("COMPUTE STATS orders")
+    q = (
+        "SELECT COUNT(*) AS n FROM stats_mut, orders"
+        " WHERE c_custkey = o_custkey"
+    )
+    assert eng.sql(q).sparkSession is not spark
+    eng.sql(
+        "INSERT INTO stats_mut SELECT c_custkey, c_nationkey"
+        " FROM customer WHERE c_mktsegment = 'AUTOMOBILE'"
+    )
+    demoted = eng.sql(q)
+    assert demoted.sparkSession is spark, "post-INSERT must demote"
+    want = demoted.collect()[0][0]
+    eng.sql("COMPUTE STATS stats_mut")
+    df = eng.sql(q)
+    assert df.sparkSession is not spark, "recompute must re-promote"
+    assert df.collect()[0][0] == want, "routed read must see the INSERT"
+    # DROP TABLE: neither path may resolve the name afterwards
+    eng.sql("DROP TABLE stats_mut")
+    with pytest.raises(Exception):
+        eng.sql(q).collect()
+
+
+def test_gate_input_bytes_prefers_catalog_stats(spark):
+    """The size-gated rewrites read per-table catalog stats once promoted
+    (r10 verdict task #5), falling back to file sizes / the fixture dir
+    only when a referenced table has none."""
+    from impala_spark.session import _dir_total_bytes
+
+    eng = ImpalaEngine(spark, sf_dir=SF_01)
+    whole_dir = _dir_total_bytes(SF_01)
+    q_orders = "SELECT COUNT(*) FROM orders"
+    # unpromoted fixture: per-table file size, not the whole dir
+    per_file = eng._gate_input_bytes(q_orders)
+    assert 0 < per_file < whole_dir
+    eng.sql("COMPUTE STATS orders")
+    with_stats = eng._gate_input_bytes(q_orders)
+    assert with_stats > 0
+    # catalog sizeInBytes of a parquet LOCATION table ~= its file bytes
+    assert abs(with_stats - per_file) <= per_file  # same order of magnitude
+    # unknown shapes keep the conservative whole-dir fallback
+    assert eng._gate_input_bytes("SELECT 1 FROM (SELECT 1) s, orders") == whole_dir
