@@ -40,8 +40,20 @@ _INSERT_RE = re.compile(
 )
 _CTAS_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<table>[\w`]+)\s*"
-    r"(?:PARTITIONED\s+BY\s*\((?P<part>[^)]*)\)\s*)?AS\s+(?P<select>(?:SELECT|WITH|VALUES)\s.*)$",
+    r"(?:PARTITIONED\s+BY\s*\((?P<part>[^)]*)\)\s*)?"
+    r"(?:PARTITION\s+BY\s+HASH\s*\((?P<hash>[^)]*)\)\s*"
+    r"(?:PARTITIONS\s+(?P<nb1>\d+)|INTO\s+(?P<nb2>\d+)\s+BUCKETS)\s*)?"
+    r"AS\s+(?P<select>(?:SELECT|WITH|VALUES)\s.*)$",
     re.IGNORECASE | re.DOTALL,
+)
+
+#: Kudu-style hash partition clause (sql-parser.cup tbl_partition_clauses,
+#: A/KuduPartitionParam.java): PARTITION BY HASH (cols) PARTITIONS n —
+#: `INTO n BUCKETS` accepted as the bucket-count spelling.
+_HASH_PART_RE = re.compile(
+    r"\bPARTITION\s+BY\s+HASH\s*\(([^)]*)\)\s*"
+    r"(?:PARTITIONS\s+(\d+)|INTO\s+(\d+)\s+BUCKETS)",
+    re.IGNORECASE,
 )
 _CREATE_LIKE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<table>[\w`]+)\s+LIKE\s+(?P<like>[\w`]+)\s*$",
@@ -316,6 +328,17 @@ class ImpalaEngine:
                 # analysis/CreateTableStmt.java error text; non-strict mode
                 # keeps create-or-replace so harness queries stay idempotent
                 raise ImpalaAnalysisError(f"Table already exists: default.{tname}")
+            if m.group("hash"):
+                # PARTITION BY HASH -> persisted bucketed layout (r11)
+                hcols = [
+                    c.strip().strip("`")
+                    for c in m.group("hash").split(",") if c.strip()
+                ]
+                n = int(m.group("nb1") or m.group("nb2"))
+                return ddl.create_table_hash_bucketed(
+                    self.spark, tname, hcols, n,
+                    query_or_df=m.group("select"),
+                )
             pcols = [c.strip().strip("`") for c in (m.group("part") or "").split(",") if c.strip()]
             return ddl.create_table_as_select(
                 self.spark, m.group("table").strip("`"), m.group("select"),
@@ -627,9 +650,23 @@ class ImpalaEngine:
                         break
                 j += 1
             part_defs = rest[pm.end():j]
+        hm = _HASH_PART_RE.search(rest)
         sm = re.search(r"(?is)\bSTORED\s+AS\s+(\w+)", rest)
-        if sm:
+        if sm and not (hm and sm.group(1).upper() == "KUDU"):
+            # STORED AS KUDU rides the hash-partition dialect (the
+            # reference's only hash-partitioned storage); anything else
+            # validates as before
             format_spec(sm.group(1))  # validate; unsupported formats raise
+        if hm:
+            if part_defs:
+                raise ImpalaUnsupportedError(
+                    "PARTITIONED BY and PARTITION BY HASH cannot be combined"
+                )
+            hcols = [c.strip().strip("`") for c in hm.group(1).split(",") if c.strip()]
+            n = int(hm.group(2) or hm.group(3))
+            return ddl.create_table_hash_bucketed(
+                self.spark, tname, hcols, n, col_defs=col_defs,
+            )
         return ddl.create_table(self.spark, tname, col_defs, part_defs)
 
     def _sql_with_impala_errors(
@@ -708,6 +745,35 @@ class ImpalaEngine:
 
         tname = table.strip("`")
         info = ddl.table_info(tname)
+        if info is not None and info.catalog_name:
+            # hash-bucketed tables ARE catalog tables already: ANALYZE in
+            # place (a LOCATION-pointing promotion would lose the bucket
+            # spec, and with it the exchange-free joins the layout buys).
+            # NTZ columns excluded — Spark 4.1.2's FilterEstimation
+            # MatchError with CBO on (see the catalog-table path below).
+            cols = [
+                f.name
+                for f in self.spark.table(info.catalog_name).schema.fields
+                if f.dataType.typeName() != "timestamp_ntz"
+            ]
+            if cols:
+                self.spark.sql(
+                    f"ANALYZE TABLE {info.catalog_name} COMPUTE STATISTICS"
+                    " FOR COLUMNS " + ", ".join(f"`{c}`" for c in cols)
+                )
+            else:
+                self.spark.sql(
+                    f"ANALYZE TABLE {info.catalog_name} COMPUTE STATISTICS"
+                )
+            self.spark.conf.set("spark.sql.cbo.enabled", "true")
+            self.spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+            all_cols = self.spark.table(info.catalog_name).columns
+            ndvs = ", ".join(
+                f"approx_count_distinct(`{c}`) AS ndv_{c}" for c in all_cols
+            )
+            return self.spark.sql(
+                f"SELECT count(*) AS row_count, {ndvs} FROM {info.catalog_name}"
+            )
         if self._sf_dir and info is not None and tname not in self._views:
             # engine-created (CTAS/CREATE TABLE/INSERT target) table: the
             # reference's ComputeStatsStmt works on ANY catalog table —

@@ -2000,6 +2000,57 @@ def q_multi_distinct_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+#: the oracle computes the same join/aggregate from the base fixtures
+#: (the layout is a physical property; results must be layout-invariant)
+_HASH_BUCKETED_ORACLE = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(l_quantity) AS DOUBLE) AS qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@register("ddl_hash_bucketed_join", oracle=_HASH_BUCKETED_ORACLE)
+def q_hash_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucketed layout from the SQL surface (r11; the reference's
+    Kudu PARTITION BY HASH, A/KuduPartitionParam.java + cup
+    tbl_partition_clauses, realized as Spark bucketBy): two CTAS tables
+    bucketed on the join key, joined with the Impala [SHUFFLE] hint
+    (= partitioned join; on pre-partitioned storage the reference does
+    no exchange, P/DistributedPlanner.java:554-620 partition-compat) —
+    plan-asserted ZERO exchanges on the join key. At 100 TB this is the
+    one-time layout that removes the per-query fact-fact shuffle (the
+    r10 jff result: 0.98x DuckDB at sf30, was Python-API-only)."""
+    import re as _re
+
+    from impala_spark.engine import ImpalaEngine as _Eng
+
+    eng = _Eng(spark, sf_dir)
+    eng.sql(
+        "CREATE TABLE bkt_hash_o PARTITION BY HASH(o_orderkey) PARTITIONS 8"
+        " AS SELECT o_orderkey, o_orderpriority FROM orders"
+    )
+    eng.sql(
+        "CREATE TABLE bkt_hash_l PARTITION BY HASH(l_orderkey) INTO 8 BUCKETS"
+        " AS SELECT l_orderkey, l_quantity FROM lineitem"
+    )
+    df = eng.sql(
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,"
+        " CAST(SUM(l_quantity) AS DOUBLE) AS qty"
+        " FROM bkt_hash_o o JOIN [shuffle] bkt_hash_l l"
+        " ON o.o_orderkey = l.l_orderkey"
+        " GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not _re.search(
+        r"Exchange hashpartitioning\((?:o_orderkey|l_orderkey)", plan
+    ), plan[:800]
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan[:800]
+    return df
+
+
 @register(
     "meta_load_data",
     "SELECT CAST(COUNT(*) * 2 AS BIGINT) AS n FROM region",

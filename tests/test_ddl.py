@@ -455,3 +455,132 @@ def test_partition_scoped_modify_boolean_partition_values(spark):
     assert not os.path.isdir(os.path.join(t.path, "flag=true"))
     assert _dir_state(os.path.join(t.path, "flag=false")) == false_state
     ddl.drop_table(spark, name)
+
+
+# ---------------------------------------------------------------------------
+# r11: hash-bucketed tables from the SQL surface (Kudu PARTITION BY HASH
+# -> Spark bucketBy; A/KuduPartitionParam.java, cup tbl_partition_clauses)
+# ---------------------------------------------------------------------------
+
+
+class TestHashBucketed:
+    def _engine(self, spark):
+        from impala_spark.engine import ImpalaEngine
+
+        return ImpalaEngine(spark, sf_dir="/root/testdata/sf0.001")
+
+    def test_ctas_bucketed_join_no_exchange(self, spark):
+        import re
+
+        eng = self._engine(spark)
+        eng.sql(
+            "CREATE TABLE tb_o PARTITION BY HASH(o_orderkey) PARTITIONS 4"
+            " AS SELECT o_orderkey, o_orderpriority FROM orders"
+        )
+        eng.sql(
+            "CREATE TABLE tb_l PARTITION BY HASH(l_orderkey) INTO 4 BUCKETS"
+            " AS SELECT l_orderkey, l_quantity FROM lineitem"
+        )
+        df = eng.sql(
+            "SELECT COUNT(*) AS n FROM tb_o o JOIN [shuffle] tb_l l"
+            " ON o.o_orderkey = l.l_orderkey"
+        )
+        n = df.collect()[0][0]
+        assert n > 0
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert not re.search(
+            r"Exchange hashpartitioning\((?:o_orderkey|l_orderkey)", plan
+        ), plan
+        base = spark.sql(
+            "SELECT COUNT(*) FROM orders o JOIN lineitem l"
+            " ON o.o_orderkey = l.l_orderkey"
+        ).collect()[0][0]
+        assert n == base
+        eng.sql("DROP TABLE tb_o")
+        eng.sql("DROP TABLE tb_l")
+
+    def test_insert_preserves_bucketing(self, spark):
+        import re
+
+        eng = self._engine(spark)
+        eng.sql(
+            "CREATE TABLE tb_ins PARTITION BY HASH(o_orderkey) PARTITIONS 4"
+            " AS SELECT o_orderkey, o_totalprice FROM orders"
+        )
+        before = spark.table("tb_ins").count()
+        eng.sql(
+            "INSERT INTO tb_ins SELECT o_orderkey + 900000, o_totalprice"
+            " FROM orders LIMIT 7"
+        )
+        assert spark.table("tb_ins").count() == before + 7
+        # self-join stays exchange-free after the append
+        df = eng.sql(
+            "SELECT COUNT(*) AS n FROM tb_ins a JOIN [shuffle] tb_ins b"
+            " ON a.o_orderkey = b.o_orderkey"
+        )
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert not re.search(r"Exchange hashpartitioning\(o_orderkey", plan), plan
+        eng.sql("DROP TABLE tb_ins")
+
+    def test_empty_create_then_insert_and_modify(self, spark):
+        eng = self._engine(spark)
+        eng.sql(
+            "CREATE TABLE tb_cols (id BIGINT, v DOUBLE, PRIMARY KEY (id))"
+            " PARTITION BY HASH(id) PARTITIONS 4 STORED AS KUDU"
+        )
+        assert spark.table("tb_cols").count() == 0
+        eng.sql("INSERT INTO tb_cols VALUES (1, 1.5), (2, 2.5), (3, 3.5)")
+        assert spark.table("tb_cols").count() == 3
+        # Kudu-style keyed modify (ModifyStmt) over the bucketed layout
+        eng.sql("UPDATE tb_cols SET v = v * 2 WHERE id = 2")
+        got = {tuple(r) for r in spark.table("tb_cols").collect()}
+        assert (2, 5.0) in got, got
+        eng.sql("DELETE FROM tb_cols WHERE id = 1")
+        assert spark.table("tb_cols").count() == 2
+        eng.sql("UPSERT INTO tb_cols VALUES (2, 9.0), (4, 4.0)")
+        got = dict(spark.table("tb_cols").collect())
+        assert got == {2: 9.0, 3: 3.5, 4: 4.0}, got
+        eng.sql("TRUNCATE TABLE tb_cols")
+        assert spark.table("tb_cols").count() == 0
+        eng.sql("DROP TABLE tb_cols")
+
+    def test_bucketed_compute_stats_in_place(self, spark):
+        eng = self._engine(spark)
+        eng.sql(
+            "CREATE TABLE tb_stats PARTITION BY HASH(o_orderkey) PARTITIONS 4"
+            " AS SELECT o_orderkey, o_orderdate FROM orders"
+        )
+        try:
+            r = eng.sql("COMPUTE STATS tb_stats")
+            assert r.collect()[0][0] == spark.table("tb_stats").count()
+            # NTZ column excluded from column stats, joins stay safe with CBO
+            n = eng.sql(
+                "SELECT COUNT(*) AS n FROM tb_stats a JOIN tb_stats b"
+                " ON a.o_orderkey = b.o_orderkey"
+                " WHERE a.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'"
+            ).collect()[0][0]
+            assert n > 0
+        finally:
+            eng.sql("DROP TABLE tb_stats")
+            spark.conf.set("spark.sql.cbo.enabled", "false")
+
+    def test_bucketed_rename_unsupported(self, spark):
+        from impala_spark.parser import ImpalaUnsupportedError
+
+        eng = self._engine(spark)
+        eng.sql(
+            "CREATE TABLE tb_ren PARTITION BY HASH(o_orderkey) PARTITIONS 2"
+            " AS SELECT o_orderkey FROM orders LIMIT 5"
+        )
+        with pytest.raises(ImpalaUnsupportedError):
+            eng.sql("ALTER TABLE tb_ren RENAME TO tb_ren2")
+        eng.sql("DROP TABLE tb_ren")
+
+    def test_bad_bucket_specs(self, spark):
+        eng = self._engine(spark)
+        with pytest.raises(ValueError):
+            eng.sql(
+                "CREATE TABLE tb_bad PARTITION BY HASH(nope) PARTITIONS 4"
+                " AS SELECT o_orderkey FROM orders"
+            )
