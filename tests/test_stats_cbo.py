@@ -397,3 +397,61 @@ def test_gate_input_bytes_prefers_catalog_stats(spark):
     assert abs(with_stats - per_file) <= per_file  # same order of magnitude
     # unknown shapes keep the conservative whole-dir fallback
     assert eng._gate_input_bytes("SELECT 1 FROM (SELECT 1) s, orders") == whole_dir
+
+
+# ---------------------------------------------------------------------------
+# r11: persistent stats catalog (verdict task #4) — with
+# SPARK_GRAFT_PERSIST_CATALOG a Derby-backed metastore keeps promotions
+# across processes; a second process re-attaches WITHOUT re-running
+# ANALYZE, so the one-time layout/stats cost genuinely amortizes.
+# ---------------------------------------------------------------------------
+
+_PERSIST_SCRIPT = """
+import sys
+sys.path.insert(0, "/root/repo")
+from impala_spark.session import PROMOTION_MODE, get_spark
+from impala_spark.engine import ImpalaEngine
+
+spark = get_spark("persist_probe")
+spark.sparkContext.setLogLevel("ERROR")
+SF = "/root/testdata/sf0.001"
+eng = ImpalaEngine(spark, sf_dir=SF)
+eng.sql("COMPUTE STATS nation")
+eng.sql("COMPUTE STATS region")
+mode = PROMOTION_MODE[(SF, "nation")]
+assert mode == "{want_mode}", f"promotion mode: {{mode}}"
+df = eng.sql(
+    "SELECT COUNT(*) AS n FROM nation JOIN region"
+    " ON n_regionkey = r_regionkey"
+)
+assert df.sparkSession is not spark, "must route to the stats session"
+print("PROBE_OK", "{want_mode}", df.collect()[0][0], flush=True)
+"""
+
+
+def test_stats_persist_across_processes(tmp_path):
+    """Process 1 promotes (full ANALYZE into the Derby metastore);
+    process 2 re-attaches the SAME promotion without ANALYZE and routes
+    stats-backed plans immediately. Derby is single-process, so the two
+    runs are sequential subprocesses with an isolated warehouse."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_PERSIST_CATALOG="1",
+        IMPALA_SPARK_WAREHOUSE=str(tmp_path / "wh"),
+    )
+    for want in ("analyzed", "reattached"):
+        out = subprocess.run(
+            [sys.executable, "-c", _PERSIST_SCRIPT.format(want_mode=want)],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=420,
+            cwd="/root/repo",
+        )
+        assert f"PROBE_OK {want} 25" in out.stdout, (
+            want, out.stdout[-2000:], out.stderr[-4000:],
+        )
