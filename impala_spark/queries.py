@@ -2000,6 +2000,44 @@ def q_multi_distinct_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+#: WITH-prefixed multi-DISTINCT block (r11): the CTE list re-emits
+#: verbatim, the final SELECT rewrites two-phase — same text runs on
+#: both engines.
+_MULTI_DISTINCT_WITH = """
+    WITH open_orders AS (
+      SELECT o_custkey, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS n_prices,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM open_orders
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) > 5
+"""
+
+
+@register("agg_multi_distinct_with_cte", oracle=_MULTI_DISTINCT_WITH)
+def q_multi_distinct_with_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: the two-level DISTINCT rewrite through a WITH prefix — the
+    reference plans per aggregation node regardless of the enclosing
+    WITH (A/AggregateInfo.java applies inside any inline view); here the
+    generated __tla CTEs append to the user's WITH list (later members
+    see earlier ones). Plan-asserted no-Expand, oracle-matched."""
+    from impala_spark.rewrites import two_level_distinct
+    from impala_spark.session import posture_session
+
+    spark = posture_session(spark, sf_dir, "relational")
+    register_tables(spark, sf_dir)
+    rw = two_level_distinct(_MULTI_DISTINCT_WITH)
+    assert rw is not None, "rewrite must fire through the WITH prefix"
+    df = spark.sql(translate(rw))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan[:800]
+    return df
+
+
 #: the oracle computes the same join/aggregate from the base fixtures
 #: (the layout is a physical property; results must be layout-invariant)
 _HASH_BUCKETED_ORACLE = """

@@ -388,6 +388,55 @@ def referenced_base_tables(sql: str) -> set[str] | None:
     return refs - ctes
 
 
+def _split_with_prefix(sql: str) -> tuple[str, str] | None:
+    """Split a statement into (CTE prefix text, final SELECT text) when it
+    is a plain `WITH name AS (...) [, name AS (...)]* SELECT ...` block.
+    The CTE bodies are opaque (re-emitted verbatim), so subqueries inside
+    them don't limit the rewrite of the FINAL select. Returns None for
+    anything else; names colliding with the rewrite's __tla/__t aliases
+    also return None."""
+    try:
+        tokens = tokenize(sql)
+    except Exception:
+        return None
+    sig = _sig(tokens, 0, len(tokens))
+    if not sig or tokens[sig[0]].upper != "WITH":
+        return None
+    i = 1  # position in sig
+    while True:
+        # ident AS ( balanced )
+        if i + 2 >= len(sig):
+            return None
+        name_t = tokens[sig[i]]
+        if name_t.kind not in ("word", "bident"):
+            return None
+        if name_t.text.strip("`").lower().startswith(("__tla", "__t")):
+            return None  # alias collision with the rewrite's own names
+        if tokens[sig[i + 1]].upper != "AS":
+            return None
+        open_tok = sig[i + 2]
+        if tokens[open_tok].kind != "op" or tokens[open_tok].text != "(":
+            return None
+        close_tok = _matching_paren(tokens, open_tok)
+        if close_tok >= len(tokens):
+            return None
+        # advance sig past the body
+        j = i + 3
+        while j < len(sig) and sig[j] <= close_tok:
+            j += 1
+        if j >= len(sig):
+            return None
+        nxt = tokens[sig[j]]
+        if nxt.kind == "op" and nxt.text == ",":
+            i = j + 1
+            continue
+        if nxt.upper == "SELECT":
+            prefix = "".join(t.text for t in tokens[: sig[j]])
+            tail = "".join(t.text for t in tokens[sig[j]:])
+            return prefix, tail
+        return None
+
+
 def two_level_distinct(
     sql: str, extra_aggs: frozenset[str] = frozenset()
 ) -> str | None:
@@ -400,6 +449,21 @@ def two_level_distinct(
     extra_aggs: additional aggregate function names (session UDAs) so
     they are recognized — an unknown aggregate would otherwise be
     treated as a scalar function."""
+    head = sql.lstrip()[:5].upper()
+    if head.startswith("WITH"):
+        # WITH-prefixed block (r11): the CTE list is opaque; the rewrite
+        # applies to the final SELECT and the generated __tla CTEs are
+        # appended to the SAME WITH list (they may reference the
+        # original CTEs — later members see earlier ones)
+        split = _split_with_prefix(sql)
+        if split is None:
+            return None
+        prefix, tail = split
+        rw_tail = two_level_distinct(tail, extra_aggs=extra_aggs)
+        if rw_tail is None:
+            return None
+        assert rw_tail.upper().startswith("WITH ")
+        return prefix.rstrip() + ", " + rw_tail[5:]
     try:
         tokens = tokenize(sql)
     except Exception:

@@ -85,6 +85,11 @@ REWRITES = [
     # r11: backquoted reserved-word grouping key survives re-emission
     "SELECT `order`, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cd2"
     " FROM t GROUP BY `order`",
+    # r11: WITH-prefixed blocks — the final SELECT rewrites, the original
+    # CTEs (subqueries inside them included) re-emit verbatim
+    "WITH c AS (SELECT k, x, y FROM t WHERE x IS NOT NULL)"
+    " SELECT k, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cd2"
+    " FROM c GROUP BY k",
 ]
 
 BAILS = [
@@ -103,7 +108,12 @@ BAILS = [
     " GROUP BY k",
     "SELECT a.k, b.k, COUNT(DISTINCT x), COUNT(DISTINCT y) FROM a JOIN b"
     " ON a.i = b.i GROUP BY a.k, b.k",  # bare-name key collision
-    "WITH c AS (SELECT 1) SELECT COUNT(DISTINCT x), COUNT(DISTINCT y) FROM c",
+    # WITH whose final block is not a plain select (set op) stays out
+    "WITH c AS (SELECT 1 AS x) SELECT COUNT(DISTINCT x), COUNT(DISTINCT x+1)"
+    " FROM c UNION ALL SELECT 1, 1",
+    # CTE names colliding with the rewrite's own aliases stay out
+    "WITH __t0 AS (SELECT 1 AS x) SELECT COUNT(DISTINCT x) AS a,"
+    " COUNT(DISTINCT x+1) AS b FROM __t0",
     # HAVING referencing a select ALIAS: a Spark WHERE can't see it — bail
     "SELECT k, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cd2 FROM t"
     " GROUP BY k HAVING cd > 2",
@@ -163,6 +173,14 @@ EQUIV = [
     " SUM(y) AS s FROM t",
     "SELECT k, COUNT(DISTINCT x, y) AS cd, COUNT(DISTINCT y, x) AS cd2,"
     " COUNT(*) AS n FROM t GROUP BY k HAVING COUNT(DISTINCT x, y) >= 1",
+    # r11: WITH prefix — multiple CTEs, later references earlier; final
+    # block combines keys/HAVING/ORDER over the CTE output
+    "WITH a AS (SELECT k, k2, x, y FROM t WHERE k2 IS NOT NULL OR k IS NULL),"
+    " b AS (SELECT k, x, y FROM a WHERE x > 1 OR x IS NULL)"
+    " SELECT k, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cdy,"
+    " SUM(y) AS s FROM b GROUP BY k HAVING COUNT(*) >= 1 ORDER BY k",
+    "WITH c AS (SELECT k AS kk, x, y FROM t)"
+    " SELECT COUNT(DISTINCT kk, x) AS cd, COUNT(DISTINCT y) AS cdy FROM c",
 ]
 
 
