@@ -2038,6 +2038,47 @@ def q_multi_distinct_with_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+#: SUM/AVG(DISTINCT) through the widened rewrite (r11): same-expr
+#: distinct calls share one CTE group. Money goes through DECIMAL(18,4)
+#: (exact, order-insensitive sums — the registry float convention) and
+#: the average divides the exact sum in DOUBLE on BOTH engines.
+_SUM_AVG_DISTINCT = """
+    SELECT o_orderstatus,
+           CAST(SUM(DISTINCT CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_distinct_price,
+           ROUND(CAST(SUM(DISTINCT CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(DISTINCT CAST(o_totalprice AS DECIMAL(18,4))), 6)
+               AS avg_distinct_price,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    HAVING COUNT(*) > 10
+"""
+
+
+@register("agg_sum_avg_distinct_rewrite", oracle=_SUM_AVG_DISTINCT)
+def q_sum_avg_distinct_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 widening of the two-level DISTINCT rewrite beyond COUNT: a
+    group is keyed by the distinct expr LIST and carries EVERY distinct
+    aggregate over it (AggregateInfo.java keys the second-level grouping
+    on the exprs, not the function) — here SUM(DISTINCT price) and
+    COUNT(DISTINCT price) share one CTE while COUNT(DISTINCT custkey)
+    gets its own, joined back null-safely. Plan-asserted no-Expand,
+    oracle-matched; HAVING maps post-merge."""
+    from impala_spark.rewrites import two_level_distinct
+    from impala_spark.session import posture_session
+
+    spark = posture_session(spark, sf_dir, "relational")
+    register_tables(spark, sf_dir)
+    rw = two_level_distinct(_SUM_AVG_DISTINCT)
+    assert rw is not None, "rewrite must fire on SUM/AVG(DISTINCT)"
+    df = spark.sql(translate(rw))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan[:800]
+    return df
+
+
 #: the oracle computes the same join/aggregate from the base fixtures
 #: (the layout is a physical property; results must be layout-invariant)
 _HASH_BUCKETED_ORACLE = """

@@ -15,9 +15,11 @@ pairs; interleaved A/B medians 7.6 s vs 8.4 s calm and 13.4 s vs 40.1 s
 inside a contention burst, r9 commit 3e4c94b).
 
 This module generalizes that hand-written registry rewrite to PLAIN user
-SQL. A single-block aggregate with N>=2 distinct COUNT(DISTINCT exprs)
-groups (multi-column COUNT(DISTINCT a, b) is one group keyed on the
-tuple, r11) is rewritten to one CTE per distinct group — each a
+SQL. A single-block aggregate with N>=2 distinct expression groups —
+a group is keyed by the distinct expr LIST (multi-column
+COUNT(DISTINCT a, b) is one group on the tuple, r11) and carries every
+distinct aggregate over that list (COUNT/SUM/AVG(DISTINCT x) ride one
+group, r11) — is rewritten to one CTE per group — each a
 single-distinct aggregate Catalyst plans without Expand, the first one
 carrying every plain aggregate verbatim — joined back on the grouping
 keys with null-safe equality; a HAVING clause maps onto the joined
@@ -518,6 +520,12 @@ def two_level_distinct(
         # ---- aggregate calls in select list + ORDER BY -------------------
         distinct_groups: list[str] = []  # expr text per group
         group_ids: dict[str, int] = {}  # normalized expr -> group index
+        #: per group: normalized call -> (verbatim call text, CTE alias);
+        #: a group carries EVERY distinct aggregate over its expr list
+        #: (COUNT/SUM/AVG(DISTINCT x) ride one CTE — AggregateInfo.java
+        #: keys the second-level grouping on the distinct expr LIST, not
+        #: the function), r11 widening beyond COUNT
+        group_calls: list[dict[str, tuple[str, str]]] = []
         plains: list[str] = []  # verbatim aggregate call text
         plain_ids: dict[str, str] = {}  # normalized call -> __a alias
         agg_sub: dict[tuple[int, int], str] = {}
@@ -528,16 +536,21 @@ def two_level_distinct(
             arg_a = (
                 arg_sig[1] if has_distinct and len(arg_sig) > 1 else open_idx + 1
             )
-            if has_distinct and lname == "count":
-                # multi-column COUNT(DISTINCT a, b) is one distinct group
-                # keyed on the tuple (AggregateInfo.java treats the distinct
-                # expr LIST as the second-level grouping); emitted verbatim,
-                # its CTE has a single distinct group which Catalyst plans
-                # without Expand (AggUtils.planAggregateWithOneDistinct).
+            if has_distinct and lname in ("count", "sum", "avg"):
+                # The distinct expr list keys the group (multi-column
+                # COUNT(DISTINCT a, b) is one group on the tuple —
+                # AggregateInfo.java treats the distinct expr LIST as the
+                # second-level grouping); every distinct aggregate over
+                # the same list rides the same CTE, emitted verbatim, and
+                # a single-group CTE Catalyst plans without Expand
+                # (AggUtils.planAggregateWithOneDistinct handles multiple
+                # aggregate functions over one distinct set).
                 args = _split_top_level_commas(tokens, arg_a, close_idx)
                 arg_texts = [_frag(tokens, a, b) for a, b in args]
                 if not arg_texts or any(not t for t in arg_texts):
                     raise _Bail()
+                if lname != "count" and len(arg_texts) != 1:
+                    raise _Bail()  # SUM/AVG take exactly one argument
                 dx = ", ".join(arg_texts)
                 dn = _norm(dx)
                 g = group_ids.get(dn)
@@ -550,14 +563,29 @@ def two_level_distinct(
                     g = len(distinct_groups)
                     group_ids[dn] = g
                     distinct_groups.append(dx)
-                agg_sub[(name_idx, close_idx)] = f"__t{g}.__cd{g}"
+                    group_calls.append({})
+                call = f"{lname.upper()}(DISTINCT {dx})"
+                nk = _norm(call)
+                entry = group_calls[g].get(nk)
+                if entry is None:
+                    # first call in a group keeps the historical __cd{g}
+                    # name; siblings (other fns over the same expr list)
+                    # get suffixed aliases
+                    alias = (
+                        f"__cd{g}" if not group_calls[g]
+                        else f"__cd{g}_{len(group_calls[g])}"
+                    )
+                    group_calls[g][nk] = (call, alias)
+                else:
+                    alias = entry[1]
+                agg_sub[(name_idx, close_idx)] = f"__t{g}.{alias}"
                 return
             if has_distinct and lname in ("min", "max"):
                 # MIN/MAX(DISTINCT x) == MIN/MAX(x); strip the keyword so
                 # Catalyst doesn't count it as another distinct group
                 call = f"{lname.upper()}({_frag(tokens, arg_a, close_idx)})"
             elif has_distinct:
-                raise _Bail()  # SUM(DISTINCT)/AVG(DISTINCT)/...: not split
+                raise _Bail()  # GROUP_CONCAT(DISTINCT)/UDA DISTINCT: not split
             else:
                 call = _frag(tokens, name_idx, close_idx + 1)
                 # a plain aggregate's args must not hide an aggregate
@@ -642,9 +670,11 @@ def two_level_distinct(
         )
         key_items = [f"{full_raw} AS `{bare}`" for full_raw, bare in keys]
         ctes = []
-        for g, dx in enumerate(distinct_groups):
+        for g, _dx in enumerate(distinct_groups):
             items = list(key_items)
-            items.append(f"COUNT(DISTINCT {dx}) AS __cd{g}")
+            items += [
+                f"{call} AS {alias}" for call, alias in group_calls[g].values()
+            ]
             if g == 0:
                 items += [
                     f"{call} AS {alias}"

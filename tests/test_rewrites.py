@@ -90,6 +90,12 @@ REWRITES = [
     "WITH c AS (SELECT k, x, y FROM t WHERE x IS NOT NULL)"
     " SELECT k, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cd2"
     " FROM c GROUP BY k",
+    # r11: SUM/AVG(DISTINCT) join the group keyed on their expr; same-expr
+    # calls share one CTE
+    "SELECT k, SUM(DISTINCT x) AS sd, COUNT(DISTINCT y) AS cd2,"
+    " COUNT(DISTINCT z) AS cd3 FROM t GROUP BY k",
+    "SELECT k, COUNT(DISTINCT x) AS cd, SUM(DISTINCT x) AS sd,"
+    " AVG(DISTINCT x) AS ad, COUNT(DISTINCT y) AS cd2 FROM t GROUP BY k",
 ]
 
 BAILS = [
@@ -104,8 +110,12 @@ BAILS = [
     # expression grouping keys: out of (conservative) scope
     "SELECT upper(k), COUNT(DISTINCT x), COUNT(DISTINCT y) FROM t"
     " GROUP BY upper(k)",
-    "SELECT k, SUM(DISTINCT x), COUNT(DISTINCT y), COUNT(DISTINCT z) FROM t"
-    " GROUP BY k",
+    # non-splittable DISTINCT aggregates stay out (order-sensitive /
+    # unknown semantics)
+    "SELECT k, GROUP_CONCAT(DISTINCT x), COUNT(DISTINCT y),"
+    " COUNT(DISTINCT z) FROM t GROUP BY k",
+    # SUM/AVG take exactly one argument
+    "SELECT k, SUM(DISTINCT x, y), COUNT(DISTINCT z) FROM t GROUP BY k",
     "SELECT a.k, b.k, COUNT(DISTINCT x), COUNT(DISTINCT y) FROM a JOIN b"
     " ON a.i = b.i GROUP BY a.k, b.k",  # bare-name key collision
     # WITH whose final block is not a plain select (set op) stays out
@@ -181,6 +191,17 @@ EQUIV = [
     " SUM(y) AS s FROM b GROUP BY k HAVING COUNT(*) >= 1 ORDER BY k",
     "WITH c AS (SELECT k AS kk, x, y FROM t)"
     " SELECT COUNT(DISTINCT kk, x) AS cd, COUNT(DISTINCT y) AS cdy FROM c",
+    # r11: SUM/AVG(DISTINCT) — same-expr calls share a CTE; NULL-heavy
+    # inputs and empty groups covered by the parametrized dataset
+    "SELECT k, SUM(DISTINCT x) AS sd, AVG(DISTINCT x) AS ad,"
+    " COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cdy, COUNT(*) AS n"
+    " FROM t GROUP BY k",
+    "SELECT SUM(DISTINCT y) AS sd, COUNT(DISTINCT k2) AS cdk,"
+    " MIN(y) AS mn FROM t",
+    "SELECT k, SUM(DISTINCT x) AS sd, COUNT(DISTINCT y) AS cdy"
+    " FROM t GROUP BY k HAVING SUM(DISTINCT x) > 10 OR COUNT(*) > 500",
+    "SELECT k, AVG(DISTINCT y) AS ad, COUNT(DISTINCT x) AS cd"
+    " FROM t GROUP BY k ORDER BY AVG(DISTINCT y) DESC NULLS LAST, k LIMIT 3",
 ]
 
 
@@ -233,13 +254,17 @@ def test_semantic_equivalence_fuzz():
         keys = random.choice([[], ["k"], ["k", "k2"]])
         aggs = [
             random.choice(
-                ["COUNT(DISTINCT x) AS cd", "COUNT(DISTINCT x, k2) AS cd"]
+                ["COUNT(DISTINCT x) AS cd", "COUNT(DISTINCT x, k2) AS cd",
+                 "SUM(DISTINCT x) AS cd", "AVG(DISTINCT x) AS cd"]
             ),
-            "COUNT(DISTINCT y) AS cdy",
+            random.choice(
+                ["COUNT(DISTINCT y) AS cdy", "SUM(DISTINCT y) AS cdy"]
+            ),
         ]
         aggs += random.sample(
             ["COUNT(*) AS n", "SUM(y) AS s", "MIN(y) AS mn", "MAX(x) AS mx",
-             "COUNT(y) AS cy", "AVG(y) AS ay", "COUNT(DISTINCT k2) AS cdk"],
+             "COUNT(y) AS cy", "AVG(y) AS ay", "COUNT(DISTINCT k2) AS cdk",
+             "AVG(DISTINCT y) AS ady", "SUM(DISTINCT k2) AS sdk"],
             random.randint(0, 4),
         )
         q = f"SELECT {', '.join(keys + aggs)} FROM t"
