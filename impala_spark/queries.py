@@ -6279,6 +6279,268 @@ sql_query(
     """,
 )
 
+# ---- r11 widening of the tpcds-all corpus (PlannerTest.java:218-223):
+# eleven more distinct plan shapes from the reference's suite, adapted to
+# the fixture star schema (lineitem = fact, orders = date side,
+# part/customer = dims, l_returnflag/l_linestatus/l_linenumber = channel
+# stand-ins). Determinism rules: money through DECIMAL(18,4) (exact
+# sums), averages as exact-sum / count in DOUBLE, window averages over
+# integer cents, every LIMIT totally tie-broken.
+
+# TPC-DS Q13 shape: OR-ed band predicates over dim x fact attributes
+# feeding global averages (one row).
+sql_query(
+    "tpcds_q13_shape",
+    """
+    SELECT ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+    WHERE (c_mktsegment = 'BUILDING' AND l_quantity BETWEEN 1 AND 15)
+       OR (c_mktsegment = 'MACHINERY' AND l_quantity BETWEEN 16 AND 35)
+       OR (c_mktsegment = 'HOUSEHOLD' AND l_quantity BETWEEN 36 AND 50)
+    """,
+)
+
+# TPC-DS Q31 shape: per-period CTEs self-joined into a quarter-over-
+# quarter growth ratio per nation.
+sql_query(
+    "tpcds_q31_shape",
+    """
+    WITH p1 AS (
+      SELECT c_nationkey AS nk, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS s1
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY c_nationkey
+    ), p2 AS (
+      SELECT c_nationkey AS nk, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS s2
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderdate >= TIMESTAMP '1996-04-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      GROUP BY c_nationkey
+    )
+    SELECT p1.nk AS nationkey,
+           CAST(ROUND(p1.s1, 2) AS DOUBLE) AS q1_sales,
+           CAST(ROUND(p2.s2, 2) AS DOUBLE) AS q2_sales,
+           ROUND(CAST(p2.s2 AS DOUBLE) / CAST(p1.s1 AS DOUBLE), 6) AS growth
+    FROM p1 JOIN p2 ON p1.nk = p2.nk
+    ORDER BY growth DESC, nationkey
+    LIMIT 10
+    """,
+)
+
+# TPC-DS Q39 shape: coefficient-of-variation filter per part-month with
+# a consecutive-month self-join.
+sql_query(
+    "tpcds_q39_shape",
+    """
+    WITH inv AS (
+      SELECT l_partkey AS pk, CAST(MONTH(l_shipdate) AS INT) AS moy,
+             CAST(ROUND(STDDEV_SAMP(l_quantity), 4) AS DOUBLE) AS sd,
+             ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS mean_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_partkey, MONTH(l_shipdate)
+      HAVING COUNT(*) >= 2
+    )
+    SELECT a.pk AS partkey, a.moy AS moy_a, b.moy AS moy_b,
+           ROUND(a.sd / a.mean_qty, 4) AS cov_a,
+           ROUND(b.sd / b.mean_qty, 4) AS cov_b
+    FROM inv a JOIN inv b ON a.pk = b.pk AND b.moy = a.moy + 1
+    WHERE a.sd / a.mean_qty > 0.3 AND b.sd / b.mean_qty > 0.3
+    ORDER BY partkey, moy_a
+    LIMIT 100
+    """,
+)
+
+# TPC-DS Q48 shape: banded OR predicates over customer segment x order
+# value; single quantity total.
+sql_query(
+    "tpcds_q48_shape",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 0) AS BIGINT) AS total_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+    WHERE ((c_mktsegment = 'AUTOMOBILE' AND o_totalprice BETWEEN 500 AND 100000)
+       OR (c_mktsegment = 'FURNITURE' AND o_totalprice BETWEEN 100000 AND 200000)
+       OR (c_mktsegment = 'BUILDING' AND o_totalprice BETWEEN 200000 AND 400000))
+      AND l_returnflag <> 'R'
+    """,
+)
+
+# TPC-DS Q58 shape: three channel CTEs (returnflag stands in for the
+# store/catalog/web channels) joined per item, kept when the channels
+# agree within a band.
+sql_query(
+    "tpcds_q58_shape",
+    """
+    WITH cha AS (
+      SELECT l_partkey AS pk, SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
+      FROM lineitem WHERE l_returnflag = 'A' GROUP BY l_partkey
+    ), chn AS (
+      SELECT l_partkey AS pk, SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
+      FROM lineitem WHERE l_returnflag = 'N' GROUP BY l_partkey
+    ), chr AS (
+      SELECT l_partkey AS pk, SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_partkey
+    )
+    SELECT cha.pk AS partkey,
+           CAST(ROUND(cha.rev, 2) AS DOUBLE) AS rev_a,
+           CAST(ROUND(chn.rev, 2) AS DOUBLE) AS rev_n,
+           CAST(ROUND(chr.rev, 2) AS DOUBLE) AS rev_r
+    FROM cha JOIN chn ON cha.pk = chn.pk JOIN chr ON cha.pk = chr.pk
+    WHERE CAST(cha.rev AS DOUBLE) BETWEEN 0.5 * CAST(chn.rev AS DOUBLE)
+                                      AND 1.5 * CAST(chn.rev AS DOUBLE)
+      AND CAST(cha.rev AS DOUBLE) BETWEEN 0.5 * CAST(chr.rev AS DOUBLE)
+                                      AND 1.5 * CAST(chr.rev AS DOUBLE)
+    ORDER BY partkey
+    LIMIT 100
+    """,
+)
+
+# TPC-DS Q71 shape: UNION ALL of three channels under one star join,
+# month breakdown of brand revenue.
+sql_query(
+    "tpcds_q71_shape",
+    """
+    SELECT p_brand, CAST(MONTH(o_orderdate) AS INT) AS d_moy, chan,
+           CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS ext_price
+    FROM (
+      SELECT l_partkey AS pk, l_orderkey AS ok,
+             CAST(l_extendedprice AS DECIMAL(18,4)) AS rev, 'web' AS chan
+      FROM lineitem WHERE l_linenumber = 1
+      UNION ALL
+      SELECT l_partkey, l_orderkey,
+             CAST(l_extendedprice AS DECIMAL(18,4)), 'catalog'
+      FROM lineitem WHERE l_linenumber = 2
+      UNION ALL
+      SELECT l_partkey, l_orderkey,
+             CAST(l_extendedprice AS DECIMAL(18,4)), 'store'
+      FROM lineitem WHERE l_linenumber >= 3
+    ) u
+    JOIN orders ON ok = o_orderkey
+    JOIN part ON pk = p_partkey
+    WHERE p_type = 'PROMO' AND YEAR(o_orderdate) = 1997
+    GROUP BY p_brand, MONTH(o_orderdate), chan
+    ORDER BY ext_price DESC, p_brand, d_moy, chan
+    LIMIT 100
+    """,
+)
+
+# TPC-DS Q72 shape: date-inequality join condition between fact and
+# date side (late shipments against urgent orders).
+sql_query(
+    "tpcds_q72_shape",
+    """
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAYS
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY p_brand
+    ORDER BY n_late DESC, p_brand
+    LIMIT 50
+    """,
+)
+
+# TPC-DS Q75 shape: year-over-year decline per brand via a self-joined
+# per-year CTE.
+sql_query(
+    "tpcds_q75_shape",
+    """
+    WITH yr AS (
+      SELECT CAST(YEAR(o_orderdate) AS INT) AS d_year, p_brand,
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS amt
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+      WHERE YEAR(o_orderdate) IN (1995, 1996)
+      GROUP BY YEAR(o_orderdate), p_brand
+    )
+    SELECT c.p_brand AS brand,
+           CAST(ROUND(p.qty, 0) AS BIGINT) AS prev_qty,
+           CAST(ROUND(c.qty, 0) AS BIGINT) AS curr_qty,
+           CAST(ROUND(c.amt - p.amt, 2) AS DOUBLE) AS sales_delta
+    FROM yr c JOIN yr p ON c.p_brand = p.p_brand
+    WHERE c.d_year = 1996 AND p.d_year = 1995 AND c.qty < p.qty
+    ORDER BY sales_delta, brand
+    LIMIT 100
+    """,
+)
+
+# TPC-DS Q89 shape: monthly sales vs the brand/type average via window
+# functions — deviation filter. Money goes through INTEGER CENTS so the
+# window average is exact-integer division (order-free on both engines).
+sql_query(
+    "tpcds_q89_shape",
+    """
+    WITH m AS (
+      SELECT p_brand, p_type, CAST(MONTH(o_orderdate) AS INT) AS d_moy,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+      WHERE YEAR(o_orderdate) = 1996 AND p_type IN ('PROMO', 'STANDARD')
+      GROUP BY p_brand, p_type, MONTH(o_orderdate)
+    ), w AS (
+      SELECT p_brand, p_type, d_moy, cents,
+             SUM(cents) OVER (PARTITION BY p_brand, p_type) AS tot_cents,
+             COUNT(*) OVER (PARTITION BY p_brand, p_type) AS n_moy
+      FROM m
+    )
+    SELECT p_brand, p_type, d_moy,
+           CAST(cents AS DOUBLE) / 100 AS sum_sales,
+           ROUND(CAST(tot_cents AS DOUBLE) / n_moy / 100, 6) AS avg_monthly
+    FROM w
+    WHERE n_moy > 1
+      AND ABS(CAST(cents AS DOUBLE) * n_moy - CAST(tot_cents AS DOUBLE))
+          > CAST(tot_cents AS DOUBLE) * 0.1
+    ORDER BY p_brand, p_type, d_moy
+    LIMIT 100
+    """,
+)
+
+# TPC-DS Q93 shape: returns-adjusted actual sales per supplier
+# (returned lines contribute the discounted price instead).
+sql_query(
+    "tpcds_q93_shape",
+    """
+    SELECT l_suppkey AS suppkey,
+           CAST(ROUND(SUM(CASE WHEN l_returnflag = 'R'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                 ELSE CAST(l_extendedprice AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS act_sales
+    FROM lineitem
+    GROUP BY l_suppkey
+    ORDER BY act_sales, suppkey
+    LIMIT 100
+    """,
+)
+
+# TPC-DS Q97 shape: FULL OUTER JOIN of two DISTINCT channel CTEs
+# counting exclusive/overlapping (customer, part) pairs.
+sql_query(
+    "tpcds_q97_shape",
+    """
+    WITH ord_f AS (
+      SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_linestatus = 'F'
+    ), ord_o AS (
+      SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_linestatus = 'O'
+    )
+    SELECT CAST(SUM(CASE WHEN f.ck IS NOT NULL AND o.ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS f_only,
+           CAST(SUM(CASE WHEN f.ck IS NULL AND o.ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_only,
+           CAST(SUM(CASE WHEN f.ck IS NOT NULL AND o.ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS both_status
+    FROM ord_f f FULL OUTER JOIN ord_o o ON f.ck = o.ck AND f.pk = o.pk
+    """,
+)
+
 
 # CREATE VIEW / ALTER VIEW through the engine front door (the round-4
 # routing): create over a join, redefine via ALTER, read back through
