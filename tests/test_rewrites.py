@@ -328,6 +328,39 @@ def test_engine_two_level_distinct_gated(spark, monkeypatch):
     assert rewritten_rows == default_rows
 
 
+def test_engine_sum_avg_distinct_rewrite(spark, monkeypatch):
+    """r11 widening end-to-end through engine.sql: SUM/AVG(DISTINCT)
+    split without Expand above the gate, rows identical to Catalyst's
+    default plan, and UNALIASED outputs keep the original names
+    (the positional rename covers the __cd{g}_{j} sibling aliases)."""
+    import impala_spark.rewrites as RW
+
+    from impala_spark.engine import ImpalaEngine
+
+    q = (
+        "SELECT o_orderstatus, SUM(DISTINCT o_totalprice),"
+        " AVG(DISTINCT o_totalprice), COUNT(DISTINCT o_custkey), COUNT(*)"
+        " FROM orders GROUP BY o_orderstatus"
+    )
+    eng = ImpalaEngine(spark, sf_dir=SF_001)
+    default_df = eng.sql(q)
+    assert RW.two_level_distinct(q) is not None
+
+    monkeypatch.setattr(RW, "TWO_LEVEL_DISTINCT_MIN_INPUT_BYTES", 0)
+    eng2 = ImpalaEngine(spark, sf_dir=SF_001)
+    df = eng2.sql(q)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan
+    assert df.columns == default_df.columns  # naming restored positionally
+    a = sorted(map(tuple, default_df.collect()))
+    b = sorted(map(tuple, df.collect()))
+    # float sums may differ in the last ulp across plan shapes
+    for ra, rb in zip(a, b):
+        assert ra[0] == rb[0] and ra[3] == rb[3] and ra[4] == rb[4]
+        assert abs(ra[1] - rb[1]) <= 1e-6 * max(1.0, abs(ra[1]))
+        assert abs(ra[2] - rb[2]) <= 1e-6 * max(1.0, abs(ra[2]))
+
+
 def test_engine_rewrite_preserves_strict_errors(spark, monkeypatch):
     """Strict analysis still runs on the USER's text, not the rewrite."""
     import impala_spark.rewrites as RW
