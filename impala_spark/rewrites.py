@@ -108,8 +108,16 @@ def _sig(tokens: list[Token], a: int, b: int) -> list[int]:
 
 
 def _norm(text: str) -> str:
-    """Whitespace/case-normalized expression text for equality checks."""
-    return " ".join(t.text.lower() for t in tokenize(text) if t.kind not in _WS)
+    """Whitespace/case-normalized expression text for equality checks.
+    Identifiers/keywords fold (Impala identifiers are case-insensitive);
+    string literals DO NOT — 'A' and 'a' are different values, and
+    folding them would merge COUNT(DISTINCT CASE WHEN x='p' ...) with
+    the x='P' variant into one group (wrong results, caught r11)."""
+    return " ".join(
+        t.text if t.kind in ("string", "dstring") else t.text.lower()
+        for t in tokenize(text)
+        if t.kind not in _WS
+    )
 
 
 def _frag(tokens: list[Token], a: int, b: int) -> str:

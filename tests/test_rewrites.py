@@ -191,6 +191,15 @@ EQUIV = [
     " SUM(y) AS s FROM b GROUP BY k HAVING COUNT(*) >= 1 ORDER BY k",
     "WITH c AS (SELECT k AS kk, x, y FROM t)"
     " SELECT COUNT(DISTINCT kk, x) AS cd, COUNT(DISTINCT y) AS cdy FROM c",
+    # r11 bugfix: string literals keep their case in group/call identity —
+    # the 'a' and 'A' branches are DIFFERENT groups (folding them merged
+    # the counts), and the same for plain-agg dedup
+    "SELECT k, COUNT(DISTINCT CASE WHEN k2 = 1 THEN x END) AS c1,"
+    " COUNT(DISTINCT CASE WHEN k = 'a' THEN y END) AS c2,"
+    " COUNT(DISTINCT CASE WHEN k = 'A' THEN y END) AS c3,"
+    " SUM(CASE WHEN k = 'a' THEN 1 ELSE 0 END) AS s1,"
+    " SUM(CASE WHEN k = 'A' THEN 1 ELSE 0 END) AS s2"
+    " FROM t GROUP BY k",
     # r11: SUM/AVG(DISTINCT) — same-expr calls share a CTE; NULL-heavy
     # inputs and empty groups covered by the parametrized dataset
     "SELECT k, SUM(DISTINCT x) AS sd, AVG(DISTINCT x) AS ad,"
