@@ -2079,6 +2079,41 @@ def q_sum_avg_distinct_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+#: atomic-call expression grouping key through the widened rewrite
+#: (r11): YEAR(o_orderdate) keys the two-phase CTEs and substitutes
+#: precedence-safely in select/ORDER BY.
+_EXPR_KEY_DISTINCT = """
+    SELECT YEAR(o_orderdate) AS yr,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY YEAR(o_orderdate)
+    ORDER BY YEAR(o_orderdate)
+"""
+
+
+@register("agg_expr_key_distinct_rewrite", oracle=_EXPR_KEY_DISTINCT)
+def q_expr_key_distinct_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: expression grouping keys in the two-level DISTINCT rewrite —
+    ATOMIC call expressions (upper(k), YEAR(ts), CAST(...)) key the CTEs
+    as generated __k aliases and substitute anywhere an atom can appear
+    (the reference's AggregateInfo keys on arbitrary grouping exprs).
+    Open exprs like x + 1 stay conservatively out (not precedence-safe
+    as a token span). Plan-asserted no-Expand, oracle-matched."""
+    from impala_spark.rewrites import two_level_distinct
+    from impala_spark.session import posture_session
+
+    spark = posture_session(spark, sf_dir, "relational")
+    register_tables(spark, sf_dir)
+    rw = two_level_distinct(_EXPR_KEY_DISTINCT)
+    assert rw is not None, "rewrite must fire on an atomic expression key"
+    df = spark.sql(translate(rw))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan[:800]
+    return df
+
+
 #: the oracle computes the same join/aggregate from the base fixtures
 #: (the layout is a physical property; results must be layout-invariant)
 _HASH_BUCKETED_ORACLE = """

@@ -236,20 +236,51 @@ def _item_alias_split(tokens: list[Token], a: int, b: int):
     return b, ""
 
 
+def _match_expr_key(
+    tokens: list[Token], k: int, b: int,
+    expr_keys: list[tuple[list[str], str]],
+) -> tuple[str, int] | None:
+    """Match an atomic expression key's normalized significant-token
+    sequence starting at token k; returns (replacement, resume index)
+    on success. Atoms are full `fn(...)` spans, so two keys can never be
+    token-prefixes of each other — first match wins."""
+    for norm_list, repl in expr_keys:
+        j = k
+        ok = True
+        for want in norm_list:
+            while j < b and tokens[j].kind in _WS:
+                j += 1
+            if j >= b:
+                ok = False
+                break
+            t = tokens[j]
+            got = t.text if t.kind in ("string", "dstring") else t.text.lower()
+            if got != want:
+                ok = False
+                break
+            j += 1
+        if ok:
+            return repl, j
+    return None
+
+
 def _rewrite_region(
     tokens: list[Token], a: int, b: int,
     agg_sub: dict[tuple[int, int], str],
     key_map: dict[str, str],
     extra_names: frozenset[str],
     aggs: frozenset[str],
+    expr_keys: list[tuple[list[str], str]] | None = None,
 ) -> str:
     """Re-emit tokens[a:b], substituting aggregate call spans per agg_sub
     and redirecting group-key references per key_map (normalized chain
-    text -> outer-qualified name). Raises _Bail on any identifier it
-    cannot prove is a group key / select alias."""
+    text -> outer-qualified name) / expr_keys (atomic call expression
+    keys, r11). Raises _Bail on any identifier it cannot prove is a
+    group key / select alias."""
     out: list[str] = []
     k = a
     agg_by_start = {s: (e, txt) for (s, e), txt in agg_sub.items()}
+    expr_keys = expr_keys or []
     while k < b:
         t = tokens[k]
         if k in agg_by_start:
@@ -265,7 +296,13 @@ def _rewrite_region(
             out.append(t.text)
             k += 1
             continue
-        # word / bident: function name, neutral word, or identifier chain
+        # word / bident: expression key atom, function name, neutral
+        # word, or identifier chain
+        m = _match_expr_key(tokens, k, b, expr_keys)
+        if m is not None:
+            out.append(m[0])
+            k = m[1]
+            continue
         lword = t.text.strip("`").lower()
         j = k + 1
         while j < b and tokens[j].kind in _WS:
@@ -493,38 +530,74 @@ def two_level_distinct(
         #: backquoted columns survive the re-emission (r10 ADVICE)
         keys: list[tuple[str, str]] = []
         key_map: dict[str, str] = {}
+        #: expression grouping keys (r11): ATOMIC call expressions only —
+        #: a single `fn(...)` spanning the whole GROUP BY item (upper(k),
+        #: YEAR(ts), CAST(x AS INT)). An atom binds tighter than any
+        #: operator, so substituting its token span anywhere in the
+        #: select/HAVING/ORDER regions is precedence-safe — which is NOT
+        #: true of open exprs like `x + 1` (kept out of scope).
+        #: list of (normalized significant-token list, replacement text).
+        expr_keys: list[tuple[list[str], str]] = []
         if "GROUP" in spans:
             ga, gb = spans["GROUP"]
             for ia, ib in _split_top_level_commas(tokens, ga, gb):
                 sig = _sig(tokens, ia, ib)
                 if not sig:
                     raise _Bail()
-                # simple (possibly qualified) column ref only
-                parts = []  # stripped, for map keys
-                raw_parts = []  # original quoting, for re-emission
-                expect = True
-                for s in sig:
-                    tt = tokens[s]
-                    if expect and tt.kind in ("word", "bident"):
+                head = tokens[sig[0]]
+                is_chain = all(
+                    (tokens[s].kind in ("word", "bident"))
+                    == (i % 2 == 0)  # word . word . word
+                    and (tokens[s].kind == "op" and tokens[s].text == ".")
+                    == (i % 2 == 1)
+                    for i, s in enumerate(sig)
+                ) and len(sig) % 2 == 1
+                if is_chain:
+                    # simple (possibly qualified) column ref
+                    parts = []  # stripped, for map keys
+                    raw_parts = []  # original quoting, for re-emission
+                    for i, s in enumerate(sig):
+                        if i % 2 == 1:
+                            continue
+                        tt = tokens[s]
                         if tt.kind == "word" and tt.text.lower() in aggs:
                             raise _Bail()
                         parts.append(tt.text.strip("`"))
                         raw_parts.append(tt.text)
-                        expect = False
-                    elif not expect and tt.kind == "op" and tt.text == ".":
-                        expect = True
-                    else:
-                        raise _Bail()
-                if expect or not parts:
+                    full = ".".join(parts)
+                    full_raw = ".".join(raw_parts)
+                    bare = parts[-1]
+                    if bare.lower() in (b.lower() for _, b in keys):
+                        raise _Bail()  # bare-name collision across keys
+                    keys.append((full_raw, bare))
+                    key_map[full.lower()] = f"__t0.`{bare}`"
+                    key_map[bare.lower()] = f"__t0.`{bare}`"
+                    continue
+                # atomic call expression key: word ( ... ) spanning the item
+                if (
+                    head.kind not in ("word", "bident")
+                    or len(sig) < 3
+                    or tokens[sig[1]].kind != "op"
+                    or tokens[sig[1]].text != "("
+                ):
                     raise _Bail()
-                full = ".".join(parts)
-                full_raw = ".".join(raw_parts)
-                bare = parts[-1]
-                if bare.lower() in (b.lower() for _, b in keys):
-                    raise _Bail()  # bare-name collision across keys
-                keys.append((full_raw, bare))
-                key_map[full.lower()] = f"__t0.`{bare}`"
-                key_map[bare.lower()] = f"__t0.`{bare}`"
+                close = _matching_paren(tokens, sig[1])
+                if close >= len(tokens) or close != sig[-1]:
+                    raise _Bail()  # not a single atom (trailing operators)
+                if _find_agg_calls(tokens, ia, ib, aggs):
+                    raise _Bail()  # aggregate inside a grouping key
+                expr_text = _frag(tokens, ia, ib)
+                norm_list = [
+                    tokens[s].text
+                    if tokens[s].kind in ("string", "dstring")
+                    else tokens[s].text.lower()
+                    for s in sig
+                ]
+                if any(norm_list == nl for nl, _ in expr_keys):
+                    raise _Bail()  # duplicate expression key
+                alias = f"__k{len(keys)}"
+                keys.append((expr_text, alias))
+                expr_keys.append((norm_list, f"__t0.`{alias}`"))
         # ---- aggregate calls in select list + ORDER BY -------------------
         distinct_groups: list[str] = []  # expr text per group
         group_ids: dict[str, int] = {}  # normalized expr -> group index
@@ -628,7 +701,8 @@ def two_level_distinct(
         for ia, ib in _split_top_level_commas(tokens, sel_a, sel_b):
             expr_end, alias_text = _item_alias_split(tokens, ia, ib)
             body = _rewrite_region(
-                tokens, ia, expr_end, agg_sub, key_map, frozenset(), aggs
+                tokens, ia, expr_end, agg_sub, key_map, frozenset(), aggs,
+                expr_keys,
             )
             if alias_text:
                 aliases.append(alias_text[4:].strip("`").lower())
@@ -644,7 +718,8 @@ def two_level_distinct(
         if "HAVING" in spans:
             ha, hb = spans["HAVING"]
             having_text = " WHERE (" + _rewrite_region(
-                tokens, ha, hb, agg_sub, key_map, frozenset(), aggs
+                tokens, ha, hb, agg_sub, key_map, frozenset(), aggs,
+                expr_keys,
             ).strip() + ")"
         order_text = ""
         if "ORDER" in spans:
@@ -654,7 +729,7 @@ def two_level_distinct(
                 order_items.append(
                     _rewrite_region(
                         tokens, ia, ib, agg_sub, key_map,
-                        frozenset(aliases), aggs,
+                        frozenset(aliases), aggs, expr_keys,
                     ).strip()
                 )
             order_text = " ORDER BY " + ", ".join(order_items)

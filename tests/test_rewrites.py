@@ -96,6 +96,12 @@ REWRITES = [
     " COUNT(DISTINCT z) AS cd3 FROM t GROUP BY k",
     "SELECT k, COUNT(DISTINCT x) AS cd, SUM(DISTINCT x) AS sd,"
     " AVG(DISTINCT x) AS ad, COUNT(DISTINCT y) AS cd2 FROM t GROUP BY k",
+    # r11: atomic-call expression grouping keys (upper(k), CAST(...))
+    "SELECT upper(k) AS uk, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cd2"
+    " FROM t GROUP BY upper(k)",
+    "SELECT upper(k) AS uk, abs(k2) AS ak, COUNT(DISTINCT x) AS cd,"
+    " COUNT(DISTINCT y) AS cd2 FROM t GROUP BY upper(k), abs(k2)"
+    " HAVING COUNT(*) > 1 ORDER BY upper(k)",
 ]
 
 BAILS = [
@@ -107,9 +113,16 @@ BAILS = [
     "SELECT DISTINCT k, COUNT(DISTINCT x), COUNT(DISTINCT y) FROM t GROUP BY k",
     "SELECT k, COUNT(DISTINCT x) OVER (), COUNT(DISTINCT y) FROM t",
     "SELECT k, COUNT(*) FROM t GROUP BY k",
-    # expression grouping keys: out of (conservative) scope
+    # OPEN expression grouping keys stay out (an unparenthesized expr
+    # span is not precedence-safe to substitute); atoms rewrite (r11)
+    "SELECT x + 1, COUNT(DISTINCT y), COUNT(DISTINCT k2) FROM t"
+    " GROUP BY x + 1",
+    # duplicate expression keys stay out
     "SELECT upper(k), COUNT(DISTINCT x), COUNT(DISTINCT y) FROM t"
-    " GROUP BY upper(k)",
+    " GROUP BY upper(k), upper(k)",
+    # aggregate inside a grouping key is malformed for this rewrite
+    "SELECT abs(count(x)), COUNT(DISTINCT x), COUNT(DISTINCT y) FROM t"
+    " GROUP BY abs(count(x))",
     # non-splittable DISTINCT aggregates stay out (order-sensitive /
     # unknown semantics)
     "SELECT k, GROUP_CONCAT(DISTINCT x), COUNT(DISTINCT y),"
@@ -200,6 +213,19 @@ EQUIV = [
     " SUM(CASE WHEN k = 'a' THEN 1 ELSE 0 END) AS s1,"
     " SUM(CASE WHEN k = 'A' THEN 1 ELSE 0 END) AS s2"
     " FROM t GROUP BY k",
+    # r11: atomic-call expression grouping keys — the atom substitutes
+    # in select / HAVING / ORDER BY / inside other calls; NULL keys
+    # survive via <=>
+    "SELECT upper(k) AS uk, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cdy,"
+    " COUNT(*) AS n FROM t GROUP BY upper(k)",
+    "SELECT upper(k) AS uk, abs(k2) AS ak, COUNT(DISTINCT x) AS cd,"
+    " COUNT(DISTINCT y) AS cdy, SUM(y) AS s FROM t"
+    " GROUP BY upper(k), abs(k2) HAVING COUNT(*) >= 1 ORDER BY upper(k), abs(k2)",
+    "SELECT substr(upper(k), 1, 1) AS s1, COUNT(DISTINCT x) AS cd,"
+    " COUNT(DISTINCT k2) AS cdk FROM t GROUP BY upper(k)"
+    " HAVING upper(k) IS NULL OR COUNT(*) > 0",
+    "SELECT k, abs(k2) AS ak, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cdy"
+    " FROM t WHERE y IS NOT NULL GROUP BY k, abs(k2) ORDER BY k, ak",
     # r11: SUM/AVG(DISTINCT) — same-expr calls share a CTE; NULL-heavy
     # inputs and empty groups covered by the parametrized dataset
     "SELECT k, SUM(DISTINCT x) AS sd, AVG(DISTINCT x) AS ad,"
@@ -260,7 +286,9 @@ def test_semantic_equivalence_fuzz():
                 for _ in range(n)
             ]
             con.executemany("INSERT INTO t VALUES (?,?,?,?)", rows)
-        keys = random.choice([[], ["k"], ["k", "k2"]])
+        keys = random.choice(
+            [[], ["k"], ["k", "k2"], ["upper(k)"], ["k", "abs(k2)"]]
+        )
         aggs = [
             random.choice(
                 ["COUNT(DISTINCT x) AS cd", "COUNT(DISTINCT x, k2) AS cd",
