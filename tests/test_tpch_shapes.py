@@ -112,8 +112,9 @@ def test_tpcds_plan_no_cartesian(spark, sf_dir, name):
     assert "CartesianProduct" not in plan, name
 
 
-def test_tpcds_suite_runs_22_shapes(spark, sf_dir):
-    assert len(_TPCDS_ALL) == 22
+def test_tpcds_suite_runs_33_shapes(spark, sf_dir):
+    # 22 through r10; +11 in r11 (q13/q31/q39/q48/q58/q71/q72/q75/q89/q93/q97)
+    assert len(_TPCDS_ALL) == 33
 
 
 @pytest.mark.parametrize(
