@@ -128,14 +128,19 @@ def _clause_spans(tokens: list[Token]) -> dict[str, tuple[int, int]] | None:
     """Top-level clause keyword -> (first token after the keyword, end).
 
     Returns None when the statement is not a single plain SELECT block
-    (set ops, WITH, HAVING, subqueries anywhere, OVER windows).
-    """
+    (top-level set ops / WITH / VALUES / OVER windows). Subqueries are
+    ALLOWED here and recorded under the special key "_SUBQ" as (pos, pos)
+    pseudo-spans — the caller decides per clause: a subquery inside FROM
+    or WHERE re-emits verbatim into every CTE (safe), one inside the
+    select list / GROUP BY / HAVING / ORDER BY regions bails (r11; they
+    were globally bailed before)."""
     n = len(tokens)
     sig = _sig(tokens, 0, n)
     if not sig or tokens[sig[0]].upper != "SELECT":
         return None
     depth = 0
     marks: list[tuple[str, int]] = []  # (clause, index of token AFTER keyword)
+    subq: list[int] = []  # positions of depth>0 SELECT keywords
     k = 0
     while k < n:
         t = tokens[k]
@@ -148,13 +153,13 @@ def _clause_spans(tokens: list[Token]) -> dict[str, tuple[int, int]] | None:
                     return None
         elif t.kind == "word":
             u = t.upper
-            if u in ("UNION", "OVER", "WITH", "VALUES"):
-                return None  # out of scope for this rewrite
             if depth > 0:
-                if u in ("SELECT", "HAVING"):
-                    return None  # subquery / nested HAVING: bail
+                if u == "SELECT":
+                    subq.append(k)
                 k += 1
                 continue
+            if u in ("UNION", "OVER", "WITH", "VALUES"):
+                return None  # out of scope for this rewrite (top level)
             if u == "SELECT":
                 if marks:
                     return None  # second top-level SELECT (malformed)
@@ -186,6 +191,8 @@ def _clause_spans(tokens: list[Token]) -> dict[str, tuple[int, int]] | None:
         if name in spans:
             return None
         spans[name] = (start, end)
+    if subq:
+        spans["_SUBQ"] = tuple(subq)  # type: ignore[assignment]
     return spans
 
 
@@ -484,6 +491,42 @@ def _split_with_prefix(sql: str) -> tuple[str, str] | None:
         return None
 
 
+#: per-row nondeterministic builtins: evaluating them once per CTE copy
+#: yields inconsistent row sets (query-constant fns like now()/
+#: current_timestamp() are fine — Spark folds them once per query)
+_NONDET_FNS = frozenset({"rand", "randn", "random", "uuid"})
+
+
+def _duplication_safe(sql: str) -> bool:
+    """False when re-evaluating the statement's input clauses once per
+    CTE could produce different rows per copy: a per-row nondeterministic
+    function anywhere, or a LIMIT inside parens (subquery / WITH body —
+    without a provable total order its row subset is not stable across
+    evaluations)."""
+    try:
+        tokens = tokenize(sql)
+    except Exception:
+        return False
+    depth = 0
+    n = len(tokens)
+    for k, t in enumerate(tokens):
+        if t.kind == "op":
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                depth -= 1
+        elif t.kind == "word":
+            if t.upper == "LIMIT" and depth > 0:
+                return False
+            if t.text.lower() in _NONDET_FNS:
+                j = k + 1
+                while j < n and tokens[j].kind in _WS:
+                    j += 1
+                if j < n and tokens[j].kind == "op" and tokens[j].text == "(":
+                    return False
+    return True
+
+
 def two_level_distinct(
     sql: str, extra_aggs: frozenset[str] = frozenset()
 ) -> str | None:
@@ -496,6 +539,13 @@ def two_level_distinct(
     extra_aggs: additional aggregate function names (session UDAs) so
     they are recognized — an unknown aggregate would otherwise be
     treated as a scalar function."""
+    if not _duplication_safe(sql):
+        # the rewrite re-evaluates FROM/WHERE (and any WITH bodies) once
+        # per CTE: per-row nondeterministic functions (rand/uuid) or a
+        # nested bare LIMIT could yield a DIFFERENT row set per CTE —
+        # the joined result would correspond to NO single execution of
+        # the original statement (r11 guard; latent before)
+        return None
     head = sql.lstrip()[:5].upper()
     if head.startswith("WITH"):
         # WITH-prefixed block (r11): the CTE list is opaque; the rewrite
@@ -518,6 +568,16 @@ def two_level_distinct(
     spans = _clause_spans(tokens)
     if spans is None or "FROM" not in spans:
         return None
+    # Subqueries are fine inside FROM/WHERE (re-emitted verbatim into
+    # every CTE) but not in the rewritten regions — a select-list /
+    # GROUP BY / HAVING / ORDER BY subquery would need region surgery
+    # this rewrite doesn't do (r11: was a global bail).
+    for pos in spans.get("_SUBQ", ()):  # type: ignore[arg-type]
+        for region in ("SELECT", "GROUP", "HAVING", "ORDER"):
+            if region in spans:
+                ra, rb = spans[region]
+                if ra <= pos < rb:
+                    return None
     aggs = _ALL_AGGS | frozenset(a.lower() for a in extra_aggs)
     try:
         sel_a, sel_b = spans["SELECT"]
@@ -671,7 +731,7 @@ def two_level_distinct(
                 call = _frag(tokens, name_idx, close_idx + 1)
                 # a plain aggregate's args must not hide an aggregate
                 # (malformed anyway) — and must not contain a subquery;
-                # subqueries were globally bailed in _clause_spans
+                # region subqueries bail via the _SUBQ span check above
             nk = _norm(call)
             alias = plain_ids.get(nk)
             if alias is None:

@@ -96,6 +96,11 @@ REWRITES = [
     " COUNT(DISTINCT z) AS cd3 FROM t GROUP BY k",
     "SELECT k, COUNT(DISTINCT x) AS cd, SUM(DISTINCT x) AS sd,"
     " AVG(DISTINCT x) AS ad, COUNT(DISTINCT y) AS cd2 FROM t GROUP BY k",
+    # r11: FROM/WHERE subqueries re-emit verbatim into every CTE
+    "SELECT k, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cd2"
+    " FROM (SELECT * FROM t) s GROUP BY k",
+    "SELECT k, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cd2 FROM t"
+    " WHERE k2 IN (SELECT k2 FROM t WHERE x > 3) GROUP BY k",
     # r11: atomic-call expression grouping keys (upper(k), CAST(...))
     "SELECT upper(k) AS uk, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cd2"
     " FROM t GROUP BY upper(k)",
@@ -108,8 +113,20 @@ BAILS = [
     # single distinct: Catalyst already plans it two-phase without Expand
     "SELECT k, COUNT(DISTINCT x), COUNT(*) FROM t GROUP BY k",
     "SELECT k, COUNT(DISTINCT x) FROM t GROUP BY k HAVING COUNT(*) > 1",
-    "SELECT k, COUNT(DISTINCT x), COUNT(DISTINCT y) FROM (SELECT * FROM t) s"
+    # subqueries in the REWRITTEN regions (select list / HAVING / ORDER)
+    # stay out; FROM/WHERE subqueries rewrite since r11 (see REWRITES)
+    "SELECT k, (SELECT 1), COUNT(DISTINCT x), COUNT(DISTINCT y) FROM t"
     " GROUP BY k",
+    "SELECT k, COUNT(DISTINCT x), COUNT(DISTINCT y) FROM t GROUP BY k"
+    " ORDER BY (SELECT 1)",
+    # per-row nondeterministic functions / nested bare LIMIT: duplicating
+    # FROM/WHERE per CTE could yield a different row set per copy
+    "SELECT k, COUNT(DISTINCT x), COUNT(DISTINCT y) FROM t"
+    " WHERE rand() < 0.5 GROUP BY k",
+    "SELECT k, COUNT(DISTINCT x), COUNT(DISTINCT y)"
+    " FROM (SELECT * FROM t LIMIT 10) s GROUP BY k",
+    "WITH c AS (SELECT k, x, y FROM t LIMIT 5)"
+    " SELECT k, COUNT(DISTINCT x), COUNT(DISTINCT y) FROM c GROUP BY k",
     "SELECT DISTINCT k, COUNT(DISTINCT x), COUNT(DISTINCT y) FROM t GROUP BY k",
     "SELECT k, COUNT(DISTINCT x) OVER (), COUNT(DISTINCT y) FROM t",
     "SELECT k, COUNT(*) FROM t GROUP BY k",
@@ -213,6 +230,15 @@ EQUIV = [
     " SUM(CASE WHEN k = 'a' THEN 1 ELSE 0 END) AS s1,"
     " SUM(CASE WHEN k = 'A' THEN 1 ELSE 0 END) AS s2"
     " FROM t GROUP BY k",
+    # r11: FROM/WHERE subqueries re-emitted verbatim into every CTE
+    "SELECT k, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cdy,"
+    " COUNT(*) AS n FROM (SELECT k, x, y FROM t WHERE x IS NOT NULL"
+    " OR y IS NULL) s GROUP BY k",
+    "SELECT k, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT k2) AS cdk FROM t"
+    " WHERE k2 IN (SELECT k2 FROM t WHERE x > 3) GROUP BY k",
+    "SELECT k, COUNT(DISTINCT x) AS cd, SUM(DISTINCT y) AS sd FROM t"
+    " WHERE EXISTS (SELECT 1 FROM t t2 WHERE t2.k = t.k AND t2.x > 25)"
+    " GROUP BY k HAVING COUNT(*) >= 1",
     # r11: atomic-call expression grouping keys — the atom substitutes
     # in select / HAVING / ORDER BY / inside other calls; NULL keys
     # survive via <=>
