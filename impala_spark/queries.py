@@ -6581,6 +6581,146 @@ sql_query(
 )
 
 
+# TPC-DS Q28 shape: six one-row aggregate brackets recombined by CROSS
+# JOIN of derived tables (the reference plans nested-loop joins of
+# UNPARTITIONED singletons).
+sql_query(
+    "tpcds_q28_shape",
+    """
+    SELECT CAST(b1.cnt AS BIGINT) AS cnt1, b1.avg_p AS avg1,
+           CAST(b2.cnt AS BIGINT) AS cnt2, b2.avg_p AS avg2,
+           CAST(b3.cnt AS BIGINT) AS cnt3, b3.avg_p AS avg3
+    FROM (SELECT COUNT(*) AS cnt,
+                 ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_p
+          FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) b1,
+         (SELECT COUNT(*) AS cnt,
+                 ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_p
+          FROM lineitem WHERE l_quantity BETWEEN 11 AND 25) b2,
+         (SELECT COUNT(*) AS cnt,
+                 ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_p
+          FROM lineitem WHERE l_quantity BETWEEN 26 AND 50) b3
+    """,
+)
+
+# TPC-DS Q32 shape: correlated scalar-subquery threshold (rows above
+# 1.3x their part's average) feeding a single excess-revenue sum —
+# WHERE-clause correlated agg subquery, the reference's
+# StmtRewriter.java:374-393 LEFT OUTER rewrite.
+sql_query(
+    "tpcds_q32_shape",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l1.l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS excess_rev,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem l1 JOIN part ON l1.l_partkey = p_partkey
+    WHERE p_type = 'PROMO'
+      AND l1.l_extendedprice > (SELECT 1.3 * AVG(l2.l_extendedprice)
+                                FROM lineitem l2
+                                WHERE l2.l_partkey = l1.l_partkey)
+    """,
+)
+
+# TPC-DS Q40 shape: before/after pivot around a boundary date per brand.
+sql_query(
+    "tpcds_q40_shape",
+    """
+    SELECT p_brand,
+           CAST(ROUND(SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,4)) ELSE 0 END), 2) AS DOUBLE) AS sales_before,
+           CAST(ROUND(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,4)) ELSE 0 END), 2) AS DOUBLE) AS sales_after
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+    GROUP BY p_brand
+    ORDER BY p_brand
+    LIMIT 100
+    """,
+)
+
+# TPC-DS Q46 shape: per-order derived aggregate joined back to the
+# customer dimension with a dimension filter on the outer block.
+sql_query(
+    "tpcds_q46_shape",
+    """
+    SELECT c_name, ok,
+           CAST(ROUND(amt, 2) AS DOUBLE) AS amt,
+           CAST(ROUND(disc, 2) AS DOUBLE) AS disc
+    FROM (
+      SELECT o_custkey AS ck, o_orderkey AS ok,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS amt,
+             SUM(CAST(l_discount AS DECIMAL(18,4))) AS disc
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY o_custkey, o_orderkey
+    ) dn JOIN customer ON ck = c_custkey
+    WHERE c_mktsegment <> 'BUILDING'
+    ORDER BY c_name, ok
+    LIMIT 100
+    """,
+)
+
+# TPC-DS Q49 shape: worst-return-ratio ranking via a window over a
+# grouped CTE (integer-ratio ordering, fully tie-broken).
+sql_query(
+    "tpcds_q49_shape",
+    """
+    WITH r AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS ret,
+             COUNT(*) AS tot
+      FROM lineitem
+      GROUP BY l_partkey
+      HAVING COUNT(*) >= 5
+    )
+    SELECT pk AS partkey, ret, CAST(tot AS BIGINT) AS tot,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT pk, ret, tot,
+             RANK() OVER (ORDER BY CAST(ret AS DOUBLE) / tot DESC, pk) AS rnk
+      FROM r
+    ) t
+    WHERE rnk <= 20
+    ORDER BY rnk, partkey
+    """,
+)
+
+# TPC-DS Q50 shape: ship-lag day buckets per order priority (the
+# 30/60/90/120 pivot; q62/q99 share the family).
+sql_query(
+    "tpcds_q50_shape",
+    """
+    SELECT o_orderpriority,
+      CAST(SUM(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAYS THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+      CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAYS
+                     AND l_shipdate <= o_orderdate + INTERVAL 60 DAYS THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+      CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAYS
+                     AND l_shipdate <= o_orderdate + INTERVAL 90 DAYS THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+      CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAYS
+                     AND l_shipdate <= o_orderdate + INTERVAL 120 DAYS THEN 1 ELSE 0 END) AS BIGINT) AS d120,
+      CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 120 DAYS THEN 1 ELSE 0 END) AS BIGINT) AS dmore
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+
+# TPC-DS Q84 shape: customer lookup with concat projection through two
+# dimension joins.
+sql_query(
+    "tpcds_q84_shape",
+    """
+    SELECT c_custkey AS customer_id,
+           concat(c_name, ' - seg ', c_mktsegment) AS customername,
+           n_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_regionkey = 1 AND c_acctbal BETWEEN 1000 AND 3000
+    ORDER BY c_custkey
+    LIMIT 100
+    """,
+)
+
+
 # CREATE VIEW / ALTER VIEW through the engine front door (the round-4
 # routing): create over a join, redefine via ALTER, read back through
 # the catalog. VALUES oracle pins the final definition's rows.

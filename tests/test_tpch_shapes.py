@@ -112,9 +112,10 @@ def test_tpcds_plan_no_cartesian(spark, sf_dir, name):
     assert "CartesianProduct" not in plan, name
 
 
-def test_tpcds_suite_runs_33_shapes(spark, sf_dir):
-    # 22 through r10; +11 in r11 (q13/q31/q39/q48/q58/q71/q72/q75/q89/q93/q97)
-    assert len(_TPCDS_ALL) == 33
+def test_tpcds_suite_runs_40_shapes(spark, sf_dir):
+    # 22 through r10; +18 in r11 (q13/q28/q31/q32/q39/q40/q46/q48/q49/q50/
+    # q58/q71/q72/q75/q84/q89/q93/q97)
+    assert len(_TPCDS_ALL) == 40
 
 
 @pytest.mark.parametrize(
