@@ -6721,6 +6721,121 @@ sql_query(
 )
 
 
+# TPC-DS Q4 shape: year-over-year spend ratio per customer — one
+# grouped CTE self-joined across years, ratio filter between the two
+# periods (the q11/q74 family).
+sql_query(
+    "tpcds_q4_shape",
+    """
+    WITH spend AS (
+      SELECT o_custkey AS ck, CAST(YEAR(o_orderdate) AS INT) AS yr,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+      FROM orders
+      WHERE YEAR(o_orderdate) IN (1995, 1996)
+      GROUP BY o_custkey, YEAR(o_orderdate)
+    )
+    SELECT c.ck AS custkey,
+           CAST(ROUND(p.total, 2) AS DOUBLE) AS spend_1995,
+           CAST(ROUND(c.total, 2) AS DOUBLE) AS spend_1996
+    FROM spend c JOIN spend p ON c.ck = p.ck
+    WHERE c.yr = 1996 AND p.yr = 1995
+      AND CAST(c.total AS DOUBLE) > 1.5 * CAST(p.total AS DOUBLE)
+    ORDER BY custkey
+    LIMIT 100
+    """,
+)
+
+# TPC-DS Q35 shape: EXISTS + NOT EXISTS membership tests against two
+# channels, demographic-style aggregates per group.
+sql_query(
+    "tpcds_q35_shape",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_ck,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_ck
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'O')
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+
+# TPC-DS Q37 shape: part-attribute range lookup gated by a date-ranged
+# semi-join against the fact (IN subquery with its own filter).
+sql_query(
+    "tpcds_q37_shape",
+    """
+    SELECT p_partkey, p_brand, p_type
+    FROM part
+    WHERE p_size BETWEEN 10 AND 25
+      AND p_partkey IN (SELECT l_partkey FROM lineitem
+                        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                          AND l_shipdate < TIMESTAMP '1997-03-01 00:00:00')
+    ORDER BY p_partkey
+    LIMIT 100
+    """,
+)
+
+# TPC-DS Q77 shape: per-channel aggregated CTEs (linestatus channels)
+# recombined by UNION ALL with a grand-total arm — the reference's
+# channel-totals report without GROUPING SETS (not in the 2.7 grammar).
+sql_query(
+    "tpcds_q77_shape",
+    """
+    WITH chf AS (
+      SELECT 'F' AS chan,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sales,
+             COUNT(*) AS n
+      FROM lineitem WHERE l_linestatus = 'F'
+    ), cho AS (
+      SELECT 'O' AS chan,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sales,
+             COUNT(*) AS n
+      FROM lineitem WHERE l_linestatus = 'O'
+    )
+    SELECT chan, CAST(ROUND(sales, 2) AS DOUBLE) AS sales,
+           CAST(n AS BIGINT) AS n
+    FROM chf
+    UNION ALL
+    SELECT chan, CAST(ROUND(sales, 2) AS DOUBLE) AS sales,
+           CAST(n AS BIGINT) AS n
+    FROM cho
+    UNION ALL
+    SELECT 'ALL' AS chan,
+           CAST(ROUND(chf.sales + cho.sales, 2) AS DOUBLE) AS sales,
+           CAST(chf.n + cho.n AS BIGINT) AS n
+    FROM chf, cho
+    ORDER BY chan
+    """,
+)
+
+# TPC-DS Q69 shape: membership in one channel and absence from another,
+# projected per demographic bucket (the q10 family).
+sql_query(
+    "tpcds_q69_shape",
+    """
+    SELECT c_nationkey AS nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM customer c
+    WHERE c.c_custkey IN (SELECT o_custkey FROM orders
+                          WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+      AND c.c_custkey NOT IN (SELECT o_custkey FROM orders
+                              WHERE o_orderstatus = 'F'
+                                AND o_totalprice > 300000)
+    GROUP BY c_nationkey, c_mktsegment
+    ORDER BY nationkey, c_mktsegment
+    LIMIT 100
+    """,
+)
+
+
 # CREATE VIEW / ALTER VIEW through the engine front door (the round-4
 # routing): create over a join, redefine via ALTER, read back through
 # the catalog. VALUES oracle pins the final definition's rows.
