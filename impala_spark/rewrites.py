@@ -278,12 +278,14 @@ def _rewrite_region(
     extra_names: frozenset[str],
     aggs: frozenset[str],
     expr_keys: list[tuple[list[str], str]] | None = None,
+    alias_map: dict[str, str] | None = None,
 ) -> str:
     """Re-emit tokens[a:b], substituting aggregate call spans per agg_sub
     and redirecting group-key references per key_map (normalized chain
     text -> outer-qualified name) / expr_keys (atomic call expression
-    keys, r11). Raises _Bail on any identifier it cannot prove is a
-    group key / select alias."""
+    keys, r11) / alias_map (select-alias -> rewritten body, HAVING only,
+    r11). Raises _Bail on any identifier it cannot prove is a group
+    key / select alias."""
     out: list[str] = []
     k = a
     agg_by_start = {s: (e, txt) for (s, e), txt in agg_sub.items()}
@@ -345,6 +347,11 @@ def _rewrite_region(
             out.append(key_map[ctext])
         elif chain[-1].lower() in extra_names:
             out.append(f"`{chain[-1]}`")
+        elif alias_map and len(chain) == 1 and ctext in alias_map:
+            # select-ALIAS reference (HAVING, r11): inline the item's
+            # already-rewritten body — the emitted WHERE runs before the
+            # outer projection, so the alias itself is not in scope
+            out.append(f"({alias_map[ctext]})")
         else:
             raise _Bail()
         k = kk + 1
@@ -758,6 +765,8 @@ def two_level_distinct(
         # ---- re-emit the select list ------------------------------------
         sel_items: list[str] = []
         aliases: list[str] = []
+        #: lowered alias -> rewritten body (None = ambiguous, unusable)
+        alias_body: dict[str, str | None] = {}
         for ia, ib in _split_top_level_commas(tokens, sel_a, sel_b):
             expr_end, alias_text = _item_alias_split(tokens, ia, ib)
             body = _rewrite_region(
@@ -765,21 +774,34 @@ def two_level_distinct(
                 expr_keys,
             )
             if alias_text:
-                aliases.append(alias_text[4:].strip("`").lower())
+                name = alias_text[4:].strip("`").lower()
+                aliases.append(name)
+                b = body.strip()
+                if name in alias_body and alias_body[name] != b:
+                    alias_body[name] = None  # duplicate alias: ambiguous
+                elif name in key_map and key_map[name] != b:
+                    # alias shadows a grouping key with a DIFFERENT expr:
+                    # a HAVING reference is ambiguous between the two —
+                    # keep the default plan rather than pick a side
+                    if "HAVING" in spans:
+                        raise _Bail()
+                    alias_body[name] = None
+                else:
+                    alias_body.setdefault(name, b)
             sel_items.append(body.strip() + alias_text)
         # HAVING maps onto the joined result as an outer WHERE — the
         # reference evaluates HAVING post-merge on the final aggregation
         # (P/DistributedPlanner.java:835 addHavingPredicates after the
         # merge phase), and every group row exists in the join result.
-        # Select ALIASES are deliberately not resolvable here (a Spark
-        # WHERE cannot see them): an alias reference bails via
-        # _rewrite_region's identifier check and keeps the default plan.
+        # Select ALIASES resolve by inlining the item's rewritten body
+        # (r11; the emitted WHERE runs before the outer projection).
         having_text = ""
         if "HAVING" in spans:
             ha, hb = spans["HAVING"]
             having_text = " WHERE (" + _rewrite_region(
                 tokens, ha, hb, agg_sub, key_map, frozenset(), aggs,
                 expr_keys,
+                {k: v for k, v in alias_body.items() if v is not None},
             ).strip() + ")"
         order_text = ""
         if "ORDER" in spans:

@@ -82,6 +82,9 @@ REWRITES = [
     # r11: HAVING may introduce the second distinct group itself
     "SELECT k, COUNT(DISTINCT x) AS cd FROM t GROUP BY k"
     " HAVING COUNT(DISTINCT y) > 1",
+    # r11: HAVING referencing a select ALIAS inlines the rewritten body
+    "SELECT k, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cd2 FROM t"
+    " GROUP BY k HAVING cd > 2",
     # r11: backquoted reserved-word grouping key survives re-emission
     "SELECT `order`, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cd2"
     " FROM t GROUP BY `order`",
@@ -154,9 +157,10 @@ BAILS = [
     # CTE names colliding with the rewrite's own aliases stay out
     "WITH __t0 AS (SELECT 1 AS x) SELECT COUNT(DISTINCT x) AS a,"
     " COUNT(DISTINCT x+1) AS b FROM __t0",
-    # HAVING referencing a select ALIAS: a Spark WHERE can't see it — bail
-    "SELECT k, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cd2 FROM t"
-    " GROUP BY k HAVING cd > 2",
+    # alias SHADOWING a grouping key with a different expr + HAVING: the
+    # reference's resolution is ambiguous — keep the default plan
+    "SELECT upper(k) AS k2, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cd2"
+    " FROM t GROUP BY k, k2 HAVING k2 IS NOT NULL",
     # HAVING inside a subquery-ish depth is never rewritten
     "SELECT k, COUNT(DISTINCT x), COUNT(DISTINCT y) FROM t GROUP BY k"
     " HAVING EXISTS (SELECT 1)",
@@ -230,6 +234,13 @@ EQUIV = [
     " SUM(CASE WHEN k = 'a' THEN 1 ELSE 0 END) AS s1,"
     " SUM(CASE WHEN k = 'A' THEN 1 ELSE 0 END) AS s2"
     " FROM t GROUP BY k",
+    # r11: select aliases in HAVING (inlined rewritten bodies)
+    "SELECT k, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cdy,"
+    " SUM(y) AS s FROM t GROUP BY k HAVING cd >= 1 AND s IS NOT NULL",
+    "SELECT k, COUNT(DISTINCT x) AS cd, AVG(DISTINCT y) AS ady FROM t"
+    " GROUP BY k HAVING ady IS NULL OR cd > 0 ORDER BY k",
+    "SELECT upper(k) AS uk, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT k2) AS cdk"
+    " FROM t GROUP BY upper(k) HAVING uk IS NULL OR cd >= 0",
     # r11: FROM/WHERE subqueries re-emitted verbatim into every CTE
     "SELECT k, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cdy,"
     " COUNT(*) AS n FROM (SELECT k, x, y FROM t WHERE x IS NOT NULL"
