@@ -100,6 +100,13 @@ _NEUTRAL_WORDS = frozenset({
     "hour", "hours", "minute", "minutes", "second", "seconds",
 })
 
+#: words neutral ONLY inside an OVER (...) clause — globally they could
+#: mask a bare column reference that must bail
+_WINDOW_WORDS = frozenset({
+    "partition", "by", "order", "rows", "range", "between", "unbounded",
+    "preceding", "following", "current", "row",
+})
+
 _WS = ("ws", "line_comment", "block_comment")
 
 
@@ -158,8 +165,11 @@ def _clause_spans(tokens: list[Token]) -> dict[str, tuple[int, int]] | None:
                     subq.append(k)
                 k += 1
                 continue
-            if u in ("UNION", "OVER", "WITH", "VALUES"):
+            if u in ("UNION", "WITH", "VALUES"):
                 return None  # out of scope for this rewrite (top level)
+            # OVER is allowed since r11: pure ranking windows re-emit over
+            # the joined group rows (a bijection, so ranks are preserved);
+            # window AGGREGATES bail in handle_agg's OVER lookahead
             if u == "SELECT":
                 if marks:
                     return None  # second top-level SELECT (malformed)
@@ -279,6 +289,7 @@ def _rewrite_region(
     aggs: frozenset[str],
     expr_keys: list[tuple[list[str], str]] | None = None,
     alias_map: dict[str, str] | None = None,
+    window_clause: bool = False,
 ) -> str:
     """Re-emit tokens[a:b], substituting aggregate call spans per agg_sub
     and redirecting group-key references per key_map (normalized chain
@@ -316,13 +327,33 @@ def _rewrite_region(
         j = k + 1
         while j < b and tokens[j].kind in _WS:
             j += 1
+        if (
+            t.kind == "word" and lword == "over"
+            and j < b and tokens[j].kind == "op" and tokens[j].text == "("
+        ):
+            # pure ranking window over the joined group rows (r11): the
+            # OVER clause's keys/aggregate refs substitute like any other
+            # region, with the window grammar words neutral INSIDE only
+            close = _matching_paren(tokens, j)
+            if close >= b:
+                raise _Bail()
+            inner = _rewrite_region(
+                tokens, j + 1, close, agg_sub, key_map, extra_names,
+                aggs, expr_keys, None, window_clause=True,
+            )
+            out.append("OVER (" + inner + ")")
+            k = close + 1
+            continue
         if j < b and tokens[j].kind == "op" and tokens[j].text == "(":
             if lword in aggs:
                 raise _Bail()  # aggregate not covered by agg_sub
             out.append(t.text)  # scalar function name
             k += 1
             continue
-        if t.kind == "word" and lword in _NEUTRAL_WORDS:
+        if t.kind == "word" and (
+            lword in _NEUTRAL_WORDS
+            or (window_clause and lword in _WINDOW_WORDS)
+        ):
             out.append(t.text)
             k += 1
             continue
@@ -679,6 +710,14 @@ def two_level_distinct(
         agg_sub: dict[tuple[int, int], str] = {}
 
         def handle_agg(name_idx: int, open_idx: int, close_idx: int, lname: str):
+            j = close_idx + 1
+            while j < len(tokens) and tokens[j].kind in _WS:
+                j += 1
+            if j < len(tokens) and tokens[j].upper == "OVER":
+                # window AGGREGATE (COUNT(...) OVER, SUM(x) OVER): its
+                # value is per-row over the window, not a group
+                # aggregate — nothing to substitute, keep default plan
+                raise _Bail()
             arg_sig = _sig(tokens, open_idx + 1, close_idx)
             has_distinct = bool(arg_sig) and tokens[arg_sig[0]].upper == "DISTINCT"
             arg_a = (
@@ -777,7 +816,11 @@ def two_level_distinct(
                 name = alias_text[4:].strip("`").lower()
                 aliases.append(name)
                 b = body.strip()
-                if name in alias_body and alias_body[name] != b:
+                if "OVER (" in b:
+                    # window-bearing item: inlining it into the emitted
+                    # WHERE would be invalid SQL — alias unusable there
+                    alias_body[name] = None
+                elif name in alias_body and alias_body[name] != b:
                     alias_body[name] = None  # duplicate alias: ambiguous
                 elif name in key_map and key_map[name] != b:
                     # alias shadows a grouping key with a DIFFERENT expr:

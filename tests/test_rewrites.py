@@ -82,6 +82,10 @@ REWRITES = [
     # r11: HAVING may introduce the second distinct group itself
     "SELECT k, COUNT(DISTINCT x) AS cd FROM t GROUP BY k"
     " HAVING COUNT(DISTINCT y) > 1",
+    # r11: ranking window over multi-distinct aggregates
+    "SELECT k, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cdy,"
+    " RANK() OVER (ORDER BY COUNT(DISTINCT x) DESC, k) AS r"
+    " FROM t GROUP BY k",
     # r11: HAVING referencing a select ALIAS inlines the rewritten body
     "SELECT k, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cd2 FROM t"
     " GROUP BY k HAVING cd > 2",
@@ -234,6 +238,15 @@ EQUIV = [
     " SUM(CASE WHEN k = 'a' THEN 1 ELSE 0 END) AS s1,"
     " SUM(CASE WHEN k = 'A' THEN 1 ELSE 0 END) AS s2"
     " FROM t GROUP BY k",
+    # r11: pure ranking windows over the joined group rows (bijection ->
+    # rank-preserving); window args/order substitute like any region
+    "SELECT k, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cdy,"
+    " RANK() OVER (ORDER BY COUNT(DISTINCT y) DESC, k) AS r"
+    " FROM t GROUP BY k",
+    "SELECT k, k2, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cdy,"
+    " ROW_NUMBER() OVER (PARTITION BY k ORDER BY COUNT(*) DESC, k2) AS rn,"
+    " DENSE_RANK() OVER (ORDER BY SUM(y) DESC NULLS LAST, k, k2) AS dr"
+    " FROM t WHERE k2 IS NOT NULL GROUP BY k, k2 ORDER BY k, k2",
     # r11: select aliases in HAVING (inlined rewritten bodies)
     "SELECT k, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cdy,"
     " SUM(y) AS s FROM t GROUP BY k HAVING cd >= 1 AND s IS NOT NULL",
