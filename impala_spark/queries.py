@@ -2114,6 +2114,42 @@ def q_expr_key_distinct_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+#: ranking window over multi-distinct aggregates through the widened
+#: rewrite (r11): the CTE join is a bijection on the grouping keys, so
+#: the re-emitted RANK over the joined rows is rank-preserving.
+_RANK_OVER_DISTINCT = """
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+           CAST(RANK() OVER (ORDER BY COUNT(DISTINCT o_custkey) DESC,
+                             o_orderpriority) AS BIGINT) AS rnk
+    FROM orders
+    GROUP BY o_orderpriority
+    HAVING n_customers > 0
+    ORDER BY rnk, o_orderpriority
+"""
+
+
+@register("agg_rank_over_distinct_rewrite", oracle=_RANK_OVER_DISTINCT)
+def q_rank_over_distinct_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: pure ranking windows (RANK/DENSE_RANK/ROW_NUMBER) ride the
+    two-level DISTINCT rewrite — the OVER clause's aggregate refs
+    substitute like any region, window AGGREGATES still bail, and a
+    select alias resolves in HAVING by body inlining. Plan-asserted
+    no-Expand, oracle-matched."""
+    from impala_spark.rewrites import two_level_distinct
+    from impala_spark.session import posture_session
+
+    spark = posture_session(spark, sf_dir, "relational")
+    register_tables(spark, sf_dir)
+    rw = two_level_distinct(_RANK_OVER_DISTINCT)
+    assert rw is not None, "rewrite must fire on a ranking window"
+    df = spark.sql(translate(rw))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan[:800]
+    return df
+
+
 #: the oracle computes the same join/aggregate from the base fixtures
 #: (the layout is a physical property; results must be layout-invariant)
 _HASH_BUCKETED_ORACLE = """
