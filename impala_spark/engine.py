@@ -200,6 +200,7 @@ class ImpalaEngine:
             tname = m.group(2).strip("`")
             if tname in self._stats_tables:
                 self._stats_tables.discard(tname)
+                self._stats_versions.pop(tname, None)
                 return self.spark.sql(
                     "SELECT 'stats dropped (table left the CBO posture)' AS result"
                 )
