@@ -247,6 +247,14 @@ EQUIV = [
     " ROW_NUMBER() OVER (PARTITION BY k ORDER BY COUNT(*) DESC, k2) AS rn,"
     " DENSE_RANK() OVER (ORDER BY SUM(y) DESC NULLS LAST, k, k2) AS dr"
     " FROM t WHERE k2 IS NOT NULL GROUP BY k, k2 ORDER BY k, k2",
+    # r11: other window shapes flow through the same OVER path — ntile
+    # takes a literal arg; lag's arg is a substituted aggregate call
+    "SELECT k, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cdy,"
+    " NTILE(2) OVER (ORDER BY COUNT(DISTINCT x) DESC, k) AS bucket"
+    " FROM t GROUP BY k",
+    "SELECT k, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cdy,"
+    " LAG(COUNT(DISTINCT x), 1) OVER (ORDER BY k) AS prev_cd"
+    " FROM t GROUP BY k ORDER BY k",
     # r11: select aliases in HAVING (inlined rewritten bodies)
     "SELECT k, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cdy,"
     " SUM(y) AS s FROM t GROUP BY k HAVING cd >= 1 AND s IS NOT NULL",
@@ -366,6 +374,58 @@ def test_semantic_equivalence_fuzz():
                 )
             if random.random() < 0.4:
                 q += " ORDER BY " + keys[0] + " DESC"
+        r = tld(q)
+        assert r is not None, q
+        a = sorted(map(tuple, con.execute(_duck(q)).fetchall()), key=str)
+        b = sorted(map(tuple, con.execute(_duck(r)).fetchall()), key=str)
+        assert a == b, f"{q}\n{r}\n{a[:3]} != {b[:3]}"
+
+
+def test_semantic_equivalence_fuzz_combined():
+    """Seeded combined-scope fuzz (r11): expression keys x ranking
+    windows x FROM/WHERE subqueries x SUM/AVG(DISTINCT) x alias-HAVING,
+    in one generator — the interactions, not just each widening alone.
+    A 750-iteration version of this ran clean when the scope landed."""
+    import random
+
+    random.seed(777)
+    for _ in range(40):
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (k VARCHAR, k2 INT, x INT, y DOUBLE)")
+        n = random.choice([0, 1, 9, 300])
+        if n:
+            rows = [
+                (random.choice(["a", "b", "A", None]),
+                 random.choice([1, 2, 3, None]),
+                 random.choice([None] + list(range(random.choice([3, 40])))),
+                 random.choice([None, 1.5, -2.0, 0.0, 9.75]))
+                for _ in range(n)
+            ]
+            con.executemany("INSERT INTO t VALUES (?,?,?,?)", rows)
+        keys = random.choice(
+            [["k"], ["k", "k2"], ["upper(k)"], ["k", "abs(k2)"]]
+        )
+        aggs = [
+            random.choice(
+                ["COUNT(DISTINCT x)", "SUM(DISTINCT x)",
+                 "COUNT(DISTINCT x, k2)"]) + " AS cd",
+            random.choice(["COUNT(DISTINCT y)", "AVG(DISTINCT y)"]) + " AS cdy",
+        ]
+        if random.random() < 0.5:
+            tie = ", ".join(keys)
+            aggs.append(random.choice([
+                f"RANK() OVER (ORDER BY COUNT(DISTINCT y) DESC, {tie}) AS r",
+                f"ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, {tie}) AS r",
+            ]))
+        q = f"SELECT {', '.join(keys + aggs)} FROM t"
+        if random.random() < 0.4:
+            q += random.choice(
+                [" WHERE k2 IS NOT NULL",
+                 " WHERE k2 IN (SELECT k2 FROM t WHERE x > 5)"])
+        q += " GROUP BY " + ", ".join(keys)
+        if random.random() < 0.5:
+            q += " HAVING " + random.choice(
+                ["cd >= 0 OR cd IS NULL", "cdy IS NULL OR COUNT(*) >= 1"])
         r = tld(q)
         assert r is not None, q
         a = sorted(map(tuple, con.execute(_duck(q)).fetchall()), key=str)
