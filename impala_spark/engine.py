@@ -1093,11 +1093,16 @@ class ImpalaEngine:
         # strict engines apply the same analyzer rejections to EXPLAIN as
         # to sql() — Impala analyzes before planning, so EXPLAIN of an
         # invalid query raises the analysis error, not a plan.
-        # EXPLAIN plans in the same session sql() would execute in, so
-        # after COMPUTE STATS the text shows the CBO plan the statement
-        # will actually get (the reference's COMPUTE STATS -> EXPLAIN
-        # cardinality loop).
-        df = self._route_session(query).sql(translate(query, strict=self.strict))
+        # EXPLAIN plans in the same session AND through the same plan
+        # rewrites sql() would use, so after COMPUTE STATS the text shows
+        # the CBO plan and above the distinct-rewrite gate it shows the
+        # two-phase join plan the statement will actually get (the
+        # reference's EXPLAIN always reflects the executed plan).
+        sql_text = translate(query, strict=self.strict)
+        rw = self._plan_rewrite(query)
+        if rw is not None:
+            sql_text = translate(rw)
+        df = self._route_session(query).sql(sql_text)
         qe = df._jdf.queryExecution()
         plan = qe.executedPlan().toString()
         # Cardinality/size annotations (planner/PlanNode.getExplainString

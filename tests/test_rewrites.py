@@ -508,6 +508,24 @@ def test_engine_sum_avg_distinct_rewrite(spark, monkeypatch):
         assert abs(ra[2] - rb[2]) <= 1e-6 * max(1.0, abs(ra[2]))
 
 
+def test_explain_reflects_rewrite(spark, monkeypatch):
+    """EXPLAIN must show the plan sql() executes (the reference's EXPLAIN
+    is always the real plan): above the gate the two-phase join, below
+    it Catalyst's default."""
+    import impala_spark.rewrites as RW
+
+    from impala_spark.engine import ImpalaEngine
+
+    q = ("SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS cd,"
+         " COUNT(DISTINCT o_orderpriority) AS cp"
+         " FROM orders GROUP BY o_orderstatus")
+    below = ImpalaEngine(spark, sf_dir=SF_01).explain(q)
+    assert "JOIN" not in below
+    monkeypatch.setattr(RW, "TWO_LEVEL_DISTINCT_MIN_INPUT_BYTES", 0)
+    above = ImpalaEngine(spark, sf_dir=SF_01).explain(q)
+    assert "JOIN" in above
+
+
 def test_engine_rewrite_preserves_strict_errors(spark, monkeypatch):
     """Strict analysis still runs on the USER's text, not the rewrite."""
     import impala_spark.rewrites as RW
