@@ -634,6 +634,12 @@ def alter_table(spark: SparkSession, stmt: str) -> DataFrame:
         if col.lower() in {p.lower() for p in t.partition_cols}:
             # AlterTableDropColStmt (AnalyzeDDLTest exact text)
             raise ImpalaUnsupportedError(f"Cannot drop partition column: {col.lower()}")
+        if col.lower() in {b.lower() for b in t.bucket_cols}:
+            # the persisted hash layout (PARTITION BY HASH) needs the
+            # column; the reference's Kudu tables likewise pin key columns
+            raise ImpalaUnsupportedError(
+                f"Cannot drop hash partition column: {col.lower()}"
+            )
         df = _read_table(spark, t)
         if col not in df.columns:
             raise ValueError(f"ALTER TABLE {name} DROP COLUMN: no column '{col}'")
@@ -645,6 +651,10 @@ def alter_table(spark: SparkSession, stmt: str) -> DataFrame:
         if old.lower() in {p.lower() for p in t.partition_cols}:
             # AlterTableAlterColStmt (AnalyzeDDLTest exact text)
             raise ImpalaUnsupportedError(f"Cannot modify partition column: {old.lower()}")
+        if old.lower() in {b.lower() for b in t.bucket_cols}:
+            raise ImpalaUnsupportedError(
+                f"Cannot modify hash partition column: {old.lower()}"
+            )
         df = _read_table(spark, t).withColumn(old, F.col(old).cast(typ))
         if old != new:
             df = df.withColumnRenamed(old, new)

@@ -499,6 +499,34 @@ class TestHashBucketed:
         eng.sql("DROP TABLE tb_o")
         eng.sql("DROP TABLE tb_l")
 
+    def test_alter_guards_bucket_columns(self, spark):
+        import re
+
+        import pytest as _pytest
+
+        from impala_spark.parser import ImpalaUnsupportedError
+
+        eng = self._engine(spark)
+        eng.sql("DROP TABLE IF EXISTS tb_alter")
+        eng.sql(
+            "CREATE TABLE tb_alter PARTITION BY HASH(o_orderkey) PARTITIONS 4"
+            " AS SELECT o_orderkey, o_orderpriority FROM orders"
+        )
+        with _pytest.raises(ImpalaUnsupportedError, match="hash partition column"):
+            eng.sql("ALTER TABLE tb_alter DROP COLUMN o_orderkey")
+        with _pytest.raises(ImpalaUnsupportedError, match="hash partition column"):
+            eng.sql("ALTER TABLE tb_alter CHANGE o_orderkey ok2 BIGINT")
+        # non-bucket columns still evolve, and the layout survives it
+        eng.sql("ALTER TABLE tb_alter ADD COLUMNS (note STRING)")
+        eng.sql("ALTER TABLE tb_alter DROP COLUMN note")
+        df = eng.sql(
+            "SELECT o_orderkey, COUNT(*) AS n FROM tb_alter"
+            " GROUP BY o_orderkey"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert not re.search(r"Exchange hashpartitioning\(o_orderkey", plan), plan
+        eng.sql("DROP TABLE tb_alter")
+
     def test_insert_preserves_bucketing(self, spark):
         import re
 
