@@ -106,9 +106,18 @@ def _is_contaminated(load_at_start: list[float], cpu_canary: float) -> bool:
     means other tenants were consuming cores before our JVM started; the
     5-min average catches tenants that paused just long enough to fool
     the 1-min sample (measured: load [0.41, 7.99, ...] still inflated
-    pricing_summary 2x); the canary catches hypervisor steal."""
+    pricing_summary 2x); the canary catches hypervisor steal.
+
+    Canary threshold 0.25 (r11, was 0.4): measured same-day on this box,
+    canary 0.22-0.27 came with UNIFORM ~1.7x per-query inflation vs the
+    r10 medians and 0.33-0.38 with ~2x — all at loadavg ~0-1, i.e. pure
+    steal the loadavg cannot see. 0.4 let those pass as clean; 0.25
+    (~2x the 0.10-0.15 idle reference) marks them honestly. If every
+    attempt exceeds it the lowest-total attempt is still emitted, just
+    flagged — a flagged-true artifact on a stolen box is the correct
+    outcome, not a failure of the bench."""
     return (
-        load_at_start[0] > 2.0 or load_at_start[1] > 4.0 or cpu_canary > 0.4
+        load_at_start[0] > 2.0 or load_at_start[1] > 4.0 or cpu_canary > 0.25
     )
 
 
