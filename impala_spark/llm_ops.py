@@ -202,6 +202,18 @@ def minhash_lsh_pairs(
          never a cartesian product
       4. verify: exact signature-overlap similarity within candidates only
     Returns (a_id, b_id, sim) with a_id < b_id, sim >= threshold.
+
+    Known skew hazard (measured r11, 500k-doc fixture with ~100-way
+    near-duplicate clusters): the OUTPUT contract is all qualifying
+    pairs, which is inherently quadratic in a near-dup cluster's size —
+    C(100,2) ≈ 5k pairs per cluster, ~25M total there, with multi-minute
+    runtime and GiB-scale shuffle allocations. That is the contract, not
+    a plan defect (the join is still bucket-hashed, never all-pairs
+    global). Deployed posture for heavy-duplication corpora: run
+    dedup_exact FIRST (the curation pipeline already does), and feed
+    pairs to dedup_clusters, which only needs a connectivity-spanning
+    subset — at extreme duplication rates, cap bands or pre-shard by
+    band_hash rather than asking for the full pair enumeration.
     """
     rows_per_band = num_hashes // bands
     # The repartition is load-bearing twice over: (a) it breaks Catalyst
