@@ -108,17 +108,37 @@ def _is_contaminated(load_at_start: list[float], cpu_canary: float) -> bool:
     the 1-min sample (measured: load [0.41, 7.99, ...] still inflated
     pricing_summary 2x); the canary catches hypervisor steal.
 
-    Canary threshold 0.25 (r11, was 0.4): measured same-day on this box,
-    canary 0.22-0.27 came with UNIFORM ~1.7x per-query inflation vs the
-    r10 medians and 0.33-0.38 with ~2x — all at loadavg ~0-1, i.e. pure
-    steal the loadavg cannot see. 0.4 let those pass as clean; 0.25
-    (~2x the 0.10-0.15 idle reference) marks them honestly. If every
-    attempt exceeds it the lowest-total attempt is still emitted, just
-    flagged — a flagged-true artifact on a stolen box is the correct
-    outcome, not a failure of the bench."""
+    Canary threshold 0.20 (r12, was 0.25): the same-day calibration on
+    this box measured canary 0.22-0.27 with UNIFORM ~1.7x per-query
+    inflation vs the r10 medians and 0.33-0.38 with ~2x — all at
+    loadavg ~0-1, i.e. pure steal the loadavg cannot see. The r11
+    threshold of 0.25 sat INSIDE the first band, so a 0.225 attempt
+    shipped as contaminated:false while ~1.7x-inflated (r11 verdict,
+    What's wrong #2). 0.20 (~1.5x the 0.10-0.15 idle reference) keeps
+    the flag consistent with the calibration; the per-attempt
+    canary_inflation_estimate discloses the magnitude either way. If
+    every attempt exceeds it the lowest-total attempt is still emitted,
+    just flagged — a flagged-true artifact on a stolen box is the
+    correct outcome, not a failure of the bench."""
     return (
-        load_at_start[0] > 2.0 or load_at_start[1] > 4.0 or cpu_canary > 0.25
+        load_at_start[0] > 2.0 or load_at_start[1] > 4.0 or cpu_canary > 0.20
     )
+
+
+def _canary_inflation_estimate(cpu_canary: float) -> float:
+    """Rough per-query wall-time inflation implied by the canary, from
+    the same-day calibration points on this box: canary 0.125 (idle
+    midpoint) -> 1.0x, 0.245 -> ~1.7x, 0.355 -> ~2.0x (both bands
+    measured against r10's idle medians). Piecewise-linear between the
+    points, clamped at the ends — an ESTIMATE for reading the artifact,
+    not a correction applied to the samples."""
+    pts = [(0.125, 1.0), (0.245, 1.7), (0.355, 2.0)]
+    if cpu_canary <= pts[0][0]:
+        return 1.0
+    for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+        if cpu_canary <= x1:
+            return round(y0 + (y1 - y0) * (cpu_canary - x0) / (x1 - x0), 2)
+    return pts[-1][1]
 
 
 def main() -> None:
@@ -208,6 +228,9 @@ def main() -> None:
                 "attempt": attempt,
                 "loadavg_before": load_at_start,
                 "cpu_canary_sec": cpu_canary,
+                "canary_inflation_estimate": _canary_inflation_estimate(
+                    cpu_canary
+                ),
                 "contaminated": contaminated,
                 "total_sec": round(total, 3),
             }
@@ -281,6 +304,12 @@ def main() -> None:
                 # physical cores are actually available; 2x that means
                 # hypervisor steal even at loadavg ~0
                 "cpu_canary_sec": cpu_canary,
+                # calibration-implied per-query inflation for THIS
+                # attempt (1.0 = idle-equivalent) — read the totals
+                # against this even when contaminated is false
+                "canary_inflation_estimate": _canary_inflation_estimate(
+                    cpu_canary
+                ),
                 "ncpus": os.cpu_count(),
                 "value": round(total, 3),
                 "unit": "sec",

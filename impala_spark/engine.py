@@ -1069,9 +1069,12 @@ class ImpalaEngine:
         from impala_spark.tosql import to_impala_sql
 
         stripped = query.lstrip()
-        head = stripped[:10].upper().split()
-        if not stripped.startswith("(") and head and head[0] not in (
-            "SELECT", "WITH", "VALUES",
+        # first WORD, not a fixed slice: 'SELECT(1+1)' / 'VALUES(1)' /
+        # 'SELECT/*c*/1' have no whitespace after the keyword (r11 ADVICE)
+        mw = re.match(r"[A-Za-z_]+", stripped)
+        head = mw.group(0).upper() if mw else ""
+        if not stripped.startswith("(") and head not in (
+            "SELECT", "WITH", "VALUES", "",
         ):
             # the ToSqlTest surface is the query family; DDL/DML
             # statements replay verbatim (their toSql in the reference
@@ -1100,9 +1103,17 @@ class ImpalaEngine:
         # reference's EXPLAIN always reflects the executed plan).
         sql_text = translate(query, strict=self.strict)
         rw = self._plan_rewrite(query)
+        sess = self._route_session(query)
         if rw is not None:
-            sql_text = translate(rw)
-        df = self._route_session(query).sql(sql_text)
+            df = sess.sql(translate(rw))
+            # same positional output-name restore sql() performs — the
+            # plan text must show the statement's own column names, not
+            # the rewrite's internal __cd0/__a0 (r11 ADVICE)
+            orig_cols = sess.sql(sql_text).columns
+            if df.columns != orig_cols:
+                df = df.toDF(*orig_cols)
+        else:
+            df = sess.sql(sql_text)
         qe = df._jdf.queryExecution()
         plan = qe.executedPlan().toString()
         # Cardinality/size annotations (planner/PlanNode.getExplainString

@@ -374,7 +374,14 @@ def _rewrite_region(
                     continue
             break
         ctext = ".".join(p.lower() for p in chain)
-        if ctext in key_map:
+        if len(chain) == 1 and ctext in extra_names:
+            # ORDER BY resolves bare names against select ALIASES before
+            # the FROM scope (A/SelectStmt.java aliasSmap substitution;
+            # Spark's order-by resolution prefers the project output) —
+            # so an alias that shadows a grouping key with a different
+            # body must sort by the alias, not the key (r11 ADVICE)
+            out.append(f"`{chain[0]}`")
+        elif ctext in key_map:
             out.append(key_map[ctext])
         elif chain[-1].lower() in extra_names:
             out.append(f"`{chain[-1]}`")

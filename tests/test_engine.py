@@ -278,3 +278,13 @@ def test_alter_table_on_view_rejected(spark, sf_dir):
     ):
         eng.sql("ALTER TABLE v_for_alter ADD COLUMNS (x INT)")
     eng.sql("DROP VIEW v_for_alter")
+
+
+def test_to_sql_first_token_not_sliced(engine):
+    """A query keyword followed immediately by '(' or a comment still
+    routes to the toSql normalizer (r11 ADVICE: a fixed [:10] slice
+    truncated 'SELECT(1+1)' to a non-keyword and replayed it verbatim)."""
+    assert engine.to_sql("SELECT(1+1)") == "SELECT (1 + 1)"
+    assert engine.to_sql("SELECT/*c*/ 1") == "SELECT 1"
+    # non-queries still replay verbatim (statement-specific toSql)
+    assert engine.to_sql("REFRESH nation") == "REFRESH nation"

