@@ -6871,6 +6871,287 @@ sql_query(
     """,
 )
 
+# ---------------------------------------------------------------------------
+# TPC-DS tranche 4 (r12): the shapes that need schema the fixtures lack —
+# inventory, demographics, returns (tpcds-all, T/planner/PlannerTest.java:222).
+# The analog tables are DERIVED CTEs over the fixture tables, deterministic
+# arithmetic on keys only, so the exact same text runs on Spark and the
+# driver's DuckDB oracle (which registers only the ten fixture views):
+#   inventory      := lineitem lines with inv_qty = (7*orderkey + 3*linenumber) % 100,
+#                     warehouse := supplier (referential integrity for free)
+#   demographics   := customer with band(c_acctbal) x c_mktsegment attributes
+#   returns        := lineitem WHERE l_returnflag = 'R' (line-grain PK intact)
+# Families already covered elsewhere are NOT re-added: q16/q94/q95
+# (EXISTS + NOT EXISTS fulfillment = tpch_q21_suppliers_waiting), q30/q81
+# (returns above state average = tpcds_q1_shape), q10 (= q35), q22/q67
+# (ROLLUP — grammar the reference rejects at 2.7).
+
+# TPC-DS Q21 shape: per-warehouse per-item inventory before/after a pivot
+# date, kept when the ratio stays inside the [2/3, 3/2] band.
+sql_query(
+    "tpcds_q21_shape",
+    """
+    WITH inv AS (
+      SELECT l_partkey AS inv_pk, l_suppkey AS inv_wh, l_shipdate AS inv_d,
+             CAST((l_orderkey * 7 + l_linenumber * 3) % 100 AS INT) AS inv_qty
+      FROM lineitem
+    ), w AS (
+      SELECT s_name AS wh, inv_pk AS pk,
+             SUM(CASE WHEN inv_d < TIMESTAMP '1998-01-01 00:00:00'
+                      THEN inv_qty ELSE 0 END) AS before_qty,
+             SUM(CASE WHEN inv_d >= TIMESTAMP '1998-01-01 00:00:00'
+                      THEN inv_qty ELSE 0 END) AS after_qty
+      FROM inv JOIN supplier ON inv_wh = s_suppkey
+      GROUP BY s_name, inv_pk
+    )
+    SELECT wh, pk, CAST(before_qty AS BIGINT) AS inv_before,
+           CAST(after_qty AS BIGINT) AS inv_after
+    FROM w
+    WHERE before_qty > 0
+      AND after_qty * 3 >= before_qty * 2 AND after_qty * 2 <= before_qty * 3
+    ORDER BY wh, pk
+    LIMIT 100
+    """,
+)
+
+# TPC-DS Q29 shape: sale -> return -> repurchase tri-fact chain on the
+# (customer, part) grain with date-window inequality joins.
+sql_query(
+    "tpcds_q29_shape",
+    """
+    WITH sale AS (
+      SELECT o_custkey AS ck, l_partkey AS pk, l_quantity AS qty,
+             o_orderdate AS d
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag <> 'R'
+    ), ret AS (
+      SELECT o_custkey AS ck, l_partkey AS pk, l_quantity AS qty,
+             o_orderdate AS d
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+    )
+    SELECT p_brand,
+           CAST(ROUND(SUM(s.qty), 0) AS BIGINT) AS sold_qty,
+           CAST(ROUND(SUM(r.qty), 0) AS BIGINT) AS ret_qty,
+           CAST(ROUND(SUM(s2.qty), 0) AS BIGINT) AS rebuy_qty
+    FROM sale s
+    JOIN ret r ON s.ck = r.ck AND s.pk = r.pk AND r.d >= s.d
+      AND r.d <= s.d + INTERVAL 365 DAYS
+    JOIN sale s2 ON r.ck = s2.ck AND r.pk = s2.pk AND s2.d >= r.d
+    JOIN part ON s.pk = p_partkey
+    GROUP BY p_brand
+    ORDER BY p_brand
+    LIMIT 100
+    """,
+)
+
+# TPC-DS Q41 shape: dimension self-probe — items whose brand carries at
+# least one product matching a disjunction of attribute combinations.
+sql_query(
+    "tpcds_q41_shape",
+    """
+    SELECT p1.p_name AS p_name
+    FROM part p1
+    WHERE p1.p_size BETWEEN 1 AND 15
+      AND EXISTS (
+        SELECT 1 FROM part p2
+        WHERE p2.p_brand = p1.p_brand
+          AND ((p2.p_type = 'PROMO' AND p2.p_size BETWEEN 1 AND 5)
+            OR (p2.p_type = 'STANDARD' AND p2.p_size BETWEEN 6 AND 10)
+            OR (p2.p_type = 'ECONOMY' AND p2.p_size BETWEEN 11 AND 15)))
+    GROUP BY p1.p_name
+    ORDER BY p_name
+    LIMIT 100
+    """,
+)
+
+# TPC-DS Q44 shape: best/worst performing items — two opposite-order
+# rankings of the same aggregate joined back on rank position. Money in
+# integer ten-thousandths so the rank key is exact on both engines.
+sql_query(
+    "tpcds_q44_shape",
+    """
+    WITH perf AS (
+      SELECT l_partkey AS pk,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) AS rev4
+      FROM lineitem
+      GROUP BY l_partkey
+    ), ranked AS (
+      SELECT pk,
+             RANK() OVER (ORDER BY rev4 ASC, pk ASC) AS rnk_asc,
+             RANK() OVER (ORDER BY rev4 DESC, pk ASC) AS rnk_desc
+      FROM perf
+    )
+    SELECT a.rnk_asc AS rnk, pw.p_name AS worst_performing,
+           pb.p_name AS best_performing
+    FROM ranked a JOIN ranked b ON a.rnk_asc = b.rnk_desc
+    JOIN part pw ON a.pk = pw.p_partkey
+    JOIN part pb ON b.pk = pb.p_partkey
+    WHERE a.rnk_asc <= 10
+    ORDER BY rnk
+    """,
+)
+
+# TPC-DS Q47 shape: monthly brand sales with LAG/LEAD adjacency and a
+# deviation-from-partition-average filter (integer cents -> exact).
+sql_query(
+    "tpcds_q47_shape",
+    """
+    WITH m AS (
+      SELECT p_brand, CAST(MONTH(o_orderdate) AS INT) AS moy,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+      WHERE YEAR(o_orderdate) = 1996
+      GROUP BY p_brand, MONTH(o_orderdate)
+    ), w AS (
+      SELECT p_brand, moy, cents,
+             LAG(cents) OVER (PARTITION BY p_brand ORDER BY moy) AS prev_c,
+             LEAD(cents) OVER (PARTITION BY p_brand ORDER BY moy) AS next_c,
+             CAST(SUM(cents) OVER (PARTITION BY p_brand) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY p_brand) AS avg_c
+      FROM m
+    )
+    SELECT p_brand, moy,
+           CAST(cents AS DOUBLE) / 100 AS sales,
+           CAST(prev_c AS DOUBLE) / 100 AS prev_sales,
+           CAST(next_c AS DOUBLE) / 100 AS next_sales
+    FROM w
+    WHERE prev_c IS NOT NULL AND next_c IS NOT NULL
+      AND CAST(cents AS DOUBLE) > 1.1 * avg_c
+    ORDER BY p_brand, moy
+    LIMIT 100
+    """,
+)
+
+# TPC-DS Q66 shape: warehouse (supplier) shipping pivot — twelve CASE
+# month columns over a two-channel UNION ALL.
+sql_query(
+    "tpcds_q66_shape",
+    """
+    WITH u AS (
+      SELECT l_suppkey AS wh, CAST(MONTH(l_shipdate) AS INT) AS moy,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+      WHERE l_linenumber <= 2 AND YEAR(l_shipdate) = 1996
+      UNION ALL
+      SELECT l_suppkey, CAST(MONTH(l_shipdate) AS INT),
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+      FROM lineitem
+      WHERE l_linenumber > 2 AND YEAR(l_shipdate) = 1996
+    )
+    SELECT s_name AS warehouse,
+      CAST(SUM(CASE WHEN moy = 1 THEN cents ELSE 0 END) AS DOUBLE) / 100 AS jan_sales,
+      CAST(SUM(CASE WHEN moy = 2 THEN cents ELSE 0 END) AS DOUBLE) / 100 AS feb_sales,
+      CAST(SUM(CASE WHEN moy = 3 THEN cents ELSE 0 END) AS DOUBLE) / 100 AS mar_sales,
+      CAST(SUM(CASE WHEN moy = 4 THEN cents ELSE 0 END) AS DOUBLE) / 100 AS apr_sales,
+      CAST(SUM(CASE WHEN moy = 5 THEN cents ELSE 0 END) AS DOUBLE) / 100 AS may_sales,
+      CAST(SUM(CASE WHEN moy = 6 THEN cents ELSE 0 END) AS DOUBLE) / 100 AS jun_sales,
+      CAST(SUM(CASE WHEN moy = 7 THEN cents ELSE 0 END) AS DOUBLE) / 100 AS jul_sales,
+      CAST(SUM(CASE WHEN moy = 8 THEN cents ELSE 0 END) AS DOUBLE) / 100 AS aug_sales,
+      CAST(SUM(CASE WHEN moy = 9 THEN cents ELSE 0 END) AS DOUBLE) / 100 AS sep_sales,
+      CAST(SUM(CASE WHEN moy = 10 THEN cents ELSE 0 END) AS DOUBLE) / 100 AS oct_sales,
+      CAST(SUM(CASE WHEN moy = 11 THEN cents ELSE 0 END) AS DOUBLE) / 100 AS nov_sales,
+      CAST(SUM(CASE WHEN moy = 12 THEN cents ELSE 0 END) AS DOUBLE) / 100 AS dec_sales
+    FROM u JOIN supplier ON wh = s_suppkey
+    GROUP BY s_name
+    ORDER BY s_name
+    LIMIT 100
+    """,
+)
+
+# TPC-DS Q78 shape: returns excluded at line grain via LEFT JOIN ...
+# IS NULL (outer-join-as-anti), then channel coupling on the
+# (customer, part, year) grain with a cross-channel dominance filter.
+sql_query(
+    "tpcds_q78_shape",
+    """
+    WITH ret AS (
+      SELECT l_orderkey AS rk, l_partkey AS rp, l_linenumber AS rl
+      FROM lineitem WHERE l_returnflag = 'R'
+    ), ss AS (
+      SELECT o_custkey AS ck, l_partkey AS pk,
+             CAST(YEAR(o_orderdate) AS INT) AS yr,
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS amt
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        LEFT JOIN ret ON l_orderkey = rk AND l_partkey = rp
+          AND l_linenumber = rl
+      WHERE rk IS NULL AND l_linenumber <= 3
+      GROUP BY o_custkey, l_partkey, YEAR(o_orderdate)
+    ), ws AS (
+      SELECT o_custkey AS ck, l_partkey AS pk,
+             CAST(YEAR(o_orderdate) AS INT) AS yr,
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        LEFT JOIN ret ON l_orderkey = rk AND l_partkey = rp
+          AND l_linenumber = rl
+      WHERE rk IS NULL AND l_linenumber > 3
+      GROUP BY o_custkey, l_partkey, YEAR(o_orderdate)
+    )
+    SELECT ss.yr AS yr, ss.ck AS ck, ss.pk AS pk,
+           CAST(ROUND(ss.qty, 0) AS BIGINT) AS store_qty,
+           CAST(ROUND(COALESCE(ws.qty, 0), 0) AS BIGINT) AS other_qty,
+           CAST(ROUND(ss.amt, 2) AS DOUBLE) AS store_amt
+    FROM ss LEFT JOIN ws
+      ON ss.ck = ws.ck AND ss.pk = ws.pk AND ss.yr = ws.yr
+    WHERE ss.qty > COALESCE(ws.qty, 0) AND ss.qty >= 45
+    ORDER BY yr, ck, pk
+    LIMIT 100
+    """,
+)
+
+# TPC-DS Q82 shape: attribute-banded items held in inventory within a
+# quantity band and actually sold (IN semi-join to the fact).
+sql_query(
+    "tpcds_q82_shape",
+    """
+    WITH inv AS (
+      SELECT l_partkey AS inv_pk,
+             CAST((l_orderkey * 7 + l_linenumber * 3) % 100 AS INT) AS inv_qty
+      FROM lineitem
+    )
+    SELECT p_name, p_brand, CAST(p_retailprice AS DOUBLE) AS price
+    FROM part JOIN inv ON p_partkey = inv_pk
+    WHERE p_size BETWEEN 5 AND 15
+      AND p_retailprice BETWEEN 920 AND 960
+      AND inv_qty BETWEEN 20 AND 60
+      AND p_partkey IN (SELECT l_partkey FROM lineitem
+                        WHERE l_returnflag = 'N')
+    GROUP BY p_name, p_brand, p_retailprice
+    ORDER BY p_name, p_brand
+    LIMIT 100
+    """,
+)
+
+# TPC-DS Q85 shape: returns joined to a derived demographics dimension
+# (acctbal band x market segment) under disjunctive band predicates.
+sql_query(
+    "tpcds_q85_shape",
+    """
+    WITH cdemo AS (
+      SELECT c_custkey, c_mktsegment AS seg,
+             CASE WHEN c_acctbal < 0 THEN 'LOW'
+                  WHEN c_acctbal < 5000 THEN 'MID'
+                  ELSE 'HIGH' END AS band
+      FROM customer
+    )
+    SELECT seg, band,
+           CAST(ROUND(SUM(l_quantity), 0) AS BIGINT) AS ret_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS ret_amt
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN cdemo ON o_custkey = c_custkey
+    WHERE l_returnflag = 'R'
+      AND ((seg = 'BUILDING' AND band = 'LOW')
+        OR (seg = 'AUTOMOBILE' AND band IN ('MID', 'HIGH'))
+        OR (seg IN ('MACHINERY', 'FURNITURE') AND band = 'MID'))
+    GROUP BY seg, band
+    ORDER BY seg, band
+    """,
+)
+
 
 # CREATE VIEW / ALTER VIEW through the engine front door (the round-4
 # routing): create over a join, redefine via ALTER, read back through
