@@ -2134,9 +2134,10 @@ _RANK_OVER_DISTINCT = """
 def q_rank_over_distinct_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r11: pure ranking windows (RANK/DENSE_RANK/ROW_NUMBER) ride the
     two-level DISTINCT rewrite — the OVER clause's aggregate refs
-    substitute like any region, window AGGREGATES still bail, and a
-    select alias resolves in HAVING by body inlining. Plan-asserted
-    no-Expand, oracle-matched."""
+    substitute like any region (window AGGREGATES ride too since r12,
+    see agg_window_over_distinct_rewrite), and a select alias resolves
+    in HAVING by body inlining. Plan-asserted no-Expand,
+    oracle-matched."""
     from impala_spark.rewrites import two_level_distinct
     from impala_spark.session import posture_session
 
@@ -2144,6 +2145,44 @@ def q_rank_over_distinct_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)
     rw = two_level_distinct(_RANK_OVER_DISTINCT)
     assert rw is not None, "rewrite must fire on a ranking window"
+    df = spark.sql(translate(rw))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan[:800]
+    return df
+
+
+#: window AGGREGATES over the grouped result through the widened
+#: rewrite (r12): the CTE join is key-bijective with the grouped rows,
+#: so COUNT/SUM(...) OVER maps onto the joined columns — running totals
+#: and share-of-total over distinct counts without an Expand.
+_WINDOW_AGG_OVER_DISTINCT = """
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST(SUM(COUNT(DISTINCT o_custkey))
+                OVER (ORDER BY o_orderstatus) AS BIGINT) AS running_customers,
+           CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
+
+@register("agg_window_over_distinct_rewrite", oracle=_WINDOW_AGG_OVER_DISTINCT)
+def q_window_agg_over_distinct_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: window AGGREGATES (SUM/COUNT/AVG ... OVER) over the grouped
+    result ride the two-level DISTINCT rewrite — the window call's
+    argument substitutes its aggregate refs like any region and the
+    head passes through (reference two-phase distinct planning,
+    AggregateInfo.java:42-60, composed with AnalyticEvalNode on top of
+    the merge aggregation). Plan-asserted no-Expand, oracle-matched."""
+    from impala_spark.rewrites import two_level_distinct
+    from impala_spark.session import posture_session
+
+    spark = posture_session(spark, sf_dir, "relational")
+    register_tables(spark, sf_dir)
+    rw = two_level_distinct(_WINDOW_AGG_OVER_DISTINCT)
+    assert rw is not None, "rewrite must fire on a window aggregate"
     df = spark.sql(translate(rw))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan, plan[:800]

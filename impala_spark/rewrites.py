@@ -290,6 +290,7 @@ def _rewrite_region(
     expr_keys: list[tuple[list[str], str]] | None = None,
     alias_map: dict[str, str] | None = None,
     window_clause: bool = False,
+    window_heads: frozenset[int] = frozenset(),
 ) -> str:
     """Re-emit tokens[a:b], substituting aggregate call spans per agg_sub
     and redirecting group-key references per key_map (normalized chain
@@ -340,14 +341,19 @@ def _rewrite_region(
             inner = _rewrite_region(
                 tokens, j + 1, close, agg_sub, key_map, extra_names,
                 aggs, expr_keys, None, window_clause=True,
+                window_heads=window_heads,
             )
             out.append("OVER (" + inner + ")")
             k = close + 1
             continue
         if j < b and tokens[j].kind == "op" and tokens[j].text == "(":
-            if lword in aggs:
+            if lword in aggs and k not in window_heads:
                 raise _Bail()  # aggregate not covered by agg_sub
-            out.append(t.text)  # scalar function name
+            # scalar function name — or a window AGGREGATE head (r12):
+            # SUM/COUNT/... immediately followed by OVER passes through;
+            # its argument's aggregate refs substitute via agg_sub and
+            # its key refs via key_map like any other region
+            out.append(t.text)
             k += 1
             continue
         if t.kind == "word" and (
@@ -716,15 +722,35 @@ def two_level_distinct(
         plain_ids: dict[str, str] = {}  # normalized call -> __a alias
         agg_sub: dict[tuple[int, int], str] = {}
 
+        #: name_idx of window-aggregate heads (SUM/COUNT/... directly
+        #: followed by OVER) — allowed to pass through _rewrite_region
+        window_heads: set[int] = set()
+
         def handle_agg(name_idx: int, open_idx: int, close_idx: int, lname: str):
             j = close_idx + 1
             while j < len(tokens) and tokens[j].kind in _WS:
                 j += 1
             if j < len(tokens) and tokens[j].upper == "OVER":
-                # window AGGREGATE (COUNT(...) OVER, SUM(x) OVER): its
-                # value is per-row over the window, not a group
-                # aggregate — nothing to substitute, keep default plan
-                raise _Bail()
+                # window AGGREGATE over the grouped result (r12): the
+                # joined result is row-bijective with the grouped result
+                # (same key set per CTE, null-safe join — the r11
+                # ranking-window argument), so COUNT/SUM(...) OVER maps
+                # onto the joined columns. The ARGUMENT's aggregate
+                # calls substitute like any other region (they are
+                # invisible to this outermost-only scan — recurse), and
+                # the head itself passes through _rewrite_region.
+                arg_sig0 = _sig(tokens, open_idx + 1, close_idx)
+                if arg_sig0 and tokens[arg_sig0[0]].upper == "DISTINCT":
+                    # DISTINCT inside a window aggregate: invalid in
+                    # both engines — keep the default plan so the
+                    # analysis error is raised on the USER's text
+                    raise _Bail()
+                for ni, oi, ci, ln in _find_agg_calls(
+                    tokens, open_idx + 1, close_idx, aggs
+                ):
+                    handle_agg(ni, oi, ci, ln)
+                window_heads.add(name_idx)
+                return
             arg_sig = _sig(tokens, open_idx + 1, close_idx)
             has_distinct = bool(arg_sig) and tokens[arg_sig[0]].upper == "DISTINCT"
             arg_a = (
@@ -817,7 +843,7 @@ def two_level_distinct(
             expr_end, alias_text = _item_alias_split(tokens, ia, ib)
             body = _rewrite_region(
                 tokens, ia, expr_end, agg_sub, key_map, frozenset(), aggs,
-                expr_keys,
+                expr_keys, window_heads=frozenset(window_heads),
             )
             if alias_text:
                 name = alias_text[4:].strip("`").lower()
@@ -862,6 +888,7 @@ def two_level_distinct(
                     _rewrite_region(
                         tokens, ia, ib, agg_sub, key_map,
                         frozenset(aliases), aggs, expr_keys,
+                        window_heads=frozenset(window_heads),
                     ).strip()
                 )
             order_text = " ORDER BY " + ", ".join(order_items)

@@ -295,6 +295,20 @@ EQUIV = [
     " FROM t GROUP BY k HAVING SUM(DISTINCT x) > 10 OR COUNT(*) > 500",
     "SELECT k, AVG(DISTINCT y) AS ad, COUNT(DISTINCT x) AS cd"
     " FROM t GROUP BY k ORDER BY AVG(DISTINCT y) DESC NULLS LAST, k LIMIT 3",
+    # r12: window AGGREGATES over the grouped result — the joined rows
+    # are key-bijective with the grouped rows, so COUNT/SUM(...) OVER
+    # maps onto the joined columns (integer inner args keep the window
+    # accumulation exact)
+    "SELECT k, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT k2) AS cdk,"
+    " SUM(COUNT(DISTINCT x)) OVER (ORDER BY k) AS run_cd FROM t GROUP BY k",
+    "SELECT k, COUNT(DISTINCT x) AS cd, SUM(DISTINCT k2) AS sd,"
+    " SUM(COUNT(*)) OVER () AS total_n, COUNT(*) AS n FROM t GROUP BY k",
+    "SELECT k, k2, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cdy,"
+    " SUM(SUM(DISTINCT x)) OVER (PARTITION BY k ORDER BY k2) AS run_sd"
+    " FROM t GROUP BY k, k2",
+    "SELECT upper(k) AS uk, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cdy,"
+    " AVG(COUNT(DISTINCT x)) OVER () AS avg_cd FROM t GROUP BY upper(k)"
+    " ORDER BY SUM(COUNT(DISTINCT x)) OVER (ORDER BY upper(k)), uk",
 ]
 
 
@@ -416,6 +430,11 @@ def test_semantic_equivalence_fuzz_combined():
             aggs.append(random.choice([
                 f"RANK() OVER (ORDER BY COUNT(DISTINCT y) DESC, {tie}) AS r",
                 f"ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, {tie}) AS r",
+                # r12: window AGGREGATES (integer inner args -> the
+                # window accumulation is exact under any peer order)
+                f"SUM(COUNT(DISTINCT x)) OVER (ORDER BY {tie}) AS r",
+                "SUM(COUNT(*)) OVER () AS r",
+                f"AVG(COUNT(DISTINCT x)) OVER (ORDER BY {tie}) AS r",
             ]))
         q = f"SELECT {', '.join(keys + aggs)} FROM t"
         if random.random() < 0.4:
@@ -620,3 +639,40 @@ def test_explain_restores_output_names(spark, monkeypatch):
     text = ImpalaEngine(spark, sf_dir=SF_01).explain(q)
     assert "JOIN" in text  # the rewrite fired
     assert "__cd" not in text, text
+
+
+def test_engine_window_agg_over_distinct(spark, monkeypatch):
+    """r12 widening end-to-end: window AGGREGATES over the grouped
+    result split without Expand above the gate, values identical to
+    Catalyst's default plan (running totals included)."""
+    import impala_spark.rewrites as RW
+
+    from impala_spark.engine import ImpalaEngine
+
+    q = (
+        "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS cd,"
+        " COUNT(DISTINCT o_orderpriority) AS cp,"
+        " SUM(COUNT(DISTINCT o_custkey)) OVER (ORDER BY o_orderstatus) AS run_cd,"
+        " SUM(COUNT(*)) OVER () AS total_n"
+        " FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+    default_rows = list(
+        map(tuple, ImpalaEngine(spark, sf_dir=SF_001).sql(q).collect())
+    )
+    monkeypatch.setattr(RW, "TWO_LEVEL_DISTINCT_MIN_INPUT_BYTES", 0)
+    df = ImpalaEngine(spark, sf_dir=SF_001).sql(q)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan
+    assert list(map(tuple, df.collect())) == default_rows
+
+
+def test_window_agg_distinct_still_bails(spark):
+    """DISTINCT inside the window aggregate itself keeps the default
+    plan (invalid in both engines — the error must be raised on the
+    user's own text, not the rewrite's)."""
+    from impala_spark.rewrites import two_level_distinct
+
+    assert two_level_distinct(
+        "SELECT k, COUNT(DISTINCT x) AS a, COUNT(DISTINCT y) AS b,"
+        " COUNT(DISTINCT x) OVER () AS w FROM t GROUP BY k"
+    ) is None
