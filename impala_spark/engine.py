@@ -436,7 +436,16 @@ class ImpalaEngine:
         sql_text = translate(q, strict=self.strict)
         rw = self._plan_rewrite(q)
         sess = self._route_session(q)
-        if rw is not None:
+        # two-pass global rank (r12) composes on top of the distinct
+        # rewrite's output when both fire (the rewritten text re-emits
+        # the user's ranking window over the joined group rows)
+        grk = self._global_rank_df(rw if rw is not None else q, sess)
+        if grk is not None:
+            df = grk
+            orig_cols = self._sql_with_impala_errors(sql_text, spark=sess).columns
+            if df.columns != orig_cols:
+                df = df.toDF(*orig_cols)
+        elif rw is not None:
             df = self._sql_with_impala_errors(translate(rw), spark=sess)
             # The rewrite renames UNALIASED aggregate outputs (__cd0/__a0,
             # r10 ADVICE): restore the original statement's output names
@@ -531,6 +540,79 @@ class ImpalaEngine:
         # session UDAs (CREATE AGGREGATE FUNCTION) must be recognized as
         # aggregates — an unknown aggregate name would read as a scalar fn
         return two_level_distinct(q, extra_aggs=frozenset(self._functions))
+
+    def _global_rank_df(self, q: str, sess) -> DataFrame | None:
+        """Two-pass global rank (r12): a statement whose select list
+        carries a single GLOBAL ranking window executes as
+        operators.global_rank — range exchange + slice-local window +
+        broadcast offset join — instead of Spark's single-task
+        WindowExec ("No Partition Defined"); the reference relies on its
+        single-node analytic sort (planner/AnalyticPlanner.java), which
+        has no distributed equivalent without this split. Gated on
+        statement input size like the distinct rewrite."""
+        if self._sf_dir is None:
+            return None
+        from impala_spark.rewrites import parse_global_rank
+
+        plan = parse_global_rank(q)
+        if plan is None:
+            return None
+        import impala_spark.rewrites as _rw_mod
+
+        if self._gate_input_bytes(q) < _rw_mod.GLOBAL_RANK_MIN_INPUT_BYTES:
+            return None
+        from pyspark.sql import functions as F
+
+        from impala_spark.functions import asc_impala, desc_impala
+        from impala_spark.operators import global_rank
+
+        base_df = self._sql_with_impala_errors(
+            translate(plan.base_sql), spark=sess
+        )
+        # Impala default null ordering (ASC -> NULLS LAST, DESC -> NULLS
+        # FIRST) — the translate shim injects this into SQL ORDER BYs;
+        # the DataFrame path must match it explicitly.
+        sort_cols = [
+            (desc_impala if d else asc_impala)(F.col(f"__wo{i}"))
+            for i, d in enumerate(plan.descending)
+        ]
+        # uniform direction: range-partition on the full order (better
+        # balance); mixed: first key only — rows equal on it co-locate,
+        # so cross-partition comparisons are decided by it alone
+        uniform = len(set(plan.descending)) == 1
+        part_cols = sort_cols if uniform else sort_cols[:1]
+        ranked = global_rank(
+            base_df, sort_cols, partition_order_by=part_cols,
+            kind=plan.kind, out_col="__grank",
+            num_partitions=int(
+                sess.conf.get("spark.sql.shuffle.partitions", "32")
+            ),
+        )
+        items = []
+        for pos, alias in enumerate(plan.item_aliases):
+            if pos == plan.win_pos:
+                c = F.col("__grank")
+                if plan.cast_type:
+                    c = c.cast(plan.cast_type)
+                items.append(c.alias(alias))
+            else:
+                items.append(ranked[alias])
+        df = ranked.select(*items)
+        if plan.out_order:
+            ocols = []
+            for name, desc, nulls in plan.out_order:
+                c = df[name]
+                if nulls == "FIRST":
+                    c = c.desc_nulls_first() if desc else c.asc_nulls_first()
+                elif nulls == "LAST":
+                    c = c.desc_nulls_last() if desc else c.asc_nulls_last()
+                else:
+                    c = desc_impala(c) if desc else asc_impala(c)
+                ocols.append(c)
+            df = df.orderBy(*ocols)
+        if plan.limit is not None:
+            df = df.limit(plan.limit)
+        return df
 
     def _gate_input_bytes(self, q: str) -> int:
         """Input-size estimate for the size-gated rewrites, preferring
@@ -1104,7 +1186,13 @@ class ImpalaEngine:
         sql_text = translate(query, strict=self.strict)
         rw = self._plan_rewrite(query)
         sess = self._route_session(query)
-        if rw is not None:
+        grk = self._global_rank_df(rw if rw is not None else query, sess)
+        if grk is not None:
+            df = grk
+            orig_cols = sess.sql(sql_text).columns
+            if df.columns != orig_cols:
+                df = df.toDF(*orig_cols)
+        elif rw is not None:
             df = sess.sql(translate(rw))
             # same positional output-name restore sql() performs — the
             # plan text must show the statement's own column names, not

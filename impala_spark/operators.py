@@ -604,3 +604,87 @@ def global_running_sum(
         .withColumn(out_col, F.sum(value_col).over(w) + F.col("_poff"))
         .drop("_gpid", "_gpid_a", "_poff")
     )
+
+
+def global_rank(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    *,
+    partition_order_by: Sequence[Column] | None = None,
+    kind: str = "rank",
+    out_col: str = "rnk",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global RANK/DENSE_RANK/ROW_NUMBER over a total order WITHOUT
+    the single-partition `Window.orderBy(...)` task (the same bottleneck
+    global_running_sum removes for prefix sums — r7; the reference's
+    AnalyticPlanner.java gets this for free from its single-node sort).
+
+    order_by: fully-specified sort columns (direction AND null ordering,
+    e.g. `F.col("x").desc_nulls_first()`). partition_order_by: the
+    prefix of order_by used for the range partitioning — it must decide
+    every cross-partition comparison (pass order_by itself when all keys
+    share one direction, or just the FIRST sort column for a mixed-
+    direction order: rows equal on the first key co-locate, so ranks
+    across partitions depend on it alone). Defaults to order_by.
+
+    Steps (range exchange -> local window -> tiny offset join):
+      1. `repartitionByRange` on partition_order_by; `localCheckpoint`
+         pins the partition assignment — correctness must not hinge on
+         Catalyst reusing the exchange across the three consumers below
+         (column pruning can differentiate the subtrees, and each
+         un-reused range exchange re-SAMPLES its bounds).
+      2. Local window PARTITIONED by slice id over the full order.
+      3. Per-slice sizes (COUNT(*) for rank/row_number — ranks offset by
+         ROWS before the slice; MAX(local) for dense_rank — distinct
+         keys never span slices) -> slice offsets via the triangular
+         broadcast join; global = local + offset, cast back to INT
+         (Spark's ranking result type)."""
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    n = int(
+        num_partitions
+        or spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    part_cols = list(partition_order_by or order_by)
+    ranged = (
+        df.repartitionByRange(n, *part_cols)
+        .withColumn("_grk_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    local_fn = {
+        "rank": F.rank,
+        "dense_rank": F.dense_rank,
+        "row_number": F.row_number,
+    }[kind]
+    w = Window.partitionBy("_grk_pid").orderBy(*order_by)
+    lw = ranged.withColumn("_grk_lw", local_fn().over(w))
+    if kind == "dense_rank":
+        ptot = lw.groupBy("_grk_pid").agg(F.max("_grk_lw").alias("_ptot"))
+    else:
+        ptot = ranged.groupBy("_grk_pid").agg(
+            F.count(F.lit(1)).alias("_ptot")
+        )
+    offsets = (
+        ptot.select(F.col("_grk_pid").alias("_pid_a"))
+        .join(
+            F.broadcast(
+                ptot.select(F.col("_grk_pid").alias("_pid_b"), "_ptot")
+            ),
+            F.col("_pid_b") < F.col("_pid_a"),
+            "left",
+        )
+        .groupBy("_pid_a")
+        .agg(F.coalesce(F.sum("_ptot"), F.lit(0)).alias("_poff"))
+    )
+    return (
+        lw.join(
+            F.broadcast(offsets), F.col("_grk_pid") == F.col("_pid_a"),
+            "inner",
+        )
+        .withColumn(
+            out_col, (F.col("_grk_lw") + F.col("_poff")).cast("int")
+        )
+        .drop("_grk_pid", "_grk_lw", "_pid_a", "_poff")
+    )

@@ -2189,6 +2189,62 @@ def q_window_agg_over_distinct_rewrite(spark: SparkSession, sf_dir: str) -> Data
     return df
 
 
+#: scale-safe GLOBAL rank (r12, VERDICT r11 #4): RANK over a total order
+#: with NO partition key — Spark's default is a single-task WindowExec
+#: over the whole input; operators.global_rank splits it into a range
+#: exchange + slice-local windows + a broadcast offset join. The oracle
+#: is the plain single-window SQL (results must be plan-invariant).
+_GLOBAL_RANK_ORACLE = """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_extendedprice AS DOUBLE) AS price,
+           CAST(RANK() OVER (ORDER BY l_extendedprice DESC,
+                             l_orderkey, l_linenumber) AS INT) AS rnk
+    FROM lineitem
+    ORDER BY rnk
+    LIMIT 100
+"""
+
+
+@register("analytic_global_rank_twopass", oracle=_GLOBAL_RANK_ORACLE)
+def q_global_rank_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: two-pass global rank over the FACT table (the single-node
+    sort the reference gets from planner/AnalyticPlanner.java, split for
+    a cluster). Mixed sort directions, so the range partitioning uses
+    the first key only — rows equal on it co-locate, and every
+    cross-partition comparison is decided by it. Plan-asserted: zero
+    unpartitioned window specs."""
+    import re as _re
+
+    from impala_spark.functions import asc_impala, desc_impala
+    from impala_spark.operators import global_rank
+    from impala_spark.session import posture_session
+
+    spark = posture_session(spark, sf_dir, "relational")
+    register_tables(spark, sf_dir)
+    lt = spark.table("lineitem")
+    sort_cols = [
+        desc_impala(F.col("l_extendedprice")),
+        asc_impala(F.col("l_orderkey")),
+        asc_impala(F.col("l_linenumber")),
+    ]
+    ranked = global_rank(
+        lt, sort_cols, partition_order_by=sort_cols[:1],
+        kind="rank", out_col="rnk",
+    )
+    df = (
+        ranked.select(
+            "l_orderkey", "l_linenumber",
+            F.col("l_extendedprice").cast("double").alias("price"),
+            "rnk",
+        )
+        .orderBy(asc_impala(F.col("rnk")))
+        .limit(100)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not _re.findall(r"Window \[[^\]]*\], \[\]", plan), plan[:800]
+    return df
+
+
 #: the oracle computes the same join/aggregate from the base fixtures
 #: (the layout is a physical property; results must be layout-invariant)
 _HASH_BUCKETED_ORACLE = """

@@ -50,6 +50,8 @@ path-based catalog has total input bytes).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from impala_spark.parser import (
     Token,
     _matching_paren,
@@ -493,13 +495,15 @@ def referenced_base_tables(sql: str) -> set[str] | None:
     return refs - ctes
 
 
-def _split_with_prefix(sql: str) -> tuple[str, str] | None:
+def _split_with_prefix(
+    sql: str, reserved: tuple[str, ...] = ("__tla", "__t")
+) -> tuple[str, str] | None:
     """Split a statement into (CTE prefix text, final SELECT text) when it
     is a plain `WITH name AS (...) [, name AS (...)]* SELECT ...` block.
     The CTE bodies are opaque (re-emitted verbatim), so subqueries inside
     them don't limit the rewrite of the FINAL select. Returns None for
-    anything else; names colliding with the rewrite's __tla/__t aliases
-    also return None."""
+    anything else; names colliding with the calling rewrite's own alias
+    prefixes (`reserved`) also return None."""
     try:
         tokens = tokenize(sql)
     except Exception:
@@ -515,7 +519,7 @@ def _split_with_prefix(sql: str) -> tuple[str, str] | None:
         name_t = tokens[sig[i]]
         if name_t.kind not in ("word", "bident"):
             return None
-        if name_t.text.strip("`").lower().startswith(("__tla", "__t")):
+        if name_t.text.strip("`").lower().startswith(reserved):
             return None  # alias collision with the rewrite's own names
         if tokens[sig[i + 1]].upper != "AS":
             return None
@@ -938,6 +942,284 @@ def two_level_distinct(
         out += " SELECT " + ", ".join(sel_items)
         out += " FROM " + joins + having_text + order_text + limit_text
         return out
+    except _Bail:
+        return None
+    except Exception:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Global-rank rewrite (r12): scale-safe unpartitioned ranking windows
+# ---------------------------------------------------------------------------
+
+#: Gate for the two-pass global rank. An unpartitioned `RANK() OVER
+#: (ORDER BY ...)` serializes its ENTIRE input through one task
+#: (WindowExec "No Partition Defined"); below ~1 GiB of statement input
+#: that single sorted task is cheaper than two extra exchanges, above it
+#: the single task is the scale killer the r7 prefix-sum removed from
+#: the curation pipeline (operators.global_running_sum — same pattern).
+GLOBAL_RANK_MIN_INPUT_BYTES = 1 << 30
+
+_RANKING_FNS = frozenset({"rank", "dense_rank", "row_number"})
+
+#: words that end a window ORDER BY item's expression (direction tail)
+_DIR_WORDS = frozenset({"asc", "desc"})
+
+
+def _parse_window_item(tokens: list[Token], a: int, b: int):
+    """If tokens[a:b] is exactly `FN() OVER (ORDER BY ...)` — optionally
+    wrapped in a single CAST(... AS TYPE) — with FN a ranking function
+    and the OVER clause a pure ORDER BY (no PARTITION BY / frame /
+    NULLS modifiers), return (fn_upper, [(expr_text, 'ASC'|'DESC'),
+    ...], cast_type_or_None). Anything else returns None."""
+    sig = _sig(tokens, a, b)
+    if not sig:
+        return None
+    cast_type = None
+    if tokens[sig[0]].upper == "CAST":
+        if len(sig) < 2 or tokens[sig[1]].kind != "op" \
+                or tokens[sig[1]].text != "(":
+            return None
+        close = _matching_paren(tokens, sig[1])
+        if close != sig[-1]:
+            return None  # CAST doesn't span the whole item
+        inner_a, inner_b = sig[1] + 1, close
+        depth = 0
+        as_pos = None
+        for s in _sig(tokens, inner_a, inner_b):
+            t = tokens[s]
+            if t.kind == "op":
+                if t.text == "(":
+                    depth += 1
+                elif t.text == ")":
+                    depth -= 1
+            elif t.kind == "word" and t.upper == "AS" and depth == 0:
+                as_pos = s
+        if as_pos is None:
+            return None
+        cast_type = _frag(tokens, as_pos + 1, inner_b).strip()
+        a, b = inner_a, as_pos
+        sig = _sig(tokens, a, b)
+        if not sig:
+            return None
+    t0 = tokens[sig[0]]
+    if t0.kind != "word" or t0.text.lower() not in _RANKING_FNS:
+        return None
+    fn = t0.text.upper()
+    # FN ( ) OVER ( ... ) spanning the region exactly
+    if len(sig) < 5 or tokens[sig[1]].kind != "op" \
+            or tokens[sig[1]].text != "(":
+        return None
+    args_close = _matching_paren(tokens, sig[1])
+    if args_close >= b or _sig(tokens, sig[1] + 1, args_close):
+        return None  # ranking functions take no arguments
+    j = args_close + 1
+    while j < b and tokens[j].kind in _WS:
+        j += 1
+    if j >= b or tokens[j].upper != "OVER":
+        return None
+    j += 1
+    while j < b and tokens[j].kind in _WS:
+        j += 1
+    if j >= b or tokens[j].kind != "op" or tokens[j].text != "(":
+        return None
+    over_close = _matching_paren(tokens, j)
+    if over_close != sig[-1]:
+        return None  # trailing operators after the window call
+    osig = _sig(tokens, j + 1, over_close)
+    if len(osig) < 3 or tokens[osig[0]].upper != "ORDER" \
+            or tokens[osig[1]].upper != "BY":
+        return None  # PARTITION BY / empty OVER: out of scope here
+    # conservative scan: frames / named windows / NULLS modifiers bail
+    depth = 0
+    for s in osig[2:]:
+        t = tokens[s]
+        if t.kind == "op":
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                depth -= 1
+        elif depth == 0 and t.kind == "word" and t.text.lower() in (
+            "partition", "rows", "range", "nulls",
+        ):
+            return None
+    orders: list[tuple[str, str]] = []
+    for ia, ib in _split_top_level_commas(tokens, osig[2], over_close):
+        isig = _sig(tokens, ia, ib)
+        if not isig:
+            return None
+        direction = "ASC"
+        last = tokens[isig[-1]]
+        if last.kind == "word" and last.text.lower() in _DIR_WORDS:
+            direction = last.upper
+            ib = isig[-1]
+        expr = _frag(tokens, ia, ib).strip()
+        if not expr:
+            return None
+        orders.append((expr, direction))
+    return fn, orders, cast_type
+
+
+
+
+class GlobalRankPlan(NamedTuple):
+    """Parsed shape of a single-block statement carrying exactly one
+    GLOBAL ranking window — everything the engine needs to execute it
+    as the range-partitioned two-pass rank (operators.global_rank)
+    instead of a single-task WindowExec."""
+
+    base_sql: str               #: statement minus window item, +__wo cols
+    descending: list[bool]      #: per window-order key
+    kind: str                   #: 'rank' | 'dense_rank' | 'row_number'
+    cast_type: str | None       #: user CAST around the window call
+    win_alias: str              #: output alias of the window item
+    win_pos: int                #: window item's position in the list
+    item_aliases: list[str]     #: ALL output aliases, select-list order
+    out_order: list[tuple[str, bool, str | None]]
+    #: statement-level ORDER BY: (alias, desc?, explicit 'FIRST'/'LAST')
+    limit: int | None
+    offset: int | None
+
+
+def parse_global_rank(sql: str) -> GlobalRankPlan | None:
+    """Parse a statement whose select list carries exactly one GLOBAL
+    ranking window (`RANK/DENSE_RANK/ROW_NUMBER() OVER (ORDER BY ...)`,
+    no PARTITION BY) into a GlobalRankPlan for the two-pass rank — the
+    distributed form of the plan the reference gets from its single-node
+    analytic sort (planner/AnalyticPlanner.java sorts once per node; at
+    100 TB Spark's equivalent is one task unless split). Returns None
+    for any shape it cannot prove: multiple windows, windows outside
+    the select list, PARTITION BY / frames / NULLS modifiers,
+    non-alias outer ORDER BY items, non-literal LIMIT/OFFSET,
+    duplicate select aliases."""
+    if not _duplication_safe(sql):
+        return None
+    head = sql.lstrip()[:5].upper()
+    if head.startswith("WITH"):
+        split = _split_with_prefix(sql, reserved=("__gr", "__wo"))
+        if split is None:
+            return None
+        prefix, tail = split
+        plan = parse_global_rank(tail)
+        if plan is None:
+            return None
+        return plan._replace(base_sql=prefix.rstrip() + " " + plan.base_sql)
+    try:
+        tokens = tokenize(sql)
+    except Exception:
+        return None
+    spans = _clause_spans(tokens)
+    if spans is None or "FROM" not in spans:
+        return None
+    sel_a, sel_b = spans["SELECT"]
+    sig0 = _sig(tokens, sel_a, sel_b)
+    if sig0 and tokens[sig0[0]].upper == "DISTINCT":
+        return None
+    try:
+        win = None  # (pos, fn, orders, cast_type, alias)
+        base_items: list[tuple[int, str, str]] = []  # (pos, expr, alias)
+        aliases_seen: set[str] = set()
+        win_span: tuple[int, int] | None = None
+        for pos, (ia, ib) in enumerate(
+            _split_top_level_commas(tokens, sel_a, sel_b)
+        ):
+            expr_end, alias_text = _item_alias_split(tokens, ia, ib)
+            alias = alias_text[4:].strip("`") if alias_text else f"__c{pos}"
+            low = alias.lower()
+            if low in aliases_seen or low.startswith(("__gr", "__wo")):
+                return None
+            aliases_seen.add(low)
+            parsed = _parse_window_item(tokens, ia, expr_end)
+            if parsed is not None:
+                if win is not None:
+                    return None  # two global windows: out of scope
+                win = (pos, *parsed, alias)
+                win_span = (ia, expr_end)
+                continue
+            base_items.append(
+                (pos, _frag(tokens, ia, expr_end).strip(), alias)
+            )
+        if win is None:
+            return None
+        wa, wb = win_span  # type: ignore[misc]
+        # every OVER in the statement must belong to the one window item
+        for k, t in enumerate(tokens):
+            if t.kind == "word" and t.upper == "OVER" and not wa <= k < wb:
+                return None
+        win_pos, fn, orders, cast_type, win_alias = win
+        if not orders:
+            return None
+        # ---- statement-level ORDER BY: bare select-alias items only ------
+        out_order: list[tuple[str, bool, str | None]] = []
+        if "ORDER" in spans:
+            oa, ob = spans["ORDER"]
+            for ia, ib in _split_top_level_commas(tokens, oa, ob):
+                isig = _sig(tokens, ia, ib)
+                if not isig:
+                    return None
+                name_t = tokens[isig[0]]
+                name = name_t.text.strip("`").lower()
+                if name_t.kind not in ("word", "bident") or \
+                        name not in aliases_seen:
+                    return None
+                desc = False
+                nulls: str | None = None
+                j = 1
+                words = [tokens[s].text.lower() for s in isig[1:]]
+                if j <= len(words) and words and words[0] in ("asc", "desc"):
+                    desc = words[0] == "desc"
+                    words = words[1:]
+                if words[:1] == ["nulls"] and words[1:2] and \
+                        words[1] in ("first", "last"):
+                    nulls = words[1].upper()
+                    words = words[2:]
+                if words:
+                    return None
+                out_order.append((name, desc, nulls))
+        limit_n = offset_n = None
+        for key in ("LIMIT", "OFFSET"):
+            if key in spans:
+                la, lb = spans[key]
+                txt = _frag(tokens, la, lb).strip()
+                if not txt.isdigit():
+                    return None
+                if key == "LIMIT":
+                    limit_n = int(txt)
+                else:
+                    offset_n = int(txt)
+        if offset_n is not None:
+            return None  # OFFSET needs the sorted result; out of scope
+        # ---- base statement ---------------------------------------------
+        base_sel = [f"{expr} AS `{alias}`" for _p, expr, alias in base_items]
+        base_sel += [
+            f"{etext} AS __wo{j}" for j, (etext, _d) in enumerate(orders)
+        ]
+        fa, fb = spans["FROM"]
+        base_sql = "SELECT " + ", ".join(base_sel) + " FROM " + \
+            _frag(tokens, fa, fb).strip()
+        for kw, lead in (
+            ("WHERE", " WHERE "), ("GROUP", " GROUP BY "),
+            ("HAVING", " HAVING "),
+        ):
+            if kw in spans:
+                a2, b2 = spans[kw]
+                base_sql += lead + _frag(tokens, a2, b2).strip()
+        item_aliases = [""] * (len(base_items) + 1)
+        item_aliases[win_pos] = win_alias
+        for p, _e, a in base_items:
+            item_aliases[p] = a
+        return GlobalRankPlan(
+            base_sql=base_sql,
+            descending=[d == "DESC" for _e, d in orders],
+            kind=fn.lower(),
+            cast_type=cast_type,
+            win_alias=win_alias,
+            win_pos=win_pos,
+            item_aliases=item_aliases,
+            out_order=out_order,
+            limit=limit_n,
+            offset=offset_n,
+        )
     except _Bail:
         return None
     except Exception:
