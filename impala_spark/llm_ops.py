@@ -344,6 +344,91 @@ def minhash_lsh_pairs_exact(
     )
 
 
+def minhash_lsh_pairs_bounded(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_hashes: int = 16, bands: int = 8, k: int = 3,
+    threshold: float = 0.5, neighbors_per_doc: int = 2,
+) -> DataFrame:
+    """Bounded-output near-dup pairs (r12, VERDICT r11 #5): the
+    all-qualifying-pairs contract of minhash_lsh_pairs[_exact] is
+    inherently quadratic per near-dup cluster (measured ~25M pairs from
+    ~100-way clusters on the 500k-doc r11 probe). This variant bounds
+    BOTH the candidate join and the output: within each band bucket,
+    each doc pairs only with its next `neighbors_per_doc` bucket-mates
+    in id order — window LEAD over the bucket, NO self-join — so
+    candidates are <= bands * neighbors_per_doc per doc REGARDLESS of
+    duplication skew, and a degenerate all-identical corpus costs one
+    linear sort per bucket instead of |bucket|^2 join rows.
+
+    Contract: a deterministic connectivity-spanning SUBSET of
+    minhash_lsh_pairs_exact. Each doc links to (a) the bucket MINIMUM —
+    a star, so a verified bucket has component diameter 2 — and (b) its
+    next neighbors_per_doc - 1 bucket-mates in id order, chain links
+    that keep members connected when the bucket min itself is an
+    isolated false candidate (near-dup transitivity). dedup_clusters
+    reconstructs the exact contract's components from this subset.
+    Every emitted pair is exact-Jaccard rescored: precision 1.0 against
+    the shingle sets. Safe to call blind on a skewed 100 TB corpus; the
+    exact contract stays the oracle-checked default for pair
+    enumeration."""
+    from pyspark.sql.window import Window
+
+    rows_per_band = num_hashes // bands
+    base = (
+        shingles(_spread(df), text_col, k)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_sort(
+                F.transform("shingles", lambda s: F.xxhash64(s))
+            ).alias("sh_hash"),
+        )
+        .repartition(_compute_partitions(df), F.col("id"))
+    )
+    sig_sql = "array(%s)" % ", ".join(
+        f"array_min(transform(sh_hash, h -> xxhash64(h, {seed})))"
+        for seed in range(num_hashes)
+    )
+    sig = base.withColumn("minhash", F.expr(sig_sql))
+    band_sql = "CASE WHEN size(sh_hash) > 0 THEN array(%s) END" % ", ".join(
+        "xxhash64(array_join(transform(slice(minhash, %d, %d), x -> cast(x AS string)), ','), %d)"
+        % (b * rows_per_band + 1, rows_per_band, b)
+        for b in range(bands)
+    )
+    banded = sig.select("id", F.explode(F.expr(band_sql)).alias("band_hash"))
+    w = Window.partitionBy("band_hash").orderBy("id")
+    links = [F.min("id").over(Window.partitionBy("band_hash"))]  # star
+    links += [
+        F.lead("id", j).over(w) for j in range(1, neighbors_per_doc)
+    ]  # chain skips
+    cand = (
+        banded.select(F.col("id").alias("a_id"), F.array(*links).alias("_nbs"))
+        .select("a_id", F.explode("_nbs").alias("b_id"))
+        .filter(F.col("b_id").isNotNull() & (F.col("a_id") != F.col("b_id")))
+        # star edges arrive as (member, min): normalize to a_id < b_id
+        .select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+        )
+        .dropDuplicates(["a_id", "b_id"])  # same link via many bands
+    )
+    a_sets = base.select(F.col("id").alias("a_id"), F.col("sh_hash").alias("a_sh"))
+    b_sets = base.select(F.col("id").alias("b_id"), F.col("sh_hash").alias("b_sh"))
+    return (
+        cand.join(a_sets, "a_id")
+        .join(b_sets, "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("a_sh", "b_sh"))
+                / F.size(F.array_union("a_sh", "b_sh")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
     """64-bit SimHash over word shingles: per bit, sign of the sum of
     (+1/-1) votes from each shingle's hash. Bit-parallel via aggregate over
@@ -924,13 +1009,33 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id") -
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
             )
         )
+        # pointer jumping (r12): label <- label_of(label). Neighbor-min
+        # alone spreads one hop per round — fine for near-clique dup
+        # clusters, but a PATH-shaped pair set (e.g. the bounded minhash
+        # contract's bucket chains) has diameter >> 20 and would come
+        # out split. The jump doubles propagation distance per round,
+        # so 20 rounds cover any component diameter up to ~2^20.
+        lab2 = new_labels.select(
+            F.col("id").alias("_lid"), F.col("label").alias("_llabel")
+        )
+        new_labels = (
+            new_labels.join(lab2, new_labels.label == lab2._lid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("_llabel"), F.col("label")),
+                ).alias("label"),
+            )
+        )
         # Bound the lineage: each round's labels are persisted so the
         # convergence count and the next round's join reuse materialized
         # data instead of recomputing the whole chain from the raw pairs;
-        # every 3rd round a localCheckpoint truncates the plan outright,
-        # so plan depth (and recompute cost on executor loss) stays O(1)
-        # in the iteration count — mandatory at real graph sizes.
-        if i % 3 == 0:
+        # every 2nd round a localCheckpoint truncates the plan outright
+        # (each round is 3 joins since the r12 pointer jump), so plan
+        # depth (and recompute cost on executor loss) stays O(1) in the
+        # iteration count — mandatory at real graph sizes.
+        if i % 2 == 0:
             new_labels = new_labels.localCheckpoint()
         else:
             new_labels = new_labels.persist()

@@ -1404,6 +1404,53 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llm_ops.minhash_lsh_pairs_exact(d, threshold=0.5)
 
 
+#: doc COVERAGE of the bounded pair contract: the docs its pairs touch
+#: must be exactly the docs involved in ANY exact qualifying pair (the
+#: chain links every bucket member; skip links at neighbors_per_doc=2
+#: tolerate an isolated false candidate). The PAIR SET is a deliberate
+#: subset — quadratic enumeration is the hazard being bounded — so the
+#: oracle checks coverage, the invariant dedup_clusters depends on.
+_DUCK_DUP_DOC_COVERAGE = (
+    _DUCK_SHINGLES
+    + """
+    , p AS (
+      SELECT c.a_id, c.b_id
+      FROM cand c JOIN s sa ON sa.doc_id = c.a_id
+                  JOIN s sb ON sb.doc_id = c.b_id
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, TRUE AS in_near_dup
+    FROM (SELECT a_id AS doc_id FROM p
+          UNION SELECT b_id AS doc_id FROM p) u
+"""
+)
+
+
+@register("llm_minhash_bounded", oracle=_DUCK_DUP_DOC_COVERAGE)
+def q_minhash_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: skew-safe near-dup pairs — per band bucket each doc links
+    only to its next 2 bucket-mates (window LEAD, no self-join), so the
+    candidate AND output volume is linear in corpus size even under
+    extreme duplication (the all-pairs contract measured quadratic at
+    500k docs, r11). Oracle checks doc coverage: the bounded pairs must
+    touch exactly the docs the exact contract pairs touch."""
+    d = table(spark, sf_dir, "documents")
+    pairs = llm_ops.minhash_lsh_pairs_bounded(
+        d, threshold=0.5, neighbors_per_doc=2
+    )
+    return (
+        pairs.select(
+            F.explode(F.array("a_id", "b_id")).alias("doc_id")
+        )
+        .distinct()
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.lit(True).alias("in_near_dup"),
+        )
+    )
+
+
 # SimHash consistency: signatures are engine-defined (xxhash64 mixes), so
 # the checkable contract is the invariant that defines correctness —
 # exact duplicates (same normalized text, same md5 both engines agree on)
