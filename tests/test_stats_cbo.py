@@ -526,3 +526,37 @@ def test_bucketed_layout_persists_across_processes(tmp_path):
         assert marker in out.stdout, (
             marker, out.stdout[-1500:], out.stderr[-4000:],
         )
+
+
+def test_stats_persist_auto_attach_without_env(tmp_path):
+    """r12 (verdict task #6): a fresh process over a warehouse that
+    already carries the Derby metastore auto-attaches — stats-routed
+    planning with NO env var. =0 opts back out; creating the metastore
+    still requires the explicit opt-in."""
+    import os
+    import subprocess
+    import sys
+
+    base = dict(os.environ, IMPALA_SPARK_WAREHOUSE=str(tmp_path / "wh"))
+    base.pop("SPARK_GRAFT_PERSIST_CATALOG", None)
+    runs = [
+        # create + promote (explicit opt-in, first process)
+        (dict(base, SPARK_GRAFT_PERSIST_CATALOG="1"), "analyzed"),
+        # fresh process, NO env var: auto-attach from the existing
+        # metastore, no re-ANALYZE
+        (base, "reattached"),
+        # explicit opt-out over the same warehouse: session-local again
+        (dict(base, SPARK_GRAFT_PERSIST_CATALOG="0"), "analyzed"),
+    ]
+    for env, want in runs:
+        out = subprocess.run(
+            [sys.executable, "-c", _PERSIST_SCRIPT.format(want_mode=want)],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=420,
+            cwd="/root/repo",
+        )
+        assert f"PROBE_OK {want} 25" in out.stdout, (
+            want, out.stdout[-2000:], out.stderr[-4000:],
+        )
