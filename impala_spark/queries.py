@@ -2161,6 +2161,42 @@ def q_expr_key_distinct_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+#: OPEN expression grouping key (r12): `YEAR(d)*100 + MONTH(d)` is not
+#: an atomic call, so it substitutes only where it forms a COMPLETE
+#: select/ORDER item — which this statement's references all do.
+_OPEN_KEY_DISTINCT = """
+    SELECT YEAR(o_orderdate) * 100 + MONTH(o_orderdate) AS yyyymm,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    WHERE YEAR(o_orderdate) = 1996
+    GROUP BY YEAR(o_orderdate) * 100 + MONTH(o_orderdate)
+    ORDER BY YEAR(o_orderdate) * 100 + MONTH(o_orderdate)
+"""
+
+
+@register("agg_open_key_distinct_rewrite", oracle=_OPEN_KEY_DISTINCT)
+def q_open_key_distinct_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: OPEN expression grouping keys in the two-level DISTINCT
+    rewrite — arbitrary expressions (arithmetic, CASE) key the CTEs and
+    substitute where they constitute complete select/ORDER items (the
+    only precedence-safe placement for a non-atomic span; embedded
+    references still keep the default plan). Plan-asserted no-Expand,
+    oracle-matched."""
+    from impala_spark.rewrites import two_level_distinct
+    from impala_spark.session import posture_session
+
+    spark = posture_session(spark, sf_dir, "relational")
+    register_tables(spark, sf_dir)
+    rw = two_level_distinct(_OPEN_KEY_DISTINCT)
+    assert rw is not None, "rewrite must fire on an open expression key"
+    df = spark.sql(translate(rw))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan[:800]
+    return df
+
+
 #: ranking window over multi-distinct aggregates through the widened
 #: rewrite (r11): the CTE join is a bijection on the grouping keys, so
 #: the re-emitted RANK over the joined rows is rank-preserving.

@@ -582,6 +582,27 @@ def _duplication_safe(sql: str) -> bool:
     return True
 
 
+def _whole_key_match(
+    tokens: list[Token], a: int, b: int,
+    open_keys: list[tuple[list[str], str]],
+) -> str | None:
+    """Replacement text when tokens[a:b] IS (exactly) one of the open
+    expression keys — complete-unit matching, the only placement where
+    substituting a non-atomic expression is precedence-safe (r12)."""
+    if not open_keys:
+        return None
+    sig = _sig(tokens, a, b)
+    norm = [
+        tokens[s].text if tokens[s].kind in ("string", "dstring")
+        else tokens[s].text.lower()
+        for s in sig
+    ]
+    for nl, rep in open_keys:
+        if norm == nl:
+            return rep
+    return None
+
+
 def two_level_distinct(
     sql: str, extra_aggs: frozenset[str] = frozenset()
 ) -> str | None:
@@ -645,14 +666,20 @@ def two_level_distinct(
         #: backquoted columns survive the re-emission (r10 ADVICE)
         keys: list[tuple[str, str]] = []
         key_map: dict[str, str] = {}
-        #: expression grouping keys (r11): ATOMIC call expressions only —
+        #: expression grouping keys (r11): ATOMIC call expressions —
         #: a single `fn(...)` spanning the whole GROUP BY item (upper(k),
         #: YEAR(ts), CAST(x AS INT)). An atom binds tighter than any
         #: operator, so substituting its token span anywhere in the
-        #: select/HAVING/ORDER regions is precedence-safe — which is NOT
-        #: true of open exprs like `x + 1` (kept out of scope).
+        #: select/HAVING/ORDER regions is precedence-safe.
         #: list of (normalized significant-token list, replacement text).
         expr_keys: list[tuple[list[str], str]] = []
+        #: OPEN expression keys (r12): anything else (`x + 1`, CASE ...)
+        #: — NOT precedence-safe as an embedded token span, so they
+        #: substitute only where the key constitutes a COMPLETE unit: a
+        #: whole select item or a whole ORDER BY item (modulo direction
+        #: tail). Embedded references still bail via _rewrite_region's
+        #: unresolved-identifier check.
+        open_keys: list[tuple[list[str], str]] = []
         if "GROUP" in spans:
             ga, gb = spans["GROUP"]
             for ia, ib in _split_top_level_commas(tokens, ga, gb):
@@ -688,17 +715,9 @@ def two_level_distinct(
                     key_map[full.lower()] = f"__t0.`{bare}`"
                     key_map[bare.lower()] = f"__t0.`{bare}`"
                     continue
-                # atomic call expression key: word ( ... ) spanning the item
-                if (
-                    head.kind not in ("word", "bident")
-                    or len(sig) < 3
-                    or tokens[sig[1]].kind != "op"
-                    or tokens[sig[1]].text != "("
-                ):
-                    raise _Bail()
-                close = _matching_paren(tokens, sig[1])
-                if close >= len(tokens) or close != sig[-1]:
-                    raise _Bail()  # not a single atom (trailing operators)
+                # expression grouping key (r11 atomic call / r12 open)
+                if len(sig) == 1 and head.kind == "number":
+                    raise _Bail()  # GROUP BY ordinal, not an expression
                 if _find_agg_calls(tokens, ia, ib, aggs):
                     raise _Bail()  # aggregate inside a grouping key
                 expr_text = _frag(tokens, ia, ib)
@@ -708,11 +727,22 @@ def two_level_distinct(
                     else tokens[s].text.lower()
                     for s in sig
                 ]
-                if any(norm_list == nl for nl, _ in expr_keys):
+                if any(norm_list == nl for nl, _ in expr_keys) or \
+                        any(norm_list == nl for nl, _ in open_keys):
                     raise _Bail()  # duplicate expression key
                 alias = f"__k{len(keys)}"
                 keys.append((expr_text, alias))
-                expr_keys.append((norm_list, f"__t0.`{alias}`"))
+                is_atom = (
+                    head.kind in ("word", "bident")
+                    and len(sig) >= 3
+                    and tokens[sig[1]].kind == "op"
+                    and tokens[sig[1]].text == "("
+                    and _matching_paren(tokens, sig[1]) == sig[-1]
+                )
+                if is_atom:
+                    expr_keys.append((norm_list, f"__t0.`{alias}`"))
+                else:
+                    open_keys.append((norm_list, f"__t0.`{alias}`"))
         # ---- aggregate calls in select list + ORDER BY -------------------
         distinct_groups: list[str] = []  # expr text per group
         group_ids: dict[str, int] = {}  # normalized expr -> group index
@@ -845,10 +875,12 @@ def two_level_distinct(
         alias_body: dict[str, str | None] = {}
         for ia, ib in _split_top_level_commas(tokens, sel_a, sel_b):
             expr_end, alias_text = _item_alias_split(tokens, ia, ib)
-            body = _rewrite_region(
-                tokens, ia, expr_end, agg_sub, key_map, frozenset(), aggs,
-                expr_keys, window_heads=frozenset(window_heads),
-            )
+            body = _whole_key_match(tokens, ia, expr_end, open_keys)
+            if body is None:
+                body = _rewrite_region(
+                    tokens, ia, expr_end, agg_sub, key_map, frozenset(),
+                    aggs, expr_keys, window_heads=frozenset(window_heads),
+                )
             if alias_text:
                 name = alias_text[4:].strip("`").lower()
                 aliases.append(name)
@@ -888,6 +920,29 @@ def two_level_distinct(
             oa, ob = spans["ORDER"]
             order_items = []
             for ia, ib in _split_top_level_commas(tokens, oa, ob):
+                # an ORDER item is a complete unit modulo its direction
+                # tail — strip `[ASC|DESC] [NULLS FIRST|LAST]` before
+                # whole-key matching, re-append verbatim
+                isig = _sig(tokens, ia, ib)
+                tail_i = len(isig)
+                if tail_i >= 2 and \
+                        tokens[isig[tail_i - 2]].text.lower() == "nulls" and \
+                        tokens[isig[tail_i - 1]].text.lower() in (
+                            "first", "last"):
+                    tail_i -= 2
+                if tail_i >= 1 and tokens[isig[tail_i - 1]].kind == "word" \
+                        and tokens[isig[tail_i - 1]].text.lower() in (
+                            "asc", "desc"):
+                    tail_i -= 1
+                expr_b = isig[tail_i] if tail_i < len(isig) else ib
+                tail_txt = (
+                    " " + " ".join(tokens[s].text for s in isig[tail_i:])
+                    if tail_i < len(isig) else ""
+                )
+                m = _whole_key_match(tokens, ia, expr_b, open_keys)
+                if m is not None:
+                    order_items.append(m + tail_txt)
+                    continue
                 order_items.append(
                     _rewrite_region(
                         tokens, ia, ib, agg_sub, key_map,

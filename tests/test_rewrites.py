@@ -114,6 +114,11 @@ REWRITES = [
     "SELECT upper(k) AS uk, abs(k2) AS ak, COUNT(DISTINCT x) AS cd,"
     " COUNT(DISTINCT y) AS cd2 FROM t GROUP BY upper(k), abs(k2)"
     " HAVING COUNT(*) > 1 ORDER BY upper(k)",
+    # r12: OPEN expression keys as complete select/ORDER items
+    "SELECT x + 1, COUNT(DISTINCT y), COUNT(DISTINCT k2) FROM t"
+    " GROUP BY x + 1",
+    "SELECT x + 1 AS xp, COUNT(DISTINCT y) AS cd, COUNT(DISTINCT k2) AS ck"
+    " FROM t GROUP BY x + 1 ORDER BY x + 1 DESC",
 ]
 
 BAILS = [
@@ -137,10 +142,12 @@ BAILS = [
     "SELECT DISTINCT k, COUNT(DISTINCT x), COUNT(DISTINCT y) FROM t GROUP BY k",
     "SELECT k, COUNT(DISTINCT x) OVER (), COUNT(DISTINCT y) FROM t",
     "SELECT k, COUNT(*) FROM t GROUP BY k",
-    # OPEN expression grouping keys stay out (an unparenthesized expr
-    # span is not precedence-safe to substitute); atoms rewrite (r11)
-    "SELECT x + 1, COUNT(DISTINCT y), COUNT(DISTINCT k2) FROM t"
+    # open keys substitute as COMPLETE items only (r12) — an embedded
+    # occurrence inside a larger expression is not precedence-safe
+    "SELECT (x + 1) * 2, COUNT(DISTINCT y), COUNT(DISTINCT k2) FROM t"
     " GROUP BY x + 1",
+    # GROUP BY ordinal is a position, not an expression key
+    "SELECT k, COUNT(DISTINCT y), COUNT(DISTINCT x) FROM t GROUP BY 1",
     # duplicate expression keys stay out
     "SELECT upper(k), COUNT(DISTINCT x), COUNT(DISTINCT y) FROM t"
     " GROUP BY upper(k), upper(k)",
@@ -309,6 +316,15 @@ EQUIV = [
     "SELECT upper(k) AS uk, COUNT(DISTINCT x) AS cd, COUNT(DISTINCT y) AS cdy,"
     " AVG(COUNT(DISTINCT x)) OVER () AS avg_cd FROM t GROUP BY upper(k)"
     " ORDER BY SUM(COUNT(DISTINCT x)) OVER (ORDER BY upper(k)), uk",
+    # r12: OPEN expression keys — whole-item substitution only (select
+    # item / ORDER BY item); embedded references still bail
+    "SELECT x + 1 AS xp, COUNT(DISTINCT y) AS cd, COUNT(DISTINCT k2) AS cdk"
+    " FROM t GROUP BY x + 1 ORDER BY x + 1 DESC NULLS LAST",
+    "SELECT CASE WHEN x > 5 THEN 'hi' ELSE 'lo' END AS band,"
+    " COUNT(DISTINCT y) AS cd, COUNT(DISTINCT k2) AS ck, COUNT(*) AS n"
+    " FROM t GROUP BY CASE WHEN x > 5 THEN 'hi' ELSE 'lo' END",
+    "SELECT k, x + y AS xy, COUNT(DISTINCT x) AS cd, SUM(DISTINCT k2) AS sd"
+    " FROM t GROUP BY k, x + y HAVING xy IS NULL OR COUNT(*) >= 1",
 ]
 
 
@@ -417,7 +433,8 @@ def test_semantic_equivalence_fuzz_combined():
             ]
             con.executemany("INSERT INTO t VALUES (?,?,?,?)", rows)
         keys = random.choice(
-            [["k"], ["k", "k2"], ["upper(k)"], ["k", "abs(k2)"]]
+            [["k"], ["k", "k2"], ["upper(k)"], ["k", "abs(k2)"],
+             ["x + 1"], ["k", "x + 1"]]
         )
         aggs = [
             random.choice(
@@ -425,8 +442,11 @@ def test_semantic_equivalence_fuzz_combined():
                  "COUNT(DISTINCT x, k2)"]) + " AS cd",
             random.choice(["COUNT(DISTINCT y)", "AVG(DISTINCT y)"]) + " AS cdy",
         ]
-        if random.random() < 0.5:
-            tie = ", ".join(keys)
+        closed = [kk for kk in keys if "+" not in kk]
+        if random.random() < 0.5 and closed:
+            # open keys ("x + 1") only substitute as complete items, so
+            # window ORDER ties use the closed keys only
+            tie = ", ".join(closed)
             aggs.append(random.choice([
                 f"RANK() OVER (ORDER BY COUNT(DISTINCT y) DESC, {tie}) AS r",
                 f"ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, {tie}) AS r",
