@@ -2272,6 +2272,45 @@ def q_window_agg_over_distinct_rewrite(spark: SparkSession, sf_dir: str) -> Data
     return df
 
 
+#: GROUP_CONCAT(DISTINCT expr, sep) through the rewrite (r12): the
+#: group is keyed on the EXPR alone — the separator is a constant
+#: (BuiltinsDb.java:928-951) — so the call rides the same CTE as
+#: COUNT(DISTINCT expr). LENGTH() keeps the checkable contract
+#: order-invariant (concat order is nondeterministic in both engines);
+#: DuckDB runs the identical text (GROUP_CONCAT is its string_agg alias).
+_GROUP_CONCAT_DISTINCT = """
+    SELECT o_orderstatus,
+           CAST(LENGTH(GROUP_CONCAT(DISTINCT o_orderpriority, ',')) AS BIGINT)
+               AS prio_len,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
+
+@register("agg_group_concat_distinct_rewrite", oracle=_GROUP_CONCAT_DISTINCT)
+def q_group_concat_distinct_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 widening: GROUP_CONCAT(DISTINCT) splits like any distinct
+    aggregate (AggregateInfo.java keys the second-level grouping on the
+    distinct exprs, not the function), keyed on the expr with the
+    constant separator re-emitted verbatim. Plan-asserted no-Expand;
+    the LENGTH contract is order-invariant so the oracle hash-matches."""
+    from impala_spark.rewrites import two_level_distinct
+    from impala_spark.session import posture_session
+
+    spark = posture_session(spark, sf_dir, "relational")
+    register_tables(spark, sf_dir)
+    rw = two_level_distinct(_GROUP_CONCAT_DISTINCT)
+    assert rw is not None, "rewrite must fire on GROUP_CONCAT(DISTINCT)"
+    df = spark.sql(translate(rw))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan[:800]
+    return df
+
+
 #: scale-safe GLOBAL rank (r12, VERDICT r11 #4): RANK over a total order
 #: with NO partition key — Spark's default is a single-task WindowExec
 #: over the whole input; operators.global_rank splits it into a range

@@ -790,7 +790,7 @@ def two_level_distinct(
             arg_a = (
                 arg_sig[1] if has_distinct and len(arg_sig) > 1 else open_idx + 1
             )
-            if has_distinct and lname in ("count", "sum", "avg"):
+            if has_distinct and lname in ("count", "sum", "avg", "group_concat"):
                 # The distinct expr list keys the group (multi-column
                 # COUNT(DISTINCT a, b) is one group on the tuple —
                 # AggregateInfo.java treats the distinct expr LIST as the
@@ -803,14 +803,30 @@ def two_level_distinct(
                 arg_texts = [_frag(tokens, a, b) for a, b in args]
                 if not arg_texts or any(not t for t in arg_texts):
                     raise _Bail()
-                if lname != "count" and len(arg_texts) != 1:
-                    raise _Bail()  # SUM/AVG take exactly one argument
-                dx = ", ".join(arg_texts)
+                if lname == "group_concat":
+                    # GROUP_CONCAT(DISTINCT expr [, sep]) (r12): DISTINCT
+                    # keys on the EXPR only — the separator is required
+                    # constant in the reference (BuiltinsDb.java:928-951)
+                    # and is not part of the dedup set. Require a single
+                    # string literal so verbatim re-emission is exact.
+                    if len(arg_texts) == 2:
+                        ssig = _sig(tokens, args[1][0], args[1][1])
+                        if len(ssig) != 1 or tokens[ssig[0]].kind not in (
+                                "string", "dstring"):
+                            raise _Bail()
+                    elif len(arg_texts) != 1:
+                        raise _Bail()
+                    key_texts = arg_texts[:1]
+                else:
+                    if lname != "count" and len(arg_texts) != 1:
+                        raise _Bail()  # SUM/AVG take exactly one argument
+                    key_texts = arg_texts
+                dx = ", ".join(key_texts)
                 dn = _norm(dx)
                 g = group_ids.get(dn)
                 if g is None:
                     # the distinct exprs must not themselves contain aggregates
-                    for at in arg_texts:
+                    for at in key_texts:
                         dtoks = tokenize(at)
                         if _find_agg_calls(dtoks, 0, len(dtoks), aggs):
                             raise _Bail()
@@ -818,7 +834,7 @@ def two_level_distinct(
                     group_ids[dn] = g
                     distinct_groups.append(dx)
                     group_calls.append({})
-                call = f"{lname.upper()}(DISTINCT {dx})"
+                call = f"{lname.upper()}(DISTINCT {', '.join(arg_texts)})"
                 nk = _norm(call)
                 entry = group_calls[g].get(nk)
                 if entry is None:
@@ -839,7 +855,7 @@ def two_level_distinct(
                 # Catalyst doesn't count it as another distinct group
                 call = f"{lname.upper()}({_frag(tokens, arg_a, close_idx)})"
             elif has_distinct:
-                raise _Bail()  # GROUP_CONCAT(DISTINCT)/UDA DISTINCT: not split
+                raise _Bail()  # UDA DISTINCT: not split
             else:
                 call = _frag(tokens, name_idx, close_idx + 1)
                 # a plain aggregate's args must not hide an aggregate

@@ -119,6 +119,13 @@ REWRITES = [
     " GROUP BY x + 1",
     "SELECT x + 1 AS xp, COUNT(DISTINCT y) AS cd, COUNT(DISTINCT k2) AS ck"
     " FROM t GROUP BY x + 1 ORDER BY x + 1 DESC",
+    # r12: GROUP_CONCAT(DISTINCT expr[, sep]) keys its group on the EXPR
+    # only (the separator is a constant) and rides the same CTE as other
+    # distinct aggregates over that expr
+    "SELECT k, GROUP_CONCAT(DISTINCT x), COUNT(DISTINCT y),"
+    " COUNT(DISTINCT z) FROM t GROUP BY k",
+    "SELECT k, GROUP_CONCAT(DISTINCT x, '|') AS g, COUNT(DISTINCT x) AS cd,"
+    " COUNT(DISTINCT y) AS cd2 FROM t GROUP BY k",
 ]
 
 BAILS = [
@@ -154,9 +161,11 @@ BAILS = [
     # aggregate inside a grouping key is malformed for this rewrite
     "SELECT abs(count(x)), COUNT(DISTINCT x), COUNT(DISTINCT y) FROM t"
     " GROUP BY abs(count(x))",
-    # non-splittable DISTINCT aggregates stay out (order-sensitive /
-    # unknown semantics)
-    "SELECT k, GROUP_CONCAT(DISTINCT x), COUNT(DISTINCT y),"
+    # non-splittable DISTINCT aggregates stay out: GROUP_CONCAT with a
+    # NON-LITERAL separator (can't re-emit exactly), wrong arity, UDAs
+    "SELECT k, GROUP_CONCAT(DISTINCT x, k2), COUNT(DISTINCT y),"
+    " COUNT(DISTINCT z) FROM t GROUP BY k",
+    "SELECT k, GROUP_CONCAT(DISTINCT x, '|', '!'), COUNT(DISTINCT y),"
     " COUNT(DISTINCT z) FROM t GROUP BY k",
     # SUM/AVG take exactly one argument
     "SELECT k, SUM(DISTINCT x, y), COUNT(DISTINCT z) FROM t GROUP BY k",
@@ -325,6 +334,15 @@ EQUIV = [
     " FROM t GROUP BY CASE WHEN x > 5 THEN 'hi' ELSE 'lo' END",
     "SELECT k, x + y AS xy, COUNT(DISTINCT x) AS cd, SUM(DISTINCT k2) AS sd"
     " FROM t GROUP BY k, x + y HAVING xy IS NULL OR COUNT(*) >= 1",
+    # r12: GROUP_CONCAT(DISTINCT) splits; LENGTH() makes the comparison
+    # order-invariant (concat order is nondeterministic in both engines)
+    "SELECT k, LENGTH(GROUP_CONCAT(DISTINCT x, '|')) AS gl,"
+    " COUNT(DISTINCT y) AS cdy, COUNT(*) AS n FROM t GROUP BY k",
+    "SELECT k, LENGTH(GROUP_CONCAT(DISTINCT x)) AS gl,"
+    " COUNT(DISTINCT x) AS cd, SUM(DISTINCT k2) AS sd FROM t GROUP BY k"
+    " HAVING COUNT(*) >= 1",
+    "SELECT LENGTH(GROUP_CONCAT(DISTINCT k, ',')) AS gk,"
+    " COUNT(DISTINCT x) AS cd, COUNT(*) AS n FROM t",
 ]
 
 
