@@ -44,6 +44,13 @@ class ManagedTable:
     bucket_cols: list[str] = field(default_factory=list)
     num_buckets: int = 0
     catalog_name: str | None = None
+    #: Kudu-style RANGE partitioning (r12): the single range key column
+    #: and the declared partition spec — ("value", v) items map to a
+    #: Hive-style value-partitioned layout, ("bounds", lo, lo_incl, hi,
+    #: hi_incl) items to a range-clustered layout. Writes validate rows
+    #: against the spec (Kudu rejects rows outside every range).
+    range_col: str | None = None
+    range_spec: list = field(default_factory=list)
 
 
 #: catalog of write-capable tables (name -> ManagedTable)
@@ -250,6 +257,215 @@ def create_table_hash_bucketed(
     return _refresh_view(spark, t)
 
 
+# ---------------------------------------------------------------------------
+# Kudu RANGE partitioning (A/KuduPartitionParam.java, cup
+# tbl_partition_clauses) -> physical layout (r12; analysis-only before)
+# ---------------------------------------------------------------------------
+
+
+def _parse_sql_literal(txt: str):
+    """A range partition bound: integer / decimal / string / bool literal
+    (KuduPartitionParam.java requires constant bounds; the analyzer has
+    already type-checked them against the key column)."""
+    s = txt.strip()
+    if re.fullmatch(r"[+-]?\d+", s):
+        return int(s)
+    if re.fullmatch(r"[+-]?(?:\d*\.\d+|\d+\.?)(?:[eE][+-]?\d+)?", s):
+        return float(s)
+    if len(s) >= 2 and s[0] == s[-1] and s[0] in ("'", '"'):
+        inner = s[1:-1]
+        return inner.replace("''", "'") if s[0] == "'" else inner
+    if s.upper() in ("TRUE", "FALSE"):
+        return s.upper() == "TRUE"
+    raise ImpalaUnsupportedError(
+        f"range partition bound must be a constant literal, got {txt!r}"
+    )
+
+
+def _split_top_commas_text(text: str) -> list[str]:
+    """Comma split of raw SQL text, paren- and quote-aware."""
+    out, depth, cur, quote = [], 0, [], None
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                # doubled quote = escaped quote inside the literal
+                if i + 1 < len(text) and text[i + 1] == quote:
+                    cur.append(text[i + 1])
+                    i += 1
+                else:
+                    quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    if "".join(cur).strip():
+        out.append("".join(cur))
+    return out
+
+
+def parse_range_partition_items(items_text: str) -> list:
+    """The parenthesized partition list of PARTITION BY RANGE:
+    `PARTITION VALUE = lit` items and/or bound items
+    `[lit <[=]] VALUES [<[=] lit]` (Kudu range bounds: lower inclusive /
+    upper exclusive by default, spelled by the operator)."""
+    items: list = []
+    for part in _split_top_commas_text(items_text):
+        s = part.strip()
+        m = re.match(r"(?is)^PARTITION\s+(.*)$", s)
+        if not m:
+            raise ImpalaUnsupportedError(
+                f"cannot parse range partition spec: {s!r}"
+            )
+        body = m.group(1).strip()
+        mv = re.match(r"(?is)^VALUES?\s*=\s*(.+)$", body)
+        if mv:
+            items.append(("value", _parse_sql_literal(mv.group(1))))
+            continue
+        mb = re.match(
+            r"(?is)^(?:(.+?)\s*(<=|<)\s*)?VALUES(?:\s*(<=|<)\s*(.+))?$", body
+        )
+        if not mb or (mb.group(1) is None and mb.group(4) is None):
+            raise ImpalaUnsupportedError(
+                f"cannot parse range partition spec: {s!r}"
+            )
+        lo = _parse_sql_literal(mb.group(1)) if mb.group(1) else None
+        lo_incl = mb.group(2) == "<=" if mb.group(2) else False
+        hi = _parse_sql_literal(mb.group(4)) if mb.group(4) else None
+        hi_incl = mb.group(3) == "<=" if mb.group(3) else False
+        items.append(("bounds", lo, lo_incl, hi, hi_incl))
+    if not items:
+        raise ImpalaUnsupportedError("empty range partition spec")
+    return items
+
+
+def _range_pred(col_name: str, spec: list):
+    """OR of the declared partitions' membership predicates. NULL keys
+    fall outside every range (Kudu: range key columns are non-nullable)."""
+    col = F.col(col_name)
+    preds = []
+    for item in spec:
+        if item[0] == "value":
+            preds.append(col == F.lit(item[1]))
+        else:
+            _, lo, lo_incl, hi, hi_incl = item
+            p = F.lit(True)
+            if lo is not None:
+                p = p & (col >= F.lit(lo) if lo_incl else col > F.lit(lo))
+            if hi is not None:
+                p = p & (col <= F.lit(hi) if hi_incl else col < F.lit(hi))
+            preds.append(p)
+    out = preds[0]
+    for p in preds[1:]:
+        out = out | p
+    return F.coalesce(out, F.lit(False))
+
+
+def _validate_in_range(df: DataFrame, t_name: str, col_name: str, spec: list) -> None:
+    """Kudu rejects writes whose key falls outside every declared range
+    partition; we raise before writing anything (one limit-1 probe scan —
+    error-path cost only when a violation exists is not avoidable without
+    caching the input)."""
+    bad = df.filter(~_range_pred(col_name, spec)).select(col_name).limit(1).collect()
+    if bad:
+        raise ImpalaUnsupportedError(
+            f"value {bad[0][0]!r} in column '{col_name}' does not belong to"
+            f" any declared range partition of table '{t_name}'"
+            " (KuduPartitionParam.java range bounds)"
+        )
+
+
+def _range_cluster(df: DataFrame, col_name: str, n_ranges: int) -> DataFrame:
+    """Range-clustered write layout for bound-form partitions: shuffle into
+    as many contiguous key slices as declared partitions and sort on the
+    key within each, so every parquet row group spans a narrow key
+    interval — range predicates then skip row groups at SCAN time via
+    footer min/max (the pushed-filter path). The declared bounds are a
+    monotone step function of the key, so ordering by the key alone
+    preserves them."""
+    return df.repartitionByRange(max(n_ranges, 1), F.col(col_name)) \
+             .sortWithinPartitions(col_name)
+
+
+def create_table_range_partitioned(
+    spark: SparkSession,
+    name: str,
+    range_cols: list[str],
+    spec: list,
+    query_or_df: str | DataFrame | None = None,
+    col_defs: str | None = None,
+    primary_key: list[str] | None = None,
+) -> DataFrame:
+    """CREATE TABLE ... PARTITION BY RANGE (col) (PARTITION ...) — the
+    reference's Kudu range partitioning realized physically:
+
+    * all-VALUE specs -> a Hive-style value-partitioned parquet layout
+      (one directory per declared value): Catalyst prunes partitions at
+      PLANNING time for equality/range predicates on the key.
+    * bound specs (lo <= VALUES < hi) -> a range-CLUSTERED layout via
+      repartitionByRange + sortWithinPartitions (see _range_cluster).
+
+    Rows outside every declared partition are rejected at write time,
+    like Kudu. Single-column keys only — the multi-column range grammar
+    analyzes (parser range checks) but has no physical mapping here."""
+    if len(range_cols) != 1:
+        raise ImpalaUnsupportedError(
+            "PARTITION BY RANGE over multiple columns is not supported as a"
+            f" physical layout (got {range_cols}); use a single range column"
+        )
+    rcol = range_cols[0]
+    value_layout = all(item[0] == "value" for item in spec)
+    path = os.path.join(WAREHOUSE, name)
+    if query_or_df is not None:
+        df = (
+            spark.sql(translate(query_or_df))
+            if isinstance(query_or_df, str)
+            else query_or_df
+        )
+        if rcol not in df.columns:
+            raise ValueError(
+                f"PARTITION BY RANGE column not in select list: {rcol}"
+            )
+        _validate_in_range(df, name, rcol, spec)
+        shutil.rmtree(path, ignore_errors=True)
+        if value_layout:
+            (df.sortWithinPartitions(rcol).write.mode("overwrite")
+               .partitionBy(rcol).parquet(path))
+        else:
+            _range_cluster(df, rcol, len(spec)).write.mode("overwrite").parquet(path)
+        t = ManagedTable(
+            name, path, [rcol] if value_layout else [], primary_key or [],
+            df.schema, range_col=rcol, range_spec=list(spec),
+        )
+        _REGISTRY[name] = t
+        return _refresh_view(spark, t)
+    # empty create with explicit columns
+    cols, pk = _parse_col_defs(col_defs or "")
+    names = {c.lower() for c, _t in cols}
+    if rcol.lower() not in names:
+        raise ValueError(f"PARTITION BY RANGE column not in column list: {rcol}")
+    create_table(spark, name, col_defs or "", primary_key=primary_key or pk)
+    t = _REGISTRY[name]
+    t.range_col = rcol
+    t.range_spec = list(spec)
+    if value_layout:
+        t.partition_cols = [rcol]
+    return _refresh_view(spark, t)
+
+
 def insert(
     spark: SparkSession,
     table: str,
@@ -286,6 +502,14 @@ def insert(
         *[F.col(c).cast(f.dataType) for c, f in zip(target.columns, target.schema.fields)]
     )
     mode = "overwrite" if overwrite else "append"
+    if t.range_col:
+        # Kudu parity: rows outside every declared range partition are
+        # rejected before anything is written
+        _validate_in_range(df, t.name, t.range_col, t.range_spec)
+        if not t.partition_cols:
+            # bound-form layout: keep appended files range-clustered so
+            # footer min/max stays the skipping lever
+            df = _range_cluster(df, t.range_col, len(t.range_spec))
     if t.catalog_name:
         # bucketed target: insertInto preserves the catalog bucket spec
         # (a plain path write would interleave unbucketed files and
@@ -640,6 +864,10 @@ def alter_table(spark: SparkSession, stmt: str) -> DataFrame:
             raise ImpalaUnsupportedError(
                 f"Cannot drop hash partition column: {col.lower()}"
             )
+        if t.range_col and col.lower() == t.range_col.lower():
+            raise ImpalaUnsupportedError(
+                f"Cannot drop range partition column: {col.lower()}"
+            )
         df = _read_table(spark, t)
         if col not in df.columns:
             raise ValueError(f"ALTER TABLE {name} DROP COLUMN: no column '{col}'")
@@ -654,6 +882,10 @@ def alter_table(spark: SparkSession, stmt: str) -> DataFrame:
         if old.lower() in {b.lower() for b in t.bucket_cols}:
             raise ImpalaUnsupportedError(
                 f"Cannot modify hash partition column: {old.lower()}"
+            )
+        if t.range_col and old.lower() == t.range_col.lower():
+            raise ImpalaUnsupportedError(
+                f"Cannot modify range partition column: {old.lower()}"
             )
         df = _read_table(spark, t).withColumn(old, F.col(old).cast(typ))
         if old != new:
@@ -780,6 +1012,12 @@ def _overwrite(spark: SparkSession, t: ManagedTable, df: DataFrame) -> DataFrame
     if t.partition_cols:
         df.sortWithinPartitions(*t.partition_cols).write.mode("overwrite").partitionBy(
             *t.partition_cols
+        ).parquet(staging)
+    elif t.range_col:
+        # bound-form range layout: a rewrite (UPDATE/DELETE/ALTER)
+        # re-clusters so footer min/max stays the skipping lever
+        _range_cluster(df, t.range_col, len(t.range_spec)).write.mode(
+            "overwrite"
         ).parquet(staging)
     else:
         df.write.mode("overwrite").parquet(staging)

@@ -2418,6 +2418,83 @@ def q_hash_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+#: results are layout-invariant; the oracle computes from the fixture
+_RANGE_VALUE_ORACLE = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_totalprice) AS DOUBLE) AS total
+    FROM orders WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@register("ddl_range_partition_value", oracle=_RANGE_VALUE_ORACLE)
+def q_range_partition_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kudu RANGE partitioning, VALUE form (r12; A/KuduPartitionParam.java
+    + cup tbl_partition_clauses — analysis-only before): PARTITION
+    VALUE = v maps to a Hive-style value-partitioned parquet layout, so
+    an equality predicate on the range key prunes whole partitions at
+    PLANNING time — plan-asserted PartitionFilters on the key. At 100 TB
+    this is the partition-elimination lever for enum-keyed scans."""
+    import re as _re
+
+    from impala_spark.engine import ImpalaEngine as _Eng
+
+    eng = _Eng(spark, sf_dir)
+    eng.sql(
+        "CREATE TABLE rngp_v PARTITION BY RANGE (o_orderstatus)"
+        " (PARTITION VALUE = 'O', PARTITION VALUE = 'F',"
+        " PARTITION VALUE = 'P')"
+        " AS SELECT o_orderstatus, o_orderpriority, o_totalprice FROM orders"
+    )
+    df = eng.sql(
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,"
+        " CAST(SUM(o_totalprice) AS DOUBLE) AS total"
+        " FROM rngp_v WHERE o_orderstatus = 'O'"
+        " GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert _re.search(r"PartitionFilters: \[[^\]]*o_orderstatus", plan), plan[:800]
+    return df
+
+
+_RANGE_BOUNDS_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders WHERE o_custkey < 400
+"""
+
+
+@register("ddl_range_partition_bounds", oracle=_RANGE_BOUNDS_ORACLE)
+def q_range_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kudu RANGE partitioning, bound form (r12): PARTITION lo <= VALUES
+    < hi maps to a range-CLUSTERED parquet layout (repartitionByRange +
+    sortWithinPartitions), so every row group spans a narrow key interval
+    and a range predicate skips row groups at SCAN time via footer
+    min/max — plan-asserted pushed filter on the key. Out-of-range and
+    NULL keys are rejected at write time like Kudu."""
+    import re as _re
+
+    from impala_spark.engine import ImpalaEngine as _Eng
+
+    eng = _Eng(spark, sf_dir)
+    eng.sql(
+        "CREATE TABLE rngp_b PARTITION BY RANGE (o_custkey)"
+        " (PARTITION VALUES < 400, PARTITION 400 <= VALUES < 1000,"
+        " PARTITION 1000 <= VALUES)"
+        " AS SELECT o_custkey, o_totalprice FROM orders"
+    )
+    df = eng.sql(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n,"
+        " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total"
+        " FROM rngp_b WHERE o_custkey < 400"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert _re.search(r"PushedFilters: \[[^\]]*LessThan\(o_custkey,400\)", plan), plan[:800]
+    return df
+
+
 @register(
     "meta_load_data",
     "SELECT CAST(COUNT(*) * 2 AS BIGINT) AS n FROM region",

@@ -2,6 +2,7 @@
 analysis/ModifyStmt.java, sql-parser.cup TRUNCATE/LOAD DATA)."""
 
 import os
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -611,4 +612,141 @@ class TestHashBucketed:
             eng.sql(
                 "CREATE TABLE tb_bad PARTITION BY HASH(nope) PARTITIONS 4"
                 " AS SELECT o_orderkey FROM orders"
+            )
+
+
+# ---------------------------------------------------------------------------
+# r12: Kudu RANGE partitioning as a physical layout (A/KuduPartitionParam.java
+# range bounds; analysis-only before). VALUE specs -> Hive-style value
+# partitions (planner-time pruning); bound specs -> range-clustered files
+# (scan-time row-group skipping via footer min/max).
+# ---------------------------------------------------------------------------
+
+
+class TestRangePartitioned:
+    def _engine(self, spark):
+        from impala_spark.engine import ImpalaEngine
+
+        return ImpalaEngine(spark, sf_dir="/root/testdata/sf0.001")
+
+    def test_value_form_prunes_partitions(self, spark):
+        eng = self._engine(spark)
+        eng.sql("DROP TABLE IF EXISTS rng_v")
+        eng.sql(
+            "CREATE TABLE rng_v (id INT, st STRING, PRIMARY KEY (id))"
+            " PARTITION BY RANGE (st)"
+            " (PARTITION VALUE = 'O', PARTITION VALUE = 'F') STORED AS KUDU"
+        )
+        eng.sql(
+            "INSERT INTO rng_v SELECT CAST(o_orderkey AS INT), o_orderstatus"
+            " FROM orders WHERE o_orderstatus IN ('O','F')"
+        )
+        base = spark.sql(
+            "SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'O'"
+        ).collect()[0][0]
+        df = eng.sql("SELECT COUNT(*) AS n FROM rng_v WHERE st = 'O'")
+        assert df.collect()[0][0] == base
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # planner-time partition pruning on the range key
+        assert re.search(r"PartitionFilters: \[[^\]]*st", plan), plan
+        # rows outside every declared partition are rejected, like Kudu
+        from impala_spark.parser import ImpalaUnsupportedError
+
+        with pytest.raises(ImpalaUnsupportedError, match="range partition"):
+            eng.sql(
+                "INSERT INTO rng_v SELECT CAST(o_orderkey AS INT),"
+                " o_orderstatus FROM orders WHERE o_orderstatus = 'P'"
+            )
+        # the failed insert wrote nothing
+        assert spark.table("rng_v").filter("st = 'P'").count() == 0
+        eng.sql("DROP TABLE rng_v")
+
+    def test_bounds_form_range_clusters_files(self, spark):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from impala_spark import ddl
+
+        eng = self._engine(spark)
+        eng.sql("DROP TABLE IF EXISTS rng_b")
+        eng.sql(
+            "CREATE TABLE rng_b PARTITION BY RANGE (o_custkey)"
+            " (PARTITION VALUES < 50, PARTITION 50 <= VALUES < 100,"
+            " PARTITION 100 <= VALUES < 100000)"
+            " AS SELECT o_custkey, o_totalprice FROM orders"
+        )
+        assert spark.table("rng_b").count() == spark.table("orders").count()
+        # range predicate reaches the parquet scan as a pushed filter
+        df = eng.sql(
+            "SELECT COUNT(*) AS n FROM rng_b WHERE o_custkey < 40"
+        )
+        base = spark.sql(
+            "SELECT COUNT(*) FROM orders WHERE o_custkey < 40"
+        ).collect()[0][0]
+        assert df.collect()[0][0] == base
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [IsNotNull(o_custkey), LessThan(o_custkey,40)" in plan, plan
+        # files span non-overlapping key intervals (the skipping lever)
+        t = ddl.table_info("rng_b")
+        spans = []
+        for f in glob.glob(t.path + "/*.parquet"):
+            md = pq.read_metadata(f)
+            stats = [md.row_group(i).column(0).statistics for i in range(md.num_row_groups)]
+            spans.append((min(s.min for s in stats), max(s.max for s in stats)))
+        spans.sort()
+        assert len(spans) > 1
+        assert all(spans[i][1] <= spans[i + 1][0] for i in range(len(spans) - 1)), spans
+        # appends stay in-range-validated and clustered
+        eng.sql("INSERT INTO rng_b VALUES (75, 1.0)")
+        from impala_spark.parser import ImpalaUnsupportedError
+
+        with pytest.raises(ImpalaUnsupportedError, match="range partition"):
+            eng.sql("INSERT INTO rng_b VALUES (2000000, 1.0)")
+        with pytest.raises(ImpalaUnsupportedError, match="range partition"):
+            eng.sql("INSERT INTO rng_b VALUES (NULL, 1.0)")
+        eng.sql("DROP TABLE rng_b")
+
+    def test_range_key_alter_guards_and_modify(self, spark):
+        from impala_spark.parser import ImpalaUnsupportedError
+
+        eng = self._engine(spark)
+        eng.sql("DROP TABLE IF EXISTS rng_m")
+        eng.sql(
+            "CREATE TABLE rng_m (id BIGINT, v DOUBLE, PRIMARY KEY (id))"
+            " PARTITION BY RANGE (id)"
+            " (PARTITION 0 <= VALUES < 100, PARTITION 100 <= VALUES < 200)"
+            " STORED AS KUDU"
+        )
+        eng.sql("INSERT INTO rng_m VALUES (1, 1.5), (150, 2.5)")
+        with pytest.raises(ImpalaUnsupportedError, match="range partition column"):
+            eng.sql("ALTER TABLE rng_m DROP COLUMN id")
+        with pytest.raises(ImpalaUnsupportedError, match="range partition column"):
+            eng.sql("ALTER TABLE rng_m CHANGE id id2 BIGINT")
+        # keyed modify over the range layout (ModifyStmt rewrite)
+        eng.sql("UPDATE rng_m SET v = v * 2 WHERE id = 150")
+        got = dict(spark.table("rng_m").collect())
+        assert got == {1: 1.5, 150: 5.0}, got
+        eng.sql("DELETE FROM rng_m WHERE id = 1")
+        assert spark.table("rng_m").count() == 1
+        eng.sql("DROP TABLE rng_m")
+
+    def test_bad_range_specs(self, spark):
+        from impala_spark.parser import ImpalaUnsupportedError
+
+        eng = self._engine(spark)
+        with pytest.raises(ImpalaUnsupportedError, match="multiple columns"):
+            eng.sql(
+                "CREATE TABLE rng_bad PARTITION BY RANGE (o_custkey, o_orderkey)"
+                " (PARTITION VALUES < 10) AS SELECT * FROM orders"
+            )
+        with pytest.raises(ImpalaUnsupportedError, match="constant literal"):
+            eng.sql(
+                "CREATE TABLE rng_bad PARTITION BY RANGE (o_custkey)"
+                " (PARTITION VALUES < o_orderkey) AS SELECT * FROM orders"
+            )
+        with pytest.raises(ValueError, match="not in select list"):
+            eng.sql(
+                "CREATE TABLE rng_bad PARTITION BY RANGE (nope)"
+                " (PARTITION VALUES < 10) AS SELECT o_custkey FROM orders"
             )
