@@ -7396,6 +7396,40 @@ sql_query(
     """,
 )
 
+# TPC-DS Q64 shape (cross_sales): sale-to-return fact-fact join on the
+# composite line key, dims attached, aggregated to (part, customer,
+# year) grain, then the aggregate SELF-JOINED across two years with a
+# cross-year dominance filter (cs2.cnt <= cs1.cnt) — the composite the
+# r11/r12 exclusion lists called q4-self-join x q78-returns x dims.
+sql_query(
+    "tpcds_q64_shape",
+    """
+    WITH cs AS (
+      SELECT l.l_partkey AS pk, o.o_custkey AS ck,
+             CAST(YEAR(o.o_orderdate) AS INT) AS yr,
+             COUNT(*) AS cnt,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS sales
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN lineitem r ON r.l_orderkey = l.l_orderkey
+           AND r.l_linenumber = l.l_linenumber AND r.l_returnflag = 'R'
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE YEAR(o.o_orderdate) IN (1995, 1996)
+      GROUP BY l.l_partkey, o.o_custkey, YEAR(o.o_orderdate)
+    )
+    SELECT s1.pk AS partkey, s1.ck AS custkey,
+           CAST(s1.cnt AS BIGINT) AS cnt_1995,
+           CAST(ROUND(s1.sales, 2) AS DOUBLE) AS sales_1995,
+           CAST(s2.cnt AS BIGINT) AS cnt_1996,
+           CAST(ROUND(s2.sales, 2) AS DOUBLE) AS sales_1996
+    FROM cs s1 JOIN cs s2 ON s1.pk = s2.pk AND s1.ck = s2.ck
+    WHERE s1.yr = 1995 AND s2.yr = 1996 AND s2.cnt <= s1.cnt
+    ORDER BY partkey, custkey
+    LIMIT 100
+    """,
+)
+
 # TPC-DS Q82 shape: attribute-banded items held in inventory within a
 # quantity band and actually sold (IN semi-join to the fact).
 sql_query(

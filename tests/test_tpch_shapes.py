@@ -112,11 +112,12 @@ def test_tpcds_plan_no_cartesian(spark, sf_dir, name):
     assert "CartesianProduct" not in plan, name
 
 
-def test_tpcds_suite_runs_54_shapes(spark, sf_dir):
+def test_tpcds_suite_runs_55_shapes(spark, sf_dir):
     # 22 through r10; +23 in r11 (q4/q13/q28/q31/q32/q35/q37/q39/q40/q46/
     # q48/q49/q50/q58/q69/q71/q72/q75/q77/q84/q89/q93/q97); +9 in r12
-    # over derived analog CTEs (q21/q29/q41/q44/q47/q66/q78/q82/q85)
-    assert len(_TPCDS_ALL) == 54
+    # over derived analog CTEs (q21/q29/q41/q44/q47/q66/q78/q82/q85);
+    # +q64 (the cross_sales composite, r12)
+    assert len(_TPCDS_ALL) == 55
 
 
 @pytest.mark.parametrize(
