@@ -91,6 +91,15 @@ def _extract_range_partition_clause(q: str):
     return cols, spec, q[:m.start()] + " " + q[j + 1:]
 
 
+def _sql_literal(v) -> str:
+    """Render a range-partition bound back to SQL literal text."""
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(v)
+
+
 _CREATE_LIKE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<table>[\w`]+)\s+LIKE\s+(?P<like>[\w`]+)\s*$",
     re.IGNORECASE,
@@ -1181,7 +1190,37 @@ class ImpalaEngine:
         t = ddl.table_info(table)
         if t is not None:
             cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in self.spark.table(table).schema.fields)
-            part = f" PARTITIONED BY ({', '.join(t.partition_cols)})" if t.partition_cols else ""
+            if t.bucket_cols:
+                # Kudu-style hash layout: the reference's SHOW CREATE
+                # TABLE emits the PARTITION BY clause (ToSqlUtils)
+                part = (
+                    f" PARTITION BY HASH ({', '.join(t.bucket_cols)})"
+                    f" PARTITIONS {t.num_buckets}"
+                )
+            elif t.range_col:
+                items = []
+                for item in t.range_spec:
+                    if item[0] == "value":
+                        items.append(
+                            f"PARTITION VALUE = {_sql_literal(item[1])}"
+                        )
+                    else:
+                        _, lo, loi, hi, hii = item
+                        seg = ""
+                        if lo is not None:
+                            seg += f"{_sql_literal(lo)} {'<=' if loi else '<'} "
+                        seg += "VALUES"
+                        if hi is not None:
+                            seg += f" {'<=' if hii else '<'} {_sql_literal(hi)}"
+                        items.append(f"PARTITION {seg}")
+                part = (
+                    f" PARTITION BY RANGE ({t.range_col})"
+                    f" ({', '.join(items)})"
+                )
+            elif t.partition_cols:
+                part = f" PARTITIONED BY ({', '.join(t.partition_cols)})"
+            else:
+                part = ""
             ddl_text = f"CREATE TABLE {table} ({cols}) STORED AS PARQUET{part} LOCATION '{t.path}'"
             return self.spark.createDataFrame([(ddl_text,)], "createtab_stmt: string")
         try:

@@ -750,3 +750,31 @@ class TestRangePartitioned:
                 "CREATE TABLE rng_bad PARTITION BY RANGE (nope)"
                 " (PARTITION VALUES < 10) AS SELECT o_custkey FROM orders"
             )
+
+    def test_show_create_table_emits_range_and_hash_specs(self, spark):
+        from impala_spark.engine import _extract_range_partition_clause
+
+        eng = self._engine(spark)
+        eng.sql("DROP TABLE IF EXISTS rng_sc")
+        eng.sql(
+            "CREATE TABLE rng_sc (id BIGINT, v STRING, PRIMARY KEY (id))"
+            " PARTITION BY RANGE (id)"
+            " (PARTITION VALUES < 10, PARTITION 10 <= VALUES < 20,"
+            " PARTITION 20 <= VALUES) STORED AS KUDU"
+        )
+        txt = eng.sql("SHOW CREATE TABLE rng_sc").collect()[0][0]
+        assert "PARTITION BY RANGE (id)" in txt, txt
+        # the emitted clause extracts back to the SAME spec (round-trip)
+        cols, spec, _ = _extract_range_partition_clause(txt)
+        assert cols == ["id"]
+        from impala_spark import ddl as _ddl
+
+        assert spec == _ddl.table_info("rng_sc").range_spec, (spec, txt)
+        eng.sql("DROP TABLE rng_sc")
+        eng.sql(
+            "CREATE TABLE hsh_sc PARTITION BY HASH(o_orderkey) PARTITIONS 4"
+            " AS SELECT o_orderkey FROM orders LIMIT 10"
+        )
+        txt = eng.sql("SHOW CREATE TABLE hsh_sc").collect()[0][0]
+        assert "PARTITION BY HASH (o_orderkey) PARTITIONS 4" in txt, txt
+        eng.sql("DROP TABLE hsh_sc")
