@@ -44,12 +44,13 @@ class ManagedTable:
     bucket_cols: list[str] = field(default_factory=list)
     num_buckets: int = 0
     catalog_name: str | None = None
-    #: Kudu-style RANGE partitioning (r12): the single range key column
-    #: and the declared partition spec — ("value", v) items map to a
-    #: Hive-style value-partitioned layout, ("bounds", lo, lo_incl, hi,
-    #: hi_incl) items to a range-clustered layout. Writes validate rows
-    #: against the spec (Kudu rejects rows outside every range).
-    range_col: str | None = None
+    #: Kudu-style RANGE partitioning (r12): the range key columns and the
+    #: declared partition spec — ("value", (v, ...)) items map to a
+    #: Hive-style value-partitioned layout, ("bounds", (lo, ...), lo_incl,
+    #: (hi, ...), hi_incl) items to a range-clustered layout (multi-column
+    #: keys compare lexicographically). Writes validate rows against the
+    #: spec (Kudu rejects rows outside every range).
+    range_cols: list[str] = field(default_factory=list)
     range_spec: list = field(default_factory=list)
 
 
@@ -282,6 +283,20 @@ def _parse_sql_literal(txt: str):
     )
 
 
+def _parse_sql_literal_tuple(txt: str) -> tuple:
+    """A range partition bound as a KEY TUPLE: multi-column range keys
+    spell bounds as parenthesized literal lists `(1, 'x')`
+    (KuduPartitionParam.java multi-column range rows); a bare literal is
+    a 1-tuple. Specs always store tuples so the membership predicate and
+    SHOW CREATE emission have one shape regardless of key arity."""
+    s = txt.strip()
+    if s.startswith("(") and s.endswith(")"):
+        return tuple(
+            _parse_sql_literal(p) for p in _split_top_commas_text(s[1:-1])
+        )
+    return (_parse_sql_literal(s),)
+
+
 def _split_top_commas_text(text: str) -> list[str]:
     """Comma split of raw SQL text, paren- and quote-aware."""
     out, depth, cur, quote = [], 0, [], None
@@ -333,7 +348,7 @@ def parse_range_partition_items(items_text: str) -> list:
         body = m.group(1).strip()
         mv = re.match(r"(?is)^VALUES?\s*=\s*(.+)$", body)
         if mv:
-            items.append(("value", _parse_sql_literal(mv.group(1))))
+            items.append(("value", _parse_sql_literal_tuple(mv.group(1))))
             continue
         mb = re.match(
             r"(?is)^(?:(.+?)\s*(<=|<)\s*)?VALUES(?:\s*(<=|<)\s*(.+))?$", body
@@ -342,9 +357,9 @@ def parse_range_partition_items(items_text: str) -> list:
             raise ImpalaUnsupportedError(
                 f"cannot parse range partition spec: {s!r}"
             )
-        lo = _parse_sql_literal(mb.group(1)) if mb.group(1) else None
+        lo = _parse_sql_literal_tuple(mb.group(1)) if mb.group(1) else None
         lo_incl = mb.group(2) == "<=" if mb.group(2) else False
-        hi = _parse_sql_literal(mb.group(4)) if mb.group(4) else None
+        hi = _parse_sql_literal_tuple(mb.group(4)) if mb.group(4) else None
         hi_incl = mb.group(3) == "<=" if mb.group(3) else False
         items.append(("bounds", lo, lo_incl, hi, hi_incl))
     if not items:
@@ -352,52 +367,72 @@ def parse_range_partition_items(items_text: str) -> list:
     return items
 
 
-def _range_pred(col_name: str, spec: list):
+def _tuple_cmp(cols: list[str], lits: tuple, op: str):
+    """Lexicographic comparison of the key-column tuple against a literal
+    tuple — Kudu's multi-column range bounds compare row-wise
+    (KuduPartitionParam.java: bounds are partial rows ordered
+    lexicographically). op is one of > >= < <=."""
+    def rec(i: int):
+        c, l = F.col(cols[i]), F.lit(lits[i])
+        if i == len(lits) - 1:
+            return {">": c > l, ">=": c >= l, "<": c < l, "<=": c <= l}[op]
+        head = c > l if op[0] == ">" else c < l
+        return head | ((c == l) & rec(i + 1))
+    return rec(0)
+
+
+def _range_pred(cols: list[str], spec: list):
     """OR of the declared partitions' membership predicates. NULL keys
-    fall outside every range (Kudu: range key columns are non-nullable)."""
-    col = F.col(col_name)
+    fall outside every range (Kudu: range key columns are non-nullable).
+    Multi-column keys compare lexicographically (_tuple_cmp)."""
     preds = []
     for item in spec:
         if item[0] == "value":
-            preds.append(col == F.lit(item[1]))
+            p = F.lit(True)
+            for c, v in zip(cols, item[1]):
+                p = p & (F.col(c) == F.lit(v))
+            preds.append(p)
         else:
             _, lo, lo_incl, hi, hi_incl = item
             p = F.lit(True)
             if lo is not None:
-                p = p & (col >= F.lit(lo) if lo_incl else col > F.lit(lo))
+                p = p & _tuple_cmp(cols, lo, ">=" if lo_incl else ">")
             if hi is not None:
-                p = p & (col <= F.lit(hi) if hi_incl else col < F.lit(hi))
+                p = p & _tuple_cmp(cols, hi, "<=" if hi_incl else "<")
             preds.append(p)
     out = preds[0]
     for p in preds[1:]:
         out = out | p
+    # a NULL in any key column makes the comparison NULL -> outside
     return F.coalesce(out, F.lit(False))
 
 
-def _validate_in_range(df: DataFrame, t_name: str, col_name: str, spec: list) -> None:
+def _validate_in_range(df: DataFrame, t_name: str, cols: list[str], spec: list) -> None:
     """Kudu rejects writes whose key falls outside every declared range
     partition; we raise before writing anything (one limit-1 probe scan —
     error-path cost only when a violation exists is not avoidable without
     caching the input)."""
-    bad = df.filter(~_range_pred(col_name, spec)).select(col_name).limit(1).collect()
+    bad = df.filter(~_range_pred(cols, spec)).select(*cols).limit(1).collect()
     if bad:
+        got = bad[0][0] if len(cols) == 1 else tuple(bad[0])
         raise ImpalaUnsupportedError(
-            f"value {bad[0][0]!r} in column '{col_name}' does not belong to"
-            f" any declared range partition of table '{t_name}'"
+            f"value {got!r} in column(s) '{', '.join(cols)}' does not belong"
+            f" to any declared range partition of table '{t_name}'"
             " (KuduPartitionParam.java range bounds)"
         )
 
 
-def _range_cluster(df: DataFrame, col_name: str, n_ranges: int) -> DataFrame:
+def _range_cluster(df: DataFrame, cols: list[str], n_ranges: int) -> DataFrame:
     """Range-clustered write layout for bound-form partitions: shuffle into
     as many contiguous key slices as declared partitions and sort on the
     key within each, so every parquet row group spans a narrow key
     interval — range predicates then skip row groups at SCAN time via
     footer min/max (the pushed-filter path). The declared bounds are a
-    monotone step function of the key, so ordering by the key alone
-    preserves them."""
-    return df.repartitionByRange(max(n_ranges, 1), F.col(col_name)) \
-             .sortWithinPartitions(col_name)
+    monotone step function of the key tuple, and repartitionByRange over
+    the same column order is lexicographic, so ordering by the key columns
+    alone preserves them."""
+    return df.repartitionByRange(max(n_ranges, 1), *[F.col(c) for c in cols]) \
+             .sortWithinPartitions(*cols)
 
 
 def create_table_range_partitioned(
@@ -409,24 +444,33 @@ def create_table_range_partitioned(
     col_defs: str | None = None,
     primary_key: list[str] | None = None,
 ) -> DataFrame:
-    """CREATE TABLE ... PARTITION BY RANGE (col) (PARTITION ...) — the
+    """CREATE TABLE ... PARTITION BY RANGE (cols) (PARTITION ...) — the
     reference's Kudu range partitioning realized physically:
 
     * all-VALUE specs -> a Hive-style value-partitioned parquet layout
-      (one directory per declared value): Catalyst prunes partitions at
+      (one directory level per key column): Catalyst prunes partitions at
       PLANNING time for equality/range predicates on the key.
     * bound specs (lo <= VALUES < hi) -> a range-CLUSTERED layout via
       repartitionByRange + sortWithinPartitions (see _range_cluster).
 
     Rows outside every declared partition are rejected at write time,
-    like Kudu. Single-column keys only — the multi-column range grammar
-    analyzes (parser range checks) but has no physical mapping here."""
-    if len(range_cols) != 1:
-        raise ImpalaUnsupportedError(
-            "PARTITION BY RANGE over multiple columns is not supported as a"
-            f" physical layout (got {range_cols}); use a single range column"
+    like Kudu. Multi-column keys compare lexicographically (r12; bounds
+    must spell the FULL key tuple — Kudu's trailing-column min/max fill
+    for partial bound rows is not implemented)."""
+    range_cols = list(range_cols)
+    for item in spec:
+        bound_tuples = (
+            [item[1]] if item[0] == "value"
+            else [tv for tv in (item[1], item[3]) if tv is not None]
         )
-    rcol = range_cols[0]
+        for tv in bound_tuples:
+            if len(tv) != len(range_cols):
+                raise ImpalaUnsupportedError(
+                    f"range partition bound {tv!r} has {len(tv)} value(s)"
+                    f" for a {len(range_cols)}-column range key"
+                    f" ({', '.join(range_cols)}); spell the full key tuple"
+                    " (Kudu's partial-row min/max fill is not implemented)"
+                )
     value_layout = all(item[0] == "value" for item in spec)
     path = os.path.join(WAREHOUSE, name)
     if query_or_df is not None:
@@ -435,34 +479,37 @@ def create_table_range_partitioned(
             if isinstance(query_or_df, str)
             else query_or_df
         )
-        if rcol not in df.columns:
-            raise ValueError(
-                f"PARTITION BY RANGE column not in select list: {rcol}"
-            )
-        _validate_in_range(df, name, rcol, spec)
+        for rcol in range_cols:
+            if rcol not in df.columns:
+                raise ValueError(
+                    f"PARTITION BY RANGE column not in select list: {rcol}"
+                )
+        _validate_in_range(df, name, range_cols, spec)
         shutil.rmtree(path, ignore_errors=True)
         if value_layout:
-            (df.sortWithinPartitions(rcol).write.mode("overwrite")
-               .partitionBy(rcol).parquet(path))
+            (df.sortWithinPartitions(*range_cols).write.mode("overwrite")
+               .partitionBy(*range_cols).parquet(path))
         else:
-            _range_cluster(df, rcol, len(spec)).write.mode("overwrite").parquet(path)
+            _range_cluster(df, range_cols, len(spec)).write.mode("overwrite").parquet(path)
         t = ManagedTable(
-            name, path, [rcol] if value_layout else [], primary_key or [],
-            df.schema, range_col=rcol, range_spec=list(spec),
+            name, path, list(range_cols) if value_layout else [],
+            primary_key or [],
+            df.schema, range_cols=range_cols, range_spec=list(spec),
         )
         _REGISTRY[name] = t
         return _refresh_view(spark, t)
     # empty create with explicit columns
     cols, pk = _parse_col_defs(col_defs or "")
     names = {c.lower() for c, _t in cols}
-    if rcol.lower() not in names:
-        raise ValueError(f"PARTITION BY RANGE column not in column list: {rcol}")
+    for rcol in range_cols:
+        if rcol.lower() not in names:
+            raise ValueError(f"PARTITION BY RANGE column not in column list: {rcol}")
     create_table(spark, name, col_defs or "", primary_key=primary_key or pk)
     t = _REGISTRY[name]
-    t.range_col = rcol
+    t.range_cols = range_cols
     t.range_spec = list(spec)
     if value_layout:
-        t.partition_cols = [rcol]
+        t.partition_cols = list(range_cols)
     return _refresh_view(spark, t)
 
 
@@ -502,14 +549,14 @@ def insert(
         *[F.col(c).cast(f.dataType) for c, f in zip(target.columns, target.schema.fields)]
     )
     mode = "overwrite" if overwrite else "append"
-    if t.range_col:
+    if t.range_cols:
         # Kudu parity: rows outside every declared range partition are
         # rejected before anything is written
-        _validate_in_range(df, t.name, t.range_col, t.range_spec)
+        _validate_in_range(df, t.name, t.range_cols, t.range_spec)
         if not t.partition_cols:
             # bound-form layout: keep appended files range-clustered so
             # footer min/max stays the skipping lever
-            df = _range_cluster(df, t.range_col, len(t.range_spec))
+            df = _range_cluster(df, t.range_cols, len(t.range_spec))
     if t.catalog_name:
         # bucketed target: insertInto preserves the catalog bucket spec
         # (a plain path write would interleave unbucketed files and
@@ -864,7 +911,7 @@ def alter_table(spark: SparkSession, stmt: str) -> DataFrame:
             raise ImpalaUnsupportedError(
                 f"Cannot drop hash partition column: {col.lower()}"
             )
-        if t.range_col and col.lower() == t.range_col.lower():
+        if col.lower() in {r.lower() for r in t.range_cols}:
             raise ImpalaUnsupportedError(
                 f"Cannot drop range partition column: {col.lower()}"
             )
@@ -883,7 +930,7 @@ def alter_table(spark: SparkSession, stmt: str) -> DataFrame:
             raise ImpalaUnsupportedError(
                 f"Cannot modify hash partition column: {old.lower()}"
             )
-        if t.range_col and old.lower() == t.range_col.lower():
+        if old.lower() in {r.lower() for r in t.range_cols}:
             raise ImpalaUnsupportedError(
                 f"Cannot modify range partition column: {old.lower()}"
             )
@@ -1013,10 +1060,10 @@ def _overwrite(spark: SparkSession, t: ManagedTable, df: DataFrame) -> DataFrame
         df.sortWithinPartitions(*t.partition_cols).write.mode("overwrite").partitionBy(
             *t.partition_cols
         ).parquet(staging)
-    elif t.range_col:
+    elif t.range_cols:
         # bound-form range layout: a rewrite (UPDATE/DELETE/ALTER)
         # re-clusters so footer min/max stays the skipping lever
-        _range_cluster(df, t.range_col, len(t.range_spec)).write.mode(
+        _range_cluster(df, t.range_cols, len(t.range_spec)).write.mode(
             "overwrite"
         ).parquet(staging)
     else:

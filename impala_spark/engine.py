@@ -1197,24 +1197,31 @@ class ImpalaEngine:
                     f" PARTITION BY HASH ({', '.join(t.bucket_cols)})"
                     f" PARTITIONS {t.num_buckets}"
                 )
-            elif t.range_col:
+            elif t.range_cols:
+                single = len(t.range_cols) == 1
+
+                def emit(tv) -> str:
+                    # scalar spelling for 1-column keys (round-trips the
+                    # common form); tuple spelling for multi-column keys
+                    if single:
+                        return _sql_literal(tv[0])
+                    return "(" + ", ".join(_sql_literal(v) for v in tv) + ")"
+
                 items = []
                 for item in t.range_spec:
                     if item[0] == "value":
-                        items.append(
-                            f"PARTITION VALUE = {_sql_literal(item[1])}"
-                        )
+                        items.append(f"PARTITION VALUE = {emit(item[1])}")
                     else:
                         _, lo, loi, hi, hii = item
                         seg = ""
                         if lo is not None:
-                            seg += f"{_sql_literal(lo)} {'<=' if loi else '<'} "
+                            seg += f"{emit(lo)} {'<=' if loi else '<'} "
                         seg += "VALUES"
                         if hi is not None:
-                            seg += f" {'<=' if hii else '<'} {_sql_literal(hi)}"
+                            seg += f" {'<=' if hii else '<'} {emit(hi)}"
                         items.append(f"PARTITION {seg}")
                 part = (
-                    f" PARTITION BY RANGE ({t.range_col})"
+                    f" PARTITION BY RANGE ({', '.join(t.range_cols)})"
                     f" ({', '.join(items)})"
                 )
             elif t.partition_cols:

@@ -2495,6 +2495,52 @@ def q_range_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+_RANGE_MULTI_ORACLE = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+    FROM lineitem WHERE l_returnflag >= 'N'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("ddl_range_partition_multi", oracle=_RANGE_MULTI_ORACLE)
+def q_range_partition_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column Kudu RANGE key (r12; A/KuduPartitionParam.java
+    multi-column range rows): bounds are FULL key tuples compared
+    lexicographically — `('N','F') <= VALUES < ('R','F')` — and the
+    layout range-clusters on the same column order (repartitionByRange is
+    lexicographic too), so a predicate on the leading key column still
+    skips row groups via footer min/max. Out-of-range tuples and NULL in
+    any key column are rejected at write time like Kudu."""
+    import re as _re
+
+    from impala_spark.engine import ImpalaEngine as _Eng
+
+    eng = _Eng(spark, sf_dir)
+    eng.sql(
+        "CREATE TABLE rngp_mc PARTITION BY RANGE (l_returnflag, l_linestatus)"
+        " (PARTITION VALUES < ('N', 'F'),"
+        " PARTITION ('N', 'F') <= VALUES < ('R', 'F'),"
+        " PARTITION ('R', 'F') <= VALUES)"
+        " AS SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem"
+    )
+    df = eng.sql(
+        "SELECT l_returnflag, l_linestatus,"
+        " CAST(COUNT(*) AS BIGINT) AS n,"
+        " CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty"
+        " FROM rngp_mc WHERE l_returnflag >= 'N'"
+        " GROUP BY l_returnflag, l_linestatus"
+        " ORDER BY l_returnflag, l_linestatus"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert _re.search(
+        r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_returnflag,N\)", plan
+    ), plan[:800]
+    return df
+
+
 @register(
     "meta_load_data",
     "SELECT CAST(COUNT(*) * 2 AS BIGINT) AS n FROM region",

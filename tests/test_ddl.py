@@ -707,6 +707,58 @@ class TestRangePartitioned:
             eng.sql("INSERT INTO rng_b VALUES (NULL, 1.0)")
         eng.sql("DROP TABLE rng_b")
 
+    def test_multi_column_range_key(self, spark):
+        """Multi-column range keys (A/KuduPartitionParam.java multi-column
+        range rows): bounds are full key tuples compared lexicographically;
+        VALUE specs become a two-level Hive-style layout with planning-time
+        pruning on both columns."""
+        from impala_spark.engine import _extract_range_partition_clause
+        from impala_spark.parser import ImpalaUnsupportedError
+        from impala_spark import ddl
+
+        eng = self._engine(spark)
+        eng.sql("DROP TABLE IF EXISTS rng_mc")
+        # bounds form over (l_returnflag, l_linestatus): present pairs are
+        # (A,F) (N,F) (N,O) (R,F); the three slices split them 1/2/1
+        eng.sql(
+            "CREATE TABLE rng_mc PARTITION BY RANGE (l_returnflag, l_linestatus)"
+            " (PARTITION VALUES < ('N', 'F'),"
+            " PARTITION ('N', 'F') <= VALUES < ('R', 'F'),"
+            " PARTITION ('R', 'F') <= VALUES)"
+            " AS SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem"
+        )
+        assert spark.table("rng_mc").count() == spark.table("lineitem").count()
+        # lexicographic membership: a row above every declared partition's
+        # bounds is rejected, as is a NULL in ANY key column
+        with pytest.raises(ImpalaUnsupportedError, match="range partition"):
+            eng.sql("INSERT INTO rng_mc VALUES ('R', NULL, 1.0)")
+        eng.sql("INSERT INTO rng_mc VALUES ('Z', 'Z', 1.0)")  # in last (open) slice
+        # SHOW CREATE round-trips the multi-column tuple spelling
+        txt = eng.sql("SHOW CREATE TABLE rng_mc").collect()[0][0]
+        assert "PARTITION BY RANGE (l_returnflag, l_linestatus)" in txt, txt
+        cols, spec, _ = _extract_range_partition_clause(txt)
+        assert cols == ["l_returnflag", "l_linestatus"]
+        assert spec == ddl.table_info("rng_mc").range_spec, (spec, txt)
+        eng.sql("DROP TABLE rng_mc")
+        # VALUE form: two-level value-partitioned layout, pruned on both keys
+        eng.sql(
+            "CREATE TABLE rng_mcv (id INT, a STRING, b STRING, PRIMARY KEY (id))"
+            " PARTITION BY RANGE (a, b)"
+            " (PARTITION VALUE = ('x', '1'), PARTITION VALUE = ('x', '2'),"
+            " PARTITION VALUE = ('y', '1')) STORED AS KUDU"
+        )
+        eng.sql(
+            "INSERT INTO rng_mcv VALUES (1,'x','1'), (2,'x','2'), (3,'y','1')"
+        )
+        with pytest.raises(ImpalaUnsupportedError, match="range partition"):
+            eng.sql("INSERT INTO rng_mcv VALUES (4, 'y', '2')")
+        df = eng.sql("SELECT COUNT(*) AS n FROM rng_mcv WHERE a = 'x' AND b = '2'")
+        assert df.collect()[0][0] == 1
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "a" in m.group(1) and "b" in m.group(1), plan
+        eng.sql("DROP TABLE rng_mcv")
+
     def test_range_key_alter_guards_and_modify(self, spark):
         from impala_spark.parser import ImpalaUnsupportedError
 
@@ -735,7 +787,9 @@ class TestRangePartitioned:
         from impala_spark.parser import ImpalaUnsupportedError
 
         eng = self._engine(spark)
-        with pytest.raises(ImpalaUnsupportedError, match="multiple columns"):
+        with pytest.raises(ImpalaUnsupportedError, match="full key tuple"):
+            # partial bound row for a 2-column key: Kudu would min-fill the
+            # trailing column; we require the full tuple, with a clear error
             eng.sql(
                 "CREATE TABLE rng_bad PARTITION BY RANGE (o_custkey, o_orderkey)"
                 " (PARTITION VALUES < 10) AS SELECT * FROM orders"
