@@ -222,6 +222,14 @@ class ImpalaEngine:
         self._stats_versions: dict[str, int] = {}
         if sf_dir:
             register_tables(spark, sf_dir)
+        # Impala's fnv_hash/murmur_hash have no Spark builtin equivalent —
+        # register the exact-value pandas UDFs once per session (guarded:
+        # engines are constructed per statement batch in some callers).
+        if not getattr(spark, "_impala_hash_udfs", False):
+            from impala_spark.functions import register_hash_udfs
+
+            register_hash_udfs(spark)
+            spark._impala_hash_udfs = True
 
     # -- the main path (Frontend.createExecRequest analog) -----------------
     def sql(self, query: str) -> DataFrame:

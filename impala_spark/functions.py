@@ -231,6 +231,68 @@ def register_udfs(spark) -> list[str]:
     return ["add_tax", "geomean"]
 
 
+def register_hash_udfs(spark) -> list[str]:
+    """Impala's hash builtins over STRING input (BuiltinsDb fnv_hash /
+    murmur_hash): exact FNV-1a 64 and MurmurHash2 64A (seed 0) over the
+    UTF-8 bytes, returned as the signed-64 wrap the reference returns.
+    Both algorithms are public (Fowler–Noll–Vo; Appleby's MurmurHash2).
+
+    These are Arrow-batched pandas UDFs — a per-string byte loop is the
+    honest implementation of a byte-sequential hash. When the exact
+    Impala hash values don't matter (partitioning, sampling, bucketing),
+    prefer Spark's JVM-side xxhash64 — this surface exists for value
+    parity with queries written against the reference."""
+    from pyspark.sql.functions import pandas_udf
+
+    _MASK = (1 << 64) - 1
+
+    def _signed(h: int) -> int:
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    def _fnv1a(data: bytes) -> int:
+        h = 0xCBF29CE484222325
+        for b in data:
+            h = ((h ^ b) * 0x100000001B3) & _MASK
+        return _signed(h)
+
+    def _murmur64a(data: bytes, seed: int = 0) -> int:
+        m, r = 0xC6A4A7935BD1E995, 47
+        h = (seed ^ ((len(data) * m) & _MASK)) & _MASK
+        n8 = len(data) - (len(data) % 8)
+        for i in range(0, n8, 8):
+            k = int.from_bytes(data[i:i + 8], "little")
+            k = (k * m) & _MASK
+            k ^= k >> r
+            k = (k * m) & _MASK
+            h = ((h ^ k) * m) & _MASK
+        tail = data[n8:]
+        if tail:
+            h ^= int.from_bytes(tail, "little")
+            h = (h * m) & _MASK
+        h ^= h >> r
+        h = (h * m) & _MASK
+        h ^= h >> r
+        return _signed(h)
+
+    @pandas_udf("bigint")
+    def fnv_hash(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if v is None else _fnv1a(str(v).encode("utf-8")) for v in s],
+            dtype="Int64",
+        )
+
+    @pandas_udf("bigint")
+    def murmur_hash(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if v is None else _murmur64a(str(v).encode("utf-8")) for v in s],
+            dtype="Int64",
+        )
+
+    spark.udf.register("fnv_hash", fnv_hash)
+    spark.udf.register("murmur_hash", murmur_hash)
+    return ["fnv_hash", "murmur_hash"]
+
+
 def asc_impala(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return c.asc_nulls_last()

@@ -832,6 +832,84 @@ def _rewrite_functions(tokens: list[Token]) -> list[Token]:
             close = _matching_paren(out, j)
             out[i] = Token("word", "nullif")
             out.insert(close, Token("word", ", 0"))
+        elif name in ("is_inf", "is_nan"):
+            # ScalarBuiltins MathFunctions is_inf/is_nan. Impala
+            # propagates NULL; Spark's isnan(NULL) is false and it has no
+            # isinf, so spell both explicitly. is_nan re-evaluates the
+            # argument once in the NULL test (same duplication pattern as
+            # truncate's decimal-places arg).
+            close = _matching_paren(out, j)
+            args = _split_args(out, j, close)
+            if len(args) == 1:
+                if name == "is_inf":
+                    repl = (
+                        f"(abs(CAST(({args[0]}) AS DOUBLE))"
+                        " = CAST('Infinity' AS DOUBLE))"
+                    )
+                else:
+                    repl = (
+                        f"IF(({args[0]}) IS NULL, CAST(NULL AS BOOLEAN),"
+                        f" isnan(CAST(({args[0]}) AS DOUBLE)))"
+                    )
+                _replace_call(out, i, close, repl)
+        elif name == "regexp_escape":
+            # ScalarBuiltins regexp_escape = RE2::QuoteMeta: every char
+            # outside [A-Za-z0-9_] gets a backslash prefix.
+            close = _matching_paren(out, j)
+            args = _split_args(out, j, close)
+            if len(args) == 1:
+                _replace_call(
+                    out, i, close,
+                    f"regexp_replace({args[0]}, '([^a-zA-Z0-9_])', '\\\\\\\\$1')",
+                )
+        elif name == "int_months_between":
+            # ScalarBuiltins int_months_between: months_between truncated
+            # toward zero (CAST double->INT truncates, ANSI off).
+            close = _matching_paren(out, j)
+            args = _split_args(out, j, close)
+            if len(args) == 2:
+                _replace_call(
+                    out, i, close,
+                    f"CAST(months_between(CAST(({args[0]}) AS TIMESTAMP),"
+                    f" CAST(({args[1]}) AS TIMESTAMP)) AS INT)",
+                )
+        elif name == "millisecond":
+            # ScalarBuiltins millisecond(ts): the milliseconds part.
+            close = _matching_paren(out, j)
+            args = _split_args(out, j, close)
+            if len(args) == 1:
+                _replace_call(
+                    out, i, close,
+                    f"CAST(date_format(CAST(({args[0]}) AS TIMESTAMP), 'SSS') AS INT)",
+                )
+        elif name == "utc_timestamp":
+            # ScalarBuiltins utc_timestamp(): now() shifted to UTC.
+            close = _matching_paren(out, j)
+            _replace_call(
+                out, i, close,
+                "to_utc_timestamp(current_timestamp(), current_timezone())",
+            )
+        elif name in ("effective_user", "logged_in_user"):
+            # Sentry-era user identity builtins: without an authorization
+            # layer they all resolve to the connected user, like user().
+            close = _matching_paren(out, j)
+            _replace_call(out, i, close, "current_user()")
+        elif name == "pid":
+            # UtilityFunctions pid(): the coordinator process id — here
+            # the Spark driver (the coordinator analog). Bound at
+            # translate time; a constant for the statement's lifetime,
+            # exactly like the reference (one coordinator per query).
+            import os as _os
+
+            close = _matching_paren(out, j)
+            _replace_call(out, i, close, f"CAST({_os.getpid()} AS INT)")
+        elif name == "coordinator":
+            # UtilityFunctions coordinator(): hostname of the node
+            # coordinating the query — the Spark driver host.
+            import socket as _socket
+
+            close = _matching_paren(out, j)
+            _replace_call(out, i, close, f"'{_socket.gethostname()}'")
         elif name == "isnull":
             # Impala isnull(a, b) is 2-arg NVL (ScalarBuiltins); Spark's
             # isnull(a) is 1-arg. Rename only the 2-arg form.

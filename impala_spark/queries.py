@@ -3895,6 +3895,58 @@ sql_query(
     """,
 )
 
+# Hash + utility builtin tail (r12; BuiltinsDb fnv_hash/murmur_hash +
+# UtilityFunctions + ScalarBuiltins math predicates). fnv/murmur are
+# exact-value implementations (FNV-1a 64 public vectors; MurmurHash2 64A
+# seed 0) as Arrow-batched UDFs; the rest are pure translate rewrites.
+# Boolean-contract oracle: DuckDB can't compute these hashes, so the
+# Spark side reduces to literal-checkable booleans the oracle re-emits.
+@register(
+    "expr_hash_utility_builtins",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_names,
+           TRUE AS fnv_vectors_ok, TRUE AS murmur_vectors_ok,
+           TRUE AS hashes_injective_here,
+           TRUE AS inf_nan_ok, TRUE AS datetime_tail_ok, TRUE AS escape_ok
+    FROM nation
+    """,
+)
+def q_hash_utility_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impala builtins with no Spark twin: fnv_hash/murmur_hash (exact
+    64-bit values, signed wrap like the reference), is_inf/is_nan (NULL
+    propagating), regexp_escape (RE2 QuoteMeta), int_months_between,
+    millisecond, utc_timestamp, effective_user, pid, coordinator.
+    catalog/BuiltinsDb.java + generated ScalarBuiltins surface."""
+    from impala_spark.functions import register_hash_udfs
+
+    register_hash_udfs(spark)
+    register_tables(spark, sf_dir)
+    q = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_names,
+           bool_and(fnv_hash('a') = -5808556873153909620
+                    AND fnv_hash('abc') = -1792535898324117685
+                    AND fnv_hash(CAST(NULL AS STRING)) IS NULL) AS fnv_vectors_ok,
+           bool_and(murmur_hash('abc') = -7148968302806999301
+                    AND murmur_hash('abcdefgh') = -5775019520204625256
+                    AND murmur_hash('') = 0) AS murmur_vectors_ok,
+           (COUNT(DISTINCT fnv_hash(n_name)) = COUNT(DISTINCT n_name)
+            AND COUNT(DISTINCT murmur_hash(n_name)) = COUNT(DISTINCT n_name))
+               AS hashes_injective_here,
+           bool_and(is_inf(CAST('Infinity' AS DOUBLE))
+                    AND NOT is_inf(CAST(n_nationkey AS DOUBLE))
+                    AND is_nan(CAST('NaN' AS DOUBLE)) AND NOT is_nan(1.0)
+                    AND is_nan(CAST(NULL AS DOUBLE)) IS NULL) AS inf_nan_ok,
+           bool_and(int_months_between('2020-03-15', '2020-01-01') = 2
+                    AND millisecond(CAST('2020-01-01 00:00:00.123' AS TIMESTAMP)) = 123
+                    AND utc_timestamp() IS NOT NULL
+                    AND effective_user() IS NOT NULL
+                    AND pid() > 0 AND length(coordinator()) > 0) AS datetime_tail_ok,
+           bool_and(regexp_escape('a.b+c') = 'a\\\\.b\\\\+c') AS escape_ok
+    FROM nation
+    """
+    return spark.sql(translate(q))
+
+
 # Postfix `!` factorial vs prefix `!` NOT (analysis/ArithmeticExpr.java:
 # 40-50): `n!` computes factorial, `!bool` negates — position decides.
 sql_query(

@@ -56,6 +56,11 @@ SCALARS = [
     # cast family incl. char/varchar length semantics
     "CAST(i AS STRING)", "CAST(s AS CHAR(5))", "CAST(s AS VARCHAR(2))",
     "CAST(d AS DECIMAL(10,2))", "typeof(i)",
+    # r12 additions: math predicates, regex quoting, datetime tail,
+    # utility/identity builtins (UtilityFunctions + ScalarBuiltins)
+    "is_inf(d)", "is_nan(d)", "regexp_escape(s)",
+    "int_months_between(ts, ts)", "millisecond(ts)", "utc_timestamp()",
+    "effective_user()", "pid()", "coordinator()",
 ]
 
 AGGREGATES = [
@@ -109,3 +114,55 @@ def test_semantic_spot_checks(spark):
     assert row.it is False and row.int_ is True
     assert row.v3 == "abc" and row.c5len == 5
     assert row.fact == 120
+
+
+def test_math_predicate_semantics(spark):
+    row = spark.sql(translate(
+        "SELECT is_inf(CAST('Infinity' AS DOUBLE)) AS pi_, "
+        "is_inf(CAST('-Infinity' AS DOUBLE)) AS ni, "
+        "is_inf(1.5) AS fi, is_inf(CAST(NULL AS DOUBLE)) AS nui, "
+        "is_inf(CAST('NaN' AS DOUBLE)) AS nani, "
+        "is_nan(CAST('NaN' AS DOUBLE)) AS tn, is_nan(1.5) AS fn_, "
+        "is_nan(CAST(NULL AS DOUBLE)) AS nun, "
+        "regexp_escape('a.b+c') AS esc, "
+        "int_months_between('2020-03-15', '2020-01-01') AS imb, "
+        "millisecond(TIMESTAMP '2020-01-01 00:00:00.123') AS ms "
+        "FROM (SELECT 1) t"
+    )).first()
+    assert row.pi_ is True and row.ni is True and row.fi is False
+    assert row.nui is None and row.nani is False
+    assert row.tn is True and row.fn_ is False and row.nun is None
+    assert row.esc == r"a\.b\+c"
+    assert row.imb == 2
+    assert row.ms == 123
+
+
+def test_hash_builtins_exact_values(spark):
+    """fnv_hash/murmur_hash return the reference's exact 64-bit values:
+    FNV-1a 64 pinned by the public test vectors (offset basis for '',
+    0xaf63dc4c8601ec8c for 'a'); MurmurHash2 64A (seed 0) pinned by the
+    canonical algorithm's outputs (regression pins)."""
+    from impala_spark.functions import register_hash_udfs
+
+    register_hash_udfs(spark)
+    row = spark.sql(
+        "SELECT fnv_hash('') AS f0, fnv_hash('a') AS fa, fnv_hash('abc') AS fabc,"
+        " fnv_hash(CAST(NULL AS STRING)) AS fn_,"
+        " murmur_hash('') AS m0, murmur_hash('abc') AS mabc,"
+        " murmur_hash('abcdefgh') AS m8,"  # exactly one 8-byte block
+        " murmur_hash(CAST(NULL AS STRING)) AS mn"
+    ).first()
+    mask = (1 << 64) - 1
+    assert row.f0 & mask == 0xCBF29CE484222325  # FNV offset basis
+    assert row.fa & mask == 0xAF63DC4C8601EC8C  # public FNV-1a vector
+    assert row.fabc == -1792535898324117685
+    assert row.fn_ is None and row.mn is None
+    assert row.m0 == 0  # MurmurHash64A(empty, seed 0)
+    assert row.mabc == -7148968302806999301
+    assert row.m8 == -5775019520204625256
+    # determinism + injectivity on a realistic column
+    agg = spark.sql(
+        "SELECT COUNT(DISTINCT fnv_hash(s)) AS nf, COUNT(DISTINCT murmur_hash(s)) AS nm,"
+        " COUNT(DISTINCT s) AS ns FROM (SELECT CAST(id AS STRING) AS s FROM RANGE(500))"
+    ).first()
+    assert agg.nf == agg.ns == agg.nm == 500
