@@ -2422,7 +2422,7 @@ def q_hash_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RANGE_VALUE_ORACLE = """
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(o_totalprice) AS DOUBLE) AS total
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
     FROM orders WHERE o_orderstatus = 'O'
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -2450,7 +2450,9 @@ def q_range_partition_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = eng.sql(
         "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,"
-        " CAST(SUM(o_totalprice) AS DOUBLE) AS total"
+        # decimal sum: double accumulation order diverges from DuckDB at
+        # sf1 magnitudes (same fix as the bounds-form entry)
+        " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total"
         " FROM rngp_v WHERE o_orderstatus = 'O'"
         " GROUP BY o_orderpriority ORDER BY o_orderpriority"
     )
