@@ -193,8 +193,22 @@ def _ntz_outputs(df: DataFrame) -> DataFrame:
 class ImpalaEngine:
     """SQL-string front door with Impala dialect + statement surface."""
 
-    def __init__(self, spark: SparkSession, sf_dir: str | None = None, strict: bool = False):
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str | None = None,
+        strict: bool = False,
+        server_name: str | None = None,
+        user: str | None = None,
+    ):
         self.spark = spark
+        #: Sentry-style authorization (authz.py; SURVEY §2 row 15).
+        #: server_name=None (the default, like the reference without
+        #: --server_name) disables it entirely: auth statements raise the
+        #: AuthorizationStmt gating text and no privilege checks run.
+        from impala_spark.authz import AuthzPolicy
+
+        self._authz = AuthzPolicy(server_name=server_name, user=user)
         #: strict=True: reject what Impala 2.7's analyzer rejects (exact
         #: messages); default is the permissive Spark superset.
         self.strict = strict
@@ -234,6 +248,15 @@ class ImpalaEngine:
     # -- the main path (Frontend.createExecRequest analog) -----------------
     def sql(self, query: str) -> DataFrame:
         q = query.strip().rstrip(";")
+
+        from impala_spark import authz as _authz_mod
+
+        if _authz_mod.is_authz_statement(q):
+            # CREATE/DROP ROLE, GRANT/REVOKE, SHOW ROLES/GRANT ROLE —
+            # privilege checks on catalog objects are skipped for these
+            # (GrantRevokePrivStmt.java:31-34)
+            return self._authz.execute(self.spark, q, engine=self)
+        self._enforce_authz(q)
 
         m = _EXPLAIN_RE.match(q)
         if m and m.group(1).strip().upper().split()[0] not in ("ANALYZE",):
@@ -531,6 +554,51 @@ class ImpalaEngine:
         if sess is not self.spark:
             df = _ntz_outputs(df)
         return df
+
+    def _enforce_authz(self, q: str) -> None:
+        """Privilege enforcement (authorization/AuthorizationChecker.java
+        — the reference's Frontend registers PrivilegeRequests during
+        analysis and fails before planning). No-op unless the engine was
+        constructed with server_name. Classification is by statement
+        kind; referenced tables come from the rewrite layer's resolver,
+        with its 'unknown shape' answer treated conservatively (only a
+        database- or server-scope grant authorizes). SHOW/DESCRIBE
+        metadata surfaces are not gated (documented simplification —
+        the reference requires ANY on the object)."""
+        if not self._authz.server_name:
+            return
+        from impala_spark.rewrites import referenced_base_tables
+
+        mw = re.match(r"\s*([A-Za-z_]+)", q)
+        head = mw.group(1).upper() if mw else ""
+        if head in ("SELECT", "WITH", "VALUES"):
+            refs = referenced_base_tables(q)
+            self._authz.check_access(
+                self.spark, q, "SELECT",
+                sorted(refs) if refs is not None else None,
+            )
+        elif head in ("INSERT", "UPSERT"):
+            m = re.match(
+                r"(?is)^\s*(?:INSERT|UPSERT)\s+(?:INTO|OVERWRITE)\s+"
+                r"(?:TABLE\s+)?(`[^`]+`|[\w.]+)", q)
+            target = m.group(1).strip("`") if m else None
+            sel = q[q.upper().find("SELECT"):] if "SELECT" in q.upper() else ""
+            refs = referenced_base_tables(sel) if sel else set()
+            self._authz.check_access(
+                self.spark, q, "INSERT",
+                sorted(refs) if refs is not None else None, target,
+            )
+        elif head in ("UPDATE", "DELETE", "TRUNCATE"):
+            m = re.match(
+                r"(?is)^\s*(?:UPDATE\s+|DELETE\s+FROM\s+|TRUNCATE\s+"
+                r"(?:TABLE\s+)?)(`[^`]+`|[\w.]+)", q)
+            if m:
+                self._authz.check_access(
+                    self.spark, q, head, [], m.group(1).strip("`"))
+        elif head in ("CREATE", "DROP", "ALTER") and re.match(
+                r"(?is)^\s*\w+\s+(TABLE|VIEW)\b", q):
+            self._authz.check_access(
+                self.spark, q, "DROP" if head == "DROP" else "CREATE", [])
 
     def _route_session(self, q: str):
         """Pick the session a plain query plans in. After COMPUTE STATS

@@ -3897,6 +3897,58 @@ sql_query(
     """,
 )
 
+# Sentry-style authorization (r12; SURVEY §2 row 15, previously out of
+# scope): CREATE/DROP ROLE, GRANT/REVOKE role + privileges, SHOW
+# surfaces, and query-time enforcement (authz.py; AnalyzeAuthStmtsTest
+# texts pinned in tests/test_authz.py). The policy catalog is
+# deterministic engine state, so the SHOW GRANT ROLE surface is the
+# oracle-checkable result.
+@register(
+    "meta_authz_roles",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('database', 'default', '', '', '', 'all', TRUE),
+      ('table', 'default', 'orders', '', '', 'select', FALSE),
+      ('table', 'default', 'lineitem', 'l_orderkey', '', 'select', FALSE),
+      ('table', 'default', 'lineitem', 'l_quantity', '', 'select', FALSE)
+    ) AS t(scope, "database", "table", "column", uri, privilege, grant_option)
+    ORDER BY scope, "table", "column"
+    """,
+)
+def q_authz_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role + privilege lifecycle (analysis/CreateDropRoleStmt.java,
+    GrantRevokePrivStmt.java, ShowGrantRoleStmt.java; enforcement
+    authorization/AuthorizationChecker.java): create a role, grant it to
+    a group, grant table/database/column privileges, verify enforcement
+    denies an ungranted read, and return the SHOW GRANT ROLE surface."""
+    eng = ImpalaEngine(
+        spark, sf_dir=sf_dir, server_name="server1", user="authz_demo"
+    )
+    eng._authz.user_groups = {"authz_demo": {"demo_group"}}
+    for stmt in (
+        "CREATE ROLE demo_reader",
+        "GRANT ROLE demo_reader TO GROUP demo_group",
+        "GRANT SELECT ON TABLE orders TO ROLE demo_reader",
+        "GRANT ALL ON DATABASE default TO ROLE demo_reader"
+        " WITH GRANT OPTION",
+        "GRANT SELECT (l_orderkey, l_quantity) ON TABLE lineitem"
+        " TO ROLE demo_reader",
+    ):
+        eng.sql(stmt)
+    # enforcement sanity inside the entry: an unprivileged user is denied
+    denied = ImpalaEngine(
+        spark, sf_dir=sf_dir, server_name="server1", user="stranger"
+    )
+    try:
+        denied.sql("SELECT COUNT(*) FROM orders")
+        raise AssertionError("enforcement did not deny an ungranted read")
+    except Exception as exc:  # noqa: BLE001 - text is the contract
+        assert "does not have privileges" in str(exc)
+    df = eng.sql("SHOW GRANT ROLE demo_reader")
+    eng.sql("DROP ROLE demo_reader")
+    return df.orderBy("scope", "table", "column")
+
+
 # Hash + utility builtin tail (r12; BuiltinsDb fnv_hash/murmur_hash +
 # UtilityFunctions + ScalarBuiltins math predicates). fnv/murmur are
 # exact-value implementations (FNV-1a 64 public vectors; MurmurHash2 64A

@@ -1,0 +1,259 @@
+"""Sentry-style authorization (impala_spark/authz.py): the statement
+surface, analysis rules, and enforcement of SURVEY §2 row 15.
+
+Error texts pinned against T/analysis/AnalyzeAuthStmtsTest.java and
+analysis/AuthorizationStmt.java / PrivilegeSpec.java /
+CreateDropRoleStmt.java / GrantRevokeRoleStmt.java; enforcement texts
+against authorization/AuthorizationChecker.java:125-145."""
+
+import pytest
+
+from impala_spark.engine import ImpalaAnalysisError, ImpalaEngine
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    e = ImpalaEngine(spark, sf_dir=SF, server_name="server1", user="alice")
+    e._authz.user_groups = {"alice": {"analysts"}, "bob": {"eng"}}
+    # the statement-surface tests drive DDL too: give the fixture user a
+    # server-scope admin role (enforcement itself is tested with
+    # dedicated unprivileged users in TestEnforcement)
+    e.sql("CREATE ROLE authz_admin")
+    e.sql("GRANT ROLE authz_admin TO GROUP analysts")
+    e.sql("GRANT ALL ON SERVER TO ROLE authz_admin")
+    return e
+
+
+class TestGating:
+    def test_auth_statements_require_enabled(self, spark):
+        e = ImpalaEngine(spark, sf_dir=SF)  # no server_name -> disabled
+        for s in (
+            "SHOW ROLES", "SHOW CURRENT ROLES",
+            "SHOW ROLE GRANT GROUP myGroup", "SHOW GRANT ROLE myRole",
+            "CREATE ROLE r", "DROP ROLE r",
+            "GRANT ROLE r TO GROUP g", "REVOKE ROLE r FROM GROUP g",
+            "GRANT ALL ON SERVER TO myRole",
+            "REVOKE ALL ON SERVER FROM myRole",
+        ):
+            with pytest.raises(ImpalaAnalysisError,
+                               match="Authorization is not enabled"):
+                e.sql(s)
+
+    def test_empty_username(self, spark):
+        e = ImpalaEngine(spark, sf_dir=SF, server_name="server1", user="")
+        with pytest.raises(
+            ImpalaAnalysisError,
+            match="Cannot execute authorization statement with an empty"
+                  " username",
+        ):
+            e.sql("GRANT ALL ON SERVER TO myRole")
+
+    def test_disabled_engine_runs_queries_unchecked(self, spark):
+        e = ImpalaEngine(spark, sf_dir=SF)
+        assert e.sql("SELECT COUNT(*) AS n FROM orders").collect()[0][0] > 0
+
+
+class TestRoleLifecycle:
+    def test_create_drop_and_case_insensitivity(self, eng):
+        eng.sql("CREATE ROLE tmpRole")
+        # AnalyzeAuthStmtsTest: "Role names are case-insensitive"
+        with pytest.raises(ImpalaAnalysisError,
+                           match="Role 'TMProle' already exists."):
+            eng.sql("CREATE ROLE TMProle")
+        eng.sql("DROP ROLE tmprole")
+        with pytest.raises(ImpalaAnalysisError,
+                           match="Role 'tmpRole' does not exist."):
+            eng.sql("DROP ROLE tmpRole")
+
+    def test_grant_revoke_role_to_group(self, eng):
+        eng.sql("CREATE ROLE gr1")
+        with pytest.raises(ImpalaAnalysisError,
+                           match="Role 'doesNotExist' does not exist."):
+            eng.sql("GRANT ROLE doesNotExist TO GROUP abc")
+        with pytest.raises(ImpalaAnalysisError,
+                           match="Role 'doesNotExist' does not exist."):
+            eng.sql("REVOKE ROLE doesNotExist FROM GROUP abc")
+        eng.sql("GRANT ROLE gr1 TO GROUP abc")
+        got = [r.role_name for r in
+               eng.sql("SHOW ROLE GRANT GROUP abc").collect()]
+        assert got == ["gr1"]
+        eng.sql("REVOKE ROLE gr1 FROM GROUP abc")
+        assert eng.sql("SHOW ROLE GRANT GROUP abc").count() == 0
+        eng.sql("DROP ROLE gr1")
+
+
+class TestPrivilegeSpec:
+    def test_scope_and_privilege_compat(self, eng):
+        eng.sql("CREATE ROLE ps1")
+        # AnalyzeAuthStmtsTest.AnalyzeGrantRevokePriv texts
+        with pytest.raises(
+            ImpalaAnalysisError,
+            match="Only 'ALL' privilege may be applied at SERVER scope"
+                  " in privilege spec.",
+        ):
+            eng.sql("GRANT INSERT ON SERVER TO ROLE ps1")
+        with pytest.raises(
+            ImpalaAnalysisError,
+            match="Only 'ALL' privilege may be applied at URI scope in"
+                  " privilege spec.",
+        ):
+            eng.sql("REVOKE SELECT ON URI 'hdfs:////abc//123' FROM ROLE ps1")
+        with pytest.raises(
+            ImpalaAnalysisError,
+            match="Specified server name 'does_not_exist' does not match"
+                  " the configured server name 'server1'",
+        ):
+            eng.sql("GRANT ALL ON SERVER does_not_exist TO ROLE ps1")
+        with pytest.raises(ImpalaAnalysisError,
+                           match="No FileSystem for scheme: xxxx"):
+            eng.sql("GRANT ALL ON URI 'xxxx:////abc//123' TO ROLE ps1")
+        with pytest.raises(
+            ImpalaAnalysisError,
+            match="Error setting privileges for database 'does_not_exist'.",
+        ):
+            eng.sql("GRANT ALL ON DATABASE does_not_exist TO ROLE ps1")
+        with pytest.raises(
+            ImpalaAnalysisError,
+            match="Error setting privileges for table 'does_not_exist'.",
+        ):
+            eng.sql("GRANT ALL ON TABLE does_not_exist TO ROLE ps1")
+        eng.sql("DROP ROLE ps1")
+
+    def test_column_privilege_spec_rules(self, eng):
+        eng.sql("CREATE ROLE ps2")
+        with pytest.raises(
+            ImpalaAnalysisError,
+            match="Only 'SELECT' privileges are allowed in a column"
+                  " privilege spec.",
+        ):
+            eng.sql("GRANT INSERT (o_orderkey) ON TABLE orders TO ROLE ps2")
+        with pytest.raises(
+            ImpalaAnalysisError,
+            match="Only 'SELECT' privileges are allowed in a column"
+                  " privilege spec.",
+        ):
+            eng.sql("GRANT ALL (o_orderkey) ON TABLE orders TO ROLE ps2")
+        with pytest.raises(ImpalaAnalysisError,
+                           match="Empty column list in column privilege"):
+            eng.sql("GRANT SELECT () ON TABLE orders TO ROLE ps2")
+        with pytest.raises(
+            ImpalaAnalysisError,
+            match="Error setting column-level privileges for table"
+                  " 'orders'.",
+        ):
+            eng.sql("GRANT SELECT (invalid_col) ON TABLE orders TO ROLE ps2")
+        # column-level on a VIEW is rejected
+        eng.sql("DROP VIEW IF EXISTS authz_v")
+        eng.sql("CREATE VIEW authz_v AS SELECT o_orderkey FROM orders")
+        with pytest.raises(
+            ImpalaAnalysisError,
+            match="Column-level privileges on views are not supported.",
+        ):
+            eng.sql("GRANT SELECT (o_orderkey) ON TABLE authz_v TO ROLE ps2")
+        eng.sql("DROP VIEW authz_v")
+        eng.sql("DROP ROLE ps2")
+
+    def test_show_grant_role(self, eng):
+        eng.sql("CREATE ROLE ps3")
+        eng.sql("GRANT SELECT ON TABLE orders TO ROLE ps3")
+        eng.sql("GRANT ALL ON DATABASE default TO ROLE ps3 WITH GRANT OPTION")
+        with pytest.raises(ImpalaAnalysisError,
+                           match="Role 'does_not_exist' does not exist."):
+            eng.sql("SHOW GRANT ROLE does_not_exist")
+        rows = {(r.scope, r.privilege, r.grant_option)
+                for r in eng.sql("SHOW GRANT ROLE ps3").collect()}
+        assert rows == {("table", "select", False), ("database", "all", True)}
+        only_tbl = eng.sql("SHOW GRANT ROLE ps3 ON TABLE orders").collect()
+        assert len(only_tbl) == 1 and only_tbl[0].table == "orders"
+        eng.sql("REVOKE GRANT OPTION FOR ALL ON DATABASE default FROM ROLE ps3")
+        rows = {(r.scope, r.grant_option)
+                for r in eng.sql("SHOW GRANT ROLE ps3").collect()}
+        assert ("database", False) in rows
+        eng.sql("DROP ROLE ps3")
+
+
+class TestEnforcement:
+    def test_select_enforcement_lifecycle(self, spark):
+        e = ImpalaEngine(spark, sf_dir=SF, server_name="server1", user="carol")
+        e._authz.user_groups = {"carol": {"readers"}}
+        with pytest.raises(
+            ImpalaAnalysisError,
+            match="User 'carol' does not have privileges to execute"
+                  " 'SELECT' on: default.orders",
+        ):
+            e.sql("SELECT COUNT(*) FROM orders")
+        e.sql("CREATE ROLE rl")
+        e.sql("GRANT ROLE rl TO GROUP readers")
+        e.sql("GRANT SELECT ON TABLE orders TO ROLE rl")
+        assert e.sql("SELECT COUNT(*) AS n FROM orders").collect()[0][0] > 0
+        # a join needs BOTH tables
+        with pytest.raises(ImpalaAnalysisError, match="default.lineitem"):
+            e.sql("SELECT COUNT(*) FROM orders o JOIN lineitem l"
+                  " ON o.o_orderkey = l.l_orderkey")
+        # database-scope grant covers every table in the db
+        e.sql("GRANT SELECT ON DATABASE default TO ROLE rl")
+        assert e.sql(
+            "SELECT COUNT(*) AS n FROM orders o JOIN lineitem l"
+            " ON o.o_orderkey = l.l_orderkey"
+        ).collect()[0][0] > 0
+        e.sql("REVOKE SELECT ON TABLE orders FROM ROLE rl")  # db grant remains
+        assert e.sql("SELECT COUNT(*) AS n FROM orders").collect()[0][0] > 0
+        e.sql("REVOKE SELECT ON DATABASE default FROM ROLE rl")
+        with pytest.raises(ImpalaAnalysisError, match="does not have"):
+            e.sql("SELECT COUNT(*) FROM orders")
+        e.sql("DROP ROLE rl")
+
+    def test_column_level_select(self, spark):
+        e = ImpalaEngine(spark, sf_dir=SF, server_name="server1", user="dave")
+        e._authz.user_groups = {"dave": {"d"}}
+        e.sql("CREATE ROLE cl")
+        e.sql("GRANT ROLE cl TO GROUP d")
+        e.sql("GRANT SELECT (l_orderkey, l_quantity) ON TABLE lineitem"
+              " TO ROLE cl")
+        assert e.sql(
+            "SELECT l_orderkey, l_quantity FROM lineitem LIMIT 5"
+        ).count() == 5
+        # an ungranted column denies (conservative identifier check)
+        with pytest.raises(ImpalaAnalysisError, match="default.lineitem"):
+            e.sql("SELECT l_orderkey, l_extendedprice FROM lineitem LIMIT 5")
+        e.sql("DROP ROLE cl")
+
+    def test_insert_and_ddl_enforcement(self, spark):
+        from impala_spark import ddl
+
+        e = ImpalaEngine(spark, sf_dir=SF, server_name="server1", user="erin")
+        e._authz.user_groups = {"erin": {"w"}}
+        e.sql("CREATE ROLE wr")
+        e.sql("GRANT ROLE wr TO GROUP w")
+        # CREATE TABLE needs database/server-scope ALL
+        with pytest.raises(ImpalaAnalysisError,
+                           match="does not have privileges to execute"
+                                 " 'CREATE'"):
+            e.sql("CREATE TABLE authz_t (id INT)")
+        e.sql("GRANT ALL ON DATABASE default TO ROLE wr")
+        e.sql("DROP TABLE IF EXISTS authz_t")
+        e.sql("CREATE TABLE authz_t (id INT)")
+        e.sql("INSERT INTO authz_t VALUES (1)")  # db ALL covers INSERT
+        e.sql("REVOKE ALL ON DATABASE default FROM ROLE wr")
+        with pytest.raises(ImpalaAnalysisError,
+                           match="does not have privileges to execute"
+                                 " 'INSERT' on: default.authz_t"):
+            e.sql("INSERT INTO authz_t VALUES (2)")
+        e.sql("GRANT INSERT ON TABLE authz_t TO ROLE wr")
+        e.sql("INSERT INTO authz_t VALUES (3)")
+        # INSERT ... SELECT also needs SELECT on the source
+        with pytest.raises(ImpalaAnalysisError, match="default.orders"):
+            e.sql("INSERT INTO authz_t SELECT CAST(o_orderkey AS INT)"
+                  " FROM orders LIMIT 1")
+        # UPDATE/DELETE need ALL on the target
+        with pytest.raises(ImpalaAnalysisError,
+                           match="'DELETE' on: default.authz_t"):
+            e.sql("DELETE FROM authz_t WHERE id = 1")
+        e.sql("GRANT ALL ON TABLE authz_t TO ROLE wr")
+        e.sql("DELETE FROM authz_t WHERE id = 1")
+        e.sql("GRANT ALL ON DATABASE default TO ROLE wr")
+        e.sql("DROP TABLE authz_t")
+        e.sql("DROP ROLE wr")
+        ddl.drop_table(spark, "authz_t")
