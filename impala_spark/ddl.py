@@ -459,17 +459,42 @@ def create_table_range_partitioned(
     for partial bound rows is not implemented)."""
     range_cols = list(range_cols)
     for item in spec:
-        bound_tuples = (
-            [item[1]] if item[0] == "value"
-            else [tv for tv in (item[1], item[3]) if tv is not None]
-        )
-        for tv in bound_tuples:
-            if len(tv) != len(range_cols):
+        if item[0] == "value":
+            # VALUE rows must spell the full key (Kudu requires it too)
+            if len(item[1]) != len(range_cols):
+                raise ImpalaUnsupportedError(
+                    f"range partition bound {item[1]!r} has"
+                    f" {len(item[1])} value(s) for a {len(range_cols)}-"
+                    f"column range key ({', '.join(range_cols)}); spell"
+                    " the full key tuple"
+                )
+            continue
+        _, lo, lo_incl, hi, hi_incl = item
+        # Partial BOUND rows: Kudu fills missing trailing columns with
+        # the column type's minimum (KuduPartitionParam.java). Under the
+        # DEFAULT operators that min-fill is exactly PREFIX comparison —
+        # key >= (v, MIN) <=> prefix >= (v); key < (v, MIN) <=> prefix <
+        # (v) — which _tuple_cmp already computes by recursing only over
+        # the literal tuple's length. The NON-default spellings (> lower,
+        # <= upper) are NOT prefix-expressible (they hinge on whether a
+        # trailing column can equal MIN), so those raise.
+        for tv, incl, is_lower in ((lo, lo_incl, True), (hi, hi_incl, False)):
+            if tv is None or len(tv) == len(range_cols):
+                continue
+            if len(tv) > len(range_cols):
                 raise ImpalaUnsupportedError(
                     f"range partition bound {tv!r} has {len(tv)} value(s)"
                     f" for a {len(range_cols)}-column range key"
-                    f" ({', '.join(range_cols)}); spell the full key tuple"
-                    " (Kudu's partial-row min/max fill is not implemented)"
+                    f" ({', '.join(range_cols)})"
+                )
+            if (is_lower and not incl) or (not is_lower and incl):
+                raise ImpalaUnsupportedError(
+                    f"partial range partition bound {tv!r} is only"
+                    " supported with the default operators (inclusive"
+                    " lower / exclusive upper): Kudu's min-value fill of"
+                    f" the trailing column(s) is not expressible for"
+                    f" {'exclusive lower' if is_lower else 'inclusive upper'}"
+                    " bounds"
                 )
     value_layout = all(item[0] == "value" for item in spec)
     path = os.path.join(WAREHOUSE, name)

@@ -740,6 +740,16 @@ class TestRangePartitioned:
         assert cols == ["l_returnflag", "l_linestatus"]
         assert spec == ddl.table_info("rng_mc").range_spec, (spec, txt)
         eng.sql("DROP TABLE rng_mc")
+        # partial bound rows under the DEFAULT operators = Kudu's
+        # min-value fill = prefix comparison: VALUES < ('N') covers all
+        # of returnflag 'A'; ('N') <= VALUES covers 'N' and 'R'
+        eng.sql(
+            "CREATE TABLE rng_mc PARTITION BY RANGE (l_returnflag, l_linestatus)"
+            " (PARTITION VALUES < ('N'), PARTITION ('N') <= VALUES)"
+            " AS SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem"
+        )
+        assert spark.table("rng_mc").count() == spark.table("lineitem").count()
+        eng.sql("DROP TABLE rng_mc")
         # VALUE form: two-level value-partitioned layout, pruned on both keys
         eng.sql(
             "CREATE TABLE rng_mcv (id INT, a STRING, b STRING, PRIMARY KEY (id))"
@@ -788,11 +798,17 @@ class TestRangePartitioned:
 
         eng = self._engine(spark)
         with pytest.raises(ImpalaUnsupportedError, match="full key tuple"):
-            # partial bound row for a 2-column key: Kudu would min-fill the
-            # trailing column; we require the full tuple, with a clear error
+            # VALUE rows must spell the full key (Kudu requires this too)
             eng.sql(
                 "CREATE TABLE rng_bad PARTITION BY RANGE (o_custkey, o_orderkey)"
-                " (PARTITION VALUES < 10) AS SELECT * FROM orders"
+                " (PARTITION VALUE = 10) AS SELECT * FROM orders"
+            )
+        with pytest.raises(ImpalaUnsupportedError, match="inclusive upper"):
+            # partial bound with a NON-default operator: min-fill of the
+            # trailing column is not prefix-expressible for <= upper
+            eng.sql(
+                "CREATE TABLE rng_bad PARTITION BY RANGE (o_custkey, o_orderkey)"
+                " (PARTITION VALUES <= 10) AS SELECT * FROM orders"
             )
         with pytest.raises(ImpalaUnsupportedError, match="constant literal"):
             eng.sql(
