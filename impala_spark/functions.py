@@ -288,9 +288,23 @@ def register_hash_udfs(spark) -> list[str]:
             dtype="Int64",
         )
 
+    @pandas_udf("boolean")
+    def sleep_ms(ms: pd.Series) -> pd.Series:
+        # UtilityFunctions sleep(ms): sleeps per evaluated row, returns
+        # true — the reference's test/throttling helper
+        import time as _time
+
+        out = []
+        for v in ms:
+            if v is not None:
+                _time.sleep(float(v) / 1000.0)
+            out.append(True if v is not None else None)
+        return pd.Series(out, dtype="object")
+
     spark.udf.register("fnv_hash", fnv_hash)
     spark.udf.register("murmur_hash", murmur_hash)
-    return ["fnv_hash", "murmur_hash"]
+    spark.udf.register("sleep", sleep_ms)
+    return ["fnv_hash", "murmur_hash", "sleep"]
 
 
 def asc_impala(col: Column | str) -> Column:

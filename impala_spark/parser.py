@@ -555,6 +555,11 @@ FUNCTION_RENAMES = {
     "dlog10": "log10",
     "dpow": "pow",
     "fpow": "pow",
+    # r12 tail: datetime/string/misc names Spark spells differently
+    "week": "weekofyear",
+    "le_dst": "levenshtein",
+    "database": "current_database",
+    "localtime": "localtimestamp",
 }
 
 
@@ -832,6 +837,135 @@ def _rewrite_functions(tokens: list[Token]) -> list[Token]:
             close = _matching_paren(out, j)
             out[i] = Token("word", "nullif")
             out.insert(close, Token("word", ", 0"))
+        elif name in ("bitand", "bitor", "bitxor"):
+            # MathFunctions bit ops as named functions; Spark only has
+            # the operators.
+            close = _matching_paren(out, j)
+            args = _split_args(out, j, close)
+            if len(args) == 2:
+                op = {"bitand": "&", "bitor": "|", "bitxor": "^"}[name]
+                _replace_call(out, i, close, f"(({args[0]}) {op} ({args[1]}))")
+        elif name == "bitnot":
+            close = _matching_paren(out, j)
+            args = _split_args(out, j, close)
+            if len(args) == 1:
+                _replace_call(out, i, close, f"(~({args[0]}))")
+        elif name == "getbit":
+            # getbit(x, pos): the bit at position pos (0 = LSB), TINYINT.
+            close = _matching_paren(out, j)
+            args = _split_args(out, j, close)
+            if len(args) == 2:
+                _replace_call(
+                    out, i, close,
+                    f"CAST(shiftright(CAST(({args[0]}) AS BIGINT),"
+                    f" ({args[1]})) & 1 AS TINYINT)",
+                )
+        elif name == "setbit":
+            # setbit(x, pos[, v]): set (default) or clear bit pos.
+            close = _matching_paren(out, j)
+            args = _split_args(out, j, close)
+            if len(args) == 2:
+                _replace_call(
+                    out, i, close,
+                    f"(({args[0]}) | shiftleft(1, ({args[1]})))",
+                )
+            elif len(args) == 3:
+                _replace_call(
+                    out, i, close,
+                    f"(CASE WHEN ({args[2]}) = 0"
+                    f" THEN ({args[0]}) & ~shiftleft(1, ({args[1]}))"
+                    f" ELSE ({args[0]}) | shiftleft(1, ({args[1]})) END)",
+                )
+        elif name == "countset":
+            # countset(x[, v]): count of set (v=1, default) bits. The
+            # cleared-bit count (v=0) depends on the argument's TYPE
+            # WIDTH, which a text-level rewrite cannot know — raise
+            # rather than guess a width.
+            close = _matching_paren(out, j)
+            args = _split_args(out, j, close)
+            if len(args) == 1 or (len(args) == 2 and args[1].strip() == "1"):
+                _replace_call(out, i, close, f"bit_count({args[0]})")
+            elif len(args) == 2:
+                raise ImpalaUnsupportedError(
+                    "countset(x, 0) (cleared-bit count) depends on the"
+                    " argument's type width and is not supported; use"
+                    " <width> - countset(x) explicitly"
+                )
+        elif name in ("rotateleft", "rotateright"):
+            # 64-BIT rotate (the rewrite cannot see the argument's type
+            # width, so the BIGINT contract is documented): left rotate by
+            # n = (x << n) | (x >>> 64-n); n=0 degenerates to x | x = x
+            # (Java shifts are mod 64).
+            close = _matching_paren(out, j)
+            args = _split_args(out, j, close)
+            if len(args) == 2:
+                x = f"CAST(({args[0]}) AS BIGINT)"
+                n = f"({args[1]})"
+                if name == "rotateleft":
+                    repl = (f"(shiftleft({x}, {n})"
+                            f" | shiftrightunsigned({x}, 64 - {n}))")
+                else:
+                    repl = (f"(shiftrightunsigned({x}, {n})"
+                            f" | shiftleft({x}, 64 - {n}))")
+                _replace_call(out, i, close, repl)
+        elif name == "timestamp_cmp":
+            # timestamp_cmp(t1, t2): -1/0/1, NULL when either side is NULL
+            close = _matching_paren(out, j)
+            args = _split_args(out, j, close)
+            if len(args) == 2:
+                a = f"CAST(({args[0]}) AS TIMESTAMP)"
+                b = f"CAST(({args[1]}) AS TIMESTAMP)"
+                _replace_call(
+                    out, i, close,
+                    f"(CASE WHEN {a} = {b} THEN 0 WHEN {a} < {b} THEN -1"
+                    f" WHEN {a} > {b} THEN 1 ELSE CAST(NULL AS INT) END)",
+                )
+        elif name == "from_timestamp":
+            # from_timestamp(ts, fmt): format a timestamp as a string
+            # (the Impala pattern letters used in practice — yyyy MM dd
+            # HH mm ss SSS — mean the same in Spark's date_format).
+            close = _matching_paren(out, j)
+            args = _split_args(out, j, close)
+            if len(args) == 2:
+                _replace_call(
+                    out, i, close,
+                    f"date_format(CAST(({args[0]}) AS TIMESTAMP), {args[1]})",
+                )
+        elif name in ("microsecond", "nanosecond"):
+            # sub-second parts; Spark timestamps are micro-precision, so
+            # nanosecond is the micro value scaled.
+            close = _matching_paren(out, j)
+            args = _split_args(out, j, close)
+            if len(args) == 1:
+                base = (f"CAST(date_format(CAST(({args[0]}) AS TIMESTAMP),"
+                        " 'SSSSSS') AS INT)")
+                repl = base if name == "microsecond" else f"({base} * 1000)"
+                _replace_call(out, i, close, repl)
+        elif name in (
+            "max_tinyint", "min_tinyint", "max_smallint", "min_smallint",
+            "max_int", "min_int", "max_bigint", "min_bigint",
+        ):
+            # typed integer bounds (MathFunctions); min_bigint spelled as
+            # an expression because the bare literal overflows the parser
+            close = _matching_paren(out, j)
+            bounds = {
+                "max_tinyint": "CAST(127 AS TINYINT)",
+                "min_tinyint": "CAST(-128 AS TINYINT)",
+                "max_smallint": "CAST(32767 AS SMALLINT)",
+                "min_smallint": "CAST(-32768 AS SMALLINT)",
+                "max_int": "CAST(2147483647 AS INT)",
+                "min_int": "CAST(-2147483648 AS INT)",
+                "max_bigint": "CAST(9223372036854775807 AS BIGINT)",
+                "min_bigint": "CAST(-9223372036854775807 - 1 AS BIGINT)",
+            }
+            _replace_call(out, i, close, bounds[name])
+        elif name == "current_session":
+            # session identity: stable for the process lifetime, like the
+            # reference's session handle
+            import os as _os
+
+            close = _matching_paren(out, j)
+            _replace_call(out, i, close, f"'session-{_os.getpid()}'")
         elif name in ("is_inf", "is_nan"):
             # ScalarBuiltins MathFunctions is_inf/is_nan. Impala
             # propagates NULL; Spark's isnan(NULL) is false and it has no

@@ -3961,7 +3961,8 @@ def q_authz_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(COUNT(*) AS BIGINT) AS n_names,
            TRUE AS fnv_vectors_ok, TRUE AS murmur_vectors_ok,
            TRUE AS hashes_injective_here,
-           TRUE AS inf_nan_ok, TRUE AS datetime_tail_ok, TRUE AS escape_ok
+           TRUE AS inf_nan_ok, TRUE AS datetime_tail_ok, TRUE AS escape_ok,
+           TRUE AS bit_ops_ok, TRUE AS subsecond_bounds_ok
     FROM nation
     """,
 )
@@ -3995,7 +3996,20 @@ def q_hash_utility_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AND utc_timestamp() IS NOT NULL
                     AND effective_user() IS NOT NULL
                     AND pid() > 0 AND length(coordinator()) > 0) AS datetime_tail_ok,
-           bool_and(regexp_escape('a.b+c') = 'a\\\\.b\\\\+c') AS escape_ok
+           bool_and(regexp_escape('a.b+c') = 'a\\\\.b\\\\+c') AS escape_ok,
+           bool_and(bitand(6,3) = 2 AND bitor(6,3) = 7 AND bitxor(6,3) = 5
+                    AND bitnot(6) = -7 AND getbit(11,1) = 1
+                    AND setbit(8,0) = 9 AND setbit(9,0,0) = 8
+                    AND countset(7) = 3 AND rotateleft(8,1) = 16
+                    AND rotateright(16,1) = 8) AS bit_ops_ok,
+           bool_and(microsecond(CAST('2020-01-01 00:00:00.123456' AS TIMESTAMP)) = 123456
+                    AND nanosecond(CAST('2020-01-01 00:00:00.123456' AS TIMESTAMP)) = 123456000
+                    AND week('2020-01-08') = 2
+                    AND timestamp_cmp(CAST('2020-01-02' AS TIMESTAMP),
+                                      CAST('2020-01-01' AS TIMESTAMP)) = 1
+                    AND max_tinyint() = 127 AND min_int() = -2147483648
+                    AND max_bigint() = 9223372036854775807
+                    AND le_dst('abc','abd') = 1) AS subsecond_bounds_ok
     FROM nation
     """
     return spark.sql(translate(q))

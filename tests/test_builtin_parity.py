@@ -61,6 +61,17 @@ SCALARS = [
     "is_inf(d)", "is_nan(d)", "regexp_escape(s)",
     "int_months_between(ts, ts)", "millisecond(ts)", "utc_timestamp()",
     "effective_user()", "pid()", "coordinator()",
+    # r12 second tranche: named bit ops, rotates, sub-second parts,
+    # typed integer bounds, comparison/format/identity tail
+    "bitand(i, 3)", "bitor(i, 3)", "bitxor(i, 3)", "bitnot(i)",
+    "getbit(i, 1)", "setbit(i, 2)", "setbit(i, 2, 0)", "countset(i)",
+    "rotateleft(i, 2)", "rotateright(i, 2)",
+    "timestamp_cmp(ts, ts)", "from_timestamp(ts, 'yyyy-MM-dd')",
+    "microsecond(ts)", "nanosecond(ts)", "week(ts)",
+    "max_tinyint()", "min_tinyint()", "max_smallint()", "min_smallint()",
+    "max_int()", "min_int()", "max_bigint()", "min_bigint()",
+    "le_dst(s, 'abd')", "levenshtein(s, 'abd')", "database()",
+    "current_session()", "localtime()", "localtimestamp()",
 ]
 
 AGGREGATES = [
@@ -135,6 +146,36 @@ def test_math_predicate_semantics(spark):
     assert row.esc == r"a\.b\+c"
     assert row.imb == 2
     assert row.ms == 123
+
+
+def test_bit_and_datetime_tail_semantics(spark):
+    row = spark.sql(translate(
+        "SELECT bitand(6,3) AS ba, bitor(6,3) AS bo, bitxor(6,3) AS bx, "
+        "bitnot(6) AS bn, getbit(11,1) AS g1, getbit(11,2) AS g0, "
+        "setbit(8,0) AS s1, setbit(9,0,0) AS s0, countset(7) AS cs, "
+        "rotateleft(8,1) AS rl, rotateright(16,1) AS rr, "
+        "rotateleft(1,0) AS r0, "
+        "timestamp_cmp(TIMESTAMP '2020-01-02 00:00:00',"
+        " TIMESTAMP '2020-01-01 00:00:00') AS tc, "
+        "timestamp_cmp(TIMESTAMP '2020-01-01 00:00:00',"
+        " CAST(NULL AS TIMESTAMP)) AS tcn, "
+        "microsecond(TIMESTAMP '2020-01-01 00:00:00.123456') AS mu, "
+        "nanosecond(TIMESTAMP '2020-01-01 00:00:00.123456') AS na, "
+        "week('2020-01-08') AS wk, max_tinyint() AS mt, "
+        "min_bigint() AS mb, le_dst('abc', 'abd') AS ld "
+        "FROM (SELECT 1) t"
+    )).first()
+    assert (row.ba, row.bo, row.bx, row.bn) == (2, 7, 5, -7)
+    assert (row.g1, row.g0, row.s1, row.s0, row.cs) == (1, 0, 9, 8, 3)
+    assert (row.rl, row.rr, row.r0) == (16, 8, 1)
+    assert row.tc == 1 and row.tcn is None
+    assert row.mu == 123456 and row.na == 123456000
+    assert row.wk == 2 and row.mt == 127
+    assert row.mb == -(1 << 63) and row.ld == 1
+    from impala_spark.parser import ImpalaUnsupportedError
+
+    with pytest.raises(ImpalaUnsupportedError, match="type width"):
+        translate("SELECT countset(7, 0)")
 
 
 def test_hash_builtins_exact_values(spark):
