@@ -31,6 +31,14 @@ from impala_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/repo/.bench_sf10")
 
+#: Range key for the A/B. NOT l_orderkey: the scale generator replicates
+#: by key OFFSET, so the fixture's files are already near-clustered on
+#: l_orderkey and footer min/max skips on the plain arm too (measured
+#: 0.97x — no headroom). l_suppkey is uniformly scattered across every
+#: file, which is exactly the case the layout exists for: cluster by a
+#: key the ingest order does not give you.
+RANGE_KEY = os.environ.get("SPARK_GRAFT_RANGE_KEY", "l_suppkey")
+
 #: ~1% key band in the middle of the key space — the selective scan a
 #: time-/id-ranged query runs all day at 100 TB
 N_RANGES = 16
@@ -49,7 +57,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     eng = ImpalaEngine(spark, sf_dir=SF_DIR)
 
-    max_key = spark.table("lineitem").agg({"l_orderkey": "max"}).collect()[0][0]
+    max_key = spark.table("lineitem").agg({RANGE_KEY: "max"}).collect()[0][0]
     step = max_key // N_RANGES + 1
     bounds = [i * step for i in range(1, N_RANGES)]
     parts = ["PARTITION VALUES < %d" % bounds[0]]
@@ -61,8 +69,9 @@ def main() -> None:
 
     t0 = time.perf_counter()
     eng.sql(
-        "CREATE TABLE rnglay_l PARTITION BY RANGE (l_orderkey) (%s)"
-        " AS SELECT l_orderkey, l_extendedprice, l_quantity FROM lineitem"
+        ("CREATE TABLE rnglay_l PARTITION BY RANGE (%s) (%%s)"
+         " AS SELECT %s, l_extendedprice, l_quantity FROM lineitem"
+         % (RANGE_KEY, RANGE_KEY))
         % ", ".join(parts)
     )
     build_sec = round(time.perf_counter() - t0, 2)
@@ -72,12 +81,12 @@ def main() -> None:
     plain = (
         "SELECT COUNT(*) AS n,"
         " SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS s"
-        f" FROM lineitem WHERE l_orderkey BETWEEN {lo} AND {hi}"
+        f" FROM lineitem WHERE {RANGE_KEY} BETWEEN {lo} AND {hi}"
     )
     clustered = (
         "SELECT COUNT(*) AS n,"
         " SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS s"
-        f" FROM rnglay_l WHERE l_orderkey BETWEEN {lo} AND {hi}"
+        f" FROM rnglay_l WHERE {RANGE_KEY} BETWEEN {lo} AND {hi}"
     )
 
     want = [tuple(r) for r in eng.sql(clustered).collect()]
@@ -85,7 +94,7 @@ def main() -> None:
     assert got == want, "arms disagree on values"
     dfc = eng.sql(clustered)
     plan = dfc._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(l_orderkey" in plan, plan[:800]
+    assert "PushedFilters: [" in plan and ("GreaterThanOrEqual(%s" % RANGE_KEY) in plan, plan[:800]
 
     samples = {"plain": [], "range_clustered": []}
     loads = []
@@ -96,6 +105,39 @@ def main() -> None:
             samples[arm].append(round(dt, 3))
             print(f"# rep{rep} {arm}: {dt:.3f}s", file=sys.stderr)
 
+    # footer inspection: the fraction of row groups whose [min,max] span
+    # overlaps the band — what the parquet reader must decode. This is
+    # the scale lever: wall-clock at sf10 single-box sits near the task
+    # floor, but the decode fraction is what a 100 TB scan pays.
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from impala_spark import ddl as _ddl
+
+    def rg_fraction(path_glob: str, col: str) -> float:
+        total = hit = 0
+        for f in _glob.glob(path_glob):
+            md = _pq.read_metadata(f)
+            names = {md.schema.column(i).name: i
+                     for i in range(len(md.schema))}
+            ci = names[col]
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                total += 1
+                if st is None or (st.min <= hi and st.max >= lo):
+                    hit += 1
+        return round(hit / max(total, 1), 4)
+
+    frac = {
+        "plain": rg_fraction(
+            os.path.join(SF_DIR, "lineitem.parquet", "*.parquet")
+            if os.path.isdir(os.path.join(SF_DIR, "lineitem.parquet"))
+            else os.path.join(SF_DIR, "lineitem.parquet"), RANGE_KEY),
+        "range_clustered": rg_fraction(
+            os.path.join(_ddl.table_info("rnglay_l").path, "*.parquet"),
+            RANGE_KEY),
+    }
     eng.sql("DROP TABLE rnglay_l")
 
     med = {a: round(statistics.median(v), 3) for a, v in samples.items()}
@@ -105,6 +147,7 @@ def main() -> None:
         "reps": reps,
         "interleaved": True,
         "n_ranges": N_RANGES,
+        "range_key": RANGE_KEY,
         "band": [lo, hi],
         "build_sec_one_time": build_sec,
         "samples": samples,
@@ -112,6 +155,7 @@ def main() -> None:
         "speedup_median": round(med["plain"] / med["range_clustered"], 2)
         if med["range_clustered"]
         else None,
+        "row_group_fraction_overlapping_band": frac,
         "loadavg_per_rep": loads,
         "plan_note": (
             "identical pushed filter on both arms; the clustered arm's "
