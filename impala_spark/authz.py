@@ -430,6 +430,35 @@ class AuthzPolicy:
                 f" execute '{kind}' on: default"
             )
 
+    def check_uri_access(self, uri: str) -> None:
+        """LOAD DATA's URI leg: the reference requires ALL on the URI or
+        a PREFIX of it (AuthorizeableUri.java — Sentry authorizes by URI
+        prefix). Server-scope ALL also covers it."""
+        if not self.server_name:
+            return
+        def _norm(u: str) -> str:
+            # scheme-insensitive local form: 'file:///x' == '/x' (the
+            # sandbox filesystem is local; HDFS URIs compare verbatim)
+            u = u.rstrip("/")
+            return u[len("file://"):] if u.startswith("file://") else u
+
+        norm = _norm(uri)
+        for r in self._roles_of(self.user):
+            for p in self.role_privs.get(r, ()):
+                if p.priv != "ALL":
+                    continue
+                if p.scope == "SERVER":
+                    return
+                if p.scope == "URI" and (
+                    norm == _norm(p.obj)
+                    or norm.startswith(_norm(p.obj) + "/")
+                ):
+                    return
+        raise AuthorizationError(
+            f"User '{self.user}' does not have privileges to access:"
+            f" {uri}"
+        )
+
     def _columns_covered(self, spark, q: str, table: str,
                          granted: tuple[str, ...]) -> bool:
         """Conservative column-level check: every identifier in the

@@ -599,6 +599,16 @@ class ImpalaEngine:
                 r"(?is)^\s*\w+\s+(TABLE|VIEW)\b", q):
             self._authz.check_access(
                 self.spark, q, "DROP" if head == "DROP" else "CREATE", [])
+        elif head == "LOAD":
+            # LOAD DATA INPATH 'uri' INTO TABLE t: the reference requires
+            # ALL on the URI (AuthorizeableUri) + INSERT on the target
+            m = re.match(
+                r"(?is)^\s*LOAD\s+DATA\s+INPATH\s+'([^']*)'\s+"
+                r"(?:OVERWRITE\s+)?INTO\s+TABLE\s+(`[^`]+`|[\w.]+)", q)
+            if m:
+                self._authz.check_uri_access(m.group(1))
+                self._authz.check_access(
+                    self.spark, q, "INSERT", [], m.group(2).strip("`"))
 
     def _route_session(self, q: str):
         """Pick the session a plain query plans in. After COMPUTE STATS

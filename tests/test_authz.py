@@ -257,3 +257,32 @@ class TestEnforcement:
         e.sql("DROP TABLE authz_t")
         e.sql("DROP ROLE wr")
         ddl.drop_table(spark, "authz_t")
+
+    def test_load_data_uri_enforcement(self, spark):
+        """LOAD DATA needs INSERT on the target AND ALL on the URI (the
+        reference's AuthorizeableUri authorizes by prefix)."""
+        import os
+        import tempfile
+
+        from impala_spark import ddl
+
+        e = ImpalaEngine(spark, sf_dir=SF, server_name="server1", user="finn")
+        e._authz.user_groups = {"finn": {"ld"}}
+        e.sql("CREATE ROLE ldr")
+        e.sql("GRANT ROLE ldr TO GROUP ld")
+        e.sql("GRANT ALL ON DATABASE default TO ROLE ldr")
+        stage = os.path.join(tempfile.gettempdir(), "authz_load_stage")
+        spark.table("region").write.mode("overwrite").parquet(stage)
+        e.sql("DROP TABLE IF EXISTS authz_ld")
+        e.sql("CREATE TABLE authz_ld AS SELECT * FROM region")
+        with pytest.raises(ImpalaAnalysisError,
+                           match="does not have privileges to access:"):
+            e.sql(f"LOAD DATA INPATH '{stage}' INTO TABLE authz_ld")
+        # a PREFIX grant covers the staged path (scheme-insensitive:
+        # file:///tmp covers /tmp/...)
+        e.sql(f"GRANT ALL ON URI 'file://{tempfile.gettempdir()}' TO ROLE ldr")
+        e.sql(f"LOAD DATA INPATH '{stage}' INTO TABLE authz_ld")
+        assert spark.table("authz_ld").count() == 2 * spark.table("region").count()
+        e.sql("DROP TABLE authz_ld")
+        e.sql("DROP ROLE ldr")
+        ddl.drop_table(spark, "authz_ld")
