@@ -258,6 +258,56 @@ class TestEnforcement:
         e.sql("DROP ROLE wr")
         ddl.drop_table(spark, "authz_t")
 
+    def test_enforcement_invariants_fuzz(self, spark):
+        """Deny-by-default invariants over random grant/revoke sequences:
+        (1) a user with no grants is always denied table reads, (2) after
+        any sequence, access to table T implies some live grant covers T
+        (table/db/server scope), (3) revoke-after-grant always denies
+        again, (4) the engine never crashes on a policy operation."""
+        import random
+
+        rng = random.Random(11)
+        e = ImpalaEngine(spark, sf_dir=SF, server_name="server1", user="gus")
+        e._authz.user_groups = {"gus": {"fz"}}
+        e.sql("CREATE ROLE fzr")
+        e.sql("GRANT ROLE fzr TO GROUP fz")
+        tables = ["orders", "lineitem", "customer", "region"]
+        live: set[str] = set()      # table names covered by a live grant
+        db_scope = False
+        for _ in range(60):
+            act = rng.random()
+            t = rng.choice(tables)
+            if act < 0.35:
+                e.sql(f"GRANT SELECT ON TABLE {t} TO ROLE fzr")
+                live.add(t)
+            elif act < 0.55:
+                e.sql(f"REVOKE SELECT ON TABLE {t} FROM ROLE fzr")
+                live.discard(t)
+            elif act < 0.65:
+                e.sql("GRANT SELECT ON DATABASE default TO ROLE fzr")
+                db_scope = True
+            elif act < 0.72:
+                e.sql("REVOKE SELECT ON DATABASE default FROM ROLE fzr")
+                db_scope = False
+            else:
+                probe = rng.choice(tables)
+                allowed = db_scope or probe in live
+                try:
+                    e.sql(f"SELECT COUNT(*) FROM {probe}")
+                    assert allowed, (
+                        f"access to {probe} allowed with no covering grant"
+                        f" (live={live}, db={db_scope})"
+                    )
+                except ImpalaAnalysisError:
+                    assert not allowed, (
+                        f"access to {probe} denied despite covering grant"
+                        f" (live={live}, db={db_scope})"
+                    )
+        e.sql("DROP ROLE fzr")
+        # role drop kills every grant
+        with pytest.raises(ImpalaAnalysisError, match="does not have"):
+            e.sql("SELECT COUNT(*) FROM orders")
+
     def test_load_data_uri_enforcement(self, spark):
         """LOAD DATA needs INSERT on the target AND ALL on the URI (the
         reference's AuthorizeableUri authorizes by prefix)."""
