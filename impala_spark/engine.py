@@ -260,6 +260,9 @@ class ImpalaEngine:
 
         m = _EXPLAIN_RE.match(q)
         if m and m.group(1).strip().upper().split()[0] not in ("ANALYZE",):
+            # the reference authorizes EXPLAIN exactly like the inner
+            # statement (Frontend analyzes before planning)
+            self._enforce_authz(m.group(1).strip())
             return self._explain_df(m.group(1))
 
         m = _COMPUTE_STATS_RE.match(q)

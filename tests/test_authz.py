@@ -205,6 +205,18 @@ class TestEnforcement:
             e.sql("SELECT COUNT(*) FROM orders")
         e.sql("DROP ROLE rl")
 
+    def test_explain_is_authorized_like_the_statement(self, spark):
+        e = ImpalaEngine(spark, sf_dir=SF, server_name="server1", user="hana")
+        e._authz.user_groups = {"hana": {"hx"}}
+        with pytest.raises(ImpalaAnalysisError,
+                           match="'SELECT' on: default.orders"):
+            e.sql("EXPLAIN SELECT COUNT(*) FROM orders")
+        e.sql("CREATE ROLE exr")
+        e.sql("GRANT ROLE exr TO GROUP hx")
+        e.sql("GRANT SELECT ON TABLE orders TO ROLE exr")
+        assert e.sql("EXPLAIN SELECT COUNT(*) FROM orders").count() > 0
+        e.sql("DROP ROLE exr")
+
     def test_column_level_select(self, spark):
         e = ImpalaEngine(spark, sf_dir=SF, server_name="server1", user="dave")
         e._authz.user_groups = {"dave": {"d"}}
