@@ -412,7 +412,7 @@ class AuthzPolicy:
                         f" execute 'SELECT' on: default.{t.split('.')[-1]}"
                     )
             return
-        if kind in ("UPDATE", "DELETE", "TRUNCATE"):
+        if kind in ("UPDATE", "DELETE", "TRUNCATE", "COMPUTE STATS"):
             assert target is not None
             if not has((), target):  # ALL only
                 raise AuthorizationError(
@@ -429,6 +429,30 @@ class AuthzPolicy:
                 f"User '{self.user}' does not have privileges to"
                 f" execute '{kind}' on: default"
             )
+
+    def check_any_access(self, spark, table: str) -> None:
+        """Metadata surfaces (SHOW PARTITIONS/STATS/CREATE TABLE/FILES,
+        DESCRIBE): the reference requires ANY privilege on the object
+        (AuthorizationChecker — Privilege.ANY). Any privilege at table,
+        database, or server scope qualifies."""
+        if not self.server_name:
+            return
+        bare = table.split(".")[-1].lower()
+        for r in self._roles_of(self.user):
+            for p in self.role_privs.get(r, ()):
+                if p.scope == "SERVER":
+                    return
+                if (p.scope == "DATABASE"
+                        and p.obj.lower()
+                        == spark.catalog.currentDatabase().lower()):
+                    return
+                if (p.scope == "TABLE"
+                        and p.obj.split(".")[-1].lower() == bare):
+                    return
+        raise AuthorizationError(
+            f"User '{self.user}' does not have privileges to access:"
+            f" default.{bare}"
+        )
 
     def check_uri_access(self, uri: str) -> None:
         """LOAD DATA's URI leg: the reference requires ALL on the URI or

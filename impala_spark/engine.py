@@ -317,6 +317,13 @@ class ImpalaEngine:
         if m:
             kind = re.sub(r"\s+", " ", m.group("kind").upper().strip())
             target = (m.group("target") or "").strip("`")
+            if target and kind in (
+                "FILES IN", "TABLE STATS", "COLUMN STATS", "PARTITIONS",
+                "CREATE TABLE",
+            ):
+                # table-targeted metadata needs ANY privilege on the
+                # object (AuthorizationChecker Privilege.ANY)
+                self._authz.check_any_access(self.spark, target)
             if kind == "FILES IN":
                 return self.show_files(target)
             if kind == "TABLE STATS":
@@ -602,6 +609,23 @@ class ImpalaEngine:
                 r"(?is)^\s*\w+\s+(TABLE|VIEW)\b", q):
             self._authz.check_access(
                 self.spark, q, "DROP" if head == "DROP" else "CREATE", [])
+        elif head == "DESCRIBE":
+            m = re.match(
+                r"(?is)^\s*DESCRIBE\s+(?:FORMATTED\s+|EXTENDED\s+)?"
+                r"(`[^`]+`|[\w.]+)\s*$", q)
+            if m and m.group(1).upper() != "DATABASE":
+                self._authz.check_any_access(
+                    self.spark, m.group(1).strip("`"))
+        elif head == "COMPUTE":
+            # COMPUTE [INCREMENTAL] STATS needs ALL on the table (the
+            # 2.x Sentry model has no ALTER privilege level)
+            m = re.match(
+                r"(?is)^\s*COMPUTE\s+(?:INCREMENTAL\s+)?STATS\s+"
+                r"(`[^`]+`|[\w.]+)", q)
+            if m:
+                self._authz.check_access(
+                    self.spark, q, "COMPUTE STATS", [],
+                    m.group(1).strip("`"))
         elif head == "LOAD":
             # LOAD DATA INPATH 'uri' INTO TABLE t: the reference requires
             # ALL on the URI (AuthorizeableUri) + INSERT on the target

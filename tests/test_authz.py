@@ -270,6 +270,31 @@ class TestEnforcement:
         e.sql("DROP ROLE wr")
         ddl.drop_table(spark, "authz_t")
 
+    def test_metadata_surfaces_need_any_privilege(self, spark):
+        """SHOW PARTITIONS/STATS/CREATE TABLE and DESCRIBE need ANY
+        privilege on the object; COMPUTE STATS needs ALL
+        (AuthorizationChecker Privilege.ANY / the 2.x Sentry model)."""
+        e = ImpalaEngine(spark, sf_dir=SF, server_name="server1", user="ivy")
+        e._authz.user_groups = {"ivy": {"md"}}
+        for s in ("SHOW PARTITIONS orders", "SHOW TABLE STATS orders",
+                  "SHOW CREATE TABLE orders", "DESCRIBE orders",
+                  "COMPUTE STATS orders"):
+            with pytest.raises(ImpalaAnalysisError, match="does not have"):
+                e.sql(s)
+        e.sql("CREATE ROLE mdr")
+        e.sql("GRANT ROLE mdr TO GROUP md")
+        # ANY privilege (INSERT here) unlocks the metadata surfaces
+        e.sql("GRANT INSERT ON TABLE orders TO ROLE mdr")
+        assert e.sql("DESCRIBE orders").count() > 0
+        assert e.sql("SHOW CREATE TABLE orders").count() > 0
+        # ...but COMPUTE STATS still needs ALL
+        with pytest.raises(ImpalaAnalysisError,
+                           match="'COMPUTE STATS' on: default.orders"):
+            e.sql("COMPUTE STATS orders")
+        e.sql("GRANT ALL ON TABLE orders TO ROLE mdr")
+        assert e.sql("COMPUTE STATS orders").count() > 0
+        e.sql("DROP ROLE mdr")
+
     def test_enforcement_invariants_fuzz(self, spark):
         """Deny-by-default invariants over random grant/revoke sequences:
         (1) a user with no grants is always denied table reads, (2) after
