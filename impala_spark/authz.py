@@ -493,8 +493,11 @@ class AuthzPolicy:
             actual = {c.lower() for c in spark.table(table).columns}
         except Exception:
             return False
+        # string literals can't reference columns — strip them so a
+        # literal like 'see l_extendedprice' doesn't spuriously deny
+        stripped = re.sub(r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"", " ", q)
         used = {
-            w.lower() for w in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", q)
+            w.lower() for w in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", stripped)
         } & actual
         return used <= {c.lower() for c in granted}
 

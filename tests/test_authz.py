@@ -230,6 +230,11 @@ class TestEnforcement:
         # an ungranted column denies (conservative identifier check)
         with pytest.raises(ImpalaAnalysisError, match="default.lineitem"):
             e.sql("SELECT l_orderkey, l_extendedprice FROM lineitem LIMIT 5")
+        # ...but a string literal naming an ungranted column does not
+        assert e.sql(
+            "SELECT l_orderkey, 'l_extendedprice' AS lbl FROM lineitem"
+            " LIMIT 3"
+        ).count() == 3
         e.sql("DROP ROLE cl")
 
     def test_insert_and_ddl_enforcement(self, spark):
