@@ -629,11 +629,11 @@ def global_rank(
     across partitions depend on it alone). Defaults to order_by.
 
     Steps (range exchange -> local window -> tiny offset join):
-      1. `repartitionByRange` on partition_order_by; `localCheckpoint`
-         pins the partition assignment — correctness must not hinge on
-         Catalyst reusing the exchange across the three consumers below
-         (column pruning can differentiate the subtrees, and each
-         un-reused range exchange re-SAMPLES its bounds).
+      1. `repartitionByRange` on partition_order_by; a spill-capable
+         `persist` pins the partition assignment — correctness must not
+         hinge on Catalyst reusing the exchange across the three
+         consumers below (column pruning can differentiate the subtrees,
+         and each un-reused range exchange re-SAMPLES its bounds).
       2. Local window PARTITIONED by slice id over the full order.
       3. Per-slice sizes (COUNT(*) for rank/row_number — ranks offset by
          ROWS before the slice; MAX(local) for dense_rank — distinct
@@ -647,11 +647,19 @@ def global_rank(
         num_partitions
         or spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    from pyspark import StorageLevel
+
     part_cols = list(partition_order_by or order_by)
+    # persist, not localCheckpoint: both pin the partition assignment so
+    # the three consumers below agree on slice ids (an un-reused range
+    # exchange re-SAMPLES its bounds), but localCheckpoint stores raw
+    # rows in heap — at sf10 (60M rows) that OOMed the shared local-mode
+    # heap next to 32 concurrent sort tasks. Dataset persist stores
+    # compressed columnar batches and spills to disk under pressure.
     ranged = (
         df.repartitionByRange(n, *part_cols)
         .withColumn("_grk_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     local_fn = {
         "rank": F.rank,
