@@ -7646,6 +7646,159 @@ sql_query(
     """,
 )
 
+# TPC-DS Q2 shape: weekly sales split by priority class, the two years
+# of one grouped CTE self-joined on week number with trend comparison
+# (q2's week_seq year-over-year join; weeks derived as dayofyear/7 so
+# both engines bucket identically — ISO-week edges differ by engine).
+sql_query(
+    "tpcds_q2_shape",
+    """
+    WITH wk AS (
+      SELECT CAST(YEAR(o_orderdate) AS INT) AS yr,
+             CAST(FLOOR((DAYOFYEAR(o_orderdate) - 1) / 7) AS INT) AS wk,
+             SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN CAST(o_totalprice AS DECIMAL(18,4)) ELSE 0 END)
+               AS urgent_sales,
+             SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN CAST(o_totalprice AS DECIMAL(18,4)) ELSE 0 END)
+               AS routine_sales
+      FROM orders
+      WHERE YEAR(o_orderdate) IN (1995, 1996)
+      GROUP BY YEAR(o_orderdate), FLOOR((DAYOFYEAR(o_orderdate) - 1) / 7)
+    )
+    SELECT a.wk AS wk,
+           CAST(ROUND(a.urgent_sales, 2) AS DOUBLE) AS urgent_1995,
+           CAST(ROUND(b.urgent_sales, 2) AS DOUBLE) AS urgent_1996,
+           CASE WHEN b.urgent_sales > a.urgent_sales THEN 'UP'
+                WHEN b.urgent_sales < a.urgent_sales THEN 'DOWN'
+                ELSE 'FLAT' END AS urgent_trend,
+           CASE WHEN b.routine_sales > a.routine_sales THEN 'UP'
+                WHEN b.routine_sales < a.routine_sales THEN 'DOWN'
+                ELSE 'FLAT' END AS routine_trend
+    FROM wk a JOIN wk b ON a.wk = b.wk
+    WHERE a.yr = 1995 AND b.yr = 1996
+    ORDER BY wk
+    """,
+)
+
+# TPC-DS Q16 shape: orders in a window that involve more than one
+# supplier (correlated EXISTS with a non-equality correlate) and were
+# never returned (correlated NOT EXISTS) — q16's ship-from-two-
+# warehouses / no-returns pair of correlated subqueries.
+sql_query(
+    "tpcds_q16_shape",
+    """
+    SELECT CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS order_count,
+           CAST(SUM(CAST(ROUND(l1.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM lineitem l1 JOIN orders ON l1.l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_returnflag = 'R')
+    """,
+)
+
+# TPC-DS Q24 shape: a grouped returns CTE consumed twice — once as the
+# output relation and once inside a scalar-subquery threshold over the
+# whole CTE (q24's sum(netpaid) > 0.05 * avg-over-all pattern).
+sql_query(
+    "tpcds_q24_shape",
+    """
+    WITH ret AS (
+      SELECT c_name AS cust, s_name AS supp,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS ret_cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+      WHERE l_returnflag = 'R'
+      GROUP BY c_name, s_name
+    )
+    SELECT cust, supp, CAST(ret_cents AS BIGINT) AS ret_cents
+    FROM ret
+    WHERE ret_cents > (SELECT AVG(ret_cents) * 3 FROM ret)
+    ORDER BY cust, supp
+    LIMIT 100
+    """,
+)
+
+# TPC-DS Q43 shape: calendar pivot — one group with conditional sums
+# per calendar bucket as columns (q43's day-of-week pivot, adapted to
+# quarters: dayofweek numbering differs between engines, months don't).
+sql_query(
+    "tpcds_q43_shape",
+    """
+    SELECT n_name,
+      CAST(ROUND(SUM(CASE WHEN MONTH(o_orderdate) IN (1, 2, 3)
+        THEN CAST(o_totalprice AS DECIMAL(18,4)) ELSE 0 END), 2) AS DOUBLE)
+        AS q1_sales,
+      CAST(ROUND(SUM(CASE WHEN MONTH(o_orderdate) IN (4, 5, 6)
+        THEN CAST(o_totalprice AS DECIMAL(18,4)) ELSE 0 END), 2) AS DOUBLE)
+        AS q2_sales,
+      CAST(ROUND(SUM(CASE WHEN MONTH(o_orderdate) IN (7, 8, 9)
+        THEN CAST(o_totalprice AS DECIMAL(18,4)) ELSE 0 END), 2) AS DOUBLE)
+        AS q3_sales,
+      CAST(ROUND(SUM(CASE WHEN MONTH(o_orderdate) IN (10, 11, 12)
+        THEN CAST(o_totalprice AS DECIMAL(18,4)) ELSE 0 END), 2) AS DOUBLE)
+        AS q4_sales
+    FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    WHERE YEAR(o_orderdate) = 1995
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+
+# TPC-DS Q54 shape: per-customer spend rolled into a fixed-width
+# revenue-segment histogram (q54's count-of-customers per 50-dollar
+# segment; exact integer cents so the bucket edges are exact).
+sql_query(
+    "tpcds_q54_shape",
+    """
+    WITH spend AS (
+      SELECT o_custkey AS ck,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+      FROM orders
+      WHERE YEAR(o_orderdate) = 1995
+      GROUP BY o_custkey
+    )
+    SELECT CAST(FLOOR(total_cents / 5000000) AS INT) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS num_customers
+    FROM spend
+    GROUP BY FLOOR(total_cents / 5000000)
+    ORDER BY segment
+    LIMIT 100
+    """,
+)
+
+# TPC-DS Q95 shape: conjunctive IN-subquery chain where one subquery is
+# a grouped fact self-join (q95's ws_wh two-warehouse derived view
+# feeding both IN predicates).
+sql_query(
+    "tpcds_q95_shape",
+    """
+    WITH multi_supp AS (
+      SELECT l1.l_orderkey AS ok
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+      GROUP BY l1.l_orderkey
+    )
+    SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS order_count,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+      AND o_orderkey IN (SELECT ok FROM multi_supp)
+      AND o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         WHERE l_returnflag = 'R')
+    """,
+)
+
 
 # CREATE VIEW / ALTER VIEW through the engine front door (the round-4
 # routing): create over a join, redefine via ALTER, read back through
