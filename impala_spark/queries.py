@@ -4151,6 +4151,52 @@ def q_multi_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Parquet schema evolution: one table directory whose part files carry
+# DIFFERENT schemas (a column added over time — the reference's ALTER
+# TABLE ADD COLUMNS + name-based parquet slot resolution,
+# A/AlterTableAddReplaceColsStmt.java; at 100 TB a table is ALWAYS a mix
+# of file generations, so the scan must resolve by name and null-fill
+# the missing column rather than fail or misalign positionally).
+@register(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(rk) AS BIGINT) AS n_with_region,
+           CAST(SUM(rk) AS BIGINT) AS region_sum
+    FROM (
+      SELECT n_nationkey, CAST(NULL AS BIGINT) AS rk FROM nation
+      UNION ALL
+      SELECT n_nationkey, CAST(n_regionkey AS BIGINT) AS rk FROM nation
+    ) t
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from impala_spark.ddl import WAREHOUSE
+
+    base = os.path.join(WAREHOUSE, "schema_evolution_demo")
+    n = table(spark, sf_dir, "nation")
+    # generation 1: written before the column existed
+    n.select("n_nationkey", "n_name").write.mode("overwrite").parquet(
+        os.path.join(base, "gen1")
+    )
+    # generation 2: written after ALTER TABLE ADD COLUMNS (n_regionkey)
+    n.select(
+        "n_nationkey", "n_name", F.col("n_regionkey").cast("bigint")
+    ).write.mode("overwrite").parquet(os.path.join(base, "gen2"))
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(base)
+    )
+    return merged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("n_regionkey").cast("bigint").alias("n_with_region"),
+        F.sum("n_regionkey").cast("bigint").alias("region_sum"),
+    )
+
+
 # Stream-stream interval join (Structured Streaming's watermarked
 # two-sided join — state bounded by watermark+interval; north-star
 # streaming surface beyond the reference). The registered query runs the
