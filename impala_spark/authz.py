@@ -29,8 +29,10 @@ Enforcement model (engine.sql calls AuthzPolicy.check_access):
     happens to collide with an ungranted column denies instead of
     allowing; never the reverse). The reference resolves exact slots;
     documented simplification.
-  * SHOW/DESCRIBE metadata surfaces are not gated (the reference
-    requires ANY on the object; documented simplification).
+  * Table-targeted SHOW/DESCRIBE metadata surfaces require ANY
+    privilege on the object (check_metadata_access), COMPUTE STATS
+    requires ALL, and EXPLAIN is authorized like the statement it
+    explains — matching the reference's Privilege.ANY/ALL requests.
 """
 
 from __future__ import annotations

@@ -572,9 +572,10 @@ class ImpalaEngine:
         constructed with server_name. Classification is by statement
         kind; referenced tables come from the rewrite layer's resolver,
         with its 'unknown shape' answer treated conservatively (only a
-        database- or server-scope grant authorizes). SHOW/DESCRIBE
-        metadata surfaces are not gated (documented simplification —
-        the reference requires ANY on the object)."""
+        database- or server-scope grant authorizes). Table-targeted
+        SHOW/DESCRIBE metadata surfaces require ANY privilege on the
+        object and COMPUTE STATS requires ALL (check_metadata_access /
+        engine routing)."""
         if not self._authz.server_name:
             return
         from impala_spark.rewrites import referenced_base_tables
