@@ -73,17 +73,23 @@ def int_expr(rng, ints, depth=0):
             f"{int_expr(rng, ints, depth + 1)} ELSE {rng.randint(0, 5)} END")
 
 
-def str_expr(rng, strs, depth=0):
+def str_expr(rng, strs, depth=0, nullable=False):
     r = rng.random()
     if depth > 1 or r < 0.4:
         return rng.choice(strs)
     if r < 0.55:
-        return f"upper({str_expr(rng, strs, depth + 1)})"
+        return f"upper({str_expr(rng, strs, depth + 1, nullable)})"
     if r < 0.7:
-        return f"lower({str_expr(rng, strs, depth + 1)})"
-    if r < 0.85:
-        return f"substr({str_expr(rng, strs, depth + 1)}, 1, {rng.randint(1, 6)})"
-    return f"concat({str_expr(rng, strs, depth + 1)}, '_x')"
+        return f"lower({str_expr(rng, strs, depth + 1, nullable)})"
+    if r < 0.85 or nullable:
+        return f"substr({str_expr(rng, strs, depth + 1, nullable)}, 1, {rng.randint(1, 6)})"
+    # concat ONLY over non-nullable inputs: a FOUND dialect divergence —
+    # Impala (and Spark) return NULL when any concat argument is NULL,
+    # DuckDB's concat skips NULLs ('_x' from concat(NULL, '_x')). The
+    # engine side matches the reference; the shared-text oracle cannot
+    # express it, so the generator keeps concat away from LEFT JOIN
+    # null-producing columns (fuzz campaign seed 42 query 275).
+    return f"concat({str_expr(rng, strs, depth + 1, nullable)}, '_x')"
 
 
 def pred(rng, ints, strs, depth=0):
@@ -114,18 +120,33 @@ def gen_query(rng) -> str:
         t1, t2, on = rng.choice(JOINS)
         ints = SCHEMA[t1][0] + SCHEMA[t2][0]
         strs = SCHEMA[t1][1] + SCHEMA[t2][1]
-        frm = f"{t1} JOIN {t2} ON {on}"
+        kind = rng.choice(["JOIN", "JOIN", "LEFT JOIN"])
+        nullable = kind == "LEFT JOIN"
+        if kind == "LEFT JOIN":
+            # make some probe rows actually miss: an extra build-side
+            # predicate in the ON clause (FK edges always match in the
+            # raw data, so nulls only appear this way) — this is where
+            # engines disagree on null propagation if anything does
+            extra = pred(rng, SCHEMA[t2][0], SCHEMA[t2][1], 1)
+            on = f"{on} AND {extra}"
+        frm = f"{t1} {kind} {t2} ON {on}"
     else:
         t1 = rng.choice(list(SCHEMA))
         ints, strs = SCHEMA[t1]
+        nullable = False
         frm = t1
     where = f" WHERE {pred(rng, ints, strs)}" if rng.random() < 0.8 else ""
     # WHERE-region subqueries (the only region the dialect accepts)
-    if rng.random() < 0.2:
+    if rng.random() < 0.25:
         sub_t = rng.choice(list(SCHEMA))
         sub_i = SCHEMA[sub_t][0]
-        sub = (f"{rng.choice(ints)} IN (SELECT {rng.choice(sub_i)} FROM {sub_t}"
-               f" WHERE {pred(rng, sub_i, SCHEMA[sub_t][1], 1)})")
+        k = rng.random()
+        if k < 0.5:
+            sub = (f"{rng.choice(ints)} IN (SELECT {rng.choice(sub_i)} FROM {sub_t}"
+                   f" WHERE {pred(rng, sub_i, SCHEMA[sub_t][1], 1)})")
+        else:  # uncorrelated scalar threshold
+            sub = (f"{rng.choice(ints)} >= (SELECT {rng.choice(['MIN', 'MAX'])}"
+                   f"({rng.choice(sub_i)}) % {rng.randint(2, 9)} FROM {sub_t})")
         where = f"{where} AND {sub}" if where else f" WHERE {sub}"
     shape = rng.random()
     if shape < 0.45:  # grouped aggregate
@@ -154,12 +175,33 @@ def gen_query(rng) -> str:
                 f" ORDER BY {o}) AS rnk FROM {frm}{where}")
     if shape < 0.75:  # DISTINCT projection
         cols = [int_expr(rng, ints) + f" AS e{i}" if rng.random() < 0.5
-                else str_expr(rng, strs) + f" AS e{i}"
+                else str_expr(rng, strs, nullable=nullable) + f" AS e{i}"
                 for i in range(rng.randint(1, 3))]
         return f"SELECT DISTINCT {', '.join(cols)} FROM {frm}{where}"
+    if shape < 0.82:  # CTE wrap: grouped inner, filtered outer
+        key = rng.choice(ints)
+        return (f"WITH t AS (SELECT {key} AS k, COUNT(*) AS n,"
+                f" SUM(CAST({int_expr(rng, ints)} AS BIGINT)) AS s"
+                f" FROM {frm}{where} GROUP BY {key})"
+                f" SELECT k, n, s FROM t WHERE n >= {rng.randint(0, 2)}")
+    if shape < 0.89:  # UNION ALL of two compatible projections
+        c1 = rng.choice(ints)
+        t2 = rng.choice(list(SCHEMA))
+        return (f"SELECT {c1} AS v FROM {frm}{where}"
+                f" UNION ALL SELECT {rng.choice(SCHEMA[t2][0])} AS v FROM {t2}")
+    # ordered LIMIT over a full-row total order: duplicate rows straddling
+    # the cut are interchangeable, so the multiset after LIMIT is exact.
+    # NULLS FIRST pinned explicitly — Spark's ASC default is NULLS FIRST,
+    # DuckDB's is NULLS LAST, and LEFT JOIN outputs can be NULL
+    if shape < 0.95:
+        pool = ints + strs
+        cols = rng.sample(pool, k=min(len(pool), rng.randint(2, 3)))
+        order = ", ".join(f"{c} NULLS FIRST" for c in cols)
+        return (f"SELECT {', '.join(cols)} FROM {frm}{where}"
+                f" ORDER BY {order} LIMIT {rng.randint(5, 50)}")
     # plain projection
     cols = [int_expr(rng, ints) + f" AS e{i}" if rng.random() < 0.5
-            else str_expr(rng, strs) + f" AS e{i}"
+            else str_expr(rng, strs, nullable=nullable) + f" AS e{i}"
             for i in range(rng.randint(1, 4))]
     return f"SELECT {', '.join(cols)} FROM {frm}{where}"
 
