@@ -152,12 +152,17 @@ def gen_query(rng) -> str:
     if shape < 0.45:  # grouped aggregate
         keys = rng.sample(ints + strs, k=rng.randint(1, 2))
         aggs = []
+        # Impala 2.x allows only ONE distinct-expression set per query
+        # ("all DISTINCT aggregate functions need to have the same set of
+        # parameters", A/AggregateInfo.java — the strict leg of this tool
+        # caught the generator emitting two, seed 99): pick it once
+        distinct_expr = rng.choice(ints + strs)
         for i in range(rng.randint(1, 3)):
             a = rng.random()
             if a < 0.3:
                 aggs.append(f"COUNT(*) AS agg{i}")
             elif a < 0.5:
-                aggs.append(f"COUNT(DISTINCT {rng.choice(ints + strs)}) AS agg{i}")
+                aggs.append(f"COUNT(DISTINCT {distinct_expr}) AS agg{i}")
             elif a < 0.7:
                 aggs.append(f"SUM(CAST({int_expr(rng, ints)} AS BIGINT)) AS agg{i}")
             else:
@@ -211,6 +216,10 @@ def main() -> int:
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
     ap.add_argument("--n", type=int, default=300)
     ap.add_argument("--seed", type=int, default=12)
+    ap.add_argument("--strict", action="store_true",
+                    help="also run every query through the STRICT analyzer:"
+                    " the generator emits only legal 2.7-dialect statements,"
+                    " so a strict rejection is an analyzer FALSE POSITIVE")
     args = ap.parse_args()
 
     rng = random.Random(args.seed)
@@ -234,6 +243,16 @@ def main() -> int:
     mismatches = 0
     for i in range(args.n):
         q = gen_query(rng)
+        if args.strict:
+            from impala_spark.parser import translate
+
+            try:
+                translate(q, strict=True)
+            except Exception as e:
+                print(f"MISMATCH {i}: STRICT FALSE POSITIVE"
+                      f" {type(e).__name__}: {e}\n  {q}", flush=True)
+                mismatches += 1
+                continue
         try:
             sdf = engine.sql(q)
             scols, srows = list(sdf.columns), [tuple(r) for r in sdf.collect()]
