@@ -106,10 +106,13 @@ _TPCDS_ALL = [n for n in SPARK_QUERIES if n.startswith("tpcds_")]
 def test_tpcds_plan_no_cartesian(spark, sf_dir, name):
     """TPC-DS shape suite: correlated subqueries must decorrelate into
     joins (never a cartesian), mirroring the reference's tpcds-all
-    planner goldens."""
+    planner goldens. Every plan must also keep at least one whole-stage
+    codegen region ("*(n)" in the tree) — a query falling out of
+    codegen entirely is the classic silent 10x at scale."""
     df = SPARK_QUERIES[name](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, name
+    assert "*(" in plan, f"{name}: no whole-stage codegen region"
 
 
 def test_tpcds_suite_runs_61_shapes(spark, sf_dir):
