@@ -68,3 +68,43 @@ def test_small_query_posture_per_family(spark, sf_dir):
     rows = SPARK_QUERIES["pricing_summary"](spark, sf_dir).collect()
     assert len(rows) == 6
     _PLAN_CACHE.clear()
+
+
+@pytest.mark.slow
+def test_differential_fuzz_seeded_sample(spark, sf_dir):
+    """Seeded slice of tools/differential_fuzz.py as a regression guard:
+    40 random dialect-common SELECTs through the engine vs DuckDB on the
+    same text (plus the strict-analyzer totality leg). The full
+    campaigns (2,600 queries across five seeds, r12) live in the tool;
+    this pins the generator contract and the engine path stay green."""
+    import os
+    import random
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import duckdb
+
+    from check import norm_rows
+    from differential_fuzz import gen_query
+
+    from impala_spark.engine import ImpalaEngine
+    from impala_spark.parser import translate
+    from impala_spark.session import TABLES, register_tables
+
+    register_tables(spark, sf_dir)
+    engine = ImpalaEngine(spark, sf_dir=sf_dir)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    rng = random.Random(7)
+    for _ in range(40):
+        q = gen_query(rng)
+        translate(q, strict=True)  # a strict rejection = false positive
+        sdf = engine.sql(q)
+        sc, sr = norm_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+        rel = con.execute(q)
+        dc, dr = norm_rows([d[0] for d in rel.description], rel.fetchall())
+        assert (sc, sr) == (dc, dr), q
