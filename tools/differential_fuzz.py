@@ -61,14 +61,22 @@ JOINS = [
 
 def int_expr(rng, ints, depth=0):
     r = rng.random()
-    if depth > 1 or r < 0.35:
+    if depth > 1 or r < 0.3:
         return rng.choice(ints)
-    if r < 0.55:
+    if r < 0.45:
         return f"({int_expr(rng, ints, depth + 1)} {rng.choice(['+', '-', '*'])} {rng.randint(1, 9)})"
-    if r < 0.7:
+    if r < 0.55:
         return f"abs({int_expr(rng, ints, depth + 1)} - {rng.randint(0, 20)})"
-    if r < 0.85:
+    if r < 0.67:
         return f"({int_expr(rng, ints, depth + 1)} % {rng.randint(2, 13)})"
+    if r < 0.76:
+        return (f"coalesce({int_expr(rng, ints, depth + 1)},"
+                f" {rng.randint(0, 9)})")
+    if r < 0.85:
+        # nullif(a, b) is NULL when equal — injects NULLs both engines
+        # agree on, downstream arithmetic must propagate them identically
+        return (f"nullif({int_expr(rng, ints, depth + 1)},"
+                f" {rng.randint(0, 8)})")
     return (f"CASE WHEN {pred(rng, ints, [], depth + 1)} THEN "
             f"{int_expr(rng, ints, depth + 1)} ELSE {rng.randint(0, 5)} END")
 
@@ -101,10 +109,15 @@ def pred(rng, ints, strs, depth=0):
     if strs and r < 0.45:
         c = rng.choice(strs)
         k = rng.random()
-        if k < 0.4:
+        if k < 0.3:
             return f"{c} LIKE '%{rng.choice('AEIRST')}%'"
-        if k < 0.7:
+        if k < 0.5:
             return f"length({c}) > {rng.randint(3, 12)}"
+        if k < 0.65:
+            return (f"substr({c}, 1, 1) IN "
+                    f"({', '.join(repr(ch) for ch in rng.sample('ABCEFIMRSU', rng.randint(2, 4)))})")
+        if k < 0.8:
+            return f"CAST(length({c}) AS STRING) <> '{rng.randint(1, 9)}'"
         return f"{c} IS NOT NULL"
     e = int_expr(rng, ints, depth + 1)
     k = rng.random()
@@ -130,6 +143,17 @@ def gen_query(rng) -> str:
             extra = pred(rng, SCHEMA[t2][0], SCHEMA[t2][1], 1)
             on = f"{on} AND {extra}"
         frm = f"{t1} {kind} {t2} ON {on}"
+    elif rng.random() < 0.2:
+        # self-join on a low-cardinality key (small tables only — the
+        # fan-out is |t|^2/ndv). Column pools are DISJOINT across the
+        # two aliases so unaliased outputs never collide by name (the
+        # order-insensitive compare sorts columns by name)
+        t1 = rng.choice(["nation", "region", "supplier", "part"])
+        key = SCHEMA[t1][0][-1]
+        ints = [f"sj1.{c}" for c in SCHEMA[t1][0]]
+        strs = [f"sj2.{c}" for c in SCHEMA[t1][1]]
+        nullable = False
+        frm = f"{t1} sj1 JOIN {t1} sj2 ON sj1.{key} = sj2.{key}"
     else:
         t1 = rng.choice(list(SCHEMA))
         ints, strs = SCHEMA[t1]
@@ -169,8 +193,12 @@ def gen_query(rng) -> str:
                 aggs.append(f"{rng.choice(['MIN', 'MAX'])}({rng.choice(ints + strs)}) AS agg{i}")
         having = (f" HAVING COUNT(*) >= {rng.randint(0, 2)}"
                   if rng.random() < 0.3 else "")
+        # ordinal GROUP BY sometimes (Impala substitutes ordinals before
+        # HAVING binding, SelectStmt.java:610 — all three engines accept)
+        group = (", ".join(str(i + 1) for i in range(len(keys)))
+                 if rng.random() < 0.3 else ", ".join(keys))
         return (f"SELECT {', '.join(keys)}, {', '.join(aggs)} FROM {frm}"
-                f"{where} GROUP BY {', '.join(keys)}{having}")
+                f"{where} GROUP BY {group}{having}")
     if shape < 0.6:  # ranking window over a scan
         k = rng.choice(ints + strs)
         o = rng.choice(ints)
