@@ -38,6 +38,44 @@ _INSERT_RE = re.compile(
     r"(?:PARTITION\s*\((?P<part>[^)]*)\)\s*)?(?P<select>(?:SELECT|VALUES|WITH)\s.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+_WITH_PREFIX_RE = re.compile(r"^\s*WITH\s", re.IGNORECASE)
+_DML_HEAD_RE = re.compile(
+    r"(?is)^((?:INSERT|UPSERT)\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?[\w.`]+\s*"
+    r"(?:PARTITION\s*\([^)]*\)\s*)?)(.*)$"
+)
+
+
+def _hoist_with_clause(q: str) -> str:
+    """Impala's grammar allows a WITH clause to PREFIX INSERT/UPSERT
+    (A/InsertStmt.java: withClause_ analyzed against the source query);
+    Spark only accepts the CTE list ON the source query. Rewrite
+    `WITH ... INSERT INTO t [PARTITION(...)] SELECT ...` into
+    `INSERT INTO t [PARTITION(...)] WITH ... SELECT ...` — same scoping,
+    since the CTEs are visible only to the select in both engines.
+    Statements that aren't a WITH-prefixed DML pass through untouched."""
+    if not _WITH_PREFIX_RE.match(q):
+        return q
+    depth = 0
+    in_str: str | None = None
+    for i, ch in enumerate(q):
+        if in_str:
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch in "IiUu" and i and not (
+            q[i - 1].isalnum() or q[i - 1] in "_`"
+        ):
+            if re.match(r"(?i)(?:INSERT|UPSERT)\b", q[i:]):
+                hm = _DML_HEAD_RE.match(q[i:])
+                if hm:
+                    return f"{hm.group(1).rstrip()} {q[:i].strip()} {hm.group(2)}"
+                return q
+    return q
 _CTAS_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<table>[\w`]+)\s*"
     r"(?:PARTITIONED\s+BY\s*\((?P<part>[^)]*)\)\s*)?"
@@ -247,7 +285,7 @@ class ImpalaEngine:
 
     # -- the main path (Frontend.createExecRequest analog) -----------------
     def sql(self, query: str) -> DataFrame:
-        q = query.strip().rstrip(";")
+        q = _hoist_with_clause(query.strip().rstrip(";"))
 
         from impala_spark import authz as _authz_mod
 
@@ -1381,6 +1419,12 @@ class ImpalaEngine:
         # 'SELECT/*c*/1' have no whitespace after the keyword (r11 ADVICE)
         mw = re.match(r"[A-Za-z_]+", stripped)
         head = mw.group(0).upper() if mw else ""
+        if head == "WITH" and _hoist_with_clause(
+            stripped.rstrip().rstrip(";")
+        ).lstrip()[:2].upper() in ("IN", "UP"):
+            # WITH-prefixed INSERT/UPSERT is a DML statement, not a query
+            # — replay verbatim like the other statement kinds
+            return query.strip().rstrip(";")
         if not stripped.startswith("(") and head not in (
             "SELECT", "WITH", "VALUES", "",
         ):

@@ -3097,6 +3097,36 @@ def q_insert_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ddl_with_insert",
+    """
+    SELECT n_regionkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+    FROM nation GROUP BY n_regionkey ORDER BY k
+    """,
+)
+def q_with_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH-prefixed INSERT (A/InsertStmt.java: withClause_ — Impala's
+    grammar puts the CTE list BEFORE the statement; Spark only accepts
+    it on the source query, so engine.sql hoists it, engine.py
+    _hoist_with_clause)."""
+    from impala_spark.engine import ImpalaEngine
+
+    register_tables(spark, sf_dir)
+    eng = ImpalaEngine(spark, sf_dir=sf_dir)
+    eng.sql("DROP TABLE IF EXISTS with_ins_t")
+    eng.sql("CREATE TABLE with_ins_t (k BIGINT, n BIGINT)")
+    eng.sql(
+        """
+        WITH per_region AS (
+          SELECT n_regionkey AS k, COUNT(*) AS n
+          FROM nation GROUP BY n_regionkey
+        )
+        INSERT INTO with_ins_t SELECT k, n FROM per_region
+        """
+    )
+    return eng.sql("SELECT k, n FROM with_ins_t ORDER BY k")
+
+
+@register(
     "llm_embedding_near_dup",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS planted_pairs_found,

@@ -288,3 +288,58 @@ def test_to_sql_first_token_not_sliced(engine):
     assert engine.to_sql("SELECT/*c*/ 1") == "SELECT 1"
     # non-queries still replay verbatim (statement-specific toSql)
     assert engine.to_sql("REFRESH nation") == "REFRESH nation"
+
+
+class TestWithPrefixedDml:
+    """Impala allows a WITH clause to prefix INSERT/UPSERT
+    (A/InsertStmt.java withClause_); Spark only accepts the CTE list on
+    the source query, so engine.sql hoists it (_hoist_with_clause)."""
+
+    def test_hoist_rewrites_insert(self):
+        from impala_spark.engine import _hoist_with_clause
+
+        out = _hoist_with_clause(
+            "WITH t AS (SELECT 1 AS a) INSERT INTO x SELECT a FROM t")
+        assert out == "INSERT INTO x WITH t AS (SELECT 1 AS a) SELECT a FROM t"
+
+    def test_hoist_keeps_partition_clause(self):
+        from impala_spark.engine import _hoist_with_clause
+
+        out = _hoist_with_clause(
+            "WITH t AS (SELECT 1 AS a) INSERT OVERWRITE x PARTITION (p='1')"
+            " SELECT a FROM t")
+        assert out.startswith("INSERT OVERWRITE x PARTITION (p='1')")
+        assert "WITH t AS (SELECT 1 AS a) SELECT a FROM t" in out
+
+    def test_hoist_leaves_queries_alone(self):
+        from impala_spark.engine import _hoist_with_clause
+
+        for q in (
+            "SELECT 1",
+            "WITH t AS (SELECT 1) SELECT * FROM t",
+            # the keyword inside a string literal must not trigger
+            "WITH t AS (SELECT 'INSERT' AS a) SELECT * FROM t",
+            # ... nor inside the CTE body's parens
+            "WITH t AS (SELECT 1 FROM x WHERE y = 2) SELECT * FROM t",
+        ):
+            assert _hoist_with_clause(q) == q
+
+    def test_with_insert_end_to_end(self, spark, sf_dir):
+        from impala_spark.engine import ImpalaEngine
+        from impala_spark.session import register_tables
+
+        register_tables(spark, sf_dir)
+        eng = ImpalaEngine(spark, sf_dir=sf_dir)
+        eng.sql("DROP TABLE IF EXISTS wi_e2e")
+        eng.sql("CREATE TABLE wi_e2e (k BIGINT)")
+        eng.sql("WITH t AS (SELECT n_regionkey AS k FROM nation)"
+                " INSERT INTO wi_e2e SELECT DISTINCT k FROM t")
+        assert eng.sql("SELECT COUNT(*) AS c FROM wi_e2e").collect()[0][0] == 5
+        eng.sql("DROP TABLE wi_e2e")
+
+    def test_to_sql_replays_with_insert_verbatim(self, spark, sf_dir):
+        from impala_spark.engine import ImpalaEngine
+
+        eng = ImpalaEngine(spark, sf_dir=sf_dir)
+        q = "WITH t AS (SELECT 1 AS k) INSERT INTO x SELECT k FROM t"
+        assert eng.to_sql(q) == q
