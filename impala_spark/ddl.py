@@ -544,35 +544,87 @@ def insert(
     query_or_df: str | DataFrame,
     overwrite: bool = False,
     static_partition: dict[str, object] | None = None,
+    columns: list[str] | None = None,
 ) -> DataFrame:
-    """INSERT INTO/OVERWRITE [PARTITION (k=v | k)] (analysis/InsertStmt.java).
+    """INSERT INTO/OVERWRITE [(col, ...)] [PARTITION (k=v | k)]
+    (analysis/InsertStmt.java).
 
     Static partition: constant key values appended as literal columns
     (InsertStmt.java:751-760). Dynamic: the trailing SELECT columns feed the
     partition keys — Spark's partitionBy handles both once the columns exist.
+    Column permutation (InsertStmt.java:73-90): values bind by position to
+    the MENTIONED columns; unmentioned columns are set to NULL; partition
+    columns must all be mentioned (permutation or PARTITION clause).
     """
     t = _managed(table)
     df = spark.sql(translate(query_or_df)) if isinstance(query_or_df, str) else query_or_df
-    if static_partition:
-        for k, v in static_partition.items():
-            df = df.withColumn(k, F.lit(v))
-    # Impala InsertStmt analysis: column count must match the target
-    # exactly; values bind by POSITION and cast to the target types.
-    # Without this an off-by-one SELECT silently appends a mismatched
-    # parquet schema into the table directory.
     target = spark.table(table)
-    if len(df.columns) != len(target.columns):
-        # InsertStmt.java:520-525 exact text (comparator flips with the
-        # direction of the mismatch; no column-permutation support here)
-        comparator = "more" if len(target.columns) > len(df.columns) else "fewer"
-        raise ImpalaUnsupportedError(
-            f"Target table 'default.{table}' has {comparator} columns "
-            f"({len(target.columns)}) than the SELECT / VALUES clause "
-            f"returns ({len(df.columns)})"
+    if columns is not None:
+        # -- column permutation analysis (InsertStmt.java:300-312,516-530)
+        by_lower = {c.lower(): c for c in target.columns}
+        cols: list[str] = []
+        mentioned: set[str] = set()
+        for raw in columns:
+            c = raw.strip().strip("`")
+            if c.lower() not in by_lower:
+                raise ImpalaUnsupportedError(
+                    f"Unknown column '{c}' in column permutation")
+            if c.lower() in mentioned:
+                raise ImpalaUnsupportedError(
+                    f"Duplicate column '{c}' in column permutation")
+            mentioned.add(c.lower())
+            cols.append(by_lower[c.lower()])
+        if static_partition:
+            mentioned |= {k.lower() for k in static_partition}
+        if len(cols) != len(df.columns):
+            comparator = "fewer" if len(cols) < len(df.columns) else "more"
+            prefix = ("and PARTITION clause mention" if static_partition
+                      else "mentions")
+            clause = ("and PARTITION clause return" if static_partition
+                      else "returns")
+            raise ImpalaUnsupportedError(
+                f"Column permutation {prefix} {comparator} columns "
+                f"({len(cols)}) than the SELECT / VALUES clause {clause} "
+                f"({len(df.columns)})")
+        if t.partition_cols:
+            miss = [c for c in t.partition_cols if c.lower() not in mentioned]
+            if miss:
+                raise ImpalaUnsupportedError(
+                    "Not enough partition columns mentioned in query."
+                    " Missing columns are: " + ", ".join(miss))
+        df = df.toDF(*cols)
+        if static_partition:
+            for k, v in static_partition.items():
+                df = df.withColumn(k, F.lit(v))
+        # unmentioned columns are set to NULL (InsertStmt.java:77-88)
+        have = {c.lower() for c in df.columns}
+        for c, f in zip(target.columns, target.schema.fields):
+            if c.lower() not in have:
+                df = df.withColumn(c, F.lit(None).cast(f.dataType))
+        df = df.select(
+            *[F.col(c).cast(f.dataType)
+              for c, f in zip(target.columns, target.schema.fields)]
         )
-    df = df.toDF(*target.columns).select(
-        *[F.col(c).cast(f.dataType) for c, f in zip(target.columns, target.schema.fields)]
-    )
+    else:
+        if static_partition:
+            for k, v in static_partition.items():
+                df = df.withColumn(k, F.lit(v))
+        # Impala InsertStmt analysis: column count must match the target
+        # exactly; values bind by POSITION and cast to the target types.
+        # Without this an off-by-one SELECT silently appends a mismatched
+        # parquet schema into the table directory.
+        if len(df.columns) != len(target.columns):
+            # InsertStmt.java:520-525 exact text (comparator flips with the
+            # direction of the mismatch)
+            comparator = "more" if len(target.columns) > len(df.columns) else "fewer"
+            raise ImpalaUnsupportedError(
+                f"Target table 'default.{table}' has {comparator} columns "
+                f"({len(target.columns)}) than the SELECT / VALUES clause "
+                f"returns ({len(df.columns)})"
+            )
+        df = df.toDF(*target.columns).select(
+            *[F.col(c).cast(f.dataType) for c, f in zip(target.columns, target.schema.fields)]
+        )
     mode = "overwrite" if overwrite else "append"
     if t.range_cols:
         # Kudu parity: rows outside every declared range partition are

@@ -35,12 +35,14 @@ _USE_RE = re.compile(r"^\s*USE\s+([\w`]+)\s*$", re.IGNORECASE)
 _EXPLAIN_RE = re.compile(r"^\s*EXPLAIN\s+(.*)$", re.IGNORECASE | re.DOTALL)
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?(?P<table>[\w`]+)\s*"
+    r"(?:\((?P<cols>[^)]*)\)\s*)?"  # column permutation (InsertStmt.java:73)
     r"(?:PARTITION\s*\((?P<part>[^)]*)\)\s*)?(?P<select>(?:SELECT|VALUES|WITH)\s.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 _WITH_PREFIX_RE = re.compile(r"^\s*WITH\s", re.IGNORECASE)
 _DML_HEAD_RE = re.compile(
     r"(?is)^((?:INSERT|UPSERT)\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?[\w.`]+\s*"
+    r"(?:\([^)]*\)\s*)?"  # column permutation stays in the head
     r"(?:PARTITION\s*\([^)]*\)\s*)?)(.*)$"
 )
 
@@ -420,6 +422,8 @@ class ImpalaEngine:
                 m.group("select"),
                 overwrite=m.group("mode").upper() == "OVERWRITE",
                 static_partition=static or None,
+                columns=(m.group("cols").split(",")
+                         if m.group("cols") is not None else None),
             )
         m = _CREATE_FUNCTION_RE.match(q)
         if m:

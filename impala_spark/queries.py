@@ -3127,6 +3127,34 @@ def q_with_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ddl_insert_permutation",
+    """
+    SELECT CAST(n_regionkey AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(NULL AS STRING) AS tag
+    FROM nation GROUP BY n_regionkey ORDER BY k
+    """,
+)
+def q_insert_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT with a column permutation (InsertStmt.java:73-90): values
+    bind by position to the mentioned columns, the unmentioned `tag`
+    column is NULL-filled."""
+    from impala_spark.engine import ImpalaEngine
+
+    register_tables(spark, sf_dir)
+    eng = ImpalaEngine(spark, sf_dir=sf_dir)
+    eng.sql("DROP TABLE IF EXISTS perm_ins_t")
+    eng.sql("CREATE TABLE perm_ins_t (k BIGINT, n BIGINT, tag STRING)")
+    eng.sql(
+        """
+        INSERT INTO perm_ins_t (n, k)
+        SELECT COUNT(*), n_regionkey FROM nation GROUP BY n_regionkey
+        """
+    )
+    return eng.sql("SELECT k, n, tag FROM perm_ins_t ORDER BY k")
+
+
+@register(
     "llm_embedding_near_dup",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS planted_pairs_found,

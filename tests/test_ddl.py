@@ -848,3 +848,73 @@ class TestRangePartitioned:
         txt = eng.sql("SHOW CREATE TABLE hsh_sc").collect()[0][0]
         assert "PARTITION BY HASH (o_orderkey) PARTITIONS 4" in txt, txt
         eng.sql("DROP TABLE hsh_sc")
+
+
+class TestInsertColumnPermutation:
+    """INSERT [(col, ...)] — InsertStmt.java:73-90 column permutation:
+    values bind by position to the mentioned columns, unmentioned
+    columns are NULL, partition columns must be mentioned."""
+
+    def _eng(self, spark, sf_dir):
+        from impala_spark.engine import ImpalaEngine
+        from impala_spark.session import register_tables
+
+        register_tables(spark, sf_dir)
+        return ImpalaEngine(spark, sf_dir=sf_dir)
+
+    def test_permutation_binds_and_null_fills(self, spark, sf_dir):
+        e = self._eng(spark, sf_dir)
+        e.sql("DROP TABLE IF EXISTS cp_t")
+        e.sql("CREATE TABLE cp_t (k BIGINT, n BIGINT, s STRING)")
+        e.sql("INSERT INTO cp_t (n, k) SELECT 1, 2")
+        e.sql("INSERT INTO cp_t (k) VALUES (9)")
+        rows = sorted(tuple(r) for r in e.sql("SELECT * FROM cp_t").collect())
+        assert rows == [(2, 1, None), (9, None, None)]
+        e.sql("DROP TABLE cp_t")
+
+    def test_permutation_error_texts(self, spark, sf_dir):
+        import pytest
+
+        e = self._eng(spark, sf_dir)
+        e.sql("DROP TABLE IF EXISTS cp_e")
+        e.sql("CREATE TABLE cp_e (k BIGINT, n BIGINT)")
+        cases = [
+            ("INSERT INTO cp_e (zz) SELECT 1",
+             "Unknown column 'zz' in column permutation"),
+            ("INSERT INTO cp_e (k, k) SELECT 1, 2",
+             "Duplicate column 'k' in column permutation"),
+            ("INSERT INTO cp_e (k, n) SELECT 1",
+             "Column permutation mentions more columns (2) than the"
+             " SELECT / VALUES clause returns (1)"),
+            ("INSERT INTO cp_e (k) SELECT 1, 2",
+             "Column permutation mentions fewer columns (1) than the"
+             " SELECT / VALUES clause returns (2)"),
+        ]
+        for stmt, want in cases:
+            with pytest.raises(Exception) as ei:
+                e.sql(stmt)
+            assert want in str(ei.value), stmt
+        e.sql("DROP TABLE cp_e")
+
+    def test_partition_columns_must_be_mentioned(self, spark, sf_dir):
+        import pytest
+
+        e = self._eng(spark, sf_dir)
+        e.sql("DROP TABLE IF EXISTS cp_p")
+        e.sql("CREATE TABLE cp_p (v BIGINT) PARTITIONED BY (p BIGINT)")
+        with pytest.raises(Exception) as ei:
+            e.sql("INSERT INTO cp_p (v) SELECT 5")
+        assert ("Not enough partition columns mentioned in query."
+                " Missing columns are: p") in str(ei.value)
+        e.sql("INSERT INTO cp_p (v) PARTITION (p=7) SELECT 5")
+        assert [tuple(r) for r in e.sql("SELECT * FROM cp_p").collect()] \
+            == [(5, 7)]
+        e.sql("DROP TABLE cp_p")
+
+    def test_with_hoist_keeps_permutation_in_head(self, spark, sf_dir):
+        from impala_spark.engine import _hoist_with_clause
+
+        out = _hoist_with_clause(
+            "WITH t AS (SELECT 3 AS a) INSERT INTO x (k) SELECT a FROM t")
+        assert out == "INSERT INTO x (k) WITH t AS (SELECT 3 AS a)" \
+            " SELECT a FROM t"
