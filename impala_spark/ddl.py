@@ -545,6 +545,7 @@ def insert(
     overwrite: bool = False,
     static_partition: dict[str, object] | None = None,
     columns: list[str] | None = None,
+    hints: list[str] | None = None,
 ) -> DataFrame:
     """INSERT INTO/OVERWRITE [(col, ...)] [PARTITION (k=v | k)]
     (analysis/InsertStmt.java).
@@ -625,6 +626,13 @@ def insert(
         df = df.toDF(*target.columns).select(
             *[F.col(c).cast(f.dataType) for c, f in zip(target.columns, target.schema.fields)]
         )
+    if hints and "shuffle" in hints and t.partition_cols:
+        # [shuffle] plan hint (InsertStmt.java planHints_): add one
+        # exchange on the partition keys before the sink so each output
+        # partition is written by one task — the reference's cure for
+        # the many-small-files insert; noshuffle/clustered/noclustered
+        # are accepted and need no action on Spark's write path
+        df = df.repartition(*[F.col(c) for c in t.partition_cols])
     mode = "overwrite" if overwrite else "append"
     if t.range_cols:
         # Kudu parity: rows outside every declared range partition are
@@ -655,9 +663,14 @@ def insert(
 
 
 def truncate(spark: SparkSession, stmt_or_table: str) -> DataFrame:
-    """TRUNCATE [TABLE] name — drop all rows, keep schema."""
-    m = re.match(r"^\s*TRUNCATE\s+(?:TABLE\s+)?([\w`]+)\s*$", stmt_or_table, re.IGNORECASE)
-    name = m.group(1).strip("`") if m else stmt_or_table
+    """TRUNCATE [TABLE] [IF EXISTS] name — drop all rows, keep schema
+    (A/TruncateStmt.java:32: IF EXISTS makes a missing table a no-op)."""
+    m = re.match(
+        r"^\s*TRUNCATE\s+(?:TABLE\s+)?(?P<ife>IF\s+EXISTS\s+)?([\w`]+)\s*$",
+        stmt_or_table, re.IGNORECASE)
+    name = m.group(2).strip("`") if m else stmt_or_table
+    if m and m.group("ife") and table_info(name) is None:
+        return spark.sql("SELECT 'table does not exist (IF EXISTS)' AS result")
     t = _managed(name)
     schema = spark.table(name).schema
     empty = spark.createDataFrame([], schema)

@@ -36,7 +36,11 @@ _EXPLAIN_RE = re.compile(r"^\s*EXPLAIN\s+(.*)$", re.IGNORECASE | re.DOTALL)
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?(?P<table>[\w`]+)\s*"
     r"(?:\((?P<cols>[^)]*)\)\s*)?"  # column permutation (InsertStmt.java:73)
-    r"(?:PARTITION\s*\((?P<part>[^)]*)\)\s*)?(?P<select>(?:SELECT|VALUES|WITH)\s.*)$",
+    r"(?:PARTITION\s*\((?P<part>[^)]*)\)\s*)?"
+    # plan hints + comments between the target and the source query
+    # (InsertStmt.java planHints_: [shuffle] / /* +noshuffle */ / -- ...)
+    r"(?P<hints>(?:(?:\[[^\]]*\]|/\*[^*]*\*+(?:[^/*][^*]*\*+)*/|--[^\n]*\n)\s*)*)"
+    r"(?P<select>(?:SELECT|VALUES|WITH)\s.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 _WITH_PREFIX_RE = re.compile(r"^\s*WITH\s", re.IGNORECASE)
@@ -416,6 +420,10 @@ class ImpalaEngine:
                     k, eq, v = kv.partition("=")
                     if eq:  # static key; dynamic keys have no '='
                         static[k.strip().strip("`")] = v.strip().strip("'\"")
+            hints = [
+                h.lower()
+                for h in re.findall(r"[A-Za-z_]+", m.group("hints") or "")
+            ]
             return ddl.insert(
                 self.spark,
                 m.group("table").strip("`"),
@@ -424,6 +432,7 @@ class ImpalaEngine:
                 static_partition=static or None,
                 columns=(m.group("cols").split(",")
                          if m.group("cols") is not None else None),
+                hints=hints or None,
             )
         m = _CREATE_FUNCTION_RE.match(q)
         if m:

@@ -918,3 +918,49 @@ class TestInsertColumnPermutation:
             "WITH t AS (SELECT 3 AS a) INSERT INTO x (k) SELECT a FROM t")
         assert out == "INSERT INTO x (k) WITH t AS (SELECT 3 AS a)" \
             " SELECT a FROM t"
+
+
+class TestInsertHintsAndTruncateIfExists:
+    """INSERT plan hints between target and source (InsertStmt.java
+    planHints_: [shuffle], /* +noshuffle */, line comments) and
+    TRUNCATE [TABLE] [IF EXISTS] (TruncateStmt.java:32)."""
+
+    def _eng(self, spark, sf_dir):
+        from impala_spark.engine import ImpalaEngine
+        from impala_spark.session import register_tables
+
+        register_tables(spark, sf_dir)
+        return ImpalaEngine(spark, sf_dir=sf_dir)
+
+    def test_insert_hints_and_comments_route(self, spark, sf_dir):
+        e = self._eng(spark, sf_dir)
+        e.sql("DROP TABLE IF EXISTS hint_t")
+        e.sql("CREATE TABLE hint_t (k BIGINT, n BIGINT)")
+        e.sql("INSERT INTO hint_t [shuffle] SELECT 1, 2")
+        e.sql("INSERT INTO hint_t /* +noshuffle */ SELECT 3, 4")
+        e.sql("INSERT INTO hint_t -- appended by the nightly job\n"
+              " SELECT 5, 6")
+        e.sql("INSERT INTO hint_t (n, k) [shuffle] SELECT 8, 7")
+        rows = sorted(tuple(r) for r in e.sql("SELECT * FROM hint_t").collect())
+        assert rows == [(1, 2), (3, 4), (5, 6), (7, 8)]
+        e.sql("DROP TABLE hint_t")
+
+    def test_shuffle_hint_repartitions_partitioned_insert(self, spark, sf_dir):
+        e = self._eng(spark, sf_dir)
+        e.sql("DROP TABLE IF EXISTS hint_p")
+        e.sql("CREATE TABLE hint_p (v BIGINT) PARTITIONED BY (p BIGINT)")
+        e.sql("INSERT INTO hint_p [shuffle]"
+              " SELECT n_nationkey, n_regionkey FROM nation")
+        assert e.sql("SELECT COUNT(*) AS c FROM hint_p").collect()[0][0] == 25
+        e.sql("DROP TABLE hint_p")
+
+    def test_truncate_if_exists(self, spark, sf_dir):
+        e = self._eng(spark, sf_dir)
+        # missing table: silent no-op (TruncateStmt.java:55)
+        e.sql("TRUNCATE TABLE IF EXISTS truncate_no_such")
+        e.sql("DROP TABLE IF EXISTS trunc_t")
+        e.sql("CREATE TABLE trunc_t (k BIGINT)")
+        e.sql("INSERT INTO trunc_t SELECT 1")
+        e.sql("TRUNCATE IF EXISTS trunc_t")
+        assert e.sql("SELECT COUNT(*) AS c FROM trunc_t").collect()[0][0] == 0
+        e.sql("DROP TABLE trunc_t")
