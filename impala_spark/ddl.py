@@ -716,9 +716,54 @@ _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+([\w`]+)(?:\s+WHERE\s+(.*))?$", re.IGNORECASE | re.DOTALL
 )
 _UPSERT_RE = re.compile(
-    r"^\s*UPSERT\s+INTO\s+(?:TABLE\s+)?([\w`]+)\s+(SELECT\s+.*|VALUES\s*.*)$",
+    r"^\s*UPSERT\s+INTO\s+(?:TABLE\s+)?([\w`]+)\s*"
+    r"(?:\(([^)]*)\)\s*)?"  # column permutation (InsertStmt.java:73)
+    r"(SELECT\s+.*|VALUES\s*.*|WITH\s+.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+_DELETE_JOIN_RE = re.compile(
+    r"^\s*DELETE\s+([\w`]+)\s+FROM\s+(.*)$", re.IGNORECASE | re.DOTALL
+)
+
+
+def _top_level_kw(stmt: str, kw: str) -> int:
+    """Index of the first occurrence of keyword `kw` at paren depth 0
+    outside string literals, or -1 (word-boundary matched)."""
+    depth = 0
+    in_str: str | None = None
+    low = stmt.lower()
+    k = kw.lower()
+    for i, ch in enumerate(stmt):
+        if in_str:
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and low.startswith(k, i):
+            before_ok = i == 0 or not (stmt[i - 1].isalnum() or stmt[i - 1] in "_`")
+            j = i + len(k)
+            after_ok = j >= len(stmt) or not (stmt[j].isalnum() or stmt[j] in "_`")
+            if before_ok and after_ok:
+                return i
+    return -1
+
+
+def _resolve_modify_target(tgt: str, from_clause: str) -> str:
+    """Resolve the DELETE/UPDATE target token — a table name or an alias
+    declared in the FROM clause (ModifyStmt.java:116-130)."""
+    name = tgt.strip("`")
+    if table_info(name) is not None:
+        return name
+    m = re.search(
+        rf"([\w`]+)\s+(?:AS\s+)?{re.escape(name)}\b", from_clause, re.IGNORECASE
+    )
+    if m and table_info(m.group(1).strip("`")) is not None:
+        return m.group(1).strip("`")
+    raise ValueError(f"'{name}' is not a valid table alias or reference.")
 
 
 def _split_assignments(set_clause: str) -> list[tuple[str, str]]:
@@ -847,6 +892,22 @@ def _touched_partitions(df: DataFrame, t: ManagedTable, pred) -> list[tuple]:
 
 
 def modify(spark: SparkSession, stmt: str) -> DataFrame:
+    # -- UPDATE ... SET ... FROM <joined refs> [WHERE ...] (ModifyStmt:
+    # the FROM clause names the target by alias; assignments may read
+    # the joined tables). Detected by a top-level FROM that precedes any
+    # top-level WHERE — a WHERE-subquery's FROM sits inside parens.
+    um = re.match(r"^\s*UPDATE\s+([\w`]+)\s+SET\s+", stmt, re.IGNORECASE)
+    if um:
+        tail = stmt[um.end():]
+        fi, wi = _top_level_kw(tail, "FROM"), _top_level_kw(tail, "WHERE")
+        if fi >= 0 and (wi < 0 or fi < wi):
+            return _update_from(
+                spark, um.group(1), tail[:fi], tail[fi + 4:])
+    m = _DELETE_RE.match(stmt)
+    if m is None:
+        dm = _DELETE_JOIN_RE.match(stmt)
+        if dm:
+            return _delete_from(spark, dm.group(1), dm.group(2))
     m = _UPDATE_RE.match(stmt)
     if m:
         name, set_clause, where = m.group(1).strip("`"), m.group(2), m.group(3)
@@ -905,14 +966,129 @@ def modify(spark: SparkSession, stmt: str) -> DataFrame:
 
     m = _UPSERT_RE.match(stmt)
     if m:
-        name, src_sql = m.group(1).strip("`"), m.group(2)
+        name, cols_text, src_sql = (
+            m.group(1).strip("`"), m.group(2), m.group(3))
         t = _managed(name)
         if not t.primary_key:
             raise ValueError(f"UPSERT requires a primary key on {name}")
         src = spark.sql(translate(f"SELECT * FROM ({src_sql})" if src_sql.upper().startswith("VALUES") else src_sql))
+        if cols_text is not None:
+            src = _upsert_permutation(spark, t, name, src, cols_text)
         return upsert(spark, name, src)
 
     raise ValueError(f"cannot parse modify statement: {stmt}")
+
+
+def _upsert_permutation(spark, t, name, src, cols_text: str):
+    """UPSERT column permutation (InsertStmt.java:73-90 with the Kudu
+    key-coverage rule): mentioned columns bind by position; ALL primary
+    key columns must be mentioned; unmentioned columns keep the EXISTING
+    row's value on a key match (Kudu upsert writes only the mentioned
+    cells) and are NULL for new keys."""
+    target = spark.table(name)
+    by_lower = {c.lower(): c for c in target.columns}
+    cols: list[str] = []
+    seen: set[str] = set()
+    for raw in cols_text.split(","):
+        c = raw.strip().strip("`")
+        if c.lower() not in by_lower:
+            raise ImpalaUnsupportedError(
+                f"Unknown column '{c}' in column permutation")
+        if c.lower() in seen:
+            raise ImpalaUnsupportedError(
+                f"Duplicate column '{c}' in column permutation")
+        seen.add(c.lower())
+        cols.append(by_lower[c.lower()])
+    missing_keys = [k for k in t.primary_key if k.lower() not in seen]
+    if missing_keys:
+        # checkRequiredKuduColumns (InsertStmt.java:540-557), UPSERT op
+        raise ImpalaUnsupportedError(
+            "All primary key columns must be specified for UPSERTing"
+            " into Kudu tables. Missing columns are: "
+            + ", ".join(missing_keys))
+    if len(cols) != len(src.columns):
+        comparator = "fewer" if len(cols) < len(src.columns) else "more"
+        raise ImpalaUnsupportedError(
+            f"Column permutation mentions {comparator} columns "
+            f"({len(cols)}) than the SELECT / VALUES clause returns "
+            f"({len(src.columns)})")
+    src = src.toDF(*cols)
+    unmentioned = [c for c in target.columns if c.lower() not in seen]
+    if unmentioned:
+        existing = spark.read.parquet(t.path).select(
+            *t.primary_key, *unmentioned)
+        src = src.join(existing, on=list(t.primary_key), how="left")
+    return src.select(
+        *[F.col(c).cast(f.dataType)
+          for c, f in zip(target.columns, target.schema.fields)]
+    )
+
+
+def _delete_from(spark: SparkSession, tgt: str, rest: str) -> DataFrame:
+    """DELETE <target> FROM <joined refs> [WHERE ...] (ModifyStmt.java:
+    the source statement selects the target's key columns through the
+    join; matching keys are removed from the target)."""
+    name = _resolve_modify_target(tgt, rest)
+    t = _managed(name)
+    if not t.primary_key:
+        raise ValueError(
+            f"DELETE with a FROM clause requires a primary key on {name}")
+    tgt_q = tgt.strip("`")
+    keys_sql = "SELECT DISTINCT %s FROM %s" % (
+        ", ".join(f"{tgt_q}.{k} AS {k}" for k in t.primary_key), rest)
+    keys = spark.sql(translate(keys_sql))
+    kept = spark.read.parquet(t.path).join(
+        keys, on=list(t.primary_key), how="left_anti")
+    return _overwrite(spark, t, kept)
+
+
+def _update_from(
+    spark: SparkSession, tgt: str, set_clause: str, rest: str
+) -> DataFrame:
+    """UPDATE <target> SET ... FROM <joined refs> [WHERE ...]
+    (ModifyStmt.java: assignments may reference the joined tables; the
+    source statement selects key columns + assignment RHS exprs)."""
+    name = _resolve_modify_target(tgt, rest)
+    t = _managed(name)
+    if not t.primary_key:
+        raise ValueError(
+            f"UPDATE with a FROM clause requires a primary key on {name}")
+    target = spark.table(name)
+    assigns = _split_assignments(set_clause)
+    seen: set[str] = set()
+    keyset = {k.lower() for k in t.primary_key}
+    for col, _ in assigns:
+        c = col.strip("`")
+        if c.lower() in keyset:
+            # ModifyStmt.java:267 exact text
+            raise ImpalaUnsupportedError(
+                f"Key column '{c}' cannot be updated.")
+        if c.lower() in seen:
+            raise ImpalaUnsupportedError(
+                f"Duplicate value assignment to column: '{c}'")
+        seen.add(c.lower())
+    tgt_q = tgt.strip("`")
+    sel = "SELECT %s, %s FROM %s" % (
+        ", ".join(f"{tgt_q}.{k} AS {k}" for k in t.primary_key),
+        ", ".join(f"({rhs}) AS __set_{i}" for i, (_, rhs) in enumerate(assigns)),
+        rest,
+    )
+    matches = (
+        spark.sql(translate(sel))
+        .dropDuplicates(list(t.primary_key))
+        .withColumn("__hit", F.lit(True))
+    )
+    df = spark.read.parquet(t.path).join(
+        matches, on=list(t.primary_key), how="left")
+    types = {f.name: f.dataType for f in target.schema.fields}
+    for i, (col, _) in enumerate(assigns):
+        c = col.strip("`")
+        df = df.withColumn(
+            c,
+            F.when(F.col("__hit").eqNullSafe(F.lit(True)),
+                   F.col(f"__set_{i}").cast(types[c])).otherwise(F.col(c)),
+        )
+    return _overwrite(spark, t, df.select(*target.columns))
 
 
 _ALTER_ADD_RE = re.compile(

@@ -652,11 +652,21 @@ class ImpalaEngine:
             )
         elif head in ("UPDATE", "DELETE", "TRUNCATE"):
             m = re.match(
-                r"(?is)^\s*(?:UPDATE\s+|DELETE\s+FROM\s+|TRUNCATE\s+"
-                r"(?:TABLE\s+)?)(`[^`]+`|[\w.]+)", q)
+                r"(?is)^\s*(?:UPDATE\s+|DELETE\s+(?:FROM\s+)?|TRUNCATE\s+"
+                r"(?:TABLE\s+)?(?:IF\s+EXISTS\s+)?)(`[^`]+`|[\w.]+)", q)
             if m:
-                self._authz.check_access(
-                    self.spark, q, head, [], m.group(1).strip("`"))
+                target = m.group(1).strip("`")
+                # join-form DELETE names the target by ALIAS — resolve it
+                # against the FROM clause so the ALL check lands on the
+                # real table, not the alias
+                fm = re.match(r"(?is)^\s*DELETE\s+([\w`]+)\s+FROM\s+(.*)$", q)
+                if fm and ddl.table_info(target) is None:
+                    try:
+                        target = ddl._resolve_modify_target(
+                            fm.group(1), fm.group(2))
+                    except ValueError:
+                        pass
+                self._authz.check_access(self.spark, q, head, [], target)
         elif head in ("CREATE", "DROP", "ALTER") and re.match(
                 r"(?is)^\s*\w+\s+(TABLE|VIEW)\b", q):
             self._authz.check_access(

@@ -3155,6 +3155,64 @@ def q_insert_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ddl_modify_from_join",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS k,
+           CAST(100 + n_regionkey AS BIGINT) AS v
+    FROM nation WHERE n_regionkey <> 0 ORDER BY k
+    """,
+)
+def q_modify_from_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE <alias> FROM <refs> and UPDATE <alias> SET ... FROM <refs>
+    (ModifyStmt.java: the FROM clause names the target by alias; the
+    source statement selects key columns + assignment exprs through the
+    join)."""
+    from impala_spark.engine import ImpalaEngine
+
+    register_tables(spark, sf_dir)
+    eng = ImpalaEngine(spark, sf_dir=sf_dir)
+    eng.sql("DROP TABLE IF EXISTS modfrom_t")
+    eng.sql("CREATE TABLE modfrom_t (k BIGINT, v BIGINT, PRIMARY KEY (k))")
+    eng.sql("INSERT INTO modfrom_t SELECT n_nationkey, 100 FROM nation")
+    eng.sql(
+        "DELETE modfrom_t FROM modfrom_t JOIN nation"
+        " ON modfrom_t.k = n_nationkey AND n_regionkey = 0"
+    )
+    eng.sql(
+        "UPDATE modfrom_t SET v = v + n_regionkey FROM modfrom_t"
+        " JOIN nation ON modfrom_t.k = n_nationkey"
+    )
+    return eng.sql("SELECT k, v FROM modfrom_t ORDER BY k")
+
+
+@register(
+    "ddl_upsert_permutation",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS k, CAST(2 AS BIGINT) AS v,
+           CASE WHEN n_nationkey < 10 THEN 'base' END AS s
+    FROM nation WHERE n_nationkey < 15 ORDER BY k
+    """,
+)
+def q_upsert_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPSERT with a column permutation (InsertStmt.java:73-90 + the
+    Kudu key-coverage rule): mentioned cells are written, unmentioned
+    cells keep the existing row's value on a key match and are NULL for
+    new keys."""
+    from impala_spark.engine import ImpalaEngine
+
+    register_tables(spark, sf_dir)
+    eng = ImpalaEngine(spark, sf_dir=sf_dir)
+    eng.sql("DROP TABLE IF EXISTS upperm_t")
+    eng.sql("CREATE TABLE upperm_t (k BIGINT, v BIGINT, s STRING,"
+            " PRIMARY KEY (k))")
+    eng.sql("INSERT INTO upperm_t"
+            " SELECT n_nationkey, 1, 'base' FROM nation WHERE n_nationkey < 10")
+    eng.sql("UPSERT INTO upperm_t (k, v)"
+            " SELECT n_nationkey, 2 FROM nation WHERE n_nationkey < 15")
+    return eng.sql("SELECT k, v, s FROM upperm_t ORDER BY k")
+
+
+@register(
     "llm_embedding_near_dup",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS planted_pairs_found,

@@ -964,3 +964,92 @@ class TestInsertHintsAndTruncateIfExists:
         e.sql("TRUNCATE IF EXISTS trunc_t")
         assert e.sql("SELECT COUNT(*) AS c FROM trunc_t").collect()[0][0] == 0
         e.sql("DROP TABLE trunc_t")
+
+
+class TestModifyFromAndUpsertPermutation:
+    """ModifyStmt's FROM-clause forms (DELETE <alias> FROM <refs>,
+    UPDATE <alias> SET ... FROM <refs>) and UPSERT column permutation
+    with the Kudu key-coverage rule."""
+
+    def _eng(self, spark, sf_dir):
+        from impala_spark.engine import ImpalaEngine
+        from impala_spark.session import register_tables
+
+        register_tables(spark, sf_dir)
+        return ImpalaEngine(spark, sf_dir=sf_dir)
+
+    def test_delete_and_update_with_from_join(self, spark, sf_dir):
+        e = self._eng(spark, sf_dir)
+        e.sql("DROP TABLE IF EXISTS mf_t")
+        e.sql("CREATE TABLE mf_t (k BIGINT, v BIGINT, PRIMARY KEY (k))")
+        e.sql("INSERT INTO mf_t SELECT n_nationkey, 100 FROM nation")
+        e.sql("DELETE mf_t FROM mf_t JOIN nation ON mf_t.k = n_nationkey"
+              " AND n_regionkey = 0")
+        e.sql("UPDATE mf_t SET v = v + n_regionkey FROM mf_t"
+              " JOIN nation ON mf_t.k = n_nationkey")
+        rows = {tuple(r) for r in e.sql("SELECT * FROM mf_t").collect()}
+        expect = {
+            (r[0], 100 + r[1])
+            for r in spark.sql(
+                "SELECT n_nationkey, n_regionkey FROM nation"
+                " WHERE n_regionkey <> 0").collect()
+        }
+        assert rows == expect
+        # aliased target + assignment reading the joined table
+        e.sql("UPDATE a SET v = n_regionkey FROM mf_t a"
+              " JOIN nation ON a.k = n_nationkey")
+        assert {tuple(r) for r in e.sql("SELECT * FROM mf_t").collect()} \
+            == {(r[0], r[1]) for r in spark.sql(
+                "SELECT n_nationkey, n_regionkey FROM nation"
+                " WHERE n_regionkey <> 0").collect()}
+        e.sql("DROP TABLE mf_t")
+
+    def test_update_from_never_confuses_where_subquery(self, spark, sf_dir):
+        e = self._eng(spark, sf_dir)
+        e.sql("DROP TABLE IF EXISTS mf_w")
+        e.sql("CREATE TABLE mf_w (k BIGINT, v BIGINT)")
+        e.sql("INSERT INTO mf_w VALUES (0, 0), (99, 0)")
+        # plain UPDATE whose WHERE contains a subquery (and thus a FROM
+        # inside parens) must stay on the plain path
+        e.sql("UPDATE mf_w SET v = 1 WHERE k IN"
+              " (SELECT n_nationkey FROM nation)")
+        assert {tuple(r) for r in e.sql("SELECT * FROM mf_w").collect()} \
+            == {(0, 1), (99, 0)}
+        e.sql("DROP TABLE mf_w")
+
+    def test_modify_error_texts(self, spark, sf_dir):
+        import pytest
+
+        e = self._eng(spark, sf_dir)
+        e.sql("DROP TABLE IF EXISTS mf_e")
+        e.sql("CREATE TABLE mf_e (k BIGINT, v BIGINT, PRIMARY KEY (k))")
+        cases = [
+            ("UPDATE mf_e SET k = 5 FROM mf_e JOIN nation"
+             " ON mf_e.k = n_nationkey",
+             "Key column 'k' cannot be updated."),
+            ("UPDATE mf_e SET v = 1, v = 2 FROM mf_e JOIN nation"
+             " ON mf_e.k = n_nationkey",
+             "Duplicate value assignment to column: 'v'"),
+            ("DELETE zz FROM mf_e JOIN nation ON mf_e.k = n_nationkey",
+             "'zz' is not a valid table alias or reference."),
+            ("UPSERT INTO mf_e (v) VALUES (1)",
+             "All primary key columns must be specified for UPSERTing"
+             " into Kudu tables. Missing columns are: k"),
+        ]
+        for stmt, want in cases:
+            with pytest.raises(Exception) as ei:
+                e.sql(stmt)
+            assert want in str(ei.value), stmt
+        e.sql("DROP TABLE mf_e")
+
+    def test_upsert_permutation_keeps_unmentioned_cells(self, spark, sf_dir):
+        e = self._eng(spark, sf_dir)
+        e.sql("DROP TABLE IF EXISTS up_t")
+        e.sql("CREATE TABLE up_t (k BIGINT, v BIGINT, s STRING,"
+              " PRIMARY KEY (k))")
+        e.sql("INSERT INTO up_t VALUES (1, 10, 'a'), (2, 20, 'b')")
+        e.sql("UPSERT INTO up_t (k, v) VALUES (2, 99), (3, 30)")
+        rows = sorted(tuple(r) for r in e.sql("SELECT * FROM up_t").collect())
+        # key 2: v updated, s KEPT; key 3: new row, s NULL
+        assert rows == [(1, 10, "a"), (2, 99, "b"), (3, 30, None)]
+        e.sql("DROP TABLE up_t")
