@@ -51,6 +51,53 @@ _DML_HEAD_RE = re.compile(
 )
 
 
+_DEFAULT_REF_RE = re.compile(
+    r"(?i)\bdefault\s*\.\s*(`[^`]+`|[A-Za-z_]\w*)"
+)
+
+
+def _strip_session_db_refs(q: str, spark) -> str:
+    """Resolve `default.<name>` references against the engine's
+    registered tables (Analyzer.java resolves db-qualified refs against
+    the catalog; our fixture/managed tables are session temp views,
+    which Spark cannot address through a database qualifier). Only
+    rewrites when <name> actually exists as a temp view, so real
+    catalog databases keep working; quote-aware, so string literals
+    containing 'default.' are untouched."""
+    if "default" not in q.lower():
+        return q
+    out: list[str] = []
+    i, n = 0, len(q)
+    in_str: str | None = None
+    while i < n:
+        ch = q[i]
+        if in_str:
+            out.append(ch)
+            if ch == in_str:
+                in_str = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+            out.append(ch)
+            i += 1
+            continue
+        m = _DEFAULT_REF_RE.match(q, i)
+        if m and not (i and (q[i - 1].isalnum() or q[i - 1] in "_`.")):
+            name = m.group(1).strip("`")
+            try:
+                is_temp = spark.catalog.tableExists(name)
+            except Exception:
+                is_temp = False
+            if is_temp:
+                out.append(m.group(1))
+                i = m.end()
+                continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _hoist_with_clause(q: str) -> str:
     """Impala's grammar allows a WITH clause to PREFIX INSERT/UPSERT
     (A/InsertStmt.java: withClause_ analyzed against the source query);
@@ -292,6 +339,7 @@ class ImpalaEngine:
     # -- the main path (Frontend.createExecRequest analog) -----------------
     def sql(self, query: str) -> DataFrame:
         q = _hoist_with_clause(query.strip().rstrip(";"))
+        q = _strip_session_db_refs(q, self.spark)
 
         from impala_spark import authz as _authz_mod
 
@@ -570,8 +618,14 @@ class ImpalaEngine:
         if upper.startswith("LOAD DATA"):
             return ddl.load_data(self.spark, q)
         if upper.startswith(("INVALIDATE METADATA", "REFRESH")):
-            target = q.split()[-1] if len(q.split()) > 2 else None
-            if target and target.upper() not in ("METADATA",):
+            # REFRESH t [PARTITION (spec)] (IMPALA-1683, 2.7): the
+            # partition spec narrows the reload in the reference; Spark's
+            # refreshTable reloads the table's file listing either way
+            m = re.match(
+                r"(?is)^\s*(?:INVALIDATE\s+METADATA|REFRESH)\s+"
+                r"(`[^`]+`|[\w.]+)\s*(?:PARTITION\s*\([^)]*\)\s*)?$", q)
+            target = m.group(1).strip("`") if m else None
+            if target and target.upper() != "METADATA":
                 self.spark.catalog.refreshTable(target)
             else:
                 self.spark.catalog.clearCache()

@@ -343,3 +343,44 @@ class TestWithPrefixedDml:
         eng = ImpalaEngine(spark, sf_dir=sf_dir)
         q = "WITH t AS (SELECT 1 AS k) INSERT INTO x SELECT k FROM t"
         assert eng.to_sql(q) == q
+
+
+class TestSessionDbQualifiedRefs:
+    """Impala resolves `default.t` against the catalog; the engine's
+    fixture/managed tables are session temp views, which Spark cannot
+    address through a db qualifier — engine.sql dequalifies them
+    (_strip_session_db_refs), leaving string literals and real catalog
+    databases untouched. REFRESH accepts a PARTITION spec (IMPALA-1683)."""
+
+    def test_qualified_query_and_metadata(self, spark, sf_dir):
+        from impala_spark.engine import ImpalaEngine
+        from impala_spark.session import register_tables
+
+        register_tables(spark, sf_dir)
+        e = ImpalaEngine(spark, sf_dir=sf_dir)
+        assert e.sql("SELECT COUNT(*) AS c FROM default.nation") \
+            .collect()[0][0] == 25
+        e.sql("DROP TABLE IF EXISTS dbq_t")
+        e.sql("CREATE TABLE dbq_t (v BIGINT) PARTITIONED BY (p BIGINT)")
+        e.sql("INSERT INTO dbq_t PARTITION (p)"
+              " SELECT n_nationkey, n_regionkey FROM default.nation")
+        assert e.sql("SHOW PARTITIONS default.dbq_t").count() == 5
+        assert e.sql("DESCRIBE default.dbq_t").count() == 2
+        e.sql("REFRESH dbq_t PARTITION (p=1)")
+        e.sql("DROP TABLE dbq_t")
+
+    def test_string_literals_keep_default_dot(self, spark, sf_dir):
+        from impala_spark.engine import ImpalaEngine
+
+        e = ImpalaEngine(spark, sf_dir=sf_dir)
+        row = e.sql("SELECT 'see default.nation docs' AS s").collect()[0]
+        assert row[0] == "see default.nation docs"
+
+    def test_unknown_db_still_errors(self, spark, sf_dir):
+        import pytest
+
+        from impala_spark.engine import ImpalaEngine, ImpalaAnalysisError
+
+        e = ImpalaEngine(spark, sf_dir=sf_dir)
+        with pytest.raises(ImpalaAnalysisError):
+            e.sql("SELECT * FROM default.no_such_table_xyz")
