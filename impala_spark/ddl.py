@@ -52,6 +52,21 @@ class ManagedTable:
     #: spec (Kudu rejects rows outside every range).
     range_cols: list[str] = field(default_factory=list)
     range_spec: list = field(default_factory=list)
+    #: ALTER TABLE ... SET TBLPROPERTIES / SERDEPROPERTIES (r12;
+    #: A/AlterTableSetTblProperties.java) — metastore key/value maps.
+    #: Surfaced through SHOW CREATE TABLE like the reference's ToSqlUtils.
+    tbl_properties: dict = field(default_factory=dict)
+    serde_properties: dict = field(default_factory=dict)
+    #: ALTER TABLE ... SET FILEFORMAT (A/AlterTableSetFileFormatStmt.java).
+    #: Declared format, validated against sources.STORAGE_FORMATS and
+    #: round-tripped by SHOW CREATE TABLE; the physical layout stays
+    #: parquet like CREATE TABLE ... STORED AS <fmt> does here (the
+    #: managed-table write path is parquet-only by design).
+    file_format: str = "PARQUET"
+    #: ALTER TABLE ... SET CACHED IN 'pool' / UNCACHED
+    #: (A/AlterTableSetCachedStmt.java): HDFS cache directive -> Spark
+    #: storage-level cache on the table's view.
+    cached_pool: str | None = None
 
 
 #: catalog of write-capable tables (name -> ManagedTable)
@@ -1113,6 +1128,36 @@ _ALTER_DROP_PART_RE = re.compile(
 _ALTER_RENAME_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+([\w`]+)\s+RENAME\s+TO\s+([\w`]+)\s*$", re.IGNORECASE
 )
+_ALTER_REPLACE_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w`]+)\s+REPLACE\s+COLUMNS?\s*\((.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_SET_PROPS_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w`]+)\s+SET\s+(TBLPROPERTIES|SERDEPROPERTIES)"
+    r"\s*\((.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+#: 'k'='v' pairs inside a properties_map (sql-parser.cup properties_map)
+_PROP_PAIR_RE = re.compile(r"'((?:[^'\\]|\\.)*)'\s*=\s*'((?:[^'\\]|\\.)*)'")
+_ALTER_SET_FILEFORMAT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w`]+)\s*(?:PARTITION\s*\(([^)]*)\)\s*)?"
+    r"SET\s+FILEFORMAT\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+_ALTER_RECOVER_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w`]+)\s+RECOVER\s+PARTITIONS\s*$", re.IGNORECASE
+)
+_ALTER_SET_LOCATION_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w`]+)\s*(?:PARTITION\s*\(([^)]*)\)\s*)?"
+    r"SET\s+LOCATION\s+'([^']*)'\s*$",
+    re.IGNORECASE,
+)
+_ALTER_SET_CACHED_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w`]+)\s*(?:PARTITION\s*\(([^)]*)\)\s*)?"
+    r"SET\s+(?:CACHED\s+IN\s+'([^']*)'(?:\s+WITH\s+REPLICATION\s*=\s*(\d+))?"
+    r"|(UNCACHED))\s*$",
+    re.IGNORECASE,
+)
 
 
 def _partition_subdir(t: ManagedTable, spec: str) -> str:
@@ -1237,6 +1282,142 @@ def alter_table(spark: SparkSession, stmt: str) -> DataFrame:
                 + ", ".join(i.strip() for i in spec.split(",")) + ")."
             )
         shutil.rmtree(pdir, ignore_errors=True)
+        return _refresh_view(spark, t)
+    m = _ALTER_REPLACE_RE.match(stmt)
+    if m:
+        # AlterTableAddReplaceColsStmt with replace=true: the new list
+        # REPLACES every non-partition column (catalog-only in the
+        # reference; parquet slots re-resolve by name). Here: existing
+        # columns carry their data (cast to the declared type), new names
+        # are NULL-filled, unlisted columns drop.
+        name, cols = m.group(1).strip("`"), m.group(2)
+        t = _managed(name)
+        df = _read_table(spark, t)
+        part_lower = {p.lower() for p in t.partition_cols}
+        specs: list[tuple[str, str]] = []
+        seen: set[str] = set()
+        for spec in cols.split(","):
+            col, _, typ = spec.strip().partition(" ")
+            col = col.strip("`")
+            if col.lower() in part_lower:
+                # AnalyzeDDLTest exact text (shared with the ADD path)
+                raise ImpalaUnsupportedError(
+                    f"Column name conflicts with existing partition column: {col.lower()}"
+                )
+            if col.lower() in seen:
+                raise ImpalaUnsupportedError(f"Duplicate column name: {col.lower()}")
+            seen.add(col.lower())
+            specs.append((col, typ.strip()))
+        for key in [*t.bucket_cols, *t.range_cols]:
+            if key.lower() not in seen:
+                # the persisted hash/range layout needs its key columns
+                # (same contract as the DROP/CHANGE guards above)
+                raise ImpalaUnsupportedError(
+                    f"Cannot drop hash partition column: {key.lower()}"
+                    if key in t.bucket_cols
+                    else f"Cannot drop range partition column: {key.lower()}"
+                )
+        by_lower = {c.lower(): c for c in df.columns}
+        out = [
+            (F.col(by_lower[col.lower()]) if col.lower() in by_lower
+             else F.lit(None)).cast(typ).alias(col)
+            for col, typ in specs
+        ]
+        out += [F.col(p) for p in t.partition_cols]
+        return _overwrite(spark, t, df.select(*out))
+    m = _ALTER_SET_FILEFORMAT_RE.match(stmt)
+    if m:
+        # AlterTableSetFileFormatStmt (metadata-only in the reference —
+        # future inserts use the new format, existing files are
+        # reinterpreted). Here the declared format validates and
+        # round-trips through SHOW CREATE TABLE; the physical layout
+        # stays parquet, the same posture CREATE ... STORED AS has.
+        from impala_spark.sources import format_spec
+
+        name, fmt = m.group(1).strip("`"), m.group(3)
+        t = _managed(name)
+        format_spec(fmt)  # unknown/unsupported formats raise here
+        t.file_format = fmt.strip().upper()
+        return _refresh_view(spark, t)
+    m = _ALTER_RECOVER_RE.match(stmt)
+    if m:
+        # AlterTableRecoverPartitionsStmt: register Hive-style k=v
+        # directories added outside the engine. Spark's path-based
+        # partition discovery re-lists on refresh, so one refresh IS the
+        # recovery (the reference walks HDFS and adds catalog entries).
+        name = m.group(1).strip("`")
+        t = _managed(name)
+        if not t.partition_cols:
+            # AlterTableRecoverPartitionsStmt.java:53 exact text
+            raise ImpalaUnsupportedError(f"Table is not partitioned: {name}")
+        return _refresh_view(spark, t)
+    m = _ALTER_SET_LOCATION_RE.match(stmt)
+    if m:
+        # AlterTableSetLocationStmt: point the table at a new directory.
+        name, part, loc = m.group(1).strip("`"), m.group(2), m.group(3)
+        t = _managed(name)
+        if part is not None:
+            raise ImpalaUnsupportedError(
+                "per-partition SET LOCATION is not supported on this "
+                "engine's uniform-layout managed tables; move the "
+                "partition directory and RECOVER PARTITIONS instead"
+            )
+        if t.cached_pool is not None:
+            # AlterTableSetLocationStmt.java:107 exact text
+            raise ImpalaUnsupportedError(
+                f"Target table is cached, please uncache before changing "
+                f"the location using: ALTER TABLE default.{name} SET UNCACHED"
+            )
+        if not os.path.isabs(loc.removeprefix("file://")):
+            raise ImpalaUnsupportedError(f"URI path must be absolute: {loc}")
+        t.path = loc.removeprefix("file://")
+        os.makedirs(t.path, exist_ok=True)
+        return _refresh_view(spark, t)
+    m = _ALTER_SET_CACHED_RE.match(stmt)
+    if m:
+        # AlterTableSetCachedStmt: HDFS cache directive. The Spark analog
+        # is a storage-level cache on the table's view — same contract
+        # (hot reads served from memory, transparent to queries).
+        name, pool, uncached = m.group(1).strip("`"), m.group(3), m.group(5)
+        t = _managed(name)
+        if uncached:
+            try:
+                spark.catalog.uncacheTable(t.name)
+            except Exception:
+                pass  # not cached — UNCACHED is idempotent like the reference
+            t.cached_pool = None
+            return _refresh_view(spark, t)
+        t.cached_pool = pool
+        # refresh FIRST: createOrReplaceTempView would drop the cache
+        df = _refresh_view(spark, t)
+        spark.catalog.cacheTable(t.name)
+        return df
+    m = _ALTER_SET_PROPS_RE.match(stmt)
+    if m:
+        # AlterTableSetTblProperties.java: metastore key/value updates.
+        # Stored on the ManagedTable and emitted by SHOW CREATE TABLE;
+        # catalog-backed tables also push into the Spark catalog so a
+        # re-attach (persistent metastore) keeps them.
+        name, kind, body = m.group(1).strip("`"), m.group(2).upper(), m.group(3)
+        t = _managed(name)
+        pairs = {k: v for k, v in _PROP_PAIR_RE.findall(body)}
+        if not pairs:
+            raise ValueError(f"cannot parse properties map: ({body})")
+        if kind == "TBLPROPERTIES":
+            if "storage_handler" in pairs:
+                # AlterTableSetTblProperties.java:63 exact text
+                raise ImpalaUnsupportedError(
+                    "Changing the 'storage_handler' table property is not "
+                    "supported to protect against metadata corruption."
+                )
+            t.tbl_properties.update(pairs)
+            if t.catalog_name:
+                kv = ", ".join(f"'{k}'='{v}'" for k, v in pairs.items())
+                spark.sql(
+                    f"ALTER TABLE {t.catalog_name} SET TBLPROPERTIES ({kv})"
+                )
+        else:
+            t.serde_properties.update(pairs)
         return _refresh_view(spark, t)
     m = _ALTER_RENAME_RE.match(stmt)
     if m:

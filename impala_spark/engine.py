@@ -247,6 +247,41 @@ _DESCRIBE_DB_RE = re.compile(
     r"^\s*DESCRIBE\s+DATABASE\s+(?:EXTENDED\s+)?(?P<db>[\w`]+)\s*$", re.IGNORECASE
 )
 
+#: ALTER TABLE t SET COLUMN STATS col ('numDVs'='n', ...)
+#: (A/AlterTableSetColumnStats.java — manual metastore column stats).
+_SET_COL_STATS_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.`]+)\s+SET\s+COLUMN\s+STATS\s+([\w`]+)"
+    r"\s*\((.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+#: the reference's StatsKey spellings, in enum order
+#: (catalog/ColumnStats.java:53-57)
+_COL_STATS_KEYS = ("numDVs", "numNulls", "avgSize", "maxSize")
+
+#: SHOW [AGGREGATE|ANALYTIC] FUNCTIONS [IN db] [[LIKE] 'pattern']
+#: (sql-parser.cup show_functions_stmt + opt_function_category;
+#: ShowFunctionsStmt carries a TFunctionCategory).
+_SHOW_FUNCS_RE = re.compile(
+    r"^\s*SHOW\s+(?:(?P<cat>AGGREGATE|ANALYTIC)\s+)?FUNCTIONS"
+    r"(?:\s+IN\s+(?P<db>[\w`]+))?"
+    r"(?:\s+(?:LIKE\s+)?'(?P<pat>[^']*)')?\s*$",
+    re.IGNORECASE,
+)
+
+#: the reference's builtin category membership (catalog/BuiltinsDb —
+#: AggregateFunction registrations and AnalyticExpr.java's fn whitelist).
+_AGGREGATE_FNS = sorted({
+    "appx_median", "avg", "count", "distinctpc", "distinctpcsa",
+    "group_concat", "histogram", "max", "min", "ndv", "sample",
+    "stddev", "stddev_pop", "stddev_samp", "sum",
+    "var_pop", "var_samp", "variance", "variance_pop", "variance_samp",
+})
+_ANALYTIC_FNS = sorted({
+    "cume_dist", "dense_rank", "first_value", "lag", "last_value",
+    "lead", "ntile", "percent_rank", "rank", "row_number",
+})
+
 #: Impala query option -> Spark conf (subset that makes sense on Spark).
 _QUERY_OPTIONS = {
     "num_nodes": None,  # no-op on Spark
@@ -309,6 +344,11 @@ class ImpalaEngine:
         self.explain_level = 1
         #: name -> SYMBOL of functions created via CREATE FUNCTION
         self._functions: dict[str, str] = {}
+        #: ALTER TABLE ... SET COLUMN STATS overrides, (table, column) ->
+        #: {statsKey: value} — the engine analog of the manual metastore
+        #: stats the reference writes (AlterTableSetColumnStats.java).
+        #: SHOW COLUMN STATS reads these over the computed numbers.
+        self._manual_col_stats: dict[tuple[str, str], dict] = {}
         #: session token -> function names already re-registered there
         #: (routed session clones own an isolated FunctionRegistry)
         self._synced_functions: dict[str, set[str]] = {}
@@ -340,6 +380,15 @@ class ImpalaEngine:
     def sql(self, query: str) -> DataFrame:
         q = _hoist_with_clause(query.strip().rstrip(";"))
         q = _strip_session_db_refs(q, self.spark)
+
+        if re.match(r"^\s*COMMENT\b", q, re.IGNORECASE):
+            # no COMMENT statement in the 2.7 grammar (sql-parser.cup has
+            # no comment_on rule) — reject like the parser, never fall
+            # through to Spark's COMMENT ON
+            raise ImpalaUnsupportedError(
+                "Syntax error: COMMENT is not a statement in Impala 2.7 "
+                "(use ALTER TABLE ... SET TBLPROPERTIES ('comment'='...'))"
+            )
 
         from impala_spark import authz as _authz_mod
 
@@ -405,6 +454,13 @@ class ImpalaEngine:
                 raise ImpalaAnalysisError(f"Database does not exist: {db}") from e
             return self.spark.sql("SELECT current_database() AS db")
 
+        m = _SHOW_FUNCS_RE.match(q)
+        if m:
+            return self.show_functions(
+                category=(m.group("cat") or "").upper() or None,
+                pattern=m.group("pat"),
+                db=(m.group("db") or "").strip("`") or None,
+            )
         m = _SHOW_RE.match(q)
         if m:
             kind = re.sub(r"\s+", " ", m.group("kind").upper().strip())
@@ -609,6 +665,11 @@ class ImpalaEngine:
                 raise ImpalaAnalysisError(
                     "ALTER TABLE not allowed on a view: "
                     + m2.group(1).strip("`")
+                )
+            m2 = _SET_COL_STATS_RE.match(q)
+            if m2:
+                return self._set_column_stats(
+                    m2.group(1).strip("`"), m2.group(2).strip("`"), m2.group(3)
                 )
             return ddl.alter_table(self.spark, q)
         if upper.startswith(("UPDATE ", "DELETE ", "UPSERT ")):
@@ -1302,8 +1363,44 @@ class ImpalaEngine:
     def show_databases(self) -> DataFrame:
         return self.spark.sql("SHOW DATABASES")
 
-    def show_functions(self) -> DataFrame:
-        return self.spark.sql("SHOW FUNCTIONS")
+    def show_functions(
+        self,
+        category: str | None = None,
+        pattern: str | None = None,
+        db: str | None = None,
+    ) -> DataFrame:
+        """SHOW [AGGREGATE|ANALYTIC] FUNCTIONS [IN db] [[LIKE] 'pat']
+        (ShowFunctionsStmt; category from opt_function_category). The
+        category listings are the reference's builtin membership —
+        engine-registered UDAs join the AGGREGATE list. Patterns use the
+        reference's show_pattern ('*' wildcard, '|' alternation)."""
+        if db is not None and db.lower() not in (
+            d.name.lower() for d in self.spark.catalog.listDatabases()
+        ):
+            # ShowFunctionsStmt.analyze (AnalysisException text)
+            raise ImpalaAnalysisError(f"Database does not exist: {db}")
+        if category == "AGGREGATE":
+            udas = {
+                n for n, s in self._functions.items()
+                if (e := ifn.UDF_LIBRARY.get(s.strip().strip("'\""))) and e[0]
+            }
+            names = sorted(set(_AGGREGATE_FNS) | udas)
+            df = self.spark.createDataFrame(
+                [(n,) for n in names], "function: string"
+            )
+        elif category == "ANALYTIC":
+            df = self.spark.createDataFrame(
+                [(n,) for n in _ANALYTIC_FNS], "function: string"
+            )
+        else:
+            df = self.spark.sql("SHOW FUNCTIONS")
+        if pattern:
+            like = "|".join(
+                re.escape(alt).replace(r"\*", ".*")
+                for alt in pattern.split("|")
+            )
+            df = df.filter(F.col("function").rlike(f"^(?:{like})$"))
+        return df
 
     def describe(self, table: str, formatted: bool = False) -> DataFrame:
         return self.spark.sql(f"DESCRIBE {'FORMATTED ' if formatted else ''}{table}")
@@ -1364,6 +1461,87 @@ class ImpalaEngine:
             [(rows, size, "PARQUET")], "num_rows: long, size_bytes: long, format: string"
         )
 
+    def _set_column_stats(self, table: str, col: str, body: str) -> DataFrame:
+        """ALTER TABLE ... SET COLUMN STATS col ('key'='value', ...) —
+        manual metastore column stats (A/AlterTableSetColumnStats.java,
+        exact analysis texts). Stored engine-side; SHOW COLUMN STATS
+        surfaces them over the computed numbers, like the reference's
+        SHOW reading what the HMS holds."""
+        tname = table.strip("`").removeprefix("default.")
+        try:
+            sdf = self.spark.table(tname)
+        except Exception as e:
+            raise ImpalaAnalysisError(f"Table does not exist: default.{tname}") from e
+        fields = {f.name.lower(): f for f in sdf.schema.fields}
+        f = fields.get(col.lower())
+        if f is None:
+            # AlterTableSetColumnStats.java:64 exact text
+            raise ImpalaAnalysisError(
+                f"Column '{col}' does not exist in table: default.{tname}"
+            )
+        t = ddl.table_info(tname)
+        if t is not None and col.lower() in {p.lower() for p in t.partition_cols}:
+            # AlterTableSetColumnStats.java:70 exact text
+            raise ImpalaAnalysisError(
+                f"Updating the stats of a partition column is not allowed: {col}"
+            )
+        type_sql = f.dataType.simpleString().upper()
+        if f.dataType.simpleString().startswith(("array", "map", "struct")):
+            # ColumnStats.isSupportedColType rejects complex types
+            raise ImpalaAnalysisError(
+                f"Statistics for column '{f.name}' are not supported because "
+                f"it has type '{type_sql}'."
+            )
+        variable_length = f.dataType.simpleString() in ("string", "binary") \
+            or f.dataType.simpleString().startswith("varchar")
+        from impala_spark.ddl import _PROP_PAIR_RE
+
+        stored = self._manual_col_stats.setdefault((tname, f.name), {})
+        for key, value in _PROP_PAIR_RE.findall(body):
+            canon = next(
+                (k for k in _COL_STATS_KEYS if k.lower() == key.lower()), None
+            )
+            if canon is None:
+                raise ImpalaAnalysisError(
+                    f"Invalid column stats key: {key}\n"
+                    f"Valid keys are: {','.join(_COL_STATS_KEYS)}"
+                )
+            if canon in ("avgSize", "maxSize") and not variable_length:
+                raise ImpalaAnalysisError(
+                    f"Cannot update the '{canon}' stats of column '{f.name}' "
+                    f"with type '{type_sql}'.\nChanging '{canon}' is only "
+                    f"allowed for variable-length columns."
+                )
+            if canon in ("numDVs", "numNulls", "maxSize"):
+                try:
+                    v = int(value)
+                except ValueError:
+                    v = None
+                if v is None or v < -1:
+                    raise ImpalaAnalysisError(
+                        f"Invalid stats value '{value}' for column stats key: "
+                        f"{canon}\nExpected a positive integer or -1 for unknown."
+                    )
+                stored[canon] = v
+            else:  # avgSize
+                try:
+                    v = float(value)
+                except ValueError:
+                    v = None
+                import math as _math
+
+                if v is None or _math.isnan(v) or _math.isinf(v) \
+                        or (v < 0 and v != -1):
+                    raise ImpalaAnalysisError(
+                        f"Invalid stats value '{value}' for column stats key: "
+                        f"{canon}\nExpected a positive floating-point number "
+                        f"or -1 for unknown."
+                    )
+                stored[canon] = v
+        return self.spark.sql(
+            f"SELECT 'column stats set on {tname}.{f.name}' AS result"
+        )
+
     def show_column_stats(self, table: str) -> DataFrame:
         """SHOW COLUMN STATS — per-column NDV / null count / max size
         (the child-query stats ComputeStatsStmt.java:218-242 gathers).
@@ -1396,7 +1574,8 @@ class ImpalaEngine:
                      _num("distinct_count"), _num("num_nulls"))
                 )
             return self.spark.createDataFrame(
-                rows, "column: string, type: string, ndv: long, num_nulls: long"
+                self._apply_manual_col_stats(tname, rows),
+                "column: string, type: string, ndv: long, num_nulls: long",
             )
         df = self.spark.table(table)
         aggs = []
@@ -1411,8 +1590,25 @@ class ImpalaEngine:
             for f in df.schema.fields
         ]
         return self.spark.createDataFrame(
-            rows, "column: string, type: string, ndv: long, num_nulls: long"
+            self._apply_manual_col_stats(table.strip("`"), rows),
+            "column: string, type: string, ndv: long, num_nulls: long",
         )
+
+    def _apply_manual_col_stats(self, tname: str, rows: list) -> list:
+        """Overlay ALTER TABLE SET COLUMN STATS values onto a SHOW COLUMN
+        STATS row set — the manual stats shadow the computed ones, same
+        as the reference's HMS write."""
+        if not self._manual_col_stats:
+            return rows
+        out = []
+        for name, typ, ndv, nulls in rows:
+            manual = self._manual_col_stats.get((tname, name), {})
+            out.append((
+                name, typ,
+                int(manual.get("numDVs", ndv)),
+                int(manual.get("numNulls", nulls)),
+            ))
+        return out
 
     def show_create_table(self, table: str) -> DataFrame:
         """SHOW CREATE TABLE — reconstructed DDL text."""
@@ -1457,7 +1653,17 @@ class ImpalaEngine:
                 part = f" PARTITIONED BY ({', '.join(t.partition_cols)})"
             else:
                 part = ""
-            ddl_text = f"CREATE TABLE {table} ({cols}) STORED AS PARQUET{part} LOCATION '{t.path}'"
+            props = ""
+            if t.cached_pool:
+                props += f" CACHED IN '{t.cached_pool}'"
+            if t.serde_properties:
+                kv = ", ".join(f"'{k}'='{v}'" for k, v in sorted(t.serde_properties.items()))
+                props += f" WITH SERDEPROPERTIES ({kv})"
+            if t.tbl_properties:
+                kv = ", ".join(f"'{k}'='{v}'" for k, v in sorted(t.tbl_properties.items()))
+                props += f" TBLPROPERTIES ({kv})"
+            fmt = getattr(t, "file_format", "PARQUET") or "PARQUET"
+            ddl_text = f"CREATE TABLE {table} ({cols}) STORED AS {fmt}{part} LOCATION '{t.path}'{props}"
             return self.spark.createDataFrame([(ddl_text,)], "createtab_stmt: string")
         try:
             return self.spark.sql(f"SHOW CREATE TABLE {table}")

@@ -2785,6 +2785,89 @@ def q_alter_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ddl_alter_replace_props",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(n_name) AS BIGINT) AS names,
+           CAST(0 AS BIGINT) AS flags
+    FROM nation
+    """,
+)
+def q_alter_replace_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE REPLACE COLUMNS (AlterTableAddReplaceColsStmt,
+    replace=true: the list replaces every non-partition column — existing
+    names keep their data, new names NULL-fill, unlisted drop) and SET
+    TBLPROPERTIES/SERDEPROPERTIES (AlterTableSetTblProperties.java),
+    surfaced through SHOW CREATE TABLE like the reference's ToSqlUtils."""
+    register_tables(spark, sf_dir)
+    eng = ImpalaEngine(spark)
+    ddl.drop_table(spark, "nation_rep")
+    ddl.create_table_as_select(spark, "nation_rep", "SELECT * FROM nation")
+    eng.sql(
+        "ALTER TABLE nation_rep REPLACE COLUMNS"
+        " (n_nationkey BIGINT, n_name STRING, flag STRING)"
+    )
+    eng.sql("ALTER TABLE nation_rep SET TBLPROPERTIES ('origin'='ctas')")
+    stmt = eng.sql("SHOW CREATE TABLE nation_rep").first()[0]
+    assert "TBLPROPERTIES ('origin'='ctas')" in stmt
+    t = spark.table("nation_rep")
+    assert set(t.columns) == {"n_nationkey", "n_name", "flag"}
+    assert dict(t.dtypes)["n_nationkey"] == "bigint"
+    return t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count("n_name").cast("bigint").alias("names"),
+        F.count("flag").cast("bigint").alias("flags"),
+    )
+
+
+@register(
+    "ddl_alter_set_surfaces",
+    """
+    SELECT CAST(COUNT(*) * 2 AS BIGINT) AS recovered_rows,
+           CAST(42 AS BIGINT) AS manual_ndv,
+           CAST(7 AS BIGINT) AS manual_nulls
+    FROM region
+    """,
+)
+def q_alter_set_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE RECOVER PARTITIONS (external k=v dir discovered), SET
+    FILEFORMAT (validated + SHOW CREATE round-trip), SET CACHED/UNCACHED
+    (Spark storage-level cache), SET COLUMN STATS (manual metastore stats
+    shadow the computed ones in SHOW COLUMN STATS) — the remaining
+    alter_tbl_stmt forms (AlterTableSet*.java,
+    AlterTableRecoverPartitionsStmt.java, AlterTableSetColumnStats.java)."""
+    import os
+    import shutil
+
+    register_tables(spark, sf_dir)
+    eng = ImpalaEngine(spark)
+    ddl.drop_table(spark, "region_set")
+    ddl.create_table_as_select(
+        spark, "region_set",
+        "SELECT r_regionkey, r_name, 'a' AS p FROM region",
+        partition_cols=["p"],
+    )
+    t = ddl.table_info("region_set")
+    shutil.copytree(os.path.join(t.path, "p=a"), os.path.join(t.path, "p=b"))
+    eng.sql("ALTER TABLE region_set RECOVER PARTITIONS")
+    eng.sql("ALTER TABLE region_set SET FILEFORMAT PARQUET")
+    eng.sql("ALTER TABLE region_set SET CACHED IN 'pool1'")
+    eng.sql("ALTER TABLE region_set SET UNCACHED")
+    eng.sql(
+        "ALTER TABLE region_set SET COLUMN STATS r_regionkey"
+        " ('numDVs'='42','numNulls'='7')"
+    )
+    stats = {
+        r["column"]: r for r in eng.sql("SHOW COLUMN STATS region_set").collect()
+    }
+    return spark.table("region_set").agg(
+        F.count(F.lit(1)).cast("bigint").alias("recovered_rows"),
+        F.lit(stats["r_regionkey"]["ndv"]).cast("bigint").alias("manual_ndv"),
+        F.lit(stats["r_regionkey"]["num_nulls"]).cast("bigint").alias("manual_nulls"),
+    )
+
+
+@register(
     "meta_show_partitions_files",
     """
     SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS num_rows

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from impala_spark import ddl
+from impala_spark.parser import ImpalaUnsupportedError
 
 
 @pytest.fixture(autouse=True)
@@ -1053,3 +1054,173 @@ class TestModifyFromAndUpsertPermutation:
         # key 2: v updated, s KEPT; key 3: new row, s NULL
         assert rows == [(1, 10, "a"), (2, 99, "b"), (3, 30, None)]
         e.sql("DROP TABLE up_t")
+
+
+class TestAlterReplaceAndProperties:
+    """ALTER TABLE REPLACE COLUMNS (AlterTableAddReplaceColsStmt,
+    replace=true) and SET TBLPROPERTIES/SERDEPROPERTIES
+    (AlterTableSetTblProperties.java) — r12 execution routing."""
+
+    def _eng(self, spark):
+        from impala_spark.engine import ImpalaEngine
+
+        return ImpalaEngine(spark, sf_dir="/root/testdata/sf0.001")
+
+    def test_replace_columns_keeps_data_nulls_new_drops_unlisted(self, spark):
+        eng = self._eng(spark)
+        eng.sql("DROP TABLE IF EXISTS arp1")
+        eng.sql("CREATE TABLE arp1 (a INT, b STRING, c DOUBLE)")
+        eng.sql("INSERT INTO arp1 VALUES (1,'x',1.5), (2,'y',2.5)")
+        eng.sql("ALTER TABLE arp1 REPLACE COLUMNS (a BIGINT, d STRING)")
+        rows = eng.sql("SELECT * FROM arp1 ORDER BY a").collect()
+        assert [tuple(r) for r in rows] == [(1, None), (2, None)]
+        assert dict(eng.sql("SELECT * FROM arp1").dtypes)["a"] == "bigint"
+        eng.sql("DROP TABLE arp1")
+
+    def test_replace_columns_duplicate_name_pins_reference_text(self, spark):
+        eng = self._eng(spark)
+        eng.sql("DROP TABLE IF EXISTS arp2")
+        eng.sql("CREATE TABLE arp2 (a INT)")
+        with pytest.raises(ImpalaUnsupportedError, match="Duplicate column name: x"):
+            eng.sql("ALTER TABLE arp2 REPLACE COLUMNS (x INT, x STRING)")
+        eng.sql("DROP TABLE arp2")
+
+    def test_replace_columns_guards_layout_keys(self, spark):
+        eng = self._eng(spark)
+        eng.sql("DROP TABLE IF EXISTS arp3")
+        eng.sql(
+            "CREATE TABLE arp3 (k INT, v STRING)"
+            " PARTITION BY HASH (k) PARTITIONS 4 STORED AS KUDU"
+        )
+        with pytest.raises(
+            ImpalaUnsupportedError, match="Cannot drop hash partition column: k"
+        ):
+            eng.sql("ALTER TABLE arp3 REPLACE COLUMNS (v STRING)")
+        eng.sql("DROP TABLE arp3")
+
+    def test_set_properties_roundtrip_through_show_create(self, spark):
+        eng = self._eng(spark)
+        eng.sql("DROP TABLE IF EXISTS arp4")
+        eng.sql("CREATE TABLE arp4 (a INT)")
+        eng.sql("ALTER TABLE arp4 SET TBLPROPERTIES ('k1'='v1', 'k2'='v2')")
+        eng.sql("ALTER TABLE arp4 SET SERDEPROPERTIES ('field.delim'=',')")
+        stmt = eng.sql("SHOW CREATE TABLE arp4").first()[0]
+        assert "TBLPROPERTIES ('k1'='v1', 'k2'='v2')" in stmt
+        assert "WITH SERDEPROPERTIES ('field.delim'=',')" in stmt
+        eng.sql("DROP TABLE arp4")
+
+    def test_set_storage_handler_pins_reference_text(self, spark):
+        eng = self._eng(spark)
+        eng.sql("DROP TABLE IF EXISTS arp5")
+        eng.sql("CREATE TABLE arp5 (a INT)")
+        with pytest.raises(
+            ImpalaUnsupportedError,
+            match="Changing the 'storage_handler' table property is not",
+        ):
+            eng.sql("ALTER TABLE arp5 SET TBLPROPERTIES ('storage_handler'='h')")
+        eng.sql("DROP TABLE arp5")
+
+
+class TestAlterSetSurfaces:
+    """ALTER TABLE SET FILEFORMAT / SET LOCATION / SET CACHED|UNCACHED /
+    RECOVER PARTITIONS / SET COLUMN STATS (the remaining alter_tbl_stmt
+    grammar forms; AlterTableSet*.java + AlterTableRecoverPartitionsStmt
+    + AlterTableSetColumnStats, r12)."""
+
+    def _eng(self, spark):
+        from impala_spark.engine import ImpalaEngine
+
+        return ImpalaEngine(spark, sf_dir="/root/testdata/sf0.001")
+
+    def test_set_fileformat_roundtrips_and_validates(self, spark):
+        eng = self._eng(spark)
+        eng.sql("DROP TABLE IF EXISTS asf1")
+        eng.sql("CREATE TABLE asf1 (a INT)")
+        eng.sql("ALTER TABLE asf1 SET FILEFORMAT TEXTFILE")
+        assert "STORED AS TEXTFILE" in eng.sql("SHOW CREATE TABLE asf1").first()[0]
+        with pytest.raises(ValueError, match="SEQUENCEFILE is not supported"):
+            eng.sql("ALTER TABLE asf1 SET FILEFORMAT SEQUENCEFILE")
+        eng.sql("DROP TABLE asf1")
+
+    def test_recover_partitions_discovers_external_dir(self, spark):
+        import shutil
+
+        eng = self._eng(spark)
+        eng.sql("DROP TABLE IF EXISTS asf2")
+        eng.sql("CREATE TABLE asf2 (a INT) PARTITIONED BY (p STRING)")
+        eng.sql("INSERT INTO asf2 PARTITION (p='x') VALUES (1), (2)")
+        t = ddl.table_info("asf2")
+        shutil.copytree(os.path.join(t.path, "p=x"), os.path.join(t.path, "p=y"))
+        eng.sql("ALTER TABLE asf2 RECOVER PARTITIONS")
+        parts = {r[0] for r in eng.sql("SELECT DISTINCT p FROM asf2").collect()}
+        assert parts == {"x", "y"}
+        eng.sql("DROP TABLE asf2")
+
+    def test_recover_partitions_unpartitioned_pins_text(self, spark):
+        eng = self._eng(spark)
+        eng.sql("DROP TABLE IF EXISTS asf3")
+        eng.sql("CREATE TABLE asf3 (a INT)")
+        with pytest.raises(ImpalaUnsupportedError, match="Table is not partitioned: asf3"):
+            eng.sql("ALTER TABLE asf3 RECOVER PARTITIONS")
+        eng.sql("DROP TABLE asf3")
+
+    def test_set_cached_uncached_and_location_guard(self, spark):
+        eng = self._eng(spark)
+        eng.sql("DROP TABLE IF EXISTS asf4")
+        eng.sql("CREATE TABLE asf4 (a INT)")
+        eng.sql("ALTER TABLE asf4 SET CACHED IN 'pool1' WITH REPLICATION = 3")
+        assert spark.catalog.isCached("asf4")
+        assert "CACHED IN 'pool1'" in eng.sql("SHOW CREATE TABLE asf4").first()[0]
+        with pytest.raises(
+            ImpalaUnsupportedError,
+            match="Target table is cached, please uncache",
+        ):
+            eng.sql("ALTER TABLE asf4 SET LOCATION '/tmp/impala_spark_warehouse/x'")
+        eng.sql("ALTER TABLE asf4 SET UNCACHED")
+        assert not spark.catalog.isCached("asf4")
+        eng.sql("DROP TABLE asf4")
+
+    def test_set_location_moves_write_path(self, spark):
+        import shutil
+
+        eng = self._eng(spark)
+        eng.sql("DROP TABLE IF EXISTS asf5")
+        eng.sql("CREATE TABLE asf5 (a INT)")
+        newloc = "/tmp/impala_spark_warehouse/asf5_moved"
+        shutil.rmtree(newloc, ignore_errors=True)
+        with pytest.raises(ImpalaUnsupportedError, match="URI path must be absolute"):
+            eng.sql("ALTER TABLE asf5 SET LOCATION 'rel/path'")
+        eng.sql(f"ALTER TABLE asf5 SET LOCATION '{newloc}'")
+        eng.sql("INSERT INTO asf5 VALUES (7)")
+        assert [r[0] for r in eng.sql("SELECT * FROM asf5").collect()] == [7]
+        assert any(f.endswith(".parquet") for f in os.listdir(newloc))
+        eng.sql("DROP TABLE asf5")
+
+    def test_set_column_stats_surfaces_and_texts(self, spark):
+        from impala_spark.engine import ImpalaAnalysisError
+
+        eng = self._eng(spark)
+        eng.sql("DROP TABLE IF EXISTS asf6")
+        eng.sql("CREATE TABLE asf6 (a INT, s STRING)")
+        eng.sql("ALTER TABLE asf6 SET COLUMN STATS a ('numDVs'='42','numNulls'='7')")
+        row = {r[0]: r for r in eng.sql("SHOW COLUMN STATS asf6").collect()}["a"]
+        assert (row["ndv"], row["num_nulls"]) == (42, 7)
+        # manual stats also apply to fixture tables (any catalog table)
+        eng.sql("ALTER TABLE nation SET COLUMN STATS n_name ('maxSize'='25')")
+        with pytest.raises(ImpalaAnalysisError, match="Invalid column stats key: foo"):
+            eng.sql("ALTER TABLE asf6 SET COLUMN STATS a ('foo'='1')")
+        with pytest.raises(
+            ImpalaAnalysisError,
+            match=r"Expected a positive integer or -1 for unknown",
+        ):
+            eng.sql("ALTER TABLE asf6 SET COLUMN STATS a ('numDVs'='-5')")
+        with pytest.raises(
+            ImpalaAnalysisError,
+            match=r"only allowed for variable-length columns",
+        ):
+            eng.sql("ALTER TABLE asf6 SET COLUMN STATS a ('maxSize'='9')")
+        with pytest.raises(
+            ImpalaAnalysisError, match=r"Column 'zz' does not exist in table"
+        ):
+            eng.sql("ALTER TABLE asf6 SET COLUMN STATS zz ('numDVs'='1')")
+        eng.sql("DROP TABLE asf6")

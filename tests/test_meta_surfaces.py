@@ -321,3 +321,60 @@ def test_show_column_stats_reads_metastore_after_promotion(spark):
     assert rows["n_nationkey"]["ndv"] == 25
     assert rows["n_regionkey"]["ndv"] == 5
     assert rows["n_name"]["num_nulls"] == 0
+
+
+class TestShowFunctionCategories:
+    """SHOW [AGGREGATE|ANALYTIC] FUNCTIONS [IN db] [[LIKE] 'pat']
+    (sql-parser.cup show_functions_stmt + opt_function_category)."""
+
+    def _eng(self, spark):
+        from impala_spark.engine import ImpalaEngine
+
+        return ImpalaEngine(spark, sf_dir="/root/testdata/sf0.001")
+
+    def test_aggregate_category_lists_builtins(self, spark):
+        eng = self._eng(spark)
+        names = {r[0] for r in eng.sql("SHOW AGGREGATE FUNCTIONS").collect()}
+        assert {"ndv", "appx_median", "group_concat", "sum", "count"} <= names
+        assert "rank" not in names
+
+    def test_analytic_category_lists_builtins(self, spark):
+        eng = self._eng(spark)
+        names = {r[0] for r in eng.sql("SHOW ANALYTIC FUNCTIONS").collect()}
+        assert {"rank", "dense_rank", "lead", "lag", "ntile"} <= names
+        assert "ndv" not in names
+
+    def test_pattern_filters_with_star_and_alternation(self, spark):
+        eng = self._eng(spark)
+        names = {
+            r[0]
+            for r in eng.sql("SHOW AGGREGATE FUNCTIONS LIKE 'nd*|app*'").collect()
+        }
+        assert names == {"ndv", "appx_median"}
+
+    def test_uda_joins_aggregate_listing(self, spark):
+        eng = self._eng(spark)
+        eng.sql(
+            "CREATE AGGREGATE FUNCTION my_gm (DOUBLE) RETURNS DOUBLE"
+            " LOCATION '/dev/null' UPDATE_FN='geomean'"
+        )
+        names = {r[0] for r in eng.sql("SHOW AGGREGATE FUNCTIONS").collect()}
+        assert "my_gm" in names
+
+    def test_unknown_db_raises_analysis_error(self, spark):
+        import pytest
+
+        from impala_spark.engine import ImpalaAnalysisError
+
+        eng = self._eng(spark)
+        with pytest.raises(ImpalaAnalysisError, match="Database does not exist: nosuchdb"):
+            eng.sql("SHOW AGGREGATE FUNCTIONS IN nosuchdb")
+
+    def test_comment_on_rejected_like_the_reference_grammar(self, spark):
+        import pytest
+
+        from impala_spark.parser import ImpalaUnsupportedError
+
+        eng = self._eng(spark)
+        with pytest.raises(ImpalaUnsupportedError, match="COMMENT is not a statement"):
+            eng.sql("COMMENT ON TABLE nation IS 'x'")
