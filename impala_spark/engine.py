@@ -1682,6 +1682,23 @@ class ImpalaEngine:
             )
             return self.spark.createDataFrame([(ddl_text,)], "createtab_stmt: string")
 
+    def rewrite_expr(self, expr_sql: str, rules=None) -> str:
+        """Run the reference's ExprRewriteRules over a scalar expression
+        and return the rewritten Impala SQL (rewrite/ExprRewriter.java:36,
+        BetweenToCompoundRule/ExtractCommonConjunctRule/FoldConstantsRule).
+
+        ``rules`` is a rule-name list (see exprrules.RULES_BY_NAME);
+        defaults to the full list in the reference's registration order
+        (A/Analyzer.java registers BetweenToCompound before the planner's
+        constant folding). This is a frontend surface: Catalyst performs
+        the equivalent optimizations during planning regardless.
+        """
+        from impala_spark.exprrules import RULES_BY_NAME, rewrite_sql
+
+        if rules is None:
+            rules = list(RULES_BY_NAME)
+        return rewrite_sql(expr_sql, rules)[0]
+
     # -- EXPLAIN (Frontend.getExplainString analog) --------------------------
     def _explain_df(self, query: str) -> DataFrame:
         text = self.explain(query)

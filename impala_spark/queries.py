@@ -4214,6 +4214,61 @@ def q_hash_utility_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(translate(q))
 
 
+# Expression rewrite rules (rewrite/BetweenToCompoundRule.java,
+# ExtractCommonConjunctRule.java, FoldConstantsRule.java, driven by
+# ExprRewriter.java:36-99; all 36 RewritesOk pins from
+# T/analysis/ExprRewriteRulesTest.java live in tests/test_exprrules.py).
+# Semantic-preservation gate: the Spark side executes the REWRITTEN
+# predicate, the oracle executes the ORIGINAL — equal results prove the
+# rewrite preserved semantics on real data. The predicate exercises all
+# three rules: common BETWEEN conjunct across the OR disjuncts, and a
+# foldable constant subexpression.
+_EXPRRULES_PRED_ORIG = (
+    "((l_quantity between 10 and 20 and l_discount < 0.05) or "
+    "(l_tax > 0.02 and l_quantity between 10 and 20)) "
+    "and l_linenumber < 1 + 3"
+)
+
+
+def _exprrules_rewritten_pred() -> str:
+    from impala_spark.exprrules import rewrite_sql as _rw
+
+    rewritten, n_changes = _rw(
+        _EXPRRULES_PRED_ORIG,
+        ["between_to_compound", "extract_common_conjuncts",
+         "fold_constants"],
+    )
+    assert n_changes > 0, "rewrite rules did not fire"
+    return rewritten
+
+
+_EXPRRULES_SELECT = """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS sum_qty2,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_ext2
+    FROM lineitem
+    WHERE {pred}
+    GROUP BY l_returnflag
+"""
+
+
+@register(
+    "expr_rewrite_rules",
+    oracle=_EXPRRULES_SELECT.format(pred=_EXPRRULES_PRED_ORIG),
+)
+def q_expr_rewrite_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the rule-rewritten predicate; oracle runs the original."""
+    from impala_spark.session import posture_session
+
+    spark = posture_session(spark, sf_dir, "relational")
+    register_tables(spark, sf_dir)
+    sql = _EXPRRULES_SELECT.format(pred=_exprrules_rewritten_pred())
+    return spark.sql(translate(sql))
+
+
 # Postfix `!` factorial vs prefix `!` NOT (analysis/ArithmeticExpr.java:
 # 40-50): `n!` computes factorial, `!bool` negates — position decides.
 sql_query(
