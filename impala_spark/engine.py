@@ -355,6 +355,10 @@ class ImpalaEngine:
         #: names created via CREATE VIEW in this engine (AlterTableStmt
         #: .java:76-79 needs to tell views from tables)
         self._views: set[str] = set()
+        #: view name -> defining SELECT text, for audit view expansion
+        #: (analysis registers SELECT events on a view's underlying
+        #: tables — T/analysis/AuditingTest.java TestSelect)
+        self._view_texts: dict[str, str] = {}
         #: input directory for the size-gated plan rewrites (None = unknown
         #: scale, keep Catalyst's default plans)
         self._sf_dir = sf_dir or None
@@ -635,6 +639,7 @@ class ImpalaEngine:
                 + translate(m.group("select"), strict=self.strict)
             )
             self._views.add(vname)
+            self._view_texts[vname] = m.group("select")
             return self.spark.sql(f"SELECT 'view {vname} created' AS result")
         m = _ALTER_VIEW_RE.match(q)
         if m:
@@ -646,6 +651,7 @@ class ImpalaEngine:
                 f"CREATE OR REPLACE TEMPORARY VIEW {vname} AS "
                 + translate(m.group("select"), strict=self.strict)
             )
+            self._view_texts[vname] = m.group("select")
             return self.spark.sql(f"SELECT 'view {vname} altered' AS result")
         m = _DROP_TABLE_RE.match(q)
         if m:
@@ -699,6 +705,7 @@ class ImpalaEngine:
             )
             if m2:  # keep the view registry in sync for ALTER TABLE checks
                 self._views.discard(m2.group(1).strip("`"))
+                self._view_texts.pop(m2.group(1).strip("`"), None)
         if self.appx_count_distinct:
             from impala_spark.parser import rewrite_appx_count_distinct
 
@@ -813,6 +820,224 @@ class ImpalaEngine:
                 self._authz.check_uri_access(m.group(1))
                 self._authz.check_access(
                     self.spark, q, "INSERT", [], m.group(2).strip("`"))
+
+    # -- auditing (Analyzer.getAccessEvents analog) ---------------------------
+    def _qual(self, name: str) -> str:
+        name = name.strip("`")
+        if "." in name:
+            return name.lower()
+        return f"{self.spark.catalog.currentDatabase()}.{name}".lower()
+
+    def _obj_type(self, name: str) -> str:
+        return "VIEW" if name.strip("`").split(".")[-1] in self._views \
+            else "TABLE"
+
+    def _select_events(self, q: str) -> set[tuple[str, str, str]]:
+        """SELECT events with view expansion: a view reference records
+        the view AND its underlying objects, transitively
+        (AuditingTest.TestSelect — view_view yields 3 events)."""
+        from impala_spark.rewrites import audit_table_refs
+
+        events: set[tuple[str, str, str]] = set()
+        pending = [q]
+        seen_views: set[str] = set()
+        while pending:
+            text = pending.pop()
+            for ref in audit_table_refs(text):
+                bare = ref.split(".")[-1]
+                if bare in self._views:
+                    events.add((self._qual(ref), "VIEW", "SELECT"))
+                    if bare not in seen_views:
+                        seen_views.add(bare)
+                        pending.append(self._view_texts.get(bare, ""))
+                else:
+                    events.add((self._qual(ref), "TABLE", "SELECT"))
+        return events
+
+    def access_events(self, q: str) -> set[tuple[str, str, str]]:
+        """The access events analysis would register for ``q`` — the
+        reference's Analyzer.getAccessEvents() (A/Analyzer.java
+        addAccessEvent callers; verdicts pinned by
+        T/analysis/AuditingTest.java). Returns a de-duplicated set of
+        (fully-qualified name, object type, privilege) triples:
+
+        * SELECT records each base table; a view records the view AND
+          its underlying objects transitively; CTE names never appear
+          but tables inside CTE bodies do even if the body is unused.
+        * EXPLAIN audits like the statement it explains; INVALIDATE
+          METADATA / REFRESH record nothing; USE records (db, ANY).
+        * INSERT/UPSERT: INSERT on the target + SELECT on sources;
+          UPDATE/DELETE: SELECT + INSERT on the target plus SELECT on
+          FROM-clause sources; LOAD DATA / TRUNCATE: INSERT.
+        * DDL: CREATE/DROP on the object; LIKE sources VIEW_METADATA;
+          RENAME adds CREATE on the new name; COMPUTE/DROP STATS is
+          ALTER; DESCRIBE is ANY, DESCRIBE FORMATTED/EXTENDED and the
+          SHOW metadata surfaces are VIEW_METADATA.
+
+        Not reproduced: the reference's `_impala_builtins` DATABASE
+        VIEW_METADATA artifact (a side effect of its builtin-function
+        resolution inside rewritten subqueries — our function registry
+        is not a catalog database).
+        """
+        text = q.strip().rstrip(";")
+        mw = re.match(r"\s*([A-Za-z_]+)", text)
+        head = mw.group(1).upper() if mw else ""
+
+        if head == "EXPLAIN":
+            return self.access_events(text[len("EXPLAIN"):])
+        if head == "USE":
+            m = re.match(r"(?is)^\s*USE\s+(`[^`]+`|\w+)", text)
+            return {(m.group(1).strip("`").lower(), "DATABASE", "ANY")} \
+                if m else set()
+        if head in ("INVALIDATE", "REFRESH"):
+            return set()
+        if head in ("SELECT", "WITH", "VALUES"):
+            return self._select_events(text)
+        if head in ("INSERT", "UPSERT"):
+            m = re.match(
+                r"(?is)^\s*(?:INSERT|UPSERT)\s+(?:INTO|OVERWRITE)\s+"
+                r"(?:TABLE\s+)?(`[^`]+`|[\w.]+)", text)
+            events: set[tuple[str, str, str]] = set()
+            if m:
+                events.add((self._qual(m.group(1)), "TABLE", "INSERT"))
+            up = text.upper()
+            for kw in ("SELECT", "WITH"):
+                pos = up.find(kw)
+                if pos >= 0:
+                    events |= self._select_events(text[pos:])
+                    break
+            return events
+        if head in ("UPDATE", "DELETE"):
+            m = re.match(
+                r"(?is)^\s*(?:UPDATE\s+|DELETE\s+(?:FROM\s+)?)"
+                r"(`[^`]+`|[\w.]+)", text)
+            events = set()
+            if m:
+                target = m.group(1).strip("`")
+                fm = re.match(
+                    r"(?is)^\s*(?:DELETE|UPDATE)\s+([\w`]+)\s+"
+                    r"(?:FROM|SET)\s+(.*)$", text)
+                if fm and ddl.table_info(target) is None \
+                        and fm.group(1).strip("`") == target:
+                    try:
+                        rest = fm.group(2)
+                        from_m = re.search(r"(?is)\bFROM\s+(.*)$", text)
+                        if head == "DELETE" or from_m:
+                            src = from_m.group(1) if from_m else rest
+                            target = ddl._resolve_modify_target(
+                                fm.group(1), src)
+                    except ValueError:
+                        pass
+                events.add((self._qual(target), "TABLE", "SELECT"))
+                events.add((self._qual(target), "TABLE", "INSERT"))
+            from_m = re.search(r"(?is)\bFROM\s", text)
+            if from_m:
+                events |= self._select_events(text[from_m.start():])
+            return events
+        if head == "TRUNCATE":
+            m = re.match(
+                r"(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?(?:IF\s+EXISTS\s+)?"
+                r"(`[^`]+`|[\w.]+)", text)
+            return {(self._qual(m.group(1)), "TABLE", "INSERT")} \
+                if m else set()
+        if head == "LOAD":
+            m = re.search(r"(?is)\bINTO\s+TABLE\s+(`[^`]+`|[\w.]+)", text)
+            return {(self._qual(m.group(1)), "TABLE", "INSERT")} \
+                if m else set()
+        if head == "COMPUTE" or (head == "DROP" and re.match(
+                r"(?is)^\s*DROP\s+(?:INCREMENTAL\s+)?STATS\b", text)):
+            m = re.search(
+                r"(?is)\bSTATS\s+(`[^`]+`|[\w.]+)", text)
+            return {(self._qual(m.group(1)), "TABLE", "ALTER")} \
+                if m else set()
+        if head == "CREATE":
+            m = re.match(
+                r"(?is)^\s*CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+                r"(`[^`]+`|\w+)", text)
+            if m:
+                return {(m.group(1).strip("`").lower(), "DATABASE",
+                         "CREATE")}
+            m = re.match(
+                r"(?is)^\s*CREATE\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+                r"(`[^`]+`|[\w.]+)", text)
+            if m:
+                events = {(self._qual(m.group(1)), "VIEW", "CREATE")}
+                am = re.search(r"(?is)\bAS\s+(SELECT|WITH|VALUES)\b", text)
+                if am:
+                    events |= self._select_events(text[am.start(1):])
+                return events
+            m = re.match(
+                r"(?is)^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+"
+                r"(?:IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|[\w.]+)", text)
+            if m:
+                events = {(self._qual(m.group(1)), "TABLE", "CREATE")}
+                lm = re.search(
+                    r"(?is)\bLIKE\s+(PARQUET\s+'[^']*'|`[^`]+`|[\w.]+)",
+                    text)
+                if lm and not lm.group(1).upper().startswith("PARQUET"):
+                    events.add((self._qual(lm.group(1)), "TABLE",
+                                "VIEW_METADATA"))
+                am = re.search(r"(?is)\bAS\s+(SELECT|WITH)\b", text)
+                if am:
+                    events |= self._select_events(text[am.start(1):])
+                return events
+            return set()
+        if head == "DROP":
+            m = re.match(
+                r"(?is)^\s*DROP\s+(DATABASE|SCHEMA|VIEW|TABLE)\s+"
+                r"(?:IF\s+EXISTS\s+)?(`[^`]+`|[\w.]+)", text)
+            if not m:
+                return set()
+            kind, name = m.group(1).upper(), m.group(2)
+            if kind in ("DATABASE", "SCHEMA"):
+                return {(name.strip("`").lower(), "DATABASE", "DROP")}
+            objtype = "VIEW" if kind == "VIEW" else self._obj_type(name)
+            return {(self._qual(name), objtype, "DROP")}
+        if head == "ALTER":
+            m = re.match(
+                r"(?is)^\s*ALTER\s+(TABLE|VIEW)\s+(`[^`]+`|[\w.]+)", text)
+            if not m:
+                return set()
+            objtype = "VIEW" if m.group(1).upper() == "VIEW" \
+                else self._obj_type(m.group(2))
+            events = {(self._qual(m.group(2)), objtype, "ALTER")}
+            rm = re.search(
+                r"(?is)\bRENAME\s+TO\s+(`[^`]+`|[\w.]+)", text)
+            if rm:
+                events.add((self._qual(rm.group(1)), objtype, "CREATE"))
+            am = re.search(r"(?is)\bAS\s+(SELECT|WITH)\b", text)
+            if am and m.group(1).upper() == "VIEW":
+                events |= self._select_events(text[am.start(1):])
+            return events
+        if head == "DESCRIBE":
+            m = re.match(
+                r"(?is)^\s*DESCRIBE\s+DATABASE\s+(?:EXTENDED\s+|FORMATTED\s+)?"
+                r"(`[^`]+`|\w+)", text)
+            if m:
+                return {(m.group(1).strip("`").lower(), "DATABASE",
+                         "VIEW_METADATA")}
+            m = re.match(
+                r"(?is)^\s*DESCRIBE\s+(FORMATTED\s+|EXTENDED\s+)?"
+                r"(`[^`]+`|[\w.]+)", text)
+            if not m:
+                return set()
+            priv = "VIEW_METADATA" if m.group(1) else "ANY"
+            # a nested-collection path audits the enclosing table
+            name = m.group(2).strip("`")
+            parts = name.split(".")
+            if len(parts) > 2:
+                name = ".".join(parts[:2])
+            return {(self._qual(name), self._obj_type(name), priv)}
+        if head == "SHOW":
+            m = re.match(
+                r"(?is)^\s*SHOW\s+(PARTITIONS|TABLE\s+STATS|COLUMN\s+STATS|"
+                r"CREATE\s+TABLE|FILES\s+IN)\s+(`[^`]+`|[\w.]+)", text)
+            if m:
+                name = m.group(2)
+                return {(self._qual(name), self._obj_type(name),
+                         "VIEW_METADATA")}
+            return set()
+        return set()
 
     def _route_session(self, q: str):
         """Pick the session a plain query plans in. After COMPUTE STATS

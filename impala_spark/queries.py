@@ -4214,6 +4214,52 @@ def q_hash_utility_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(translate(q))
 
 
+# Access-event auditing (A/Analyzer.java addAccessEvent; verdicts pinned
+# by T/analysis/AuditingTest.java — full adaptation in
+# tests/test_auditing.py). The entry audits four statement kinds through
+# ImpalaEngine.access_events and emits the captured (statement, object,
+# type, privilege) rows; the oracle re-emits the expected constants.
+@register(
+    "meta_access_events",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('ctas',   'default.audit_ev_t', 'TABLE', 'CREATE'),
+      ('ctas',   'default.region',     'TABLE', 'SELECT'),
+      ('insert', 'default.nation',     'TABLE', 'INSERT'),
+      ('insert', 'default.region',     'TABLE', 'SELECT'),
+      ('select', 'default.audit_ev_v', 'VIEW',  'SELECT'),
+      ('select', 'default.orders',     'TABLE', 'SELECT'),
+      ('show',   'default.lineitem',   'TABLE', 'VIEW_METADATA')
+    ) AS t(stmt, object, object_type, privilege)
+    ORDER BY stmt, object
+    """,
+)
+def q_access_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit events for a SELECT-through-view, INSERT..SELECT, CTAS and
+    SHOW CREATE TABLE, captured without executing the statements."""
+    from impala_spark.engine import ImpalaEngine
+
+    eng = ImpalaEngine(spark, sf_dir)
+    eng.sql("CREATE VIEW audit_ev_v AS SELECT * FROM orders")
+    stmts = {
+        "select": "SELECT * FROM audit_ev_v",
+        "insert": "INSERT INTO nation SELECT * FROM region",
+        "ctas": "CREATE TABLE audit_ev_t AS SELECT * FROM region",
+        "show": "SHOW CREATE TABLE lineitem",
+    }
+    rows = []
+    try:
+        for label, stmt in stmts.items():
+            for name, objtype, priv in eng.access_events(stmt):
+                rows.append((label, name, objtype, priv))
+    finally:
+        eng.sql("DROP VIEW audit_ev_v")
+    return spark.createDataFrame(
+        rows, "stmt: string, object: string, object_type: string,"
+        " privilege: string"
+    ).orderBy("stmt", "object")
+
+
 # Expression rewrite rules (rewrite/BetweenToCompoundRule.java,
 # ExtractCommonConjunctRule.java, FoldConstantsRule.java, driven by
 # ExprRewriter.java:36-99; all 36 RewritesOk pins from

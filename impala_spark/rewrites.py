@@ -413,6 +413,85 @@ _FROM_STOP_WORDS = frozenset({
 })
 
 
+def audit_table_refs(sql: str) -> set[str]:
+    """Lenient variant of referenced_base_tables for the auditing surface
+    (engine.access_events): best-effort instead of conservative. Derived
+    tables don't bail — the linear scan reaches their inner FROMs anyway;
+    db-qualified names keep their first two parts (a longer chain is a
+    nested-collection path, audited as the enclosing table); unparseable
+    spots are skipped rather than poisoning the whole answer. CTE names
+    are excluded (the reference registers no event for with-clause
+    views, AuditingTest.TestWithClause)."""
+    try:
+        tokens = tokenize(sql)
+    except Exception:
+        return set()
+    sig = _sig(tokens, 0, len(tokens))
+    ctes: set[str] = set()
+    for a, b, c in zip(sig, sig[1:], sig[2:]):
+        if (
+            tokens[a].kind in ("word", "bident")
+            and tokens[b].upper == "AS"
+            and tokens[c].kind == "op" and tokens[c].text == "("
+        ):
+            ctes.add(tokens[a].text.strip("`").lower())
+    refs: set[str] = set()
+    aliases: set[str] = set()
+    i = 0
+    while i < len(sig):
+        t = tokens[sig[i]]
+        if t.kind == "word" and t.upper in ("FROM", "JOIN"):
+            j = i + 1
+            while j < len(sig):
+                tj = tokens[sig[j]]
+                if tj.kind == "op" and tj.text == "(":
+                    break  # derived table: the scan reaches its FROMs
+                if tj.kind not in ("word", "bident"):
+                    break
+                parts = [tj.text.strip("`").lower()]
+                k = j
+                while (
+                    k + 1 < len(sig)
+                    and tokens[sig[k + 1]].kind == "op"
+                    and tokens[sig[k + 1]].text == "."
+                ):
+                    if k + 2 >= len(sig) or tokens[sig[k + 2]].kind not in (
+                        "word", "bident",
+                    ):
+                        break
+                    parts.append(tokens[sig[k + 2]].text.strip("`").lower())
+                    k += 2
+                if parts[0] in _FROM_STOP_WORDS:
+                    break
+                # keep db.table; a longer chain is a collection path
+                refs.add(".".join(parts[:2]))
+                k += 1
+                if k < len(sig) and tokens[sig[k]].upper == "AS":
+                    k += 1
+                if (
+                    k < len(sig)
+                    and tokens[sig[k]].kind in ("word", "bident")
+                    and tokens[sig[k]].text.strip("`").lower()
+                    not in _FROM_STOP_WORDS
+                ):
+                    aliases.add(tokens[sig[k]].text.strip("`").lower())
+                    k += 1
+                if (
+                    k < len(sig)
+                    and tokens[sig[k]].kind == "op"
+                    and tokens[sig[k]].text == ","
+                ):
+                    j = k + 1
+                    continue
+                i = k - 1
+                break
+        i += 1
+    # a FROM item that is a registered alias of another item is a
+    # correlated re-reference (`... from t a, a.col_path`), not a table
+    return {r for r in refs if r not in ctes
+            and r.split(".")[0] not in aliases}
+
+
 def referenced_base_tables(sql: str) -> set[str] | None:
     """Lower-cased base-table names a statement reads FROM — CTE names
     excluded, subquery FROMs included. Returns None whenever the shape
