@@ -137,3 +137,187 @@ def arithmetic_result_type(t1: str, t2: str, op: str = "+") -> str:
         idx = _INT_ORDER.index(wider)
         return _INT_ORDER[min(idx + 1, len(_INT_ORDER) - 1)]
     return wider  # %, DIV, &, |, ^
+
+
+# ---------------------------------------------------------------------------
+# Assignment compatibility / implicit casts
+# (catalog/ScalarType.java:339-477, catalog/Type.java:620-770,
+#  analysis/TypesUtil.java:73-92; pinned by T/analysis/TypesUtilTest.java)
+# ---------------------------------------------------------------------------
+
+_ORDINALS = [
+    "NULL", "BOOLEAN", "TINYINT", "SMALLINT", "INT", "BIGINT",
+    "FLOAT", "DOUBLE", "DATE", "DATETIME", "TIMESTAMP", "STRING",
+]
+
+#: min-resolution containing decimal per numeric type
+#: (catalog/ScalarType.java:359-371)
+_MIN_RES_DECIMAL = {
+    "TINYINT": (3, 0), "SMALLINT": (5, 0), "INT": (10, 0),
+    "BIGINT": (19, 0), "FLOAT": (38, 9), "DOUBLE": (38, 17),
+}
+
+#: (smaller, larger) -> result, by PrimitiveType ordinal order; pairs
+#: absent here are INVALID (catalog/Type.java:629-770). The strict
+#: overrides mirror strictCompatibilityMatrix: lossy float/timestamp
+#: conversions are disallowed when strict.
+_COMPAT = {
+    ("BOOLEAN", "TINYINT"): "TINYINT",
+    ("BOOLEAN", "SMALLINT"): "SMALLINT",
+    ("BOOLEAN", "INT"): "INT",
+    ("BOOLEAN", "BIGINT"): "BIGINT",
+    ("BOOLEAN", "FLOAT"): "FLOAT",
+    ("BOOLEAN", "DOUBLE"): "DOUBLE",
+    ("TINYINT", "SMALLINT"): "SMALLINT",
+    ("TINYINT", "INT"): "INT",
+    ("TINYINT", "BIGINT"): "BIGINT",
+    ("TINYINT", "FLOAT"): "FLOAT",
+    ("TINYINT", "DOUBLE"): "DOUBLE",
+    ("SMALLINT", "INT"): "INT",
+    ("SMALLINT", "BIGINT"): "BIGINT",
+    ("SMALLINT", "FLOAT"): "FLOAT",
+    ("SMALLINT", "DOUBLE"): "DOUBLE",
+    ("INT", "BIGINT"): "BIGINT",
+    ("INT", "FLOAT"): "FLOAT",
+    ("INT", "DOUBLE"): "DOUBLE",
+    ("BIGINT", "FLOAT"): "FLOAT",
+    ("BIGINT", "DOUBLE"): "DOUBLE",
+    ("FLOAT", "DOUBLE"): "DOUBLE",
+    ("DATE", "DATETIME"): "DATETIME",
+    ("DATE", "TIMESTAMP"): "TIMESTAMP",
+    ("DATETIME", "TIMESTAMP"): "TIMESTAMP",
+    ("TIMESTAMP", "STRING"): "TIMESTAMP",
+}
+
+_STRICT_OVERRIDES = {
+    ("INT", "FLOAT"): "DOUBLE",
+    ("BIGINT", "FLOAT"): "DOUBLE",
+    # NOTE: the reference deliberately has no BIGINT->DOUBLE strict
+    # override despite the loss (catalog/Type.java:714 TODO comment)
+    ("TIMESTAMP", "STRING"): "INVALID",
+}
+
+
+def _parse_scalar(t: str):
+    """-> (base, precision, scale, length) for a scalar type string;
+    base 'DECIMAL' with precision None means the wildcard decimal."""
+    s = t.strip().upper().replace("INTEGER", "INT").replace("REAL", "DOUBLE")
+    if s.startswith("DECIMAL"):
+        if "(" not in s:
+            return ("DECIMAL", None, None, None)
+        inner = s[s.index("(") + 1:s.rindex(")")]
+        parts = [p.strip() for p in inner.split(",")]
+        return ("DECIMAL", int(parts[0]),
+                int(parts[1]) if len(parts) > 1 else 0, None)
+    for pref in ("VARCHAR", "CHAR"):
+        if s.startswith(pref):
+            ln = int(s[s.index("(") + 1:s.rindex(")")]) if "(" in s else None
+            return (pref, None, None, ln)
+    return (s, None, None, None)
+
+
+def _is_complex(t: str) -> bool:
+    u = t.strip().upper()
+    return u.startswith(("ARRAY<", "MAP<", "STRUCT<"))
+
+
+def decimal_assignment_compatible(p1: int, s1: int,
+                                  p2: int, s2: int) -> tuple[int, int]:
+    """TypesUtil.getDecimalAssignmentCompatibleType:73-92 — union the
+    digits before and after the point, clamped at MAX_PRECISION by the
+    internal constructor."""
+    if (p1, s1) == (p2, s2):
+        return (p1, s1)
+    digits_before = max(p1 - s1, p2 - s2)
+    digits_after = max(s1, s2)
+    prec = digits_before + digits_after
+    if prec > MAX_PRECISION:
+        # createDecimalTypeInternal caps precision, keeping the scale
+        prec = MAX_PRECISION
+        digits_after = min(digits_after, MAX_PRECISION)
+    return (prec, digits_after)
+
+
+def _decimal_supertype_of(a: tuple, b: tuple) -> bool:
+    """(scale and integer digits both >=) — ScalarType.isSupertypeOf:379."""
+    (pa, sa), (pb, sb) = a, b
+    return sa >= sb and pa - sa >= pb - sb
+
+
+def assignment_compatible_type(t1: str, t2: str, strict: bool = False) -> str:
+    """Type t such that values of both t1 and t2 assign to t; 'INVALID'
+    when none exists (ScalarType.getAssignmentCompatibleType:393-469)."""
+    if _is_complex(t1) or _is_complex(t2):
+        return "INVALID"
+    b1, p1, s1, l1 = _parse_scalar(t1)
+    b2, p2, s2, l2 = _parse_scalar(t2)
+    if (b1, p1, s1, l1) == (b2, p2, s2, l2):
+        return t1.strip().upper().replace("INTEGER", "INT")
+    if b1 == "NULL":
+        return t2.strip().upper()
+    if b2 == "NULL":
+        return t1.strip().upper()
+    if "VARCHAR" in (b1, b2):
+        if "STRING" in (b1, b2):
+            return "STRING"
+        if {b1, b2} <= {"VARCHAR", "CHAR"}:
+            return f"VARCHAR({max(l1 or 0, l2 or 0)})"
+        return "INVALID"
+    if "CHAR" in (b1, b2):
+        if "STRING" in (b1, b2):
+            return "STRING"
+        if b1 == "CHAR" and b2 == "CHAR":
+            return f"CHAR({max(l1 or 0, l2 or 0)})"
+        return "INVALID"
+    if "DECIMAL" in (b1, b2):
+        # float/double vs decimal: lossy both ways — non-strict converts
+        # to the float type (larger range), strict refuses
+        if b1 in ("FLOAT", "DOUBLE"):
+            return "INVALID" if strict else b1
+        if b2 in ("FLOAT", "DOUBLE"):
+            return "INVALID" if strict else b2
+        # wildcard decimal adopts the other side
+        if b1 == "DECIMAL" and p1 is None:
+            return t2.strip().upper() if b2 == "DECIMAL" else \
+                assignment_compatible_type(t2, t2, strict)
+        if b2 == "DECIMAL" and p2 is None:
+            return t1.strip().upper()
+        d1 = (p1, s1) if b1 == "DECIMAL" else _MIN_RES_DECIMAL.get(b1)
+        d2 = (p2, s2) if b2 == "DECIMAL" else _MIN_RES_DECIMAL.get(b2)
+        if d1 is None or d2 is None:
+            return "INVALID"
+        if d1 == d2:
+            # containing decimal of a non-decimal is an exclusive upper
+            # bound: the decimal side has higher precision
+            return f"DECIMAL({d1[0]},{d1[1]})"
+        if _decimal_supertype_of(d1, d2):
+            return f"DECIMAL({p1},{s1})" if b1 == "DECIMAL" else b1
+        if _decimal_supertype_of(d2, d1):
+            return f"DECIMAL({p2},{s2})" if b2 == "DECIMAL" else b2
+        p, s = decimal_assignment_compatible(*d1, *d2)
+        return f"DECIMAL({p},{s})"
+    if b1 not in _ORDINALS or b2 not in _ORDINALS:
+        return "INVALID"
+    small, large = sorted((b1, b2), key=_ORDINALS.index)
+    result = None
+    if strict:
+        result = _STRICT_OVERRIDES.get((small, large))
+    if result is None:
+        result = _COMPAT.get((small, large), "INVALID")
+    return result
+
+
+def is_implicitly_castable(t1: str, t2: str, strict: bool = False) -> bool:
+    """True when t1 implicitly casts to t2 — i.e. their assignment-
+    compatible type IS t2 (ScalarType.isImplicitlyCastable:474-477).
+    Complex types never implicitly cast (catalog/Type.java:293-300)."""
+    if _is_complex(t1) or _is_complex(t2):
+        return False
+    result = assignment_compatible_type(t1, t2, strict)
+    if result == "INVALID":
+        return False
+    rb = _parse_scalar(result)
+    tb = _parse_scalar(t2)
+    if tb[0] == "DECIMAL" and tb[1] is None:
+        return rb[0] == "DECIMAL"  # wildcard matches any decimal
+    return rb == tb
