@@ -321,3 +321,50 @@ def is_implicitly_castable(t1: str, t2: str, strict: bool = False) -> bool:
     if tb[0] == "DECIMAL" and tb[1] is None:
         return rb[0] == "DECIMAL"  # wildcard matches any decimal
     return rb == tb
+
+
+def literal_from_string(value: str, type_sql: str):
+    """Create a typed literal from a string — the reference's
+    LiteralExpr.create(value, type) used for partition-key values
+    (A/LiteralExpr.java:55-90; pinned by T/analysis/ExprTest.java:14-43).
+    Returns the Python value; raises ValueError when the string does not
+    form a literal of the type (including TIMESTAMP/DATE/DATETIME, which
+    the reference does not support creating from partition strings)."""
+    base, p, s, _ = _parse_scalar(type_sql)
+    try:
+        if base == "BOOLEAN":
+            low = value.strip().lower()
+            if low in ("true", "false"):
+                return low == "true"
+            raise ValueError(value)
+        if base in ("TINYINT", "SMALLINT", "INT", "BIGINT"):
+            n = int(value.strip())
+            limits = {"TINYINT": 2 ** 7, "SMALLINT": 2 ** 15,
+                      "INT": 2 ** 31, "BIGINT": 2 ** 63}
+            if not -limits[base] <= n < limits[base]:
+                raise ValueError(value)
+            return n
+        if base in ("FLOAT", "DOUBLE"):
+            return float(value.strip())
+        if base in ("STRING", "VARCHAR", "CHAR"):
+            return value
+        if base == "DECIMAL":
+            from decimal import Decimal, InvalidOperation
+
+            try:
+                d = Decimal(value.strip())
+            except InvalidOperation:
+                raise ValueError(value) from None
+            prec = p if p is not None else 9
+            scale = s if s is not None else 0
+            exp = -d.as_tuple().exponent
+            digits = len(d.as_tuple().digits)
+            if exp > scale or digits - exp > prec - scale:
+                raise ValueError(f"{value} does not fit DECIMAL({prec},{scale})")
+            return d
+    except ValueError:
+        raise
+    except Exception as exc:  # int()/float() raise ValueError already
+        raise ValueError(str(exc)) from None
+    # TIMESTAMP/DATE/DATETIME/INVALID: not supported (ExprTest.java:38-42)
+    raise ValueError(f"cannot create a {type_sql} literal from {value!r}")

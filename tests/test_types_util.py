@@ -147,3 +147,37 @@ def test_string_ladder():
     assert compat("VARCHAR(10)", "CHAR(20)") == "VARCHAR(20)"
     assert compat("CHAR(5)", "CHAR(9)") == "CHAR(9)"
     assert compat("VARCHAR(10)", "INT") == "INVALID"
+
+
+# -- LiteralExpr.create from strings (T/analysis/ExprTest.java:14-43) ----------
+
+def test_literal_from_string_positive():
+    from impala_spark.types import literal_from_string as lit
+
+    assert lit("false", "BOOLEAN") is False
+    for t in ("TINYINT", "SMALLINT", "INT", "BIGINT"):
+        assert lit("1", t) == 1
+    assert lit("1.0", "FLOAT") == 1.0
+    assert lit("1.0", "DOUBLE") == 1.0
+    assert lit("ABC", "STRING") == "ABC"
+    from decimal import Decimal
+    assert lit("1.1", "DECIMAL(2,1)") == Decimal("1.1")
+
+
+def test_literal_from_string_negative():
+    from impala_spark.types import literal_from_string as lit
+
+    bad = ["BOOLEAN", "TINYINT", "SMALLINT", "INT", "BIGINT", "FLOAT",
+           "DOUBLE", "TIMESTAMP", "DECIMAL", "INVALID"]
+    for t in bad:
+        with pytest.raises(ValueError):
+            lit("ABC", t)
+    # date types not implemented: even a well-formed date string fails
+    for t in ("DATE", "DATETIME", "TIMESTAMP"):
+        with pytest.raises(ValueError):
+            lit("2010-01-01", t)
+    # range checks
+    with pytest.raises(ValueError):
+        lit("128", "TINYINT")
+    with pytest.raises(ValueError):
+        lit("12.34", "DECIMAL(3,1)")
