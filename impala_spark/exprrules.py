@@ -357,17 +357,66 @@ class InPred(_Nary):
         return f"{self.kids[0].to_sql()} {kw} ({items})"
 
 
-class FuncCall(_Nary):
-    __slots__ = ("name",)
+class Subquery(_Leaf):
+    """A (SELECT ...) appearing in expression position — A/Subquery.java.
+    Holds an opaque statement object (see stmtrewriter) so the rewriter
+    driver can recurse into the statement's own expr trees; rules that
+    must not fire on subquery-containing exprs test contains_subquery."""
 
-    def __init__(self, name: str, args: list[Expr]):
-        super().__init__(args)
-        self.name = name.lower()
+    __slots__ = ("stmt",)
+
+    def __init__(self, stmt):
+        super().__init__()
+        self.stmt = stmt
 
     def key(self):
-        return ("fn", self.name, tuple(k.key() for k in self.kids))
+        return ("subquery", id(self.stmt))
 
     def _sql(self) -> str:
+        return f"({self.stmt.to_sql()})"
+
+    def is_constant(self) -> bool:
+        return False
+
+
+class Exists(_Nary):
+    """EXISTS (subquery) — A/ExistsPredicate.java."""
+
+    __slots__ = ("negated",)
+
+    def __init__(self, negated: bool, subquery: Subquery):
+        super().__init__([subquery])
+        self.negated = negated
+
+    def key(self):
+        return ("exists", self.negated, self.kids[0].key())
+
+    def _sql(self) -> str:
+        kw = "NOT EXISTS" if self.negated else "EXISTS"
+        return f"{kw} {self.kids[0].to_sql()}"
+
+
+def contains_subquery(expr: Expr) -> bool:
+    if isinstance(expr, Subquery):
+        return True
+    return any(contains_subquery(c) for c in expr.children())
+
+
+class FuncCall(_Nary):
+    __slots__ = ("name", "star")
+
+    def __init__(self, name: str, args: list[Expr], star: bool = False):
+        super().__init__(args)
+        self.name = name.lower()
+        self.star = star
+
+    def key(self):
+        return ("fn", self.name, self.star,
+                tuple(k.key() for k in self.kids))
+
+    def _sql(self) -> str:
+        if self.star:
+            return f"{self.name}(*)"
         return f"{self.name}({', '.join(k.to_sql() for k in self.kids)})"
 
     def is_constant(self) -> bool:
@@ -524,10 +573,25 @@ _TYPE_WORDS = {
 
 
 class _P:
+    #: optional hook: callable(self) -> stmt object, invoked with the
+    #: cursor ON the statement's first token, returning with the cursor
+    #: past its last token (stmtrewriter sets this to parse subqueries)
+    subselect_hook = None
+
     def __init__(self, tokens: list[Token]):
         self.toks = [t for t in tokens
                      if t.kind not in ("ws", "line_comment", "block_comment")]
         self.i = 0
+
+    def _at_subselect(self, off: int = 0) -> bool:
+        t = self.peek(off)
+        return (self.subselect_hook is not None and t is not None
+                and t.kind == "word"
+                and t.upper in ("SELECT", "WITH", "VALUES"))
+
+    def _subquery(self) -> "Subquery":
+        stmt = type(self).subselect_hook(self)
+        return Subquery(stmt)
 
     # -- cursor helpers ------------------------------------------------------
     def peek(self, off: int = 0) -> Token | None:
@@ -620,10 +684,13 @@ class _P:
                     self.take()
                 self.take()
                 self.expect_op("(")
-                items = [self.or_expr()]
-                while self.at_op(","):
-                    self.take()
-                    items.append(self.or_expr())
+                if self._at_subselect():
+                    items: list[Expr] = [self._subquery()]
+                else:
+                    items = [self.or_expr()]
+                    while self.at_op(","):
+                        self.take()
+                        items.append(self.or_expr())
                 self.expect_op(")")
                 e = InPred(negated, e, items)
             elif self.at_word("LIKE", "RLIKE", "REGEXP", "ILIKE", "IREGEXP"):
@@ -712,6 +779,13 @@ class _P:
                 return Cast(inner, type_sql)
             if up == "CASE":
                 return self._case()
+            if up == "EXISTS" and self.peek(1) is not None \
+                    and self.peek(1).text == "(" and self._at_subselect(2):
+                self.take()
+                self.take()  # (
+                sq = self._subquery()
+                self.expect_op(")")
+                return Exists(False, sq)
             if up == "INTERVAL":
                 raise ImpalaUnsupportedError(
                     "INTERVAL is only valid beside +/- in this surface")
@@ -720,13 +794,18 @@ class _P:
                 name = self.take().text
                 self.take()  # (
                 args: list[Expr] = []
-                if not self.at_op(")"):
+                star = False
+                if self.at_op("*") and self.peek(1) is not None \
+                        and self.peek(1).text == ")":
+                    self.take()  # star argument: no children (count(*))
+                    star = True
+                elif not self.at_op(")"):
                     args.append(self.or_expr())
                     while self.at_op(","):
                         self.take()
                         args.append(self.or_expr())
                 self.expect_op(")")
-                return FuncCall(name, args)
+                return FuncCall(name, args, star=star)
             # dotted column ref
             path = [self.take().text]
             while self.at_op(".") and self.peek(1) is not None \
@@ -740,6 +819,10 @@ class _P:
             return ColumnRef([t.text.strip("`")])
         if t.kind == "op" and t.text == "(":
             self.take()
+            if self._at_subselect():
+                sq = self._subquery()
+                self.expect_op(")")
+                return sq
             inner = self.or_expr()
             self.expect_op(")")
             inner.parens = True
@@ -1303,8 +1386,8 @@ def _eval_fn(e: FuncCall):
 
 class ExprRewriter:
     def __init__(self, rules):
-        if isinstance(rules, _Rule):
-            rules = [rules]
+        if not isinstance(rules, (list, tuple)):
+            rules = [rules]  # a single rule (any object with .apply)
         self.rules = list(rules)
         self.num_changes = 0
 
