@@ -52,6 +52,10 @@ class ManagedTable:
     #: spec (Kudu rejects rows outside every range).
     range_cols: list[str] = field(default_factory=list)
     range_spec: list = field(default_factory=list)
+    #: declared (name, Impala type text) column pairs from CREATE TABLE —
+    #: Spark's catalog erases CHAR/VARCHAR to string, the declared texts
+    #: do not; the JDBC GetColumns surface reads these (metadata_ops)
+    declared_cols: list = field(default_factory=list)
     #: ALTER TABLE ... SET TBLPROPERTIES / SERDEPROPERTIES (r12;
     #: A/AlterTableSetTblProperties.java) — metastore key/value maps.
     #: Surfaced through SHOW CREATE TABLE like the reference's ToSqlUtils.
@@ -1542,12 +1546,21 @@ def _spark_col_type(impala_type: str) -> str:
     for rx, repl in _COL_TYPE_MAP:
         if rx.match(t):
             return repl
+    if re.match(r"(?i)^(ARRAY|MAP|STRUCT)\s*<", t):
+        # CHAR/VARCHAR nested in complex types normalize to STRING too —
+        # Spark refuses char/varchar in a materialized schema (the
+        # declared texts survive on ManagedTable.declared_cols)
+        return re.sub(r"(?i)\b(?:CHAR|VARCHAR)\s*\(\s*\d+\s*\)", "STRING", t)
     return t  # TINYINT/SMALLINT/INT/BIGINT/FLOAT/DOUBLE/DECIMAL(p,s)/
     #           STRING/BOOLEAN/TIMESTAMP/ARRAY<>/MAP<>/STRUCT<> parse as-is
 
 
-def _parse_col_defs(defs: str) -> tuple[list[tuple[str, str]], list[str]]:
-    """'(a INT, b STRING, PRIMARY KEY (a))' -> ([(a, INT), ...], [pk...])."""
+def _parse_col_defs(
+    defs: str, normalize: bool = True
+) -> tuple[list[tuple[str, str]], list[str]]:
+    """'(a INT, b STRING, PRIMARY KEY (a))' -> ([(a, INT), ...], [pk...]).
+    normalize=False keeps the declared Impala type texts (CHAR/VARCHAR
+    intact) for the JDBC metadata surface."""
     cols: list[tuple[str, str]] = []
     pk: list[str] = []
     depth, cur, items = 0, [], []
@@ -1574,7 +1587,9 @@ def _parse_col_defs(defs: str) -> tuple[list[tuple[str, str]], list[str]]:
             raise ValueError(f"cannot parse column definition: {item!r}")
         # TypeDef bounds (TypeDef.java:76-119) apply to column defs too
         validate_type_def(m.group(2))
-        cols.append((m.group(1).strip("`"), _spark_col_type(m.group(2))))
+        ctype = _spark_col_type(m.group(2)) if normalize \
+            else m.group(2).strip()
+        cols.append((m.group(1).strip("`"), ctype))
     return cols, pk
 
 
@@ -1619,6 +1634,10 @@ def create_table(
     path = os.path.join(WAREHOUSE, name)
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
-    t = ManagedTable(name, path, pcols, primary_key or pk, schema)
+    declared, _ = _parse_col_defs(col_defs, normalize=False)
+    if partition_defs:
+        declared += _parse_col_defs(partition_defs, normalize=False)[0]
+    t = ManagedTable(name, path, pcols, primary_key or pk, schema,
+                     declared_cols=declared)
     _REGISTRY[name] = t
     return _refresh_view(spark, t)

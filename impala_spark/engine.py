@@ -1907,6 +1907,37 @@ class ImpalaEngine:
             )
             return self.spark.createDataFrame([(ddl_text,)], "createtab_stmt: string")
 
+    # -- HS2/JDBC metadata ops (service/MetadataOp.java) ----------------------
+    def get_catalogs(self) -> DataFrame:
+        from impala_spark import metadata_ops as mo
+        return mo.get_catalogs(self.spark)
+
+    def get_schemas(self, catalog=None, schema_pattern=None) -> DataFrame:
+        from impala_spark import metadata_ops as mo
+        return mo.get_schemas(self.spark, catalog, schema_pattern)
+
+    def get_tables(self, catalog=None, schema_pattern=None,
+                   table_pattern=None, table_types=None) -> DataFrame:
+        from impala_spark import metadata_ops as mo
+        return mo.get_tables(self.spark, catalog, schema_pattern,
+                             table_pattern, table_types)
+
+    def get_table_types(self) -> DataFrame:
+        from impala_spark import metadata_ops as mo
+        return mo.get_table_types(self.spark)
+
+    def get_columns(self, catalog=None, schema_pattern=None,
+                    table_pattern=None, column_pattern=None) -> DataFrame:
+        from impala_spark import metadata_ops as mo
+        return mo.get_columns(self.spark, catalog, schema_pattern,
+                              table_pattern, column_pattern)
+
+    def get_functions(self, catalog=None, schema_pattern=None,
+                      fn_pattern=None) -> DataFrame:
+        from impala_spark import metadata_ops as mo
+        return mo.get_functions(self.spark, catalog, schema_pattern,
+                                fn_pattern)
+
     def rewrite_expr(self, expr_sql: str, rules=None) -> str:
         """Run the reference's ExprRewriteRules over a scalar expression
         and return the rewritten Impala SQL (rewrite/ExprRewriter.java:36,

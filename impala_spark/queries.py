@@ -4214,6 +4214,50 @@ def q_hash_utility_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(translate(q))
 
 
+# HS2/JDBC metadata operations (service/MetadataOp.java; behavior pinned
+# by T/service/JdbcTest.java, adapted in tests/test_jdbc_metadata.py).
+# The entry exercises GetSchemas/GetTables/GetColumns over the fixture
+# catalog; the oracle re-emits the expected constants (lineitem's JDBC
+# column descriptors are fully determined by its parquet schema).
+@register(
+    "meta_jdbc_metadata",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('schemas',  'default',        CAST(NULL AS INT), CAST(NULL AS INT)),
+      ('tables',   'lineitem',       NULL, NULL),
+      ('col',      'l_quantity',     8,  15),
+      ('col',      'l_returnflag',   12, 2147483647),
+      ('col',      'l_orderkey',     -5, 19)
+    ) AS t(surface, name, data_type, column_size)
+    ORDER BY surface, name
+    """,
+)
+def q_jdbc_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DatabaseMetaData surface: getSchemas pattern, getTables pattern,
+    getColumns JDBC type descriptors (java.sql.Types codes, COLUMN_SIZE
+    per the reference's Type.getColumnSize)."""
+    from impala_spark.engine import ImpalaEngine
+
+    eng = ImpalaEngine(spark, sf_dir)
+    eng.sql("SELECT 1 FROM lineitem LIMIT 1")  # register fixtures
+    rows = []
+    for r in eng.get_schemas("", "d_f%").collect():
+        rows.append(("schemas", r["TABLE_SCHEM"], None, None))
+    for r in eng.get_tables("", "default", "%line_tem", None).collect():
+        rows.append(("tables", r["TABLE_NAME"], None, None))
+    cols = eng.get_columns(
+        None, "default", "lineitem", "l_%").collect()
+    want = {"l_quantity", "l_returnflag", "l_orderkey"}
+    for r in cols:
+        if r["COLUMN_NAME"] in want:
+            rows.append(("col", r["COLUMN_NAME"], r["DATA_TYPE"],
+                         r["COLUMN_SIZE"]))
+    return spark.createDataFrame(
+        rows, "surface: string, name: string, data_type: int,"
+        " column_size: int"
+    ).orderBy("surface", "name")
+
+
 # Access-event auditing (A/Analyzer.java addAccessEvent; verdicts pinned
 # by T/analysis/AuditingTest.java — full adaptation in
 # tests/test_auditing.py). The entry audits four statement kinds through
