@@ -1938,6 +1938,10 @@ class ImpalaEngine:
         return mo.get_functions(self.spark, catalog, schema_pattern,
                                 fn_pattern)
 
+    def get_type_info(self) -> DataFrame:
+        from impala_spark import metadata_ops as mo
+        return mo.get_type_info(self.spark)
+
     def rewrite_expr(self, expr_sql: str, rules=None) -> str:
         """Run the reference's ExprRewriteRules over a scalar expression
         and return the rewritten Impala SQL (rewrite/ExprRewriter.java:36,

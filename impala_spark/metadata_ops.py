@@ -314,3 +314,54 @@ def get_functions(spark: SparkSession, catalog: str | None = None,
         rows, "FUNCTION_CAT: string, FUNCTION_SCHEM: string,"
         " FUNCTION_NAME: string, REMARKS: string, FUNCTION_TYPE: int,"
         " SPECIFIC_NAME: string")
+
+
+#: GetTypeInfo excludes these (MetadataOp.createGetTypeInfoResults:557-566)
+_TYPEINFO_EXCLUDED = {"INVALID_TYPE", "DATE", "DATETIME", "DECIMAL",
+                      "CHAR", "VARCHAR"}
+
+#: PrimitiveType declaration order (catalog/PrimitiveType.java:25-53)
+_PRIMITIVE_ORDER = [
+    "INVALID_TYPE", "NULL_TYPE", "BOOLEAN", "TINYINT", "SMALLINT", "INT",
+    "BIGINT", "FLOAT", "DOUBLE", "DATE", "DATETIME", "TIMESTAMP",
+    "STRING", "VARCHAR", "BINARY", "DECIMAL", "CHAR",
+]
+
+GET_TYPEINFO_SCHEMA = (
+    "TYPE_NAME string, DATA_TYPE int, PRECISION int,"
+    " LITERAL_PREFIX string, LITERAL_SUFFIX string, CREATE_PARAMS string,"
+    " NULLABLE int, CASE_SENSITIVE boolean, SEARCHABLE smallint,"
+    " UNSIGNED_ATTRIBUTE boolean, FIXED_PREC_SCALE boolean,"
+    " AUTO_INCREMENT boolean, LOCAL_TYPE_NAME string,"
+    " MINIMUM_SCALE smallint, MAXIMUM_SCALE smallint, SQL_DATA_TYPE int,"
+    " SQL_DATETIME_SUB int, NUM_PREC_RADIX int"
+)
+
+
+def get_type_info(spark: SparkSession) -> DataFrame:
+    """GetTypeInfo: one row per supported primitive type in declaration
+    order — 18 columns, 11 rows (T/service/FrontendTest.TestGetTypeInfo
+    pins PrimitiveType.values().length - 6)."""
+    rows = []
+    for ptype in _PRIMITIVE_ORDER:
+        if ptype in _TYPEINFO_EXCLUDED:
+            continue
+        base = "NULL" if ptype == "NULL_TYPE" else ptype
+        numeric = base in _PRECISION or base == "DECIMAL"
+        stringy = base in ("STRING", "VARCHAR", "CHAR")
+        rows.append((
+            ptype,                           # TYPE_NAME (enum name)
+            _SQL_TYPES.get(base, 0),         # DATA_TYPE
+            _PRECISION.get(base),            # PRECISION (null non-numeric)
+            None, None, None,                # LITERAL_*/CREATE_PARAMS
+            1,                               # NULLABLE (typeNullable)
+            stringy,                         # CASE_SENSITIVE
+            3,                               # SEARCHABLE (typeSearchable)
+            not numeric,                     # UNSIGNED_ATTRIBUTE
+            False, False,                    # FIXED_PREC_SCALE/AUTO_INCR
+            None,                            # LOCAL_TYPE_NAME
+            0, 0,                            # MIN/MAX SCALE
+            None, None,                      # SQL_DATA_TYPE/DATETIME_SUB
+            _num_prec_radix(base),           # NUM_PREC_RADIX
+        ))
+    return spark.createDataFrame(rows, GET_TYPEINFO_SCHEMA)

@@ -215,3 +215,26 @@ def test_get_functions_substring(eng):
         assert r["SPECIFIC_NAME"].startswith("substring(")
     # builtins are not in the default db
     assert eng.get_functions(None, "default", "substring").count() == 0
+
+
+# -- FrontendTest.TestGetTypeInfo (18 columns, 11 supported types) ---------------
+
+def test_get_type_info(eng):
+    df = eng.get_type_info()
+    assert len(df.columns) == 18
+    assert df.columns[0] == "TYPE_NAME"
+    rows = df.collect()
+    # PrimitiveType.values().length - 6 == 11 (INVALID/DATE/DATETIME/
+    # DECIMAL/CHAR/VARCHAR excluded)
+    assert len(rows) == 11
+    by_name = {r["TYPE_NAME"]: r for r in rows}
+    assert set(by_name) == {"NULL_TYPE", "BOOLEAN", "TINYINT", "SMALLINT",
+                            "INT", "BIGINT", "FLOAT", "DOUBLE",
+                            "TIMESTAMP", "STRING", "BINARY"}
+    r = by_name["INT"]
+    assert (r["DATA_TYPE"], r["PRECISION"], r["NULLABLE"], r["SEARCHABLE"],
+            r["NUM_PREC_RADIX"]) == (INTEGER, 10, 1, 3, 10)
+    assert r["CASE_SENSITIVE"] is False and r["UNSIGNED_ATTRIBUTE"] is False
+    r = by_name["STRING"]
+    assert r["DATA_TYPE"] == VARCHAR and r["CASE_SENSITIVE"] is True
+    assert r["PRECISION"] is None and r["UNSIGNED_ATTRIBUTE"] is True
