@@ -302,10 +302,26 @@ class Compound(_Nary):
     def key(self):
         return ("compound", self.op, tuple(k.key() for k in self.kids))
 
+    def _child_sql(self, child: Expr) -> str:
+        """Emission must re-parse to the same tree: a looser-binding
+        compound child needs parens even when the analyzer's
+        printSqlInParens flag is unset (AND over OR; NOT over AND/OR).
+        The reference's toSql has the same ambiguity but its rewriter
+        never re-parses the text; ours is executed."""
+        text = child.to_sql()
+        if child.parens or not isinstance(child, Compound):
+            return text
+        if self.op == "AND" and child.op == "OR":
+            return f"({text})"
+        if self.op == "NOT" and child.op in ("AND", "OR"):
+            return f"({text})"
+        return text
+
     def _sql(self) -> str:
         if self.op == "NOT":
-            return f"NOT {self.kids[0].to_sql()}"
-        return f"{self.kids[0].to_sql()} {self.op} {self.kids[1].to_sql()}"
+            return f"NOT {self._child_sql(self.kids[0])}"
+        return (f"{self._child_sql(self.kids[0])} {self.op} "
+                f"{self._child_sql(self.kids[1])}")
 
 
 class Between(_Nary):

@@ -256,3 +256,34 @@ def test_extract_cost_bound():
     rhs = " and ".join(f"b{i} < {i}" for i in range(31))
     out, n = rewrite_sql(f"({lhs}) or ({rhs})", EXTRACT_COMMON_CONJUNCTS)
     assert n == 0
+
+
+def test_differential_fuzz_sample(sf_dir):
+    """Seeded 60-predicate differential sample of tools/exprrules_fuzz:
+    original vs rule-rewritten predicate on the same DuckDB engine —
+    isolates rewrite semantic preservation from dialect differences.
+    Full campaigns (3 seeds x 500-1000, 0 mismatches) run per-round."""
+    import random
+
+    import duckdb
+
+    from tools.exprrules_fuzz import gen_predicate
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')")
+    rng = random.Random(12)
+    rules = ["between_to_compound", "extract_common_conjuncts",
+             "fold_constants"]
+    q = ("SELECT l_returnflag, COUNT(*) AS c,"
+         " COALESCE(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)),0) AS s"
+         " FROM lineitem WHERE {p} GROUP BY l_returnflag ORDER BY 1")
+    n_changed = 0
+    for _ in range(60):
+        pred = gen_predicate(rng)
+        rewritten, changes = rewrite_sql(pred, rules)
+        n_changed += bool(changes)
+        assert con.execute(q.format(p=pred)).fetchall() == \
+            con.execute(q.format(p=rewritten)).fetchall(), pred
+    assert n_changed > 40  # the generator's shapes mostly fire the rules
