@@ -4258,6 +4258,37 @@ def q_jdbc_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("surface", "name")
 
 
+# Statement-level predicate rewriting (stmtrewriter.rewrite_predicates_sql
+# — top-level WHERE/HAVING spans through the three ExprRewriteRules,
+# spliced back in place; unparseable spans bail verbatim). The Spark side
+# executes the REWRITTEN statement, the oracle the ORIGINAL.
+_STMT_RW_ORIG = """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_ext2
+    FROM lineitem
+    WHERE (l_quantity between 5 and 15 and l_discount < 0.04)
+       or (l_tax >= 0.03 and l_quantity between 5 and 15)
+       or (l_quantity between 5 and 15 and l_linenumber < 2 + 2)
+    GROUP BY l_returnflag
+    HAVING COUNT(*) > 10 * 10
+"""
+
+
+@register("stmt_rewrite_predicates", oracle=_STMT_RW_ORIG)
+def q_stmt_rewrite_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the splice-rewritten statement; oracle runs the original."""
+    from impala_spark.session import posture_session
+    from impala_spark.stmtrewriter import rewrite_predicates_sql
+
+    spark = posture_session(spark, sf_dir, "relational")
+    register_tables(spark, sf_dir)
+    rewritten, n_changes = rewrite_predicates_sql(_STMT_RW_ORIG)
+    assert n_changes > 0, "statement rewrite did not fire"
+    return spark.sql(translate(rewritten))
+
+
 # Access-event auditing (A/Analyzer.java addAccessEvent; verdicts pinned
 # by T/analysis/AuditingTest.java — full adaptation in
 # tests/test_auditing.py). The entry audits four statement kinds through

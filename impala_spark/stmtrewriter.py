@@ -395,3 +395,83 @@ def rewrite_statement_exprs(sql: str, rule_or_rewriter) -> int:
     stmt = parse_statement(sql)
     stmt.rewrite_exprs(rewriter)
     return rewriter.num_changes
+
+
+# ---------------------------------------------------------------------------
+# In-place predicate rewriting over statement TEXT — the user-facing
+# composition of the rules: locate top-level WHERE/HAVING spans, parse
+# each as an expression, apply the rule list, splice the rewritten SQL
+# back. Clauses that the expression parser cannot fully claim (e.g.
+# subqueries) bail to the original text — conservative like every other
+# rewrite gate in this engine.
+# ---------------------------------------------------------------------------
+
+_SPAN_END_WORDS = {"GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET", "UNION",
+                   "WINDOW"}
+
+
+def rewrite_predicates_sql(sql: str, rules=None) -> tuple[str, int]:
+    """Rewrite every top-level WHERE/HAVING predicate of ``sql`` through
+    the expression rewrite rules, returning (new_sql, num_changes).
+    Spans that fail to parse as plain expressions (subqueries, exotic
+    syntax) are left verbatim."""
+    from impala_spark.exprrules import RULES_BY_NAME, ExprRewriter
+    from impala_spark.exprrules import parse_expr as _parse
+
+    if rules is None:
+        rules = list(RULES_BY_NAME)
+    rules = [RULES_BY_NAME[r] if isinstance(r, str) else r for r in rules]
+
+    tokens = tokenize(sql)
+    # significant-token indices with paren depth
+    spans = []  # (start_tok_idx_exclusive, end_tok_idx_exclusive)
+    depth = 0
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.kind == "op":
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                depth -= 1
+        elif (t.kind == "word" and depth == 0
+              and t.upper in ("WHERE", "HAVING")):
+            j = i + 1
+            d2 = 0
+            while j < len(tokens):
+                tj = tokens[j]
+                if tj.kind == "op":
+                    if tj.text == "(":
+                        d2 += 1
+                    elif tj.text == ")":
+                        if d2 == 0:
+                            break
+                        d2 -= 1
+                elif (tj.kind == "word" and d2 == 0
+                      and tj.upper in _SPAN_END_WORDS):
+                    break
+                j += 1
+            spans.append((i + 1, j))
+            i = j
+            continue
+        i += 1
+
+    total_changes = 0
+    out_parts = []
+    pos = 0
+    for a, b in spans:
+        frag = "".join(t.text for t in tokens[a:b])
+        try:
+            expr = _parse(frag)
+        except Exception:
+            continue  # conservative: leave the span verbatim
+        rewriter = ExprRewriter(rules)
+        rewritten = rewriter.rewrite(expr)
+        if not rewriter.changed():
+            continue
+        total_changes += rewriter.num_changes
+        out_parts.append("".join(t.text for t in tokens[pos:a]))
+        out_parts.append(" " + rewritten.to_sql() + " ")
+        pos = b
+    out_parts.append("".join(t.text for t in tokens[pos:]))
+    return "".join(out_parts).strip(), total_changes

@@ -124,3 +124,43 @@ def test_insert_select_rewritten():
     rewrites_ok(
         "insert into lineitem (l_orderkey, l_linenumber) "
         "partition(year=2009,month=10) " + STMT, 23, 11)
+
+
+# -- splice rewriting of statement text (rewrite_predicates_sql) -----------------
+
+def test_rewrite_predicates_sql_where_and_having():
+    from impala_spark.stmtrewriter import rewrite_predicates_sql
+
+    sql = ("SELECT a, count(*) FROM t "
+           "WHERE (x between 1 and 2 and y < 3) or (z = 4 and x between 1 and 2) "
+           "GROUP BY a HAVING count(*) > 1 + 1 ORDER BY a")
+    out, n = rewrite_predicates_sql(sql)
+    assert n > 0
+    assert ("WHERE x >= 1 AND x <= 2 AND ((y < 3) OR (z = 4)) " in out)
+    assert "HAVING count(*) > 2 " in out
+    assert out.startswith("SELECT a, count(*) FROM t")
+    assert out.endswith("ORDER BY a")
+
+
+def test_rewrite_predicates_sql_bails_on_subqueries():
+    from impala_spark.stmtrewriter import rewrite_predicates_sql
+
+    sql = ("SELECT a FROM t WHERE exists (SELECT 1 FROM u WHERE u.k = t.k) "
+           "and b between 1 and 2")
+    out, n = rewrite_predicates_sql(sql)
+    # the span contains a subquery the expression parser doesn't claim
+    # without the statement hook -> verbatim, zero changes
+    assert n == 0 and out == sql.strip()
+
+
+def test_rewrite_predicates_sql_nested_where_untouched():
+    from impala_spark.stmtrewriter import rewrite_predicates_sql
+
+    # only TOP-LEVEL WHERE/HAVING spans rewrite; a derived table's WHERE
+    # sits inside parens and is left alone
+    sql = ("SELECT * FROM (SELECT a FROM t WHERE x between 1 and 2) v "
+           "WHERE a between 3 and 4")
+    out, n = rewrite_predicates_sql(sql)
+    assert n > 0
+    assert "WHERE x between 1 and 2" in out       # inner: verbatim
+    assert "WHERE a >= 3 AND a <= 4" in out       # outer: rewritten

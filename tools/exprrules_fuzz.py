@@ -80,11 +80,27 @@ def gen_predicate(rng: random.Random) -> str:
     return pred
 
 
+def gen_statement(rng: random.Random) -> str:
+    """Full statement with WHERE (+ optional HAVING) for the statement
+    splice-rewrite mode."""
+    having = ""
+    if rng.random() < 0.5:
+        having = f" HAVING COUNT(*) > {rng.randint(0, 4)} + {rng.randint(0, 4)}"
+    return (
+        "SELECT l_returnflag, COUNT(*) AS c,"
+        " COALESCE(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)),0) AS s"
+        f" FROM lineitem WHERE {gen_predicate(rng)}"
+        f" GROUP BY l_returnflag{having} ORDER BY 1"
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
     ap.add_argument("--n", type=int, default=500)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--stmt", action="store_true",
+                    help="fuzz rewrite_predicates_sql over full statements")
     args = ap.parse_args()
 
     con = duckdb.connect()
@@ -96,6 +112,34 @@ def main() -> int:
     rules = ["between_to_compound", "extract_common_conjuncts",
              "fold_constants"]
     n_changed = 0
+
+    if args.stmt:
+        from impala_spark.stmtrewriter import rewrite_predicates_sql
+
+        for i in range(args.n):
+            stmt = gen_statement(rng)
+            try:
+                rewritten, changes = rewrite_predicates_sql(stmt, rules)
+            except Exception as exc:
+                print(f"FAIL stmt-rewrite [{i}]: {stmt!r}: {exc}")
+                return 1
+            if changes:
+                n_changed += 1
+            try:
+                a = con.execute(stmt).fetchall()
+                b = con.execute(rewritten).fetchall()
+            except Exception as exc:
+                print(f"FAIL execute [{i}]:\n  orig: {stmt}\n  rw:   "
+                      f"{rewritten}\n  {exc}")
+                return 1
+            if a != b:
+                print(f"MISMATCH [{i}]:\n  orig: {stmt}\n  rw:   "
+                      f"{rewritten}\n  {a}\n  vs\n  {b}")
+                return 1
+        print(f"OK(stmt): {args.n} statements, {n_changed} rewritten, "
+              f"0 mismatches (seed {args.seed})")
+        return 0
+
     for i in range(args.n):
         pred = gen_predicate(rng)
         try:
