@@ -80,6 +80,56 @@ def gen_predicate(rng: random.Random) -> str:
     return pred
 
 
+def gen_const_expr(rng: random.Random, depth: int = 0) -> str:
+    """Pure-constant expression whose Impala and DuckDB semantics agree
+    (no DIV, no negative substr, no float %)."""
+    def leaf():
+        k = rng.random()
+        if k < 0.4:
+            return str(rng.randint(0, 100))
+        if k < 0.6:
+            return f"{rng.uniform(0, 50):.2f}"
+        return "'" + "".join(rng.choice("abcxyz ") for _ in
+                             range(rng.randint(0, 6))).rstrip() + "'"
+
+    if depth >= 3:
+        return leaf()
+    k = rng.random()
+    sub = lambda: gen_const_expr(rng, depth + 1)  # noqa: E731
+    if k < 0.25:
+        a, b = str(rng.randint(0, 40)), str(rng.randint(1, 40))
+        op = rng.choice(["+", "-", "*"])
+        return f"({a} {op} {b})"
+    if k < 0.35:
+        return f"({rng.randint(1, 99)} % {rng.randint(1, 9)})"
+    if k < 0.5:
+        s = leaf() if rng.random() < 0.5 else sub()
+        fn = rng.choice(["upper", "lower", "length", "trim", "reverse"])
+        if fn == "length":
+            return f"length(concat('x', {s!s}))" if s[0] != "'" \
+                else f"length({s})"
+        if s[0] != "'":
+            s = "'ab'"
+        return f"{fn}({s})"
+    if k < 0.6:
+        return (f"concat('{rng.choice('pqr')}', "
+                f"'{rng.choice('stu')}', '{rng.choice('vw')}')")
+    if k < 0.7:
+        return (f"substr('{''.join(rng.choice('abcdef') for _ in range(8))}',"
+                f" {rng.randint(1, 6)}, {rng.randint(0, 5)})")
+    if k < 0.8:
+        # if() branches must be type-compatible (both analyzers agree)
+        a = f"({rng.randint(0, 40)} {rng.choice('+-*')} {rng.randint(1, 40)})"
+        b = str(rng.randint(0, 100))
+        return f"if({rng.randint(0, 9)} < {rng.randint(0, 9)}, {a}, {b})"
+    if k < 0.9:
+        a = rng.randint(0, 20)
+        return f"({a} between {rng.randint(0, 10)} and {rng.randint(5, 25)})"
+    return (f"({rng.randint(0, 9)} < {rng.randint(0, 9)} "
+            f"{rng.choice(['and', 'or'])} "
+            f"not {rng.randint(0, 9)} = {rng.randint(0, 9)})")
+
+
 def gen_statement(rng: random.Random) -> str:
     """Full statement with WHERE (+ optional HAVING) for the statement
     splice-rewrite mode."""
@@ -101,6 +151,9 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--stmt", action="store_true",
                     help="fuzz rewrite_predicates_sql over full statements")
+    ap.add_argument("--const", action="store_true",
+                    help="fuzz FoldConstants: folded literal vs DuckDB's"
+                         " evaluation of the original constant expr")
     args = ap.parse_args()
 
     con = duckdb.connect()
@@ -112,6 +165,35 @@ def main() -> int:
     rules = ["between_to_compound", "extract_common_conjuncts",
              "fold_constants"]
     n_changed = 0
+
+    if args.const:
+        n_folded = 0
+        for i in range(args.n):
+            expr = gen_const_expr(rng)
+            try:
+                folded, changes = rewrite_sql(expr, ["fold_constants"])
+            except Exception as exc:
+                print(f"FAIL fold [{i}]: {expr!r}: {exc}")
+                return 1
+            if changes:
+                n_folded += 1
+            try:
+                same = con.execute(
+                    f"SELECT ({expr}) IS NOT DISTINCT FROM ({folded})"
+                ).fetchone()[0]
+            except Exception as exc:
+                print(f"FAIL execute [{i}]:\n  orig: {expr}\n  folded: "
+                      f"{folded}\n  {exc}")
+                return 1
+            if not same:
+                a = con.execute(f"SELECT ({expr})").fetchone()[0]
+                b = con.execute(f"SELECT ({folded})").fetchone()[0]
+                print(f"MISMATCH [{i}]: {expr} -> {folded} "
+                      f"({a!r} vs {b!r})")
+                return 1
+        print(f"OK(const): {args.n} exprs, {n_folded} folded, 0 mismatches"
+              f" (seed {args.seed})")
+        return 0
 
     if args.stmt:
         from impala_spark.stmtrewriter import rewrite_predicates_sql
