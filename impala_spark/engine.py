@@ -286,6 +286,7 @@ _ANALYTIC_FNS = sorted({
 _QUERY_OPTIONS = {
     "num_nodes": None,  # no-op on Spark
     "mem_limit": None,
+    "query_timeout_s": None,  # no-op on Spark (driver-side timeout)
     "disable_codegen": "spark.sql.codegen.wholeStage",  # inverted bool
     "broadcast_threshold": "spark.sql.autoBroadcastJoinThreshold",
 }
@@ -362,6 +363,16 @@ class ImpalaEngine:
         #: input directory for the size-gated plan rewrites (None = unknown
         #: scale, keep Catalyst's default plans)
         self._sf_dir = sf_dir or None
+        #: request pools / admission control (pools.py; the reference's
+        #: RequestPoolService.java surface). None until
+        #: configure_request_pools() attaches the config files.
+        self._pool_service = None
+        self._admission = None
+        #: REQUEST_POOL query option ("" = let placement rules decide)
+        self._request_pool = ""
+        #: option keys the user SET explicitly — pool default query
+        #: options never override these (admission-control precedence)
+        self._user_set_options: set[str] = set()
         #: fixture tables promoted to stats-backed catalog tables by
         #: COMPUTE STATS (see session.register_stats_table)
         self._stats_tables: set[str] = set()
@@ -379,6 +390,46 @@ class ImpalaEngine:
 
             register_hash_udfs(spark)
             spark._impala_hash_udfs = True
+
+    # -- request pools / admission (util/RequestPoolService.java) ----------
+    def configure_request_pools(
+        self, allocation_file: str, llama_site_file: str | None = None
+    ) -> None:
+        """Attach fair-scheduler + llama-site configs: query statements are
+        admitted against the resolved pool's limits from here on (the
+        reference wires this through --fair_scheduler_allocation_path /
+        --llama_site_path)."""
+        from impala_spark.pools import AdmissionController, RequestPoolService
+
+        self._pool_service = RequestPoolService(allocation_file, llama_site_file)
+        self._admission = AdmissionController(self._pool_service)
+
+    def _admit(self, q: str):
+        """Resolve the session's pool and take an admission slot for a
+        query statement. Returns a token to release (None when admission
+        is not configured). Planning happens under the slot; the byte
+        estimate reuses the stats-backed gate the plan rewrites cost from."""
+        if self._admission is None:
+            return None
+        import getpass
+
+        from impala_spark.pools import PoolError
+
+        user = self._authz.user or getpass.getuser()
+        try:
+            pool = self._pool_service.assign_to_pool(self._request_pool, user)
+        except PoolError as e:
+            raise ImpalaAnalysisError(str(e)) from e
+        if pool is None:
+            raise ImpalaAnalysisError(
+                f"No mapping found for request from user '{user}' with "
+                f"requested pool '{self._request_pool}'"
+            )
+        try:
+            estimate = self._gate_input_bytes(q) if self._sf_dir else 0
+        except Exception:
+            estimate = 0
+        return self._admission.admit(pool, user, estimate_bytes=estimate)
 
     # -- the main path (Frontend.createExecRequest analog) -----------------
     def sql(self, query: str) -> DataFrame:
@@ -710,6 +761,14 @@ class ImpalaEngine:
             from impala_spark.parser import rewrite_appx_count_distinct
 
             q = rewrite_appx_count_distinct(q)
+        token = self._admit(q)
+        try:
+            return self._run_query_stmt(q)
+        finally:
+            if token is not None:
+                token.release()
+
+    def _run_query_stmt(self, q: str) -> DataFrame:
         # strict-mode analysis always runs on the USER's text first
         sql_text = translate(q, strict=self.strict)
         rw = self._plan_rewrite(q)
@@ -1527,6 +1586,42 @@ class ImpalaEngine:
     # -- SET (query options) ------------------------------------------------
     def set_option(self, key: str, value: str) -> DataFrame:
         k = key.lower()
+        self._user_set_options.add(k)
+        if k == "request_pool":
+            # REQUEST_POOL: validated against the placement policy right
+            # away when pools are configured; the pool's default query
+            # options apply UNDER anything the user set explicitly
+            # (admission-control option precedence)
+            pool = value.strip("'\" ")
+            if self._pool_service is not None and pool:
+                import getpass
+
+                user = self._authz.user or getpass.getuser()
+                resolved = self._pool_service.assign_to_pool(pool, user)
+                if resolved is None or not self._pool_service.has_access(resolved, user):
+                    raise ImpalaAnalysisError(
+                        f"Request from user '{user}' with requested pool "
+                        f"'{pool}' denied access to assigned pool"
+                    )
+                self._request_pool = pool
+                defaults = self._pool_service.get_pool_config(resolved).default_query_options
+                for item in filter(None, (s.strip() for s in defaults.split(","))):
+                    dk, _, dv = item.partition("=")
+                    dk = dk.strip().lower()
+                    # unknown options are dropped like the backend's
+                    # query-option parser; user-set options win
+                    if dk in self._user_set_options or (
+                        dk not in _QUERY_OPTIONS
+                        and dk not in ("appx_count_distinct", "explain_level")
+                    ):
+                        continue
+                    self.set_option(dk, dv.strip())
+                    self._user_set_options.discard(dk)
+            else:
+                self._request_pool = pool
+            return self.spark.createDataFrame(
+                [(key, "set")], "option: string, status: string"
+            )
         if k == "appx_count_distinct":
             # SelectStmt.java:643-665 — rewrite count(distinct) to ndv()
             self.appx_count_distinct = value.strip("'\" ").lower() in ("1", "true")
