@@ -8259,3 +8259,94 @@ def q_view_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT r_regionkey, CAST(n AS BIGINT) AS n FROM v_lifecycle_probe "
         "ORDER BY r_regionkey"
     )
+
+
+@register(
+    "meta_request_pools",
+    """
+    SELECT * FROM (VALUES
+      ('resolve_specified', 'root.queueA'),
+      ('resolve_unknown_pool', 'rejected'),
+      ('acl_user_direct', 'true'),
+      ('acl_denied', 'false'),
+      ('acl_via_os_group', 'true'),
+      ('cfg_queueA_max_mem_mb', '1024'),
+      ('cfg_default_max_queued', '200'),
+      ('admit_under_mem_cap', 'admitted'),
+      ('admit_over_mem_cap', 'rejected'),
+      ('engine_query_under_pool', '5')
+    ) AS t(case_name, result)
+    ORDER BY case_name
+    """,
+)
+def q_meta_request_pools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Request-pool resolution + admission control (the reference's
+    RequestPoolService surface, util/RequestPoolService.java, pinned by
+    T/util/TestRequestPoolService.java): fair-scheduler placement rules,
+    submit ACLs (user leg and OS-group leg), llama-site per-pool limits,
+    memory-cap admission, and a query executed through the engine under
+    SET REQUEST_POOL."""
+    import tempfile
+    import textwrap as _tw
+
+    from impala_spark.engine import ImpalaEngine
+    from impala_spark.pools import (
+        MB,
+        AdmissionController,
+        AdmissionRejectedError,
+        RequestPoolService,
+    )
+
+    d = tempfile.mkdtemp(prefix="impala_spark_pools_")
+    alloc = f"{d}/fair-scheduler.xml"
+    with open(alloc, "w") as f:
+        f.write(_tw.dedent("""\
+            <?xml version="1.0"?>
+            <allocations>
+              <queue name="root">
+                <queue name="queueA">
+                  <aclSubmitApps>* </aclSubmitApps>
+                  <maxResources>1024 mb, 2 vcores</maxResources>
+                </queue>
+                <queue name="queueB">
+                  <aclSubmitApps>userB root</aclSubmitApps>
+                </queue>
+                <aclSubmitApps> </aclSubmitApps>
+              </queue>
+              <queuePlacementPolicy>
+                <rule name="specified" create="false"/>
+                <rule name="reject" />
+              </queuePlacementPolicy>
+            </allocations>
+            """))
+    svc = RequestPoolService(alloc)
+    ctrl = AdmissionController(svc)
+    rows: list[tuple[str, str]] = []
+    rows.append(
+        ("resolve_specified", svc.assign_to_pool("root.queueA", "userA") or "rejected")
+    )
+    rows.append(
+        ("resolve_unknown_pool", svc.assign_to_pool("queueX", "userA") or "rejected")
+    )
+    rows.append(("acl_user_direct", str(svc.has_access("root.queueB", "userB")).lower()))
+    rows.append(("acl_denied", str(svc.has_access("root.queueB", "userA")).lower()))
+    # OS user 'root' is admitted through the group leg of 'userB root'
+    rows.append(("acl_via_os_group", str(svc.has_access("root.queueB", "root")).lower()))
+    cfg = svc.get_pool_config("root.queueA")
+    rows.append(("cfg_queueA_max_mem_mb", str(cfg.max_mem_resources // MB)))
+    rows.append(("cfg_default_max_queued", str(cfg.max_queued)))
+    with ctrl.admit("root.queueA", "userA", estimate_bytes=512 * MB):
+        rows.append(("admit_under_mem_cap", "admitted"))
+    try:
+        ctrl.admit("root.queueA", "userA", estimate_bytes=2048 * MB)
+        rows.append(("admit_over_mem_cap", "admitted"))
+    except AdmissionRejectedError:
+        rows.append(("admit_over_mem_cap", "rejected"))
+    eng = ImpalaEngine(spark, sf_dir, user="root")
+    eng.configure_request_pools(alloc)
+    eng.sql("SET REQUEST_POOL=root.queueA")
+    n = eng.sql("SELECT count(*) AS n FROM region").collect()[0]["n"]
+    rows.append(("engine_query_under_pool", str(n)))
+    return spark.createDataFrame(
+        sorted(rows), "case_name: string, result: string"
+    )
