@@ -431,6 +431,25 @@ class ImpalaEngine:
             estimate = 0
         return self._admission.admit(pool, user, estimate_bytes=estimate)
 
+    # -- equivalence classes / layout advice (util/DisjointSet.java) -------
+    def equiv_classes(self, query: str) -> list[set]:
+        """Column equivalence classes implied by the statement's equality
+        conjuncts (the analyzer's equivClassMembers surface,
+        A/Analyzer.java:277, built on util/DisjointSet.java). Catalyst
+        performs the corresponding predicate propagation at plan time;
+        this surface exists for workload/layout analysis."""
+        from impala_spark.equivalence import column_equiv_classes
+
+        return column_equiv_classes(query)
+
+    def colocation_advice(self, workload: list) -> list:
+        """Rank a workload's join-key equivalence classes by statement
+        coverage — the candidates for a hash-bucketed colocated layout
+        (CREATE TABLE ... PARTITION BY HASH, ddl.py)."""
+        from impala_spark.equivalence import colocation_advice
+
+        return colocation_advice(workload)
+
     # -- the main path (Frontend.createExecRequest analog) -----------------
     def sql(self, query: str) -> DataFrame:
         q = _hoist_with_clause(query.strip().rstrip(";"))
