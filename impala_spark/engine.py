@@ -292,6 +292,28 @@ _QUERY_OPTIONS = {
 }
 
 
+def _boolean_null_outputs(df: DataFrame) -> DataFrame:
+    """Untyped NULL result columns present to clients as BOOLEAN for Hive
+    compatibility (IMPALA-914, pinned by JdbcTest.testSelectNull — the
+    FE's NULL_TYPE result slots surface as BOOLEAN). Spark types a bare
+    ``SELECT NULL`` as void; cast those columns only. Positional, like
+    _ntz_outputs, so duplicate output names stay intact."""
+    fields = df.schema.fields
+    if not any(f.dataType.typeName() == "void" for f in fields):
+        return df
+    tmp = [f"__bn{i}" for i in range(len(fields))]
+    out = df.toDF(*tmp)
+    exprs = [
+        (
+            F.col(t).cast("boolean").alias(t)
+            if f.dataType.typeName() == "void"
+            else F.col(t)
+        )
+        for t, f in zip(tmp, fields)
+    ]
+    return out.select(*exprs).toDF(*[f.name for f in fields])
+
+
 def _ntz_outputs(df: DataFrame) -> DataFrame:
     """Cast LTZ timestamp result columns back to TIMESTAMP_NTZ. The stats
     session plans in LTZ (Spark 4.1.2's FilterEstimation can't estimate
@@ -814,7 +836,7 @@ class ImpalaEngine:
             df = self._sql_with_impala_errors(sql_text, spark=sess)
         if sess is not self.spark:
             df = _ntz_outputs(df)
-        return df
+        return _boolean_null_outputs(df)
 
     def _enforce_authz(self, q: str) -> None:
         """Privilege enforcement (authorization/AuthorizationChecker.java

@@ -384,3 +384,21 @@ class TestSessionDbQualifiedRefs:
         e = ImpalaEngine(spark, sf_dir=sf_dir)
         with pytest.raises(ImpalaAnalysisError):
             e.sql("SELECT * FROM default.no_such_table_xyz")
+
+
+def test_select_null_types_as_boolean(spark):
+    # IMPALA-914 / JdbcTest.testSelectNull: a bare NULL result column is
+    # BOOLEAN for Hive compatibility, with exactly one NULL row
+    from impala_spark.engine import ImpalaEngine
+
+    eng = ImpalaEngine(spark)
+    df = eng.sql("SELECT NULL")
+    assert df.schema.fields[0].dataType.typeName() == "boolean"
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0][0] is None
+    # mixed: only the void column is cast
+    df2 = eng.sql("SELECT 1 AS a, NULL AS b")
+    assert [f.dataType.typeName() for f in df2.schema.fields] == [
+        "integer",
+        "boolean",
+    ]
