@@ -173,3 +173,49 @@ def test_colocation_advice_ranks_by_statement_count():
     assert advice[0]["tables"] == ["lineitem", "orders"]
     assert advice[0]["statements"] == 2
     assert advice[1]["statements"] == 1
+
+
+def test_advice_to_bucketed_layout_removes_join_exchange(spark):
+    """End-to-end: colocation advice -> PARTITION BY HASH DDL -> the
+    workload's join plans with no join-key exchange (the layout the
+    advisor exists to recommend; ddl.py hash-bucketed create)."""
+    import re
+
+    from impala_spark.engine import ImpalaEngine
+
+    eng = ImpalaEngine(spark, sf_dir="/root/testdata/sf0.001")
+    workload = [
+        "SELECT o_orderpriority, count(*) FROM orders o JOIN lineitem l "
+        "ON o.o_orderkey = l.l_orderkey GROUP BY o_orderpriority",
+        "SELECT count(*) FROM orders o JOIN lineitem l "
+        "ON o.o_orderkey = l.l_orderkey WHERE l.l_tax > 0",
+    ]
+    advice = eng.colocation_advice(workload)
+    assert advice[0]["statements"] == 2
+    top = advice[0]
+    # one bucketed table per member column, same bucket count
+    names = {}
+    for col in top["columns"]:
+        tbl, c = col.split(".")
+        names[tbl] = f"tb_adv_{tbl}"
+        eng.sql(f"DROP TABLE IF EXISTS tb_adv_{tbl}")
+        eng.sql(
+            f"CREATE TABLE tb_adv_{tbl} PARTITION BY HASH({c}) PARTITIONS 4"
+            f" AS SELECT * FROM {tbl}"
+        )
+    df = eng.sql(
+        f"SELECT COUNT(*) AS n FROM {names['orders']} o "
+        f"JOIN [shuffle] {names['lineitem']} l ON o.o_orderkey = l.l_orderkey"
+    )
+    n = df.collect()[0][0]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(
+        r"Exchange hashpartitioning\((?:o_orderkey|l_orderkey)", plan
+    ), plan
+    base = spark.sql(
+        "SELECT COUNT(*) FROM orders o JOIN lineitem l"
+        " ON o.o_orderkey = l.l_orderkey"
+    ).collect()[0][0]
+    assert n == base
+    for t in names.values():
+        eng.sql(f"DROP TABLE {t}")
