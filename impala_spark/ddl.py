@@ -113,6 +113,18 @@ def _refresh_view(spark: SparkSession, t: ManagedTable) -> DataFrame:
     return df
 
 
+def _read_path(spark: SparkSession, t: ManagedTable) -> DataFrame:
+    """Read a managed table's data FILES (never the catalog table — the
+    modify/upsert paths overwrite the same table they read, and a
+    catalog-table self-read would race the write), falling back to an
+    empty frame with the declared schema when no data file exists yet
+    (UPDATE/DELETE/UPSERT on a freshly created table)."""
+    try:
+        return spark.read.parquet(t.path)
+    except Exception:
+        return spark.createDataFrame([], t.schema)
+
+
 def _read_table(spark: SparkSession, t: ManagedTable) -> DataFrame:
     """Read a managed table's files, falling back to an empty frame with
     the declared schema when no data file exists yet (same contract as
@@ -931,7 +943,7 @@ def modify(spark: SparkSession, stmt: str) -> DataFrame:
     if m:
         name, set_clause, where = m.group(1).strip("`"), m.group(2), m.group(3)
         t = _managed(name)
-        df = spark.read.parquet(t.path)
+        df = _read_path(spark, t)
         pred = F.expr(translate(where)) if where else F.lit(True)
         assigns = _split_assignments(set_clause)
         set_cols = {c for c, _ in assigns}
@@ -963,7 +975,7 @@ def modify(spark: SparkSession, stmt: str) -> DataFrame:
     if m:
         name, where = m.group(1).strip("`"), m.group(2)
         t = _managed(name)
-        df = spark.read.parquet(t.path)
+        df = _read_path(spark, t)
         if where and t.partition_cols:
             pred = F.expr(translate(where))
             touched = _touched_partitions(df, t, pred)
@@ -1034,7 +1046,7 @@ def _upsert_permutation(spark, t, name, src, cols_text: str):
     src = src.toDF(*cols)
     unmentioned = [c for c in target.columns if c.lower() not in seen]
     if unmentioned:
-        existing = spark.read.parquet(t.path).select(
+        existing = _read_path(spark, t).select(
             *t.primary_key, *unmentioned)
         src = src.join(existing, on=list(t.primary_key), how="left")
     return src.select(
@@ -1056,7 +1068,7 @@ def _delete_from(spark: SparkSession, tgt: str, rest: str) -> DataFrame:
     keys_sql = "SELECT DISTINCT %s FROM %s" % (
         ", ".join(f"{tgt_q}.{k} AS {k}" for k in t.primary_key), rest)
     keys = spark.sql(translate(keys_sql))
-    kept = spark.read.parquet(t.path).join(
+    kept = _read_path(spark, t).join(
         keys, on=list(t.primary_key), how="left_anti")
     return _overwrite(spark, t, kept)
 
@@ -1097,7 +1109,7 @@ def _update_from(
         .dropDuplicates(list(t.primary_key))
         .withColumn("__hit", F.lit(True))
     )
-    df = spark.read.parquet(t.path).join(
+    df = _read_path(spark, t).join(
         matches, on=list(t.primary_key), how="left")
     types = {f.name: f.dataType for f in target.schema.fields}
     for i, (col, _) in enumerate(assigns):
@@ -1455,7 +1467,7 @@ def upsert(spark: SparkSession, table: str, source: DataFrame) -> DataFrame:
     source's primary keys (a key whose partition value changes must have
     its old row removed from the old partition)."""
     t = _managed(table)
-    target = spark.read.parquet(t.path)
+    target = _read_path(spark, t)
     source = source.toDF(*target.columns)
     if t.partition_cols:
         src_parts = source.select(*t.partition_cols).distinct()

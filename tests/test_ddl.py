@@ -1224,3 +1224,20 @@ class TestAlterSetSurfaces:
         ):
             eng.sql("ALTER TABLE asf6 SET COLUMN STATS zz ('numDVs'='1')")
         eng.sql("DROP TABLE asf6")
+
+
+def test_modify_on_empty_table(spark):
+    """UPDATE/DELETE/UPSERT on a freshly created (zero-file) table must
+    see the declared schema, not UNABLE_TO_INFER_SCHEMA (found by
+    tools/dml_fuzz.py)."""
+    from impala_spark.engine import ImpalaEngine
+
+    eng = ImpalaEngine(spark)
+    eng.sql("DROP TABLE IF EXISTS empty_mod")
+    eng.sql("CREATE TABLE empty_mod (k BIGINT, v STRING, PRIMARY KEY (k))")
+    eng.sql("UPDATE empty_mod SET v = 'x' WHERE k > 0")
+    eng.sql("DELETE FROM empty_mod WHERE k = 1")
+    eng.sql("UPSERT INTO empty_mod VALUES (1, 'a')")
+    rows = eng.sql("SELECT k, v FROM empty_mod").collect()
+    assert [(r.k, r.v) for r in rows] == [(1, "a")]
+    eng.sql("DROP TABLE empty_mod")

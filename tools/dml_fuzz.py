@@ -1,0 +1,261 @@
+"""Model-based DML fuzz: random statement sequences through the ENGINE's
+DDL/DML surface (ddl.py — CREATE TABLE [PARTITION BY HASH], INSERT
+[column permutation], UPSERT, UPDATE, DELETE, INSERT OVERWRITE,
+TRUNCATE), verified after EVERY mutating statement against a pure-Python
+table model.
+
+    python tools/dml_fuzz.py [--n N] [--seed S] [--ops K]
+
+Unlike the SELECT differential fuzzer (tools/differential_fuzz.py, which
+compares against DuckDB), DML semantics are modeled directly: a dict of
+rows keyed by primary key, with SQL three-valued logic for predicates
+(a comparison against NULL selects nothing) and NULL propagation for
+SET col = col + k. Determinism rules:
+
+  * INSERT generates fresh primary keys only (Kudu INSERT-on-existing-key
+    raises; collision behavior is pinned in tests, not fuzzed);
+  * values are small ints, short strings, integral doubles (exact in FP),
+    ~15% NULLs in non-key columns;
+  * every mutation is followed by a full-content compare (SELECT *),
+    so a wrong write is caught at the statement that made it.
+
+Exit 1 on any divergence, printing the statement history for replay.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+COLS = [
+    ("a", "INT"),
+    ("b", "BIGINT"),
+    ("s", "STRING"),
+    ("d", "DOUBLE"),
+]
+STRINGS = ["red", "green", "blue", "Large", "small", ""]
+OPS = ["=", "!=", "<", "<=", ">", ">="]
+
+
+def lit(v, typ):
+    if v is None:
+        return "NULL"
+    if typ == "STRING":
+        return "'" + str(v).replace("'", "''") + "'"
+    return str(v)
+
+
+def rand_value(rng, typ, allow_null=True):
+    if allow_null and rng.random() < 0.15:
+        return None
+    if typ == "STRING":
+        return rng.choice(STRINGS)
+    if typ == "DOUBLE":
+        return float(rng.randint(-20, 20))
+    return rng.randint(-100, 100)
+
+
+def sql_cmp(x, op, y):
+    """Three-valued logic: any comparison against NULL is not-true."""
+    if x is None or y is None:
+        return False
+    if op == "=":
+        return x == y
+    if op == "!=":
+        return x != y
+    if op == "<":
+        return x < y
+    if op == "<=":
+        return x <= y
+    if op == ">":
+        return x > y
+    return x >= y
+
+
+class Model:
+    """rows: pk -> {col: value}"""
+
+    def __init__(self, cols):
+        self.cols = cols  # [(name, type)] including pk first
+        self.rows: dict[int, dict] = {}
+
+    def tuples(self):
+        names = [c for c, _ in self.cols]
+        return sorted(
+            tuple(r.get(n) for n in names) for r in self.rows.values()
+        )
+
+
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    return v
+
+
+def run_case(spark, eng, rng, case_idx, n_ops, log):
+    cols = [("pk", "BIGINT")] + rng.sample(COLS, rng.randint(2, len(COLS)))
+    tname = f"fz_dml_{case_idx}"
+    bucketed = rng.random() < 0.3
+    col_sql = ", ".join(f"{c} {t}" for c, t in cols)
+    create = f"CREATE TABLE {tname} ({col_sql}, PRIMARY KEY (pk))"
+    if bucketed:
+        create += " PARTITION BY HASH (pk) PARTITIONS 4 STORED AS KUDU"
+    history = [f"DROP TABLE IF EXISTS {tname}", create]
+    eng.sql(f"DROP TABLE IF EXISTS {tname}")
+    eng.sql(create)
+    model = Model(cols)
+    next_pk = 0
+
+    def fresh_rows(k, names=None):
+        nonlocal next_pk
+        names = names or [c for c, _ in cols]
+        typ = dict(cols)
+        out = []
+        for _ in range(k):
+            row = {}
+            for n in names:
+                if n == "pk":
+                    row[n] = next_pk
+                    next_pk += 1
+                else:
+                    row[n] = rand_value(rng, typ[n])
+            out.append(row)
+        return out
+
+    def values_sql(rows, names):
+        typ = dict(cols)
+        return ", ".join(
+            "(" + ", ".join(lit(r[n], typ[n]) for n in names) + ")"
+            for r in rows
+        )
+
+    def rand_pred():
+        c, t = rng.choice(cols)
+        op = rng.choice(OPS if t != "STRING" else ["=", "!="])
+        v = rand_value(rng, t, allow_null=False)
+        return f"{c} {op} {lit(v, t)}", (c, op, v)
+
+    for _ in range(n_ops):
+        kind = rng.choice(
+            ["insert", "insert_perm", "upsert", "update", "delete",
+             "overwrite", "truncate", "insert", "upsert", "update"]
+        )
+        if kind == "insert":
+            rows = fresh_rows(rng.randint(1, 4))
+            names = [c for c, _ in cols]
+            stmt = f"INSERT INTO {tname} VALUES {values_sql(rows, names)}"
+            for r in rows:
+                model.rows[r["pk"]] = dict(r)
+        elif kind == "insert_perm":
+            # column permutation: unmentioned columns NULL-fill
+            names = ["pk"] + [
+                c for c, _ in cols[1:] if rng.random() < 0.7
+            ]
+            rng.shuffle(names)
+            rows = fresh_rows(rng.randint(1, 3), names)
+            stmt = (
+                f"INSERT INTO {tname} ({', '.join(names)}) "
+                f"VALUES {values_sql(rows, names)}"
+            )
+            for r in rows:
+                full = {c: None for c, _ in cols}
+                full.update(r)
+                model.rows[full["pk"]] = full
+        elif kind == "upsert":
+            # mix of existing and fresh keys
+            names = [c for c, _ in cols]
+            rows = fresh_rows(rng.randint(1, 3))
+            for r in rows:
+                if model.rows and rng.random() < 0.5:
+                    r["pk"] = rng.choice(list(model.rows))
+            stmt = f"UPSERT INTO {tname} VALUES {values_sql(rows, names)}"
+            for r in rows:
+                model.rows[r["pk"]] = dict(r)
+        elif kind == "update":
+            pred_sql, (pc, pop, pv) = rand_pred()
+            tc, tt = rng.choice(cols[1:])
+            if tt in ("INT", "BIGINT") and rng.random() < 0.5:
+                delta = rng.randint(1, 5)
+                set_sql, apply = f"{tc} = {tc} + {delta}", (
+                    lambda r: None if r[tc] is None else r[tc] + delta
+                )
+            else:
+                nv = rand_value(rng, tt)
+                set_sql, apply = f"{tc} = {lit(nv, tt)}", (lambda r: nv)
+            stmt = f"UPDATE {tname} SET {set_sql} WHERE {pred_sql}"
+            for r in model.rows.values():
+                if sql_cmp(r.get(pc), pop, pv):
+                    r[tc] = apply(r)
+        elif kind == "delete":
+            pred_sql, (pc, pop, pv) = rand_pred()
+            stmt = f"DELETE FROM {tname} WHERE {pred_sql}"
+            model.rows = {
+                k: r for k, r in model.rows.items()
+                if not sql_cmp(r.get(pc), pop, pv)
+            }
+        elif kind == "overwrite":
+            rows = fresh_rows(rng.randint(1, 3))
+            names = [c for c, _ in cols]
+            stmt = (
+                f"INSERT OVERWRITE {tname} VALUES {values_sql(rows, names)}"
+            )
+            model.rows = {r["pk"]: dict(r) for r in rows}
+        else:  # truncate
+            stmt = f"TRUNCATE TABLE {tname}"
+            model.rows = {}
+        history.append(stmt)
+        eng.sql(stmt)
+        got = sorted(
+            tuple(norm(v) for v in row)
+            for row in eng.sql(
+                f"SELECT {', '.join(c for c, _ in cols)} FROM {tname}"
+            ).collect()
+        )
+        want = [tuple(norm(v) for v in t) for t in model.tuples()]
+        if got != want:
+            print(f"MISMATCH in case {case_idx} after: {stmt}")
+            print("history:")
+            for h in history:
+                print("  " + h + ";")
+            print(f"engine ({len(got)} rows): {got[:20]}")
+            print(f"model  ({len(want)} rows): {want[:20]}")
+            return False
+        log.append(stmt)
+    eng.sql(f"DROP TABLE {tname}")
+    return True
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=10, help="number of cases")
+    ap.add_argument("--ops", type=int, default=8, help="mutations per case")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from impala_spark.engine import ImpalaEngine
+    from impala_spark.session import get_spark
+
+    spark = get_spark("dml_fuzz")
+    spark.sparkContext.setLogLevel("ERROR")
+    eng = ImpalaEngine(spark)
+    rng = random.Random(args.seed)
+    log: list[str] = []
+    bad = 0
+    for i in range(args.n):
+        if not run_case(spark, eng, rng, i, args.ops, log):
+            bad += 1
+    print(
+        f"dml fuzz: {args.n} cases x {args.ops} ops, seed {args.seed}, "
+        f"{len(log)} verified mutations, {bad} mismatching cases",
+        flush=True,
+    )
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
