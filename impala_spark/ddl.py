@@ -1469,6 +1469,22 @@ def upsert(spark: SparkSession, table: str, source: DataFrame) -> DataFrame:
     t = _managed(table)
     target = _read_path(spark, t)
     source = source.toDF(*target.columns)
+    # a key repeated WITHIN the batch applies in row order, last wins
+    # (Kudu applies upsert ops sequentially) — without this the union
+    # below would land duplicate primary keys in the table
+    from pyspark.sql import Window
+
+    source = (
+        source.withColumn("__ord", F.monotonically_increasing_id())
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(*t.primary_key).orderBy(F.col("__ord").desc())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__ord", "__rn")
+    )
     if t.partition_cols:
         src_parts = source.select(*t.partition_cols).distinct()
         hit_parts = (

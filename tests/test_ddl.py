@@ -1241,3 +1241,29 @@ def test_modify_on_empty_table(spark):
     rows = eng.sql("SELECT k, v FROM empty_mod").collect()
     assert [(r.k, r.v) for r in rows] == [(1, "a")]
     eng.sql("DROP TABLE empty_mod")
+
+
+def test_upsert_duplicate_key_in_batch_last_wins(spark):
+    """A primary key repeated WITHIN one UPSERT batch applies in row
+    order, last wins (Kudu op ordering) — one row must remain (found by
+    tools/dml_fuzz.py, which saw both rows land)."""
+    from impala_spark.engine import ImpalaEngine
+
+    eng = ImpalaEngine(spark)
+    eng.sql("DROP TABLE IF EXISTS up_dup")
+    eng.sql("CREATE TABLE up_dup (k BIGINT, v STRING, PRIMARY KEY (k))")
+    eng.sql("UPSERT INTO up_dup VALUES (1, 'first'), (2, 'x'), (1, 'last')")
+    rows = {r.k: r.v for r in eng.sql("SELECT k, v FROM up_dup").collect()}
+    assert rows == {1: "last", 2: "x"}
+    assert eng.sql("SELECT count(*) AS n FROM up_dup").collect()[0][0] == 2
+    # partitioned variant: the duplicate key may also move partitions
+    eng.sql("DROP TABLE IF EXISTS up_dup_p")
+    eng.sql(
+        "CREATE TABLE up_dup_p (k BIGINT, v STRING, PRIMARY KEY (k))"
+        " PARTITIONED BY (p INT)"
+    )
+    eng.sql("UPSERT INTO up_dup_p VALUES (1, 'a', 1), (1, 'b', 2)")
+    got = [(r.k, r.v, r.p) for r in eng.sql("SELECT * FROM up_dup_p").collect()]
+    assert got == [(1, "b", 2)]
+    eng.sql("DROP TABLE up_dup")
+    eng.sql("DROP TABLE up_dup_p")

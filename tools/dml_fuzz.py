@@ -86,9 +86,7 @@ class Model:
 
     def tuples(self):
         names = [c for c, _ in self.cols]
-        return sorted(
-            tuple(r.get(n) for n in names) for r in self.rows.values()
-        )
+        return [tuple(r.get(n) for n in names) for r in self.rows.values()]
 
 
 def norm(v):
@@ -100,11 +98,15 @@ def norm(v):
 def run_case(spark, eng, rng, case_idx, n_ops, log):
     cols = [("pk", "BIGINT")] + rng.sample(COLS, rng.randint(2, len(COLS)))
     tname = f"fz_dml_{case_idx}"
-    bucketed = rng.random() < 0.3
+    layout = rng.choice(["plain", "bucketed", "partitioned"])
     col_sql = ", ".join(f"{c} {t}" for c, t in cols)
     create = f"CREATE TABLE {tname} ({col_sql}, PRIMARY KEY (pk))"
-    if bucketed:
+    if layout == "bucketed":
         create += " PARTITION BY HASH (pk) PARTITIONS 4 STORED AS KUDU"
+    elif layout == "partitioned":
+        # low-cardinality partition column appended LAST in the read view
+        create += " PARTITIONED BY (p INT)"
+        cols = cols + [("p", "INT")]
     history = [f"DROP TABLE IF EXISTS {tname}", create]
     eng.sql(f"DROP TABLE IF EXISTS {tname}")
     eng.sql(create)
@@ -122,6 +124,10 @@ def run_case(spark, eng, rng, case_idx, n_ops, log):
                 if n == "pk":
                     row[n] = next_pk
                     next_pk += 1
+                elif n == "p":
+                    # low-cardinality, non-null partition values so ops
+                    # land on existing partitions often
+                    row[n] = rng.randint(0, 3)
                 else:
                     row[n] = rand_value(rng, typ[n])
             out.append(row)
@@ -141,10 +147,12 @@ def run_case(spark, eng, rng, case_idx, n_ops, log):
         return f"{c} {op} {lit(v, t)}", (c, op, v)
 
     for _ in range(n_ops):
-        kind = rng.choice(
-            ["insert", "insert_perm", "upsert", "update", "delete",
-             "overwrite", "truncate", "insert", "upsert", "update"]
-        )
+        kinds = ["insert", "insert_perm", "upsert", "update", "delete",
+                 "overwrite", "truncate", "insert", "upsert", "update"]
+        if layout == "partitioned":
+            kinds += ["insert_static_part", "overwrite_part",
+                      "insert_static_part"]
+        kind = rng.choice(kinds)
         if kind == "insert":
             rows = fresh_rows(rng.randint(1, 4))
             names = [c for c, _ in cols]
@@ -152,9 +160,12 @@ def run_case(spark, eng, rng, case_idx, n_ops, log):
             for r in rows:
                 model.rows[r["pk"]] = dict(r)
         elif kind == "insert_perm":
-            # column permutation: unmentioned columns NULL-fill
+            # column permutation: unmentioned columns NULL-fill (the
+            # partition column always mentioned — a NULL partition is the
+            # default-partition surface, pinned in tests, not fuzzed)
             names = ["pk"] + [
-                c for c, _ in cols[1:] if rng.random() < 0.7
+                c for c, _ in cols[1:]
+                if c == "p" or rng.random() < 0.7
             ]
             rng.shuffle(names)
             rows = fresh_rows(rng.randint(1, 3), names)
@@ -204,19 +215,64 @@ def run_case(spark, eng, rng, case_idx, n_ops, log):
             stmt = (
                 f"INSERT OVERWRITE {tname} VALUES {values_sql(rows, names)}"
             )
-            model.rows = {r["pk"]: dict(r) for r in rows}
+            if layout == "partitioned":
+                # dynamic-partition overwrite: only the partitions the new
+                # rows land in are replaced (HdfsTableSink semantics)
+                touched = {r["p"] for r in rows}
+                model.rows = {
+                    k: r for k, r in model.rows.items()
+                    if r.get("p") not in touched
+                }
+                for r in rows:
+                    model.rows[r["pk"]] = dict(r)
+            else:
+                model.rows = {r["pk"]: dict(r) for r in rows}
+        elif kind == "insert_static_part":
+            pv = rng.randint(0, 3)
+            names = [c for c, _ in cols if c != "p"]
+            rows = fresh_rows(rng.randint(1, 3), names)
+            stmt = (
+                f"INSERT INTO {tname} PARTITION (p={pv}) "
+                f"VALUES {values_sql(rows, names)}"
+            )
+            for r in rows:
+                full = dict(r)
+                full["p"] = pv
+                model.rows[full["pk"]] = full
+        elif kind == "overwrite_part":
+            # replaces ONLY the named partition
+            pv = rng.randint(0, 3)
+            names = [c for c, _ in cols if c != "p"]
+            rows = fresh_rows(rng.randint(1, 2), names)
+            stmt = (
+                f"INSERT OVERWRITE {tname} PARTITION (p={pv}) "
+                f"VALUES {values_sql(rows, names)}"
+            )
+            model.rows = {
+                k: r for k, r in model.rows.items() if r.get("p") != pv
+            }
+            for r in rows:
+                full = dict(r)
+                full["p"] = pv
+                model.rows[full["pk"]] = full
         else:  # truncate
             stmt = f"TRUNCATE TABLE {tname}"
             model.rows = {}
         history.append(stmt)
         eng.sql(stmt)
+        skey = lambda t: tuple((v is None, str(v)) for v in t)  # noqa: E731
         got = sorted(
-            tuple(norm(v) for v in row)
-            for row in eng.sql(
-                f"SELECT {', '.join(c for c, _ in cols)} FROM {tname}"
-            ).collect()
+            (
+                tuple(norm(v) for v in row)
+                for row in eng.sql(
+                    f"SELECT {', '.join(c for c, _ in cols)} FROM {tname}"
+                ).collect()
+            ),
+            key=skey,
         )
-        want = [tuple(norm(v) for v in t) for t in model.tuples()]
+        want = sorted(
+            (tuple(norm(v) for v in t) for t in model.tuples()), key=skey
+        )
         if got != want:
             print(f"MISMATCH in case {case_idx} after: {stmt}")
             print("history:")
