@@ -108,3 +108,27 @@ def test_differential_fuzz_seeded_sample(spark, sf_dir):
         rel = con.execute(q)
         dc, dr = norm_rows([d[0] for d in rel.description], rel.fetchall())
         assert (sc, sr) == (dc, dr), q
+
+
+@pytest.mark.slow
+def test_dml_fuzz_seeded_sample(spark):
+    """Seeded slice of tools/dml_fuzz.py as a regression guard: two
+    model-verified DML cases (one per layout family) through the engine.
+    The larger campaigns live in the tool; this pins the generator
+    contract and the write paths stay green."""
+    import os
+    import random
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from dml_fuzz import run_case
+
+    from impala_spark.engine import ImpalaEngine
+
+    eng = ImpalaEngine(spark)
+    rng = random.Random(1207)
+    log: list[str] = []
+    for i in range(2):
+        assert run_case(spark, eng, rng, 9000 + i, 6, log), log
+    assert len(log) == 12
