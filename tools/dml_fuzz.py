@@ -113,6 +113,18 @@ def run_case(spark, eng, rng, case_idx, n_ops, log):
     model = Model(cols)
     next_pk = 0
 
+    # immutable side table for the FROM-join DML forms (unique keys so
+    # the per-key match is deterministic)
+    sname = f"fz_src_{case_idx}"
+    src = {k: rng.randint(-50, 50) for k in rng.sample(range(0, 20), 8)}
+    eng.sql(f"DROP TABLE IF EXISTS {sname}")
+    eng.sql(f"CREATE TABLE {sname} (sk BIGINT, sv INT, PRIMARY KEY (sk))")
+    eng.sql(
+        f"INSERT INTO {sname} VALUES "
+        + ", ".join(f"({k}, {v})" for k, v in src.items())
+    )
+    history.append(f"-- src {sname}: {sorted(src.items())}")
+
     def fresh_rows(k, names=None):
         nonlocal next_pk
         names = names or [c for c, _ in cols]
@@ -152,6 +164,7 @@ def run_case(spark, eng, rng, case_idx, n_ops, log):
         if layout == "partitioned":
             kinds += ["insert_static_part", "overwrite_part",
                       "insert_static_part"]
+        kinds += ["update_from", "delete_from"]
         kind = rng.choice(kinds)
         if kind == "insert":
             rows = fresh_rows(rng.randint(1, 4))
@@ -227,6 +240,32 @@ def run_case(spark, eng, rng, case_idx, n_ops, log):
                     model.rows[r["pk"]] = dict(r)
             else:
                 model.rows = {r["pk"]: dict(r) for r in rows}
+        elif kind == "update_from":
+            # UPDATE target SET <int col> = s.sv [+k] FROM target JOIN src
+            int_cols = [c for c, t in cols[1:] if t in ("INT", "BIGINT")]
+            if not int_cols:
+                continue
+            tc = rng.choice(int_cols)
+            delta = rng.randint(0, 3)
+            thr = rng.randint(-30, 30)
+            stmt = (
+                f"UPDATE {tname} SET {tc} = s.sv + {delta} "
+                f"FROM {tname} JOIN {sname} s ON {tname}.pk = s.sk "
+                f"WHERE s.sv >= {thr}"
+            )
+            for k, r in model.rows.items():
+                if k in src and src[k] >= thr:
+                    r[tc] = src[k] + delta
+        elif kind == "delete_from":
+            thr = rng.randint(-30, 30)
+            stmt = (
+                f"DELETE {tname} FROM {tname} JOIN {sname} s "
+                f"ON {tname}.pk = s.sk WHERE s.sv < {thr}"
+            )
+            model.rows = {
+                k: r for k, r in model.rows.items()
+                if not (k in src and src[k] < thr)
+            }
         elif kind == "insert_static_part":
             pv = rng.randint(0, 3)
             names = [c for c, _ in cols if c != "p"]
@@ -283,6 +322,7 @@ def run_case(spark, eng, rng, case_idx, n_ops, log):
             return False
         log.append(stmt)
     eng.sql(f"DROP TABLE {tname}")
+    eng.sql(f"DROP TABLE {sname}")
     return True
 
 
