@@ -292,6 +292,21 @@ _QUERY_OPTIONS = {
 }
 
 
+def _print_bytes(n: int) -> str:
+    """PB/TB/GB/MB/KB with 2 decimals, bare B below 1 KB
+    (common/PrintUtils.java printBytes — 5000 -> '4.88KB')."""
+    for unit, name in (
+        (1 << 50, "PB"),
+        (1 << 40, "TB"),
+        (1 << 30, "GB"),
+        (1 << 20, "MB"),
+        (1 << 10, "KB"),
+    ):
+        if n >= unit:
+            return f"{n / unit:.2f}{name}"
+    return f"{n}B"
+
+
 def _boolean_null_outputs(df: DataFrame) -> DataFrame:
     """Untyped NULL result columns present to clients as BOOLEAN for Hive
     compatibility (IMPALA-914, pinned by JdbcTest.testSelectNull — the
@@ -2187,7 +2202,7 @@ class ImpalaEngine:
                 size = int(st.sizeInBytes())
             except Exception:
                 size = None
-            size_s = f"{size}B" if size is not None else "unavailable"
+            size_s = _print_bytes(size) if size is not None else "unavailable"
             return f"cardinality={card} size={size_s}"
 
         scan_stats: list[str] = []

@@ -402,3 +402,15 @@ def test_select_null_types_as_boolean(spark):
         "integer",
         "boolean",
     ]
+
+
+def test_print_bytes_units():
+    # common/PrintUtils.java printBytes: 5000 -> 4.88KB, sub-KB stays B
+    from impala_spark.engine import _print_bytes
+
+    assert _print_bytes(5000) == "4.88KB"
+    assert _print_bytes(500) == "500B"
+    assert _print_bytes(218192991) == "208.09MB"
+    assert _print_bytes(5 * (1 << 30)) == "5.00GB"
+    assert _print_bytes(3 * (1 << 40) + (1 << 39)) == "3.50TB"
+    assert _print_bytes(2 * (1 << 50)) == "2.00PB"
