@@ -113,6 +113,20 @@ def _refresh_view(spark: SparkSession, t: ManagedTable) -> DataFrame:
     return df
 
 
+def _pin_schema(t: ManagedTable, df: DataFrame) -> None:
+    """Re-pin the declared schema after a column-mutating ALTER, in READ
+    order (partition columns last — how a partitioned parquet dir reads
+    back). Without this, the zero-file fallback reads (_read_path /
+    _read_table / _refresh_view) keep serving the pre-ALTER schema
+    (found by tools/dml_fuzz.py: TRUNCATE -> ADD COLUMNS -> UPSERT)."""
+    from pyspark.sql.types import StructType
+
+    part_lower = {p.lower() for p in t.partition_cols}
+    fields = [f for f in df.schema.fields if f.name.lower() not in part_lower]
+    fields += [f for f in df.schema.fields if f.name.lower() in part_lower]
+    t.schema = StructType(fields)
+
+
 def _read_path(spark: SparkSession, t: ManagedTable) -> DataFrame:
     """Read a managed table's data FILES (never the catalog table — the
     modify/upsert paths overwrite the same table they read, and a
@@ -1224,6 +1238,7 @@ def alter_table(spark: SparkSession, stmt: str) -> DataFrame:
                 raise ImpalaUnsupportedError(f"Column already exists: {col.lower()}")
             existing.add(col.lower())
             df = df.withColumn(col, F.lit(None).cast(typ.strip()))
+        _pin_schema(t, df)
         return _overwrite(spark, t, df)
     m = _ALTER_DROP_RE.match(stmt)
     if m:
@@ -1245,7 +1260,9 @@ def alter_table(spark: SparkSession, stmt: str) -> DataFrame:
         df = _read_table(spark, t)
         if col not in df.columns:
             raise ValueError(f"ALTER TABLE {name} DROP COLUMN: no column '{col}'")
-        return _overwrite(spark, t, df.drop(col))
+        dropped = df.drop(col)
+        _pin_schema(t, dropped)
+        return _overwrite(spark, t, dropped)
     m = _ALTER_CHANGE_RE.match(stmt)
     if m:
         name, old, new, typ = (g.strip("`") for g in m.groups())
@@ -1264,6 +1281,7 @@ def alter_table(spark: SparkSession, stmt: str) -> DataFrame:
         df = _read_table(spark, t).withColumn(old, F.col(old).cast(typ))
         if old != new:
             df = df.withColumnRenamed(old, new)
+        _pin_schema(t, df)
         return _overwrite(spark, t, df)
     m = _ALTER_ADD_PART_RE.match(stmt)
     if m:
@@ -1340,7 +1358,9 @@ def alter_table(spark: SparkSession, stmt: str) -> DataFrame:
             for col, typ in specs
         ]
         out += [F.col(p) for p in t.partition_cols]
-        return _overwrite(spark, t, df.select(*out))
+        replaced = df.select(*out)
+        _pin_schema(t, replaced)
+        return _overwrite(spark, t, replaced)
     m = _ALTER_SET_FILEFORMAT_RE.match(stmt)
     if m:
         # AlterTableSetFileFormatStmt (metadata-only in the reference —

@@ -1267,3 +1267,30 @@ def test_upsert_duplicate_key_in_batch_last_wins(spark):
     assert got == [(1, "b", 2)]
     eng.sql("DROP TABLE up_dup")
     eng.sql("DROP TABLE up_dup_p")
+
+
+def test_alter_columns_repin_declared_schema(spark):
+    """TRUNCATE -> ADD COLUMNS -> UPSERT/UPDATE must use the POST-alter
+    schema on a zero-file table (found by tools/dml_fuzz.py: the
+    declared-schema fallback served the pre-ALTER column list)."""
+    from impala_spark.engine import ImpalaEngine
+
+    eng = ImpalaEngine(spark)
+    eng.sql("DROP TABLE IF EXISTS evo3")
+    eng.sql("CREATE TABLE evo3 (k BIGINT, v INT, PRIMARY KEY (k))")
+    eng.sql("TRUNCATE TABLE evo3")
+    eng.sql("ALTER TABLE evo3 ADD COLUMNS (w INT)")
+    eng.sql("UPSERT INTO evo3 VALUES (4, 1, 9)")
+    assert [tuple(r) for r in eng.sql("SELECT * FROM evo3").collect()] == [(4, 1, 9)]
+    # DROP COLUMN on the emptied table re-pins too
+    eng.sql("TRUNCATE TABLE evo3")
+    eng.sql("ALTER TABLE evo3 DROP COLUMN v")
+    eng.sql("UPSERT INTO evo3 VALUES (5, 2)")
+    assert [tuple(r) for r in eng.sql("SELECT * FROM evo3").collect()] == [(5, 2)]
+    # CHANGE on empty: type change visible through the fallback read
+    eng.sql("TRUNCATE TABLE evo3")
+    eng.sql("ALTER TABLE evo3 CHANGE w w2 BIGINT")
+    eng.sql("UPDATE evo3 SET w2 = 1 WHERE k > 0")  # no rows; must not error
+    eng.sql("UPSERT INTO evo3 VALUES (6, 3)")
+    assert dict(eng.sql("SELECT * FROM evo3").dtypes) == {"k": "bigint", "w2": "bigint"}
+    eng.sql("DROP TABLE evo3")

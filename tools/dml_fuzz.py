@@ -158,6 +158,7 @@ def run_case(spark, eng, rng, case_idx, n_ops, log):
         v = rand_value(rng, t, allow_null=False)
         return f"{c} {op} {lit(v, t)}", (c, op, v)
 
+    n_added = [0]
     for _ in range(n_ops):
         kinds = ["insert", "insert_perm", "upsert", "update", "delete",
                  "overwrite", "truncate", "insert", "upsert", "update"]
@@ -165,6 +166,8 @@ def run_case(spark, eng, rng, case_idx, n_ops, log):
             kinds += ["insert_static_part", "overwrite_part",
                       "insert_static_part"]
         kinds += ["update_from", "delete_from"]
+        if n_added[0] < 2:
+            kinds.append("add_column")
         kind = rng.choice(kinds)
         if kind == "insert":
             rows = fresh_rows(rng.randint(1, 4))
@@ -294,6 +297,18 @@ def run_case(spark, eng, rng, case_idx, n_ops, log):
                 full = dict(r)
                 full["p"] = pv
                 model.rows[full["pk"]] = full
+        elif kind == "add_column":
+            # schema evolution mid-sequence: existing rows read NULL; the
+            # new column lands BEFORE the partition column in the view
+            nc = f"w{n_added[0]}"
+            n_added[0] += 1
+            nt = rng.choice(["INT", "STRING"])
+            stmt = f"ALTER TABLE {tname} ADD COLUMNS ({nc} {nt})"
+            at = len(cols) - 1 if layout == "partitioned" else len(cols)
+            cols.insert(at, (nc, nt))
+            model.cols = cols
+            for r in model.rows.values():
+                r[nc] = None
         else:  # truncate
             stmt = f"TRUNCATE TABLE {tname}"
             model.rows = {}
