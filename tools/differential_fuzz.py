@@ -199,13 +199,27 @@ def gen_query(rng) -> str:
                  if rng.random() < 0.3 else ", ".join(keys))
         return (f"SELECT {', '.join(keys)}, {', '.join(aggs)} FROM {frm}"
                 f"{where} GROUP BY {group}{having}")
-    if shape < 0.6:  # ranking window over a scan
+    if shape < 0.6:  # window over a scan
         k = rng.choice(ints + strs)
-        o = rng.choice(ints)
-        fn = rng.choice(["RANK()", "DENSE_RANK()"])
         cols = rng.sample(ints + strs, k=2)
-        return (f"SELECT {', '.join(cols)}, {fn} OVER (PARTITION BY {k}"
-                f" ORDER BY {o}) AS rnk FROM {frm}{where}")
+        w = rng.random()
+        if w < 0.5:  # ranking (tie-deterministic fns only)
+            o = rng.choice(ints)
+            fn = rng.choice(["RANK()", "DENSE_RANK()"])
+            return (f"SELECT {', '.join(cols)}, {fn} OVER (PARTITION BY {k}"
+                    f" ORDER BY {o}) AS rnk FROM {frm}{where}")
+        # whole-partition aggregate window: no ORDER BY means the frame
+        # is the full partition — deterministic for exact-typed inputs
+        # (BIGINT sums; MIN/MAX of anything)
+        a = rng.random()
+        if a < 0.4:
+            fn = f"SUM(CAST({rng.choice(ints)} AS BIGINT))"
+        elif a < 0.7:
+            fn = f"{rng.choice(['MIN', 'MAX'])}({rng.choice(ints + strs)})"
+        else:
+            fn = "COUNT(*)"
+        return (f"SELECT {', '.join(cols)}, {fn} OVER (PARTITION BY {k})"
+                f" AS wagg FROM {frm}{where}")
     if shape < 0.75:  # DISTINCT projection
         cols = [int_expr(rng, ints) + f" AS e{i}" if rng.random() < 0.5
                 else str_expr(rng, strs, nullable=nullable) + f" AS e{i}"
