@@ -432,25 +432,67 @@ class AuthzPolicy:
                 f" execute '{kind}' on: default"
             )
 
-    def check_any_access(self, spark, table: str) -> None:
-        """Metadata surfaces (SHOW PARTITIONS/STATS/CREATE TABLE/FILES,
-        DESCRIBE): the reference requires ANY privilege on the object
-        (AuthorizationChecker — Privilege.ANY). Any privilege at table,
-        database, or server scope qualifies."""
+    def visible_table(self, spark, table: str,
+                      include_column_privs: bool = True) -> bool:
+        """Non-raising ANY-privilege check. Column-level grants make a
+        table VISIBLE in listings (SHOW TABLES / GetTables,
+        T/analysis/AuthorizationTest.java TestShowTableResultsFiltered)
+        but do NOT authorize the table-level metadata surfaces (SHOW
+        PARTITIONS/STATS/FILES/CREATE TABLE error with column-only
+        grants — TestShowPermissions "User only has column-level
+        privileges"); the flag selects which predicate."""
         if not self.server_name:
-            return
+            return True
         bare = table.split(".")[-1].lower()
         for r in self._roles_of(self.user):
             for p in self.role_privs.get(r, ()):
                 if p.scope == "SERVER":
-                    return
+                    return True
                 if (p.scope == "DATABASE"
                         and p.obj.lower()
                         == spark.catalog.currentDatabase().lower()):
-                    return
+                    return True
                 if (p.scope == "TABLE"
-                        and p.obj.split(".")[-1].lower() == bare):
-                    return
+                        and p.obj.split(".")[-1].lower() == bare
+                        and (include_column_privs or not p.columns)):
+                    return True
+        return False
+
+    def visible_db(self, spark, db: str) -> bool:
+        """SHOW DATABASES / GetSchemas filtering: a database is listed
+        when the user holds ANY privilege on it, on the server, or on
+        any object inside it (TestShowDbResultsFiltered)."""
+        if not self.server_name:
+            return True
+        db_l = db.lower()
+        current = spark.catalog.currentDatabase().lower()
+        for r in self._roles_of(self.user):
+            for p in self.role_privs.get(r, ()):
+                if p.scope == "SERVER":
+                    return True
+                if p.scope == "DATABASE" and p.obj.lower() == db_l:
+                    return True
+                if p.scope == "TABLE" and db_l == (
+                    p.obj.split(".")[0].lower()
+                    if "." in p.obj else current
+                ):
+                    return True
+        return False
+
+    def check_any_access(self, spark, table: str,
+                         allow_column_privs: bool = False) -> None:
+        """Metadata surfaces: ANY privilege on the object
+        (AuthorizationChecker — Privilege.ANY). Plain DESCRIBE accepts
+        column-level grants (TestDescribe: "User has column level
+        privileges" AuthzOk); SHOW PARTITIONS/STATS/FILES/CREATE TABLE
+        and DESCRIBE FORMATTED require table scope or higher."""
+        if not self.server_name:
+            return
+        if self.visible_table(
+            spark, table, include_column_privs=allow_column_privs
+        ):
+            return
+        bare = table.split(".")[-1].lower()
         raise AuthorizationError(
             f"User '{self.user}' does not have privileges to access:"
             f" default.{bare}"

@@ -910,11 +910,14 @@ class ImpalaEngine:
                 self.spark, q, "DROP" if head == "DROP" else "CREATE", [])
         elif head == "DESCRIBE":
             m = re.match(
-                r"(?is)^\s*DESCRIBE\s+(?:FORMATTED\s+|EXTENDED\s+)?"
-                r"(`[^`]+`|[\w.]+)\s*$", q)
-            if m and m.group(1).upper() != "DATABASE":
+                r"(?is)^\s*DESCRIBE\s+(?P<fmt>FORMATTED\s+|EXTENDED\s+)?"
+                r"(?P<t>`[^`]+`|[\w.]+)\s*$", q)
+            if m and m.group("t").upper() != "DATABASE":
+                # plain DESCRIBE accepts column-level grants; FORMATTED
+                # needs table scope or higher (TestDescribe)
                 self._authz.check_any_access(
-                    self.spark, m.group(1).strip("`"))
+                    self.spark, m.group("t").strip("`"),
+                    allow_column_privs=m.group("fmt") is None)
         elif head == "COMPUTE":
             # COMPUTE [INCREMENTAL] STATS needs ALL on the table (the
             # 2.x Sentry model has no ALTER privilege level)
@@ -1734,10 +1737,27 @@ class ImpalaEngine:
         if pattern:
             like = pattern.replace("*", ".*")
             df = df.filter(df.tableName.rlike(f"^{like}$"))
+        if self._authz.server_name:
+            # listings show only objects the user holds ANY privilege on
+            # — column-level grants included (TestShowTableResultsFiltered)
+            visible = [
+                r.tableName for r in df.collect()
+                if self._authz.visible_table(self.spark, r.tableName)
+            ]
+            df = df.filter(F.col("tableName").isin(visible))
         return df
 
     def show_databases(self) -> DataFrame:
-        return self.spark.sql("SHOW DATABASES")
+        df = self.spark.sql("SHOW DATABASES")
+        if self._authz.server_name:
+            # TestShowDbResultsFiltered: only dbs the user has ANY
+            # permission on (directly or via an object inside)
+            visible = [
+                r.namespace for r in df.collect()
+                if self._authz.visible_db(self.spark, r.namespace)
+            ]
+            df = df.filter(F.col("namespace").isin(visible))
+        return df
 
     def show_functions(
         self,
@@ -2065,13 +2085,30 @@ class ImpalaEngine:
 
     def get_schemas(self, catalog=None, schema_pattern=None) -> DataFrame:
         from impala_spark import metadata_ops as mo
-        return mo.get_schemas(self.spark, catalog, schema_pattern)
+        df = mo.get_schemas(self.spark, catalog, schema_pattern)
+        if self._authz.server_name:
+            # HS2 metadata is privilege-filtered like the SHOW surfaces
+            # (AuthorizationTest.TestHs2GetSchema)
+            visible = [
+                r.TABLE_SCHEM for r in df.collect()
+                if self._authz.visible_db(self.spark, r.TABLE_SCHEM)
+            ]
+            df = df.filter(F.col("TABLE_SCHEM").isin(visible))
+        return df
 
     def get_tables(self, catalog=None, schema_pattern=None,
                    table_pattern=None, table_types=None) -> DataFrame:
         from impala_spark import metadata_ops as mo
-        return mo.get_tables(self.spark, catalog, schema_pattern,
-                             table_pattern, table_types)
+        df = mo.get_tables(self.spark, catalog, schema_pattern,
+                           table_pattern, table_types)
+        if self._authz.server_name:
+            # TestHs2GetTables: column-level grants keep the table listed
+            visible = [
+                r.TABLE_NAME for r in df.collect()
+                if self._authz.visible_table(self.spark, r.TABLE_NAME)
+            ]
+            df = df.filter(F.col("TABLE_NAME").isin(visible))
+        return df
 
     def get_table_types(self) -> DataFrame:
         from impala_spark import metadata_ops as mo
@@ -2080,8 +2117,16 @@ class ImpalaEngine:
     def get_columns(self, catalog=None, schema_pattern=None,
                     table_pattern=None, column_pattern=None) -> DataFrame:
         from impala_spark import metadata_ops as mo
-        return mo.get_columns(self.spark, catalog, schema_pattern,
-                              table_pattern, column_pattern)
+        df = mo.get_columns(self.spark, catalog, schema_pattern,
+                            table_pattern, column_pattern)
+        if self._authz.server_name:
+            # TestHs2GetColumns: only columns of visible tables return
+            visible = [
+                t for t in {r.TABLE_NAME for r in df.collect()}
+                if self._authz.visible_table(self.spark, t)
+            ]
+            df = df.filter(F.col("TABLE_NAME").isin(visible))
+        return df
 
     def get_functions(self, catalog=None, schema_pattern=None,
                       fn_pattern=None) -> DataFrame:

@@ -378,3 +378,43 @@ class TestEnforcement:
         e.sql("DROP TABLE authz_ld")
         e.sql("DROP ROLE ldr")
         ddl.drop_table(spark, "authz_ld")
+
+def test_show_listings_filtered_by_privilege(spark, sf_dir):
+    """SHOW TABLES / GetTables list only objects the user holds ANY
+    privilege on — column-level grants keep a table listed but do NOT
+    authorize its table-level metadata surfaces
+    (T/analysis/AuthorizationTest.java TestShowTableResultsFiltered,
+    TestShowPermissions, TestDescribe)."""
+    import pytest as _p
+
+    from impala_spark.authz import AuthorizationError
+    from impala_spark.engine import ImpalaEngine
+    from impala_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    eng = ImpalaEngine(spark, sf_dir, server_name="server1", user="fuser")
+    eng.sql("CREATE ROLE filt_role")
+    eng._authz.user_groups["fuser"] = {"fgrp"}
+    eng.sql("GRANT ROLE filt_role TO GROUP fgrp")
+    eng.sql("GRANT SELECT ON TABLE region TO ROLE filt_role")
+    eng.sql("GRANT SELECT (n_name) ON TABLE nation TO ROLE filt_role")
+    shown = {r.tableName for r in eng.show_tables().collect()}
+    # table-priv and column-priv tables are listed; others are not
+    assert "region" in shown and "nation" in shown
+    assert "orders" not in shown and "lineitem" not in shown
+    # HS2 GetTables filters identically
+    hs2 = {r.TABLE_NAME for r in eng.get_tables().collect()}
+    assert "region" in hs2 and "nation" in hs2 and "orders" not in hs2
+    # column-only grant: DESCRIBE ok, SHOW CREATE TABLE / DESCRIBE
+    # FORMATTED / SHOW PARTITIONS error
+    eng.sql("DESCRIBE nation")
+    with _p.raises(AuthorizationError, match="does not have privileges"):
+        eng.sql("SHOW CREATE TABLE nation")
+    with _p.raises(AuthorizationError, match="does not have privileges"):
+        eng.sql("DESCRIBE FORMATTED nation")
+    # table-level grant passes the strict surfaces
+    eng.sql("DESCRIBE FORMATTED region")
+    # databases: 'default' visible through the table grants
+    dbs = {r.namespace for r in eng.show_databases().collect()}
+    assert "default" in dbs
+    eng.sql("DROP ROLE filt_role")
