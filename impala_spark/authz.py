@@ -479,6 +479,21 @@ class AuthzPolicy:
                     return True
         return False
 
+    def check_create_drop_functions(self) -> None:
+        """CREATE/DROP FUNCTION requires server-scope ALL
+        (AuthorizationTest.TestFunction exact text — only the admin role
+        may manage functions)."""
+        if not self.server_name:
+            return
+        for r in self._roles_of(self.user):
+            for p in self.role_privs.get(r, ()):
+                if p.scope == "SERVER" and p.priv == "ALL":
+                    return
+        raise AuthorizationError(
+            f"User '{self.user}' does not have privileges to "
+            "CREATE/DROP functions."
+        )
+
     def check_any_access(self, spark, table: str,
                          allow_column_privs: bool = False) -> None:
         """Metadata surfaces: ANY privilege on the object

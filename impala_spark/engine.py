@@ -904,6 +904,27 @@ class ImpalaEngine:
                     except ValueError:
                         pass
                 self._authz.check_access(self.spark, q, head, [], target)
+        elif head in ("CREATE", "DROP") and re.match(
+                r"(?is)^\s*\w+\s+(?:AGGREGATE\s+)?FUNCTION\b", q):
+            # function management is server-admin only (TestFunction)
+            self._authz.check_create_drop_functions()
+        elif head == "SHOW" and re.match(
+                r"(?is)^\s*SHOW\s+(?:AGGREGATE\s+|ANALYTIC\s+)?FUNCTIONS\b",
+                q):
+            # SHOW FUNCTIONS needs ANY privilege on the db (TestFunction:
+            # "show functions" errors, "show functions in tpch" passes)
+            m = re.match(
+                r"(?is)^\s*SHOW\s+(?:AGGREGATE\s+|ANALYTIC\s+)?FUNCTIONS"
+                r"(?:\s+IN\s+(`[^`]+`|\w+))?", q)
+            db = (m.group(1) or "").strip("`") if m else ""
+            db = db or self.spark.catalog.currentDatabase()
+            if not self._authz.visible_db(self.spark, db):
+                from impala_spark.authz import AuthorizationError
+
+                raise AuthorizationError(
+                    f"User '{self._authz.user}' does not have privileges"
+                    f" to access: {db}"
+                )
         elif head in ("CREATE", "DROP", "ALTER") and re.match(
                 r"(?is)^\s*\w+\s+(TABLE|VIEW)\b", q):
             self._authz.check_access(

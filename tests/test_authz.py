@@ -418,3 +418,52 @@ def test_show_listings_filtered_by_privilege(spark, sf_dir):
     dbs = {r.namespace for r in eng.show_databases().collect()}
     assert "default" in dbs
     eng.sql("DROP ROLE filt_role")
+
+
+def test_function_statements_are_server_admin_only(spark, sf_dir):
+    """CREATE/DROP FUNCTION requires server-scope ALL; SHOW FUNCTIONS
+    needs ANY privilege on the db (TestFunction exact texts)."""
+    import pytest as _p
+
+    from impala_spark.authz import AuthorizationError
+    from impala_spark.engine import ImpalaEngine
+    from impala_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    eng = ImpalaEngine(spark, sf_dir, server_name="server1", user="fnuser")
+    eng.sql("CREATE ROLE fn_role")
+    eng._authz.user_groups["fnuser"] = {"fngrp"}
+    eng.sql("GRANT ROLE fn_role TO GROUP fngrp")
+    eng.sql("GRANT SELECT ON TABLE region TO ROLE fn_role")
+    with _p.raises(
+        AuthorizationError,
+        match=r"does not have privileges to CREATE/DROP functions\.",
+    ):
+        eng.sql("CREATE FUNCTION myabs(DOUBLE) RETURNS DOUBLE LOCATION '/tmp/x.so' SYMBOL='abs'")
+    with _p.raises(
+        AuthorizationError,
+        match=r"does not have privileges to CREATE/DROP functions\.",
+    ):
+        eng.sql("DROP FUNCTION IF EXISTS myabs(DOUBLE)")
+    # SHOW FUNCTIONS: db visible through the table grant -> ok
+    eng.sql("SHOW FUNCTIONS")
+    # admin (server ALL) can manage functions
+    eng.sql("CREATE ROLE fn_admin")
+    eng._authz.user_groups["fnuser"].add("admgrp")
+    eng.sql("GRANT ROLE fn_admin TO GROUP admgrp")
+    eng.sql("GRANT ALL ON SERVER TO ROLE fn_admin")
+    eng.sql("CREATE FUNCTION myfn(DOUBLE) RETURNS DOUBLE LOCATION '/dev/null' SYMBOL='add_tax'")
+    eng.sql("DROP FUNCTION myfn(DOUBLE)")
+    eng.sql("DROP ROLE fn_role")
+    eng.sql("DROP ROLE fn_admin")
+
+
+def test_show_functions_db_without_privileges_errors(spark, sf_dir):
+    import pytest as _p
+
+    from impala_spark.authz import AuthorizationError
+    from impala_spark.engine import ImpalaEngine
+
+    eng = ImpalaEngine(spark, sf_dir, server_name="server1", user="nopriv")
+    with _p.raises(AuthorizationError, match="does not have privileges to access: default"):
+        eng.sql("SHOW FUNCTIONS")
