@@ -137,7 +137,19 @@ class AuthzPolicy:
                 " username."
             )
 
+    @staticmethod
+    def _short_name(user: str) -> str:
+        """Kerberos principal -> short name for group/role resolution
+        (User.getShortName, pinned by TestShortUsernameUsed):
+        'u/host@REALM' -> 'u'; a leading '/' keeps the name whole."""
+        if not user or user[0] == "/":
+            return user
+        import re as _re
+
+        return _re.split(r"[/@]", user, 1)[0]
+
     def _groups_of(self, user: str) -> set[str]:
+        user = self._short_name(user)
         return self.user_groups.get(user, {user})
 
     def _roles_of(self, user: str) -> list[str]:

@@ -467,3 +467,27 @@ def test_show_functions_db_without_privileges_errors(spark, sf_dir):
     eng = ImpalaEngine(spark, sf_dir, server_name="server1", user="nopriv")
     with _p.raises(AuthorizationError, match="does not have privileges to access: default"):
         eng.sql("SHOW FUNCTIONS")
+
+
+def test_kerberos_principals_resolve_to_short_names(spark, sf_dir):
+    """'u/host@REALM' authorizes as 'u'; a leading '/' keeps the name
+    whole (User.getShortName, TestShortUsernameUsed)."""
+    import pytest as _p
+
+    from impala_spark.authz import AuthorizationError, AuthzPolicy
+    from impala_spark.engine import ImpalaEngine
+    from impala_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    for principal in ("kuser/abc.host.com@", "kuser/abc.host.com@REAL.COM",
+                      "kuser@REAL.COM"):
+        eng = ImpalaEngine(spark, sf_dir, server_name="server1", user=principal)
+        eng.sql("CREATE ROLE k_role")
+        eng._authz.user_groups["kuser"] = {"kgrp"}
+        eng.sql("GRANT ROLE k_role TO GROUP kgrp")
+        eng.sql("GRANT SELECT ON TABLE region TO ROLE k_role")
+        assert eng.sql("SELECT count(*) FROM region").collect()[0][0] == 5
+        with _p.raises(AuthorizationError):
+            eng.sql("SELECT count(*) FROM nation")
+        eng.sql("DROP ROLE k_role")
+    assert AuthzPolicy._short_name("/kuser") == "/kuser"
