@@ -904,6 +904,28 @@ class ImpalaEngine:
                     except ValueError:
                         pass
                 self._authz.check_access(self.spark, q, head, [], target)
+        elif head in ("INVALIDATE", "REFRESH"):
+            # TestResetMetadata: table-targeted reset needs table-level
+            # ANY (column-only grants insufficient); bare INVALIDATE
+            # METADATA is a server-scope action
+            m = re.match(
+                r"(?is)^\s*(?:INVALIDATE\s+METADATA|REFRESH)\s+"
+                r"(`[^`]+`|[\w.]+)", q)
+            if m and m.group(1).upper() != "FUNCTIONS":
+                self._authz.check_any_access(
+                    self.spark, m.group(1).strip("`"))
+            elif not m and head == "INVALIDATE":
+                from impala_spark.authz import AuthorizationError
+
+                if not any(
+                    p.scope == "SERVER"
+                    for r in self._authz._roles_of(self._authz.user)
+                    for p in self._authz.role_privs.get(r, ())
+                ):
+                    raise AuthorizationError(
+                        f"User '{self._authz.user}' does not have "
+                        "privileges to access: server"
+                    )
         elif head in ("CREATE", "DROP") and re.match(
                 r"(?is)^\s*\w+\s+(?:AGGREGATE\s+)?FUNCTION\b", q):
             # function management is server-admin only (TestFunction)

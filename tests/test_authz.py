@@ -491,3 +491,39 @@ def test_kerberos_principals_resolve_to_short_names(spark, sf_dir):
             eng.sql("SELECT count(*) FROM nation")
         eng.sql("DROP ROLE k_role")
     assert AuthzPolicy._short_name("/kuser") == "/kuser"
+
+
+def test_reset_metadata_authorization(spark, sf_dir):
+    """INVALIDATE METADATA <t> / REFRESH <t> need table-level ANY
+    (column-only grants insufficient); bare INVALIDATE METADATA is a
+    server-scope action (TestResetMetadata exact texts)."""
+    import pytest as _p
+
+    from impala_spark.authz import AuthorizationError
+    from impala_spark.engine import ImpalaEngine
+    from impala_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    eng = ImpalaEngine(spark, sf_dir, server_name="server1", user="rmuser")
+    eng.sql("CREATE ROLE rm_role")
+    eng._authz.user_groups["rmuser"] = {"rmgrp"}
+    eng.sql("GRANT ROLE rm_role TO GROUP rmgrp")
+    eng.sql("GRANT SELECT ON TABLE region TO ROLE rm_role")
+    eng.sql("GRANT SELECT (n_name) ON TABLE nation TO ROLE rm_role")
+    eng.sql("REFRESH region")
+    eng.sql("INVALIDATE METADATA region")
+    with _p.raises(AuthorizationError, match="access: default.orders"):
+        eng.sql("REFRESH orders")
+    # column-only grant insufficient
+    with _p.raises(AuthorizationError, match="access: default.nation"):
+        eng.sql("INVALIDATE METADATA nation")
+    # bare INVALIDATE METADATA: server scope
+    with _p.raises(AuthorizationError, match="access: server"):
+        eng.sql("INVALIDATE METADATA")
+    eng.sql("CREATE ROLE rm_admin")
+    eng._authz.user_groups["rmuser"].add("rmadm")
+    eng.sql("GRANT ROLE rm_admin TO GROUP rmadm")
+    eng.sql("GRANT ALL ON SERVER TO ROLE rm_admin")
+    eng.sql("INVALIDATE METADATA")
+    eng.sql("DROP ROLE rm_role")
+    eng.sql("DROP ROLE rm_admin")
