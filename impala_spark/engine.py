@@ -904,6 +904,18 @@ class ImpalaEngine:
                     except ValueError:
                         pass
                 self._authz.check_access(self.spark, q, head, [], target)
+        elif head == "USE":
+            # TestUseDb: USE requires ANY privilege on the database
+            m = re.match(r"(?is)^\s*USE\s+(`[^`]+`|\w+)", q)
+            if m and not self._authz.visible_db(
+                self.spark, m.group(1).strip("`")
+            ):
+                from impala_spark.authz import AuthorizationError
+
+                raise AuthorizationError(
+                    f"User '{self._authz.user}' does not have privileges"
+                    f" to access: {m.group(1).strip('`')}.*"
+                )
         elif head in ("INVALIDATE", "REFRESH"):
             # TestResetMetadata: table-targeted reset needs table-level
             # ANY (column-only grants insufficient); bare INVALIDATE

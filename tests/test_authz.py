@@ -527,3 +527,32 @@ def test_reset_metadata_authorization(spark, sf_dir):
     eng.sql("INVALIDATE METADATA")
     eng.sql("DROP ROLE rm_role")
     eng.sql("DROP ROLE rm_admin")
+
+
+def test_use_db_and_cte_masking(spark, sf_dir):
+    """USE requires ANY privilege on the db (TestUseDb); a WITH alias
+    does not mask privileges on the underlying table (TestWithClause)."""
+    import pytest as _p
+
+    from impala_spark.authz import AuthorizationError
+    from impala_spark.engine import ImpalaEngine
+    from impala_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    eng = ImpalaEngine(spark, sf_dir, server_name="server1", user="uuser")
+    eng.sql("CREATE ROLE u_role")
+    eng._authz.user_groups["uuser"] = {"ugrp"}
+    eng.sql("GRANT ROLE u_role TO GROUP ugrp")
+    eng.sql("GRANT SELECT ON TABLE region TO ROLE u_role")
+    eng.sql("USE default")  # visible through the table grant
+    with _p.raises(AuthorizationError, match=r"access: nodb\.\*"):
+        eng.sql("USE nodb")
+    # CTE alias over an unauthorized table still errors (TestWithClause)
+    with _p.raises(AuthorizationError, match="orders"):
+        eng.sql("WITH t AS (SELECT * FROM orders) SELECT count(*) FROM t")
+    # CTE over the authorized table passes
+    assert (
+        eng.sql("WITH t AS (SELECT * FROM region) SELECT count(*) FROM t")
+        .collect()[0][0] == 5
+    )
+    eng.sql("DROP ROLE u_role")
