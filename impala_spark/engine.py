@@ -583,6 +583,26 @@ class ImpalaEngine:
                 # table-targeted metadata needs ANY privilege on the
                 # object (AuthorizationChecker Privilege.ANY)
                 self._authz.check_any_access(self.spark, target)
+                bare_t = target.split(".")[-1]
+                if kind == "CREATE TABLE" and bare_t in self._views:
+                    # the definition exposes the underlying tables — the
+                    # user needs privileges on each (TestShowCreateTable:
+                    # "...to see the definition of view")
+                    from impala_spark.authz import AuthorizationError
+                    from impala_spark.rewrites import referenced_base_tables
+
+                    refs = referenced_base_tables(
+                        self._view_texts.get(bare_t, "")
+                    )
+                    for ref in sorted(refs or set()):
+                        if not self._authz.visible_table(
+                            self.spark, ref, include_column_privs=False
+                        ):
+                            raise AuthorizationError(
+                                f"User '{self._authz.user}' does not have"
+                                " privileges to see the definition of"
+                                f" view 'default.{bare_t}'."
+                            )
             if kind == "FILES IN":
                 return self.show_files(target)
             if kind == "TABLE STATS":

@@ -556,3 +556,40 @@ def test_use_db_and_cte_masking(spark, sf_dir):
         .collect()[0][0] == 5
     )
     eng.sql("DROP ROLE u_role")
+
+
+def test_show_create_view_needs_underlying_privileges(spark, sf_dir):
+    """SHOW CREATE TABLE on a view requires privileges on the view's
+    underlying tables (TestShowCreateTable: 'to see the definition of
+    view')."""
+    import pytest as _p
+
+    from impala_spark.authz import AuthorizationError
+    from impala_spark.engine import ImpalaEngine
+    from impala_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    eng = ImpalaEngine(spark, sf_dir, server_name="server1", user="vuser")
+    eng.sql("CREATE ROLE v_role")
+    eng._authz.user_groups["vuser"] = {"vgrp"}
+    eng.sql("GRANT ROLE v_role TO GROUP vgrp")
+    # view over orders; user gets privileges on the VIEW only
+    admin = ImpalaEngine(spark, sf_dir, server_name="server1", user="vadmin")
+    admin._authz = eng._authz  # shared policy store
+    spark.sql("DROP VIEW IF EXISTS v_orders_probe")
+    saved = eng._authz.server_name
+    eng._authz.server_name = None  # create as superuser
+    eng.sql("CREATE VIEW v_orders_probe AS SELECT o_orderkey FROM orders")
+    eng._authz.server_name = saved
+    eng.sql("GRANT SELECT ON TABLE v_orders_probe TO ROLE v_role")
+    with _p.raises(
+        AuthorizationError,
+        match=r"to see the definition of view 'default\.v_orders_probe'\.",
+    ):
+        eng.sql("SHOW CREATE TABLE v_orders_probe")
+    eng.sql("GRANT SELECT ON TABLE orders TO ROLE v_role")
+    eng.sql("SHOW CREATE TABLE v_orders_probe")  # now passes
+    eng._authz.server_name = None
+    eng.sql("DROP VIEW v_orders_probe")
+    eng._authz.server_name = saved
+    eng.sql("DROP ROLE v_role")
