@@ -168,6 +168,10 @@ def run_case(spark, eng, rng, case_idx, n_ops, log):
         kinds += ["update_from", "delete_from"]
         if n_added[0] < 2:
             kinds.append("add_column")
+        if layout != "partitioned":
+            # staged-file LOAD appends raw parquet — partitioned layouts
+            # need partition dirs, which LOAD DATA doesn't synthesize
+            kinds.append("load_data")
         kind = rng.choice(kinds)
         if kind == "insert":
             rows = fresh_rows(rng.randint(1, 4))
@@ -297,6 +301,23 @@ def run_case(spark, eng, rng, case_idx, n_ops, log):
                 full = dict(r)
                 full["p"] = pv
                 model.rows[full["pk"]] = full
+        elif kind == "load_data":
+            import tempfile
+
+            rows = fresh_rows(rng.randint(1, 3))
+            names = [c for c, _ in cols]
+            typemap = {"INT": "int", "BIGINT": "bigint",
+                       "STRING": "string", "DOUBLE": "double"}
+            schema = ", ".join(
+                f"{c} {typemap[t]}" for c, t in cols
+            )
+            stage = tempfile.mkdtemp(prefix="fz_load_")
+            spark.createDataFrame(
+                [tuple(r[n] for n in names) for r in rows], schema
+            ).coalesce(1).write.mode("overwrite").parquet(stage)
+            stmt = f"LOAD DATA INPATH '{stage}' INTO TABLE {tname}"
+            for r in rows:
+                model.rows[r["pk"]] = dict(r)
         elif kind == "add_column":
             # schema evolution mid-sequence: existing rows read NULL; the
             # new column lands BEFORE the partition column in the view
