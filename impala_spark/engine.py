@@ -2268,6 +2268,48 @@ class ImpalaEngine:
             query, default_db=self.spark.catalog.currentDatabase()
         )
 
+    def _explain_dml(self, query: str) -> str | None:
+        """EXPLAIN of a write statement: the sink line the reference's
+        planner puts at the plan root (HdfsTableSink 'WRITE TO HDFS
+        [db.t, OVERWRITE=...]'; Kudu-surface UPDATE/DELETE/UPSERT sinks)
+        over the planned SOURCE query. Returns None for non-DML."""
+        q = query.strip().rstrip(";")
+        m = re.match(
+            r"(?is)^\s*(INSERT|UPSERT)\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+            r"(`[^`]+`|[\w.]+)\s*(?:\([^)]*\)\s*)?"
+            r"(?:PARTITION\s*\([^)]*\)\s*)?"
+            r"((?:SELECT|WITH|VALUES)\b.*)$", q)
+        if m:
+            head, mode, target, src = (
+                m.group(1).upper(), m.group(2).upper(),
+                m.group(3).strip("`"), m.group(4),
+            )
+            sink = (
+                f"UPSERT INTO [default.{target}]"
+                if head == "UPSERT"
+                else f"WRITE TO HDFS [default.{target}, "
+                     f"OVERWRITE={'true' if mode == 'OVERWRITE' else 'false'}]"
+            )
+            body = self.explain(src)
+            return f"{sink}\n|\n" + body
+        m = re.match(
+            r"(?is)^\s*UPDATE\s+(`[^`]+`|[\w.]+)\s+SET\s+.*?"
+            r"(?:\s+WHERE\s+(.*))?$", q)
+        if m and ddl.table_info(m.group(1).strip("`")) is not None:
+            target = m.group(1).strip("`")
+            where = f" WHERE {m.group(2)}" if m.group(2) else ""
+            body = self.explain(f"SELECT * FROM {target}{where}")
+            return f"UPDATE [default.{target}]\n|\n" + body
+        m = re.match(
+            r"(?is)^\s*DELETE\s+FROM\s+(`[^`]+`|[\w.]+)"
+            r"(?:\s+WHERE\s+(.*))?$", q)
+        if m and ddl.table_info(m.group(1).strip("`")) is not None:
+            target = m.group(1).strip("`")
+            where = f" WHERE {m.group(2)}" if m.group(2) else ""
+            body = self.explain(f"SELECT * FROM {target}{where}")
+            return f"DELETE FROM [default.{target}]\n|\n" + body
+        return None
+
     def explain(self, query: str) -> str:
         """Impala-style plan text (planner/PlanNode.getExplainString analog).
 
@@ -2276,6 +2318,9 @@ class ImpalaEngine:
         exactly where the reference's DistributedPlanner would insert
         ExchangeNodes (shuffle boundaries).
         """
+        dml = self._explain_dml(query)
+        if dml is not None:
+            return dml
         # strict engines apply the same analyzer rejections to EXPLAIN as
         # to sql() — Impala analyzes before planning, so EXPLAIN of an
         # invalid query raises the analysis error, not a plan.
@@ -2321,6 +2366,10 @@ class ImpalaEngine:
             try:
                 size = int(st.sizeInBytes())
             except Exception:
+                size = None
+            if size is not None and size >= (1 << 62):
+                # Catalyst's unknown-stats default is Long.MaxValue —
+                # the reference prints unavailable, not 8192PB
                 size = None
             size_s = _print_bytes(size) if size is not None else "unavailable"
             return f"cardinality={card} size={size_s}"

@@ -378,3 +378,39 @@ class TestShowFunctionCategories:
         eng = self._eng(spark)
         with pytest.raises(ImpalaUnsupportedError, match="COMMENT is not a statement"):
             eng.sql("COMMENT ON TABLE nation IS 'x'")
+
+
+def test_explain_dml_statements(spark, sf_dir):
+    """EXPLAIN of write statements shows the sink over the planned
+    source (HdfsTableSink 'WRITE TO HDFS [db.t, OVERWRITE=...]';
+    Kudu-surface UPDATE/DELETE/UPSERT sinks)."""
+    from impala_spark.engine import ImpalaEngine
+    from impala_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    eng = ImpalaEngine(spark, sf_dir)
+    eng.sql("DROP TABLE IF EXISTS expdml_t")
+    eng.sql("CREATE TABLE expdml_t (k BIGINT, v STRING, PRIMARY KEY (k))")
+
+    def text(stmt):
+        return "\n".join(
+            r.explain_string for r in eng.sql(stmt).collect()
+        )
+
+    t = text("EXPLAIN INSERT INTO expdml_t SELECT r_regionkey, r_name FROM region")
+    assert t.startswith("WRITE TO HDFS [default.expdml_t, OVERWRITE=false]")
+    assert "SCAN PARQUET" in t
+    t = text("EXPLAIN INSERT OVERWRITE expdml_t VALUES (1, 'a')")
+    assert "OVERWRITE=true" in t
+    assert text("EXPLAIN UPDATE expdml_t SET v = 'x' WHERE k = 1").startswith(
+        "UPDATE [default.expdml_t]"
+    )
+    assert text("EXPLAIN DELETE FROM expdml_t WHERE k = 2").startswith(
+        "DELETE FROM [default.expdml_t]"
+    )
+    assert text("EXPLAIN UPSERT INTO expdml_t VALUES (1, 'b')").startswith(
+        "UPSERT INTO [default.expdml_t]"
+    )
+    # unknown-stat sizes print as unavailable, never 8192.00PB
+    assert "PB" not in text("EXPLAIN UPDATE expdml_t SET v = 'y' WHERE k = 3")
+    eng.sql("DROP TABLE expdml_t")
