@@ -2275,6 +2275,34 @@ class ImpalaEngine:
         over the planned SOURCE query. Returns None for non-DML."""
         q = query.strip().rstrip(";")
         m = re.match(
+            r"(?is)^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            r"(`[^`]+`|[\w.]+).*?\bAS\s+((?:SELECT|WITH|VALUES)\b.*)$", q)
+        if m:
+            # EXPLAIN CTAS plans the source under the table sink — it must
+            # NEVER execute the create (spark.sql would run the command
+            # eagerly; caught by a tableExists probe)
+            target = m.group(1).strip("`")
+            body = self.explain(m.group(2))
+            return (
+                f"WRITE TO HDFS [default.{target}, OVERWRITE=false]\n|\n"
+                + body
+            )
+        mw = re.match(r"\s*([A-Za-z_]+)", q)
+        head = mw.group(1).upper() if mw else ""
+        if head in (
+            "CREATE", "DROP", "ALTER", "TRUNCATE", "LOAD", "SET", "USE",
+            "SHOW", "DESCRIBE", "COMPUTE", "INVALIDATE", "REFRESH",
+            "GRANT", "REVOKE",
+        ):
+            # the grammar only accepts EXPLAIN over query/DML statements
+            # (sql-parser.cup explain_stmt) — anything else is a syntax
+            # error, and must never execute as a side effect
+            raise ImpalaUnsupportedError(
+                f"Syntax error: EXPLAIN is not supported for {head} "
+                "statements (EXPLAIN accepts queries, INSERT/UPSERT/"
+                "UPDATE/DELETE, and CREATE TABLE AS SELECT)"
+            )
+        m = re.match(
             r"(?is)^\s*(INSERT|UPSERT)\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?"
             r"(`[^`]+`|[\w.]+)\s*(?:\([^)]*\)\s*)?"
             r"(?:PARTITION\s*\([^)]*\)\s*)?"

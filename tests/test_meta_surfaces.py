@@ -414,3 +414,30 @@ def test_explain_dml_statements(spark, sf_dir):
     # unknown-stat sizes print as unavailable, never 8192.00PB
     assert "PB" not in text("EXPLAIN UPDATE expdml_t SET v = 'y' WHERE k = 3")
     eng.sql("DROP TABLE expdml_t")
+
+
+def test_explain_ctas_plans_without_executing(spark, sf_dir):
+    """EXPLAIN CTAS shows the sink plan and must NOT create the table
+    (spark.sql executes DDL commands eagerly — caught by probe); other
+    DDL under EXPLAIN is a syntax error like the grammar
+    (sql-parser.cup explain_stmt)."""
+    import pytest as _p
+
+    from impala_spark.engine import ImpalaEngine
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    eng = ImpalaEngine(spark, sf_dir)
+    spark.sql("DROP TABLE IF EXISTS exp_ctas_probe")
+    rows = eng.sql(
+        "EXPLAIN CREATE TABLE exp_ctas_probe AS SELECT r_regionkey FROM region"
+    ).collect()
+    assert rows[0].explain_string.startswith(
+        "WRITE TO HDFS [default.exp_ctas_probe"
+    )
+    assert not spark.catalog.tableExists("exp_ctas_probe")
+    with _p.raises(ImpalaUnsupportedError, match="EXPLAIN is not supported"):
+        eng.sql("EXPLAIN DROP TABLE region")
+    with _p.raises(ImpalaUnsupportedError, match="EXPLAIN is not supported"):
+        eng.sql("EXPLAIN CREATE VIEW v_x AS SELECT 1")
