@@ -8400,3 +8400,56 @@ def q_meta_equiv_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank: int, equiv_class: string, tables: string, statements: int"
     )
+
+
+@register(
+    "meta_explain_dml",
+    """
+    SELECT * FROM (VALUES
+      ('ctas', 'WRITE TO HDFS [default.expdml_probe, OVERWRITE=false]'),
+      ('insert', 'WRITE TO HDFS [default.expdml_probe, OVERWRITE=false]'),
+      ('overwrite', 'WRITE TO HDFS [default.expdml_probe, OVERWRITE=true]'),
+      ('update', 'UPDATE [default.expdml_probe]'),
+      ('delete', 'DELETE FROM [default.expdml_probe]'),
+      ('upsert', 'UPSERT INTO [default.expdml_probe]'),
+      ('ctas_no_side_effect', 'true')
+    ) AS t(stmt_kind, sink_line)
+    ORDER BY stmt_kind
+    """,
+)
+def q_meta_explain_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLAIN of write statements: the planner's table-sink line over
+    the planned source (P/HdfsTableSink.java 'WRITE TO HDFS'; the
+    Kudu-surface UPDATE/DELETE/UPSERT sinks) — and EXPLAIN CTAS must
+    never execute the create."""
+    from impala_spark.engine import ImpalaEngine
+
+    register_tables(spark, sf_dir)
+    eng = ImpalaEngine(spark, sf_dir)
+    eng.sql("DROP TABLE IF EXISTS expdml_probe")
+    eng.sql("CREATE TABLE expdml_probe (k BIGINT, v STRING, PRIMARY KEY (k))")
+
+    def first_line(stmt: str) -> str:
+        return eng.sql(stmt).collect()[0].explain_string
+
+    rows = [
+        ("insert", first_line(
+            "EXPLAIN INSERT INTO expdml_probe SELECT r_regionkey, r_name FROM region")),
+        ("overwrite", first_line(
+            "EXPLAIN INSERT OVERWRITE expdml_probe VALUES (1, 'a')")),
+        ("update", first_line("EXPLAIN UPDATE expdml_probe SET v = 'x' WHERE k = 1")),
+        ("delete", first_line("EXPLAIN DELETE FROM expdml_probe WHERE k = 2")),
+        ("upsert", first_line("EXPLAIN UPSERT INTO expdml_probe VALUES (1, 'b')")),
+    ]
+    eng.sql("DROP TABLE expdml_probe")
+    spark.sql("DROP TABLE IF EXISTS expdml_probe")
+    ctas_first = first_line(
+        "EXPLAIN CREATE TABLE expdml_probe AS SELECT r_regionkey FROM region")
+    rows.append(("ctas", ctas_first))
+    rows.append(
+        ("ctas_no_side_effect",
+         str(not spark.catalog.tableExists("expdml_probe")).lower())
+    )
+    return spark.createDataFrame(
+        sorted(rows), "stmt_kind: string, sink_line: string"
+    )
