@@ -744,6 +744,29 @@ class ImpalaEngine:
         m = _CREATE_TABLE_HDR_RE.match(q)
         if m:
             return self._create_table_with_cols(q, m, rng=rng)
+        m = re.match(
+            r"(?is)^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+"
+            r"(?:IF\s+NOT\s+EXISTS\s+)?(?P<table>`[^`]+`|[\w.]+)\s+"
+            r"STORED\s+AS\s+AVRO\b.*?"
+            r"avro\.schema\.literal'\s*=\s*'(?P<lit>(?:[^']|'')*)'", q)
+        if m:
+            # column list omitted: the Avro schema literal supplies it
+            # (AvroSchemaUtils.extractAvroTblProps + AvroSchemaParser —
+            # the reference infers the columns when none are declared,
+            # CreateTableStmt.analyzeAvroSchema)
+            from impala_spark.sources import avro_schema_to_cols
+
+            tname = self._session_view_name(m.group("table"))
+            if ddl.table_info(tname) is not None and re.search(
+                r"\bIF\s+NOT\s+EXISTS\b", q, re.IGNORECASE
+            ):
+                return self.spark.sql("SELECT 'table exists (kept)' AS result")
+            cols = avro_schema_to_cols(m.group("lit").replace("''", "'"))
+            if not cols:
+                raise ImpalaAnalysisError(
+                    "An Avro table requires column definitions or an "
+                    "Avro schema")
+            return ddl.create_table(self.spark, tname, cols)
         m = _CREATE_VIEW_RE.match(q)
         if m:
             # analysis/CreateViewStmt.java. Fixture tables are session

@@ -108,3 +108,83 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def avro_schema_to_cols(literal: str) -> str:
+    """Avro schema JSON -> Impala column-def string, with the reference's
+    type mapping and error surface (util/AvroSchemaParser.java: primitive
+    map at :59-65, nullable-union unwrap, ARRAY/MAP/RECORD complex types,
+    BYTES+decimal logicalType; top-level must be a RECORD). Used by
+    CREATE TABLE ... STORED AS AVRO when the column list is omitted and
+    avro.schema.literal supplies it (AvroSchemaUtils.extractAvroTblProps)."""
+    import json
+
+    from impala_spark.parser import ImpalaUnsupportedError
+
+    try:
+        schema = json.loads(literal)
+    except ValueError as e:
+        raise ImpalaUnsupportedError(f"Error parsing Avro schema for table: {e}")
+
+    def type_of(s, col):
+        # nullable types arrive as unions of [T, "null"] — hidden from
+        # the user like the reference does
+        if isinstance(s, list):
+            non_null = [x for x in s if x != "null"]
+            if len(non_null) == 1 and len(s) <= 2:
+                return type_of(non_null[0], col)
+            raise ImpalaUnsupportedError(
+                f"Unsupported type 'union' of column '{col}'")
+        if isinstance(s, str):
+            prim = {
+                "string": "STRING", "int": "INT", "boolean": "BOOLEAN",
+                "long": "BIGINT", "float": "FLOAT", "double": "DOUBLE",
+            }.get(s)
+            if prim:
+                return prim
+            if s == "bytes":
+                # BYTES is only valid with logicalType=decimal, which
+                # rides the object form
+                raise ImpalaUnsupportedError(
+                    f"logicalType for column '{col}' specified at wrong"
+                    " level or was not specified")
+            raise ImpalaUnsupportedError(
+                f"Unsupported type '{s}' of column '{col}'")
+        t = s.get("type")
+        if t == "array":
+            return f"ARRAY<{type_of(s['items'], col)}>"
+        if t == "map":
+            return f"MAP<STRING,{type_of(s['values'], col)}>"
+        if t == "record":
+            inner = ",".join(
+                f"{f['name']}:{type_of(f['type'], f['name'])}"
+                for f in s.get("fields", [])
+            )
+            return f"STRUCT<{inner}>"
+        if t == "bytes":
+            logical = s.get("logicalType")
+            if logical is None:
+                raise ImpalaUnsupportedError(
+                    f"logicalType for column '{col}' specified at wrong"
+                    " level or was not specified")
+            if logical.lower() != "decimal":
+                raise ImpalaUnsupportedError(
+                    f"Unsupported logicalType: '{logical}' for column"
+                    f" '{col}' with type BYTES")
+            precision, scale = s.get("precision"), s.get("scale", 0)
+            if precision is None:
+                raise ImpalaUnsupportedError(
+                    "No 'precision' property specified for 'decimal'"
+                    " logicalType")
+            return f"DECIMAL({precision},{scale})"
+        return type_of(t, col)  # wrapped primitive: {"type": "long"}
+
+    if not isinstance(schema, dict) or schema.get("type") != "record":
+        got = schema.get("type") if isinstance(schema, dict) else schema
+        raise ImpalaUnsupportedError(
+            "Schema for table must be of type RECORD. Received type: "
+            f"{got}")
+    return ", ".join(
+        f"{f['name']} {type_of(f['type'], f['name'])}"
+        for f in schema.get("fields", [])
+    )

@@ -1294,3 +1294,60 @@ def test_alter_columns_repin_declared_schema(spark):
     eng.sql("UPSERT INTO evo3 VALUES (6, 3)")
     assert dict(eng.sql("SELECT * FROM evo3").dtypes) == {"k": "bigint", "w2": "bigint"}
     eng.sql("DROP TABLE evo3")
+
+
+def test_create_table_from_avro_schema_literal(spark):
+    """CREATE TABLE ... STORED AS AVRO with no column list derives the
+    columns from avro.schema.literal (CreateTableStmt.analyzeAvroSchema
+    + util/AvroSchemaParser.java type mapping: nullable-union unwrap,
+    long->BIGINT, decimal logicalType, complex types)."""
+    import pytest as _pt
+
+    from impala_spark.engine import ImpalaEngine
+    from impala_spark.parser import ImpalaUnsupportedError
+    from impala_spark.sources import avro_schema_to_cols
+
+    eng = ImpalaEngine(spark)
+    eng.sql("DROP TABLE IF EXISTS av_infer")
+    lit = (
+        '{"type":"record","name":"r","fields":['
+        '{"name":"id","type":["null","long"]},'
+        '{"name":"name","type":["null","string"]},'
+        '{"name":"flag","type":"boolean"},'
+        '{"name":"price","type":{"type":"bytes","logicalType":"decimal",'
+        '"precision":9,"scale":2}},'
+        '{"name":"tags","type":{"type":"array","items":"string"}}]}'
+    )
+    eng.sql(
+        "CREATE TABLE av_infer STORED AS AVRO "
+        f"TBLPROPERTIES ('avro.schema.literal'='{lit}')"
+    )
+    assert dict(spark.table("av_infer").dtypes) == {
+        "id": "bigint", "name": "string", "flag": "boolean",
+        "price": "decimal(9,2)", "tags": "array<string>",
+    }
+    eng.sql("INSERT INTO av_infer VALUES (1, 'a', true, 9.50, array('x'))")
+    assert spark.table("av_infer").count() == 1
+    eng.sql("DROP TABLE av_infer")
+    # reference error surfaces
+    with _pt.raises(ImpalaUnsupportedError, match="must be of type RECORD"):
+        avro_schema_to_cols('{"type":"enum","name":"e","symbols":["A"]}')
+    with _pt.raises(ImpalaUnsupportedError, match="logicalType for column 'b'"):
+        avro_schema_to_cols(
+            '{"type":"record","name":"r","fields":'
+            '[{"name":"b","type":"bytes"}]}')
+    with _pt.raises(ImpalaUnsupportedError, match="Unsupported logicalType: 'uuid'"):
+        avro_schema_to_cols(
+            '{"type":"record","name":"r","fields":'
+            '[{"name":"b","type":{"type":"bytes","logicalType":"uuid"}}]}')
+    with _pt.raises(ImpalaUnsupportedError, match="No 'precision' property"):
+        avro_schema_to_cols(
+            '{"type":"record","name":"r","fields":[{"name":"b","type":'
+            '{"type":"bytes","logicalType":"decimal","scale":2}}]}')
+    # nested record -> STRUCT; map -> MAP<STRING, v>
+    cols = avro_schema_to_cols(
+        '{"type":"record","name":"r","fields":['
+        '{"name":"m","type":{"type":"map","values":"int"}},'
+        '{"name":"s","type":{"type":"record","name":"inner","fields":'
+        '[{"name":"x","type":"long"}]}}]}')
+    assert cols == "m MAP<STRING,INT>, s STRUCT<x:BIGINT>"
