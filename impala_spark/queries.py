@@ -8453,3 +8453,40 @@ def q_meta_explain_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(rows), "stmt_kind: string, sink_line: string"
     )
+
+
+@register(
+    "ddl_avro_schema_infer",
+    """
+    SELECT * FROM (VALUES
+      ('flag', 'boolean'), ('id', 'bigint'), ('name', 'string'),
+      ('price', 'decimal(9,2)'), ('tags', 'array<string>')
+    ) AS t(col_name, data_type)
+    ORDER BY col_name
+    """,
+)
+def q_ddl_avro_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE ... STORED AS AVRO with no column list: the columns
+    derive from avro.schema.literal (CreateTableStmt.analyzeAvroSchema +
+    util/AvroSchemaParser.java — nullable-union unwrap, long->BIGINT,
+    BYTES decimal logicalType, complex types)."""
+    from impala_spark.engine import ImpalaEngine
+
+    eng = ImpalaEngine(spark, sf_dir)
+    eng.sql("DROP TABLE IF EXISTS av_entry")
+    lit = (
+        '{"type":"record","name":"r","fields":['
+        '{"name":"id","type":["null","long"]},'
+        '{"name":"name","type":["null","string"]},'
+        '{"name":"flag","type":"boolean"},'
+        '{"name":"price","type":{"type":"bytes","logicalType":"decimal",'
+        '"precision":9,"scale":2}},'
+        '{"name":"tags","type":{"type":"array","items":"string"}}]}'
+    )
+    eng.sql(
+        "CREATE TABLE av_entry STORED AS AVRO "
+        f"TBLPROPERTIES ('avro.schema.literal'='{lit}')"
+    )
+    rows = sorted(spark.table("av_entry").dtypes)
+    eng.sql("DROP TABLE av_entry")
+    return spark.createDataFrame(rows, "col_name: string, data_type: string")
