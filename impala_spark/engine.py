@@ -748,7 +748,8 @@ class ImpalaEngine:
             r"(?is)^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+"
             r"(?:IF\s+NOT\s+EXISTS\s+)?(?P<table>`[^`]+`|[\w.]+)\s+"
             r"STORED\s+AS\s+AVRO\b.*?"
-            r"avro\.schema\.literal'\s*=\s*'(?P<lit>(?:[^']|'')*)'", q)
+            r"avro\.schema\.(?:literal'\s*=\s*'(?P<lit>(?:[^']|'')*)'"
+            r"|url'\s*=\s*'(?P<url>[^']*)')", q)
         if m:
             # column list omitted: the Avro schema literal supplies it
             # (AvroSchemaUtils.extractAvroTblProps + AvroSchemaParser —
@@ -761,7 +762,22 @@ class ImpalaEngine:
                 r"\bIF\s+NOT\s+EXISTS\b", q, re.IGNORECASE
             ):
                 return self.spark.sql("SELECT 'table exists (kept)' AS result")
-            cols = avro_schema_to_cols(m.group("lit").replace("''", "'"))
+            if m.group("lit") is not None:
+                lit = m.group("lit").replace("''", "'")
+            else:
+                # avro.schema.url: read the schema file (file/hdfs-less
+                # path over the local fs, HdfsUri analysis already ran)
+                from urllib.parse import urlparse
+
+                p = urlparse(m.group("url")).path or m.group("url")
+                try:
+                    with open(p) as fh:
+                        lit = fh.read()
+                except OSError as e:
+                    raise ImpalaAnalysisError(
+                        f"Failed to read Avro schema at: {m.group('url')}. "
+                        f"{e.strerror}") from e
+            cols = avro_schema_to_cols(lit)
             if not cols:
                 raise ImpalaAnalysisError(
                     "An Avro table requires column definitions or an "

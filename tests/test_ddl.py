@@ -1351,3 +1351,30 @@ def test_create_table_from_avro_schema_literal(spark):
         '{"name":"s","type":{"type":"record","name":"inner","fields":'
         '[{"name":"x","type":"long"}]}}]}')
     assert cols == "m MAP<STRING,INT>, s STRUCT<x:BIGINT>"
+
+
+def test_create_table_from_avro_schema_url(spark, tmp_path):
+    """avro.schema.url sibling: the schema file on disk supplies the
+    column list (AvroSchemaUtils.readWriteAndGetSchema)."""
+    import pytest as _pt
+
+    from impala_spark.engine import ImpalaEngine, ImpalaAnalysisError
+
+    eng = ImpalaEngine(spark)
+    f = tmp_path / "s.avsc"
+    f.write_text(
+        '{"type":"record","name":"r","fields":'
+        '[{"name":"k","type":"long"},{"name":"v","type":["null","string"]}]}'
+    )
+    eng.sql("DROP TABLE IF EXISTS av_url")
+    eng.sql(
+        "CREATE TABLE av_url STORED AS AVRO "
+        f"TBLPROPERTIES ('avro.schema.url'='file://{f}')"
+    )
+    assert dict(spark.table("av_url").dtypes) == {"k": "bigint", "v": "string"}
+    eng.sql("DROP TABLE av_url")
+    with _pt.raises(ImpalaAnalysisError, match="Failed to read Avro schema"):
+        eng.sql(
+            "CREATE TABLE av_url2 STORED AS AVRO "
+            f"TBLPROPERTIES ('avro.schema.url'='file://{tmp_path}/missing.avsc')"
+        )
