@@ -1553,6 +1553,34 @@ class ImpalaEngine:
             # reference's only hash/range-partitioned storage); anything
             # else validates as before
             format_spec(sm.group(1))  # validate; unsupported formats raise
+        am = re.search(
+            r"(?is)avro\.schema\.(?:literal'\s*=\s*'(?P<lit>(?:[^']|'')*)'"
+            r"|url'\s*=\s*'(?P<url>[^']*)')", rest)
+        if am and sm and sm.group(1).upper() == "AVRO":
+            # declared columns + an Avro schema: the schema wins, except
+            # string-typed declarations keep their CHAR/VARCHAR width
+            # (AvroSchemaUtils.reconcileSchemas; warnings-only surface)
+            from impala_spark.sources import (
+                avro_schema_to_cols,
+                reconcile_avro_cols,
+            )
+
+            if am.group("lit") is not None:
+                lit = am.group("lit").replace("''", "'")
+            else:
+                from urllib.parse import urlparse
+
+                p = urlparse(am.group("url")).path or am.group("url")
+                with open(p) as fh:
+                    lit = fh.read()
+            avro_cols = [
+                tuple(x.strip().split(" ", 1))
+                for x in avro_schema_to_cols(lit).split(", ") if x
+            ]
+            declared, _pk9 = ddl._parse_col_defs(col_defs, normalize=False)
+            merged = reconcile_avro_cols(
+                [(c, t) for c, t in declared], avro_cols)
+            col_defs = ", ".join(f"{c} {t}" for c, t in merged)
         if rng:
             if part_defs or hm:
                 raise ImpalaUnsupportedError(

@@ -188,3 +188,25 @@ def avro_schema_to_cols(literal: str) -> str:
         f"{f['name']} {type_of(f['type'], f['name'])}"
         for f in schema.get("fields", [])
     )
+
+
+def reconcile_avro_cols(
+    declared: list[tuple[str, str]], avro_cols: list[tuple[str, str]]
+) -> list[tuple[str, str]]:
+    """Column-def-vs-Avro-schema reconciliation
+    (util/AvroSchemaUtils.java reconcileSchemas:119-157): on a size
+    mismatch the Avro schema wins entirely; per position, a
+    CHAR/VARCHAR/STRING declaration against an Avro STRING keeps the
+    declared TYPE under the Avro NAME; any other inconsistency resolves
+    to the Avro column (the reference prefers the Avro schema so
+    COMPUTE STATS stays consistent, IMPALA-1104)."""
+    if len(declared) != len(avro_cols):
+        return list(avro_cols)
+    out: list[tuple[str, str]] = []
+    for (dn, dt), (an, at) in zip(declared, avro_cols):
+        d_is_str = dt.upper().split("(")[0].strip() in ("CHAR", "VARCHAR", "STRING")
+        if d_is_str and at.upper() == "STRING":
+            out.append((an, dt))
+        else:
+            out.append((an, at))
+    return out

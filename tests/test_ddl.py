@@ -1378,3 +1378,47 @@ def test_create_table_from_avro_schema_url(spark, tmp_path):
             "CREATE TABLE av_url2 STORED AS AVRO "
             f"TBLPROPERTIES ('avro.schema.url'='file://{tmp_path}/missing.avsc')"
         )
+
+
+def test_avro_schema_reconciles_declared_columns(spark):
+    """Declared columns + Avro schema: the schema wins (names, extra or
+    fewer columns), except string-typed declarations keep their
+    CHAR/VARCHAR type under the Avro name
+    (util/AvroSchemaUtils.java reconcileSchemas:119-157)."""
+    from impala_spark.engine import ImpalaEngine
+
+    eng = ImpalaEngine(spark)
+    lit = (
+        '{"type":"record","name":"r","fields":['
+        '{"name":"av_id","type":"long"},'
+        '{"name":"av_name","type":["null","string"]}]}'
+    )
+    # same arity: names come from avro; VARCHAR keeps its declared type
+    eng.sql("DROP TABLE IF EXISTS av_rec1")
+    eng.sql(
+        "CREATE TABLE av_rec1 (decl_id INT, decl_name VARCHAR(10)) "
+        f"STORED AS AVRO TBLPROPERTIES ('avro.schema.literal'='{lit}')"
+    )
+    # Spark surfaces varchar as string in visible types (the engine's
+    # established convention, pinned on plain_t); the reconcile itself
+    # keeps the declared VARCHAR — unit-asserted below
+    assert dict(spark.table("av_rec1").dtypes) == {
+        "av_id": "bigint", "av_name": "string",
+    }
+    from impala_spark.sources import reconcile_avro_cols
+
+    assert reconcile_avro_cols(
+        [("decl_id", "INT"), ("decl_name", "VARCHAR(10)")],
+        [("av_id", "BIGINT"), ("av_name", "STRING")],
+    ) == [("av_id", "BIGINT"), ("av_name", "VARCHAR(10)")]
+    # arity mismatch: the avro schema wins entirely
+    eng.sql("DROP TABLE IF EXISTS av_rec2")
+    eng.sql(
+        "CREATE TABLE av_rec2 (only_one INT) "
+        f"STORED AS AVRO TBLPROPERTIES ('avro.schema.literal'='{lit}')"
+    )
+    assert dict(spark.table("av_rec2").dtypes) == {
+        "av_id": "bigint", "av_name": "string",
+    }
+    eng.sql("DROP TABLE av_rec1")
+    eng.sql("DROP TABLE av_rec2")
