@@ -172,6 +172,7 @@ def run_case(spark, eng, rng, case_idx, n_ops, log):
             # staged-file LOAD appends raw parquet — partitioned layouts
             # need partition dirs, which LOAD DATA doesn't synthesize
             kinds.append("load_data")
+        kinds.append("ctas_snapshot")
         kind = rng.choice(kinds)
         if kind == "insert":
             rows = fresh_rows(rng.randint(1, 4))
@@ -330,6 +331,33 @@ def run_case(spark, eng, rng, case_idx, n_ops, log):
             model.cols = cols
             for r in model.rows.values():
                 r[nc] = None
+        elif kind == "ctas_snapshot":
+            # CTAS from the managed table: the snapshot must equal the
+            # model exactly (read-side check of every prior write)
+            snap = f"{tname}_snap"
+            eng.sql(f"DROP TABLE IF EXISTS {snap}")
+            stmt = f"CREATE TABLE {snap} AS SELECT * FROM {tname}"
+            eng.sql(stmt)
+            history.append(stmt)
+            got_s = sorted(
+                (tuple(norm(v) for v in row)
+                 for row in eng.sql(
+                     f"SELECT {', '.join(c for c, _ in cols)} FROM {snap}"
+                 ).collect()),
+                key=lambda t: tuple((v is None, str(v)) for v in t),
+            )
+            want_s = sorted(
+                (tuple(norm(v) for v in t) for t in model.tuples()),
+                key=lambda t: tuple((v is None, str(v)) for v in t),
+            )
+            eng.sql(f"DROP TABLE {snap}")
+            if got_s != want_s:
+                print(f"MISMATCH in case {case_idx} after: {stmt}")
+                print(f"snapshot ({len(got_s)}): {got_s[:20]}")
+                print(f"model    ({len(want_s)}): {want_s[:20]}")
+                return False
+            log.append(stmt)
+            continue
         else:  # truncate
             stmt = f"TRUNCATE TABLE {tname}"
             model.rows = {}
