@@ -153,10 +153,32 @@ def run_case(spark, eng, rng, case_idx, n_ops, log):
         )
 
     def rand_pred():
+        """Returns (sql, eval_fn) — eval_fn applies SQL three-valued
+        logic row-wise like the engine's translated predicate."""
         c, t = rng.choice(cols)
+        k = rng.random()
+        if k < 0.12:
+            neg = rng.random() < 0.5
+            sql = f"{c} IS {'NOT ' if neg else ''}NULL"
+            return sql, (lambda r, c=c, neg=neg:
+                         (r.get(c) is not None) if neg else (r.get(c) is None))
+        if k < 0.24 and t != "STRING":
+            lo = rand_value(rng, t, allow_null=False)
+            hi = rand_value(rng, t, allow_null=False)
+            if hi < lo:
+                lo, hi = hi, lo
+            sql = f"{c} BETWEEN {lit(lo, t)} AND {lit(hi, t)}"
+            return sql, (lambda r, c=c, lo=lo, hi=hi:
+                         r.get(c) is not None and lo <= r[c] <= hi)
+        if k < 0.36:
+            vals = [rand_value(rng, t, allow_null=False) for _ in range(3)]
+            sql = f"{c} IN ({', '.join(lit(v, t) for v in vals)})"
+            return sql, (lambda r, c=c, vals=tuple(vals):
+                         r.get(c) is not None and r[c] in vals)
         op = rng.choice(OPS if t != "STRING" else ["=", "!="])
         v = rand_value(rng, t, allow_null=False)
-        return f"{c} {op} {lit(v, t)}", (c, op, v)
+        return (f"{c} {op} {lit(v, t)}",
+                lambda r, c=c, op=op, v=v: sql_cmp(r.get(c), op, v))
 
     n_added = [0]
     for _ in range(n_ops):
@@ -209,7 +231,7 @@ def run_case(spark, eng, rng, case_idx, n_ops, log):
             for r in rows:
                 model.rows[r["pk"]] = dict(r)
         elif kind == "update":
-            pred_sql, (pc, pop, pv) = rand_pred()
+            pred_sql, pred_fn = rand_pred()
             tc, tt = rng.choice(cols[1:])
             if tt in ("INT", "BIGINT") and rng.random() < 0.5:
                 delta = rng.randint(1, 5)
@@ -221,14 +243,13 @@ def run_case(spark, eng, rng, case_idx, n_ops, log):
                 set_sql, apply = f"{tc} = {lit(nv, tt)}", (lambda r: nv)
             stmt = f"UPDATE {tname} SET {set_sql} WHERE {pred_sql}"
             for r in model.rows.values():
-                if sql_cmp(r.get(pc), pop, pv):
+                if pred_fn(r):
                     r[tc] = apply(r)
         elif kind == "delete":
-            pred_sql, (pc, pop, pv) = rand_pred()
+            pred_sql, pred_fn = rand_pred()
             stmt = f"DELETE FROM {tname} WHERE {pred_sql}"
             model.rows = {
-                k: r for k, r in model.rows.items()
-                if not sql_cmp(r.get(pc), pop, pv)
+                k: r for k, r in model.rows.items() if not pred_fn(r)
             }
         elif kind == "overwrite":
             rows = fresh_rows(rng.randint(1, 3))
