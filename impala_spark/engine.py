@@ -482,10 +482,28 @@ class ImpalaEngine:
     def colocation_advice(self, workload: list) -> list:
         """Rank a workload's join-key equivalence classes by statement
         coverage — the candidates for a hash-bucketed colocated layout
-        (CREATE TABLE ... PARTITION BY HASH, ddl.py)."""
-        from impala_spark.equivalence import colocation_advice
+        (CREATE TABLE ... PARTITION BY HASH, ddl.py). When the engine
+        knows its data directory, classes also carry the bytes a join
+        would shuffle per use, and heavier classes win coverage ties."""
+        import os as _os
 
-        return colocation_advice(workload)
+        from impala_spark.equivalence import colocation_advice
+        from impala_spark.session import TABLES
+
+        sizes: dict[str, int] | None = None
+        if self._sf_dir:
+            sizes = {}
+            for t in TABLES:
+                p = _os.path.join(self._sf_dir, f"{t}.parquet")
+                if _os.path.isfile(p):
+                    sizes[t] = _os.path.getsize(p)
+                elif _os.path.isdir(p):
+                    sizes[t] = sum(
+                        _os.path.getsize(_os.path.join(root, f))
+                        for root, _d, files in _os.walk(p)
+                        for f in files
+                    )
+        return colocation_advice(workload, table_bytes=sizes)
 
     # -- the main path (Frontend.createExecRequest analog) -----------------
     def sql(self, query: str) -> DataFrame:

@@ -188,13 +188,22 @@ def column_equiv_classes(sql: str) -> list[set[str]]:
     )
 
 
-def colocation_advice(workload: Iterable[str]) -> list[dict]:
+def colocation_advice(
+    workload: Iterable[str],
+    table_bytes: dict[str, int] | None = None,
+) -> list[dict]:
     """Rank a workload's join-key equivalence classes by how many
     statements each appears in. Bucketing every table of a class on its
     member column — same column set, same bucket count (``CREATE TABLE
     ... PARTITION BY HASH(col) PARTITIONS n``) — turns those joins into
     zero-exchange colocated joins; the top of this list is the layout
-    that de-shuffles the most of the workload."""
+    that de-shuffles the most of the workload.
+
+    With ``table_bytes`` (table -> input size), each class also reports
+    ``shuffle_bytes_per_use`` — the data a join on that class would
+    otherwise move per statement — and equal-coverage ties rank the
+    heavier class first: at 100 TB, de-shuffling two fact tables beats
+    de-shuffling a dimension join appearing equally often."""
     counts: Counter[frozenset] = Counter()
     for sql in workload:
         seen: set[frozenset] = set()
@@ -204,13 +213,23 @@ def colocation_advice(workload: Iterable[str]) -> list[dict]:
             counts[f] += 1
     out = []
     for cls, n in counts.most_common():
-        out.append(
-            {
-                "columns": sorted(cls),
-                "tables": sorted({c.split(".")[0] for c in cls}),
-                "statements": n,
-            }
+        tables = sorted({c.split(".")[0] for c in cls})
+        entry = {
+            "columns": sorted(cls),
+            "tables": tables,
+            "statements": n,
+        }
+        if table_bytes is not None:
+            entry["shuffle_bytes_per_use"] = sum(
+                table_bytes.get(t, 0) for t in tables
+            )
+        out.append(entry)
+    # deterministic order: coverage first, heavier classes break ties
+    out.sort(
+        key=lambda d: (
+            -d["statements"],
+            -d.get("shuffle_bytes_per_use", 0),
+            d["columns"],
         )
-    # deterministic order among equal counts
-    out.sort(key=lambda d: (-d["statements"], d["columns"]))
+    )
     return out

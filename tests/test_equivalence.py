@@ -219,3 +219,24 @@ def test_advice_to_bucketed_layout_removes_join_exchange(spark):
     assert n == base
     for t in names.values():
         eng.sql(f"DROP TABLE {t}")
+
+
+def test_colocation_advice_byte_weighting(spark):
+    from impala_spark.engine import ImpalaEngine
+    from impala_spark.equivalence import colocation_advice
+
+    # equal coverage: the heavier (fact-fact) class ranks first
+    workload = [
+        "SELECT 1 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey",
+        "SELECT 2 FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey",
+    ]
+    sizes = {"orders": 10_000, "lineitem": 50_000, "nation": 10, "region": 5}
+    advice = colocation_advice(workload, table_bytes=sizes)
+    assert advice[0]["tables"] == ["lineitem", "orders"]
+    assert advice[0]["shuffle_bytes_per_use"] == 60_000
+    assert advice[1]["shuffle_bytes_per_use"] == 15
+    # engine variant fills sizes from its data dir
+    eng = ImpalaEngine(spark, "/root/testdata/sf0.001")
+    ea = eng.colocation_advice(workload)
+    assert ea[0]["tables"] == ["lineitem", "orders"]
+    assert ea[0]["shuffle_bytes_per_use"] > ea[1]["shuffle_bytes_per_use"] > 0
