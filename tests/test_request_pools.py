@@ -421,3 +421,76 @@ def test_engine_no_pool_mapping_rejects_query(spark, sf_dir, tmp_path):
     # no REQUEST_POOL set and the policy is specified(create=false)->reject
     with pytest.raises(ImpalaAnalysisError, match="No mapping found"):
         eng.sql("SELECT 1")
+
+
+def test_engine_concurrent_queries_bounded_by_pool(spark, sf_dir, tmp_path):
+    """8 threads through one engine under max_requests=2: every query
+    completes and the in-flight count never exceeds the pool limit
+    (AdmissionController token held across planning)."""
+    import threading
+
+    from impala_spark.engine import ImpalaEngine
+
+    (tmp_path / "fair.xml").write_text(
+        textwrap.dedent("""\
+        <?xml version="1.0"?>
+        <allocations>
+          <queue name="root">
+            <queue name="bounded"><aclSubmitApps>*</aclSubmitApps></queue>
+          </queue>
+          <queuePlacementPolicy>
+            <rule name="specified" create="false"/>
+            <rule name="reject"/>
+          </queuePlacementPolicy>
+        </allocations>
+        """)
+    )
+    (tmp_path / "llama.xml").write_text(
+        _llama_xml(
+            {
+                "llama.am.throttling.maximum.placed.reservations.root.bounded": "2",
+                "llama.am.throttling.maximum.queued.reservations.root.bounded": "10",
+                "impala.admission-control.pool-queue-timeout-ms.root.bounded": "60000",
+            }
+        )
+    )
+    eng = ImpalaEngine(spark, sf_dir=sf_dir, user="root")
+    eng.configure_request_pools(str(tmp_path / "fair.xml"), str(tmp_path / "llama.xml"))
+    eng.sql("SET REQUEST_POOL=bounded")
+
+    lock = threading.Lock()
+    state = {"in_flight": 0, "max_seen": 0, "done": 0, "errors": []}
+    orig = eng._run_query_stmt
+
+    def tracked(q):
+        with lock:
+            state["in_flight"] += 1
+            state["max_seen"] = max(state["max_seen"], state["in_flight"])
+        try:
+            time.sleep(0.05)  # hold the slot long enough to overlap
+            return orig(q)
+        finally:
+            with lock:
+                state["in_flight"] -= 1
+
+    eng._run_query_stmt = tracked
+
+    def worker(i):
+        try:
+            n = eng.sql(f"SELECT count(*) + {i} AS n FROM region").collect()[0][0]
+            assert n == 5 + i
+            with lock:
+                state["done"] += 1
+        except Exception as e:  # pragma: no cover - failure reporting
+            with lock:
+                state["errors"].append(repr(e))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    eng._run_query_stmt = orig
+    assert state["errors"] == []
+    assert state["done"] == 8
+    assert state["max_seen"] <= 2, state
