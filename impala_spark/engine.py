@@ -2406,12 +2406,16 @@ class ImpalaEngine:
             body = self.explain(src)
             return f"{sink}\n|\n" + body
         m = re.match(
-            r"(?is)^\s*UPDATE\s+(`[^`]+`|[\w.]+)\s+SET\s+.*?"
-            r"(?:\s+WHERE\s+(.*))?$", q)
+            r"(?is)^\s*UPDATE\s+(`[^`]+`|[\w.]+)\s+SET\s+"
+            r"(?P<set>.*?)(?:\s+FROM\s+(?P<from>.*?))?"
+            r"(?:\s+WHERE\s+(?P<where>.*))?$", q)
         if m and ddl.table_info(m.group(1).strip("`")) is not None:
             target = m.group(1).strip("`")
-            where = f" WHERE {m.group(2)}" if m.group(2) else ""
-            body = self.explain(f"SELECT * FROM {target}{where}")
+            where = f" WHERE {m.group('where')}" if m.group("where") else ""
+            # join-form UPDATE plans the joined source (ModifyStmt's
+            # source statement); the plain form scans the target
+            frm = m.group("from") or target
+            body = self.explain(f"SELECT * FROM {frm}{where}")
             return f"UPDATE [default.{target}]\n|\n" + body
         m = re.match(
             r"(?is)^\s*DELETE\s+FROM\s+(`[^`]+`|[\w.]+)"
@@ -2567,7 +2571,11 @@ class ImpalaEngine:
             leaves = qe.optimizedPlan().collectLeaves()
             for i in range(leaves.size()):
                 leaf = leaves.apply(i)
-                leaf_sizes.append(int(leaf.stats().sizeInBytes()))
+                lb = int(leaf.stats().sizeInBytes())
+                # Catalyst's unknown-stats default is Long.MaxValue — a
+                # zero-file scan would otherwise estimate petabytes of
+                # per-host memory
+                leaf_sizes.append(0 if lb >= (1 << 62) else lb)
                 # Planner.getExplainString:295-307 missing-stats warning —
                 # a leaf without a CBO rowCount is a stats-less table
                 try:
