@@ -2425,6 +2425,18 @@ class ImpalaEngine:
             where = f" WHERE {m.group(2)}" if m.group(2) else ""
             body = self.explain(f"SELECT * FROM {target}{where}")
             return f"DELETE FROM [default.{target}]\n|\n" + body
+        m = re.match(
+            r"(?is)^\s*DELETE\s+([\w`]+)\s+FROM\s+(.*)$", q)
+        if m:
+            # join-form DELETE: the target names an alias of the joined
+            # refs; plan the source join (ModifyStmt source statement)
+            try:
+                target = ddl._resolve_modify_target(m.group(1), m.group(2))
+            except ValueError:
+                target = m.group(1).strip("`")
+            if ddl.table_info(target) is not None:
+                body = self.explain(f"SELECT * FROM {m.group(2)}")
+                return f"DELETE FROM [default.{target}]\n|\n" + body
         return None
 
     def explain(self, query: str) -> str:
