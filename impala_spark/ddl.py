@@ -671,6 +671,48 @@ def insert(
         df = df.toDF(*target.columns).select(
             *[F.col(c).cast(f.dataType) for c, f in zip(target.columns, target.schema.fields)]
         )
+    if t.primary_key and not overwrite:
+        # Kudu-surface INSERT semantics: a row whose primary key already
+        # exists is DISCARDED and the statement continues (Impala INSERT
+        # into Kudu reports it as a row error, not a failure); within the
+        # batch the first occurrence wins (ops apply in order)
+        from pyspark.sql import Window
+
+        df = (
+            df.withColumn("__ord", F.monotonically_increasing_id())
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy(*t.primary_key)
+                    .orderBy(F.col("__ord").asc())
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__ord", "__rn")
+            .join(
+                _read_path(spark, t).select(*t.primary_key),
+                on=list(t.primary_key),
+                how="left_anti",
+            )
+            .select(*target.columns)
+        )
+    elif t.primary_key:
+        # OVERWRITE replaces the data; only intra-batch duplicates need
+        # resolving (first wins, same op ordering)
+        from pyspark.sql import Window
+
+        df = (
+            df.withColumn("__ord", F.monotonically_increasing_id())
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy(*t.primary_key)
+                    .orderBy(F.col("__ord").asc())
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__ord", "__rn")
+        )
     if hints and "shuffle" in hints and t.partition_cols:
         # [shuffle] plan hint (InsertStmt.java planHints_): add one
         # exchange on the partition keys before the sink so each output

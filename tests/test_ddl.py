@@ -1422,3 +1422,24 @@ def test_avro_schema_reconciles_declared_columns(spark):
     }
     eng.sql("DROP TABLE av_rec1")
     eng.sql("DROP TABLE av_rec2")
+
+
+def test_insert_existing_key_discarded(spark):
+    """Kudu-surface INSERT: a row whose primary key exists is discarded
+    and the statement continues; within the batch the FIRST occurrence
+    wins (Impala reports Kudu key collisions as row errors, not
+    statement failures)."""
+    from impala_spark.engine import ImpalaEngine
+
+    eng = ImpalaEngine(spark)
+    eng.sql("DROP TABLE IF EXISTS ins_pk")
+    eng.sql("CREATE TABLE ins_pk (k BIGINT, v STRING, PRIMARY KEY (k))")
+    eng.sql("INSERT INTO ins_pk VALUES (1, 'a')")
+    eng.sql("INSERT INTO ins_pk VALUES (1, 'b'), (2, 'c'), (2, 'd')")
+    assert sorted(tuple(r) for r in spark.table("ins_pk").collect()) == [
+        (1, "a"), (2, "c"),
+    ]
+    # OVERWRITE replaces the table; intra-batch first still wins
+    eng.sql("INSERT OVERWRITE ins_pk VALUES (5, 'x'), (5, 'y')")
+    assert [tuple(r) for r in spark.table("ins_pk").collect()] == [(5, "x")]
+    eng.sql("DROP TABLE ins_pk")

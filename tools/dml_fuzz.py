@@ -198,10 +198,15 @@ def run_case(spark, eng, rng, case_idx, n_ops, log):
         kind = rng.choice(kinds)
         if kind == "insert":
             rows = fresh_rows(rng.randint(1, 4))
+            # sometimes aim at an existing key: Kudu-surface INSERT
+            # discards it (first batch occurrence wins, row error only)
+            if model.rows and rng.random() < 0.3:
+                rows[0]["pk"] = rng.choice(list(model.rows))
             names = [c for c, _ in cols]
             stmt = f"INSERT INTO {tname} VALUES {values_sql(rows, names)}"
             for r in rows:
-                model.rows[r["pk"]] = dict(r)
+                if r["pk"] not in model.rows:
+                    model.rows[r["pk"]] = dict(r)
         elif kind == "insert_perm":
             # column permutation: unmentioned columns NULL-fill (the
             # partition column always mentioned — a NULL partition is the
