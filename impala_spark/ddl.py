@@ -215,7 +215,17 @@ def create_table_as_select(
 
 
 def create_table_like(spark: SparkSession, name: str, like: str) -> DataFrame:
-    """CREATE TABLE LIKE — empty table with the source schema."""
+    """CREATE TABLE LIKE — empty table with the source schema. Cloning a
+    Kudu-surface table is rejected like the reference (IMPALA-4052,
+    CreateTableLikeStmt.java:139-149) — a silent clone here would drop
+    the source's hash layout and primary key, which is worse than the
+    error."""
+    src_info = table_info(like.strip("`"))
+    if src_info is not None and (
+        src_info.bucket_cols or src_info.range_cols or src_info.primary_key
+    ):
+        raise ImpalaUnsupportedError(
+            "Cloning a Kudu table using CREATE TABLE LIKE is not supported.")
     src = spark.table(like)
     empty = spark.createDataFrame([], src.schema)
     return create_table_as_select(spark, name, empty)

@@ -1443,3 +1443,27 @@ def test_insert_existing_key_discarded(spark):
     eng.sql("INSERT OVERWRITE ins_pk VALUES (5, 'x'), (5, 'y')")
     assert [tuple(r) for r in spark.table("ins_pk").collect()] == [(5, "x")]
     eng.sql("DROP TABLE ins_pk")
+
+
+def test_create_table_like_kudu_rejected(spark):
+    """Cloning a Kudu-surface table (hash/range layout or primary key)
+    via CREATE TABLE LIKE is rejected with the reference's text
+    (IMPALA-4052, CreateTableLikeStmt.java:147-149) — a silent clone
+    would drop the layout and key."""
+    import pytest as _pt
+
+    from impala_spark.engine import ImpalaEngine
+    from impala_spark.parser import ImpalaUnsupportedError
+
+    eng = ImpalaEngine(spark)
+    eng.sql("DROP TABLE IF EXISTS ctl_src")
+    eng.sql(
+        "CREATE TABLE ctl_src (k BIGINT, v STRING, PRIMARY KEY (k))"
+        " PARTITION BY HASH (k) PARTITIONS 4 STORED AS KUDU"
+    )
+    with _pt.raises(
+        ImpalaUnsupportedError,
+        match=r"Cloning a Kudu table using CREATE TABLE LIKE is not supported\.",
+    ):
+        eng.sql("CREATE TABLE ctl_dst LIKE ctl_src")
+    eng.sql("DROP TABLE ctl_src")
