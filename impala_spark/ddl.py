@@ -988,11 +988,27 @@ def _touched_partitions(df: DataFrame, t: ManagedTable, pred) -> list[tuple]:
     return [tuple(r[c] for c in t.partition_cols) for r in rows]
 
 
-def modify(spark: SparkSession, stmt: str) -> DataFrame:
+def modify(spark: SparkSession, stmt: str, strict: bool = False) -> DataFrame:
     # -- UPDATE ... SET ... FROM <joined refs> [WHERE ...] (ModifyStmt:
     # the FROM clause names the target by alias; assignments may read
     # the joined tables). Detected by a top-level FROM that precedes any
     # top-level WHERE — a WHERE-subquery's FROM sits inside parens.
+    if strict:
+        # ModifyStmt analysis: only Kudu tables are modifiable
+        # (AnalyzeModifyStmtsTest "Impala does not support modifying a
+        # non-Kudu table"); the engine's PK-less parquet tables are the
+        # HDFS-table analog. Permissive mode keeps the documented
+        # read-modify-overwrite superset.
+        tm = re.match(
+            r"^\s*(?:UPDATE\s+|DELETE\s+(?:FROM\s+)?)([\w`]+)", stmt,
+            re.IGNORECASE)
+        if tm:
+            tgt = tm.group(1).strip("`")
+            ti = table_info(tgt)
+            if ti is not None and not ti.primary_key:
+                raise ImpalaUnsupportedError(
+                    "Impala does not support modifying a non-Kudu table: "
+                    f"default.{tgt}")
     um = re.match(r"^\s*UPDATE\s+([\w`]+)\s+SET\s+", stmt, re.IGNORECASE)
     if um:
         tail = stmt[um.end():]

@@ -863,7 +863,7 @@ class ImpalaEngine:
                 )
             return ddl.alter_table(self.spark, q)
         if upper.startswith(("UPDATE ", "DELETE ", "UPSERT ")):
-            return ddl.modify(self.spark, q)
+            return ddl.modify(self.spark, q, strict=self.strict)
         if upper.startswith("TRUNCATE"):
             return ddl.truncate(self.spark, q)
         if upper.startswith("LOAD DATA"):

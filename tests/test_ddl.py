@@ -1467,3 +1467,32 @@ def test_create_table_like_kudu_rejected(spark):
     ):
         eng.sql("CREATE TABLE ctl_dst LIKE ctl_src")
     eng.sql("DROP TABLE ctl_src")
+
+
+def test_strict_mode_rejects_modifying_non_kudu_table(spark):
+    """Strict engines pin ModifyStmt's Kudu-only analysis: UPDATE/DELETE
+    on a PK-less (HDFS-analog) table raises the reference text; the
+    permissive default keeps the documented read-modify-overwrite
+    superset (AnalyzeModifyStmtsTest)."""
+    import pytest as _pt
+
+    from impala_spark.engine import ImpalaEngine
+    from impala_spark.parser import ImpalaUnsupportedError
+
+    strict = ImpalaEngine(spark, strict=True)
+    strict.sql("DROP TABLE IF EXISTS hdfs_t")
+    strict.sql("CREATE TABLE hdfs_t (k BIGINT, v STRING)")
+    for stmt in ("UPDATE hdfs_t SET v = 'b' WHERE k = 1",
+                 "DELETE FROM hdfs_t WHERE k = 1"):
+        with _pt.raises(
+            ImpalaUnsupportedError,
+            match="Impala does not support modifying a non-Kudu table:"
+                  " default.hdfs_t",
+        ):
+            strict.sql(stmt)
+    # permissive default still modifies parquet tables
+    loose = ImpalaEngine(spark)
+    loose.sql("INSERT INTO hdfs_t VALUES (1, 'a')")
+    loose.sql("UPDATE hdfs_t SET v = 'b' WHERE k = 1")
+    assert [tuple(r) for r in spark.table("hdfs_t").collect()] == [(1, "b")]
+    strict.sql("DROP TABLE hdfs_t")
