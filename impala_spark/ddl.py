@@ -1028,6 +1028,13 @@ def modify(spark: SparkSession, stmt: str, strict: bool = False) -> DataFrame:
         df = _read_path(spark, t)
         pred = F.expr(translate(where)) if where else F.lit(True)
         assigns = _split_assignments(set_clause)
+        keyset = {k.lower() for k in t.primary_key}
+        for col, _rhs in assigns:
+            if col.strip("`").lower() in keyset:
+                # ModifyStmt.java:267 exact text — Kudu-surface keys are
+                # immutable (the FROM-form path has the same guard)
+                raise ImpalaUnsupportedError(
+                    f"Key column '{col.strip('`')}' cannot be updated.")
         set_cols = {c for c, _ in assigns}
         if t.partition_cols and where and not (set_cols & set(t.partition_cols)):
             # Partition-scoped rewrite: only partitions with matching rows

@@ -1496,3 +1496,22 @@ def test_strict_mode_rejects_modifying_non_kudu_table(spark):
     loose.sql("UPDATE hdfs_t SET v = 'b' WHERE k = 1")
     assert [tuple(r) for r in spark.table("hdfs_t").collect()] == [(1, "b")]
     strict.sql("DROP TABLE hdfs_t")
+
+
+def test_update_key_column_rejected(spark):
+    """Key columns cannot be updated (ModifyStmt.java:267 exact text);
+    PK-less tables have no key columns, so any SET stays legal there."""
+    import pytest as _pt
+
+    from impala_spark.engine import ImpalaEngine
+    from impala_spark.parser import ImpalaUnsupportedError
+
+    eng = ImpalaEngine(spark)
+    eng.sql("DROP TABLE IF EXISTS upk")
+    eng.sql("CREATE TABLE upk (k BIGINT, v STRING, PRIMARY KEY (k))")
+    eng.sql("INSERT INTO upk VALUES (1, 'a')")
+    with _pt.raises(ImpalaUnsupportedError, match=r"Key column 'k' cannot be updated\."):
+        eng.sql("UPDATE upk SET k = 9 WHERE v = 'a'")
+    eng.sql("UPDATE upk SET v = 'b' WHERE k = 1")  # non-key ok
+    assert [tuple(r) for r in spark.table("upk").collect()] == [(1, "b")]
+    eng.sql("DROP TABLE upk")
