@@ -238,7 +238,8 @@ _DROP_TABLE_RE = re.compile(
 #: sql-parser.cup show_stmt): SHOW FILES IN t, SHOW TABLE/COLUMN STATS t,
 #: SHOW PARTITIONS t, SHOW CREATE TABLE t, SHOW FUNCTIONS.
 _SHOW_RE = re.compile(
-    r"^\s*SHOW\s+(?P<kind>FILES\s+IN|TABLE\s+STATS|COLUMN\s+STATS|PARTITIONS|"
+    r"^\s*SHOW\s+(?P<kind>FILES\s+IN|TABLE\s+STATS|COLUMN\s+STATS|"
+    r"RANGE\s+PARTITIONS|PARTITIONS|"
     r"CREATE\s+TABLE|CREATE\s+FUNCTION|FUNCTIONS)\s*(?P<target>[\w.`]+)?\s*$",
     re.IGNORECASE,
 )
@@ -290,6 +291,34 @@ _QUERY_OPTIONS = {
     "disable_codegen": "spark.sql.codegen.wholeStage",  # inverted bool
     "broadcast_threshold": "spark.sql.autoBroadcastJoinThreshold",
 }
+
+
+def _range_partition_descriptions(t) -> list[str]:
+    """Range-partition spelling shared by SHOW CREATE TABLE and SHOW
+    RANGE PARTITIONS (ToSqlUtils / KuduTable range output): 'VALUE = v'
+    and '[lo <=|<] VALUES [<|<= hi]' segments, scalar spelling for
+    1-column keys."""
+    single = len(t.range_cols) == 1
+
+    def emit(tv) -> str:
+        if single:
+            return _sql_literal(tv[0])
+        return "(" + ", ".join(_sql_literal(v) for v in tv) + ")"
+
+    out: list[str] = []
+    for item in t.range_spec:
+        if item[0] == "value":
+            out.append(f"VALUE = {emit(item[1])}")
+        else:
+            _, lo, loi, hi, hii = item
+            seg = ""
+            if lo is not None:
+                seg += f"{emit(lo)} {'<=' if loi else '<'} "
+            seg += "VALUES"
+            if hi is not None:
+                seg += f" {'<=' if hii else '<'} {emit(hi)}"
+            out.append(seg)
+    return out
 
 
 def _print_bytes(n: int) -> str:
@@ -596,7 +625,7 @@ class ImpalaEngine:
             target = (m.group("target") or "").strip("`")
             if target and kind in (
                 "FILES IN", "TABLE STATS", "COLUMN STATS", "PARTITIONS",
-                "CREATE TABLE",
+                "RANGE PARTITIONS", "CREATE TABLE",
             ):
                 # table-targeted metadata needs ANY privilege on the
                 # object (AuthorizationChecker Privilege.ANY)
@@ -627,6 +656,8 @@ class ImpalaEngine:
                 return self.show_table_stats(target)
             if kind == "COLUMN STATS":
                 return self.show_column_stats(target)
+            if kind == "RANGE PARTITIONS":
+                return self.show_range_partitions(target)
             if kind == "PARTITIONS":
                 return self.show_partitions(target)
             if kind == "CREATE TABLE":
@@ -1974,6 +2005,40 @@ class ImpalaEngine:
             )
         return self.spark.sql(f"SHOW PARTITIONS {table}")
 
+    def show_range_partitions(self, table: str) -> DataFrame:
+        """SHOW RANGE PARTITIONS (A/ShowStatsStmt.java:78-97 analysis;
+        output one row per range partition under a 'RANGE (cols)'
+        column like the Kudu listing). Kudu-surface = engine tables with
+        a primary key / hash layout; only range-partitioned ones list."""
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        bare = table.split(".")[-1]
+        t = ddl.table_info(bare)
+        if bare in self._views:
+            raise ImpalaAnalysisError(
+                "SHOW RANGE PARTITIONS not applicable to a view: "
+                f"default.{bare}")
+        if t is None:
+            # fixture views and unknown names: fixtures are the HDFS
+            # tables of this engine
+            try:
+                self.spark.table(bare)
+            except Exception:
+                raise ImpalaAnalysisError(f"Table does not exist: default.{bare}")
+            raise ImpalaAnalysisError(
+                f"SHOW RANGE PARTITIONS must target a Kudu table: default.{bare}")
+        if not t.range_cols:
+            if t.primary_key or t.bucket_cols:
+                raise ImpalaAnalysisError(
+                    "SHOW RANGE PARTITIONS requested but table does not "
+                    f"have range partitions: default.{bare}")
+            raise ImpalaAnalysisError(
+                f"SHOW RANGE PARTITIONS must target a Kudu table: default.{bare}")
+        col = f"RANGE ({', '.join(t.range_cols)})"
+        schema = StructType([StructField(col, StringType())])
+        return self.spark.createDataFrame(
+            [(d,) for d in _range_partition_descriptions(t)], schema)
+
     def show_files(self, table: str) -> DataFrame:
         """SHOW FILES IN t — data files + sizes (HdfsTable file descriptors)."""
         import os
@@ -2179,28 +2244,9 @@ class ImpalaEngine:
                     f" PARTITIONS {t.num_buckets}"
                 )
             elif t.range_cols:
-                single = len(t.range_cols) == 1
-
-                def emit(tv) -> str:
-                    # scalar spelling for 1-column keys (round-trips the
-                    # common form); tuple spelling for multi-column keys
-                    if single:
-                        return _sql_literal(tv[0])
-                    return "(" + ", ".join(_sql_literal(v) for v in tv) + ")"
-
-                items = []
-                for item in t.range_spec:
-                    if item[0] == "value":
-                        items.append(f"PARTITION VALUE = {emit(item[1])}")
-                    else:
-                        _, lo, loi, hi, hii = item
-                        seg = ""
-                        if lo is not None:
-                            seg += f"{emit(lo)} {'<=' if loi else '<'} "
-                        seg += "VALUES"
-                        if hi is not None:
-                            seg += f" {'<=' if hii else '<'} {emit(hi)}"
-                        items.append(f"PARTITION {seg}")
+                items = [
+                    f"PARTITION {d}" for d in _range_partition_descriptions(t)
+                ]
                 part = (
                     f" PARTITION BY RANGE ({', '.join(t.range_cols)})"
                     f" ({', '.join(items)})"

@@ -1515,3 +1515,44 @@ def test_update_key_column_rejected(spark):
     eng.sql("UPDATE upk SET v = 'b' WHERE k = 1")  # non-key ok
     assert [tuple(r) for r in spark.table("upk").collect()] == [(1, "b")]
     eng.sql("DROP TABLE upk")
+
+
+def test_show_range_partitions(spark, sf_dir):
+    """SHOW RANGE PARTITIONS lists the Kudu range layout; error surface
+    per A/ShowStatsStmt.java:78-97 (AnalyzeDDLTest.TestShowRangePartitions
+    exact texts)."""
+    import pytest as _pt
+
+    from impala_spark.engine import ImpalaAnalysisError, ImpalaEngine
+    from impala_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    eng = ImpalaEngine(spark, sf_dir)
+    eng.sql("DROP TABLE IF EXISTS srp_t")
+    eng.sql(
+        "CREATE TABLE srp_t (k BIGINT, v STRING, PRIMARY KEY (k)) "
+        "PARTITION BY RANGE (k) "
+        "(PARTITION VALUES < 10, PARTITION 10 <= VALUES < 20, "
+        "PARTITION VALUE = 99) STORED AS KUDU"
+    )
+    df = eng.sql("SHOW RANGE PARTITIONS srp_t")
+    assert df.columns == ["RANGE (k)"]
+    assert [r[0] for r in df.collect()] == [
+        "VALUES < 10", "10 <= VALUES < 20", "VALUE = 99",
+    ]
+    with _pt.raises(ImpalaAnalysisError, match="must target a Kudu table: default.region"):
+        eng.sql("SHOW RANGE PARTITIONS region")
+    with _pt.raises(ImpalaAnalysisError, match="Table does not exist: default.nope_t"):
+        eng.sql("SHOW RANGE PARTITIONS nope_t")
+    eng.sql("DROP TABLE IF EXISTS srp_h")
+    eng.sql(
+        "CREATE TABLE srp_h (k BIGINT, PRIMARY KEY (k)) "
+        "PARTITION BY HASH (k) PARTITIONS 2 STORED AS KUDU"
+    )
+    with _pt.raises(
+        ImpalaAnalysisError,
+        match="requested but table does not have range partitions",
+    ):
+        eng.sql("SHOW RANGE PARTITIONS srp_h")
+    eng.sql("DROP TABLE srp_t")
+    eng.sql("DROP TABLE srp_h")
