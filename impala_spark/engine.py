@@ -1994,8 +1994,11 @@ class ImpalaEngine:
 
     def show_partitions(self, table: str) -> DataFrame:
         """SHOW PARTITIONS (catalog/HdfsTable partition listing). Managed
-        partitioned tables list distinct partition values + file stats."""
-        t = ddl.table_info(table)
+        partitioned tables list distinct partition values + file stats;
+        unpartitioned targets raise the reference's analysis text
+        (A/ShowStatsStmt.java:74-77)."""
+        bare = table.split(".")[-1]
+        t = ddl.table_info(bare)
         if t is not None and t.partition_cols:
             df = self.spark.read.parquet(t.path)
             return (
@@ -2003,7 +2006,21 @@ class ImpalaEngine:
                 .agg(F.count(F.lit(1)).cast("bigint").alias("num_rows"))
                 .orderBy(*t.partition_cols)
             )
-        return self.spark.sql(f"SHOW PARTITIONS {table}")
+        if bare in self._views:
+            raise ImpalaAnalysisError(
+                f"SHOW PARTITIONS not applicable to a view: default.{bare}")
+        if t is not None:
+            raise ImpalaAnalysisError(f"Table is not partitioned: default.{bare}")
+        try:
+            return self.spark.sql(f"SHOW PARTITIONS {table}")
+        except Exception:
+            # fixture views are this engine's unpartitioned HDFS tables;
+            # unknown names resolve like the analyzer
+            try:
+                self.spark.table(bare)
+            except Exception:
+                raise ImpalaAnalysisError(f"Table does not exist: default.{bare}")
+            raise ImpalaAnalysisError(f"Table is not partitioned: default.{bare}")
 
     def show_range_partitions(self, table: str) -> DataFrame:
         """SHOW RANGE PARTITIONS (A/ShowStatsStmt.java:78-97 analysis;

@@ -441,3 +441,25 @@ def test_explain_ctas_plans_without_executing(spark, sf_dir):
         eng.sql("EXPLAIN DROP TABLE region")
     with _p.raises(ImpalaUnsupportedError, match="EXPLAIN is not supported"):
         eng.sql("EXPLAIN CREATE VIEW v_x AS SELECT 1")
+
+
+def test_show_partitions_unpartitioned_pins_text(spark, sf_dir):
+    """SHOW PARTITIONS of an unpartitioned table / fixture raises the
+    analyzer's text, never a raw Spark error
+    (A/ShowStatsStmt.java:74-77)."""
+    import pytest as _pt
+
+    from impala_spark.engine import ImpalaAnalysisError, ImpalaEngine
+    from impala_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    eng = ImpalaEngine(spark, sf_dir)
+    eng.sql("DROP TABLE IF EXISTS sp_unpart")
+    eng.sql("CREATE TABLE sp_unpart (k BIGINT)")
+    with _pt.raises(ImpalaAnalysisError, match="Table is not partitioned: default.sp_unpart"):
+        eng.sql("SHOW PARTITIONS sp_unpart")
+    with _pt.raises(ImpalaAnalysisError, match="Table is not partitioned: default.region"):
+        eng.sql("SHOW PARTITIONS region")
+    with _pt.raises(ImpalaAnalysisError, match="Table does not exist: default.sp_missing"):
+        eng.sql("SHOW PARTITIONS sp_missing")
+    eng.sql("DROP TABLE sp_unpart")
