@@ -1718,6 +1718,9 @@ class ImpalaEngine:
         STATS feeds DistributedPlanner.java:420-536's cost model; without
         it the planner runs left-deep as written).
         """
+        if table.split(".")[-1] in self._views:
+            raise ImpalaAnalysisError(
+                f"COMPUTE STATS not supported for view: {table.split('.')[-1]}")
         from impala_spark.session import (
             TABLES,
             register_stats_managed,
@@ -2058,6 +2061,9 @@ class ImpalaEngine:
 
     def show_files(self, table: str) -> DataFrame:
         """SHOW FILES IN t — data files + sizes (HdfsTable file descriptors)."""
+        if table.split(".")[-1] in self._views:
+            raise ImpalaAnalysisError(
+                f"SHOW FILES not applicable to a non hdfs table: default.{table.split('.')[-1]}")
         import os
 
         t = ddl.table_info(table)
@@ -2084,6 +2090,9 @@ class ImpalaEngine:
     def show_table_stats(self, table: str) -> DataFrame:
         """SHOW TABLE STATS — row count + on-disk size + format
         (catalog/HdfsTable.java table-level stats)."""
+        if table.split(".")[-1] in self._views:
+            raise ImpalaAnalysisError(
+                f"SHOW TABLE STATS not applicable to a view: default.{table.split('.')[-1]}")
         rows = self.spark.table(table).count()
         t = ddl.table_info(table)
         size = -1
@@ -2188,6 +2197,9 @@ class ImpalaEngine:
         the metastore (DESCRIBE EXTENDED col) with NO scan — Impala's
         own behavior: SHOW COLUMN STATS reads what COMPUTE STATS stored,
         it never recomputes."""
+        if table.split(".")[-1] in self._views:
+            raise ImpalaAnalysisError(
+                f"SHOW COLUMN STATS not applicable to a view: default.{table.split('.')[-1]}")
         tname = table.strip("`")
         if tname in self._stats_tables and self._sf_dir:
             from impala_spark.session import stats_db_name

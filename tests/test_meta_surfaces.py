@@ -463,3 +463,34 @@ def test_show_partitions_unpartitioned_pins_text(spark, sf_dir):
     with _pt.raises(ImpalaAnalysisError, match="Table does not exist: default.sp_missing"):
         eng.sql("SHOW PARTITIONS sp_missing")
     eng.sql("DROP TABLE sp_unpart")
+
+
+def test_stats_surfaces_reject_views(spark, sf_dir):
+    """SHOW TABLE/COLUMN STATS, SHOW FILES, COMPUTE STATS on a view pin
+    the reference analysis texts (A/ShowStatsStmt.java:70-72,
+    A/ShowFilesStmt.java:67, A/ComputeStatsStmt.java:254-257)."""
+    import pytest as _pt
+
+    from impala_spark.engine import ImpalaAnalysisError, ImpalaEngine
+    from impala_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    eng = ImpalaEngine(spark, sf_dir)
+    spark.sql("DROP VIEW IF EXISTS v_statsprobe")
+    eng.sql("CREATE VIEW v_statsprobe AS SELECT r_regionkey FROM region")
+    cases = [
+        ("SHOW TABLE STATS v_statsprobe",
+         "SHOW TABLE STATS not applicable to a view: default.v_statsprobe"),
+        ("SHOW COLUMN STATS v_statsprobe",
+         "SHOW COLUMN STATS not applicable to a view: default.v_statsprobe"),
+        ("SHOW FILES IN v_statsprobe",
+         "SHOW FILES not applicable to a non hdfs table: default.v_statsprobe"),
+        ("COMPUTE STATS v_statsprobe",
+         "COMPUTE STATS not supported for view: v_statsprobe"),
+    ]
+    import re as _re
+
+    for stmt, msg in cases:
+        with _pt.raises(ImpalaAnalysisError, match=_re.escape(msg)):
+            eng.sql(stmt)
+    eng.sql("DROP VIEW v_statsprobe")
