@@ -871,6 +871,10 @@ class ImpalaEngine:
         m = _DROP_TABLE_RE.match(q)
         if m:
             tname = m.group("table").strip("`")
+            if tname in self._views:
+                # analysis/DropTableOrViewStmt.java:94-96 exact text
+                raise ImpalaAnalysisError(
+                    f"DROP TABLE not allowed on a view: default.{tname}")
             if ddl.table_info(tname) is not None:
                 ddl.drop_table(self.spark, tname, purge=True)
                 return self.spark.sql("SELECT 'dropped' AS result")
@@ -918,9 +922,18 @@ class ImpalaEngine:
                 r"DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(`[^`]+`|\S+)", q,
                 re.IGNORECASE,
             )
-            if m2:  # keep the view registry in sync for ALTER TABLE checks
-                self._views.discard(m2.group(1).strip("`"))
-                self._view_texts.pop(m2.group(1).strip("`"), None)
+            if m2:
+                vname = m2.group(1).strip("`")
+                if vname not in self._views and (
+                    ddl.table_info(vname) is not None
+                    or self.spark.catalog.tableExists(vname)
+                ):
+                    # DropTableOrViewStmt.java:97-99 exact text
+                    raise ImpalaAnalysisError(
+                        f"DROP VIEW not allowed on a table: default.{vname}")
+                # keep the view registry in sync for ALTER TABLE checks
+                self._views.discard(vname)
+                self._view_texts.pop(vname, None)
         if self.appx_count_distinct:
             from impala_spark.parser import rewrite_appx_count_distinct
 

@@ -1556,3 +1556,23 @@ def test_show_range_partitions(spark, sf_dir):
         eng.sql("SHOW RANGE PARTITIONS srp_h")
     eng.sql("DROP TABLE srp_t")
     eng.sql("DROP TABLE srp_h")
+
+
+def test_drop_table_view_kind_mismatch(spark, sf_dir):
+    """DROP TABLE on a view / DROP VIEW on a table pin the reference's
+    kind-mismatch texts (DropTableOrViewStmt.java:94-99)."""
+    import pytest as _pt
+
+    from impala_spark.engine import ImpalaAnalysisError, ImpalaEngine
+    from impala_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    eng = ImpalaEngine(spark, sf_dir)
+    spark.sql("DROP VIEW IF EXISTS v_kind")
+    eng.sql("CREATE VIEW v_kind AS SELECT 1 AS x")
+    with _pt.raises(ImpalaAnalysisError, match="DROP TABLE not allowed on a view: default.v_kind"):
+        eng.sql("DROP TABLE v_kind")
+    with _pt.raises(ImpalaAnalysisError, match="DROP VIEW not allowed on a table: default.region"):
+        eng.sql("DROP VIEW region")
+    eng.sql("DROP VIEW v_kind")
+    eng.sql("DROP VIEW IF EXISTS v_kind")  # IF EXISTS on missing: silent
