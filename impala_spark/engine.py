@@ -862,6 +862,12 @@ class ImpalaEngine:
             vname = self._session_view_name(m.group("name"))
             if not any(v.name == vname for v in self.spark.catalog.listTables()):
                 raise ImpalaAnalysisError(f"Table does not exist: default.{vname}")
+            if vname not in self._views:
+                # AlterViewStmt.java:50-53 exact text — without this the
+                # redefinition would silently REPLACE a table's session
+                # view with the new select
+                raise ImpalaAnalysisError(
+                    f"ALTER VIEW not allowed on a table: default.{vname}")
             self._sql_with_impala_errors(
                 f"CREATE OR REPLACE TEMPORARY VIEW {vname} AS "
                 + translate(m.group("select"), strict=self.strict)

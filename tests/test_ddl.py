@@ -1576,3 +1576,19 @@ def test_drop_table_view_kind_mismatch(spark, sf_dir):
         eng.sql("DROP VIEW region")
     eng.sql("DROP VIEW v_kind")
     eng.sql("DROP VIEW IF EXISTS v_kind")  # IF EXISTS on missing: silent
+
+
+def test_alter_view_on_table_rejected(spark, sf_dir):
+    """ALTER VIEW on a table pins AlterViewStmt.java:50-53 — without the
+    guard the redefinition silently replaced the table's session view."""
+    import pytest as _pt
+
+    from impala_spark.engine import ImpalaAnalysisError, ImpalaEngine
+    from impala_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    eng = ImpalaEngine(spark, sf_dir)
+    with _pt.raises(ImpalaAnalysisError, match="ALTER VIEW not allowed on a table: default.region"):
+        eng.sql("ALTER VIEW region AS SELECT 1 AS x")
+    # region still reads as the fixture
+    assert spark.table("region").count() == 5
