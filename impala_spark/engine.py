@@ -689,6 +689,12 @@ class ImpalaEngine:
         upper = q.upper()
         m = _INSERT_RE.match(q)
         if m and ddl.table_info(m.group("table").strip("`")) is None:
+            tgt = m.group("table").strip("`")
+            if tgt.split(".")[-1] in self._views:
+                # InsertStmt.java:386-390 exact text
+                raise ImpalaAnalysisError(
+                    "Impala does not support INSERTing into views: "
+                    f"default.{tgt.split('.')[-1]}")
             # never let a write statement fall through to Spark against a
             # read-only fixture view — it would try to write the view's
             # backing files.
@@ -904,6 +910,20 @@ class ImpalaEngine:
                 )
             return ddl.alter_table(self.spark, q)
         if upper.startswith(("UPDATE ", "DELETE ", "UPSERT ")):
+            mt = re.match(
+                r"(?is)^\s*(UPDATE|DELETE|UPSERT)\s+(?:FROM\s+|INTO\s+)?"
+                r"(?:TABLE\s+)?(`[^`]+`|[\w.]+)", q)
+            if mt and mt.group(2).strip("`").split(".")[-1] in self._views:
+                kind = mt.group(1).upper()
+                if kind == "UPSERT":
+                    # InsertStmt.java:386-390 (op name UPSERT)
+                    raise ImpalaAnalysisError(
+                        "Impala does not support UPSERTing into views: "
+                        f"default.{mt.group(2).strip('`').split('.')[-1]}")
+                # ModifyStmt analysis rejects view targets
+                raise ImpalaAnalysisError(
+                    "Impala does not support modifying a non-Kudu table: "
+                    f"default.{mt.group(2).strip('`').split('.')[-1]}")
             return ddl.modify(self.spark, q, strict=self.strict)
         if upper.startswith("TRUNCATE"):
             return ddl.truncate(self.spark, q)

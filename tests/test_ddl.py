@@ -1592,3 +1592,26 @@ def test_alter_view_on_table_rejected(spark, sf_dir):
         eng.sql("ALTER VIEW region AS SELECT 1 AS x")
     # region still reads as the fixture
     assert spark.table("region").count() == 5
+
+
+def test_write_statements_reject_views(spark, sf_dir):
+    """INSERT/UPSERT/UPDATE/DELETE targeting a view pin the reference
+    texts (InsertStmt.java:386-390; ModifyStmt analysis)."""
+    import pytest as _pt
+
+    from impala_spark.engine import ImpalaAnalysisError, ImpalaEngine
+    from impala_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    eng = ImpalaEngine(spark, sf_dir)
+    spark.sql("DROP VIEW IF EXISTS v_w")
+    eng.sql("CREATE VIEW v_w AS SELECT r_regionkey AS k FROM region")
+    with _pt.raises(ImpalaAnalysisError, match="INSERTing into views: default.v_w"):
+        eng.sql("INSERT INTO v_w VALUES (1)")
+    with _pt.raises(ImpalaAnalysisError, match="UPSERTing into views: default.v_w"):
+        eng.sql("UPSERT INTO v_w VALUES (1)")
+    with _pt.raises(ImpalaAnalysisError, match="modifying a non-Kudu table: default.v_w"):
+        eng.sql("UPDATE v_w SET k = 2 WHERE k = 1")
+    with _pt.raises(ImpalaAnalysisError, match="modifying a non-Kudu table: default.v_w"):
+        eng.sql("DELETE FROM v_w WHERE k = 1")
+    eng.sql("DROP VIEW v_w")
