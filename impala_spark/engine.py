@@ -880,6 +880,37 @@ class ImpalaEngine:
             )
             self._view_texts[vname] = m.group("select")
             return self.spark.sql(f"SELECT 'view {vname} altered' AS result")
+        m = re.match(
+            r"(?is)^\s*(?P<op>CREATE|DROP)\s+(?:DATABASE|SCHEMA)\s+"
+            r"(?P<ine>IF\s+(?:NOT\s+)?EXISTS\s+)?(?P<db>`[^`]+`|\w+)"
+            r"(?P<tail>.*)$", q)
+        if m:
+            # db-DDL error parity (Analyzer.java:113-114, DropDbStmt.java
+            # :73-76) — Spark's SCHEMA_* texts never surface
+            db = m.group("db").strip("`")
+            exists = any(
+                d.name == db for d in self.spark.catalog.listDatabases()
+            )
+            if m.group("op").upper() == "CREATE":
+                if exists and not m.group("ine"):
+                    raise ImpalaAnalysisError(f"Database already exists: {db}")
+            else:
+                if not exists and not m.group("ine"):
+                    raise ImpalaAnalysisError(f"Database does not exist: {db}")
+                if exists and db.lower() in (
+                    "default", self.spark.catalog.currentDatabase().lower()
+                ):
+                    raise ImpalaAnalysisError(
+                        f"Cannot drop current default database: {db}")
+                if exists and not re.search(
+                    r"(?i)\bCASCADE\b", m.group("tail") or ""
+                ) and any(
+                    not t.isTemporary
+                    for t in self.spark.catalog.listTables(db)
+                ):
+                    raise ImpalaAnalysisError(
+                        f"Cannot drop non-empty database: {db}")
+            return self._sql_with_impala_errors(q)
         m = _DROP_TABLE_RE.match(q)
         if m:
             tname = m.group("table").strip("`")

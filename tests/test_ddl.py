@@ -1615,3 +1615,28 @@ def test_write_statements_reject_views(spark, sf_dir):
     with _pt.raises(ImpalaAnalysisError, match="modifying a non-Kudu table: default.v_w"):
         eng.sql("DELETE FROM v_w WHERE k = 1")
     eng.sql("DROP VIEW v_w")
+
+
+def test_database_ddl_error_parity(spark):
+    """CREATE/DROP DATABASE pin the reference texts (Analyzer.java:
+    113-114, DropDbStmt.java:73-76); Spark's SCHEMA_* errors never
+    surface. IF [NOT] EXISTS stays silent; CASCADE drops non-empty."""
+    import pytest as _pt
+
+    from impala_spark.engine import ImpalaAnalysisError, ImpalaEngine
+
+    eng = ImpalaEngine(spark)
+    eng.sql("DROP DATABASE IF EXISTS dbddl CASCADE")
+    eng.sql("CREATE DATABASE dbddl")
+    with _pt.raises(ImpalaAnalysisError, match="Database already exists: dbddl"):
+        eng.sql("CREATE DATABASE dbddl")
+    eng.sql("CREATE DATABASE IF NOT EXISTS dbddl")
+    with _pt.raises(ImpalaAnalysisError, match="Cannot drop current default database: default"):
+        eng.sql("DROP DATABASE default")
+    with _pt.raises(ImpalaAnalysisError, match="Database does not exist: dbmissing"):
+        eng.sql("DROP DATABASE dbmissing")
+    spark.sql("CREATE TABLE dbddl.t1 (k INT) USING parquet")
+    with _pt.raises(ImpalaAnalysisError, match="Cannot drop non-empty database: dbddl"):
+        eng.sql("DROP DATABASE dbddl")
+    eng.sql("DROP DATABASE dbddl CASCADE")
+    assert not any(d.name == "dbddl" for d in spark.catalog.listDatabases())
