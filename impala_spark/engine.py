@@ -757,14 +757,9 @@ class ImpalaEngine:
         m = _CTAS_RE.match(q)
         if m:
             tname = m.group("table").strip("`")
-            if (
-                self.strict
-                and ddl.table_info(tname) is not None
-                and not re.search(r"\bIF\s+NOT\s+EXISTS\b", q, re.IGNORECASE)
-            ):
-                # analysis/CreateTableStmt.java error text; non-strict mode
-                # keeps create-or-replace so harness queries stay idempotent
-                raise ImpalaAnalysisError(f"Table already exists: default.{tname}")
+            # analysis/CreateTableStmt.java error text; non-strict mode
+            # keeps create-or-replace so harness queries stay idempotent
+            self._strict_create_guard(q, tname)
             if rng:
                 if m.group("hash") or m.group("part"):
                     raise ImpalaUnsupportedError(
@@ -1623,6 +1618,23 @@ class ImpalaEngine:
             f"engine; USE {db} first, then CREATE VIEW {base.strip('`')}"
         )
 
+    def _strict_create_guard(self, q: str, tname: str) -> None:
+        """Strict mode: any catalog-resolvable name (engine table, engine
+        view, or fixture view) blocks CREATE like the reference analyzer
+        (CreateTableStmt/CreateViewStmt 'Table already exists'); without
+        it a strict CREATE TABLE region would silently SHADOW the fixture
+        session view. Permissive mode keeps create-or-replace."""
+        if not self.strict or re.search(
+            r"\bIF\s+NOT\s+EXISTS\b", q, re.IGNORECASE
+        ):
+            return
+        if (
+            ddl.table_info(tname) is not None
+            or tname in self._views
+            or self.spark.catalog.tableExists(tname)
+        ):
+            raise ImpalaAnalysisError(f"Table already exists: default.{tname}")
+
     def _create_table_with_cols(
         self, q: str, m: "re.Match[str]", rng: tuple | None = None
     ) -> DataFrame:
@@ -1632,11 +1644,16 @@ class ImpalaEngine:
         from impala_spark.sources import format_spec
 
         tname = self._session_view_name(m.group("table"))
-        if ddl.table_info(tname) is not None:
-            if re.search(r"\bIF\s+NOT\s+EXISTS\b", q, re.IGNORECASE):
-                return self.spark.sql("SELECT 'table exists (kept)' AS result")
-            if self.strict:
-                raise ImpalaAnalysisError(f"Table already exists: default.{tname}")
+        if re.search(r"\bIF\s+NOT\s+EXISTS\b", q, re.IGNORECASE) and (
+            ddl.table_info(tname) is not None
+            or tname in self._views
+            or self.spark.catalog.tableExists(tname)
+        ):
+            # IF NOT EXISTS keeps ANY resolvable object — a managed
+            # table, an engine view, or a fixture session view (shadowing
+            # the fixture would silently empty the name)
+            return self.spark.sql("SELECT 'table exists (kept)' AS result")
+        self._strict_create_guard(q, tname)
         open_idx = m.end() - 1
         depth = 0
         close_idx = -1

@@ -1640,3 +1640,29 @@ def test_database_ddl_error_parity(spark):
         eng.sql("DROP DATABASE dbddl")
     eng.sql("DROP DATABASE dbddl CASCADE")
     assert not any(d.name == "dbddl" for d in spark.catalog.listDatabases())
+
+
+def test_strict_create_blocks_existing_names(spark, sf_dir):
+    """Strict CREATE TABLE/CTAS over ANY resolvable name (fixture view,
+    engine view, managed table) raises 'Table already exists' — without
+    the guard a strict CREATE TABLE region silently shadowed the
+    fixture. Permissive mode keeps create-or-replace."""
+    import pytest as _pt
+
+    from impala_spark.engine import ImpalaAnalysisError, ImpalaEngine
+    from impala_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    strict = ImpalaEngine(spark, sf_dir, strict=True)
+    for stmt in ("CREATE TABLE region (k INT)",
+                 "CREATE TABLE region AS SELECT 1 AS x"):
+        with _pt.raises(ImpalaAnalysisError, match="Table already exists: default.region"):
+            strict.sql(stmt)
+    assert spark.table("region").count() == 5
+    spark.sql("DROP VIEW IF EXISTS v_guard")
+    strict.sql("CREATE VIEW v_guard AS SELECT 1 AS x")
+    with _pt.raises(ImpalaAnalysisError, match="Table already exists: default.v_guard"):
+        strict.sql("CREATE TABLE v_guard (k INT)")
+    strict.sql("CREATE TABLE IF NOT EXISTS region (k INT)")  # silent keep
+    assert spark.table("region").count() == 5
+    strict.sql("DROP VIEW v_guard")
