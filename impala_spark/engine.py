@@ -29,7 +29,14 @@ class ImpalaAnalysisError(ImpalaUnsupportedError):
 _COMPUTE_STATS_RE = re.compile(
     r"^\s*COMPUTE\s+(INCREMENTAL\s+)?STATS\s+([\w.`]+)\s*$", re.IGNORECASE
 )
-_DROP_STATS_RE = re.compile(r"^\s*DROP\s+(INCREMENTAL\s+)?STATS\s+([\w.`]+)\s*$", re.IGNORECASE)
+#: DROP STATS t | DROP INCREMENTAL STATS t PARTITION (spec)
+#: (A/DropStatsStmt.java:28-30 — the PARTITION clause is only valid with
+#: INCREMENTAL; both route to the same stats-demotion here)
+_DROP_STATS_RE = re.compile(
+    r"^\s*DROP\s+(INCREMENTAL\s+)?STATS\s+([\w.`]+)"
+    r"(?:\s+PARTITION\s*\([^)]*\))?\s*$",
+    re.IGNORECASE,
+)
 _SET_RE = re.compile(r"^\s*SET\s+(\w+)\s*=\s*(.+?)\s*$", re.IGNORECASE)
 _USE_RE = re.compile(r"^\s*USE\s+([\w`]+)\s*$", re.IGNORECASE)
 _EXPLAIN_RE = re.compile(r"^\s*EXPLAIN\s+(.*)$", re.IGNORECASE | re.DOTALL)
@@ -576,6 +583,10 @@ class ImpalaEngine:
             # the default session again. Catalog numbers themselves are
             # harmless to keep (nothing reads them once unrouted).
             tname = m.group(2).strip("`")
+            if tname.split(".")[-1] in self._views:
+                # A/DropStatsStmt.java:89-91 exact text
+                raise ImpalaAnalysisError(
+                    f"DROP STATS not allowed on a view: {tname.split('.')[-1]}")
             if tname in self._stats_tables:
                 self._stats_tables.discard(tname)
                 self._stats_versions.pop(tname, None)

@@ -494,3 +494,23 @@ def test_stats_surfaces_reject_views(spark, sf_dir):
         with _pt.raises(ImpalaAnalysisError, match=_re.escape(msg)):
             eng.sql(stmt)
     eng.sql("DROP VIEW v_statsprobe")
+
+
+def test_drop_stats_forms(spark, sf_dir):
+    """DROP INCREMENTAL STATS ... PARTITION (spec) routes (the grammar
+    pairs PARTITION with INCREMENTAL, DropStatsStmt.java:28-30); DROP
+    STATS on a view pins the analysis text."""
+    import pytest as _pt
+
+    from impala_spark.engine import ImpalaAnalysisError, ImpalaEngine
+    from impala_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    eng = ImpalaEngine(spark, sf_dir)
+    eng.sql("DROP STATS region")
+    eng.sql("DROP INCREMENTAL STATS region PARTITION (r_regionkey=1)")
+    spark.sql("DROP VIEW IF EXISTS v_ds")
+    eng.sql("CREATE VIEW v_ds AS SELECT 1 AS x")
+    with _pt.raises(ImpalaAnalysisError, match="DROP STATS not allowed on a view: v_ds"):
+        eng.sql("DROP STATS v_ds")
+    eng.sql("DROP VIEW v_ds")
