@@ -602,6 +602,7 @@ class ImpalaEngine:
             rows = [
                 ("appx_count_distinct", str(self.appx_count_distinct).lower()),
                 ("explain_level", str(self.explain_level)),
+                ("request_pool", self._request_pool),
             ]
             for opt, conf in sorted(_QUERY_OPTIONS.items()):
                 if conf:
