@@ -769,6 +769,15 @@ class ImpalaEngine:
         m = _CTAS_RE.match(q)
         if m:
             tname = m.group("table").strip("`")
+            if re.search(r"\bIF\s+NOT\s+EXISTS\b", q, re.IGNORECASE) and (
+                ddl.table_info(tname) is not None
+                or tname in self._views
+                or self.spark.catalog.tableExists(tname)
+            ):
+                # IF NOT EXISTS CTAS keeps the existing object and skips
+                # the select (CreateTableAsSelectStmt — the statement is
+                # a no-op, it must not replace the table's rows)
+                return self.spark.sql("SELECT 'table exists (kept)' AS result")
             # analysis/CreateTableStmt.java error text; non-strict mode
             # keeps create-or-replace so harness queries stay idempotent
             self._strict_create_guard(q, tname)

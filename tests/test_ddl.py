@@ -1666,3 +1666,22 @@ def test_strict_create_blocks_existing_names(spark, sf_dir):
     strict.sql("CREATE TABLE IF NOT EXISTS region (k INT)")  # silent keep
     assert spark.table("region").count() == 5
     strict.sql("DROP VIEW v_guard")
+
+
+def test_ctas_if_not_exists_keeps_existing(spark, sf_dir):
+    """CREATE TABLE IF NOT EXISTS ... AS SELECT over an existing name is
+    a no-op — it must not replace the table's rows
+    (CreateTableAsSelectStmt semantics; found by probing)."""
+    from impala_spark.engine import ImpalaEngine
+    from impala_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    eng = ImpalaEngine(spark, sf_dir)
+    eng.sql("DROP TABLE IF EXISTS cine_t")
+    eng.sql("CREATE TABLE cine_t AS SELECT 1 AS k")
+    eng.sql("CREATE TABLE IF NOT EXISTS cine_t AS SELECT 2 AS k, 3 AS v")
+    assert [tuple(r) for r in spark.table("cine_t").collect()] == [(1,)]
+    # fixtures keep too
+    eng.sql("CREATE TABLE IF NOT EXISTS region AS SELECT 1 AS k")
+    assert spark.table("region").count() == 5
+    eng.sql("DROP TABLE cine_t")
