@@ -226,7 +226,14 @@ def create_table_like(spark: SparkSession, name: str, like: str) -> DataFrame:
     ):
         raise ImpalaUnsupportedError(
             "Cloning a Kudu table using CREATE TABLE LIKE is not supported.")
-    src = spark.table(like)
+    try:
+        src = spark.table(like)
+    except Exception as e:
+        # Analyzer.TBL_DOES_NOT_EXIST_ERROR_MSG — never a Spark
+        # TABLE_OR_VIEW_NOT_FOUND text
+        raise ImpalaUnsupportedError(
+            f"Table does not exist: default.{like.strip('`').split('.')[-1]}"
+        ) from e
     empty = spark.createDataFrame([], src.schema)
     return create_table_as_select(spark, name, empty)
 

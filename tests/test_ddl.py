@@ -1685,3 +1685,16 @@ def test_ctas_if_not_exists_keeps_existing(spark, sf_dir):
     eng.sql("CREATE TABLE IF NOT EXISTS region AS SELECT 1 AS k")
     assert spark.table("region").count() == 5
     eng.sql("DROP TABLE cine_t")
+
+
+def test_create_table_like_missing_source_text(spark):
+    """CREATE TABLE LIKE with a missing source pins the analyzer text,
+    never Spark's TABLE_OR_VIEW_NOT_FOUND."""
+    import pytest as _pt
+
+    from impala_spark.engine import ImpalaEngine
+    from impala_spark.parser import ImpalaUnsupportedError
+
+    eng = ImpalaEngine(spark)
+    with _pt.raises(ImpalaUnsupportedError, match="Table does not exist: default.no_such_src"):
+        eng.sql("CREATE TABLE liket LIKE no_such_src")
