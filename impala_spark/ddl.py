@@ -93,8 +93,19 @@ def _bump(name: str) -> None:
     _MUTATIONS[name] = _MUTATIONS.get(name, 0) + 1
 
 
+def _unshadow_fixture(spark: SparkSession, name: str) -> None:
+    """A managed table is about to shadow (or drop) a temp view whose name
+    collides with a fixture table: make the next register_tables on this
+    session re-point its views instead of trusting the skip-memo."""
+    from impala_spark.session import TABLES, invalidate_view_memo
+
+    if name in TABLES:
+        invalidate_view_memo(spark)
+
+
 def _refresh_view(spark: SparkSession, t: ManagedTable) -> DataFrame:
     _bump(t.name)
+    _unshadow_fixture(spark, t.name)
     if t.catalog_name:
         # bucketed tables MUST be read through the catalog — a plain
         # path read would lose the bucket spec (and with it the
@@ -170,6 +181,7 @@ def _managed(name: str) -> ManagedTable:
 
 def drop_table(spark: SparkSession, name: str, purge: bool = True) -> None:
     _bump(name)
+    _unshadow_fixture(spark, name)
     t = _REGISTRY.pop(name, None)
     spark.catalog.dropTempView(name)
     if t is not None and t.catalog_name:
@@ -1550,6 +1562,7 @@ def alter_table(spark: SparkSession, stmt: str) -> DataFrame:
                 "ALTER TABLE RENAME is not supported on hash-bucketed tables"
             )
         _bump(old)
+        _unshadow_fixture(spark, old)
         spark.catalog.dropTempView(old)
         _REGISTRY[new] = ManagedTable(
             name=new, path=t.path, partition_cols=t.partition_cols,

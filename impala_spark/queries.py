@@ -201,10 +201,10 @@ sql_query(
     """
     WITH q AS (
       SELECT l_returnflag, l_linestatus,
-        CAST(ROUND(l_quantity * 10000) AS BIGINT) AS qty4,
-        CAST(ROUND(l_extendedprice * 10000) AS BIGINT) AS ext4,
-        CAST(ROUND(l_discount * 10000) AS BIGINT) AS disc4,
-        CAST(ROUND(l_tax * 10000) AS BIGINT) AS tax4
+        CAST(l_quantity * 10000 + SIGN(l_quantity) * 0.5 AS BIGINT) AS qty4,
+        CAST(l_extendedprice * 10000 + SIGN(l_extendedprice) * 0.5 AS BIGINT) AS ext4,
+        CAST(l_discount * 10000 + SIGN(l_discount) * 0.5 AS BIGINT) AS disc4,
+        CAST(l_tax * 10000 + SIGN(l_tax) * 0.5 AS BIGINT) AS tax4
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     ), p AS (
@@ -2964,8 +2964,8 @@ sql_query(
         AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
     ), j AS (
       SELECT /*+ BROADCAST(co) */ l_orderkey, o_orderdate, o_orderpriority,
-        CAST(ROUND(l_extendedprice * 10000) AS BIGINT)
-          * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)) AS dp8
+        CAST(l_extendedprice * 10000 + SIGN(l_extendedprice) * 0.5 AS BIGINT)
+          * (10000 - CAST(l_discount * 10000 + SIGN(l_discount) * 0.5 AS BIGINT)) AS dp8
       FROM lineitem JOIN co ON l_orderkey = o_orderkey
       WHERE l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
     ), a AS (
@@ -3028,8 +3028,8 @@ sql_query(
       WHERE r_name = 'ASIA'
     ), j AS (
       SELECT /*+ BROADCAST(s_asia) */ n_name,
-        CAST(ROUND(l_extendedprice * 10000) AS BIGINT)
-          * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)) AS dp8
+        CAST(l_extendedprice * 10000 + SIGN(l_extendedprice) * 0.5 AS BIGINT)
+          * (10000 - CAST(l_discount * 10000 + SIGN(l_discount) * 0.5 AS BIGINT)) AS dp8
       FROM lineitem
         JOIN s_asia   ON l_suppkey = s_suppkey
         JOIN orders   ON l_orderkey = o_orderkey
@@ -3083,8 +3083,8 @@ sql_query(
         AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
     ), j AS (
       SELECT /*+ BROADCAST(co) */ c_custkey, c_name, c_acctbal, n_name,
-        CAST(ROUND(l_extendedprice * 10000) AS BIGINT)
-          * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)) AS dp8
+        CAST(l_extendedprice * 10000 + SIGN(l_extendedprice) * 0.5 AS BIGINT)
+          * (10000 - CAST(l_discount * 10000 + SIGN(l_discount) * 0.5 AS BIGINT)) AS dp8
       FROM lineitem JOIN co ON l_orderkey = o_orderkey
       WHERE l_returnflag = 'R'
     ), a AS (
