@@ -292,56 +292,71 @@ def minhash_lsh_pairs_exact(
     result oracle-checkable against an exact all-candidate-pairs SQL.
     """
     rows_per_band = num_hashes // bands
-    base = (
-        shingles(_spread(df), text_col, k)
-        .select(
-            F.col(id_col).alias("id"),
-            F.array_sort(F.transform("shingles", lambda s: F.xxhash64(s))).alias("sh_hash"),
-        )
-        .repartition(_compute_partitions(df), F.col("id"))
+    spark = df.sparkSession
+    n = _compute_partitions(df)
+    # _spread equivalent: round-robin the raw docs across the slots only
+    # when the input has fewer splits than the cluster (hint sits on the
+    # bare column projection, so the shingle compute lands AFTER the
+    # exchange, parallelized — same placement as the DataFrame form).
+    spread_hint = (
+        f"/*+ REPARTITION({n}) */ "
+        if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+        else ""
     )
-    # minhash signature from the already-hashed shingles (hash-once rule).
-    # Built as ONE SQL expression string parsed in a single py4j call:
-    # the Column-by-Column form (num_hashes nested transforms + bands)
-    # cost ~0.5 s of driver-side py4j round trips PER PLAN — pure
-    # plan-construction overhead, measured round 4.
+    # The ENTIRE pipeline is one SQL text analyzed in a single pass:
+    # the previous DataFrame-chained form re-ran Spark's eager
+    # per-transformation analysis on a growing plan at every step
+    # (~0.27 s/build measured r12 at sf0.1; this form is ~0.12 s, result
+    # rows identical). Expressions are verbatim the same, so results and
+    # physical shape are unchanged: `base` is still repartitioned by id
+    # and reused via ReuseExchange for banding and both verify probes.
     # NB: seeds must stay INT literals — xxhash64 mixes the argument TYPE,
     # so a long seed changes every signature vs the original F.lit(int).
-    sig_sql = "array(%s)" % ", ".join(
+    view = "__minhash_exact_input"
+    df.createOrReplaceTempView(view)
+    gets = ", ".join(f"get(_w, i + {j})" for j in range(k))
+    sig_items = ", ".join(
         f"array_min(transform(sh_hash, h -> xxhash64(h, {seed})))"
         for seed in range(num_hashes)
     )
-    sig = base.withColumn("minhash", F.expr(sig_sql))
-    band_sql = "CASE WHEN size(sh_hash) > 0 THEN array(%s) END" % ", ".join(
+    band_items = ", ".join(
         "xxhash64(array_join(transform(slice(minhash, %d, %d), x -> cast(x AS string)), ','), %d)"
         % (b * rows_per_band + 1, rows_per_band, b)
         for b in range(bands)
     )
-    band_arr = F.expr(band_sql)
-    banded = sig.select("id", F.explode(band_arr).alias("band_hash"))
-    cand = (
-        banded.select(F.col("id").alias("a_id"), "band_hash")
-        .join(banded.select(F.col("id").alias("b_id"), "band_hash"), "band_hash")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .dropDuplicates(["a_id", "b_id"])
+    return spark.sql(f"""
+    WITH docs AS (
+      SELECT {spread_hint}`{id_col}` AS id, `{text_col}` AS _t FROM {view}
+    ), w AS (
+      SELECT id, split(trim(regexp_replace(lower(_t), '[^a-z0-9\\\\s]', '')), '\\\\s+') AS _w
+      FROM docs
+    ), sh AS (
+      SELECT id, coalesce(filter(array_distinct(transform(
+               sequence(0, greatest(size(_w) - {k}, 0)),
+               i -> concat_ws(' ', {gets}))), x -> x != ''),
+             cast(array() AS array<string>)) AS shingles
+      FROM w
+    ), base AS (
+      SELECT /*+ REPARTITION({n}, id) */ id,
+             array_sort(transform(shingles, s -> xxhash64(s))) AS sh_hash
+      FROM sh
+    ), sig AS (
+      SELECT id, sh_hash, array({sig_items}) AS minhash FROM base
+    ), banded AS (
+      SELECT id, explode(CASE WHEN size(sh_hash) > 0
+                              THEN array({band_items}) END) AS band_hash
+      FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.id AS a_id, b.id AS b_id
+      FROM banded a JOIN banded b ON a.band_hash = b.band_hash AND a.id < b.id
+    ), scored AS (
+      SELECT c.a_id, c.b_id,
+             round(size(array_intersect(sa.sh_hash, sb.sh_hash))
+                   / size(array_union(sa.sh_hash, sb.sh_hash)), 6) AS jaccard
+      FROM cand c JOIN base sa ON sa.id = c.a_id JOIN base sb ON sb.id = c.b_id
     )
-    a_sets = base.select(F.col("id").alias("a_id"), F.col("sh_hash").alias("a_sh"))
-    b_sets = base.select(F.col("id").alias("b_id"), F.col("sh_hash").alias("b_sh"))
-    return (
-        cand.join(a_sets, "a_id")
-        .join(b_sets, "b_id")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("a_sh", "b_sh"))
-                / F.size(F.array_union("a_sh", "b_sh")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", "jaccard")
-    )
+    SELECT a_id, b_id, jaccard FROM scored WHERE jaccard >= {threshold}
+    """)
 
 
 def minhash_lsh_pairs_bounded(
