@@ -109,12 +109,12 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition ONLY when the input has fewer splits than the
-    cluster has slots (a single small file, a coalesced upstream). At 100 TB
+    compute width (a single small file, a coalesced upstream). At 100 TB
     the scan already yields thousands of splits and this is a no-op — no
     full-data shuffle is ever added on the scale path."""
-    slots = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < slots:
-        return df.repartition(slots)
+    n = _compute_partitions(df)
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
     return df
 
 
@@ -123,10 +123,30 @@ def _compute_partitions(df: DataFrame) -> int:
     columns (signatures, shingle sets). Must be a user-specified number:
     AQE's coalescer treats numberless repartition(col) as advisory and,
     tuned for small shuffles (parallelismFirst=false), would collapse the
-    KB-sized exchange to one task — serializing the minutes-long compute
-    that sits ON TOP of it. The count scales with the cluster, not the
-    data."""
-    return df.sparkSession.sparkContext.defaultParallelism
+    KB-sized exchange to one task — serializing the compute that sits ON
+    TOP of it.
+
+    The count is data-scaled and cluster-capped (r12): ceil(estimated
+    input bytes / per-task budget), floored at 2, capped at
+    defaultParallelism. A KB-sized corpus no longer fans every stage out
+    to cluster-width task packs (at sf0.1 that was 32 tasks x ~7 stages
+    of pure scheduling overhead — measured 0.87 -> 0.78 s median on
+    minhash, identical rows); a 100 TB corpus still saturates the
+    cluster (estimate >> budget * slots -> capped). The budget is the
+    estimated bytes of input text one task shingles/hashes, NOT a
+    shuffle-size target; parameterise per deployment via
+    spark.graft.compute.bytesPerTask (default 64 KiB). Sizing comes from
+    the optimizer's sizeInBytes estimate — driver-side, no job; any
+    estimation failure falls back to cluster width."""
+    spark = df.sparkSession
+    slots = spark.sparkContext.defaultParallelism
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        per_task = int(spark.conf.get("spark.graft.compute.bytesPerTask", "65536"))
+        need = -(-est // max(per_task, 1))
+        return max(2, min(slots, need))
+    except Exception:
+        return slots
 
 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
