@@ -466,29 +466,33 @@ def minhash_lsh_pairs_bounded(
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
     """64-bit SimHash over word shingles: per bit, sign of the sum of
-    (+1/-1) votes from each shingle's hash. Bit-parallel via aggregate over
-    the shingle array — pure Catalyst expressions."""
-    def bit_vote(b: int):
-        def merge(acc, h):
-            return acc + F.when(
-                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
+    (+1/-1) votes from each shingle's hash. ONE fold with an array-of-
+    counters accumulator — pure Catalyst expressions.
 
-        return F.aggregate("sh_hash", F.lit(0), merge)
-
+    (r12: was `bits` separate aggregate folds, one per bit. That made
+    the expression tree O(bits) aggregates: ~2 s of driver-side build
+    and a one-time multi-second codegen/JIT of the giant projection per
+    fresh session, plus `bits` interpreted passes over every shingle
+    array. The single zip_with accumulator is one pass, one small tree:
+    build 2.2 -> 0.6 s, exec 0.36 -> 0.28 s at sf0.01, simhash values
+    bit-identical — the vote for bit b is the same +/-1 sum, just
+    accumulated in acc[b] instead of its own fold.)"""
     sh = shingles(df, text_col, k=2).withColumn(
-        # hash each shingle string once; the 64 bit-votes then read bits of
+        # hash each shingle string once; the bit-votes then read bits of
         # the precomputed long instead of re-hashing the string per bit.
         "sh_hash", F.transform("shingles", lambda s: F.xxhash64(s))
     )
-    bit_cols = []
-    for b in range(bits):
-        vote = bit_vote(b)
-        bit_cols.append(F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long")))
-    total = bit_cols[0]
-    for c in bit_cols[1:]:
-        total = total + c
-    return sh.withColumn("simhash", total.cast("long")).drop("shingles", "sh_hash")
+    votes = (
+        f"aggregate(sh_hash, array_repeat(0, {bits}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {bits - 1}), "
+        f"(a, b) -> a + IF(((h >> b) & 1) = 1, 1, -1)))"
+    )
+    sim = (
+        f"aggregate(zip_with({votes}, sequence(0, {bits - 1}), "
+        f"(v, b) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    return sh.withColumn("simhash", F.expr(sim).cast("long")).drop("shingles", "sh_hash")
 
 
 def ngram_jaccard_pairs(
@@ -606,11 +610,20 @@ def cosine_topk_bruteforce(
     """Baseline exact top-k: broadcast the (single-row) query vector against
     the corpus — a BroadcastNestedLoopJoin over ONE row, i.e. a map-side
     scan, not a shuffle. TopN via TakeOrderedAndProject."""
-    q = F.broadcast(query.select(F.col(vec_col).cast("array<double>").alias("q_vec")))
+    # The query vector's norm is a constant of the search: fold it on the
+    # one-row side BEFORE the broadcast so each corpus row runs one fold
+    # (the dot) + one fold (its own norm) instead of three — the per-row
+    # cost of these interpreted array folds is what scales with corpus
+    # size (r12; result bit-identical, same expression over the same
+    # operands).
+    q = F.broadcast(
+        query.select(F.col(vec_col).cast("array<double>").alias("q_vec"))
+        .withColumn("q_norm", _norm(F.col("q_vec")))
+    )
     corpus = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     scored = corpus.crossJoin(q).select(
         id_col,
-        F.round(_dot(F.col("v"), F.col("q_vec")) / (_norm(F.col("v")) * _norm(F.col("q_vec"))), 6).alias("cos_sim"),
+        F.round(_dot(F.col("v"), F.col("q_vec")) / (_norm(F.col("v")) * F.col("q_norm")), 6).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
