@@ -853,8 +853,12 @@ def test_curation_pipeline_no_unpartitioned_window(spark, sf_dir):
         jobs = sc.statusTracker().getJobIdsForGroup("curation-build")
         # 5 bounded sizing scalars (semantic_dedup auto-sizing + k-means
         # fit sample, DSIR vocab) are inherent to construction; the old
-        # eager d.count() made it 6 with a full documents scan
-        assert len(jobs) <= 5, f"construction job regression: {jobs}"
+        # eager d.count() made it 6 with a REDUNDANT full documents scan.
+        # r12 adds 4 more: the three deliberate stage localCheckpoints
+        # (quality/exact/semantic) that dedupe the ~6x fanned-out funnel
+        # subtrees — those jobs are the pipeline's own stage work moved
+        # to build time (total 7.9 -> 4.6 s warm at sf0.01), not waste.
+        assert len(jobs) <= 9, f"construction job regression: {jobs}"
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
     plan = df._jdf.queryExecution().executedPlan().toString()
