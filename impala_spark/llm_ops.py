@@ -1036,6 +1036,13 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id") -
     loop only checks a convergence COUNT (no data collected), which is
     how iterative algorithms look on Spark at any scale.
     """
+    # Materialize the pair set once (r12): the symmetric union reads
+    # `pairs` twice and the iteration DAGs hang off it — without the
+    # checkpoint the full upstream pair computation (candidate join +
+    # exact rescore) re-executed inside the loop's actions. Measured at
+    # sf0.01: 7.0 -> 1.9 s median (5/5 interleaved wins), identical
+    # labels. Eager and per-invocation — nothing survives across runs.
+    pairs = pairs.localCheckpoint()
     edges = (
         pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
         .union(pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y")))
@@ -1087,10 +1094,21 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id") -
             new_labels = new_labels.localCheckpoint()
         else:
             new_labels = new_labels.persist()
+        # explicit disjoint column names, not a USING join over aliases:
+        # with the checkpoint-rooted lineage both sides share LogicalRDD
+        # attributes and Spark 4.1's analyzer rejects the aliased self-
+        # join with "conflicting references" (r12)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
+            new_labels.select(
+                F.col("id").alias("_nid"), F.col("label").alias("_nlabel")
+            )
+            .join(
+                labels.select(
+                    F.col("id").alias("_oid"), F.col("label").alias("_olabel")
+                ),
+                F.col("_nid") == F.col("_oid"),
+            )
+            .filter(F.col("_nlabel") != F.col("_olabel"))
             .limit(1)
             .count()
         )
