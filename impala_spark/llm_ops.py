@@ -803,6 +803,87 @@ def extract_media_features(df: DataFrame, deterministic_fake: bool = True) -> Da
     return df.mapInPandas(batches, schema=out_schema)
 
 
+def _coarse_centroids(
+    corpus_v: DataFrame, k: int, seed: int, max_fit: int = 4096
+) -> list[list[float]]:
+    """Coarse-quantizer centroids: seeded k-means++ init + Lloyd's
+    iterations run ON THE DRIVER over a BOUNDED sample (<= max_fit rows
+    collected — a few MB at any corpus size, not a data-path collect).
+
+    r12: this replaces the pyspark.ml KMeans fit, which scheduled ~2
+    distributed jobs per iteration (~40 driver round-trips) to cluster
+    <= 4096 vectors — the bounded sample means the fit is driver-scale
+    work by construction, so doing it in-process removes every one of
+    those jobs without changing what is fitted. Deterministic: seeded
+    NumPy RandomState, fixed iteration cap, tolerance stop. Centroids
+    differ from MLlib's (different init internals) — quality-equivalent;
+    the IVF contracts are recall-tolerance (ivf_ann) or exhaustive-probe
+    exact (persisted index), neither pins centroid values.
+
+    `corpus_v` must expose the vector as array<double> column `v`."""
+    import numpy as np
+
+    n = corpus_v.count()
+    if n > max_fit:
+        frac = min(1.0, (max_fit * 1.5) / n)
+        sample = corpus_v.sample(fraction=frac, seed=seed).limit(max_fit)
+    else:
+        sample = corpus_v
+    rows = sample.select("v").collect()
+    X = np.asarray([r.v for r in rows if r.v is not None], dtype=np.float64)
+    if X.size == 0:
+        return [[0.0]] * k
+    pool = X if X.shape[0] >= k else np.tile(X, (-(-k // X.shape[0]), 1))
+    rng = np.random.RandomState(seed)
+    dim = X.shape[1]
+    centers = np.empty((k, dim))
+    centers[0] = pool[rng.randint(pool.shape[0])]
+    d2 = ((pool - centers[0]) ** 2).sum(1)
+    for j in range(1, k):
+        tot = float(d2.sum())
+        if tot <= 0.0:
+            centers[j] = pool[rng.randint(pool.shape[0])]
+        else:
+            centers[j] = pool[rng.choice(pool.shape[0], p=d2 / tot)]
+        d2 = np.minimum(d2, ((pool - centers[j]) ** 2).sum(1))
+    for _ in range(20):
+        dist = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(2)
+        lab = dist.argmin(1)
+        new = centers.copy()
+        for j in range(k):
+            mask = lab == j
+            if mask.any():
+                new[j] = X[mask].mean(0)
+        shift = float(((new - centers) ** 2).sum())
+        centers = new
+        if shift < 1e-8:
+            break
+    return [[float(x) for x in c] for c in centers]
+
+
+def _assign_lists(corpus_v: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Nearest-centroid assignment as one narrow Catalyst expression over
+    a centroid literal — no broadcast join, no shuffle, no ML model; ties
+    go to the lowest list id (array_position finds the first minimum,
+    matching the classic argmin convention). Adds `list_id` (int)."""
+    arr = "array(%s)" % ", ".join(
+        "array(%s)" % ", ".join(f"CAST({x!r} AS DOUBLE)" for x in c)
+        for c in centroids
+    )
+    dists = (
+        f"transform({arr}, c -> aggregate(zip_with(v, c, (a, b) -> (a - b) * (a - b)), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+    )
+    return (
+        corpus_v.withColumn("_dists", F.expr(dists))
+        .withColumn(
+            "list_id",
+            F.expr("CAST(array_position(_dists, array_min(_dists)) - 1 AS INT)"),
+        )
+        .drop("_dists")
+    )
+
+
 def ivf_ann(
     df: DataFrame, query: DataFrame, k: int = 10, nlist: int = 16, nprobe: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42,
@@ -816,33 +897,18 @@ def ivf_ann(
     data through a bucket equi-join — the IVF-flat layout every vector
     store uses, expressed as DataFrames. Deterministic via fixed seed.
 
-    Spark-native pieces: pyspark.ml KMeans for the quantizer, broadcast of
-    the (tiny) centroid set for assignment, TakeOrderedAndProject for the
-    final top-k.
+    Spark-native pieces: driver-side bounded-sample k-means for the
+    quantizer (_coarse_centroids — nlist centroids are estimated just as
+    well from a few thousand vectors as from 100 TB, so the fit is
+    driver-scale by construction), one narrow expression pass for the
+    assignment (_assign_lists), TakeOrderedAndProject for the final
+    top-k.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     corpus = df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
-    with_vec = corpus.withColumn("features", array_to_vector("v"))
-    # Fit the coarse quantizer on a BOUNDED sample, not the full corpus:
-    # KMeans makes several passes over its input, and nlist centroids are
-    # estimated just as well from a few thousand vectors as from 100 TB.
-    # One count() sizes the fraction; the fit input is then capped at
-    # max_fit rows regardless of corpus size. The exact (cheap, single
-    # narrow pass) assignment below still covers every vector.
-    max_fit = 4096
-    n = with_vec.count()
-    if n > max_fit:
-        frac = min(1.0, (max_fit * 1.5) / n)
-        fit_input = with_vec.sample(fraction=frac, seed=seed).limit(max_fit)
-    else:
-        fit_input = with_vec
-    km = KMeans(k=nlist, seed=seed, featuresCol="features", predictionCol="list_id")
-    model = km.fit(fit_input)
-    assigned = model.transform(with_vec).select(id_col, "v", "list_id")
+    cents = _coarse_centroids(corpus, nlist, seed)
+    assigned = _assign_lists(corpus, cents).select(id_col, "v", "list_id")
 
-    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    centroids = [(i, c) for i, c in enumerate(cents)]
     cent_df = df.sparkSession.createDataFrame(centroids, "list_id: int, centroid: array<double>")
 
     q = query.select(F.col(vec_col).cast("array<double>").alias("q_vec"))
@@ -860,13 +926,15 @@ def ivf_ann(
         )
         .orderBy("dist")
         .limit(nprobe)
-        .select("q_vec", "list_id")
+        # q_norm folded once per probe row (a handful) instead of per
+        # candidate row — bit-identical, same expression/operands (r12)
+        .select("q_vec", _norm(F.col("q_vec")).alias("q_norm"), "list_id")
     )
     cand = assigned.join(F.broadcast(q_lists), "list_id")
     scored = cand.select(
         id_col,
         F.round(
-            _dot(F.col("v"), F.col("q_vec")) / (_norm(F.col("v")) * _norm(F.col("q_vec"))), 6
+            _dot(F.col("v"), F.col("q_vec")) / (_norm(F.col("v")) * F.col("q_norm")), 6
         ).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
@@ -2099,33 +2167,21 @@ def build_ivf_index(
     (id, v, list_id) — the build-once / query-many layout every vector
     store uses (FAISS IVF, Milvus), expressed as parquet tables.
 
-    Separating build from query is the 100 TB pattern: the KMeans fit
-    (bounded sample, see ivf_ann) and the one narrow assignment pass
-    happen once per corpus version; each query then reads only the tiny
-    centroid table plus ~nprobe/nlist of the assignment table, with
-    partition pruning doing the list selection (assignments are
-    partitioned by list_id)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    Separating build from query is the 100 TB pattern: the bounded-
+    sample driver-side k-means fit (_coarse_centroids, see ivf_ann) and
+    the one narrow assignment pass happen once per corpus version; each
+    query then reads only the tiny centroid table plus ~nprobe/nlist of
+    the assignment table, with partition pruning doing the list
+    selection (assignments are partitioned by list_id)."""
     from impala_spark import ddl as _ddl
 
     spark = df.sparkSession
     corpus = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    with_vec = corpus.withColumn("features", array_to_vector("v"))
-    max_fit = 4096
-    n = with_vec.count()
-    if n > max_fit:
-        frac = min(1.0, (max_fit * 1.5) / n)
-        fit_input = with_vec.sample(fraction=frac, seed=seed).limit(max_fit)
-    else:
-        fit_input = with_vec
-    km = KMeans(k=nlist, seed=seed, featuresCol="features", predictionCol="list_id")
-    model = km.fit(fit_input)
-    assigned = model.transform(with_vec).select("id", "v", "list_id")
-    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    cents = _coarse_centroids(corpus, nlist, seed)
+    assigned = _assign_lists(corpus, cents).select("id", "v", "list_id")
+    centroids = [(i, c) for i, c in enumerate(cents)]
     cent_df = spark.createDataFrame(centroids, "list_id: int, centroid: array<double>")
     _ddl.drop_table(spark, f"{prefix}_centroids")
     _ddl.drop_table(spark, f"{prefix}_assignments")
@@ -2165,14 +2221,16 @@ def query_ivf_index(
         )
         .orderBy("dist")
         .limit(nprobe)
-        .select("q_vec", "list_id")
+        # q_norm folded once per probe row (a handful) instead of per
+        # candidate row — bit-identical, same expression/operands (r12)
+        .select("q_vec", _norm(F.col("q_vec")).alias("q_norm"), "list_id")
     )
     cand = assigned.join(F.broadcast(q_lists), "list_id")
     scored = cand.select(
         F.col("id").alias("vec_id"),
         (
             _dot(F.col("v"), F.col("q_vec"))
-            / (_norm(F.col("v")) * _norm(F.col("q_vec")))
+            / (_norm(F.col("v")) * F.col("q_norm"))
         ).alias("_raw"),
     )
     # order by the UNROUNDED cosine (ties at the rounded precision must

@@ -919,3 +919,32 @@ def test_minhash_bounded_no_self_join_blowup(spark):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert plan.count("Window") >= 1  # the LEAD chain is the candidate gen
+
+
+def test_coarse_centroids_driver_fit(spark):
+    """r12: the IVF coarse quantizer fit runs on the driver over the
+    bounded sample (no per-iteration Spark jobs). Pins: determinism for
+    a fixed seed, exact centroid count even when k exceeds the sample,
+    and a complete in-range expression-based assignment."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, [float((i * 7 + j * 3) % 13) - 6.0 for j in range(8)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "id bigint, v array<double>")
+    a = llm_ops._coarse_centroids(df, k=4, seed=42)
+    b = llm_ops._coarse_centroids(df, k=4, seed=42)
+    assert a == b and len(a) == 4 and all(len(c) == 8 for c in a)
+    # k larger than the sample still yields k centroids
+    tiny = spark.createDataFrame(rows[:2], "id bigint, v array<double>")
+    c = llm_ops._coarse_centroids(tiny, k=5, seed=1)
+    assert len(c) == 5
+    # assignment: every row labeled, labels in [0, k)
+    assigned = llm_ops._assign_lists(df, a)
+    got = assigned.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("list_id").alias("lo"), F.max("list_id").alias("hi"),
+    ).first()
+    assert got.n == 40 and got.lo >= 0 and got.hi < 4
+    # a vector equal to a centroid maps to that centroid's list
+    one = spark.createDataFrame([(99, a[2])], "id bigint, v array<double>")
+    assert llm_ops._assign_lists(one, a).first().list_id == 2
