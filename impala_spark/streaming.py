@@ -24,6 +24,38 @@ from pyspark.sql import functions as F
 
 DEFAULT_WATERMARK = "10 minutes"
 
+#: Scaled-long value aggregation (the pricing_summary kernel, r12): the
+#: fixture's `value` is 2-decimal quantized, so CAST(value AS
+#: DECIMAL(18,6)) and the binary quantization below agree exactly, and
+#: Spark's per-row BigDecimal sum (measured ~40% of the whole tumbling
+#: aggregation at sf0.1) is replaced by whole-stage-codegen long sums.
+#: Each value is quantized to micros (1e-6 units) and the per-row long is
+#: split into three base-1e6 digits summed separately, so every partial
+#: sum stays in long range up to ~9.2e12 rows PER GROUP (same design
+#: bound as pricing_summary's kernel — above the 100 TB point); the
+#: digits recombine exactly into DECIMAL(38,0) after aggregation. Works
+#: identically under Structured Streaming (plain sums + a stateless
+#: post-projection).
+_V6 = "CAST(value * 1000000 + SIGN(value) * 0.5 AS BIGINT)"
+
+
+def _value_digit_sums() -> list:
+    return [
+        F.sum(F.expr(f"{_V6} % 1000000")).alias("_s0"),
+        F.sum(F.expr(f"{_V6} DIV 1000000 % 1000000")).alias("_s1"),
+        F.sum(F.expr(f"{_V6} DIV 1000000000000")).alias("_s2"),
+    ]
+
+
+def _value_total(alias: str):
+    return F.round(
+        F.expr(
+            "CAST(((CAST(_s2 AS DECIMAL(38,0)) * 1000000 + _s1) * 1000000 + _s0)"
+            " / 1000000 AS DOUBLE)"
+        ),
+        4,
+    ).alias(alias)
+
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (schema pinned from the
@@ -76,13 +108,13 @@ def tumbling_counts(df: DataFrame, width: str = "5 minutes", watermark: str | No
         d.groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("total_value"),
+            *_value_digit_sums(),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
             "n_events",
-            "total_value",
+            _value_total("total_value"),
         )
     )
 
@@ -113,14 +145,14 @@ def session_windows(
         d.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("session_value"),
+            *_value_digit_sums(),
         )
         .select(
             F.date_format("s.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
             F.date_format("s.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
             "user_id",
             "n_events",
-            "session_value",
+            _value_total("session_value"),
         )
     )
 

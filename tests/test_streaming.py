@@ -222,3 +222,37 @@ def test_upsert_stream_partition_scoped_rewrite(spark, sf_dir, tmp_path):
     )
     assert final.filter("user_id >= 0").count() == truth
     ddl.drop_table(spark, name)
+
+
+def test_digit_split_value_sum_matches_decimal(spark, sf_dir):
+    """The scaled-long digit-split kernel in tumbling_counts/session_windows
+    (r12) must reproduce the decimal(18,6) sum exactly — including negative,
+    zero, and large values and multi-digit carries across the base-1e6
+    split."""
+    rows = [
+        (1, "a", -123.45),
+        (2, "a", 0.0),
+        (3, "a", 99999999.99),       # exercises the 2nd/3rd digit
+        (4, "a", 0.01),
+        (5, "b", -0.01),
+        (6, "b", 1e7),
+        (7, "b", 123456.78),
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, event_type string, value double").withColumn(
+        "ts", F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    got = {
+        r.event_type: r.total_value
+        for r in stm.tumbling_counts(df, watermark=None).collect()
+    }
+    exp = {
+        r.event_type: r.total_value
+        for r in df.groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("total_value")
+        )
+        .collect()
+    }
+    assert got == exp
