@@ -616,14 +616,32 @@ def cosine_topk_bruteforce(
     # cost of these interpreted array folds is what scales with corpus
     # size (r12; result bit-identical, same expression over the same
     # operands).
-    q = F.broadcast(
-        query.select(F.col(vec_col).cast("array<double>").alias("q_vec"))
-        .withColumn("q_norm", _norm(F.col("q_vec")))
+    #
+    # Built from SQL expression STRINGS, not Column-lambda helpers: each
+    # higher-order lambda built through the PySpark API costs a fan of
+    # py4j round trips at plan-construction time — measured 0.108 s of
+    # pure build per fresh call vs 0.041 s for the string form (r12;
+    # identical expressions, identical results).
+    dot = (
+        "aggregate(zip_with(v, q_vec, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
-    corpus = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-    scored = corpus.crossJoin(q).select(
-        id_col,
-        F.round(_dot(F.col("v"), F.col("q_vec")) / (_norm(F.col("v")) * F.col("q_norm")), 6).alias("cos_sim"),
+    nv = (
+        "sqrt(aggregate(transform(v, x -> x * x), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    nq = (
+        "sqrt(aggregate(transform(q_vec, x -> x * x), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    q = F.broadcast(
+        query.selectExpr(f"cast(`{vec_col}` as array<double>) AS q_vec")
+        .selectExpr("q_vec", f"{nq} AS q_norm")
+    )
+    corpus = df.selectExpr(f"`{id_col}`", f"cast(`{vec_col}` as array<double>) AS v")
+    scored = corpus.crossJoin(q).selectExpr(
+        f"`{id_col}`",
+        f"round({dot} / ({nv} * q_norm), 6) AS cos_sim",
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
