@@ -1587,6 +1587,11 @@ def incremental_dedup(
     ids either way."""
     bf = fingerprint(batch, text_col)
     hf = fingerprint(history, text_col).select("fp").distinct()
+    # NOT checkpointed although two consumers read it (r12 measured:
+    # materializing the text-bearing batch costs MORE than re-running the
+    # cheap fingerprint anti-join — 1.47 -> 1.65 s at sf0.01; contrast
+    # clean_corpus, whose re-used set is ids-only and whose upstream is
+    # the whole near-dup chain).
     no_exact = bf.join(hf, "fp", "left_anti").drop("fp")
     near = cross_near_dup_pairs(
         no_exact, history, id_col, text_col, threshold, candidates=candidates

@@ -5240,7 +5240,12 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     near_losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias("doc_id")
     )
-    losers = exact_losers.unionByName(near_losers).distinct()
+    # Materialize the (tiny) loser-id set once: it feeds BOTH the anti-join
+    # and the leak re-join below, and each consumer otherwise re-executes
+    # the full exact+near dedup chain above it (r12, same plan-tree
+    # argument as the curation-funnel checkpoints; measured 2.49 -> 2.14 s
+    # at sf0.01, result identical). Eager and per-invocation.
+    losers = exact_losers.unionByName(near_losers).distinct().localCheckpoint()
     kept = d.join(losers, "doc_id", "left_anti")
     # The oracle recomputes the kept SET independently (recursive CTE +
     # window dedup), so the id-sum/min/max checksums verify the surviving
