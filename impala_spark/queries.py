@@ -552,18 +552,33 @@ sql_query(
     # surface is also far less steal-burst-sensitive); sf10 a wash
     # (+1%) — better at scale, equal small, the right trade for the
     # 100 TB design point.
+    # r12: the per-order revenue sum is now the scaled-long kernel after
+    # all — not for the quantize (the join still dominates) but for the
+    # ACCUMULATOR: SUM(DECIMAL(18,4)) widens to DECIMAL(28,4), which
+    # leaves Spark's compact-long decimal representation and pays a
+    # per-row Java BigDecimal add across every joined lineitem row.
+    # A per-order long sum is exact forever (<= ~7 lineitems/order, each
+    # ext4 <= 1e9); the second level digit-splits exactly like
+    # pricing_summary, safe to ~9.2e12 orders/priority (above sf100k).
+    # Interleaved noop A/B at sf0.1: 4/5 clean pairs won, median
+    # 1.128 -> 1.003 s (-11%); results hash-identical to the oracle.
     """
     WITH pa AS (
       SELECT o_orderpriority, o.o_orderkey,
-             SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS ps
+             SUM(CAST(l_extendedprice * 10000 + SIGN(l_extendedprice) * 0.5 AS BIGINT)) AS e4
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       WHERE o.o_orderstatus = 'O'
       GROUP BY o_orderpriority, o.o_orderkey
+    ), a AS (
+      SELECT o_orderpriority, COUNT(*) AS n,
+             SUM(e4 % 1000000) AS s0, SUM(e4 DIV 1000000 % 1000000) AS s1,
+             SUM(e4 DIV 1000000000000) AS s2
+      FROM pa GROUP BY o_orderpriority
     )
     SELECT o_orderpriority,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(ps) AS DOUBLE) AS revenue
-    FROM pa GROUP BY o_orderpriority ORDER BY o_orderpriority
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(((CAST(s2 AS DECIMAL(38,0)) * 1000000 + s1) * 1000000 + s0) / 10000 AS DOUBLE) AS revenue
+    FROM a ORDER BY o_orderpriority
     """,
     oracle="""
     SELECT o_orderpriority,
