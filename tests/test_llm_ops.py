@@ -948,3 +948,33 @@ def test_coarse_centroids_driver_fit(spark):
     # a vector equal to a centroid maps to that centroid's list
     one = spark.createDataFrame([(99, a[2])], "id bigint, v array<double>")
     assert llm_ops._assign_lists(one, a).first().list_id == 2
+
+
+def test_minhash_exact_signature_aggregate_form(spark):
+    """r12: the exact pipeline's 16 signature minima are codegen'd min()
+    aggregates over the exploded shingle hashes, not interpreted
+    array_min(transform(...)) projections. Pins (a) the output jaccard
+    still equals the directly-computed exact shingle-set Jaccard (the
+    signature form only selects candidates; scoring is exact), and
+    (b) the interpreted form stays out of the plan."""
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep dark woods tonight without any rest")
+    near = base.replace("lazy", "sleepy")
+    far = "unrelated corpus text about engines optimizers and columnar io"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id: long, text: string"
+    )
+    out = {(r.a_id, r.b_id): r.jaccard
+           for r in llm_ops.minhash_lsh_pairs_exact(df, threshold=0.1).collect()}
+
+    def shingle_set(t: str, k: int = 3) -> set:
+        w = t.lower().split()
+        return {" ".join(w[i:i + k]) for i in range(max(len(w) - k + 1, 1))}
+
+    a, b = shingle_set(base), shingle_set(near)
+    expected = round(len(a & b) / len(a | b), 6)
+    assert out[(1, 2)] == expected
+    assert all(3 not in pair for pair in out)
+    plan = physical_plan(llm_ops.minhash_lsh_pairs_exact(df))
+    assert "array_min(transform" not in plan
+    assert "HashAggregate" in plan
