@@ -310,7 +310,13 @@ def main() -> None:
                 "canary_inflation_estimate": _canary_inflation_estimate(
                     cpu_canary
                 ),
-                "ncpus": os.cpu_count(),
+                # effective worker width: the local[N] the session actually
+                # runs (r12 verdict #2: os.cpu_count() said 32 even under
+                # SPARK_GRAFT_CPUS=8 — the env var was honored by the
+                # session, only this label lied). machine_cpus keeps the
+                # physical count for context.
+                "ncpus": spark.sparkContext.defaultParallelism,
+                "machine_cpus": os.cpu_count(),
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,

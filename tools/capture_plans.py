@@ -7,6 +7,8 @@ Default names: the bench HEADLINE suite.
 """
 from __future__ import annotations
 
+import contextlib
+import io
 import os
 import sys
 
@@ -16,6 +18,9 @@ from impala_spark.session import get_spark
 
 
 def main() -> None:
+    if len(sys.argv) < 3:
+        print(__doc__, file=sys.stderr)
+        raise SystemExit(2)
     outdir = sys.argv[1]
     suffix = sys.argv[2]
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
@@ -28,9 +33,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     for name in names:
         df = SPARK_QUERIES[name](spark, sf_dir)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+        # Public API only (ADVICE r12): df.explain prints from Python, so
+        # redirecting stdout captures the exact formatted plan without
+        # touching _jdf/_jvm internals.
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        plan = buf.getvalue()
         path = os.path.join(outdir, f"{name}_{suffix}.txt")
         with open(path, "w") as f:
             f.write(plan)
