@@ -974,8 +974,12 @@ def _rewrite_partitions(
     (r4), with one addition: a touched partition whose rows ALL disappear
     is absent from the write output, which dynamic overwrite cannot
     delete — those directories are removed explicitly."""
-    # materialize BEFORE overwriting the files being read
-    new_rows = new_rows.localCheckpoint()
+    # materialize BEFORE overwriting the files being read (via
+    # materialize_stage: honors spark.graft.checkpoint.mode so the
+    # read-before-overwrite barrier survives executor loss on a cluster)
+    from impala_spark.operators import materialize_stage
+
+    new_rows = materialize_stage(new_rows)
     remaining = {
         tuple(r[c] for c in t.partition_cols)
         for r in new_rows.select(*t.partition_cols).distinct().collect()
@@ -1631,7 +1635,9 @@ def _overwrite(spark: SparkSession, t: ManagedTable, df: DataFrame) -> DataFrame
         # bucketed rewrite: materialize first (overwriting the table being
         # read), then saveAsTable re-writes WITH the bucket spec — a path
         # write would silently drop it
-        df = df.localCheckpoint()
+        from impala_spark.operators import materialize_stage
+
+        df = materialize_stage(df)
         (
             df.write.mode("overwrite")
             .bucketBy(t.num_buckets, *t.bucket_cols)

@@ -19,6 +19,48 @@ from pyspark.sql import functions as F
 from impala_spark.functions import asc_impala, desc_impala
 
 # ---------------------------------------------------------------------------
+# Plan-truncating materialization (guide §5)
+# ---------------------------------------------------------------------------
+
+
+def materialize_stage(df: DataFrame) -> DataFrame:
+    """Materialize an intermediate once and truncate its lineage, for
+    stages whose plan subtree fans out to several consumers (Catalyst
+    plans are trees, so pushdown specializes each consumer's copy and
+    ReuseExchange cannot dedup them).
+
+    Mode is `spark.graft.checkpoint.mode` (r12 verdict #3):
+
+    - `local` (default): `localCheckpoint()` — blocks live on executors
+      with lineage truncated. Correct and cheapest in local mode, where
+      the driver IS the executor; on a real cluster an executor loss
+      makes the job unrecoverable past this point.
+    - `reliable`: `checkpoint()` to the fault-tolerant checkpoint dir —
+      the 100 TB-cluster posture. The dir comes from
+      `spark.graft.checkpoint.dir` (set once per session here) or a
+      pre-set `sparkContext.setCheckpointDir`; missing both is a config
+      error worth failing loudly on, not silently downgrading.
+
+    Either way the materialization is eager and per-invocation — every
+    run computes from the inputs; nothing survives across runs."""
+    spark = df.sparkSession
+    mode = (spark.conf.get("spark.graft.checkpoint.mode", "local") or "local").lower()
+    if mode == "reliable":
+        sc = spark.sparkContext
+        if sc.getCheckpointDir() is None:
+            ckdir = spark.conf.get("spark.graft.checkpoint.dir", None)
+            if not ckdir:
+                raise ValueError(
+                    "spark.graft.checkpoint.mode=reliable requires "
+                    "spark.graft.checkpoint.dir (or a pre-set "
+                    "sparkContext checkpoint dir)"
+                )
+            sc.setCheckpointDir(ckdir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()
+
+
+# ---------------------------------------------------------------------------
 # Scans / filters / projection (HdfsScanNode.java:61-96, SelectNode.java)
 # ---------------------------------------------------------------------------
 

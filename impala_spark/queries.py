@@ -5260,7 +5260,11 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the full exact+near dedup chain above it (r12, same plan-tree
     # argument as the curation-funnel checkpoints; measured 2.49 -> 2.14 s
     # at sf0.01, result identical). Eager and per-invocation.
-    losers = exact_losers.unionByName(near_losers).distinct().localCheckpoint()
+    # ops.materialize_stage = localCheckpoint locally, reliable
+    # checkpoint under spark.graft.checkpoint.mode=reliable (r12 #3).
+    losers = ops.materialize_stage(
+        exact_losers.unionByName(near_losers).distinct()
+    )
     kept = d.join(losers, "doc_id", "left_anti")
     # The oracle recomputes the kept SET independently (recursive CTE +
     # window dedup), so the id-sum/min/max checksums verify the surviving
@@ -7113,22 +7117,24 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     e = table(spark, sf_dir, "embeddings")
     g = llm_ops.gopher_filter(d)
-    # Materialize each funnel stage once (localCheckpoint, guide-standard
-    # plan truncation): the stage DataFrames fan out to several consumers
+    # Materialize each funnel stage once (guide-standard plan
+    # truncation): the stage DataFrames fan out to several consumers
     # (the next stage, the DSIR raw/target split, the funnel counters, and
     # global_running_sum's range-bound sampling pass), and Catalyst plans
     # are trees — filter pushdown specializes each consumer's copy of the
     # subtree so ReuseExchange can't dedup them, multiplying the full
     # upstream chain ~6x (measured r12 at sf0.01: warm pipeline 7.9 ->
-    # 4.6 s). Checkpoints are eager and per-invocation — every run still
-    # computes from the parquet inputs; nothing survives across runs.
-    quality = d.join(
-        g.filter(F.col("keep")).select("doc_id", "n_words"), "doc_id"
-    ).localCheckpoint()
+    # 4.6 s). ops.materialize_stage = localCheckpoint locally, reliable
+    # checkpoint under spark.graft.checkpoint.mode=reliable (r12 #3);
+    # either way eager and per-invocation — every run still computes
+    # from the parquet inputs; nothing survives across runs.
+    quality = ops.materialize_stage(
+        d.join(g.filter(F.col("keep")).select("doc_id", "n_words"), "doc_id")
+    )
     keepers = llm_ops.dedup_exact(quality).select(
         F.col("keep_id").alias("doc_id")
     )
-    exact = quality.join(keepers, "doc_id").localCheckpoint()
+    exact = ops.materialize_stage(quality.join(keepers, "doc_id"))
     sem_in = e.join(
         exact.select(F.col("doc_id").alias("vec_id")), "vec_id"
     ).select("vec_id", "embedding")
@@ -7137,7 +7143,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("kept"))
         .select(F.col("id").alias("doc_id"))
     )
-    semantic = exact.join(sem_kept, "doc_id").localCheckpoint()
+    semantic = ops.materialize_stage(exact.join(sem_kept, "doc_id"))
     target = semantic.filter(F.col("source") == "src0")
     raw = semantic.filter(F.col("source") != "src0")
     scores = llm_ops.dsir_importance_weights(raw, target).select(

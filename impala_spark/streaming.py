@@ -391,10 +391,14 @@ def upsert_stream_to_table(
             # The touched-partition list is driver-side but bounded by the
             # BATCH's distinct partition values, not the table's.
             touched = latest.select(*t.partition_cols).distinct()
-            current = (
-                existing.join(F.broadcast(touched), list(t.partition_cols), "left_semi")
-                # materialize BEFORE overwriting the files being read
-                .localCheckpoint()
+            # materialize BEFORE overwriting the files being read
+            # (materialize_stage: cluster-safe under checkpoint.mode)
+            from impala_spark.operators import materialize_stage
+
+            current = materialize_stage(
+                existing.join(
+                    F.broadcast(touched), list(t.partition_cols), "left_semi"
+                )
             )
             merged = (
                 current.unionByName(latest.select(*existing.columns))

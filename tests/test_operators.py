@@ -370,3 +370,33 @@ def test_skew_report_identifies_heavy_hitter(spark):
     # skew_ratio = 80 * 21 / 100
     assert abs(got[0].skew_ratio - 16.8) < 1e-9
     assert len(got) == 3 and got[1].n == 1
+
+
+def test_materialize_stage_checkpoint_modes(spark, tmp_path):
+    """r13 (r12 verdict #3): materialize_stage defaults to localCheckpoint
+    (local-mode posture) and routes through a reliable checkpoint under
+    spark.graft.checkpoint.mode=reliable — failing loudly when no
+    checkpoint dir is configured rather than silently downgrading."""
+    df = spark.range(10).withColumn("v", F.col("id") * 2)
+    # default mode: localCheckpoint, values intact
+    out = ops.materialize_stage(df)
+    assert sorted(r.v for r in out.collect()) == [i * 2 for i in range(10)]
+    try:
+        spark.conf.set("spark.graft.checkpoint.mode", "reliable")
+        if spark.sparkContext.getCheckpointDir() is None:
+            # no dir anywhere -> loud config error, not a silent downgrade
+            import pytest as _pytest
+
+            with _pytest.raises(ValueError, match="checkpoint.dir"):
+                ops.materialize_stage(df)
+        ckdir = str(tmp_path / "reliable_ck")
+        spark.conf.set("spark.graft.checkpoint.dir", ckdir)
+        out2 = ops.materialize_stage(df)
+        assert sorted(r.v for r in out2.collect()) == [i * 2 for i in range(10)]
+        # the reliable checkpoint actually wrote to the configured dir
+        import os as _os
+
+        assert _os.path.isdir(ckdir) and any(_os.scandir(ckdir))
+    finally:
+        spark.conf.unset("spark.graft.checkpoint.mode")
+        spark.conf.unset("spark.graft.checkpoint.dir")
