@@ -15,6 +15,8 @@ Design rules for 100 TB (the whole point of these):
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -140,13 +142,24 @@ def _compute_partitions(df: DataFrame) -> int:
     estimation failure falls back to cluster width."""
     spark = df.sparkSession
     slots = spark.sparkContext.defaultParallelism
-    try:
-        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        per_task = int(spark.conf.get("spark.graft.compute.bytesPerTask", "65536"))
-        need = -(-est // max(per_task, 1))
-        return max(2, min(slots, need))
-    except Exception:
+    est = _estimated_bytes(df)
+    if est is None:
         return slots
+    per_task = int(spark.conf.get("spark.graft.compute.bytesPerTask", "65536"))
+    need = -(-est // max(per_task, 1))
+    return max(2, min(slots, need))
+
+
+def _estimated_bytes(df: DataFrame) -> int | None:
+    """Optimizer sizeInBytes estimate — driver-side, no job. None on any
+    failure (callers fall back to their safe default). Estimates on text
+    columns can be off (r12 verdict #6); every use here is clamped by a
+    cluster-width cap or a coarse on/off gate, so a wild estimate costs
+    at most the old fan-out, never correctness."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
 
 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -296,6 +309,12 @@ def minhash_lsh_pairs(
     )
 
 
+#: Per-call sequence for minhash_lsh_pairs_exact's temp view names —
+#: guarantees two concurrent calls on one session never share a view.
+_MINHASH_VIEW_SEQ = 0
+_MINHASH_VIEW_LOCK = threading.Lock()
+
+
 def minhash_lsh_pairs_exact(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     num_hashes: int = 16, bands: int = 8, k: int = 3, threshold: float = 0.5,
@@ -310,6 +329,27 @@ def minhash_lsh_pairs_exact(
     is missed with probability (1-s^2)^8 < 2e-6 — at near-dup
     thresholds recall is 1.0 for all practical purposes, which makes the
     result oracle-checkable against an exact all-candidate-pairs SQL.
+
+    Precondition: `id_col` values must be UNIQUE. The signature stage
+    aggregates GROUP BY id (the r12 codegen rewrite), so duplicated ids
+    would be merged into one combined signature instead of getting one
+    signature per row — and the downstream cand/scored joins already
+    assume id uniqueness (a duplicated id would cross-join its own
+    copies). All fixture corpora key docs by a unique doc_id.
+
+    Skew path (r13, r12 verdict #1): on corpora above
+    `spark.graft.minhash.skewProbeMinBytes` (estimated input bytes) the
+    banded relation is materialized once and its bucket sizes counted; a
+    band bucket larger than `spark.graft.minhash.hotBucketThreshold`
+    would put C(m,2) candidate-join work on ONE reduce-side task (a
+    single enormous key, which AQE's skew-join splitting cannot divide —
+    guide §2.5), so hot buckets are routed through a triangle-salted
+    self-join that spreads the same pairs over s(s+1)/2 tasks
+    (`spark.graft.minhash.saltFactor`). Output is identical by
+    construction: every unordered in-bucket pair is emitted exactly once
+    on either route, and the exact-Jaccard rescore expressions are
+    shared. Below the size gate the original single-SQL plan is used
+    untouched — the probe costs nothing at bench scale.
     """
     rows_per_band = num_hashes // bands
     spark = df.sparkSession
@@ -332,7 +372,15 @@ def minhash_lsh_pairs_exact(
     # and reused via ReuseExchange for banding and both verify probes.
     # NB: seeds must stay INT literals — xxhash64 mixes the argument TYPE,
     # so a long seed changes every signature vs the original F.lit(int).
-    view = "__minhash_exact_input"
+    # Unique view name per call (r12 verdict #4): a fixed name made two
+    # concurrent calls on one session race (last registration wins). The
+    # view is dropped right after spark.sql() — DataFrame analysis is
+    # eager, so the analyzed plan has already inlined the view's subtree
+    # and the returned DataFrame never re-resolves the name.
+    global _MINHASH_VIEW_SEQ
+    with _MINHASH_VIEW_LOCK:
+        _MINHASH_VIEW_SEQ += 1
+        view = f"__minhash_exact_input_{_MINHASH_VIEW_SEQ}"
     df.createOrReplaceTempView(view)
     gets = ", ".join(f"get(_w, i + {j})" for j in range(k))
     # Signature minima as a CODEGEN'D hash aggregate over the exploded
@@ -347,7 +395,8 @@ def minhash_lsh_pairs_exact(
     # transform form (interleaved A/B at sf0.1: identical 256 pairs,
     # median 0.590 -> 0.562 s, 4/5 wins; the win grows with corpus size
     # as the interpreted fraction grows).
-    min_cols = ", ".join(f"min(xxhash64(h, {s})) AS m{s}" for s in range(num_hashes))
+    min_exprs = [f"min(xxhash64(h, {s})) AS m{s}" for s in range(num_hashes)]
+    min_cols = ", ".join(min_exprs)
     # Band keys straight from the min columns: concat_ws over the casts is
     # byte-identical to array_join(transform(slice(...))) and fully
     # codegen'd. Empty docs never reach `sig` (explode emits no rows), so
@@ -363,7 +412,7 @@ def minhash_lsh_pairs_exact(
         )
         for b in range(bands)
     )
-    return spark.sql(f"""
+    base_cte = f"""
     WITH docs AS (
       SELECT {spread_hint}`{id_col}` AS id, `{text_col}` AS _t FROM {view}
     ), w AS (
@@ -379,7 +428,17 @@ def minhash_lsh_pairs_exact(
       SELECT /*+ REPARTITION({n}, id) */ id,
              array_sort(transform(shingles, s -> xxhash64(s))) AS sh_hash
       FROM sh
-    ), sig AS (
+    )"""
+    probe_min = int(
+        spark.conf.get("spark.graft.minhash.skewProbeMinBytes", str(32 << 20))
+    )
+    est = _estimated_bytes(df)
+    try:
+        if est is not None and est >= probe_min:
+            return _minhash_exact_skew_safe(
+                spark, base_cte, min_exprs, band_items, threshold
+            )
+        return spark.sql(base_cte + f""", sig AS (
       SELECT id, {min_cols}
       FROM (SELECT id, explode(sh_hash) AS h FROM base)
       GROUP BY id
@@ -396,6 +455,141 @@ def minhash_lsh_pairs_exact(
     )
     SELECT a_id, b_id, jaccard FROM scored WHERE jaccard >= {threshold}
     """)
+    finally:
+        try:
+            spark.catalog.dropTempView(view)
+        except Exception:
+            pass  # never let cleanup mask the query result
+
+
+def _minhash_exact_skew_safe(
+    spark, base_cte: str, min_exprs: list[str], band_items: str, threshold: float
+) -> DataFrame:
+    """Large-corpus route for minhash_lsh_pairs_exact (r13): materialize
+    `base` and the narrow `banded` relation once, count band buckets, and
+    salt the demonstrably hot ones.
+
+    Two structural wins over the single-SQL plan at scale, independent of
+    skew: (a) the signature aggregate runs ONCE (the tree plan computed it
+    twice — once per candidate-join side, only the base exchange was
+    reused); (b) the exact-rescore probes read materialized `base` blocks
+    instead of re-running its exchange. The materializations are eager and
+    per-invocation (operators.materialize_stage — cluster-safe under
+    spark.graft.checkpoint.mode=reliable); nothing survives across runs.
+
+    Hot-bucket handling (triangle/salted self-join, guide §2.5 "salt the
+    key"): each member of a hot bucket gets a deterministic salt group
+    g = pmod(xxhash64(id), s); the bucket's C(m,2) pairs are partitioned
+    over the s(s+1)/2 cells {(i,j): i<=j} — the a-side row replicates to
+    cells (g, j>=g), the b-side to cells (i<=g, g), so a cross-group pair
+    lands exactly in cell (min(g), max(g)) and a same-group pair in (g,g)
+    where a_id < b_id dedups the two orderings. Join key (band_hash, i, j)
+    spreads the hot bucket over s(s+1)/2 reduce tasks instead of one.
+    Cold buckets take the plain self-join unchanged. Pair set is
+    identical to the plain join by construction; the salted exchange
+    appears in the plan ONLY when the count gate actually trips."""
+    from impala_spark.operators import materialize_stage
+
+    hot_threshold = int(
+        spark.conf.get("spark.graft.minhash.hotBucketThreshold", "1024")
+    )
+    salt = int(spark.conf.get("spark.graft.minhash.saltFactor", "8"))
+    base = materialize_stage(spark.sql(base_cte + " SELECT id, sh_hash FROM base"))
+    banded = materialize_stage(
+        base.select("id", F.explode("sh_hash").alias("h"))
+        .groupBy("id")
+        .agg(*[F.expr(c) for c in min_exprs])
+        .select("id", F.explode(F.expr(f"array({band_items})")).alias("band_hash"))
+    )
+    hot = (
+        banded.groupBy("band_hash")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > hot_threshold)
+        .select("band_hash")
+    )
+    # Driver-side count gate: #hot keys <= rows/threshold, tiny. The
+    # count job reads the materialized banded blocks — one narrow pass.
+    hot_keys = hot.limit(1).count() > 0
+    # Disjoint output names on every branch (Spark 4.1 rejects aliased
+    # self-joins over shared checkpoint-rooted LogicalRDD attributes).
+    a_side = banded.select(F.col("id").alias("a_id"), F.col("band_hash").alias("_abh"))
+    b_side = banded.select(F.col("id").alias("b_id"), F.col("band_hash").alias("_bbh"))
+    if not hot_keys:
+        cand = (
+            a_side.join(
+                b_side,
+                (F.col("_abh") == F.col("_bbh")) & (F.col("a_id") < F.col("b_id")),
+            )
+            .select("a_id", "b_id")
+        )
+    else:
+        cold_a = a_side.join(
+            F.broadcast(hot.withColumnRenamed("band_hash", "_abh")), "_abh", "left_anti"
+        )
+        cold_b = b_side.join(
+            F.broadcast(hot.withColumnRenamed("band_hash", "_bbh")), "_bbh", "left_anti"
+        )
+        cand_cold = cold_a.join(
+            cold_b,
+            (F.col("_abh") == F.col("_bbh")) & (F.col("a_id") < F.col("b_id")),
+        ).select("a_id", "b_id")
+        hot_rows = banded.join(F.broadcast(hot), "band_hash", "left_semi")
+        g = F.pmod(F.xxhash64(F.col("id")), F.lit(salt)).cast("int")
+        tri_a = (
+            hot_rows.withColumn("_gi", g)
+            .withColumn("_gj", F.explode(F.sequence(F.col("_gi"), F.lit(salt - 1))))
+            .select(
+                F.col("id").alias("a_id"),
+                F.col("band_hash").alias("_abh"),
+                "_gi",
+                "_gj",
+            )
+        )
+        tri_b = (
+            hot_rows.withColumn("_hj", g)
+            .withColumn("_hi", F.explode(F.sequence(F.lit(0), F.col("_hj"))))
+            .select(
+                F.col("id").alias("b_id"),
+                F.col("band_hash").alias("_bbh"),
+                "_hi",
+                "_hj",
+            )
+        )
+        cand_hot = (
+            tri_a.join(
+                tri_b,
+                (F.col("_abh") == F.col("_bbh"))
+                & (F.col("_gi") == F.col("_hi"))
+                & (F.col("_gj") == F.col("_hj"))
+                & (
+                    (F.col("_gi") < F.col("_gj"))
+                    | (F.col("a_id") < F.col("b_id"))
+                ),
+            )
+            # off-diagonal cells see each unordered pair once in arbitrary
+            # id order — normalize to a_id < b_id (ids are never equal: a
+            # doc meets itself only on the diagonal, which requires a<b)
+            .select(
+                F.least("a_id", "b_id").alias("a_id"),
+                F.greatest("a_id", "b_id").alias("b_id"),
+            )
+        )
+        cand = cand_cold.unionByName(cand_hot)
+    cand = cand.dropDuplicates(["a_id", "b_id"])
+    sa = base.select(F.col("id").alias("a_id"), F.col("sh_hash").alias("_ash"))
+    sb = base.select(F.col("id").alias("b_id"), F.col("sh_hash").alias("_bsh"))
+    jac = F.round(
+        F.size(F.array_intersect("_ash", "_bsh"))
+        / F.size(F.array_union("_ash", "_bsh")),
+        6,
+    )
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
 
 
 def minhash_lsh_pairs_bounded(
@@ -1147,7 +1341,12 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id") -
     # exact rescore) re-executed inside the loop's actions. Measured at
     # sf0.01: 7.0 -> 1.9 s median (5/5 interleaved wins), identical
     # labels. Eager and per-invocation — nothing survives across runs.
-    pairs = pairs.localCheckpoint()
+    # materialize_stage honors spark.graft.checkpoint.mode (r12 verdict
+    # #3): localCheckpoint in local mode, reliable checkpoint on a
+    # cluster where executor loss must stay recoverable.
+    from impala_spark.operators import materialize_stage
+
+    pairs = materialize_stage(pairs)
     edges = (
         pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
         .union(pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y")))
@@ -1196,7 +1395,7 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id") -
         # depth (and recompute cost on executor loss) stays O(1) in the
         # iteration count — mandatory at real graph sizes.
         if i % 2 == 0:
-            new_labels = new_labels.localCheckpoint()
+            new_labels = materialize_stage(new_labels)
         else:
             new_labels = new_labels.persist()
         # explicit disjoint column names, not a USING join over aliases:
@@ -2160,6 +2359,12 @@ def dsir_importance_weights(
 
     def dist(tok: DataFrame, cnt: str, tot: str):
         counts = tok.groupBy("bucket").agg(F.count(F.lit(1)).cast("bigint").alias(cnt))
+        # NOT derived as SUM over `counts` although that looks like one
+        # explode pass fewer (r13, measured NEGATIVE at sf0.01: median
+        # 1.52 -> 2.11 s, 1/5 interleaved wins): the derived total's agg
+        # serializes behind the counts shuffle, while this independent
+        # count branch runs as a parallel job leg — and ReuseExchange
+        # already dedups the underlying explode where it can.
         total = tok.agg(F.count(F.lit(1)).cast("bigint").alias(tot))
         return counts, total
 
