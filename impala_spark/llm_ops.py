@@ -429,8 +429,22 @@ def minhash_lsh_pairs_exact(
              array_sort(transform(shingles, s -> xxhash64(s))) AS sh_hash
       FROM sh
     )"""
+    # Default OFF (r13, measured): the materialize-and-probe route lost
+    # its interleaved A/Bs at every feasible corpus size — 0/3 on the
+    # 2x1500-cluster skew probe (plain 29 s vs salted 104 s median;
+    # cleanest pair 27 vs 47) and 1/4 on an unskewed 60k-doc corpus
+    # (11.5 vs 18.6 s median): two checkpoint barriers + the probe job
+    # cost more than the duplicated signature pass they remove, and the
+    # quadratic pair-output processing (identical in both routes)
+    # dominates whenever the all-pairs contract is feasible at all. The
+    # route stays tested and output-identical as the conf-enabled
+    # LIVENESS escape for corpora with pathological (>=hotBucketThreshold
+    # -member) duplication clusters, where the plain plan's single-key
+    # straggler task is the job's wall-clock; there, and only there,
+    # enable it explicitly. minhash_lsh_pairs_bounded remains the
+    # documented contract for extreme duplication.
     probe_min = int(
-        spark.conf.get("spark.graft.minhash.skewProbeMinBytes", str(32 << 20))
+        spark.conf.get("spark.graft.minhash.skewProbeMinBytes", str(1 << 60))
     )
     est = _estimated_bytes(df)
     try:
@@ -490,8 +504,17 @@ def _minhash_exact_skew_safe(
     appears in the plan ONLY when the count gate actually trips."""
     from impala_spark.operators import materialize_stage
 
+    # Default 8192: C(8192,2) ~ 33M candidate pairs on ONE task is where
+    # the plain plan's straggler becomes the job's wall-clock. Below
+    # that, the r13 probe (2x1500-member clusters, 33k docs, shuffle-join
+    # regime) measured the salted route 0/3 AGAINST plain — the quadratic
+    # output processing (distinct + rescore), identical in both arms,
+    # dominates while this route's two materializations cost ~8 s. The
+    # salting is a liveness escape for pathological buckets, not a
+    # throughput win at feasible bucket sizes; for extreme duplication
+    # the bounded contract (minhash_lsh_pairs_bounded) stays the answer.
     hot_threshold = int(
-        spark.conf.get("spark.graft.minhash.hotBucketThreshold", "1024")
+        spark.conf.get("spark.graft.minhash.hotBucketThreshold", "8192")
     )
     salt = int(spark.conf.get("spark.graft.minhash.saltFactor", "8"))
     base = materialize_stage(spark.sql(base_cte + " SELECT id, sh_hash FROM base"))
@@ -510,10 +533,21 @@ def _minhash_exact_skew_safe(
     # Driver-side count gate: #hot keys <= rows/threshold, tiny. The
     # count job reads the materialized banded blocks — one narrow pass.
     hot_keys = hot.limit(1).count() > 0
+    # Every join below carries an explicit SHUFFLE_HASH hint on its build
+    # side: the materialized LogicalRDDs have UNKNOWN stats (sizeInBytes
+    # = default max), so despite preferSortMergeJoin=false the planner
+    # cannot prove the build side small and silently falls back to
+    # SortMergeJoin — measured on the 33k-doc skew probe: the rescore
+    # SMJs sorted 2.25M pair rows with 640 B shingle arrays twice, 77 s
+    # vs 26 s for the plain plan's hash joins (r13; 8 SMJ / 0 SHJ in the
+    # unhinted plan). SHJ spills since Spark 3.2, same posture as the
+    # session-wide preference.
     # Disjoint output names on every branch (Spark 4.1 rejects aliased
     # self-joins over shared checkpoint-rooted LogicalRDD attributes).
     a_side = banded.select(F.col("id").alias("a_id"), F.col("band_hash").alias("_abh"))
-    b_side = banded.select(F.col("id").alias("b_id"), F.col("band_hash").alias("_bbh"))
+    b_side = banded.select(
+        F.col("id").alias("b_id"), F.col("band_hash").alias("_bbh")
+    ).hint("shuffle_hash")
     if not hot_keys:
         cand = (
             a_side.join(
@@ -526,9 +560,11 @@ def _minhash_exact_skew_safe(
         cold_a = a_side.join(
             F.broadcast(hot.withColumnRenamed("band_hash", "_abh")), "_abh", "left_anti"
         )
+        # re-hint: a hint below an intermediate join (the broadcast anti)
+        # is consumed by that join and does not reach the cold self-join
         cold_b = b_side.join(
             F.broadcast(hot.withColumnRenamed("band_hash", "_bbh")), "_bbh", "left_anti"
-        )
+        ).hint("shuffle_hash")
         cand_cold = cold_a.join(
             cold_b,
             (F.col("_abh") == F.col("_bbh")) & (F.col("a_id") < F.col("b_id")),
@@ -554,6 +590,7 @@ def _minhash_exact_skew_safe(
                 "_hi",
                 "_hj",
             )
+            .hint("shuffle_hash")
         )
         cand_hot = (
             tri_a.join(
@@ -576,8 +613,14 @@ def _minhash_exact_skew_safe(
         )
         cand = cand_cold.unionByName(cand_hot)
     cand = cand.dropDuplicates(["a_id", "b_id"])
-    sa = base.select(F.col("id").alias("a_id"), F.col("sh_hash").alias("_ash"))
-    sb = base.select(F.col("id").alias("b_id"), F.col("sh_hash").alias("_bsh"))
+    # Build side = base (corpus rows); under duplication skew the pair
+    # side is the strictly larger stream.
+    sa = base.select(
+        F.col("id").alias("a_id"), F.col("sh_hash").alias("_ash")
+    ).hint("shuffle_hash")
+    sb = base.select(
+        F.col("id").alias("b_id"), F.col("sh_hash").alias("_bsh")
+    ).hint("shuffle_hash")
     jac = F.round(
         F.size(F.array_intersect("_ash", "_bsh"))
         / F.size(F.array_union("_ash", "_bsh")),

@@ -10,7 +10,7 @@ vs minhash_lsh_pairs_bounded (star+chain per band bucket, linear).
 Also verifies the contract on the measured corpus: bounded ⊆ exact and
 identical connected components via dedup_clusters.
 
-Writes MINHASH_BOUNDED_PROBE_r12.json at the repo root.
+Writes MINHASH_BOUNDED_PROBE_r13.json at the repo root.
 """
 
 import json
@@ -88,7 +88,7 @@ def main() -> None:
         "component_mismatches": comp_mismatch,
         "pair_reduction": round(n_exact / max(n_bounded, 1), 1),
     }
-    with open("MINHASH_BOUNDED_PROBE_r12.json", "w") as f:
+    with open("MINHASH_BOUNDED_PROBE_r13.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
