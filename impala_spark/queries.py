@@ -7149,8 +7149,15 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = llm_ops.dsir_importance_weights(raw, target).select(
         "doc_id", "logratio"
     )
+    # Materialize the ranked input (r13): global_running_sum's
+    # repartitionByRange samples its child for range bounds, so the whole
+    # DSIR chain (token explodes + distribution joins) executed TWICE —
+    # once for the sampling job, once for the real pass. With the blocks
+    # materialized the sampler reads them instead. Interleaved A/B at
+    # sf0.01, identical funnel row: median 4.97 -> 4.21 s, 4/5 wins.
+    ranked_in = ops.materialize_stage(semantic.join(scores, "doc_id"))
     ranked = global_running_sum(
-        semantic.join(scores, "doc_id"),
+        ranked_in,
         "n_words",
         [F.col("logratio").desc(), F.col("doc_id")],
         out_col="cum_tokens",
