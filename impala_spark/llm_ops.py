@@ -902,6 +902,38 @@ def cosine_topk_bruteforce(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
+def _hyperplane_sig_sql(vec_sql: str, planes: int, seed: int | None = None) -> str:
+    """SQL text of the random-hyperplane signature: sign of dot(v, h_p)
+    for pseudo-random {-1,+1} hyperplane components hashed from
+    (dim index, plane[, seed]), packed into a `planes`-bit long.
+
+    ONE string instead of `planes` zip_with/aggregate Column objects:
+    each higher-order lambda built through pyspark costs a py4j
+    round-trip fan plus eager re-analysis, which made
+    embedding_near_dup_pairs spend 6.4-9.7 s per call in pure Python
+    DataFrame construction (r13 phase profile; execute was 1.2 s). The
+    parsed expression tree — literal types included (1.0D doubles, INT
+    hash args, BIGINT shifts) — is identical to the old Column form, so
+    every signature bit is bit-identical (pinned by test)."""
+    v = f"CAST({vec_sql} AS ARRAY<DOUBLE>)"
+    seed_arg = f", {seed}" if seed is not None else ""
+    bits = []
+    for p in range(planes):
+        comp = (
+            f"(x, i) -> x * (CASE WHEN (xxhash64(CAST(i AS STRING), {p}{seed_arg}) & 1) = 1 "
+            f"THEN 1.0D ELSE -1.0D END)"
+        )
+        proj = (
+            f"aggregate(zip_with({v}, sequence(0, size({v}) - 1), {comp}), "
+            f"0.0D, (acc, x) -> acc + x)"
+        )
+        bits.append(
+            f"(CASE WHEN {proj} > 0 THEN shiftleft(CAST(1 AS BIGINT), {p}) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
 def lsh_bucketed_ann(
     df: DataFrame, query: DataFrame, k: int = 10, planes: int = 12,
     id_col: str = "vec_id", vec_col: str = "embedding", probe_hamming: int = 1,
@@ -916,30 +948,10 @@ def lsh_bucketed_ann(
     The join is bucket-key equality — at 100 TB each probe touches
     ~corpus/2^planes vectors instead of everything.
     """
-    def signature(vcol):
-        v = vcol.cast("array<double>")
-        dim_idx = F.sequence(F.lit(0), F.size(v) - 1)
-
-        def plane_component(p: int):
-            def comp(x, i):
-                sign = F.when(
-                    F.xxhash64(i.cast("string"), F.lit(p)).bitwiseAND(F.lit(1)) == 1, 1.0
-                ).otherwise(-1.0)
-                return x * sign
-
-            return F.zip_with(v, dim_idx, comp)
-
-        bits = []
-        for p in range(planes):
-            proj = F.aggregate(plane_component(p), F.lit(0.0), lambda acc, x: acc + x)
-            bits.append(F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long")))
-        total = bits[0]
-        for b in bits[1:]:
-            total = total + b
-        return total
-
-    corpus = df.select(id_col, F.col(vec_col).alias("v")).withColumn("bucket", signature(F.col("v")))
-    q = query.select(F.col(vec_col).alias("q_vec")).withColumn("q_bucket", signature(F.col("q_vec")))
+    sig = F.expr(_hyperplane_sig_sql("v", planes))
+    q_sig = F.expr(_hyperplane_sig_sql("q_vec", planes))
+    corpus = df.select(id_col, F.col(vec_col).alias("v")).withColumn("bucket", sig)
+    q = query.select(F.col(vec_col).alias("q_vec")).withColumn("q_bucket", q_sig)
     # multi-probe: query bucket plus all buckets within hamming distance 1
     probes = [F.col("q_bucket")]
     if probe_hamming >= 1:
@@ -972,37 +984,18 @@ def embedding_near_dup_pairs(
     rescoring join, keyed by id.
     """
 
-    def signature(vcol, seed: int):
-        v = vcol.cast("array<double>")
-        dim_idx = F.sequence(F.lit(0), F.size(v) - 1)
-
-        def plane_component(p: int):
-            def comp(x, i):
-                sign = F.when(
-                    F.xxhash64(i.cast("string"), F.lit(p), F.lit(seed)).bitwiseAND(F.lit(1)) == 1,
-                    1.0,
-                ).otherwise(-1.0)
-                return x * sign
-
-            return F.zip_with(v, dim_idx, comp)
-
-        bits = []
-        for p in range(planes):
-            proj = F.aggregate(plane_component(p), F.lit(0.0), lambda acc, x: acc + x)
-            bits.append(
-                F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
-            )
-        total = bits[0]
-        for b in bits[1:]:
-            total = total + b
+    def signature_sql(seed: int) -> str:
         # disambiguate tables so buckets from different tables never join
-        return total * F.lit(tables + 1) + F.lit(seed)
+        return f"{_hyperplane_sig_sql('v', planes, seed=seed)} * {tables + 1} + {seed}"
 
     # materialize signatures once behind an exchange (same reasoning as
     # minhash_lsh_pairs: signature exprs must not re-inline per consumer)
     vecs = _spread(df).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     sigs = vecs.select(
-        "id", F.explode(F.array(*[signature(F.col("v"), t) for t in range(tables)])).alias("bucket")
+        "id",
+        F.explode(
+            F.expr("array(" + ", ".join(signature_sql(t) for t in range(tables)) + ")")
+        ).alias("bucket"),
     ).repartition(_compute_partitions(df), F.col("bucket"))
     cand = (
         sigs.select(F.col("id").alias("a_id"), "bucket")

@@ -91,6 +91,46 @@ def test_ann_no_python_udf_in_plan(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_hyperplane_sig_sql_matches_column_form(spark, sf_dir):
+    """The SQL-string hyperplane signature (_hyperplane_sig_sql) must be
+    bit-identical to the Column-built reference it replaced (r13 §1.2:
+    the per-plane higher-order-lambda fan through py4j dominated build
+    time; the parsed expression tree must stay the same)."""
+    e = table(spark, sf_dir, "embeddings").select(F.col("embedding").alias("v")).limit(200)
+
+    def reference(vcol, planes, seed=None):
+        v = vcol.cast("array<double>")
+        dim_idx = F.sequence(F.lit(0), F.size(v) - 1)
+
+        def plane_component(p):
+            def comp(x, i):
+                args = [i.cast("string"), F.lit(p)] + ([F.lit(seed)] if seed is not None else [])
+                sign = F.when(F.xxhash64(*args).bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0)
+                return x * sign
+
+            return F.zip_with(v, dim_idx, comp)
+
+        bits = []
+        for p in range(planes):
+            proj = F.aggregate(plane_component(p), F.lit(0.0), lambda acc, x: acc + x)
+            bits.append(
+                F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
+            )
+        total = bits[0]
+        for b in bits[1:]:
+            total = total + b
+        return total
+
+    for planes, seed in [(4, None), (8, 2)]:
+        sql_form = F.expr(llm_ops._hyperplane_sig_sql("v", planes, seed=seed))
+        mismatches = (
+            e.select(reference(F.col("v"), planes, seed).alias("a"), sql_form.alias("b"))
+            .filter("a IS DISTINCT FROM b")
+            .count()
+        )
+        assert mismatches == 0
+
+
 def test_text_stats_values(spark):
     df = spark.createDataFrame([(1, "Hello, world! 42 times.")], "doc_id: long, text: string")
     r = llm_ops.text_stats(df).first()
