@@ -855,6 +855,33 @@ def _norm(a):
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
 
 
+# SQL-string twins of _dot/_norm (§1.2): every higher-order lambda built
+# through the PySpark Column API costs a fan of py4j round-trips plus an
+# eager re-analysis at plan-construction time — measured 6.4-9.7 s of pure
+# build in llm_embedding_near_dup and ~1.9 s in llm_ann_lsh (r13 phase
+# profile). The parsed trees are identical (0.0D is the same double
+# literal as F.lit(0.0)), so results are bit-identical.
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt(aggregate(transform({a}, x -> x * x), 0.0D, (acc, v) -> acc + v))"
+
+
+def _l2dist_sql(a: str, b: str) -> str:
+    return (
+        f"sqrt(aggregate(zip_with({a}, {b}, (a, b) -> (a - b) * (a - b)), "
+        "0.0D, (acc, x) -> acc + x))"
+    )
+
+
+def _cos_sim_sql(a: str, b: str, digits: int = 6) -> str:
+    return f"round(({_dot_sql(a, b)}) / (({_norm_sql(a)}) * ({_norm_sql(b)})), {digits})"
+
+
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("vec_norm", _norm(F.col(vec_col).cast("array<double>")))
 
@@ -959,11 +986,9 @@ def lsh_bucketed_ann(
     q_probes = q.select("q_vec", F.explode(F.array(*probes)).alias("bucket"))
     cand = corpus.join(F.broadcast(q_probes), "bucket")
     scored = cand.select(
-        id_col,
-        F.round(
-            _dot(F.col("v").cast("array<double>"), F.col("q_vec").cast("array<double>"))
-            / (_norm(F.col("v").cast("array<double>")) * _norm(F.col("q_vec").cast("array<double>"))),
-            6,
+        F.col(id_col),
+        F.expr(
+            _cos_sim_sql("CAST(v AS ARRAY<DOUBLE>)", "CAST(q_vec AS ARRAY<DOUBLE>)")
         ).alias("cos_sim"),
     ).dropDuplicates([id_col])
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
@@ -1011,10 +1036,8 @@ def embedding_near_dup_pairs(
         .select(
             "a_id",
             "b_id",
-            F.round(
-                _dot(F.col("a_v").cast("array<double>"), F.col("b_v").cast("array<double>"))
-                / (_norm(F.col("a_v").cast("array<double>")) * _norm(F.col("b_v").cast("array<double>"))),
-                6,
+            F.expr(
+                _cos_sim_sql("CAST(a_v AS ARRAY<DOUBLE>)", "CAST(b_v AS ARRAY<DOUBLE>)")
             ).alias("cos_sim"),
         )
     )
@@ -1181,28 +1204,19 @@ def ivf_ann(
     q = query.select(F.col(vec_col).cast("array<double>").alias("q_vec"))
     q_lists = (
         q.crossJoin(F.broadcast(cent_df))
-        .withColumn(
-            "dist",
-            F.sqrt(
-                F.aggregate(
-                    F.zip_with("q_vec", "centroid", lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            ),
-        )
+        .withColumn("dist", F.expr(_l2dist_sql("q_vec", "centroid")))
         .orderBy("dist")
         .limit(nprobe)
         # q_norm folded once per probe row (a handful) instead of per
         # candidate row — bit-identical, same expression/operands (r12)
-        .select("q_vec", _norm(F.col("q_vec")).alias("q_norm"), "list_id")
+        .select("q_vec", F.expr(_norm_sql("q_vec")).alias("q_norm"), "list_id")
     )
     cand = assigned.join(F.broadcast(q_lists), "list_id")
     scored = cand.select(
-        id_col,
-        F.round(
-            _dot(F.col("v"), F.col("q_vec")) / (_norm(F.col("v")) * F.col("q_norm")), 6
-        ).alias("cos_sim"),
+        F.col(id_col),
+        F.expr(f"round(({_dot_sql('v', 'q_vec')}) / (({_norm_sql('v')}) * q_norm), 6)").alias(
+            "cos_sim"
+        ),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
@@ -2339,14 +2353,7 @@ def semantic_dedup(
     dropped = (
         a.join(b, "cluster")
         .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn(
-            "cos_sim",
-            F.round(
-                _dot(F.col("a_v"), F.col("b_v"))
-                / (_norm(F.col("a_v")) * _norm(F.col("b_v"))),
-                6,
-            ),
-        )
+        .withColumn("cos_sim", F.expr(_cos_sim_sql("a_v", "b_v")))
         .filter(F.col("cos_sim") >= threshold)
         .groupBy("b_id")
         .agg(F.max("cos_sim").alias("drop_sim"))
@@ -2505,29 +2512,17 @@ def query_ivf_index(
     q = query.select(F.col(vec_col).cast("array<double>").alias("q_vec"))
     q_lists = (
         q.crossJoin(F.broadcast(cent))
-        .withColumn(
-            "dist",
-            F.sqrt(
-                F.aggregate(
-                    F.zip_with("q_vec", "centroid", lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            ),
-        )
+        .withColumn("dist", F.expr(_l2dist_sql("q_vec", "centroid")))
         .orderBy("dist")
         .limit(nprobe)
         # q_norm folded once per probe row (a handful) instead of per
         # candidate row — bit-identical, same expression/operands (r12)
-        .select("q_vec", _norm(F.col("q_vec")).alias("q_norm"), "list_id")
+        .select("q_vec", F.expr(_norm_sql("q_vec")).alias("q_norm"), "list_id")
     )
     cand = assigned.join(F.broadcast(q_lists), "list_id")
     scored = cand.select(
         F.col("id").alias("vec_id"),
-        (
-            _dot(F.col("v"), F.col("q_vec"))
-            / (_norm(F.col("v")) * F.col("q_norm"))
-        ).alias("_raw"),
+        F.expr(f"({_dot_sql('v', 'q_vec')}) / (({_norm_sql('v')}) * q_norm)").alias("_raw"),
     )
     # order by the UNROUNDED cosine (ties at the rounded precision must
     # break the same way as the oracle's unrounded ORDER BY), emit rounded
